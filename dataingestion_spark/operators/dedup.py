@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data pipelines.
+
+These go beyond the reference engine (whose only dedup-adjacent logic is
+replace-by-documentid at write time, ``VectorStoreWriter.cs:76-108``) and are
+designed for the 100 TB regime:
+
+* every hash is ``md5`` of an explicit string — deterministic, engine-
+  independent (reproducible in DuckDB/Trino/Spark alike), no JVM-specific
+  ``hash()``;
+* signatures are computed **array-natively inside one projection** (no
+  explode → no shuffle) wherever possible; shuffles happen only on compact
+  keys (band buckets, hash groups), never on document text;
+* candidate generation is always an equi-join on bucket keys (LSH banding),
+  never a cross join; exact verification runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def normalized(col: Column) -> Column:
+    """Whitespace-collapsed, lowercased text — the canonical form hashed for
+    exact dedup and fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, array-native."""
+    words = F.split(F.trim(col), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate grouping by md5 of normalized text.
+
+    Output: one row per input doc with its group's canonical (minimum) id and
+    the group size. Single shuffle on the 32-char hash; at 100 TB this is the
+    cheapest possible full-corpus dedup (hash is computed map-side, the
+    shuffle carries only (hash, id))."""
+    hashed = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.md5(normalized(F.col(text_col))).alias("content_hash"),
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(id_col, "canonical_id", "group_size")
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per document.
+
+    Hash family j (j = 0..num_hashes-1) maps shingle s → ``md5(j || ':' || s)``
+    and the signature component is the *lexicographic* minimum hex digest —
+    an order-preserving stand-in for integer min-hashing that every engine
+    reproduces bit-for-bit. Entirely projection-side: transform + array_min
+    per hash function, zero shuffles."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
+            ).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """LSH candidate pairs: documents agreeing on at least one signature band.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    band key = md5 of the concatenated band. Candidates come from a self
+    equi-join on (band_idx, band_key) — the only shuffle is on band keys, so
+    the cost is O(docs × bands), independent of corpus text size."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(F.slice("signature", b * r + 1, r), "|")
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        candidates: Optional[DataFrame] = None,
+                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Exact n-gram Jaccard similarity, verified only on LSH candidates.
+
+    The classic two-stage near-dup pipeline: banding prunes the O(n²) space
+    to plausible pairs, then exact set intersection/union runs per pair.
+    Output: (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    if candidates is None:
+        candidates = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sets = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    return (
+        candidates.join(a, candidates.id_a == F.col(f"a.{id_col}"))
+        .join(b, candidates.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over word features.
+
+    Each distinct word hashes to md5; bit p of the first bits/4 hex chars
+    votes ±1 weighted by the word's occurrence count; the sign of each bit
+    column forms the fingerprint. Computed with explode + groupBy(doc) —
+    one shuffle keyed on (doc, word) counts, standard map-side combine."""
+    if bits % 4 or bits > 128:
+        raise ValueError("bits must be a multiple of 4, at most 128")
+    words = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    counted = words.groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
+    h = F.md5(F.col("w"))
+    # Value of hex digit at 1-based position i: instr over the hex alphabet.
+    def hexval(i):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+
+    bit_cols = []
+    for p in range(bits):
+        digit = hexval(p // 4 + 1)
+        bit = F.shiftright(digit, 3 - p % 4).bitwiseAND(F.lit(1))
+        bit_cols.append(
+            F.sum(F.col("cnt") * (bit * 2 - 1)).alias(f"b{p}")
+        )
+    sums = counted.groupBy(id_col).agg(*bit_cols)
+    fingerprint = sum(
+        (F.when(F.col(f"b{p}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+        for p in range(bits)
+    )
+    return sums.select(id_col, fingerprint.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id", threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    Exact quadratic verification — use only on corpora that fit it, or feed
+    it candidates from :func:`embedding_neardup_lsh` at scale."""
+    from .similarity import cosine_sim
+
+    v = df.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(df: DataFrame, vec_col: str = "embedding",
+                          id_col: str = "vec_id", threshold: float = 0.95,
+                          planes: int = 16) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets, then exact cosine within
+    buckets only. Hyperplane p, dimension d is a deterministic pseudo-random
+    value derived from md5(p:d) — reproducible everywhere, no RNG state."""
+    from .similarity import cosine_sim, hyperplane_bucket
+
+    v = df.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias("v"))
+    dim = len(df.select(vec_col).first()[0])
+    bucketed = v.withColumn("bucket", hyperplane_bucket(F.col("v"), dim, planes))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

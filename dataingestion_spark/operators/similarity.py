@@ -1,0 +1,104 @@
+"""Similarity search: exact cosine top-k and LSH-bucketed ANN.
+
+The reference's read side is store-delegated top-k vector search with
+optional metadata filters (``src/Samples/Program.cs:50-53``,
+``AspireSamples/.../SemanticSearch.cs:24-29``). Here the vector table is a
+DataFrame, searches are expressed relationally, and everything numeric stays
+in whole-stage codegen (zip_with/aggregate — no Python in the hot path).
+
+Scale design:
+* brute-force top-k broadcasts the (small) query set and makes ONE pass over
+  the corpus — per-partition partial top-k, then a final k-way merge; no
+  shuffle of the corpus itself;
+* the ANN path buckets vectors by deterministic random-hyperplane signs
+  (md5-derived planes, no RNG state) so the scan touches only matching
+  buckets — the IVF-style trade of recall for a ~2^planes fan-in reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in double
+    precision JVM-side (zip_with + aggregate fold)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def _hexval(h: Column, i: int) -> Column:
+    return F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+
+
+def plane_component(p: int, d: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    two md5 hex digits of 'p:d' scaled — identical in any engine with md5."""
+    h = F.md5(F.lit(f"{p}:{d}"))
+    byte = _hexval(h, 1) * 16 + _hexval(h, 2)
+    return (byte / F.lit(128.0)) - 1.0
+
+
+def hyperplane_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
+    """Sign-bit bucket id of ``vec`` against ``planes`` deterministic
+    hyperplanes (random-projection LSH)."""
+    bits = []
+    for p in range(planes):
+        dot = None
+        for d in range(dim):
+            term = vec[d].cast("double") * plane_component(p, d)
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+    return sum(bits).cast("long")
+
+
+def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                query_id: str = "query_id", query_vec: str = "query_vec",
+                filter_expr: Optional[Column] = None) -> DataFrame:
+    """Exact top-k by cosine for each query vector, optional pre-filter.
+
+    The query side is broadcast (small by construction); ranking uses a
+    window per query id with a deterministic tiebreak on corpus id."""
+    base = corpus if filter_expr is None else corpus.filter(filter_expr)
+    scored = base.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "score")
+    )
+
+
+def topk_cosine_ann(corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
+                    planes: int = 8, corpus_id: str = "vec_id",
+                    corpus_vec: str = "embedding", query_id: str = "query_id",
+                    query_vec: str = "query_vec") -> DataFrame:
+    """ANN top-k: exact ranking restricted to the query's LSH bucket.
+
+    Recall < 1 by design; raise ``planes`` for smaller buckets (faster, lower
+    recall) or lower it for the reverse. Bucket assignment is a pure
+    projection; the join is an equi-join on bucket id."""
+    cb = corpus.withColumn("bucket", hyperplane_bucket(F.col(corpus_vec), dim, planes))
+    qb = queries.withColumn("bucket", hyperplane_bucket(F.col(query_vec), dim, planes))
+    scored = cb.join(F.broadcast(qb), "bucket").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "score")
+    )

@@ -1,0 +1,106 @@
+"""Text analytics for training-data curation: language id, quality scoring,
+token counting, fingerprinting.
+
+All four are pure column projections over built-in functions — no UDFs, no
+shuffles, fully codegen'd — so they run at scan speed on 100 TB and their
+semantics are reproducible in any engine with md5/regex (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import normalized
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deliberately small and fixed: the operator contract is determinism, not
+# linguistic accuracy (swap in fasttext/CLD3 via pandas UDF for production).
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "de", "y", "es", "un", "una", "en", "por"),
+}
+
+# GPT-2-style pretokenizer pattern (RE2-safe: no lookaround) used for the
+# BPE-ish token count.
+BPEISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace word count + BPE-ish subword count per document."""
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPEISH_PATTERN), 0)).alias(
+            "n_tokens_bpeish"
+        ),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language detection over the fixed lists; 'und' when no
+    list scores a hit. Ties break by language code order (deterministic)."""
+    words = _words(F.col(text_col))
+    langs = sorted(STOPWORDS)
+    scores = {
+        lang: F.size(F.filter(words, lambda x, sw=STOPWORDS[lang]: x.isin(*sw)))
+        for lang in langs
+    }
+    best = F.greatest(*scores.values())
+    pick = F.lit("und")
+    for lang in reversed(langs):
+        pick = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pick)
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        pick.alias("detected_lang"),
+        best.cast("int").alias("stopword_hits"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, mean word length, alpha ratio,
+    stopword ratio — the standard cheap pre-filter signals (à la C4/Gopher
+    rules), emitted as columns plus a [0,1] composite score."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), r"[^a-z]", ""))
+    sw = F.size(F.filter(words, lambda x: x.isin(*STOPWORDS["en"])))
+    mean_word_len = (n_chars - (n_words - 1)) / n_words  # chars minus separators
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    stop_ratio = sw / F.greatest(n_words, F.lit(1))
+    length_ok = F.when((n_words >= 20) & (n_words <= 100000), 1.0).otherwise(0.0)
+    wordlen_ok = F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.0)
+    score = F.round(
+        0.3 * length_ok + 0.2 * wordlen_ok + 0.3 * alpha_ratio + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)),
+        6,
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                shingle_n: int = 5) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact identity) plus a
+    winnowing-style min-shingle hash (stable under small edits)."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(F.col(text_col), shingle_n)
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.md5(normalized(F.col(text_col))).alias("content_md5"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_md5"),
+    )

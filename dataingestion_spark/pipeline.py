@@ -1,0 +1,57 @@
+"""IngestionPipeline: the user-facing composition façade.
+
+The reference wires reader → document processors → chunker → chunk
+processors → writer as an object graph and interprets it sequentially per
+file (``IngestionPipeline.cs:47-167``). Here every stage is a
+``DataFrame → DataFrame`` function, so the "pipeline" is just lazy function
+composition — Catalyst sees one end-to-end plan (scan → parse → transform →
+pack → enrich → write) and optimizes across stage boundaries; files
+parallelize across the cluster instead of the reference's one-at-a-time
+loop (``IngestionPipeline.cs:121``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+from .operators.chunkers import ChunkerOptions, header_chunker
+from .sinks.vector_store import write_vector_table
+from .sources.markdown import read_markdown
+
+
+class IngestionPipeline:
+    def __init__(
+        self,
+        reader: Callable[..., DataFrame] = read_markdown,
+        doc_processors: Sequence[Callable[[DataFrame], DataFrame]] = (),
+        chunker: Optional[Callable[[DataFrame], DataFrame]] = None,
+        chunk_processors: Sequence[Callable[[DataFrame], DataFrame]] = (),
+        writer: Optional[Callable[[DataFrame], None]] = None,
+    ):
+        self.reader = reader
+        self.doc_processors = list(doc_processors)
+        self.chunker = chunker or (lambda df: header_chunker(df, ChunkerOptions()))
+        self.chunk_processors = list(chunk_processors)
+        self.writer = writer
+
+    def elements(self, spark, source, **reader_kwargs) -> DataFrame:
+        df = self.reader(spark, source, **reader_kwargs)
+        for p in self.doc_processors:
+            df = p(df)
+        return df
+
+    def chunks(self, spark, source, **reader_kwargs) -> DataFrame:
+        df = self.chunker(self.elements(spark, source, **reader_kwargs))
+        for p in self.chunk_processors:
+            df = p(df)
+        return df
+
+    def run(self, spark, source, output_path: str, incremental: bool = False,
+            **reader_kwargs) -> None:
+        chunks = self.chunks(spark, source, **reader_kwargs)
+        if self.writer is not None:
+            self.writer(chunks)
+        else:
+            write_vector_table(chunks, output_path, incremental=incremental)

@@ -1,0 +1,320 @@
+"""Markdown → ``elements`` DataFrame reader.
+
+Behavioral counterpart of the reference MarkdownReader
+(``src/Microsoft.Extensions.DataIngestion.Markdown/MarkdownReader.cs:18-316``),
+which parses with Markdig and maps blocks to the element tree. No markdown
+library ships in this environment, so the block-level parser here is written
+from scratch for the constructs the reference handles:
+
+* ATX headings → header elements with level (``MarkdownReader.cs:151-155``),
+* a paragraph following a thematic break → footer (``:102-107,156``),
+* image-only paragraphs ``![alt](url)`` → image elements; ``data:image/png``
+  URIs get their bytes base64-decoded (``:157-167``),
+* pipe tables → table elements with a cell matrix, first row = header; a
+  bogus all-empty first row (MarkItDown artifact) is skipped (``:264-314``),
+* lists and block quotes → sections holding their leaf items (``:179-221``),
+* fenced code blocks → paragraphs whose text is the code (``:168-171``),
+* everything else → paragraphs; a single root section wraps the document
+  whose markdown is the whole file (``:93-97``).
+
+Spark entry point :func:`read_markdown` scans files with the ``binaryFile``
+source (distributed listing + reads, partitioned by file) and parses inside
+``mapInPandas`` so a directory of N files parallelizes across the cluster —
+unlike the reference's strictly sequential file loop
+(``IngestionPipeline.cs:121``).
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+from typing import Iterator, List, Optional
+
+from ..model import (
+    ELEM_FOOTER,
+    ELEM_HEADER,
+    ELEM_IMAGE,
+    ELEM_PARAGRAPH,
+    ELEM_SECTION,
+    ELEM_TABLE,
+    ELEMENTS_SCHEMA,
+    element_row,
+)
+
+_ATX_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_BREAK_RE = re.compile(r"^ {0,3}(?:(?:-[ \t]*){3,}|(?:\*[ \t]*){3,}|(?:_[ \t]*){3,})$")
+_TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?\s*$")
+_IMAGE_RE = re.compile(r"^!\[(?P<alt>[^\]]*)\]\((?P<url>[^)]*)\)\s*$")
+_LIST_ITEM_RE = re.compile(r"^ {0,3}(?:[-*+]|\d{1,9}[.)])\s+(.*)$")
+_FENCE_RE = re.compile(r"^ {0,3}(```+|~~~+)\s*(\S*)\s*$")
+_DATA_PNG_PREFIX = "data:image/png;base64,"
+
+# Inline markup stripped when deriving plain text from markdown
+# (the reference walks Markdig's inline tree; a regex pass is equivalent
+# for the inline constructs it supports: emphasis, code, links).
+_INLINE_PATTERNS = [
+    (re.compile(r"!\[([^\]]*)\]\([^)]*\)"), r"\1"),  # images → alt
+    (re.compile(r"\[([^\]]*)\]\([^)]*\)"), r"\1"),  # links → text
+    (re.compile(r"\*\*([^*]+)\*\*"), r"\1"),
+    (re.compile(r"__([^_]+)__"), r"\1"),
+    (re.compile(r"\*([^*]+)\*"), r"\1"),
+    (re.compile(r"(?<![A-Za-z0-9_])_([^_]+)_(?![A-Za-z0-9_])"), r"\1"),
+    (re.compile(r"`([^`]*)`"), r"\1"),
+]
+
+
+def inline_text(markdown: str) -> str:
+    text = markdown
+    for pat, rep in _INLINE_PATTERNS:
+        text = pat.sub(rep, text)
+    return text
+
+
+def _strip_quote_marker(line: str) -> str:
+    line = re.sub(r"^ {0,3}> ?", "", line)
+    return line
+
+
+def _split_table_row(line: str) -> List[str]:
+    s = line.strip()
+    if s.startswith("|"):
+        s = s[1:]
+    if s.endswith("|"):
+        s = s[:-1]
+    # Split on unescaped pipes.
+    cells = re.split(r"(?<!\\)\|", s)
+    return [c.strip().replace("\\|", "|") for c in cells]
+
+
+class _Ctx:
+    """Parser emit state: running seq counter + output rows."""
+
+    def __init__(self, doc_id: str):
+        self.doc_id = doc_id
+        self.rows: List[dict] = []
+        self.seq = 0
+
+    def emit(self, section_path, **kw) -> dict:
+        row = element_row(self.doc_id, self.seq, section_path, **kw)
+        self.rows.append(row)
+        self.seq += 1
+        return row
+
+
+def parse_markdown(content: str, doc_id: str) -> List[dict]:
+    """Parse one markdown document into ``elements`` rows (DFS preorder)."""
+    if not content:
+        raise ValueError("content must be non-empty")
+    ctx = _Ctx(doc_id)
+    # Root section wraps the whole document (MarkdownReader.cs:93-97).
+    ctx.emit([0], elem_type=ELEM_SECTION, markdown=content)
+    _parse_blocks(ctx, content.split("\n"), [0], top_level=True)
+    return ctx.rows
+
+
+def _parse_blocks(ctx: _Ctx, lines: List[str], path: List[int], top_level: bool) -> None:
+    child = sum(
+        1 for r in ctx.rows if len(r["section_path"]) == len(path) + 1
+        and r["section_path"][: len(path)] == path
+    )
+    i, n = 0, len(lines)
+    previous_was_break = False
+
+    def next_path():
+        nonlocal child
+        p = path + [child]
+        child += 1
+        return p
+
+    while i < n:
+        line = lines[i]
+        if not line.strip():
+            i += 1
+            continue
+
+        # Thematic break: remembered so the following paragraph becomes a
+        # footer; the break itself emits nothing (MarkdownReader.cs:102-107).
+        if _BREAK_RE.match(line.strip()) and not _LIST_ITEM_RE.match(line):
+            previous_was_break = True
+            i += 1
+            continue
+
+        # ATX heading.
+        m = _ATX_RE.match(line)
+        if m:
+            ctx.emit(
+                next_path(),
+                elem_type=ELEM_HEADER,
+                markdown=line.strip(),
+                text=inline_text(m.group(2)),
+                header_level=len(m.group(1)),
+            )
+            previous_was_break = False
+            i += 1
+            continue
+
+        # Fenced code block → paragraph whose text is the code.
+        m = _FENCE_RE.match(line)
+        if m:
+            fence = m.group(1)[0] * 3
+            j = i + 1
+            code_lines = []
+            while j < n and not lines[j].strip().startswith(fence):
+                code_lines.append(lines[j])
+                j += 1
+            block_md = "\n".join(lines[i : min(j + 1, n)])
+            ctx.emit(
+                next_path(),
+                elem_type=ELEM_PARAGRAPH,
+                markdown=block_md,
+                text="\n".join(code_lines),
+            )
+            previous_was_break = False
+            i = j + 1
+            continue
+
+        # Pipe table: current line is a row and the next is the separator.
+        if "|" in line and i + 1 < n and _TABLE_SEP_RE.match(lines[i + 1]) and "|" in lines[i + 1]:
+            j = i + 2
+            while j < n and lines[j].strip() and "|" in lines[j]:
+                j += 1
+            block_lines = lines[i:j]
+            header = _split_table_row(block_lines[0])
+            rows = [header] + [_split_table_row(r) for r in block_lines[2:]]
+            width = len(header)
+            cells = [
+                [(r[c] if c < len(r) and r[c] != "" else None) for c in range(width)]
+                for r in rows
+            ]
+            # MarkItDown artifact: all-empty first row before the separator
+            # is dropped (MarkdownReader.cs:293-314).
+            if cells and all(c is None for c in cells[0]):
+                cells = cells[1:]
+            ctx.emit(
+                next_path(),
+                elem_type=ELEM_TABLE,
+                markdown="\n".join(block_lines),
+                table_cells=cells,
+            )
+            previous_was_break = False
+            i = j
+            continue
+
+        # List → section of leaf items (MarkdownReader.cs:179-204).
+        if _LIST_ITEM_RE.match(line):
+            j = i
+            item_texts: List[str] = []
+            while j < n and lines[j].strip():
+                m2 = _LIST_ITEM_RE.match(lines[j])
+                if m2:
+                    item_texts.append(m2.group(1))
+                elif item_texts:
+                    item_texts[-1] += "\n" + lines[j].strip()  # lazy continuation
+                j += 1
+            block_md = "\n".join(lines[i:j])
+            sec_path = next_path()
+            ctx.emit(sec_path, elem_type=ELEM_SECTION, markdown=block_md)
+            for k, item in enumerate(item_texts):
+                ctx.emit(
+                    sec_path + [k],
+                    elem_type=ELEM_PARAGRAPH,
+                    markdown=item,
+                    text=inline_text(item),
+                )
+            previous_was_break = False
+            i = j
+            continue
+
+        # Block quote → section of inner blocks (MarkdownReader.cs:206-221).
+        if line.lstrip().startswith(">"):
+            j = i
+            inner: List[str] = []
+            while j < n and lines[j].strip():
+                inner.append(_strip_quote_marker(lines[j]))
+                j += 1
+            block_md = "\n".join(lines[i:j])
+            sec_path = next_path()
+            ctx.emit(sec_path, elem_type=ELEM_SECTION, markdown=block_md)
+            _parse_blocks(ctx, inner, sec_path, top_level=False)
+            previous_was_break = False
+            i = j
+            continue
+
+        # Paragraph (may be an image-only paragraph or a footer).
+        j = i
+        para: List[str] = []
+        while j < n and lines[j].strip() and not _ATX_RE.match(lines[j]) and not (
+            _BREAK_RE.match(lines[j].strip()) and not _LIST_ITEM_RE.match(lines[j])
+        ):
+            para.append(lines[j])
+            j += 1
+        block_md = "\n".join(para)
+        img = _IMAGE_RE.match(block_md.strip())
+        if img:
+            url = img.group("url")
+            is_png = url.startswith(_DATA_PNG_PREFIX)
+            content_bytes: Optional[bytes] = None
+            if is_png:
+                try:
+                    content_bytes = base64.b64decode(url[len(_DATA_PNG_PREFIX):])
+                except Exception:
+                    content_bytes = None
+            ctx.emit(
+                next_path(),
+                elem_type=ELEM_IMAGE,
+                markdown=block_md.strip(),
+                image_alt_text=img.group("alt") or None,
+                image_content=content_bytes,
+                image_media_type="image/png" if is_png else None,
+            )
+        elif previous_was_break:
+            ctx.emit(
+                next_path(),
+                elem_type=ELEM_FOOTER,
+                markdown=block_md,
+                text=inline_text(block_md),
+            )
+        else:
+            ctx.emit(
+                next_path(),
+                elem_type=ELEM_PARAGRAPH,
+                markdown=block_md,
+                text=inline_text(block_md),
+            )
+        previous_was_break = False
+        i = j
+
+    _ = top_level  # footers may appear in nested blocks too; kept for clarity
+
+
+def read_markdown(spark, path, glob: str = "*.md", recursive: bool = False):
+    """Scan ``path`` with the distributed binaryFile source and parse each
+    file into ``elements`` rows. Counterpart of directory ingestion
+    (``IngestionPipeline.cs:47-85``) with cross-file parallelism for free.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(str(path))
+        .select("path", "content")
+    )
+    return parse_markdown_df(files, id_col="path", content_col="content")
+
+
+def parse_markdown_df(df, id_col: str = "doc_id", content_col: str = "markdown"):
+    """Parse a DataFrame of (id, markdown-text|bytes) into elements rows."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
+        for pdf in batches:
+            out: List[dict] = []
+            for _, r in pdf.iterrows():
+                raw = r[content_col]
+                text = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
+                out.extend(parse_markdown(text, str(r[id_col])))
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)
