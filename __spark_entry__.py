@@ -1,38 +1,985 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the dataingestion_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``    — flagship ingest→chunk→enrich→embed→search pipeline
+                      on /root/testdata/sf0.001.
+``queries()``       — one callable per implemented operator from SURVEY §2
+                      plus the training-data-scale operators.
+``oracle_sql()``    — DuckDB-equivalent SQL for every oracle-expressible
+                      query. Fixture-based operators (markdown parsing,
+                      chunk packing) use VALUES oracles derived from the
+                      local (non-Spark) reference implementation, so the
+                      check pins the distributed path against the unit-
+                      tested local semantics. Streaming is rows-only.
+
+All numeric aggregates are computed exactly (DECIMAL) and presented as
+DOUBLE, and every hash is md5-based, so Spark and DuckDB agree bit-for-bit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from dataingestion_spark.operators import dedup, similarity, text_analysis
+from dataingestion_spark.operators.chunkers import (
+    ChunkerOptions,
+    header_chunk_doc,
+    header_chunker,
+    markdown_chunk_doc,
+    markdown_chunker,
+    section_chunk_doc,
+    section_chunker,
+    token_chunk_text,
+)
+from dataingestion_spark.operators.enrichers import (
+    classification_enricher,
+    keyword_enricher,
+    sentiment_enricher,
+    summary_enricher,
+)
+from dataingestion_spark.operators.removal import remove_footers
+from dataingestion_spark.sinks.vector_store import build_vector_records, fake_embedding
+from dataingestion_spark.sources.corpus import documents_to_markdown
+from dataingestion_spark.sources.markdown import parse_markdown, parse_markdown_df
+from dataingestion_spark.tokenizer import WordTokenizer
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    rejects; read nanos as long and truncate to microseconds (same floor
+    conversion DuckDB applies when loading nanos into its micro timestamps)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Integer DIV, not float division: ns values exceed double's 2^53 exact
+    # range, so ts/1000.0 would be off by ±1 µs.
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _dec(c: str):
+    return F.col(c).cast(DEC)
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values_oracle(rows, cols, types) -> str:
+    """Build a typed VALUES oracle from locally computed golden rows."""
+    if not rows:
+        empty = ", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in zip(cols, types))
+        return f"SELECT {empty} WHERE 1=0"
+    vals = ",\n".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows
+    )
+    casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types))
+    return f"SELECT {casts} FROM (VALUES\n{vals}\n) AS t({', '.join(cols)})"
+
+
+# ---------------------------------------------------------------------------
+# fixture corpus (markdown semantics pinned by tests/test_markdown_parser.py
+# and tests/test_chunkers_local.py; goldens derived from the local engine)
+# ---------------------------------------------------------------------------
+
+FIXTURE_DOCS = {
+    "fx_guide": """# User Guide
+
+Welcome to the engine.
+
+## Install
+
+Run the installer. It is fast and small.
+
+### Requirements
+
+A machine with memory.
+
+## Usage
+
+| flag | meaning |
+| --- | --- |
+| -v | verbose |
+| -q | quiet |
+
+Use flags wisely.
+
+---
+
+Footer: manual v2
+""",
+    "fx_list": """# Notes
+
+- alpha item
+- beta item
+
+> quoted wisdom
+
+Closing paragraph.
+""",
+    "fx_plain": """Just a paragraph without any headers at all.
+
+Second paragraph.
+""",
+}
+
+_FIXED_OPTS = ChunkerOptions(WordTokenizer(), 2000)
+
+
+def _fixture_rows_local():
+    rows = []
+    for doc_id in sorted(FIXTURE_DOCS):
+        rows.extend(parse_markdown(FIXTURE_DOCS[doc_id], doc_id))
+    return rows
+
+
+def _fixture_elements_df(spark: SparkSession) -> DataFrame:
+    src = spark.createDataFrame(
+        sorted(FIXTURE_DOCS.items()), "doc_id string, markdown string"
+    )
+    return parse_markdown_df(src, id_col="doc_id", content_col="markdown")
+
+
+def _fixture_chunk_golden(chunk_fn):
+    rows = _fixture_rows_local()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    out = []
+    for doc_id in sorted(by_doc):
+        for i, c in enumerate(chunk_fn(by_doc[doc_id])):
+            out.append((doc_id, i, c.get("context"), c["content"]))
+    return out
+
+
+_CHUNK_COLS = ["doc_id", "chunk_seq", "context", "content"]
+_CHUNK_TYPES = ["VARCHAR", "INTEGER", "VARCHAR", "VARCHAR"]
+
+
+# ---------------------------------------------------------------------------
+# A. relational coverage (joins/aggregations/windows "free" in Spark —
+#    SURVEY §2.7 — exercised against the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf):
+    _utc(spark)
+    l = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-12-01")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("dq"),
+        F.sum(_dec("l_extendedprice")).alias("dp"),
+        F.sum(disc_price).alias("ddp"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("dq").cast("double").alias("sum_qty"),
+        F.col("dp").cast("double").alias("sum_base_price"),
+        F.col("ddp").cast("double").alias("sum_disc_price"),
+        (F.col("dq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("dp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf):
+    _utc(spark)
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf):
+    _utc(spark)
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark, sf):
+    _utc(spark)
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_Q6 = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_orders_rollup(spark, sf):
+    _utc(spark)
+    o = _t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_events_topk_per_type(spark, sf):
+    _utc(spark)
+    e = _events(spark, sf)
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", "value")
+    )
+
+
+ORACLE_TOPK = """
+SELECT event_type, CAST(rk AS INT) AS rk, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+  FROM events) WHERE rk <= 3
+"""
+
+
+def q_events_sessionize(spark, sf):
+    _utc(spark)
+    e = _events(spark, sf)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap > 1800, 1).otherwise(0)
+    sess = F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_events_windowed(spark, sf):
+    _utc(spark)
+    e = _events(spark, sf)
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+ORACLE_WINDOWED = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_doc_predicate_forms(spark, sf):
+    # ==, startswith, endswith, isin — the reference's filtered-get predicate
+    # forms (SURVEY §2.6; DocumentPipelineTests.cs:90,138,170).
+    d = _t(spark, sf, "documents")
+    return d.filter(
+        F.col("source").startswith("src1")
+        & F.col("source").endswith("2")
+        & F.col("lang").isin("en", "de")
+        & (F.col("n_chars") >= 100)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_PREDICATES = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE source LIKE 'src1%' AND source LIKE '%2' AND lang IN ('en','de') AND n_chars >= 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. text analytics + dedup (training-data operators)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_counts(spark, sf):
+    return text_analysis.token_counts(_t(spark, sf, "documents"))
+
+
+_BPE = text_analysis.BPEISH_PATTERN.replace("'", "''")
+ORACLE_TOKEN_COUNTS = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_words,
+  CAST(len(regexp_extract_all(text, '{_BPE}')) AS INT) AS n_tokens_bpeish,
+  CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
+def q_doc_lang_id(spark, sf):
+    return text_analysis.lang_id(_t(spark, sf, "documents"))
+
+
+def _oracle_lang_id() -> str:
+    langs = sorted(text_analysis.STOPWORDS)
+    scores = {
+        lang: "len(list_filter(w, x -> x IN ({})))".format(
+            ", ".join(f"'{s}'" for s in text_analysis.STOPWORDS[lang])
+        )
+        for lang in langs
+    }
+    best = "greatest({})".format(", ".join(scores.values()))
+    case = "CASE"
+    for lang in langs:
+        case += f" WHEN best > 0 AND {scores[lang]} = best THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+scored AS (SELECT doc_id, w, {best} AS best FROM base)
+SELECT doc_id, {case} AS detected_lang, CAST(best AS INT) AS stopword_hits
+FROM scored
+"""
+
+
+def q_doc_quality(spark, sf):
+    return text_analysis.quality_score(_t(spark, sf, "documents"))
+
+
+_EN_STOP = ", ".join(f"'{s}'" for s in text_analysis.STOPWORDS["en"])
+ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+         CAST(length(text) AS INT) AS n_chars
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS INT) AS n_words,
+    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INT) AS alpha_chars,
+    CAST(len(list_filter(w, x -> x IN ({_EN_STOP}))) AS INT) AS sw,
+    n_chars
+  FROM base)
+SELECT doc_id, n_words,
+  round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS mean_word_len,
+  round(CAST(alpha_chars AS DOUBLE) / greatest(n_chars, 1), 6) AS alpha_ratio,
+  round(CAST(sw AS DOUBLE) / greatest(n_words, 1), 6) AS stopword_ratio,
+  round(0.3 * (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 2.0
+                     AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 12.0 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (CAST(alpha_chars AS DOUBLE) / greatest(n_chars, 1))
+      + 0.2 * least(CAST(sw AS DOUBLE) / greatest(n_words, 1) * 5, 1.0), 6) AS quality
+FROM m
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    return text_analysis.fingerprint(_t(spark, sf, "documents"))
+
+
+ORACLE_FINGERPRINT = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id, text,
+    list_distinct(list_transform(generate_series(1, greatest(len(w) - 4, 1)),
+                                 i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS s
+  FROM base)
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_md5,
+  list_aggregate(list_transform(s, x -> md5(x)), 'min') AS min_shingle_md5
+FROM sh
+"""
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents),
+g AS (SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+      FROM h GROUP BY content_hash)
+SELECT h.doc_id, g.canonical_id, g.group_size FROM h JOIN g USING (content_hash)
+"""
+
+
+_SHINGLE_SQL = """
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                 i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+"""
+
+
+def q_minhash_signature(spark, sf):
+    sigs = dedup.minhash_signature(_t(spark, sf, "documents"), num_hashes=8)
+    return sigs.select(
+        "doc_id", *[F.col("signature")[j].alias(f"h{j}") for j in range(8)]
+    )
+
+
+def _oracle_minhash_signature() -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5(concat('{j}:', x))), 'min') AS h{j}"
+        for j in range(8)
+    )
+    return f"WITH sh AS ({_SHINGLE_SQL}) SELECT doc_id, {mins} FROM sh"
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=16, bands=4
+    )
+
+
+def _oracle_minhash_pairs() -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5(concat('{j}:', x))), 'min')"
+        for j in range(16)
+    )
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, [{mins}] AS sig FROM sh),
+bands AS (
+  SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')) AS bk
+  FROM sig, (SELECT unnest([0,1,2,3]) AS b))
+SELECT a.doc_id AS id_a, c.doc_id AS id_b
+FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.2, num_hashes=16, bands=4
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _oracle_jaccard() -> str:
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id,
+  [{", ".join(f"list_aggregate(list_transform(s, x -> md5(concat('{j}:', x))), 'min')" for j in range(16))}] AS sig,
+  s FROM sh),
+bands AS (
+  SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')) AS bk
+  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+cand AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
+WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.2
+"""
+
+
+def q_simhash(spark, sf):
+    return dedup.simhash(_t(spark, sf, "documents"), bits=32)
+
+
+def _oracle_simhash() -> str:
+    terms = []
+    for p in range(32):
+        digit = f"(strpos('0123456789abcdef', substring(md5(w), {p // 4 + 1}, 1)) - 1)"
+        bit = f"(({digit} >> {3 - p % 4}) & 1)"
+        terms.append(
+            f"CASE WHEN SUM(cnt * ({bit} * 2 - 1)) > 0 THEN CAST({2 ** p} AS BIGINT) ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return f"""
+WITH words AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+counted AS (SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM counted GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """(
+  list_reduce(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
+)"""
+
+
+def q_emb_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.topk_cosine(e, queries, k=10)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    )
+
+
+ORACLE_EMB_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         {_COS_SQL.format(a="e.embedding", b="q.qv")} AS score
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
+def q_emb_topk_filtered(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.topk_cosine(e, queries, k=5, filter_expr=F.col("label") == 3)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    )
+
+
+ORACLE_EMB_TOPK_FILTERED = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         {_COS_SQL.format(a="e.embedding", b="q.qv")} AS score
+  FROM embeddings e CROSS JOIN q WHERE e.label = 3)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+def q_emb_neardup(spark, sf):
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.43
+    ).select("id_a", "id_b")
+
+
+ORACLE_EMB_NEARDUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.43
+"""
+
+
+# ---------------------------------------------------------------------------
+# D. ingestion operators (fixture goldens + relational token chunker)
+# ---------------------------------------------------------------------------
+
+def q_md_parse_elements(spark, sf):
+    el = _fixture_elements_df(spark)
+    return el.select(
+        "doc_id", "seq", "elem_type", "markdown", "header_level"
+    )
+
+
+def _oracle_parse() -> str:
+    rows = [
+        (r["doc_id"], r["seq"], r["elem_type"], r["markdown"], r["header_level"])
+        for r in _fixture_rows_local()
+    ]
+    return _values_oracle(
+        rows,
+        ["doc_id", "seq", "elem_type", "markdown", "header_level"],
+        ["VARCHAR", "BIGINT", "VARCHAR", "VARCHAR", "INTEGER"],
+    )
+
+
+def q_header_chunks(spark, sf):
+    ch = header_chunker(_fixture_elements_df(spark), _FIXED_OPTS)
+    return ch.select(*_CHUNK_COLS)
+
+
+def q_section_chunks(spark, sf):
+    ch = section_chunker(_fixture_elements_df(spark), _FIXED_OPTS)
+    return ch.select(*_CHUNK_COLS)
+
+
+def q_markdown_chunks(spark, sf):
+    ch = markdown_chunker(_fixture_elements_df(spark), split_level=3)
+    return ch.select(*_CHUNK_COLS)
+
+
+def q_removal_footers(spark, sf):
+    el = remove_footers(_fixture_elements_df(spark))
+    return el.select("doc_id", "seq", "elem_type", "markdown")
+
+
+def _oracle_removal() -> str:
+    rows = [
+        (r["doc_id"], r["seq"], r["elem_type"], r["markdown"])
+        for r in _fixture_rows_local()
+        if r["elem_type"] != "footer"
+    ]
+    return _values_oracle(
+        rows,
+        ["doc_id", "seq", "elem_type", "markdown"],
+        ["VARCHAR", "BIGINT", "VARCHAR", "VARCHAR"],
+    )
+
+
+def q_token_chunks(spark, sf):
+    return token_chunk_text(
+        _t(spark, sf, "documents"), text_col="text", id_col="doc_id",
+        max_tokens=64, overlap=16,
+    )
+
+
+ORACLE_TOKEN_CHUNKS = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+x AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(CAST(ceil((len(toks) - 1) / 48.0) AS BIGINT) - 1, 0))) AS win
+  FROM w)
+SELECT printf('%s#%06d', doc_id, win) AS chunk_id, doc_id,
+       CAST(win AS INT) AS chunk_seq,
+       array_to_string(list_slice(toks, win*48 + 1, win*48 + 64), ' ') AS content
+FROM x
+"""
+
+
+def q_enrich_fakes(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("text").alias("content")
+    )
+    d = summary_enricher(d)
+    d = classification_enricher(d, classes=["join", "stream", "vector"])
+    d = sentiment_enricher(d)
+    d = keyword_enricher(d)
+    return d.select(
+        "doc_id", "summary", "classification", "sentiment",
+        F.array_join("keywords", ",").alias("keywords_csv"),
+    )
+
+
+def _oracle_enrich() -> str:
+    from dataingestion_spark.operators.enrichers import NEGATIVE_WORDS, POSITIVE_WORDS
+
+    pos = ", ".join(f"'{w}'" for w in POSITIVE_WORDS)
+    neg = ", ".join(f"'{w}'" for w in NEGATIVE_WORDS)
+    cls_counts = {
+        c: f"len(list_filter(w, x -> x = '{c}'))" for c in ["join", "stream", "vector"]
+    }
+    best = "greatest({})".format(", ".join(cls_counts.values()))
+    case = "CASE"
+    for c in ["join", "stream", "vector"]:
+        case += f" WHEN {best} > 0 AND {cls_counts[c]} = {best} THEN '{c}'"
+    case += " ELSE 'Unknown' END"
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents),
+kw AS (
+  SELECT doc_id, array_to_string(list_slice(ks, 1, 5), ',') AS keywords_csv
+  FROM (
+    SELECT doc_id, list(kword ORDER BY cnt DESC, kword ASC) AS ks
+    FROM (
+      SELECT doc_id, kword, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(list_filter(w, x -> length(x) >= 5)) AS kword
+        FROM base)
+      GROUP BY doc_id, kword)
+    GROUP BY doc_id))
+SELECT b.doc_id,
+  array_to_string(list_slice(b.w, 1, 10), ' ') AS summary,
+  {case} AS classification,
+  CASE WHEN len(list_filter(w, x -> x IN ({pos}))) > len(list_filter(w, x -> x IN ({neg}))) THEN 'Positive'
+       WHEN len(list_filter(w, x -> x IN ({neg}))) > len(list_filter(w, x -> x IN ({pos}))) THEN 'Negative'
+       ELSE 'Neutral' END AS sentiment,
+  coalesce(kw.keywords_csv, '') AS keywords_csv
+FROM base b LEFT JOIN kw ON b.doc_id = kw.doc_id
+"""
+
+
+def q_vector_records(spark, sf):
+    chunks = q_token_chunks(spark, sf).withColumn(
+        "context", F.lit(None).cast("string")
+    )
+    recs = build_vector_records(
+        chunks, embed=lambda c: fake_embedding(c, dims=4), deterministic_keys=True
+    )
+    return recs.select(
+        "key", "documentid", "content",
+        *[F.col("embedding")[d].cast("double").alias(f"emb{d}") for d in range(4)],
+    )
+
+
+def _oracle_vector_records() -> str:
+    embs = []
+    for d in range(4):
+        h = f"md5(concat(content, ':{d}'))"
+        hv1 = f"(strpos('0123456789abcdef', substring({h}, 1, 1)) - 1)"
+        hv2 = f"(strpos('0123456789abcdef', substring({h}, 2, 1)) - 1)"
+        embs.append(f"CAST(({hv1} * 16 + {hv2}) AS DOUBLE) / 256.0 AS emb{d}")
+    return f"""
+WITH c AS ({ORACLE_TOKEN_CHUNKS.strip()})
+SELECT chunk_id AS key, doc_id AS documentid, content, {", ".join(embs)}
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# E. streaming (rows-only check — not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_streaming_events(spark, sf):
+    from dataingestion_spark.streaming.pipeline import stream_events_windowed
+
+    name = "events_windowed_check"
+    q = stream_events_windowed(spark, sf, query_name=name)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → markdown corpus → parse → de-footer → header
+    chunks → enrich → embed → top-5 cosine search, at sf0.001."""
+    _utc(spark)
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents").limit(100)
+    elements = parse_markdown_df(documents_to_markdown(docs), "doc_id", "markdown")
+    elements = remove_footers(elements)
+    chunks = header_chunker(elements, ChunkerOptions(WordTokenizer(), 300))
+    chunks = sentiment_enricher(summary_enricher(chunks))
+    records = build_vector_records(
+        chunks, embed=lambda c: fake_embedding(c, dims=8), deterministic_keys=True
+    )
+    qv = [0.5] * 8
+    from dataingestion_spark.operators.similarity import cosine_sim
+
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        records.withColumn("score", F.round(cosine_sim(F.col("embedding"), q), 6))
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(5)
+        .select("key", "documentid", "score", "summary", "sentiment")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational coverage (SURVEY §2.7 categories exercised in Spark)
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "orders_rollup": q_orders_rollup,
+        "events_topk_per_type": q_events_topk_per_type,
+        "events_sessionize": q_events_sessionize,
+        "events_windowed_5min": q_events_windowed,
+        "doc_predicate_forms": q_doc_predicate_forms,
+        # text analytics
+        "doc_token_counts": q_doc_token_counts,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality_score": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signature": q_minhash_signature,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_simhash,
+        "dedup_embedding_pairs": q_emb_neardup,
+        # similarity search
+        "search_topk_cosine": q_emb_topk,
+        "search_topk_filtered": q_emb_topk_filtered,
+        # ingestion operators (reference SURVEY §2.1-2.5)
+        "reader_markdown_elements": q_md_parse_elements,
+        "chunker_header": q_header_chunks,
+        "chunker_section": q_section_chunks,
+        "chunker_markdown": q_markdown_chunks,
+        "chunker_token_sliding": q_token_chunks,
+        "processor_removal_footers": q_removal_footers,
+        "enricher_fakes": q_enrich_fakes,
+        "writer_vector_records": q_vector_records,
+        # streaming (rows-only)
+        "streaming_events_windowed": q_streaming_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing_summary": ORACLE_Q1,
+        "tpch_q3_shipping_priority": ORACLE_Q3,
+        "tpch_q5_local_supplier": ORACLE_Q5,
+        "tpch_q6_forecast_revenue": ORACLE_Q6,
+        "orders_rollup": ORACLE_ROLLUP,
+        "events_topk_per_type": ORACLE_TOPK,
+        "events_sessionize": ORACLE_SESSIONIZE,
+        "events_windowed_5min": ORACLE_WINDOWED,
+        "doc_predicate_forms": ORACLE_PREDICATES,
+        "doc_token_counts": ORACLE_TOKEN_COUNTS,
+        "doc_lang_id": _oracle_lang_id(),
+        "doc_quality_score": ORACLE_QUALITY,
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_minhash_signature": _oracle_minhash_signature(),
+        "dedup_minhash_lsh_pairs": _oracle_minhash_pairs(),
+        "dedup_ngram_jaccard": _oracle_jaccard(),
+        "dedup_simhash": _oracle_simhash(),
+        "dedup_embedding_pairs": ORACLE_EMB_NEARDUP,
+        "search_topk_cosine": ORACLE_EMB_TOPK,
+        "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
+        "reader_markdown_elements": _oracle_parse(),
+        "chunker_header": _values_oracle(
+            _fixture_chunk_golden(lambda rows: header_chunk_doc(rows, _FIXED_OPTS)),
+            _CHUNK_COLS, _CHUNK_TYPES,
+        ),
+        "chunker_section": _values_oracle(
+            _fixture_chunk_golden(lambda rows: section_chunk_doc(rows, _FIXED_OPTS)),
+            _CHUNK_COLS, _CHUNK_TYPES,
+        ),
+        "chunker_markdown": _values_oracle(
+            _fixture_chunk_golden(lambda rows: markdown_chunk_doc(rows, 3)),
+            _CHUNK_COLS, _CHUNK_TYPES,
+        ),
+        "chunker_token_sliding": ORACLE_TOKEN_CHUNKS,
+        "processor_removal_footers": _oracle_removal(),
+        "enricher_fakes": _oracle_enrich(),
+        "writer_vector_records": _oracle_vector_records(),
+        # streaming_events_windowed: intentionally omitted (rows-only check)
+    }

@@ -1,0 +1,99 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop-format write (full execution, no driver
+collect); timings include plan + execution but share one warm SparkSession.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    import __spark_entry__ as em
+    from dataingestion_spark.operators.chunkers import ChunkerOptions, header_chunker
+    from dataingestion_spark.operators.enrichers import sentiment_enricher, summary_enricher
+    from dataingestion_spark.sinks.vector_store import build_vector_records, fake_embedding
+    from dataingestion_spark.sources.corpus import documents_to_markdown
+    from dataingestion_spark.sources.markdown import parse_markdown_df
+    from dataingestion_spark.tokenizer import WordTokenizer
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dataingestion-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def ingest_e2e(spark, sf):
+        docs = em._t(spark, sf, "documents")
+        elements = parse_markdown_df(documents_to_markdown(docs), "doc_id", "markdown")
+        chunks = header_chunker(elements, ChunkerOptions(WordTokenizer(), 300))
+        chunks = sentiment_enricher(summary_enricher(chunks))
+        return build_vector_records(
+            chunks, embed=lambda c: fake_embedding(c, dims=16), deterministic_keys=True
+        )
+
+    bench_queries = {
+        "q1_pricing": em.q_tpch_q1,
+        "q3_shipping": em.q_tpch_q3,
+        "q5_local_supplier": em.q_tpch_q5,
+        "q6_forecast": em.q_tpch_q6,
+        "rollup": em.q_orders_rollup,
+        "topk_window": em.q_events_topk_per_type,
+        "sessionize": em.q_events_sessionize,
+        "windowed_agg": em.q_events_windowed,
+        "token_chunk": em.q_token_chunks,
+        "enrich": em.q_enrich_fakes,
+        "lang_quality": em.q_doc_quality,
+        "dedup_exact": em.q_dedup_exact,
+        "minhash_lsh": em.q_minhash_lsh_pairs,
+        "simhash": em.q_simhash,
+        "jaccard": em.q_ngram_jaccard,
+        "emb_topk": em.q_emb_topk,
+        "emb_neardup": em.q_emb_neardup,
+        "ingest_e2e": ingest_e2e,
+    }
+
+    timings = {}
+    for name, fn in bench_queries.items():
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,18 +63,26 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     Hash family j (j = 0..num_hashes-1) maps shingle s → ``md5(j || ':' || s)``
     and the signature component is the *lexicographic* minimum hex digest —
     an order-preserving stand-in for integer min-hashing that every engine
-    reproduces bit-for-bit. Entirely projection-side: transform + array_min
-    per hash function, zero shuffles."""
-    sh = word_shingles(F.col(text_col), shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
-            ).alias(f"h{j}")
-            for j in range(num_hashes)
-        ]
+    reproduces bit-for-bit.
+
+    Shape: explode shingles once, then ``num_hashes`` MIN aggregates in a
+    single groupBy — one shuffle keyed on doc id, with map-side partial mins
+    so the shuffle carries num_hashes×32 bytes per doc regardless of corpus
+    size. (An array-native transform-per-hash variant inlines the shingle
+    expression num_hashes times and blows up codegen — measured 25× slower.)"""
+    exploded = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
-    return df.select(F.col(id_col).cast("long").alias(id_col), sig.alias("signature"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_sh")))).alias(f"_h{j}")
+        for j in range(num_hashes)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        id_col,
+        F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("signature"),
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

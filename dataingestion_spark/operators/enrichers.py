@@ -100,7 +100,13 @@ def classification_enricher(df: DataFrame, classes: Sequence[str],
     if chat_fn is not None:
         return df.withColumn(out_col, _batched_udf(chat_fn, "string")(F.col(content_col)))
     words = _words(F.col(content_col))
-    counts = [F.size(F.filter(words, lambda x, c=c: x == F.lit(c))) for c in classes]
+
+    # Single-parameter lambdas only: a second parameter would be bound to the
+    # array index by PySpark, shadowing a default-arg closure.
+    def eq_fn(cls: str):
+        return lambda x: x == F.lit(cls)
+
+    counts = [F.size(F.filter(words, eq_fn(c))) for c in classes]
     best = F.greatest(*counts) if len(counts) > 1 else counts[0]
     # Earlier class wins ties: build the WHEN chain in list order.
     expr = F.lit(fallback)

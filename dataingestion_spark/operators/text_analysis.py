@@ -48,10 +48,14 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     list scores a hit. Ties break by language code order (deterministic)."""
     words = _words(F.col(text_col))
     langs = sorted(STOPWORDS)
-    scores = {
-        lang: F.size(F.filter(words, lambda x, sw=STOPWORDS[lang]: x.isin(*sw)))
-        for lang in langs
-    }
+
+    # Single-parameter lambdas only: a second parameter would be bound to the
+    # array index by PySpark, shadowing a default-arg closure.
+    def hit_fn(lang: str):
+        stop = STOPWORDS[lang]
+        return lambda x: x.isin(*stop)
+
+    scores = {lang: F.size(F.filter(words, hit_fn(lang))) for lang in langs}
     best = F.greatest(*scores.values())
     pick = F.lit("und")
     for lang in reversed(langs):

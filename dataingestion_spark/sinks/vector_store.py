@@ -45,9 +45,11 @@ def fake_embedding(col: Column, dims: int = 8) -> Column:
     def byte_at(d):
         h = F.md5(F.concat(col, F.lit(f":{d}")))
         hv = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1  # noqa: E731
+        # k/256 is exactly representable in float32 AND float64, so the
+        # stored vector survives float→double round-trips bit-for-bit.
         return (hv(1) * 16 + hv(2)).cast("double") / 256.0
 
-    return F.array(*[F.round(byte_at(d), 6).cast("float") for d in range(dims)])
+    return F.array(*[byte_at(d).cast("float") for d in range(dims)])
 
 
 def build_vector_records(chunks_df: DataFrame,

@@ -29,10 +29,12 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
+# ts is TIMESTAMP(NANOS) in the driver's parquet — Spark must read it as
+# long (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -73,7 +75,13 @@ def stream_events_windowed(spark, events_dir: str, window: str = "5 minutes",
                            query_name: str = "events_windowed"):
     """Watermarked tumbling/sliding window counts+sums per event_type into an
     in-memory sink (smoke-testable with availableNow + processAllAvailable)."""
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide), "event_type")

@@ -1,0 +1,141 @@
+"""Spark integration tests over the driver testdata (sf0.001) and temp
+markdown corpora: reader→chunker→writer round trips, removal cascade,
+dedup/similarity sanity, entry-contract smoke."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.operators.chunkers import ChunkerOptions, header_chunker, token_chunk_text
+from dataingestion_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from dataingestion_spark.operators.removal import remove_elements, remove_footers
+from dataingestion_spark.operators.similarity import topk_cosine, topk_cosine_ann
+from dataingestion_spark.sinks.vector_store import (
+    read_vector_table,
+    search,
+    write_vector_table,
+)
+from dataingestion_spark.sources.markdown import parse_markdown_df
+from dataingestion_spark.tokenizer import WordTokenizer
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def md_df(spark, docs: dict):
+    return parse_markdown_df(
+        spark.createDataFrame(sorted(docs.items()), "doc_id string, md string"),
+        id_col="doc_id",
+        content_col="md",
+    )
+
+
+def test_parse_roundtrip_distributed(spark):
+    el = md_df(spark, {"a": "# H\n\npara one\n\n---\n\nfoot", "b": "plain text"})
+    rows = {(r.doc_id, r.seq): r for r in el.collect()}
+    assert rows[("a", 1)].elem_type == "header"
+    assert rows[("a", 3)].elem_type == "footer"
+    assert rows[("b", 1)].markdown == "plain text"
+
+
+def test_remove_footers_and_cascade(spark):
+    el = md_df(spark, {"a": "# H\n\n> only a quote\n\n---\n\nfooter line"})
+    no_foot = remove_footers(el)
+    assert no_foot.filter(F.col("elem_type") == "footer").count() == 0
+    # Removing the quote's paragraph leaves the quote section empty → cascade
+    # must drop the section but keep the root (which still has the header).
+    gone = remove_elements(el, F.col("markdown") == "only a quote")
+    kinds = [r.elem_type for r in gone.orderBy("seq").collect()]
+    assert "footer" in kinds  # untouched
+    sections = gone.filter(F.col("elem_type") == "section").count()
+    assert sections == 1  # root only — the emptied quote section cascaded away
+
+
+def test_writer_incremental_replace(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    el = md_df(spark, {"a": "# A\n\nalpha body", "b": "# B\n\nbeta body"})
+    chunks = header_chunker(el, ChunkerOptions(WordTokenizer(), 100))
+    write_vector_table(chunks, path, deterministic_keys=True)
+    t1 = read_vector_table(spark, path)
+    assert t1.count() == 2
+    assert set(t1.columns) >= {"key", "embedding", "content", "context", "documentid"}
+
+    el2 = md_df(spark, {"a": "# A\n\nnew alpha one\n\nnew alpha two"})
+    chunks2 = header_chunker(el2, ChunkerOptions(WordTokenizer(), 100))
+    write_vector_table(chunks2, path, incremental=True, deterministic_keys=True)
+    t2 = read_vector_table(spark, path)
+    by_doc = {r.documentid: r.content for r in t2.collect()}
+    assert set(by_doc) == {"a", "b"}
+    assert "new alpha" in by_doc["a"]
+    assert "beta body" in by_doc["b"]
+
+
+def test_search_self_match(spark, tmp_path):
+    path = str(tmp_path / "vt2")
+    el = md_df(spark, {"x": "# X\n\nsome unique content here", "y": "# Y\n\nother words entirely"})
+    write_vector_table(
+        header_chunker(el, ChunkerOptions(WordTokenizer(), 100)), path,
+        deterministic_keys=True,
+    )
+    table = read_vector_table(spark, path)
+    qv = table.filter(F.col("documentid") == "x").first()["embedding"]
+    top = search(table, qv, k=1).collect()
+    assert top[0]["documentid"] == "x"
+    assert abs(top[0]["score"] - 1.0) < 1e-12
+
+
+def test_token_chunk_text_relational(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = token_chunk_text(docs, max_tokens=64, overlap=16)
+    joined = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("chunk_seq").alias("mx")
+    )
+    bad = joined.filter(F.col("n") != F.col("mx") + 1).count()
+    assert bad == 0  # dense chunk_seq per doc
+    # stride/window arithmetic: every chunk has ≤ 64 tokens
+    too_big = chunks.filter(F.size(F.split(F.col("content"), r"\s+")) > 64).count()
+    assert too_big == 0
+
+
+def test_exact_dedup_counts(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = exact_dedup(docs)
+    assert out.count() == docs.count()
+    # no exact dupes in the synthetic corpus → every doc is its own canonical
+    assert out.filter(F.col("canonical_id") != F.col("doc_id")).count() == 0
+
+
+def test_minhash_pairs_symmetric_ordering(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_ann_recall_against_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = topk_cosine(emb, queries, k=5)
+    ann = topk_cosine_ann(emb, queries, k=5, dim=64, planes=4)
+    # the query vector itself lands in its own bucket → rank-1 self match
+    self_hits = ann.filter(
+        (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id"))
+    ).count()
+    assert self_hits == 3
+    assert exact.filter(F.col("rank") == 1).count() == 3
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert {"key", "documentid", "score", "summary", "sentiment"} <= set(df.columns)
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    missing = [k for k in oracles if k not in qs]
+    assert not missing
+    # every query except the streaming one has an oracle
+    assert set(qs) - set(oracles) == {"streaming_events_windowed"}
