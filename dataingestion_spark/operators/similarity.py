@@ -24,13 +24,35 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, computed in double
-    precision JVM-side (zip_with + aggregate fold)."""
+    precision JVM-side (zip_with + aggregate fold). Works for any dimension;
+    note higher-order functions are *interpreted* in Spark — in quadratic
+    hot paths prefer :func:`dot_fixed` with a known dimension."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     return dot / (na * nb)
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as an explicit left-associated sum over a known dimension.
+
+    Whole-stage-codegen-friendly (no higher-order functions) and bit-identical
+    to the aggregate fold with 0.0 init, since 0.0 + x == x exactly."""
+    terms = [a[d].cast("double") * b[d].cast("double") for d in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    terms = [a[d].cast("double") * a[d].cast("double") for d in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return F.sqrt(out)
 
 
 def _hexval(h: Column, i: int) -> Column:
