@@ -142,6 +142,22 @@ Second paragraph.
 """,
 }
 
+# Minimal real PNG header (signature + IHDR 7x5) so image probing sees true
+# dimensions; alt text intentionally empty so the enricher has work to do.
+_PNG_BYTES = (
+    b"\x89PNG\r\n\x1a\n"
+    + (13).to_bytes(4, "big") + b"IHDR"
+    + (7).to_bytes(4, "big") + (5).to_bytes(4, "big")
+    + b"\x08\x02\x00\x00\x00"
+)
+import base64 as _b64  # noqa: E402
+
+FIXTURE_DOCS["fx_image"] = (
+    "# Image Doc\n\nIntro paragraph.\n\n"
+    f"![](data:image/png;base64,{_b64.b64encode(_PNG_BYTES).decode()})\n\n"
+    "Tail paragraph.\n"
+)
+
 _FIXED_OPTS = ChunkerOptions(WordTokenizer(), 2000)
 
 
@@ -858,6 +874,87 @@ FROM c
 """
 
 
+def q_semantic_chunks(spark, sf):
+    from dataingestion_spark.operators.chunkers import semantic_chunker
+
+    ch = semantic_chunker(
+        _fixture_elements_df(spark), _hash_embed, _FIXED_OPTS, threshold_percentile=50.0
+    )
+    return ch.select(*_CHUNK_COLS)
+
+
+def _hash_embed(texts):
+    """Deterministic md5-derived embeddings (driver- and executor-side
+    reproducible; python mirror of sinks.vector_store.fake_embedding)."""
+    import hashlib
+
+    import numpy as np
+
+    out = []
+    for t in texts:
+        vec = []
+        for d in range(8):
+            h = hashlib.md5(f"{t}:{d}".encode()).hexdigest()
+            vec.append(int(h[:2], 16) / 256.0)
+        out.append(vec)
+    return np.array(out)
+
+
+def _oracle_semantic() -> str:
+    from dataingestion_spark.operators.chunkers import semantic_chunk_doc
+
+    return _values_oracle(
+        _fixture_chunk_golden(
+            lambda rows: semantic_chunk_doc(rows, _FIXED_OPTS, _hash_embed, 50.0)
+        ),
+        _CHUNK_COLS, _CHUNK_TYPES,
+    )
+
+
+def q_image_alt_enricher(spark, sf):
+    from dataingestion_spark.operators.enrichers import image_alt_text_enricher
+
+    el = image_alt_text_enricher(_fixture_elements_df(spark))
+    return el.filter(F.col("elem_type") == "image").select(
+        "doc_id", "seq", "image_alt_text"
+    )
+
+
+def _oracle_image_alt() -> str:
+    rows = []
+    for r in _fixture_rows_local():
+        if r["elem_type"] != "image":
+            continue
+        alt = r["image_alt_text"]
+        if alt is None and r["image_content"] is not None and r["image_media_type"]:
+            alt = f"Image ({r['image_media_type']}, {len(r['image_content'])} bytes)"
+        rows.append((r["doc_id"], r["seq"], alt))
+    return _values_oracle(
+        rows, ["doc_id", "seq", "image_alt_text"], ["VARCHAR", "BIGINT", "VARCHAR"]
+    )
+
+
+def q_qa_pairs(spark, sf):
+    from dataingestion_spark.operators.qa import qa_pairs
+
+    chunks = q_token_chunks(spark, sf)
+    return qa_pairs(chunks)
+
+
+ORACLE_QA = """
+WITH c AS ({token_chunks}),
+w AS (SELECT chunk_id, doc_id, regexp_split_to_array(trim(content), '\\s+') AS toks FROM c),
+x AS (
+  SELECT chunk_id, doc_id, toks,
+    unnest(generate_series(0, least(greatest(CAST(ceil((len(toks) - 1) / 12.0) AS BIGINT) - 1, 0), 9))) AS i
+  FROM w)
+SELECT chunk_id, doc_id,
+  concat('What is ', array_to_string(list_slice(toks, i*12 + 1, i*12 + 3), ' '), '?') AS question,
+  array_to_string(list_slice(toks, i*12 + 1, i*12 + 12), ' ') AS answer
+FROM x
+"""
+
+
 # ---------------------------------------------------------------------------
 # E. streaming (rows-only check — not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -883,7 +980,7 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = _t(spark, sf, "documents").limit(100)
     elements = parse_markdown_df(documents_to_markdown(docs), "doc_id", "markdown")
     elements = remove_footers(elements)
-    chunks = header_chunker(elements, ChunkerOptions(WordTokenizer(), 300))
+    chunks = header_chunker(elements, ChunkerOptions(WordTokenizer(), 300), colocated=True)
     chunks = sentiment_enricher(summary_enricher(chunks))
     records = build_vector_records(
         chunks, embed=lambda c: fake_embedding(c, dims=8), deterministic_keys=True
@@ -933,9 +1030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunker_section": q_section_chunks,
         "chunker_markdown": q_markdown_chunks,
         "chunker_token_sliding": q_token_chunks,
+        "chunker_semantic": q_semantic_chunks,
         "processor_removal_footers": q_removal_footers,
         "enricher_fakes": q_enrich_fakes,
+        "enricher_image_alt": q_image_alt_enricher,
         "writer_vector_records": q_vector_records,
+        "writer_qa_pairs": q_qa_pairs,
         # streaming (rows-only)
         "streaming_events_windowed": q_streaming_events,
     }
@@ -978,8 +1078,11 @@ def oracle_sql() -> dict[str, str]:
             _CHUNK_COLS, _CHUNK_TYPES,
         ),
         "chunker_token_sliding": ORACLE_TOKEN_CHUNKS,
+        "chunker_semantic": _oracle_semantic(),
         "processor_removal_footers": _oracle_removal(),
         "enricher_fakes": _oracle_enrich(),
+        "enricher_image_alt": _oracle_image_alt(),
         "writer_vector_records": _oracle_vector_records(),
+        "writer_qa_pairs": ORACLE_QA.format(token_chunks=ORACLE_TOKEN_CHUNKS.strip()),
         # streaming_events_windowed: intentionally omitted (rows-only check)
     }

@@ -48,7 +48,7 @@ def main():
     def ingest_e2e(spark, sf):
         docs = em._t(spark, sf, "documents")
         elements = parse_markdown_df(documents_to_markdown(docs), "doc_id", "markdown")
-        chunks = header_chunker(elements, ChunkerOptions(WordTokenizer(), 300))
+        chunks = header_chunker(elements, ChunkerOptions(WordTokenizer(), 300), colocated=True)
         chunks = sentiment_enricher(summary_enricher(chunks))
         return build_vector_records(
             chunks, embed=lambda c: fake_embedding(c, dims=16), deterministic_keys=True

@@ -1,1 +1,10 @@
-from . import chunkers, dedup, enrichers, removal, similarity, text_analysis  # noqa: F401
+from . import (  # noqa: F401
+    chunkers,
+    dedup,
+    enrichers,
+    multimodal,
+    qa,
+    removal,
+    similarity,
+    text_analysis,
+)

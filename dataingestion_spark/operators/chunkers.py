@@ -380,57 +380,105 @@ def _normalize_row(r: dict) -> dict:
     return r
 
 
-def _apply_per_doc(elements_df, chunk_fn):
+def _chunk_rows_out(doc_id, chunks):
+    return [
+        {
+            "chunk_id": f"{doc_id}#{i:06d}",
+            "doc_id": doc_id,
+            "chunk_seq": i,
+            "content": c["content"],
+            "context": c.get("context"),
+            "metadata": None,
+        }
+        for i, c in enumerate(chunks)
+    ]
+
+
+def _apply_colocated(elements_df, chunk_fn):
+    """Chunk without a shuffle when each document's element rows are already
+    co-located in one partition (true straight out of any reader, which
+    emits a document's rows together). The fused scan→parse→chunk pipeline
+    this enables is the high-throughput ingest path: zero exchanges between
+    file read and chunk output."""
+    cols = [f.name for f in CHUNKS_SCHEMA.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            yield pd.DataFrame(columns=cols)
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        out = []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            rows = [_normalize_row(r) for r in g.to_dict("records")]
+            out.extend(_chunk_rows_out(doc_id, chunk_fn(rows)))
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return elements_df.mapInPandas(run, schema=CHUNKS_SCHEMA)
+
+
+def _apply_per_doc(elements_df, chunk_fn, colocated: bool = False):
+    """Run a per-document chunking function over the elements DataFrame.
+
+    ``colocated=False`` (default) shuffles on doc_id — correct for any input.
+    ``colocated=True`` skips the shuffle via :func:`_apply_colocated` — use
+    when elements come straight from a reader (rows per doc contiguous)."""
+    if colocated:
+        return _apply_colocated(elements_df, chunk_fn)
+
     def run(pdf):
         import pandas as pd
 
         rows = [_normalize_row(r) for r in pdf.to_dict("records")]
-        doc_id = rows[0]["doc_id"]
-        chunks = chunk_fn(rows)
-        out = [
-            {
-                "chunk_id": f"{doc_id}#{i:06d}",
-                "doc_id": doc_id,
-                "chunk_seq": i,
-                "content": c["content"],
-                "context": c.get("context"),
-                "metadata": None,
-            }
-            for i, c in enumerate(chunks)
-        ]
+        out = _chunk_rows_out(rows[0]["doc_id"], chunk_fn(rows))
         cols = [f.name for f in CHUNKS_SCHEMA.fields]
         return pd.DataFrame(out, columns=cols)
 
     return elements_df.groupBy("doc_id").applyInPandas(run, schema=CHUNKS_SCHEMA)
 
 
-def header_chunker(elements_df, options: Optional[ChunkerOptions] = None):
+def header_chunker(elements_df, options: Optional[ChunkerOptions] = None,
+                   colocated: bool = False):
     options = options or ChunkerOptions()
-    return _apply_per_doc(elements_df, lambda rows: header_chunk_doc(rows, options))
-
-
-def section_chunker(elements_df, options: Optional[ChunkerOptions] = None):
-    options = options or ChunkerOptions()
-    return _apply_per_doc(elements_df, lambda rows: section_chunk_doc(rows, options))
-
-
-def markdown_chunker(elements_df, split_level: int = 3, strip_headers: bool = True):
     return _apply_per_doc(
-        elements_df, lambda rows: markdown_chunk_doc(rows, split_level, strip_headers)
+        elements_df, lambda rows: header_chunk_doc(rows, options), colocated
     )
 
 
-def token_chunker(elements_df, options: Optional[ChunkerOptions] = None):
+def section_chunker(elements_df, options: Optional[ChunkerOptions] = None,
+                    colocated: bool = False):
     options = options or ChunkerOptions()
-    return _apply_per_doc(elements_df, lambda rows: token_chunk_doc(rows, options))
+    return _apply_per_doc(
+        elements_df, lambda rows: section_chunk_doc(rows, options), colocated
+    )
+
+
+def markdown_chunker(elements_df, split_level: int = 3, strip_headers: bool = True,
+                     colocated: bool = False):
+    return _apply_per_doc(
+        elements_df,
+        lambda rows: markdown_chunk_doc(rows, split_level, strip_headers),
+        colocated,
+    )
+
+
+def token_chunker(elements_df, options: Optional[ChunkerOptions] = None,
+                  colocated: bool = False):
+    options = options or ChunkerOptions()
+    return _apply_per_doc(
+        elements_df, lambda rows: token_chunk_doc(rows, options), colocated
+    )
 
 
 def semantic_chunker(elements_df, embed_fn, options: Optional[ChunkerOptions] = None,
-                     threshold_percentile: float = 95.0):
+                     threshold_percentile: float = 95.0, colocated: bool = False):
     options = options or ChunkerOptions()
     return _apply_per_doc(
         elements_df,
         lambda rows: semantic_chunk_doc(rows, options, embed_fn, threshold_percentile),
+        colocated,
     )
 
 

@@ -1,0 +1,177 @@
+"""Multimodal column operators: images/audio/video as opaque binary + typed
+metadata, with Arrow-batched processing plumbing.
+
+Design for 100 TB multimodal corpora: media bytes live in a ``binary``
+column (or a path column pointing at object storage for >100 MB assets),
+typed metadata travels in ordinary columns so pruning/filtering never
+touches the bytes, and every transform is a ``mapInPandas`` batch operator —
+Arrow moves the bytes to Python once per batch, the decode library runs
+vectorized, and the output schema is fixed up front.
+
+The actual codec work (Pillow/ffmpeg/torchaudio) is NOT in this image, so
+the decoders are deterministic structural stubs behind ``decoder=`` hooks:
+they parse real container headers (PNG IHDR, WAV fmt) where possible and
+otherwise derive deterministic pseudo-features from the bytes. The Spark
+side — schemas, batching, partitioning, null handling — is real and tested;
+swapping in a real codec is a one-argument change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Callable, Iterator, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+IMAGE_META_SCHEMA = (
+    "width int, height int, format string, n_bytes long, sha256 string"
+)
+
+AUDIO_META_SCHEMA = (
+    "sample_rate int, channels int, duration_ms long, n_bytes long, sha256 string"
+)
+
+
+def probe_image(data: bytes) -> dict:
+    """Structural image probe: real PNG IHDR / GIF / BMP header parsing,
+    deterministic fallback for unknown formats."""
+    width = height = None
+    fmt = "unknown"
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        fmt = "png"
+        width, height = struct.unpack(">II", data[16:24])
+    elif data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        fmt = "gif"
+        width, height = struct.unpack("<HH", data[6:10])
+    elif data[:2] == b"BM" and len(data) >= 26:
+        fmt = "bmp"
+        width, height = struct.unpack("<ii", data[18:26])
+    elif data[:3] == b"\xff\xd8\xff":
+        fmt = "jpeg"  # scanning SOF frames needs a real decoder
+    return {
+        "width": width,
+        "height": height,
+        "format": fmt,
+        "n_bytes": len(data),
+        "sha256": hashlib.sha256(data).hexdigest(),
+    }
+
+
+def probe_audio(data: bytes) -> dict:
+    """Structural audio probe: real RIFF/WAV fmt parsing, else deterministic
+    metadata from the byte stream."""
+    sample_rate = channels = None
+    duration_ms = None
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE" and len(data) >= 44:
+        channels, sample_rate = struct.unpack("<HI", data[22:28])
+        byte_rate = struct.unpack("<I", data[28:32])[0]
+        if byte_rate:
+            duration_ms = int((len(data) - 44) * 1000 / byte_rate)
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "duration_ms": duration_ms,
+        "n_bytes": len(data),
+        "sha256": hashlib.sha256(data).hexdigest(),
+    }
+
+
+def _binary_op(df: DataFrame, binary_col: str, probe: Callable[[bytes], dict],
+               out_schema: str, keep_cols) -> DataFrame:
+    keep = list(keep_cols)
+    schema = ", ".join(f"{c} {t}" for c, t in keep) + ", " + out_schema
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                data = r[binary_col]
+                row = {c: r[c] for c, _ in keep}
+                row.update(
+                    probe(bytes(data)) if data is not None
+                    else {k.split()[0]: None for k in out_schema.split(", ")}
+                )
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def image_metadata(df: DataFrame, binary_col: str = "image_content",
+                   id_cols=(("doc_id", "string"), ("seq", "long"))) -> DataFrame:
+    """Probe every image binary into typed metadata columns. Input rows
+    without bytes produce null metadata (never dropped)."""
+    return _binary_op(df, binary_col, probe_image, IMAGE_META_SCHEMA, id_cols)
+
+
+def audio_metadata(df: DataFrame, binary_col: str = "audio_content",
+                   id_cols=(("doc_id", "string"),)) -> DataFrame:
+    return _binary_op(df, binary_col, probe_audio, AUDIO_META_SCHEMA, id_cols)
+
+
+def image_resize(df: DataFrame, binary_col: str = "image_content",
+                 max_side: int = 256,
+                 decoder: Optional[Callable] = None) -> DataFrame:
+    """Resize plumbing: batches bytes through Arrow, applies ``decoder``
+    (a real Pillow-based resize in production), returns binary + new dims.
+
+    Without a decoder this raises — resizing *requires* a codec; the stub
+    deliberately refuses to fake pixel data."""
+    if decoder is None:
+        raise NotImplementedError(
+            "image_resize needs a codec (e.g. Pillow): pass decoder="
+            "lambda data, max_side: (resized_bytes, w, h). The Spark plumbing "
+            "(schema 'doc_id string, seq long, image binary, width int, "
+            "height int', Arrow batching) is in place."
+        )
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                data = r[binary_col]
+                if data is None:
+                    out.append({"doc_id": r["doc_id"], "seq": r["seq"],
+                                "image": None, "width": None, "height": None})
+                else:
+                    resized, w, h = decoder(bytes(data), max_side)
+                    out.append({"doc_id": r["doc_id"], "seq": r["seq"],
+                                "image": resized, "width": w, "height": h})
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema="doc_id string, seq long, image binary, width int, height int"
+    )
+
+
+def frame_sample(df: DataFrame, binary_col: str = "video_content",
+                 every_n_ms: int = 1000,
+                 decoder: Optional[Callable] = None) -> DataFrame:
+    """Video frame sampling plumbing (one row per sampled frame). Needs a
+    real demuxer via ``decoder``; refuses to fabricate frames."""
+    if decoder is None:
+        raise NotImplementedError(
+            "frame_sample needs a demuxer (e.g. ffmpeg): pass decoder="
+            "lambda data, every_n_ms: [(ts_ms, frame_bytes), ...]. Plumbing "
+            "schema: 'doc_id string, ts_ms long, frame binary'."
+        )
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                data = r[binary_col]
+                if data is None:
+                    continue
+                for ts_ms, frame in decoder(bytes(data), every_n_ms):
+                    out.append({"doc_id": r["doc_id"], "ts_ms": ts_ms, "frame": frame})
+            yield pd.DataFrame(out, columns=["doc_id", "ts_ms", "frame"])
+
+    return df.mapInPandas(run, schema="doc_id string, ts_ms long, frame binary")

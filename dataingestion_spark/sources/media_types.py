@@ -1,0 +1,111 @@
+"""Extension → MIME map for document readers.
+
+Counterpart of the reference's ~90-entry map in
+``Abstractions/IngestionDocumentReader.cs:80-171`` (unknown extension →
+empty string, :170). Used by the binaryFile scan to tag each file before
+routing to a parser."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, functions as F
+
+MEDIA_TYPES = {
+    # documents
+    ".pdf": "application/pdf",
+    ".doc": "application/msword",
+    ".docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    ".dot": "application/msword",
+    ".dotx": "application/vnd.openxmlformats-officedocument.wordprocessingml.template",
+    ".rtf": "application/rtf",
+    ".odt": "application/vnd.oasis.opendocument.text",
+    ".ott": "application/vnd.oasis.opendocument.text-template",
+    # spreadsheets
+    ".xls": "application/vnd.ms-excel",
+    ".xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    ".xlt": "application/vnd.ms-excel",
+    ".xltx": "application/vnd.openxmlformats-officedocument.spreadsheetml.template",
+    ".ods": "application/vnd.oasis.opendocument.spreadsheet",
+    ".ots": "application/vnd.oasis.opendocument.spreadsheet-template",
+    ".csv": "text/csv",
+    ".tsv": "text/tab-separated-values",
+    # presentations
+    ".ppt": "application/vnd.ms-powerpoint",
+    ".pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    ".pot": "application/vnd.ms-powerpoint",
+    ".potx": "application/vnd.openxmlformats-officedocument.presentationml.template",
+    ".odp": "application/vnd.oasis.opendocument.presentation",
+    ".otp": "application/vnd.oasis.opendocument.presentation-template",
+    # text / markup
+    ".txt": "text/plain",
+    ".text": "text/plain",
+    ".md": "text/markdown",
+    ".markdown": "text/markdown",
+    ".html": "text/html",
+    ".htm": "text/html",
+    ".xhtml": "application/xhtml+xml",
+    ".xml": "text/xml",
+    ".json": "application/json",
+    ".yaml": "application/yaml",
+    ".yml": "application/yaml",
+    ".rst": "text/x-rst",
+    ".tex": "application/x-tex",
+    ".epub": "application/epub+zip",
+    # images
+    ".png": "image/png",
+    ".jpg": "image/jpeg",
+    ".jpeg": "image/jpeg",
+    ".gif": "image/gif",
+    ".bmp": "image/bmp",
+    ".tif": "image/tiff",
+    ".tiff": "image/tiff",
+    ".webp": "image/webp",
+    ".svg": "image/svg+xml",
+    ".heic": "image/heic",
+    ".heif": "image/heif",
+    ".ico": "image/vnd.microsoft.icon",
+    # audio
+    ".mp3": "audio/mpeg",
+    ".wav": "audio/wav",
+    ".ogg": "audio/ogg",
+    ".oga": "audio/ogg",
+    ".m4a": "audio/mp4",
+    ".flac": "audio/flac",
+    ".aac": "audio/aac",
+    ".wma": "audio/x-ms-wma",
+    ".opus": "audio/opus",
+    # video
+    ".mp4": "video/mp4",
+    ".m4v": "video/x-m4v",
+    ".mov": "video/quicktime",
+    ".avi": "video/x-msvideo",
+    ".wmv": "video/x-ms-wmv",
+    ".mkv": "video/x-matroska",
+    ".webm": "video/webm",
+    ".mpg": "video/mpeg",
+    ".mpeg": "video/mpeg",
+    # archives / misc office
+    ".zip": "application/zip",
+    ".msg": "application/vnd.ms-outlook",
+    ".eml": "message/rfc822",
+    ".one": "application/msonenote",
+    ".pub": "application/x-mspublisher",
+    ".vsd": "application/vnd.visio",
+    ".vsdx": "application/vnd.ms-visio.drawing",
+    ".xps": "application/oxps",
+}
+
+
+def media_type_for(path: str) -> str:
+    return MEDIA_TYPES.get(os.path.splitext(path)[1].lower(), "")
+
+
+def media_type_col(path_col: Column) -> Column:
+    """Column expression mapping a path to its MIME type (codegen'd CASE
+    over the lowercase extension; unknown → '')."""
+    ext = F.lower(F.regexp_extract(path_col, r"(\.[A-Za-z0-9]+)$", 1))
+    expr = F.lit("")
+    for e, m in MEDIA_TYPES.items():
+        expr = F.when(ext == e, F.lit(m)).otherwise(expr)
+    return expr

@@ -1,0 +1,223 @@
+"""API-reader response mappings, media-type map, multimodal plumbing, QA
+generation, and the co-located (shuffle-free) chunker path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.operators.chunkers import ChunkerOptions, header_chunker
+from dataingestion_spark.operators.multimodal import (
+    audio_metadata,
+    image_metadata,
+    image_resize,
+    probe_audio,
+    probe_image,
+)
+from dataingestion_spark.operators.qa import qa_pairs
+from dataingestion_spark.sources.api_readers import (
+    adi_result_to_elements,
+    llamaparse_result_to_elements,
+    read_document_intelligence,
+    read_llamaparse,
+)
+from dataingestion_spark.sources.media_types import media_type_col, media_type_for
+from dataingestion_spark.tokenizer import WordTokenizer
+
+PNG = (
+    b"\x89PNG\r\n\x1a\n"
+    + (13).to_bytes(4, "big") + b"IHDR"
+    + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+    + b"\x08\x02\x00\x00\x00"
+)
+
+
+# --- ADI mapping (DocumentIntelligenceReader.cs semantics) -----------------
+
+ADI_RESULT = {
+    "content": "full doc",
+    "paragraphs": [
+        {"content": "## Heading A", "role": "sectionHeading",
+         "boundingRegions": [{"pageNumber": 1}]},
+        {"content": "Body text.", "boundingRegions": [{"pageNumber": 1}]},
+        {"content": "Page 1 of 9", "role": "pageFooter",
+         "boundingRegions": [{"pageNumber": 1}]},
+    ],
+    "tables": [
+        {
+            "rowCount": 2,
+            "columnCount": 2,
+            "cells": [
+                {"rowIndex": 0, "columnIndex": 0, "content": "h1", "columnSpan": 2},
+                {"rowIndex": 1, "columnIndex": 0, "content": "a"},
+                {"rowIndex": 1, "columnIndex": 1, "content": "b"},
+            ],
+        }
+    ],
+    "figures": [{"caption": {"content": "a chart"}, "boundingRegions": [{"pageNumber": 2}]}],
+    "sections": [
+        {"elements": ["/sections/1", "/paragraphs/2"]},
+        {"elements": ["/paragraphs/0", "/paragraphs/1", "/tables/0", "/figures/0"]},
+    ],
+}
+
+
+def test_adi_mapping_section_tree_roles_and_cells():
+    rows = adi_result_to_elements(ADI_RESULT, "adi-doc")
+    types = [r["elem_type"] for r in rows]
+    assert types == ["section", "section", "header", "paragraph", "table", "image", "footer"]
+    header = rows[2]
+    assert header["header_level"] == 2  # two leading '#'
+    assert header["text"] == "Heading A"
+    assert header["page_number"] == 1
+    table = rows[4]
+    # colspan duplicated across columns (reference :314-334)
+    assert table["table_cells"] == [["h1", "h1"], ["a", "b"]]
+    image = rows[5]
+    assert image["image_alt_text"] == "a chart"
+    assert image["page_number"] == 2
+    # nested section path reflects the JSON-pointer tree
+    assert rows[1]["section_path"] == [0, 0]
+    assert rows[6]["section_path"] == [0, 1]  # footer under root section
+
+
+# --- LlamaParse mapping ----------------------------------------------------
+
+import base64
+
+LP_RESULT = {
+    "pages": [
+        {
+            "page": 1,
+            "width": 612,
+            "height": 792,
+            "md": "page md",
+            "pageHeaderMarkdown": "Running Header",
+            "pageFooterMarkdown": "Running Footer",
+            "items": [
+                {"type": "heading", "lvl": 1, "md": "# Title", "value": "Title"},
+                {"type": "text", "md": "Some text", "value": "Some text"},
+                {"type": "table", "md": "| a | b |",
+                 "rows": [["a", "b"], ["", ""], ["c", "d"]]},
+            ],
+            "images": [
+                {"name": "img1.png", "type": "image/png",
+                 "base64": base64.b64encode(PNG).decode()}
+            ],
+        }
+    ]
+}
+
+
+def test_llamaparse_mapping():
+    rows = llamaparse_result_to_elements(LP_RESULT, "lp-doc")
+    types = [r["elem_type"] for r in rows]
+    assert types == ["section", "header", "header", "paragraph", "table", "image", "footer"]
+    sec = rows[0]
+    assert sec["metadata"] == {"width": "612", "height": "792"}
+    assert sec["page_number"] == 1
+    table = rows[4]
+    # all-empty rows dropped (reference empty-row workaround :218-231)
+    assert table["table_cells"] == [["a", "b"], ["c", "d"]]
+    img = rows[5]
+    assert img["image_content"] == PNG
+    assert img["image_media_type"] == "image/png"
+
+
+def test_api_readers_raise_without_backends(spark):
+    with pytest.raises(NotImplementedError):
+        read_document_intelligence(spark, "/tmp/x")
+    with pytest.raises(NotImplementedError):
+        read_llamaparse(spark, "/tmp/x")
+
+
+# --- media types -----------------------------------------------------------
+
+def test_media_type_map(spark):
+    assert media_type_for("report.PDF") == "application/pdf"
+    assert media_type_for("a/b/notes.md") == "text/markdown"
+    assert media_type_for("x.unknownext") == ""
+    df = spark.createDataFrame(
+        [("f.docx",), ("f.png",), ("f.zzz",)], "path string"
+    ).select(media_type_col(F.col("path")).alias("mt"))
+    assert [r.mt for r in df.collect()] == [
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+        "image/png",
+        "",
+    ]
+
+
+# --- multimodal ------------------------------------------------------------
+
+def test_probe_image_png_dims():
+    meta = probe_image(PNG)
+    assert (meta["width"], meta["height"], meta["format"]) == (640, 480, "png")
+    assert meta["n_bytes"] == len(PNG)
+
+
+def test_probe_audio_wav():
+    import struct
+
+    wav = (b"RIFF" + struct.pack("<I", 36 + 16000) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 16000) + b"\x00" * 16000)
+    meta = probe_audio(wav)
+    assert meta["sample_rate"] == 8000
+    assert meta["channels"] == 1
+    assert meta["duration_ms"] == 1000
+
+
+def test_image_metadata_distributed(spark):
+    df = spark.createDataFrame(
+        [("d", 1, bytearray(PNG)), ("d", 2, None)],
+        "doc_id string, seq long, image_content binary",
+    )
+    out = {r.seq: r for r in image_metadata(df).collect()}
+    assert out[1].width == 640 and out[1].format == "png"
+    assert out[2].width is None
+
+
+def test_image_resize_requires_codec(spark):
+    df = spark.createDataFrame([("d", 1, bytearray(PNG))],
+                               "doc_id string, seq long, image_content binary")
+    with pytest.raises(NotImplementedError):
+        image_resize(df)
+    # with an injected fake codec the plumbing works end-to-end
+    out = image_resize(
+        df, decoder=lambda data, m: (data[:8], m, m)
+    ).collect()
+    assert out[0].width == 256 and out[0].image == PNG[:8]
+
+
+def test_audio_metadata_distributed(spark):
+    df = spark.createDataFrame([("d", None)], "doc_id string, audio_content binary")
+    assert audio_metadata(df).collect()[0].sample_rate is None
+
+
+# --- QA + colocated chunker ------------------------------------------------
+
+def test_qa_pairs_deterministic(spark):
+    chunks = spark.createDataFrame(
+        [("c1", "d1", " ".join(f"w{i}" for i in range(30)))],
+        "chunk_id string, doc_id string, content string",
+    )
+    rows = qa_pairs(chunks).orderBy("question").collect()
+    assert len(rows) == 3  # ceil(29/12) = 3 windows
+    assert rows[0].question == "What is w0 w1 w2?"
+    assert rows[0].answer == " ".join(f"w{i}" for i in range(12))
+
+
+def test_colocated_chunker_matches_shuffled(spark):
+    from dataingestion_spark.sources.markdown import parse_markdown_df
+
+    docs = {f"d{i}": f"# T{i}\n\nbody {i} line one\n\nbody {i} line two" for i in range(6)}
+    el = parse_markdown_df(
+        spark.createDataFrame(sorted(docs.items()), "doc_id string, md string"),
+        id_col="doc_id", content_col="md",
+    )
+    opts = ChunkerOptions(WordTokenizer(), 100)
+    a = sorted((r.chunk_id, r.content) for r in header_chunker(el, opts).collect())
+    b = sorted(
+        (r.chunk_id, r.content)
+        for r in header_chunker(el, opts, colocated=True).collect()
+    )
+    assert a == b
