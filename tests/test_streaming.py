@@ -1,0 +1,46 @@
+"""Structured Streaming: windowed event aggregation and continuous ingest
+with per-batch incremental vector writes."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from dataingestion_spark.sinks.vector_store import read_vector_table
+from dataingestion_spark.streaming.pipeline import stream_events_windowed, stream_ingest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_events_windowed(spark):
+    q = stream_events_windowed(spark, SF, query_name="t_events_win")
+    q.awaitTermination()
+    out = spark.table("t_events_win")
+    assert out.count() > 0
+    # batch equivalence: streaming append-mode output (finalized windows)
+    # must be a subset of the batch aggregation with identical values
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    batch = (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    merged = out.select("win_start", "event_type", "n").join(
+        batch.withColumnRenamed("n", "n_batch"), ["win_start", "event_type"], "left"
+    )
+    assert merged.filter(F.col("n") != F.col("n_batch")).count() == 0
+
+
+def test_stream_ingest_incremental(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src / "documents.parquet")
+    table_path = str(tmp_path / "vt_stream")
+    q = stream_ingest(spark, str(src), table_path, max_tokens=64, overlap=16)
+    q.awaitTermination()
+    table = read_vector_table(spark, table_path)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert table.select("documentid").distinct().count() == n_docs
+    assert set(table.columns) >= {"key", "embedding", "content", "documentid"}
