@@ -34,7 +34,7 @@ from typing import Callable, Iterable, List, Optional, Sequence
 from pyspark.sql import functions as F
 
 from ..model import CHUNKS_SCHEMA, ELEM_HEADER, ELEM_IMAGE, ELEM_SECTION, ELEM_TABLE
-from ..tokenizer import WordTokenizer, default_tokenizer
+from ..tokenizer import default_tokenizer
 
 MAX_HEADER_LEVEL = 10
 

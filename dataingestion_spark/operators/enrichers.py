@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 TOKEN_SPLIT = r"\s+"
 

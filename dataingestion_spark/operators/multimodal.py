@@ -22,7 +22,7 @@ import hashlib
 import struct
 from typing import Callable, Iterator, Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 IMAGE_META_SCHEMA = (
     "width int, height int, format string, n_bytes long, sha256 string"

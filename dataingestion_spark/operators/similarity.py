@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 

@@ -77,8 +77,8 @@ def test_token_windows_cover_text(text, max_tokens, overlap):
 @settings(max_examples=80, deadline=None)
 def test_tokenizer_roundtrip_and_counts(text):
     spans = TOK.encode(text)
-    assert TOK.decode_raw(spans) == text.lstrip() if False else True
-    # encode is a partition of the stripped text; counts consistent
+    # spans partition the text from the first non-space character
+    assert "".join(spans) == text[len(text) - len(text.lstrip()):]
     assert len(spans) == TOK.count(text)
     idx, n = TOK.index_by_token_count(text, 3)
     assert n <= 3
