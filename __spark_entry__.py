@@ -414,6 +414,56 @@ FROM events GROUP BY 1, 2
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf):
+    _utc(spark)
+    e = _events(spark, sf)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+ORACLE_PIVOT = "SELECT user_id, " + ", ".join(
+    f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def q_customers_without_orders(spark, sf):
+    # anti-join coverage; scoped to urgent orders so the result is non-empty
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_customers_with_urgent_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 def q_doc_predicate_forms(spark, sf):
     # ==, startswith, endswith, isin — the reference's filtered-get predicate
     # forms (SURVEY §2.6; DocumentPipelineTests.cs:90,138,170).
@@ -1008,6 +1058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_per_type": q_events_topk_per_type,
         "events_sessionize": q_events_sessionize,
         "events_windowed_5min": q_events_windowed,
+        "events_pivot_by_user": q_events_pivot,
+        "customers_without_orders": q_customers_without_orders,
+        "customers_with_urgent_orders": q_customers_with_urgent_orders,
         "doc_predicate_forms": q_doc_predicate_forms,
         # text analytics
         "doc_token_counts": q_doc_token_counts,
@@ -1051,6 +1104,9 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_per_type": ORACLE_TOPK,
         "events_sessionize": ORACLE_SESSIONIZE,
         "events_windowed_5min": ORACLE_WINDOWED,
+        "events_pivot_by_user": ORACLE_PIVOT,
+        "customers_without_orders": ORACLE_ANTI,
+        "customers_with_urgent_orders": ORACLE_SEMI,
         "doc_predicate_forms": ORACLE_PREDICATES,
         "doc_token_counts": ORACLE_TOKEN_COUNTS,
         "doc_lang_id": _oracle_lang_id(),

@@ -108,6 +108,19 @@ def read_vector_table(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def get_document(table: DataFrame, doc_id: str, top: int = 1000) -> DataFrame:
+    """Fetch one document's chunks with partition pruning: the doc_bucket
+    predicate is derived from the id, so only 1 of N_BUCKETS partitions is
+    scanned (the indexed-documentid lookup of VectorStoreWriter.cs:126-129,
+    expressed as layout)."""
+    import zlib
+
+    bucket = zlib.crc32(doc_id.encode()) % N_BUCKETS
+    return table.filter(
+        (F.col("doc_bucket") == bucket) & (F.col("documentid") == doc_id)
+    ).limit(top)
+
+
 def filtered_get(table: DataFrame, predicate: Column, top: int = 1000) -> DataFrame:
     """Predicate + limit, no ordering guarantee — the reference's
     ``GetAsync(filter, top)`` surface (``DocumentPipelineTests.cs:89-91``).

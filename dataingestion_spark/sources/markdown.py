@@ -311,10 +311,9 @@ def parse_markdown_df(df, id_col: str = "doc_id", content_col: str = "markdown")
         cols = [f.name for f in ELEMENTS_SCHEMA.fields]
         for pdf in batches:
             out: List[dict] = []
-            for _, r in pdf.iterrows():
-                raw = r[content_col]
+            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
                 text = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
-                out.extend(parse_markdown(text, str(r[id_col])))
+                out.extend(parse_markdown(text, str(doc_id)))
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
     return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)

@@ -70,6 +70,24 @@ def test_writer_incremental_replace(spark, tmp_path):
     assert "beta body" in by_doc["b"]
 
 
+def test_get_document_bucket_pruning(spark, tmp_path):
+    from dataingestion_spark.sinks.vector_store import get_document
+
+    path = str(tmp_path / "vt_bucket")
+    el = md_df(spark, {f"doc{i}": f"# D{i}\n\nbody {i}" for i in range(8)})
+    write_vector_table(
+        header_chunker(el, ChunkerOptions(WordTokenizer(), 100)), path,
+        deterministic_keys=True,
+    )
+    table = read_vector_table(spark, path)
+    got = get_document(table, "doc3")
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].documentid == "doc3"
+    # the python-side crc32 bucket matches what the writer computed
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "doc_bucket" in plan
+
+
 def test_search_self_match(spark, tmp_path):
     path = str(tmp_path / "vt2")
     el = md_df(spark, {"x": "# X\n\nsome unique content here", "y": "# Y\n\nother words entirely"})
