@@ -1005,6 +1005,57 @@ FROM x
 """
 
 
+def q_writer_incremental(spark, sf):
+    """Rows-only E2E: write a 3-doc vector table, incrementally replace one
+    document, return the final table — pins the insert-before-swap replace
+    semantics (VectorStoreWriterTests.cs:79-136) under the driver's eye."""
+    import tempfile
+
+    from dataingestion_spark.sinks.vector_store import (
+        read_vector_table, write_vector_table,
+    )
+
+    docs = {k: FIXTURE_DOCS[k] for k in ("fx_guide", "fx_list", "fx_plain")}
+    src = spark.createDataFrame(sorted(docs.items()), "doc_id string, markdown string")
+    chunks = header_chunker(
+        parse_markdown_df(src, "doc_id", "markdown"), _FIXED_OPTS
+    )
+    path = tempfile.mkdtemp(prefix="vt_incr_") + "/table"
+    write_vector_table(chunks, path, deterministic_keys=True)
+
+    replacement = spark.createDataFrame(
+        [("fx_plain", "# Replaced\n\nnew body one\n\nnew body two")],
+        "doc_id string, markdown string",
+    )
+    chunks2 = header_chunker(
+        parse_markdown_df(replacement, "doc_id", "markdown"), _FIXED_OPTS
+    )
+    write_vector_table(chunks2, path, incremental=True, deterministic_keys=True)
+    return read_vector_table(spark, path).select(
+        "key", "documentid", "content", "context"
+    )
+
+
+def _oracle_writer_incremental() -> str:
+    docs = {k: FIXTURE_DOCS[k] for k in ("fx_guide", "fx_list")}
+    rows = []
+    by_doc = {}
+    for doc_id, md in sorted(docs.items()):
+        by_doc[doc_id] = parse_markdown(md, doc_id)
+    by_doc["fx_plain"] = parse_markdown(
+        "# Replaced\n\nnew body one\n\nnew body two", "fx_plain"
+    )
+    for doc_id in sorted(by_doc):
+        for i, c in enumerate(header_chunk_doc(by_doc[doc_id], _FIXED_OPTS)):
+            rows.append(
+                (f"{doc_id}#{i:06d}", doc_id, c["content"], c.get("context"))
+            )
+    return _values_oracle(
+        rows, ["key", "documentid", "content", "context"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # E. streaming (rows-only check — not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1089,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enricher_image_alt": q_image_alt_enricher,
         "writer_vector_records": q_vector_records,
         "writer_qa_pairs": q_qa_pairs,
+        "writer_incremental_replace": q_writer_incremental,
         # streaming (rows-only)
         "streaming_events_windowed": q_streaming_events,
     }
@@ -1140,5 +1192,6 @@ def oracle_sql() -> dict[str, str]:
         "enricher_image_alt": _oracle_image_alt(),
         "writer_vector_records": _oracle_vector_records(),
         "writer_qa_pairs": ORACLE_QA.format(token_chunks=ORACLE_TOKEN_CHUNKS.strip()),
+        "writer_incremental_replace": _oracle_writer_incremental(),
         # streaming_events_windowed: intentionally omitted (rows-only check)
     }

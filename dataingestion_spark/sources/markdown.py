@@ -102,9 +102,14 @@ class _Ctx:
 
 
 def parse_markdown(content: str, doc_id: str) -> List[dict]:
-    """Parse one markdown document into ``elements`` rows (DFS preorder)."""
+    """Parse one markdown document into ``elements`` rows (DFS preorder).
+
+    Line endings are normalized to ``\\n`` (the reference joins with
+    Environment.NewLine and its tests ignore line-ending differences —
+    SURVEY §7.3 pins us to LF)."""
     if not content:
         raise ValueError("content must be non-empty")
+    content = content.replace("\r\n", "\n").replace("\r", "\n")
     ctx = _Ctx(doc_id)
     # Root section wraps the whole document (MarkdownReader.cs:93-97).
     ctx.emit([0], elem_type=ELEM_SECTION, markdown=content)
@@ -302,8 +307,16 @@ def read_markdown(spark, path, glob: str = "*.md", recursive: bool = False):
     return parse_markdown_df(files, id_col="path", content_col="content")
 
 
-def parse_markdown_df(df, id_col: str = "doc_id", content_col: str = "markdown"):
-    """Parse a DataFrame of (id, markdown-text|bytes) into elements rows."""
+def parse_markdown_df(df, id_col: str = "doc_id", content_col: str = "markdown",
+                      on_error: str = "fail"):
+    """Parse a DataFrame of (id, markdown-text|bytes) into elements rows.
+
+    ``on_error='fail'`` propagates parser errors (reference contract: empty
+    content is an error); ``'skip'`` drops undecodable/empty documents — the
+    pragmatic setting for a 100 TB crawl where one bad file must not kill
+    the job."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -313,7 +326,11 @@ def parse_markdown_df(df, id_col: str = "doc_id", content_col: str = "markdown")
             out: List[dict] = []
             for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
                 text = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
-                out.extend(parse_markdown(text, str(doc_id)))
+                try:
+                    out.extend(parse_markdown(text, str(doc_id)))
+                except Exception:
+                    if on_error == "fail":
+                        raise
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
     return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)
