@@ -22,7 +22,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 9)
+        return v  # exact: preview the strictest possible driver hash
     if hasattr(v, "isoformat"):
         return v.isoformat().replace("+00:00", "")
     if isinstance(v, (list, tuple)):
