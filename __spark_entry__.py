@@ -1005,6 +1005,35 @@ FROM x
 """
 
 
+def q_image_chunks(spark, sf):
+    from dataingestion_spark.operators.chunkers import image_chunker
+
+    ch = image_chunker(_fixture_elements_df(spark))
+    return ch.select(
+        "chunk_id", "doc_id", "chunk_seq", "content", "content_media_type"
+    )
+
+
+def _oracle_image_chunks() -> str:
+    rows = []
+    for r in _fixture_rows_local():
+        if r["elem_type"] == "image" and r["image_content"] is not None:
+            rows.append(
+                (
+                    f"{r['doc_id']}#img{r['seq']:06d}",
+                    r["doc_id"],
+                    r["seq"],
+                    r["image_alt_text"] or r["text"],
+                    r["image_media_type"],
+                )
+            )
+    return _values_oracle(
+        rows,
+        ["chunk_id", "doc_id", "chunk_seq", "content", "content_media_type"],
+        ["VARCHAR", "VARCHAR", "INTEGER", "VARCHAR", "VARCHAR"],
+    )
+
+
 def q_writer_incremental(spark, sf):
     """Rows-only E2E: write a 3-doc vector table, incrementally replace one
     document, return the final table — pins the insert-before-swap replace
@@ -1135,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunker_markdown": q_markdown_chunks,
         "chunker_token_sliding": q_token_chunks,
         "chunker_semantic": q_semantic_chunks,
+        "chunker_image_binary": q_image_chunks,
         "processor_removal_footers": q_removal_footers,
         "enricher_fakes": q_enrich_fakes,
         "enricher_image_alt": q_image_alt_enricher,
@@ -1187,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunker_token_sliding": ORACLE_TOKEN_CHUNKS,
         "chunker_semantic": _oracle_semantic(),
+        "chunker_image_binary": _oracle_image_chunks(),
         "processor_removal_footers": _oracle_removal(),
         "enricher_fakes": _oracle_enrich(),
         "enricher_image_alt": _oracle_image_alt(),

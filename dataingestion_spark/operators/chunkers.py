@@ -482,6 +482,27 @@ def semantic_chunker(elements_df, embed_fn, options: Optional[ChunkerOptions] = 
     )
 
 
+def image_chunker(elements_df):
+    """Non-string chunk content: one binary chunk per image element —
+    the reference's ``IngestionChunk<DataContent>`` image-chunker pattern
+    (DocumentPipelineTests.cs:152-193). Typed columns instead of generics:
+    ``content_binary`` + ``content_media_type`` carry the payload, alt text
+    doubles as the searchable text. Pure projection, no shuffle."""
+    img = elements_df.filter(
+        (F.col("elem_type") == ELEM_IMAGE) & F.col("image_content").isNotNull()
+    )
+    return img.select(
+        F.format_string("%s#img%06d", F.col("doc_id"), F.col("seq")).alias("chunk_id"),
+        F.col("doc_id"),
+        F.col("seq").cast("int").alias("chunk_seq"),
+        F.coalesce(F.col("image_alt_text"), F.col("text")).alias("content"),
+        F.col("image_content").alias("content_binary"),
+        F.col("image_media_type").alias("content_media_type"),
+        F.lit(None).cast("string").alias("context"),
+        F.col("metadata"),
+    )
+
+
 def token_chunk_text(df, text_col: str = "text", id_col: str = "doc_id",
                      max_tokens: int = 128, overlap: int = 32):
     """Relational sliding-window token chunker over a plain-text column.

@@ -168,17 +168,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint over word features.
 
-    Each distinct word hashes to md5; bit p of the first bits/4 hex chars
-    votes ±1 weighted by the word's occurrence count; the sign of each bit
-    column forms the fingerprint. Computed with explode + groupBy(doc) —
-    one shuffle keyed on (doc, word) counts, standard map-side combine."""
+    Each word occurrence hashes to md5; bit p of the leading hex chars votes
+    ±1; the sign of each bit's vote sum forms the fingerprint. ONE
+    groupBy(doc) with 32 partial sums — votes per occurrence equal votes
+    weighted by count, so no intermediate (doc, word) count stage and the
+    shuffle carries bits×8 bytes per doc only."""
     if bits % 4 or bits > 128:
         raise ValueError("bits must be a multiple of 4, at most 128")
     words = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
     )
-    counted = words.groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
     h = F.md5(F.col("w"))
     # Value of hex digit at 1-based position i: instr over the hex alphabet.
     def hexval(i):
@@ -188,10 +188,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     for p in range(bits):
         digit = hexval(p // 4 + 1)
         bit = F.shiftright(digit, 3 - p % 4).bitwiseAND(F.lit(1))
-        bit_cols.append(
-            F.sum(F.col("cnt") * (bit * 2 - 1)).alias(f"b{p}")
-        )
-    sums = counted.groupBy(id_col).agg(*bit_cols)
+        bit_cols.append(F.sum(bit * 2 - 1).alias(f"b{p}"))
+    sums = words.groupBy(id_col).agg(*bit_cols)
     fingerprint = sum(
         (F.when(F.col(f"b{p}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
         for p in range(bits)

@@ -206,6 +206,38 @@ def test_qa_pairs_deterministic(spark):
     assert rows[0].answer == " ".join(f"w{i}" for i in range(12))
 
 
+def test_image_chunker_binary_content(spark):
+    from dataingestion_spark.operators.chunkers import image_chunker
+    from dataingestion_spark.sources.markdown import parse_markdown_df
+
+    b64 = base64.b64encode(PNG).decode()
+    md = f"# Doc\n\nintro\n\n![a chart](data:image/png;base64,{b64})\n"
+    el = parse_markdown_df(
+        spark.createDataFrame([("d1", md)], "doc_id string, md string"),
+        id_col="doc_id", content_col="md",
+    )
+    rows = image_chunker(el).collect()
+    assert len(rows) == 1
+    assert rows[0].content == "a chart"
+    assert bytes(rows[0].content_binary) == PNG
+    assert rows[0].content_media_type == "image/png"
+
+
+def test_plan_summary_facts(spark):
+    from dataingestion_spark.observability import plan_summary, span
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").filter(
+        "l_quantity > 10"
+    ).select("l_orderkey")
+    facts = plan_summary(df)
+    assert any("l_quantity" in p for p in facts["pushed_filters"])
+    assert facts["sort_merge_joins"] == 0
+    sink = {}
+    with span("probe", sink):
+        df.count()
+    assert sink["probe"] > 0
+
+
 def test_colocated_chunker_matches_shuffled(spark):
     from dataingestion_spark.sources.markdown import parse_markdown_df
 
