@@ -464,6 +464,51 @@ WHERE EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_events_asof_join(spark, sf):
+    """For each error event: the latest click at-or-before it by the same
+    user — the as-of join Spark lacks natively (see operators/temporal.py)."""
+    from dataingestion_spark.operators.temporal import asof_join
+
+    _utc(spark)
+    e = _events(spark, sf)
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(errors, clicks, on="user_id", right_cols=["value"])
+    return out.select("user_id", "event_id", "ts", "ts_right", "value_right")
+
+
+ORACLE_ASOF = """
+WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT l.user_id, l.event_id, l.ts, r.ts AS ts_right, r.value AS value_right
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_events_moving_sum(spark, sf):
+    _utc(spark)
+    e = _events(spark, sf)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum5"),
+    )
+
+
+ORACLE_MOVING = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum5
+FROM events
+"""
+
+
 def q_doc_predicate_forms(spark, sf):
     # ==, startswith, endswith, isin — the reference's filtered-get predicate
     # forms (SURVEY §2.6; DocumentPipelineTests.cs:90,138,170).
@@ -1139,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_windowed_5min": q_events_windowed,
         "events_pivot_by_user": q_events_pivot,
+        "events_asof_join": q_events_asof_join,
+        "events_moving_sum": q_events_moving_sum,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_urgent_orders": q_customers_with_urgent_orders,
         "doc_predicate_forms": q_doc_predicate_forms,
@@ -1187,6 +1234,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": ORACLE_SESSIONIZE,
         "events_windowed_5min": ORACLE_WINDOWED,
         "events_pivot_by_user": ORACLE_PIVOT,
+        "events_asof_join": ORACLE_ASOF,
+        "events_moving_sum": ORACLE_MOVING,
         "customers_without_orders": ORACLE_ANTI,
         "customers_with_urgent_orders": ORACLE_SEMI,
         "doc_predicate_forms": ORACLE_PREDICATES,
