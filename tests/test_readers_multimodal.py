@@ -206,6 +206,42 @@ def test_qa_pairs_deterministic(spark):
     assert rows[0].answer == " ".join(f"w{i}" for i in range(12))
 
 
+def test_read_delimited_csv(spark, tmp_path):
+    from dataingestion_spark.sources.tabular import parse_delimited, read_delimited
+
+    rows = parse_delimited("a,b\n1,2\n3,\n", "csvdoc")
+    assert rows[1]["table_cells"] == [["a", "b"], ["1", "2"], ["3", None]]
+    assert rows[1]["markdown"].splitlines()[0] == "| a | b |"
+
+    (tmp_path / "x.csv").write_text("h1,h2\nv1,v2\n")
+    el = read_delimited(spark, str(tmp_path))
+    got = [r for r in el.collect() if r.elem_type == "table"]
+    assert len(got) == 1
+    assert got[0].table_cells == [["h1", "h2"], ["v1", "v2"]]
+    # a table element chunked through the packing engine renders with the
+    # header repeated (reference table-splitting contract)
+    from dataingestion_spark.operators.chunkers import ChunkerOptions, header_chunker
+    from dataingestion_spark.tokenizer import WordTokenizer
+
+    chunks = header_chunker(el, ChunkerOptions(WordTokenizer(), 100)).collect()
+    assert len(chunks) == 1 and "| h1 | h2 |" in chunks[0].content
+
+
+def test_plan_shape_regressions(spark):
+    import __spark_entry__ as em
+    from dataingestion_spark.observability import plan_summary
+
+    sf = "/root/testdata/sf0.001"
+    q3 = plan_summary(em.q_tpch_q3(spark, sf))
+    assert q3["sort_merge_joins"] == 0  # dims broadcast
+    assert any("c_mktsegment" in p for p in q3["pushed_filters"])
+    q5 = plan_summary(em.q_tpch_q5(spark, sf))
+    assert q5["sort_merge_joins"] == 0
+    tc = plan_summary(em.q_token_chunks(spark, sf))
+    # column pruning: the scan reads only doc_id + text
+    assert all("lang" not in s for s in tc["read_schemas"])
+
+
 def test_image_chunker_binary_content(spark):
     from dataingestion_spark.operators.chunkers import image_chunker
     from dataingestion_spark.sources.markdown import parse_markdown_df
