@@ -17,7 +17,13 @@ DOUBLE, and every hash is md5-based, so Spark and DuckDB agree bit-for-bit.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The package lives next to this file; make it importable no matter how the
+# driver loads the module (filepath import, different CWD, executors).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
