@@ -1149,6 +1149,18 @@ def q_streaming_events(spark, sf):
     return spark.table(name)
 
 
+def q_streaming_stateful(spark, sf):
+    """Custom stateful streaming op (applyInPandasWithState) — rows-only;
+    correctness pinned against the batch aggregation by
+    tests/test_streaming.py::test_stateful_running_stats."""
+    from dataingestion_spark.streaming.stateful import stream_user_running_stats
+
+    name = "user_stats_check"
+    q = stream_user_running_stats(spark, sf, query_name=name)
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1226,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_incremental_replace": q_writer_incremental,
         # streaming (rows-only)
         "streaming_events_windowed": q_streaming_events,
+        "streaming_stateful_counts": q_streaming_stateful,
     }
 
 

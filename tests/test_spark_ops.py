@@ -155,5 +155,8 @@ def test_entry_contract(spark):
     oracles = em.oracle_sql()
     missing = [k for k in oracles if k not in qs]
     assert not missing
-    # every query except the streaming one has an oracle
-    assert set(qs) - set(oracles) == {"streaming_events_windowed"}
+    # every query except the streaming ones has an oracle
+    assert set(qs) - set(oracles) == {
+        "streaming_events_windowed",
+        "streaming_stateful_counts",
+    }

@@ -33,6 +33,29 @@ def test_stream_events_windowed(spark):
     assert merged.filter(F.col("n") != F.col("n_batch")).count() == 0
 
 
+def test_stateful_running_stats(spark):
+    from dataingestion_spark.streaming.stateful import stream_user_running_stats
+
+    q = stream_user_running_stats(spark, SF, query_name="t_user_stats")
+    q.awaitTermination()
+    out = spark.table("t_user_stats")
+    # update-mode emits one row per user per touched batch; the LAST row per
+    # user is the cumulative total and must equal the batch aggregation
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    expected = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in out.collect()  # single availableNow batch → one row per user
+    }
+    assert got == expected
+
+
 def test_stream_ingest_incremental(spark, tmp_path):
     src = tmp_path / "stream_src"
     src.mkdir()
