@@ -25,3 +25,25 @@ reproducible across engines (and auditable against a DuckDB oracle).
 """
 
 __version__ = "0.1.0"
+
+from .operators.chunkers import (  # noqa: E402,F401
+    ChunkerOptions,
+    header_chunker,
+    image_chunker,
+    markdown_chunker,
+    section_chunker,
+    semantic_chunker,
+    token_chunk_text,
+    token_chunker,
+)
+from .operators.removal import remove_empty_sections, remove_footers  # noqa: E402,F401
+from .pipeline import IngestionPipeline  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401
+from .sinks.vector_store import (  # noqa: E402,F401
+    filtered_get,
+    get_document,
+    read_vector_table,
+    search,
+    write_vector_table,
+)
+from .sources.markdown import read_markdown  # noqa: E402,F401

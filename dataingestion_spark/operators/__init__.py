@@ -6,5 +6,6 @@ from . import (  # noqa: F401
     qa,
     removal,
     similarity,
+    temporal,
     text_analysis,
 )

@@ -1,1 +1,1 @@
-from . import markdown  # noqa: F401
+from . import api_readers, corpus, markdown, media_types, tabular  # noqa: F401
