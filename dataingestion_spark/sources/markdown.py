@@ -307,6 +307,37 @@ def read_markdown(spark, path, glob: str = "*.md", recursive: bool = False):
     return parse_markdown_df(files, id_col="path", content_col="content")
 
 
+def read_markdown_urls(spark, urls, timeout: int = 30, on_error: str = "fail"):
+    """Ingest markdown documents from URLs (http/https/file), identifier =
+    the URL — the reference's remote-ingestion surface
+    (DocumentReaderConformanceTests.cs:19-27,42-54). Fetches run inside the
+    executors' ``mapInPandas`` (parallel across URLs, nothing through the
+    driver)."""
+    src = spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def run(batches):
+        import urllib.request
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for u in pdf["url"]:
+                try:
+                    with urllib.request.urlopen(u, timeout=timeout) as resp:
+                        rows.append((u, resp.read()))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+            yield pd.DataFrame(rows, columns=["url", "content"])
+
+    fetched = src.repartition(max(1, min(len(urls), 64))).mapInPandas(
+        run, schema="url string, content binary"
+    )
+    return parse_markdown_df(fetched, id_col="url", content_col="content",
+                             on_error=on_error)
+
+
 def parse_markdown_df(df, id_col: str = "doc_id", content_col: str = "markdown",
                       on_error: str = "fail"):
     """Parse a DataFrame of (id, markdown-text|bytes) into elements rows.

@@ -70,6 +70,17 @@ def test_writer_incremental_replace(spark, tmp_path):
     assert "beta body" in by_doc["b"]
 
 
+def test_read_markdown_urls_file_scheme(spark, tmp_path):
+    from dataingestion_spark.sources.markdown import read_markdown_urls
+
+    p = tmp_path / "u.md"
+    p.write_text("# From URL\n\nfetched body")
+    el = read_markdown_urls(spark, [p.as_uri()])
+    rows = el.orderBy("seq").collect()
+    assert rows[1].elem_type == "header" and rows[1].markdown == "# From URL"
+    assert rows[0].doc_id.startswith("file://")
+
+
 def test_get_document_bucket_pruning(spark, tmp_path):
     from dataingestion_spark.sinks.vector_store import get_document
 
