@@ -1,0 +1,63 @@
+"""Bucketed co-located joins and salted skew joins — plan-shape and
+equivalence tests for the 100 TB techniques."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.observability import plan_summary
+from dataingestion_spark.operators.skew import salted_join
+from dataingestion_spark.sinks.bucketed import read_table, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_elides_shuffle(spark):
+    # managed tables land in ./spark-warehouse (static conf) — dropped below
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "okey"), "t_orders_b", "okey", 8)
+    write_bucketed(lineitem.withColumnRenamed("l_orderkey", "okey"), "t_lineitem_b", "okey", 8)
+
+    # disable broadcast so the join strategy decision is about co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = read_table(spark, "t_orders_b")
+        b = read_table(spark, "t_lineitem_b")
+        joined = a.join(b, "okey").groupBy("o_orderstatus").count()
+        facts = plan_summary(joined)
+        # bucketed SMJ must not exchange either side before the join:
+        # 1 exchange for the final groupBy only
+        assert facts["sort_merge_joins"] >= 1
+        assert facts["exchanges"] <= 2  # agg partial/final only, none for the join
+        rows = {r.o_orderstatus: r["count"] for r in joined.collect()}
+        plain = {
+            r.o_orderstatus: r["count"]
+            for r in spark.read.parquet(f"{SF}/orders.parquet")
+            .join(
+                spark.read.parquet(f"{SF}/lineitem.parquet"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        }
+        assert rows == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{SF}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    salted = salted_join(lineitem, part, "l_partkey", salts=4)
+    plain = lineitem.join(part, "l_partkey")
+    assert salted.count() == plain.count()
+    s = sorted(tuple(r) for r in salted.select("l_orderkey", "l_partkey", "p_name").collect())
+    p = sorted(tuple(r) for r in plain.select("l_orderkey", "l_partkey", "p_name").collect())
+    assert s == p
