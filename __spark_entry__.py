@@ -420,6 +420,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_json_stats(spark, sf):
+    """JSON scalar-function coverage: parse the props JSON payload."""
+    _utc(spark)
+    e = _events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.min(k).alias("min_k"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type, COUNT(*) AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_lineitem_quantiles(spark, sf):
+    """Exact interpolated percentiles (ordered-set aggregate coverage)."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_discount", 0.95).alias("p95_disc"),
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS p50_qty,
+  quantile_cont(l_quantity, 0.9) AS p90_qty,
+  quantile_cont(l_discount, 0.95) AS p95_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1202,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_windowed_5min": q_events_windowed,
         "events_pivot_by_user": q_events_pivot,
+        "events_json_stats": q_events_json_stats,
+        "lineitem_quantiles": q_lineitem_quantiles,
         "events_asof_join": q_events_asof_join,
         "events_moving_sum": q_events_moving_sum,
         "customers_without_orders": q_customers_without_orders,
@@ -1253,6 +1296,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": ORACLE_SESSIONIZE,
         "events_windowed_5min": ORACLE_WINDOWED,
         "events_pivot_by_user": ORACLE_PIVOT,
+        "events_json_stats": ORACLE_JSON,
+        "lineitem_quantiles": ORACLE_QUANTILES,
         "events_asof_join": ORACLE_ASOF,
         "events_moving_sum": ORACLE_MOVING,
         "customers_without_orders": ORACLE_ANTI,
