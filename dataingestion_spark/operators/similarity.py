@@ -102,6 +102,62 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    n_centroids: int = 16, n_probe: int = 4,
+                    corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                    query_id: str = "query_id", query_vec: str = "query_vec") -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by nearest
+    centroid, search only each query's ``n_probe`` nearest lists.
+
+    Centroids are a deterministic corpus sample (every ⌈n/C⌉-th vector by
+    id — no RNG, no k-means iterations; replace with trained centroids for
+    better balance). Build cost is one corpus×C scoring pass (the standard
+    IVF assignment); query cost is ~n_probe/C of the corpus. All relational:
+    assignment = broadcast crossJoin + rank-1 window, probing an equi-join."""
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    cents = (
+        corpus.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.asc(corpus_id))),
+        )
+        .filter((F.col("rn") - 1) % stride == 0)
+        .limit(n_centroids)
+        .select(
+            F.col("rn").alias("centroid_id"), F.col(corpus_vec).alias("cvec")
+        )
+    )
+    assign_w = Window.partitionBy(corpus_id).orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_sim(F.col(corpus_vec), F.col("cvec")))
+        .withColumn("crk", F.row_number().over(assign_w))
+        .filter(F.col("crk") == 1)
+        .select(corpus_id, corpus_vec, "centroid_id")
+    )
+    probe_w = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_sim(F.col(query_vec), F.col("cvec")))
+        .withColumn("crk", F.row_number().over(probe_w))
+        .filter(F.col("crk") <= n_probe)
+        .select(query_id, query_vec, "centroid_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "score")
+    )
+
+
 def topk_cosine_ann(corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
                     planes: int = 8, corpus_id: str = "vec_id",
                     corpus_vec: str = "embedding", query_id: str = "query_id",

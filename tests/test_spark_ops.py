@@ -155,6 +155,26 @@ def test_ann_recall_against_exact(spark):
     assert exact.filter(F.col("rank") == 1).count() == 3
 
 
+def test_ivf_recall_against_exact(spark):
+    from dataingestion_spark.operators.similarity import topk_cosine_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = topk_cosine(emb, queries, k=5)
+    ivf = topk_cosine_ivf(emb, queries, k=5, n_centroids=8, n_probe=4)
+    # self-match always survives (the query is in its own probed list)
+    self_hits = ivf.filter(
+        (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id"))
+    ).count()
+    assert self_hits == 5
+    # probing half the lists must recover a majority of the exact top-5
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    assert len(e & a) / len(e) >= 0.5
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as em
 
