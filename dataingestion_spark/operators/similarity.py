@@ -22,6 +22,23 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def dot_product(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def neg_euclidean(a: Column, b: Column) -> Column:
+    """Negative L2 distance (so 'higher is better' like the similarities)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    sq = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return -F.sqrt(sq)
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, computed in double
     precision JVM-side (zip_with + aggregate fold). Works for any dimension;
@@ -33,6 +50,15 @@ def cosine_sim(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     return dot / (na * nb)
+
+
+# DistanceFunction config surface (reference VectorStoreWriterOptions.cs:8-31):
+# every scorer is "higher is better" so top-k ranking is uniform.
+DISTANCE_FUNCTIONS = {
+    "cosine": cosine_sim,
+    "dot": dot_product,
+    "euclidean": neg_euclidean,
+}
 
 
 def dot_fixed(a: Column, b: Column, dim: int) -> Column:

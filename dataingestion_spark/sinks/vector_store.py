@@ -129,15 +129,21 @@ def filtered_get(table: DataFrame, predicate: Column, top: int = 1000) -> DataFr
 
 
 def search(table: DataFrame, query_vec, k: int = 10,
-           filter_expr: Optional[Column] = None) -> DataFrame:
-    """(Filtered) top-k cosine search against the stored embeddings —
-    ``SearchAsync(text, top, filter)`` (``SemanticSearch.cs:24-29``). The
-    query text is embedded by the caller; scoring is one scan + global top-k
-    (orderBy+limit ⇒ per-partition partial top-k then merge)."""
+           filter_expr: Optional[Column] = None,
+           distance: str = "cosine") -> DataFrame:
+    """(Filtered) top-k search against the stored embeddings —
+    ``SearchAsync(text, top, filter)`` (``SemanticSearch.cs:24-29``) with the
+    reference's DistanceFunction config (cosine | dot | euclidean,
+    ``VectorStoreWriterOptions.cs:8-31``). The query text is embedded by the
+    caller; scoring is one scan + global top-k (orderBy+limit ⇒
+    per-partition partial top-k then merge)."""
+    from ..operators.similarity import DISTANCE_FUNCTIONS
+
+    score_fn = DISTANCE_FUNCTIONS[distance]
     base = table if filter_expr is None else table.filter(filter_expr)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        base.withColumn("score", cosine_sim(F.col("embedding"), q))
+        base.withColumn("score", score_fn(F.col("embedding"), q))
         .orderBy(F.desc("score"), F.asc("key"))
         .limit(k)
     )

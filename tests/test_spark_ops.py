@@ -111,6 +111,11 @@ def test_search_self_match(spark, tmp_path):
     top = search(table, qv, k=1).collect()
     assert top[0]["documentid"] == "x"
     assert abs(top[0]["score"] - 1.0) < 1e-12
+    # DistanceFunction config parity: euclidean self-match scores 0 (=-0.0)
+    eu = search(table, qv, k=1, distance="euclidean").collect()
+    assert eu[0]["documentid"] == "x" and eu[0]["score"] == 0.0
+    dot = search(table, qv, k=1, distance="dot").collect()
+    assert dot[0]["documentid"] == "x"
 
 
 def test_token_chunk_text_relational(spark):
