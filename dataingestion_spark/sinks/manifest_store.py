@@ -1,0 +1,189 @@
+"""Manifest-based versioned vector table: O(changed-buckets) incremental
+replace on plain parquet.
+
+The plain-parquet replace in ``vector_store.py`` rewrites the whole table.
+This store removes that limit with the core idea of transactional table
+formats (Delta/Iceberg), reduced to what the replace-by-document contract
+needs:
+
+* data files live under ``<table>/files/`` named ``b{bucket}-{uuid}.parquet``,
+  one or more per doc_bucket (bucket = crc32(documentid) % N_BUCKETS, the
+  same layout key the writer already uses);
+* a manifest ``manifest-{version}.json`` lists the files of each bucket for
+  that version; ``_CURRENT`` names the live manifest and is swapped with an
+  atomic rename;
+* incremental replace reads ONLY the buckets containing replaced documents,
+  anti-joins the old rows, writes fresh files for those buckets, and commits
+  a manifest that reuses every untouched file — old versions stay readable
+  (time travel) until vacuumed.
+
+Crash-safety ordering matches the reference's insert-before-delete
+(``VectorStoreWriter.cs:76-108``): new files are fully written before the
+manifest swap; nothing is deleted at commit time (``vacuum`` is explicit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+N_BUCKETS = 64
+_CURRENT = "_CURRENT"
+
+
+def _bucket_col() -> F.Column:
+    return (F.crc32(F.col("documentid").cast("binary")) % N_BUCKETS).cast("int")
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, f"manifest-{version:06d}.json")
+
+
+def current_version(table: str) -> Optional[int]:
+    try:
+        with open(os.path.join(table, _CURRENT)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def read_manifest(table: str, version: Optional[int] = None) -> Dict:
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    with open(_manifest_path(table, v)) as fh:
+        return json.load(fh)
+
+
+def _commit(table: str, version: int, buckets: Dict[str, List[str]]) -> None:
+    manifest = {"version": version, "buckets": buckets}
+    with open(_manifest_path(table, version), "w") as fh:
+        json.dump(manifest, fh)
+    tmp = os.path.join(table, f"_CURRENT.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(table, _CURRENT))  # atomic swap
+
+
+def _write_bucket_files(records: DataFrame, table: str, token: str) -> Dict[str, List[str]]:
+    """Write records (must carry doc_bucket) grouped per bucket; returns
+    bucket -> new file names. One parquet file per (bucket, write) — the
+    writer shuffles on doc_bucket so each file is written by one task."""
+    staging = os.path.join(table, "staging", token)
+    # partition by a shadow copy: partition values live in directory names,
+    # not the data files, and readers still need doc_bucket as a column
+    (records.withColumn("_pb", F.col("doc_bucket"))
+        .repartition("_pb")
+        .write.mode("overwrite").partitionBy("_pb").parquet(staging))
+    out: Dict[str, List[str]] = {}
+    files_dir = os.path.join(table, "files")
+    os.makedirs(files_dir, exist_ok=True)
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith("_pb="):
+            continue
+        bucket = entry.split("=", 1)[1]
+        for i, part in enumerate(sorted(os.listdir(os.path.join(staging, entry)))):
+            if not part.endswith(".parquet"):
+                continue
+            name = f"b{bucket}-{token}-{i}.parquet"
+            os.replace(os.path.join(staging, entry, part), os.path.join(files_dir, name))
+            out.setdefault(bucket, []).append(name)
+    shutil.rmtree(os.path.join(table, "staging"), ignore_errors=True)
+    return out
+
+
+def write_table(records: DataFrame, table: str) -> int:
+    """Full (over)write as version 0... n+1; returns the committed version."""
+    os.makedirs(table, exist_ok=True)
+    records = records.withColumn("doc_bucket", _bucket_col())
+    token = uuid.uuid4().hex[:8]
+    buckets = _write_bucket_files(records, table, token)
+    cv = current_version(table)
+    version = 0 if cv is None else cv + 1
+    _commit(table, version, buckets)
+    return version
+
+
+def read_table(spark, table: str, version: Optional[int] = None) -> DataFrame:
+    manifest = read_manifest(table, version)
+    paths = [
+        os.path.join(table, "files", name)
+        for names in manifest["buckets"].values()
+        for name in names
+    ]
+    if not paths:
+        raise FileNotFoundError(f"version {manifest['version']} of {table} is empty")
+    return spark.read.parquet(*paths)
+
+
+def incremental_replace(records: DataFrame, table: str) -> int:
+    """Replace-by-documentid touching only the buckets that contain replaced
+    documents; every other bucket's files are reused as-is. Returns the new
+    version."""
+    spark = records.sparkSession
+    if current_version(table) is None:
+        return write_table(records, table)
+
+    records = records.withColumn("doc_bucket", _bucket_col())
+    manifest = read_manifest(table)
+    affected = sorted(
+        str(r[0]) for r in records.select("doc_bucket").distinct().collect()
+    )
+    old_paths = [
+        os.path.join(table, "files", name)
+        for b in affected
+        for name in manifest["buckets"].get(b, [])
+    ]
+    incoming_docs = records.select("documentid").distinct()
+    if old_paths:
+        survivors = (
+            spark.read.parquet(*old_paths)
+            .join(F.broadcast(incoming_docs), "documentid", "left_anti")
+        )
+        merged = survivors.unionByName(records, allowMissingColumns=True)
+    else:
+        merged = records
+
+    token = uuid.uuid4().hex[:8]
+    new_buckets = _write_bucket_files(merged, table, token)
+    buckets = {
+        b: names for b, names in manifest["buckets"].items() if b not in affected
+    }
+    buckets.update(new_buckets)
+    version = manifest["version"] + 1
+    _commit(table, version, buckets)
+    return version
+
+
+def vacuum(table: str, keep_versions: int = 1) -> List[str]:
+    """Delete files unreachable from the newest ``keep_versions`` manifests
+    (and drop older manifests). Never touches the live version."""
+    live = current_version(table)
+    if live is None:
+        return []
+    keep = set()
+    kept_versions = list(range(max(0, live - keep_versions + 1), live + 1))
+    for v in kept_versions:
+        try:
+            m = read_manifest(table, v)
+        except FileNotFoundError:
+            continue
+        for names in m["buckets"].values():
+            keep.update(names)
+    removed = []
+    files_dir = os.path.join(table, "files")
+    for name in os.listdir(files_dir):
+        if name not in keep:
+            os.remove(os.path.join(files_dir, name))
+            removed.append(name)
+    for entry in os.listdir(table):
+        if entry.startswith("manifest-"):
+            v = int(entry.split("-")[1].split(".")[0])
+            if v not in kept_versions:
+                os.remove(os.path.join(table, entry))
+    return removed

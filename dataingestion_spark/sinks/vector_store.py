@@ -104,6 +104,27 @@ def write_vector_table(chunks_df: DataFrame, path: str,
     shutil.rmtree(old, ignore_errors=True)
 
 
+def write_vector_table_versioned(chunks_df: DataFrame, path: str,
+                                 embed: Optional[Callable[[Column], Column]] = None,
+                                 incremental: bool = False,
+                                 deterministic_keys: bool = False) -> int:
+    """Vector table on the manifest store (``manifest_store.py``): versioned
+    commits, O(changed-buckets) incremental replace, time travel. The
+    production-shaped writer; returns the committed version."""
+    from . import manifest_store as ms
+
+    records = build_vector_records(chunks_df, embed, deterministic_keys)
+    if incremental:
+        return ms.incremental_replace(records, path)
+    return ms.write_table(records, path)
+
+
+def read_vector_table_versioned(spark, path: str, version: Optional[int] = None) -> DataFrame:
+    from . import manifest_store as ms
+
+    return ms.read_table(spark, path, version)
+
+
 def read_vector_table(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

@@ -1,0 +1,122 @@
+"""Manifest-based versioned vector table: O(changed-buckets) replace,
+time travel, vacuum."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from dataingestion_spark.sinks import manifest_store as ms
+
+
+def records_df(spark, docs: dict):
+    rows = [
+        (f"{d}#{i:03d}", d, chunk)
+        for d, chunks in docs.items()
+        for i, chunk in enumerate(chunks)
+    ]
+    return spark.createDataFrame(rows, "key string, documentid string, content string")
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v = ms.write_table(records_df(spark, {"a": ["a0", "a1"], "b": ["b0"]}), table)
+    assert v == 0
+    got = ms.read_table(spark, table)
+    assert got.count() == 3
+    assert set(got.columns) >= {"key", "documentid", "content", "doc_bucket"}
+
+
+def test_incremental_replace_touches_only_affected_buckets(spark, tmp_path):
+    table = str(tmp_path / "t2")
+    # many docs so several buckets are populated
+    docs = {f"doc{i}": [f"doc{i}-c0", f"doc{i}-c1"] for i in range(40)}
+    ms.write_table(records_df(spark, docs), table)
+    m0 = ms.read_manifest(table)
+
+    ms.incremental_replace(
+        records_df(spark, {"doc7": ["doc7-NEW"]}), table
+    )
+    m1 = ms.read_manifest(table)
+    assert m1["version"] == m0["version"] + 1
+
+    import zlib
+
+    affected = str(zlib.crc32(b"doc7") % ms.N_BUCKETS)
+    changed = {
+        b for b in set(m0["buckets"]) | set(m1["buckets"])
+        if m0["buckets"].get(b) != m1["buckets"].get(b)
+    }
+    assert changed == {affected}  # every other bucket reuses its files
+
+    table_df = ms.read_table(spark, table)
+    by_doc = {
+        r.documentid: r.n
+        for r in table_df.groupBy("documentid").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_doc["doc7"] == 1  # replaced: 2 chunks -> 1
+    assert by_doc["doc8"] == 2  # untouched
+
+    # time travel: version 0 still has the old doc7 chunks
+    old = ms.read_table(spark, table, version=0)
+    assert old.filter(F.col("documentid") == "doc7").count() == 2
+
+
+def test_vacuum_drops_unreachable_files(spark, tmp_path):
+    table = str(tmp_path / "t3")
+    ms.write_table(records_df(spark, {"x": ["x0"], "y": ["y0"]}), table)
+    ms.incremental_replace(records_df(spark, {"x": ["x1"]}), table)
+    files_before = set(os.listdir(os.path.join(table, "files")))
+    removed = ms.vacuum(table, keep_versions=1)
+    files_after = set(os.listdir(os.path.join(table, "files")))
+    assert set(removed) == files_before - files_after
+    assert removed  # the replaced bucket's old file went away
+    # live version unaffected
+    live = ms.read_table(spark, table)
+    assert {r.content for r in live.collect()} == {"x1", "y0"}
+    # vacuumed old version is gone
+    import pytest
+
+    with pytest.raises(Exception):
+        ms.read_table(spark, table, version=0).collect()
+
+
+def test_versioned_vector_writer_end_to_end(spark, tmp_path):
+    from dataingestion_spark.operators.chunkers import ChunkerOptions, header_chunker
+    from dataingestion_spark.sinks.vector_store import (
+        read_vector_table_versioned,
+        write_vector_table_versioned,
+    )
+    from dataingestion_spark.sources.markdown import parse_markdown_df
+    from dataingestion_spark.tokenizer import WordTokenizer
+
+    table = str(tmp_path / "vt")
+    docs = {"a": "# A\n\nalpha body", "b": "# B\n\nbeta body"}
+    el = parse_markdown_df(
+        spark.createDataFrame(sorted(docs.items()), "doc_id string, md string"),
+        id_col="doc_id", content_col="md",
+    )
+    chunks = header_chunker(el, ChunkerOptions(WordTokenizer(), 100))
+    v0 = write_vector_table_versioned(chunks, table, deterministic_keys=True)
+
+    el2 = parse_markdown_df(
+        spark.createDataFrame([("a", "# A\n\nrewritten")], "doc_id string, md string"),
+        id_col="doc_id", content_col="md",
+    )
+    chunks2 = header_chunker(el2, ChunkerOptions(WordTokenizer(), 100))
+    v1 = write_vector_table_versioned(chunks2, table, incremental=True,
+                                      deterministic_keys=True)
+    assert v1 == v0 + 1
+    live = read_vector_table_versioned(spark, table)
+    by_doc = {r.documentid: r.content for r in live.collect()}
+    assert "rewritten" in by_doc["a"] and "beta body" in by_doc["b"]
+    old = read_vector_table_versioned(spark, table, version=v0)
+    assert "alpha body" in {
+        r.content for r in old.filter(F.col("documentid") == "a").collect()
+    }.pop()
+
+
+def test_first_incremental_on_empty_table(spark, tmp_path):
+    table = str(tmp_path / "t4")
+    v = ms.incremental_replace(records_df(spark, {"z": ["z0"]}), table)
+    assert v == 0
+    assert ms.read_table(spark, table).count() == 1
