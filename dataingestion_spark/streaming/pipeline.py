@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..operators.chunkers import token_chunk_text
-from ..sinks.vector_store import write_vector_table
+from ..sinks.vector_store import write_vector_table_versioned
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -59,8 +59,9 @@ def stream_ingest(spark, input_dir: str, table_path: str,
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        write_vector_table(batch_df, table_path, incremental=True,
-                           deterministic_keys=True)
+        # one versioned O(changed-buckets) commit per micro-batch
+        write_vector_table_versioned(batch_df, table_path, incremental=True,
+                                     deterministic_keys=True)
 
     return (
         chunks.writeStream.outputMode("append")

@@ -5,7 +5,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from dataingestion_spark.sinks.vector_store import read_vector_table
+from dataingestion_spark.sinks.vector_store import read_vector_table_versioned
 from dataingestion_spark.streaming.pipeline import stream_events_windowed, stream_ingest
 
 SF = "/root/testdata/sf0.001"
@@ -63,7 +63,7 @@ def test_stream_ingest_incremental(spark, tmp_path):
     table_path = str(tmp_path / "vt_stream")
     q = stream_ingest(spark, str(src), table_path, max_tokens=64, overlap=16)
     q.awaitTermination()
-    table = read_vector_table(spark, table_path)
+    table = read_vector_table_versioned(spark, table_path)
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert table.select("documentid").distinct().count() == n_docs
     assert set(table.columns) >= {"key", "embedding", "content", "documentid"}
