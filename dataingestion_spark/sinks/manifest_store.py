@@ -160,6 +160,52 @@ def incremental_replace(records: DataFrame, table: str) -> int:
     return version
 
 
+def append_table(records: DataFrame, table: str) -> int:
+    """Append-only commit for documents known to be new: adds files to the
+    affected buckets WITHOUT reading or rewriting existing ones — O(batch)
+    regardless of table size. This is what accumulates small files per
+    bucket; run :func:`compact` periodically."""
+    if current_version(table) is None:
+        return write_table(records, table)
+    records = records.withColumn("doc_bucket", _bucket_col())
+    manifest = read_manifest(table)
+    token = uuid.uuid4().hex[:8]
+    new_buckets = _write_bucket_files(records, table, token)
+    buckets = {b: list(names) for b, names in manifest["buckets"].items()}
+    for b, names in new_buckets.items():
+        buckets.setdefault(b, []).extend(names)
+    version = manifest["version"] + 1
+    _commit(table, version, buckets)
+    return version
+
+
+def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
+    """Rewrite buckets that accumulated more than ``max_files_per_bucket``
+    files (the small-file growth of per-batch streaming commits) into one
+    file each; untouched buckets keep their files by reference. Commits a
+    new version; returns it (or the current one if nothing to compact)."""
+    manifest = read_manifest(table)
+    to_compact = {
+        b: names for b, names in manifest["buckets"].items()
+        if len(names) > max_files_per_bucket
+    }
+    if not to_compact:
+        return manifest["version"]
+    paths = [
+        os.path.join(table, "files", n) for names in to_compact.values() for n in names
+    ]
+    merged = spark.read.parquet(*paths)
+    token = "c" + uuid.uuid4().hex[:7]
+    new_buckets = _write_bucket_files(merged, table, token)
+    buckets = {
+        b: names for b, names in manifest["buckets"].items() if b not in to_compact
+    }
+    buckets.update(new_buckets)
+    version = manifest["version"] + 1
+    _commit(table, version, buckets)
+    return version
+
+
 def vacuum(table: str, keep_versions: int = 1) -> List[str]:
     """Delete files unreachable from the newest ``keep_versions`` manifests
     (and drop older manifests). Never touches the live version."""

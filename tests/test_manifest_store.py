@@ -115,6 +115,28 @@ def test_versioned_vector_writer_end_to_end(spark, tmp_path):
     }.pop()
 
 
+def test_append_accumulates_then_compact_merges(spark, tmp_path):
+    table = str(tmp_path / "t5")
+    # these ids share crc32(id) % 64 == 10, so appends pile files in ONE bucket
+    same_bucket = ["doc4", "doc39", "doc47", "doc117", "doc169"]
+    ms.write_table(records_df(spark, {same_bucket[0]: ["v0"], "other": ["o0"]}), table)
+    # append-only commits: O(batch) each, but files pile up per bucket
+    for d in same_bucket[1:]:
+        ms.append_table(records_df(spark, {d: [f"x-{d}"]}), table)
+    m = ms.read_manifest(table)
+    assert max(len(names) for names in m["buckets"].values()) == 5
+    total_files_before = sum(len(v) for v in m["buckets"].values())
+    assert total_files_before == 6
+
+    v = ms.compact(spark, table, max_files_per_bucket=1)
+    m2 = ms.read_manifest(table)
+    assert m2["version"] == v
+    assert all(len(names) == 1 for names in m2["buckets"].values())
+    live = ms.read_table(spark, table)
+    assert live.count() == 6  # nothing lost
+    assert live.select("documentid").distinct().count() == 6
+
+
 def test_first_incremental_on_empty_table(spark, tmp_path):
     table = str(tmp_path / "t4")
     v = ms.incremental_replace(records_df(spark, {"z": ["z0"]}), table)
