@@ -128,10 +128,68 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def train_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
+                    corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> list:
+    """Lloyd's k-means on cosine assignments with deterministic stride-sample
+    init (no RNG). Each iteration: one broadcast-assignment pass + one
+    groupBy(cluster) mean — the standard distributed k-means shape. Returns
+    [(centroid_id, vector)] for :func:`topk_cosine_ivf`."""
+    import numpy as np
+
+    rows = corpus.select(corpus_id, corpus_vec).orderBy(corpus_id).collect() \
+        if corpus.count() <= 100_000 else None
+    if rows is not None:
+        # small corpus: iterate driver-side on the collected matrix (exactly
+        # the same math, without iters× Spark jobs)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        stride = max(1, len(mat) // n_centroids)
+        cents = normed[::stride][:n_centroids].copy()
+        for _ in range(iters):
+            sims = normed @ cents.T
+            assign = sims.argmax(axis=1)
+            for c in range(len(cents)):
+                members = normed[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cents[c] = m / (np.linalg.norm(m) or 1.0)
+        return [(i + 1, [float(x) for x in cents[i]]) for i in range(len(cents))]
+
+    # large corpus: distributed iterations
+    spark = corpus.sparkSession
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    cent_rows = (
+        corpus.withColumn("rn", F.row_number().over(Window.orderBy(F.asc(corpus_id))))
+        .filter((F.col("rn") - 1) % stride == 0).limit(n_centroids)
+        .select(F.col(corpus_vec)).collect()
+    )
+    cents = [list(map(float, r[0])) for r in cent_rows]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(cents)], ["centroid_id", "cvec"]
+        )
+        w = Window.partitionBy(corpus_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
+        assigned = (
+            corpus.crossJoin(F.broadcast(cdf))
+            .withColumn("csim", cosine_sim(F.col(corpus_vec), F.col("cvec")))
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") == 1)
+        )
+        dim = len(cents[0])
+        means = assigned.groupBy("centroid_id").agg(
+            *[F.avg(F.col(corpus_vec)[d].cast("double")).alias(f"m{d}") for d in range(dim)]
+        ).collect()
+        for r in means:
+            cents[r["centroid_id"] - 1] = [float(r[f"m{d}"]) for d in range(dim)]
+    return [(i + 1, v) for i, v in enumerate(cents)]
+
+
 def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     n_centroids: int = 16, n_probe: int = 4,
                     corpus_id: str = "vec_id", corpus_vec: str = "embedding",
-                    query_id: str = "query_id", query_vec: str = "query_vec") -> DataFrame:
+                    query_id: str = "query_id", query_vec: str = "query_vec",
+                    centroids: Optional[list] = None) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted lists by nearest
     centroid, search only each query's ``n_probe`` nearest lists.
 
@@ -139,20 +197,26 @@ def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     id — no RNG, no k-means iterations; replace with trained centroids for
     better balance). Build cost is one corpus×C scoring pass (the standard
     IVF assignment); query cost is ~n_probe/C of the corpus. All relational:
-    assignment = broadcast crossJoin + rank-1 window, probing an equi-join."""
-    n = corpus.count()
-    stride = max(1, n // n_centroids)
-    cents = (
-        corpus.withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.asc(corpus_id))),
+    assignment = broadcast crossJoin + rank-1 window, probing an equi-join.
+    Pass ``centroids`` from :func:`train_centroids` for balanced lists."""
+    if centroids is not None:
+        cents = corpus.sparkSession.createDataFrame(
+            centroids, ["centroid_id", "cvec"]
         )
-        .filter((F.col("rn") - 1) % stride == 0)
-        .limit(n_centroids)
-        .select(
-            F.col("rn").alias("centroid_id"), F.col(corpus_vec).alias("cvec")
+    else:
+        n = corpus.count()
+        stride = max(1, n // n_centroids)
+        cents = (
+            corpus.withColumn(
+                "rn",
+                F.row_number().over(Window.orderBy(F.asc(corpus_id))),
+            )
+            .filter((F.col("rn") - 1) % stride == 0)
+            .limit(n_centroids)
+            .select(
+                F.col("rn").alias("centroid_id"), F.col(corpus_vec).alias("cvec")
+            )
         )
-    )
     assign_w = Window.partitionBy(corpus_id).orderBy(
         F.desc("csim"), F.asc("centroid_id")
     )

@@ -180,6 +180,29 @@ def test_ivf_recall_against_exact(spark):
     assert len(e & a) / len(e) >= 0.5
 
 
+def test_ivf_trained_centroids(spark):
+    from dataingestion_spark.operators.similarity import (
+        topk_cosine_ivf,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_centroids(emb, n_centroids=8, iters=3)
+    assert len(cents) == 8 and len(cents[0][1]) == 64
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf = topk_cosine_ivf(emb, queries, k=5, n_probe=4, centroids=cents)
+    exact = topk_cosine(emb, queries, k=5)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    assert len(e & a) / len(e) >= 0.5
+    self_hits = ivf.filter(
+        (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id"))
+    ).count()
+    assert self_hits == 3
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as em
 
