@@ -226,11 +226,11 @@ def q_tpch_q1(spark, sf):
 
 ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -256,7 +256,7 @@ def q_tpch_q3(spark, sf):
 
 ORACLE_Q3 = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -292,7 +292,7 @@ def q_tpch_q5(spark, sf):
 
 ORACLE_Q5 = """
 SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM region JOIN nation ON n_regionkey = r_regionkey
 JOIN supplier ON s_nationkey = n_nationkey
 JOIN lineitem ON l_suppkey = s_suppkey
@@ -321,7 +321,7 @@ def q_tpch_q6(spark, sf):
 
 ORACLE_Q6 = """
 SELECT
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -340,7 +340,7 @@ def q_orders_rollup(spark, sf):
 
 ORACLE_ROLLUP = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -415,7 +415,7 @@ def q_events_windowed(spark, sf):
 ORACLE_WINDOWED = """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -549,9 +549,9 @@ def q_events_moving_sum(spark, sf):
 
 ORACLE_MOVING = """
 SELECT user_id, event_id,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum5
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS sum5
 FROM events
 """
 
