@@ -672,6 +672,28 @@ FROM sh
 """
 
 
+def q_pii_scrub(spark, sf):
+    return text_analysis.pii_scrub(_t(spark, sf, "documents"))
+
+
+def _oracle_pii() -> str:
+    from dataingestion_spark.operators.text_analysis import PII_PATTERNS
+
+    scrubbed = "text"
+    count_exprs = []
+    for name, pat, repl in PII_PATTERNS:
+        esc = pat.replace("'", "''")  # SQL literals keep backslashes as-is
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({scrubbed}, '{esc}')) AS INT) AS n_{name}"
+        )
+        scrubbed = f"regexp_replace({scrubbed}, '{esc}', '{repl}', 'g')"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {scrubbed} AS text_scrubbed,
+  {", ".join(count_exprs)}
+FROM documents
+"""
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -1255,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_pii_scrub": q_pii_scrub,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signature": q_minhash_signature,
@@ -1307,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _oracle_lang_id(),
         "doc_quality_score": ORACLE_QUALITY,
         "doc_fingerprint": ORACLE_FINGERPRINT,
+        "doc_pii_scrub": _oracle_pii(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_signature": _oracle_minhash_signature(),
         "dedup_minhash_lsh_pairs": _oracle_minhash_pairs(),

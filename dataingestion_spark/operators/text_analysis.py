@@ -96,6 +96,34 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# RE2-safe patterns (no lookaround) so any engine applies them identically.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn_like", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact common PII shapes (emails, phone numbers, IPs, SSN-like ids)
+    and count the redactions — the standard pre-training scrub pass. Pure
+    regexp projection: scan-speed, no UDFs. Patterns apply in list order
+    (an email is redacted before its digits could look like a phone)."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        scrubbed.alias("text_scrubbed"),
+        *counts,
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 shingle_n: int = 5) -> DataFrame:
     """Document fingerprints: md5 of normalized text (exact identity) plus a
