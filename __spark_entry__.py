@@ -784,6 +784,25 @@ WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
 """
 
 
+def q_cross_doc_shingles(spark, sf):
+    return dedup.cross_doc_shingle_stats(_t(spark, sf, "documents"), shingle_n=5)
+
+
+ORACLE_CROSS_DOC = """
+WITH sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(s) AS sh FROM (
+    SELECT doc_id,
+      list_distinct(list_transform(generate_series(1, greatest(len(w) - 4, 1)),
+                                   i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS s
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents))),
+g AS (SELECT sh, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY sh)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles,
+  CAST(SUM(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS INT) AS n_shared,
+  round(CAST(SUM(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS shared_ratio
+FROM sh JOIN g USING (sh) GROUP BY doc_id
+"""
+
+
 def q_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"), bits=32)
 
@@ -1284,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_simhash,
+        "dedup_cross_doc_shingles": q_cross_doc_shingles,
         "dedup_embedding_pairs": q_emb_neardup,
         # similarity search
         "search_topk_cosine": q_emb_topk,
@@ -1336,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": _oracle_minhash_pairs(),
         "dedup_ngram_jaccard": _oracle_jaccard(),
         "dedup_simhash": _oracle_simhash(),
+        "dedup_cross_doc_shingles": ORACLE_CROSS_DOC,
         "dedup_embedding_pairs": ORACLE_EMB_NEARDUP,
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,

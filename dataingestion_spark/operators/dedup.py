@@ -175,6 +175,39 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def cross_doc_shingle_stats(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
+    """Boilerplate/passage-duplication signal: for each document, the share
+    of its n-gram shingles that also occur in at least one other document
+    (à la passage-level dedup in training-data curation).
+
+    Two aggregations over the exploded distinct shingles: a global count per
+    shingle (map-side combined; hot boilerplate shingles are exactly the
+    point) and a per-doc ratio join. Output: (doc_id, n_shingles,
+    n_shared, shared_ratio)."""
+    shingles = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    global_counts = shingles.groupBy("sh").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    return (
+        shingles.join(global_counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            F.col("n_shingles").cast("int").alias("n_shingles"),
+            F.col("n_shared").cast("int").alias("n_shared"),
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("shared_ratio"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint over word features.
