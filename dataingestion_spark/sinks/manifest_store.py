@@ -60,10 +60,26 @@ def read_manifest(table: str, version: Optional[int] = None) -> Dict:
         return json.load(fh)
 
 
-def _commit(table: str, version: int, buckets: Dict[str, List[str]]) -> None:
-    manifest = {"version": version, "buckets": buckets}
-    with open(_manifest_path(table, version), "w") as fh:
-        json.dump(manifest, fh)
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed since this transaction read the table."""
+
+
+def _commit(table: str, version: int, buckets: Dict[str, List[str]],
+            expected_current: Optional[int] = None) -> None:
+    """Optimistic-concurrency commit: the manifest file itself is the lock —
+    ``open(..., 'x')`` fails if a racing writer already claimed this version,
+    and the _CURRENT swap only happens after winning that race."""
+    if expected_current is not None and current_version(table) != expected_current:
+        raise ConcurrentWriteError(
+            f"table advanced past version {expected_current}; retry the write"
+        )
+    try:
+        with open(_manifest_path(table, version), "x") as fh:
+            json.dump({"version": version, "buckets": buckets}, fh)
+    except FileExistsError as e:
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; retry the write"
+        ) from e
     tmp = os.path.join(table, f"_CURRENT.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         fh.write(str(version))
@@ -101,11 +117,11 @@ def write_table(records: DataFrame, table: str) -> int:
     """Full (over)write as version 0... n+1; returns the committed version."""
     os.makedirs(table, exist_ok=True)
     records = records.withColumn("doc_bucket", _bucket_col())
+    cv = current_version(table)
     token = uuid.uuid4().hex[:8]
     buckets = _write_bucket_files(records, table, token)
-    cv = current_version(table)
     version = 0 if cv is None else cv + 1
-    _commit(table, version, buckets)
+    _commit(table, version, buckets, expected_current=cv)
     return version
 
 
@@ -156,7 +172,7 @@ def incremental_replace(records: DataFrame, table: str) -> int:
     }
     buckets.update(new_buckets)
     version = manifest["version"] + 1
-    _commit(table, version, buckets)
+    _commit(table, version, buckets, expected_current=manifest["version"])
     return version
 
 
@@ -175,7 +191,7 @@ def append_table(records: DataFrame, table: str) -> int:
     for b, names in new_buckets.items():
         buckets.setdefault(b, []).extend(names)
     version = manifest["version"] + 1
-    _commit(table, version, buckets)
+    _commit(table, version, buckets, expected_current=manifest["version"])
     return version
 
 
@@ -202,7 +218,7 @@ def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
     }
     buckets.update(new_buckets)
     version = manifest["version"] + 1
-    _commit(table, version, buckets)
+    _commit(table, version, buckets, expected_current=manifest["version"])
     return version
 
 

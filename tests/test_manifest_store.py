@@ -137,6 +137,21 @@ def test_append_accumulates_then_compact_merges(spark, tmp_path):
     assert live.select("documentid").distinct().count() == 6
 
 
+def test_concurrent_commit_detected(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "t6")
+    ms.write_table(records_df(spark, {"a": ["a0"]}), table)
+    manifest = ms.read_manifest(table)
+    # simulate a racing writer that lands the next version first
+    ms._commit(table, manifest["version"] + 1, manifest["buckets"],
+               expected_current=manifest["version"])
+    # a transaction that read the old version must now fail its commit
+    with pytest.raises(ms.ConcurrentWriteError):
+        ms._commit(table, manifest["version"] + 1, manifest["buckets"],
+                   expected_current=manifest["version"])
+
+
 def test_first_incremental_on_empty_table(spark, tmp_path):
     table = str(tmp_path / "t4")
     v = ms.incremental_replace(records_df(spark, {"z": ["z0"]}), table)
