@@ -1255,7 +1255,7 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = _t(spark, sf, "documents").limit(100)
     elements = parse_markdown_df(documents_to_markdown(docs), "doc_id", "markdown")
     elements = remove_footers(elements)
-    chunks = header_chunker(elements, ChunkerOptions(WordTokenizer(), 300), colocated=True)
+    chunks = header_chunker(elements, ChunkerOptions(WordTokenizer(), 300))
     chunks = sentiment_enricher(summary_enricher(chunks))
     records = build_vector_records(
         chunks, embed=lambda c: fake_embedding(c, dims=8), deterministic_keys=True

@@ -24,11 +24,12 @@ def main():
     from pyspark.sql import SparkSession, functions as F
 
     import __spark_entry__ as em
-    from dataingestion_spark.operators.chunkers import ChunkerOptions, header_chunker
+    from dataingestion_spark.operators.chunkers import (
+        ChunkerOptions, header_chunk_doc, parse_and_chunk,
+    )
     from dataingestion_spark.operators.enrichers import sentiment_enricher, summary_enricher
     from dataingestion_spark.sinks.vector_store import build_vector_records, fake_embedding
     from dataingestion_spark.sources.corpus import documents_to_markdown
-    from dataingestion_spark.sources.markdown import parse_markdown_df
     from dataingestion_spark.tokenizer import WordTokenizer
 
     spark = (
@@ -47,8 +48,10 @@ def main():
 
     def ingest_e2e(spark, sf):
         docs = em._t(spark, sf, "documents")
-        elements = parse_markdown_df(documents_to_markdown(docs), "doc_id", "markdown")
-        chunks = header_chunker(elements, ChunkerOptions(WordTokenizer(), 300), colocated=True)
+        opts = ChunkerOptions(WordTokenizer(), 300)
+        chunks = parse_and_chunk(
+            documents_to_markdown(docs), lambda rows: header_chunk_doc(rows, opts)
+        )
         chunks = sentiment_enricher(summary_enricher(chunks))
         return build_vector_records(
             chunks, embed=lambda c: fake_embedding(c, dims=16), deterministic_keys=True

@@ -482,6 +482,37 @@ def semantic_chunker(elements_df, embed_fn, options: Optional[ChunkerOptions] = 
     )
 
 
+def parse_and_chunk(src_df, chunk_fn, id_col: str = "doc_id",
+                    content_col: str = "markdown"):
+    """Single-stage ingest: markdown text → chunks inside ONE mapInPandas.
+
+    Chaining parse_markdown_df and a colocated chunker plans two Python
+    operators with a JVM↔Python Arrow crossing between them; fusing them
+    keeps the intermediate elements entirely in the Python worker. Use for
+    the highest-throughput ingest path when the intermediate elements
+    DataFrame isn't needed. ``chunk_fn``: rows → chunk dicts, e.g.
+    ``lambda rows: header_chunk_doc(rows, opts)``."""
+    from ..sources.markdown import parse_markdown
+
+    cols = [f.name for f in CHUNKS_SCHEMA.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
+                text = (
+                    raw.decode("utf-8", errors="replace")
+                    if isinstance(raw, (bytes, bytearray)) else raw
+                )
+                rows = parse_markdown(text, str(doc_id))
+                out.extend(_chunk_rows_out(str(doc_id), chunk_fn(rows)))
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return src_df.mapInPandas(run, schema=CHUNKS_SCHEMA)
+
+
 def image_chunker(elements_df):
     """Non-string chunk content: one binary chunk per image element —
     the reference's ``IngestionChunk<DataContent>`` image-chunker pattern

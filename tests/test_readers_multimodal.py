@@ -274,6 +274,34 @@ def test_plan_summary_facts(spark):
     assert sink["probe"] > 0
 
 
+def test_fused_parse_and_chunk_matches_two_stage(spark):
+    from dataingestion_spark.operators.chunkers import (
+        ChunkerOptions,
+        header_chunk_doc,
+        header_chunker,
+        parse_and_chunk,
+    )
+    from dataingestion_spark.sources.markdown import parse_markdown_df
+    from dataingestion_spark.tokenizer import WordTokenizer
+
+    docs = {f"d{i}": f"# T{i}\n\nbody {i} alpha\n\n## S\n\nmore {i}" for i in range(5)}
+    src = spark.createDataFrame(sorted(docs.items()), "doc_id string, markdown string")
+    opts = ChunkerOptions(WordTokenizer(), 100)
+    two = sorted(
+        (r.chunk_id, r.context, r.content)
+        for r in header_chunker(
+            parse_markdown_df(src, "doc_id", "markdown"), opts
+        ).collect()
+    )
+    fused = sorted(
+        (r.chunk_id, r.context, r.content)
+        for r in parse_and_chunk(
+            src, lambda rows: header_chunk_doc(rows, opts)
+        ).collect()
+    )
+    assert two == fused
+
+
 def test_colocated_chunker_matches_shuffled(spark):
     from dataingestion_spark.sources.markdown import parse_markdown_df
 
