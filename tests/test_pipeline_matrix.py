@@ -63,6 +63,28 @@ def corpus_dir(tmp_path_factory):
     return str(d)
 
 
+def test_pipeline_fused_path_matches_modular(spark, tmp_path, corpus_dir):
+    from dataingestion_spark.operators.chunkers import header_chunk_doc
+
+    out = str(tmp_path / "vt_fused")
+    fused = IngestionPipeline(
+        chunk_doc_fn=lambda rows: header_chunk_doc(rows, OPTS)
+    )
+    fused.run(spark, corpus_dir, out)
+    modular = IngestionPipeline(chunker=CHUNKERS["header"])
+    got_f = sorted(
+        (r.documentid, r.content)
+        for r in read_vector_table(spark, out).collect()
+    )
+    out2 = str(tmp_path / "vt_modular")
+    modular.run(spark, corpus_dir, out2)
+    got_m = sorted(
+        (r.documentid, r.content)
+        for r in read_vector_table(spark, out2).collect()
+    )
+    assert got_f == got_m
+
+
 @pytest.mark.parametrize("chunker_name", sorted(CHUNKERS))
 def test_pipeline_matrix(spark, tmp_path, corpus_dir, chunker_name):
     out = str(tmp_path / f"vt_{chunker_name}")
