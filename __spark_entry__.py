@@ -368,8 +368,10 @@ def q_events_sessionize(spark, sf):
     _utc(spark)
     e = _events(spark, sf)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    brk = F.when(gap > 1800, 1).otherwise(0)
+    # unix_micros, not unix_timestamp: second-truncation would disagree with
+    # the oracle's full-precision INTERVAL comparison near the gap boundary
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap > 1800 * 1_000_000, 1).otherwise(0)
     sess = F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, 0))
     return (
         e.withColumn("session_id", sess)
@@ -968,7 +970,7 @@ WITH w AS (
   FROM documents),
 x AS (
   SELECT doc_id, toks,
-         unnest(generate_series(0, greatest(CAST(ceil((len(toks) - 1) / 48.0) AS BIGINT) - 1, 0))) AS win
+         unnest(generate_series(0, greatest(CAST(ceil(len(toks) / 48.0) AS BIGINT) - 1, 0))) AS win
   FROM w)
 SELECT printf('%s#%06d', doc_id, win) AS chunk_id, doc_id,
        CAST(win AS INT) AS chunk_seq,
@@ -1129,7 +1131,7 @@ WITH c AS ({token_chunks}),
 w AS (SELECT chunk_id, doc_id, regexp_split_to_array(trim(content), '\\s+') AS toks FROM c),
 x AS (
   SELECT chunk_id, doc_id, toks,
-    unnest(generate_series(0, least(greatest(CAST(ceil((len(toks) - 1) / 12.0) AS BIGINT) - 1, 0), 9))) AS i
+    unnest(generate_series(0, least(greatest(CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1, 0), 9))) AS i
   FROM w)
 SELECT chunk_id, doc_id,
   concat('What is ', array_to_string(list_slice(toks, i*12 + 1, i*12 + 3), ' '), '?') AS question,

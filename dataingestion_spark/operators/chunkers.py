@@ -240,7 +240,12 @@ def section_chunk_doc(rows: List[dict], options: ChunkerOptions) -> List[dict]:
 
 def markdown_chunk_doc(rows: List[dict], split_level: int = 3, strip_headers: bool = True) -> List[dict]:
     """Header-level recursive-descent splitter with ``;``-joined context
-    (reference MarkdownChunker.cs:18-111). No token budget."""
+    (reference MarkdownChunker.cs:18-111). No token budget.
+
+    Bug-compatible quirk: a document whose first header is deeper than
+    level 1 gets a leading ';' in its contexts (e.g. ';## Sub') — the
+    reference's StringyfyContext joins an empty-string context the same way
+    (MarkdownChunker.cs:93-96); we preserve it for golden parity."""
     stack = list(reversed(_leaves(rows)))
     out: List[dict] = []
 
@@ -548,7 +553,10 @@ def token_chunk_text(df, text_col: str = "text", id_col: str = "doc_id",
     if stride <= 0:
         raise ValueError("overlap must be smaller than max_tokens")
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(F.ceil((n - 1) / F.lit(stride)) - 1, F.lit(0)))
+    # ceil(n/stride) windows — the same rule as token_chunk_doc's
+    # range(0, n, stride); ceil((n-1)/stride) would drop the final window
+    # whenever n ≡ 1 (mod stride), losing trailing tokens at overlap 0.
+    starts = F.sequence(F.lit(0), F.greatest(F.ceil(n / F.lit(stride)) - 1, F.lit(0)))
     return (
         df.withColumn("_toks", toks)
         .withColumn("win", F.explode(starts))

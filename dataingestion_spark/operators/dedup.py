@@ -217,8 +217,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     groupBy(doc) with 32 partial sums — votes per occurrence equal votes
     weighted by count, so no intermediate (doc, word) count stage and the
     shuffle carries bits×8 bytes per doc only."""
-    if bits % 4 or bits > 128:
-        raise ValueError("bits must be a multiple of 4, at most 128")
+    if bits % 4 or bits > 60:
+        # the fingerprint is a signed 64-bit sum of 2^p terms: p ≤ 59 keeps
+        # every partial sum in range (bits=64+ can't fit LongType at all)
+        raise ValueError("bits must be a multiple of 4, at most 60")
     words = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),

@@ -35,10 +35,12 @@ def qa_pairs(chunks_df: DataFrame, content_col: str = "content",
     else:
         words = F.split(F.trim(F.col(content_col)), r"\s+")
         n = F.size(words)
+        # ceil(n/k) spans (cap MAX_PAIRS) so trailing words always land in
+        # an answer; ceil((n-1)/k) would skip the last span at n ≡ 1 (mod k)
         starts = F.sequence(
             F.lit(0),
             F.least(
-                F.greatest(F.ceil((n - 1) / F.lit(ANSWER_WORDS)) - 1, F.lit(0)),
+                F.greatest(F.ceil(n / F.lit(ANSWER_WORDS)) - 1, F.lit(0)),
                 F.lit(MAX_PAIRS - 1),
             ),
         )

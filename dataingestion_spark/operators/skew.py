@@ -18,8 +18,15 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, salts: int = 8,
     """Equi-join with the big side salted and the small side replicated.
 
     The salt is derived from a hash of the big side's whole row (xxhash64
-    over all columns) — deterministic, uniform, no RNG state. Result columns
-    match ``big.join(small, key, how)``."""
+    over all columns) — deterministic, uniform, no RNG state. Result matches
+    ``big.join(small, key, how)`` for the supported join types; right/full
+    outer would emit one unmatched copy of a small row PER SALT and are
+    rejected."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated small "
+            "side would duplicate unmatched rows in right/full outer joins"
+        )
     big_salted = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts))
     )

@@ -26,9 +26,10 @@ class IngestionPipeline:
 
     ``chunk_doc_fn`` (rows → chunk dicts, e.g.
     ``lambda rows: header_chunk_doc(rows, opts)``) selects the fused
-    single-Python-stage ingest (``parse_and_chunk``, ~7× the two-stage plan)
-    when there are no document processors; with processors or a DataFrame
-    ``chunker`` the modular path runs instead."""
+    single-Python-stage ingest (``parse_and_chunk``, ~7× the two-stage
+    plan). It is mutually exclusive with ``chunker``, ``doc_processors``,
+    and a custom ``reader`` — those need the modular elements path, and
+    silently ignoring them would be worse than refusing."""
 
     def __init__(
         self,
@@ -39,6 +40,18 @@ class IngestionPipeline:
         writer: Optional[Callable[[DataFrame], None]] = None,
         chunk_doc_fn: Optional[Callable] = None,
     ):
+        if chunk_doc_fn is not None and chunker is not None:
+            raise ValueError("pass either chunk_doc_fn (fused) or chunker, not both")
+        if chunk_doc_fn is not None and reader is not read_markdown:
+            raise ValueError(
+                "the fused path parses markdown itself; a custom reader "
+                "requires the modular chunker= form"
+            )
+        if chunk_doc_fn is not None and doc_processors:
+            raise ValueError(
+                "document processors need the elements DataFrame; use the "
+                "modular chunker= form"
+            )
         self.reader = reader
         self.doc_processors = list(doc_processors)
         self.chunker = chunker or (lambda df: header_chunker(df, ChunkerOptions()))
@@ -53,7 +66,7 @@ class IngestionPipeline:
         return df
 
     def chunks(self, spark, source, **reader_kwargs) -> DataFrame:
-        if self.chunk_doc_fn is not None and not self.doc_processors:
+        if self.chunk_doc_fn is not None:
             files = (
                 spark.read.format("binaryFile")
                 .option("pathGlobFilter", reader_kwargs.get("glob", "*.md"))

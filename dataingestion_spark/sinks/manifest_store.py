@@ -109,7 +109,9 @@ def _write_bucket_files(records: DataFrame, table: str, token: str) -> Dict[str,
             name = f"b{bucket}-{token}-{i}.parquet"
             os.replace(os.path.join(staging, entry, part), os.path.join(files_dir, name))
             out.setdefault(bucket, []).append(name)
-    shutil.rmtree(os.path.join(table, "staging"), ignore_errors=True)
+    # remove only THIS write's staging dir — the parent is shared with any
+    # concurrent writers whose in-flight data must survive
+    shutil.rmtree(staging, ignore_errors=True)
     return out
 
 

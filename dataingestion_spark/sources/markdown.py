@@ -219,13 +219,17 @@ def _parse_blocks(ctx: _Ctx, lines: List[str], path: List[int], top_level: bool)
             block_md = "\n".join(lines[i:j])
             sec_path = next_path()
             ctx.emit(sec_path, elem_type=ELEM_SECTION, markdown=block_md)
-            for k, item in enumerate(item_texts):
+            k = 0
+            for item in item_texts:
+                if not item.strip():
+                    continue  # an empty bullet ('- ') has no element to emit
                 ctx.emit(
                     sec_path + [k],
                     elem_type=ELEM_PARAGRAPH,
                     markdown=item,
                     text=inline_text(item),
                 )
+                k += 1
             previous_was_break = False
             i = j
             continue
@@ -245,12 +249,26 @@ def _parse_blocks(ctx: _Ctx, lines: List[str], path: List[int], top_level: bool)
             i = j
             continue
 
-        # Paragraph (may be an image-only paragraph or a footer).
+        # Paragraph (may be an image-only paragraph or a footer). Lists,
+        # quotes, fences, and tables interrupt a paragraph even without a
+        # blank line (CommonMark interruption rules).
+        def interrupts(k: int) -> bool:
+            ln = lines[k]
+            return bool(
+                _ATX_RE.match(ln)
+                or (_BREAK_RE.match(ln.strip()) and not _LIST_ITEM_RE.match(ln))
+                or (k > i and _LIST_ITEM_RE.match(ln))
+                or (k > i and ln.lstrip().startswith(">"))
+                or (k > i and _FENCE_RE.match(ln))
+                or (
+                    k > i and "|" in ln and k + 1 < n
+                    and _TABLE_SEP_RE.match(lines[k + 1]) and "|" in lines[k + 1]
+                )
+            )
+
         j = i
         para: List[str] = []
-        while j < n and lines[j].strip() and not _ATX_RE.match(lines[j]) and not (
-            _BREAK_RE.match(lines[j].strip()) and not _LIST_ITEM_RE.match(lines[j])
-        ):
+        while j < n and lines[j].strip() and not interrupts(j):
             para.append(lines[j])
             j += 1
         block_md = "\n".join(para)

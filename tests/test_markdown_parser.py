@@ -129,5 +129,26 @@ def test_code_fence_is_paragraph_with_code_text():
     assert para["markdown"].startswith("```py")
 
 
+def test_empty_list_item_skipped():
+    rows = parse_markdown("# T\n\n- first\n- \n- third\n", "l")
+    items = [r for r in rows if len(r["section_path"]) == 3]
+    assert [r["markdown"] for r in items] == ["first", "third"]
+
+
+def test_list_interrupts_paragraph():
+    rows = parse_markdown("para\n- item one\n- item two\n", "p")
+    assert types(rows) == ["section", "paragraph", "section", "paragraph", "paragraph"]
+    assert rows[1]["markdown"] == "para"
+    assert rows[3]["markdown"] == "item one"
+
+
+def test_quote_and_table_interrupt_paragraph():
+    rows = parse_markdown("para\n> quoted\n", "p")
+    assert types(rows) == ["section", "paragraph", "section", "paragraph"]
+    rows = parse_markdown("para\n| a | b |\n| --- | --- |\n| 1 | 2 |\n", "p")
+    assert types(rows) == ["section", "paragraph", "table"]
+    assert rows[2]["table_cells"] == [["a", "b"], ["1", "2"]]
+
+
 def test_inline_text():
     assert inline_text("**bold** and [link](http://x) and `code`") == "bold and link and code"

@@ -118,6 +118,30 @@ def test_search_self_match(spark, tmp_path):
     assert dot[0]["documentid"] == "x"
 
 
+def test_token_chunk_text_no_trailing_loss(spark):
+    # n ≡ 1 (mod stride) with overlap 0 must still cover the last token
+    text = " ".join(f"w{i}" for i in range(65))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = token_chunk_text(df, max_tokens=64, overlap=0).orderBy("chunk_seq").collect()
+    assert len(chunks) == 2
+    assert chunks[1].content == "w64"
+    assert " ".join(c.content for c in chunks) == text
+
+
+def test_pipeline_fused_guards(spark):
+    import pytest
+
+    from dataingestion_spark.pipeline import IngestionPipeline
+    from dataingestion_spark.sources.tabular import read_delimited
+
+    with pytest.raises(ValueError):
+        IngestionPipeline(chunker=lambda df: df, chunk_doc_fn=lambda rows: [])
+    with pytest.raises(ValueError):
+        IngestionPipeline(reader=read_delimited, chunk_doc_fn=lambda rows: [])
+    with pytest.raises(ValueError):
+        IngestionPipeline(doc_processors=[lambda df: df], chunk_doc_fn=lambda rows: [])
+
+
 def test_token_chunk_text_relational(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     chunks = token_chunk_text(docs, max_tokens=64, overlap=16)
