@@ -8,8 +8,9 @@ in whole-stage codegen (zip_with/aggregate — no Python in the hot path).
 
 Scale design:
 * brute-force top-k broadcasts the (small) query set and makes ONE pass over
-  the corpus — per-partition partial top-k, then a final k-way merge; no
-  shuffle of the corpus itself;
+  the corpus; ranking is two-phase (per-(query, partition) local top-k, then
+  a global rank over ≤ k×partitions survivors) so no single task ever sorts
+  a whole query's corpus;
 * the ANN path buckets vectors by deterministic random-hyperplane signs
   (md5-derived planes, no RNG state) so the scan touches only matching
   buckets — the IVF-style trade of recall for a ~2^planes fan-in reduction.
@@ -49,7 +50,10 @@ def cosine_sim(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    # zero-norm guard: an all-zero embedding must score 0, not raise
+    # DIVIDE_BY_ZERO under ANSI mode (or rank first as NaN under non-ANSI)
+    denom = na * nb
+    return F.when(denom != 0, dot / denom).otherwise(F.lit(0.0))
 
 
 # DistanceFunction config surface (reference VectorStoreWriterOptions.cs:8-31):
@@ -112,17 +116,32 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 filter_expr: Optional[Column] = None) -> DataFrame:
     """Exact top-k by cosine for each query vector, optional pre-filter.
 
-    The query side is broadcast (small by construction); ranking uses a
-    window per query id with a deterministic tiebreak on corpus id."""
+    The query side is broadcast (small by construction). Ranking is
+    two-phase so no task ever sorts the whole corpus: a per-(query,
+    input-partition) local top-k runs in parallel first, then the global
+    window ranks only ≤ k×partitions survivors per query. Deterministic
+    tiebreak on corpus id in both phases."""
     base = corpus if filter_expr is None else corpus.filter(filter_expr)
     scored = base.crossJoin(F.broadcast(queries)).select(
         F.col(query_id),
         F.col(corpus_id),
         cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("score"),
     )
+    return _rank_topk(scored, k, query_id, corpus_id)
+
+
+def _rank_topk(scored: DataFrame, k: int, query_id: str, corpus_id: str) -> DataFrame:
+    local_w = Window.partitionBy(query_id, "_part").orderBy(
+        F.desc("score"), F.asc(corpus_id)
+    )
+    pruned = (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrk", F.row_number().over(local_w))
+        .filter(F.col("_lrk") <= k)
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", corpus_id, "score")
     )
@@ -240,12 +259,7 @@ def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col(corpus_id),
         cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("score"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", corpus_id, "score")
-    )
+    return _rank_topk(scored, k, query_id, corpus_id)
 
 
 def topk_cosine_ann(corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
@@ -264,9 +278,4 @@ def topk_cosine_ann(corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int
         F.col(corpus_id),
         cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("score"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", corpus_id, "score")
-    )
+    return _rank_topk(scored, k, query_id, corpus_id)

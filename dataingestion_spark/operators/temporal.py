@@ -36,28 +36,42 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     def match(key, dfs):
         import pandas as pd
 
+        out_cols = [f.name for f in out_fields]
         lpdf, rpdf = dfs
         if len(lpdf) == 0:
-            return pd.DataFrame(columns=[f.name for f in out_fields])
-        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+            return pd.DataFrame(columns=out_cols)
         take = [right_ts] + right_cols
-        if len(rpdf) == 0:
-            out = lpdf.copy()
+
+        def no_match(left_part):
+            out = left_part.copy()
             for c in take:
                 out[c + suffix] = None
-            return out[[f.name for f in out_fields]]
+            return out[out_cols]
+
+        # merge_asof raises on null keys: null-ts left rows pass through
+        # unmatched; null-ts right rows can never be "latest" and are dropped
+        lnull = lpdf[lpdf[left_ts].isna()]
+        lpdf = lpdf[lpdf[left_ts].notna()].sort_values(left_ts, kind="mergesort")
+        rpdf = rpdf[rpdf[right_ts].notna()]
+        if len(rpdf) == 0:
+            return pd.concat([no_match(lpdf), no_match(lnull)], ignore_index=True)
         # Suffix right columns up front: merge_asof collapses identically
         # named join keys into one column, which would lose right.ts.
+        # Secondary sort on the value columns makes the pick deterministic
+        # when several right rows share a timestamp (merge_asof takes the
+        # last sorted row = the max by the tiebreak).
         rpdf = (
             rpdf[take]
             .rename(columns={c: c + suffix for c in take})
-            .sort_values(right_ts + suffix, kind="mergesort")
+            .sort_values([c + suffix for c in take], kind="mergesort")
         )
         merged = pd.merge_asof(
             lpdf, rpdf, left_on=left_ts, right_on=right_ts + suffix,
             direction="backward",
         )
-        return merged[[f.name for f in out_fields]]
+        if len(lnull):
+            merged = pd.concat([merged[out_cols], no_match(lnull)], ignore_index=True)
+        return merged[out_cols]
 
     return (
         left.groupBy(on)

@@ -32,11 +32,14 @@ from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-N_BUCKETS = 64
+from .vector_store import N_BUCKETS  # single source for the layout constant
+
 _CURRENT = "_CURRENT"
 
 
 def _bucket_col() -> F.Column:
+    # must stay identical to vector_store.build_vector_records' doc_bucket
+    # and get_document's zlib.crc32 — all three derive from N_BUCKETS above
     return (F.crc32(F.col("documentid").cast("binary")) % N_BUCKETS).cast("int")
 
 
@@ -65,25 +68,35 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def _commit(table: str, version: int, buckets: Dict[str, List[str]],
-            expected_current: Optional[int] = None) -> None:
+            expected_current: Optional[int] = None) -> int:
     """Optimistic-concurrency commit: the manifest file itself is the lock —
-    ``open(..., 'x')`` fails if a racing writer already claimed this version,
-    and the _CURRENT swap only happens after winning that race."""
-    if expected_current is not None and current_version(table) != expected_current:
-        raise ConcurrentWriteError(
-            f"table advanced past version {expected_current}; retry the write"
-        )
-    try:
-        with open(_manifest_path(table, version), "x") as fh:
-            json.dump({"version": version, "buckets": buckets}, fh)
-    except FileExistsError as e:
-        raise ConcurrentWriteError(
-            f"version {version} was committed concurrently; retry the write"
-        ) from e
+    ``open(..., 'x')`` fails if a racing writer already claimed that version.
+
+    An existing manifest while _CURRENT still equals ``expected_current`` is
+    an ORPHAN from a crashed writer (created but never swapped in); the
+    commit skips past it to the next free version number instead of wedging
+    the table — version numbers may therefore have gaps. Returns the version
+    actually committed."""
+    while True:
+        if expected_current is not None and current_version(table) != expected_current:
+            raise ConcurrentWriteError(
+                f"table advanced past version {expected_current}; retry the write"
+            )
+        try:
+            with open(_manifest_path(table, version), "x") as fh:
+                json.dump({"version": version, "buckets": buckets}, fh)
+            break
+        except FileExistsError:
+            if current_version(table) != expected_current:
+                raise ConcurrentWriteError(
+                    f"version {version} was committed concurrently; retry the write"
+                ) from None
+            version += 1  # orphaned manifest from a crashed writer — skip it
     tmp = os.path.join(table, f"_CURRENT.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         fh.write(str(version))
     os.replace(tmp, os.path.join(table, _CURRENT))  # atomic swap
+    return version
 
 
 def _write_bucket_files(records: DataFrame, table: str, token: str) -> Dict[str, List[str]]:
@@ -123,8 +136,7 @@ def write_table(records: DataFrame, table: str) -> int:
     token = uuid.uuid4().hex[:8]
     buckets = _write_bucket_files(records, table, token)
     version = 0 if cv is None else cv + 1
-    _commit(table, version, buckets, expected_current=cv)
-    return version
+    return _commit(table, version, buckets, expected_current=cv)
 
 
 def read_table(spark, table: str, version: Optional[int] = None) -> DataFrame:
@@ -173,9 +185,8 @@ def incremental_replace(records: DataFrame, table: str) -> int:
         b: names for b, names in manifest["buckets"].items() if b not in affected
     }
     buckets.update(new_buckets)
-    version = manifest["version"] + 1
-    _commit(table, version, buckets, expected_current=manifest["version"])
-    return version
+    return _commit(table, manifest["version"] + 1, buckets,
+                   expected_current=manifest["version"])
 
 
 def append_table(records: DataFrame, table: str) -> int:
@@ -192,9 +203,8 @@ def append_table(records: DataFrame, table: str) -> int:
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     for b, names in new_buckets.items():
         buckets.setdefault(b, []).extend(names)
-    version = manifest["version"] + 1
-    _commit(table, version, buckets, expected_current=manifest["version"])
-    return version
+    return _commit(table, manifest["version"] + 1, buckets,
+                   expected_current=manifest["version"])
 
 
 def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
@@ -219,24 +229,31 @@ def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
         b: names for b, names in manifest["buckets"].items() if b not in to_compact
     }
     buckets.update(new_buckets)
-    version = manifest["version"] + 1
-    _commit(table, version, buckets, expected_current=manifest["version"])
-    return version
+    return _commit(table, manifest["version"] + 1, buckets,
+                   expected_current=manifest["version"])
 
 
 def vacuum(table: str, keep_versions: int = 1) -> List[str]:
     """Delete files unreachable from the newest ``keep_versions`` manifests
-    (and drop older manifests). Never touches the live version."""
+    and drop manifests older than them. Versions ABOVE the live one (a
+    racing writer's in-flight commit, or a crashed writer's orphan) are left
+    untouched, files included — vacuum must never destroy a commit that may
+    be about to win the _CURRENT swap."""
     live = current_version(table)
     if live is None:
         return []
     keep = set()
-    kept_versions = list(range(max(0, live - keep_versions + 1), live + 1))
-    for v in kept_versions:
+    kept_versions = set(range(max(0, live - keep_versions + 1), live + 1))
+    on_disk = [
+        int(e.split("-")[1].split(".")[0])
+        for e in os.listdir(table) if e.startswith("manifest-")
+    ]
+    protected = kept_versions | {v for v in on_disk if v > live}
+    for v in sorted(protected):
         try:
             m = read_manifest(table, v)
-        except FileNotFoundError:
-            continue
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue  # half-written orphan: keeps nothing, stays on disk
         for names in m["buckets"].values():
             keep.update(names)
     removed = []
@@ -245,9 +262,7 @@ def vacuum(table: str, keep_versions: int = 1) -> List[str]:
         if name not in keep:
             os.remove(os.path.join(files_dir, name))
             removed.append(name)
-    for entry in os.listdir(table):
-        if entry.startswith("manifest-"):
-            v = int(entry.split("-")[1].split(".")[0])
-            if v not in kept_versions:
-                os.remove(os.path.join(table, entry))
+    for v in on_disk:
+        if v not in protected:
+            os.remove(_manifest_path(table, v))
     return removed

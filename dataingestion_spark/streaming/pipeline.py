@@ -73,13 +73,22 @@ def stream_ingest(spark, input_dir: str, table_path: str,
 
 def stream_events_windowed(spark, events_dir: str, window: str = "5 minutes",
                            slide: str = "5 minutes", watermark: str = "10 minutes",
-                           query_name: str = "events_windowed"):
+                           query_name: str = "events_windowed",
+                           glob: str = "events*.parquet"):
     """Watermarked tumbling/sliding window counts+sums per event_type into an
-    in-memory sink (smoke-testable with availableNow + processAllAvailable)."""
+    in-memory sink (smoke-testable with availableNow + processAllAvailable).
+
+    ``glob`` selects the event files inside ``events_dir`` (the driver's sf
+    dirs mix several tables in one directory — widen it for a dedicated
+    events directory). Note two inherent semantics: (1) append output mode
+    only emits windows the watermark has passed, so the final
+    ``watermark``-worth of data stays unflushed when the stream ends — by
+    design for late-data correctness; (2) reading TIMESTAMP(NANOS) parquet
+    requires the session-wide nanosAsLong flag, which this function sets."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(events_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )

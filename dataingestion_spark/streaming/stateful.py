@@ -41,13 +41,15 @@ def _update(key, pdfs, state: GroupState):
 
 
 def stream_user_running_stats(spark, events_dir: str,
-                              query_name: str = "user_running_stats"):
+                              query_name: str = "user_running_stats",
+                              glob: str = "events*.parquet"):
     """events file-stream → per-user cumulative (count, sum) via GroupState;
-    each micro-batch emits the updated totals for the users it touched."""
+    each micro-batch emits the updated totals for the users it touched.
+    ``glob`` selects event files within the directory (sf dirs mix tables)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

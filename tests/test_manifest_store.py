@@ -152,6 +152,23 @@ def test_concurrent_commit_detected(spark, tmp_path):
                    expected_current=manifest["version"])
 
 
+def test_orphaned_manifest_does_not_wedge_table(spark, tmp_path):
+    import os
+
+    table = str(tmp_path / "t7")
+    ms.write_table(records_df(spark, {"a": ["a0"]}), table)
+    # crashed writer: manifest created, _CURRENT never swapped
+    open(os.path.join(table, "manifest-000001.json"), "w").write("{corrupt")
+    v = ms.incremental_replace(records_df(spark, {"a": ["a1"]}), table)
+    assert v == 2  # skipped the orphan instead of raising forever
+    assert {r.content for r in ms.read_table(spark, table).collect()} == {"a1"}
+    # a stale orphan BELOW the live version is garbage — vacuum removes it
+    # (only versions above live are protected as possibly in-flight)
+    ms.vacuum(table, keep_versions=1)
+    assert not os.path.exists(os.path.join(table, "manifest-000001.json"))
+    assert ms.read_table(spark, table).count() == 1
+
+
 def test_first_incremental_on_empty_table(spark, tmp_path):
     table = str(tmp_path / "t4")
     v = ms.incremental_replace(records_df(spark, {"z": ["z0"]}), table)

@@ -184,6 +184,27 @@ def test_ann_recall_against_exact(spark):
     assert exact.filter(F.col("rank") == 1).count() == 3
 
 
+def test_cosine_zero_vector_and_asof_nulls(spark):
+    from dataingestion_spark.operators.similarity import cosine_sim
+    from dataingestion_spark.operators.temporal import asof_join
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 2.0])], "id long, v array<double>"
+    )
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    scores = {r.id: r.s for r in df.select("id", cosine_sim(F.col("v"), q).alias("s")).collect()}
+    assert scores[1] == 0.0  # zero-norm vector scores 0, no ANSI divide error
+
+    l = spark.createDataFrame([(1, 10, "a"), (1, None, "b")],
+                              "user_id long, ts long, event_id string")
+    r = spark.createDataFrame([(1, 5, 7.0), (1, None, 9.0)],
+                              "user_id long, ts long, value double")
+    out = {row.event_id: row for row in asof_join(l, r, on="user_id",
+                                                  right_cols=["value"]).collect()}
+    assert out["a"].value_right == 7.0
+    assert out["b"].value_right is None  # null-ts left row passes through
+
+
 def test_ivf_recall_against_exact(spark):
     from dataingestion_spark.operators.similarity import topk_cosine_ivf
 
