@@ -587,7 +587,8 @@ def q_doc_token_counts(spark, sf):
 _BPE = text_analysis.BPEISH_PATTERN.replace("'", "''")
 ORACLE_TOKEN_COUNTS = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_words,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_words,
   CAST(len(regexp_extract_all(text, '{_BPE}')) AS INT) AS n_tokens_bpeish,
   CAST(length(text) AS INT) AS n_chars
 FROM documents
@@ -635,18 +636,18 @@ WITH base AS (
   FROM documents),
 m AS (
   SELECT doc_id,
-    CAST(len(w) AS INT) AS n_words,
+    CAST(CASE WHEN n_chars = 0 OR length(trim(text)) = 0 THEN 0 ELSE len(w) END AS INT) AS n_words,
     CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INT) AS alpha_chars,
     CAST(len(list_filter(w, x -> x IN ({_EN_STOP}))) AS INT) AS sw,
     n_chars
   FROM base)
 SELECT doc_id, n_words,
-  round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS mean_word_len,
+  round(CAST(n_chars - greatest(n_words - 1, 0) AS DOUBLE) / greatest(n_words, 1), 6) AS mean_word_len,
   round(CAST(alpha_chars AS DOUBLE) / greatest(n_chars, 1), 6) AS alpha_ratio,
   round(CAST(sw AS DOUBLE) / greatest(n_words, 1), 6) AS stopword_ratio,
   round(0.3 * (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
-      + 0.2 * (CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 2.0
-                     AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 12.0 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (CASE WHEN CAST(n_chars - greatest(n_words - 1, 0) AS DOUBLE) / greatest(n_words, 1) >= 2.0
+                     AND CAST(n_chars - greatest(n_words - 1, 0) AS DOUBLE) / greatest(n_words, 1) <= 12.0 THEN 1.0 ELSE 0.0 END)
       + 0.3 * (CAST(alpha_chars AS DOUBLE) / greatest(n_chars, 1))
       + 0.2 * least(CAST(sw AS DOUBLE) / greatest(n_words, 1) * 5, 1.0), 6) AS quality
 FROM m

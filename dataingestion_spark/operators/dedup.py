@@ -55,7 +55,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     cheapest possible full-corpus dedup (hash is computed map-side, the
     shuffle carries only (hash, id))."""
     hashed = df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).alias(id_col),
         F.md5(normalized(F.col(text_col))).alias("content_hash"),
     )
     groups = hashed.groupBy("content_hash").agg(
@@ -82,7 +82,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     size. (An array-native transform-per-hash variant inlines the shingle
     expression num_hashes times and blows up codegen — measured 25× slower.)"""
     exploded = df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).alias(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
     aggs = [
@@ -155,7 +155,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     if candidates is None:
         candidates = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
     sets = df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).alias(id_col),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).localCheckpoint(eager=False)  # reused by both sides of the pair join
     a = sets.alias("a")
@@ -186,7 +186,7 @@ def cross_doc_shingle_stats(df: DataFrame, text_col: str = "text",
     point) and a per-doc ratio join. Output: (doc_id, n_shingles,
     n_shared, shared_ratio)."""
     shingles = df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).alias(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
     global_counts = shingles.groupBy("sh").agg(
@@ -222,7 +222,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         # every partial sum in range (bits=64+ can't fit LongType at all)
         raise ValueError("bits must be a multiple of 4, at most 60")
     words = df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).alias(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
     )
     h = F.md5(F.col("w"))
@@ -319,7 +319,7 @@ def embedding_neardup_lsh(df: DataFrame, vec_col: str = "embedding",
     value derived from md5(p:d) — reproducible everywhere, no RNG state."""
     from .similarity import cosine_sim, hyperplane_bucket
 
-    v = df.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias("v"))
+    v = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias("v"))
     dim = len(df.select(vec_col).first()[0])
     bucketed = v.withColumn("bucket", hyperplane_bucket(F.col("v"), dim, planes))
     a, b = bucketed.alias("a"), bucketed.alias("b")

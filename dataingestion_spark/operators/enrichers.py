@@ -155,8 +155,21 @@ def image_alt_text_enricher(elements_df: DataFrame,
             F.length(F.col("image_content")).cast("string"),
             F.lit(" bytes)"),
         )
-    else:
-        caption = _batched_udf(caption_fn, "string")(F.col("image_content"))
-    return elements_df.withColumn(
-        "image_alt_text", F.when(needs, caption).otherwise(F.col("image_alt_text"))
+        return elements_df.withColumn(
+            "image_alt_text", F.when(needs, caption).otherwise(F.col("image_alt_text"))
+        )
+    # A Python UDF inside when() is EXTRACTED by Catalyst and evaluated on
+    # every row (nulls included) — the model must only ever see the filtered
+    # image rows, so caption them separately and join back on (doc_id, seq).
+    captions = (
+        elements_df.filter(needs)
+        .select(
+            "doc_id", "seq",
+            _batched_udf(caption_fn, "string")(F.col("image_content")).alias("_cap"),
+        )
+    )
+    return (
+        elements_df.join(captions, ["doc_id", "seq"], "left")
+        .withColumn("image_alt_text", F.coalesce(F.col("image_alt_text"), F.col("_cap")))
+        .drop("_cap")
     )

@@ -47,6 +47,7 @@ def probe_image(data: bytes) -> dict:
     elif data[:2] == b"BM" and len(data) >= 26:
         fmt = "bmp"
         width, height = struct.unpack("<ii", data[18:26])
+        height = abs(height)  # top-down BMPs store a negative biHeight
     elif data[:3] == b"\xff\xd8\xff":
         fmt = "jpeg"  # scanning SOF frames needs a real decoder
     return {

@@ -30,7 +30,9 @@ def remove_elements(elements_df, should_remove: Column, cascade_empty_sections: 
     """Drop leaf elements matching ``should_remove``; optionally cascade away
     sections left without any leaf descendant."""
     is_section = F.col("elem_type") == ELEM_SECTION
-    kept = elements_df.filter(is_section | ~should_remove)
+    # coalesce: a predicate that evaluates NULL (e.g. comparing a nullable
+    # markdown column) must mean "keep", not three-valued-logic "drop"
+    kept = elements_df.filter(is_section | ~F.coalesce(should_remove, F.lit(False)))
     if not cascade_empty_sections:
         return kept
 

@@ -33,9 +33,12 @@ def _words(col: Column) -> Column:
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace word count + BPE-ish subword count per document."""
+    empty = F.length(F.trim(F.col(text_col))) == 0
     return df.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_words"),
+        F.col(id_col).alias(id_col),
+        F.when(empty, 0).otherwise(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("n_words"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPEISH_PATTERN), 0)).alias(
             "n_tokens_bpeish"
         ),
@@ -61,7 +64,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     for lang in reversed(langs):
         pick = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pick)
     return df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).alias(id_col),
         pick.alias("detected_lang"),
         best.cast("int").alias("stopword_hits"),
     )
@@ -73,11 +76,11 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     rules), emitted as columns plus a [0,1] composite score."""
     text = F.col(text_col)
     words = _words(text)
-    n_words = F.size(words)
+    n_words = F.when(F.length(F.trim(text)) == 0, 0).otherwise(F.size(words))
     n_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(F.lower(text), r"[^a-z]", ""))
     sw = F.size(F.filter(words, lambda x: x.isin(*STOPWORDS["en"])))
-    mean_word_len = (n_chars - (n_words - 1)) / n_words  # chars minus separators
+    mean_word_len = (n_chars - F.greatest(n_words - 1, F.lit(0))) / F.greatest(n_words, F.lit(1))
     alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
     stop_ratio = sw / F.greatest(n_words, F.lit(1))
     length_ok = F.when((n_words >= 20) & (n_words <= 100000), 1.0).otherwise(0.0)
@@ -87,7 +90,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         6,
     )
     return df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).alias(id_col),
         n_words.alias("n_words"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -97,11 +100,15 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 # RE2-safe patterns (no lookaround) so any engine applies them identically.
+# ORDER MATTERS: the broad phone pattern would otherwise consume SSN-shaped
+# ids and dotted-quad IPs before their specific patterns run. Dates like
+# 2026-08-13 still match the phone shape — a known false positive shared by
+# most regex scrubbers; prefer over-redaction for this operator.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
-    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     ("ssn_like", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
 ]
 
 
@@ -118,7 +125,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).alias(id_col),
         scrubbed.alias("text_scrubbed"),
         *counts,
     )
@@ -132,7 +139,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     sh = word_shingles(F.col(text_col), shingle_n)
     return df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).alias(id_col),
         F.md5(normalized(F.col(text_col))).alias("content_md5"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_md5"),
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 
 from .operators.chunkers import ChunkerOptions, header_chunker, parse_and_chunk
 from .sinks.vector_store import write_vector_table
-from .sources.markdown import read_markdown
+from .sources.markdown import binary_file_scan, read_markdown
 
 
 class IngestionPipeline:
@@ -67,15 +67,15 @@ class IngestionPipeline:
 
     def chunks(self, spark, source, **reader_kwargs) -> DataFrame:
         if self.chunk_doc_fn is not None:
-            files = (
-                spark.read.format("binaryFile")
-                .option("pathGlobFilter", reader_kwargs.get("glob", "*.md"))
-                .option(
-                    "recursiveFileLookup",
-                    str(reader_kwargs.get("recursive", False)).lower(),
+            unknown = set(reader_kwargs) - {"glob", "recursive"}
+            if unknown:
+                raise TypeError(
+                    f"fused path supports glob/recursive only; got {sorted(unknown)}"
                 )
-                .load(str(source))
-                .select("path", "content")
+            files = binary_file_scan(
+                spark, source,
+                glob=reader_kwargs.get("glob", "*.md"),
+                recursive=reader_kwargs.get("recursive", False),
             )
             df = parse_and_chunk(files, self.chunk_doc_fn, id_col="path",
                                  content_col="content")
@@ -89,6 +89,11 @@ class IngestionPipeline:
             **reader_kwargs) -> None:
         chunks = self.chunks(spark, source, **reader_kwargs)
         if self.writer is not None:
+            if incremental:
+                raise ValueError(
+                    "incremental=True has no effect with a custom writer; "
+                    "implement the replace inside the writer instead"
+                )
             self.writer(chunks)
         else:
             write_vector_table(chunks, output_path, incremental=incremental)

@@ -130,6 +130,9 @@ def _write_bucket_files(records: DataFrame, table: str, token: str) -> Dict[str,
 
 def write_table(records: DataFrame, table: str) -> int:
     """Full (over)write as version 0... n+1; returns the committed version."""
+    from .vector_store import _require_local_path
+
+    _require_local_path(table, "manifest_store")
     os.makedirs(table, exist_ok=True)
     records = records.withColumn("doc_bucket", _bucket_col())
     cv = current_version(table)

@@ -75,11 +75,24 @@ def build_vector_records(chunks_df: DataFrame,
     )
 
 
+def _require_local_path(path: str, op: str) -> None:
+    """The parquet writers manage files with os-level primitives (listdir,
+    rename); a remote URI would silently skip the existence check and turn
+    an incremental write into a destructive overwrite. Refuse loudly."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"{op} manages files locally; got scheme '{scheme}'. Use a "
+            "fuse mount, or a transactional table format for object storage."
+        )
+
+
 def write_vector_table(chunks_df: DataFrame, path: str,
                        embed: Optional[Callable[[Column], Column]] = None,
                        incremental: bool = False,
                        deterministic_keys: bool = False) -> None:
     """Write (or incrementally replace-by-document into) the vector table."""
+    _require_local_path(path, "write_vector_table")
     spark = chunks_df.sparkSession
     records = build_vector_records(chunks_df, embed, deterministic_keys)
     exists = os.path.isdir(path) and any(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from typing import Iterator, List, Optional
 
 from ..model import ELEMENTS_SCHEMA, element_row
-from .markdown import parse_markdown
+from .markdown import binary_file_scan, parse_markdown
 
 # ---------------------------------------------------------------------------
 # MarkItDown: office formats → markdown → the markdown element parser
@@ -48,13 +48,7 @@ def read_markitdown(spark, path, glob: str = "*", recursive: bool = False):
             "MarkItDownReader needs the 'markitdown' package; convert files "
             "to markdown out-of-band and use read_markdown(), or install it."
         )
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", str(recursive).lower())
-        .load(str(path))
-        .select("path", "content")
-    )
+    files = binary_file_scan(spark, path, glob, recursive)
 
     def run(batches) -> Iterator:
         import io

@@ -310,19 +310,28 @@ def _parse_blocks(ctx: _Ctx, lines: List[str], path: List[int], top_level: bool)
     _ = top_level  # footers may appear in nested blocks too; kept for clarity
 
 
-def read_markdown(spark, path, glob: str = "*.md", recursive: bool = False):
-    """Scan ``path`` with the distributed binaryFile source and parse each
-    file into ``elements`` rows. Counterpart of directory ingestion
-    (``IngestionPipeline.cs:47-85``) with cross-file parallelism for free.
-    """
-    files = (
+def binary_file_scan(spark, path, glob: str = "*", recursive: bool = False):
+    """Shared distributed file scan: (path, content) rows."""
+    return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", str(recursive).lower())
         .load(str(path))
         .select("path", "content")
     )
-    return parse_markdown_df(files, id_col="path", content_col="content")
+
+
+def read_markdown(spark, path, glob: str = "*.md", recursive: bool = False,
+                  on_error: str = "fail"):
+    """Scan ``path`` with the distributed binaryFile source and parse each
+    file into ``elements`` rows. Counterpart of directory ingestion
+    (``IngestionPipeline.cs:47-85``) with cross-file parallelism for free.
+    ``on_error='skip'`` drops undecodable/empty files instead of failing the
+    job (one zero-byte file must not abort a 10k-file ingest).
+    """
+    files = binary_file_scan(spark, path, glob, recursive)
+    return parse_markdown_df(files, id_col="path", content_col="content",
+                             on_error=on_error)
 
 
 def read_markdown_urls(spark, urls, timeout: int = 30, on_error: str = "fail"):

@@ -45,15 +45,12 @@ def parse_delimited(content: str, doc_id: str, sep: str = ",") -> List[dict]:
 
 
 def read_delimited(spark, path, sep: str = ",", glob: str = "*.csv",
-                   recursive: bool = False):
-    """Distributed csv/tsv → elements scan (binaryFile + mapInPandas)."""
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", str(recursive).lower())
-        .load(str(path))
-        .select("path", "content")
-    )
+                   recursive: bool = False, on_error: str = "fail"):
+    """Distributed csv/tsv → elements scan (binaryFile + mapInPandas).
+    ``on_error='skip'`` drops unparseable/empty files instead of failing."""
+    from .markdown import binary_file_scan
+
+    files = binary_file_scan(spark, path, glob, recursive)
 
     def run(batches) -> Iterator:
         import pandas as pd
@@ -63,7 +60,11 @@ def read_delimited(spark, path, sep: str = ",", glob: str = "*.csv",
             out: List[dict] = []
             for doc_id, raw in zip(pdf["path"], pdf["content"]):
                 text = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
-                out.extend(parse_delimited(text, str(doc_id), sep))
+                try:
+                    out.extend(parse_delimited(text, str(doc_id), sep))
+                except Exception:
+                    if on_error == "fail":
+                        raise
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
     return files.mapInPandas(run, schema=ELEMENTS_SCHEMA)
