@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional, Sequence
 
+import pandas as pd  # module-level: PySpark resolves UDF type hints here
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 TOKEN_SPLIT = r"\s+"
@@ -38,13 +40,13 @@ def _words(col: Column) -> Column:
 
 
 def _batched_udf(fn: Callable[[List[str]], List], out_type: str):
-    import pandas as pd
-
-    @F.pandas_udf(out_type)
-    def udf(s: "pd.Series") -> "pd.Series":
+    # NB: `from __future__ import annotations` stringifies the hints and
+    # PySpark resolves them via the module's globals — pandas must be
+    # importable there as `pd`, not inside this function.
+    def udf(s: pd.Series) -> pd.Series:
         return pd.Series(fn(s.tolist()))
 
-    return udf
+    return F.pandas_udf(udf, out_type)
 
 
 def summary_enricher(df: DataFrame, content_col: str = "content",

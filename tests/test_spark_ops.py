@@ -51,6 +51,66 @@ def test_remove_footers_and_cascade(spark):
     assert sections == 1  # root only — the emptied quote section cascaded away
 
 
+def test_removal_null_predicate_keeps_rows(spark):
+    from dataingestion_spark.sources.api_readers import adi_result_to_elements
+    from dataingestion_spark.model import ELEMENTS_SCHEMA
+
+    # ADI figures have markdown=None; a markdown-comparing predicate must
+    # not drop them via three-valued logic
+    rows = adi_result_to_elements(
+        {"content": "x", "paragraphs": [{"content": "keep me"}],
+         "figures": [{"caption": {"content": "fig"}}],
+         "sections": [{"elements": ["/paragraphs/0", "/figures/0"]}]},
+        "adi",
+    )
+    el = spark.createDataFrame(rows, ELEMENTS_SCHEMA)
+    out = remove_elements(el, F.col("markdown") == "DRAFT")
+    assert out.filter(F.col("elem_type") == "image").count() == 1
+
+
+def test_image_alt_caption_model_sees_only_images(spark):
+    from dataingestion_spark.operators.enrichers import image_alt_text_enricher
+
+    el = md_df(spark, {"a": "# H\n\npara one\n\npara two\n\npara three"})
+    png = b"\x89PNG\r\n\x1a\n" + b"x" * 16
+    import base64
+
+    img_doc = md_df(spark, {
+        "b": f"![](data:image/png;base64,{base64.b64encode(png).decode()})"
+    })
+    both = el.unionByName(img_doc)
+
+    def caption(batch):
+        # the model must never receive null bytes from non-image rows
+        assert all(b is not None for b in batch)
+        return [f"cap-{len(bytes(b))}" for b in batch]
+
+    out = image_alt_text_enricher(both, caption_fn=caption)
+    alts = [r.image_alt_text for r in out.filter(F.col("elem_type") == "image").collect()]
+    assert alts == [f"cap-{len(png)}"]
+    assert out.count() == both.count()  # join-back preserves every row
+
+
+def test_enricher_custom_model_path(spark):
+    from dataingestion_spark.operators.enrichers import keyword_enricher, summary_enricher
+
+    df = spark.createDataFrame([("c1", "some content here")], "chunk_id string, content string")
+    out = summary_enricher(df, chat_fn=lambda texts: [t[:4].upper() for t in texts])
+    assert out.first()["summary"] == "SOME"
+    out2 = keyword_enricher(df, chat_fn=lambda texts: [["kw1", "kw2"] for _ in texts])
+    assert out2.first()["keywords"] == ["kw1", "kw2"]
+
+
+def test_writer_local_path_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame([("c", "d", 0, "x", None, None)],
+                               "chunk_id string, doc_id string, chunk_seq int, "
+                               "content string, context string, metadata map<string,string>")
+    with pytest.raises(NotImplementedError):
+        write_vector_table(df, "s3://bucket/table", incremental=True)
+
+
 def test_writer_incremental_replace(spark, tmp_path):
     path = str(tmp_path / "vt")
     el = md_df(spark, {"a": "# A\n\nalpha body", "b": "# B\n\nbeta body"})
