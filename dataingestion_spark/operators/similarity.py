@@ -97,17 +97,51 @@ def plane_component(p: int, d: int) -> Column:
     return (byte / F.lit(128.0)) - 1.0
 
 
-def hyperplane_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
-    """Sign-bit bucket id of ``vec`` against ``planes`` deterministic
-    hyperplanes (random-projection LSH)."""
-    bits = []
+def _plane_dots(vec: Column, dim: int, planes: int) -> list:
+    """Projection of ``vec`` onto each deterministic hyperplane."""
+    dots = []
     for p in range(planes):
         dot = None
         for d in range(dim):
             term = vec[d].cast("double") * plane_component(p, d)
             dot = term if dot is None else dot + term
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+        dots.append(dot)
+    return dots
+
+
+def hyperplane_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
+    """Sign-bit bucket id of ``vec`` against ``planes`` deterministic
+    hyperplanes (random-projection LSH)."""
+    bits = [
+        F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p)
+        for p, dot in enumerate(_plane_dots(vec, dim, planes))
+    ]
     return sum(bits).cast("long")
+
+
+def hyperplane_probes(vec: Column, dim: int, planes: int = 16,
+                      extra: int = 0) -> Column:
+    """Multiprobe bucket array: the vector's own bucket plus the ``extra``
+    buckets reached by flipping the hyperplane bits whose projections sit
+    closest to the boundary (smallest |dot| — the classic multiprobe
+    ordering). A near-boundary vector's true neighbors often land just on
+    the other side of exactly those planes, so probing them recovers most
+    of the recall lost to bucketing at ~(1+extra)× the scan cost."""
+    dots = _plane_dots(vec, dim, planes)
+    base = sum(
+        F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p)
+        for p, dot in enumerate(dots)
+    ).cast("long")
+    if extra <= 0:
+        return F.array(base)
+    margins = F.array(*[
+        F.struct(F.abs(dot).alias("m"), F.lit(2 ** p).cast("long").alias("bit"))
+        for p, dot in enumerate(dots)
+    ])
+    flips = F.slice(F.sort_array(margins), 1, min(extra, planes))
+    return F.concat(
+        F.array(base), F.transform(flips, lambda s: base.bitwiseXOR(s["bit"]))
+    )
 
 
 def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -148,13 +182,22 @@ def _rank_topk(scored: DataFrame, k: int, query_id: str, corpus_id: str) -> Data
 
 
 def train_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
-                    corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> list:
-    """Lloyd's k-means on cosine assignments with deterministic stride-sample
-    init (no RNG). Each iteration: one broadcast-assignment pass + one
-    groupBy(cluster) mean — the standard distributed k-means shape. Returns
-    [(centroid_id, vector)] for :func:`topk_cosine_ivf`."""
+                    corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                    init: str = "stride") -> list:
+    """Lloyd's k-means on cosine assignments with deterministic init (no
+    RNG). ``init="stride"`` seeds with every ⌈n/C⌉-th vector by id;
+    ``init="farthest"`` runs Gonzalez farthest-first traversal (the
+    deterministic analog of k-means++ D² seeding: each next seed is the
+    vector least similar to its closest already-chosen seed — spreads seeds
+    across the data, avoiding the near-duplicate seeds a stride sample can
+    pick and the empty/unbalanced lists they cause). Each Lloyd iteration:
+    one broadcast-assignment pass + one groupBy(cluster) mean — the standard
+    distributed k-means shape. Returns [(centroid_id, vector)] for
+    :func:`topk_cosine_ivf`."""
     import numpy as np
 
+    if init not in ("stride", "farthest"):
+        raise ValueError(f"init must be 'stride' or 'farthest', got {init!r}")
     rows = corpus.select(corpus_id, corpus_vec).orderBy(corpus_id).collect() \
         if corpus.count() <= 100_000 else None
     if rows is not None:
@@ -162,8 +205,17 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
         # the same math, without iters× Spark jobs)
         mat = np.array([r[1] for r in rows], dtype=np.float64)
         normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        stride = max(1, len(mat) // n_centroids)
-        cents = normed[::stride][:n_centroids].copy()
+        if init == "farthest":
+            chosen = [0]  # first seed: lowest id (deterministic)
+            best = normed @ normed[0]  # closest-seed similarity per vector
+            for _ in range(1, min(n_centroids, len(normed))):
+                nxt = int(best.argmin())
+                chosen.append(nxt)
+                best = np.maximum(best, normed @ normed[nxt])
+            cents = normed[chosen].copy()
+        else:
+            stride = max(1, len(mat) // n_centroids)
+            cents = normed[::stride][:n_centroids].copy()
         for _ in range(iters):
             sims = normed @ cents.T
             assign = sims.argmax(axis=1)
@@ -177,13 +229,34 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
     # large corpus: distributed iterations
     spark = corpus.sparkSession
     n = corpus.count()
-    stride = max(1, n // n_centroids)
-    cent_rows = (
-        corpus.withColumn("rn", F.row_number().over(Window.orderBy(F.asc(corpus_id))))
-        .filter((F.col("rn") - 1) % stride == 0).limit(n_centroids)
-        .select(F.col(corpus_vec)).collect()
-    )
-    cents = [list(map(float, r[0])) for r in cent_rows]
+    if init == "farthest":
+        # Gonzalez traversal: one corpus scan per seed (C scans total) —
+        # the distributed cost of deterministic spread-out seeding
+        first = corpus.orderBy(F.asc(corpus_id)).select(corpus_vec).first()
+        cents = [list(map(float, first[0]))]
+        for _ in range(1, n_centroids):
+            cdf = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(cents)], ["cid", "cvec"]
+            )
+            far = (
+                corpus.crossJoin(F.broadcast(cdf))
+                .withColumn("csim", cosine_sim(F.col(corpus_vec), F.col("cvec")))
+                .groupBy(corpus_id).agg(
+                    F.max("csim").alias("best"),
+                    F.first(corpus_vec).alias("_v"),
+                )
+                .orderBy(F.asc("best"), F.asc(corpus_id))
+                .select("_v").first()
+            )
+            cents.append(list(map(float, far[0])))
+    else:
+        stride = max(1, n // n_centroids)
+        cent_rows = (
+            corpus.withColumn("rn", F.row_number().over(Window.orderBy(F.asc(corpus_id))))
+            .filter((F.col("rn") - 1) % stride == 0).limit(n_centroids)
+            .select(F.col(corpus_vec)).collect()
+        )
+        cents = [list(map(float, r[0])) for r in cent_rows]
     for _ in range(iters):
         cdf = spark.createDataFrame(
             [(i + 1, v) for i, v in enumerate(cents)], ["centroid_id", "cvec"]
@@ -265,17 +338,27 @@ def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def topk_cosine_ann(corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
                     planes: int = 8, corpus_id: str = "vec_id",
                     corpus_vec: str = "embedding", query_id: str = "query_id",
-                    query_vec: str = "query_vec") -> DataFrame:
-    """ANN top-k: exact ranking restricted to the query's LSH bucket.
+                    query_vec: str = "query_vec", multiprobe: int = 0) -> DataFrame:
+    """ANN top-k: exact ranking restricted to the query's LSH bucket(s).
 
     Recall < 1 by design; raise ``planes`` for smaller buckets (faster, lower
-    recall) or lower it for the reverse. Bucket assignment is a pure
-    projection; the join is an equi-join on bucket id."""
+    recall) or lower it for the reverse. ``multiprobe=m`` additionally scans
+    the m buckets across the query's m most-marginal hyperplanes — recall
+    recovery at ~(1+m)× scan cost, far cheaper than halving ``planes``
+    (which doubles every bucket). Bucket assignment is a pure projection;
+    probing stays an equi-join (queries exploded over their probe list —
+    query side is small by construction, so the explode is negligible)."""
     cb = corpus.withColumn("bucket", hyperplane_bucket(F.col(corpus_vec), dim, planes))
-    qb = queries.withColumn("bucket", hyperplane_bucket(F.col(query_vec), dim, planes))
+    qb = queries.withColumn(
+        "bucket",
+        F.explode(hyperplane_probes(F.col(query_vec), dim, planes, multiprobe)),
+    )
     scored = cb.join(F.broadcast(qb), "bucket").select(
         F.col(query_id),
         F.col(corpus_id),
         cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("score"),
     )
+    # no dedup needed: a corpus vector lives in exactly one bucket and the
+    # probe list never repeats a bucket (base ^ distinct single bits), so
+    # each (query, candidate) pair joins at most once
     return _rank_topk(scored, k, query_id, corpus_id)

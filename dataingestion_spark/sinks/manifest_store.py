@@ -20,6 +20,22 @@ needs:
 Crash-safety ordering matches the reference's insert-before-delete
 (``VectorStoreWriter.cs:76-108``): new files are fully written before the
 manifest swap; nothing is deleted at commit time (``vacuum`` is explicit).
+
+Two scale features on top of the bucket layout (both optional in the
+manifest — older manifests read fine):
+
+* **per-file stats** (``stats``: file → min/max ``documentid`` + row count,
+  harvested from the parquet footers at write time) let point lookups prune
+  to the files whose range can contain the requested ids —
+  :func:`read_documents` reads O(matching files), not O(bucket);
+* **equality deletion vectors** (``deletes``: bucket → delete-file names;
+  ``seq``: file → commit version) make deletes and replaces O(batch):
+  :func:`delete_documents` / ``incremental_replace(mode="dv")`` append a
+  tiny parquet of deleted ``documentid`` s instead of rewriting the bucket.
+  A delete applies only to data files with a STRICTLY SMALLER sequence
+  number (the Iceberg equality-delete rule), so a replace commit can carry
+  both the new rows and the delete vector: same sequence ⇒ the new rows
+  survive. :func:`compact` materialises the deletes and drops the vectors.
 """
 
 from __future__ import annotations
@@ -28,7 +44,8 @@ import json
 import os
 import shutil
 import uuid
-from typing import Dict, List, Optional
+import zlib
+from typing import Dict, Iterable, List, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -67,8 +84,36 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed since this transaction read the table."""
 
 
+def _file_stats(path: str) -> Optional[Dict]:
+    """min/max documentid + row count from the parquet footer (no data read).
+    Returns None when the footer lacks documentid statistics — readers treat
+    a stats-less file as "may contain anything" (no pruning, still correct)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if "documentid" not in idx:
+            return None
+        col = idx["documentid"]
+        mins, maxs, rows = [], [], 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            rows += md.row_group(rg).num_rows
+            if st is None or not st.has_min_max:
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not mins:
+            return {"rows": 0}
+        return {"min": min(mins), "max": max(maxs), "rows": rows}
+    except Exception:
+        return None  # stats are an optimization, never a correctness gate
+
+
 def _commit(table: str, version: int, buckets: Dict[str, List[str]],
-            expected_current: Optional[int] = None) -> int:
+            expected_current: Optional[int] = None,
+            extra: Optional[Dict] = None) -> int:
     """Optimistic-concurrency commit: the manifest file itself is the lock —
     ``open(..., 'x')`` fails if a racing writer already claimed that version.
 
@@ -84,7 +129,8 @@ def _commit(table: str, version: int, buckets: Dict[str, List[str]],
             )
         try:
             with open(_manifest_path(table, version), "x") as fh:
-                json.dump({"version": version, "buckets": buckets}, fh)
+                json.dump({"version": version, "buckets": buckets,
+                           **(extra or {})}, fh)
             break
         except FileExistsError:
             if current_version(table) != expected_current:
@@ -99,10 +145,13 @@ def _commit(table: str, version: int, buckets: Dict[str, List[str]],
     return version
 
 
-def _write_bucket_files(records: DataFrame, table: str, token: str) -> Dict[str, List[str]]:
+def _write_bucket_files(records: DataFrame, table: str, token: str,
+                        stats: Optional[Dict[str, Dict]] = None,
+                        prefix: str = "b") -> Dict[str, List[str]]:
     """Write records (must carry doc_bucket) grouped per bucket; returns
     bucket -> new file names. One parquet file per (bucket, write) — the
-    writer shuffles on doc_bucket so each file is written by one task."""
+    writer shuffles on doc_bucket so each file is written by one task.
+    When ``stats`` is given, each new file's footer stats land in it."""
     staging = os.path.join(table, "staging", token)
     # partition by a shadow copy: partition values live in directory names,
     # not the data files, and readers still need doc_bucket as a column
@@ -119,13 +168,84 @@ def _write_bucket_files(records: DataFrame, table: str, token: str) -> Dict[str,
         for i, part in enumerate(sorted(os.listdir(os.path.join(staging, entry)))):
             if not part.endswith(".parquet"):
                 continue
-            name = f"b{bucket}-{token}-{i}.parquet"
-            os.replace(os.path.join(staging, entry, part), os.path.join(files_dir, name))
+            name = f"{prefix}{bucket}-{token}-{i}.parquet"
+            dest = os.path.join(files_dir, name)
+            os.replace(os.path.join(staging, entry, part), dest)
             out.setdefault(bucket, []).append(name)
+            if stats is not None:
+                st = _file_stats(dest)
+                if st is not None:
+                    stats[name] = st
     # remove only THIS write's staging dir — the parent is shared with any
     # concurrent writers whose in-flight data must survive
     shutil.rmtree(staging, ignore_errors=True)
     return out
+
+
+def _manifest_meta(manifest: Dict) -> Dict:
+    """The optional bookkeeping sections, with defaults for old manifests."""
+    return {
+        "seq": dict(manifest.get("seq", {})),
+        "stats": dict(manifest.get("stats", {})),
+        "deletes": {b: list(v) for b, v in manifest.get("deletes", {}).items()},
+    }
+
+
+def _prune_meta(meta: Dict, buckets: Dict[str, List[str]]) -> Dict:
+    """Drop seq/stats entries for files no longer referenced by ``buckets``
+    or ``meta['deletes']`` so manifests don't grow monotonically."""
+    live = {n for names in buckets.values() for n in names}
+    live |= {n for names in meta["deletes"].values() for n in names}
+    meta["seq"] = {n: s for n, s in meta["seq"].items() if n in live}
+    meta["stats"] = {n: s for n, s in meta["stats"].items() if n in live}
+    meta["deletes"] = {b: v for b, v in meta["deletes"].items() if v}
+    return meta
+
+
+def _read_files(spark, table: str, manifest: Dict,
+                bucket_subset: Optional[Iterable[str]] = None,
+                file_subset: Optional[Iterable[str]] = None) -> DataFrame:
+    """Read data files of the manifest (optionally restricted to buckets /
+    specific files) with equality deletion vectors applied: a delete entry
+    kills rows of data files whose sequence number is STRICTLY SMALLER than
+    the delete file's (Iceberg equality-delete semantics) — rows appended in
+    the same commit as the delete survive."""
+    meta = _manifest_meta(manifest)
+    buckets = manifest["buckets"]
+    sel = set(buckets) if bucket_subset is None else {str(b) for b in bucket_subset}
+    names = [
+        n for b in sorted(sel) for n in buckets.get(b, [])
+        if file_subset is None or n in file_subset
+    ]
+    if not names:
+        raise FileNotFoundError(
+            f"version {manifest['version']} of {table} has no matching files"
+        )
+    files_dir = os.path.join(table, "files")
+    df = spark.read.parquet(*[os.path.join(files_dir, n) for n in names])
+    del_names = [n for b in sorted(sel) for n in meta["deletes"].get(b, [])]
+    if not del_names:
+        return df
+    # file basename -> seq (names are unique by construction); the lit map
+    # is manifest-sized driver data, well under broadcast limits
+    def seq_map(for_names):
+        return F.create_map(*[
+            x for n in for_names
+            for x in (F.lit(n), F.lit(int(meta["seq"].get(n, 0))))
+        ])
+
+    basename = lambda: F.element_at(F.split(F.input_file_name(), "/"), -1)  # noqa: E731
+    df = df.withColumn("_seq", seq_map(names)[basename()])
+    deletes = (
+        spark.read.parquet(*[os.path.join(files_dir, n) for n in del_names])
+        .withColumn("_dseq", seq_map(del_names)[basename()])
+        .groupBy("documentid").agg(F.max("_dseq").alias("_dseq"))
+    )
+    return (
+        df.join(F.broadcast(deletes), "documentid", "left")
+        .filter(F.col("_dseq").isNull() | (F.col("_dseq") <= F.col("_seq")))
+        .drop("_seq", "_dseq")
+    )
 
 
 def write_table(records: DataFrame, table: str) -> int:
@@ -137,45 +257,90 @@ def write_table(records: DataFrame, table: str) -> int:
     records = records.withColumn("doc_bucket", _bucket_col())
     cv = current_version(table)
     token = uuid.uuid4().hex[:8]
-    buckets = _write_bucket_files(records, table, token)
+    stats: Dict[str, Dict] = {}
+    buckets = _write_bucket_files(records, table, token, stats=stats)
     version = 0 if cv is None else cv + 1
-    return _commit(table, version, buckets, expected_current=cv)
+    version = _commit(
+        table, version, buckets, expected_current=cv,
+        extra={"seq": {n: version for names in buckets.values() for n in names},
+               "stats": stats},
+    )
+    return version
 
 
 def read_table(spark, table: str, version: Optional[int] = None) -> DataFrame:
     manifest = read_manifest(table, version)
-    paths = [
-        os.path.join(table, "files", name)
-        for names in manifest["buckets"].values()
-        for name in names
-    ]
-    if not paths:
-        raise FileNotFoundError(f"version {manifest['version']} of {table} is empty")
-    return spark.read.parquet(*paths)
+    return _read_files(spark, table, manifest)
 
 
-def incremental_replace(records: DataFrame, table: str) -> int:
-    """Replace-by-documentid touching only the buckets that contain replaced
-    documents; every other bucket's files are reused as-is. Returns the new
-    version."""
+def read_documents(spark, table: str, doc_ids: List[str],
+                   version: Optional[int] = None) -> DataFrame:
+    """Point lookup: rows of the given documentids, reading only the buckets
+    the ids hash to AND (when footer stats are in the manifest) only the
+    files whose [min,max] documentid range can contain one of them."""
+    manifest = read_manifest(table, version)
+    meta = _manifest_meta(manifest)
+    by_bucket: Dict[str, List[str]] = {}
+    for d in doc_ids:
+        by_bucket.setdefault(str(zlib.crc32(d.encode()) % N_BUCKETS), []).append(d)
+    chosen = set()
+    for b, ids in by_bucket.items():
+        for n in manifest["buckets"].get(b, []):
+            st = meta["stats"].get(n)
+            if st is None or "min" not in st:
+                chosen.add(n)  # no stats -> must read
+            elif any(st["min"] <= d <= st["max"] for d in ids):
+                chosen.add(n)
+    if not chosen:  # every file stat-pruned: the ids are provably absent
+        return _read_files(spark, table, manifest).limit(0).filter(F.lit(False))
+    df = _read_files(spark, table, manifest,
+                     bucket_subset=by_bucket, file_subset=chosen)
+    return df.filter(F.col("documentid").isin(doc_ids))
+
+
+def _candidate_files(table: str, doc_ids: List[str],
+                     version: Optional[int] = None) -> List[str]:
+    """The data files :func:`read_documents` would open (exposed for tests
+    and capacity planning)."""
+    manifest = read_manifest(table, version)
+    meta = _manifest_meta(manifest)
+    out = []
+    buckets = {str(zlib.crc32(d.encode()) % N_BUCKETS): True for d in doc_ids}
+    for b in sorted(buckets):
+        for n in manifest["buckets"].get(b, []):
+            st = meta["stats"].get(n)
+            if st is None or "min" not in st or any(
+                st["min"] <= d <= st["max"] for d in doc_ids
+            ):
+                out.append(n)
+    return out
+
+
+def incremental_replace(records: DataFrame, table: str, mode: str = "rewrite") -> int:
+    """Replace-by-documentid. ``mode="rewrite"`` (default) rewrites only the
+    buckets containing replaced documents — O(changed-buckets); every other
+    bucket's files are reused by reference. ``mode="dv"`` appends the new
+    rows plus an equality deletion vector in ONE commit — O(batch) even for
+    huge buckets; run :func:`compact` to materialise. Returns the version."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     spark = records.sparkSession
     if current_version(table) is None:
         return write_table(records, table)
+    if mode == "dv":
+        return _replace_with_dv(records, table)
 
     records = records.withColumn("doc_bucket", _bucket_col())
     manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
     affected = sorted(
         str(r[0]) for r in records.select("doc_bucket").distinct().collect()
     )
-    old_paths = [
-        os.path.join(table, "files", name)
-        for b in affected
-        for name in manifest["buckets"].get(b, [])
-    ]
     incoming_docs = records.select("documentid").distinct()
-    if old_paths:
+    have_old = any(manifest["buckets"].get(b) for b in affected)
+    if have_old:
         survivors = (
-            spark.read.parquet(*old_paths)
+            _read_files(spark, table, manifest, bucket_subset=affected)
             .join(F.broadcast(incoming_docs), "documentid", "left_anti")
         )
         merged = survivors.unionByName(records, allowMissingColumns=True)
@@ -183,13 +348,69 @@ def incremental_replace(records: DataFrame, table: str) -> int:
         merged = records
 
     token = uuid.uuid4().hex[:8]
-    new_buckets = _write_bucket_files(merged, table, token)
+    version = manifest["version"] + 1
+    new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"])
     buckets = {
         b: names for b, names in manifest["buckets"].items() if b not in affected
     }
     buckets.update(new_buckets)
-    return _commit(table, manifest["version"] + 1, buckets,
-                   expected_current=manifest["version"])
+    for names in new_buckets.values():
+        meta["seq"].update({n: version for n in names})
+    # the rewrite applied any pending deletes for these buckets
+    meta["deletes"] = {b: v for b, v in meta["deletes"].items() if b not in affected}
+    return _commit(table, version, buckets, expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets))
+
+
+def _replace_with_dv(records: DataFrame, table: str) -> int:
+    """Append new rows + a deletion vector for their documentids in one
+    commit. New data files and the delete files share the commit's sequence
+    number; deletes apply only to files with seq STRICTLY below, so the new
+    rows survive while every older copy of those documents dies."""
+    records = records.withColumn("doc_bucket", _bucket_col())
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    version = manifest["version"] + 1
+    token = uuid.uuid4().hex[:8]
+    new_buckets = _write_bucket_files(records, table, token, stats=meta["stats"])
+    del_df = records.select("documentid", "doc_bucket").distinct()
+    del_buckets = _write_bucket_files(del_df, table, "d" + token, prefix="del-")
+    buckets = {b: list(names) for b, names in manifest["buckets"].items()}
+    for b, names in new_buckets.items():
+        buckets.setdefault(b, []).extend(names)
+        meta["seq"].update({n: version for n in names})
+    for b, names in del_buckets.items():
+        if manifest["buckets"].get(b):  # DV is pointless on a fresh bucket
+            meta["deletes"].setdefault(b, []).extend(names)
+            meta["seq"].update({n: version for n in names})
+        else:
+            for n in names:
+                os.remove(os.path.join(table, "files", n))
+    return _commit(table, version, buckets, expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets))
+
+
+def delete_documents(spark, table: str, doc_ids: List[str]) -> int:
+    """Delete documents by id WITHOUT rewriting any data file: commits one
+    tiny equality-delete parquet per affected bucket — O(batch) regardless
+    of table size. Returns the new version."""
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    version = manifest["version"] + 1
+    rows = [(d, zlib.crc32(d.encode()) % N_BUCKETS) for d in sorted(set(doc_ids))]
+    del_df = spark.createDataFrame(rows, "documentid string, doc_bucket int")
+    token = "x" + uuid.uuid4().hex[:7]
+    del_buckets = _write_bucket_files(del_df, table, token, prefix="del-")
+    for b, names in del_buckets.items():
+        if manifest["buckets"].get(b):
+            meta["deletes"].setdefault(b, []).extend(names)
+            meta["seq"].update({n: version for n in names})
+        else:
+            for n in names:
+                os.remove(os.path.join(table, "files", n))
+    buckets = {b: list(names) for b, names in manifest["buckets"].items()}
+    return _commit(table, version, buckets, expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets))
 
 
 def append_table(records: DataFrame, table: str) -> int:
@@ -201,39 +422,47 @@ def append_table(records: DataFrame, table: str) -> int:
         return write_table(records, table)
     records = records.withColumn("doc_bucket", _bucket_col())
     manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
-    new_buckets = _write_bucket_files(records, table, token)
+    new_buckets = _write_bucket_files(records, table, token, stats=meta["stats"])
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     for b, names in new_buckets.items():
         buckets.setdefault(b, []).extend(names)
-    return _commit(table, manifest["version"] + 1, buckets,
-                   expected_current=manifest["version"])
+        meta["seq"].update({n: version for n in names})
+    return _commit(table, version, buckets, expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets))
 
 
 def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
     """Rewrite buckets that accumulated more than ``max_files_per_bucket``
-    files (the small-file growth of per-batch streaming commits) into one
-    file each; untouched buckets keep their files by reference. Commits a
-    new version; returns it (or the current one if nothing to compact)."""
+    files (the small-file growth of per-batch streaming commits) OR carry
+    pending deletion vectors into one materialised file each; untouched
+    buckets keep their files by reference. Commits a new version; returns
+    it (or the current one if nothing to compact)."""
     manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
     to_compact = {
-        b: names for b, names in manifest["buckets"].items()
-        if len(names) > max_files_per_bucket
+        b for b, names in manifest["buckets"].items()
+        if len(names) > max_files_per_bucket or meta["deletes"].get(b)
     }
     if not to_compact:
         return manifest["version"]
-    paths = [
-        os.path.join(table, "files", n) for names in to_compact.values() for n in names
-    ]
-    merged = spark.read.parquet(*paths)
+    merged = _read_files(spark, table, manifest, bucket_subset=to_compact)
     token = "c" + uuid.uuid4().hex[:7]
-    new_buckets = _write_bucket_files(merged, table, token)
+    version = manifest["version"] + 1
+    new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"])
     buckets = {
         b: names for b, names in manifest["buckets"].items() if b not in to_compact
     }
     buckets.update(new_buckets)
-    return _commit(table, manifest["version"] + 1, buckets,
-                   expected_current=manifest["version"])
+    for names in new_buckets.values():
+        meta["seq"].update({n: version for n in names})
+    meta["deletes"] = {
+        b: v for b, v in meta["deletes"].items() if b not in to_compact
+    }
+    return _commit(table, version, buckets, expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets))
 
 
 def vacuum(table: str, keep_versions: int = 1) -> List[str]:
@@ -259,6 +488,8 @@ def vacuum(table: str, keep_versions: int = 1) -> List[str]:
             continue  # half-written orphan: keeps nothing, stays on disk
         for names in m["buckets"].values():
             keep.update(names)
+        for names in m.get("deletes", {}).values():
+            keep.update(names)  # deletion vectors are live files too
     removed = []
     files_dir = os.path.join(table, "files")
     for name in os.listdir(files_dir):

@@ -174,3 +174,93 @@ def test_first_incremental_on_empty_table(spark, tmp_path):
     v = ms.incremental_replace(records_df(spark, {"z": ["z0"]}), table)
     assert v == 0
     assert ms.read_table(spark, table).count() == 1
+
+
+def test_delete_documents_is_o_batch(spark, tmp_path):
+    """delete_documents commits a tiny delete vector; no data file rewrites."""
+    table = str(tmp_path / "t8")
+    docs = {f"doc{i}": [f"doc{i}-c0"] for i in range(20)}
+    ms.write_table(records_df(spark, docs), table)
+    m0 = ms.read_manifest(table)
+    ms.delete_documents(spark, table, ["doc3", "doc11"])
+    m1 = ms.read_manifest(table)
+    assert m1["buckets"] == m0["buckets"]  # zero data files touched
+    assert m1["deletes"]  # delete vectors recorded
+    live = ms.read_table(spark, table)
+    ids = {r.documentid for r in live.select("documentid").distinct().collect()}
+    assert "doc3" not in ids and "doc11" not in ids
+    assert len(ids) == 18
+    # time travel: pre-delete version still sees them
+    old = ms.read_table(spark, table, version=m0["version"])
+    assert old.filter(F.col("documentid") == "doc3").count() == 1
+
+
+def test_replace_dv_mode_appends_without_rewrite(spark, tmp_path):
+    """mode='dv' replace: new rows + DV in one commit; old copies die, the
+    new rows (same seq as the delete) survive."""
+    table = str(tmp_path / "t9")
+    docs = {f"doc{i}": [f"doc{i}-c0", f"doc{i}-c1"] for i in range(10)}
+    ms.write_table(records_df(spark, docs), table)
+    m0 = ms.read_manifest(table)
+    ms.incremental_replace(records_df(spark, {"doc7": ["doc7-NEW"]}), table, mode="dv")
+    m1 = ms.read_manifest(table)
+    # every v0 data file is still referenced (no rewrite)
+    old_files = {n for names in m0["buckets"].values() for n in names}
+    new_files = {n for names in m1["buckets"].values() for n in names}
+    assert old_files <= new_files
+    by_doc = {
+        r.documentid: r.n
+        for r in ms.read_table(spark, table)
+        .groupBy("documentid").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_doc["doc7"] == 1  # replaced: 2 chunks -> 1, exactly once
+    assert by_doc["doc3"] == 2  # untouched
+    got = {r.content for r in ms.read_table(spark, table)
+           .filter(F.col("documentid") == "doc7").collect()}
+    assert got == {"doc7-NEW"}
+
+
+def test_compact_materialises_deletion_vectors(spark, tmp_path):
+    table = str(tmp_path / "t10")
+    docs = {f"doc{i}": [f"doc{i}-c0"] for i in range(12)}
+    ms.write_table(records_df(spark, docs), table)
+    ms.delete_documents(spark, table, ["doc5"])
+    ms.incremental_replace(records_df(spark, {"doc2": ["doc2-NEW"]}), table, mode="dv")
+    before = {r.content for r in ms.read_table(spark, table).collect()}
+    v = ms.compact(spark, table, max_files_per_bucket=100)  # only DV buckets
+    m = ms.read_manifest(table)
+    assert m["version"] == v
+    assert not m.get("deletes")  # all vectors materialised
+    after = {r.content for r in ms.read_table(spark, table).collect()}
+    assert after == before
+    assert "doc5-c0" not in after and "doc2-NEW" in after
+    # vacuum now drops the obsolete delete files
+    ms.vacuum(table, keep_versions=1)
+    leftover = [f for f in os.listdir(os.path.join(table, "files"))
+                if f.startswith("del-")]
+    assert leftover == []
+
+
+def test_stats_prune_point_lookup(spark, tmp_path):
+    """read_documents consults footer min/max to skip files in the bucket."""
+    table = str(tmp_path / "t11")
+    # doc4/doc39/doc117 share bucket 4 — appended as separate files
+    ms.write_table(records_df(spark, {"doc4": ["v4"]}), table)
+    ms.append_table(records_df(spark, {"doc39": ["v39"]}), table)
+    ms.append_table(records_df(spark, {"doc117": ["v117"]}), table)
+    m = ms.read_manifest(table)
+    assert len(m["buckets"]["4"]) == 3 and m.get("stats")
+    cand = ms._candidate_files(table, ["doc39"])
+    assert len(cand) == 1  # two of the three files stat-pruned
+    got = ms.read_documents(spark, table, ["doc39"]).collect()
+    assert [r.content for r in got] == ["v39"]
+    # absent id in the same bucket range behaves correctly
+    assert ms.read_documents(spark, table, ["doc999"]).count() == 0
+
+
+def test_read_documents_respects_deletes(spark, tmp_path):
+    table = str(tmp_path / "t12")
+    ms.write_table(records_df(spark, {"doc4": ["v4"], "doc39": ["v39"]}), table)
+    ms.delete_documents(spark, table, ["doc4"])
+    assert ms.read_documents(spark, table, ["doc4"]).count() == 0
+    assert ms.read_documents(spark, table, ["doc39"]).count() == 1

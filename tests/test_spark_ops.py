@@ -324,3 +324,53 @@ def test_entry_contract(spark):
         "streaming_events_windowed",
         "streaming_stateful_counts",
     }
+
+
+def test_ann_multiprobe_improves_recall(spark):
+    from dataingestion_spark.operators.similarity import topk_cosine_ann
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = topk_cosine(emb, queries, k=5)
+    base = topk_cosine_ann(emb, queries, k=5, dim=64, planes=4)
+    multi = topk_cosine_ann(emb, queries, k=5, dim=64, planes=4, multiprobe=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    rb = len(e & {(r.query_id, r.vec_id) for r in base.collect()}) / len(e)
+    rm = len(e & {(r.query_id, r.vec_id) for r in multi.collect()}) / len(e)
+    assert rm >= rb  # probing marginal planes never loses candidates
+    # measured on this corpus: 0.35 -> 0.525 at 4 planes; assert the gain
+    # with slack for any future testdata regeneration
+    assert rm >= rb + 0.05 and rm >= 0.45
+    # no duplicate candidates despite multiple probes per query
+    dupes = (
+        multi.groupBy("query_id", "vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+
+def test_train_centroids_farthest_init(spark):
+    from dataingestion_spark.operators.similarity import (
+        topk_cosine_ivf,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_centroids(emb, n_centroids=8, iters=3, init="farthest")
+    assert len(cents) == 8 and len(cents[0][1]) == 64
+    # farthest-first seeds are distinct vectors (no near-duplicate seeds)
+    import numpy as np
+
+    m = np.array([v for _, v in cents])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    off_diag = (m @ m.T)[~np.eye(len(m), dtype=bool)]
+    assert off_diag.max() < 0.999
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf = topk_cosine_ivf(emb, queries, k=5, n_probe=4, centroids=cents)
+    exact = topk_cosine(emb, queries, k=5)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    assert len(e & a) / len(e) >= 0.5
