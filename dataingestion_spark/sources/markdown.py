@@ -14,6 +14,14 @@ from scratch for the constructs the reference handles:
   bogus all-empty first row (MarkItDown artifact) is skipped (``:264-314``),
 * lists and block quotes → sections holding their leaf items (``:179-221``),
 * fenced code blocks → paragraphs whose text is the code (``:168-171``),
+* setext headings (``=``/``-`` underlines) → header elements level 1/2
+  (Markdig parses both heading forms into the same HeadingBlock),
+* nested lists → nested sections (Markdig nests ListBlocks in
+  ListItemBlocks),
+* link reference definitions render nothing; ``[text][label]`` inlines
+  strip to their text,
+* HTML blocks → paragraphs with tag-stripped text (comment-only blocks
+  render nothing),
 * everything else → paragraphs; a single root section wraps the document
   whose markdown is the whole file (``:93-97``).
 
@@ -27,6 +35,7 @@ unlike the reference's strictly sequential file loop
 from __future__ import annotations
 
 import base64
+import html as _html
 import re
 from typing import Iterator, List, Optional
 
@@ -46,7 +55,17 @@ _BREAK_RE = re.compile(r"^ {0,3}(?:(?:-[ \t]*){3,}|(?:\*[ \t]*){3,}|(?:_[ \t]*){
 _TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?\s*$")
 _IMAGE_RE = re.compile(r"^!\[(?P<alt>[^\]]*)\]\((?P<url>[^)]*)\)\s*$")
 _LIST_ITEM_RE = re.compile(r"^ {0,3}(?:[-*+]|\d{1,9}[.)])\s+(.*)$")
+_ANY_LIST_ITEM_RE = re.compile(r"^(\s*)([-*+]|\d{1,9}[.)])\s+(.*)$")
 _FENCE_RE = re.compile(r"^ {0,3}(```+|~~~+)\s*(\S*)\s*$")
+# Setext underline: '=' (h1) or '-' (h2) directly under paragraph content
+# (CommonMark 4.3 — takes precedence over a thematic break in that position).
+_SETEXT_RE = re.compile(r"^ {0,3}(=+|-+)\s*$")
+# Link reference definition: renders nothing (CommonMark 4.7).
+_LINKDEF_RE = re.compile(r"^ {0,3}\[[^\]]+\]:\s*\S+(\s+(\"[^\"]*\"|'[^']*'|\([^)]*\)))?\s*$")
+# HTML block opener: a tag/comment/declaration at line start (CommonMark 4.6,
+# reduced: the block runs to the next blank line).
+_HTML_RE = re.compile(r"^ {0,3}(</?[A-Za-z][A-Za-z0-9-]*(\s|/?>|$)|<!--|<\?|<![A-Za-z])")
+_TAG_STRIP_RE = re.compile(r"<!--.*?-->|<[^>]+>", re.S)
 _DATA_PNG_PREFIX = "data:image/png;base64,"
 
 # Inline markup stripped when deriving plain text from markdown
@@ -55,6 +74,8 @@ _DATA_PNG_PREFIX = "data:image/png;base64,"
 _INLINE_PATTERNS = [
     (re.compile(r"!\[([^\]]*)\]\([^)]*\)"), r"\1"),  # images → alt
     (re.compile(r"\[([^\]]*)\]\([^)]*\)"), r"\1"),  # links → text
+    (re.compile(r"!\[([^\]]*)\]\[[^\]]*\]"), r"\1"),  # reference images → alt
+    (re.compile(r"\[([^\]]*)\]\[[^\]]*\]"), r"\1"),  # reference links → text
     (re.compile(r"\*\*([^*]+)\*\*"), r"\1"),
     (re.compile(r"__([^_]+)__"), r"\1"),
     (re.compile(r"\*([^*]+)\*"), r"\1"),
@@ -115,6 +136,45 @@ def parse_markdown(content: str, doc_id: str) -> List[dict]:
     ctx.emit([0], elem_type=ELEM_SECTION, markdown=content)
     _parse_blocks(ctx, content.split("\n"), [0], top_level=True)
     return ctx.rows
+
+
+def _emit_list_items(ctx: _Ctx, block_lines: List[str], sec_path: List[int]) -> None:
+    """Emit one list level: a paragraph per item at this indent, and a
+    nested section (recursing) for any deeper-indented sublist inside an
+    item. Same-level detection is by marker indent relative to the first
+    item; non-item lines are lazy continuations of whatever they follow."""
+    base = len(_ANY_LIST_ITEM_RE.match(block_lines[0]).group(1))
+    # group into items: (text_lines, sub_lines)
+    items: List[tuple] = []
+    for ln in block_lines:
+        m = _ANY_LIST_ITEM_RE.match(ln)
+        if m and len(m.group(1)) <= base:
+            items.append(([m.group(3)], []))
+        elif m and items:
+            items[-1][1].append(ln)  # deeper-indented item → sublist line
+        elif items:
+            if items[-1][1]:
+                items[-1][1].append(ln)  # continuation inside the sublist
+            else:
+                items[-1][0].append(ln.strip())  # lazy continuation
+        # else: malformed leading continuation — unreachable, block starts
+        # with an item by construction
+    k = 0
+    for text_lines, sub_lines in items:
+        text = "\n".join(t for t in text_lines if t)
+        if text.strip():
+            ctx.emit(
+                sec_path + [k],
+                elem_type=ELEM_PARAGRAPH,
+                markdown=text,
+                text=inline_text(text),
+            )
+            k += 1
+        if sub_lines:
+            sub_path = sec_path + [k]
+            k += 1
+            ctx.emit(sub_path, elem_type=ELEM_SECTION, markdown="\n".join(sub_lines))
+            _emit_list_items(ctx, sub_lines, sub_path)
 
 
 def _parse_blocks(ctx: _Ctx, lines: List[str], path: List[int], top_level: bool) -> None:
@@ -205,31 +265,17 @@ def _parse_blocks(ctx: _Ctx, lines: List[str], path: List[int], top_level: bool)
             i = j
             continue
 
-        # List → section of leaf items (MarkdownReader.cs:179-204).
+        # List → section of items; items carrying a deeper-indented sublist
+        # get that sublist as a nested section (MarkdownReader.cs:179-204 —
+        # Markdig nests ListBlocks inside ListItemBlocks the same way).
         if _LIST_ITEM_RE.match(line):
             j = i
-            item_texts: List[str] = []
             while j < n and lines[j].strip():
-                m2 = _LIST_ITEM_RE.match(lines[j])
-                if m2:
-                    item_texts.append(m2.group(1))
-                elif item_texts:
-                    item_texts[-1] += "\n" + lines[j].strip()  # lazy continuation
                 j += 1
-            block_md = "\n".join(lines[i:j])
+            block_lines = lines[i:j]
             sec_path = next_path()
-            ctx.emit(sec_path, elem_type=ELEM_SECTION, markdown=block_md)
-            k = 0
-            for item in item_texts:
-                if not item.strip():
-                    continue  # an empty bullet ('- ') has no element to emit
-                ctx.emit(
-                    sec_path + [k],
-                    elem_type=ELEM_PARAGRAPH,
-                    markdown=item,
-                    text=inline_text(item),
-                )
-                k += 1
+            ctx.emit(sec_path, elem_type=ELEM_SECTION, markdown="\n".join(block_lines))
+            _emit_list_items(ctx, block_lines, sec_path)
             previous_was_break = False
             i = j
             continue
@@ -245,6 +291,31 @@ def _parse_blocks(ctx: _Ctx, lines: List[str], path: List[int], top_level: bool)
             sec_path = next_path()
             ctx.emit(sec_path, elem_type=ELEM_SECTION, markdown=block_md)
             _parse_blocks(ctx, inner, sec_path, top_level=False)
+            previous_was_break = False
+            i = j
+            continue
+
+        # Link reference definition: defines a label, renders nothing.
+        if _LINKDEF_RE.match(line):
+            previous_was_break = False
+            i += 1
+            continue
+
+        # HTML block → paragraph whose text is the tag-stripped content;
+        # a pure comment/processing-instruction block renders nothing.
+        if _HTML_RE.match(line):
+            j = i
+            while j < n and lines[j].strip():
+                j += 1
+            block_md = "\n".join(lines[i:j])
+            text = _html.unescape(_TAG_STRIP_RE.sub("", block_md)).strip()
+            if text:
+                ctx.emit(
+                    next_path(),
+                    elem_type=ELEM_PARAGRAPH,
+                    markdown=block_md,
+                    text=text,
+                )
             previous_was_break = False
             i = j
             continue
@@ -268,9 +339,31 @@ def _parse_blocks(ctx: _Ctx, lines: List[str], path: List[int], top_level: bool)
 
         j = i
         para: List[str] = []
-        while j < n and lines[j].strip() and not interrupts(j):
+        setext_level = 0
+        while j < n and lines[j].strip():
+            # Setext underline directly under paragraph content → heading
+            # (checked before interruption: '---' here is an underline, not
+            # a thematic break, per CommonMark precedence).
+            if j > i and _SETEXT_RE.match(lines[j]):
+                setext_level = 1 if lines[j].strip()[0] == "=" else 2
+                j += 1
+                break
+            if interrupts(j):
+                break
             para.append(lines[j])
             j += 1
+        if setext_level:
+            heading = "\n".join(para)
+            ctx.emit(
+                next_path(),
+                elem_type=ELEM_HEADER,
+                markdown="\n".join(lines[i:j]),
+                text=inline_text(heading.strip()),
+                header_level=setext_level,
+            )
+            previous_was_break = False
+            i = j
+            continue
         block_md = "\n".join(para)
         img = _IMAGE_RE.match(block_md.strip())
         if img:

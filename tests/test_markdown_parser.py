@@ -152,3 +152,64 @@ def test_quote_and_table_interrupt_paragraph():
 
 def test_inline_text():
     assert inline_text("**bold** and [link](http://x) and `code`") == "bold and link and code"
+
+
+def test_setext_headers():
+    rows = parse_markdown("Title\n=====\n\nbody\n\nSub\n---\n\nmore\n", "s")
+    headers = [r for r in rows if r["elem_type"] == "header"]
+    assert [(h["text"], h["header_level"]) for h in headers] == [("Title", 1), ("Sub", 2)]
+    paras = [r for r in rows if r["elem_type"] == "paragraph"]
+    assert [p["text"] for p in paras] == ["body", "more"]
+
+
+def test_setext_dash_vs_thematic_break_footer():
+    # '---' under paragraph content = setext h2; a standalone '---' is still
+    # a thematic break making the NEXT paragraph a footer
+    rows = parse_markdown("Heading\n---\n\nbody\n\n---\n\nthe footer\n", "s")
+    assert types(rows) == ["section", "header", "paragraph", "footer"]
+    assert rows[1]["header_level"] == 2
+    assert rows[3]["text"] == "the footer"
+
+
+def test_nested_list_nested_sections():
+    md = "- top one\n  - sub a\n  - sub b\n- top two\n"
+    rows = parse_markdown(md, "n")
+    # root sec, list sec, 'top one', nested sec, 'sub a', 'sub b', 'top two'
+    assert types(rows) == [
+        "section", "section", "paragraph", "section",
+        "paragraph", "paragraph", "paragraph",
+    ]
+    sub = [r for r in rows if len(r["section_path"]) == 4]
+    assert [r["text"] for r in sub] == ["sub a", "sub b"]
+    top = [r for r in rows if len(r["section_path"]) == 3 and r["elem_type"] == "paragraph"]
+    assert [r["text"] for r in top] == ["top one", "top two"]
+    # the nested section is a child of the list section
+    nested_sec = rows[3]
+    assert nested_sec["section_path"][:2] == rows[1]["section_path"]
+
+
+def test_flat_list_unchanged():
+    rows = parse_markdown("- a\n- b\ncont\n", "f")
+    items = [r for r in rows if r["elem_type"] == "paragraph"]
+    assert [r["text"] for r in items] == ["a", "b\ncont"]
+
+
+def test_link_reference_definitions_render_nothing():
+    md = "See [the docs][docs].\n\n[docs]: https://example.com \"Docs\"\n"
+    rows = parse_markdown(md, "r")
+    assert types(rows) == ["section", "paragraph"]
+    assert rows[1]["text"] == "See the docs."
+
+
+def test_html_block_text_stripped():
+    md = "<div class=\"x\">\n<b>bold</b> words &amp; more\n</div>\n"
+    rows = parse_markdown(md, "h")
+    assert types(rows) == ["section", "paragraph"]
+    assert rows[1]["text"] == "bold words & more"
+    assert rows[1]["markdown"].startswith("<div")
+
+
+def test_html_comment_renders_nothing():
+    rows = parse_markdown("<!-- hidden -->\n\nvisible\n", "c")
+    assert types(rows) == ["section", "paragraph"]
+    assert rows[1]["text"] == "visible"
