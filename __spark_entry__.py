@@ -329,6 +329,264 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 """
 
 
+def q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape (priority count over EXISTS): orders having at least
+    one late-shipped lineitem, counted per priority. The correlated EXISTS
+    becomes a LEFT SEMI join — Spark's native form; the subquery side is
+    pre-projected to the join key so the shuffle carries keys only."""
+    _utc(spark)
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    l = _t(spark, sf, "lineitem")
+    late = (
+        l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q7(spark, sf):
+    """TPC-H Q7 shape (volume shipping): revenue between nation pairs by
+    ship year. Two nation lookups (broadcast both), supplier and customer
+    sides resolved independently, then one agg keyed on the pair+year."""
+    _utc(spark)
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        pairs.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INTEGER)
+"""
+
+
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10 shape (returned-item revenue): top 20 customers by revenue
+    lost to returns in a quarter. Fact-side filters first, dims broadcast,
+    deterministic tiebreak on custkey for the limit."""
+    _utc(spark)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q14(spark, sf):
+    """TPC-H Q14 shape (promo revenue share): conditional aggregation —
+    100 × revenue of 'PROMO%' parts / total revenue in one month. Both sums
+    exact DECIMAL, division in double in the same order as the oracle."""
+    _utc(spark)
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), disc_price)
+                .otherwise(F.lit(0).cast(DEC))
+            ).cast("double")
+            / F.sum(disc_price).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+ORACLE_Q14 = """
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+          THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+          ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+     / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 shape (large-volume orders): orders whose summed quantity
+    exceeds a threshold, joined back to customer detail. The HAVING runs on
+    the pre-aggregated (small) side; the join back is a broadcast."""
+    _utc(spark)
+    big = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  CAST(CAST(t._q AS VARCHAR) AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS _q
+      FROM lineitem GROUP BY l_orderkey HAVING _q > 150) t
+  ON o_orderkey = t.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 shape (disjunctive predicates): revenue from three
+    brand/size/quantity bands OR-ed together. One broadcast join; the OR of
+    ANDs stays a single scan predicate (no union of three scans)."""
+    _utc(spark)
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return j.filter(band).agg(
+        F.sum(disc_price).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22(spark, sf):
+    """TPC-H Q22 shape (dormant high-balance customers): customers with
+    above-average balance and no URGENT order — scalar subquery (computed
+    once, broadcast as a 1-row join) + anti-join, grouped by nation. The
+    avg is an exact DECIMAL sum divided in double, same order as SQL."""
+    _utc(spark)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    n = _t(spark, sf, "nation")
+    avg_row = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("_avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+SELECT n_name, COUNT(*) AS n_customers,
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+"""
+
+
 def q_orders_rollup(spark, sf):
     _utc(spark)
     o = _t(spark, sf, "orders")
@@ -1280,8 +1538,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational coverage (SURVEY §2.7 categories exercised in Spark)
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q4_priority_exists": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q7_nation_volume": q_tpch_q7,
+        "tpch_q10_returned_revenue": q_tpch_q10,
+        "tpch_q14_promo_share": q_tpch_q14,
+        "tpch_q18_large_orders": q_tpch_q18,
+        "tpch_q19_disjunctive_preds": q_tpch_q19,
+        "tpch_q22_dormant_customers": q_tpch_q22,
         "orders_rollup": q_orders_rollup,
         "events_topk_per_type": q_events_topk_per_type,
         "events_sessionize": q_events_sessionize,
@@ -1335,7 +1600,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tpch_q1_pricing_summary": ORACLE_Q1,
         "tpch_q3_shipping_priority": ORACLE_Q3,
+        "tpch_q4_priority_exists": ORACLE_Q4,
         "tpch_q5_local_supplier": ORACLE_Q5,
+        "tpch_q7_nation_volume": ORACLE_Q7,
+        "tpch_q10_returned_revenue": ORACLE_Q10,
+        "tpch_q14_promo_share": ORACLE_Q14,
+        "tpch_q18_large_orders": ORACLE_Q18,
+        "tpch_q19_disjunctive_preds": ORACLE_Q19,
+        "tpch_q22_dormant_customers": ORACLE_Q22,
         "tpch_q6_forecast_revenue": ORACLE_Q6,
         "orders_rollup": ORACLE_ROLLUP,
         "events_topk_per_type": ORACLE_TOPK,

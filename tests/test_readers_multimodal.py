@@ -317,3 +317,28 @@ def test_colocated_chunker_matches_shuffled(spark):
         for r in header_chunker(el, opts, colocated=True).collect()
     )
     assert a == b
+
+
+def test_plan_shapes_new_tpch_queries(spark):
+    import __spark_entry__ as em
+    from dataingestion_spark.observability import plan_summary
+
+    sf = "/root/testdata/sf0.001"
+    # q4: EXISTS compiles to a semi-join, no cartesian anywhere
+    q4 = plan_summary(em.q_tpch_q4(spark, sf))
+    assert q4["nested_loop_joins"] == 0
+    assert any("o_orderdate" in p for p in q4["pushed_filters"])
+    # q10: returnflag filter reaches the lineitem scan, dims broadcast
+    q10 = plan_summary(em.q_tpch_q10(spark, sf))
+    assert any("l_returnflag" in p for p in q10["pushed_filters"])
+    assert q10["broadcast_hash_joins"] >= 1
+    # q14/q19: single broadcast join, no shuffle-heavy plan
+    q14 = plan_summary(em.q_tpch_q14(spark, sf))
+    assert q14["sort_merge_joins"] == 0
+    q19 = plan_summary(em.q_tpch_q19(spark, sf))
+    assert q19["sort_merge_joins"] == 0
+    # q19's OR-of-ANDs stays one scan: exactly one lineitem read
+    assert sum("l_quantity" in s for s in q19["read_schemas"]) == 1
+    # q22: anti-join present, scalar avg is a 1-row broadcast (no SMJ)
+    q22 = plan_summary(em.q_tpch_q22(spark, sf))
+    assert q22["sort_merge_joins"] <= 1  # the big c×o anti-join may SMJ; dims must not
