@@ -587,6 +587,467 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q2(spark, sf):
+    """TPC-H Q2 shape (min-cost supplier per part). The testdata has no
+    partsupp table, so supply cost is derived from lineitem as the MIN unit
+    price (one IEEE division per row — bit-identical across engines; MIN is
+    order-independent). The correlated min subquery becomes a per-part min
+    aggregate joined back; ties are kept, as in the reference query."""
+    _utc(spark)
+    l = _t(spark, sf, "lineitem")
+    unit = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    minc = unit.groupBy("l_partkey").agg(F.min("supply_cost").alias("_min_cost"))
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_size").between(10, 20)) & (F.col("p_type") == "LARGE")
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        unit.join(minc, "l_partkey")
+        .filter(F.col("supply_cost") == F.col("_min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_Q2 = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+minc AS (SELECT l_partkey, MIN(supply_cost) AS _min_cost FROM unit GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+FROM unit JOIN minc USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE supply_cost = _min_cost AND p_size BETWEEN 10 AND 20
+  AND p_type = 'LARGE' AND r_name = 'EUROPE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 shape (national market share): NATION_1's share of
+    AMERICA-region revenue for STANDARD parts, per order year. Dims
+    broadcast; one agg with a conditional numerator over the same rows."""
+    _utc(spark)
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = _t(spark, sf, "lineitem")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("c_region")
+    )
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    vol = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(r), F.col("c_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sk"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+    )
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", disc_price)
+                .otherwise(F.lit(0).cast(DEC))
+            ).cast("double")
+            / F.sum(disc_price).cast("double")
+        ).alias("mkt_share")
+    )
+
+
+ORACLE_Q8 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+        THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+  / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
+  AS mkt_share
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY CAST(year(o_orderdate) AS INTEGER)
+"""
+
+
+def q_tpch_q9(spark, sf):
+    """TPC-H Q9 shape (product-line profit by nation and year). No partsupp
+    table, so cost is p_retailprice × quantity instead of ps_supplycost ×
+    quantity — same plan shape: part-name filter, 4-way join, two-key agg."""
+    _utc(spark)
+    p = _t(spark, sf, "part").filter(F.col("p_name").contains("gear"))
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    l = _t(spark, sf, "lineitem")
+    amount = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+ORACLE_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+       - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+"""
+
+
+def q_tpch_q11(spark, sf):
+    """TPC-H Q11 shape (important parts by value): per-part revenue from one
+    nation's suppliers, kept when above a fraction of the total (scalar
+    subquery → 1-row broadcast). Value stands in for ps_supplycost×availqty."""
+    _utc(spark)
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    s = _t(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    l = _t(spark, sf, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    per_part = (
+        l.join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(disc_price).alias("_v"))
+    )
+    total = per_part.agg(F.sum("_v").cast("double").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_v").cast("double") > F.col("_total") * 0.0002)
+        .select("l_partkey", F.col("_v").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+ORACLE_Q11 = """
+WITH nat_supp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+per_part AS (
+  SELECT l_partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS _v
+  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM nat_supp)
+  GROUP BY l_partkey)
+SELECT l_partkey, CAST(CAST(_v AS VARCHAR) AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(CAST(_v AS VARCHAR) AS DOUBLE) >
+  (SELECT CAST(CAST(SUM(_v) AS VARCHAR) AS DOUBLE) FROM per_part) * 0.0002
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_tpch_q12(spark, sf):
+    """TPC-H Q12 shape (late shipments by class): lineitems shipped ≥60 days
+    after their order date in 1997, bucketed by linestatus (the schema has no
+    l_shipmode), with conditional high/low-priority counts."""
+    _utc(spark)
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q13(spark, sf):
+    """TPC-H Q13 shape (customer order-count distribution): left join orders
+    (minus urgent, standing in for the comment filter), count per customer,
+    then the distribution of those counts."""
+    _utc(spark)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark, sf):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+    the max (the view + scalar-subquery pair becomes agg → 1-row broadcast →
+    exact DECIMAL equality, so ties survive like the reference query)."""
+    _utc(spark)
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    rev = l.groupBy("l_suppkey").agg(F.sum(disc_price).alias("_rev"))
+    maxrev = rev.agg(F.max("_rev").alias("_max"))
+    s = _t(spark, sf, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(maxrev))
+        .filter(F.col("_rev") == F.col("_max"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(CAST(_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE _rev = (SELECT MAX(_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q16(spark, sf):
+    """TPC-H Q16 shape (supplier count by part attributes): distinct
+    suppliers per (brand, type, size) from lineitem (no partsupp table),
+    excluding one brand, one type prefix, and a supplier NOT-IN subquery
+    (negative balance stands in for the comment filter)."""
+    _utc(spark)
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    excl = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(excl), l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly revenue
+    lost if small orders (below 20% of the per-part mean quantity) were not
+    filled. Brand+type filter stands in for brand+container. The correlated
+    avg subquery becomes a per-part agg joined back (broadcast)."""
+    _utc(spark)
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "SMALL")
+    )
+    l = _t(spark, sf, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    avg_q = j.groupBy("p_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("_avg")
+    )
+    return (
+        j.join(F.broadcast(avg_q), "p_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+ORACLE_Q17 = """
+WITH jp AS (
+  SELECT p_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#5' AND p_type = 'SMALL'),
+avg_q AS (
+  SELECT p_partkey,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS _avg
+  FROM jp GROUP BY p_partkey)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+FROM jp JOIN avg_q USING (p_partkey)
+WHERE l_quantity < 0.2 * _avg
+"""
+
+
+def q_tpch_q20(spark, sf):
+    """TPC-H Q20 shape (suppliers with excess movement of a part line):
+    suppliers who shipped more than a threshold quantity of any 'small %'
+    part in 1997 (lineitem stands in for partsupp availability), restricted
+    to one nation. Semi-join chain — the shuffle carries keys only."""
+    _utc(spark)
+    pk = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    heavy = (
+        l.join(F.broadcast(pk), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q").cast("double") > 30.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf, "nation").filter(F.col("n_name").isin("NATION_2", "NATION_3"))
+    s = _t(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_3')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) > 30.0)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    multi-supplier orders, blame the supplier that alone shipped last (the
+    schema has no commit/receipt dates, so 'last l_shipdate' stands in for
+    'late receipt'). The double EXISTS/NOT-EXISTS of the reference becomes
+    per-order aggregates joined back — no correlated execution."""
+    _utc(spark)
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf, "lineitem")
+    pairs = (
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("_supp_max"))
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.max("_supp_max").alias("_order_max"), F.count("*").alias("_n_supp")
+    )
+    at_max = (
+        pairs.join(per_order, "l_orderkey")
+        .filter((F.col("_supp_max") == F.col("_order_max")) & (F.col("_n_supp") > 1))
+    )
+    blamed = (
+        at_max.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n_late"), F.max("l_suppkey").alias("suppkey"))
+        .filter(F.col("_n_late") == 1)
+    )
+    s = _t(spark, sf, "supplier")
+    return (
+        blamed.join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+ORACLE_Q21 = """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS _supp_max
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  GROUP BY l_orderkey, l_suppkey),
+per_order AS (
+  SELECT l_orderkey, MAX(_supp_max) AS _order_max, COUNT(*) AS _n_supp
+  FROM pairs GROUP BY l_orderkey),
+blamed AS (
+  SELECT p.l_orderkey, COUNT(*) AS _n_late, MAX(p.l_suppkey) AS suppkey
+  FROM pairs p JOIN per_order po ON p.l_orderkey = po.l_orderkey
+  WHERE p._supp_max = po._order_max AND po._n_supp > 1
+  GROUP BY p.l_orderkey
+  HAVING COUNT(*) = 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM blamed JOIN supplier ON suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
 def q_orders_rollup(spark, sf):
     _utc(spark)
     o = _t(spark, sf, "orders")
@@ -1537,15 +1998,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational coverage (SURVEY §2.7 categories exercised in Spark)
         "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q4_priority_exists": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q6_forecast_revenue": q_tpch_q6,
         "tpch_q7_nation_volume": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
         "tpch_q10_returned_revenue": q_tpch_q10,
+        "tpch_q11_important_parts": q_tpch_q11,
+        "tpch_q12_late_shipments": q_tpch_q12,
+        "tpch_q13_order_distribution": q_tpch_q13,
         "tpch_q14_promo_share": q_tpch_q14,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q16_supplier_counts": q_tpch_q16,
+        "tpch_q17_small_qty_revenue": q_tpch_q17,
         "tpch_q18_large_orders": q_tpch_q18,
         "tpch_q19_disjunctive_preds": q_tpch_q19,
+        "tpch_q20_excess_shipments": q_tpch_q20,
+        "tpch_q21_waiting_suppliers": q_tpch_q21,
         "tpch_q22_dormant_customers": q_tpch_q22,
         "orders_rollup": q_orders_rollup,
         "events_topk_per_type": q_events_topk_per_type,
@@ -1609,6 +2081,17 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19_disjunctive_preds": ORACLE_Q19,
         "tpch_q22_dormant_customers": ORACLE_Q22,
         "tpch_q6_forecast_revenue": ORACLE_Q6,
+        "tpch_q2_min_cost_supplier": ORACLE_Q2,
+        "tpch_q8_market_share": ORACLE_Q8,
+        "tpch_q9_product_profit": ORACLE_Q9,
+        "tpch_q11_important_parts": ORACLE_Q11,
+        "tpch_q12_late_shipments": ORACLE_Q12,
+        "tpch_q13_order_distribution": ORACLE_Q13,
+        "tpch_q15_top_supplier": ORACLE_Q15,
+        "tpch_q16_supplier_counts": ORACLE_Q16,
+        "tpch_q17_small_qty_revenue": ORACLE_Q17,
+        "tpch_q20_excess_shipments": ORACLE_Q20,
+        "tpch_q21_waiting_suppliers": ORACLE_Q21,
         "orders_rollup": ORACLE_ROLLUP,
         "events_topk_per_type": ORACLE_TOPK,
         "events_sessionize": ORACLE_SESSIONIZE,
