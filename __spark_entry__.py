@@ -25,6 +25,8 @@ from collections.abc import Callable
 # driver loads the module (filepath import, different CWD, executors).
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # module-level: PySpark resolves stringified UDF type hints here
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from dataingestion_spark.operators import dedup, similarity, text_analysis
@@ -1314,6 +1316,37 @@ FROM documents
 """
 
 
+def q_doc_bpe_tokens(spark, sf):
+    """Real subword BPE token counts, distributed: the self-contained BPE
+    engine (``dataingestion_spark/bpe.py`` — trainer + tiktoken-format
+    loader, the reference's Tiktoken analog) runs inside an Arrow-batched
+    pandas UDF with the rank table shipped once per executor. Pinned
+    against the identical local encode by a VALUES oracle."""
+    from dataingestion_spark.bpe import BPE, seed_bpe_tokenizer
+
+    ranks = seed_bpe_tokenizer().bpe.ranks
+    bc = spark.sparkContext.broadcast(ranks)
+
+    def n_bpe_fn(texts: pd.Series) -> pd.Series:
+        bpe = BPE(bc.value)
+        return texts.map(lambda t: len(bpe.encode(t or "")))
+
+    n_bpe = F.pandas_udf(n_bpe_fn, "int")
+
+    src = spark.createDataFrame(
+        sorted(FIXTURE_DOCS.items()), "doc_id string, markdown string"
+    )
+    return src.select("doc_id", n_bpe(F.col("markdown")).alias("n_bpe_tokens"))
+
+
+def _oracle_bpe_tokens() -> str:
+    from dataingestion_spark.bpe import seed_bpe_tokenizer
+
+    tok = seed_bpe_tokenizer()
+    rows = [(d, tok.count(md)) for d, md in sorted(FIXTURE_DOCS.items())]
+    return _values_oracle(rows, ["doc_id", "n_bpe_tokens"], ["VARCHAR", "INT"])
+
+
 def q_doc_lang_id(spark, sf):
     return text_analysis.lang_id(_t(spark, sf, "documents"))
 
@@ -2033,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_predicate_forms": q_doc_predicate_forms,
         # text analytics
         "doc_token_counts": q_doc_token_counts,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2105,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_urgent_orders": ORACLE_SEMI,
         "doc_predicate_forms": ORACLE_PREDICATES,
         "doc_token_counts": ORACLE_TOKEN_COUNTS,
+        "doc_bpe_tokens": _oracle_bpe_tokens(),
         "doc_lang_id": _oracle_lang_id(),
         "doc_quality_score": ORACLE_QUALITY,
         "doc_fingerprint": ORACLE_FINGERPRINT,

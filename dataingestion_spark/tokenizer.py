@@ -104,8 +104,22 @@ class TiktokenTokenizer:
 
 
 def default_tokenizer():
-    """tiktoken when available (reference parity), else the word tokenizer."""
+    """Best-available reference parity: the ``tiktoken`` package when
+    importable; else, if a ``.tiktoken`` vocab file is provided via
+    ``SPARK_GRAFT_BPE_VOCAB``, the self-contained BPE engine (``bpe.py``)
+    with identical counts; else the word tokenizer (keeps all goldens
+    deterministic without any external file)."""
     try:
         return TiktokenTokenizer()
     except Exception:
-        return WordTokenizer()
+        pass
+    import os
+
+    if os.environ.get("SPARK_GRAFT_BPE_VOCAB"):
+        try:
+            from .bpe import default_bpe_tokenizer
+
+            return default_bpe_tokenizer()
+        except Exception:
+            pass
+    return WordTokenizer()
