@@ -39,16 +39,58 @@ def plan_summary(df: DataFrame) -> dict:
     }
 
 
-@contextlib.contextmanager
-def span(name: str, sink: dict | None = None) -> Iterator[None]:
-    """Driver-side timing span (the Activity analog). Appends seconds to
-    ``sink[name]`` when a dict is given, else prints."""
-    start = time.perf_counter()
+# ---------------------------------------------------------------------------
+# Span names + tags: analogs of the reference's DiagnosticsConstants
+# (``src/.../DiagnosticsConstants.cs:6-48``). Per-file/per-document spans
+# don't map onto distributed execution (files are rows, not loop
+# iterations); the driver gets the orchestration-level spans and the
+# per-partition story lives in the Spark UI / event log.
+# ---------------------------------------------------------------------------
+
+ACTIVITY_SOURCE = "dataingestion.spark"
+SPAN_PROCESS_DIRECTORY = "ProcessDirectory"
+SPAN_PROCESS_FILES = "ProcessFiles"
+SPAN_WRITE = "WriteChunks"
+TAG_FILE_PATH = "di.file.path"
+TAG_DOCUMENT_ID = "di.document.id"
+TAG_ERROR_TYPE = "error.type"
+
+
+def _get_tracer():
+    """OpenTelemetry tracer when the SDK is importable, else None (the
+    package is absent in this image; spans degrade to timing-only)."""
     try:
-        yield
-    finally:
-        elapsed = round(time.perf_counter() - start, 3)
-        if sink is not None:
-            sink[name] = sink.get(name, 0.0) + elapsed
-        else:
-            print(f"[span] {name}: {elapsed}s")
+        from opentelemetry import trace
+    except ImportError:
+        return None
+    return trace.get_tracer(ACTIVITY_SOURCE)
+
+
+@contextlib.contextmanager
+def span(name: str, sink: dict | None = None,
+         attrs: dict | None = None) -> Iterator[None]:
+    """Driver-side span (the Activity analog): wall-clock seconds into
+    ``sink[name]`` (or printed), plus a real OpenTelemetry span with the
+    given attributes when the SDK is installed. Exceptions tag
+    ``error.type`` with the exception class name, like the reference
+    (``IngestionPipeline.cs:146-159``), and propagate."""
+    tracer = _get_tracer()
+    ctx = (
+        tracer.start_as_current_span(name, attributes=attrs or {})
+        if tracer is not None
+        else contextlib.nullcontext()
+    )
+    start = time.perf_counter()
+    with ctx as otel_span:
+        try:
+            yield
+        except BaseException as e:
+            if otel_span is not None and hasattr(otel_span, "set_attribute"):
+                otel_span.set_attribute(TAG_ERROR_TYPE, type(e).__name__)
+            raise
+        finally:
+            elapsed = round(time.perf_counter() - start, 3)
+            if sink is not None:
+                sink[name] = sink.get(name, 0.0) + elapsed
+            else:
+                print(f"[span] {name}: {elapsed}s")

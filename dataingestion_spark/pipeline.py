@@ -86,14 +86,29 @@ class IngestionPipeline:
         return df
 
     def run(self, spark, source, output_path: str, incremental: bool = False,
-            **reader_kwargs) -> None:
-        chunks = self.chunks(spark, source, **reader_kwargs)
-        if self.writer is not None:
-            if incremental:
-                raise ValueError(
-                    "incremental=True has no effect with a custom writer; "
-                    "implement the replace inside the writer instead"
-                )
-            self.writer(chunks)
-        else:
-            write_vector_table(chunks, output_path, incremental=incremental)
+            span_sink: Optional[dict] = None, **reader_kwargs) -> None:
+        """Execute the pipeline. Orchestration is wrapped in spans
+        (``observability.span``: timing + OpenTelemetry when installed) the
+        way the reference wraps ProcessDirectory/ProcessFiles in Activities
+        (``IngestionPipeline.cs:64-100``). Note the plan/write split: plan
+        construction is ~instant (lazy), the write span carries the work."""
+        from .observability import (
+            SPAN_PROCESS_DIRECTORY,
+            SPAN_WRITE,
+            TAG_FILE_PATH,
+            span,
+        )
+
+        with span(SPAN_PROCESS_DIRECTORY, span_sink, {TAG_FILE_PATH: str(source)}):
+            chunks = self.chunks(spark, source, **reader_kwargs)
+            if self.writer is not None:
+                if incremental:
+                    raise ValueError(
+                        "incremental=True has no effect with a custom writer; "
+                        "implement the replace inside the writer instead"
+                    )
+                with span(SPAN_WRITE, span_sink):
+                    self.writer(chunks)
+            else:
+                with span(SPAN_WRITE, span_sink):
+                    write_vector_table(chunks, output_path, incremental=incremental)
