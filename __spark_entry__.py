@@ -1510,6 +1510,43 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup clusters: MinHash-LSH pairs → connected components (iterative
+    min-label propagation, one shuffle per round) → canonical id per doc.
+    The oracle recomputes the same pairs and closes them with a recursive
+    CTE — pinning the distributed iteration against a transitive closure."""
+    return dedup.neardup_clusters(_t(spark, sf, "documents"), num_hashes=16, bands=4)
+
+
+def _oracle_cluster() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_minhash_pairs()}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id FROM reach GROUP BY u
+"""
+
+
+def q_sketch_hll_users(spark, sf):
+    """Deterministic HyperLogLog distinct-users per event type (md5 bucket +
+    rank, expression-only — sketches.py). The estimate is bit-exact across
+    engines: the harmonic sum adds only powers of two, so no float
+    order-dependence survives."""
+    from dataingestion_spark.operators import sketches
+
+    return sketches.hll_distinct(_events(spark, sf), "user_id", ["event_type"])
+
+
+def _oracle_hll() -> str:
+    from dataingestion_spark.operators import sketches
+
+    return sketches.hll_oracle_sql("events", "user_id", ["event_type"])
+
+
 def q_ngram_jaccard(spark, sf):
     pairs = dedup.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), threshold=0.2, num_hashes=16, bands=4
@@ -2079,6 +2116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "dedup_cross_doc_shingles": q_cross_doc_shingles,
         "dedup_embedding_pairs": q_emb_neardup,
+        "dedup_cluster_canonical": q_dedup_clusters,
+        "sketch_hll_users": q_sketch_hll_users,
         # similarity search
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
@@ -2151,6 +2190,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _oracle_simhash(),
         "dedup_cross_doc_shingles": ORACLE_CROSS_DOC,
         "dedup_embedding_pairs": ORACLE_EMB_NEARDUP,
+        "dedup_cluster_canonical": _oracle_cluster(),
+        "sketch_hll_users": _oracle_hll(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),

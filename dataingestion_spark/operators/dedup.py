@@ -336,3 +336,69 @@ def embedding_neardup_lsh(df: DataFrame, vec_col: str = "embedding",
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components by min-label propagation → (node, component).
+
+    Near-dup candidate pairs form an undirected graph; choosing one
+    canonical document per duplicate *cluster* (not per pair) requires its
+    components — pairwise dedup alone would keep both B and C from the
+    chain A-B, A-C. Each node's label starts as itself and converges to the
+    cluster minimum in O(diameter) rounds; dedup clusters are shallow
+    (stars/short chains), so a handful of rounds suffices. Every round is
+    one shuffle (join + min-agg); lineage is cut per round with a local
+    checkpoint so plans don't grow (the standard Spark iterative pattern —
+    at true web scale swap in large-star/small-star [Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14]).
+
+    Raises after ``max_iter`` non-converged rounds rather than returning
+    wrong labels silently.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if not changed:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def neardup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     num_hashes: int = 16, bands: int = 4,
+                     shingle_n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs → clusters → (doc_id, canonical_id).
+
+    The end-to-end near-dup keep/drop decision: every document that shares
+    a cluster with a smaller id maps to that minimum (its canonical);
+    downstream, ``filter(doc_id == canonical_id)`` keeps one representative
+    per cluster. Documents with no candidates are absent (canonical =
+    themselves)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("node").alias(id_col), F.col("component").alias("canonical_id"))

@@ -1,0 +1,146 @@
+"""Cardinality sketches: a deterministic HyperLogLog built from md5 bits.
+
+The reference has no sketch operators (its only numeric aggregate is the
+semantic-chunker percentile — SURVEY §2.7); at 100 TB a distinct-count over
+a high-cardinality key (users, URLs, shingles) needs a fixed-size sketch,
+not a shuffle of every distinct value. This HLL is expression-only
+(JVM-side, whole-stage codegen — no UDF) and *deterministic across
+engines*: bucket and rank both derive from the md5 hex digest via string
+ops, and the harmonic sum adds only powers of two (exact in double for
+p ≤ 8, rank width 52 bits — every partial sum is representable, so the
+result does not depend on Spark's aggregation order).
+
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal cardinality
+estimation algorithm" (AofA 2007) is the published basis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 52 bits of rank stream = 13 hex chars after the 2 bucket chars.
+_RANK_HEX_CHARS = 13
+
+# Leading zero bits of a single non-zero hex digit.
+_LZ_CASE = (
+    "CASE {c} WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+    "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+    "ELSE 0 END"
+)
+
+
+def _hex_val(col: Column) -> Column:
+    # instr over the hex alphabet: engine-agnostic hex digit → int
+    return F.instr(F.lit("0123456789abcdef"), col) - 1
+
+
+def hll_rank_bucket(value: Column, precision_bits: int = 8) -> tuple[Column, Column]:
+    """(bucket, rank) for one value: bucket = first ``precision_bits`` of
+    md5, rank = 1 + leading zeros of the next 52 bits. String/integer ops
+    only, so Spark and any SQL oracle agree bit-for-bit."""
+    if precision_bits != 8:
+        raise ValueError("only p=8 is wired (bucket = first two hex chars)")
+    h = F.md5(value.cast("string"))
+    bucket = (_hex_val(F.substring(h, 1, 1)) * 16 + _hex_val(F.substring(h, 2, 1)))
+    s = F.substring(h, 3, _RANK_HEX_CHARS)
+    lz_hex = F.length(F.regexp_extract(s, "^0*", 0))
+    first = F.substring(s, lz_hex + 1, 1)
+    lz_bits = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.when(
+        lz_hex == _RANK_HEX_CHARS, F.lit(_RANK_HEX_CHARS * 4 + 1)
+    ).otherwise(lz_hex * 4 + lz_bits + 1)
+    return bucket.alias("hll_bucket"), rank.alias("hll_rank")
+
+
+def hll_distinct(df: DataFrame, value_col: str,
+                 group_cols: Optional[Sequence[str]] = None,
+                 precision_bits: int = 8,
+                 corrected: bool = False) -> DataFrame:
+    """Approximate COUNT(DISTINCT value_col), optionally grouped.
+
+    Two map-side-combinable aggregations: max rank per (group, bucket),
+    then the harmonic mean over buckets. Output per group:
+
+    - ``hll_estimate`` — raw HLL estimate (bit-exact across engines)
+    - ``hll_nonempty_buckets`` — observed buckets (m − V)
+    - ``hll_estimate_corrected`` (when ``corrected=True``) — linear-counting
+      correction for the small range (E ≤ 2.5m with empty buckets). Uses
+      ``ln`` — correct to double precision but not guaranteed identically
+      rounded on every libm, so the oracle-checked query pins the raw
+      estimate and this column is round-tripped at 6 decimals in tests.
+    """
+    m = 1 << precision_bits
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard constant for m ≥ 128
+    g = list(group_cols or [])
+    bucket, rank = hll_rank_bucket(F.col(value_col), precision_bits)
+    per_bucket = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, bucket, rank)
+        .groupBy(*g, "hll_bucket")
+        .agg(F.max("hll_rank").alias("max_rank"))
+    )
+    # sum of 2^-rank over observed buckets + 1.0 per empty bucket
+    agg = per_bucket.groupBy(*g).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("_inv_sum"),
+        F.count("*").alias("hll_nonempty_buckets"),
+    )
+    inv_total = F.col("_inv_sum") + (F.lit(m) - F.col("hll_nonempty_buckets"))
+    est = F.lit(alpha * m * m) / inv_total
+    out = agg.select(
+        *g,
+        est.alias("hll_estimate"),
+        F.col("hll_nonempty_buckets"),
+    )
+    if corrected:
+        v = F.lit(m) - F.col("hll_nonempty_buckets")
+        corrected_est = F.when(
+            (F.col("hll_estimate") <= 2.5 * m) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        ).otherwise(F.col("hll_estimate"))
+        out = out.withColumn("hll_estimate_corrected", corrected_est)
+    return out
+
+
+def hll_oracle_sql(table: str, value_col: str,
+                   group_cols: Optional[Sequence[str]] = None,
+                   precision_bits: int = 8) -> str:
+    """The identical computation as ANSI SQL (DuckDB-compatible), for the
+    correctness gate. Mirrors :func:`hll_distinct` term by term."""
+    if precision_bits != 8:
+        raise ValueError("only p=8 is wired")
+    m = 1 << precision_bits
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    g = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in g)
+    gby_bucket = ", ".join(g + ["hll_bucket"]) if g else "hll_bucket"
+    gby = ", ".join(g)
+    hexv = "(instr('0123456789abcdef', {c}) - 1)"
+    b1 = hexv.format(c="substr(h, 1, 1)")
+    b2 = hexv.format(c="substr(h, 2, 1)")
+    lz_case = _LZ_CASE.format(c="substr(s, lz_hex + 1, 1)")
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}md5(CAST({value_col} AS VARCHAR)) AS h
+  FROM {table} WHERE {value_col} IS NOT NULL),
+ranked AS (
+  SELECT {gsel}{b1} * 16 + {b2} AS hll_bucket,
+    CASE WHEN lz_hex = {_RANK_HEX_CHARS} THEN {_RANK_HEX_CHARS * 4 + 1}
+         ELSE lz_hex * 4 + {lz_case} + 1 END AS hll_rank
+  FROM (SELECT {gsel}h, substr(h, 3, {_RANK_HEX_CHARS}) AS s,
+          length(regexp_extract(substr(h, 3, {_RANK_HEX_CHARS}), '^0*')) AS lz_hex
+        FROM hashed) t),
+per_bucket AS (
+  SELECT {gsel}hll_bucket, MAX(hll_rank) AS max_rank
+  FROM ranked GROUP BY {gby_bucket})
+SELECT {gsel}CAST({alpha!r} AS DOUBLE) * {m} * {m} /
+    (SUM(POW(2.0, -max_rank)) + ({m} - COUNT(*))) AS hll_estimate,
+  COUNT(*) AS hll_nonempty_buckets
+FROM per_bucket{f" GROUP BY {gby}" if g else ""}
+"""

@@ -1,0 +1,85 @@
+"""Connected components (min-label propagation) and the deterministic HLL
+sketch — unit-level behavior; cross-engine equivalence is pinned by the
+driver oracles (dedup_cluster_canonical, sketch_hll_users)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.operators.dedup import connected_components, neardup_clusters
+from dataingestion_spark.operators.sketches import hll_distinct
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_components_chain_and_star(spark):
+    # chain 1-2-3-4, star 10-(11,12), isolated pair 20-21
+    comp = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)])
+    )
+    got = {r.node: r.component for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_components_direction_independent(spark):
+    # min reachable only via an edge pointing *into* the min
+    comp = connected_components(_edges(spark, [(5, 1), (5, 9)]))
+    got = {r.node: r.component for r in comp.collect()}
+    assert got == {1: 1, 5: 1, 9: 1}
+
+
+def test_components_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), max_iter=1
+        )
+
+
+def test_neardup_clusters_transitive(spark):
+    # A≈B and B≈C but A,C may not pair directly — cluster must still unite them
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),
+            (3, base),
+            (50, "completely different text about spark queries and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = neardup_clusters(docs)
+    got = {r.doc_id: r.canonical_id for r in clusters.collect()}
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert 50 not in got  # no candidates → not in the cluster map
+    kept = docs.join(
+        clusters.filter(F.col("doc_id") != F.col("canonical_id")),
+        "doc_id",
+        "left_anti",
+    )
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [1, 50]
+
+
+def test_hll_accuracy(spark):
+    n = 3000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = hll_distinct(df, "v").first().hll_estimate
+    assert abs(est - n) / n < 0.15  # p=8 → ~6.5% expected std error
+
+
+def test_hll_small_range_correction(spark):
+    n = 40  # far below m=256 → raw HLL overcounts, linear counting kicks in
+    df = spark.range(n).select(F.col("id").alias("v"))
+    row = hll_distinct(df, "v", corrected=True).first()
+    assert abs(row.hll_estimate_corrected - n) <= abs(row.hll_estimate - n) + 1e-9
+    assert abs(row.hll_estimate_corrected - n) / n < 0.15
+
+
+def test_hll_grouped_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(100)] + [("b", None)],
+        "g string, v long",
+    )
+    rows = {r.g: r for r in hll_distinct(df, "v", ["g"]).collect()}
+    assert abs(rows["a"].hll_estimate - 500) / 500 < 0.2
+    assert rows["b"].hll_nonempty_buckets <= 100  # null ignored
