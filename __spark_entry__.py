@@ -1255,6 +1255,40 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_events_range_join(spark, sf):
+    """Clicks landing in the 30 minutes after each purchase by the same user
+    — a point-in-interval (range) join. Spark would plan the raw inequality
+    as a nested-loop join; ``interval_join`` (operators/temporal.py) buckets
+    the time axis and runs it as an equi-join on (bucket, user)."""
+    from dataingestion_spark.operators.temporal import interval_join
+
+    _utc(spark)
+    e = _events(spark, sf)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    j = interval_join(clicks, purchases, point_ts="ts", on=["user_id"],
+                      bucket="30 minutes")
+    return j.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.max("ts").alias("last_click_ts"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks, MAX(c.ts) AS last_click_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.event_id
+"""
+
+
 def q_events_moving_sum(spark, sf):
     _utc(spark)
     e = _events(spark, sf)
@@ -2097,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": q_events_json_stats,
         "lineitem_quantiles": q_lineitem_quantiles,
         "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "events_moving_sum": q_events_moving_sum,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -2173,6 +2208,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_stats": ORACLE_JSON,
         "lineitem_quantiles": ORACLE_QUANTILES,
         "events_asof_join": ORACLE_ASOF,
+        "events_range_join": ORACLE_RANGE_JOIN,
         "events_moving_sum": ORACLE_MOVING,
         "customers_without_orders": ORACLE_ANTI,
         "customers_with_urgent_orders": ORACLE_SEMI,

@@ -78,3 +78,56 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         .cogroup(right.groupBy(on))
         .applyInPandas(lambda k, l, r: match(k, (l, r)), schema=schema)
     )
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_ts: str = "ts", start_col: str = "start",
+                  end_col: str = "end", on: List[str] | None = None,
+                  bucket: str = "1 hour") -> DataFrame:
+    """Point-in-interval join (``start <= point_ts < end``) as an equi-join.
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin — O(n×m)
+    and broadcast-bound. This is the scale formulation: time is cut into
+    fixed buckets, each interval is exploded to the buckets it covers, each
+    point carries its single bucket, and the join runs on
+    (bucket [+ on-keys]) with the exact range predicate as a post-filter.
+    Cost: shuffle of points + intervals×(avg buckets per interval); pick
+    ``bucket`` near the typical interval length so the blow-up factor
+    stays ~2. Correctness does not depend on the bucket width; a point
+    matches in exactly its own bucket, so no dedup step is needed.
+
+    ``on`` adds equality keys (e.g. user_id) to the join. Interval columns
+    named like point columns must be disambiguated by the caller.
+    """
+    from pyspark.sql import functions as F
+
+    parts = bucket.split()
+    if len(parts) != 2:
+        raise ValueError("bucket must look like '15 minutes'")
+    n, unit = int(parts[0]), parts[1].rstrip("s")
+    micros_per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    if unit not in micros_per:
+        raise ValueError(f"unsupported bucket unit '{unit}'")
+    width = n * micros_per[unit] * 1_000_000
+    on = list(on or [])
+
+    p = points.withColumn("_ib", F.expr(f"unix_micros({point_ts}) DIV {width}"))
+    # empty/inverted intervals match nothing; drop them BEFORE sequence(),
+    # which would otherwise generate a descending bucket range
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "_ib",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start_col}) DIV {width}"),
+                # end is exclusive: a zero-length tail bucket is not covered
+                F.expr(f"(unix_micros({end_col}) - 1) DIV {width}"),
+            )
+        ),
+    )
+    cond = [p["_ib"] == iv["_ib"]] + [p[k] == iv[k] for k in on]
+    joined = p.join(iv, cond).filter(
+        (p[point_ts] >= iv[start_col]) & (p[point_ts] < iv[end_col])
+    )
+    keep_p = [p[c] for c in points.columns]
+    keep_iv = [iv[c] for c in intervals.columns if c not in on]
+    return joined.select(*keep_p, *keep_iv)

@@ -61,3 +61,29 @@ def test_salted_join_matches_plain_join(spark):
     s = sorted(tuple(r) for r in salted.select("l_orderkey", "l_partkey", "p_name").collect())
     p = sorted(tuple(r) for r in plain.select("l_orderkey", "l_partkey", "p_name").collect())
     assert s == p
+
+
+def test_tpch_plans_broadcast_and_prune(spark):
+    """Plan-shape pins for the newly added TPC-H queries: dimension joins
+    must broadcast (no sort-merge against a dim), filters and projections
+    must reach the lineitem scan."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+
+    q2 = em.q_tpch_q2(spark, sf)
+    f2 = plan_summary(q2)
+    assert f2["broadcast_hash_joins"] >= 4  # part, supplier, nation, region
+    assert any("l_partkey" in s and "l_quantity" in s for s in f2["read_schemas"])
+
+    q8 = em.q_tpch_q8(spark, sf)
+    f8 = plan_summary(q8)
+    assert f8["broadcast_hash_joins"] >= 5  # part, supp, both nations, region
+    # p_type filter must be pushed to the part scan
+    assert any("p_type" in p for p in f8["pushed_filters"])
+
+    q20 = em.q_tpch_q20(spark, sf)
+    f20 = plan_summary(q20)
+    # semi-join chain: no full-width join of lineitem to part
+    assert any("p_name" in p or "StringStartsWith" in p for p in f20["pushed_filters"])
+    assert any("l_shipdate" in p for p in f20["pushed_filters"])

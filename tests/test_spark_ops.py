@@ -374,3 +374,46 @@ def test_train_centroids_farthest_init(spark):
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     a = {(r.query_id, r.vec_id) for r in ivf.collect()}
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_interval_join_matches_naive(spark):
+    """interval_join (bucketed equi-join formulation) must equal the naive
+    inequality join for every bucket width, including boundary semantics
+    (start inclusive, end exclusive) and inverted intervals."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.operators.temporal import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(u, i, t0 + dt.timedelta(minutes=m))
+         for i, (u, m) in enumerate([(1, 0), (1, 29), (1, 30), (1, 95), (2, 10), (2, 61)])],
+        "user_id long, point_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, 100, t0, t0 + dt.timedelta(minutes=30)),          # [0, 30)
+            (1, 101, t0 + dt.timedelta(minutes=90), t0 + dt.timedelta(minutes=120)),
+            (2, 200, t0, t0 + dt.timedelta(minutes=62)),
+            (2, 201, t0 + dt.timedelta(minutes=50), t0 + dt.timedelta(minutes=50)),  # empty
+            (2, 202, t0 + dt.timedelta(minutes=50), t0 + dt.timedelta(minutes=40)),  # inverted
+        ],
+        "user_id long, iv_id long, start timestamp, end timestamp",
+    )
+    naive = (
+        pts.alias("p").join(
+            ivs.alias("i"),
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p.ts") >= F.col("i.start"))
+            & (F.col("p.ts") < F.col("i.end")),
+        )
+        .select("point_id", "iv_id")
+    )
+    expected = sorted((r.point_id, r.iv_id) for r in naive.collect())
+    assert expected  # non-degenerate fixture
+    assert (0, 100) in expected and (2, 100) not in expected  # boundaries
+    for bucket in ("1 minute", "7 minutes", "30 minutes", "1 hour", "1 day"):
+        got = interval_join(pts, ivs, on=["user_id"], bucket=bucket)
+        assert sorted((r.point_id, r.iv_id) for r in got.collect()) == expected, bucket
