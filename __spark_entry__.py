@@ -2069,6 +2069,36 @@ def q_streaming_stateful(spark, sf):
     return spark.table(name)
 
 
+def q_streaming_dedup(spark, sf):
+    """Streaming content-dedup ingest: the documents table streamed through
+    stream_ingest_dedup must land exactly one row per distinct content —
+    which duplicate survives is run-dependent, but the distinct-content
+    count is not, so THAT is the oracle-checked output. Restart idempotence
+    is pinned by tests/test_streaming.py::test_stream_ingest_dedup_idempotent."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.streaming.pipeline import stream_ingest_dedup
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    inp, table = f"{work}/in", f"{work}/table"
+    docs = _t(spark, sf, "documents")
+    docs.write.mode("overwrite").parquet(inp)
+    stream_ingest_dedup(spark, inp, table).awaitTermination()
+    t = ms.read_table(spark, table)
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("content_hash").alias("n_unique_contents"),
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT COUNT(DISTINCT md5(text)) AS n_rows,
+       COUNT(DISTINCT md5(text)) AS n_unique_contents
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2173,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (rows-only)
         "streaming_events_windowed": q_streaming_events,
         "streaming_stateful_counts": q_streaming_stateful,
+        "streaming_dedup_ingest": q_streaming_dedup,
     }
 
 
@@ -2252,5 +2283,6 @@ def oracle_sql() -> dict[str, str]:
         "writer_vector_records": _oracle_vector_records(),
         "writer_qa_pairs": ORACLE_QA.format(token_chunks=ORACLE_TOKEN_CHUNKS.strip()),
         "writer_incremental_replace": _oracle_writer_incremental(),
+        "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
         # streaming_events_windowed: intentionally omitted (rows-only check)
     }

@@ -111,3 +111,46 @@ def stream_events_windowed(spark, events_dir: str, window: str = "5 minutes",
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_dedup(spark, input_dir: str, table_path: str):
+    """Continuous ingest keeping exactly one copy per distinct content.
+
+    Per micro-batch: within-batch ``dropDuplicates`` on the content hash,
+    cross-batch LEFT ANTI join against the hashes already committed, then
+    an append-only O(batch) commit to the versioned table. The dedup state
+    is the TABLE itself, not a streaming state store — restarts (and full
+    re-reads of the input) are idempotent with no checkpoint recovery, and
+    the same per-batch function serves batch backfills unchanged. The
+    anti-join reads one 32-byte column of the table per batch (column
+    pruning); at 100 TB keep the hash column in its own compacted bucket
+    files or front it with a bloom filter — the commit protocol is
+    unchanged. Returns the started StreamingQuery.
+    """
+    from ..sinks import manifest_store as ms
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    docs = stream.withColumn("content_hash", F.md5(F.col("text"))).withColumn(
+        "documentid", F.col("doc_id").cast("string")
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["content_hash"])
+        if ms.current_version(table_path) is not None:
+            seen = ms.read_table(spark, table_path).select("content_hash").distinct()
+            batch = batch.join(seen, "content_hash", "left_anti")
+        batch = batch.localCheckpoint(eager=True)  # plan reused twice below
+        if batch.limit(1).count() == 0:
+            return
+        ms.append_table(batch, table_path)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -67,3 +67,40 @@ def test_stream_ingest_incremental(spark, tmp_path):
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert table.select("documentid").distinct().count() == n_docs
     assert set(table.columns) >= {"key", "embedding", "content", "documentid"}
+
+
+def test_stream_ingest_dedup_idempotent(spark, tmp_path):
+    """Content-level dedup across micro-batches AND across stream restarts:
+    the table itself is the dedup state, so re-reading all input files
+    (no checkpoint) must not duplicate rows."""
+    from dataingestion_spark.streaming.pipeline import stream_ingest_dedup
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    inp = str(tmp_path / "in")
+    table = str(tmp_path / "docs_table")
+    rows1 = [
+        (1, "alpha content", "en", "s", 13),
+        (2, "beta content", "en", "s", 12),
+        (3, "alpha content", "en", "s", 13),  # in-batch duplicate of 1
+    ]
+    spark.createDataFrame(
+        rows1, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(inp)
+
+    stream_ingest_dedup(spark, inp, table).awaitTermination()
+    t1 = ms.read_table(spark, table)
+    assert t1.count() == 2
+    assert t1.select("content_hash").distinct().count() == 2
+
+    # second wave: one genuinely new doc, one repeat of an old content
+    spark.createDataFrame(
+        [(4, "gamma content", "en", "s", 13), (5, "beta content", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("append").parquet(inp)
+
+    # no checkpoint → the stream re-reads EVERYTHING; table must end at 3
+    stream_ingest_dedup(spark, inp, table).awaitTermination()
+    t2 = ms.read_table(spark, table)
+    assert t2.count() == 3
+    kept = sorted(r.text for r in t2.select("text").collect())
+    assert kept == ["alpha content", "beta content", "gamma content"]
