@@ -1483,6 +1483,70 @@ FROM documents
 """
 
 
+def q_curation_funnel(spark, sf):
+    """End-to-end training-data curation funnel (dataingestion_spark/
+    curation.py): lang filter → quality filter → exact dedup → near-dup
+    cluster dedup, reporting (stage, docs_kept, words_kept). Every keep
+    decision is MIN-id deterministic, so the whole funnel oracle-checks."""
+    from dataingestion_spark.curation import curation_funnel
+
+    return curation_funnel(_t(spark, sf, "documents"))
+
+
+def _oracle_funnel() -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5(concat('{j}:', x))), 'min')"
+        for j in range(16)
+    )
+    return f"""
+WITH RECURSIVE
+lq AS (
+  SELECT d_.doc_id, d_.text, l.detected_lang, q.quality, q.n_words
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents) d_
+  JOIN ({_oracle_lang_id()}) l ON d_.doc_id = l.doc_id
+  JOIN ({ORACLE_QUALITY}) q ON d_.doc_id = q.doc_id),
+s1 AS (SELECT * FROM lq WHERE detected_lang IN ('en')),
+s2 AS (SELECT * FROM s1 WHERE quality >= 0.5 AND n_words >= 5),
+ex AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+         MIN(doc_id) AS canon
+  FROM s2 GROUP BY 1),
+s3 AS (
+  SELECT s2.* FROM s2 JOIN ex
+    ON md5(trim(regexp_replace(lower(s2.text), '\\s+', ' ', 'g'))) = ex.h
+   AND s2.doc_id = ex.canon),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                 i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM s3)),
+sig AS (SELECT doc_id, [{mins}] AS sig FROM sh),
+bands AS (
+  SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')) AS bk
+  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+pairs AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+  GROUP BY 1, 2),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+canon4 AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id FROM reach GROUP BY u),
+s4 AS (
+  SELECT s3.* FROM s3 LEFT JOIN canon4 c ON s3.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR c.canonical_id = s3.doc_id)
+SELECT '0_input' AS stage, COUNT(*) AS docs_kept,
+       COALESCE(SUM(n_words), 0) AS words_kept FROM lq
+UNION ALL SELECT '1_lang', COUNT(*), COALESCE(SUM(n_words), 0) FROM s1
+UNION ALL SELECT '2_quality', COUNT(*), COALESCE(SUM(n_words), 0) FROM s2
+UNION ALL SELECT '3_exact_dedup', COUNT(*), COALESCE(SUM(n_words), 0) FROM s3
+UNION ALL SELECT '4_neardup', COUNT(*), COALESCE(SUM(n_words), 0) FROM s4
+"""
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -2183,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_emb_neardup,
         "dedup_cluster_canonical": q_dedup_clusters,
         "sketch_hll_users": q_sketch_hll_users,
+        "curation_funnel": q_curation_funnel,
         # similarity search
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
@@ -2259,6 +2324,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": ORACLE_EMB_NEARDUP,
         "dedup_cluster_canonical": _oracle_cluster(),
         "sketch_hll_users": _oracle_hll(),
+        "curation_funnel": _oracle_funnel(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
