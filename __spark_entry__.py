@@ -1558,7 +1558,8 @@ WITH h AS (
   FROM documents),
 g AS (SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
       FROM h GROUP BY content_hash)
-SELECT h.doc_id, g.canonical_id, g.group_size FROM h JOIN g USING (content_hash)
+SELECT h.doc_id, g.canonical_id, g.group_size, h.content_hash
+FROM h JOIN g USING (content_hash)
 """
 
 

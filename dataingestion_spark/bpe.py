@@ -226,8 +226,17 @@ def seed_bpe_tokenizer() -> BPETokenizer:
 
 def default_bpe_tokenizer(vocab_path: Optional[str] = None) -> BPETokenizer:
     """A real-vocab tokenizer when a ``.tiktoken`` file is available
-    (``SPARK_GRAFT_BPE_VOCAB`` or an explicit path), else the seed vocab."""
+    (``SPARK_GRAFT_BPE_VOCAB`` or an explicit path), else the seed vocab.
+
+    An explicitly configured vocab that cannot be honored RAISES — silently
+    degrading to seed counts would move every chunk boundary while claiming
+    reference parity."""
     path = vocab_path or os.environ.get("SPARK_GRAFT_BPE_VOCAB")
-    if path and os.path.isfile(path):
+    if path:
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"BPE vocab configured but not found: {path} "
+                "(unset SPARK_GRAFT_BPE_VOCAB to use the built-in seed vocab)"
+            )
         return BPETokenizer(load_tiktoken_file(path), name=os.path.basename(path))
     return seed_bpe_tokenizer()

@@ -4,22 +4,23 @@ analysis operators exist for.
 The reference stops at chunks-into-a-vector-store; a 100 TB pretraining
 pipeline needs the curation stage in front: language filter → quality
 filter → exact dedup → near-dup cluster dedup → token accounting. This
-module composes those operators into one lazy plan per stage with
-deterministic keep decisions (canonical = MIN doc id everywhere), so the
-same corpus always curates to the same result — a property the correctness
-oracle exploits.
+module composes those operators with deterministic keep decisions
+(canonical = MIN doc id everywhere), so the same corpus always curates to
+the same result — a property the correctness oracle exploits.
 
 Plan shape at scale: lang/quality are pure projections + filters (codegen,
 no shuffle); exact dedup is one shuffle of (hash, id); near-dup adds the
 MinHash-LSH banding join and the component propagation over the candidate
-graph only. Nothing materializes the corpus more than once — ``curate``
-returns a DataFrame you can write straight to shards.
+graph only. Stages that are consumed more than once (the annotated input,
+the post-exact-dedup set) carry a LAZY local checkpoint: nothing runs at
+composition time, but the first action materializes them once instead of
+re-deriving the full lineage per downstream branch.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -37,6 +38,44 @@ class CurationConfig:
     bands: int = 4
 
 
+def _stages(df: DataFrame, text_col: str, id_col: str,
+            cfg: CurationConfig) -> List[Tuple[str, DataFrame]]:
+    """The funnel, one (name, DataFrame) per stage — the SINGLE definition
+    of the keep logic, consumed by both :func:`curate` (last stage) and
+    :func:`curation_funnel` (per-stage counts), so the reported funnel can
+    never diverge from what curate actually keeps."""
+    lang = TA.lang_id(df, text_col, id_col).select(id_col, "detected_lang")
+    qual = TA.quality_score(df, text_col, id_col).select(
+        id_col, "quality", "n_words"
+    )
+    toks = TA.token_counts(df, text_col, id_col).select(id_col, "n_tokens_bpeish")
+    annotated = (
+        df.join(lang, id_col).join(qual, id_col).join(toks, id_col)
+        # reused by every stage branch below — materialize once, lazily
+        .localCheckpoint(eager=False)
+    )
+    s1 = annotated.filter(F.col("detected_lang").isin(*cfg.keep_langs))
+    s2 = s1.filter(
+        (F.col("quality") >= cfg.min_quality) & (F.col("n_words") >= cfg.min_words)
+    )
+    exact = D.exact_dedup(s2, text_col, id_col)
+    s3 = s2.join(
+        exact.filter(F.col(id_col) == F.col("canonical_id")).select(
+            id_col, "content_hash"  # hash already computed by exact_dedup
+        ),
+        id_col,
+    ).localCheckpoint(eager=False)  # consumed by neardup AND the output/count
+    stages = [("0_input", annotated), ("1_lang", s1), ("2_quality", s2),
+              ("3_exact_dedup", s3)]
+    if cfg.neardup:
+        clusters = D.neardup_clusters(
+            s3, text_col, id_col, num_hashes=cfg.num_hashes, bands=cfg.bands
+        )
+        losers = clusters.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
+        stages.append(("4_neardup", s3.join(losers, id_col, "left_anti")))
+    return stages
+
+
 def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            config: Optional[CurationConfig] = None) -> DataFrame:
     """The kept corpus, annotated: input columns + detected_lang, quality,
@@ -44,75 +83,29 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     curation stacks (cheap filters first, expensive dedup last):
 
     1. language ∈ ``keep_langs``
-    2. quality_score ≥ ``min_quality`` and n_words ≥ ``min_words``
+    2. quality ≥ ``min_quality`` and n_words ≥ ``min_words``
     3. exact dedup — keep the minimum doc id per content hash
     4. near-dup clusters (MinHash-LSH + connected components) — keep the
        minimum doc id per cluster
     """
     cfg = config or CurationConfig()
-    lang = TA.lang_id(df, text_col, id_col).select(id_col, "detected_lang")
-    qual = TA.quality_score(df, text_col, id_col).select(
-        id_col, "quality", "n_words"
-    )
-    toks = TA.token_counts(df, text_col, id_col).select(id_col, "n_tokens_bpeish")
-    annotated = df.join(lang, id_col).join(qual, id_col).join(toks, id_col)
-    kept = annotated.filter(
-        F.col("detected_lang").isin(*cfg.keep_langs)
-        & (F.col("quality") >= cfg.min_quality)
-        & (F.col("n_words") >= cfg.min_words)
-    )
-    exact = D.exact_dedup(kept, text_col, id_col)
-    kept = kept.join(
-        exact.filter(F.col(id_col) == F.col("canonical_id")).select(id_col), id_col
-    ).withColumn("content_hash", F.md5(D.normalized(F.col(text_col))))
-    if cfg.neardup:
-        clusters = D.neardup_clusters(
-            kept, text_col, id_col, num_hashes=cfg.num_hashes, bands=cfg.bands
-        )
-        losers = clusters.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
-        kept = kept.join(losers, id_col, "left_anti")
-    return kept
+    return _stages(df, text_col, id_col, cfg)[-1][1]
 
 
 def curation_funnel(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     config: Optional[CurationConfig] = None) -> DataFrame:
     """Stage-by-stage accounting: (stage, docs_kept, words_kept) for input →
-    lang → quality → exact-dedup → near-dup. The per-stage deltas are what a
-    curation run reports; every stage count is deterministic (MIN-id keeps).
-    """
+    lang → quality → exact-dedup → near-dup. Shares :func:`_stages` with
+    :func:`curate`, so the counts describe exactly the pipeline that
+    produces the curated output."""
     cfg = config or CurationConfig()
-    lang = TA.lang_id(df, text_col, id_col).select(id_col, "detected_lang")
-    qual = TA.quality_score(df, text_col, id_col).select(
-        id_col, "quality", "n_words"
-    )
-    annotated = df.join(lang, id_col).join(qual, id_col)
-
-    s0 = annotated
-    s1 = s0.filter(F.col("detected_lang").isin(*cfg.keep_langs))
-    s2 = s1.filter(
-        (F.col("quality") >= cfg.min_quality)
-        & (F.col("n_words") >= cfg.min_words)
-    )
-    exact = D.exact_dedup(s2, text_col, id_col)
-    s3 = s2.join(
-        exact.filter(F.col(id_col) == F.col("canonical_id")).select(id_col), id_col
-    )
-    stages = [("0_input", s0), ("1_lang", s1), ("2_quality", s2), ("3_exact_dedup", s3)]
-    if cfg.neardup:
-        clusters = D.neardup_clusters(
-            s3, text_col, id_col, num_hashes=cfg.num_hashes, bands=cfg.bands
-        )
-        losers = clusters.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
-        s4 = s3.join(losers, id_col, "left_anti")
-        stages.append(("4_neardup", s4))
-
     counts = [
         s.agg(
             F.lit(name).alias("stage"),
             F.count("*").alias("docs_kept"),
             F.coalesce(F.sum("n_words"), F.lit(0)).alias("words_kept"),
         )
-        for name, s in stages
+        for name, s in _stages(df, text_col, id_col, cfg)
     ]
     out = counts[0]
     for c in counts[1:]:

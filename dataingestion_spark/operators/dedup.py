@@ -63,7 +63,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
     return (
         hashed.join(groups, "content_hash")
-        .select(id_col, "canonical_id", "group_size")
+        .select(id_col, "canonical_id", "group_size", "content_hash")
     )
 
 

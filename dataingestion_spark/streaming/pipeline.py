@@ -134,8 +134,13 @@ def stream_ingest_dedup(spark, input_dir: str, table_path: str):
         .option("maxFilesPerTrigger", 4)
         .parquet(input_dir)
     )
-    docs = stream.withColumn("content_hash", F.md5(F.col("text"))).withColumn(
-        "documentid", F.col("doc_id").cast("string")
+    # Null text is dropped up front: md5(NULL) is NULL, and NULL join keys
+    # never anti-join-match, so null-content rows would bypass dedup and
+    # re-append on every restart (there is nothing to ingest in them anyway).
+    docs = (
+        stream.filter(F.col("text").isNotNull())
+        .withColumn("content_hash", F.md5(F.col("text")))
+        .withColumn("documentid", F.col("doc_id").cast("string"))
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:

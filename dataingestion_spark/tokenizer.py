@@ -109,6 +109,8 @@ def default_tokenizer():
     ``SPARK_GRAFT_BPE_VOCAB``, the self-contained BPE engine (``bpe.py``)
     with identical counts; else the word tokenizer (keeps all goldens
     deterministic without any external file)."""
+    # Best-effort: tiktoken may be installed yet unable to fetch its
+    # encoding files offline — any failure here falls through.
     try:
         return TiktokenTokenizer()
     except Exception:
@@ -116,10 +118,9 @@ def default_tokenizer():
     import os
 
     if os.environ.get("SPARK_GRAFT_BPE_VOCAB"):
-        try:
-            from .bpe import default_bpe_tokenizer
+        # An explicitly configured vocab must be honored or fail loudly —
+        # load errors propagate rather than degrading to word counts.
+        from .bpe import default_bpe_tokenizer
 
-            return default_bpe_tokenizer()
-        except Exception:
-            pass
+        return default_bpe_tokenizer()
     return WordTokenizer()

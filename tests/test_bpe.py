@@ -148,3 +148,15 @@ def test_default_tokenizer_uses_vocab_file(tmp_path, monkeypatch, bpe):
     tok2 = default_bpe_tokenizer()
     assert tok2.name == "seed-bpe"
     assert tok2.count("data ingestion pipelines") <= 6  # trained merges bite
+
+
+def test_configured_vocab_must_exist(monkeypatch, tmp_path):
+    """An explicitly configured vocab path that can't be honored raises —
+    silent fallback would move every chunk boundary while claiming parity."""
+    monkeypatch.setenv("SPARK_GRAFT_BPE_VOCAB", str(tmp_path / "missing.tiktoken"))
+    with pytest.raises(FileNotFoundError, match="missing.tiktoken"):
+        default_bpe_tokenizer()
+    from dataingestion_spark.tokenizer import default_tokenizer
+
+    with pytest.raises(FileNotFoundError):
+        default_tokenizer()

@@ -104,3 +104,21 @@ def test_stream_ingest_dedup_idempotent(spark, tmp_path):
     assert t2.count() == 3
     kept = sorted(r.text for r in t2.select("text").collect())
     assert kept == ["alpha content", "beta content", "gamma content"]
+
+
+def test_stream_ingest_dedup_null_text(spark, tmp_path):
+    """Null-text rows must not bypass dedup: md5(NULL)=NULL never anti-join
+    matches, so they are dropped up front — the table must stay stable
+    across restarts (regression for the null-key append loop)."""
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.streaming.pipeline import stream_ingest_dedup
+
+    inp, table = str(tmp_path / "in"), str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "alpha", "en", "s", 5), (2, None, "en", "s", 0), (3, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(inp)
+    stream_ingest_dedup(spark, inp, table).awaitTermination()
+    assert ms.read_table(spark, table).count() == 1
+    stream_ingest_dedup(spark, inp, table).awaitTermination()
+    assert ms.read_table(spark, table).count() == 1
