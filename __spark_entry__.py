@@ -1494,10 +1494,7 @@ def q_curation_funnel(spark, sf):
 
 
 def _oracle_funnel() -> str:
-    mins = ", ".join(
-        f"list_aggregate(list_transform(s, x -> md5(concat('{j}:', x))), 'min')"
-        for j in range(16)
-    )
+    mins = ", ".join(_minhash_sql(j) for j in range(16))
     return f"""
 WITH RECURSIVE
 lq AS (
@@ -1578,11 +1575,15 @@ def q_minhash_signature(spark, sf):
     )
 
 
+def _minhash_sql(j: int) -> str:
+    """SQL form of minhash family j — must mirror dedup.minhash_signature:
+    8-hex-char slice of md5((j div 4) || ':' || shingle)."""
+    g, off = j // 4, 8 * (j % 4) + 1
+    return f"list_aggregate(list_transform(s, x -> substr(md5(concat('{g}:', x)), {off}, 8)), 'min')"
+
+
 def _oracle_minhash_signature() -> str:
-    mins = ", ".join(
-        f"list_aggregate(list_transform(s, x -> md5(concat('{j}:', x))), 'min') AS h{j}"
-        for j in range(8)
-    )
+    mins = ", ".join(f"{_minhash_sql(j)} AS h{j}" for j in range(8))
     return f"WITH sh AS ({_SHINGLE_SQL}) SELECT doc_id, {mins} FROM sh"
 
 
@@ -1593,10 +1594,7 @@ def q_minhash_lsh_pairs(spark, sf):
 
 
 def _oracle_minhash_pairs() -> str:
-    mins = ", ".join(
-        f"list_aggregate(list_transform(s, x -> md5(concat('{j}:', x))), 'min')"
-        for j in range(16)
-    )
+    mins = ", ".join(_minhash_sql(j) for j in range(16))
     return f"""
 WITH sh AS ({_SHINGLE_SQL}),
 sig AS (SELECT doc_id, [{mins}] AS sig FROM sh),
@@ -1657,7 +1655,7 @@ def _oracle_jaccard() -> str:
     return f"""
 WITH sh AS ({_SHINGLE_SQL}),
 sig AS (SELECT doc_id,
-  [{", ".join(f"list_aggregate(list_transform(s, x -> md5(concat('{j}:', x))), 'min')" for j in range(16))}] AS sig,
+  [{", ".join(_minhash_sql(j) for j in range(16))}] AS sig,
   s FROM sh),
 bands AS (
   SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')) AS bk
