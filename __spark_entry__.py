@@ -1628,6 +1628,26 @@ SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id FROM reach GROUP BY u
 """
 
 
+def q_sketch_quantiles(spark, sf):
+    """Histogram quantile sketch over l_extendedprice — the mergeable
+    fixed-size alternative to exact percentiles (shuffle ≤ nbins rows
+    whatever the input size). Same IEEE interpolation both engines."""
+    from dataingestion_spark.operators import sketches
+
+    return sketches.histogram_quantiles(
+        _t(spark, sf, "lineitem"), "l_extendedprice",
+        lo=0.0, hi=110000.0, nbins=220,
+    )
+
+
+def _oracle_hist_quantiles() -> str:
+    from dataingestion_spark.operators import sketches
+
+    return sketches.histogram_quantiles_oracle_sql(
+        "lineitem", "l_extendedprice", lo=0.0, hi=110000.0, nbins=220
+    )
+
+
 def q_sketch_hll_users(spark, sf):
     """Deterministic HyperLogLog distinct-users per event type (md5 bucket +
     rank, expression-only — sketches.py). The estimate is bit-exact across
@@ -2246,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_emb_neardup,
         "dedup_cluster_canonical": q_dedup_clusters,
         "sketch_hll_users": q_sketch_hll_users,
+        "sketch_histogram_quantiles": q_sketch_quantiles,
         "curation_funnel": q_curation_funnel,
         # similarity search
         "search_topk_cosine": q_emb_topk,
@@ -2323,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": ORACLE_EMB_NEARDUP,
         "dedup_cluster_canonical": _oracle_cluster(),
         "sketch_hll_users": _oracle_hll(),
+        "sketch_histogram_quantiles": _oracle_hist_quantiles(),
         "curation_funnel": _oracle_funnel(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,

@@ -144,3 +144,91 @@ SELECT {gsel}CAST({alpha!r} AS DOUBLE) * {m} * {m} /
   COUNT(*) AS hll_nonempty_buckets
 FROM per_bucket{f" GROUP BY {gby}" if g else ""}
 """
+
+
+def histogram_quantiles(df: DataFrame, value_col: str,
+                        lo: float, hi: float, nbins: int = 256,
+                        qs: Sequence[float] = (0.5, 0.95, 0.99)) -> DataFrame:
+    """Approximate quantiles from a fixed-bin histogram sketch.
+
+    Exact percentiles need a full sort (or ordered-set aggregate) per
+    group; at 100 TB the scalable path is a MERGEABLE fixed-size sketch:
+    one map-side-combinable count per bin (the shuffle carries ≤ ``nbins``
+    rows whatever the input size), then linear interpolation inside the
+    target bin. [lo, hi) is caller-declared so the sketch stays one-pass;
+    values outside clamp to the edge bins. Error is bounded by the bin
+    width. Deterministic across engines: bin assignment and interpolation
+    are the same IEEE expressions everywhere, and counts are integers.
+
+    Output: one row per q — (q, estimate, n_below, bin_count).
+    """
+    if not (hi > lo) or nbins < 1:
+        raise ValueError("need hi > lo and nbins >= 1")
+    width = (hi - lo) / nbins
+    v = F.col(value_col)
+    b = F.least(
+        F.greatest(F.floor((v - lo) / width), F.lit(0)), F.lit(nbins - 1)
+    ).cast("int")
+    counts = (
+        df.filter(v.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("bin_count"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        counts.withColumn("cdf_hi", F.sum("bin_count").over(w))
+        .withColumn("n_below", F.col("cdf_hi") - F.col("bin_count"))
+    )
+    total = counts.agg(F.sum("bin_count").alias("_total"))
+    targets = counts.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # target rank q*total lands in the first bin whose cdf_hi reaches it
+    hit = (
+        targets.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(cum))
+        .filter(
+            (F.col("q") * F.col("_total") > F.col("n_below"))
+            & (F.col("q") * F.col("_total") <= F.col("cdf_hi"))
+        )
+    )
+    est = (
+        F.lit(lo)
+        + F.lit(width)
+        * (F.col("bin") + (F.col("q") * F.col("_total") - F.col("n_below"))
+           / F.col("bin_count"))
+    )
+    return hit.select("q", est.alias("estimate"), "n_below", "bin_count")
+
+
+def histogram_quantiles_oracle_sql(table: str, value_col: str,
+                                   lo: float, hi: float, nbins: int = 256,
+                                   qs: Sequence[float] = (0.5, 0.95, 0.99)) -> str:
+    """The identical computation as DuckDB SQL, term by term."""
+    width = (hi - lo) / nbins
+    # literal floats parse as DECIMAL in DuckDB — cast to match Spark's double
+    q_rows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+WITH counts AS (
+  SELECT CAST(least(greatest(floor(({value_col} - CAST({lo!r} AS DOUBLE))
+                             / CAST({width!r} AS DOUBLE)), 0), {nbins - 1}) AS INT) AS bin,
+         COUNT(*) AS bin_count
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY 1),
+cum AS (
+  SELECT bin, bin_count,
+         SUM(bin_count) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cdf_hi,
+         SUM(bin_count) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - bin_count AS n_below
+  FROM counts),
+total AS (SELECT SUM(bin_count) AS _total FROM counts),
+targets(q) AS (VALUES {q_rows})
+SELECT q,
+  CAST({lo!r} AS DOUBLE) + CAST({width!r} AS DOUBLE)
+    * (bin + (q * _total - n_below) / bin_count) AS estimate,
+  n_below, bin_count
+FROM targets, total, cum
+WHERE q * _total > n_below AND q * _total <= cdf_hi
+"""

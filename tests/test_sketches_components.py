@@ -83,3 +83,28 @@ def test_hll_grouped_and_nulls(spark):
     rows = {r.g: r for r in hll_distinct(df, "v", ["g"]).collect()}
     assert abs(rows["a"].hll_estimate - 500) / 500 < 0.2
     assert rows["b"].hll_nonempty_buckets <= 100  # null ignored
+
+
+def test_histogram_quantiles_accuracy(spark):
+    from dataingestion_spark.operators.sketches import histogram_quantiles
+
+    df = spark.range(10000).select((F.col("id") % 1000).cast("double").alias("v"))
+    rows = {r.q: r.estimate
+            for r in histogram_quantiles(df, "v", lo=0.0, hi=1000.0,
+                                         nbins=100).collect()}
+    # uniform 0..999 → true quantiles ≈ 1000q; bin width 10 bounds the error
+    for q in (0.5, 0.95, 0.99):
+        assert abs(rows[q] - 1000 * q) <= 10.0, (q, rows[q])
+
+
+def test_histogram_quantiles_clamps_and_validates(spark):
+    import pytest as _pytest
+
+    from dataingestion_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(-50.0,), (5.0,), (500.0,), (None,)], "v double")
+    rows = histogram_quantiles(df, "v", lo=0.0, hi=10.0, nbins=10, qs=(1.0,)).collect()
+    # out-of-range values clamp into edge bins, nulls ignored; q=1.0 hits the top bin
+    assert len(rows) == 1 and rows[0].estimate <= 10.0
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "v", lo=5.0, hi=5.0)
