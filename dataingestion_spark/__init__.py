@@ -36,7 +36,17 @@ from .operators.chunkers import (  # noqa: E402,F401
     token_chunk_text,
     token_chunker,
 )
+from .bpe import BPETokenizer, default_bpe_tokenizer, train_bpe  # noqa: E402,F401
+from .curation import CurationConfig, curate, curation_funnel  # noqa: E402,F401
+from .operators.dedup import (  # noqa: E402,F401
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+    neardup_clusters,
+)
 from .operators.removal import remove_empty_sections, remove_footers  # noqa: E402,F401
+from .operators.sketches import hll_distinct, histogram_quantiles  # noqa: E402,F401
+from .operators.temporal import asof_join, interval_join  # noqa: E402,F401
 from .pipeline import IngestionPipeline  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401
 from .sinks.vector_store import (  # noqa: E402,F401
