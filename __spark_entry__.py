@@ -1483,6 +1483,55 @@ FROM documents
 """
 
 
+def q_hash_split(spark, sf):
+    """Deterministic train/valid/test assignment by md5-derived uniform
+    (operators/sharding.py): reproducible on any cluster size, stable under
+    appends — unlike randomSplit. Counts per split oracle-check exactly."""
+    from dataingestion_spark.operators.sharding import hash_split
+
+    return (
+        hash_split(_t(spark, sf, "documents"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars_total"))
+    )
+
+
+def _oracle_hash_split() -> str:
+    from dataingestion_spark.operators.sharding import hash_split_sql
+
+    return f"""
+SELECT {hash_split_sql("doc_id")} AS split,
+       COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total
+FROM documents GROUP BY 1
+"""
+
+
+def q_assign_shards(spark, sf):
+    """Fixed-token-budget shard assignment: exclusive running sum over the
+    doc_id order DIV budget — the pure-window form a shard writer consumes,
+    executed as a distributed range-partitioned sort."""
+    from dataingestion_spark.operators.sharding import assign_shards
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return (
+        assign_shards(docs, "n_chars", budget=50000)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars_total"))
+    )
+
+
+ORACLE_SHARDS = """
+SELECT CAST(FLOOR(prior / 50000) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total
+FROM (
+  SELECT n_chars,
+    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM documents) t
+GROUP BY 1
+"""
+
+
 def q_curation_funnel(spark, sf):
     """End-to-end training-data curation funnel (dataingestion_spark/
     curation.py): lang filter → quality filter → exact dedup → near-dup
@@ -2268,6 +2317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_histogram_quantiles": q_sketch_quantiles,
         "curation_funnel": q_curation_funnel,
+        "split_hash_assignment": q_hash_split,
+        "shards_token_budget": q_assign_shards,
         # similarity search
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
@@ -2346,6 +2397,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_users": _oracle_hll(),
         "sketch_histogram_quantiles": _oracle_hist_quantiles(),
         "curation_funnel": _oracle_funnel(),
+        "split_hash_assignment": _oracle_hash_split(),
+        "shards_token_budget": ORACLE_SHARDS,
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),

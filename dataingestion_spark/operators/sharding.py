@@ -1,0 +1,135 @@
+"""Dataset splitting and shard assignment for training pipelines.
+
+Two operations every pretraining data pipeline needs downstream of
+curation, both expression-only (codegen, no UDF, no RNG state) and
+deterministic across engines:
+
+* :func:`hash_split` — assign each row to train/valid/test by an
+  md5-derived uniform in [0,1): reproducible on any cluster size, stable
+  under re-runs and appends (a document's split never changes), and
+  auditable in SQL. The standard alternative — ``randomSplit`` — is none
+  of those things.
+* :func:`assign_shards` — pack rows into fixed-token-budget shards by a
+  running token count over a total order. Spark executes the ordered
+  window distributed (range-partitioned sort, per-partition running sums
+  with partial offsets); the output is the (shard_id, row) map a shard
+  writer consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# 8 hex chars = 32 bits of md5 → uniform integer in [0, 2^32)
+_SPLIT_BITS = 32
+_SPLIT_MOD = 1 << _SPLIT_BITS
+
+
+def _hex_to_long(h: Column, n_chars: int) -> Column:
+    """instr-based hex → integer (no conv(): DuckDB 1.0 lacks it, and the
+    same construction must run in the oracle)."""
+    acc = F.lit(0).cast("long")
+    for i in range(1, n_chars + 1):
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        acc = acc * 16 + digit
+    return acc
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               weights: Dict[str, float] | None = None,
+               salt: str = "split") -> DataFrame:
+    """Add a ``split`` column ('train'/'valid'/... per ``weights``).
+
+    u = first 32 md5 bits of ``salt:id`` → label by cumulative-weight
+    thresholds on the INTEGER value (floor(cum·2³²)), so the boundary is
+    exact — no float comparison ambiguity. Changing ``salt`` re-draws the
+    assignment; appends never move existing rows between splits."""
+    weights = weights or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if not all(w > 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    u = _hex_to_long(h, _SPLIT_BITS // 4)
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        threshold = int(cum * _SPLIT_MOD)
+        clause = (u < threshold)
+        expr = F.when(clause, name) if expr is None else expr.when(clause, name)
+    last = items[-1][0]
+    split = (expr.otherwise(last) if expr is not None else F.lit(last))
+    return df.withColumn("split", split)
+
+
+def hash_split_sql(id_col: str, weights: Dict[str, float] | None = None,
+                   salt: str = "split") -> str:
+    """The ``split`` expression as SQL (DuckDB-compatible), term by term."""
+    weights = weights or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    h = f"md5(concat('{salt}:', CAST({id_col} AS VARCHAR)))"
+    acc = "0"
+    for i in range(1, _SPLIT_BITS // 4 + 1):
+        acc = f"({acc} * 16 + (instr('0123456789abcdef', substr({h}, {i}, 1)) - 1))"
+    case = "CASE"
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        case += f" WHEN {acc} < {int(cum * _SPLIT_MOD)} THEN '{name}'"
+    case += f" ELSE '{items[-1][0]}' END"
+    return case
+
+
+def assign_shards(df: DataFrame, token_col: str, budget: int,
+                  order_cols: Sequence[str] = ("doc_id",),
+                  num_partitions: int | None = None) -> DataFrame:
+    """Add ``shard_id`` = floor(exclusive-running-token-sum / budget) over
+    the total order given by ``order_cols`` (which must be a total order —
+    unique keys — or rows tying at a partition boundary land arbitrarily).
+
+    A shard receives consecutive rows until the budget is crossed (the row
+    that crosses starts in the shard it began in — fixed-offset packing,
+    not bin packing, so the mapping is a closed-form expression any engine
+    agrees on). Integer token arithmetic throughout.
+
+    A naive ``Window.orderBy`` with no partition key collapses the corpus
+    into ONE task — the classic global-prefix-sum trap. This is the
+    distributed two-phase form instead: range-partition on the order keys,
+    local exclusive prefix sums per partition (window keyed by partition
+    id — parallel), then one tiny per-partition-totals aggregate whose
+    running offsets join back by partition id. One range shuffle over the
+    data + one ≤ num_partitions-row broadcast, whatever the corpus size."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    cols = list(order_cols)
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = (
+        df.repartitionByRange(int(n), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    lw = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = ranged.withColumn(
+        "_local_prior", F.coalesce(F.sum(token_col).over(lw), F.lit(0))
+    )
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid").agg(F.sum(token_col).alias("_ptotal"))
+        # this window IS single-task — over ≤ num_partitions rows, not data
+        .withColumn("_offset", F.coalesce(F.sum("_ptotal").over(ow), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+    prior = F.col("_offset") + F.col("_local_prior")
+    # explicit floor: CAST(double AS BIGINT) truncates in Spark but ROUNDS
+    # in DuckDB — floor() is the portable spelling of the intent
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("shard_id", F.floor(prior / budget).cast("long"))
+        .drop("_pid", "_local_prior", "_offset")
+    )

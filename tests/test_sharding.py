@@ -1,0 +1,58 @@
+"""hash_split / assign_shards: determinism, stability, budget properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.operators.sharding import assign_shards, hash_split
+
+
+def test_split_proportions_and_determinism(spark):
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df, weights={"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["valid"] / 20000 - 0.1) < 0.01
+    # same input → identical assignment (no RNG state anywhere)
+    again = {r.doc_id: r.split for r in hash_split(
+        df, weights={"train": 0.8, "valid": 0.1, "test": 0.1}).collect()}
+    for r in out.limit(500).collect():
+        assert again[r.doc_id] == r.split
+
+
+def test_split_stable_under_append(spark):
+    small = spark.range(1000).select(F.col("id").alias("doc_id"))
+    big = spark.range(5000).select(F.col("id").alias("doc_id"))
+    s_small = {r.doc_id: r.split for r in hash_split(small).collect()}
+    s_big = {r.doc_id: r.split for r in hash_split(big).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())  # appends never move rows
+
+
+def test_split_salt_redraws(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.split for r in hash_split(df, salt="a").collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, salt="b").collect()}
+    assert any(a[k] != b[k] for k in a)  # different salt, different draw
+    with pytest.raises(ValueError):
+        hash_split(df, weights={"train": -1.0, "test": 2.0})
+
+
+def test_shards_budget_property(spark):
+    df = spark.createDataFrame(
+        [(i, 30) for i in range(10)], "doc_id long, tokens long"
+    )
+    out = assign_shards(df, "tokens", budget=100).collect()
+    shards = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        shards.setdefault(r.shard_id, []).append(r.tokens)
+    # consecutive ids, first shard starts at 0
+    assert sorted(shards) == list(range(len(shards)))
+    # every shard except possibly the last crosses the budget with its final row
+    for sid in sorted(shards)[:-1]:
+        assert sum(shards[sid]) >= 100 - 30 + 1
+    # rows stay in doc_id order within shards (fixed-offset packing)
+    assert [r.shard_id for r in sorted(out, key=lambda r: r.doc_id)] == sorted(
+        r.shard_id for r in out
+    )
+    with pytest.raises(ValueError):
+        assign_shards(df, "tokens", budget=0)
