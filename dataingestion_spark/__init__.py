@@ -37,7 +37,12 @@ from .operators.chunkers import (  # noqa: E402,F401
     token_chunker,
 )
 from .bpe import BPETokenizer, default_bpe_tokenizer, train_bpe  # noqa: E402,F401
-from .curation import CurationConfig, curate, curation_funnel  # noqa: E402,F401
+from .curation import (  # noqa: E402,F401
+    CurationConfig,
+    curate,
+    curate_with_report,
+    curation_funnel,
+)
 from .operators.dedup import (  # noqa: E402,F401
     connected_components,
     exact_dedup,

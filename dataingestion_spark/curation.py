@@ -48,10 +48,12 @@ def _stages(df: DataFrame, text_col: str, id_col: str,
     qual = TA.quality_score(df, text_col, id_col).select(
         id_col, "quality", "n_words"
     )
-    toks = TA.token_counts(df, text_col, id_col).select(id_col, "n_tokens_bpeish")
     annotated = (
-        df.join(lang, id_col).join(qual, id_col).join(toks, id_col)
-        # reused by every stage branch below — materialize once, lazily
+        df.join(lang, id_col).join(qual, id_col)
+        # reused by every stage branch below — materialize once, lazily.
+        # (token_counts is NOT here: the funnel's counts don't need the
+        # most expensive per-doc regex in the codebase; curate() adds it
+        # over the final kept set only.)
         .localCheckpoint(eager=False)
     )
     s1 = annotated.filter(F.col("detected_lang").isin(*cfg.keep_langs))
@@ -89,7 +91,36 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
        minimum doc id per cluster
     """
     cfg = config or CurationConfig()
-    return _stages(df, text_col, id_col, cfg)[-1][1]
+    kept = _stages(df, text_col, id_col, cfg)[-1][1]
+    return _with_tokens(kept, text_col, id_col)
+
+
+def _with_tokens(kept: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = TA.token_counts(kept, text_col, id_col).select(id_col, "n_tokens_bpeish")
+    return kept.join(toks, id_col)
+
+
+def curate_with_report(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       config: Optional[CurationConfig] = None
+                       ) -> tuple[DataFrame, DataFrame]:
+    """(kept corpus, funnel counts) from ONE shared stage set — use this
+    when you want both, so the annotate/dedup/cluster work (and its
+    checkpoints) runs once instead of twice."""
+    cfg = config or CurationConfig()
+    stages = _stages(df, text_col, id_col, cfg)
+    counts = [
+        s.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("docs_kept"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).alias("words_kept"),
+        )
+        for name, s in stages
+    ]
+    funnel = counts[0]
+    for c in counts[1:]:
+        funnel = funnel.unionByName(c)
+    return _with_tokens(stages[-1][1], text_col, id_col), funnel
 
 
 def curation_funnel(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -98,16 +129,4 @@ def curation_funnel(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     lang → quality → exact-dedup → near-dup. Shares :func:`_stages` with
     :func:`curate`, so the counts describe exactly the pipeline that
     produces the curated output."""
-    cfg = config or CurationConfig()
-    counts = [
-        s.agg(
-            F.lit(name).alias("stage"),
-            F.count("*").alias("docs_kept"),
-            F.coalesce(F.sum("n_words"), F.lit(0)).alias("words_kept"),
-        )
-        for name, s in _stages(df, text_col, id_col, cfg)
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    return curate_with_report(df, text_col, id_col, config)[1]

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+from .sketches import _hex_val
 
 # 8 hex chars = 32 bits of md5 → uniform integer in [0, 2^32)
 _SPLIT_BITS = 32
@@ -29,11 +31,11 @@ _SPLIT_MOD = 1 << _SPLIT_BITS
 
 def _hex_to_long(h: Column, n_chars: int) -> Column:
     """instr-based hex → integer (no conv(): DuckDB 1.0 lacks it, and the
-    same construction must run in the oracle)."""
+    same construction must run in the oracle). Digit decode shared with the
+    HLL sketch (`sketches._hex_val`)."""
     acc = F.lit(0).cast("long")
     for i in range(1, n_chars + 1):
-        digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
-        acc = acc * 16 + digit
+        acc = acc * 16 + _hex_val(F.substring(h, i, 1))
     return acc
 
 
@@ -98,11 +100,15 @@ def assign_shards(df: DataFrame, token_col: str, budget: int,
 
     A naive ``Window.orderBy`` with no partition key collapses the corpus
     into ONE task — the classic global-prefix-sum trap. This is the
-    distributed two-phase form instead: range-partition on the order keys,
-    local exclusive prefix sums per partition (window keyed by partition
-    id — parallel), then one tiny per-partition-totals aggregate whose
-    running offsets join back by partition id. One range shuffle over the
-    data + one ≤ num_partitions-row broadcast, whatever the corpus size."""
+    distributed two-phase form instead: range-partition on the order keys
+    (pinned by a lazy local checkpoint, since the range sampler is only
+    deterministic within one materialization), then per-partition
+    exclusive prefix sums via a state-carrying ``mapInPandas`` — Arrow
+    batches stream through one generator per partition, so no second
+    full-data exchange (a ``Window.partitionBy(_pid)`` would hash-shuffle
+    the corpus again). Offsets come from a tiny per-partition-totals
+    aggregate over the SAME pinned input, broadcast back. Net: one range
+    shuffle over the data, whatever the corpus size."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     cols = list(order_cols)
@@ -111,16 +117,26 @@ def assign_shards(df: DataFrame, token_col: str, budget: int,
         df.repartitionByRange(int(n), *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin _pid: both consumers below must
+        # see the one materialized partitioning, not a re-sampled exchange
     )
-    lw = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
-        Window.unboundedPreceding, -1
+
+    out_schema = T.StructType(
+        list(ranged.schema.fields) + [T.StructField("_local_prior", T.LongType())]
     )
-    local = ranged.withColumn(
-        "_local_prior", F.coalesce(F.sum(token_col).over(lw), F.lit(0))
-    )
+
+    def add_local_prior(batches):
+        run = 0
+        for pdf in batches:
+            c = pdf[token_col].to_numpy()
+            pdf = pdf.assign(_local_prior=run + c.cumsum() - c)
+            run += int(c.sum())
+            yield pdf
+
+    local = ranged.mapInPandas(add_local_prior, out_schema)
     ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        local.groupBy("_pid").agg(F.sum(token_col).alias("_ptotal"))
+        ranged.groupBy("_pid").agg(F.sum(token_col).alias("_ptotal"))
         # this window IS single-task — over ≤ num_partitions rows, not data
         .withColumn("_offset", F.coalesce(F.sum("_ptotal").over(ow), F.lit(0)))
         .select("_pid", "_offset")

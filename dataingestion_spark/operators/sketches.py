@@ -160,10 +160,14 @@ def histogram_quantiles(df: DataFrame, value_col: str,
     width. Deterministic across engines: bin assignment and interpolation
     are the same IEEE expressions everywhere, and counts are integers.
 
-    Output: one row per q — (q, estimate, n_below, bin_count).
+    Output: one row per q — (q, estimate, n_below, bin_count). Quantiles
+    must lie in (0, 1] — q=0 has no rank-crossing bin (ask for lo
+    directly); an EMPTY input yields zero output rows, not an error.
     """
     if not (hi > lo) or nbins < 1:
         raise ValueError("need hi > lo and nbins >= 1")
+    if not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1]: {list(qs)}")
     width = (hi - lo) / nbins
     v = F.col(value_col)
     b = F.least(
@@ -208,6 +212,8 @@ def histogram_quantiles_oracle_sql(table: str, value_col: str,
                                    lo: float, hi: float, nbins: int = 256,
                                    qs: Sequence[float] = (0.5, 0.95, 0.99)) -> str:
     """The identical computation as DuckDB SQL, term by term."""
+    if not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1]: {list(qs)}")
     width = (hi - lo) / nbins
     # literal floats parse as DECIMAL in DuckDB — cast to match Spark's double
     q_rows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)

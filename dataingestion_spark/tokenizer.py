@@ -109,18 +109,19 @@ def default_tokenizer():
     ``SPARK_GRAFT_BPE_VOCAB``, the self-contained BPE engine (``bpe.py``)
     with identical counts; else the word tokenizer (keeps all goldens
     deterministic without any external file)."""
+    import os
+
+    # Explicit configuration outranks auto-detection: a user-set vocab is
+    # honored even where tiktoken happens to be importable, and load
+    # errors propagate rather than degrading to other counts.
+    if os.environ.get("SPARK_GRAFT_BPE_VOCAB"):
+        from .bpe import default_bpe_tokenizer
+
+        return default_bpe_tokenizer()
     # Best-effort: tiktoken may be installed yet unable to fetch its
     # encoding files offline — any failure here falls through.
     try:
         return TiktokenTokenizer()
     except Exception:
         pass
-    import os
-
-    if os.environ.get("SPARK_GRAFT_BPE_VOCAB"):
-        # An explicitly configured vocab must be honored or fail loudly —
-        # load errors propagate rather than degrading to word counts.
-        from .bpe import default_bpe_tokenizer
-
-        return default_bpe_tokenizer()
     return WordTokenizer()

@@ -11,12 +11,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dataingestion_spark import (
-    curate,
-    curation_funnel,
     get_spark,
     histogram_quantiles,
     hll_distinct,
 )
+from dataingestion_spark.curation import curate_with_report
 
 
 def main() -> None:
@@ -24,11 +23,13 @@ def main() -> None:
     spark = get_spark("curation-demo")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    print("== funnel ==")
-    for r in curation_funnel(docs).orderBy("stage").collect():
-        print(f"  {r.stage:16s} docs={r.docs_kept:6d} words={r.words_kept}")
+    # one shared stage set: the funnel counts and the kept corpus run the
+    # annotate/dedup/cluster work once, not twice
+    kept, funnel = curate_with_report(docs)
 
-    kept = curate(docs)
+    print("== funnel ==")
+    for r in funnel.orderBy("stage").collect():
+        print(f"  {r.stage:16s} docs={r.docs_kept:6d} words={r.words_kept}")
     print("\n== kept corpus stats ==")
     n_docs = hll_distinct(kept, "doc_id").first()
     print(f"  approx distinct docs (HLL): {n_docs.hll_estimate:.1f}")
