@@ -1,1 +1,1 @@
-from . import vector_store  # noqa: F401
+from . import lakehouse, vector_store  # noqa: F401
