@@ -277,11 +277,51 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
     return [(i + 1, v) for i, v in enumerate(cents)]
 
 
+def ivf_assign(corpus: DataFrame, cents: DataFrame, corpus_id: str,
+               corpus_vec: str, max_list_size: Optional[int] = None) -> DataFrame:
+    """Inverted-list assignment: (corpus_id, corpus_vec, centroid_id), one
+    row per corpus vector. With ``max_list_size``, overflow vectors (the
+    worst-fitting members, lowest centroid similarity) spill to their
+    second-nearest centroid — see :func:`topk_cosine_ivf`."""
+    assign_w = Window.partitionBy(corpus_id).orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    ranked = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_sim(F.col(corpus_vec), F.col("cvec")))
+        .withColumn("crk", F.row_number().over(assign_w))
+    )
+    if max_list_size is None:
+        return ranked.filter(F.col("crk") == 1).select(
+            corpus_id, corpus_vec, "centroid_id"
+        )
+    # keep the top-2 centroids per vector; the rank-2 row is only read
+    # for vectors that overflow their rank-1 list, so the extra shuffle
+    # payload is 2× the id/vec rows (still no second corpus×C scoring).
+    top2 = ranked.filter(F.col("crk") <= 2).localCheckpoint(eager=False)
+    first = top2.filter(F.col("crk") == 1)
+    list_w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("csim"), F.asc(corpus_id)
+    )
+    sized = first.withColumn("lrk", F.row_number().over(list_w))
+    kept = sized.filter(F.col("lrk") <= max_list_size).select(
+        corpus_id, corpus_vec, "centroid_id"
+    )
+    spilled = (
+        sized.filter(F.col("lrk") > max_list_size)
+        .select(corpus_id)
+        .join(top2.filter(F.col("crk") == 2), corpus_id)
+        .select(corpus_id, corpus_vec, "centroid_id")
+    )
+    return kept.unionByName(spilled)
+
+
 def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     n_centroids: int = 16, n_probe: int = 4,
                     corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                     query_id: str = "query_id", query_vec: str = "query_vec",
-                    centroids: Optional[list] = None) -> DataFrame:
+                    centroids: Optional[list] = None,
+                    max_list_size: Optional[int] = None) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted lists by nearest
     centroid, search only each query's ``n_probe`` nearest lists.
 
@@ -290,7 +330,20 @@ def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     better balance). Build cost is one corpus×C scoring pass (the standard
     IVF assignment); query cost is ~n_probe/C of the corpus. All relational:
     assignment = broadcast crossJoin + rank-1 window, probing an equi-join.
-    Pass ``centroids`` from :func:`train_centroids` for balanced lists."""
+    Pass ``centroids`` from :func:`train_centroids` for balanced lists.
+
+    ``max_list_size`` caps every inverted list: overflow vectors (the
+    worst-fitting members, lowest centroid similarity) spill to their
+    SECOND-nearest centroid. On a skewed corpus this bounds the largest
+    probe list — the scan cost of every query that probes it, and at
+    cluster scale the partition feeding one task — at a small recall
+    price (a spilled vector is found via its runner-up list). One spill
+    pass: every list retains at most ``cap`` of its own rank-1 members,
+    and overflow spreads across the runner-up lists of the spilled
+    vectors. Spill-in is NOT re-capped (that would need unbounded
+    cascade), so a list that is simultaneously popular as rank-1 AND as
+    everyone's runner-up can still exceed the cap — pathological with
+    trained centroids, which is what :func:`train_centroids` is for."""
     if centroids is not None:
         cents = corpus.sparkSession.createDataFrame(
             centroids, ["centroid_id", "cvec"]
@@ -309,16 +362,7 @@ def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 F.col("rn").alias("centroid_id"), F.col(corpus_vec).alias("cvec")
             )
         )
-    assign_w = Window.partitionBy(corpus_id).orderBy(
-        F.desc("csim"), F.asc("centroid_id")
-    )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("csim", cosine_sim(F.col(corpus_vec), F.col("cvec")))
-        .withColumn("crk", F.row_number().over(assign_w))
-        .filter(F.col("crk") == 1)
-        .select(corpus_id, corpus_vec, "centroid_id")
-    )
+    assigned = ivf_assign(corpus, cents, corpus_id, corpus_vec, max_list_size)
     probe_w = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
     probes = (
         queries.crossJoin(F.broadcast(cents))

@@ -417,3 +417,48 @@ def test_interval_join_matches_naive(spark):
     for bucket in ("1 minute", "7 minutes", "30 minutes", "1 hour", "1 day"):
         got = interval_join(pts, ivs, on=["user_id"], bucket=bucket)
         assert sorted((r.point_id, r.iv_id) for r in got.collect()) == expected, bucket
+
+
+def test_ivf_capped_lists_bound_skew(spark):
+    from dataingestion_spark.operators.similarity import topk_cosine_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    n = emb.count()
+    cap = max(1, n // 8)  # well under the natural skew of sampled centroids
+    capped = topk_cosine_ivf(
+        emb, queries, k=5, n_centroids=8, n_probe=4, max_list_size=cap
+    )
+    # capping must not lose corpus rows: self-match still always survives
+    self_hits = capped.filter(
+        (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id"))
+    ).count()
+    assert self_hits == 5
+    # the invariant itself, on the assignment directly: every vector is
+    # within ~5.5 degrees of centroid 1, so uncapped all 40 land on one
+    # list; capped, the hot list retains exactly the cap and the overflow
+    # spreads to each vector's runner-up (c2 above the axis, c3 below) —
+    # no vector lost or duplicated.
+    from dataingestion_spark.operators.similarity import ivf_assign
+
+    skewed = spark.createDataFrame(
+        [(i, [1.0, 0.004 * (i + 1)]) for i in range(20)]
+        + [(20 + i, [1.0, -0.004 * (i + 1)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.2]), (3, [1.0, -0.2])],
+        ["centroid_id", "cvec"],
+    )
+    uncapped = ivf_assign(skewed, cents, "vec_id", "embedding")
+    usizes = {r.centroid_id: r.c for r in
+              uncapped.groupBy("centroid_id").agg(F.count("*").alias("c")).collect()}
+    assert usizes == {1: 40}  # the skew the cap is bounding is real
+    a = ivf_assign(skewed, cents, "vec_id", "embedding", max_list_size=10)
+    sizes = {r.centroid_id: r.c for r in
+             a.groupBy("centroid_id").agg(F.count("*").alias("c")).collect()}
+    assert a.count() == 40 and a.select("vec_id").distinct().count() == 40
+    assert sizes[1] == 10  # hot list retains exactly the cap
+    assert sizes[2] == 15 and sizes[3] == 15  # overflow spread by geometry
