@@ -1532,6 +1532,53 @@ GROUP BY 1
 """
 
 
+def q_stratified_sample(spark, sf):
+    """Per-stratum document sampling (operators/sampling.py): at most 8
+    docs per source, chosen by md5 order — reproducible across engines and
+    cluster sizes, per-stratum stable under appends to other strata."""
+    from dataingestion_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_t(spark, sf, "documents"), "source", 8).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+def _oracle_stratified() -> str:
+    from dataingestion_spark.operators.sampling import stratified_sample_sql
+
+    return (
+        "SELECT doc_id, source, sample_rank FROM ("
+        + stratified_sample_sql("documents", "source", 8, cols="doc_id, source")
+        + ")"
+    )
+
+
+def q_mixture_sample(spark, sf):
+    """Domain mixing to per-source token budgets (operators/sampling.py):
+    docs taken in md5 order until the exclusive running char sum crosses
+    the source's budget (fixed-offset packing, same rule as assign_shards).
+    src0/src1 get tight budgets; everything else a default."""
+    from dataingestion_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return mixture_sample(
+        docs, "source", "n_chars", {"src0": 4000, "src1": 1}, default_budget=20000
+    ).select("doc_id", "source", "tokens_before")
+
+
+def _oracle_mixture() -> str:
+    from dataingestion_spark.operators.sampling import mixture_sample_sql
+
+    return (
+        "SELECT doc_id, source, tokens_before FROM ("
+        + mixture_sample_sql(
+            "documents", "source", "n_chars", {"src0": 4000, "src1": 1},
+            default_budget=20000, cols="doc_id, source",
+        )
+        + ")"
+    )
+
+
 def q_curation_funnel(spark, sf):
     """End-to-end training-data curation funnel (dataingestion_spark/
     curation.py): lang filter → quality filter → exact dedup → near-dup
@@ -2319,6 +2366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "split_hash_assignment": q_hash_split,
         "shards_token_budget": q_assign_shards,
+        "sample_stratified": q_stratified_sample,
+        "sample_mixture_budget": q_mixture_sample,
         # similarity search
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
@@ -2399,6 +2448,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": _oracle_funnel(),
         "split_hash_assignment": _oracle_hash_split(),
         "shards_token_budget": ORACLE_SHARDS,
+        "sample_stratified": _oracle_stratified(),
+        "sample_mixture_budget": _oracle_mixture(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),

@@ -51,6 +51,10 @@ from .operators.dedup import (  # noqa: E402,F401
 )
 from .operators.removal import remove_empty_sections, remove_footers  # noqa: E402,F401
 from .operators.sharding import assign_shards, hash_split  # noqa: E402,F401
+from .operators.sampling import (  # noqa: E402,F401
+    mixture_sample,
+    stratified_sample,
+)
 from .operators.sketches import hll_distinct, histogram_quantiles  # noqa: E402,F401
 from .operators.temporal import asof_join, interval_join  # noqa: E402,F401
 from .pipeline import IngestionPipeline  # noqa: E402,F401

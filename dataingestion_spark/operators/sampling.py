@@ -1,0 +1,144 @@
+"""Deterministic sampling for training-data curation.
+
+Two operators the reference has no counterpart for (its pipeline ingests
+every file handed to it — ``IngestionPipeline.cs:121`` — selection happens
+upstream), but any 100 TB training pipeline needs between curation and
+sharding:
+
+* :func:`stratified_sample` — at most ``n`` documents per stratum
+  (language, source, quality band), chosen by an md5 order so the sample
+  is reproducible across engines, runs, and appends of NEW strata
+  (appending rows to one stratum re-draws only that stratum's ranking).
+* :func:`mixture_sample` — the domain-mixing step: per-source TOKEN
+  budgets ("10 B tokens of web, 2 B of code, ..."). Documents are taken
+  in md5 order until their exclusive running token sum crosses the
+  source's budget — the same fixed-offset packing rule as
+  ``sharding.assign_shards``, so the kept set is a closed-form function
+  of the corpus, never of partitioning or timing.
+
+Scale shape: both are one hash-shuffle on the stratum/source key with a
+per-key window. The ranking hash is computed map-side; the shuffle
+carries (key, hash, tokens) — no text. Per-key windows serialize WITHIN
+a key, so a single giant stratum bottlenecks on one task; for that shape
+use ``assign_shards``'s two-phase range prefix sum per source (same
+semantics, one more shuffle) — the cutoff itself stays identical.
+
+md5-order caveat (deliberate): the sample is uniform over documents,
+not weighted — weighting would make the kept set depend on floats.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["stratified_sample", "stratified_sample_sql",
+           "mixture_sample", "mixture_sample_sql"]
+
+
+def _rank_hash(id_col: str, salt: str):
+    return F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
+                      id_col: str = "doc_id",
+                      salt: str = "sample") -> DataFrame:
+    """Keep the ``n_per_stratum`` documents with the smallest
+    ``md5(salt:id)`` per stratum. Adds ``sample_rank`` (1-based within
+    the stratum). Changing ``salt`` re-draws every stratum."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    w = Window.partitionBy(strata_col).orderBy(
+        _rank_hash(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def stratified_sample_sql(table: str, strata_col: str, n_per_stratum: int,
+                          id_col: str = "doc_id", salt: str = "sample",
+                          cols: str = "*") -> str:
+    """The identical sample as DuckDB SQL."""
+    h = f"md5(concat('{salt}:', CAST({id_col} AS VARCHAR)))"
+    return f"""
+SELECT * FROM (
+  SELECT {cols}, ROW_NUMBER() OVER (
+    PARTITION BY {strata_col} ORDER BY {h} ASC, {id_col} ASC
+  ) AS sample_rank
+  FROM {table}
+) WHERE sample_rank <= {int(n_per_stratum)}
+"""
+
+
+def mixture_sample(df: DataFrame, source_col: str, token_col: str,
+                   budgets: Dict[str, int], id_col: str = "doc_id",
+                   salt: str = "mix",
+                   default_budget: Optional[int] = None) -> DataFrame:
+    """Domain mixing to per-source token budgets.
+
+    For each source, documents are ordered by ``md5(salt:id)`` and kept
+    while their EXCLUSIVE running token sum is below the source's budget
+    — so the document that crosses the budget is kept (fixed-offset
+    packing, mirroring ``assign_shards``) and every budget > 0 yields at
+    least one document per non-empty source. Sources absent from
+    ``budgets`` keep everything when ``default_budget`` is None, else
+    get ``default_budget``. Adds ``tokens_before`` (the exclusive sum,
+    for auditing how full each source's budget ran).
+    """
+    if any(b <= 0 for b in budgets.values()):
+        raise ValueError("budgets must be positive")
+    if default_budget is not None and default_budget <= 0:
+        raise ValueError("default_budget must be positive")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(_rank_hash(id_col, salt).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn(
+        "tokens_before",
+        F.coalesce(F.sum(F.col(token_col).cast("long")).over(w), F.lit(0).cast("long")),
+    )
+    budget_expr = None
+    for src, b in budgets.items():
+        clause = F.col(source_col) == src
+        budget_expr = (F.when(clause, b) if budget_expr is None
+                       else budget_expr.when(clause, b))
+    if budget_expr is None:
+        budget = F.lit(default_budget)  # uniform budget (or None → keep all)
+    else:
+        budget = budget_expr.otherwise(F.lit(default_budget))
+    if default_budget is None and budgets:
+        return out.filter(budget.isNull() | (F.col("tokens_before") < budget))
+    if default_budget is None:
+        return out
+    return out.filter(F.col("tokens_before") < budget)
+
+
+def mixture_sample_sql(table: str, source_col: str, token_col: str,
+                       budgets: Dict[str, int], id_col: str = "doc_id",
+                       salt: str = "mix",
+                       default_budget: Optional[int] = None,
+                       cols: str = "*") -> str:
+    """The identical mixture as DuckDB SQL."""
+    h = f"md5(concat('{salt}:', CAST({id_col} AS VARCHAR)))"
+    case = "CASE"
+    for src, b in budgets.items():
+        case += f" WHEN {source_col} = '{src}' THEN {int(b)}"
+    case += (f" ELSE {int(default_budget)} END" if default_budget is not None
+             else " ELSE NULL END")
+    null_keeps = "budget IS NULL OR" if default_budget is None else ""
+    # EXCLUDE: the budget term is filter-only — the Spark side never emits it
+    return f"""
+SELECT * EXCLUDE (budget) FROM (
+  SELECT {cols},
+    COALESCE(SUM(CAST({token_col} AS BIGINT)) OVER (
+      PARTITION BY {source_col} ORDER BY {h} ASC, {id_col} ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS tokens_before,
+    {case} AS budget
+  FROM {table}
+) WHERE {null_keeps} tokens_before < budget
+"""

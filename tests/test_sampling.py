@@ -1,0 +1,101 @@
+"""Sampling operators: determinism, stratum caps, token budgets — and
+bit-parity with the DuckDB oracle SQL builders."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.operators.sampling import (
+    mixture_sample,
+    mixture_sample_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+def test_stratified_sample_caps_and_determinism(spark, docs):
+    s1 = stratified_sample(docs, "source", 5)
+    sizes = {r.source: r.c for r in
+             s1.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert sizes and all(c <= 5 for c in sizes.values())
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in
+            stratified_sample(docs, "source", 5).select("doc_id").collect()}
+    assert ids1 == ids2  # deterministic across runs
+    ids3 = {r.doc_id for r in
+            stratified_sample(docs, "source", 5, salt="other").select("doc_id").collect()}
+    assert ids3 != ids1  # a new salt re-draws
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "source", 0)
+
+
+def test_stratified_sample_matches_oracle(spark, docs):
+    got = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in stratified_sample(docs, "source", 7)
+        .select("doc_id", "sample_rank").collect()
+    )
+    want = sorted((d, rk) for d, rk in _duck().execute(
+        stratified_sample_sql("documents", "source", 7, cols="doc_id")
+    ).fetchall())
+    assert got == want
+
+
+def test_mixture_sample_budgets(spark, docs):
+    d = docs.withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+    srcs = sorted(r.source for r in d.select("source").distinct().collect())
+    assert len(srcs) >= 3
+    budgets = {srcs[0]: 500, srcs[1]: 1}
+    out = mixture_sample(d, "source", "n_tokens", budgets)
+    per = {r.source: r for r in out.groupBy("source").agg(
+        F.count("*").alias("c"),
+        F.max(F.col("tokens_before")).alias("max_before"),
+    ).collect()}
+    # budget=1 keeps exactly the first doc (its exclusive sum 0 < 1)
+    assert per[srcs[1]].c == 1
+    # fixed-offset packing: every kept doc started under the budget
+    assert per[srcs[0]].max_before < 500
+    # sources without a budget and no default keep everything
+    for s in srcs[2:]:
+        assert per[s].c == d.filter(F.col("source") == s).count()
+    # with a default budget, every source is bounded
+    out2 = mixture_sample(d, "source", "n_tokens", {}, default_budget=1)
+    assert out2.groupBy("source").count().agg(F.max("count")).first()[0] == 1
+    with pytest.raises(ValueError):
+        mixture_sample(d, "source", "n_tokens", {"a": 0})
+
+
+def test_mixture_sample_matches_oracle(spark, docs):
+    d = docs.withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+    srcs = sorted(r.source for r in d.select("source").distinct().collect())
+    budgets = {srcs[0]: 400, srcs[1]: 1}
+    got = sorted(
+        (r.doc_id, r.tokens_before)
+        for r in mixture_sample(d, "source", "n_tokens", budgets)
+        .select("doc_id", "tokens_before").collect()
+    )
+    con = _duck()
+    # identical token counts: the same regex split on both engines
+    con.execute(
+        "CREATE VIEW docs_t AS SELECT *,"
+        " len(regexp_split_to_array(text, '\\s+')) AS n_tokens FROM documents"
+    )
+    want = sorted((d_, t) for d_, t in con.execute(mixture_sample_sql(
+        "docs_t", "source", "n_tokens", budgets, cols="doc_id"
+    )).fetchall())
+    assert got == want
