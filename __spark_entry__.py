@@ -1483,6 +1483,52 @@ FROM documents
 """
 
 
+def q_repetition_signals(spark, sf):
+    """Gopher-style repetition quality signals (operators/text_analysis.py
+    ::repetition_signals): duplicate-line ratios + most-frequent n-gram
+    share per document — the standard boilerplate/keyword-stuffing filter
+    inputs. All map-side-combinable aggregates; no text in any shuffle."""
+    from dataingestion_spark.operators.text_analysis import repetition_signals
+
+    return repetition_signals(_t(spark, sf, "documents"))
+
+
+ORACLE_REPETITION = """
+WITH lc AS (
+  SELECT doc_id, l, COUNT(*) AS c, len(l) AS chars FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(string_split(text, chr(10))) AS l
+    FROM documents) WHERE trim(l) <> '' GROUP BY 1, 2),
+line_sig AS (
+  SELECT doc_id,
+    round(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
+      AS dup_line_ratio,
+    round(SUM(CASE WHEN c > 1 THEN c * chars ELSE 0 END)
+          / CAST(SUM(c * chars) AS DOUBLE), 6) AS dup_line_char_ratio
+  FROM lc GROUP BY 1),
+w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+g2c AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                            i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+    FROM w) GROUP BY 1, 2),
+g2 AS (SELECT doc_id, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
+                      AS top_2gram_ratio FROM g2c GROUP BY 1),
+g3c AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                            i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+    FROM w) GROUP BY 1, 2),
+g3 AS (SELECT doc_id, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
+                      AS top_3gram_ratio FROM g3c GROUP BY 1)
+SELECT doc_id, dup_line_ratio, dup_line_char_ratio, top_2gram_ratio, top_3gram_ratio
+FROM line_sig JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+"""
+
+
 def q_hash_split(spark, sf):
     """Deterministic train/valid/test assignment by md5-derived uniform
     (operators/sharding.py): reproducible on any cluster size, stable under
@@ -1805,6 +1851,38 @@ SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles,
   CAST(SUM(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS INT) AS n_shared,
   round(CAST(SUM(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS shared_ratio
 FROM sh JOIN g USING (sh) GROUP BY doc_id
+"""
+
+
+def q_contamination(spark, sf):
+    """Benchmark decontamination (operators/dedup.py::contamination_check):
+    corpus docs sharing >= 2 distinct word 3-gram shingles with a held-out
+    'benchmark' slice (doc_id % 97 == 0). The benchmark side broadcasts —
+    the corpus is never shuffled on text. (Real decontamination uses 8-13
+    grams; the synthetic corpus only collides at n=3.)"""
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_check(
+        corpus, bench, shingle_n=3, min_overlap=2
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bench_id").cast("long").alias("bench_id"),
+        "n_overlap",
+    )
+
+
+ORACLE_CONTAMINATION = """
+WITH sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(s) AS sh FROM (
+    SELECT doc_id,
+      list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)))
+SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, CAST(COUNT(*) AS INT) AS n_overlap
+FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) c
+JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b USING (sh)
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
@@ -2350,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality,
+        "doc_repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_pii_scrub": q_pii_scrub,
         # dedup
@@ -2359,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_simhash,
         "dedup_cross_doc_shingles": q_cross_doc_shingles,
+        "dedup_contamination_check": q_contamination,
         "dedup_embedding_pairs": q_emb_neardup,
         "dedup_cluster_canonical": q_dedup_clusters,
         "sketch_hll_users": q_sketch_hll_users,
@@ -2433,6 +2513,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": _oracle_bpe_tokens(),
         "doc_lang_id": _oracle_lang_id(),
         "doc_quality_score": ORACLE_QUALITY,
+        "doc_repetition_signals": ORACLE_REPETITION,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "doc_pii_scrub": _oracle_pii(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
@@ -2441,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _oracle_jaccard(),
         "dedup_simhash": _oracle_simhash(),
         "dedup_cross_doc_shingles": ORACLE_CROSS_DOC,
+        "dedup_contamination_check": ORACLE_CONTAMINATION,
         "dedup_embedding_pairs": ORACLE_EMB_NEARDUP,
         "dedup_cluster_canonical": _oracle_cluster(),
         "sketch_hll_users": _oracle_hll(),

@@ -223,6 +223,47 @@ def cross_doc_shingle_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def contamination_check(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: Optional[str] = None,
+                        bench_id_col: Optional[str] = None,
+                        shingle_n: int = 8, min_overlap: int = 1) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_overlap`` word ``shingle_n``-gram shingles with a benchmark
+    document (the standard n-gram-overlap contamination test applied
+    before training — e.g. GPT-3 appendix C used 13-grams, The Pile 13,
+    Llama 8; pick ``shingle_n`` for your tokenizer's typical span).
+
+    Output: (id, bench_id, n_overlap) — one row per contaminated
+    (document, benchmark item) pair; drop/flag the document side.
+
+    Scale shape: the benchmark side is small by definition (eval sets are
+    thousands of items, the corpus is the 100 TB side), so its exploded
+    shingles BROADCAST — corpus shingles are computed map-side, the join
+    is shuffle-free, and the per-pair count is a map-side-combinable
+    aggregate keyed by (doc, bench). The corpus is never shuffled on
+    text. Shingles are per-doc distinct (``word_shingles``), so the
+    overlap count is set-intersection cardinality."""
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    b_text = bench_text_col or text_col
+    b_id = bench_id_col or id_col
+    c_sh = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    b_sh = benchmark.select(
+        F.col(b_id).alias("bench_id"),
+        F.explode(word_shingles(F.col(b_text), shingle_n)).alias("_sh"),
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "_sh")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").cast("int").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint over word features.

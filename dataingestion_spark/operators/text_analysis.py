@@ -143,3 +143,67 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.md5(normalized(F.col(text_col))).alias("content_md5"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_md5"),
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       ngram_ns: tuple = (2, 3)) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    documents dominated by repeated lines or a single repeated n-gram are
+    low-quality (boilerplate, scraper loops, keyword stuffing) and these
+    ratios are the standard filter inputs.
+
+    Per document:
+
+    * ``dup_line_ratio`` — lines occurring more than once / total lines
+      (counting every occurrence);
+    * ``dup_line_char_ratio`` — characters inside those duplicated lines
+      / total line characters;
+    * ``top_{n}gram_ratio`` — occurrences of the document's most frequent
+      word n-gram / total n-gram occurrences, for each n in ``ngram_ns``
+      (NON-distinct n-grams — repetition is the signal here, unlike the
+      dedup shingles).
+
+    Scale shape: one explode + two-level aggregate per signal family,
+    all keyed by doc id — map-side combinable, shuffle payload is
+    (id, counter) rows, never text. Single-line documents score 0 on the
+    line ratios only if the line is unique (a doc that is one line
+    repeated can't exist — lines are split on newline), and documents
+    shorter than n words have one whole-text n-gram → ratio 1 (flagged
+    as degenerate, which suits the filter's purpose).
+    """
+    lines = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(F.split(F.col(text_col), r"\n")).alias("_ln"),
+    ).filter(F.trim(F.col("_ln")) != "")
+    line_counts = lines.groupBy(id_col, "_ln").agg(F.count("*").alias("_c"))
+    line_sig = line_counts.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+            / F.sum("_c"), 6
+        ).alias("dup_line_ratio"),
+        F.round(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c") * F.length("_ln")).otherwise(0))
+            / F.sum(F.col("_c") * F.length("_ln")), 6
+        ).alias("dup_line_char_ratio"),
+    )
+    out = line_sig
+    for n in ngram_ns:
+        words = F.split(F.trim(F.col(text_col)), r"\s+")
+        size = F.size(words)
+        acc = words
+        for shift in range(1, n):
+            shifted = F.slice(words, shift + 1, F.greatest(size - shift, F.lit(1)))
+            acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+        grams = F.when(size >= n, F.slice(acc, 1, size - (n - 1))).otherwise(
+            F.array(F.array_join(words, " "))
+        )  # word_shingles WITHOUT array_distinct: occurrences are the signal
+        g = df.select(
+            F.col(id_col).alias(id_col), F.explode(grams).alias("_g")
+        )
+        gc = g.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+        gs = gc.groupBy(id_col).agg(
+            F.round(F.max("_c") / F.sum("_c"), 6).alias(f"top_{n}gram_ratio")
+        )
+        out = out.join(gs, id_col)
+    return out

@@ -99,3 +99,49 @@ def test_mixture_sample_matches_oracle(spark, docs):
         "docs_t", "source", "n_tokens", budgets, cols="doc_id"
     )).fetchall())
     assert got == want
+
+
+def test_contamination_check_semantics(spark):
+    from dataingestion_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "completely unrelated words appear in this document here"),
+         (3, "quick brown fox jumps somewhere else entirely today now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    # 4-gram overlap: doc 1 shares "the quick brown fox",
+    # "quick brown fox jumps", "brown fox jumps over"; doc 3 only
+    # "quick brown fox jumps"
+    out = {(r.doc_id, r.bench_id): r.n_overlap for r in
+           contamination_check(corpus, bench, shingle_n=4).collect()}
+    assert out == {(1, 100): 3, (3, 100): 1}
+    # min_overlap filters the single-shingle hit
+    out2 = {r.doc_id for r in
+            contamination_check(corpus, bench, shingle_n=4, min_overlap=2).collect()}
+    assert out2 == {1}
+
+
+def test_repetition_signals_semantics(spark):
+    from dataingestion_spark.operators.text_analysis import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "same line\nsame line\nother line"),
+         (2, "buy now buy now buy now"),
+         (3, "all words here are different tokens entirely")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    # doc 1: 2 of 3 lines duplicated; 18 of 28 line-chars
+    assert out[1].dup_line_ratio == pytest.approx(2 / 3, abs=1e-6)
+    assert out[1].dup_line_char_ratio == pytest.approx(18 / 28, abs=1e-6)
+    # doc 2: "buy now" is 3 of 5 bigrams, "buy now buy"/"now buy now" 2 of 4
+    assert out[2].top_2gram_ratio == pytest.approx(0.6)
+    assert out[2].top_3gram_ratio == pytest.approx(0.5)
+    # doc 3: no repetition — line ratios 0, every bigram unique (1/6)
+    assert out[3].dup_line_ratio == 0.0
+    assert out[3].top_2gram_ratio == pytest.approx(1 / 6, abs=1e-6)
