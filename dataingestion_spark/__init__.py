@@ -45,6 +45,7 @@ from .curation import (  # noqa: E402,F401
 )
 from .operators.dedup import (  # noqa: E402,F401
     connected_components,
+    contamination_check,
     exact_dedup,
     minhash_lsh_pairs,
     neardup_clusters,
@@ -55,7 +56,6 @@ from .operators.sampling import (  # noqa: E402,F401
     mixture_sample,
     stratified_sample,
 )
-from .operators.dedup import contamination_check  # noqa: E402,F401
 from .operators.text_analysis import repetition_signals  # noqa: E402,F401
 from .operators.sketches import hll_distinct, histogram_quantiles  # noqa: E402,F401
 from .operators.temporal import asof_join, interval_join  # noqa: E402,F401

@@ -41,6 +41,13 @@ def _rank_hash(id_col: str, salt: str):
     return F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
 
 
+def _q(s: str) -> str:
+    """DuckDB string literal: quote-doubling (NOT backslash escaping,
+    which DuckDB treats literally — unlike Spark SQL's lakehouse
+    predicates)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
                       id_col: str = "doc_id",
                       salt: str = "sample") -> DataFrame:
@@ -62,7 +69,7 @@ def stratified_sample_sql(table: str, strata_col: str, n_per_stratum: int,
                           id_col: str = "doc_id", salt: str = "sample",
                           cols: str = "*") -> str:
     """The identical sample as DuckDB SQL."""
-    h = f"md5(concat('{salt}:', CAST({id_col} AS VARCHAR)))"
+    h = f"md5(concat({_q(salt + ':')}, CAST({id_col} AS VARCHAR)))"
     return f"""
 SELECT * FROM (
   SELECT {cols}, ROW_NUMBER() OVER (
@@ -123,12 +130,16 @@ def mixture_sample_sql(table: str, source_col: str, token_col: str,
                        default_budget: Optional[int] = None,
                        cols: str = "*") -> str:
     """The identical mixture as DuckDB SQL."""
-    h = f"md5(concat('{salt}:', CAST({id_col} AS VARCHAR)))"
-    case = "CASE"
-    for src, b in budgets.items():
-        case += f" WHEN {source_col} = '{src}' THEN {int(b)}"
-    case += (f" ELSE {int(default_budget)} END" if default_budget is not None
-             else " ELSE NULL END")
+    h = f"md5(concat({_q(salt + ':')}, CAST({id_col} AS VARCHAR)))"
+    if budgets:
+        case = "CASE"
+        for src, b in budgets.items():
+            case += f" WHEN {source_col} = {_q(src)} THEN {int(b)}"
+        case += (f" ELSE {int(default_budget)} END"
+                 if default_budget is not None else " ELSE NULL END")
+    else:  # no CASE arms is a parse error — emit the bare literal
+        case = (str(int(default_budget)) if default_budget is not None
+                else "NULL")
     null_keeps = "budget IS NULL OR" if default_budget is None else ""
     # EXCLUDE: the budget term is filter-only — the Spark side never emits it
     return f"""

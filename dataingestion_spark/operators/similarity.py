@@ -307,11 +307,20 @@ def ivf_assign(corpus: DataFrame, cents: DataFrame, corpus_id: str,
     kept = sized.filter(F.col("lrk") <= max_list_size).select(
         corpus_id, corpus_vec, "centroid_id"
     )
+    second = top2.filter(F.col("crk") == 2).select(
+        corpus_id, F.col("centroid_id").alias("_c2")
+    )
+    # left join: with a single centroid there IS no runner-up — overflow
+    # stays in its rank-1 list (losing vectors from the index is worse
+    # than an uncapped list)
     spilled = (
         sized.filter(F.col("lrk") > max_list_size)
-        .select(corpus_id)
-        .join(top2.filter(F.col("crk") == 2), corpus_id)
         .select(corpus_id, corpus_vec, "centroid_id")
+        .join(second, corpus_id, "left")
+        .select(
+            corpus_id, corpus_vec,
+            F.coalesce(F.col("_c2"), F.col("centroid_id")).alias("centroid_id"),
+        )
     )
     return kept.unionByName(spilled)
 

@@ -187,19 +187,13 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
             / F.sum(F.col("_c") * F.length("_ln")), 6
         ).alias("dup_line_char_ratio"),
     )
+    from .dedup import word_ngrams  # occurrences, not distinct shingles
+
     out = line_sig
     for n in ngram_ns:
-        words = F.split(F.trim(F.col(text_col)), r"\s+")
-        size = F.size(words)
-        acc = words
-        for shift in range(1, n):
-            shifted = F.slice(words, shift + 1, F.greatest(size - shift, F.lit(1)))
-            acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-        grams = F.when(size >= n, F.slice(acc, 1, size - (n - 1))).otherwise(
-            F.array(F.array_join(words, " "))
-        )  # word_shingles WITHOUT array_distinct: occurrences are the signal
         g = df.select(
-            F.col(id_col).alias(id_col), F.explode(grams).alias("_g")
+            F.col(id_col).alias(id_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
         )
         gc = g.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
         gs = gc.groupBy(id_col).agg(

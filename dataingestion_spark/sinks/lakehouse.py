@@ -122,15 +122,21 @@ def incremental_replace_delta(records: DataFrame, path: str) -> None:
     insert-before-delete window the reference has to order by hand."""
     spark = records.sparkSession
     _require(spark)
-    keys = [
-        (r["documentid"], r["doc_bucket"])
-        for r in records.select("documentid", "doc_bucket").distinct().collect()
-    ]
-    if not keys:
-        return
-    pred = replace_predicate([k[0] for k in keys], [k[1] for k in keys])
-    (records.write.format("delta").mode("overwrite")
-     .option("replaceWhere", pred).partitionBy("doc_bucket").save(path))
+    # two actions consume records (key collect + write) — persist so the
+    # upstream pipeline lineage runs once, not twice
+    records.persist()
+    try:
+        keys = [
+            (r["documentid"], r["doc_bucket"])
+            for r in records.select("documentid", "doc_bucket").distinct().collect()
+        ]
+        if not keys:
+            return
+        pred = replace_predicate([k[0] for k in keys], [k[1] for k in keys])
+        (records.write.format("delta").mode("overwrite")
+         .option("replaceWhere", pred).partitionBy("doc_bucket").save(path))
+    finally:
+        records.unpersist()
 
 
 def read_vector_table_delta(spark: SparkSession, path: str,

@@ -462,3 +462,17 @@ def test_ivf_capped_lists_bound_skew(spark):
     assert a.count() == 40 and a.select("vec_id").distinct().count() == 40
     assert sizes[1] == 10  # hot list retains exactly the cap
     assert sizes[2] == 15 and sizes[3] == 15  # overflow spread by geometry
+
+
+def test_ivf_cap_single_centroid_keeps_all_rows(spark):
+    from dataingestion_spark.operators.similarity import ivf_assign
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    one = spark.createDataFrame([(1, [1.0, 0.0])], ["centroid_id", "cvec"])
+    # no runner-up exists: overflow must stay in its rank-1 list, never drop
+    a = ivf_assign(vecs, one, "vec_id", "embedding", max_list_size=2)
+    assert a.count() == 6
+    assert a.select("vec_id").distinct().count() == 6
