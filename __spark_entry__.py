@@ -1625,6 +1625,122 @@ def _oracle_mixture() -> str:
     )
 
 
+def q_upsample_epochs(spark, sf):
+    """Fractional-epoch upsampling (operators/sampling.py): ⌊w⌋ copies
+    per doc plus a deterministic md5-Bernoulli extra — expected count w,
+    realized count a pure function of (salt, id). Shuffle-free explode."""
+    from dataingestion_spark.operators.sampling import upsample_by_epochs
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return upsample_by_epochs(
+        docs, "source", {"src0": 3.2, "src1": 0.5, "src2": 0.0},
+        default_epochs=1.25,
+    ).select("doc_id", "source", "copy")
+
+
+def _oracle_upsample() -> str:
+    from dataingestion_spark.operators.sampling import upsample_by_epochs_sql
+
+    return upsample_by_epochs_sql(
+        "documents", "source", {"src0": 3.2, "src1": 0.5, "src2": 0.0},
+        default_epochs=1.25, cols="doc_id, source",
+    )
+
+
+def q_pack_sequences(spark, sf):
+    """Document-boundary greedy packing into 4096-token training
+    sequences, shard-parallel (operators/packing.py). Chars stand in for
+    tokens (deterministic; swap in token_count upstream for real runs)."""
+    from dataingestion_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars").withColumn(
+        "shard_id", F.col("doc_id") % 8
+    )
+    return pack_sequences(docs, "n_chars", 4096, "shard_id").select(
+        "doc_id", "shard_id", "seq_in_shard", "offset_in_seq"
+    )
+
+
+def _oracle_pack() -> str:
+    from dataingestion_spark.operators.packing import pack_sequences_sql
+
+    return (
+        "SELECT doc_id, shard_id, seq_in_shard, offset_in_seq FROM ("
+        + pack_sequences_sql("documents", "n_chars", 4096, "doc_id % 8",
+                             "doc_id", "doc_id")
+        + ")"
+    )
+
+
+def q_concat_spans(spark, sf):
+    """GPT-style concat-and-chunk placement (operators/packing.py): each
+    doc's sequence span is closed-form in its exclusive global prefix sum
+    — one range shuffle for the whole corpus."""
+    from dataingestion_spark.operators.packing import concat_chunk_spans
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return concat_chunk_spans(docs, "n_chars", 4096).select(
+        "doc_id", "seq_first", "seq_last", "n_seqs", "offset_in_first"
+    )
+
+
+ORACLE_CONCAT_SPANS = """
+SELECT doc_id, CAST(floor(p / 4096) AS BIGINT) AS seq_first,
+       CAST(floor((p + greatest(t - 1, 0)) / 4096) AS BIGINT) AS seq_last,
+       CAST(floor((p + greatest(t - 1, 0)) / 4096) - floor(p / 4096) + 1 AS BIGINT) AS n_seqs,
+       p % 4096 AS offset_in_first
+FROM (SELECT doc_id, CAST(n_chars AS BIGINT) AS t,
+             COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+      FROM documents)
+"""
+
+
+def q_topk_quantized(spark, sf):
+    """Brute-force top-k over int8-quantized embeddings
+    (operators/similarity.py): integer dot + one float op per pair, 4×
+    less scan/shuffle bandwidth than float vectors at equal shape."""
+    from dataingestion_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.topk_cosine_quantized(e, queries, k=10)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    )
+
+
+ORACLE_TOPK_QUANTIZED = """
+WITH qz AS (
+  SELECT vec_id, list_transform(embedding, x ->
+           CASE WHEN amax <> 0
+                THEN CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INT)
+                ELSE 0 END) AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+    list_reduce(list_transform(list_zip(e.qv, q.qv),
+                               s -> CAST(s[1]*s[2] AS BIGINT)), (x,y)->x+y) AS idot,
+    list_reduce(list_transform(e.qv, x -> CAST(x*x AS BIGINT)), (x,y)->x+y)
+      * list_reduce(list_transform(q.qv, x -> CAST(x*x AS BIGINT)), (x,y)->x+y) AS nd
+  FROM qz e CROSS JOIN q
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r FROM (
+  SELECT query_id, vec_id,
+    CASE WHEN nd <> 0 THEN CAST(idot AS DOUBLE) / sqrt(CAST(nd AS DOUBLE)) ELSE 0.0 END AS score,
+    row_number() OVER (PARTITION BY query_id ORDER BY
+      CASE WHEN nd <> 0 THEN CAST(idot AS DOUBLE) / sqrt(CAST(nd AS DOUBLE)) ELSE 0.0 END DESC,
+      vec_id) AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
 def q_curation_funnel(spark, sf):
     """End-to-end training-data curation funnel (dataingestion_spark/
     curation.py): lang filter → quality filter → exact dedup → near-dup
@@ -2448,6 +2564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shards_token_budget": q_assign_shards,
         "sample_stratified": q_stratified_sample,
         "sample_mixture_budget": q_mixture_sample,
+        "sample_upsample_epochs": q_upsample_epochs,
+        "pack_doc_sequences": q_pack_sequences,
+        "pack_concat_spans": q_concat_spans,
+        "search_topk_quantized": q_topk_quantized,
         # similarity search
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
@@ -2532,6 +2652,10 @@ def oracle_sql() -> dict[str, str]:
         "shards_token_budget": ORACLE_SHARDS,
         "sample_stratified": _oracle_stratified(),
         "sample_mixture_budget": _oracle_mixture(),
+        "sample_upsample_epochs": _oracle_upsample(),
+        "pack_doc_sequences": _oracle_pack(),
+        "pack_concat_spans": ORACLE_CONCAT_SPANS,
+        "search_topk_quantized": ORACLE_TOPK_QUANTIZED,
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),

@@ -55,6 +55,15 @@ from .operators.sharding import assign_shards, hash_split  # noqa: E402,F401
 from .operators.sampling import (  # noqa: E402,F401
     mixture_sample,
     stratified_sample,
+    upsample_by_epochs,
+)
+from .operators.packing import (  # noqa: E402,F401
+    concat_chunk_spans,
+    pack_sequences,
+)
+from .operators.similarity import (  # noqa: E402,F401
+    quantize_embeddings,
+    topk_cosine_quantized,
 )
 from .operators.text_analysis import repetition_signals  # noqa: E402,F401
 from .operators.sketches import hll_distinct, histogram_quantiles  # noqa: E402,F401

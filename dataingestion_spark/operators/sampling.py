@@ -34,7 +34,8 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["stratified_sample", "stratified_sample_sql",
-           "mixture_sample", "mixture_sample_sql"]
+           "mixture_sample", "mixture_sample_sql",
+           "upsample_by_epochs", "upsample_by_epochs_sql"]
 
 
 def _rank_hash(id_col: str, salt: str):
@@ -152,4 +153,78 @@ SELECT * EXCLUDE (budget) FROM (
     {case} AS budget
   FROM {table}
 ) WHERE {null_keeps} tokens_before < budget
+"""
+
+
+def _epoch_copies(w: float) -> tuple[int, int]:
+    """(whole copies, 32-bit fractional threshold) for epoch weight w."""
+    if w < 0:
+        raise ValueError("epoch weights must be >= 0")
+    whole = int(w)
+    thresh = int(round((w - whole) * (1 << 32)))
+    return whole, thresh
+
+
+def upsample_by_epochs(df: DataFrame, source_col: str,
+                       epochs: Dict[str, float], id_col: str = "doc_id",
+                       salt: str = "epoch",
+                       default_epochs: float = 1.0) -> DataFrame:
+    """Repeat documents per-source by fractional epoch weights — the
+    "see wikipedia 3.2×, web 1.0×" step of domain mixing (the reference
+    ingests each file exactly once — ``IngestionPipeline.cs:121``;
+    upsampling is a training-pipeline concern it has no surface for).
+
+    A weight w yields ⌊w⌋ copies of every document plus one more iff the
+    document's 32-bit md5 draw falls under round(frac(w)·2³²) — so the
+    expected copy count is w, the realized count is a deterministic
+    function of (salt, id), and appends never change existing documents'
+    copy counts. Emits one row per copy with ``copy`` ∈ 1..n (the
+    trainer's dedup-within-epoch handle); w < 1 downsamples (0 copies
+    drops the document) and w = 0 removes the source entirely.
+
+    Scale shape: pure projection + explode — no shuffle at all; the
+    output inherits the input partitioning. The explode multiplies rows
+    map-side, which is exactly where you want the fan-out (never through
+    a shuffle)."""
+    from .sharding import _hex_to_long
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    u = _hex_to_long(h, 8)
+    n = None
+    for src, w in epochs.items():
+        whole, thresh = _epoch_copies(w)
+        cnt = F.lit(whole) + F.when(u < thresh, 1).otherwise(0)
+        clause = F.col(source_col) == src
+        n = F.when(clause, cnt) if n is None else n.when(clause, cnt)
+    dwhole, dthresh = _epoch_copies(default_epochs)
+    dcnt = F.lit(dwhole) + F.when(u < dthresh, 1).otherwise(0)
+    n = dcnt if n is None else n.otherwise(dcnt)
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )  # sequence(1, 0) counts DOWN to [1, 0] — the guard is load-bearing
+    return df.withColumn("copy", F.explode(copies))
+
+
+def upsample_by_epochs_sql(table: str, source_col: str,
+                           epochs: Dict[str, float], id_col: str = "doc_id",
+                           salt: str = "epoch",
+                           default_epochs: float = 1.0,
+                           cols: str = "*") -> str:
+    """The identical upsampling as DuckDB SQL (generate_series(1, 0) is
+    [] there, and unnest of [] drops the row — matching explode)."""
+    h = f"md5(concat({_q(salt + ':')}, CAST({id_col} AS VARCHAR)))"
+    acc = "0"
+    for i in range(1, 9):
+        acc = f"({acc} * 16 + (instr('0123456789abcdef', substr({h}, {i}, 1)) - 1))"
+    arms = []
+    for src, w in epochs.items():
+        whole, thresh = _epoch_copies(w)
+        arms.append(f"WHEN {source_col} = {_q(src)} THEN "
+                    f"{whole} + CASE WHEN {acc} < {thresh} THEN 1 ELSE 0 END")
+    dwhole, dthresh = _epoch_copies(default_epochs)
+    dflt = f"{dwhole} + CASE WHEN {acc} < {dthresh} THEN 1 ELSE 0 END"
+    case = ("CASE " + " ".join(arms) + f" ELSE {dflt} END") if arms else dflt
+    return f"""
+SELECT * EXCLUDE (n), CAST(unnest(generate_series(1, n)) AS INT) AS copy
+FROM (SELECT {cols}, {case} AS n FROM {table})
 """

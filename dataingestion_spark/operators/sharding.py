@@ -86,17 +86,12 @@ def hash_split_sql(id_col: str, weights: Dict[str, float] | None = None,
     return case
 
 
-def assign_shards(df: DataFrame, token_col: str, budget: int,
-                  order_cols: Sequence[str] = ("doc_id",),
-                  num_partitions: int | None = None) -> DataFrame:
-    """Add ``shard_id`` = floor(exclusive-running-token-sum / budget) over
-    the total order given by ``order_cols`` (which must be a total order —
-    unique keys — or rows tying at a partition boundary land arbitrarily).
-
-    A shard receives consecutive rows until the budget is crossed (the row
-    that crosses starts in the shard it began in — fixed-offset packing,
-    not bin packing, so the mapping is a closed-form expression any engine
-    agrees on). Integer token arithmetic throughout.
+def exclusive_prefix_sum(df: DataFrame, token_col: str,
+                         order_cols: Sequence[str] = ("doc_id",),
+                         num_partitions: int | None = None,
+                         out_col: str = "_prior") -> DataFrame:
+    """Add ``out_col`` = exclusive running sum of ``token_col`` over the
+    total order given by ``order_cols``, distributed.
 
     A naive ``Window.orderBy`` with no partition key collapses the corpus
     into ONE task — the classic global-prefix-sum trap. This is the
@@ -109,8 +104,6 @@ def assign_shards(df: DataFrame, token_col: str, budget: int,
     the corpus again). Offsets come from a tiny per-partition-totals
     aggregate over the SAME pinned input, broadcast back. Net: one range
     shuffle over the data, whatever the corpus size."""
-    if budget <= 0:
-        raise ValueError("budget must be positive")
     cols = list(order_cols)
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = (
@@ -141,11 +134,33 @@ def assign_shards(df: DataFrame, token_col: str, budget: int,
         .withColumn("_offset", F.coalesce(F.sum("_ptotal").over(ow), F.lit(0)))
         .select("_pid", "_offset")
     )
-    prior = F.col("_offset") + F.col("_local_prior")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_local_prior"))
+        .drop("_pid", "_local_prior", "_offset")
+    )
+
+
+def assign_shards(df: DataFrame, token_col: str, budget: int,
+                  order_cols: Sequence[str] = ("doc_id",),
+                  num_partitions: int | None = None) -> DataFrame:
+    """Add ``shard_id`` = floor(exclusive-running-token-sum / budget) over
+    the total order given by ``order_cols`` (which must be a total order —
+    unique keys — or rows tying at a partition boundary land arbitrarily).
+
+    A shard receives consecutive rows until the budget is crossed (the row
+    that crosses starts in the shard it began in — fixed-offset packing,
+    not bin packing, so the mapping is a closed-form expression any engine
+    agrees on). Integer token arithmetic throughout.
+
+    The running sum is :func:`exclusive_prefix_sum` — one range shuffle
+    over the data, whatever the corpus size."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    prior = exclusive_prefix_sum(df, token_col, order_cols, num_partitions)
     # explicit floor: CAST(double AS BIGINT) truncates in Spark but ROUNDS
     # in DuckDB — floor() is the portable spelling of the intent
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn("shard_id", F.floor(prior / budget).cast("long"))
-        .drop("_pid", "_local_prior", "_offset")
+        prior.withColumn("shard_id", F.floor(F.col("_prior") / budget).cast("long"))
+        .drop("_prior")
     )

@@ -415,3 +415,79 @@ def topk_cosine_ann(corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int
     # probe list never repeats a bucket (base ^ distinct single bits), so
     # each (query, candidate) pair joins at most once
     return _rank_topk(scored, k, query_id, corpus_id)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory/bandwidth lever for 100 TB ANN
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        qvec_col: str = "qvec",
+                        scale_col: str = "qscale") -> DataFrame:
+    """Per-vector symmetric int8 quantization: adds ``qvec``
+    (array<int> in [-127, 127]) and ``qscale`` (= max|x| / 127, the
+    dequantization factor).
+
+    q_i = floor(x_i·127/max|x| + 0.5) — the explicit half-up spelling,
+    because Spark's round() and DuckDB's round() disagree on ties while
+    floor(x+0.5) is the same expression in both. |x_i| ≤ max|x| bounds
+    the quotient at 127 + ulp noise, which floor(+0.5) cannot push past
+    127, so no clamp is needed. All-zero vectors quantize to zeros with
+    scale 0.
+
+    Scale story: a 4-byte-float 1536-dim embedding is 6 KB/row; int8 is
+    1.5 KB — 4× less shuffle and scan bandwidth, and the quantized dot
+    product is an INTEGER fold (exact, associative, SIMD-friendly),
+    leaving one float multiply per pair. The reference delegates storage
+    to its vector store (``VectorStoreWriter.cs``); here quantization is
+    a column transform any query can push through."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        v,
+        lambda x: F.when(
+            amax != 0,
+            F.floor(x.cast("double") * 127.0 / amax + 0.5).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return (df.withColumn(qvec_col, q)
+            .withColumn(scale_col, amax / F.lit(127.0)))
+
+
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over int8-quantized vectors: Σqa·qb / √(Σqa²·Σqb²).
+
+    Scales cancel, so the whole computation is three exact integer folds
+    and ONE float op (the sqrt-divide) — bit-identical across engines by
+    construction. Zero vectors score 0."""
+    idot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    na = F.aggregate(F.transform(qa, lambda x: (x * x).cast("long")),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(qb, lambda x: (x * x).cast("long")),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    denom = na * nb
+    return F.when(denom != 0,
+                  idot.cast("double") / F.sqrt(denom.cast("double"))
+                  ).otherwise(F.lit(0.0))
+
+
+def topk_cosine_quantized(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                          corpus_id: str = "vec_id",
+                          corpus_vec: str = "embedding",
+                          query_id: str = "query_id",
+                          query_vec: str = "query_vec") -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors — the bandwidth-lean
+    variant of :func:`topk_cosine` (same broadcast + two-phase ranking
+    shape; candidate scoring reads 4× fewer bytes per vector)."""
+    cq = quantize_embeddings(corpus, corpus_vec, "_cq", "_cs")
+    qq = quantize_embeddings(queries, query_vec, "_qq", "_qs")
+    scored = cq.crossJoin(
+        F.broadcast(qq.select(query_id, "_qq"))
+    ).select(
+        F.col(query_id), F.col(corpus_id),
+        quantized_cosine(F.col("_cq"), F.col("_qq")).alias("score"),
+    )
+    return _rank_topk(scored, k, query_id, corpus_id)

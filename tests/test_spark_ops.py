@@ -476,3 +476,91 @@ def test_ivf_cap_single_centroid_keeps_all_rows(spark):
     a = ivf_assign(vecs, one, "vec_id", "embedding", max_list_size=2)
     assert a.count() == 6
     assert a.select("vec_id").distinct().count() == 6
+
+
+def test_pack_sequences_greedy_and_oversize(spark):
+    from dataingestion_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 0, 30), (2, 0, 50), (3, 0, 40), (4, 0, 90), (5, 0, 10),
+         (6, 1, 100), (7, 1, 10)],
+        "doc_id long, shard_id long, tok long",
+    )
+    out = {r["doc_id"]: (r["seq_in_shard"], r["offset_in_seq"])
+           for r in pack_sequences(df, "tok", 64, "shard_id").collect()}
+    # shard 0: 30 fits seq0; 50 overflows -> seq1; 40 overflows -> seq2;
+    # 90 > L gets its own seq3; 10 opens seq4 (90 already past budget)
+    assert out[1] == (0, 0) and out[2] == (1, 0) and out[3] == (2, 0)
+    assert out[4] == (3, 0) and out[5] == (4, 0)
+    # shard 1 independent: oversize first, then fresh seq
+    assert out[6] == (0, 0) and out[7] == (1, 0)
+    # tight packing case: two docs sharing a sequence record the offset
+    df2 = spark.createDataFrame([(1, 0, 30), (2, 0, 30), (3, 0, 30)],
+                                "doc_id long, shard_id long, tok long")
+    out2 = {r["doc_id"]: (r["seq_in_shard"], r["offset_in_seq"])
+            for r in pack_sequences(df2, "tok", 64, "shard_id").collect()}
+    assert out2 == {1: (0, 0), 2: (0, 30), 3: (1, 0)}
+
+
+def test_concat_chunk_spans_closed_form(spark):
+    from dataingestion_spark.operators.packing import concat_chunk_spans
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 30), (3, 0), (4, 200)], "doc_id long, tok long"
+    )
+    out = {r["doc_id"]: (r["seq_first"], r["seq_last"], r["n_seqs"],
+                         r["offset_in_first"])
+           for r in concat_chunk_spans(df, "tok", 64).collect()}
+    # priors: 0, 100, 130, 130
+    assert out[1] == (0, 1, 2, 0)        # tokens 0..99 span seqs 0-1
+    assert out[2] == (1, 2, 2, 36)       # 100..129 crosses into seq 2
+    assert out[3] == (2, 2, 1, 2)        # zero-width doc sits at its boundary
+    assert out[4] == (2, 5, 4, 2)        # 130..329 spans seqs 2-5
+
+
+def test_quantize_embeddings_bounds_and_self_similarity(spark):
+    from dataingestion_spark.operators.similarity import (
+        quantize_embeddings, quantized_cosine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [1e-9, 2e-9, -3e-9])],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize_embeddings(df)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["qvec"] == [64, -127, 32]  # floor(x*127/amax + .5)
+    assert rows[1]["qscale"] == 1.0 / 127.0
+    assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["qscale"] == 0.0
+    assert all(-127 <= v <= 127 for r in rows.values() for v in r["qvec"])
+    # quantized cosine: self-similarity 1.0 (scales cancel); zero vec -> 0
+    sim = q.alias("a").crossJoin(q.alias("b")).filter(
+        F.col("a.vec_id") == F.col("b.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        quantized_cosine(F.col("a.qvec"), F.col("b.qvec")).alias("s"),
+    )
+    sims = {r["vec_id"]: r["s"] for r in sim.collect()}
+    assert abs(sims[1] - 1.0) < 1e-12 and sims[2] == 0.0
+
+
+def test_upsample_by_epochs_deterministic_counts(spark):
+    from dataingestion_spark.operators.sampling import upsample_by_epochs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+    eps = {"src0": 2.0, "src1": 0.0}
+    out = upsample_by_epochs(docs, "source", eps, default_epochs=1.0)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    base = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["src0"] == 2 * base["src0"]  # integer weight: exact
+    assert "src1" not in counts                # zero weight drops the source
+    assert counts["src2"] == base["src2"]      # default 1.0 keeps one copy
+    # copy column enumerates 1..n per doc; rerun is identical
+    c = out.filter(F.col("source") == "src0").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy")).alias("cs")
+    ).collect()
+    assert all(r["cs"] == [1, 2] for r in c)
+    again = upsample_by_epochs(docs, "source", eps, default_epochs=1.0)
+    assert again.exceptAll(out).count() == 0 and out.exceptAll(again).count() == 0
