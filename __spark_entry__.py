@@ -1741,6 +1741,60 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r F
 """
 
 
+def q_topk_ann(spark, sf):
+    """LSH-bucketed ANN top-k (operators/similarity.py::topk_cosine_ann):
+    exact cosine ranking restricted to the query's random-hyperplane
+    bucket. Deterministic md5-derived planes make even the RECALL TRADE
+    oracle-checkable — the SQL mirror recomputes the same buckets."""
+    from dataingestion_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.topk_cosine_ann(e, queries, k=10, dim=64, planes=8)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    )
+
+
+def _oracle_topk_ann() -> str:
+    from dataingestion_spark.operators.similarity import hyperplane_bucket_sql
+
+    b = hyperplane_bucket_sql("embedding", dim=64, planes=8)
+    return f"""
+WITH eb AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM eb WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         {_COS_SQL.format(a="e.embedding", b="q.qv")} AS score
+  FROM eb e JOIN q ON e.bucket = q.bucket)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
+def q_topk_pq(spark, sf):
+    """Product-quantization ANN (operators/pq.py): m=8 × k=16 codebooks
+    (deterministic farthest-first + Lloyd — iterative, hence no SQL
+    oracle), numpy-batched encode, asymmetric-distance top-k. The
+    billion-vector memory layout: 8 bytes/vector at scoring time."""
+    from dataingestion_spark.operators.pq import pq_encode, pq_train, topk_pq_adc
+
+    e = _t(spark, sf, "embeddings")
+    books = pq_train(e, m=8, k=16, iters=3)
+    enc = pq_encode(e, books)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = topk_pq_adc(enc, books, queries, k=10)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    )
+
+
 def q_curation_funnel(spark, sf):
     """End-to-end training-data curation funnel (dataingestion_spark/
     curation.py): lang filter → quality filter → exact dedup → near-dup
@@ -2568,6 +2622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_doc_sequences": q_pack_sequences,
         "pack_concat_spans": q_concat_spans,
         "search_topk_quantized": q_topk_quantized,
+        "search_topk_ann": q_topk_ann,
+        "search_topk_pq": q_topk_pq,
         # similarity search
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
@@ -2656,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_doc_sequences": _oracle_pack(),
         "pack_concat_spans": ORACLE_CONCAT_SPANS,
         "search_topk_quantized": ORACLE_TOPK_QUANTIZED,
+        "search_topk_ann": _oracle_topk_ann(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),

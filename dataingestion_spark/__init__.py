@@ -65,6 +65,11 @@ from .operators.similarity import (  # noqa: E402,F401
     quantize_embeddings,
     topk_cosine_quantized,
 )
+from .operators.pq import (  # noqa: E402,F401
+    pq_encode,
+    pq_train,
+    topk_pq_adc,
+)
 from .operators.text_analysis import repetition_signals  # noqa: E402,F401
 from .operators.sketches import hll_distinct, histogram_quantiles  # noqa: E402,F401
 from .operators.temporal import asof_join, interval_join  # noqa: E402,F401

@@ -491,3 +491,34 @@ def topk_cosine_quantized(corpus: DataFrame, queries: DataFrame, k: int = 10,
         quantized_cosine(F.col("_cq"), F.col("_qq")).alias("score"),
     )
     return _rank_topk(scored, k, query_id, corpus_id)
+
+
+def plane_component_value(p: int, d: int) -> float:
+    """The exact value :func:`plane_component` evaluates to — computed
+    driver-side for SQL mirrors. byte/128 − 1 is dyadic, so the float is
+    exact and its decimal literal round-trips in any engine."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+    hv = "0123456789abcdef".index
+    byte = hv(h[0]) * 16 + hv(h[1])
+    return byte / 128.0 - 1.0
+
+
+def hyperplane_bucket_sql(vec_expr: str, dim: int, planes: int = 16) -> str:
+    """:func:`hyperplane_bucket` as portable SQL: the same left-associated
+    per-plane dot (term order is float-semantics-bearing) with the plane
+    constants inlined as exact decimal literals (CAST through DECIMAL is
+    exact here — every constant is k/128). 1-based array indexing."""
+    bits = []
+    for p in range(planes):
+        terms = [
+            f"(CAST({vec_expr}[{d + 1}] AS DOUBLE) * "
+            f"CAST({plane_component_value(p, d)!r} AS DOUBLE))"
+            for d in range(dim)
+        ]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = f"({dot} + {t})"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST((" + " + ".join(bits) + ") AS BIGINT)"

@@ -319,10 +319,11 @@ def test_entry_contract(spark):
     oracles = em.oracle_sql()
     missing = [k for k in oracles if k not in qs]
     assert not missing
-    # every query except the streaming ones has an oracle
+    # every query except the streaming + iterative-training ones has an oracle
     assert set(qs) - set(oracles) == {
         "streaming_events_windowed",
         "streaming_stateful_counts",
+        "search_topk_pq",
     }
 
 
@@ -564,3 +565,49 @@ def test_upsample_by_epochs_deterministic_counts(spark):
     assert all(r["cs"] == [1, 2] for r in c)
     again = upsample_by_epochs(docs, "source", eps, default_epochs=1.0)
     assert again.exceptAll(out).count() == 0 and out.exceptAll(again).count() == 0
+
+
+def test_pq_train_encode_adc_match_numpy(spark):
+    import numpy as np
+    from dataingestion_spark.operators.pq import pq_train, pq_encode, topk_pq_adc
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_train(emb, m=8, k=16, iters=3)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+
+    enc = pq_encode(emb, books)
+    rows = enc.select("vec_id", "embedding", "pq_code").orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    codes = np.array([r["pq_code"] for r in rows])
+    B = [np.asarray(b) for b in books]
+    sub = mat.shape[1] // 8
+    ref = np.stack([
+        ((mat[:, j*sub:(j+1)*sub][:, None, :] - B[j][None, :, :]) ** 2)
+        .sum(2).argmin(1)
+        for j in range(8)
+    ], axis=1)
+    assert (codes == ref).all()
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = topk_pq_adc(enc, books, q, k=5).collect()
+    # a vector reconstructs closest to its own codes: self is rank 1
+    assert sorted(r["vec_id"] for r in out if r["rank"] == 1) == [0, 1, 2]
+    # ADC score for query 0 matches the numpy LUT sum (to fold-order ulp:
+    # numpy pairwise-sums where the Spark fold is strictly sequential)
+    luts = [((mat[0][j*sub:(j+1)*sub][None, :] - B[j]) ** 2).sum(1)
+            for j in range(8)]
+    scores = -np.stack([luts[j][ref[:, j]] for j in range(8)]).sum(0)
+    got = {r["vec_id"]: r["score"] for r in out if r["query_id"] == 0}
+    for vid, s in got.items():
+        assert abs(s - float(scores[vid])) <= 1e-12 * max(1.0, abs(s))
+
+
+def test_pq_encode_deterministic_across_partitionings(spark):
+    from dataingestion_spark.operators.pq import pq_train, pq_encode
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_train(emb, m=4, k=8, iters=2)
+    a = pq_encode(emb, books).select("vec_id", "pq_code")
+    b = pq_encode(emb.repartition(13), books).select("vec_id", "pq_code")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
