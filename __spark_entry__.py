@@ -1795,6 +1795,27 @@ def q_topk_pq(spark, sf):
     )
 
 
+def q_c4_filters(spark, sf):
+    """C4-style web-scrape cleaning signals + keep decision
+    (operators/text_analysis.py::c4_signals): terminal-punctuation line
+    ratio, short-line ratio, lorem-ipsum/brace tells, sentence count.
+    Pure projection — scan-speed at any scale."""
+    from dataingestion_spark.operators.text_analysis import c4_signals
+
+    out = c4_signals(_t(spark, sf, "documents"))
+    return out.withColumn("n_sentences", F.col("n_sentences").cast("int"))
+
+
+def _oracle_c4() -> str:
+    from dataingestion_spark.operators.text_analysis import c4_signals_sql
+
+    return (
+        "SELECT doc_id, punct_line_ratio, short_line_ratio, has_lorem_ipsum,"
+        " has_brace, CAST(n_sentences AS INT) AS n_sentences, c4_keep FROM ("
+        + c4_signals_sql("documents") + ")"
+    )
+
+
 def q_curation_funnel(spark, sf):
     """End-to-end training-data curation funnel (dataingestion_spark/
     curation.py): lang filter → quality filter → exact dedup → near-dup
@@ -2624,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_quantized": q_topk_quantized,
         "search_topk_ann": q_topk_ann,
         "search_topk_pq": q_topk_pq,
+        "doc_c4_filters": q_c4_filters,
         # similarity search
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
@@ -2713,6 +2735,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_concat_spans": ORACLE_CONCAT_SPANS,
         "search_topk_quantized": ORACLE_TOPK_QUANTIZED,
         "search_topk_ann": _oracle_topk_ann(),
+        "doc_c4_filters": _oracle_c4(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),

@@ -201,3 +201,75 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         )
         out = out.join(gs, id_col)
     return out
+
+
+def c4_signals(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """C4-style heuristic cleaning signals (Raffel et al. 2020, §2.2) —
+    the classic web-scrape filters the reference has no counterpart for
+    (its pipeline never inspects content quality):
+
+    * ``punct_line_ratio`` — fraction of lines ending in terminal
+      punctuation (C4 keeps only such lines);
+    * ``short_line_ratio`` — fraction of lines under 3 words (menus,
+      nav crumbs);
+    * ``has_lorem_ipsum`` / ``has_brace`` — template and code tells;
+    * ``n_sentences`` — terminal-punctuation count (C4 drops pages
+      with < 3 sentences);
+    * ``c4_keep`` — the composite keep decision.
+
+    Pure column projection (split + HOF filter + regex — per-row work,
+    no shuffle, runs at scan speed); thresholds are the operator's
+    contract, tune per corpus. Mirrored in SQL by
+    :func:`c4_signals_sql`."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    punct = F.size(F.filter(lines, lambda l: F.trim(l).rlike('[.!?"]$')))
+    short = F.size(F.filter(
+        lines, lambda l: F.size(F.split(F.trim(l), r"\s+")) < 3
+    ))
+    n_sent = F.length(F.regexp_replace(text, r"[^.!?]", ""))
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    punct_ratio = F.round(punct / n_lines, 6)
+    short_ratio = F.round(short / n_lines, 6)
+    return df.select(
+        F.col(id_col).alias(id_col),
+        punct_ratio.alias("punct_line_ratio"),
+        short_ratio.alias("short_line_ratio"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        n_sent.alias("n_sentences"),
+        (
+            (punct_ratio >= 0.3) & ~has_lorem & ~has_brace & (n_sent >= 3)
+        ).alias("c4_keep"),
+    )
+
+
+def c4_signals_sql(table: str, text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """The identical signals as DuckDB SQL (regexp_replace needs the 'g'
+    flag there; float literals cast through DOUBLE explicitly)."""
+    t = f"COALESCE({text_col}, '')"
+    lines = f"string_split({t}, chr(10))"
+    punct = (f"len(list_filter({lines}, "
+             "l -> regexp_matches(trim(l), '[.!?\"]$')))")
+    short = (f"len(list_filter({lines}, "
+             r"l -> len(string_split_regex(trim(l), '\s+')) < 3))")
+    n_sent = f"length(regexp_replace({t}, '[^.!?]', '', 'g'))"
+    pr = f"round({punct} / CAST(len({lines}) AS DOUBLE), 6)"
+    sr = f"round({short} / CAST(len({lines}) AS DOUBLE), 6)"
+    lorem = f"contains(lower({t}), 'lorem ipsum')"
+    brace = f"contains({t}, '{{')"
+    return f"""
+SELECT {id_col},
+       {pr} AS punct_line_ratio,
+       {sr} AS short_line_ratio,
+       {lorem} AS has_lorem_ipsum,
+       {brace} AS has_brace,
+       {n_sent} AS n_sentences,
+       ({pr} >= CAST(0.3 AS DOUBLE) AND NOT {lorem} AND NOT {brace}
+        AND {n_sent} >= 3) AS c4_keep
+FROM {table}
+"""

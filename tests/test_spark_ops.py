@@ -611,3 +611,26 @@ def test_pq_encode_deterministic_across_partitionings(spark):
     a = pq_encode(emb, books).select("vec_id", "pq_code")
     b = pq_encode(emb.repartition(13), books).select("vec_id", "pq_code")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_c4_signals_rules(spark):
+    from dataingestion_spark.operators.text_analysis import c4_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, 'Good sentence one.\nAnother fine line!\nThird one here?'),
+            (2, 'nav\nhome\nabout'),                    # no punct, short lines
+            (3, 'Lorem ipsum dolor sit amet. More words here. And more.'),
+            (4, 'if (x) { return y; } Fine. Sure. Yes.'),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_signals(df).collect()}
+    assert out[1]["punct_line_ratio"] == 1.0 and out[1]["c4_keep"]
+    assert out[1]["n_sentences"] == 3
+    assert out[2]["punct_line_ratio"] == 0.0 and not out[2]["c4_keep"]
+    assert out[2]["short_line_ratio"] == 1.0
+    assert out[3]["has_lorem_ipsum"] and not out[3]["c4_keep"]
+    assert out[4]["has_brace"] and not out[4]["c4_keep"]
+    assert out[5]["n_sentences"] == 0 and not out[5]["c4_keep"]
