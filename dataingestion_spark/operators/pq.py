@@ -22,18 +22,19 @@ Scale shape:
 * ``pq_train`` — driver-side numpy on a deterministic sample (codebooks
   are tiny: m·k·(dim/m) floats); sampling caps the collect at
   ``sample_limit`` rows by id order.
-* ``pq_encode`` — PURE PROJECTION: the codebooks are inlined as literal
-  expressions, so encoding is shuffle-free, whole-row-parallel, and
-  pushes through any downstream partitioning. No join, no UDF.
-* ``topk_pq_adc`` — per-query LUT built expression-side, broadcast with
-  the (small) query set; candidate scoring reads ``m`` bytes per vector
-  plus one LUT lookup per subspace. Ranking reuses the two-phase
-  local-then-global top-k.
+* ``pq_encode`` — shuffle-free ``mapInPandas`` projection: codebooks
+  ship in the closure, each Arrow batch runs one vectorized numpy
+  distance grid per subspace. No join, no per-row Python.
+* ``topk_pq_adc`` — per-query LUTs computed driver-side from the
+  (small, broadcast-bound) query set; candidate scoring is ``m`` array
+  lookups + an explicit m-term sum, all codegen'd — candidates never
+  touch a float vector. Ranking reuses the two-phase local-then-global
+  top-k.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -91,19 +92,6 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16, iters: int = 5,
     return books
 
 
-def _sq_dist_expr(vec, j: int, sub: int, codeword: Sequence[float]):
-    """Σ_d (vec[j·sub+d] − cw[d])² as a left-associated expression —
-    the float fold order every engine replicating this must match."""
-    terms = []
-    for d, w in enumerate(codeword):
-        diff = vec[j * sub + d].cast("double") - F.lit(float(w))
-        terms.append(diff * diff)
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
 def pq_encode(corpus: DataFrame, codebooks: List[List[List[float]]],
               corpus_vec: str = "embedding",
               code_col: str = "pq_code") -> DataFrame:
@@ -156,25 +144,50 @@ def topk_pq_adc(encoded: DataFrame, codebooks: List[List[List[float]]],
     """Asymmetric-distance top-k: score(candidate) = −Σ_j lut_j[code_j],
     where ``lut_j[c]`` = squared L2 between the query's j-th subvector
     and codeword c (negated so 'higher is better', like every scorer
-    here). The LUT is built as an expression on the query side and
-    broadcast with it: candidates never touch float vectors — m code
-    lookups per row."""
-    qv = F.col(query_vec)
+    here).
+
+    LUTs are computed DRIVER-SIDE from a collect of the query set
+    (queries are small by the broadcast contract, and an expression-tree
+    LUT gets re-evaluated per joined pair once codegen falls back —
+    measured at 10-100× the lookup cost). The per-pair score is then m
+    array lookups + an explicit m-term sum, all codegen'd: candidates
+    never touch a float vector."""
+    m = len(codebooks)
     sub = len(codebooks[0][0])
-    lut = F.array(*[
-        F.array(*[_sq_dist_expr(qv, j, sub, cw) for cw in book])
-        for j, book in enumerate(codebooks)
-    ])
-    q = queries.select(query_id, lut.alias("_lut"))
-    idx = F.sequence(F.lit(0), F.lit(len(codebooks) - 1))
-    score = -F.aggregate(
-        idx,
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(F.element_at(F.col("_lut"), j + 1),
-                       F.element_at(F.col(code_col), j + 1) + 1),
+    qrows = queries.select(query_id, query_vec).collect()
+    spark = queries.sparkSession
+
+    def lut_for(vec) -> list:
+        luts = []
+        for j, book in enumerate(codebooks):
+            start = j * sub
+            row = []
+            for cw in book:
+                acc = 0.0
+                for d, w in enumerate(cw):
+                    diff = float(vec[start + d]) - w
+                    acc = acc + diff * diff  # strictly sequential fold:
+                row.append(acc)             # reproducible, engine-free
+            luts.append(row)
+        return luts
+
+    from pyspark.sql import types as T
+
+    id_type = queries.schema[query_id].dataType
+    q = spark.createDataFrame(
+        [(r[0], lut_for(r[1])) for r in qrows],
+        T.StructType([
+            T.StructField(query_id, id_type),
+            T.StructField("_lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]),
     )
+    code = F.col(code_col)
+    lut = F.col("_lut")
+    terms = [F.element_at(lut[j], code[j] + 1) for j in range(m)]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
     scored = encoded.crossJoin(F.broadcast(q)).select(
-        F.col(query_id), F.col(corpus_id), score.alias("score")
+        F.col(query_id), F.col(corpus_id), (-total).alias("score")
     )
     return _rank_topk(scored, k, query_id, corpus_id)
