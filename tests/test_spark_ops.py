@@ -634,3 +634,25 @@ def test_c4_signals_rules(spark):
     assert out[3]["has_lorem_ipsum"] and not out[3]["c4_keep"]
     assert out[4]["has_brace"] and not out[4]["c4_keep"]
     assert out[5]["n_sentences"] == 0 and not out[5]["c4_keep"]
+
+
+def test_gopher_signals_rules(spark):
+    from dataingestion_spark.operators.text_analysis import gopher_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, 'A perfectly reasonable sentence with many ordinary words here.'),
+            (2, '• one\n• two\n• three'),            # bullet-dominated
+            (3, 'trailing off...\nand more...\nugh...'),  # ellipsis-heavy
+            (4, '### ## # # # word'),                # symbol-dense
+            (5, '12 34 56 78 90 11'),                # no alphabetic words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_signals(df).collect()}
+    assert out[1]["gopher_keep"]
+    assert 3 <= out[1]["mean_word_len"] <= 10
+    assert out[2]["bullet_line_ratio"] == 1.0 and not out[2]["gopher_keep"]
+    assert out[3]["ellipsis_line_ratio"] == 1.0 and not out[3]["gopher_keep"]
+    assert out[4]["hash_word_ratio"] > 0.1 and not out[4]["gopher_keep"]
+    assert out[5]["alpha_word_ratio"] == 0.0 and not out[5]["gopher_keep"]
