@@ -77,6 +77,12 @@ def main():
         "jaccard": em.q_ngram_jaccard,
         "emb_topk": em.q_emb_topk,
         "emb_neardup": em.q_emb_neardup,
+        "quantized_topk": em.q_topk_quantized,
+        "pq_adc": em.q_topk_pq,
+        "pack_sequences": em.q_pack_sequences,
+        "c4_gopher": lambda spark, sf: em.q_c4_filters(spark, sf).join(
+            em.q_gopher_filters(spark, sf), "doc_id"
+        ),
         "ingest_e2e": ingest_e2e,
     }
 

@@ -36,6 +36,10 @@ class CurationConfig:
     neardup: bool = True
     num_hashes: int = 16
     bands: int = 4
+    # opt-in heuristic web filters (both pure projections — adding them
+    # costs no shuffle): C4 line-punctuation rules, Gopher quality bands
+    c4: bool = False
+    gopher: bool = False
 
 
 def _stages(df: DataFrame, text_col: str, id_col: str,
@@ -60,6 +64,16 @@ def _stages(df: DataFrame, text_col: str, id_col: str,
     s2 = s1.filter(
         (F.col("quality") >= cfg.min_quality) & (F.col("n_words") >= cfg.min_words)
     )
+    heuristics = [("2_quality", s2)]
+    if cfg.c4:
+        c4k = TA.c4_signals(df, text_col, id_col).select(id_col, "c4_keep")
+        nxt = heuristics[-1][1].join(c4k, id_col).filter("c4_keep").drop("c4_keep")
+        heuristics.append(("2b_c4", nxt))
+    if cfg.gopher:
+        gk = TA.gopher_signals(df, text_col, id_col).select(id_col, "gopher_keep")
+        nxt = heuristics[-1][1].join(gk, id_col).filter("gopher_keep").drop("gopher_keep")
+        heuristics.append(("2c_gopher", nxt))
+    s2 = heuristics[-1][1]
     exact = D.exact_dedup(s2, text_col, id_col)
     s3 = s2.join(
         exact.filter(F.col(id_col) == F.col("canonical_id")).select(
@@ -67,8 +81,9 @@ def _stages(df: DataFrame, text_col: str, id_col: str,
         ),
         id_col,
     ).localCheckpoint(eager=False)  # consumed by neardup AND the output/count
-    stages = [("0_input", annotated), ("1_lang", s1), ("2_quality", s2),
-              ("3_exact_dedup", s3)]
+    stages = [("0_input", annotated), ("1_lang", s1)] + heuristics + [
+        ("3_exact_dedup", s3)
+    ]
     if cfg.neardup:
         clusters = D.neardup_clusters(
             s3, text_col, id_col, num_hashes=cfg.num_hashes, bands=cfg.bands

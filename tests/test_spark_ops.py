@@ -656,3 +656,25 @@ def test_gopher_signals_rules(spark):
     assert out[3]["ellipsis_line_ratio"] == 1.0 and not out[3]["gopher_keep"]
     assert out[4]["hash_word_ratio"] > 0.1 and not out[4]["gopher_keep"]
     assert out[5]["alpha_word_ratio"] == 0.0 and not out[5]["gopher_keep"]
+
+
+def test_curation_heuristic_stages_optional(spark):
+    from dataingestion_spark.curation import CurationConfig, curate_with_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cfg_off = CurationConfig(neardup=False)
+    cfg_on = CurationConfig(neardup=False, c4=True, gopher=True)
+    kept_off, rep_off = curate_with_report(docs, config=cfg_off)
+    kept_on, rep_on = curate_with_report(docs, config=cfg_on)
+    stages_off = [r["stage"] for r in rep_off.orderBy("stage").collect()]
+    stages_on = [r["stage"] for r in rep_on.orderBy("stage").collect()]
+    assert "2b_c4" not in stages_off and "2b_c4" in stages_on
+    assert "2c_gopher" in stages_on
+    # heuristic stages only ever shrink the kept set
+    assert kept_on.count() <= kept_off.count()
+    # funnel counts are monotonically non-increasing along the stage order
+    counts = {r["stage"]: r["docs_kept"] for r in rep_on.collect()}
+    order = [s for s in ["0_input", "1_lang", "2_quality", "2b_c4",
+                         "2c_gopher", "3_exact_dedup"] if s in counts]
+    vals = [counts[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
