@@ -678,3 +678,28 @@ def test_curation_heuristic_stages_optional(spark):
                          "2c_gopher", "3_exact_dedup"] if s in counts]
     vals = [counts[s] for s in order]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_new_operator_plan_shapes(spark):
+    from dataingestion_spark.observability import plan_summary
+    from dataingestion_spark.operators.packing import pack_sequences
+    from dataingestion_spark.operators.sampling import upsample_by_epochs
+    from dataingestion_spark.operators.text_analysis import c4_signals, gopher_signals
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # heuristic filters + upsampling: shuffle-free pruned projections
+    for df in (
+        c4_signals(docs),
+        gopher_signals(docs),
+        upsample_by_epochs(docs.select("doc_id", "source"), "source", {"src0": 2.0}),
+    ):
+        p = plan_summary(df)
+        assert p["exchanges"] == 0
+        assert all("text" in s or "source" in s for s in p["read_schemas"])
+        assert all("n_chars" not in s for s in p["read_schemas"])  # pruned
+    # doc-boundary packing: exactly ONE hash shuffle on shard_id (the
+    # formatted plan names each node twice — tree + detail — so one
+    # physical Exchange counts 2, matching test_scale_techniques)
+    sh = docs.select("doc_id", "n_chars").withColumn("shard_id", F.col("doc_id") % 8)
+    p = plan_summary(pack_sequences(sh, "n_chars", 4096, "shard_id"))
+    assert p["exchanges"] == 2
