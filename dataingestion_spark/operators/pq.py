@@ -187,7 +187,12 @@ def topk_pq_adc(encoded: DataFrame, codebooks: List[List[List[float]]],
     total = terms[0]
     for t in terms[1:]:
         total = total + t
-    scored = encoded.crossJoin(F.broadcast(q)).select(
+    # project to (id, codes) BEFORE the quadratic stage: the scan may
+    # carry float vectors and metadata, but the pair stream must see m
+    # bytes per candidate — that's the entire point of PQ
+    scored = encoded.select(corpus_id, code_col).crossJoin(
+        F.broadcast(q)
+    ).select(
         F.col(query_id), F.col(corpus_id), (-total).alias("score")
     )
     return _rank_topk(scored, k, query_id, corpus_id)
