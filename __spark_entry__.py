@@ -1776,6 +1776,61 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r F
 """
 
 
+def q_topk_ivf(spark, sf):
+    """IVF ANN top-k (operators/similarity.py::topk_cosine_ivf) with the
+    deterministic stride-sampled centroids (no Lloyd iterations), so the
+    ENTIRE inverted-file path — assignment, probe selection, in-list
+    ranking — is oracle-checked in SQL. n_probe=2 of 8 lists."""
+    from dataingestion_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.topk_cosine_ivf(e, queries, k=10, n_centroids=8, n_probe=2)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    )
+
+
+def _oracle_topk_ivf() -> str:
+    cos = _COS_SQL
+    return f"""
+WITH cents AS (
+  SELECT rn AS centroid_id, embedding AS cvec FROM (
+    SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn,
+           GREATEST(1, (SELECT COUNT(*) FROM embeddings) // 8) AS stride
+    FROM embeddings)
+  WHERE (rn - 1) % stride = 0 ORDER BY rn LIMIT 8
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {cos.format(a="e.embedding", b="c.cvec")} DESC, c.centroid_id) AS crk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crk = 1
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {cos.format(a="q.embedding", b="c.cvec")} DESC, c.centroid_id) AS crk
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5)
+  WHERE crk <= 2
+),
+s AS (
+  SELECT p.query_id, a.vec_id,
+         {cos.format(a="a.embedding", b="p.qv")} AS score
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
 def q_topk_pq(spark, sf):
     """Product-quantization ANN (operators/pq.py): m=8 × k=16 codebooks
     (deterministic farthest-first + Lloyd — iterative, hence no SQL
@@ -2660,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_quantized": q_topk_quantized,
         "search_topk_ann": q_topk_ann,
         "search_topk_pq": q_topk_pq,
+        "search_topk_ivf": q_topk_ivf,
         "doc_c4_filters": q_c4_filters,
         "doc_gopher_filters": q_gopher_filters,
         # similarity search
@@ -2753,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_ann": _oracle_topk_ann(),
         "doc_c4_filters": _oracle_c4(),
         "doc_gopher_filters": _oracle_gopher(),
+        "search_topk_ivf": _oracle_topk_ivf(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
