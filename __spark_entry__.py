@@ -2115,6 +2115,43 @@ FROM sh JOIN g USING (sh) GROUP BY doc_id
 """
 
 
+def q_span_removal(spark, sf):
+    """Exact-substring span removal (dedup.remove_duplicate_spans): every
+    4-word span occurring ≥2 times corpus-wide is cut from ALL documents —
+    the distributed approximation of Lee et al. 2022's suffix-array
+    ExactSubstr dedup. Text never shuffles: the count groupBy carries md5
+    hashes, covered positions are int sets, and the cleaned text is rebuilt
+    in place by an index-aware array filter on the document row."""
+    return dedup.remove_duplicate_spans(
+        _t(spark, sf, "documents"), span_words=4, min_count=2
+    )
+
+
+ORACLE_SPAN_REMOVAL = """
+WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS start,
+         md5(array_to_string(list_slice(w, i, i + 3), ' ')) AS gh
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 3, 1))) AS i FROM w)),
+dup AS (SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2),
+cov AS (SELECT DISTINCT doc_id, start + o AS pos
+        FROM (SELECT occ.doc_id, occ.start FROM occ JOIN dup USING (gh)),
+             (SELECT unnest(generate_series(0, 3)) AS o)),
+words AS (SELECT doc_id, unnest(w) AS word,
+                 generate_subscripts(w, 1) - 1 AS pos FROM w),
+kept AS (SELECT words.doc_id, word, pos FROM words ANTI JOIN cov USING (doc_id, pos)),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+  CAST(len(w.w) AS INT) AS n_words,
+  CAST(len(w.w) - coalesce(agg.n_kept, 0) AS INT) AS n_removed,
+  CAST(len(w.w) - coalesce(agg.n_kept, 0) AS DOUBLE) / len(w.w) AS dup_ratio
+FROM w LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_contamination(spark, sf):
     """Benchmark decontamination (operators/dedup.py::contamination_check):
     corpus docs sharing >= 2 distinct word 3-gram shingles with a held-out
@@ -2699,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_simhash,
         "dedup_cross_doc_shingles": q_cross_doc_shingles,
+        "dedup_span_removal": q_span_removal,
         "dedup_contamination_check": q_contamination,
         "dedup_embedding_pairs": q_emb_neardup,
         "dedup_cluster_canonical": q_dedup_clusters,
@@ -2792,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _oracle_jaccard(),
         "dedup_simhash": _oracle_simhash(),
         "dedup_cross_doc_shingles": ORACLE_CROSS_DOC,
+        "dedup_span_removal": ORACLE_SPAN_REMOVAL,
         "dedup_contamination_check": ORACLE_CONTAMINATION,
         "dedup_embedding_pairs": ORACLE_EMB_NEARDUP,
         "dedup_cluster_canonical": _oracle_cluster(),

@@ -198,6 +198,76 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", span_words: int = 8,
+                           min_count: int = 2) -> DataFrame:
+    """Exact-substring span removal: cut every ``span_words``-word span whose
+    text occurs at least ``min_count`` times across the corpus (within-doc
+    repeats count), à la ExactSubstr dedup in Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL 2022) — there at 50 BPE
+    tokens via a corpus-wide suffix array; here the distributed
+    approximation is word-shingle occurrence counting, and ALL occurrences
+    of a duplicated span are removed (the paper notes keeping one copy vs
+    none is immaterial at corpus scale).
+
+    Shape (100 TB-safe — document text is never shuffled):
+    1. explode span occurrences, project each to ``(id, start, md5(gram))``
+       immediately — the count groupBy shuffles 32-byte hashes with
+       map-side combine, never gram text;
+    2. duplicated hashes semi-join back to occurrences (equi-join);
+    3. covered word positions = start..start+span-1 exploded and
+       collect_set-ed per doc — the only per-doc state is an int array;
+    4. the cleaned text is rebuilt IN PLACE on the document row by an
+       index-aware ``filter`` over the word array (no reconstruction
+       shuffle; the word-position form exists only inside oracles).
+
+    Texts shorter than ``span_words`` contribute one whole-text gram (the
+    :func:`word_ngrams` convention), so short exact-duplicate docs empty
+    out — coherent with exact dedup. Output: one row per input doc —
+    (id, clean_text, n_words, n_removed, dup_ratio).
+    """
+    gram_hash = F.md5(F.col("_gram")).alias("gh")
+    occ = (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.posexplode(word_ngrams(F.col(text_col), span_words))
+            .alias("start", "_gram"),
+        )
+        .select(id_col, "start", gram_hash)
+    )
+    dup_keys = (
+        occ.groupBy("gh").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gh")
+    )
+    covered = (
+        occ.join(dup_keys, "gh")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (span_words - 1))
+            ).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_cov"))
+    )
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(words, lambda w, i: ~F.array_contains(cov, i.cast("int")))
+    n_words = F.size(words)
+    n_removed = (n_words - F.size(kept)).cast("int")
+    return (
+        df.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias("clean_text"),
+            n_words.alias("n_words"),
+            n_removed.alias("n_removed"),
+            (n_removed.cast("double") / n_words).alias("dup_ratio"),
+        )
+    )
+
+
 def cross_doc_shingle_stats(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
     """Boilerplate/passage-duplication signal: for each document, the share

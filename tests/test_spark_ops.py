@@ -229,6 +229,33 @@ def test_minhash_pairs_symmetric_ordering(spark):
     assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
 
 
+def test_remove_duplicate_spans_semantics(spark):
+    from dataingestion_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "intro text the quick brown fox jumps over something else"),
+        (3, "totally unrelated words here nothing shared at all"),
+        (4, "rep rep rep rep rep rep unique tail words"),  # within-doc repeat
+        (5, "short dup"),
+        (6, "short dup"),  # whole-text gram duplicated → doc empties
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, span_words=3, min_count=2).collect()
+    }
+    assert out[1].clean_text == "the lazy dog today"
+    assert out[2].clean_text == "intro text something else"
+    assert out[3].clean_text == rows[2][1] and out[3].n_removed == 0
+    assert out[4].clean_text == "unique tail words"
+    assert out[5].clean_text == "" and out[5].dup_ratio == 1.0
+    # conservation: removed + kept == total words, for every doc
+    for r in out.values():
+        kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert kept + r.n_removed == r.n_words
+
+
 def test_ann_recall_against_exact(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
