@@ -2067,6 +2067,100 @@ def _oracle_hll() -> str:
     return sketches.hll_oracle_sql("events", "user_id", ["event_type"])
 
 
+def q_cm_heavy_hitters(spark, sf):
+    """Count-min heavy hitters (sketches.cm_sketch / cm_estimate): users
+    with an estimated event count ≥ 75 from a depth-4 × 4096 sketch — the
+    fixed-size alternative to an exact groupBy when the key space is
+    huge. Sketch build shuffles (row, col) int cells with map-side
+    combine; estimation broadcasts the ≤ 16k-row sketch. Deterministic
+    (md5-sliced columns, integer counters) so the estimate itself —
+    including any collision overestimates — is oracle-checked."""
+    from dataingestion_spark.operators import sketches
+
+    ev = _events(spark, sf).select("user_id")
+    sk = sketches.cm_sketch(ev, "user_id")
+    est = sketches.cm_estimate(sk, ev.distinct(), "user_id")
+    return est.filter(F.col("cm_estimate") >= 75)
+
+
+def _oracle_cm() -> str:
+    from dataingestion_spark.operators import sketches
+
+    inner = sketches.cm_oracle_sql(
+        "SELECT user_id FROM events",
+        "SELECT DISTINCT user_id FROM events",
+        value_col="user_id",
+    )
+    return f"SELECT user_id, cm_estimate FROM ({inner}) WHERE cm_estimate >= 75"
+
+
+def q_bloom_membership(spark, sf):
+    """Bloom-filter membership (sketches.bloom_build / bloom_might_contain):
+    a 65536-bit / 4-hash filter over one nation's customer keys probed with
+    every ordering customer, reported as the (bloom_maybe, actual)
+    confusion counts — the false-positive trade itself is the oracle-checked
+    result. The filter is ≤ m int rows broadcast to probe tasks; the probe
+    side never shuffles more than (key, bit)."""
+    from dataingestion_spark.operators import sketches
+
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    orders = _t(spark, sf, "orders")
+    members = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == "NATION_7")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    bloom = sketches.bloom_build(members, "k")
+    probes = orders.select(F.col("o_custkey").alias("k")).distinct()
+    maybe = sketches.bloom_might_contain(bloom, probes, "k")
+    actual = probes.join(
+        members.withColumn("_in", F.lit(1)), "k", "left"
+    ).select("k", F.col("_in").isNotNull().alias("actual"))
+    return (
+        maybe.join(actual, "k")
+        .groupBy("bloom_maybe")
+        .agg(
+            F.sum(F.when(F.col("actual"), 1).otherwise(0)).alias("n_true"),
+            F.sum(F.when(F.col("actual"), 0).otherwise(1)).alias("n_false"),
+        )
+    )
+
+
+ORACLE_BLOOM = """
+WITH members AS (
+  SELECT c_custkey AS k FROM customer
+  JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'),
+bits AS (
+  SELECT DISTINCT
+    (instr('0123456789abcdef', substr(h, 1 + j*4, 1)) - 1) * 4096
+    + (instr('0123456789abcdef', substr(h, 2 + j*4, 1)) - 1) * 256
+    + (instr('0123456789abcdef', substr(h, 3 + j*4, 1)) - 1) * 16
+    + (instr('0123456789abcdef', substr(h, 4 + j*4, 1)) - 1) AS bit
+  FROM (SELECT md5(CAST(k AS VARCHAR)) AS h FROM members),
+       (SELECT unnest(generate_series(0, 3)) AS j)),
+probes AS (SELECT DISTINCT o_custkey AS k FROM orders),
+probe_bits AS (
+  SELECT k,
+    (instr('0123456789abcdef', substr(h, 1 + j*4, 1)) - 1) * 4096
+    + (instr('0123456789abcdef', substr(h, 2 + j*4, 1)) - 1) * 256
+    + (instr('0123456789abcdef', substr(h, 3 + j*4, 1)) - 1) * 16
+    + (instr('0123456789abcdef', substr(h, 4 + j*4, 1)) - 1) AS bit
+  FROM (SELECT k, md5(CAST(k AS VARCHAR)) AS h FROM probes),
+       (SELECT unnest(generate_series(0, 3)) AS j)),
+maybe AS (
+  SELECT pb.k, (SUM(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END) = 4) AS bloom_maybe
+  FROM probe_bits pb LEFT JOIN bits USING (bit) GROUP BY pb.k),
+actual AS (
+  SELECT p.k, (m.k IS NOT NULL) AS actual
+  FROM probes p LEFT JOIN (SELECT DISTINCT k FROM members) m USING (k))
+SELECT bloom_maybe,
+  CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(SUM(CASE WHEN actual THEN 0 ELSE 1 END) AS BIGINT) AS n_false
+FROM maybe JOIN actual USING (k) GROUP BY bloom_maybe
+"""
+
+
 def q_ngram_jaccard(spark, sf):
     pairs = dedup.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), threshold=0.2, num_hashes=16, bands=4
@@ -2742,6 +2836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": q_dedup_clusters,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_histogram_quantiles": q_sketch_quantiles,
+        "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
+        "sketch_bloom_membership": q_bloom_membership,
         "curation_funnel": q_curation_funnel,
         "split_hash_assignment": q_hash_split,
         "shards_token_budget": q_assign_shards,
@@ -2836,6 +2932,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": _oracle_cluster(),
         "sketch_hll_users": _oracle_hll(),
         "sketch_histogram_quantiles": _oracle_hist_quantiles(),
+        "sketch_cm_heavy_hitters": _oracle_cm(),
+        "sketch_bloom_membership": ORACLE_BLOOM,
         "curation_funnel": _oracle_funnel(),
         "split_hash_assignment": _oracle_hash_split(),
         "shards_token_budget": ORACLE_SHARDS,

@@ -146,6 +146,135 @@ FROM per_bucket{f" GROUP BY {gby}" if g else ""}
 """
 
 
+_HEX3 = 3  # 3 hex chars = 12 bits → width 4096
+_CM_DEPTH = 4
+
+
+def _hex_int(col: Column, start: int, nchars: int) -> Column:
+    """Integer value of ``nchars`` hex chars of ``col`` starting at 1-based
+    ``start`` — positional instr sums, identical in any SQL engine."""
+    acc: Column = F.lit(0)
+    for i in range(nchars):
+        acc = acc * 16 + _hex_val(F.substring(col, start + i, 1))
+    return acc
+
+
+def cm_sketch(df: DataFrame, value_col: str,
+              depth: int = _CM_DEPTH) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a value stream.
+
+    ``depth`` hash rows × 4096 columns; row r's column is 3 hex chars
+    sliced out of ONE md5 per value (the minhash-slicing trick — one digest,
+    not ``depth``). The sketch is ≤ depth×4096 counter rows whatever the
+    input size: the groupBy shuffles (row, col) ints with map-side combine,
+    so at 100 TB the reduce side sees kilobytes. Deterministic across
+    engines — md5-derived columns, integer counts.
+    """
+    if not 1 <= depth <= 5:
+        raise ValueError("depth uses 3 hex chars per row from one md5: 1..5")
+    h = F.md5(F.col(value_col).cast("string"))
+    cols = F.array(*[_hex_int(h, 1 + _HEX3 * r, _HEX3) for r in range(depth)])
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.posexplode(cols).alias("cm_row", "cm_col"))
+        .groupBy("cm_row", "cm_col")
+        .agg(F.count("*").alias("cm_count"))
+    )
+
+
+def cm_estimate(sketch: DataFrame, items: DataFrame, value_col: str,
+                depth: int = _CM_DEPTH) -> DataFrame:
+    """Point-estimate counts for ``items`` against a :func:`cm_sketch`:
+    min over the ``depth`` counters each item hashes to (an upper bound on
+    the true count, within εN with probability 1−δ). The sketch side is
+    ≤ depth×4096 rows — Spark broadcasts it, so estimation is a map-side
+    join however many items are probed."""
+    h = F.md5(F.col(value_col).cast("string"))
+    cols = F.array(*[_hex_int(h, 1 + _HEX3 * r, _HEX3) for r in range(depth)])
+    probes = items.select(
+        F.col(value_col),
+        F.posexplode(cols).alias("cm_row", "cm_col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["cm_row", "cm_col"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cm_count"), F.lit(0))).alias("cm_estimate"))
+    )
+
+
+def cm_oracle_sql(stream_sql: str, items_sql: str, value_col: str = "v",
+                  depth: int = _CM_DEPTH) -> str:
+    """DuckDB form of sketch-build + point estimation, term by term.
+    ``stream_sql``/``items_sql`` must yield a column named ``value_col``."""
+    hexv = "(instr('0123456789abcdef', {c}) - 1)"
+
+    def hex3(start: int) -> str:
+        return "(" + " + ".join(
+            f"{hexv.format(c=f'substr(h, {start + i}, 1)')} * {16 ** (_HEX3 - 1 - i)}"
+            for i in range(_HEX3)
+        ) + ")"
+
+    return f"""
+WITH stream AS ({stream_sql}),
+cells AS (
+  SELECT r.cm_row,
+    CASE r.cm_row {" ".join(f"WHEN {r} THEN {hex3(1 + _HEX3 * r)}" for r in range(depth))} END AS cm_col
+  FROM (SELECT md5(CAST({value_col} AS VARCHAR)) AS h FROM stream
+        WHERE {value_col} IS NOT NULL) s,
+       (SELECT unnest(generate_series(0, {depth - 1})) AS cm_row) r),
+sk AS (SELECT cm_row, cm_col, COUNT(*) AS cm_count FROM cells GROUP BY 1, 2),
+items AS ({items_sql}),
+probes AS (
+  SELECT i.{value_col}, r.cm_row,
+    CASE r.cm_row {" ".join(f"WHEN {r} THEN {hex3(1 + _HEX3 * r)}" for r in range(depth))} END AS cm_col
+  FROM (SELECT {value_col}, md5(CAST({value_col} AS VARCHAR)) AS h FROM items) i,
+       (SELECT unnest(generate_series(0, {depth - 1})) AS cm_row) r)
+SELECT p.{value_col}, MIN(coalesce(sk.cm_count, 0)) AS cm_estimate
+FROM probes p LEFT JOIN sk USING (cm_row, cm_col)
+GROUP BY p.{value_col}
+"""
+
+
+_BLOOM_HEX = 4  # 4 hex chars = 16 bits → m = 65536
+
+
+def bloom_build(df: DataFrame, value_col: str, k: int = 4) -> DataFrame:
+    """Bloom filter (Bloom 1970) of a key set as a DataFrame of set bit
+    positions (m = 65536 bits, ``k`` hashes = 4-hex-char slices of one md5).
+
+    The relational form is the mergeable one: union + distinct combines
+    filters, and the result is ≤ m int rows — broadcastable to every probe
+    task. (A bandwidth-tighter variant packs bits into m/64 longs with a
+    bit_or aggregate; the set-of-positions form keeps the oracle exact and
+    the FP math identical.)"""
+    if not 1 <= k <= 8:
+        raise ValueError("k slices 4 hex chars per hash from one md5: 1..8")
+    h = F.md5(F.col(value_col).cast("string"))
+    bits = F.array(*[_hex_int(h, 1 + _BLOOM_HEX * j, _BLOOM_HEX) for j in range(k)])
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(bloom: DataFrame, probes: DataFrame, value_col: str,
+                        k: int = 4) -> DataFrame:
+    """Probe membership: an item *may* be in the set iff all ``k`` of its
+    bits are present. The bloom side broadcasts; the probe side is one
+    explode + map-side join + count==k per item — no probe-set shuffle on
+    anything wider than (value, bit)."""
+    h = F.md5(F.col(value_col).cast("string"))
+    bits = F.array(*[_hex_int(h, 1 + _BLOOM_HEX * j, _BLOOM_HEX) for j in range(k)])
+    exploded = probes.select(F.col(value_col), F.explode(bits).alias("bit"))
+    hits = (
+        exploded.join(F.broadcast(bloom.withColumn("_hit", F.lit(1))), "bit", "left")
+        .groupBy(value_col)
+        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == k).alias("bloom_maybe"))
+    )
+    return hits
+
+
 def histogram_quantiles(df: DataFrame, value_col: str,
                         lo: float, hi: float, nbins: int = 256,
                         qs: Sequence[float] = (0.5, 0.95, 0.99)) -> DataFrame:

@@ -108,3 +108,44 @@ def test_histogram_quantiles_clamps_and_validates(spark):
     assert len(rows) == 1 and rows[0].estimate <= 10.0
     with _pytest.raises(ValueError):
         histogram_quantiles(df, "v", lo=5.0, hi=5.0)
+
+
+def test_cm_sketch_exact_when_no_collisions(spark):
+    from dataingestion_spark.operators.sketches import cm_sketch, cm_estimate
+
+    rows = [(v,) for v in ["a"] * 7 + ["b"] * 3 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "v string")
+    sk = cm_sketch(df, "v")
+    items = spark.createDataFrame([("a",), ("b",), ("c",), ("absent",)], "v string")
+    est = {r.v: r.cm_estimate for r in cm_estimate(sk, items, "v").collect()}
+    # 3 tiny keys in a 4x4096 sketch: no collisions, estimates are exact;
+    # an absent key estimates 0 (all its counters empty)
+    assert est == {"a": 7, "b": 3, "c": 1, "absent": 0}
+    # the sketch never exceeds depth x width cells
+    assert sk.count() <= 4 * 4096
+
+
+def test_cm_estimate_upper_bounds_truth(spark):
+    from dataingestion_spark.operators.sketches import cm_sketch, cm_estimate
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select("user_id")
+    sk = cm_sketch(ev, "user_id")
+    est = cm_estimate(sk, ev.distinct(), "user_id")
+    exact = ev.groupBy("user_id").count()
+    bad = est.join(exact, "user_id").filter(F.col("cm_estimate") < F.col("count"))
+    assert bad.count() == 0  # CM never underestimates
+
+
+def test_bloom_no_false_negatives(spark):
+    from dataingestion_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    members = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    probes = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    bloom = bloom_build(members, "k")
+    got = {r.k: r.bloom_maybe for r in bloom_might_contain(bloom, probes, "k").collect()}
+    # every member answers yes (no false negatives, the bloom contract)
+    assert all(got[i] for i in range(100))
+    # 100 keys * 4 hashes in 65536 bits: non-members overwhelmingly answer no
+    fp = sum(1 for i in range(100, 200) if got[i])
+    assert fp <= 2
