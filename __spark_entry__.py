@@ -2360,6 +2360,118 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r F
 """
 
 
+_BM25_QUERIES = [(0, "join hash row"), (1, "customer filter small"),
+                 (2, "slow scan batch")]
+
+
+def _bm25_queries_df(spark):
+    return spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+
+
+def q_bm25(spark, sf):
+    """BM25 keyword top-10 (text_search.bm25_topk): postings via one
+    explode+groupBy, document frequencies computed only for the broadcast
+    query-term set, per-doc score as a sorted-term float fold (ln verified
+    bit-identical vs libm) — the lexical half of hybrid retrieval."""
+    from dataingestion_spark.operators import text_search
+
+    out = text_search.bm25_topk(
+        _t(spark, sf, "documents"), _bm25_queries_df(spark), k=10
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+def _bm25_sql(k: int) -> str:
+    """DuckDB BM25 with the exact expression tree of text_search.bm25_topk
+    (k1=1.2, b=0.75; every literal CAST to DOUBLE; sorted-term fold)."""
+    vals = ", ".join(f"(CAST({q} AS BIGINT), '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {vals}),
+qt AS (SELECT query_id, unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS term FROM q),
+w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM w),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+tfs AS (SELECT doc_id, unnest(w) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tfs GROUP BY 1, 2),
+rel AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM rel GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, rel.doc_id, rel.term,
+    ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+    * ((rel.tf * CAST(2.2 AS DOUBLE))
+       / (rel.tf + CAST(1.2 AS DOUBLE)
+          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+             * (dl.dl / (CAST(sum_dl AS DOUBLE) / n_docs))))) AS s
+  FROM rel JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
+agg AS (SELECT query_id, doc_id,
+               list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score
+        FROM scored GROUP BY 1, 2),
+bm AS (SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM agg) WHERE rank <= {k})
+"""
+
+
+ORACLE_BM25 = (
+    _bm25_sql(10)
+    + "SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM bm"
+)
+
+
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval: BM25 top-20 over documents fused with cosine
+    top-20 over embeddings by reciprocal-rank fusion
+    (text_search.rrf_fuse, k0=60). The fused score is a fixed two-term
+    expression — deterministic with no aggregation-order caveats — so the
+    whole hybrid ranking is oracle-checked end to end."""
+    from dataingestion_spark.operators import text_search
+
+    bm = text_search.bm25_topk(
+        _t(spark, sf, "documents"), _bm25_queries_df(spark), k=20
+    )
+    e = _t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cos = similarity.topk_cosine(e, qv, k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = text_search.rrf_fuse(bm, cos, k=10)
+    return fused.select(
+        "query_id", "rank", "doc_id", F.round("rrf_score", 9).alias("rrf_r")
+    )
+
+
+ORACLE_HYBRID_RRF = (
+    _bm25_sql(20)
+    + f""",
+qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+cs_s AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         {_COS_SQL.format(a="e.embedding", b="qv.qvec")} AS score
+  FROM embeddings e CROSS JOIN qv),
+cs AS (SELECT query_id, doc_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, doc_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM cs_s) WHERE rank <= 20),
+fused AS (
+  SELECT coalesce(bm.query_id, cs.query_id) AS query_id,
+         coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+         coalesce(CAST(1.0 AS DOUBLE) / (60 + bm.rank), CAST(0.0 AS DOUBLE))
+         + coalesce(CAST(1.0 AS DOUBLE) / (60 + cs.rank), CAST(0.0 AS DOUBLE)) AS rrf_score
+  FROM bm FULL JOIN cs ON bm.query_id = cs.query_id AND bm.doc_id = cs.doc_id)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, round(rrf_score, 9) AS rrf_r FROM (
+  SELECT query_id, doc_id, rrf_score,
+    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused) WHERE rank <= 10
+"""
+)
+
+
 def q_emb_neardup(spark, sf):
     return dedup.embedding_neardup_pairs(
         _t(spark, sf, "embeddings"), threshold=0.43
@@ -2855,6 +2967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
+        "search_bm25": q_bm25,
+        "search_hybrid_rrf": q_hybrid_rrf,
         # ingestion operators (reference SURVEY §2.1-2.5)
         "reader_markdown_elements": q_md_parse_elements,
         "chunker_header": q_header_chunks,
@@ -2948,6 +3062,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_filters": _oracle_gopher(),
         "search_topk_ivf": _oracle_topk_ivf(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
+        "search_bm25": ORACLE_BM25,
+        "search_hybrid_rrf": ORACLE_HYBRID_RRF,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
         "chunker_header": _values_oracle(

@@ -8,4 +8,5 @@ from . import (  # noqa: F401
     similarity,
     temporal,
     text_analysis,
+    text_search,
 )

@@ -1,0 +1,119 @@
+"""BM25 keyword search and hybrid (keyword + vector) rank fusion.
+
+The reference's query surface is vector-only (``SearchAsync``,
+``SemanticSearch.cs:24-29``); production retrieval over an ingested corpus
+is usually hybrid — a lexical BM25 ranking fused with the embedding
+ranking. Both halves here are deterministic across engines so the whole
+retrieval stack is oracle-checkable:
+
+* BM25 (Robertson & Zaragoza 2009, the Lucene ``k1``/``b`` form with the
+  +1 idf shift) is computed relationally — postings from one explode +
+  groupBy, document frequencies only for *query* terms (the query-term set
+  broadcasts, so the corpus-wide posting table is filtered before any
+  wide work), corpus stats as a 1-row broadcast.
+* Per-document scores sum the per-term contributions in *sorted term
+  order* via an explicit fold, so the float total is identical in any
+  engine (`ln` verified bit-identical against DuckDB/libm in this image;
+  every other op is IEEE-exact).
+* Reciprocal-rank fusion (Cormack et al. 2009) combines two rankings with
+  ``1/(k0+rank) + 1/(k0+rank)`` — a fixed two-term expression tree, so no
+  aggregation-order dependence exists at all.
+
+Scale: the per-query ranking window partitions on query id — fine while
+per-query candidate sets (union of the query terms' posting lists) fit a
+task, which holds for interactive queries; corpus-scale scoring of *many*
+queries should bound candidates first (static pruning / WAND), which
+composes here as a filter on ``postings`` before scoring.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_WS = r"\s+"
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", query_id_col: str = "query_id",
+              query_text_col: str = "query_text", k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k BM25 per query: ``(query_id, rank, doc_id, score)``.
+
+    score(q, d) = Σ_t  ln(1 + (N − df + 0.5)/(df + 0.5))
+                       · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    summed over the *distinct* query terms in sorted order (deterministic
+    float fold). Ties rank by ascending doc id.
+    """
+    words = F.split(F.trim(F.col(text_col)), _WS)
+    postings = (
+        docs.select(F.col(id_col), F.explode(words).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    doclens = docs.select(F.col(id_col), F.size(words).alias("dl"))
+    stats = doclens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(query_text_col)), _WS))
+        ).alias("term"),
+    )
+    rel = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfreq = rel.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    s = idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
+    scored = (
+        rel.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(doclens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(query_id_col, id_col, "term", s.alias("_s"))
+    )
+    total = scored.groupBy(query_id_col, id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "_s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str = "doc_id",
+             on: Sequence[str] = ("query_id",), k0: int = 60,
+             k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (each with a ``rank`` column):
+    rrf = 1/(k0 + rank_a) + 1/(k0 + rank_b), absent-side contributions are 0.
+    A fixed two-term expression — no float-order nondeterminism — and an
+    outer join on (query, id), so either ranking may cover items the other
+    misses. Re-ranked by rrf desc, id asc; top ``k`` per query."""
+    keys = [*on, id_col]
+    a = ranked_a.select(*keys, F.col("rank").alias("_ra"))
+    bdf = ranked_b.select(*keys, F.col("rank").alias("_rb"))
+    j = a.join(bdf, keys, "outer")
+    score = F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("_ra")), F.lit(0.0)) + \
+        F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("_rb")), F.lit(0.0))
+    w = Window.partitionBy(*on).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        j.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*on, "rank", id_col, "rrf_score")
+    )
