@@ -1612,6 +1612,30 @@ def q_mixture_sample(spark, sf):
     ).select("doc_id", "source", "tokens_before")
 
 
+def q_temperature_mixture(spark, sf):
+    """Temperature-based domain mixing (sampling.temperature_mixture_sample,
+    alpha=0.5 → sampling temperature T=2): per-source budgets ∝ sqrt of the
+    source's token total over a 6000-char corpus budget — the multilingual
+    up/down-sampling rule, one knob instead of hand-written budgets. sqrt
+    is IEEE-exact and the weight sum folds in sorted-source order, so the
+    budgets (and therefore the kept set) are oracle-checked bit-for-bit."""
+    from dataingestion_spark.operators.sampling import temperature_mixture_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return temperature_mixture_sample(
+        docs, "source", "n_chars", total_tokens=6000, alpha=0.5
+    ).select("doc_id", "source", "tokens_before")
+
+
+def _oracle_temperature_mixture() -> str:
+    from dataingestion_spark.operators.sampling import temperature_mixture_sql
+
+    return temperature_mixture_sql(
+        "documents", "source", "n_chars", total_tokens=6000, alpha=0.5,
+        cols="doc_id, source",
+    )
+
+
 def _oracle_mixture() -> str:
     from dataingestion_spark.operators.sampling import mixture_sample_sql
 
@@ -2955,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shards_token_budget": q_assign_shards,
         "sample_stratified": q_stratified_sample,
         "sample_mixture_budget": q_mixture_sample,
+        "sample_temperature_mixture": q_temperature_mixture,
         "sample_upsample_epochs": q_upsample_epochs,
         "pack_doc_sequences": q_pack_sequences,
         "pack_concat_spans": q_concat_spans,
@@ -3053,6 +3078,7 @@ def oracle_sql() -> dict[str, str]:
         "shards_token_budget": ORACLE_SHARDS,
         "sample_stratified": _oracle_stratified(),
         "sample_mixture_budget": _oracle_mixture(),
+        "sample_temperature_mixture": _oracle_temperature_mixture(),
         "sample_upsample_epochs": _oracle_upsample(),
         "pack_doc_sequences": _oracle_pack(),
         "pack_concat_spans": ORACLE_CONCAT_SPANS,

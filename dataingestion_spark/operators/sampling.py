@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["stratified_sample", "stratified_sample_sql",
            "mixture_sample", "mixture_sample_sql",
+           "temperature_budgets", "temperature_mixture_sample",
+           "temperature_mixture_sql",
            "upsample_by_epochs", "upsample_by_epochs_sql"]
 
 
@@ -153,6 +155,93 @@ SELECT * EXCLUDE (budget) FROM (
     {case} AS budget
   FROM {table}
 ) WHERE {null_keeps} tokens_before < budget
+"""
+
+
+_TEMP_ALPHAS = (0.0, 0.5, 1.0)
+
+
+def temperature_budgets(df: DataFrame, source_col: str, token_col: str,
+                        total_tokens: int, alpha: float = 0.5) -> Dict[str, int]:
+    """Per-source budgets ∝ (source token total)^alpha — the multilingual /
+    multi-domain temperature-sampling rule (Conneau & Lample 2019 §3.1;
+    "sampling temperature" T = 1/alpha): alpha=1 keeps natural proportions,
+    alpha=0 is uniform, alpha=0.5 flattens the head and boosts the tail.
+
+    alpha is restricted to {0, 0.5, 1} so every weight is IEEE-exact
+    (sqrt is correctly rounded everywhere; pow is not) and the budgets
+    reproduce bit-for-bit in any engine. The per-source totals collect to
+    the driver — sources are domains, a handful of rows by construction —
+    and the weight sum folds in sorted-source order, so the shares are
+    order-deterministic too. Budgets floor to ints with a 1-token minimum
+    (every non-empty source survives)."""
+    import math
+
+    if alpha not in _TEMP_ALPHAS:
+        raise ValueError(f"alpha must be one of {_TEMP_ALPHAS} (bit-exact weights)")
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be positive")
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("long")))
+        .collect()
+    }
+    if not totals:
+        return {}
+    weights = {
+        s: (1.0 if alpha == 0.0 else math.sqrt(float(t)) if alpha == 0.5
+            else float(t))
+        for s, t in totals.items()
+    }
+    wsum = 0.0
+    for s in sorted(weights):
+        wsum = wsum + weights[s]
+    return {
+        s: max(1, int(math.floor(total_tokens * (w / wsum))))
+        for s, w in weights.items()
+    }
+
+
+def temperature_mixture_sample(df: DataFrame, source_col: str, token_col: str,
+                               total_tokens: int, alpha: float = 0.5,
+                               id_col: str = "doc_id",
+                               salt: str = "mix") -> DataFrame:
+    """:func:`mixture_sample` with budgets from :func:`temperature_budgets`
+    — one knob (total token budget + temperature) instead of a hand-written
+    per-source budget dict."""
+    budgets = temperature_budgets(df, source_col, token_col, total_tokens, alpha)
+    return mixture_sample(df, source_col, token_col, budgets,
+                          id_col=id_col, salt=salt)
+
+
+def temperature_mixture_sql(table: str, source_col: str, token_col: str,
+                            total_tokens: int, alpha: float = 0.5,
+                            id_col: str = "doc_id", salt: str = "mix",
+                            cols: str = "doc_id") -> str:
+    """The identical temperature mixture as DuckDB SQL, budgets included:
+    weight sum via sorted-source list fold (matches the driver-side fold),
+    floor/greatest exactly as the python side."""
+    if alpha not in _TEMP_ALPHAS:
+        raise ValueError(f"alpha must be one of {_TEMP_ALPHAS}")
+    wexpr = {0.0: "CAST(1.0 AS DOUBLE)", 0.5: "sqrt(CAST(t AS DOUBLE))",
+             1.0: "CAST(t AS DOUBLE)"}[alpha]
+    h = f"md5(concat({_q(salt + ':')}, CAST({id_col} AS VARCHAR)))"
+    return f"""
+WITH totals AS (SELECT {source_col} AS src, SUM(CAST({token_col} AS BIGINT)) AS t
+                FROM {table} GROUP BY 1),
+wts AS (SELECT src, {wexpr} AS w FROM totals),
+wsum AS (SELECT list_reduce(list(w ORDER BY src), (a, b) -> a + b) AS tw FROM wts),
+buds AS (SELECT src, greatest(CAST(floor({int(total_tokens)} * (w / tw)) AS BIGINT), 1) AS budget
+         FROM wts, wsum),
+ranked AS (
+  SELECT {cols}, {source_col} AS src,
+    COALESCE(SUM(CAST({token_col} AS BIGINT)) OVER (
+      PARTITION BY {source_col} ORDER BY {h} ASC, {id_col} ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM {table})
+SELECT {cols}, tokens_before FROM ranked JOIN buds USING (src)
+WHERE tokens_before < budget
 """
 
 

@@ -145,3 +145,25 @@ def test_repetition_signals_semantics(spark):
     # doc 3: no repetition — line ratios 0, every bigram unique (1/6)
     assert out[3].dup_line_ratio == 0.0
     assert out[3].top_2gram_ratio == pytest.approx(1 / 6, abs=1e-6)
+
+
+def test_temperature_budgets_flatten_tail(spark):
+    from dataingestion_spark.operators.sampling import (
+        temperature_budgets, temperature_mixture_sample,
+    )
+
+    rows = [(i, "big", 100) for i in range(90)] + [(i + 1000, "small", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    nat = temperature_budgets(df, "source", "n_tok", 1000, alpha=1.0)
+    sq = temperature_budgets(df, "source", "n_tok", 1000, alpha=0.5)
+    uni = temperature_budgets(df, "source", "n_tok", 1000, alpha=0.0)
+    # alpha=1 keeps natural proportions; alpha=0.5 boosts the tail; alpha=0 is uniform
+    assert nat == {"big": 900, "small": 100}
+    assert uni == {"big": 500, "small": 500}
+    assert nat["small"] < sq["small"] < uni["small"]
+    assert sq["big"] + sq["small"] <= 1000  # floors never exceed the total
+    # the sampled set respects the computed budgets exactly
+    out = temperature_mixture_sample(df, "source", "n_tok", 1000, alpha=0.5)
+    kept = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    import math
+    assert kept["small"] == math.ceil(sq["small"] / 100)  # doc crossing budget kept
