@@ -80,6 +80,8 @@ def main():
         "quantized_topk": em.q_topk_quantized,
         "pq_adc": em.q_topk_pq,
         "pack_sequences": em.q_pack_sequences,
+        "span_removal": em.q_span_removal,
+        "bm25_hybrid": em.q_hybrid_rrf,
         "c4_gopher": lambda spark, sf: em.q_c4_filters(spark, sf).join(
             em.q_gopher_filters(spark, sf), "doc_id"
         ),
