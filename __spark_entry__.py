@@ -64,14 +64,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; read nanos as long and truncate to microseconds (same floor
-    conversion DuckDB applies when loading nanos into its micro timestamps)."""
+    """events.parquet currently stores TIMESTAMP(MICROS) NTZ; older driver
+    generations used TIMESTAMP(NANOS) which Spark reads as long (nanosAsLong)
+    — normalize either shape to a session-zone TIMESTAMP matching DuckDB."""
+    from dataingestion_spark.streaming.pipeline import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Integer DIV, not float division: ns values exceed double's 2^53 exact
-    # range, so ts/1000.0 would be off by ±1 µs.
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _utc(spark: SparkSession) -> None:

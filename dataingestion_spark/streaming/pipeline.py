@@ -29,18 +29,30 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
-# ts is TIMESTAMP(NANOS) in the driver's parquet — Spark must read it as
-# long (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros.
+# ts is TIMESTAMP(MICROS, isAdjustedToUTC=false) in the driver's parquet →
+# TimestampNTZType. Older generations stored TIMESTAMP(NANOS) which Spark can
+# only read as long (spark.sql.legacy.parquet.nanosAsLong); the batch paths
+# handle both via normalize_event_ts.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to session-zone TIMESTAMP regardless of how
+    the parquet stored it: bigint = epoch nanos (legacy nanosAsLong reads,
+    integer DIV keeps exactness beyond double's 2^53 range), otherwise a
+    native timestamp/timestamp_ntz (cast is wall-clock under a UTC session)."""
+    if dict(df.dtypes)["ts"] == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_ingest(spark, input_dir: str, table_path: str,
@@ -83,14 +95,13 @@ def stream_events_windowed(spark, events_dir: str, window: str = "5 minutes",
     events directory). Note two inherent semantics: (1) append output mode
     only emits windows the watermark has passed, so the final
     ``watermark``-worth of data stays unflushed when the stream ends — by
-    design for late-data correctness; (2) reading TIMESTAMP(NANOS) parquet
-    requires the session-wide nanosAsLong flag, which this function sets."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
+    design for late-data correctness; (2) timestamps are read as NTZ and
+    cast to session-zone TIMESTAMP (run under a UTC session for oracle
+    parity)."""
+    stream = normalize_event_ts(
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", glob)
         .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     agg = (
         stream.withWatermark("ts", watermark)

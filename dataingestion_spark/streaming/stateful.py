@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .pipeline import EVENTS_SCHEMA
+from .pipeline import EVENTS_SCHEMA, normalize_event_ts
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -46,13 +46,11 @@ def stream_user_running_stats(spark, events_dir: str,
     """events file-stream → per-user cumulative (count, sum) via GroupState;
     each micro-batch emits the updated totals for the users it touched.
     ``glob`` selects event files within the directory (sf dirs mix tables)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     out = stream.groupBy("user_id").applyInPandasWithState(
         _update,

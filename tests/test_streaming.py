@@ -18,10 +18,9 @@ def test_stream_events_windowed(spark):
     assert out.count() > 0
     # batch equivalence: streaming append-mode output (finalized windows)
     # must be a subset of the batch aggregation with identical values
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    from dataingestion_spark.streaming.pipeline import normalize_event_ts
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
     batch = (
         events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -41,7 +40,6 @@ def test_stateful_running_stats(spark):
     out = spark.table("t_user_stats")
     # update-mode emits one row per user per touched batch; the LAST row per
     # user is the cumulative total and must equal the batch aggregation
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = spark.read.parquet(f"{SF}/events.parquet")
     expected = {
         r.user_id: (r.n, round(r.s, 6))
