@@ -799,8 +799,8 @@ def q_tpch_q12(spark, sf):
 
 ORACLE_Q12 = """
 SELECT l_linestatus,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
@@ -1112,8 +1112,8 @@ WITH g AS (
   FROM events),
 s AS (
   SELECT user_id, ts,
-    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -1157,7 +1157,7 @@ def q_events_json_stats(spark, sf):
 
 ORACLE_JSON = """
 SELECT event_type, COUNT(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
 FROM events GROUP BY event_type
@@ -1546,7 +1546,7 @@ def _oracle_hash_split() -> str:
 
     return f"""
 SELECT {hash_split_sql("doc_id")} AS split,
-       COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
 FROM documents GROUP BY 1
 """
 
@@ -1567,7 +1567,7 @@ def q_assign_shards(spark, sf):
 
 ORACLE_SHARDS = """
 SELECT CAST(FLOOR(prior / 50000) AS BIGINT) AS shard_id,
-       COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
 FROM (
   SELECT n_chars,
     COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
@@ -1711,7 +1711,7 @@ ORACLE_CONCAT_SPANS = """
 SELECT doc_id, CAST(floor(p / 4096) AS BIGINT) AS seq_first,
        CAST(floor((p + greatest(t - 1, 0)) / 4096) AS BIGINT) AS seq_last,
        CAST(floor((p + greatest(t - 1, 0)) / 4096) - floor(p / 4096) + 1 AS BIGINT) AS n_seqs,
-       p % 4096 AS offset_in_first
+       CAST(p % 4096 AS BIGINT) AS offset_in_first
 FROM (SELECT doc_id, CAST(n_chars AS BIGINT) AS t,
              COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
@@ -1962,11 +1962,11 @@ s4 AS (
   SELECT s3.* FROM s3 LEFT JOIN canon4 c ON s3.doc_id = c.doc_id
   WHERE c.doc_id IS NULL OR c.canonical_id = s3.doc_id)
 SELECT '0_input' AS stage, COUNT(*) AS docs_kept,
-       COALESCE(SUM(n_words), 0) AS words_kept FROM lq
-UNION ALL SELECT '1_lang', COUNT(*), COALESCE(SUM(n_words), 0) FROM s1
-UNION ALL SELECT '2_quality', COUNT(*), COALESCE(SUM(n_words), 0) FROM s2
-UNION ALL SELECT '3_exact_dedup', COUNT(*), COALESCE(SUM(n_words), 0) FROM s3
-UNION ALL SELECT '4_neardup', COUNT(*), COALESCE(SUM(n_words), 0) FROM s4
+       CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS words_kept FROM lq
+UNION ALL SELECT '1_lang', COUNT(*), CAST(COALESCE(SUM(n_words), 0) AS BIGINT) FROM s1
+UNION ALL SELECT '2_quality', COUNT(*), CAST(COALESCE(SUM(n_words), 0) AS BIGINT) FROM s2
+UNION ALL SELECT '3_exact_dedup', COUNT(*), CAST(COALESCE(SUM(n_words), 0) AS BIGINT) FROM s3
+UNION ALL SELECT '4_neardup', COUNT(*), CAST(COALESCE(SUM(n_words), 0) AS BIGINT) FROM s4
 """
 
 
@@ -2835,6 +2835,9 @@ def _oracle_writer_incremental() -> str:
 def q_streaming_events(spark, sf):
     from dataingestion_spark.streaming.pipeline import stream_events_windowed
 
+    # The NTZ→timestamp cast in normalize_event_ts is session-timezone
+    # dependent; pin UTC so window boundaries match the oracle everywhere.
+    _utc(spark)
     name = "events_windowed_check"
     q = stream_events_windowed(spark, sf, query_name=name)
     q.awaitTermination()
@@ -2847,6 +2850,7 @@ def q_streaming_stateful(spark, sf):
     tests/test_streaming.py::test_stateful_running_stats."""
     from dataingestion_spark.streaming.stateful import stream_user_running_stats
 
+    _utc(spark)
     name = "user_stats_check"
     q = stream_user_running_stats(spark, sf, query_name=name)
     q.awaitTermination()

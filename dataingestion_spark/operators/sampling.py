@@ -148,10 +148,10 @@ def mixture_sample_sql(table: str, source_col: str, token_col: str,
     return f"""
 SELECT * EXCLUDE (budget) FROM (
   SELECT {cols},
-    COALESCE(SUM(CAST({token_col} AS BIGINT)) OVER (
+    CAST(COALESCE(SUM(CAST({token_col} AS BIGINT)) OVER (
       PARTITION BY {source_col} ORDER BY {h} ASC, {id_col} ASC
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-    ), 0) AS tokens_before,
+    ), 0) AS BIGINT) AS tokens_before,
     {case} AS budget
   FROM {table}
 ) WHERE {null_keeps} tokens_before < budget
@@ -236,9 +236,9 @@ buds AS (SELECT src, greatest(CAST(floor({int(total_tokens)} * (w / tw)) AS BIGI
          FROM wts, wsum),
 ranked AS (
   SELECT {cols}, {source_col} AS src,
-    COALESCE(SUM(CAST({token_col} AS BIGINT)) OVER (
+    CAST(COALESCE(SUM(CAST({token_col} AS BIGINT)) OVER (
       PARTITION BY {source_col} ORDER BY {h} ASC, {id_col} ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
   FROM {table})
 SELECT {cols}, tokens_before FROM ranked JOIN buds USING (src)
 WHERE tokens_before < budget

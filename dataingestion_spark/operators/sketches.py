@@ -356,7 +356,7 @@ WITH counts AS (
 cum AS (
   SELECT bin, bin_count,
          SUM(bin_count) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cdf_hi,
-         SUM(bin_count) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - bin_count AS n_below
+         CAST(SUM(bin_count) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - bin_count AS BIGINT) AS n_below
   FROM counts),
 total AS (SELECT SUM(bin_count) AS _total FROM counts),
 targets(q) AS (VALUES {q_rows})

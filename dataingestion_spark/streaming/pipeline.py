@@ -32,7 +32,9 @@ DOCUMENTS_SCHEMA = T.StructType(
 # ts is TIMESTAMP(MICROS, isAdjustedToUTC=false) in the driver's parquet →
 # TimestampNTZType. Older generations stored TIMESTAMP(NANOS) which Spark can
 # only read as long (spark.sql.legacy.parquet.nanosAsLong); the batch paths
-# handle both via normalize_event_ts.
+# handle both via normalize_event_ts, and the streaming readers probe the
+# actual footer type via events_stream_schema (readStream needs an explicit
+# schema, so the default here is only the current-generation shape).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -43,6 +45,27 @@ EVENTS_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def events_stream_schema(spark, events_dir: str,
+                         glob: str = "events*.parquet") -> T.StructType:
+    """Schema for a streaming read of the events files, derived from the
+    actual parquet footers (a batch-read schema probe — footer-only, no data
+    scan). Keeps legacy TIMESTAMP(NANOS) generations streamable: those files
+    infer ``ts`` as bigint under ``spark.sql.legacy.parquet.nanosAsLong``,
+    and normalize_event_ts converts either representation. Falls back to
+    EVENTS_SCHEMA when the probe fails (e.g. empty input dir before the
+    first file lands)."""
+    try:
+        probed = (
+            spark.read.option("pathGlobFilter", glob).parquet(events_dir).schema
+        )
+        return T.StructType(
+            [probed[f.name] if f.name in probed.fieldNames() else f
+             for f in EVENTS_SCHEMA.fields]
+        )
+    except Exception:
+        return EVENTS_SCHEMA
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
@@ -99,7 +122,7 @@ def stream_events_windowed(spark, events_dir: str, window: str = "5 minutes",
     cast to session-zone TIMESTAMP (run under a UTC session for oracle
     parity)."""
     stream = normalize_event_ts(
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_stream_schema(spark, events_dir, glob))
         .option("pathGlobFilter", glob)
         .parquet(events_dir)
     )

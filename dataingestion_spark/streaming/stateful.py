@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .pipeline import EVENTS_SCHEMA, normalize_event_ts
+from .pipeline import events_stream_schema, normalize_event_ts
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -47,7 +47,7 @@ def stream_user_running_stats(spark, events_dir: str,
     each micro-batch emits the updated totals for the users it touched.
     ``glob`` selects event files within the directory (sf dirs mix tables)."""
     stream = normalize_event_ts(
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_stream_schema(spark, events_dir, glob))
         .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)

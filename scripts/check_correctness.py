@@ -19,15 +19,57 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm_cell(v):
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return v  # exact: preview the strictest possible driver hash
+        return ("f", v)  # exact: preview the strictest possible driver hash
+    if isinstance(v, int):
+        return ("i", v)
     if hasattr(v, "isoformat"):
-        return v.isoformat().replace("+00:00", "")
+        return ("t", v.isoformat().replace("+00:00", ""))
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return v
+
+
+# Spark DataType simpleString → dtype class; duckdb arrow type → same classes.
+def spark_dtype_class(dt):
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if s in ("float", "double"):
+        return "f"
+    if s.startswith("decimal"):
+        return "d"
+    if s in ("timestamp", "timestamp_ntz"):
+        return "t"
+    if s.startswith("array"):
+        return "a:" + spark_dtype_class(dt.elementType)
+    return s  # string, boolean, date, ...
+
+
+def arrow_dtype_class(t):
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "i"
+    if pa.types.is_floating(t):
+        return "f"
+    if pa.types.is_decimal(t):
+        return "d"
+    if pa.types.is_timestamp(t):
+        return "t"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "a:" + arrow_dtype_class(t.value_type)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date(t):
+        return "date"
+    return str(t)
 
 
 def norm_rows(cols, rows):
@@ -80,12 +122,19 @@ def main():
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = con.execute(oracles[name]).arrow()
+            ocols = tbl.column_names
+            orows = [tuple(r.values()) for r in tbl.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {str(e)[:200]}")
+            continue
+        sdt = {f.name: spark_dtype_class(f.dataType) for f in sdf.schema.fields}
+        odt = {n: arrow_dtype_class(tbl.schema.field(n).type) for n in ocols}
+        bad_dt = {n: (sdt.get(n), odt[n]) for n in ocols if sdt.get(n) != odt[n]}
+        if bad_dt:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype class mismatch (spark, oracle): {bad_dt}")
             continue
         sn, snc = norm_rows(scols, srows)
         on, onc = norm_rows(ocols, orows)
