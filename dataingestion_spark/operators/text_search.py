@@ -48,11 +48,6 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, text_col: str = "text",
     float fold). Ties rank by ascending doc id.
     """
     words = F.split(F.trim(F.col(text_col)), _WS)
-    postings = (
-        docs.select(F.col(id_col), F.explode(words).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-    )
     doclens = docs.select(F.col(id_col), F.size(words).alias("dl"))
     stats = doclens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -63,7 +58,16 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, text_col: str = "text",
             F.array_distinct(F.split(F.trim(F.col(query_text_col)), _WS))
         ).alias("term"),
     )
-    rel = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # Filter exploded tokens against the (broadcast) query-term set BEFORE
+    # the tf groupBy: the shuffle then carries only query-term postings, not
+    # the corpus-wide vocabulary — the difference between O(total tokens)
+    # and O(matching tokens) shuffle bytes at 100 TB.
+    rel = (
+        docs.select(F.col(id_col), F.explode(words).alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
     dfreq = rel.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
