@@ -1863,7 +1863,9 @@ def q_topk_pq(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     books = pq_train(e, m=8, k=16, iters=3)
-    enc = pq_encode(e, books)
+    # encode only the columns ADC needs — the Arrow roundtrip through the
+    # Python encoder shouldn't carry payload columns it just passes through
+    enc = pq_encode(e.select("vec_id", "embedding"), books)
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -397,11 +397,11 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     import pandas as pd
 
     spark = df.sparkSession
-    collected = df.select(F.col(id_col).cast("long"), vec_col).collect()
-    ids = np.array([r[0] for r in collected], dtype=np.int64)
+    pdf = df.select(F.col(id_col).cast("long").alias("_id"), vec_col).toPandas()
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]
-    mat = np.array([collected[i][1] for i in order], dtype=np.float64)
+    mat = np.array(list(pdf[vec_col].iloc[order]), dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     normed = mat / norms[:, None]
     bc = spark.sparkContext.broadcast((ids, mat, norms, normed))

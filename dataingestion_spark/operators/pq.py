@@ -60,9 +60,9 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16, iters: int = 5,
 
     if init not in ("stride", "farthest"):
         raise ValueError(f"init must be 'stride' or 'farthest', got {init!r}")
-    rows = (corpus.select(corpus_id, corpus_vec)
-            .orderBy(corpus_id).limit(sample_limit).collect())
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    pdf = (corpus.select(corpus_id, corpus_vec)
+           .orderBy(corpus_id).limit(sample_limit).toPandas())
+    mat = np.array(list(pdf[corpus_vec]), dtype=np.float64)
     dim = mat.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -81,8 +81,12 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16, iters: int = 5,
         else:
             stride = max(1, len(x) // k)
             cents = x[::stride][:k].copy()
+        x2 = (x * x).sum(axis=1)
         for _ in range(iters):
-            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # ‖x−c‖² via the matmul expansion: same argmin up to fp noise,
+            # one BLAS call instead of an (n, k, sub) broadcast allocation
+            d2 = (x2[:, None] - 2.0 * (x @ cents.T)
+                  + (cents * cents).sum(axis=1)[None, :])
             assign = d2.argmin(axis=1)
             for c in range(len(cents)):
                 members = x[assign == c]
