@@ -2566,6 +2566,98 @@ def _oracle_removal() -> str:
     )
 
 
+def q_multimodal_image_meta(spark, sf):
+    """Multimodal plumbing (operators/multimodal.py::image_metadata):
+    media bytes live in an opaque binary column, typed metadata is
+    extracted by an Arrow-batched mapInPandas probe — here over
+    deterministic synthesized PNGs so the real header-parse path
+    (struct.unpack of IHDR) is oracle-checked end to end; the sha256
+    column the operator also emits is dropped only because this image's
+    DuckDB lacks a BLOB sha256 to mirror it with."""
+    docs = _t(spark, sf, "documents")
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+    from dataingestion_spark.operators.multimodal import image_metadata
+
+    binary = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.unhex(
+                F.concat(
+                    F.lit("89504E470D0A1A0A0000000D49484452"),
+                    F.format_string("%08x", w),
+                    F.format_string("%08x", h),
+                )
+            ),
+            F.col("text").cast("binary"),
+        ).alias("image_content"),
+    )
+    out = image_metadata(binary, id_cols=(("doc_id", "long"),))
+    return out.select("doc_id", "width", "height", "format", "n_bytes")
+
+
+ORACLE_MULTIMODAL_IMAGE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(doc_id % 640 + 1 AS INT) AS width,
+  CAST(doc_id % 480 + 1 AS INT) AS height,
+  'png' AS format,
+  CAST(24 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q_multimodal_audio_meta(spark, sf):
+    """Audio twin of the image probe (multimodal.py::audio_metadata): a
+    44-byte RIFF/WAVE header synthesized per document (channels at offset
+    22, sample rate at 24, byte rate pinned to 1000 so duration_ms =
+    payload bytes exactly — no float-division edge), text bytes as PCM
+    payload. Exercises the little-endian fmt-chunk parse."""
+    docs = _t(spark, sf, "documents")
+    from dataingestion_spark.operators.multimodal import audio_metadata
+
+    channels = (F.col("doc_id") % 2 + 1).cast("int")
+    rate = (F.lit(8000) + F.col("doc_id") % 8).cast("int")
+
+    def le(col, nbytes):
+        parts = [
+            F.format_string("%02x", F.shiftright(col, 8 * i).bitwiseAND(F.lit(0xFF)))
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    header_hex = F.concat(
+        F.lit("52494646"),            # "RIFF"
+        F.lit("24080000"),            # chunk size (unused by the probe)
+        F.lit("57415645"),            # "WAVE"
+        F.lit("666d7420"),            # "fmt "
+        F.lit("10000000"),            # fmt chunk size 16 (LE)
+        F.lit("0100"),                # PCM
+        le(channels, 2),              # channels @ 22
+        le(rate, 4),                  # sample rate @ 24
+        le(F.lit(1000), 4),           # byte rate @ 28 -> duration == payload
+        F.lit("0200"), F.lit("1000"),  # block align, bits/sample
+        F.lit("64617461"),            # "data"
+        F.lit("00000000"),            # data size (unused by the probe)
+    )
+    binary = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.unhex(header_hex), F.col("text").cast("binary"))
+        .alias("audio_content"),
+    )
+    out = audio_metadata(binary, id_cols=(("doc_id", "long"),))
+    return out.select("doc_id", "sample_rate", "channels", "duration_ms", "n_bytes")
+
+
+ORACLE_MULTIMODAL_AUDIO = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(8000 + doc_id % 8 AS INT) AS sample_rate,
+  CAST(doc_id % 2 + 1 AS INT) AS channels,
+  CAST(octet_length(encode(text)) AS BIGINT) AS duration_ms,
+  CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def q_token_chunks(spark, sf):
     return token_chunk_text(
         _t(spark, sf, "documents"), text_col="text", id_col="doc_id",
@@ -3013,6 +3105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_vector_records": q_vector_records,
         "writer_qa_pairs": q_qa_pairs,
         "writer_incremental_replace": q_writer_incremental,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
         # streaming (rows-only)
         "streaming_events_windowed": q_streaming_events,
         "streaming_stateful_counts": q_streaming_stateful,
@@ -3118,6 +3212,8 @@ def oracle_sql() -> dict[str, str]:
         "writer_vector_records": _oracle_vector_records(),
         "writer_qa_pairs": ORACLE_QA.format(token_chunks=ORACLE_TOKEN_CHUNKS.strip()),
         "writer_incremental_replace": _oracle_writer_incremental(),
+        "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
+        "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
         # streaming_events_windowed: intentionally omitted (rows-only check)
     }
