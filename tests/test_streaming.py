@@ -120,3 +120,39 @@ def test_stream_ingest_dedup_null_text(spark, tmp_path):
     assert ms.read_table(spark, table).count() == 1
     stream_ingest_dedup(spark, inp, table).awaitTermination()
     assert ms.read_table(spark, table).count() == 1
+
+
+def test_events_stream_schema_probe(spark, tmp_path):
+    """The streaming schema comes from the parquet footers: current-gen NTZ
+    files probe to timestamp_ntz, legacy nanos generations (readable only
+    as bigint under nanosAsLong) probe to long so normalize_event_ts's
+    bigint branch stays reachable, and an empty dir falls back to the
+    default schema."""
+    from dataingestion_spark.streaming.pipeline import (
+        EVENTS_SCHEMA, events_stream_schema, normalize_event_ts,
+    )
+
+    ntz_dir = str(tmp_path / "ntz")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(ntz_dir)
+    s = events_stream_schema(spark, ntz_dir, glob="*.parquet")
+    assert s["ts"].dataType.simpleString() == "timestamp_ntz"
+
+    long_dir = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(1, 1_700_000_000_000_000_000, 7, "click", 1.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(long_dir)
+    s = events_stream_schema(spark, long_dir, glob="*.parquet")
+    assert s["ts"].dataType.simpleString() == "bigint"
+    # and the normalizer converts that representation to a real timestamp
+    normed = normalize_event_ts(
+        spark.read.schema(s).parquet(long_dir)
+    )
+    assert dict(normed.dtypes)["ts"] == "timestamp"
+
+    assert events_stream_schema(spark, str(tmp_path / "missing")) == EVENTS_SCHEMA
