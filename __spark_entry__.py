@@ -1875,6 +1875,25 @@ def q_topk_pq(spark, sf):
     )
 
 
+def q_topk_ivf_pq(spark, sf):
+    """IVF-PQ composition (operators/pq.py::topk_ivf_pq): coarse inverted
+    lists bound WHAT each query scans (n_probe/n_centroids of the corpus),
+    PQ codes bound what each candidate COSTS (m bytes + m LUT lookups) —
+    the Faiss-style billion-vector layout. Deterministic but k-means-
+    trained, hence rows-only like search_topk_pq."""
+    from dataingestion_spark.operators.pq import topk_ivf_pq
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = topk_ivf_pq(e, queries, k=10, n_centroids=16, n_probe=4,
+                      m=8, k_codes=16, iters=3)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    )
+
+
 def q_c4_filters(spark, sf):
     """C4-style web-scrape cleaning signals + keep decision
     (operators/text_analysis.py::c4_signals): terminal-punctuation line
@@ -3107,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_incremental_replace": q_writer_incremental,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_audio_meta": q_multimodal_audio_meta,
+        "search_topk_ivf_pq": q_topk_ivf_pq,
         # streaming (rows-only)
         "streaming_events_windowed": q_streaming_events,
         "streaming_stateful_counts": q_streaming_stateful,

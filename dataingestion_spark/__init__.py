@@ -68,6 +68,7 @@ from .operators.similarity import (  # noqa: E402,F401
 from .operators.pq import (  # noqa: E402,F401
     pq_encode,
     pq_train,
+    topk_ivf_pq,
     topk_pq_adc,
 )
 from .operators.text_analysis import repetition_signals  # noqa: E402,F401

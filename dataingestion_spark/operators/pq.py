@@ -36,11 +36,11 @@ from __future__ import annotations
 
 from typing import List
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .similarity import _rank_topk
 
-__all__ = ["pq_train", "pq_encode", "topk_pq_adc"]
+__all__ = ["pq_train", "pq_encode", "topk_pq_adc", "topk_ivf_pq"]
 
 
 def pq_train(corpus: DataFrame, m: int = 8, k: int = 16, iters: int = 5,
@@ -156,7 +156,25 @@ def topk_pq_adc(encoded: DataFrame, codebooks: List[List[List[float]]],
     measured at 10-100× the lookup cost). The per-pair score is then m
     array lookups + an explicit m-term sum, all codegen'd: candidates
     never touch a float vector."""
-    m = len(codebooks)
+    q = _adc_lut_df(queries, codebooks, query_id, query_vec)
+    # project to (id, codes) BEFORE the quadratic stage: the scan may
+    # carry float vectors and metadata, but the pair stream must see m
+    # bytes per candidate — that's the entire point of PQ
+    scored = encoded.select(corpus_id, code_col).crossJoin(
+        F.broadcast(q)
+    ).select(
+        F.col(query_id), F.col(corpus_id),
+        (-_adc_total(len(codebooks), code_col)).alias("score"),
+    )
+    return _rank_topk(scored, k, query_id, corpus_id)
+
+
+def _adc_lut_df(queries: DataFrame, codebooks: List[List[List[float]]],
+                query_id: str, query_vec: str) -> DataFrame:
+    """Driver-side ADC lookup tables: one row per query —
+    (query_id, _lut: array<array<double>>), lut[j][c] = squared L2 between
+    the query's j-th subvector and codeword c, accumulated by a strictly
+    sequential fold so the doubles are engine-independent."""
     sub = len(codebooks[0][0])
     qrows = queries.select(query_id, query_vec).collect()
     spark = queries.sparkSession
@@ -178,25 +196,82 @@ def topk_pq_adc(encoded: DataFrame, codebooks: List[List[List[float]]],
     from pyspark.sql import types as T
 
     id_type = queries.schema[query_id].dataType
-    q = spark.createDataFrame(
+    return spark.createDataFrame(
         [(r[0], lut_for(r[1])) for r in qrows],
         T.StructType([
             T.StructField(query_id, id_type),
             T.StructField("_lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
         ]),
     )
+
+
+def _adc_total(m: int, code_col: str):
+    """Σ_j lut_j[code_j] as an explicit m-term codegen'd expression."""
     code = F.col(code_col)
     lut = F.col("_lut")
     terms = [F.element_at(lut[j], code[j] + 1) for j in range(m)]
     total = terms[0]
     for t in terms[1:]:
         total = total + t
-    # project to (id, codes) BEFORE the quadratic stage: the scan may
-    # carry float vectors and metadata, but the pair stream must see m
-    # bytes per candidate — that's the entire point of PQ
-    scored = encoded.select(corpus_id, code_col).crossJoin(
-        F.broadcast(q)
+    return total
+
+
+def topk_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                n_centroids: int = 16, n_probe: int = 4,
+                m: int = 8, k_codes: int = 16, iters: int = 3,
+                corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                query_id: str = "query_id", query_vec: str = "query_vec",
+                centroids=None, codebooks=None,
+                max_list_size=None) -> DataFrame:
+    """IVF-PQ: the Faiss-style billion-vector index layout, composed from
+    the two halves this module and ``similarity`` already provide —
+    coarse inverted lists bound WHAT is scanned (~n_probe/n_centroids of
+    the corpus per query), PQ codes bound what each scanned candidate
+    COSTS (m bytes + m LUT lookups, no float vector ever touched).
+
+    Scale shape: centroid training and codebook training are driver-side
+    on deterministic samples; assignment and encoding are one broadcast
+    scoring pass + one shuffle-free mapInPandas; the query path is an
+    equi-join of the (tiny, broadcast) probe×LUT table against the
+    encoded corpus partitioned by inverted list — exactly the layout
+    where each executor owns whole lists and a query touches ``n_probe``
+    of them. Codes here encode raw vectors, not centroid residuals
+    (IVFADC's residual refinement needs per-list codebook context in the
+    encoder; the raw-vector form keeps encode shuffle-free and scores
+    globally comparable across lists).
+
+    Deterministic end to end (farthest-first seeding, md5-free), but
+    k-means is iterative — rows-only oracle, like ``pq_train`` itself."""
+    from .similarity import cosine_sim, ivf_assign, train_centroids
+
+    spark = corpus.sparkSession
+    base = corpus.select(corpus_id, corpus_vec)
+    if centroids is None:
+        centroids = train_centroids(base, n_centroids, iters, corpus_id,
+                                    corpus_vec, init="farthest")
+    cents = spark.createDataFrame(centroids, ["centroid_id", "cvec"])
+    if codebooks is None:
+        codebooks = pq_train(base, m=m, k=k_codes, iters=iters,
+                             corpus_id=corpus_id, corpus_vec=corpus_vec)
+    assigned = ivf_assign(base, cents, corpus_id, corpus_vec, max_list_size)
+    encoded = pq_encode(assigned, codebooks, corpus_vec).select(
+        corpus_id, "centroid_id", "pq_code"
+    )
+    probe_w = Window.partitionBy(query_id).orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_sim(F.col(query_vec), F.col("cvec")))
+        .withColumn("crk", F.row_number().over(probe_w))
+        .filter(F.col("crk") <= n_probe)
+        .select(query_id, "centroid_id")
+    )
+    qluts = _adc_lut_df(queries, codebooks, query_id, query_vec)
+    scored = encoded.join(
+        F.broadcast(probes.join(qluts, query_id)), "centroid_id"
     ).select(
-        F.col(query_id), F.col(corpus_id), (-total).alias("score")
+        F.col(query_id), F.col(corpus_id),
+        (-_adc_total(len(codebooks), "pq_code")).alias("score"),
     )
     return _rank_topk(scored, k, query_id, corpus_id)

@@ -351,6 +351,7 @@ def test_entry_contract(spark):
         "streaming_events_windowed",
         "streaming_stateful_counts",
         "search_topk_pq",
+        "search_topk_ivf_pq",
     }
 
 
@@ -730,3 +731,40 @@ def test_new_operator_plan_shapes(spark):
     sh = docs.select("doc_id", "n_chars").withColumn("shard_id", F.col("doc_id") % 8)
     p = plan_summary(pack_sequences(sh, "n_chars", 4096, "shard_id"))
     assert p["exchanges"] == 2
+
+
+def test_ivf_pq_degenerates_to_full_adc(spark):
+    """With a single centroid and n_probe=1 every query scans the whole
+    corpus, so IVF-PQ must return exactly what brute-force ADC returns
+    over the same codebooks."""
+    from dataingestion_spark.operators.pq import (
+        pq_encode, pq_train, topk_ivf_pq, topk_pq_adc,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_train(emb, m=8, k=16, iters=2)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    full = topk_pq_adc(pq_encode(emb.select("vec_id", "embedding"), books),
+                       books, q, k=5)
+    ivf = topk_ivf_pq(emb, q, k=5, n_centroids=1, n_probe=1,
+                      m=8, k_codes=16, iters=2, codebooks=books)
+    assert full.exceptAll(ivf).count() == 0 and ivf.exceptAll(full).count() == 0
+
+
+def test_ivf_pq_probed_shape_and_self_rank(spark):
+    """Real multi-list config: k rows per query, rank densely 1..k, and a
+    vector's own list is always probed first so self is rank 1."""
+    from dataingestion_spark.operators.pq import topk_ivf_pq
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = topk_ivf_pq(emb, q, k=5, n_centroids=8, n_probe=2,
+                      m=8, k_codes=16, iters=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    assert sorted(r["vec_id"] for r in out if r["rank"] == 1) == [0, 1, 2]
