@@ -92,11 +92,19 @@ def main():
     # absorb session bring-up (bench measures queries, not JVM start).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # min-of-N per query: the host VM shows 2x wall-clock swings between
+    # identical runs, and the min is the least-noisy estimator of the
+    # plan's actual cost (SPARK_GRAFT_BENCH_REPS=1 restores single-shot)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings = {}
     for name, fn in bench_queries.items():
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = None
+        for _ in range(reps):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
