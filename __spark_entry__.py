@@ -1065,6 +1065,64 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_orders_cube(spark, sf):
+    """CUBE + grouping_id: every aggregation lattice cell over
+    (status, priority) with an explicit cell marker — the grouping-sets
+    family the reference lacks entirely (SURVEY §2.7) but Spark gives for
+    free; grouping_id disambiguates real NULL keys from subtotal rows."""
+    _utc(spark)
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", F.col("gid").cast("int"),
+                "n_orders", "total_price")
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+  COUNT(*) AS n_orders,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_part_set_ops(spark, sf):
+    """Set operations (SURVEY §2.7 absent-in-reference): brands supplying
+    both large and small parts (INTERSECT), only-large (EXCEPT), and the
+    symmetric union tagged per side — exercises INTERSECT / EXCEPT /
+    UNION ALL distinct-set semantics against the oracle."""
+    _utc(spark)
+    p = _t(spark, sf, "part")
+    large = p.filter(F.col("p_size") >= 40).select("p_brand").distinct()
+    small = p.filter(F.col("p_size") <= 10).select("p_brand").distinct()
+    both = large.intersect(small).select(F.lit("both").alias("side"), "p_brand")
+    only_large = large.exceptAll(small).select(
+        F.lit("only_large").alias("side"), "p_brand"
+    )
+    only_small = small.exceptAll(large).select(
+        F.lit("only_small").alias("side"), "p_brand"
+    )
+    return both.unionByName(only_large).unionByName(only_small)
+
+
+ORACLE_SET_OPS = """
+WITH large AS (SELECT DISTINCT p_brand FROM part WHERE p_size >= 40),
+     small AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10)
+SELECT 'both' AS side, p_brand FROM (SELECT p_brand FROM large INTERSECT SELECT p_brand FROM small)
+UNION ALL
+SELECT 'only_large', p_brand FROM (SELECT p_brand FROM large EXCEPT SELECT p_brand FROM small)
+UNION ALL
+SELECT 'only_small', p_brand FROM (SELECT p_brand FROM small EXCEPT SELECT p_brand FROM large)
+"""
+
+
 def q_events_topk_per_type(spark, sf):
     _utc(spark)
     e = _events(spark, sf)
@@ -3055,6 +3113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting_suppliers": q_tpch_q21,
         "tpch_q22_dormant_customers": q_tpch_q22,
         "orders_rollup": q_orders_rollup,
+        "orders_cube_grouping": q_orders_cube,
+        "part_set_ops": q_part_set_ops,
         "events_topk_per_type": q_events_topk_per_type,
         "events_sessionize": q_events_sessionize,
         "events_windowed_5min": q_events_windowed,
@@ -3159,6 +3219,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q20_excess_shipments": ORACLE_Q20,
         "tpch_q21_waiting_suppliers": ORACLE_Q21,
         "orders_rollup": ORACLE_ROLLUP,
+        "orders_cube_grouping": ORACLE_CUBE,
+        "part_set_ops": ORACLE_SET_OPS,
         "events_topk_per_type": ORACLE_TOPK,
         "events_sessionize": ORACLE_SESSIONIZE,
         "events_windowed_5min": ORACLE_WINDOWED,
