@@ -269,7 +269,7 @@ def topk_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
     qluts = _adc_lut_df(queries, codebooks, query_id, query_vec)
     scored = encoded.join(
-        F.broadcast(probes.join(qluts, query_id)), "centroid_id"
+        F.broadcast(probes.join(F.broadcast(qluts), query_id)), "centroid_id"
     ).select(
         F.col(query_id), F.col(corpus_id),
         (-_adc_total(len(codebooks), "pq_code")).alias("score"),

@@ -87,3 +87,30 @@ def test_tpch_plans_broadcast_and_prune(spark):
     # semi-join chain: no full-width join of lineitem to part
     assert any("p_name" in p or "StringStartsWith" in p for p in f20["pushed_filters"])
     assert any("l_shipdate" in p for p in f20["pushed_filters"])
+
+
+def test_round2_plans_broadcast_no_nested_loop(spark):
+    """Plan pins for the round-2 operators: BM25 postings must aggregate
+    AFTER the broadcast query-term filter (no corpus-vocabulary shuffle),
+    and IVF-PQ candidate scoring must be a broadcast equi-join on the
+    inverted list — never a nested-loop join."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+
+    # note: BroadcastNestedLoopJoin *Cross* nodes are fine — they are the
+    # deliberate crossJoins of broadcast-tiny sides (1-row corpus stats,
+    # the query set); what must never appear is a sort-merge join, which
+    # would mean a corpus-sized shuffle where a broadcast was intended.
+    bm = em.q_hybrid_rrf(spark, sf)
+    fb = plan_summary(bm)
+    # the only sort-merge joins allowed are the RRF FULL OUTER fusions
+    # (full outer cannot broadcast; both sides are k x queries rows) —
+    # the corpus-sized BM25/cosine scoring must all be broadcast joins
+    assert fb["sort_merge_joins"] <= 2
+    assert fb["broadcast_hash_joins"] >= 3  # term filter, qterms, df, doclens
+
+    ivfpq = em.q_topk_ivf_pq(spark, sf)
+    fp = plan_summary(ivfpq)
+    assert fp["sort_merge_joins"] == 0
+    assert fp["broadcast_hash_joins"] >= 1  # probe x LUT vs encoded lists
