@@ -1179,6 +1179,44 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_events_session_window(spark, sf):
+    """Native session windows (F.session_window) — the built-in merging
+    sessionizer that also runs under Structured Streaming, complementing
+    the window-function formulation in events_sessionize. Semantics pinned
+    by the oracle: a gap of exactly the timeout starts a NEW session
+    (merge condition is strict <), and session_end = last event + gap."""
+    _utc(spark)
+    e = _events(spark, sf)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_events_windowed(spark, sf):
     _utc(spark)
     e = _events(spark, sf)
@@ -3117,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_set_ops": q_part_set_ops,
         "events_topk_per_type": q_events_topk_per_type,
         "events_sessionize": q_events_sessionize,
+        "events_session_window": q_events_session_window,
         "events_windowed_5min": q_events_windowed,
         "events_pivot_by_user": q_events_pivot,
         "events_json_stats": q_events_json_stats,
@@ -3223,6 +3262,7 @@ def oracle_sql() -> dict[str, str]:
         "part_set_ops": ORACLE_SET_OPS,
         "events_topk_per_type": ORACLE_TOPK,
         "events_sessionize": ORACLE_SESSIONIZE,
+        "events_session_window": ORACLE_SESSION_WINDOW,
         "events_windowed_5min": ORACLE_WINDOWED,
         "events_pivot_by_user": ORACLE_PIVOT,
         "events_json_stats": ORACLE_JSON,
