@@ -3066,6 +3066,19 @@ def q_streaming_stateful(spark, sf):
     return spark.table(name)
 
 
+def q_streaming_sessions(spark, sf):
+    """Watermarked merging session windows (F.session_window under
+    Structured Streaming) — rows-only; exactness vs the batch twin is
+    pinned by tests/test_streaming.py::test_stream_events_sessions_match_batch."""
+    from dataingestion_spark.streaming.pipeline import stream_events_sessions
+
+    _utc(spark)
+    name = "events_sessions_check"
+    q = stream_events_sessions(spark, sf, query_name=name)
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_streaming_dedup(spark, sf):
     """Streaming content-dedup ingest: the documents table streamed through
     stream_ingest_dedup must land exactly one row per distinct content —
@@ -3229,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (rows-only)
         "streaming_events_windowed": q_streaming_events,
         "streaming_stateful_counts": q_streaming_stateful,
+        "streaming_session_windows": q_streaming_sessions,
         "streaming_dedup_ingest": q_streaming_dedup,
     }
 

@@ -147,6 +147,41 @@ def stream_events_windowed(spark, events_dir: str, window: str = "5 minutes",
     )
 
 
+def stream_events_sessions(spark, events_dir: str, gap: str = "30 minutes",
+                           watermark: str = "10 minutes",
+                           query_name: str = "events_sessions",
+                           glob: str = "events*.parquet"):
+    """Watermarked per-user session windows (``F.session_window`` — the
+    merging-window stateful op): sessions close when the watermark passes
+    their end, so append mode emits each finished session exactly once.
+    Batch twin: the events_session_window driver query — same gap
+    semantics (a gap of exactly ``gap`` starts a new session), which is
+    how the streaming output is oracle-checkable after the stream drains."""
+    stream = normalize_event_ts(
+        spark.readStream.schema(events_stream_schema(spark, events_dir, glob))
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_ingest_dedup(spark, input_dir: str, table_path: str):
     """Continuous ingest keeping exactly one copy per distinct content.
 

@@ -350,6 +350,7 @@ def test_entry_contract(spark):
     assert set(qs) - set(oracles) == {
         "streaming_events_windowed",
         "streaming_stateful_counts",
+        "streaming_session_windows",
         "search_topk_pq",
         "search_topk_ivf_pq",
     }

@@ -156,3 +156,45 @@ def test_events_stream_schema_probe(spark, tmp_path):
     assert dict(normed.dtypes)["ts"] == "timestamp"
 
     assert events_stream_schema(spark, str(tmp_path / "missing")) == EVENTS_SCHEMA
+
+
+def test_stream_events_sessions_match_batch(spark):
+    """Streamed session windows must agree with the batch session_window
+    aggregation for every session the watermark closed; the unflushed
+    tail is exactly the sessions ending within the final watermark."""
+    from dataingestion_spark.streaming.pipeline import stream_events_sessions
+
+    sf = "/root/testdata/sf0.001"
+    q = stream_events_sessions(spark, sf, query_name="sess_check")
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.table("sess_check").collect()
+    }
+
+    from dataingestion_spark.streaming.pipeline import normalize_event_ts
+
+    events = normalize_event_ts(
+        spark.read.option("pathGlobFilter", "events*.parquet").parquet(sf)
+    )
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+    full = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in batch.collect()
+    }
+    assert streamed, "stream emitted nothing"
+    # every emitted session matches the batch result exactly
+    for k, n in streamed.items():
+        assert full.get(k) == n
+    # and the only missing sessions are in the final watermark's shadow
+    import datetime
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    for k in set(full) - set(streamed):
+        assert k[2] > horizon
