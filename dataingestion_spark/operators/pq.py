@@ -222,7 +222,7 @@ def topk_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                 query_id: str = "query_id", query_vec: str = "query_vec",
                 centroids=None, codebooks=None,
-                max_list_size=None) -> DataFrame:
+                max_list_size=None, residual: bool = False) -> DataFrame:
     """IVF-PQ: the Faiss-style billion-vector index layout, composed from
     the two halves this module and ``similarity`` already provide —
     coarse inverted lists bound WHAT is scanned (~n_probe/n_centroids of
@@ -235,13 +235,21 @@ def topk_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
     equi-join of the (tiny, broadcast) probe×LUT table against the
     encoded corpus partitioned by inverted list — exactly the layout
     where each executor owns whole lists and a query touches ``n_probe``
-    of them. Codes here encode raw vectors, not centroid residuals
-    (IVFADC's residual refinement needs per-list codebook context in the
-    encoder; the raw-vector form keeps encode shuffle-free and scores
-    globally comparable across lists).
+    of them.
 
-    Deterministic end to end (farthest-first seeding, md5-free), but
-    k-means is iterative — rows-only oracle, like ``pq_train`` itself."""
+    ``residual=False`` encodes raw vectors: encode needs no centroid
+    context and one LUT per query serves every list. ``residual=True``
+    is IVFADC proper (Jégou et al. 2011): codes quantize ``x − c(x)``,
+    which concentrates the quantized distribution near the origin and
+    cuts reconstruction error for the same code budget — at the cost of
+    one broadcast centroid join before encode (the residual is a
+    zip_with projection, still shuffle-free) and one LUT per
+    (query, probed list) driver-side (n_probe × |queries| tables — the
+    probe set collects anyway; Faiss makes the same trade).
+
+    Deterministic end to end (farthest-first seeding, md5-free, IEEE
+    subtraction), but k-means is iterative — rows-only oracle, like
+    ``pq_train`` itself."""
     from .similarity import cosine_sim, ivf_assign, train_centroids
 
     spark = corpus.sparkSession
@@ -250,11 +258,38 @@ def topk_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
         centroids = train_centroids(base, n_centroids, iters, corpus_id,
                                     corpus_vec, init="farthest")
     cents = spark.createDataFrame(centroids, ["centroid_id", "cvec"])
-    if codebooks is None:
-        codebooks = pq_train(base, m=m, k=k_codes, iters=iters,
-                             corpus_id=corpus_id, corpus_vec=corpus_vec)
     assigned = ivf_assign(base, cents, corpus_id, corpus_vec, max_list_size)
-    encoded = pq_encode(assigned, codebooks, corpus_vec).select(
+    if residual:
+        # residual anchor = each list's EUCLIDEAN mean, not the cosine
+        # centroid (train_centroids normalizes directions — subtracting a
+        # unit vector from magnitude-N data leaves the residual
+        # magnitude-N and the refinement does nothing). One groupBy over
+        # the assignment computes the anchors; x − anchor(x) is then a
+        # zip_with projection after a broadcast join — the corpus vectors
+        # themselves never shuffle.
+        dim_row = queries.select(query_vec).first()
+        vdim = len(dim_row[0]) if dim_row else len(centroids[0][1])
+        anchors = assigned.groupBy("centroid_id").agg(
+            F.array(*[F.avg(F.col(corpus_vec)[d]) for d in range(vdim)])
+            .alias("_anchor")
+        )
+        assigned = assigned.join(F.broadcast(anchors), "centroid_id").select(
+            corpus_id, "centroid_id",
+            F.zip_with(F.col(corpus_vec), "_anchor",
+                       lambda a, b: a - b).alias("_res"),
+        )
+        enc_vec = "_res"
+        if codebooks is None:
+            codebooks = pq_train(
+                assigned.select(corpus_id, "_res"), m=m, k=k_codes,
+                iters=iters, corpus_id=corpus_id, corpus_vec="_res",
+            )
+    else:
+        enc_vec = corpus_vec
+        if codebooks is None:
+            codebooks = pq_train(base, m=m, k=k_codes, iters=iters,
+                                 corpus_id=corpus_id, corpus_vec=corpus_vec)
+    encoded = pq_encode(assigned, codebooks, enc_vec).select(
         corpus_id, "centroid_id", "pq_code"
     )
     probe_w = Window.partitionBy(query_id).orderBy(
@@ -267,11 +302,54 @@ def topk_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("crk") <= n_probe)
         .select(query_id, "centroid_id")
     )
-    qluts = _adc_lut_df(queries, codebooks, query_id, query_vec)
-    scored = encoded.join(
-        F.broadcast(probes.join(F.broadcast(qluts), query_id)), "centroid_id"
-    ).select(
-        F.col(query_id), F.col(corpus_id),
-        (-_adc_total(len(codebooks), "pq_code")).alias("score"),
-    )
+    if residual:
+        # one LUT per (query, probed list) over the query RESIDUAL q − a:
+        # ADC then approximates ‖(q−a) − (x−a)‖² = ‖q − x‖² list-locally,
+        # with a = the probed list's Euclidean-mean anchor
+        cmap = {r["centroid_id"]: list(r["_anchor"])
+                for r in anchors.collect()}
+        prows = probes.collect()
+        qvecs = {r[0]: list(r[1]) for r in
+                 queries.select(query_id, query_vec).collect()}
+        from pyspark.sql import types as T
+
+        id_type = queries.schema[query_id].dataType
+        qres_rows = []
+        for r in prows:
+            qv, cv = qvecs[r[0]], cmap[r[1]]
+            qres_rows.append((r[0], int(r[1]),
+                              [a - b for a, b in zip(qv, cv)]))
+        qres = spark.createDataFrame(
+            qres_rows,
+            T.StructType([
+                T.StructField(query_id, id_type),
+                T.StructField("centroid_id", T.IntegerType()),
+                T.StructField("_qr", T.ArrayType(T.DoubleType())),
+            ]),
+        )
+        # reuse _adc_lut_df per composite key via a synthetic id column
+        qres_k = qres.withColumn(
+            "_qc", F.concat_ws("#", F.col(query_id).cast("string"),
+                               F.col("centroid_id").cast("string"))
+        )
+        lut_tbl = _adc_lut_df(
+            qres_k.select("_qc", "_qr"), codebooks, "_qc", "_qr"
+        )
+        probe_lut = qres_k.select(query_id, "centroid_id", "_qc").join(
+            lut_tbl, "_qc"
+        ).drop("_qc")
+        scored = encoded.join(
+            F.broadcast(probe_lut), "centroid_id"
+        ).select(
+            F.col(query_id), F.col(corpus_id),
+            (-_adc_total(len(codebooks), "pq_code")).alias("score"),
+        )
+    else:
+        qluts = _adc_lut_df(queries, codebooks, query_id, query_vec)
+        scored = encoded.join(
+            F.broadcast(probes.join(F.broadcast(qluts), query_id)), "centroid_id"
+        ).select(
+            F.col(query_id), F.col(corpus_id),
+            (-_adc_total(len(codebooks), "pq_code")).alias("score"),
+        )
     return _rank_topk(scored, k, query_id, corpus_id)

@@ -769,3 +769,84 @@ def test_ivf_pq_probed_shape_and_self_rank(spark):
     assert set(by_q) == {0, 1, 2}
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
     assert sorted(r["vec_id"] for r in out if r["rank"] == 1) == [0, 1, 2]
+
+
+def test_ivf_pq_residual_reconstruction_beats_raw(spark):
+    """The mechanism behind IVFADC: on clustered data, quantizing the
+    residual x − c(x) reconstructs x (as centroid + decoded residual) with
+    far lower squared error than quantizing x directly at the same (m, k)
+    budget — the codebook spends its capacity on within-cluster noise
+    instead of the 10x-larger center geometry. Verified directly on the
+    primitives; plus structural checks on the residual search path."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from dataingestion_spark.operators.pq import pq_encode, pq_train, topk_ivf_pq
+    from dataingestion_spark.operators.similarity import ivf_assign, train_centroids
+
+    dim, n_clusters, per = 16, 32, 20
+
+    def noise(i, d):  # deterministic md5-derived pseudo-noise in [-0.5, 0.5)
+        h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+        return (h % 1000) / 1000.0 - 0.5
+
+    # centers = 10·s_c with s_c a deterministic ±1 sign pattern per
+    # cluster: dense (every subspace is shifted for every cluster, so raw
+    # codebooks must spend capacity on center geometry in ALL subspaces)
+    # yet near-orthogonal in cosine (random sign patterns), so the coarse
+    # k-means separates clusters and the residual really is just noise —
+    # the setting IVFADC's refinement exists for
+    def sign(c, d):
+        h = int(hashlib.md5(f"s{c}:{d}".encode()).hexdigest()[:2], 16)
+        return 1.0 if h % 2 else -1.0
+
+    rows = []
+    for i in range(n_clusters * per):
+        c = i % n_clusters
+        rows.append((i, [10.0 * sign(c, d) + noise(i, d) for d in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    m, kc = 8, 16
+    cents = train_centroids(emb, n_centroids=n_clusters, iters=3, init="farthest")
+    cdf = spark.createDataFrame(cents, ["centroid_id", "cvec"])
+    assigned = ivf_assign(emb, cdf, "vec_id", "embedding")
+
+    def decode_mse(encoded, books, base_col):
+        B = [np.asarray(b) for b in books]
+        sub = dim // m
+        err = 0.0
+        n = 0
+        for r in encoded.collect():
+            rec = np.concatenate([B[j][r["pq_code"][j]] for j in range(m)])
+            tgt = np.array(r[base_col])
+            err += float(((rec - tgt) ** 2).sum())
+            n += 1
+        return err / n
+
+    raw_books = pq_train(emb, m=m, k=kc, iters=3)
+    raw_mse = decode_mse(
+        pq_encode(emb.select("vec_id", "embedding"), raw_books), raw_books,
+        "embedding",
+    )
+
+    anchors = assigned.groupBy("centroid_id").agg(
+        F.array(*[F.avg(F.col("embedding")[d]) for d in range(dim)]).alias("_a"))
+    res_df = assigned.join(F.broadcast(anchors), "centroid_id").select(
+        "vec_id", F.zip_with("embedding", "_a", lambda a, b: a - b).alias("_res"))
+    res_books = pq_train(res_df, m=m, k=kc, iters=3, corpus_vec="_res")
+    res_mse = decode_mse(pq_encode(res_df, res_books, "_res"), res_books, "_res")
+    assert res_mse < raw_mse / 2  # residual codes must be decisively better
+
+    # structural checks on the composed residual search
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = topk_ivf_pq(emb, q, k=5, n_centroids=n_clusters, n_probe=2,
+                      m=m, k_codes=kc, iters=3, residual=True).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == set(range(8))
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    assert sorted(r["vec_id"] for r in out if r["rank"] == 1) == list(range(8))
