@@ -2773,6 +2773,52 @@ FROM documents
 """
 
 
+def q_reader_wet_records(spark, sf):
+    """WARC/WET web-archive reader (sources/warc.py — the Common Crawl
+    container layout; the reference has no archive source, cf.
+    IngestionDocumentReader.cs). Documents are WET-serialized entirely
+    JVM-side (wet_record_expr), concatenated 8-records-per-"file" in
+    doc_id order, and the real mapInPandas parser splits the blobs back
+    into records — version/header parse, case-insensitive header names,
+    Content-Length BYTE slicing (multi-byte UTF-8 payloads included) and
+    in-file record ordering are all oracle-checked end to end."""
+    from dataingestion_spark.sources.warc import parse_warc_files, wet_record_expr
+
+    docs = _t(spark, sf, "documents")
+    uri = F.concat(
+        F.lit("http://synth.local/"), F.col("source"),
+        F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    recs = docs.select(
+        (F.col("doc_id") % 8).cast("string").alias("path"),
+        F.struct(
+            F.col("doc_id"),
+            wet_record_expr(uri, F.col("text")).alias("rec"),
+        ).alias("s"),
+    )
+    files = recs.groupBy("path").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list("s")), lambda s: s["rec"])
+        ).cast("binary").alias("content")
+    )
+    return parse_warc_files(files).select(
+        F.col("target_uri").alias("uri"),
+        "record_idx",
+        "content_length",
+        F.length("payload").cast("long").alias("n_chars"),
+    )
+
+
+ORACLE_WET_RECORDS = """
+SELECT 'http://synth.local/' || source || '/' || CAST(doc_id AS VARCHAR) AS uri,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1 AS BIGINT)
+    AS record_idx,
+  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 def q_token_chunks(spark, sf):
     return token_chunk_text(
         _t(spark, sf, "documents"), text_col="text", id_col="doc_id",
@@ -3224,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf": q_hybrid_rrf,
         # ingestion operators (reference SURVEY §2.1-2.5)
         "reader_markdown_elements": q_md_parse_elements,
+        "reader_wet_records": q_reader_wet_records,
         "chunker_header": q_header_chunks,
         "chunker_section": q_section_chunks,
         "chunker_markdown": q_markdown_chunks,
@@ -3327,6 +3374,7 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid_rrf": ORACLE_HYBRID_RRF,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
+        "reader_wet_records": ORACLE_WET_RECORDS,
         "chunker_header": _values_oracle(
             _fixture_chunk_golden(lambda rows: header_chunk_doc(rows, _FIXED_OPTS)),
             _CHUNK_COLS, _CHUNK_TYPES,
