@@ -2809,6 +2809,47 @@ def q_reader_wet_records(spark, sf):
     )
 
 
+def q_url_signals(spark, sf):
+    """URL curation (operators/urls.py): deterministic synthetic URLs —
+    uppercase scheme/host, default port, userinfo-free, tracking params,
+    fragment, co.uk public-suffix cases — pushed through the real
+    normalize / eTLD+1 / blocklist projections; the oracle states the
+    expected outputs arithmetically, so the whole synthesize→extract
+    round trip is pinned. Pure codegen'd expressions: runs at scan
+    speed at 100 TB."""
+    from dataingestion_spark.operators.urls import url_signals
+
+    docs = _t(spark, sf, "documents")
+    tld = F.when(F.col("doc_id") % 5 == 0, ".Example.CO.UK").otherwise(".Example.COM")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), tld,
+        F.repeat(F.lit("/p"), (F.col("doc_id") % 4).cast("int")),
+        F.lit("?utm_source=x&id="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&q=z#frag"),
+    )
+    return url_signals(
+        docs.select("doc_id", url.alias("url")),
+        blocklist=("example.co.uk",),
+    )
+
+
+ORACLE_URL_SIGNALS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  'https://www.' || source
+    || CASE WHEN doc_id % 5 = 0 THEN '.example.co.uk' ELSE '.example.com' END
+    || repeat('/p', CAST(doc_id % 4 AS INT))
+    || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&q=z' AS normalized_url,
+  'www.' || source
+    || CASE WHEN doc_id % 5 = 0 THEN '.example.co.uk' ELSE '.example.com' END AS host,
+  CASE WHEN doc_id % 5 = 0 THEN 'example.co.uk' ELSE 'example.com' END
+    AS registered_domain,
+  CAST(doc_id % 4 AS INT) AS path_depth,
+  CAST(2 AS INT) AS n_query_params,
+  (doc_id % 5 = 0) AS is_blocked
+FROM documents
+"""
+
+
 ORACLE_WET_RECORDS = """
 SELECT 'http://synth.local/' || source || '/' || CAST(doc_id AS VARCHAR) AS uri,
   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1 AS BIGINT)
@@ -3233,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_pii_scrub": q_pii_scrub,
+        "doc_url_signals": q_url_signals,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signature": q_minhash_signature,
@@ -3341,6 +3383,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_signals": ORACLE_REPETITION,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "doc_pii_scrub": _oracle_pii(),
+        "doc_url_signals": ORACLE_URL_SIGNALS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_signature": _oracle_minhash_signature(),
         "dedup_minhash_lsh_pairs": _oracle_minhash_pairs(),

@@ -1,0 +1,128 @@
+"""URL curation for web-scale corpora: parse, normalize, registered
+domain, tracking-param stripping, domain blocklists.
+
+Crawl pipelines key nearly everything on URLs — dedup by normalized
+URL, per-domain quality priors, blocklist filtering, domain-level
+mixing — so these are pure column projections over built-in regex and
+array functions: no UDFs, no shuffles, codegen'd, and expressible
+verbatim in DuckDB for the oracle (all patterns are RE2-safe: no
+lookaround, no backreferences).
+
+The reference operates on file paths only (``IngestionDocument.Id``;
+``src/Microsoft.Extensions.DataIngestion/IngestionDocument.cs``) — URL
+handling is part of the beyond-reference curation surface, like
+``operators/text_analysis.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Query parameters that identify a click, not a resource. Stripping them
+# is the single highest-yield URL-dedup normalization on web crawls.
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "ref", "ref_src", "igshid")
+
+# Two-label public suffixes (a deliberately small, fixed subset of the
+# Mozilla Public Suffix List — the operator contract is determinism;
+# swap in the full PSL as a broadcast join for production).
+TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+DEFAULT_BLOCKLIST = ("spam.example", "malware.example", "tracker.example")
+
+_HOSTPORT = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host, default :80/:443 ports and userinfo stripped."""
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT, 1))
+    no_user = F.regexp_replace(hostport, r"^[^@]*@", "")
+    return F.regexp_replace(no_user, r":(80|443)$", "")
+
+
+def url_path(url: Column) -> Column:
+    return F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+
+def url_query(url: Column) -> Column:
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+def path_depth(url: Column) -> Column:
+    """Number of non-empty path segments."""
+    p = url_path(url)
+    segs = F.filter(F.split(p, "/"), lambda s: F.length(s) > 0)
+    return F.size(segs).cast("int")
+
+
+def kept_query_params(url: Column) -> Column:
+    """Query parameters surviving the tracking strip, original order."""
+    q = url_query(url)
+    parts = F.when(F.length(q) > 0, F.split(q, "&")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+    def keep(p: Column) -> Column:
+        name = F.lower(F.split_part(p, F.lit("="), F.lit(1)))
+        cond = F.length(p) > 0
+        for pref in TRACKING_PARAM_PREFIXES:
+            cond = cond & ~name.startswith(pref)
+        cond = cond & ~name.isin(*TRACKING_PARAMS)
+        return cond
+
+    return F.filter(parts, keep)
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, default port and userinfo
+    gone, fragment gone, tracking params gone, '?' dropped when no
+    params survive. Path is preserved byte-for-byte (case-sensitive by
+    spec)."""
+    kept = kept_query_params(url)
+    query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(url_scheme(url), F.lit("://"), url_host(url), url_path(url), query)
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1: last two labels, or last three when the final two form a
+    listed public suffix (co.uk and friends)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
+    last3 = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3))
+    return F.when((n >= 3) & last2.isin(*TWO_LABEL_SUFFIXES), last3).otherwise(last2)
+
+
+def url_signals(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocklist=DEFAULT_BLOCKLIST,
+) -> DataFrame:
+    """Per-document URL curation columns. ``is_blocked`` matches on the
+    registered domain; for blocklists too big to inline (host-level
+    denylists run to millions of rows), broadcast-join a blocklist
+    table against ``registered_domain`` instead."""
+    u = F.col(url_col)
+    host = url_host(u)
+    dom = registered_domain(host)
+    return df.select(
+        F.col(id_col).alias(id_col),
+        url_normalize(u).alias("normalized_url"),
+        host.alias("host"),
+        dom.alias("registered_domain"),
+        path_depth(u).alias("path_depth"),
+        F.size(kept_query_params(u)).cast("int").alias("n_query_params"),
+        dom.isin(*blocklist).alias("is_blocked"),
+    )
