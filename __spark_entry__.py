@@ -2809,6 +2809,52 @@ def q_reader_wet_records(spark, sf):
     )
 
 
+def q_quality_classifier(spark, sf):
+    """Fasttext-shaped linear classifier inference
+    (operators/classifier.py::hashed_classifier_score): unigram+bigram
+    features, hashing-trick integer weights, mean-weight score — one
+    codegen'd expression, no join, no UDF. The md5-derived weights make
+    the whole inference (featurize → look up → exact integer sum →
+    threshold) reproducible in DuckDB; the broadcast-join path for real
+    trained weight tables is pinned equivalent by
+    tests/test_classifier.py::test_explicit_weight_table_matches_hashed."""
+    from dataingestion_spark.operators.classifier import hashed_classifier_score
+
+    return hashed_classifier_score(_t(spark, sf, "documents"))
+
+
+def _oracle_classifier() -> str:
+    def nib(i):
+        return f"(instr('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    val = f"({nib(1)}*4096 + {nib(2)}*256 + {nib(3)}*16 + {nib(4)})"
+    return f"""
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> len(w) > 0) AS ws
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         ws || CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+               ELSE [] END AS fs
+  FROM f),
+agg AS (
+  SELECT doc_id, len(fs) AS n,
+         COALESCE(list_aggregate(
+           list_transform(list_transform(fs, x -> md5('w:' || x)),
+                          h -> {val} % 2001 - 1000), 'sum'), 0) AS wsum
+  FROM feats)
+SELECT doc_id, CAST(n AS INT) AS n_features, CAST(wsum AS BIGINT) AS weight_sum,
+  CASE WHEN n > 0 THEN CAST(wsum AS DOUBLE) / (CAST(1000 AS DOUBLE) * n)
+       ELSE 0.0 END AS score,
+  (CASE WHEN n > 0 THEN CAST(wsum AS DOUBLE) / (CAST(1000 AS DOUBLE) * n)
+        ELSE 0.0 END) > 0.0 AS keep
+FROM agg
+"""
+
+
 def q_url_signals(spark, sf):
     """URL curation (operators/urls.py): deterministic synthetic URLs —
     uppercase scheme/host, default port, userinfo-free, tracking params,
@@ -3275,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_pii_scrub": q_pii_scrub,
         "doc_url_signals": q_url_signals,
+        "doc_quality_classifier": q_quality_classifier,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signature": q_minhash_signature,
@@ -3384,6 +3431,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "doc_pii_scrub": _oracle_pii(),
         "doc_url_signals": ORACLE_URL_SIGNALS,
+        "doc_quality_classifier": _oracle_classifier(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_signature": _oracle_minhash_signature(),
         "dedup_minhash_lsh_pairs": _oracle_minhash_pairs(),
