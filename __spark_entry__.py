@@ -2809,6 +2809,48 @@ def q_reader_wet_records(spark, sf):
     )
 
 
+def q_webdataset_shards(spark, sf):
+    """WebDataset tar-shard export (sinks/webdataset.py): documents
+    become {key}.txt + {key}.json members in per-shard USTAR archives
+    built by the real writer (dry-run mode — archives built in memory,
+    nothing written). Byte determinism makes the archive size a closed
+    form of the member sizes (512-block members + 1024 end marker,
+    10240 record padding), so the manifest — member counts, exact tar
+    byte sizes, key ranges — is fully oracle-checked; the on-disk
+    round trip is pinned by tests/test_webdataset.py."""
+    from dataingestion_spark.sinks.webdataset import write_webdataset
+
+    docs = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 16).alias("shard_id"),
+        F.format_string("%06d", F.col("doc_id")).alias("key"),
+        "text",
+        F.concat(
+            F.lit('{"lang":"'), F.col("lang"),
+            F.lit('","source":"'), F.col("source"), F.lit('"}'),
+        ).alias("meta"),
+    )
+    return write_webdataset(docs, out_dir=None)
+
+
+ORACLE_WEBDATASET = """
+WITH m AS (
+  SELECT doc_id % 16 AS shard_id,
+         printf('%06d', doc_id) AS key,
+         octet_length(encode(text)) AS tsize,
+         octet_length(encode('{"lang":"' || lang || '","source":"' || source || '"}'))
+           AS jsize
+  FROM documents)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+  CAST(2 * COUNT(*) AS INT) AS n_members,
+  CAST((SUM(512 + (tsize + 511) // 512 * 512)
+      + SUM(512 + (jsize + 511) // 512 * 512)
+      + 1024 + 10239) // 10240 * 10240 AS BIGINT) AS tar_nbytes,
+  MIN(key) AS first_key,
+  MAX(key) AS last_key
+FROM m GROUP BY shard_id
+"""
+
+
 def q_quality_classifier(spark, sf):
     """Fasttext-shaped linear classifier inference
     (operators/classifier.py::hashed_classifier_score): unigram+bigram
@@ -3372,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_vector_records": q_vector_records,
         "writer_qa_pairs": q_qa_pairs,
         "writer_incremental_replace": q_writer_incremental,
+        "writer_webdataset_shards": q_webdataset_shards,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "search_topk_ivf_pq": q_topk_ivf_pq,
@@ -3487,6 +3530,7 @@ def oracle_sql() -> dict[str, str]:
         "writer_vector_records": _oracle_vector_records(),
         "writer_qa_pairs": ORACLE_QA.format(token_chunks=ORACLE_TOKEN_CHUNKS.strip()),
         "writer_incremental_replace": _oracle_writer_incremental(),
+        "writer_webdataset_shards": ORACLE_WEBDATASET,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,

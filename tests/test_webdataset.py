@@ -1,0 +1,77 @@
+"""WebDataset tar shard sink (sinks/webdataset.py)."""
+
+import glob
+import io
+import tarfile
+
+from pyspark.sql import functions as F
+
+from dataingestion_spark.sinks.webdataset import (
+    build_tar_bytes,
+    read_webdataset,
+    tar_size_closed_form,
+    write_webdataset,
+)
+
+
+def test_tar_bytes_deterministic_and_sized():
+    members = [("a.txt", b"hello"), ("a.json", b'{"x":1}'), ("b.txt", b"")]
+    one = build_tar_bytes(members)
+    two = build_tar_bytes(members)
+    assert one == two
+    assert len(one) == tar_size_closed_form([5, 7, 0]) == 10240
+    # payload crossing a 512 boundary grows the closed form identically
+    big = build_tar_bytes([("a.txt", b"x" * 513)])
+    assert len(big) == tar_size_closed_form([513])
+
+
+def _df(spark):
+    rows = [
+        (i, f"{i:06d}", f"text body {i} " + "pad " * (i % 5), f'{{"n":{i}}}')
+        for i in range(23)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "key", "text", "meta"]).withColumn(
+        "shard_id", F.col("doc_id") % 4
+    )
+
+
+def test_write_and_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(_df(spark), out).orderBy("shard_id").collect()
+    assert [m.shard_id for m in manifest] == [0, 1, 2, 3]
+    assert sum(m.n_members for m in manifest) == 2 * 23
+    files = sorted(glob.glob(f"{out}/shard-*.tar"))
+    assert len(files) == 4
+    # on-disk bytes match the manifest and the closed form
+    for m, f in zip(manifest, files):
+        data = open(f, "rb").read()
+        assert len(data) == m.tar_nbytes
+    # members are key-sorted inside each shard (txt before json per key
+    # is not guaranteed — grouping is by key)
+    with tarfile.open(files[0]) as tf:
+        names = tf.getnames()
+        keys = [n.rpartition(".")[0] for n in names]
+        assert keys == sorted(keys)
+        payload = tf.extractfile(f"{keys[0]}.txt").read().decode()
+        assert payload.startswith("text body")
+    # loader-side distributed read agrees with the source rows
+    back = read_webdataset(spark, out)
+    txt = {r.key: r.payload for r in back.filter("ext = 'txt'").collect()}
+    for r in _df(spark).collect():
+        assert txt[r.key] == r.text
+
+
+def test_dry_run_writes_nothing(spark, tmp_path):
+    manifest = write_webdataset(_df(spark), None).collect()
+    assert len(manifest) == 4
+    assert manifest[0].first_key <= manifest[0].last_key
+
+
+def test_rewrite_is_byte_identical(spark, tmp_path):
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_webdataset(_df(spark), out1).collect()
+    write_webdataset(_df(spark), out2).collect()
+    for f1, f2 in zip(
+        sorted(glob.glob(f"{out1}/*.tar")), sorted(glob.glob(f"{out2}/*.tar"))
+    ):
+        assert open(f1, "rb").read() == open(f2, "rb").read()
