@@ -73,7 +73,9 @@ def main():
         "lang_quality": em.q_doc_quality,
         "dedup_exact": em.q_dedup_exact,
         "minhash_lsh": em.q_minhash_lsh_pairs,
+        "minhash_lsh_fast": em.q_minhash_fast_pairs,
         "simhash": em.q_simhash,
+        "simhash_fast": em.q_simhash_fast,
         "jaccard": em.q_ngram_jaccard,
         "emb_topk": em.q_emb_topk,
         "emb_neardup": em.q_emb_neardup,

@@ -166,6 +166,128 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def minhash_signature_fast(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           shingle_n: int = 3) -> DataFrame:
+    """xxhash64 MinHash — the 100 TB throughput path.
+
+    Same shape as :func:`minhash_signature` (explode shingles once, one
+    groupBy with ``num_hashes`` partial-MIN aggregates, shuffle =
+    num_hashes×8 bytes/doc), but the hash family is Spark's built-in
+    non-cryptographic ``xxhash64`` seeded per family index: one long op
+    per shingle per digest instead of md5's digest + hex string +
+    substring machinery, with two independent 32-bit slices taken from
+    each 64-bit digest. Integer mins replace string mins, so the
+    aggregate buffers are fixed-width too.
+
+    DuckDB ships xxhash64 under a different seed layout, so this family
+    has no cross-engine oracle — the md5 family stays the correctness
+    surface, this one is its measured-faster twin (same banding
+    statistics; recall equivalence pinned by
+    tests/test_spark_ops.py::test_minhash_fast_agrees_with_md5_family).
+    """
+    n_digests = (num_hashes + 1) // 2
+    exploded = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    ).select(
+        id_col,
+        *[
+            F.xxhash64(F.lit(g), F.col("_sh")).alias(f"_x{g}")
+            for g in range(n_digests)
+        ],
+    )
+    aggs = []
+    for j in range(num_hashes):
+        d = F.col(f"_x{j // 2}")
+        sl = (
+            F.shiftrightunsigned(d, 32)
+            if j % 2 == 0
+            else d.bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+        aggs.append(F.min(sl).alias(f"_h{j}"))
+    per_doc = exploded.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        id_col,
+        F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs_fast(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Banded LSH candidates over the xxhash64 signatures; band key =
+    one more xxhash64 over the band's slice (hashing an array column is
+    native), so the join key is a fixed 8-byte long."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sigs = minhash_signature_fast(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("signature", b * r + 1, r)).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+    banded = banded.localCheckpoint(eager=False)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_fast(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 bits: int = 32) -> DataFrame:
+    """xxhash64 SimHash twin of :func:`simhash`: bit j's vote comes from
+    bit j of the word's 64-bit digest — pure integer shifts, no hex
+    parsing. Same output contract (``simhash`` long); no cross-engine
+    oracle, behavioral agreement pinned in tests."""
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in 1..63")
+    words = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    counted = words.groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
+    # project the digest ONCE per row; 32 inline copies would make codegen
+    # recompute it per bit (cf. the minhash_signature md5 note)
+    counted = counted.select(id_col, "cnt", F.xxhash64(F.col("w")).alias("_h"))
+    votes = [
+        F.sum(
+            F.col("cnt")
+            * (F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"_v{j}")
+        for j in range(bits)
+    ]
+    per_doc = counted.groupBy(id_col).agg(*votes)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(F.col(f"_v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_doc.select(id_col, acc.alias("simhash"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 3, threshold: float = 0.5,
                         candidates: Optional[DataFrame] = None,

@@ -850,3 +850,65 @@ def test_ivf_pq_residual_reconstruction_beats_raw(spark):
     assert set(by_q) == set(range(8))
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
     assert sorted(r["vec_id"] for r in out if r["rank"] == 1) == list(range(8))
+
+
+def test_minhash_fast_agrees_with_md5_family(spark):
+    """The xxhash64 family must reproduce the md5 family's BEHAVIOR:
+    identical texts collide in every band, near-dupes in ≥1 band, and on
+    the real corpus the candidate sets of the two families overlap."""
+    from dataingestion_spark.operators.dedup import (
+        minhash_lsh_pairs_fast,
+        minhash_signature_fast,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest before nightfall comes around"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base.replace("quiet", "silent")),  # near dup
+        (4, "completely different content about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.signature for r in minhash_signature_fast(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    # 32-bit slices, never negative, fixed width
+    assert all(0 <= v <= 0xFFFFFFFF for v in sigs[1]) and len(sigs[1]) == 16
+    pairs = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs_fast(df).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fast = {(r.id_a, r.id_b) for r in minhash_lsh_pairs_fast(docs).collect()}
+    slow = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    # same banding statistics → heavy overlap on real near-dupes (the corpus
+    # plants exact template families, which both hash families must find)
+    assert len(fast & slow) >= 0.8 * max(len(slow), 1)
+
+
+def test_simhash_fast_behaves_like_md5_simhash(spark):
+    from dataingestion_spark.operators.dedup import simhash, simhash_fast
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),
+        (4, "entirely different vocabulary with other words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {r.doc_id: r.simhash for r in simhash_fast(df).collect()}
+    assert fast[1] == fast[2]
+    assert 0 <= fast[1] < 2 ** 32
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup pair closer than unrelated pair, in BOTH families
+    slow = {r.doc_id: r.simhash for r in simhash(df, bits=32).collect()}
+    for fam in (fast, slow):
+        assert ham(fam[1], fam[3]) < ham(fam[1], fam[4])
