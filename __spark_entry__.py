@@ -3270,6 +3270,38 @@ def q_streaming_sessions(spark, sf):
     return spark.table(name)
 
 
+def q_streaming_interval_join(spark, sf):
+    """Watermarked stream-stream interval join
+    (streaming/pipeline.py::stream_events_interval_join): purchases
+    attributed to a same-user click within 30 minutes. Join state is
+    bounded by watermark + interval on both sides; inner matches emit
+    within their micro-batch, so the drained availableNow output equals
+    the batch join — which is why this one streaming query IS fully
+    oracle-checkable (exact equality pinned in
+    tests/test_streaming.py::test_stream_interval_join_matches_batch)."""
+    from dataingestion_spark.streaming.pipeline import stream_events_interval_join
+
+    _utc(spark)
+    name = "events_interval_join_check"
+    q = stream_events_interval_join(spark, sf, query_name=name)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT a.user_id AS user_id,
+       a.event_id AS left_id,
+       b.event_id AS right_id,
+       a.ts AS left_ts,
+       b.ts AS right_ts
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_streaming_dedup(spark, sf):
     """Streaming content-dedup ingest: the documents table streamed through
     stream_ingest_dedup must land exactly one row per distinct content —
@@ -3441,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counts": q_streaming_stateful,
         "streaming_session_windows": q_streaming_sessions,
         "streaming_dedup_ingest": q_streaming_dedup,
+        "streaming_interval_join": q_streaming_interval_join,
     }
 
 
@@ -3552,5 +3585,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
+        "streaming_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
         # streaming_events_windowed: intentionally omitted (rows-only check)
     }

@@ -182,6 +182,64 @@ def stream_events_sessions(spark, events_dir: str, gap: str = "30 minutes",
     )
 
 
+def stream_events_interval_join(spark, events_dir: str,
+                                left_type: str = "click",
+                                right_type: str = "purchase",
+                                within: str = "30 minutes",
+                                watermark: str = "60 minutes",
+                                query_name: str = "events_interval_join",
+                                glob: str = "events*.parquet"):
+    """Watermarked stream-stream interval join: right-side events
+    attributed to a preceding left-side event by the same user within
+    ``within`` (the click→purchase conversion shape).
+
+    Both sides carry a watermark and the join condition bounds event
+    time in both directions, so Spark can size and evict join state:
+    each side retains only ``watermark + within`` of events per key —
+    that bound, not the stream length, is the state footprint at
+    100 TB/day. Inner matches are emitted within the micro-batch they
+    complete in, so with availableNow + a drained stream the output
+    equals the batch join (pinned by
+    tests/test_streaming.py::test_stream_interval_join_matches_batch).
+    """
+    src = normalize_event_ts(
+        spark.readStream.schema(events_stream_schema(spark, events_dir, glob))
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+    )
+    left = (
+        src.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        src.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("user_id"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("user_id", "left_id", "right_id", "left_ts", "right_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_ingest_dedup(spark, input_dir: str, table_path: str):
     """Continuous ingest keeping exactly one copy per distinct content.
 

@@ -198,3 +198,33 @@ def test_stream_events_sessions_match_batch(spark):
     horizon = max_ts - datetime.timedelta(minutes=10)
     for k in set(full) - set(streamed):
         assert k[2] > horizon
+
+
+def test_stream_interval_join_matches_batch(spark):
+    from dataingestion_spark.streaming.pipeline import (
+        normalize_event_ts,
+        stream_events_interval_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    q = stream_events_interval_join(spark, SF, query_name="t_ivl_join")
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.left_id, r.right_id)
+        for r in spark.table("t_ivl_join").collect()
+    }
+    ev = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("lid"),
+        F.col("ts").alias("lts"))
+    buys = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("rid"),
+        F.col("ts").alias("rts"))
+    want = {
+        (r.u, r.lid, r.rid)
+        for r in clicks.join(buys, "u")
+        .filter("rts >= lts AND rts <= lts + INTERVAL 30 minutes")
+        .collect()
+    }
+    assert want, "corpus must contain click→purchase pairs"
+    assert got == want
