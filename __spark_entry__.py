@@ -2867,6 +2867,53 @@ FROM m GROUP BY shard_id
 """
 
 
+def q_html_extract(spark, sf):
+    """HTML → text extraction (operators/html_extract.py): documents are
+    wrapped in synthesized page chrome — title, script+style blocks, a
+    comment, entity-encoded tail, doc_id%3 list items with anchors —
+    and the expression-only extractor (tag strip, block newlines,
+    entity decode, whitespace collapse, link/script density) must
+    recover the exact visible text; the oracle states every output
+    (text, line/char counts, densities, text_ratio) in closed form."""
+    from dataingestion_spark.operators.html_extract import html_extract
+
+    docs = _t(spark, sf, "documents")
+    k = (F.col("doc_id") % 3).cast("int")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><script>var a=1;</script><style>.x{}</style>"
+              "</head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><!-- c --><ul>"),
+        F.repeat(F.lit('<li><a href="#">link</a></li>'), k),
+        F.lit("</ul><p>Tail &amp; &lt;end&gt;</p></body></html>"),
+    )
+    return html_extract(docs.select("doc_id", html.alias("html")))
+
+
+ORACLE_HTML_EXTRACT = """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id % 3 AS INT) AS k,
+    source || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text
+      || repeat(chr(10) || 'link', CAST(doc_id % 3 AS INT))
+      || chr(10) || 'Tail & <end>' AS txt,
+    length('<html><head><title>' || source
+      || '</title><script>var a=1;</script><style>.x{}</style></head><body><h1>Doc '
+      || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><!-- c --><ul>'
+      || repeat('<li><a href="#">link</a></li>', CAST(doc_id % 3 AS INT))
+      || '</ul><p>Tail &amp; &lt;end&gt;</p></body></html>') AS hlen
+  FROM documents)
+SELECT doc_id, txt AS text,
+  CAST(4 + k AS INT) AS n_lines,
+  CAST(length(txt) AS BIGINT) AS n_chars,
+  k AS n_links,
+  CAST(1 AS INT) AS n_scripts,
+  CAST(length(txt) AS DOUBLE) / hlen AS text_ratio
+FROM h
+"""
+
+
 def q_quality_classifier(spark, sf):
     """Fasttext-shaped linear classifier inference
     (operators/classifier.py::hashed_classifier_score): unigram+bigram
@@ -3412,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_pii_scrub,
         "doc_url_signals": q_url_signals,
         "doc_quality_classifier": q_quality_classifier,
+        "doc_html_extract": q_html_extract,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signature": q_minhash_signature,
@@ -3526,6 +3574,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": _oracle_pii(),
         "doc_url_signals": ORACLE_URL_SIGNALS,
         "doc_quality_classifier": _oracle_classifier(),
+        "doc_html_extract": ORACLE_HTML_EXTRACT,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_signature": _oracle_minhash_signature(),
         "dedup_minhash_lsh_pairs": _oracle_minhash_pairs(),
