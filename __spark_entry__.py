@@ -3001,6 +3001,69 @@ FROM documents
 """
 
 
+def q_warc_responses(spark, sf):
+    """The full crawl-to-corpus chain in one plan: WARC *response*
+    records (HTTP status line + headers + HTML body, synthesized
+    JVM-side per document) → mapInPandas record parse → expression-only
+    HTTP split (sources/warc.py::split_http_payload) → expression-only
+    HTML extraction (operators/html_extract.py). Three real operators
+    composed; the oracle states the end-to-end expected output in
+    closed form."""
+    from dataingestion_spark.operators.html_extract import html_to_text
+    from dataingestion_spark.sources.warc import (
+        parse_warc_files,
+        split_http_payload,
+        wet_record_expr,
+    )
+
+    docs = _t(spark, sf, "documents")
+    uri = F.concat(
+        F.lit("http://synth.local/"), F.col("source"),
+        F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>"), F.col("source"),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-Doc: "),
+        F.col("doc_id").cast("string"), F.lit("\r\n\r\n"), html,
+    )
+    recs = docs.select(
+        (F.col("doc_id") % 8).cast("string").alias("path"),
+        F.struct(
+            F.col("doc_id"),
+            wet_record_expr(
+                uri, payload, warc_type="response",
+                content_type="application/http; msgtype=response",
+            ).alias("rec"),
+        ).alias("s"),
+    )
+    files = recs.groupBy("path").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list("s")), lambda s: s["rec"])
+        ).cast("binary").alias("content")
+    )
+    parsed = split_http_payload(parse_warc_files(files))
+    return parsed.select(
+        F.col("target_uri").alias("uri"),
+        "http_status",
+        F.col("http_content_type").alias("content_type"),
+        html_to_text(F.col("http_body")).alias("text"),
+        F.length(html_to_text(F.col("http_body"))).cast("long").alias("n_chars"),
+    )
+
+
+ORACLE_WARC_RESPONSES = """
+SELECT 'http://synth.local/' || source || '/' || CAST(doc_id AS VARCHAR) AS uri,
+  CAST(200 AS INT) AS http_status,
+  'text/html' AS content_type,
+  source || chr(10) || text AS text,
+  CAST(length(source) + 1 + length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 ORACLE_WET_RECORDS = """
 SELECT 'http://synth.local/' || source || '/' || CAST(doc_id AS VARCHAR) AS uri,
   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1 AS BIGINT)
@@ -3500,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ingestion operators (reference SURVEY §2.1-2.5)
         "reader_markdown_elements": q_md_parse_elements,
         "reader_wet_records": q_reader_wet_records,
+        "reader_warc_responses": q_warc_responses,
         "chunker_header": q_header_chunks,
         "chunker_section": q_section_chunks,
         "chunker_markdown": q_markdown_chunks,
@@ -3609,6 +3673,7 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
         "reader_wet_records": ORACLE_WET_RECORDS,
+        "reader_warc_responses": ORACLE_WARC_RESPONSES,
         "chunker_header": _values_oracle(
             _fixture_chunk_golden(lambda rows: header_chunk_doc(rows, _FIXED_OPTS)),
             _CHUNK_COLS, _CHUNK_TYPES,

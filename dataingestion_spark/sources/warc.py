@@ -76,16 +76,17 @@ def wet_record_bytes(
     return head + payload + b"\r\n\r\n"
 
 
-def wet_record_expr(uri_col, text_col) -> "F.Column":
+def wet_record_expr(uri_col, text_col, warc_type: str = "conversion",
+                    content_type: str = "text/plain") -> "F.Column":
     """Column expression building the same record as ``wet_record_bytes``
     from string columns — lets a synthetic corpus be WET-serialized
     entirely JVM-side (Content-Length is the UTF-8 byte length)."""
     return F.concat(
         F.lit("WARC/1.0\r\n"),
-        F.lit("WARC-Type: conversion\r\n"),
+        F.lit(f"WARC-Type: {warc_type}\r\n"),
         F.lit("WARC-Target-URI: "), uri_col, F.lit("\r\n"),
         F.lit("WARC-Date: 2026-01-01T00:00:00Z\r\n"),
-        F.lit("Content-Type: text/plain\r\n"),
+        F.lit(f"Content-Type: {content_type}\r\n"),
         F.lit("Content-Length: "),
         F.octet_length(text_col).cast("string"),
         F.lit("\r\n\r\n"),
@@ -217,3 +218,28 @@ def read_warc(
 
     files = binary_file_scan(spark, path, glob, recursive)
     return parse_warc_files(files, on_error=on_error)
+
+
+def split_http_payload(df, payload_col: str = "payload"):
+    """WARC ``response`` payloads carry the captured HTTP message:
+    status line, headers, blank line, body. Split them with pure column
+    expressions (no second Python pass after the record parse): adds
+    ``http_status`` (int, 0 when the payload isn't HTTP),
+    ``http_content_type`` (lowercased header value, '' when absent) and
+    ``http_body``. Chain with ``operators/html_extract.html_to_text``
+    for the crawl-to-corpus path."""
+    p = F.col(payload_col)
+    status = F.regexp_extract(p, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    head = F.element_at(F.split(p, r"\r\n\r\n", 2), 1)
+    body = F.element_at(F.split(p, r"\r\n\r\n", 2), 2)
+    ctype = F.lower(
+        F.regexp_extract(head, r"(?im)^content-type:[ \t]*([^\r\n;]+)", 1)
+    )
+    return df.withColumns(
+        {
+            "http_status": F.when(status == "", 0)
+            .otherwise(status.cast("int")),
+            "http_content_type": F.when(status == "", "").otherwise(ctype),
+            "http_body": F.when(status == "", p).otherwise(F.coalesce(body, F.lit(""))),
+        }
+    )

@@ -110,3 +110,48 @@ def test_wet_record_expr_matches_python(spark):
         for u, t in [("http://a.example/1", "hello world"), ("http://u/é", "héllo\nagain")]
     )
     assert got == want
+
+
+def test_split_http_payload(spark):
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sources.warc import split_http_payload
+
+    rows = [
+        (0, "HTTP/1.1 200 OK\r\nContent-Type: text/HTML; charset=utf-8\r\n"
+            "X-Other: y\r\n\r\n<p>body</p>"),
+        (1, "HTTP/1.0 404 Not Found\r\nContent-Length: 0\r\n\r\n"),
+        (2, "plain WET text, not an HTTP message"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "payload"])
+    out = {r.i: r for r in split_http_payload(df).collect()}
+    assert out[0].http_status == 200
+    assert out[0].http_content_type == "text/html"
+    assert out[0].http_body == "<p>body</p>"
+    assert out[1].http_status == 404 and out[1].http_body == ""
+    assert out[2].http_status == 0
+    assert out[2].http_body == rows[2][1]
+
+
+def test_warc_response_to_text_chain(spark):
+    """Full crawl-to-corpus chain: response record -> HTTP split -> HTML
+    -> visible text, all inside the engine."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.operators.html_extract import html_to_text
+    from dataingestion_spark.sources.warc import parse_warc_files, split_http_payload
+
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><body><h1>Title</h1><p>Hello &amp; bye</p></body></html>"
+    )
+    rec = wet_record_bytes("http://x/", payload, warc_type="response",
+                           content_type="application/http; msgtype=response")
+    files = spark.createDataFrame([("f0", bytearray(rec))], ["path", "content"])
+    out = (
+        split_http_payload(parse_warc_files(files))
+        .withColumn("text", html_to_text(F.col("http_body")))
+        .collect()[0]
+    )
+    assert out.warc_type == "response" and out.http_status == 200
+    assert out.text == "Title\nHello & bye"
