@@ -103,3 +103,47 @@ def test_header_chunker_contexts_are_header_paths(spec):
             if part:
                 # context is assembled exclusively from header markdowns
                 assert any(part in h for h in headers) or c["context"] == ""
+
+
+# --- WARC serializer/parser round trip -----------------------------------
+
+warc_payloads = st.binary(min_size=0, max_size=400)
+warc_uris = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                           whitelist_characters=":/._-"),
+    min_size=1, max_size=60,
+).map(lambda s: "http://h/" + s)
+
+
+@given(st.lists(st.tuples(warc_uris, warc_payloads), min_size=1, max_size=8),
+       st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_any_payload(recs, gz):
+    """Serialize → parse recovers every record exactly, for ARBITRARY
+    payload bytes (including bytes that look like WARC headers, CRLFs,
+    and gzip magic) — Content-Length framing, never delimiter scanning."""
+    import gzip as gz_mod
+
+    from dataingestion_spark.sources.warc import parse_warc_bytes, wet_record_bytes
+
+    blob = b"".join(wet_record_bytes(u, p) for u, p in recs)
+    if gz:
+        blob = gz_mod.compress(blob)
+    parsed = parse_warc_bytes(blob)
+    assert [(r[1], r[5]) for r in parsed] == recs
+    assert all(r[4] == len(p) for r, (_, p) in zip(parsed, recs))
+
+
+# --- tar closed-form size ------------------------------------------------
+
+
+@given(st.lists(st.integers(0, 3000), min_size=1, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_tar_size_closed_form_matches_builder(sizes):
+    from dataingestion_spark.sinks.webdataset import (
+        build_tar_bytes,
+        tar_size_closed_form,
+    )
+
+    members = [(f"m{i}.bin", b"x" * s) for i, s in enumerate(sizes)]
+    assert len(build_tar_bytes(members)) == tar_size_closed_form(sizes)
