@@ -2825,6 +2825,41 @@ def q_reader_wet_records(spark, sf):
     )
 
 
+def q_events_zorder(spark, sf):
+    """Morton/Z-order key (operators/zorder.py::zvalue) over two event
+    dimensions — the multi-dimensional data-skipping layout
+    (write_zordered range-partitions+sorts by this key; per-file
+    min/max tightening on BOTH columns is pinned by
+    tests/test_zorder.py::test_zvalue_locality_beats_single_sort).
+    Pure integer bit interleaving, mirrored bit-for-bit in SQL."""
+    from dataingestion_spark.operators.zorder import zvalue
+
+    ev = _events(spark, sf)
+    x = (F.col("user_id") % 1024).cast("long")
+    y = (F.col("event_id") % 1024).cast("long")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        x.alias("x"),
+        y.alias("y"),
+        zvalue([x, y], bits=10).alias("zval"),
+    )
+
+
+def _oracle_zorder() -> str:
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(10)
+    )
+    return f"""
+WITH m AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id % 1024 AS BIGINT) AS x,
+         CAST(event_id % 1024 AS BIGINT) AS y
+  FROM events)
+SELECT event_id, x, y, CAST({terms} AS BIGINT) AS zval FROM m
+"""
+
+
 def q_webdataset_shards(spark, sf):
     """WebDataset tar-shard export (sinks/webdataset.py): documents
     become {key}.txt + {key}.json members in per-shard USTAR archives
@@ -3509,6 +3544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_moving_sum": q_events_moving_sum,
+        "events_zorder_key": q_events_zorder,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_urgent_orders": q_customers_with_urgent_orders,
         "doc_predicate_forms": q_doc_predicate_forms,
@@ -3626,6 +3662,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": ORACLE_ASOF,
         "events_range_join": ORACLE_RANGE_JOIN,
         "events_moving_sum": ORACLE_MOVING,
+        "events_zorder_key": _oracle_zorder(),
         "customers_without_orders": ORACLE_ANTI,
         "customers_with_urgent_orders": ORACLE_SEMI,
         "doc_predicate_forms": ORACLE_PREDICATES,
