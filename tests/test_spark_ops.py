@@ -346,13 +346,16 @@ def test_entry_contract(spark):
     oracles = em.oracle_sql()
     missing = [k for k in oracles if k not in qs]
     assert not missing
-    # every query except the streaming + iterative-training ones has an oracle
+    # every query except the streaming + iterative-training + engine-specific-
+    # hash ones has an oracle (xxhash64 has no DuckDB twin by construction)
     assert set(qs) - set(oracles) == {
         "streaming_events_windowed",
         "streaming_stateful_counts",
         "streaming_session_windows",
         "search_topk_pq",
         "search_topk_ivf_pq",
+        "dedup_minhash_fast_pairs",
+        "dedup_simhash_fast",
     }
 
 
