@@ -2641,6 +2641,86 @@ WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.43
 """
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (operators/dedup.py::semantic_dedup; Abbas et al. 2023):
+    stride-centroid clustering bounds the quadratic near-dup search to
+    within-cluster blocks; min-id member of each duplicate chain survives.
+    Centroids are the RAW stride vectors (ids 1..8) so the assignment
+    expression is bit-identical to the SQL oracle's."""
+    e = _t(spark, sf, "embeddings")
+    n = e.count()
+    stride = max(1, n // 8)
+    rows = (
+        e.withColumn("rn", F.row_number().over(W.orderBy(F.asc("vec_id"))))
+        .filter((F.col("rn") - 1) % stride == 0)
+        .orderBy("rn").limit(8).select("embedding").collect()
+    )
+    cents = [(i + 1, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
+    out = dedup.semantic_dedup(e, threshold=0.43, centroids=cents)
+    return out.select("vec_id", "cluster_id", "keep")
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY rn) AS centroid_id, embedding AS cvec FROM (
+    SELECT embedding, rn FROM (
+      SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn,
+             GREATEST(1, (SELECT COUNT(*) FROM embeddings) // 8) AS stride
+      FROM embeddings)
+    WHERE (rn - 1) % stride = 0 ORDER BY rn LIMIT 8)),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_COS_SQL.format(a="e.embedding", b="c.cvec")} DESC, c.centroid_id) AS crk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crk = 1),
+dupb AS (
+  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.43)
+SELECT a.vec_id, a.centroid_id AS cluster_id, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dupb d ON a.vec_id = d.vec_id
+"""
+
+
+def q_lm_perplexity(spark, sf):
+    """CCNet-style bigram-LM log-perplexity filter (operators/lm.py;
+    Wenzek et al. 2020): model trained on the doc_id %% 10 < 8 slice,
+    every document scored by add-k smoothed nats/bigram, keep = below
+    the corpus-median 3.39. Train = two groupBy counts; score = gram
+    equi-join + sorted deterministic float fold (the BM25 fold shape)."""
+    from dataingestion_spark.operators import lm
+
+    docs = _t(spark, sf, "documents")
+    model = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 8))
+    out = lm.perplexity_filter(docs, model, threshold=3.39)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("nll", 6).alias("nll_r"), "keep"
+    )
+
+
+ORACLE_LM_PERPLEXITY = r"""
+WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})) AS g FROM w),
+g AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g0),
+dg AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+ref AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM dg WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM ref GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT wd) AS v FROM (SELECT w1 AS wd FROM ref UNION ALL SELECT w2 FROM ref)),
+sc AS (SELECT dg.doc_id, dg.w1, dg.w2, dg.cnt,
+         CAST(dg.cnt AS DOUBLE)
+         * ln((CAST(coalesce(ref.c2, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(coalesce(ctx.c1, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE) * v)) AS s
+       FROM dg LEFT JOIN ref USING (w1, w2) LEFT JOIN ctx USING (w1), vocab),
+agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               -list_reduce(list(s ORDER BY w1, w2), (a, b) -> a + b) / SUM(cnt) AS nll
+        FROM sc GROUP BY doc_id)
+SELECT doc_id, n_bigrams, round(nll, 6) AS nll_r, nll < CAST(3.39 AS DOUBLE) AS keep FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # D. ingestion operators (fixture goldens + relational token chunker)
 # ---------------------------------------------------------------------------
@@ -3572,6 +3652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination_check": q_contamination,
         "dedup_embedding_pairs": q_emb_neardup,
         "dedup_cluster_canonical": q_dedup_clusters,
+        "dedup_semantic_clusters": q_semantic_dedup,
+        "doc_lm_perplexity": q_lm_perplexity,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_histogram_quantiles": q_sketch_quantiles,
         "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
@@ -3686,6 +3768,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_contamination_check": ORACLE_CONTAMINATION,
         "dedup_embedding_pairs": ORACLE_EMB_NEARDUP,
         "dedup_cluster_canonical": _oracle_cluster(),
+        "dedup_semantic_clusters": ORACLE_SEMANTIC_DEDUP,
+        "doc_lm_perplexity": ORACLE_LM_PERPLEXITY,
         "sketch_hll_users": _oracle_hll(),
         "sketch_histogram_quantiles": _oracle_hist_quantiles(),
         "sketch_cm_heavy_hitters": _oracle_cm(),

@@ -659,3 +659,68 @@ def neardup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("node").alias(id_col), F.col("component").alias("canonical_id"))
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", n_clusters: int = 8,
+                   threshold: float = 0.9, centroids=None,
+                   iters: int = 0) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540): cluster
+    the embedding space with k-means, then look for duplicates ONLY within
+    clusters — semantically redundant examples land in the same cluster, so
+    the quadratic pair search shrinks from O(n²) to Σ|cluster|².
+
+    Keep rule (deterministic): a vector is dropped iff some *lower-id*
+    member of its cluster is within ``threshold`` cosine — the minimum-id
+    member of every duplicate chain survives. (The paper keeps the member
+    farthest from the centroid; min-id is the order-free analog that an SQL
+    oracle can replicate exactly.)
+
+    Output: ``(id_col, cluster_id, keep)`` for every input vector.
+
+    Scale shape: centroids are broadcast (assignment is one map over the
+    corpus — no shuffle), then ONE shuffle keyed by cluster id co-locates
+    each cluster for its partition-local self-join. At 100 TB: n_clusters
+    ~ sqrt(n) keeps E[|cluster|²] bounded; a skewed mega-cluster is the
+    failure mode — cap it by raising n_clusters or pre-splitting hot
+    clusters with :func:`~..operators.skew` salting on the pair join.
+
+    ``iters=0`` + default stride init keeps the whole path (assignment
+    included) closed-form and SQL-oracle-checkable; raise ``iters`` for
+    real Lloyd refinement when exact reproducibility in SQL isn't needed.
+    """
+    from .similarity import cosine_sim, ivf_assign, train_centroids
+
+    spark = df.sparkSession
+    cents = centroids or train_centroids(
+        df, n_centroids=n_clusters, iters=iters,
+        corpus_id=id_col, corpus_vec=vec_col,
+    )
+    cdf = spark.createDataFrame(cents, ["centroid_id", "cvec"])
+    assigned = ivf_assign(df.select(id_col, vec_col), cdf, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        F.col("centroid_id").alias("cluster_id"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        F.col("centroid_id").alias("cluster_id"),
+    )
+    # pair join shuffles BOTH sides on cluster_id only; the a<b predicate
+    # and the cosine threshold evaluate partition-locally after co-location
+    dup_b = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine_sim(F.col("_va"), F.col("_vb")) >= F.lit(float(threshold)))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, F.col("centroid_id").alias("cluster_id"))
+        .join(dup_b.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "cluster_id",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

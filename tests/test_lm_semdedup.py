@@ -1,0 +1,115 @@
+"""Unit tests for the CCNet-style bigram LM (operators/lm.py) and SemDeDup
+(operators/dedup.py::semantic_dedup)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.operators import lm
+from dataingestion_spark.operators.dedup import semantic_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_lm_hand_computed(spark):
+    # reference corpus: one doc "a b a b" → bigrams (a,b)x2, (b,a)x1
+    ref = _docs(spark, [(0, "a b a b")])
+    model = lm.train_bigram_lm(ref)
+    got = {(r.w1, r.w2): r.c2 for r in model.collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+    # vocab = {a, b} → V=2, k=0.5; c1(a)=2, c1(b)=1
+    # score "a b": logp(b|a) = ln((2+.5)/(2+1)) = ln(2.5/3)
+    scored = lm.lm_log_perplexity(_docs(spark, [(1, "a b")]), model)
+    row = scored.collect()[0]
+    assert row.n_bigrams == 1
+    assert row.nll == pytest.approx(-math.log(2.5 / 3.0), abs=1e-12)
+
+    # unseen context "z z": logp = ln(.5/(0+.5*2)) = ln(.5) → nll = ln 2
+    row2 = lm.lm_log_perplexity(_docs(spark, [(2, "z z")]), model).collect()[0]
+    assert row2.nll == pytest.approx(math.log(2.0), abs=1e-12)
+
+
+def test_lm_reference_docs_score_lower(spark):
+    ref = _docs(spark, [(i, "the quick brown fox jumps over the lazy dog")
+                        for i in range(4)])
+    model = lm.train_bigram_lm(ref)
+    probe = _docs(spark, [(100, "the quick brown fox"),
+                          (101, "zeppelin quartz vortex glyph")])
+    out = {r.doc_id: r.nll for r in lm.lm_log_perplexity(probe, model).collect()}
+    assert out[100] < out[101]
+
+
+def test_perplexity_filter_threshold_and_broadcast_agree(spark):
+    ref = _docs(spark, [(i, "alpha beta gamma delta alpha beta") for i in range(3)])
+    probe = _docs(spark, [(10, "alpha beta gamma"), (11, "omega psi chi")])
+    model = lm.train_bigram_lm(ref)
+    # all-unseen text degrades to uniform 1/V → nll = ln(V) = ln 4 ≈ 1.386;
+    # in-distribution text scores well below that
+    plain = lm.perplexity_filter(probe, model, threshold=1.0)
+    bcast = lm.perplexity_filter(probe, model, threshold=1.0,
+                                 broadcast_model=True)
+    p = {r.doc_id: (r.nll, r.keep) for r in plain.collect()}
+    b = {r.doc_id: (r.nll, r.keep) for r in bcast.collect()}
+    assert p == b  # broadcast is a physical hint, not a semantic change
+    assert p[10][1] and not p[11][1]
+
+
+def test_lm_docs_without_bigrams_are_absent(spark):
+    ref = _docs(spark, [(0, "a b")])
+    model = lm.train_bigram_lm(ref)
+    out = lm.lm_log_perplexity(_docs(spark, [(1, "solo"), (2, "a b")]), model)
+    assert [r.doc_id for r in out.collect()] == [2]
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    # two well-separated clusters; explicit centroids pin the assignment.
+    # cluster 1: ids 0,1 nearly parallel (dupes) + id 2 orthogonal-ish
+    # cluster 2: ids 10,11 nearly parallel (dupes)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),
+        (2, [0.1, 1.0, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.999, 0.001]),
+    ]
+    cents = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])]
+    out = semantic_dedup(_vec_df(spark, rows), threshold=0.95, centroids=cents)
+    got = {r.vec_id: (r.cluster_id, r.keep) for r in out.collect()}
+    assert got[0] == (1, True)    # min-id survivor
+    assert got[1] == (1, False)   # near-dup of 0 in same cluster
+    assert got[2] == (1, True)    # same cluster but below threshold
+    assert got[10] == (2, True)
+    assert got[11] == (2, False)
+
+
+def test_semantic_dedup_misses_cross_cluster_pairs(spark):
+    # the SemDeDup trade: near-identical vectors assigned to different
+    # clusters are NOT compared (that's what buys Σ|cluster|² < n²)
+    rows = [
+        (0, [1.0, 0.05, 0.0, 0.0]),
+        (1, [1.0, -0.05, 0.0, 0.0]),  # ~0.995 cosine to id 0
+    ]
+    cents = [(1, [1.0, 0.1, 0.0, 0.0]), (2, [1.0, -0.1, 0.0, 0.0])]
+    out = semantic_dedup(_vec_df(spark, rows), threshold=0.9, centroids=cents)
+    got = {r.vec_id: (r.cluster_id, r.keep) for r in out.collect()}
+    assert got[0] == (1, True) and got[1] == (2, True)
+
+
+def test_semantic_dedup_default_centroids(spark):
+    # no explicit centroids: stride-init k-means (iters=0) still produces a
+    # total partition of the ids with the min-id of each dup chain kept
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.0])
+            for i in range(9)]
+    out = semantic_dedup(_vec_df(spark, rows), n_clusters=3, threshold=0.99)
+    got = {r.vec_id: r.keep for r in out.collect()}
+    assert len(got) == 9
+    # ids 0,3,6 identical → only 0 kept; same for 1,4,7 and 2,5,8
+    assert [i for i in sorted(got) if got[i]] == [0, 1, 2]
