@@ -3116,6 +3116,62 @@ FROM documents
 """
 
 
+def q_url_psl_domain(spark, sf):
+    """Full Public-Suffix-List eTLD+1 (operators/urls.py::
+    registered_domain_psl): synthetic hosts exercising normal, wildcard
+    (*.ck), exception (!www.ck, !city.kobe.jp), and longest-match rules,
+    resolved via the broadcast rule join. The oracle states every case's
+    public suffix + registered domain in closed form, so the full PSL
+    precedence algorithm is pinned end to end."""
+    from dataingestion_spark.operators.urls import psl_rules, registered_domain_psl
+
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 6
+    host = (
+        F.when(m == 0, F.concat(F.lit("a."), F.col("source"), F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("b."), F.col("source"), F.lit(".co.uk")))
+        .when(m == 2, F.concat(F.col("source"), F.lit(".ck")))
+        .when(m == 3, F.concat(F.lit("x."), F.col("source"), F.lit(".ck")))
+        .when(m == 4, F.lit("sub.www.ck"))
+        .otherwise(F.lit("y.city.kobe.jp"))
+    )
+    rules = psl_rules(spark, [
+        "com", "uk", "co.uk", "ck", "*.ck", "!www.ck",
+        "jp", "kobe.jp", "*.kobe.jp", "!city.kobe.jp",
+    ])
+    out = registered_domain_psl(
+        docs.select("doc_id", host.alias("host")), rules
+    )
+    return out.select("doc_id", "host", "public_suffix", "registered_domain")
+
+
+ORACLE_URL_PSL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'a.' || source || '.com'
+    WHEN 1 THEN 'b.' || source || '.co.uk'
+    WHEN 2 THEN source || '.ck'
+    WHEN 3 THEN 'x.' || source || '.ck'
+    WHEN 4 THEN 'sub.www.ck'
+    ELSE 'y.city.kobe.jp' END AS host,
+  CASE doc_id % 6
+    WHEN 0 THEN 'com'
+    WHEN 1 THEN 'co.uk'
+    WHEN 2 THEN lower(source) || '.ck'
+    WHEN 3 THEN lower(source) || '.ck'
+    WHEN 4 THEN 'ck'
+    ELSE 'kobe.jp' END AS public_suffix,
+  CASE doc_id % 6
+    WHEN 0 THEN lower(source) || '.com'
+    WHEN 1 THEN lower(source) || '.co.uk'
+    WHEN 2 THEN NULL
+    WHEN 3 THEN 'x.' || lower(source) || '.ck'
+    WHEN 4 THEN 'www.ck'
+    ELSE 'city.kobe.jp' END AS registered_domain
+FROM documents
+"""
+
+
 def q_warc_responses(spark, sf):
     """The full crawl-to-corpus chain in one plan: WARC *response*
     records (HTTP status line + headers + HTML body, synthesized
@@ -3654,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": q_dedup_clusters,
         "dedup_semantic_clusters": q_semantic_dedup,
         "doc_lm_perplexity": q_lm_perplexity,
+        "doc_url_psl_domain": q_url_psl_domain,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_histogram_quantiles": q_sketch_quantiles,
         "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
@@ -3770,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": _oracle_cluster(),
         "dedup_semantic_clusters": ORACLE_SEMANTIC_DEDUP,
         "doc_lm_perplexity": ORACLE_LM_PERPLEXITY,
+        "doc_url_psl_domain": ORACLE_URL_PSL,
         "sketch_hll_users": _oracle_hll(),
         "sketch_histogram_quantiles": _oracle_hist_quantiles(),
         "sketch_cm_heavy_hitters": _oracle_cm(),

@@ -126,3 +126,108 @@ def url_signals(
         F.size(kept_query_params(u)).cast("int").alias("n_query_params"),
         dom.isin(*blocklist).alias("is_blocked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Public Suffix List support (broadcast-join path)
+# ---------------------------------------------------------------------------
+
+def psl_rules(spark, rules) -> DataFrame:
+    """Parse raw PSL lines (publicsuffix.org/list/ format) into a rule
+    table for :func:`registered_domain_psl`. Comments (``//``) and blank
+    lines are skipped. Each rule becomes:
+
+    * ``lit`` — the literal label-suffix to equi-join on (wildcard ``*.``
+      and exception ``!`` markers stripped),
+    * ``rule_n`` — the rule's label count (prevailing-rule tiebreak: the
+      PSL algorithm picks the matching rule with the most labels),
+    * ``ps_n`` — labels in the resulting public suffix (wildcard consumes
+      one extra host label; an exception rule's suffix drops its leftmost
+      label),
+    * ``req_n`` — minimum host labels for the rule to match (a wildcard
+      must consume a real label: ``*.ck`` does not match host ``ck``),
+    * ``is_exc`` — exception rules prevail over everything.
+    """
+    parsed = []
+    for raw in rules:
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        is_exc = line.startswith("!")
+        body = line.lstrip("!")
+        wild = body.startswith("*.")
+        lit = body[2:] if wild else body
+        lit_n = lit.count(".") + 1
+        rule_n = lit_n + (1 if wild else 0)
+        ps_n = rule_n - (1 if is_exc else 0)
+        req_n = rule_n
+        parsed.append((lit.lower(), rule_n, ps_n, req_n, is_exc))
+    return spark.createDataFrame(
+        parsed, "lit string, rule_n int, ps_n int, req_n int, is_exc boolean"
+    )
+
+
+def registered_domain_psl(df: DataFrame, rules: DataFrame,
+                          host_col: str = "host", id_col: str = "doc_id",
+                          max_depth: int = 6) -> DataFrame:
+    """eTLD+1 with FULL Public Suffix List semantics (wildcard ``*.ck``,
+    exception ``!www.ck``, longest-match precedence) — the production
+    replacement for the inlined-subset :func:`registered_domain`.
+
+    Algorithm (publicsuffix.org): among all rules matching a suffix of the
+    host, the prevailing rule is the exception rule if any, else the one
+    with the most labels; no match → the implicit ``*`` rule (TLD is the
+    public suffix). Output adds ``public_suffix`` and
+    ``registered_domain`` (null when the host IS a public suffix).
+
+    Scale shape: each host explodes into ≤ ``max_depth`` candidate label
+    suffixes, equi-joined against the **broadcast** rule table (the full
+    PSL is ~15k rules ≈ 1 MB — always broadcastable), then one groupBy on
+    the row id picks the prevailing rule. The corpus text never moves:
+    the shuffle carries (id, host, tiny-rule-struct) rows only. For a
+    zero-shuffle variant, resolve DISTINCT hosts first and broadcast the
+    host→domain map back (distinct hosts ≪ rows on real crawls).
+    """
+    h = F.lower(F.col(host_col))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    # candidate suffixes: last i labels for i = 1..min(n, max_depth)
+    cand = F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_depth))),
+        lambda i: F.concat_ws(".", F.slice(labels, n - i + 1, i)),
+    )
+    exploded = df.select(
+        F.col(id_col), h.alias("_h"), n.alias("_n"),
+        F.explode(cand).alias("lit"),
+    )
+    joined = (
+        exploded.join(F.broadcast(rules), "lit")
+        .filter(F.col("_n") >= F.col("req_n"))
+        .groupBy(id_col)
+        .agg(
+            F.first("_h").alias("_h"), F.first("_n").alias("_n"),
+            F.max(
+                F.struct(
+                    F.col("is_exc").cast("int").alias("exc"),
+                    F.col("rule_n").alias("rule_n"),
+                    F.col("ps_n").alias("ps_n"),
+                )
+            ).alias("_best"),
+        )
+        .select(id_col, F.col("_best.ps_n").alias("_ps_n"))
+    )
+    out = df.join(joined, id_col, "left")
+    labels2 = F.split(F.lower(F.col(host_col)), r"\.")
+    n2 = F.size(labels2)
+    ps_n = F.coalesce(F.col("_ps_n"), F.lit(1))
+    ps = F.concat_ws(".", F.slice(labels2, n2 - F.least(ps_n, n2) + 1,
+                                  F.least(ps_n, n2)))
+    reg = F.when(
+        n2 > ps_n,
+        F.concat_ws(".", F.slice(labels2, n2 - ps_n, ps_n + 1)),
+    )
+    return out.select(
+        *[c for c in df.columns],
+        ps.alias("public_suffix"),
+        reg.alias("registered_domain"),
+    )

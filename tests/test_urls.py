@@ -72,3 +72,78 @@ def test_url_dedup_by_normalized(spark):
         .count()
     )
     assert n == 2
+
+
+# ---------------------------------------------------------------------------
+# Full-PSL registered_domain (wildcard / exception / longest-match)
+# ---------------------------------------------------------------------------
+
+_PSL_SAMPLE = [
+    "// ===BEGIN ICANN DOMAINS===",
+    "com", "uk", "co.uk",
+    "ck", "*.ck", "!www.ck",
+    "jp", "kobe.jp", "*.kobe.jp", "!city.kobe.jp",
+    "",
+]
+
+
+def _psl_cases():
+    # (host, public_suffix, registered_domain) — from the PSL test vectors
+    return [
+        ("example.com", "com", "example.com"),
+        ("a.b.example.com", "com", "example.com"),
+        ("example.co.uk", "co.uk", "example.co.uk"),
+        ("sub.example.co.uk", "co.uk", "example.co.uk"),
+        ("uk", "uk", None),
+        ("co.uk", "co.uk", None),
+        # wildcard *.ck: every 2-label suffix is public...
+        ("another.example.ck", "example.ck", "another.example.ck"),
+        ("example.ck", "example.ck", None),
+        # ...except the !www.ck exception
+        ("www.ck", "ck", "www.ck"),
+        ("sub.www.ck", "ck", "www.ck"),
+        # ck alone: wildcard needs a label to consume → implicit * rule
+        ("ck", "ck", None),
+        # longest match: *.kobe.jp beats kobe.jp beats jp
+        ("other.kobe.jp", "other.kobe.jp", None),
+        ("x.other.kobe.jp", "other.kobe.jp", "x.other.kobe.jp"),
+        ("city.kobe.jp", "kobe.jp", "city.kobe.jp"),
+        ("sub.city.kobe.jp", "kobe.jp", "city.kobe.jp"),
+        # unlisted TLD → implicit * rule
+        ("example.xyz", "xyz", "example.xyz"),
+        ("MiXeD.ExAmPlE.cOm", "com", "example.com"),
+    ]
+
+
+def test_registered_domain_psl_vectors(spark):
+    from dataingestion_spark.operators.urls import psl_rules, registered_domain_psl
+
+    cases = _psl_cases()
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _, _) in enumerate(cases)], "doc_id long, host string"
+    )
+    out = registered_domain_psl(df, psl_rules(spark, _PSL_SAMPLE))
+    got = {r.host: (r.public_suffix, r.registered_domain) for r in out.collect()}
+    for host, ps, reg in cases:
+        assert got[host] == (ps, reg), f"{host}: {got[host]} != {(ps, reg)}"
+
+
+def test_registered_domain_psl_agrees_with_subset(spark):
+    # on hosts covered by the inlined two-label subset, the full-PSL path
+    # and the expression-only registered_domain() must agree
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.operators.urls import (
+        TWO_LABEL_SUFFIXES, psl_rules, registered_domain, registered_domain_psl,
+    )
+
+    hosts = ["example.com", "a.example.co.uk", "b.example.com.au", "x.co.jp"]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, host string"
+    )
+    rules = psl_rules(spark, ["com", "uk", "co.uk", "au", "com.au", "jp", "co.jp"])
+    full = {r.host: r.registered_domain
+            for r in registered_domain_psl(df, rules).collect()}
+    subset = {r.host: r.rd for r in df.select(
+        "host", registered_domain(F.col("host")).alias("rd")).collect()}
+    assert full == subset
