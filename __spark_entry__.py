@@ -2684,6 +2684,43 @@ FROM assigned a LEFT JOIN dupb d ON a.vec_id = d.vec_id
 """
 
 
+def q_boilerplate_lines(spark, sf):
+    """Line-level boilerplate removal (operators/dedup.py::
+    remove_boilerplate_lines; the CCNet/RefinedWeb paragraph-dedup pass):
+    docs synthesized with a shared cookie-banner line (2 of 3 docs), a
+    shared footer line (2 of 3), and a per-doc unique trailer; lines in
+    ≥ 3 distinct docs are removed, everything else survives in order.
+    The oracle states the expected cleaned text in closed form."""
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 3
+    banner = F.lit("accept cookies to continue")
+    footer = F.lit("copyright footer")
+    nl = F.lit("\n")
+    text2 = (
+        F.when(m == 0, F.concat(banner, nl, F.col("text"), nl, footer))
+        .when(m == 1, F.concat(banner, nl, F.col("text")))
+        .otherwise(F.concat(
+            F.col("text"), nl, footer, nl,
+            F.lit("unique trailer "), F.col("doc_id").cast("string"),
+        ))
+    )
+    out = dedup.remove_boilerplate_lines(
+        docs.select("doc_id", text2.alias("text")), min_docs=3
+    )
+    return out.select("doc_id", "n_lines", "n_removed", "clean_text")
+
+
+ORACLE_BOILERPLATE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE doc_id % 3 WHEN 1 THEN 2 ELSE 3 END AS n_lines,
+  CASE doc_id % 3 WHEN 0 THEN 2 ELSE 1 END AS n_removed,
+  CASE doc_id % 3
+    WHEN 2 THEN text || chr(10) || 'unique trailer ' || CAST(doc_id AS VARCHAR)
+    ELSE text END AS clean_text
+FROM documents
+"""
+
+
 def q_lm_perplexity(spark, sf):
     """CCNet-style bigram-LM log-perplexity filter (operators/lm.py;
     Wenzek et al. 2020): model trained on the doc_id %% 10 < 8 slice,
@@ -3711,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_clusters": q_semantic_dedup,
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
+        "dedup_boilerplate_lines": q_boilerplate_lines,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_histogram_quantiles": q_sketch_quantiles,
         "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
@@ -3828,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_clusters": ORACLE_SEMANTIC_DEDUP,
         "doc_lm_perplexity": ORACLE_LM_PERPLEXITY,
         "doc_url_psl_domain": ORACLE_URL_PSL,
+        "dedup_boilerplate_lines": ORACLE_BOILERPLATE,
         "sketch_hll_users": _oracle_hll(),
         "sketch_histogram_quantiles": _oracle_hist_quantiles(),
         "sketch_cm_heavy_hitters": _oracle_cm(),

@@ -724,3 +724,62 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_docs: int = 2) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb paragraph-
+    dedup pass): a line appearing in ≥ ``min_docs`` DISTINCT documents is
+    boilerplate (cookie banners, nav bars, footers) and every occurrence
+    is dropped; unique lines survive in order. Whitespace-only lines are
+    structural, not content — never counted, never removed.
+
+    Output: ``(id_col, n_lines, n_removed, clean_text)`` for every input
+    document (clean_text = '' when everything was boilerplate).
+
+    Scale shape: posexplode lines → count DISTINCT docs per md5 line key
+    (map-side combine) → the ≥min_docs *heavy-hitter* set is filtered
+    BEFORE the anti-join, so at 100 TB the join's build side is only the
+    boilerplate keys (tiny, broadcast) while the probe streams the lines.
+    Reconstruction is one groupBy(doc) with a sorted in-memory fold —
+    lines of one document co-locate, so memory is bounded by the largest
+    document, not the partition."""
+    lines = F.split(F.col(text_col), "\n")
+    exploded = df.select(
+        F.col(id_col), F.size(lines).alias("_nl"),
+        F.posexplode(lines).alias("_i", "_line"),
+    ).withColumn(
+        "_k",
+        F.when(F.length(F.trim(F.col("_line"))) > 0,
+               F.md5(F.trim(F.col("_line")))),
+    )
+    hot = (
+        exploded.filter(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.countDistinct(id_col).alias("_dfreq"))
+        .filter(F.col("_dfreq") >= min_docs)
+        .select("_k")
+    )
+    kept = exploded.join(F.broadcast(hot), "_k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.first("_nl").alias("n_lines"),
+        (F.first("_nl") - F.count("*")).cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_line"))),
+                lambda x: x["_line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col, F.size(lines).alias("_all"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.col("_all")).alias("n_lines"),
+            F.coalesce("n_removed", F.col("_all").cast("int")).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

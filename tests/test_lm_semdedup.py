@@ -113,3 +113,38 @@ def test_semantic_dedup_default_centroids(spark):
     assert len(got) == 9
     # ids 0,3,6 identical → only 0 kept; same for 1,4,7 and 2,5,8
     assert [i for i in sorted(got) if got[i]] == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal
+# ---------------------------------------------------------------------------
+
+def test_remove_boilerplate_lines(spark):
+    from dataingestion_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = _docs(spark, [
+        (0, "COOKIES\nreal content zero\nFOOTER"),
+        (1, "COOKIES\nreal content one\nFOOTER"),
+        (2, "COOKIES\nreal content two"),
+        (3, "COOKIES\nCOOKIES\nonly my line"),   # within-doc repeat: both go
+        (4, "COOKIES\nFOOTER"),                  # everything is boilerplate
+        (5, "solo line\n\nafter blank"),         # blank line survives
+    ])
+    out = {r.doc_id: (r.n_lines, r.n_removed, r.clean_text)
+           for r in remove_boilerplate_lines(docs, min_docs=2).collect()}
+    assert out[0] == (3, 2, "real content zero")
+    assert out[1] == (3, 2, "real content one")
+    assert out[2] == (2, 1, "real content two")
+    assert out[3] == (3, 2, "only my line")
+    assert out[4] == (2, 2, "")
+    assert out[5] == (3, 0, "solo line\n\nafter blank")
+
+
+def test_remove_boilerplate_lines_min_docs(spark):
+    from dataingestion_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = _docs(spark, [(0, "dup\na"), (1, "dup\nb"), (2, "dup\nc")])
+    loose = remove_boilerplate_lines(docs, min_docs=4)
+    assert all(r.n_removed == 0 for r in loose.collect())
+    tight = remove_boilerplate_lines(docs, min_docs=3)
+    assert all(r.n_removed == 1 for r in tight.collect())
