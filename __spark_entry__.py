@@ -2684,6 +2684,59 @@ FROM assigned a LEFT JOIN dupb d ON a.vec_id = d.vec_id
 """
 
 
+def q_pagerank_nations(spark, sf):
+    """PageRank (operators/graph.py) over the nation trade graph: edge
+    c_nation → s_nation for every distinct trading pair in
+    lineitem⋈orders⋈customer⋈supplier, 3 damped power iterations with
+    the deterministic sorted contribution fold — the ENTIRE iterative
+    computation is bit-identical to the oracle's unrolled SQL."""
+    from dataingestion_spark.operators.graph import pagerank
+
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=3)
+    n = _t(spark, sf, "nation")
+    return ranks.join(n, ranks.node == n.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.round("rank", 12).alias("rank_r")
+    )
+
+
+def _oracle_pagerank() -> str:
+    it = """
+c{i} AS (SELECT e.dst, list_reduce(list(r.rank / e.odeg ORDER BY e.src), (a, b) -> a + b) AS inr
+        FROM e JOIN r{p} r ON e.src = r.node GROUP BY e.dst),
+r{i} AS (SELECT nodes.node,
+               ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n)
+               + CAST(0.85 AS DOUBLE) * coalesce(c{i}.inr, CAST(0.0 AS DOUBLE)) AS rank
+        FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.dst),
+"""
+    iters = "".join(it.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+WITH e0 AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+od AS (SELECT src, COUNT(*) AS odeg FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, od.odeg FROM e0 JOIN od USING (src)),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn),
+{iters}
+final AS (SELECT node, rank FROM r3)
+SELECT n.n_name AS nation, round(f.rank, 12) AS rank_r
+FROM final f JOIN nation n ON f.node = n.n_nationkey
+"""
+
+
 def q_boilerplate_lines(spark, sf):
     """Line-level boilerplate removal (operators/dedup.py::
     remove_boilerplate_lines; the CCNet/RefinedWeb paragraph-dedup pass):
@@ -3749,6 +3802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
         "dedup_boilerplate_lines": q_boilerplate_lines,
+        "graph_pagerank_nations": q_pagerank_nations,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_histogram_quantiles": q_sketch_quantiles,
         "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
@@ -3867,6 +3921,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_perplexity": ORACLE_LM_PERPLEXITY,
         "doc_url_psl_domain": ORACLE_URL_PSL,
         "dedup_boilerplate_lines": ORACLE_BOILERPLATE,
+        "graph_pagerank_nations": _oracle_pagerank(),
         "sketch_hll_users": _oracle_hll(),
         "sketch_histogram_quantiles": _oracle_hist_quantiles(),
         "sketch_cm_heavy_hitters": _oracle_cm(),

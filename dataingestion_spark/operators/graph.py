@@ -1,0 +1,84 @@
+"""Graph analytics over relational edge lists: PageRank.
+
+Web-corpus curation ranks domains by link authority (Common Crawl's
+harmonic-centrality rankings, OPIC crawl ordering); the training-data
+analog scores domains for mixing/sampling priors. The reference repo has
+no graph surface (confirmed in SURVEY §2.7); together with
+``operators/dedup.py::connected_components`` this module is the
+beyond-reference graph story.
+
+PageRank here is the classic damped power iteration (Page et al. 1999):
+
+    rank'(v) = (1 - d)/N + d · Σ_{u→v} rank(u)/outdeg(u)
+
+Each iteration is ONE shuffle: contributions flow along edges (join on
+src), then a groupBy(dst) fold. Iteration count is fixed (power iteration
+converges geometrically at rate d; 10-20 rounds suffice for ranking use).
+
+Determinism (the point of this implementation): the per-destination sum
+folds contributions in sorted src order with a 0.0 initial accumulator —
+bit-identical to a SQL ``list_reduce(list(c ORDER BY src))`` — so the
+whole iterative computation is exactly reproducible across engines and
+cluster layouts, unlike a plain SUM() whose partial-aggregation order is
+runtime-dependent. At web scale swap the sorted fold for plain SUM (and
+accept last-ulp drift) once bit-reproducibility stops being worth the
+collect_list memory: the shuffle shape is identical.
+
+Dangling nodes (no out-edges) keep receiving rank but forward none; their
+mass is dropped, not redistributed — the variant DuckDB can mirror without
+a global rank-sum exchange per round. Lineage is cut per iteration with a
+local checkpoint so the plan stays flat (the standard Spark iterative
+pattern, same as connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 5, damping: float = 0.85,
+             checkpoint: bool = True) -> DataFrame:
+    """Ranks for every node appearing in ``edges`` → ``(node, rank)``.
+
+    ``edges`` is a distinct directed edge list; duplicate edges should be
+    deduped by the caller (each duplicate adds weight)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    outdeg = edges.groupBy(src).agg(F.count("*").alias("_outdeg"))
+    # edges carry their src outdegree so each round is one join + one agg
+    e = edges.join(outdeg, src).select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), "_outdeg"
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    base = F.lit((1.0 - damping) / n)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = e.join(
+            ranks, e["_src"] == ranks["node"]
+        ).select(
+            "_src", "_dst", (F.col("rank") / F.col("_outdeg")).alias("_c")
+        )
+        summed = contribs.groupBy("_dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_src", "_c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_c"],
+            ).alias("_in")
+        )
+        ranks = nodes.join(
+            summed, nodes["node"] == summed["_dst"], "left"
+        ).select(
+            "node",
+            (base + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias("rank"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

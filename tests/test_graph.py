@@ -1,0 +1,49 @@
+"""Unit tests for operators/graph.py::pagerank."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    # symmetric cycle: ranks stay at 1/N every iteration
+    e = _edges(spark, [(0, 1), (1, 0)])
+    out = {r.node: r.rank for r in pagerank(e, iters=4).collect()}
+    assert out[0] == pytest.approx(0.5, abs=1e-15)
+    assert out[1] == pytest.approx(0.5, abs=1e-15)
+
+
+def test_pagerank_star_hubs_beat_plain_leaves(spark):
+    # leaves point at the center; the center points back at leaf 1 only.
+    # (center↔leaf1 form a 2-cycle, so their relative order oscillates by
+    # iteration parity — the stable claims are hub > plain leaf and exact
+    # symmetry of the untouched leaves.)
+    e = _edges(spark, [(1, 0), (2, 0), (3, 0), (0, 1)])
+    out = {r.node: r.rank for r in pagerank(e, iters=10).collect()}
+    assert out[0] > out[2] and out[1] > out[2]
+    assert out[2] == out[3]  # symmetric leaves tie exactly
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    # 0→1, 0→2, 1→2: after one iteration from uniform 1/3 with d=0.85:
+    # r(0) = .15/3                      (no in-edges)
+    # r(1) = .15/3 + .85·(1/3)/2        (from 0, outdeg 2)
+    # r(2) = .15/3 + .85·((1/3)/2 + (1/3)/1)
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2)])
+    out = {r.node: r.rank for r in pagerank(e, iters=1).collect()}
+    third = 1.0 / 3.0
+    assert out[0] == pytest.approx(0.15 / 3, abs=1e-15)
+    assert out[1] == pytest.approx(0.15 / 3 + 0.85 * third / 2, abs=1e-15)
+    assert out[2] == pytest.approx(0.15 / 3 + 0.85 * (third / 2 + third), abs=1e-15)
+
+
+def test_pagerank_dangling_mass_dropped(spark):
+    # node 2 is dangling: total rank decays below 1 (documented variant)
+    e = _edges(spark, [(0, 2), (1, 2)])
+    total = pagerank(e, iters=5).agg(F.sum("rank")).collect()[0][0]
+    assert total < 1.0
