@@ -2684,6 +2684,29 @@ FROM assigned a LEFT JOIN dupb d ON a.vec_id = d.vec_id
 """
 
 
+def q_char_entropy(spark, sf):
+    """Character-distribution Shannon entropy (operators/
+    text_analysis.py::char_entropy) — gibberish/blob detector. Pure
+    expression (no explode/shuffle); sorted-char fold makes the double
+    bit-identical to the oracle."""
+    return text_analysis.char_entropy(_t(spark, sf, "documents"))
+
+
+ORACLE_CHAR_ENTROPY = r"""
+WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  list_filter(string_split_regex(text, ''), x -> len(x) > 0) AS cs
+           FROM documents),
+u AS (SELECT doc_id, cs, len(cs) AS n, list_sort(list_distinct(cs)) AS uniq FROM c)
+SELECT doc_id, CAST(n AS INT) AS n_chars, CAST(len(uniq) AS INT) AS n_distinct_chars,
+  CASE WHEN n > 0 THEN round(-list_reduce(
+    list_transform(uniq, ch ->
+      (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n)
+      * ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n)),
+    (a, b) -> a + b), 6) ELSE 0.0 END AS entropy
+FROM u
+"""
+
+
 def q_pagerank_nations(spark, sf):
     """PageRank (operators/graph.py) over the nation trade graph: edge
     c_nation → s_nation for every distinct trading pair in
@@ -3803,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_psl_domain": q_url_psl_domain,
         "dedup_boilerplate_lines": q_boilerplate_lines,
         "graph_pagerank_nations": q_pagerank_nations,
+        "doc_char_entropy": q_char_entropy,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_histogram_quantiles": q_sketch_quantiles,
         "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
@@ -3922,6 +3946,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_url_psl_domain": ORACLE_URL_PSL,
         "dedup_boilerplate_lines": ORACLE_BOILERPLATE,
         "graph_pagerank_nations": _oracle_pagerank(),
+        "doc_char_entropy": ORACLE_CHAR_ENTROPY,
         "sketch_hll_users": _oracle_hll(),
         "sketch_histogram_quantiles": _oracle_hist_quantiles(),
         "sketch_cm_heavy_hitters": _oracle_cm(),

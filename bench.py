@@ -87,6 +87,11 @@ def main():
         "c4_gopher": lambda spark, sf: em.q_c4_filters(spark, sf).join(
             em.q_gopher_filters(spark, sf), "doc_id"
         ),
+        "lm_perplexity": em.q_lm_perplexity,
+        "semantic_dedup": em.q_semantic_dedup,
+        "boilerplate_lines": em.q_boilerplate_lines,
+        "pagerank": em.q_pagerank_nations,
+        "url_psl": em.q_url_psl_domain,
         "ingest_e2e": ingest_e2e,
     }
 

@@ -368,3 +368,36 @@ SELECT {id_col},
         AND {hr} < CAST(0.1 AS DOUBLE)) AS gopher_keep
 FROM {table}
 """
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy of the character distribution (nats) — the cheap
+    gibberish/keyboard-mash/base64-blob detector: natural language sits in
+    a narrow entropy band, while repeated-char spam scores near 0 and
+    random alphanumeric blobs score near ln(alphabet). Degenerate-text
+    filtering à la Gopher's symbol rules, but distribution-level.
+
+    Expression-only (no explode, no shuffle): per row, the distinct-char
+    array is sorted and each character's count comes from one pass over
+    the char array — O(|alphabet| · len) compute at scan speed, fine
+    because |alphabet| is small by construction for text. The entropy fold
+    runs in sorted-char order, so the double is bit-identical across
+    engines (same discipline as the BM25 fold)."""
+    text = F.col(text_col)
+    cs = F.filter(F.split(text, ""), lambda c: F.length(c) > 0)
+    n = F.size(cs)
+    uniq = F.array_sort(F.array_distinct(cs))
+    ent = -F.aggregate(
+        uniq,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (F.size(F.filter(cs, lambda x: x == c)).cast("double") / n)
+        * F.log(F.size(F.filter(cs, lambda x: x == c)).cast("double") / n),
+    )
+    return df.select(
+        F.col(id_col).alias(id_col),
+        n.cast("int").alias("n_chars"),
+        F.size(uniq).cast("int").alias("n_distinct_chars"),
+        F.when(n > 0, F.round(ent, 6)).otherwise(0.0).alias("entropy"),
+    )

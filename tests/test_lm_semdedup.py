@@ -148,3 +148,22 @@ def test_remove_boilerplate_lines_min_docs(spark):
     assert all(r.n_removed == 0 for r in loose.collect())
     tight = remove_boilerplate_lines(docs, min_docs=3)
     assert all(r.n_removed == 1 for r in tight.collect())
+
+
+def test_char_entropy_extremes(spark):
+    import math
+
+    from dataingestion_spark.operators.text_analysis import char_entropy
+
+    docs = _docs(spark, [
+        (0, "aaaaaaaa"),          # degenerate: entropy 0
+        (1, "abababab"),          # two symbols, uniform: ln 2
+        (2, "abcd"),              # four symbols, uniform: ln 4
+        (3, ""),                  # empty: defined as 0
+    ])
+    out = {r.doc_id: (r.n_chars, r.n_distinct_chars, r.entropy)
+           for r in char_entropy(docs).collect()}
+    assert out[0] == (8, 1, 0.0)
+    assert out[1][2] == round(math.log(2), 6)
+    assert out[2][2] == round(math.log(4), 6)
+    assert out[3] == (0, 0, 0.0)
