@@ -353,3 +353,58 @@ def topk_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 10,
             (-_adc_total(len(codebooks), "pq_code")).alias("score"),
         )
     return _rank_topk(scored, k, query_id, corpus_id)
+
+
+def opq_permutation(corpus: DataFrame, m: int = 8,
+                    corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                    sample_limit: int = 100_000) -> List[int]:
+    """OPQ-style balanced dimension permutation (Ge et al. 2014,
+    "Optimized Product Quantization", the non-parametric rotation's cheap
+    deterministic cousin — their §4 balanced-partition initialization):
+    plain PQ slices dimensions in index order, so when variance is
+    concentrated in a few leading dims one subspace carries most of the
+    signal and its k codewords saturate. Reordering dimensions so every
+    subspace gets a similar share of the total variance spreads the
+    quantization budget: sort dims by variance (descending), greedily
+    assign each to the subspace with the smallest variance sum.
+
+    Returns a permutation ``perm`` (length dim, subspace-major) to apply
+    with :func:`permute_vectors` to BOTH corpus and queries before
+    ``pq_train`` / ``pq_encode`` / ``topk_pq_adc``. A permutation is an
+    orthogonal rotation PQ distances are exactly invariant under within
+    subspaces — unlike a full learned rotation there is nothing to
+    invert at query time, and it is deterministic: variances come from
+    the same by-id sample discipline as ``pq_train``, summed in fixed
+    numpy order."""
+    import numpy as np
+
+    pdf = (corpus.select(corpus_id, corpus_vec)
+           .orderBy(corpus_id).limit(sample_limit).toPandas())
+    mat = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    per = dim // m
+    var = mat.var(axis=0)
+    order = sorted(range(dim), key=lambda d: (-var[d], d))
+    buckets: List[List[int]] = [[] for _ in range(m)]
+    loads = [0.0] * m
+    for d in order:
+        # smallest current load among buckets with room; ties to lowest idx
+        j = min((j for j in range(m) if len(buckets[j]) < per),
+                key=lambda j: (loads[j], j))
+        buckets[j].append(d)
+        loads[j] += float(var[d])
+    return [d for b in buckets for d in b]
+
+
+def permute_vectors(df: DataFrame, perm: List[int],
+                    vec_col: str = "embedding") -> DataFrame:
+    """Reorder the vector column by ``perm`` (expression-only projection;
+    scan-speed, no shuffle). Apply the SAME permutation to corpus and
+    queries — L2/cosine are permutation-invariant, so exact operators are
+    unaffected and PQ sees the balanced subspaces."""
+    v = F.col(vec_col)
+    return df.withColumn(
+        vec_col, F.array(*[F.element_at(v, i + 1) for i in perm])
+    )

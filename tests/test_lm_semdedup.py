@@ -167,3 +167,63 @@ def test_char_entropy_extremes(spark):
     assert out[1][2] == round(math.log(2), 6)
     assert out[2][2] == round(math.log(4), 6)
     assert out[3] == (0, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# OPQ balanced dimension permutation
+# ---------------------------------------------------------------------------
+
+def test_opq_permutation_balances_variance(spark):
+    import numpy as np
+
+    from dataingestion_spark.operators.pq import opq_permutation
+
+    # variance concentrated in the first 4 of 8 dims
+    rng = np.random.RandomState(7)
+    mat = np.hstack([rng.randn(200, 4) * 10.0, rng.randn(200, 4) * 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    perm = opq_permutation(df, m=4)
+    assert sorted(perm) == list(range(8))
+    # each of the 4 subspaces must get exactly one high-variance dim
+    for j in range(4):
+        sub = perm[2 * j: 2 * j + 2]
+        assert sum(1 for d in sub if d < 4) == 1, perm
+
+
+def test_opq_permuted_pq_beats_plain_on_skewed_data(spark):
+    import numpy as np
+
+    from dataingestion_spark.operators.pq import (
+        opq_permutation, permute_vectors, pq_encode, pq_train, topk_pq_adc,
+    )
+    from dataingestion_spark.operators.similarity import topk_cosine
+
+    rng = np.random.RandomState(11)
+    # heavy variance skew: plain index-order slicing starves subspace 0
+    scales = np.array([20.0, 15.0, 10.0, 8.0, 0.5, 0.4, 0.3, 0.2])
+    mat = rng.randn(300, 8) * scales
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter("vec_id < 8").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = {(r.query_id, r.vec_id) for r in topk_cosine(df, queries, k=5).collect()}
+
+    def recall(corpus, qs):
+        books = pq_train(corpus, m=4, k=8, iters=4)
+        enc = pq_encode(corpus.select("vec_id", "embedding"), books)
+        got = {(r.query_id, r.vec_id)
+               for r in topk_pq_adc(enc, books, qs, k=5).collect()}
+        return len(got & exact) / len(exact)
+
+    plain = recall(df, queries)
+    perm = opq_permutation(df, m=4)
+    qp = queries.withColumnRenamed("query_vec", "embedding")
+    qp = permute_vectors(qp, perm).withColumnRenamed("embedding", "query_vec")
+    balanced = recall(permute_vectors(df, perm), qp)
+    assert balanced >= plain
