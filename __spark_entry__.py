@@ -2684,6 +2684,70 @@ FROM assigned a LEFT JOIN dupb d ON a.vec_id = d.vec_id
 """
 
 
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR importance resampling (operators/lm.py::dsir_log_weights;
+    Xie et al. 2023): target LM trained on the src0-src4 slice (the
+    'trusted' corpus), raw LM on everything; log w = (nll_raw -
+    nll_target) * n_bigrams, top-100 selected deterministically. The
+    oracle re-derives BOTH models and the ranking in SQL."""
+    from dataingestion_spark.operators import lm
+
+    docs = _t(spark, sf, "documents")
+    target = lm.train_bigram_lm(docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES)))
+    raw = lm.train_bigram_lm(docs)
+    w = lm.dsir_log_weights(docs, target, raw)
+    out = lm.dsir_select(w, n=100)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("log_weight", 6).alias("log_weight_r"), "selected",
+    )
+
+
+def _lm_score_cte(prefix: str, ref_where: str) -> str:
+    """LM scoring CTE chain (model from `dg` rows passing ``ref_where``,
+    every doc scored) with name-prefix ``prefix`` — shared by the
+    perplexity and DSIR oracles. Expects CTEs `dg` (doc bigram counts)
+    and `docsrc` (doc_id → source) upstream."""
+    p = prefix
+    return f"""
+{p}ref AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2
+           FROM dg JOIN docsrc USING (doc_id) WHERE {ref_where} GROUP BY 1, 2),
+{p}ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM {p}ref GROUP BY 1),
+{p}vocab AS (SELECT COUNT(DISTINCT wd) AS v FROM
+             (SELECT w1 AS wd FROM {p}ref UNION ALL SELECT w2 FROM {p}ref)),
+{p}sc AS (SELECT dg.doc_id, dg.w1, dg.w2, dg.cnt,
+         CAST(dg.cnt AS DOUBLE)
+         * ln((CAST(coalesce({p}ref.c2, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(coalesce({p}ctx.c1, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE) * v)) AS s
+       FROM dg LEFT JOIN {p}ref USING (w1, w2) LEFT JOIN {p}ctx USING (w1), {p}vocab),
+{p}agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               -list_reduce(list(s ORDER BY w1, w2), (a, b) -> a + b) / SUM(cnt) AS nll
+        FROM {p}sc GROUP BY doc_id)"""
+
+
+def _oracle_dsir() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+    return r"""
+WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+docsrc AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents),
+g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})) AS g FROM w),
+g AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g0),
+dg AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),""" + \
+        _lm_score_cte("t_", f"source IN ({srcs})") + "," + \
+        _lm_score_cte("r_", "TRUE") + """,
+joined AS (SELECT t_agg.doc_id, t_agg.n_bigrams,
+                  (r_agg.nll - t_agg.nll) * t_agg.n_bigrams AS log_weight
+           FROM t_agg JOIN r_agg USING (doc_id)),
+ranked AS (SELECT *, row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rk FROM joined)
+SELECT doc_id, n_bigrams, round(log_weight, 6) AS log_weight_r, rk <= 100 AS selected
+FROM ranked
+"""
+
+
 def q_char_entropy(spark, sf):
     """Character-distribution Shannon entropy (operators/
     text_analysis.py::char_entropy) — gibberish/blob detector. Pure
@@ -3827,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_boilerplate_lines": q_boilerplate_lines,
         "graph_pagerank_nations": q_pagerank_nations,
         "doc_char_entropy": q_char_entropy,
+        "sample_dsir_weights": q_dsir_weights,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_histogram_quantiles": q_sketch_quantiles,
         "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
@@ -3947,6 +4012,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_boilerplate_lines": ORACLE_BOILERPLATE,
         "graph_pagerank_nations": _oracle_pagerank(),
         "doc_char_entropy": ORACLE_CHAR_ENTROPY,
+        "sample_dsir_weights": _oracle_dsir(),
         "sketch_hll_users": _oracle_hll(),
         "sketch_histogram_quantiles": _oracle_hist_quantiles(),
         "sketch_cm_heavy_hitters": _oracle_cm(),

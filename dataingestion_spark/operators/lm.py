@@ -144,3 +144,55 @@ def perplexity_filter(df: DataFrame, model: DataFrame, threshold: float,
         df, model, text_col, id_col, add_k, broadcast_model
     )
     return scored.withColumn("keep", F.col("nll") < F.lit(float(threshold)))
+
+
+def dsir_log_weights(df: DataFrame, target_model: DataFrame,
+                     raw_model: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", add_k: float = 0.5,
+                     broadcast_model: Optional[bool] = None) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    under a LM of the TARGET distribution (trusted corpus) and a LM of
+    the RAW distribution (the crawl itself); the importance weight is
+
+        log w(x) = log p_target(x) − log p_raw(x)
+                 = (nll_raw − nll_target) · n_bigrams
+
+    Documents that look more like the target than like typical crawl text
+    get positive log-weights; sampling ∝ w(x) reshapes the raw corpus
+    toward the target. DSIR uses hashed n-gram models — ours are exact
+    bigram tables (same estimator, no hash collisions; the hashing trick
+    lives in ``operators/classifier.py`` for the feature-bucketed
+    variant).
+
+    Output: ``(id_col, n_bigrams, log_weight)``. Scale shape = two
+    :func:`lm_log_perplexity` passes sharing the exploded gram frame via
+    plan reuse; both models broadcast in the normal (sampled-reference)
+    case."""
+    t = lm_log_perplexity(df, target_model, text_col, id_col, add_k,
+                          broadcast_model)
+    r = lm_log_perplexity(df, raw_model, text_col, id_col, add_k,
+                          broadcast_model)
+    return (
+        t.select(id_col, "n_bigrams", F.col("nll").alias("_nll_t"))
+        .join(r.select(id_col, F.col("nll").alias("_nll_r")), id_col)
+        .select(
+            id_col, "n_bigrams",
+            ((F.col("_nll_r") - F.col("_nll_t")) * F.col("n_bigrams"))
+            .alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(weights: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic top-n selection by importance weight (the greedy
+    analog of DSIR's Gumbel resampling — reproducibility over sampling
+    noise): adds ``selected`` = rank ≤ n with ties broken by id."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("log_weight"), F.asc(id_col))
+    return (
+        weights.withColumn("_rk", F.row_number().over(w))
+        .withColumn("selected", F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -227,3 +227,26 @@ def test_opq_permuted_pq_beats_plain_on_skewed_data(spark):
     qp = permute_vectors(qp, perm).withColumnRenamed("embedding", "query_vec")
     balanced = recall(permute_vectors(df, perm), qp)
     assert balanced >= plain
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from dataingestion_spark.operators.lm import (
+        dsir_log_weights, dsir_select, train_bigram_lm,
+    )
+
+    target_ref = _docs(spark, [(i, "formal prose about science topics here")
+                               for i in range(3)])
+    raw_ref = _docs(spark, [
+        (0, "formal prose about science topics here"),
+        (1, "click here buy now free offer click here"),
+        (2, "click here buy now free offer click here"),
+        (3, "click now free buy offer now click buy"),
+    ])
+    probe = _docs(spark, [(10, "formal prose about science"),
+                          (11, "click here buy now free")])
+    w = dsir_log_weights(probe, train_bigram_lm(target_ref),
+                         train_bigram_lm(raw_ref))
+    got = {r.doc_id: r.log_weight for r in w.collect()}
+    assert got[10] > got[11]  # target-like doc gets the higher weight
+    sel = {r.doc_id: r.selected for r in dsir_select(w, n=1).collect()}
+    assert sel == {10: True, 11: False}
