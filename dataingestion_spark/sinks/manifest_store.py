@@ -434,6 +434,103 @@ def append_table(records: DataFrame, table: str) -> int:
                    extra=_prune_meta(meta, buckets))
 
 
+def merge_table(source: DataFrame, table: str,
+                when_matched: Optional[str] = "update",
+                when_not_matched: Optional[str] = "insert",
+                matched_condition: Optional[str] = None) -> int:
+    """Delta-style MERGE INTO keyed on ``documentid``.
+
+    * ``when_matched="update"`` — replace the stored row with the source row
+      (whole-row update); ``"delete"`` — delete the stored row; ``None`` —
+      leave matched rows untouched.
+    * ``when_not_matched="insert"`` — append source rows whose documentid is
+      absent from the table; ``None`` — drop them.
+    * ``matched_condition`` — optional SQL boolean gating the matched clause;
+      source columns are referenced plainly, the stored row's columns as
+      ``target.<col>`` (e.g. ``"n_chars > target.n_chars"`` = update only
+      when newer). Matched rows failing the condition are kept as-is.
+
+    Cost model: reads ONLY the buckets the source hashes into (further
+    stat-prunable), writes O(batch) — updates and deletes are expressed as
+    one equality deletion vector sharing the commit's sequence number with
+    the new data files (strictly-smaller rule ⇒ the new row versions
+    survive their own delete). Duplicate documentids in the source raise,
+    matching Delta's multiple-source-rows-matched error — an ambiguous
+    whole-row update has no deterministic winner. Returns the committed
+    version. Replaces nothing the reference has (its writer is
+    upsert-only, ``VectorStoreWriter.cs:76-108``); this is the general
+    conditional form a lakehouse needs.
+    """
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be 'update', 'delete' or None, got {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be 'insert' or None, got {when_not_matched!r}")
+    if "target" in source.columns:
+        raise ValueError("source must not carry a column named 'target' "
+                         "(reserved for matched_condition references)")
+    spark = source.sparkSession
+    if current_version(table) is None:
+        if when_not_matched == "insert":
+            return write_table(source, table)
+        raise FileNotFoundError(f"no committed version in {table}")
+
+    dup = source.groupBy("documentid").count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError("source has duplicate documentids; merge requires "
+                         "one source row per key (Delta semantics)")
+
+    src = source.withColumn("doc_bucket", _bucket_col())
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    affected = sorted(
+        str(r[0]) for r in src.select("doc_bucket").distinct().collect()
+    )
+    existing = [b for b in affected if manifest["buckets"].get(b)]
+    if existing:
+        tgt = _read_files(spark, table, manifest, bucket_subset=existing)
+        tgt_packed = tgt.select(
+            "documentid", F.struct(*tgt.columns).alias("target")
+        )
+        joined = src.join(tgt_packed, "documentid", "left")
+    else:
+        joined = src.withColumn("target", F.lit(None).cast("struct<documentid:string>"))
+    # plan reused for new rows AND the delete vector — pin it once
+    joined = joined.localCheckpoint(eager=True)
+
+    is_matched = F.col("target").isNotNull()
+    act = is_matched if matched_condition is None else (
+        is_matched & F.expr(matched_condition)
+    )
+    new_rows = None
+    if when_matched == "update":
+        new_rows = joined.filter(act).drop("target")
+    if when_not_matched == "insert":
+        ins = joined.filter(~is_matched).drop("target")
+        new_rows = ins if new_rows is None else new_rows.unionByName(ins)
+    del_df = (joined.filter(act).select("documentid", "doc_bucket").distinct()
+              if when_matched in ("update", "delete") else None)
+
+    version = manifest["version"] + 1
+    token = "m" + uuid.uuid4().hex[:7]
+    buckets = {b: list(names) for b, names in manifest["buckets"].items()}
+    if new_rows is not None:
+        new_buckets = _write_bucket_files(new_rows, table, token, stats=meta["stats"])
+        for b, names in new_buckets.items():
+            buckets.setdefault(b, []).extend(names)
+            meta["seq"].update({n: version for n in names})
+    if del_df is not None:
+        del_buckets = _write_bucket_files(del_df, table, "d" + token, prefix="del-")
+        for b, names in del_buckets.items():
+            if manifest["buckets"].get(b):
+                meta["deletes"].setdefault(b, []).extend(names)
+                meta["seq"].update({n: version for n in names})
+            else:  # DV on a bucket with no pre-existing files is a no-op
+                for n in names:
+                    os.remove(os.path.join(table, "files", n))
+    return _commit(table, version, buckets, expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets))
+
+
 def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
     """Rewrite buckets that accumulated more than ``max_files_per_bucket``
     files (the small-file growth of per-batch streaming commits) OR carry

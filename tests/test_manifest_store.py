@@ -264,3 +264,66 @@ def test_read_documents_respects_deletes(spark, tmp_path):
     ms.delete_documents(spark, table, ["doc4"])
     assert ms.read_documents(spark, table, ["doc4"]).count() == 0
     assert ms.read_documents(spark, table, ["doc39"]).count() == 1
+
+
+def test_merge_upsert_update_and_insert(spark, tmp_path):
+    """MERGE with update+insert == upsert; untouched docs survive."""
+    table = str(tmp_path / "t13")
+    ms.write_table(
+        records_df(spark, {"a": ["a-old"], "b": ["b-old"], "c": ["c-old"]}), table
+    )
+    src = records_df(spark, {"b": ["b-new"], "d": ["d-new"]})
+    v = ms.merge_table(src, table)
+    assert v == 1
+    got = {r.documentid: r.content for r in ms.read_table(spark, table).collect()}
+    assert got == {"a": "a-old", "b": "b-new", "c": "c-old", "d": "d-new"}
+
+
+def test_merge_matched_condition_gates_update(spark, tmp_path):
+    """Condition referencing target.<col>: only passing rows update."""
+    table = str(tmp_path / "t14")
+    ms.write_table(records_df(spark, {"a": ["keep"], "b": ["short"]}), table)
+    src = records_df(spark, {"a": ["x"], "b": ["yyyyyy"], "e": ["e-new"]})
+    # update only when the incoming content is LONGER than the stored one
+    ms.merge_table(src, table,
+                   matched_condition="length(content) > length(target.content)")
+    got = {r.documentid: r.content for r in ms.read_table(spark, table).collect()}
+    assert got == {"a": "keep", "b": "yyyyyy", "e": "e-new"}
+
+
+def test_merge_delete_clause_without_insert(spark, tmp_path):
+    """when_matched='delete', when_not_matched=None: matched-only delete."""
+    table = str(tmp_path / "t15")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"], "c": ["c0"]}), table)
+    src = records_df(spark, {"b": ["ignored"], "zzz": ["ignored"]})
+    ms.merge_table(src, table, when_matched="delete", when_not_matched=None)
+    got = sorted(r.documentid for r in ms.read_table(spark, table).collect())
+    assert got == ["a", "c"]  # b deleted; zzz NOT inserted
+
+
+def test_merge_duplicate_source_ids_raise(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "t16")
+    ms.write_table(records_df(spark, {"a": ["a0"]}), table)
+    dup = records_df(spark, {"a": ["x", "y"]})  # two rows, same documentid
+    dup = dup.withColumn("key", F.lit("k"))  # keys differ only by chunk seq
+    with pytest.raises(ValueError, match="duplicate documentids"):
+        ms.merge_table(dup, table)
+
+
+def test_merge_is_one_commit_and_o_batch(spark, tmp_path):
+    """The merge commit appends new files + a DV; no old file is rewritten."""
+    table = str(tmp_path / "t17")
+    docs = {f"doc{i}": [f"doc{i}-c0"] for i in range(30)}
+    ms.write_table(records_df(spark, docs), table)
+    m0 = ms.read_manifest(table)
+    ms.merge_table(records_df(spark, {"doc7": ["doc7-NEW"], "new1": ["n1"]}), table)
+    m1 = ms.read_manifest(table)
+    assert m1["version"] == m0["version"] + 1
+    old_files = {n for names in m0["buckets"].values() for n in names}
+    new_files = {n for names in m1["buckets"].values() for n in names}
+    assert old_files <= new_files  # every original file still referenced
+    assert m1.get("deletes")  # the update travelled as a deletion vector
+    got = {r.documentid: r.content for r in ms.read_table(spark, table).collect()}
+    assert got["doc7"] == "doc7-NEW" and got["new1"] == "n1" and len(got) == 31
