@@ -3686,6 +3686,66 @@ def _oracle_writer_incremental() -> str:
     )
 
 
+def q_lakehouse_merge(spark, sf):
+    """Delta-style MERGE INTO on the manifest store
+    (sinks/manifest_store.py::merge_table), E2E through real table commits:
+
+    * base table = documents with doc_id % 3 != 0;
+    * merge 1 (upsert): source = doc_id % 2 == 0 slice with 'v2 '-prefixed
+      text and n_chars+3, matched_condition "target.n_chars % 2 = 0" —
+      update only rows whose STORED n_chars is even, insert the unmatched;
+    * merge 2 (conditional delete): matched doc_id % 7 == 0 keys deleted,
+      unmatched source rows dropped (when_not_matched=None).
+
+    The oracle restates both merges as joins over the same parquet. The
+    updates/deletes travel as equality deletion vectors (one O(batch)
+    commit each), so this also pins the DV read path under the driver."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "text", "lang", "n_chars",
+    )
+    table = tempfile.mkdtemp(prefix="merge_lh_") + "/t"
+    ms.write_table(docs.filter(F.col("doc_id") % 3 != 0), table)
+    src1 = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(3))
+    )
+    ms.merge_table(src1, table, matched_condition="target.n_chars % 2 = 0")
+    src2 = docs.filter(F.col("doc_id") % 7 == 0).select("documentid")
+    ms.merge_table(src2, table, when_matched="delete", when_not_matched=None)
+    return ms.read_table(spark, table).select(
+        "documentid", "text", "lang", "n_chars"
+    )
+
+
+ORACLE_MERGE = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS documentid, text, lang, n_chars
+  FROM documents WHERE doc_id % 3 <> 0),
+src1 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS documentid, 'v2 ' || text AS text,
+         lang, n_chars + 3 AS n_chars
+  FROM documents WHERE doc_id % 2 = 0),
+upd AS (
+  SELECT s.* FROM src1 s JOIN base t ON s.documentid = t.documentid
+  WHERE t.n_chars % 2 = 0),
+m1 AS (
+  SELECT * FROM base WHERE documentid NOT IN (SELECT documentid FROM upd)
+  UNION ALL SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM src1 WHERE documentid NOT IN (SELECT documentid FROM base))
+SELECT documentid, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM m1
+WHERE documentid NOT IN
+  (SELECT CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
 # ---------------------------------------------------------------------------
 # E. streaming (rows-only check — not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -3933,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_qa_pairs": q_qa_pairs,
         "writer_incremental_replace": q_writer_incremental,
         "writer_webdataset_shards": q_webdataset_shards,
+        "lakehouse_merge_upsert": q_lakehouse_merge,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "search_topk_ivf_pq": q_topk_ivf_pq,
@@ -4060,6 +4121,7 @@ def oracle_sql() -> dict[str, str]:
         "writer_qa_pairs": ORACLE_QA.format(token_chunks=ORACLE_TOKEN_CHUNKS.strip()),
         "writer_incremental_replace": _oracle_writer_incremental(),
         "writer_webdataset_shards": ORACLE_WEBDATASET,
+        "lakehouse_merge_upsert": ORACLE_MERGE,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
