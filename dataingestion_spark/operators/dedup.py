@@ -681,16 +681,19 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
 
     Scale shape: centroids are broadcast (assignment is one map over the
     corpus — no shuffle), then ONE shuffle keyed by cluster id co-locates
-    each cluster for its partition-local self-join. At 100 TB: n_clusters
-    ~ sqrt(n) keeps E[|cluster|²] bounded; a skewed mega-cluster is the
-    failure mode — cap it by raising n_clusters or pre-splitting hot
-    clusters with :func:`~..operators.skew` salting on the pair join.
+    each cluster, and a numpy gram matrix per cluster scores its |c|²
+    pairs in BLAS (borderline pairs re-decided by the exact sequential
+    fold, so results stay bit-identical to the SQL-oracle definition).
+    At 100 TB: n_clusters ~ sqrt(n) keeps clusters task-sized (SemDeDup's
+    own premise); a skewed mega-cluster is the failure mode — cap it by
+    raising n_clusters or pre-splitting hot clusters. Ids must be
+    long-castable (same contract as :func:`embedding_neardup_pairs`).
 
     ``iters=0`` + default stride init keeps the whole path (assignment
     included) closed-form and SQL-oracle-checkable; raise ``iters`` for
     real Lloyd refinement when exact reproducibility in SQL isn't needed.
     """
-    from .similarity import cosine_sim, ivf_assign, train_centroids
+    from .similarity import ivf_assign, train_centroids
 
     spark = df.sparkSession
     cents = centroids or train_centroids(
@@ -699,22 +702,58 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
     )
     cdf = spark.createDataFrame(cents, ["centroid_id", "cvec"])
     assigned = ivf_assign(df.select(id_col, vec_col), cdf, id_col, vec_col)
-    a = assigned.select(
-        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
-        F.col("centroid_id").alias("cluster_id"),
-    )
-    b = assigned.select(
-        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
-        F.col("centroid_id").alias("cluster_id"),
-    )
-    # pair join shuffles BOTH sides on cluster_id only; the a<b predicate
-    # and the cosine threshold evaluate partition-locally after co-location
+
+    # Pair search: ONE shuffle keyed by cluster co-locates each cluster,
+    # then a numpy gram matrix per cluster does the |c|² cosines in BLAS
+    # (~1000× a per-pair expression join). A cluster fitting one task is
+    # SemDeDup's own premise (n_clusters ~ sqrt(n)); pairs within 1e-9 of
+    # the threshold are re-decided with the exact left-to-right fold, so
+    # the keep set is bit-identical to the SQL-oracle definition.
+    thr = float(threshold)
+    eps = 1e-9
+    vname = vec_col
+
+    def cluster_dups(pdf):
+        import math
+
+        import numpy as np
+
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"_lid": []}).astype({"_lid": "int64"})
+        pdf = pdf.sort_values("_lid")
+        ids = pdf["_lid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vname]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        safe = np.where(norms == 0, 1.0, norms)
+        normed = mat / safe[:, None]  # zero-norm rows score 0 → never dups
+        s = normed @ normed.T
+        ii, jj = np.nonzero(s >= thr - eps)
+        out = set()
+        for i, j in zip(ii, jj):
+            if i >= j or int(ids[j]) in out:
+                continue
+            c = s[i, j]
+            if abs(c - thr) < eps:  # borderline: exact sequential fold
+                dot = na = nb = 0.0
+                for d in range(mat.shape[1]):
+                    dot += mat[i, d] * mat[j, d]
+                    na += mat[i, d] * mat[i, d]
+                    nb += mat[j, d] * mat[j, d]
+                den = math.sqrt(na) * math.sqrt(nb)
+                c = dot / den if den != 0 else 0.0
+                if c < thr:
+                    continue
+            out.add(int(ids[j]))
+        return pd.DataFrame({"_lid": sorted(out)}).astype({"_lid": "int64"})
+
     dup_b = (
-        a.join(b, "cluster_id")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(cosine_sim(F.col("_va"), F.col("_vb")) >= F.lit(float(threshold)))
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
+        assigned.select(F.col(id_col).cast("long").alias("_lid"),
+                        vec_col, "centroid_id")
+        .groupBy("centroid_id")
+        .applyInPandas(cluster_dups, schema="_lid long")
+        .select(F.col("_lid").cast(dict(df.dtypes)[id_col]).alias(id_col))
     )
     return (
         assigned.select(id_col, F.col("centroid_id").alias("cluster_id"))
