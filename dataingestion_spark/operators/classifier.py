@@ -38,13 +38,15 @@ def feature_array(text: Column) -> Column:
     words = F.filter(
         F.split(F.lower(text), r"[^a-z0-9]+"), lambda w: F.length(w) > 0
     )
+    # zip the word array with its own tail — element_at(words, i) inside a
+    # transform lambda would re-evaluate the split+filter per element
+    # (O(len²) per row; see operators/lm.py::_doc_bigrams)
     bigrams = F.when(
         F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(words, bigrams)
