@@ -1476,6 +1476,57 @@ def _oracle_bpe_tokens() -> str:
     return _values_oracle(rows, ["doc_id", "n_bpe_tokens"], ["VARCHAR", "INT"])
 
 
+def q_bpe_pair_counts(spark, sf):
+    """Distributed BPE training, round-1 statistic (operators/bpe_train.py):
+    whitespace piece counts (one JVM explode+groupBy — the only
+    corpus-size-dependent step of BPE training) → adjacent-pair counts →
+    top-50 by (n DESC, pair). The pair maximizing this statistic IS the
+    first merge; the full iterative loop is the rows-only
+    tokenizer_bpe_train_merges query, pinned exactly equivalent to
+    single-process train_bpe in tests/test_bpe.py."""
+    from dataingestion_spark.operators import bpe_train
+
+    docs = _t(spark, sf, "documents")
+    counts = bpe_train.word_piece_counts(docs, pattern=None)
+    return (
+        bpe_train.pair_counts(counts)
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+        .select("pair", "n")
+    )
+
+
+ORACLE_BPE_PAIRS = r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS piece
+  FROM documents),
+wc AS (SELECT piece, COUNT(*) AS cnt FROM words WHERE piece <> '' GROUP BY piece),
+pairs AS (
+  SELECT substring(piece, CAST(i AS INTEGER), 2) AS pair,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM wc, unnest(range(1, length(piece))) AS t(i)
+  WHERE length(piece) >= 2
+  GROUP BY 1)
+SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT 50
+"""
+
+
+def q_bpe_train_merges(spark, sf):
+    """Full distributed BPE training (rows-only: the merge loop is
+    iterative — not SQL-expressible; exact equivalence to single-process
+    train_bpe is pinned by tests/test_bpe.py): whitespace-mode piece
+    counts at cluster scale, 24 merges learned from the collected
+    frequency table, returned as the (rank, token) merge table."""
+    from dataingestion_spark.operators.bpe_train import train_bpe_distributed
+
+    docs = _t(spark, sf, "documents")
+    ranks = train_bpe_distributed(docs, 256 + 24, pattern=None)
+    rows = sorted(
+        (v, k.decode("utf-8", "replace")) for k, v in ranks.items() if v >= 256
+    )
+    return spark.createDataFrame(rows, "rank int, token string")
+
+
 def q_doc_lang_id(spark, sf):
     return text_analysis.lang_id(_t(spark, sf, "documents"))
 
@@ -3924,6 +3975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analytics
         "doc_token_counts": q_doc_token_counts,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "tokenizer_bpe_pair_counts": q_bpe_pair_counts,
+        "tokenizer_bpe_train_merges": q_bpe_train_merges,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality,
         "doc_repetition_signals": q_repetition_signals,
@@ -4049,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_predicate_forms": ORACLE_PREDICATES,
         "doc_token_counts": ORACLE_TOKEN_COUNTS,
         "doc_bpe_tokens": _oracle_bpe_tokens(),
+        "tokenizer_bpe_pair_counts": ORACLE_BPE_PAIRS,
         "doc_lang_id": _oracle_lang_id(),
         "doc_quality_score": ORACLE_QUALITY,
         "doc_repetition_signals": ORACLE_REPETITION,

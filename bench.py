@@ -92,6 +92,8 @@ def main():
         "boilerplate_lines": em.q_boilerplate_lines,
         "pagerank": em.q_pagerank_nations,
         "url_psl": em.q_url_psl_domain,
+        "merge_upsert": em.q_lakehouse_merge,
+        "bpe_train": em.q_bpe_train_merges,
         "ingest_e2e": ingest_e2e,
     }
 

@@ -121,6 +121,22 @@ def dump_tiktoken(ranks: Ranks) -> bytes:
     )
 
 
+def piece_counts(corpus: Iterable[str],
+                 pattern: str = CL100K_PATTERN) -> Dict[Tuple[bytes, ...], int]:
+    """Pretokenized piece-frequency table: piece (as a tuple of single
+    bytes) → occurrence count. This is the only corpus-size-dependent
+    step of BPE training — the distributed twin is
+    ``operators/bpe_train.py::word_piece_counts`` (a groupBy count)."""
+    pat = _pretokenize(pattern)
+    freq: Dict[Tuple[bytes, ...], int] = {}
+    for text in corpus:
+        for m in pat.finditer(text):
+            key = tuple(bytes([b]) for b in m.group().encode("utf-8"))
+            if key:
+                freq[key] = freq.get(key, 0) + 1
+    return freq
+
+
 def train_bpe(corpus: Iterable[str], vocab_size: int,
               pattern: str = CL100K_PATTERN) -> Ranks:
     """Deterministic BPE training.
@@ -128,16 +144,19 @@ def train_bpe(corpus: Iterable[str], vocab_size: int,
     Ids 0-255 are the single bytes; each merge appends one token. The most
     frequent adjacent pair wins each round, ties broken by the pair's bytes
     (lexicographic), so training is reproducible on any machine."""
+    return train_bpe_from_counts(piece_counts(corpus, pattern), vocab_size)
+
+
+def train_bpe_from_counts(freq: Dict[Tuple[bytes, ...], int],
+                          vocab_size: int) -> Ranks:
+    """The merge loop of :func:`train_bpe`, decoupled from corpus scanning:
+    trains from a piece-frequency table (piece bytes → count). Merge order
+    depends only on this table, so counting pieces distributed (one Spark
+    groupBy — see ``operators/bpe_train.py``) and merging here is exactly
+    equivalent to single-process training; the table is bounded by the
+    number of DISTINCT pieces (≈ vocabulary of the corpus), not its size."""
     if vocab_size < 256:
         raise ValueError("vocab_size must be ≥ 256")
-    pat = _pretokenize(pattern)
-    # Word-level frequency table: piece bytes → count, pieces kept as token lists.
-    freq: Dict[Tuple[bytes, ...], int] = {}
-    for text in corpus:
-        for m in pat.finditer(text):
-            key = tuple(bytes([b]) for b in m.group().encode("utf-8"))
-            if key:
-                freq[key] = freq.get(key, 0) + 1
     ranks: Ranks = {bytes([i]): i for i in range(256)}
     words = sorted(freq.items())  # deterministic iteration order
     while len(ranks) < vocab_size:

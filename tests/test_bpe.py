@@ -160,3 +160,76 @@ def test_configured_vocab_must_exist(monkeypatch, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         default_tokenizer()
+
+
+# --- distributed training (operators/bpe_train.py) ---------------------------
+
+
+def test_train_from_counts_equals_corpus_training():
+    from dataingestion_spark.bpe import (
+        piece_counts, train_bpe, train_bpe_from_counts,
+    )
+
+    corpus = ["the cat sat on the mat", "the cat ate the rat", "mat cat"] * 3
+    a = train_bpe(corpus, 256 + 12)
+    b = train_bpe_from_counts(piece_counts(corpus), 256 + 12)
+    assert a == b
+
+
+def test_distributed_training_equals_local(spark):
+    """Distributed piece counting + local merges == single-process training,
+    in both pretokenizer modes."""
+    from dataingestion_spark.bpe import train_bpe
+    from dataingestion_spark.operators.bpe_train import train_bpe_distributed
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 60")
+        .select("doc_id", "text")
+    )
+    texts = [r.text for r in docs.orderBy("doc_id").collect()]
+
+    got_ws = train_bpe_distributed(docs, 256 + 16, pattern=None)
+    want_ws = train_bpe(texts, 256 + 16, pattern=r"\S+")
+    assert got_ws == want_ws
+
+    got_cl = train_bpe_distributed(docs, 256 + 16)  # cl100k mapInPandas path
+    want_cl = train_bpe(texts, 256 + 16)
+    assert got_cl == want_cl
+
+
+def test_pair_counts_top_pair_is_first_merge(spark):
+    from dataingestion_spark.bpe import train_bpe
+    from dataingestion_spark.operators.bpe_train import (
+        pair_counts, word_piece_counts,
+    )
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 40")
+        .select("doc_id", "text")
+    )
+    top = (
+        pair_counts(word_piece_counts(docs, pattern=None))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .first()
+    )
+    ranks = train_bpe(
+        [r.text for r in docs.collect()], 256 + 1, pattern=r"\S+"
+    )
+    first_merge = min((v, k) for k, v in ranks.items() if v >= 256)[1]
+    assert top["pair"] == first_merge.decode()
+
+
+def test_max_pieces_frequency_floor(spark):
+    """Capping to the most frequent pieces still trains (approximation
+    knob for the long singleton tail)."""
+    from dataingestion_spark.operators.bpe_train import train_bpe_distributed
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 40").select("text")
+    )
+    ranks = train_bpe_distributed(docs, 256 + 8, pattern=None, max_pieces=50)
+    assert len(ranks) == 256 + 8
