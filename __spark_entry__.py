@@ -3826,6 +3826,27 @@ def q_streaming_stateful(spark, sf):
     return spark.table(name)
 
 
+def q_streaming_dedup_watermark(spark, sf):
+    """Native streaming dedup (streaming/pipeline.py::stream_events_dedup):
+    every event delivered twice (source unioned with itself — the
+    at-least-once shape), dropDuplicatesWithinWatermark on event_id.
+    State is bounded by rate × watermark instead of growing forever, and
+    the drained output is exactly one row per event_id — equal to the
+    batch DISTINCT, so this streaming query is FULLY oracle-checked."""
+    from dataingestion_spark.streaming.pipeline import stream_events_dedup
+
+    _utc(spark)
+    name = "events_dedup_check"
+    q = stream_events_dedup(spark, sf, query_name=name)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_DEDUP_WM = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
 def q_streaming_sessions(spark, sf):
     """Watermarked merging session windows (F.session_window under
     Structured Streaming) — rows-only; exactness vs the batch twin is
@@ -4055,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counts": q_streaming_stateful,
         "streaming_session_windows": q_streaming_sessions,
         "streaming_dedup_ingest": q_streaming_dedup,
+        "streaming_dedup_watermark": q_streaming_dedup_watermark,
         "streaming_interval_join": q_streaming_interval_join,
     }
 
@@ -4179,6 +4201,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
+        "streaming_dedup_watermark": ORACLE_STREAM_DEDUP_WM,
         "streaming_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
         # streaming_events_windowed: intentionally omitted (rows-only check)
     }

@@ -240,6 +240,48 @@ def stream_events_interval_join(spark, events_dir: str,
     )
 
 
+def stream_events_dedup(spark, events_dir: str,
+                        watermark: str = "60 minutes",
+                        query_name: str = "events_dedup",
+                        glob: str = "events*.parquet"):
+    """Native streaming deduplication: ``dropDuplicatesWithinWatermark``
+    on ``event_id`` over a stream that delivers every event TWICE (the
+    source unioned with itself — the at-least-once delivery shape this
+    operator exists for).
+
+    Unlike plain ``dropDuplicates`` (whose key state grows forever), the
+    within-watermark variant evicts each key once the watermark passes
+    its event time + the duplicate window — at 100 TB/day the state is
+    bounded by (event rate × watermark), independent of stream length.
+    Duplicates of an emitted row arriving within the watermark are
+    guaranteed dropped; here both copies arrive in the same micro-batch,
+    so the drained output is exactly one row per event_id == the batch
+    DISTINCT — which makes this streaming query fully oracle-checkable.
+    """
+    schema = events_stream_schema(spark, events_dir, glob)
+
+    def src():
+        return normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", glob)
+            .parquet(events_dir)
+        )
+
+    doubled = src().unionByName(src())
+    deduped = (
+        doubled.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_ingest_dedup(spark, input_dir: str, table_path: str):
     """Continuous ingest keeping exactly one copy per distinct content.
 

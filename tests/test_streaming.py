@@ -228,3 +228,17 @@ def test_stream_interval_join_matches_batch(spark):
     }
     assert want, "corpus must contain click→purchase pairs"
     assert got == want
+
+
+def test_stream_dedup_within_watermark_equals_batch_distinct(spark):
+    """Doubled delivery → dropDuplicatesWithinWatermark → exactly the
+    batch rows, each once."""
+    from dataingestion_spark.streaming.pipeline import stream_events_dedup
+
+    q = stream_events_dedup(spark, "/root/testdata/sf0.001",
+                            query_name="ev_dedup_t")
+    q.awaitTermination()
+    got = spark.table("ev_dedup_t")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
