@@ -3826,6 +3826,45 @@ def q_streaming_stateful(spark, sf):
     return spark.table(name)
 
 
+def q_incremental_agg_view(spark, sf):
+    """Incrementally-maintained aggregate view (sinks/matview.py): base
+    table = documents slice doc_id%3==0, full refresh; append the
+    doc_id%3==1 slice, second refresh folds ONLY the appended files'
+    partial aggregates into the stored view (asserted incremental —
+    silently recomputing would mask a broken delta rule). The oracle
+    aggregates the union of both slices directly."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.sinks import matview as mv
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "source", "n_chars",
+    )
+    base = tempfile.mkdtemp(prefix="mv_base_") + "/t"
+    view = tempfile.mkdtemp(prefix="mv_view_") + "/v"
+    spec = (["source"], [("n_chars", "count"), ("n_chars", "sum"),
+                         ("n_chars", "min"), ("n_chars", "max")])
+    ms.write_table(docs.filter(F.col("documentid").cast("long") % 3 == 0), base)
+    mode1 = mv.refresh(spark, base, view, *spec)
+    ms.append_table(docs.filter(F.col("documentid").cast("long") % 3 == 1), base)
+    mode2 = mv.refresh(spark, base, view, *spec)
+    assert (mode1, mode2) == ("full", "incremental"), (mode1, mode2)
+    return mv.read_view(spark, view).select(
+        "source", "n_rows", "sum_n_chars", "min_n_chars", "max_n_chars"
+    )
+
+
+ORACLE_INCR_AGG = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+       MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+FROM documents WHERE doc_id % 3 IN (0, 1)
+GROUP BY source
+"""
+
+
 def q_streaming_dedup_watermark(spark, sf):
     """Native streaming dedup (streaming/pipeline.py::stream_events_dedup):
     every event delivered twice (source unioned with itself — the
@@ -4068,6 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_incremental_replace": q_writer_incremental,
         "writer_webdataset_shards": q_webdataset_shards,
         "lakehouse_merge_upsert": q_lakehouse_merge,
+        "lakehouse_incremental_agg": q_incremental_agg_view,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "search_topk_ivf_pq": q_topk_ivf_pq,
@@ -4198,6 +4238,7 @@ def oracle_sql() -> dict[str, str]:
         "writer_incremental_replace": _oracle_writer_incremental(),
         "writer_webdataset_shards": ORACLE_WEBDATASET,
         "lakehouse_merge_upsert": ORACLE_MERGE,
+        "lakehouse_incremental_agg": ORACLE_INCR_AGG,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,

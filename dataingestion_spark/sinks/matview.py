@@ -1,0 +1,158 @@
+"""Incrementally-maintained aggregate views over manifest-store tables.
+
+A 100 TB base table whose dashboard aggregates are recomputed from
+scratch on every append wastes a full scan per refresh; every mergeable
+aggregate (count / sum / min / max) can instead be maintained from the
+COMMIT DELTA: aggregate only the data files added since the last
+refresh and fold the partials into the stored view — O(new data), not
+O(table).
+
+Mechanics (mirrors how Materialize/Delta Live Tables shape the problem,
+reduced to append-only deltas):
+
+* the view directory holds the aggregated rows as one parquet plus a
+  ``_VIEW_META`` json recording the base version, the exact data-file
+  names folded in so far, and the aggregate spec;
+* :func:`refresh` diffs the base manifest's file list against the
+  recorded one — appends create NEW files only, so aggregating just
+  those and merging partials (count→sum, sum→sum, min→min, max→max) is
+  exact;
+* any change that REMOVES or REWRITES files (replace, compaction) or
+  adds NEW equality deletion vectors invalidates the delta rule →
+  automatic fall back to a full recompute (one scan of the base, the
+  unavoidable cost of non-append churn). Pre-existing DVs are fine:
+  they only kill rows of files with strictly smaller sequence numbers,
+  which appended files never are.
+
+Exactness note: integer sums and min/max merge bit-exactly; a DOUBLE sum
+folds in a different order than a single-pass aggregation and can differ
+in final ulps — use integer columns (or counts) where engine-exact
+parity matters, same rule as everywhere else in this repo.
+
+The reference has no derived-view machinery at all (its writer is a
+row-level upsert sink, ``VectorStoreWriter.cs``); this module is part of
+the beyond-reference lakehouse surface on top of ``manifest_store``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import manifest_store as ms
+
+_META = "_VIEW_META"
+_DATA = "view.parquet"
+
+#: aggregate spec: list of (source_col, func) with func in AGG_FUNCS;
+#: output column is f"{func}_{col}" (count uses "*" → "n_rows")
+AGG_FUNCS = ("count", "sum", "min", "max")
+
+
+def _out_col(col: str, func: str) -> str:
+    return "n_rows" if func == "count" else f"{func}_{col}"
+
+
+def _agg_exprs(aggs: List[Tuple[str, str]], merge: bool) -> List[F.Column]:
+    """First-pass exprs over raw rows, or merge exprs over partials
+    (count merges by SUM, everything else by its own function)."""
+    out = []
+    for col, func in aggs:
+        name = _out_col(col, func)
+        if func == "count":
+            e = F.sum(name) if merge else F.count("*")
+        elif func == "sum":
+            e = F.sum(name if merge else col)
+        elif func == "min":
+            e = F.min(name if merge else col)
+        elif func == "max":
+            e = F.max(name if merge else col)
+        else:
+            raise ValueError(f"unsupported aggregate {func!r} (use {AGG_FUNCS})")
+        out.append(e.alias(name))
+    return out
+
+
+def _read_meta(view_path: str) -> Optional[Dict]:
+    try:
+        with open(os.path.join(view_path, _META)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _base_state(manifest: Dict) -> Tuple[List[str], List[str]]:
+    """(sorted data-file names, sorted delete-file names) of a manifest."""
+    names = sorted(n for fs in manifest["buckets"].values() for n in fs)
+    dels = sorted(n for fs in manifest.get("deletes", {}).values() for n in fs)
+    return names, dels
+
+
+def refresh(spark, base_table: str, view_path: str,
+            group_cols: List[str], aggs: List[Tuple[str, str]]) -> str:
+    """Bring the view up to date with the base table's current version.
+    Returns ``"noop"`` (already current), ``"incremental"`` (only the
+    appended files were scanned) or ``"full"`` (recompute — first
+    refresh, non-append churn, or a changed spec). The view itself is
+    atomically swapped, so readers never see a half refresh."""
+    manifest = ms.read_manifest(base_table)
+    files, del_files = _base_state(manifest)
+    spec = {"group_cols": list(group_cols),
+            "aggs": [list(a) for a in aggs]}
+    meta = _read_meta(view_path)
+
+    if meta is not None and meta["spec"] == spec:
+        if meta["files"] == files and meta.get("del_files", []) == del_files:
+            return "noop"
+        prev = set(meta["files"])
+        appended = [n for n in files if n not in prev]
+        # appends only create files; existing deletion vectors cannot touch
+        # them (a DV kills only files with strictly SMALLER seq), so the
+        # delta rule holds as long as the delete-file set itself is frozen
+        append_only = (
+            meta.get("del_files", []) == del_files and set(files) >= prev
+        )
+        if append_only and appended:
+            delta = ms._read_files(spark, base_table, manifest,
+                                   file_subset=set(appended))
+            partial = delta.groupBy(*group_cols).agg(*_agg_exprs(aggs, merge=False))
+            old = spark.read.parquet(os.path.join(view_path, _DATA))
+            merged = (
+                old.unionByName(partial)
+                .groupBy(*group_cols)
+                .agg(*_agg_exprs(aggs, merge=True))
+            )
+            _write_view(merged, view_path, manifest, files, spec, del_files)
+            return "incremental"
+
+    base = ms.read_table(spark, base_table)
+    full = base.groupBy(*group_cols).agg(*_agg_exprs(aggs, merge=False))
+    _write_view(full, view_path, manifest, files, spec, del_files)
+    return "full"
+
+
+def _write_view(df: DataFrame, view_path: str, manifest: Dict,
+                files: List[str], spec: Dict, del_files: List[str]) -> None:
+    """Stage the new view data, then swap data + meta into place (rename
+    is atomic per file; meta last, so a crash leaves a readable view with
+    stale meta → next refresh recomputes)."""
+    os.makedirs(view_path, exist_ok=True)
+    staging = os.path.join(view_path, "_staging")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(p for p in sorted(os.listdir(staging)) if p.endswith(".parquet"))
+    os.replace(os.path.join(staging, part), os.path.join(view_path, _DATA))
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    tmp = os.path.join(view_path, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"base_version": manifest["version"], "files": files,
+                   "spec": spec, "del_files": del_files}, fh)
+    os.replace(tmp, os.path.join(view_path, _META))
+
+
+def read_view(spark, view_path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(view_path, _DATA))

@@ -1,0 +1,103 @@
+"""Incrementally-maintained aggregate views (sinks/matview.py)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from dataingestion_spark.sinks import manifest_store as ms
+from dataingestion_spark.sinks import matview as mv
+
+SPEC = (["src"], [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")])
+
+
+def rows_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "documentid string, src string, v long"
+    )
+
+
+def expected(spark, base):
+    return {
+        tuple(r)
+        for r in ms.read_table(spark, base)
+        .groupBy("src")
+        .agg(F.count("*").alias("n_rows"), F.sum("v").alias("sum_v"),
+             F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+        .collect()
+    }
+
+
+def view_rows(spark, view):
+    return {tuple(r) for r in mv.read_view(spark, view).select(
+        "src", "n_rows", "sum_v", "min_v", "max_v").collect()}
+
+
+def test_refresh_full_then_incremental_then_noop(spark, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    ms.write_table(rows_df(spark, [("a", "x", 1), ("b", "x", 5), ("c", "y", 2)]), base)
+    assert mv.refresh(spark, base, view, *SPEC) == "full"
+    assert view_rows(spark, view) == expected(spark, base)
+
+    ms.append_table(rows_df(spark, [("d", "x", 7), ("e", "z", 3)]), base)
+    assert mv.refresh(spark, base, view, *SPEC) == "incremental"
+    assert view_rows(spark, view) == expected(spark, base)
+
+    assert mv.refresh(spark, base, view, *SPEC) == "noop"
+
+
+def test_incremental_reads_only_appended_files(spark, tmp_path, monkeypatch):
+    base, view = str(tmp_path / "b2"), str(tmp_path / "v2")
+    ms.write_table(rows_df(spark, [(f"d{i}", "x", i) for i in range(20)]), base)
+    mv.refresh(spark, base, view, *SPEC)
+
+    seen = {}
+    orig = ms._read_files
+
+    def spy(spark_, table, manifest, bucket_subset=None, file_subset=None):
+        seen["file_subset"] = file_subset
+        return orig(spark_, table, manifest, bucket_subset, file_subset)
+
+    monkeypatch.setattr(ms, "_read_files", spy)
+    ms.append_table(rows_df(spark, [("new1", "x", 100)]), base)
+    assert mv.refresh(spark, base, view, *SPEC) == "incremental"
+    m = ms.read_manifest(base)
+    all_files = {n for fs in m["buckets"].values() for n in fs}
+    assert seen["file_subset"] is not None
+    assert len(seen["file_subset"]) < len(all_files)  # delta only
+    assert view_rows(spark, view) == expected(spark, base)
+
+
+def test_delete_forces_full_recompute_then_appends_incremental_again(spark, tmp_path):
+    base, view = str(tmp_path / "b3"), str(tmp_path / "v3")
+    ms.write_table(rows_df(spark, [("a", "x", 1), ("b", "x", 5), ("c", "y", 2)]), base)
+    mv.refresh(spark, base, view, *SPEC)
+    ms.delete_documents(spark, base, ["b"])  # adds a deletion vector
+    assert mv.refresh(spark, base, view, *SPEC) == "full"
+    assert view_rows(spark, view) == expected(spark, base)
+    # appends after the DV: old vectors can't touch new files → delta rule holds
+    ms.append_table(rows_df(spark, [("f", "y", 9)]), base)
+    assert mv.refresh(spark, base, view, *SPEC) == "incremental"
+    assert view_rows(spark, view) == expected(spark, base)
+
+
+def test_compaction_forces_full(spark, tmp_path):
+    base, view = str(tmp_path / "b4"), str(tmp_path / "v4")
+    # doc4 / doc39 / doc117 hash to the same bucket → 3 files to compact
+    ms.write_table(rows_df(spark, [("doc4", "x", 1)]), base)
+    ms.append_table(rows_df(spark, [("doc39", "x", 5)]), base)
+    ms.append_table(rows_df(spark, [("doc117", "y", 2)]), base)
+    mv.refresh(spark, base, view, *SPEC)
+    v = ms.compact(spark, base, max_files_per_bucket=1)  # rewrites files
+    assert v == ms.read_manifest(base)["version"]
+    assert mv.refresh(spark, base, view, *SPEC) == "full"
+    assert view_rows(spark, view) == expected(spark, base)
+
+
+def test_spec_change_forces_full(spark, tmp_path):
+    base, view = str(tmp_path / "b5"), str(tmp_path / "v5")
+    ms.write_table(rows_df(spark, [("a", "x", 1)]), base)
+    mv.refresh(spark, base, view, *SPEC)
+    assert mv.refresh(spark, base, view, ["src"], [("v", "count")]) == "full"
+    got = mv.read_view(spark, view)
+    assert got.columns == ["src", "n_rows"]
+    assert os.path.exists(os.path.join(str(tmp_path / "v5"), "_VIEW_META"))
