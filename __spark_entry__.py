@@ -3826,6 +3826,49 @@ def q_streaming_stateful(spark, sf):
     return spark.table(name)
 
 
+def q_events_gapfill(spark, sf):
+    """Regular-grid resampling with LOCF gap filling
+    (operators/temporal.py::resample_gapfill — the TimescaleDB
+    time_bucket_gapfill shape): hourly buckets per user over the events
+    span; empty buckets get n=0 and the last observed value carried
+    forward. Deterministic last-per-bucket via max_by on (ts, value);
+    values are carried verbatim, so the whole result is bit-exact."""
+    from dataingestion_spark.operators import temporal
+
+    _utc(spark)
+    e = _events(spark, sf)
+    out = temporal.resample_gapfill(e, "ts", "user_id", "value",
+                                    step_seconds=3600)
+    return out.select("user_id", "bucket_ts", "n", "value")
+
+
+ORACLE_GAPFILL = """
+WITH obs AS (
+  SELECT user_id, ts, value, time_bucket(INTERVAL '1 hour', ts) AS b
+  FROM events),
+pb AS (SELECT user_id, b, COUNT(*) AS n FROM obs GROUP BY 1, 2),
+lastv AS (
+  SELECT user_id, b, value FROM (
+    SELECT user_id, b, value,
+           row_number() OVER (PARTITION BY user_id, b
+                              ORDER BY ts DESC, value DESC) AS rk
+    FROM obs) WHERE rk = 1),
+bounds AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM bounds),
+filled AS (
+  SELECT g.user_id, g.bucket_ts, COALESCE(pb.n, 0) AS n,
+         last_value(lastv.value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM grid g
+  LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket_ts = pb.b
+  LEFT JOIN lastv ON g.user_id = lastv.user_id AND g.bucket_ts = lastv.b)
+SELECT user_id, bucket_ts, CAST(n AS BIGINT) AS n, value FROM filled
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -4028,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_moving_sum": q_events_moving_sum,
+        "events_gapfill_locf": q_events_gapfill,
         "events_zorder_key": q_events_zorder,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -4158,6 +4202,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": ORACLE_ASOF,
         "events_range_join": ORACLE_RANGE_JOIN,
         "events_moving_sum": ORACLE_MOVING,
+        "events_gapfill_locf": ORACLE_GAPFILL,
         "events_zorder_key": _oracle_zorder(),
         "customers_without_orders": ORACLE_ANTI,
         "customers_with_urgent_orders": ORACLE_SEMI,

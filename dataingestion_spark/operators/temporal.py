@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import List
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pyspark.sql import types as T
 
@@ -131,3 +131,76 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     keep_p = [p[c] for c in points.columns]
     keep_iv = [iv[c] for c in intervals.columns if c not in on]
     return joined.select(*keep_p, *keep_iv)
+
+
+def resample_gapfill(df: DataFrame, ts_col: str, key_col: str,
+                     value_col: str, step_seconds: int = 3600,
+                     fill: str = "locf") -> DataFrame:
+    """Regular-grid resampling with gap filling (the TimescaleDB
+    ``time_bucket_gapfill`` / pandas ``resample().ffill()`` shape, as
+    relational algebra):
+
+    1. bucket each observation to ``step_seconds`` (epoch-floor — engine
+       independent, no timezone arithmetic);
+    2. aggregate per (key, bucket): ``n`` observations and the LAST value
+       by (ts, original order) — deterministic via a ``max_by`` on the
+       (ts, value) struct;
+    3. per key, generate the FULL grid from its first to its last bucket
+       (``sequence()`` — one row per step whether observed or not);
+    4. left-join observations onto the grid; empty buckets get ``n = 0``
+       and, with ``fill="locf"``, the last observed value carried forward
+       (``last(ignorenulls)`` over an unbounded-preceding frame);
+       ``fill="none"`` leaves them null.
+
+    Returns (key_col, bucket_ts, n, value_col). Scale shape: one shuffle
+    to aggregate buckets, one per-key window for the fill — the grid is
+    generated, never shuffled, and its size is span/step per key, not the
+    observation count. LOCF carries values verbatim (no arithmetic), so
+    results are bit-exact across engines.
+    """
+    if fill not in ("locf", "none"):
+        raise ValueError(f"fill must be 'locf' or 'none', got {fill!r}")
+    bucket = F.expr(
+        f"timestamp_seconds((unix_micros({ts_col}) DIV 1000000)"
+        f" DIV {step_seconds} * {step_seconds})"
+    )
+    per_bucket = (
+        df.withColumn("_b", bucket)
+        .groupBy(key_col, "_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.max_by(
+                F.col(value_col), F.struct(F.col(ts_col), F.col(value_col))
+            ).alias("_v"),
+        )
+    )
+    grid = (
+        per_bucket.groupBy(key_col)
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"),
+                    F.expr(f"INTERVAL {step_seconds} SECOND"),
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    joined = (
+        grid.join(
+            per_bucket.withColumnRenamed("_b", "bucket_ts"),
+            [key_col, "bucket_ts"], "left",
+        )
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    if fill == "locf":
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("bucket_ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        joined = joined.withColumn("_v", F.last("_v", ignorenulls=True).over(w))
+    return joined.select(
+        key_col, "bucket_ts", "n", F.col("_v").alias(value_col)
+    )

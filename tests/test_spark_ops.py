@@ -915,3 +915,31 @@ def test_simhash_fast_behaves_like_md5_simhash(spark):
     slow = {r.doc_id: r.simhash for r in simhash(df, bits=32).collect()}
     for fam in (fast, slow):
         assert ham(fam[1], fam[3]) < ham(fam[1], fam[4])
+
+
+def test_resample_gapfill_locf_and_none(spark):
+    from dataingestion_spark.operators.temporal import resample_gapfill
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 10.0),
+         (1, "2024-01-01 00:50:00", 20.0),   # same hour: last wins
+         (1, "2024-01-01 03:10:00", 7.0),    # hours 1-2 are gaps
+         (2, "2024-01-01 05:00:00", 1.0)],
+        "k int, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    got = {(r.k, str(r.bucket_ts), r.n, r.v)
+           for r in resample_gapfill(df, "ts", "k", "v", 3600).collect()}
+    assert got == {
+        (1, "2024-01-01 00:00:00", 2, 20.0),
+        (1, "2024-01-01 01:00:00", 0, 20.0),   # gap: carried forward
+        (1, "2024-01-01 02:00:00", 0, 20.0),
+        (1, "2024-01-01 03:00:00", 1, 7.0),
+        (2, "2024-01-01 05:00:00", 1, 1.0),    # single-bucket key
+    }
+
+    none = {(r.k, str(r.bucket_ts), r.n, r.v)
+            for r in resample_gapfill(df, "ts", "k", "v", 3600,
+                                      fill="none").collect()}
+    assert (1, "2024-01-01 01:00:00", 0, None) in none
