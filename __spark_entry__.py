@@ -3826,6 +3826,34 @@ def q_streaming_stateful(spark, sf):
     return spark.table(name)
 
 
+def q_jsonl_roundtrip(spark, sf):
+    """JSONL interchange (sources/jsonl.py — the Dolma/RedPajama shard
+    format): documents → gzipped JSONL shards → tolerant schema-enforced
+    read-back, plus two injected malformed lines that must be counted
+    and excluded, not poison the scan. Lossless for string/int columns
+    (JSON escapes the newlines inside text), so the read-back equals the
+    parquet original exactly."""
+    import os
+    import tempfile
+
+    from dataingestion_spark.sources import jsonl
+
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="jsonl_") + "/shards"
+    jsonl.write_jsonl(docs, out, shards=4)
+    with open(os.path.join(out, "extra.jsonl"), "w") as fh:
+        fh.write("not json at all\n{\"doc_id\": \n")
+    assert jsonl.corrupt_count(spark, out) == 2
+    return jsonl.read_jsonl(spark, out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+ORACLE_JSONL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def q_events_gapfill(spark, sf):
     """Regular-grid resampling with LOCF gap filling
     (operators/temporal.py::resample_gapfill — the TimescaleDB
@@ -4136,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ingestion operators (reference SURVEY §2.1-2.5)
         "reader_markdown_elements": q_md_parse_elements,
         "reader_wet_records": q_reader_wet_records,
+        "reader_jsonl_roundtrip": q_jsonl_roundtrip,
         "reader_warc_responses": q_warc_responses,
         "chunker_header": q_header_chunks,
         "chunker_section": q_section_chunks,
@@ -4259,6 +4288,7 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
         "reader_wet_records": ORACLE_WET_RECORDS,
+        "reader_jsonl_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,
         "chunker_header": _values_oracle(
             _fixture_chunk_golden(lambda rows: header_chunk_doc(rows, _FIXED_OPTS)),
