@@ -356,6 +356,7 @@ def test_entry_contract(spark):
         "search_topk_ivf_pq",
         "dedup_minhash_fast_pairs",
         "dedup_simhash_fast",
+        "tokenizer_bpe_train_merges",  # iterative merge loop (pinned in tests)
     }
 
 
