@@ -3826,6 +3826,39 @@ def q_streaming_stateful(spark, sf):
     return spark.table(name)
 
 
+def q_phrase_search(spark, sf):
+    """Positional phrase search (operators/text_search.py::phrase_search):
+    documents containing consecutive tokens 'batch batch', with overlap-
+    counted match totals. One explode + one groupBy — the i-th phrase
+    term at position p anchors start p−i; a start where every phrase
+    slot anchors is a match. The repeated term exercises the distinct-
+    slot counting path."""
+    from dataingestion_spark.operators.text_search import phrase_search
+
+    docs = _t(spark, sf, "documents")
+    out = phrase_search(docs, "batch batch")
+    return out.select("doc_id", "n_matches")
+
+
+ORACLE_PHRASE = r"""
+WITH toks0 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+toks AS (
+  SELECT doc_id, ws[CAST(i AS INTEGER) + 1] AS term, CAST(i AS INTEGER) AS pos
+  FROM toks0, unnest(range(0, len(ws))) AS t(i)
+  WHERE ws[CAST(i AS INTEGER) + 1] <> ''),
+anchors AS (
+  SELECT doc_id, pos - s.slot AS st, s.slot
+  FROM toks JOIN (VALUES ('batch', 0), ('batch', 1)) AS s(term, slot)
+    ON toks.term = s.term
+  WHERE pos - s.slot >= 0),
+m AS (
+  SELECT doc_id, st FROM anchors GROUP BY doc_id, st
+  HAVING COUNT(DISTINCT slot) = 2)
+SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
+"""
+
+
 def q_jsonl_roundtrip(spark, sf):
     """JSONL interchange (sources/jsonl.py — the Dolma/RedPajama shard
     format): documents → gzipped JSONL shards → tolerant schema-enforced
@@ -4161,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_filtered": q_emb_topk_filtered,
         "search_bm25": q_bm25,
         "search_hybrid_rrf": q_hybrid_rrf,
+        "search_phrase_positions": q_phrase_search,
         # ingestion operators (reference SURVEY §2.1-2.5)
         "reader_markdown_elements": q_md_parse_elements,
         "reader_wet_records": q_reader_wet_records,
@@ -4285,6 +4319,7 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_bm25": ORACLE_BM25,
         "search_hybrid_rrf": ORACLE_HYBRID_RRF,
+        "search_phrase_positions": ORACLE_PHRASE,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
         "reader_wet_records": ORACLE_WET_RECORDS,

@@ -121,3 +121,62 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str = "doc_id",
         .filter(F.col("rank") <= k)
         .select(*on, "rank", id_col, "rrf_score")
     )
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Positional inverted index: one row per token OCCURRENCE —
+    ``(id_col, term, pos)`` with pos 0-based over the whitespace token
+    stream. The structure phrase and proximity queries need (Lucene's
+    positions postings); build once, reuse across queries. Scale: one
+    explode, partitioned by whatever the downstream join keys on (term
+    for search — write it bucketed by term at 100 TB)."""
+    words = F.split(F.trim(F.col(text_col)), _WS)
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(words).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+
+
+def phrase_search(docs: DataFrame, phrase: str, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase matching on token positions: documents containing the
+    whitespace-tokenized ``phrase`` as CONSECUTIVE tokens, with the match
+    count — ``(id_col, n_matches)``, matches may overlap.
+
+    Relational shape: for the i-th phrase term, its occurrences at
+    position p anchor a candidate start at ``p − i``; a start position
+    where ALL phrase terms anchor (count == phrase length) is a match.
+    One explode + one groupBy — no self-joins, no per-pair work; the
+    phrase terms broadcast as a literal map, and the postings scan
+    prunes to phrase terms before the shuffle. Duplicate terms in the
+    phrase are handled by counting DISTINCT term slots per start."""
+    terms = [t for t in phrase.strip().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    # term -> its slot offsets in the phrase ("a b a" -> a:[0,2], b:[1])
+    slot_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in sorted(set(terms))]),
+        F.array(*[
+            F.array(*[F.lit(i) for i, u in enumerate(terms) if u == t])
+            for t in sorted(set(terms))
+        ]),
+    )
+    post = positional_postings(docs, text_col, id_col)
+    anchors = (
+        post.filter(F.col("term").isin(terms))
+        .select(
+            id_col,
+            F.explode(slot_map[F.col("term")]).alias("_slot"),
+            F.col("pos"),
+        )
+        .select(id_col, F.col("_slot"), (F.col("pos") - F.col("_slot")).alias("_start"))
+        .filter(F.col("_start") >= 0)
+    )
+    return (
+        anchors.groupBy(id_col, "_start")
+        .agg(F.countDistinct("_slot").alias("_k"))
+        .filter(F.col("_k") == len(terms))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matches"))
+    )

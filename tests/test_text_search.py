@@ -62,3 +62,21 @@ def test_rrf_two_list_agreement_wins(spark):
     # one-sided docs still present with single-term scores
     assert out[10].rrf_score == 1.0 / 61
     assert out[13].rrf_score == 1.0 / 62
+
+
+def test_phrase_search_overlaps_and_distinct_slots(spark):
+    from dataingestion_spark.operators.text_search import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "b a b"), (3, "x y z"), (4, "a a a")],
+        "doc_id int, text string",
+    )
+    assert {tuple(r) for r in phrase_search(df, "a b a").collect()} == {(1, 2)}
+    # overlapping matches count individually; 'a a' in 'a a a' = 2
+    assert {tuple(r) for r in phrase_search(df, "a a").collect()} == {(4, 2)}
+    # single-token phrase = plain term occurrence counting
+    assert {tuple(r) for r in phrase_search(df, "b").collect()} == {(1, 2), (2, 2)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        phrase_search(df, "   ")
