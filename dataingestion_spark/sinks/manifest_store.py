@@ -147,17 +147,21 @@ def _commit(table: str, version: int, buckets: Dict[str, List[str]],
 
 def _write_bucket_files(records: DataFrame, table: str, token: str,
                         stats: Optional[Dict[str, Dict]] = None,
-                        prefix: str = "b") -> Dict[str, List[str]]:
+                        prefix: str = "b",
+                        single_task: bool = False) -> Dict[str, List[str]]:
     """Write records (must carry doc_bucket) grouped per bucket; returns
     bucket -> new file names. One parquet file per (bucket, write) — the
     writer shuffles on doc_bucket so each file is written by one task.
-    When ``stats`` is given, each new file's footer stats land in it."""
+    ``single_task`` skips that shuffle and writes everything from one task
+    (for tiny tables — deletion vectors — where a repartition is pure
+    overhead). When ``stats`` is given, each new file's footer stats land
+    in it."""
     staging = os.path.join(table, "staging", token)
     # partition by a shadow copy: partition values live in directory names,
     # not the data files, and readers still need doc_bucket as a column
-    (records.withColumn("_pb", F.col("doc_bucket"))
-        .repartition("_pb")
-        .write.mode("overwrite").partitionBy("_pb").parquet(staging))
+    shaped = records.withColumn("_pb", F.col("doc_bucket"))
+    shaped = shaped.coalesce(1) if single_task else shaped.repartition("_pb")
+    shaped.write.mode("overwrite").partitionBy("_pb").parquet(staging)
     out: Dict[str, List[str]] = {}
     files_dir = os.path.join(table, "files")
     os.makedirs(files_dir, exist_ok=True)
@@ -374,7 +378,8 @@ def _replace_with_dv(records: DataFrame, table: str) -> int:
     token = uuid.uuid4().hex[:8]
     new_buckets = _write_bucket_files(records, table, token, stats=meta["stats"])
     del_df = records.select("documentid", "doc_bucket").distinct()
-    del_buckets = _write_bucket_files(del_df, table, "d" + token, prefix="del-")
+    del_buckets = _write_bucket_files(del_df, table, "d" + token, prefix="del-",
+                                      single_task=True)
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     for b, names in new_buckets.items():
         buckets.setdefault(b, []).extend(names)
@@ -400,7 +405,8 @@ def delete_documents(spark, table: str, doc_ids: List[str]) -> int:
     rows = [(d, zlib.crc32(d.encode()) % N_BUCKETS) for d in sorted(set(doc_ids))]
     del_df = spark.createDataFrame(rows, "documentid string, doc_bucket int")
     token = "x" + uuid.uuid4().hex[:7]
-    del_buckets = _write_bucket_files(del_df, table, token, prefix="del-")
+    del_buckets = _write_bucket_files(del_df, table, token, prefix="del-",
+                                      single_task=True)
     for b, names in del_buckets.items():
         if manifest["buckets"].get(b):
             meta["deletes"].setdefault(b, []).extend(names)
@@ -440,15 +446,18 @@ def merge_table(source: DataFrame, table: str,
                 matched_condition: Optional[str] = None) -> int:
     """Delta-style MERGE INTO keyed on ``documentid``.
 
-    * ``when_matched="update"`` — replace the stored row with the source row
-      (whole-row update); ``"delete"`` — delete the stored row; ``None`` —
-      leave matched rows untouched.
+    * ``when_matched="update"`` — replace ALL stored rows of the document
+      with the source row (documents are whole units, possibly multi-row
+      after chunking — replace-by-documentid semantics); ``"delete"`` —
+      delete the document; ``None`` — leave matched documents untouched.
     * ``when_not_matched="insert"`` — append source rows whose documentid is
       absent from the table; ``None`` — drop them.
     * ``matched_condition`` — optional SQL boolean gating the matched clause;
-      source columns are referenced plainly, the stored row's columns as
+      source columns are referenced plainly, a stored row's columns as
       ``target.<col>`` (e.g. ``"n_chars > target.n_chars"`` = update only
-      when newer). Matched rows failing the condition are kept as-is.
+      when newer). The clause fires for a document when ANY of its stored
+      rows satisfies the condition; documents with no passing row are kept
+      as-is.
 
     Cost model: reads ONLY the buckets the source hashes into (further
     stat-prunable), writes O(batch) — updates and deletes are expressed as
@@ -474,41 +483,52 @@ def merge_table(source: DataFrame, table: str,
             return write_table(source, table)
         raise FileNotFoundError(f"no committed version in {table}")
 
-    dup = source.groupBy("documentid").count().filter(F.col("count") > 1)
+    # the source batch is read several times (dup guard, bucket list, joins,
+    # writes) — pin it once; a merge batch is bounded, unlike the table
+    src = source.withColumn("doc_bucket", _bucket_col()).localCheckpoint(eager=True)
+    dup = src.groupBy("documentid").count().filter(F.col("count") > 1)
     if dup.limit(1).count() > 0:
         raise ValueError("source has duplicate documentids; merge requires "
                          "one source row per key (Delta semantics)")
 
-    src = source.withColumn("doc_bucket", _bucket_col())
     manifest = read_manifest(table)
     meta = _manifest_meta(manifest)
     affected = sorted(
         str(r[0]) for r in src.select("doc_bucket").distinct().collect()
     )
     existing = [b for b in affected if manifest["buckets"].get(b)]
+    tgt = tgt_keys = None
     if existing:
         tgt = _read_files(spark, table, manifest, bucket_subset=existing)
-        tgt_packed = tgt.select(
-            "documentid", F.struct(*tgt.columns).alias("target")
-        )
-        joined = src.join(tgt_packed, "documentid", "left")
-    else:
-        joined = src.withColumn("target", F.lit(None).cast("struct<documentid:string>"))
-    # plan reused for new rows AND the delete vector — pin it once
-    joined = joined.localCheckpoint(eager=True)
+        tgt_keys = tgt.select("documentid").distinct()
 
-    is_matched = F.col("target").isNotNull()
-    act = is_matched if matched_condition is None else (
-        is_matched & F.expr(matched_condition)
-    )
+    # matched-and-passing DOCUMENT ids (stored docs may span several rows —
+    # chunked tables — so all set logic is per documentid, never per row)
+    act_ids = None
+    if when_matched in ("update", "delete") and tgt_keys is not None:
+        if matched_condition is None:
+            act = src.join(tgt_keys, "documentid", "semi")
+        else:
+            tgt_packed = tgt.select(
+                "documentid", F.struct(*tgt.columns).alias("target")
+            )
+            act = src.join(tgt_packed, "documentid").filter(
+                F.expr(matched_condition)
+            )
+        act_ids = (
+            act.select("documentid").distinct()
+            .withColumn("doc_bucket", _bucket_col())
+            .localCheckpoint(eager=True)
+        )
+
     new_rows = None
-    if when_matched == "update":
-        new_rows = joined.filter(act).drop("target")
+    if when_matched == "update" and act_ids is not None:
+        new_rows = src.join(act_ids.select("documentid"), "documentid", "semi")
     if when_not_matched == "insert":
-        ins = joined.filter(~is_matched).drop("target")
+        ins = (src if tgt_keys is None
+               else src.join(tgt_keys, "documentid", "left_anti"))
         new_rows = ins if new_rows is None else new_rows.unionByName(ins)
-    del_df = (joined.filter(act).select("documentid", "doc_bucket").distinct()
-              if when_matched in ("update", "delete") else None)
+    del_df = act_ids
 
     version = manifest["version"] + 1
     token = "m" + uuid.uuid4().hex[:7]
@@ -519,7 +539,8 @@ def merge_table(source: DataFrame, table: str,
             buckets.setdefault(b, []).extend(names)
             meta["seq"].update({n: version for n in names})
     if del_df is not None:
-        del_buckets = _write_bucket_files(del_df, table, "d" + token, prefix="del-")
+        del_buckets = _write_bucket_files(del_df, table, "d" + token,
+                                          prefix="del-", single_task=True)
         for b, names in del_buckets.items():
             if manifest["buckets"].get(b):
                 meta["deletes"].setdefault(b, []).extend(names)

@@ -327,3 +327,37 @@ def test_merge_is_one_commit_and_o_batch(spark, tmp_path):
     assert m1.get("deletes")  # the update travelled as a deletion vector
     got = {r.documentid: r.content for r in ms.read_table(spark, table).collect()}
     assert got["doc7"] == "doc7-NEW" and got["new1"] == "n1" and len(got) == 31
+
+
+def test_merge_update_multi_chunk_document(spark, tmp_path):
+    """A stored document spanning several rows (chunked) is replaced as a
+    WHOLE by the source row — exactly once, not once per stored row."""
+    table = str(tmp_path / "t18")
+    ms.write_table(
+        records_df(spark, {"a": ["a0", "a1", "a2"], "b": ["b0", "b1"]}), table
+    )
+    ms.merge_table(records_df(spark, {"a": ["a-NEW"]}), table)
+    got = ms.read_table(spark, table).groupBy("documentid").agg(
+        F.count("*").alias("n"), F.min("content").alias("c")
+    )
+    by = {r.documentid: (r.n, r.c) for r in got.collect()}
+    assert by == {"a": (1, "a-NEW"), "b": (2, "b0")}
+
+
+def test_merge_condition_any_stored_row_fires(spark, tmp_path):
+    """matched_condition fires when ANY stored row passes."""
+    table = str(tmp_path / "t19")
+    ms.write_table(records_df(spark, {"a": ["short", "looooooooong"],
+                                      "b": ["looooooooong", "huge"]}), table)
+    src = records_df(spark, {"a": ["mid-sized"], "b": ["tiny"]})
+    # update when the incoming row is longer than SOME stored row
+    ms.merge_table(src, table,
+                   matched_condition="length(content) > length(target.content)")
+    rows = ms.read_table(spark, table).collect()
+    docs = {}
+    for r in rows:
+        docs.setdefault(r.documentid, []).append(r.content)
+    # a: 'mid-sized' > 'short' → whole doc replaced
+    assert sorted(docs["a"]) == ["mid-sized"]
+    # b: 'tiny' beats neither stored row → untouched
+    assert sorted(docs["b"]) == ["huge", "looooooooong"]
