@@ -226,7 +226,11 @@ def _read_files(spark, table: str, manifest: Dict,
             f"version {manifest['version']} of {table} has no matching files"
         )
     files_dir = os.path.join(table, "files")
-    df = spark.read.parquet(*[os.path.join(files_dir, n) for n in names])
+    # mergeSchema: commits may widen the schema over time (append with a
+    # new column via unionByName) — without it the scan schema comes from
+    # ONE arbitrary footer and a later-added column can silently vanish
+    df = (spark.read.option("mergeSchema", "true")
+          .parquet(*[os.path.join(files_dir, n) for n in names]))
     del_names = [n for b in sorted(sel) for n in meta["deletes"].get(b, [])]
     if not del_names:
         return df

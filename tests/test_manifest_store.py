@@ -361,3 +361,16 @@ def test_merge_condition_any_stored_row_fires(spark, tmp_path):
     assert sorted(docs["a"]) == ["mid-sized"]
     # b: 'tiny' beats neither stored row → untouched
     assert sorted(docs["b"]) == ["huge", "looooooooong"]
+
+
+def test_schema_evolution_append_new_column(spark, tmp_path):
+    """A later append may carry a new column; reads merge footers so the
+    widened schema is deterministic and old rows surface null."""
+    table = str(tmp_path / "t20")
+    ms.write_table(records_df(spark, {"a": ["a0"]}), table)
+    wider = records_df(spark, {"z": ["z0"]}).withColumn("lang", F.lit("en"))
+    ms.append_table(wider, table)
+    got = ms.read_table(spark, table)
+    assert "lang" in got.columns
+    by = {r.documentid: r.lang for r in got.collect()}
+    assert by == {"a": None, "z": "en"}
