@@ -3859,6 +3859,39 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_events_funnel(spark, sf):
+    """Ordered funnel (operators/temporal.py::funnel_steps):
+    signup → click → purchase per user, earliest strict-order completion
+    times; t_i = min event time of step i strictly after t_{i-1}. One
+    (filter → min → join) round per step, all timestamp comparisons
+    exact. The oracle unrolls the same recurrence in CTEs."""
+    from dataingestion_spark.operators.temporal import funnel_steps
+
+    _utc(spark)
+    e = _events(spark, sf)
+    out = funnel_steps(e, ["signup", "click", "purchase"])
+    return out.select("user_id", "t_1", "t_2", "t_3", "steps_completed")
+
+
+ORACLE_FUNNEL = """
+WITH t1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+q2 AS (SELECT e.user_id, MIN(e.ts) AS t_2 FROM events e
+       JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = 'click' AND e.ts > t1.t_1 GROUP BY 1),
+c2 AS (SELECT t1.user_id, t_1, t_2 FROM t1 LEFT JOIN q2 USING (user_id)),
+q3 AS (SELECT e.user_id, MIN(e.ts) AS t_3 FROM events e
+       JOIN c2 ON e.user_id = c2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > c2.t_2 GROUP BY 1),
+f AS (SELECT c2.user_id, t_1, t_2, t_3 FROM c2 LEFT JOIN q3 USING (user_id))
+SELECT user_id, t_1, t_2, t_3,
+       CAST(CASE WHEN t_3 IS NOT NULL THEN 3
+                 WHEN t_2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER)
+         AS steps_completed
+FROM f
+"""
+
+
 def q_jsonl_roundtrip(spark, sf):
     """JSONL interchange (sources/jsonl.py — the Dolma/RedPajama shard
     format): documents → gzipped JSONL shards → tolerant schema-enforced
@@ -4133,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_moving_sum": q_events_moving_sum,
         "events_gapfill_locf": q_events_gapfill,
+        "events_funnel_ordered": q_events_funnel,
         "events_zorder_key": q_events_zorder,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -4266,6 +4300,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": ORACLE_RANGE_JOIN,
         "events_moving_sum": ORACLE_MOVING,
         "events_gapfill_locf": ORACLE_GAPFILL,
+        "events_funnel_ordered": ORACLE_FUNNEL,
         "events_zorder_key": _oracle_zorder(),
         "customers_without_orders": ORACLE_ANTI,
         "customers_with_urgent_orders": ORACLE_SEMI,

@@ -204,3 +204,54 @@ def resample_gapfill(df: DataFrame, ts_col: str, key_col: str,
     return joined.select(
         key_col, "bucket_ts", "n", F.col("_v").alias(value_col)
     )
+
+
+def funnel_steps(df: DataFrame, steps: List[str], ts_col: str = "ts",
+                 key_col: str = "user_id", type_col: str = "event_type",
+                 within_seconds: Optional[int] = None) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest time it
+    completed each prefix of ``steps`` in strict temporal order
+    (t_i = min event time of step i with t_i > t_{i-1}) — the
+    click→view→purchase conversion question.
+
+    ``within_seconds`` additionally bounds the WHOLE funnel: step i
+    counts only while t_i ≤ t_1 + within (the "converted within an hour"
+    form). Output: one row per key that completed step 1, with
+    ``t_1..t_k`` (null once a step was never completed) and
+    ``steps_completed``.
+
+    Relational shape: k−1 successive (filter → groupBy-min → equi-join)
+    rounds, each joining a per-key single-row frame — the earliest-
+    completion recurrence is inherently sequential in k, but k is tiny
+    and each round is one shuffle on the key. All comparisons are on
+    exact timestamps; no floats anywhere, so results are engine-exact."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    if within_seconds is not None:
+        cur = cur.withColumn(
+            "_deadline",
+            F.col("t_1") + F.expr(f"INTERVAL {int(within_seconds)} SECOND"),
+        )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = df.filter(F.col(type_col) == step).select(
+            key_col, F.col(ts_col).alias("_ts")
+        )
+        # qualify with an INNER join, then LEFT-join the min back: a key
+        # whose step-i events all fail the ordering must surface t_i=null,
+        # not disappear from the funnel
+        q = cur.join(nxt, key_col).filter(F.col("_ts") > F.col(f"t_{i - 1}"))
+        if within_seconds is not None:
+            q = q.filter(F.col("_ts") <= F.col("_deadline"))
+        qual = q.groupBy(key_col).agg(F.min("_ts").alias(f"t_{i}"))
+        cur = cur.join(qual, key_col, "left")
+    done = cur.drop("_deadline") if within_seconds is not None else cur
+    completed = sum(
+        F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return done.withColumn("steps_completed", completed.cast("int"))

@@ -944,3 +944,22 @@ def test_resample_gapfill_locf_and_none(spark):
             for r in resample_gapfill(df, "ts", "k", "v", 3600,
                                       fill="none").collect()}
     assert (1, "2024-01-01 01:00:00", 0, None) in none
+
+
+def test_funnel_steps_strict_order_and_within(spark):
+    from dataingestion_spark.operators.temporal import funnel_steps
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (1, "c", 30),
+         (2, "a", 10), (2, "c", 5), (2, "b", 40),  # c precedes b: stops at b
+         (3, "b", 1), (3, "c", 2),                  # never entered the funnel
+         (4, "a", 1)],
+        "user_id int, event_type string, sec int",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    out = {r.user_id: r.steps_completed
+           for r in funnel_steps(df, ["a", "b", "c"]).collect()}
+    assert out == {1: 3, 2: 2, 4: 1}  # user 3 absent: no step-1 event
+    within = {r.user_id: r.steps_completed
+              for r in funnel_steps(df, ["a", "b"], within_seconds=15).collect()}
+    assert within == {1: 2, 2: 1, 4: 1}  # user 2's b misses the deadline
