@@ -3859,6 +3859,46 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+_DIRTY_PREFIX = " “Title” &amp; &lt;b&gt;" + "\r\n" * 4 + "\x07"
+_DIRTY_SUFFIX = " \t trailing  — end\r"
+
+
+def q_doc_normalize(spark, sf):
+    """Web-text normalization (operators/text_analysis.py::normalize_text):
+    documents wrapped in synthesized dirt — CRLF runs, a BEL control
+    char, double-escaped entities, curly quotes, em-dash, tab runs,
+    trailing spaces — cleaned by the expression-only pipeline. The
+    oracle applies normalize_text_sql's identical DuckDB chain, so every
+    replace/translate/regex step is pinned bit-for-bit."""
+    from dataingestion_spark.operators.text_analysis import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.lit(_DIRTY_PREFIX), F.col("text"),
+                 F.lit(_DIRTY_SUFFIX)).alias("text"),
+    )
+    out = normalize_text(dirty)
+    return out.select("doc_id", "clean_text", "n_removed_chars")
+
+
+def _oracle_normalize() -> str:
+    from dataingestion_spark.operators.text_analysis import normalize_text_sql
+
+    dirty = (
+        "(' ' || '“Title” &amp; &lt;b&gt;' || "
+        + " || ".join(["chr(13) || chr(10)"] * 4)
+        + " || chr(7) || text || ' ' || chr(9) || ' trailing  — end'"
+        " || chr(13))"
+    )
+    clean = normalize_text_sql(dirty)
+    return f"""
+SELECT doc_id, {clean} AS clean_text,
+       CAST(length({dirty}) - length({clean}) AS INTEGER) AS n_removed_chars
+FROM documents
+"""
+
+
 def q_events_funnel(spark, sf):
     """Ordered funnel (operators/temporal.py::funnel_steps):
     signup → click → purchase per user, earliest strict-order completion
@@ -4181,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_pii_scrub": q_pii_scrub,
+        "doc_normalize_text": q_doc_normalize,
         "doc_url_signals": q_url_signals,
         "doc_quality_classifier": q_quality_classifier,
         "doc_html_extract": q_html_extract,
@@ -4313,6 +4354,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_signals": ORACLE_REPETITION,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "doc_pii_scrub": _oracle_pii(),
+        "doc_normalize_text": _oracle_normalize(),
         "doc_url_signals": ORACLE_URL_SIGNALS,
         "doc_quality_classifier": _oracle_classifier(),
         "doc_html_extract": ORACLE_HTML_EXTRACT,

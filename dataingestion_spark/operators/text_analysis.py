@@ -401,3 +401,67 @@ def char_entropy(df: DataFrame, text_col: str = "text",
         F.size(uniq).cast("int").alias("n_distinct_chars"),
         F.when(n > 0, F.round(ent, 6)).otherwise(0.0).alias("entropy"),
     )
+
+
+#: HTML entities unescaped by normalize_text — &amp; LAST, so an escaped
+#: entity like "&amp;lt;" single-unescapes to the literal text "&lt;"
+HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+]
+
+#: typographic chars → ASCII (1:1, translate()-compatible in any engine)
+_PUNCT_FROM = "‘’“”–— "
+_PUNCT_TO = "''\"\"-- "
+
+#: C0 controls except \t \n, plus DEL — never content, always breakage
+_CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Web-text cleanup pass (the C4/CCNet pre-filter hygiene step),
+    entirely in codegen'd string expressions — no UDF, no shuffle:
+
+    1. line endings: CRLF / lone CR → LF;
+    2. strip C0 control chars (except tab/newline) and DEL;
+    3. single-pass HTML entity unescape (``&amp;`` last — escaped
+       entities unescape exactly once);
+    4. typographic quotes/dashes/NBSP → ASCII via ``translate``;
+    5. collapse space/tab runs to one space, drop line-trailing spaces,
+       collapse 3+ blank lines to one blank line, trim the ends.
+
+    Every step is a regexp_replace / replace / translate with identical
+    semantics in DuckDB (RE2) and Spark (java.util.regex) for these
+    patterns, which is what makes the op oracle-checkable. Output: the
+    input row with ``clean_text`` and ``n_removed_chars`` added."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, "\\r\\n?", "\n")
+    c = F.regexp_replace(c, _CONTROL_RE, "")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.translate(c, _PUNCT_FROM, _PUNCT_TO)
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " +\\n", "\n")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    c = F.trim(c)
+    return df.withColumn("clean_text", c).withColumn(
+        "n_removed_chars",
+        (F.length(F.col(text_col)) - F.length("clean_text")).cast("int"),
+    )
+
+
+def normalize_text_sql(text_expr: str) -> str:
+    """The DuckDB restatement of :func:`normalize_text`'s pipeline for a
+    given SQL text expression — kept adjacent so the two stay in lock
+    step (same trick as c4_signals_sql)."""
+    c = f"regexp_replace({text_expr}, '\\r\\n?', chr(10), 'g')"
+    c = f"regexp_replace({c}, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        r = rep.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{r}')"
+    c = f"translate({c}, '{_PUNCT_FROM}', '''''\"\"-- ')"
+    c = f"regexp_replace({c}, '[ \\t]+', ' ', 'g')"
+    c = f"regexp_replace({c}, ' +\\n', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"trim({c})"

@@ -963,3 +963,14 @@ def test_funnel_steps_strict_order_and_within(spark):
     within = {r.user_id: r.steps_completed
               for r in funnel_steps(df, ["a", "b"], within_seconds=15).collect()}
     assert within == {1: 2, 2: 1, 4: 1}  # user 2's b misses the deadline
+
+
+def test_normalize_text_pipeline(spark):
+    from dataingestion_spark.operators.text_analysis import normalize_text
+
+    dirty = '  <b>Café</b>&nbsp;&amp;lt;—ok\r\n\r\n\r\n\r\n“q”\x07 tail   \rend'
+    df = spark.createDataFrame([(1, dirty)], "doc_id int, text string")
+    r = normalize_text(df).first()
+    # entity single-unescape: &amp;lt; -> literal '&lt;' (never '<')
+    assert r.clean_text == '<b>Café</b> &lt;-ok\n\n"q" tail\nend'
+    assert r.n_removed_chars == len(dirty) - len(r.clean_text)
