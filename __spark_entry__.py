@@ -3859,6 +3859,63 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_quality_constraints(spark, sf):
+    """Deequ-style expectation checking
+    (operators/quality_checks.py::check_constraints): six rules over
+    lineitem — row-local rules fold into ONE aggregation pass, unique
+    adds a groupBy, the FK check is a broadcast anti-join against
+    orders. Two rules are violated by construction (multi-line orders
+    break unique; discounts run to 0.10 against a 0.05 cap) so the
+    counting path is exercised, not just zeros."""
+    from dataingestion_spark.operators import quality_checks as qc
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    report = qc.check_constraints(li, [
+        qc.not_null("l_orderkey"),
+        qc.unique("l_orderkey"),
+        qc.in_range("l_quantity", 1.0, 50.0),
+        qc.in_range("l_discount", 0.0, 0.05),
+        qc.in_set("l_returnflag", ["A", "N", "R"]),
+        qc.refers_to("l_orderkey", orders, "o_orderkey"),
+    ])
+    return report.select("rule", "violations", "n_rows")
+
+
+ORACLE_QUALITY_CONSTRAINTS = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+SELECT 'not_null(l_orderkey)' AS rule,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS violations,
+       n_rows FROM n
+UNION ALL
+SELECT 'unique(l_orderkey)',
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+         (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+          HAVING COUNT(*) > 1)), n_rows FROM n
+UNION ALL
+SELECT 'in_range(l_quantity,1.0,50.0)',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_quantity IS NOT NULL
+          AND (l_quantity < 1.0 OR l_quantity > 50.0)), n_rows FROM n
+UNION ALL
+SELECT 'in_range(l_discount,0.0,0.05)',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_discount IS NOT NULL
+          AND (l_discount < 0.0 OR l_discount > 0.05)), n_rows FROM n
+UNION ALL
+SELECT 'in_set(l_returnflag)',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_returnflag IS NOT NULL
+          AND l_returnflag NOT IN ('A', 'N', 'R')), n_rows FROM n
+UNION ALL
+SELECT 'refers_to(l_orderkey->o_orderkey)',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)), n_rows FROM n
+"""
+
+
 _DIRTY_PREFIX = " “Title” &amp; &lt;b&gt;" + "\r\n" * 4 + "\x07"
 _DIRTY_SUFFIX = " \t trailing  — end\r"
 
@@ -4222,6 +4279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_pii_scrub": q_pii_scrub,
         "doc_normalize_text": q_doc_normalize,
+        "table_quality_constraints": q_quality_constraints,
         "doc_url_signals": q_url_signals,
         "doc_quality_classifier": q_quality_classifier,
         "doc_html_extract": q_html_extract,
@@ -4355,6 +4413,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "doc_pii_scrub": _oracle_pii(),
         "doc_normalize_text": _oracle_normalize(),
+        "table_quality_constraints": ORACLE_QUALITY_CONSTRAINTS,
         "doc_url_signals": ORACLE_URL_SIGNALS,
         "doc_quality_classifier": _oracle_classifier(),
         "doc_html_extract": ORACLE_HTML_EXTRACT,
