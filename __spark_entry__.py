@@ -3859,6 +3859,23 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_uniform_sample_k(spark, sf):
+    """Exact-k deterministic uniform sample
+    (operators/sampling.py::uniform_sample_k): first 100 documents by
+    md5-hash order. Plans as TakeOrderedAndProject — per-partition top-k
+    heaps, no global sort (plan shape asserted in tests)."""
+    from dataingestion_spark.operators.sampling import uniform_sample_k
+
+    out = uniform_sample_k(_t(spark, sf, "documents"), 100)
+    return out.select("doc_id", "source")
+
+
+ORACLE_SAMPLE_K = """
+SELECT doc_id, source FROM documents
+ORDER BY md5(':' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+"""
+
+
 def q_quality_constraints(spark, sf):
     """Deequ-style expectation checking
     (operators/quality_checks.py::check_constraints): six rules over
@@ -4311,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_hash_assignment": q_hash_split,
         "shards_token_budget": q_assign_shards,
         "sample_stratified": q_stratified_sample,
+        "sample_uniform_exact_k": q_uniform_sample_k,
         "sample_mixture_budget": q_mixture_sample,
         "sample_temperature_mixture": q_temperature_mixture,
         "sample_upsample_epochs": q_upsample_epochs,
@@ -4442,6 +4460,7 @@ def oracle_sql() -> dict[str, str]:
         "split_hash_assignment": _oracle_hash_split(),
         "shards_token_budget": ORACLE_SHARDS,
         "sample_stratified": _oracle_stratified(),
+        "sample_uniform_exact_k": ORACLE_SAMPLE_K,
         "sample_mixture_budget": _oracle_mixture(),
         "sample_temperature_mixture": _oracle_temperature_mixture(),
         "sample_upsample_epochs": _oracle_upsample(),

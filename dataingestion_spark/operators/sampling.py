@@ -317,3 +317,25 @@ def upsample_by_epochs_sql(table: str, source_col: str,
 SELECT * EXCLUDE (n), CAST(unnest(generate_series(1, n)) AS INT) AS copy
 FROM (SELECT {cols}, {case} AS n FROM {table})
 """
+
+
+def uniform_sample_k(df: DataFrame, k: int, id_col: str = "doc_id",
+                     salt: str = "") -> DataFrame:
+    """EXACTLY k rows, uniformly and deterministically: global order by
+    md5(salt:id) (ties by id), take the first k. Complements
+    :func:`~..operators.sharding.hash_split`'s fractional split when a
+    hard budget ("give me exactly 100k eval docs") matters more than
+    append-stability — adding rows can rotate the selected set, which is
+    inherent to any exact-k rule.
+
+    Scale shape: orderBy + limit plans as TakeOrderedAndProject — a
+    per-partition top-k heap merged on the driver-side single reduce,
+    O(n log k) with NO global sort or shuffle of the data. Redraw with a
+    different ``salt``."""
+    h = _rank_hash(id_col, salt).alias("_h")
+    return (
+        df.select("*", h)
+        .orderBy("_h", id_col)
+        .limit(k)
+        .drop("_h")
+    )

@@ -167,3 +167,19 @@ def test_temperature_budgets_flatten_tail(spark):
     kept = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
     import math
     assert kept["small"] == math.ceil(sq["small"] / 100)  # doc crossing budget kept
+
+
+def test_uniform_sample_k_exact_and_planned_as_topk(spark):
+    from dataingestion_spark.operators.sampling import uniform_sample_k
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = uniform_sample_k(docs, 37)
+    b = uniform_sample_k(docs, 37)
+    assert a.count() == 37
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+    # different salt redraws
+    c = uniform_sample_k(docs, 37, salt="redraw")
+    assert {r.doc_id for r in c.collect()} != {r.doc_id for r in a.collect()}
+    # distributed top-k, not a global sort
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
