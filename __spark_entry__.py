@@ -3859,6 +3859,40 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_topk_ivf_persisted(spark, sf):
+    """Persisted IVF index (sinks/vector_index.py): build with the same
+    deterministic stride centroids as search_topk_ivf, write the lists
+    partitioned by centroid_id, search the on-disk index with n_probe=2
+    — probe selection becomes partition PRUNING (only probed lists are
+    read; plan-asserted in tests). Results are identical to the
+    in-memory IVF query, so the same SQL oracle pins the whole
+    build→persist→prune→search path."""
+    import tempfile
+
+    from dataingestion_spark.sinks.vector_index import (
+        build_ivf_index, search_ivf_index,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    n = e.count()
+    stride = max(1, n // 8)
+    rows = (
+        e.withColumn("rn", F.row_number().over(W.orderBy(F.asc("vec_id"))))
+        .filter((F.col("rn") - 1) % stride == 0)
+        .orderBy("rn").limit(8).select("rn", "embedding").collect()
+    )
+    cents = [(int(r["rn"]), [float(x) for x in r["embedding"]]) for r in rows]
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/idx"
+    build_ivf_index(e, path, centroids=cents)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = search_ivf_index(spark, path, queries, k=10, n_probe=2)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    )
+
+
 def q_uniform_sample_k(spark, sf):
     """Exact-k deterministic uniform sample
     (operators/sampling.py::uniform_sample_k): first 100 documents by
@@ -4338,6 +4372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_ann": q_topk_ann,
         "search_topk_pq": q_topk_pq,
         "search_topk_ivf": q_topk_ivf,
+        "search_topk_ivf_persisted": q_topk_ivf_persisted,
         "doc_c4_filters": q_c4_filters,
         "doc_gopher_filters": q_gopher_filters,
         # similarity search
@@ -4471,6 +4506,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_c4_filters": _oracle_c4(),
         "doc_gopher_filters": _oracle_gopher(),
         "search_topk_ivf": _oracle_topk_ivf(),
+        "search_topk_ivf_persisted": _oracle_topk_ivf(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_bm25": ORACLE_BM25,
         "search_hybrid_rrf": ORACLE_HYBRID_RRF,
