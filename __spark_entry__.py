@@ -3859,6 +3859,30 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_weighted_sample_k(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py::weighted_sample_k; Efraimidis–Spirakis A-ES):
+    exactly 100 documents drawn ∝ n_chars via exponential keys
+    -ln(u)/w on a dyadic md5 uniform — one distributed top-k, bit-exact
+    across engines (ln verified bit-identical; everything else IEEE)."""
+    from dataingestion_spark.operators.sampling import weighted_sample_k
+
+    out = weighted_sample_k(_t(spark, sf, "documents"), 100, "n_chars")
+    return out.select("doc_id", "n_chars")
+
+
+def _oracle_weighted_sample() -> str:
+    from dataingestion_spark.operators.sampling import weighted_key_sql
+
+    key = weighted_key_sql("doc_id", "n_chars")
+    return f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars, {key} AS e
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+ORDER BY e, doc_id LIMIT 100
+"""
+
+
 def q_topk_ivf_persisted(spark, sf):
     """Persisted IVF index (sinks/vector_index.py): build with the same
     deterministic stride centroids as search_topk_ivf, write the lists
@@ -4363,6 +4387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shards_token_budget": q_assign_shards,
         "sample_stratified": q_stratified_sample,
         "sample_uniform_exact_k": q_uniform_sample_k,
+        "sample_weighted_exact_k": q_weighted_sample_k,
         "sample_mixture_budget": q_mixture_sample,
         "sample_temperature_mixture": q_temperature_mixture,
         "sample_upsample_epochs": q_upsample_epochs,
@@ -4496,6 +4521,7 @@ def oracle_sql() -> dict[str, str]:
         "shards_token_budget": ORACLE_SHARDS,
         "sample_stratified": _oracle_stratified(),
         "sample_uniform_exact_k": ORACLE_SAMPLE_K,
+        "sample_weighted_exact_k": _oracle_weighted_sample(),
         "sample_mixture_budget": _oracle_mixture(),
         "sample_temperature_mixture": _oracle_temperature_mixture(),
         "sample_upsample_epochs": _oracle_upsample(),

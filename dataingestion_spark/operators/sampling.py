@@ -339,3 +339,45 @@ def uniform_sample_k(df: DataFrame, k: int, id_col: str = "doc_id",
         .limit(k)
         .drop("_h")
     )
+
+
+def _u52(id_col: str, salt: str):
+    """Uniform dyadic u ∈ (0, 1]: the first 13 hex digits of md5(salt:id)
+    over 2^52, +2^-53 to exclude zero — every value is an exact double,
+    so ln(u) is bit-identical in any engine with the same libm."""
+    h = _rank_hash(id_col, salt)
+    frac = F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(
+        float(2 ** 52)
+    )
+    return frac + F.lit(2.0 ** -53)
+
+
+def weighted_sample_k(df: DataFrame, k: int, weight_col: str,
+                      id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Exactly k rows, probability ∝ ``weight_col``, deterministic:
+    Efraimidis–Spirakis A-ES keys ``e = -ln(u) / w`` (exponential with
+    rate w), take the k SMALLEST — one distributed top-k, no shuffle of
+    the data (TakeOrderedAndProject, like :func:`uniform_sample_k`).
+    Rows with weight ≤ 0 or null are never selected. The md5-derived u
+    is dyadic-exact, so the ln/divide key is engine-reproducible and the
+    whole draw is SQL-oracle-checkable. Redraw with ``salt``."""
+    w = F.col(weight_col).cast("double")
+    key = (-F.log(_u52(id_col, salt)) / w).alias("_e")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select("*", key)
+        .orderBy("_e", id_col)
+        .limit(k)
+        .drop("_e")
+    )
+
+
+def weighted_key_sql(id_col: str, weight_col: str, salt: str = "") -> str:
+    """DuckDB restatement of :func:`weighted_sample_k`'s A-ES key for one
+    row — kept adjacent so the engines stay in lock step."""
+    h = f"md5(concat('{salt}:', CAST({id_col} AS VARCHAR)))"
+    acc = "0"
+    for i in range(1, 14):  # 13 hex digits = 52 bits
+        acc = f"({acc} * 16 + (instr('0123456789abcdef', substr({h}, {i}, 1)) - 1))"
+    u = f"((CAST({acc} AS DOUBLE) / {float(2 ** 52)!r}) + {2.0 ** -53!r})"
+    return f"(-ln({u}) / CAST({weight_col} AS DOUBLE))"

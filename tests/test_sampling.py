@@ -183,3 +183,19 @@ def test_uniform_sample_k_exact_and_planned_as_topk(spark):
     # distributed top-k, not a global sort
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_k_biases_to_weight(spark):
+    from dataingestion_spark.operators.sampling import weighted_sample_k
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = weighted_sample_k(docs, 100, "n_chars").collect()
+    assert len(s) == 100 and len({r.doc_id for r in s}) == 100
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.n_chars for r in s) / 100
+    assert sample_mean > corpus_mean  # heavier docs overrepresented
+    # zero/negative weights are never drawn
+    z = docs.withColumn("w", F.when(F.col("doc_id") < 490, 0).otherwise(F.col("n_chars")))
+    zs = weighted_sample_k(z, 5, "w").collect()
+    assert all(r.doc_id >= 490 for r in zs)
