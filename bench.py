@@ -94,6 +94,12 @@ def main():
         "url_psl": em.q_url_psl_domain,
         "merge_upsert": em.q_lakehouse_merge,
         "bpe_train": em.q_bpe_train_merges,
+        "gapfill_locf": em.q_events_gapfill,
+        "funnel": em.q_events_funnel,
+        "phrase_search": em.q_phrase_search,
+        "quality_checks": em.q_quality_constraints,
+        "normalize_text": em.q_doc_normalize,
+        "ivf_persisted": em.q_topk_ivf_persisted,
         "ingest_e2e": ingest_e2e,
     }
 
