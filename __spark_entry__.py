@@ -3859,6 +3859,47 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_robots_gate(spark, sf):
+    """robots.txt curation (operators/urls.py::parse_robots /
+    robots_disallowed — RFC 9309 grouping, longest-match precedence,
+    allow-wins ties, literal-prefix subset): synthesized per-host robots
+    bodies exercising multi-agent groups, empty Disallow, and
+    allow-overrides; URLs derived from doc_id. The oracle states the
+    expected verdicts in closed form."""
+    from dataingestion_spark.operators.urls import parse_robots, robots_disallowed
+
+    robots = spark.createDataFrame(
+        [
+            ("h0.com", "# policy\nUser-agent: *\nDisallow: /p1/\nDisallow: /p2/\n"),
+            ("h1.com", "User-agent: ccbot\nUser-agent: gptbot\nDisallow: /\n"),
+            ("h2.com", "User-agent: *\nDisallow:\n"),
+            ("h3.com", "User-agent: *\nDisallow: /p4/\nAllow: /p4/x\n"
+                       "Disallow: /p5/\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/x"),
+        ).alias("url"),
+    )
+    out = robots_disallowed(urls, parse_robots(robots), agent="*")
+    return out.select("doc_id", "url", "disallowed")
+
+
+ORACLE_ROBOTS = """
+SELECT doc_id,
+       'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.com/p'
+         || CAST(doc_id % 7 AS VARCHAR) || '/x' AS url,
+       ((doc_id % 5 = 0 AND doc_id % 7 IN (1, 2))
+        OR (doc_id % 5 = 3 AND doc_id % 7 = 5)) AS disallowed
+FROM documents
+"""
+
+
 def q_weighted_sample_k(spark, sf):
     """Deterministic weighted sampling without replacement
     (operators/sampling.py::weighted_sample_k; Efraimidis–Spirakis A-ES):
@@ -4374,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_clusters": q_semantic_dedup,
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
+        "doc_robots_gate": q_robots_gate,
         "dedup_boilerplate_lines": q_boilerplate_lines,
         "graph_pagerank_nations": q_pagerank_nations,
         "doc_char_entropy": q_char_entropy,
@@ -4508,6 +4550,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_clusters": ORACLE_SEMANTIC_DEDUP,
         "doc_lm_perplexity": ORACLE_LM_PERPLEXITY,
         "doc_url_psl_domain": ORACLE_URL_PSL,
+        "doc_robots_gate": ORACLE_ROBOTS,
         "dedup_boilerplate_lines": ORACLE_BOILERPLATE,
         "graph_pagerank_nations": _oracle_pagerank(),
         "doc_char_entropy": ORACLE_CHAR_ENTROPY,

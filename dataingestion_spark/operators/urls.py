@@ -16,7 +16,7 @@ handling is part of the beyond-reference curation surface, like
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Query parameters that identify a click, not a resource. Stripping them
 # is the single highest-yield URL-dedup normalization on web crawls.
@@ -230,4 +230,92 @@ def registered_domain_psl(df: DataFrame, rules: DataFrame,
         *[c for c in df.columns],
         ps.alias("public_suffix"),
         reg.alias("registered_domain"),
+    )
+
+
+def parse_robots(df: DataFrame, text_col: str = "robots_txt",
+                 host_col: str = "host") -> DataFrame:
+    """Parse robots.txt bodies into a rules table
+    ``(host, agent, directive, rule_path)`` — RFC 9309 grouping: a run of
+    consecutive ``User-agent`` lines opens a group; following
+    ``Allow``/``Disallow`` lines bind to EVERY agent of that group.
+
+    Expression-only: posexplode lines → field/value split → group ids by
+    counting group-OPENING user-agent lines (a UA line whose predecessor
+    is not a UA line) with a running sum window — the same construction
+    as sessionization, so the whole parse is SQL-oracle-checkable.
+    Comments (#…) and blank/unknown lines are ignored; field names are
+    case-insensitive; empty Disallow values (allow-all markers) are kept
+    with ``rule_path = ''``."""
+    lines = F.split(F.col(text_col), "\n")
+    ex = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(lines).alias("_i", "_line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("_line"), "#.*$", ""))
+    field = F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1)))
+    value = F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1))
+    parsed = (
+        ex.select("host", "_i", field.alias("_f"), value.alias("_v"))
+        .filter(F.col("_f").isin("user-agent", "allow", "disallow"))
+    )
+    w = Window.partitionBy("host").orderBy("_i")
+    is_ua = (F.col("_f") == "user-agent").cast("int")
+    prev_ua = F.coalesce(F.lag(is_ua).over(w), F.lit(0))
+    opens = ((is_ua == 1) & (prev_ua == 0)).cast("int")
+    grouped = parsed.withColumn(
+        "_g",
+        F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agents = (
+        grouped.filter(F.col("_f") == "user-agent")
+        .select("host", "_g", F.lower(F.col("_v")).alias("agent"))
+    )
+    rules = grouped.filter(F.col("_f") != "user-agent").select(
+        "host", "_g", F.col("_f").alias("directive"),
+        F.col("_v").alias("rule_path"),
+    )
+    return agents.join(rules, ["host", "_g"]).select(
+        "host", "agent", "directive", "rule_path"
+    )
+
+
+def robots_disallowed(urls: DataFrame, rules: DataFrame,
+                      agent: str = "*", url_col: str = "url") -> DataFrame:
+    """Gate URLs against parsed robots rules for one agent (literal-prefix
+    subset of RFC 9309 — no ``*``/``$`` wildcards, like most large-crawl
+    pipelines' fast path): the LONGEST rule whose path is a prefix of the
+    URL path decides; ties prefer Allow; no matching rule ⇒ allowed.
+    Adds ``disallowed`` (bool). Rules for the agent broadcast (robots
+    tables are rule-sized, not crawl-sized); the crawl side only
+    shuffles if the join itself does — with the broadcast, never."""
+    mine = rules.filter(F.lower(F.col("agent")) == agent.lower()).select(
+        "host", "directive", "rule_path"
+    ).filter(F.col("rule_path") != "")
+    u = urls.withColumn("_h", url_host(F.col(url_col))).withColumn(
+        "_p", url_path(F.col(url_col))
+    )
+    # decide per DISTINCT (host, path) — far fewer than crawl rows — then
+    # join verdicts back, preserving input multiplicity
+    pairs = u.select("_h", "_p").distinct()
+    j = pairs.join(
+        F.broadcast(mine),
+        (F.col("_h") == F.col("host"))
+        & F.col("_p").startswith(F.col("rule_path")),
+    )
+    # longest match wins; tie -> allow (max of the (len, is_allow) struct)
+    verdict = j.groupBy("_h", "_p").agg(
+        F.max(
+            F.struct(
+                F.length("rule_path").alias("l"),
+                (F.col("directive") == "allow").cast("int").alias("a"),
+            )
+        ).alias("_best")
+    )
+    return (
+        u.join(verdict, ["_h", "_p"], "left")
+        .select(
+            *urls.columns,
+            F.coalesce(F.col("_best.a") == 0, F.lit(False)).alias("disallowed"),
+        )
     )

@@ -147,3 +147,42 @@ def test_registered_domain_psl_agrees_with_subset(spark):
     subset = {r.host: r.rd for r in df.select(
         "host", registered_domain(F.col("host")).alias("rd")).collect()}
     assert full == subset
+
+
+def test_parse_robots_rfc9309_grouping(spark):
+    from dataingestion_spark.operators.urls import parse_robots
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "# comment\nUser-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+          "\nUser-agent: gptbot\nUser-agent: ccbot\nDisallow: /\n"),
+         ("b.com", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    got = {tuple(r) for r in parse_robots(robots).collect()}
+    assert got == {
+        ("a.com", "*", "disallow", "/private/"),
+        ("a.com", "*", "allow", "/private/ok"),
+        ("a.com", "gptbot", "disallow", "/"),  # group binds to BOTH agents
+        ("a.com", "ccbot", "disallow", "/"),
+        ("b.com", "*", "disallow", ""),        # empty = allow-all marker
+    }
+
+
+def test_robots_disallowed_longest_match_and_defaults(spark):
+    from dataingestion_spark.operators.urls import parse_robots, robots_disallowed
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p/\nAllow: /p/ok\n")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/p/x"), (2, "https://a.com/p/ok/deep"),
+         (3, "https://a.com/q"), (4, "https://nowhere.com/p/x"),
+         (5, "https://a.com/p/x")],  # duplicate row must survive
+        "id int, url string",
+    )
+    got = sorted((r.id, r.disallowed)
+                 for r in robots_disallowed(urls, rules).collect())
+    assert got == [(1, True), (2, False), (3, False), (4, False), (5, True)]
