@@ -3859,6 +3859,52 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_script_profile(spark, sf):
+    """Unicode script composition
+    (operators/text_analysis.py::script_profile): documents salted with
+    Cyrillic/CJK/Arabic snippets by doc_id%4, per-script codepoint
+    counts + dominant script. One regexp per script, fully codegen'd;
+    the oracle spells the same Unicode property in RE2 (\\p{Latin}) that
+    Spark spells \\p{IsLatin}."""
+    from dataingestion_spark.operators.text_analysis import script_profile
+
+    docs = _t(spark, sf, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(" привет мир"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" 日本語のテキスト"))
+            .when(F.col("doc_id") % 4 == 3, F.lit(" مرحبا بالعالم"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(salted)
+
+
+def _oracle_script_profile() -> str:
+    from dataingestion_spark.operators.text_analysis import SCRIPTS
+
+    dirty = (
+        "(text || CASE doc_id % 4 WHEN 1 THEN ' привет мир'"
+        " WHEN 2 THEN ' 日本語のテキスト'"
+        " WHEN 3 THEN ' مرحبا بالعالم' ELSE '' END)"
+    )
+    cols = ",\n  ".join(
+        f"length(regexp_replace({dirty}, '[^{re2}]', '', 'g')) AS n_{name}"
+        for name, _, re2 in SCRIPTS
+    )
+    names = sorted(name for name, _, _ in SCRIPTS)
+    g = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    arms = " ".join(f"WHEN n_{n} = {g} THEN '{n}'" for n in names)
+    return f"""
+WITH c AS (SELECT doc_id, {cols} FROM documents)
+SELECT doc_id, {', '.join('n_' + n for n in (name for name, _, _ in SCRIPTS))},
+       CASE WHEN {g} = 0 THEN 'none' {arms} END AS main_script
+FROM c
+"""
+
+
 def q_robots_gate(spark, sf):
     """robots.txt curation (operators/urls.py::parse_robots /
     robots_disallowed — RFC 9309 grouping, longest-match precedence,
@@ -4416,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
         "doc_robots_gate": q_robots_gate,
+        "doc_script_profile": q_script_profile,
         "dedup_boilerplate_lines": q_boilerplate_lines,
         "graph_pagerank_nations": q_pagerank_nations,
         "doc_char_entropy": q_char_entropy,
@@ -4551,6 +4598,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_perplexity": ORACLE_LM_PERPLEXITY,
         "doc_url_psl_domain": ORACLE_URL_PSL,
         "doc_robots_gate": ORACLE_ROBOTS,
+        "doc_script_profile": _oracle_script_profile(),
         "dedup_boilerplate_lines": ORACLE_BOILERPLATE,
         "graph_pagerank_nations": _oracle_pagerank(),
         "doc_char_entropy": ORACLE_CHAR_ENTROPY,

@@ -465,3 +465,46 @@ def normalize_text_sql(text_expr: str) -> str:
     c = f"regexp_replace({c}, ' +\\n', chr(10), 'g')"
     c = f"regexp_replace({c}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
     return f"trim({c})"
+
+
+#: script name → (java.util.regex class, RE2 class) — same Unicode script
+#: property, different spelling per engine
+SCRIPTS = [
+    ("latin", "\\p{IsLatin}", "\\p{Latin}"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("greek", "\\p{IsGreek}", "\\p{Greek}"),
+    ("arabic", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("devanagari", "\\p{IsDevanagari}", "\\p{Devanagari}"),
+    ("han", "\\p{IsHan}", "\\p{Han}"),
+    ("hiragana", "\\p{IsHiragana}", "\\p{Hiragana}"),
+    ("katakana", "\\p{IsKatakana}", "\\p{Katakana}"),
+    ("hangul", "\\p{IsHangul}", "\\p{Hangul}"),
+]
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Unicode script composition per document: codepoint counts per
+    script (Latin, Cyrillic, Greek, Arabic, Devanagari, Han, Hiragana,
+    Katakana, Hangul) and the dominant script (most codepoints, ties by
+    script name; 'none' when nothing matches) — the cheap writing-system
+    gate that runs BEFORE any model-based language id in multilingual
+    curation. Expression-only: one regexp per script, counts via
+    length-after-stripping-others, so the whole profile is one codegen'd
+    projection and SQL-oracle-checkable (RE2 spells the same property
+    \\p{Latin} where Java says \\p{IsLatin} — see the SCRIPTS table)."""
+    c = F.col(text_col)
+    counts = {
+        name: F.length(F.regexp_replace(c, f"[^{java}]", ""))
+        for name, java, _ in SCRIPTS
+    }
+    best = F.greatest(*counts.values())
+    pick = F.lit("none")
+    for name in sorted(counts, reverse=True):  # alphabetical-first wins ties
+        pick = F.when((best > 0) & (counts[name] == best),
+                      F.lit(name)).otherwise(pick)
+    return df.select(
+        F.col(id_col),
+        *[cnt.alias(f"n_{name}") for name, cnt in counts.items()],
+        pick.alias("main_script"),
+    )

@@ -974,3 +974,16 @@ def test_normalize_text_pipeline(spark):
     # entity single-unescape: &amp;lt; -> literal '&lt;' (never '<')
     assert r.clean_text == '<b>Café</b> &lt;-ok\n\n"q" tail\nend'
     assert r.n_removed_chars == len(dirty) - len(r.clean_text)
+
+
+def test_script_profile_dominance_and_ties(spark):
+    from dataingestion_spark.operators.text_analysis import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "привет мир hi"), (3, "日本語のテキストです"),
+         (4, "1234 !!!"), (5, "αβγαβ καλημέρα")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.main_script for r in script_profile(df).collect()}
+    assert got == {1: "latin", 2: "cyrillic", 3: "katakana",
+                   4: "none", 5: "greek"}
