@@ -3859,6 +3859,51 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_kfold_assign(spark, sf):
+    """K-fold CV assignment (operators/sharding.py::kfold_assign):
+    append-stable md5 folds, k=5; per-fold counts and char totals.
+    Same hex-fold construction as hash_split — oracle via the SQL twin."""
+    from dataingestion_spark.operators.sharding import kfold_assign
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return (
+        kfold_assign(docs, 5)
+        .groupBy("fold")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("n_chars_total"))
+    )
+
+
+def _oracle_kfold() -> str:
+    from dataingestion_spark.operators.sharding import kfold_assign_sql
+
+    return f"""
+SELECT {kfold_assign_sql(5)} AS fold, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM documents GROUP BY 1
+"""
+
+
+def q_curriculum_buckets(spark, sf):
+    """Curriculum bucketing (operators/sharding.py::curriculum_buckets):
+    equal-count ntile(10) over ascending n_chars (ties by doc_id) —
+    identical ntile semantics in DuckDB, so the full assignment is
+    hash-checked, not just bucket sizes."""
+    from dataingestion_spark.operators.sharding import curriculum_buckets
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return curriculum_buckets(docs, "n_chars", 10).select(
+        "doc_id", "n_chars", "bucket"
+    )
+
+
+ORACLE_CURRICULUM = """
+SELECT doc_id, n_chars,
+       CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS bucket
+FROM documents
+"""
+
+
 def q_script_profile(spark, sf):
     """Unicode script composition
     (operators/text_analysis.py::script_profile): documents salted with
@@ -4473,6 +4518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_membership": q_bloom_membership,
         "curation_funnel": q_curation_funnel,
         "split_hash_assignment": q_hash_split,
+        "split_kfold_assignment": q_kfold_assign,
+        "sample_curriculum_buckets": q_curriculum_buckets,
         "shards_token_budget": q_assign_shards,
         "sample_stratified": q_stratified_sample,
         "sample_uniform_exact_k": q_uniform_sample_k,
@@ -4609,6 +4656,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_bloom_membership": ORACLE_BLOOM,
         "curation_funnel": _oracle_funnel(),
         "split_hash_assignment": _oracle_hash_split(),
+        "split_kfold_assignment": _oracle_kfold(),
+        "sample_curriculum_buckets": ORACLE_CURRICULUM,
         "shards_token_budget": ORACLE_SHARDS,
         "sample_stratified": _oracle_stratified(),
         "sample_uniform_exact_k": ORACLE_SAMPLE_K,

@@ -164,3 +164,38 @@ def assign_shards(df: DataFrame, token_col: str, budget: int,
         prior.withColumn("shard_id", F.floor(F.col("_prior") / budget).cast("long"))
         .drop("_prior")
     )
+
+
+def kfold_assign(df: DataFrame, k: int, id_col: str = "doc_id",
+                 salt: str = "fold") -> DataFrame:
+    """K-fold cross-validation assignment: ``fold`` ∈ 0..k−1 from the md5
+    of (salt, id) — append-stable (a document keeps its fold as the
+    corpus grows), uniform, and engine-reproducible, unlike
+    ``randomSplit``. Use a different ``salt`` for a fresh partition.
+    One projection; no shuffle."""
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    u = _hex_to_long(h, _SPLIT_BITS // 4)
+    return df.withColumn("fold", (u % k).cast("int"))
+
+
+def kfold_assign_sql(k: int, id_col: str = "doc_id",
+                     salt: str = "fold") -> str:
+    """DuckDB twin of :func:`kfold_assign`'s fold expression."""
+    h = f"md5(concat('{salt}:', CAST({id_col} AS VARCHAR)))"
+    acc = "0"
+    for i in range(1, _SPLIT_BITS // 4 + 1):
+        acc = f"({acc} * 16 + (instr('0123456789abcdef', substr({h}, {i}, 1)) - 1))"
+    return f"CAST({acc} % {k} AS INTEGER)"
+
+
+def curriculum_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Curriculum bucketing: ``bucket`` 1..n by ascending score order
+    (ties by id — fully deterministic), equal-count ntile semantics.
+    The global sort range-partitions (one shuffle, no single-task
+    bottleneck); ntile itself needs the total order, which Spark
+    computes per range partition after the exchange."""
+    w = Window.orderBy(F.asc(score_col), F.asc(id_col))
+    return df.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -56,3 +56,38 @@ def test_shards_budget_property(spark):
     )
     with pytest.raises(ValueError):
         assign_shards(df, "tokens", budget=0)
+
+
+def test_kfold_append_stable_and_uniform(spark):
+    from dataingestion_spark.operators.sharding import kfold_assign
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    f1 = {r.doc_id: r.fold for r in kfold_assign(docs, 5).collect()}
+    # append stability: folds on a subset match folds on the full corpus
+    sub = docs.filter(F.col("doc_id") < 100)
+    f2 = {r.doc_id: r.fold for r in kfold_assign(sub, 5).collect()}
+    assert all(f1[d] == f2[d] for d in f2)
+    sizes = sorted(list(f1.values()).count(i) for i in range(5))
+    assert sizes[0] > 50  # roughly uniform over 500 docs
+    import pytest
+
+    with pytest.raises(ValueError):
+        kfold_assign(docs, 1)
+
+
+def test_curriculum_buckets_monotone_in_score(spark):
+    from dataingestion_spark.operators.sharding import curriculum_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = curriculum_buckets(docs.select("doc_id", "n_chars"),
+                              "n_chars", 4).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.n_chars)
+    assert sorted(by_bucket) == [1, 2, 3, 4]
+    # bucket boundaries are monotone: max of bucket i <= min of bucket i+1
+    for b in (1, 2, 3):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+    # equal-count (500 / 4)
+    assert sorted(len(v) for v in by_bucket.values()) == [125, 125, 125, 125]
