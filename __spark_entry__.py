@@ -3859,6 +3859,57 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_triangle_count(spark, sf):
+    """Per-node triangle counting (operators/graph.py::triangle_count)
+    over the nation co-trade graph (customer-nation ↔ supplier-nation
+    pairs that traded, the PageRank query's edge list): canonical a<b
+    edges, wedge join + closing-edge join, one explode+groupBy. The
+    oracle restates the two joins in SQL."""
+    from dataingestion_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(c["c_nationkey"] != s["s_nationkey"])
+        .select(c["c_nationkey"].alias("src"), s["s_nationkey"].alias("dst"))
+    )
+    out = triangle_count(edges)
+    return (
+        out.join(n, out["node"] == n["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "n_triangles")
+    )
+
+
+ORACLE_TRIANGLES = """
+WITH e0 AS (
+  SELECT DISTINCT LEAST(c.c_nationkey, s.s_nationkey) AS a,
+                  GREATEST(c.c_nationkey, s.s_nationkey) AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey),
+canon AS (SELECT a, b FROM e0 WHERE a < b),
+tri AS (
+  SELECT w.a, w.b, w.c FROM
+    (SELECT e1.a, e1.b, e2.b AS c FROM canon e1
+     JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b) w
+  JOIN canon e3 ON e3.a = w.b AND e3.b = w.c),
+per_node AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY node)
+SELECT n.n_name AS nation, p.n_triangles
+FROM per_node p JOIN nation n ON p.node = n.n_nationkey
+"""
+
+
 def q_kfold_assign(spark, sf):
     """K-fold CV assignment (operators/sharding.py::kfold_assign):
     append-stable md5 folds, k=5; per-fold counts and char totals.
@@ -4510,6 +4561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_script_profile": q_script_profile,
         "dedup_boilerplate_lines": q_boilerplate_lines,
         "graph_pagerank_nations": q_pagerank_nations,
+        "graph_triangle_count": q_triangle_count,
         "doc_char_entropy": q_char_entropy,
         "sample_dsir_weights": q_dsir_weights,
         "sketch_hll_users": q_sketch_hll_users,
@@ -4648,6 +4700,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_script_profile": _oracle_script_profile(),
         "dedup_boilerplate_lines": ORACLE_BOILERPLATE,
         "graph_pagerank_nations": _oracle_pagerank(),
+        "graph_triangle_count": ORACLE_TRIANGLES,
         "doc_char_entropy": ORACLE_CHAR_ENTROPY,
         "sample_dsir_weights": _oracle_dsir(),
         "sketch_hll_users": _oracle_hll(),

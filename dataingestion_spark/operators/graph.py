@@ -82,3 +82,39 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global and per-node triangle counts of the UNDIRECTED simple graph
+    induced by ``edges`` (direction and duplicates are erased first; self
+    loops dropped). Returns ``(node, n_triangles)`` — one row per node
+    that participates in at least one triangle.
+
+    Classic two-join formulation on canonically ordered edges (a<b):
+    wedge (a<b<c from a's edge list) ⋈ closing edge (b,c) — every
+    triangle is found exactly once, so the per-node count is one
+    explode+groupBy over the closed wedges. Shuffle keys are node ids;
+    the wedge join's skew follows the max degree — pre-filter supernodes
+    or salt the wedge key on power-law graphs (the standard mitigation;
+    see operators/skew.py)."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1 = canon.select(F.col("a"), F.col("b"))
+    e2 = canon.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+    wedges = e1.join(e2, e1["a"] == e2["a2"]).filter(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        canon.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+    ).select("a", "b", "c")
+    return (
+        closed.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -47,3 +47,16 @@ def test_pagerank_dangling_mass_dropped(spark):
     e = _edges(spark, [(0, 2), (1, 2)])
     total = pagerank(e, iters=5).agg(F.sum("rank")).collect()[0][0]
     assert total < 1.0
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    from dataingestion_spark.operators.graph import triangle_count
+
+    # K4 on {1..4} + pendant 5, with a reversed dup and a self loop
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+         (2, 1), (3, 3)],
+        "src int, dst int",
+    )
+    got = sorted(tuple(r) for r in triangle_count(edges).collect())
+    assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]  # pendant excluded
