@@ -3859,6 +3859,48 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_events_anomaly(spark, sf):
+    """Rolling z-score anomaly detection
+    (operators/temporal.py::rolling_zscore): per-user z over the 20
+    PRECEDING event values (point excluded so outliers can't mask
+    themselves), |z| > 3 flagged. Mean/variance from ordered-frame sums
+    of x and x² — running frame sums accumulate in frame order in both
+    engines (the moving-sum invariant), so even the float z values
+    hash-match."""
+    from dataingestion_spark.operators.temporal import rolling_zscore
+
+    _utc(spark)
+    e = _events(spark, sf)
+    out = rolling_zscore(e, "ts", "user_id", "value",
+                         window_rows=20, tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", F.round("z", 6).alias("z_r"), "anomaly"
+    )
+
+
+ORACLE_ANOMALY = """
+WITH f AS (
+  SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+    COUNT(value) OVER w AS n,
+    SUM(CAST(value AS DOUBLE)) OVER w AS sx,
+    SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) OVER w AS sxx
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT event_id, user_id,
+    CASE WHEN n >= 2
+          AND sqrt(GREATEST((sxx - sx * sx / n) / (n - 1.0), 0.0)) > 0
+         THEN (x - sx / n)
+              / sqrt(GREATEST((sxx - sx * sx / n) / (n - 1.0), 0.0))
+    END AS zval
+  FROM f)
+SELECT event_id, user_id, round(zval, 6) AS z_r,
+       COALESCE(abs(zval) > 3.0, FALSE) AS anomaly
+FROM z
+"""
+
+
 def q_triangle_count(spark, sf):
     """Per-node triangle counting (operators/graph.py::triangle_count)
     over the nation co-trade graph (customer-nation ↔ supplier-nation
@@ -4522,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_sum": q_events_moving_sum,
         "events_gapfill_locf": q_events_gapfill,
         "events_funnel_ordered": q_events_funnel,
+        "events_anomaly_zscore": q_events_anomaly,
         "events_zorder_key": q_events_zorder,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -4666,6 +4709,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_sum": ORACLE_MOVING,
         "events_gapfill_locf": ORACLE_GAPFILL,
         "events_funnel_ordered": ORACLE_FUNNEL,
+        "events_anomaly_zscore": ORACLE_ANOMALY,
         "events_zorder_key": _oracle_zorder(),
         "customers_without_orders": ORACLE_ANTI,
         "customers_with_urgent_orders": ORACLE_SEMI,

@@ -255,3 +255,37 @@ def funnel_steps(df: DataFrame, steps: List[str], ts_col: str = "ts",
         for i in range(1, len(steps) + 1)
     )
     return done.withColumn("steps_completed", completed.cast("int"))
+
+
+def rolling_zscore(df: DataFrame, ts_col: str, key_col: str,
+                   value_col: str, window_rows: int = 20,
+                   threshold: float = 3.0,
+                   tiebreak: Optional[str] = None) -> DataFrame:
+    """Per-key rolling anomaly score: z = (x − mean) / stddev over the
+    PRECEDING ``window_rows`` observations (the point itself excluded —
+    an outlier must not mask itself), flagged when |z| > ``threshold``.
+
+    Determinism: mean and variance come from frame sums of x and x²
+    (``var = (Σx² − (Σx)²/n) / (n−1)``), and ordered-frame running sums
+    accumulate in frame order in both Spark and DuckDB — the same
+    property the moving-sum query already pins — so even the float
+    arithmetic hash-matches an oracle. Rows with fewer than 2 preceding
+    observations get z = null / anomaly = false. Output: input + (z,
+    anomaly). One per-key window — a single hash shuffle on the key."""
+    order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    x = F.col(value_col).cast("double")
+    n = F.count(value_col).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sxx = F.sum(x * x).over(w)
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))  # guard tiny negative fp var
+    z = F.when((n >= 2) & (sd > 0), (x - mean) / sd)
+    return df.withColumn("z", z).withColumn(
+        "anomaly", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False))
+    )

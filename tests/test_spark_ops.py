@@ -987,3 +987,21 @@ def test_script_profile_dominance_and_ties(spark):
     got = {r.doc_id: r.main_script for r in script_profile(df).collect()}
     assert got == {1: "latin", 2: "cyrillic", 3: "katakana",
                    4: "none", 5: "greek"}
+
+
+def test_rolling_zscore_flags_spike_not_itself(spark):
+    from dataingestion_spark.operators.temporal import rolling_zscore
+    from pyspark.sql import functions as F
+
+    rows = [(1, i, 10.0 + (i % 3)) for i in range(20)] + [
+        (1, 20, 500.0),   # spike
+        (1, 21, 10.0),    # next point: spike inflates its window, no flag
+    ]
+    df = spark.createDataFrame(rows, "u int, sec int, value double").withColumn(
+        "ts", F.timestamp_seconds("sec")
+    )
+    out = {r.sec: (r.z, r.anomaly)
+           for r in rolling_zscore(df, "ts", "u", "value", 10).collect()}
+    assert out[20][1] is True and out[20][0] > 100
+    assert out[21][1] is False
+    assert out[0] == (None, False)  # no preceding observations
