@@ -3859,6 +3859,41 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_tfidf_top_terms(spark, sf):
+    """Characteristic terms per source
+    (operators/text_search.py::tfidf_top_terms): top-5 by tf·idf with
+    idf = ln(1 + G/gf) over source groups; deterministic (score desc,
+    term) ranking. The ln of one exact division is engine-stable, so
+    the ranking and rounded scores hash-match."""
+    from dataingestion_spark.operators.text_search import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), "source", k=5)
+
+
+ORACLE_TFIDF = r"""
+WITH occ AS (
+  SELECT source AS grp,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT grp, term, COUNT(*) AS tf FROM occ WHERE term <> ''
+       GROUP BY 1, 2),
+gf AS (SELECT term, COUNT(*) AS gf FROM tf GROUP BY 1),
+g AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.grp, tf.term, tf.tf,
+         tf.tf * ln(1.0 + g.n / gf.gf) AS score
+  FROM tf JOIN gf USING (term) CROSS JOIN g),
+ranked AS (
+  SELECT grp, term, tf, score,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT grp AS source, CAST(rank AS INTEGER) AS rank, term,
+       tf, round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_events_anomaly(spark, sf):
     """Rolling z-score anomaly detection
     (operators/temporal.py::rolling_zscore): per-user z over the 20
@@ -4637,6 +4672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_bm25,
         "search_hybrid_rrf": q_hybrid_rrf,
         "search_phrase_positions": q_phrase_search,
+        "search_tfidf_top_terms": q_tfidf_top_terms,
         # ingestion operators (reference SURVEY §2.1-2.5)
         "reader_markdown_elements": q_md_parse_elements,
         "reader_wet_records": q_reader_wet_records,
@@ -4774,6 +4810,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": ORACLE_BM25,
         "search_hybrid_rrf": ORACLE_HYBRID_RRF,
         "search_phrase_positions": ORACLE_PHRASE,
+        "search_tfidf_top_terms": ORACLE_TFIDF,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
         "reader_wet_records": ORACLE_WET_RECORDS,

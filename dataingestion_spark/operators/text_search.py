@@ -180,3 +180,36 @@ def phrase_search(docs: DataFrame, phrase: str, text_col: str = "text",
         .groupBy(id_col)
         .agg(F.count("*").alias("n_matches"))
     )
+
+
+def tfidf_top_terms(docs: DataFrame, group_col: str, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Characteristic terms per group (the corpus-exploration /
+    domain-labeling primitive): for every value of ``group_col``, the
+    top-k whitespace terms by tf·idf where tf counts occurrences inside
+    the group and idf = ln(1 + G/gf) with G = number of groups and gf =
+    groups containing the term. Output: (group, rank, term, tf, score).
+
+    Shape: one explode + (group, term) count (map-side combinable), a
+    term-level groupBy for gf, a broadcast-sized (G ≪ corpus) stats
+    join, and a per-group top-k window. Ranking ties break by term, and
+    idf is one ln of one exact division — both engine-stable — so the
+    whole ranking is oracle-checkable."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+    occ = docs.select(
+        F.col(group_col).alias("grp"), F.explode(words).alias("term")
+    ).filter(F.col("term") != "")
+    tf = occ.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    gf = tf.groupBy("term").agg(F.count("*").alias("gf"))
+    n_groups = docs.select(group_col).distinct().count()
+    scored = tf.join(gf, "term").withColumn(
+        "score",
+        F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_groups)) / F.col("gf")),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "rank", "term", "tf",
+                F.round("score", 6).alias("score"))
+    )

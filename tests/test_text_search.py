@@ -80,3 +80,20 @@ def test_phrase_search_overlaps_and_distinct_slots(spark):
 
     with pytest.raises(ValueError):
         phrase_search(df, "   ")
+
+
+def test_tfidf_top_terms_ranks_group_specific_terms(spark):
+    from dataingestion_spark.operators.text_search import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "g1", "apple apple banana shared"),
+         (2, "g1", "apple shared"),
+         (3, "g2", "cherry cherry shared"),
+         (4, "g2", "shared")],
+        "doc_id int, grp string, text string",
+    )
+    out = {(r.grp, r.rank): r.term
+           for r in tfidf_top_terms(df, "grp", k=2).collect()}
+    # group-exclusive terms outrank the everywhere-term 'shared'
+    assert out[("g1", 1)] == "apple" and out[("g2", 1)] == "cherry"
+    assert out[("g1", 2)] != "shared" or out[("g2", 2)] != "shared"
