@@ -92,8 +92,10 @@ def test_tfidf_top_terms_ranks_group_specific_terms(spark):
          (4, "g2", "shared")],
         "doc_id int, grp string, text string",
     )
-    out = {(r.grp, r.rank): r.term
-           for r in tfidf_top_terms(df, "grp", k=2).collect()}
+    rows = tfidf_top_terms(df, "grp", k=2).collect()
+    out = {(r.grp, r.rank): r.term for r in rows}
     # group-exclusive terms outrank the everywhere-term 'shared'
     assert out[("g1", 1)] == "apple" and out[("g2", 1)] == "cherry"
-    assert out[("g1", 2)] != "shared" or out[("g2", 2)] != "shared"
+    # idf discount: 'shared' (in both groups) scores below the top term
+    scores = {(r.grp, r.term): r.score for r in rows}
+    assert scores[("g1", "shared")] < scores[("g1", "apple")]
