@@ -3859,6 +3859,39 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_profile_table(spark, sf):
+    """Column profiling (operators/quality_checks.py::profile_table):
+    one wide aggregation pass over lineitem — per column: rows, nulls,
+    exact distinct, min/max as strings, mean for numerics. Means are
+    rounded in the comparison (sum order differs across engines in the
+    last ulps; everything else is exact)."""
+    from dataingestion_spark.operators.quality_checks import profile_table
+
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    prof = profile_table(_t(spark, sf, "lineitem").select(*cols), cols)
+    return prof.select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str",
+        F.round("mean", 6).alias("mean_r"),
+    )
+
+
+def _oracle_profile() -> str:
+    arms = []
+    for c, num in [("l_orderkey", True), ("l_quantity", True),
+                   ("l_returnflag", False), ("l_shipdate", False)]:
+        mean = (f"round(AVG(CAST({c} AS DOUBLE)), 6)" if num
+                else "CAST(NULL AS DOUBLE)")
+        arms.append(f"""
+SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str,
+       {mean} AS mean_r
+FROM lineitem""")
+    return " UNION ALL ".join(arms)
+
+
 def q_tfidf_top_terms(spark, sf):
     """Characteristic terms per source
     (operators/text_search.py::tfidf_top_terms): top-5 by tf·idf with
@@ -4616,6 +4649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_pii_scrub,
         "doc_normalize_text": q_doc_normalize,
         "table_quality_constraints": q_quality_constraints,
+        "table_column_profile": q_profile_table,
         "doc_url_signals": q_url_signals,
         "doc_quality_classifier": q_quality_classifier,
         "doc_html_extract": q_html_extract,
@@ -4760,6 +4794,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": _oracle_pii(),
         "doc_normalize_text": _oracle_normalize(),
         "table_quality_constraints": ORACLE_QUALITY_CONSTRAINTS,
+        "table_column_profile": _oracle_profile(),
         "doc_url_signals": ORACLE_URL_SIGNALS,
         "doc_quality_classifier": _oracle_classifier(),
         "doc_html_extract": ORACLE_HTML_EXTRACT,

@@ -139,3 +139,49 @@ def assert_constraints(df: DataFrame, rules: List[Rule]) -> None:
     if bad:
         lines = ", ".join(f"{r['rule']}={r['violations']}" for r in bad)
         raise AssertionError(f"data-quality violations: {lines}")
+
+
+def profile_table(df: DataFrame,
+                  columns: Optional[List[str]] = None) -> DataFrame:
+    """Column-level profile (the ``DESCRIBE``-at-scale companion to
+    :func:`check_constraints`): for every column — row count, null
+    count, exact distinct count, and min/max rendered as strings (so one
+    report schema covers every column type). Numeric-only stats stay in
+    their own columns (null for non-numerics).
+
+    One wide aggregation computes every per-column expression in a
+    single pass over the table; only the distinct counts add per-column
+    partial aggregates (Spark rewrites multi countDistinct with
+    expand — cost grows with the column list, so pass ``columns`` to
+    profile a subset of a very wide table)."""
+    from pyspark.sql import types as T
+
+    cols = columns or df.columns
+    numeric = {
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType,
+                                   T.LongType, T.FloatType, T.DoubleType,
+                                   T.DecimalType))
+    }
+    exprs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        exprs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            (F.avg(F.col(c).cast("double")) if c in numeric
+             else F.lit(None).cast("double")).alias(f"_avg_{c}"),
+        ]
+    wide = df.agg(*exprs).collect()[0]
+    rows = [
+        (c, int(wide["_n"]), int(wide[f"_null_{c}"]), int(wide[f"_dist_{c}"]),
+         wide[f"_min_{c}"], wide[f"_max_{c}"],
+         float(wide[f"_avg_{c}"]) if wide[f"_avg_{c}"] is not None else None)
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, n_rows long, n_nulls long, n_distinct long, "
+        "min_str string, max_str string, mean double",
+    )

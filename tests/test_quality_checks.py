@@ -50,3 +50,17 @@ def test_n_rows_reported(spark):
     df = make_df(spark)
     rows = qc.check_constraints(df, [qc.not_null("id")]).collect()
     assert rows[0].n_rows == 4
+
+
+def test_profile_table_per_column_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (3, None, 8.0), (3, "b", 2.0)],
+        "id long, s string, v double",
+    )
+    prof = {r.column: r for r in qc.profile_table(df).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_distinct == 3
+    assert prof["s"].n_nulls == 1 and prof["s"].min_str == "a"
+    assert prof["v"].n_nulls == 1 and prof["v"].mean == 4.0
+    assert prof["s"].mean is None  # non-numeric
+    sub = qc.profile_table(df, ["id"])
+    assert [r.column for r in sub.collect()] == ["id"]
