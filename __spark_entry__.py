@@ -3859,6 +3859,17 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_compression_ratio(spark, sf):
+    """Deflate compression-ratio quality signal
+    (operators/text_analysis.py::compression_ratio) — rows-only: no
+    relational deflate exists in any SQL engine, so the driver records
+    count/schema while tests pin the byte counts against direct zlib
+    (DEFLATE at a fixed level is deterministic per zlib build)."""
+    from dataingestion_spark.operators.text_analysis import compression_ratio
+
+    return compression_ratio(_t(spark, sf, "documents"))
+
+
 def q_profile_table(spark, sf):
     """Column profiling (operators/quality_checks.py::profile_table):
     one wide aggregation pass over lineitem — per column: rows, nulls,
@@ -4675,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_nations": q_pagerank_nations,
         "graph_triangle_count": q_triangle_count,
         "doc_char_entropy": q_char_entropy,
+        "doc_compression_ratio": q_compression_ratio,
         "sample_dsir_weights": q_dsir_weights,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_histogram_quantiles": q_sketch_quantiles,

@@ -508,3 +508,45 @@ def script_profile(df: DataFrame, text_col: str = "text",
         *[cnt.alias(f"n_{name}") for name, cnt in counts.items()],
         pick.alias("main_script"),
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Deflate compression ratio per document (compressed/raw bytes) —
+    the classic cheap gibberish-vs-boilerplate axis (used alongside the
+    Gopher/C4 rules): highly repetitive text compresses far below
+    normal prose (~0.3-0.6), while random gibberish stays near 1.0.
+
+    Arrow-batched pandas UDF over zlib (a UDF is unavoidable — no
+    relational deflate exists); DEFLATE output for a fixed level and
+    zlib build is deterministic, so results are stable run-to-run but
+    NOT SQL-expressible → the driver query is rows-only, semantics
+    pinned against direct zlib in tests. Output adds ``n_bytes``,
+    ``n_bytes_deflate``, ``compression_ratio``."""
+    lvl = int(level)
+
+    def scan(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [(t if isinstance(t, str) else "").encode("utf-8")
+                   for t in pdf[text_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": [len(b) for b in raw],
+                "n_bytes_deflate": [len(zlib.compress(b, lvl)) for b in raw],
+            })
+
+    id_type = dict(df.dtypes)[id_col]
+    out = df.select(id_col, text_col).mapInPandas(
+        scan, f"{id_col} {id_type}, n_bytes long, n_bytes_deflate long"
+    )
+    return out.withColumn(
+        "compression_ratio",
+        F.round(
+            F.col("n_bytes_deflate") / F.greatest(F.col("n_bytes"), F.lit(1)),
+            6,
+        ),
+    )

@@ -357,6 +357,7 @@ def test_entry_contract(spark):
         "dedup_minhash_fast_pairs",
         "dedup_simhash_fast",
         "tokenizer_bpe_train_merges",  # iterative merge loop (pinned in tests)
+        "doc_compression_ratio",  # no relational deflate exists (pinned in tests)
     }
 
 
@@ -1005,3 +1006,21 @@ def test_rolling_zscore_flags_spike_not_itself(spark):
     assert out[20][1] is True and out[20][0] > 100
     assert out[21][1] is False
     assert out[0] == (None, False)  # no preceding observations
+
+
+def test_compression_ratio_pinned_to_zlib(spark):
+    import zlib
+
+    from dataingestion_spark.operators.text_analysis import compression_ratio
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sub = docs.filter(F.col("doc_id") < 20)
+    got = {r.doc_id: (r.n_bytes, r.n_bytes_deflate)
+           for r in compression_ratio(sub).collect()}
+    for r in sub.collect():
+        b = r.text.encode()
+        assert got[r.doc_id] == (len(b), len(zlib.compress(b, 6)))
+    # repetitive text compresses much harder than the word soup
+    rep = spark.createDataFrame([(1, "na " * 500)], "doc_id int, text string")
+    assert compression_ratio(rep).first().compression_ratio < 0.05
