@@ -3859,6 +3859,33 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_cohort_retention(spark, sf):
+    """Cohort retention matrix
+    (operators/temporal.py::cohort_retention): users cohorted by
+    first-active DAY (epoch-floor), (cohort, offset) activity counts +
+    cohort sizes — integer arithmetic only, exactly oracle-checkable."""
+    from dataingestion_spark.operators.temporal import cohort_retention
+
+    _utc(spark)
+    e = _events(spark, sf)
+    return cohort_retention(e, "ts", "user_id", period_seconds=86400)
+
+
+ORACLE_COHORT = """
+WITH act AS (
+  SELECT DISTINCT user_id AS k,
+         (epoch_us(ts) // 1000000) // 86400 AS p
+  FROM events),
+coh AS (SELECT k, MIN(p) AS c FROM act GROUP BY k),
+sizes AS (SELECT c, COUNT(*) AS n_cohort FROM coh GROUP BY c),
+ret AS (
+  SELECT coh.c, act.p - coh.c AS period_offset, COUNT(*) AS n_active
+  FROM act JOIN coh USING (k) GROUP BY 1, 2)
+SELECT ret.c AS cohort_period, period_offset, n_active, n_cohort
+FROM ret JOIN sizes USING (c)
+"""
+
+
 def q_compression_ratio(spark, sf):
     """Deflate compression-ratio quality signal
     (operators/text_analysis.py::compression_ratio) — rows-only: no
@@ -4644,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_locf": q_events_gapfill,
         "events_funnel_ordered": q_events_funnel,
         "events_anomaly_zscore": q_events_anomaly,
+        "events_cohort_retention": q_cohort_retention,
         "events_zorder_key": q_events_zorder,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -4792,6 +4820,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill_locf": ORACLE_GAPFILL,
         "events_funnel_ordered": ORACLE_FUNNEL,
         "events_anomaly_zscore": ORACLE_ANOMALY,
+        "events_cohort_retention": ORACLE_COHORT,
         "events_zorder_key": _oracle_zorder(),
         "customers_without_orders": ORACLE_ANTI,
         "customers_with_urgent_orders": ORACLE_SEMI,

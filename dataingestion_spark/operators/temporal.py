@@ -289,3 +289,38 @@ def rolling_zscore(df: DataFrame, ts_col: str, key_col: str,
     return df.withColumn("z", z).withColumn(
         "anomaly", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False))
     )
+
+
+def cohort_retention(df: DataFrame, ts_col: str, key_col: str,
+                     period_seconds: int = 7 * 86400) -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by the period of their
+    FIRST event (epoch-floor buckets, default weekly), and each later
+    period they were active lands them in (cohort, offset). Output:
+    ``(cohort_period, period_offset, n_active)`` plus ``n_cohort`` (the
+    cohort's size, repeated per row) — the numerator/denominator of
+    every retention curve.
+
+    Two aggregations and a broadcast-sized join: distinct (key, period)
+    activity, per-key min = cohort, count per (cohort, offset). Integer
+    arithmetic only — exactly oracle-checkable. At 100 TB the activity
+    distinct is the only corpus-sized shuffle; everything after is
+    cohort-count-sized."""
+    per = (F.unix_micros(F.col(ts_col)) / F.lit(1_000_000)).cast("long")
+    period = F.floor(per / period_seconds).cast("long")
+    activity = (
+        df.select(F.col(key_col).alias("k"), period.alias("p")).distinct()
+    )
+    cohorts = activity.groupBy("k").agg(F.min("p").alias("c"))
+    sizes = cohorts.groupBy("c").agg(F.count("*").alias("n_cohort"))
+    ret = (
+        activity.join(cohorts, "k")
+        .groupBy("c", (F.col("p") - F.col("c")).alias("period_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        ret.join(sizes, "c")
+        .select(
+            F.col("c").alias("cohort_period"), "period_offset",
+            "n_active", "n_cohort",
+        )
+    )

@@ -1024,3 +1024,24 @@ def test_compression_ratio_pinned_to_zlib(spark):
     # repetitive text compresses much harder than the word soup
     rep = spark.createDataFrame([(1, "na " * 500)], "doc_id int, text string")
     assert compression_ratio(rep).first().compression_ratio < 0.05
+
+
+def test_cohort_retention_counts(spark):
+    from dataingestion_spark.operators.temporal import cohort_retention
+    from pyspark.sql import functions as F
+
+    # users 1,2 first seen day 0; user 3 first seen day 1;
+    # day 1 actives: 1, 3; day 2 actives: 3
+    rows = [(1, 0), (2, 0), (1, 86400), (3, 86400), (3, 2 * 86400),
+            (1, 10)]  # second event same day: distinct() collapses
+    df = spark.createDataFrame(rows, "user_id int, sec long").withColumn(
+        "ts", F.timestamp_seconds("sec")
+    )
+    got = {(r.cohort_period, r.period_offset): (r.n_active, r.n_cohort)
+           for r in cohort_retention(df, "ts", "user_id", 86400).collect()}
+    assert got == {
+        (0, 0): (2, 2),  # cohort day-0: both active day 0
+        (0, 1): (1, 2),  # only user 1 returned on day 1
+        (1, 0): (1, 1),  # cohort day-1: user 3
+        (1, 1): (1, 1),  # user 3 active again day 2
+    }
