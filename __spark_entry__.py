@@ -3859,6 +3859,64 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_audio_segments(spark, sf):
+    """Audio segmentation plumbing
+    (operators/multimodal.py::audio_segments): synthesized WAV headers
+    (byte rate 1000 → duration == payload bytes) probed by
+    audio_metadata, then 300 ms windows at 200 ms hop with block-aligned
+    byte ranges — integer offset math the oracle restates in closed
+    form. Decode stays stubbed; the slicing arithmetic is the real
+    product here."""
+    from dataingestion_spark.operators.multimodal import (
+        audio_metadata, audio_segments,
+    )
+
+    docs = _t(spark, sf, "documents")
+    channels = (F.col("doc_id") % 2 + 1).cast("int")
+    rate = (F.lit(8000) + F.col("doc_id") % 8).cast("int")
+
+    def le(col, nbytes):
+        parts = [
+            F.format_string("%02x", F.shiftright(col, 8 * i).bitwiseAND(F.lit(0xFF)))
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    header_hex = F.concat(
+        F.lit("52494646"), F.lit("24080000"), F.lit("57415645"),
+        F.lit("666d7420"), F.lit("10000000"), F.lit("0100"),
+        le(channels, 2), le(rate, 4), le(F.lit(1000), 4),
+        F.lit("0200"), F.lit("1000"), F.lit("64617461"), F.lit("00000000"),
+    )
+    binary = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.unhex(header_hex), F.col("text").cast("binary"))
+        .alias("audio_content"),
+    )
+    meta = audio_metadata(binary, id_cols=(("doc_id", "long"),))
+    return audio_segments(meta, window_ms=300, hop_ms=200)
+
+
+ORACLE_AUDIO_SEGMENTS = """
+WITH m AS (
+  SELECT doc_id, (doc_id % 2 + 1) * 2 AS block,
+         CAST(length(text) AS BIGINT) AS dur
+  FROM documents WHERE length(text) > 0),
+s AS (
+  SELECT doc_id, block, dur, CAST(t.i AS BIGINT) AS seg
+  FROM m, unnest(range(0, GREATEST(CAST(ceil(dur / 200.0) AS BIGINT), 1))) AS t(i)),
+w AS (
+  SELECT doc_id, seg, seg * 200 AS t0,
+         LEAST(seg * 200 + 300, dur) AS t1, block, dur
+  FROM s)
+SELECT doc_id, seg, t0 AS t_start_ms, t1 AS t_end_ms,
+       44 + (t0 // block) * block AS byte_start,
+       44 + CASE WHEN t1 = dur THEN dur
+                 ELSE (t1 // block) * block END AS byte_end
+FROM w
+"""
+
+
 def q_cohort_retention(spark, sf):
     """Cohort retention matrix
     (operators/temporal.py::cohort_retention): users cohorted by
@@ -4769,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_incremental_agg": q_incremental_agg_view,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_audio_meta": q_multimodal_audio_meta,
+        "multimodal_audio_segments": q_audio_segments,
         "search_topk_ivf_pq": q_topk_ivf_pq,
         # streaming (rows-only)
         "streaming_events_windowed": q_streaming_events,
@@ -4918,6 +4977,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_incremental_agg": ORACLE_INCR_AGG,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
+        "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
         "streaming_dedup_watermark": ORACLE_STREAM_DEDUP_WM,
         "streaming_interval_join": ORACLE_STREAM_INTERVAL_JOIN,

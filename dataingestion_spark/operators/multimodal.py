@@ -22,7 +22,7 @@ import hashlib
 import struct
 from typing import Callable, Iterator, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 IMAGE_META_SCHEMA = (
     "width int, height int, format string, n_bytes long, sha256 string"
@@ -176,3 +176,52 @@ def frame_sample(df: DataFrame, binary_col: str = "video_content",
             yield pd.DataFrame(out, columns=["doc_id", "ts_ms", "frame"])
 
     return df.mapInPandas(run, schema="doc_id string, ts_ms long, frame binary")
+
+
+def audio_segments(meta: DataFrame, window_ms: int = 1000,
+                   hop_ms: int | None = None, header_bytes: int = 44,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Fixed-window audio segmentation PLUMBING: from probed metadata
+    (``duration_ms``, ``n_bytes``, ``channels`` — :func:`audio_metadata`'s
+    output), emit one row per window with its time span and the
+    block-aligned BYTE RANGE inside the original binary — everything a
+    downstream decode/feature-extract UDF needs to slice without
+    re-parsing containers. Decode itself stays out (no codec libs in
+    this image); the byte math is the real, scale-tested part.
+
+    Offsets map time proportionally onto the payload
+    (``header + t·n_data/duration`` floored to the sample block), so the
+    arithmetic is integer-exact and engine-reproducible regardless of
+    the container's nominal byte rate. Rows without probed duration
+    (non-WAV bytes) are dropped. Windows: ``t_start = i·hop`` while
+    ``t_start < duration``; the final window truncates at the end."""
+    hop = int(hop_ms or window_ms)
+    if hop <= 0 or window_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    d = F.col("duration_ms").cast("long")
+    ok = meta.filter(d.isNotNull() & (d > 0))
+    n_seg = F.greatest(F.ceil(d / F.lit(hop)).cast("long"), F.lit(1))
+    block = (F.col("channels").cast("long") * 2)
+    n_data = F.col("n_bytes").cast("long") - header_bytes
+
+    def at(t):  # block-aligned payload byte offset of time t
+        return F.expr(
+            f"(({t} * (n_bytes - {header_bytes}) DIV duration_ms)"
+            f" DIV (channels * 2)) * (channels * 2)"
+        )
+
+    segs = ok.withColumn("seg", F.explode(F.sequence(F.lit(0), n_seg - 1)))
+    t0 = (F.col("seg") * hop).cast("long")
+    t1 = F.least(t0 + window_ms, d)
+    return (
+        segs.withColumn("t_start_ms", t0)
+        .withColumn("t_end_ms", t1)
+        .withColumn("byte_start", F.lit(header_bytes) + at("t_start_ms"))
+        .withColumn(
+            "byte_end",
+            F.lit(header_bytes)
+            + F.when(t1 == d, n_data).otherwise(at("t_end_ms")),
+        )
+        .select(id_col, "seg", "t_start_ms", "t_end_ms",
+                "byte_start", "byte_end")
+    )

@@ -342,3 +342,22 @@ def test_plan_shapes_new_tpch_queries(spark):
     # q22: anti-join present, scalar avg is a 1-row broadcast (no SMJ)
     q22 = plan_summary(em.q_tpch_q22(spark, sf))
     assert q22["sort_merge_joins"] <= 1  # the big c×o anti-join may SMJ; dims must not
+
+
+def test_audio_segments_block_alignment_and_tail(spark):
+    from dataingestion_spark.operators.multimodal import audio_segments
+
+    meta = spark.createDataFrame(
+        [(1, 8000, 2, 1000, 44 + 4000),   # stereo: block 4
+         (2, 8000, 1, 250, 44 + 1000),    # mono: block 2
+         (3, None, None, None, 10)],      # unprobeable: dropped
+        "doc_id long, sample_rate int, channels int, duration_ms long, n_bytes long",
+    )
+    rows = {(r.doc_id, r.seg): (r.t_start_ms, r.t_end_ms, r.byte_start, r.byte_end)
+            for r in audio_segments(meta, window_ms=300, hop_ms=200).collect()}
+    assert rows[(1, 1)] == (200, 500, 844, 2044)   # 4-byte aligned offsets
+    assert rows[(1, 4)] == (800, 1000, 3244, 4044)  # tail ends at payload end
+    assert rows[(2, 1)] == (200, 250, 844, 1044)
+    assert not any(d == 3 for d, _ in rows)
+    # every start offset is block-aligned relative to the payload
+    assert all((bs - 44) % 4 == 0 for (d, _), (_, _, bs, _) in rows.items() if d == 1)
