@@ -3859,6 +3859,55 @@ SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_image_tiles(spark, sf):
+    """Image tiling plumbing (operators/multimodal.py::image_tiles):
+    synthesized PNGs (width = doc_id%640+1, height = doc_id%480+1)
+    probed by image_metadata, then a 128×128 tile grid with truncated
+    edge tiles — pixel-rectangle math restated in closed form by the
+    oracle."""
+    from dataingestion_spark.operators.multimodal import (
+        image_metadata, image_tiles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+    binary = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.unhex(
+                F.concat(
+                    F.lit("89504E470D0A1A0A0000000D49484452"),
+                    F.format_string("%08x", w),
+                    F.format_string("%08x", h),
+                )
+            ),
+            F.col("text").cast("binary"),
+        ).alias("image_content"),
+    )
+    meta = image_metadata(binary, id_cols=(("doc_id", "long"),))
+    return image_tiles(meta, 128, 128)
+
+
+ORACLE_IMAGE_TILES = """
+WITH m AS (
+  SELECT doc_id, CAST(doc_id % 640 + 1 AS BIGINT) AS w,
+         CAST(doc_id % 480 + 1 AS BIGINT) AS h
+  FROM documents),
+g AS (
+  SELECT doc_id, w, h, CAST(tx.i AS BIGINT) AS tile_x,
+         CAST(ty.i AS BIGINT) AS tile_y
+  FROM m,
+       unnest(range(0, CAST(ceil(w / 128.0) AS BIGINT))) AS tx(i),
+       unnest(range(0, CAST(ceil(h / 128.0) AS BIGINT))) AS ty(i))
+SELECT doc_id, tile_x, tile_y,
+       tile_x * 128 AS x0, tile_y * 128 AS y0,
+       LEAST(tile_x * 128 + 128, w) AS x1,
+       LEAST(tile_y * 128 + 128, h) AS y1
+FROM g
+"""
+
+
 def q_audio_segments(spark, sf):
     """Audio segmentation plumbing
     (operators/multimodal.py::audio_segments): synthesized WAV headers
@@ -4828,6 +4877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_audio_segments": q_audio_segments,
+        "multimodal_image_tiles": q_image_tiles,
         "search_topk_ivf_pq": q_topk_ivf_pq,
         # streaming (rows-only)
         "streaming_events_windowed": q_streaming_events,
@@ -4978,6 +5028,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,
+        "multimodal_image_tiles": ORACLE_IMAGE_TILES,
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
         "streaming_dedup_watermark": ORACLE_STREAM_DEDUP_WM,
         "streaming_interval_join": ORACLE_STREAM_INTERVAL_JOIN,

@@ -225,3 +225,35 @@ def audio_segments(meta: DataFrame, window_ms: int = 1000,
         .select(id_col, "seg", "t_start_ms", "t_end_ms",
                 "byte_start", "byte_end")
     )
+
+
+def image_tiles(meta: DataFrame, tile_w: int = 256, tile_h: int = 256,
+                id_col: str = "doc_id") -> DataFrame:
+    """Tiling plumbing for vision pipelines (the 2-D analog of
+    :func:`audio_segments`): from probed ``width``/``height``
+    (:func:`image_metadata`'s output), one row per tile of a
+    ``tile_w × tile_h`` grid with its pixel rectangle — edge tiles
+    truncate at the image bounds. ViT-style patchification, SAM-style
+    crop grids, and thumbnail pyramids all consume exactly this
+    coordinate stream; the pixel decode itself stays behind the codec
+    hooks. Rows without probed dimensions are dropped. Output:
+    ``(id, tile_x, tile_y, x0, y0, x1, y1)`` with x1/y1 exclusive."""
+    if tile_w <= 0 or tile_h <= 0:
+        raise ValueError("tile_w and tile_h must be positive")
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    ok = meta.filter(w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0))
+    nx = F.ceil(w / F.lit(tile_w)).cast("long")
+    ny = F.ceil(h / F.lit(tile_h)).cast("long")
+    g = (
+        ok.withColumn("tile_x", F.explode(F.sequence(F.lit(0), nx - 1)))
+        .withColumn("tile_y", F.explode(F.sequence(F.lit(0), ny - 1)))
+    )
+    x0 = F.col("tile_x") * tile_w
+    y0 = F.col("tile_y") * tile_h
+    return g.select(
+        id_col, "tile_x", "tile_y",
+        x0.alias("x0"), y0.alias("y0"),
+        F.least(x0 + tile_w, w).alias("x1"),
+        F.least(y0 + tile_h, h).alias("y1"),
+    )

@@ -361,3 +361,19 @@ def test_audio_segments_block_alignment_and_tail(spark):
     assert not any(d == 3 for d, _ in rows)
     # every start offset is block-aligned relative to the payload
     assert all((bs - 44) % 4 == 0 for (d, _), (_, _, bs, _) in rows.items() if d == 1)
+
+
+def test_image_tiles_grid_and_edges(spark):
+    from dataingestion_spark.operators.multimodal import image_tiles
+
+    meta = spark.createDataFrame(
+        [(1, 300, 500), (2, 256, 256), (3, None, None)],
+        "doc_id long, width int, height int",
+    )
+    rows = {(r.doc_id, r.tile_x, r.tile_y): (r.x0, r.y0, r.x1, r.y1)
+            for r in image_tiles(meta, 256, 256).collect()}
+    assert rows[(1, 1, 1)] == (256, 256, 300, 500)  # truncated edge tile
+    assert rows[(2, 0, 0)] == (0, 0, 256, 256)      # exact fit: one tile
+    assert len([k for k in rows if k[0] == 1]) == 4
+    assert len([k for k in rows if k[0] == 2]) == 1
+    assert not any(k[0] == 3 for k in rows)         # unprobeable dropped
