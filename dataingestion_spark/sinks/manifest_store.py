@@ -84,10 +84,40 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed since this transaction read the table."""
 
 
+_BLOOM_BITS = 2048  # 256 bytes/file in the manifest; ~1% FP at ~200 ids
+_BLOOM_K = 3
+
+
+def _bloom_positions(doc_id: str):
+    import hashlib
+
+    h = hashlib.md5(doc_id.encode()).hexdigest()
+    for i in range(_BLOOM_K):
+        yield int(h[i * 8:(i + 1) * 8], 16) % _BLOOM_BITS
+
+
+def _bloom_build(doc_ids) -> str:
+    bits = bytearray(_BLOOM_BITS // 8)
+    for d in doc_ids:
+        for p in _bloom_positions(str(d)):
+            bits[p // 8] |= 1 << (p % 8)
+    return bytes(bits).hex()
+
+
+def _bloom_maybe_contains(bloom_hex: str, doc_id: str) -> bool:
+    bits = bytes.fromhex(bloom_hex)
+    return all(bits[p // 8] & (1 << (p % 8)) for p in _bloom_positions(doc_id))
+
+
 def _file_stats(path: str) -> Optional[Dict]:
-    """min/max documentid + row count from the parquet footer (no data read).
-    Returns None when the footer lacks documentid statistics — readers treat
-    a stats-less file as "may contain anything" (no pruning, still correct)."""
+    """Per-file pruning stats: min/max documentid + row count from the
+    parquet footer, plus a small Bloom filter over the file's documentids
+    (one cheap single-column read of the just-written file). min/max
+    prunes by RANGE; the bloom prunes SCATTERED ids that happen to fall
+    inside a file's range — together point lookups read O(actually
+    matching files). Returns None when footer stats are absent — readers
+    treat a stats-less file as "may contain anything" (no pruning, still
+    correct)."""
     try:
         import pyarrow.parquet as pq
 
@@ -106,7 +136,13 @@ def _file_stats(path: str) -> Optional[Dict]:
             maxs.append(st.max)
         if not mins:
             return {"rows": 0}
-        return {"min": min(mins), "max": max(maxs), "rows": rows}
+        out = {"min": min(mins), "max": max(maxs), "rows": rows}
+        try:
+            ids = pq.read_table(path, columns=["documentid"])["documentid"]
+            out["bloom"] = _bloom_build(x.as_py() for x in ids)
+        except Exception:
+            pass  # bloom is a second-level optimization on top of min/max
+        return out
     except Exception:
         return None  # stats are an optimization, never a correctness gate
 
@@ -297,7 +333,12 @@ def read_documents(spark, table: str, doc_ids: List[str],
             st = meta["stats"].get(n)
             if st is None or "min" not in st:
                 chosen.add(n)  # no stats -> must read
-            elif any(st["min"] <= d <= st["max"] for d in ids):
+            elif any(
+                st["min"] <= d <= st["max"]
+                and ("bloom" not in st
+                     or _bloom_maybe_contains(st["bloom"], d))
+                for d in ids
+            ):
                 chosen.add(n)
     if not chosen:  # every file stat-pruned: the ids are provably absent
         return _read_files(spark, table, manifest).limit(0).filter(F.lit(False))
@@ -318,7 +359,10 @@ def _candidate_files(table: str, doc_ids: List[str],
         for n in manifest["buckets"].get(b, []):
             st = meta["stats"].get(n)
             if st is None or "min" not in st or any(
-                st["min"] <= d <= st["max"] for d in doc_ids
+                st["min"] <= d <= st["max"]
+                and ("bloom" not in st
+                     or _bloom_maybe_contains(st["bloom"], d))
+                for d in doc_ids
             ):
                 out.append(n)
     return out

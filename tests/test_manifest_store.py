@@ -374,3 +374,21 @@ def test_schema_evolution_append_new_column(spark, tmp_path):
     assert "lang" in got.columns
     by = {r.documentid: r.lang for r in got.collect()}
     assert by == {"a": None, "z": "en"}
+
+
+def test_bloom_prunes_scattered_ids_inside_range(spark, tmp_path):
+    """min/max can't prune an id INSIDE a file's range; the per-file bloom
+    can (when the id isn't actually in the file)."""
+    table = str(tmp_path / "t21")
+    # doc4 / doc39 / doc117 share bucket 4; store only the outer two —
+    # lexicographic range ['doc117', 'doc4'] CONTAINS the absent 'doc39'
+    ms.write_table(records_df(spark, {"doc4": ["a"], "doc117": ["b"]}), table)
+    m = ms.read_manifest(table)
+    st = m["stats"][m["buckets"]["4"][0]]
+    assert "bloom" in st
+    assert st["min"] <= "doc39" <= st["max"]  # min/max alone can't prune
+    assert ms._candidate_files(table, ["doc39"]) == []  # the bloom does
+    assert ms.read_documents(spark, table, ["doc39"]).count() == 0
+    # present ids still resolve through the bloom
+    assert ms._candidate_files(table, ["doc117"]) == [m["buckets"]["4"][0]]
+    assert ms.read_documents(spark, table, ["doc117"]).count() == 1
