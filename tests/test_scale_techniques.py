@@ -114,3 +114,20 @@ def test_round2_plans_broadcast_no_nested_loop(spark):
     fp = plan_summary(ivfpq)
     assert fp["sort_merge_joins"] == 0
     assert fp["broadcast_hash_joins"] >= 1  # probe x LUT vs encoded lists
+
+
+def test_new_analytics_plan_shapes(spark):
+    """Round-3 operators: pushdown reaches the scans, no nested-loop
+    joins, column pruning holds."""
+    import __spark_entry__ as em
+    from dataingestion_spark.observability import plan_summary
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("events_funnel_ordered", "events_gapfill_locf",
+                 "search_tfidf_top_terms", "events_cohort_retention"):
+        s = plan_summary(em.queries()[name](spark, sf))
+        assert s["nested_loop_joins"] == 0, name
+    s = plan_summary(em.queries()["events_funnel_ordered"](spark, sf))
+    assert any("signup" in f for f in s["pushed_filters"])  # step filter pushed
+    g = plan_summary(em.queries()["events_gapfill_locf"](spark, sf))
+    assert all("event_type" not in rs for rs in g["read_schemas"])  # pruned
