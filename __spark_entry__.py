@@ -2543,6 +2543,42 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r F
 """
 
 
+def q_recall_ivf(spark, sf):
+    """Retrieval evaluation (operators/similarity.py::recall_at_k):
+    per-query recall@10 of the IVF path (8 stride centroids, n_probe=2)
+    against the exact ranking — the operational metric for every ANN
+    trade. The oracle recomputes BOTH rankings in SQL and joins them, so
+    even the evaluation harness is hash-checked."""
+    from dataingestion_spark.operators.similarity import recall_at_k
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.topk_cosine(e, queries, k=10)
+    approx = similarity.topk_cosine_ivf(e, queries, k=10,
+                                        n_centroids=8, n_probe=2)
+    return recall_at_k(exact, approx, 10)
+
+
+def _oracle_recall_ivf() -> str:
+    return f"""
+WITH exact AS (SELECT * FROM ({ORACLE_EMB_TOPK})),
+approx AS (SELECT * FROM ({_oracle_topk_ivf()})),
+tot AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+hit AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY 1)
+SELECT t.query_id, t.n_exact,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT)
+         / LEAST(10, t.n_exact) AS recall
+FROM tot t LEFT JOIN hit h ON t.query_id = h.query_id
+"""
+
+
 def q_emb_topk_filtered(spark, sf):
     e = _t(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 3).select(
@@ -4845,6 +4881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_pq": q_topk_pq,
         "search_topk_ivf": q_topk_ivf,
         "search_topk_ivf_persisted": q_topk_ivf_persisted,
+        "search_recall_at_k": q_recall_ivf,
         "doc_c4_filters": q_c4_filters,
         "doc_gopher_filters": q_gopher_filters,
         # similarity search
@@ -4991,6 +5028,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_filters": _oracle_gopher(),
         "search_topk_ivf": _oracle_topk_ivf(),
         "search_topk_ivf_persisted": _oracle_topk_ivf(),
+        "search_recall_at_k": _oracle_recall_ivf(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_bm25": ORACLE_BM25,
         "search_hybrid_rrf": ORACLE_HYBRID_RRF,

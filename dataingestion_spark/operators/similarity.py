@@ -589,3 +589,34 @@ def hyperplane_bucket_sql(vec_expr: str, dim: int, planes: int = 16) -> str:
             dot = f"({dot} + {t})"
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END)")
     return "CAST((" + " + ".join(bits) + ") AS BIGINT)"
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int,
+                query_id: str = "query_id",
+                corpus_id: str = "vec_id") -> DataFrame:
+    """Retrieval evaluation: per-query recall@k of an ANN result against
+    the exact ranking — |approx∩exact| / min(k, |exact|), both sides cut
+    to their top-k by ``rank``. The operational metric for every ANN
+    trade in this module (LSH planes, IVF probes, PQ bits); compute it
+    on a sampled query set per index build and alert on regression.
+
+    One inner join on (query, doc) + one count per query, joined back to
+    the exact side's per-query totals — broadcast-sized all the way
+    (query sets are samples, not corpora). Returns (query_id, n_exact,
+    n_hit, recall) with recall as an exact ratio of small integers."""
+    e = exact.filter(F.col("rank") <= k).select(query_id, corpus_id)
+    a = approx.filter(F.col("rank") <= k).select(query_id, corpus_id)
+    totals = e.groupBy(query_id).agg(F.count("*").alias("n_exact"))
+    hits = (
+        e.join(a, [query_id, corpus_id])
+        .groupBy(query_id)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        totals.join(hits, query_id, "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn(
+            "recall",
+            F.col("n_hit") / F.least(F.lit(k), F.col("n_exact")),
+        )
+    )

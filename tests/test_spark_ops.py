@@ -1045,3 +1045,21 @@ def test_cohort_retention_counts(spark):
         (1, 0): (1, 1),  # cohort day-1: user 3
         (1, 1): (1, 1),  # user 3 active again day 2
     }
+
+
+def test_recall_at_k_exact_self_is_one(spark):
+    from dataingestion_spark.operators.similarity import recall_at_k
+    from dataingestion_spark.operators.similarity import topk_cosine
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = topk_cosine(emb, qs, k=5)
+    r = recall_at_k(exact, exact, 5).collect()
+    assert all(x.recall == 1.0 and x.n_hit == 5 for x in r)
+    # disjoint approx -> recall 0, queries preserved
+    import pyspark.sql.functions as SF_
+    none = exact.withColumn("vec_id", F.col("vec_id") + 100000)
+    r0 = recall_at_k(exact, none, 5).collect()
+    assert all(x.recall == 0.0 for x in r0) and len(r0) == 4
