@@ -101,3 +101,44 @@ def test_spec_change_forces_full(spark, tmp_path):
     got = mv.read_view(spark, view)
     assert got.columns == ["src", "n_rows"]
     assert os.path.exists(os.path.join(str(tmp_path / "v5"), "_VIEW_META"))
+
+
+def test_streaming_ingest_composes_with_incremental_view(spark, tmp_path):
+    """stream_ingest_dedup appends O(batch) commits; the aggregate view
+    refreshes from exactly those deltas — the streaming-lakehouse loop."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.streaming.pipeline import stream_ingest_dedup
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    table = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+    docs1 = spark.createDataFrame(
+        [(1, "alpha text", "en", "s0", 10), (2, "beta text", "de", "s0", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    def land(df, name):
+        # the file stream watches indir itself: stage, then move part files in
+        import shutil
+
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        for i, p in enumerate(sorted(stage.glob("*.parquet"))):
+            shutil.move(str(p), str(indir / f"{name}-{i}.parquet"))
+
+    land(docs1, "b1")
+    stream_ingest_dedup(spark, str(indir), table).awaitTermination()
+    spec = (["lang"], [("doc_id", "count")])
+    assert mv.refresh(spark, table, view, *spec) == "full"
+
+    docs2 = spark.createDataFrame(
+        [(3, "gamma text", "en", "s1", 10),
+         (4, "alpha text", "xx", "s1", 10)],  # duplicate content: dropped
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    land(docs2, "b2")
+    stream_ingest_dedup(spark, str(indir), table).awaitTermination()
+    assert mv.refresh(spark, table, view, *spec) == "incremental"
+    got = {r.lang: r.n_rows for r in mv.read_view(spark, view).collect()}
+    assert got == {"en": 2, "de": 1}  # the dup's 'xx' row never landed
