@@ -2258,6 +2258,26 @@ def _oracle_hll() -> str:
     return sketches.hll_oracle_sql("events", "user_id", ["event_type"])
 
 
+def q_sketch_hll_merged(spark, sf):
+    """Sketch MERGEABILITY under the oracle (sketches.py::hll_registers /
+    hll_merge): per-event_type register tables folded to a GLOBAL
+    estimate by max-per-bucket — bit-exactly equal to sketching all
+    users directly, so the ungrouped direct-sketch oracle pins the merge
+    path. This is the daily-registers→monthly-rollup shape that makes
+    sketches useful at 100 TB."""
+    from dataingestion_spark.operators import sketches
+
+    regs = sketches.hll_registers(_events(spark, sf), "user_id",
+                                  ["event_type"])
+    return sketches.hll_merge(regs)
+
+
+def _oracle_hll_merged() -> str:
+    from dataingestion_spark.operators import sketches
+
+    return sketches.hll_oracle_sql("events", "user_id")
+
+
 def q_cm_heavy_hitters(spark, sf):
     """Count-min heavy hitters (sketches.cm_sketch / cm_estimate): users
     with an estimated event count ≥ 75 from a depth-4 × 4096 sketch — the
@@ -4860,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression_ratio": q_compression_ratio,
         "sample_dsir_weights": q_dsir_weights,
         "sketch_hll_users": q_sketch_hll_users,
+        "sketch_hll_merged": q_sketch_hll_merged,
         "sketch_histogram_quantiles": q_sketch_quantiles,
         "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
         "sketch_bloom_membership": q_bloom_membership,
@@ -5006,6 +5027,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_char_entropy": ORACLE_CHAR_ENTROPY,
         "sample_dsir_weights": _oracle_dsir(),
         "sketch_hll_users": _oracle_hll(),
+        "sketch_hll_merged": _oracle_hll_merged(),
         "sketch_histogram_quantiles": _oracle_hist_quantiles(),
         "sketch_cm_heavy_hitters": _oracle_cm(),
         "sketch_bloom_membership": ORACLE_BLOOM,

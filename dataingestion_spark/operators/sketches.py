@@ -367,3 +367,48 @@ SELECT q,
 FROM targets, total, cum
 WHERE q * _total > n_below AND q * _total <= cdf_hi
 """
+
+
+def hll_registers(df: DataFrame, value_col: str,
+                  group_cols: Optional[Sequence[str]] = None,
+                  precision_bits: int = 8) -> DataFrame:
+    """The HLL's mergeable STATE: (group..., hll_bucket, max_rank) — what
+    a per-partition / per-day / per-source sketch table stores. Merging
+    sketches is a max per bucket (:func:`hll_merge`); estimates come out
+    identical to sketching the union directly, which is the whole point
+    of sketches at 100 TB: daily register tables fold into monthly ones
+    without touching raw data."""
+    g = list(group_cols or [])
+    bucket, rank = hll_rank_bucket(F.col(value_col), precision_bits)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, bucket, rank)
+        .groupBy(*g, "hll_bucket")
+        .agg(F.max("hll_rank").alias("max_rank"))
+    )
+
+
+def hll_merge(registers: DataFrame,
+              group_cols: Optional[Sequence[str]] = None,
+              precision_bits: int = 8) -> DataFrame:
+    """Fold register tables down to ``group_cols`` (drop the rest) and
+    estimate: max per bucket, then the same harmonic mean as
+    :func:`hll_distinct` — bit-exactly equal to sketching the merged
+    data directly (max is associative), so merged estimates hash-match
+    the direct oracle."""
+    m = 1 << precision_bits
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    g = list(group_cols or [])
+    folded = registers.groupBy(*g, "hll_bucket").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+    agg = folded.groupBy(*g).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("_inv_sum"),
+        F.count("*").alias("hll_nonempty_buckets"),
+    )
+    inv_total = F.col("_inv_sum") + (F.lit(m) - F.col("hll_nonempty_buckets"))
+    return agg.select(
+        *g,
+        (F.lit(alpha * m * m) / inv_total).alias("hll_estimate"),
+        F.col("hll_nonempty_buckets"),
+    )

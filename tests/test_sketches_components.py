@@ -149,3 +149,24 @@ def test_bloom_no_false_negatives(spark):
     # 100 keys * 4 hashes in 65536 bits: non-members overwhelmingly answer no
     fp = sum(1 for i in range(100, 200) if got[i])
     assert fp <= 2
+
+
+def test_hll_merge_equals_direct(spark):
+    from dataingestion_spark.operators.sketches import (
+        hll_distinct, hll_merge, hll_registers,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    direct = hll_distinct(e, "user_id").first()
+    merged = hll_merge(hll_registers(e, "user_id", ["event_type"])).first()
+    assert merged.hll_estimate == direct.hll_estimate  # bit-exact
+    assert merged.hll_nonempty_buckets == direct.hll_nonempty_buckets
+    # partial merge down to a retained group equals direct per-group
+    per_type = {r.event_type: r.hll_estimate
+                for r in hll_distinct(e, "user_id", ["event_type"]).collect()}
+    via_regs = {
+        r.event_type: r.hll_estimate
+        for r in hll_merge(hll_registers(e, "user_id", ["event_type"]),
+                           ["event_type"]).collect()
+    }
+    assert per_type == via_regs
