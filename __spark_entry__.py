@@ -1298,6 +1298,26 @@ ORACLE_PIVOT = "SELECT user_id, " + ", ".join(
 ) + " FROM events GROUP BY user_id"
 
 
+def q_events_unpivot(spark, sf):
+    """UNPIVOT (melt) — the inverse of events_pivot_by_user: the wide
+    per-user type-count matrix back to long (user_id, event_type, n),
+    zero-count cells dropped. Native DataFrame.unpivot (Spark 3.4+);
+    round-tripping pivot∘unpivot equals the plain groupBy, which is
+    exactly what the oracle states."""
+    _utc(spark)
+    wide = q_events_pivot(spark, sf)
+    return (
+        wide.unpivot("user_id", EVENT_TYPES, "event_type", "n")
+        .filter(F.col("n") > 0)
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def q_customers_without_orders(spark, sf):
     # anti-join coverage; scoped to urgent orders so the result is non-empty
     c = _t(spark, sf, "customer")
@@ -4826,6 +4846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": q_events_session_window,
         "events_windowed_5min": q_events_windowed,
         "events_pivot_by_user": q_events_pivot,
+        "events_unpivot_long": q_events_unpivot,
         "events_json_stats": q_events_json_stats,
         "lineitem_quantiles": q_lineitem_quantiles,
         "events_asof_join": q_events_asof_join,
@@ -4979,6 +5000,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session_window": ORACLE_SESSION_WINDOW,
         "events_windowed_5min": ORACLE_WINDOWED,
         "events_pivot_by_user": ORACLE_PIVOT,
+        "events_unpivot_long": ORACLE_UNPIVOT,
         "events_json_stats": ORACLE_JSON,
         "lineitem_quantiles": ORACLE_QUANTILES,
         "events_asof_join": ORACLE_ASOF,
