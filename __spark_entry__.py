@@ -4649,6 +4649,54 @@ SELECT user_id, bucket_ts, CAST(n AS BIGINT) AS n, value FROM filled
 """
 
 
+def q_change_feed(spark, sf):
+    """CDF-lite change feed (sinks/manifest_store.py::table_diff):
+    base = doc_id%3==0 slice; then append %3==1, delete %9==0, and one
+    merge (update %6==1 with n_chars+5, insert %3==2). The v0→v3 feed
+    must be exactly: inserts for the appended/inserted/updated net rows,
+    deletes for %9==0 — the oracle states it in closed form. The
+    append/DV-only history takes the O(changed-files) fast path."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"), "n_chars"
+    )
+    did = F.col("documentid").cast("long")
+    table = tempfile.mkdtemp(prefix="cdf_") + "/t"
+    v0 = ms.write_table(docs.filter(did % 3 == 0), table)
+    ms.append_table(docs.filter(did % 3 == 1), table)
+    ms.delete_documents(
+        spark, table,
+        [r[0] for r in docs.filter(did % 9 == 0)
+         .select("documentid").collect()],
+    )
+    src = docs.filter((did % 6 == 1) | (did % 3 == 2)).withColumn(
+        "n_chars",
+        F.col("n_chars") + F.when(did % 6 == 1, F.lit(5)).otherwise(F.lit(0)),
+    )
+    v3 = ms.merge_table(src, table)
+    feed = ms.table_diff(spark, table, v0, v3)
+    return feed.select("documentid", "n_chars", "_change_type")
+
+
+ORACLE_CHANGE_FEED = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid, n_chars,
+       'insert' AS _change_type
+FROM documents WHERE doc_id % 3 = 1 AND doc_id % 6 <> 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), n_chars + 5, 'insert'
+FROM documents WHERE doc_id % 6 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), n_chars, 'insert'
+FROM documents WHERE doc_id % 3 = 2
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), n_chars, 'delete'
+FROM documents WHERE doc_id % 9 = 0
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -4953,6 +5001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_webdataset_shards": q_webdataset_shards,
         "lakehouse_merge_upsert": q_lakehouse_merge,
         "lakehouse_incremental_agg": q_incremental_agg_view,
+        "lakehouse_change_feed": q_change_feed,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_audio_segments": q_audio_segments,
@@ -5107,6 +5156,7 @@ def oracle_sql() -> dict[str, str]:
         "writer_webdataset_shards": ORACLE_WEBDATASET,
         "lakehouse_merge_upsert": ORACLE_MERGE,
         "lakehouse_incremental_agg": ORACLE_INCR_AGG,
+        "lakehouse_change_feed": ORACLE_CHANGE_FEED,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

@@ -285,10 +285,14 @@ def _read_files(spark, table: str, manifest: Dict,
         .withColumn("_dseq", seq_map(del_names)[basename()])
         .groupBy("documentid").agg(F.max("_dseq").alias("_dseq"))
     )
+    cols = [c for c in df.columns if c != "_seq"]
     return (
         df.join(F.broadcast(deletes), "documentid", "left")
         .filter(F.col("_dseq").isNull() | (F.col("_dseq") <= F.col("_seq")))
-        .drop("_seq", "_dseq")
+        # the join moved its key to the front — restore the scan's column
+        # order so DV and DV-free reads are positionally identical
+        # (exceptAll/unionByName consumers depend on it)
+        .select(*cols)
     )
 
 
@@ -666,3 +670,63 @@ def vacuum(table: str, keep_versions: int = 1) -> List[str]:
         if v not in protected:
             os.remove(_manifest_path(table, v))
     return removed
+
+
+def table_diff(spark, table: str, v_from: int, v_to: Optional[int] = None) -> DataFrame:
+    """Change feed between two committed versions (CDF-lite): the data
+    rows with ``_change_type`` ∈ {'insert', 'delete'} whose application
+    turns version ``v_from`` into ``v_to`` (an update appears as its
+    delete + insert pair, Delta CDF style).
+
+    Fast path — append/DV-only history (no file was dropped): inserts
+    are the rows of files ADDED between the versions (with v_to's
+    deletes applied), deletes are the rows of RETAINED files killed by
+    delete vectors added in between; cost is O(changed files + new
+    DVs). Any rewrite (compaction, bucket rewrite) falls back to the
+    generic exceptAll diff — exact for any history, O(both versions);
+    a pure compaction correctly yields an EMPTY feed there, since file
+    layout changed but content did not."""
+    m0 = read_manifest(table, v_from)
+    m1 = read_manifest(table, v_to)
+    files0 = {n for fs in m0["buckets"].values() for n in fs}
+    files1 = {n for fs in m1["buckets"].values() for n in fs}
+    meta0, meta1 = _manifest_meta(m0), _manifest_meta(m1)
+    dels0 = {n for fs in meta0["deletes"].values() for n in fs}
+    dels1 = {n for fs in meta1["deletes"].values() for n in fs}
+
+    ins_t = F.lit("insert").alias("_change_type")
+    del_t = F.lit("delete").alias("_change_type")
+    if files0 <= files1 and dels0 <= dels1:
+        added = sorted(files1 - files0)
+        inserts = (
+            _read_files(spark, table, m1, file_subset=set(added))
+            if added else None
+        )
+        new_dels = sorted(dels1 - dels0)
+        deletes = None
+        if new_dels:
+            # rows of RETAINED (old) files that v_to's state kills but
+            # v_from's didn't = old-files-with-old-DVs minus
+            # old-files-with-new-DVs
+            old_now = _read_files(spark, table, m1, file_subset=files0)
+            old_before = _read_files(spark, table, m0, file_subset=files0)
+            deletes = old_before.exceptAll(old_now)
+        parts = []
+        if inserts is not None:
+            parts.append(inserts.select("*", ins_t))
+        if deletes is not None:
+            parts.append(deletes.select("*", del_t))
+        if not parts:
+            base = read_table(spark, table, v_to)
+            return base.limit(0).select("*", ins_t)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    before = read_table(spark, table, v_from)
+    after = read_table(spark, table, v_to)
+    return (
+        after.exceptAll(before).select("*", ins_t)
+        .unionByName(before.exceptAll(after).select("*", del_t))
+    )

@@ -392,3 +392,37 @@ def test_bloom_prunes_scattered_ids_inside_range(spark, tmp_path):
     # present ids still resolve through the bloom
     assert ms._candidate_files(table, ["doc117"]) == [m["buckets"]["4"][0]]
     assert ms.read_documents(spark, table, ["doc117"]).count() == 1
+
+
+def test_table_diff_append_delete_merge_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t22")
+    v0 = ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"]}), table)
+    v1 = ms.append_table(records_df(spark, {"c": ["c0"]}), table)
+    d1 = ms.table_diff(spark, table, v0, v1)
+    assert {(r.documentid, r._change_type) for r in d1.collect()} == {("c", "insert")}
+
+    v2 = ms.delete_documents(spark, table, ["b"])
+    d2 = ms.table_diff(spark, table, v1, v2)
+    assert {(r.documentid, r._change_type) for r in d2.collect()} == {("b", "delete")}
+
+    v3 = ms.merge_table(records_df(spark, {"a": ["a-NEW"], "z": ["z0"]}), table)
+    d3 = ms.table_diff(spark, table, v2, v3)
+    got = {(r.documentid, r.content, r._change_type) for r in d3.collect()}
+    assert got == {("a", "a0", "delete"), ("a", "a-NEW", "insert"),
+                   ("z", "z0", "insert")}
+
+    # compaction rewrites files but not content: generic path, empty feed
+    v4 = ms.compact(spark, table, max_files_per_bucket=0)
+    d4 = ms.table_diff(spark, table, v3, v4).drop("doc_bucket", "_seq")
+    assert d4.count() == 0
+
+    # cumulative diff across everything still reconciles
+    dall = ms.table_diff(spark, table, v0, v4)
+    net = {}
+    for r in dall.collect():
+        net[(r.documentid, r.content)] = r._change_type
+    assert net == {("c", "c0"): "insert", ("b", "b0"): "delete",
+                   ("a", "a0"): "delete", ("a", "a-NEW"): "insert",
+                   ("z", "z0"): "insert"}
