@@ -1,0 +1,79 @@
+"""Lakehouse tour: the manifest store's transactional surface end to end.
+
+    python examples/lakehouse_tour.py
+
+Walks one table through write → append → conditional MERGE → change
+feed → incrementally-maintained aggregate view → time travel → compact
+→ vacuum, printing what each commit cost (files touched) along the way.
+Everything is plain parquet + JSON manifests — no table-format jars.
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dataingestion_spark.session import get_spark
+from dataingestion_spark.sinks import manifest_store as ms
+from dataingestion_spark.sinks import matview as mv
+
+
+def n_files(table):
+    m = ms.read_manifest(table)
+    return sum(len(v) for v in m["buckets"].values())
+
+
+def main():
+    spark = get_spark("lakehouse_tour", cpus=8)
+    work = tempfile.mkdtemp(prefix="lakehouse_tour_")
+    table, view = f"{work}/events_docs", f"{work}/by_lang"
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "text", "lang", "n_chars",
+    )
+
+    v0 = ms.write_table(docs.filter(F.col("documentid").cast("long") < 300), table)
+    print(f"v{v0}: initial write, {n_files(table)} files")
+
+    v1 = ms.append_table(
+        docs.filter(F.col("documentid").cast("long").between(300, 399)), table
+    )
+    print(f"v{v1}: append (no old file rewritten), {n_files(table)} files")
+
+    src = (
+        docs.filter(F.col("documentid").cast("long") < 450)
+        .withColumn("n_chars", F.col("n_chars") + 1)
+        .withColumn("text", F.concat(F.lit("v2 "), "text"))
+    )
+    v2 = ms.merge_table(src, table, matched_condition="target.n_chars % 2 = 0")
+    print(f"v{v2}: MERGE (update-if-stored-even + insert), one DV commit")
+
+    feed = ms.table_diff(spark, table, v1, v2)
+    print("  change feed v1->v2:",
+          feed.groupBy("_change_type").count().orderBy("_change_type").collect())
+
+    spec = (["lang"], [("n_chars", "count"), ("n_chars", "sum")])
+    print("  view refresh #1:", mv.refresh(spark, table, view, *spec))
+    ms.append_table(
+        docs.filter(F.col("documentid").cast("long") >= 450), table
+    )
+    print("  view refresh #2:", mv.refresh(spark, table, view, *spec),
+          "(only the appended files were scanned)")
+    mv.read_view(spark, view).orderBy("lang").show()
+
+    old = ms.read_table(spark, table, version=v0).count()
+    new = ms.read_table(spark, table).count()
+    print(f"time travel: v{v0} had {old} rows; live has {new}")
+
+    ms.compact(spark, table, max_files_per_bucket=2)
+    removed = ms.vacuum(table, keep_versions=1)
+    print(f"compact+vacuum: {len(removed)} unreachable files removed, "
+          f"{n_files(table)} live")
+
+
+if __name__ == "__main__":
+    main()
