@@ -4113,6 +4113,45 @@ FROM lineitem""")
     return " UNION ALL ".join(arms)
 
 
+def q_collocations(spark, sf):
+    """Top-20 collocations by PMI
+    (operators/text_search.py::collocations): adjacent-pair counts vs
+    unigram counts, ln of an exact integer ratio, min_count=5 floor,
+    deterministic (pmi desc, w1, w2) ranking — fully oracle-checked."""
+    from dataingestion_spark.operators.text_search import collocations
+
+    return collocations(_t(spark, sf, "documents"), min_count=5, k=20)
+
+
+ORACLE_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+bi AS (
+  SELECT ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i AS INTEGER) + 1] AS w2,
+         COUNT(*) AS n_pair
+  FROM toks, unnest(range(1, len(ws))) AS t(i)
+  WHERE ws[CAST(i AS INTEGER)] <> '' AND ws[CAST(i AS INTEGER) + 1] <> ''
+  GROUP BY 1, 2),
+uni AS (
+  SELECT u.w, COUNT(*) AS n_w FROM toks, unnest(ws) AS u(w)
+  WHERE u.w <> '' GROUP BY 1),
+tot AS (SELECT SUM(n_pair) AS n FROM bi),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.n_pair,
+         ln(CAST(bi.n_pair AS DOUBLE) * tot.n
+            / (CAST(u1.n_w AS DOUBLE) * u2.n_w)) AS pmi
+  FROM bi
+  JOIN uni u1 ON bi.w1 = u1.w
+  JOIN uni u2 ON bi.w2 = u2.w
+  CROSS JOIN tot
+  WHERE bi.n_pair >= 5)
+SELECT CAST(rank AS INTEGER) AS rank, w1, w2, n_pair, round(pmi, 6) AS pmi
+FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+      FROM scored)
+WHERE rank <= 20
+"""
+
+
 def q_tfidf_top_terms(spark, sf):
     """Characteristic terms per source
     (operators/text_search.py::tfidf_top_terms): top-5 by tf·idf with
@@ -4981,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf": q_hybrid_rrf,
         "search_phrase_positions": q_phrase_search,
         "search_tfidf_top_terms": q_tfidf_top_terms,
+        "search_pmi_collocations": q_collocations,
         # ingestion operators (reference SURVEY §2.1-2.5)
         "reader_markdown_elements": q_md_parse_elements,
         "reader_wet_records": q_reader_wet_records,
@@ -5127,6 +5167,7 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid_rrf": ORACLE_HYBRID_RRF,
         "search_phrase_positions": ORACLE_PHRASE,
         "search_tfidf_top_terms": ORACLE_TFIDF,
+        "search_pmi_collocations": ORACLE_COLLOCATIONS,
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
         "reader_wet_records": ORACLE_WET_RECORDS,

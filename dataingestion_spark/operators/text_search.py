@@ -213,3 +213,60 @@ def tfidf_top_terms(docs: DataFrame, group_col: str, text_col: str = "text",
         .select(F.col("grp").alias(group_col), "rank", "term", "tf",
                 F.round("score", 6).alias("score"))
     )
+
+
+def collocations(docs: DataFrame, text_col: str = "text",
+                 min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-k collocations by PMI (pointwise mutual information over
+    adjacent word pairs) — the corpus-analysis staple for finding
+    multiword units worth protecting from tokenizers/normalizers:
+
+        pmi(a, b) = ln( c(a,b) · N / (c(a) · c(b)) )
+
+    with N = total bigram occurrences and unigram counts over the same
+    token stream. ``min_count`` floors the bigram count (PMI without a
+    floor surfaces hapax noise). Ranking ties break by (w1, w2). Shape:
+    one explode for unigrams + the zip-with-tail bigram build (shared
+    with operators/lm.py), two combinable groupBys, broadcast-sized
+    joins, one top-k. ln of an exact integer ratio → engine-stable →
+    oracle-checkable. Output: (rank, w1, w2, n_pair, pmi)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+    n1 = F.greatest(F.size(words) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(words, 1, n1), F.slice(words, 2, n1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bi = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    uni = (
+        docs.select(F.explode(words).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    total = bi.agg(F.sum("n_pair").alias("n")).withColumn("_j", F.lit(1))
+    scored = (
+        bi.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_2")), "w2")
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(total), "_j")
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("n_pair").cast("double") * F.col("n")
+                / (F.col("n_1").cast("double") * F.col("n_2"))
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi"))
+    )

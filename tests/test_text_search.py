@@ -99,3 +99,15 @@ def test_tfidf_top_terms_ranks_group_specific_terms(spark):
     # idf discount: 'shared' (in both groups) scores below the top term
     scores = {(r.grp, r.term): r.score for r in rows}
     assert scores[("g1", "shared")] < scores[("g1", "apple")]
+
+
+def test_collocations_pmi_prefers_exclusive_pairs(spark):
+    from dataingestion_spark.operators.text_search import collocations
+
+    # 'new york' always adjacent and exclusive; 'the the' frequent but
+    # from high-frequency unigrams -> low PMI
+    rows = [(i, "new york " + "the cat " * 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    top = collocations(df, min_count=5, k=3).collect()
+    assert (top[0].w1, top[0].w2) == ("new", "york")
+    assert top[0].pmi > top[-1].pmi or len(top) == 1
