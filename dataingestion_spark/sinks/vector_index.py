@@ -102,3 +102,26 @@ def search_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
         cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("score"),
     )
     return _rank_topk(scored, k, query_id, corpus_id)
+
+
+def append_ivf_index(new_vectors: DataFrame, path: str,
+                     corpus_id: str = "vec_id",
+                     corpus_vec: str = "embedding") -> None:
+    """Online index maintenance: assign a NEW batch to the existing
+    centroids and append its rows to the affected list partitions —
+    O(batch) writes, no rebuild, centroids untouched. Because assignment
+    is deterministic given the centroids, searching after any sequence
+    of appends equals searching an index built from the union in one
+    shot (pinned in tests). Rebuild when drift degrades recall (track it
+    with ``operators/similarity.recall_at_k`` on a probe query set)."""
+    spark = new_vectors.sparkSession
+    cents = load_centroids(path)
+    cdf = spark.createDataFrame(cents, ["centroid_id", "cvec"])
+    assigned = ivf_assign(
+        new_vectors.select(corpus_id, corpus_vec), cdf, corpus_id, corpus_vec
+    )
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(os.path.join(path, "lists"))
+    )

@@ -46,3 +46,27 @@ def test_centroids_roundtrip(spark, tmp_path):
     e, cents, path = setup_index(spark, tmp_path)
     assert load_centroids(path) == [(int(c), [float(x) for x in v])
                                     for c, v in cents]
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    from dataingestion_spark.sinks.vector_index import append_ivf_index
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = e.filter(F.col("vec_id") < 300)
+    rest = e.filter(F.col("vec_id") >= 300)
+    cents = train_centroids(first, n_centroids=8, iters=2)
+
+    grown = str(tmp_path / "grown")
+    build_ivf_index(first, grown, centroids=cents)
+    append_ivf_index(rest, grown)
+
+    oneshot = str(tmp_path / "oneshot")
+    build_ivf_index(e, oneshot, centroids=cents)
+
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = search_ivf_index(spark, grown, qs, k=10, n_probe=3)
+    b = search_ivf_index(spark, oneshot, qs, k=10, n_probe=3)
+    assert ({(r.query_id, r.rank, r.vec_id) for r in a.collect()}
+            == {(r.query_id, r.rank, r.vec_id) for r in b.collect()})
