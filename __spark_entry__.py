@@ -4042,6 +4042,35 @@ FROM w
 """
 
 
+def q_event_transitions(spark, sf):
+    """Empirical Markov transition matrix
+    (operators/temporal.py::transition_counts): per-user adjacent
+    event-type pairs in (ts, event_id) order, with each pair's share of
+    its from-state's outgoing transitions — exact-count ratios, so the
+    whole matrix hash-matches."""
+    from dataingestion_spark.operators.temporal import transition_counts
+
+    _utc(spark)
+    e = _events(spark, sf)
+    return transition_counts(e, "ts", "user_id", "event_type",
+                             tiebreak="event_id")
+
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+pairs AS (
+  SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n, round(p.n / t.t, 6) AS p
+FROM pairs p JOIN tot t USING (from_type)
+"""
+
+
 def q_cohort_retention(spark, sf):
     """Cohort retention matrix
     (operators/temporal.py::cohort_retention): users cohorted by
@@ -4943,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_ordered": q_events_funnel,
         "events_anomaly_zscore": q_events_anomaly,
         "events_cohort_retention": q_cohort_retention,
+        "events_markov_transitions": q_event_transitions,
         "events_zorder_key": q_events_zorder,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -5099,6 +5129,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel_ordered": ORACLE_FUNNEL,
         "events_anomaly_zscore": ORACLE_ANOMALY,
         "events_cohort_retention": ORACLE_COHORT,
+        "events_markov_transitions": ORACLE_TRANSITIONS,
         "events_zorder_key": _oracle_zorder(),
         "customers_without_orders": ORACLE_ANTI,
         "customers_with_urgent_orders": ORACLE_SEMI,

@@ -324,3 +324,34 @@ def cohort_retention(df: DataFrame, ts_col: str, key_col: str,
             "n_active", "n_cohort",
         )
     )
+
+
+def transition_counts(df: DataFrame, ts_col: str, key_col: str,
+                      type_col: str, tiebreak: Optional[str] = None) -> DataFrame:
+    """First-order Markov transition counts: per-key event streams in
+    time order yield (from_type, to_type) adjacent pairs, counted over
+    the whole corpus with each pair's share of its from-state's outgoing
+    transitions (the empirical transition matrix — funnel discovery,
+    anomaly baselines, session modeling).
+
+    One lag window per key + one groupBy; probabilities are exact-count
+    ratios (one division per output row), so the matrix hash-matches an
+    oracle. Ties on ``ts_col`` break by ``tiebreak`` for deterministic
+    adjacency."""
+    order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_type"),
+                 F.col(type_col).alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
+        )
+    )

@@ -444,7 +444,8 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     c = F.regexp_replace(c, "[ \\t]+", " ")
     c = F.regexp_replace(c, " +\\n", "\n")
     c = F.regexp_replace(c, "\\n{3,}", "\n\n")
-    c = F.trim(c)
+    # trim() strips spaces only (both engines): drop boundary newlines too
+    c = F.regexp_replace(c, "^[\\n ]+|[\\n ]+$", "")
     return df.withColumn("clean_text", c).withColumn(
         "n_removed_chars",
         (F.length(F.col(text_col)) - F.length("clean_text")).cast("int"),
@@ -464,7 +465,7 @@ def normalize_text_sql(text_expr: str) -> str:
     c = f"regexp_replace({c}, '[ \\t]+', ' ', 'g')"
     c = f"regexp_replace({c}, ' +\\n', chr(10), 'g')"
     c = f"regexp_replace({c}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
-    return f"trim({c})"
+    return f"regexp_replace({c}, '^[\\n ]+|[\\n ]+$', '', 'g')"
 
 
 #: script name → (java.util.regex class, RE2 class) — same Unicode script

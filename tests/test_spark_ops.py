@@ -1063,3 +1063,31 @@ def test_recall_at_k_exact_self_is_one(spark):
     none = exact.withColumn("vec_id", F.col("vec_id") + 100000)
     r0 = recall_at_k(exact, none, 5).collect()
     assert all(x.recall == 0.0 for x in r0) and len(r0) == 4
+
+
+def test_normalize_text_invariants_on_nasty_corpus(spark):
+    """Invariants over a nasty-input corpus in one Spark pass: no CR, no
+    control chars, no 3+ newline runs, no space runs, no line-trailing
+    spaces, trimmed ends; text without dirt passes through unchanged."""
+    import random
+    import re
+
+    from dataingestion_spark.operators.text_analysis import normalize_text
+
+    rng = random.Random(42)
+    alphabet = list("ab c\t\r\n\x07\x00—“”&<>;") + ["&amp;", "&lt;", "&nbsp;"]
+    rows = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80))))
+            for i in range(300)]
+    rows += [(1000, "plain text stays"), (1001, ""), (1002, " \r\n\x07 ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = normalize_text(df).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        c = r.clean_text
+        assert "\r" not in c and "\x07" not in c and "\x00" not in c
+        assert "\n\n\n" not in c and "  " not in c and "\t" not in c
+        assert " \n" not in c and c == c.strip()
+        assert not re.search(r"[‘’“”–— ]", c)
+    by_id = {r.doc_id: r.clean_text for r in out}
+    assert by_id[1000] == "plain text stays"
+    assert by_id[1001] == "" and by_id[1002] == ""
