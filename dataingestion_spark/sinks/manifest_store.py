@@ -730,3 +730,28 @@ def table_diff(spark, table: str, v_from: int, v_to: Optional[int] = None) -> Da
         after.exceptAll(before).select("*", ins_t)
         .unionByName(before.exceptAll(after).select("*", del_t))
     )
+
+
+def table_stats(table: str, version: Optional[int] = None) -> Dict:
+    """Operational health report from MANIFEST METADATA ONLY (no data
+    read): version, file/bucket counts, row totals (from per-file
+    stats), small-file pressure (files per bucket — the compact()
+    trigger), pending deletion vectors, and stats coverage. The numbers
+    an operator needs to schedule compact()/vacuum() at 100 TB without
+    scanning anything."""
+    m = read_manifest(table, version)
+    meta = _manifest_meta(m)
+    per_bucket = {b: len(v) for b, v in m["buckets"].items() if v}
+    files = [n for v in m["buckets"].values() for n in v]
+    rows = [meta["stats"].get(n, {}).get("rows") for n in files]
+    known = [r for r in rows if r is not None]
+    return {
+        "version": m["version"],
+        "n_buckets": len(per_bucket),
+        "n_files": len(files),
+        "max_files_per_bucket": max(per_bucket.values(), default=0),
+        "n_rows_known": sum(known),
+        "stats_coverage": (len(known) / len(files)) if files else 1.0,
+        "n_delete_vectors": sum(len(v) for v in meta["deletes"].values()),
+        "buckets_with_deletes": sum(1 for v in meta["deletes"].values() if v),
+    }

@@ -426,3 +426,15 @@ def test_table_diff_append_delete_merge_compact(spark, tmp_path):
     assert net == {("c", "c0"): "insert", ("b", "b0"): "delete",
                    ("a", "a0"): "delete", ("a", "a-NEW"): "insert",
                    ("z", "z0"): "insert"}
+
+
+def test_table_stats_metadata_only(spark, tmp_path):
+    table = str(tmp_path / "t23")
+    ms.write_table(records_df(spark, {"doc4": ["a"], "other": ["b"]}), table)
+    ms.append_table(records_df(spark, {"doc39": ["c"]}), table)  # bucket 4 again
+    ms.delete_documents(spark, table, ["doc4"])
+    s = ms.table_stats(table)
+    assert s["n_files"] == 3 and s["max_files_per_bucket"] == 2
+    assert s["n_rows_known"] == 3 and s["stats_coverage"] == 1.0
+    assert s["n_delete_vectors"] == 1 and s["buckets_with_deletes"] == 1
+    assert s["version"] == ms.current_version(table)
