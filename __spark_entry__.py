@@ -1298,6 +1298,58 @@ ORACLE_PIVOT = "SELECT user_id, " + ", ".join(
 ) + " FROM events GROUP BY user_id"
 
 
+def q_orders_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (beyond the rollup/cube queries): totals
+    per priority, per status, and the grand total in one pass, with
+    grouping_id disambiguating the null groups."""
+    _t(spark, sf, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id() AS INT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER)
+         AS gid,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_lineitem_rank_windows(spark, sf):
+    """Rank-family window completeness: percent_rank and cume_dist of
+    quantity within each return flag (plus dense_rank) — all exact
+    integer-ratio doubles, full-table output hash-checked."""
+    li = _t(spark, sf, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+    )
+
+
+ORACLE_RANK_WINDOWS = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       CAST(dense_rank() OVER w AS INTEGER) AS dr
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+"""
+
+
 def q_events_unpivot(spark, sf):
     """UNPIVOT (melt) — the inverse of events_pivot_by_user: the wide
     per-user type-count matrix back to long (user_id, event_type, n),
@@ -4963,6 +5015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_5min": q_events_windowed,
         "events_pivot_by_user": q_events_pivot,
         "events_unpivot_long": q_events_unpivot,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "lineitem_rank_windows": q_lineitem_rank_windows,
         "events_json_stats": q_events_json_stats,
         "lineitem_quantiles": q_lineitem_quantiles,
         "events_asof_join": q_events_asof_join,
@@ -5120,6 +5174,8 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_5min": ORACLE_WINDOWED,
         "events_pivot_by_user": ORACLE_PIVOT,
         "events_unpivot_long": ORACLE_UNPIVOT,
+        "orders_grouping_sets": ORACLE_GROUPING_SETS,
+        "lineitem_rank_windows": ORACLE_RANK_WINDOWS,
         "events_json_stats": ORACLE_JSON,
         "lineitem_quantiles": ORACLE_QUANTILES,
         "events_asof_join": ORACLE_ASOF,
