@@ -73,7 +73,53 @@ from .operators.pq import (  # noqa: E402,F401
 )
 from .operators.text_analysis import repetition_signals  # noqa: E402,F401
 from .operators.sketches import hll_distinct, histogram_quantiles  # noqa: E402,F401
-from .operators.temporal import asof_join, interval_join  # noqa: E402,F401
+from .operators.temporal import (  # noqa: E402,F401
+    asof_join,
+    cohort_retention,
+    funnel_steps,
+    interval_join,
+    resample_gapfill,
+    rolling_zscore,
+    transition_counts,
+)
+from .operators.sampling import (  # noqa: E402,F401
+    uniform_sample_k,
+    weighted_sample_k,
+)
+from .operators.sharding import curriculum_buckets, kfold_assign  # noqa: E402,F401
+from .operators.quality_checks import (  # noqa: E402,F401
+    assert_constraints,
+    check_constraints,
+    profile_table,
+)
+from .operators.text_search import (  # noqa: E402,F401
+    bm25_topk,
+    collocations,
+    phrase_search,
+    rrf_fuse,
+    tfidf_top_terms,
+)
+from .operators.text_analysis import (  # noqa: E402,F401
+    compression_ratio,
+    normalize_text,
+    script_profile,
+)
+from .operators.bpe_train import train_bpe_distributed  # noqa: E402,F401
+from .operators.similarity import recall_at_k  # noqa: E402,F401
+from .operators.graph import pagerank, triangle_count  # noqa: E402,F401
+from .operators.urls import parse_robots, robots_disallowed  # noqa: E402,F401
+from .sinks.manifest_store import (  # noqa: E402,F401
+    merge_table,
+    table_diff,
+    table_stats,
+)
+from .sinks.matview import refresh as refresh_view  # noqa: E402,F401
+from .sinks.vector_index import (  # noqa: E402,F401
+    append_ivf_index,
+    build_ivf_index,
+    search_ivf_index,
+)
+from .sources.jsonl import read_jsonl, write_jsonl  # noqa: E402,F401
 from .pipeline import IngestionPipeline  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401
 from .sinks.vector_store import (  # noqa: E402,F401
