@@ -4194,6 +4194,59 @@ FROM lineitem""")
     return " UNION ALL ".join(arms)
 
 
+def q_rake_keywords(spark, sf):
+    """RAKE keyword extraction
+    (operators/text_search.py::rake_keywords; Rose et al. 2010 — the
+    deterministic analog of the reference's LLM KeywordEnricher): top-3
+    stopword-free phrases per document by degree/frequency word scores,
+    per-phrase sums folded in position order (the BM25 fold). The whole
+    pipeline — segmentation, stats, scoring, ranking — restated in SQL."""
+    from dataingestion_spark.operators.text_search import rake_keywords
+
+    return rake_keywords(_t(spark, sf, "documents"), k=3)
+
+
+def _oracle_rake() -> str:
+    from dataingestion_spark.operators.text_analysis import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) - 1 AS pos,
+         ws[CAST(t.i AS INTEGER)] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE ws[CAST(t.i AS INTEGER)] <> ''),
+m AS (SELECT doc_id, pos, w,
+             CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END AS s FROM tok),
+g AS (SELECT doc_id, pos, w, s,
+             SUM(s) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS grp FROM m),
+seg AS (SELECT doc_id, grp, pos, w FROM g WHERE s = 0),
+ph AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+              COUNT(*) AS len
+       FROM seg GROUP BY 1, 2 HAVING COUNT(*) <= 4),
+occ AS (SELECT seg.doc_id, seg.grp, seg.pos, seg.w, ph.len
+        FROM seg JOIN ph USING (doc_id, grp)),
+sc AS (SELECT w, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS score
+       FROM occ GROUP BY w),
+psc AS (SELECT occ.doc_id, occ.grp,
+               list_reduce(list(sc.score ORDER BY occ.pos),
+                           (a, b) -> a + b) AS score
+        FROM occ JOIN sc USING (w) GROUP BY 1, 2),
+u AS (SELECT DISTINCT ph.doc_id, ph.phrase, psc.score
+      FROM ph JOIN psc USING (doc_id, grp)),
+r AS (SELECT doc_id, phrase, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, phrase) AS rank
+      FROM u)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, phrase,
+       round(score, 6) AS score
+FROM r WHERE rank <= 3
+"""
+
+
 def q_collocations(spark, sf):
     """Top-20 collocations by PMI
     (operators/text_search.py::collocations): adjacent-pair counts vs
@@ -5105,6 +5158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_positions": q_phrase_search,
         "search_tfidf_top_terms": q_tfidf_top_terms,
         "search_pmi_collocations": q_collocations,
+        "doc_rake_keywords": q_rake_keywords,
         # ingestion operators (reference SURVEY §2.1-2.5)
         "reader_markdown_elements": q_md_parse_elements,
         "reader_wet_records": q_reader_wet_records,
@@ -5255,6 +5309,7 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_positions": ORACLE_PHRASE,
         "search_tfidf_top_terms": ORACLE_TFIDF,
         "search_pmi_collocations": ORACLE_COLLOCATIONS,
+        "doc_rake_keywords": _oracle_rake(),
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
         "reader_wet_records": ORACLE_WET_RECORDS,

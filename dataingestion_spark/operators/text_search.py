@@ -270,3 +270,85 @@ def collocations(docs: DataFrame, text_col: str = "text",
         .filter(F.col("rank") <= k)
         .select("rank", "w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi"))
     )
+
+
+def rake_keywords(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  stopwords: Optional[Sequence[str]] = None,
+                  k: int = 3, max_phrase_len: int = 4) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 — the deterministic
+    analog of the reference's LLM KeywordEnricher): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency over the candidate set (degree = Σ lengths of the
+    phrases containing it); a phrase scores the sum of its words'
+    scores. Top-k phrases per document, ties by phrase text.
+
+    Relational shape: phrase segmentation is the sessionization pattern
+    (running sum over the is-stopword marker), word stats are two
+    combinable groupBys over the corpus, and the per-phrase float sum
+    folds in sorted word order (the BM25 fold) so scores are bit-stable
+    cross-engine. Phrases longer than ``max_phrase_len`` are dropped
+    (RAKE's standard noise guard)."""
+    from ..operators.text_analysis import STOPWORDS
+
+    stops = [s.lower() for s in (stopwords or STOPWORDS["en"])]
+    words = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+    tok = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    is_stop = F.col("w").isin(stops).cast("int")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    seg = (
+        tok.withColumn(
+            "_g",
+            F.sum(is_stop).over(win.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(~F.col("w").isin(stops))
+    )
+    phrases = (
+        seg.groupBy(id_col, "_g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("_len"),
+        )
+        .filter(F.col("_len") <= max_phrase_len)
+    )
+    occ = seg.join(phrases.select(id_col, "_g", "_len"), [id_col, "_g"])
+    scores = (
+        occ.groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("_len").alias("deg"))
+        .withColumn("score", F.col("deg").cast("double") / F.col("freq"))
+    )
+    phrase_scores = (
+        occ.join(scores.select("w", "score"), "w")
+        .groupBy(id_col, "_g")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "score"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["score"],
+            ).alias("score")
+        )
+    )
+    # a phrase occurring twice in a document scores identically both
+    # times (same member words) — rank each distinct phrase once
+    uniq = (
+        phrases.join(phrase_scores, [id_col, "_g"])
+        .select(id_col, "phrase", "score")
+        .distinct()
+    )
+    ranked = uniq.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("phrase"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        id_col, "rank", "phrase", F.round("score", 6).alias("score")
+    )

@@ -111,3 +111,16 @@ def test_collocations_pmi_prefers_exclusive_pairs(spark):
     top = collocations(df, min_count=5, k=3).collect()
     assert (top[0].w1, top[0].w2) == ("new", "york")
     assert top[0].pmi > top[-1].pmi or len(top) == 1
+
+
+def test_rake_keywords_classic_example(spark):
+    from dataingestion_spark.operators.text_search import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog for a quick brown fox")],
+        "doc_id int, text string",
+    )
+    got = [(r.rank, r.phrase, r.score)
+           for r in rake_keywords(df, k=3).orderBy("rank").collect()]
+    # 'quick brown fox' occurs twice: each word freq 2, degree 6 -> 3.0 each
+    assert got == [(1, "quick brown fox", 9.0), (2, "lazy dog", 4.0)]
