@@ -100,6 +100,9 @@ def main():
         "quality_checks": em.q_quality_constraints,
         "normalize_text": em.q_doc_normalize,
         "ivf_persisted": em.q_topk_ivf_persisted,
+        "rake_keywords": em.q_rake_keywords,
+        "collocations": em.q_collocations,
+        "ann_recall": em.q_recall_ivf,
         "ingest_e2e": ingest_e2e,
     }
 
