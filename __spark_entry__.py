@@ -4194,6 +4194,29 @@ FROM lineitem""")
     return " UNION ALL ".join(arms)
 
 
+def q_edit_distance_pairs(spark, sf):
+    """Edit-distance similarity self-join
+    (operators/dedup.py::edit_distance_pairs): 15-char name keys derived
+    from documents, all pairs within levenshtein ≤ 2 via LOSSLESS q-gram
+    blocking + exact verification. The oracle brute-forces every pair —
+    hash equality proves the blocking dropped nothing."""
+    from dataingestion_spark.operators.dedup import edit_distance_pairs
+
+    names = _t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 15).alias("name")
+    )
+    return edit_distance_pairs(names, "name", "doc_id", max_dist=2)
+
+
+ORACLE_EDIT_PAIRS = """
+WITH s AS (SELECT doc_id, substring(text, 1, 15) AS name FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyword extraction
     (operators/text_search.py::rake_keywords; Rose et al. 2010 — the
@@ -5105,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signature": q_minhash_signature,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_edit_distance_pairs": q_edit_distance_pairs,
         "dedup_simhash": q_simhash,
         "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
         "dedup_simhash_fast": q_simhash_fast,
@@ -5262,6 +5286,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signature": _oracle_minhash_signature(),
         "dedup_minhash_lsh_pairs": _oracle_minhash_pairs(),
         "dedup_ngram_jaccard": _oracle_jaccard(),
+        "dedup_edit_distance_pairs": ORACLE_EDIT_PAIRS,
         "dedup_simhash": _oracle_simhash(),
         "dedup_cross_doc_shingles": ORACLE_CROSS_DOC,
         "dedup_span_removal": ORACLE_SPAN_REMOVAL,

@@ -822,3 +822,97 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def edit_distance_pairs(df: DataFrame, text_col: str, id_col: str,
+                        max_dist: int = 2, q: int = 3) -> DataFrame:
+    """Similarity self-join under edit distance (record linkage /
+    near-identical titles): all unordered pairs with
+    ``levenshtein ≤ max_dist``, id_a < id_b.
+
+    Scale shape — LOSSLESS q-gram blocking before any pairwise work:
+    strings within edit distance k must share at least
+    ``max(|a|,|b|) − q + 1 − k·q`` q-grams (each edit destroys ≤ q
+    grams), so candidates come from an equi-join on grams + a
+    shared-gram count filter; only candidates pay the exact
+    ``levenshtein`` check. Strings too short for that bound to prune
+    (len < q + k·q) fall back to a length-band bucket join — exactness
+    never depends on the blocking, only cost does. Both the gram path
+    and the final predicate are engine-native (levenshtein exists in
+    Spark and DuckDB with identical unit-cost semantics), so the full
+    join is oracle-checkable against a brute-force restatement."""
+    s = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).filter(
+        F.col("t").isNotNull()
+    )
+    min_long = q + max_dist * q  # gram bound prunes only at/above this length
+    longs = s.filter(F.length("t") >= min_long)
+    shorts = s.filter(F.length("t") < min_long)
+
+    # the count lemma is about gram OCCURRENCES: the shared count is the
+    # multiset intersection Σ_g min(c_a(g), c_b(g)) — distinct-gram
+    # counting under-counts strings with internal repetition and would
+    # wrongly prune them (found by the brute-force oracle)
+    grams = (
+        longs.select(
+            "id", "t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - (q - 1)),
+                    lambda i: F.col("t").substr(i, F.lit(q)),
+                )
+            ).alias("g"),
+        )
+        .groupBy("id", "t", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    cand_long = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("a.t").alias("t_a"),
+            F.col("b.id").alias("id_b"), F.col("b.t").alias("t_b"),
+        )
+        .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("_shared"))
+        .filter(
+            F.col("_shared")
+            >= F.greatest(F.length("t_a"), F.length("t_b")) - (q - 1)
+            - max_dist * q
+        )
+    )
+    # short strings: gram bound can be ≤ 0 → length-band bucket join (a
+    # pair within k edits differs by ≤ k in length); the short set is
+    # tiny by construction relative to a real corpus
+    sa, sb = shorts.alias("sa"), shorts.alias("sb")
+    cand_short = sb.join(
+        sa,
+        (F.col("sa.id") < F.col("sb.id"))
+        & (F.abs(F.length("sa.t") - F.length("sb.t")) <= max_dist),
+    ).select(
+        F.col("sa.id").alias("id_a"), F.col("sa.t").alias("t_a"),
+        F.col("sb.id").alias("id_b"), F.col("sb.t").alias("t_b"),
+    )
+    # cross-band pairs (one short, one long) can still be within k edits
+    # only if the long side is < min_long + k — a thin boundary strip
+    strip = longs.filter(F.length("t") < min_long + max_dist)
+    cand_cross = shorts.alias("sa").join(
+        strip.alias("sb"),
+        F.abs(F.length("sa.t") - F.length("sb.t")) <= max_dist,
+    ).select(
+        F.least(F.col("sa.id"), F.col("sb.id")).alias("id_a"),
+        F.when(F.col("sa.id") < F.col("sb.id"), F.col("sa.t"))
+        .otherwise(F.col("sb.t")).alias("t_a"),
+        F.greatest(F.col("sa.id"), F.col("sb.id")).alias("id_b"),
+        F.when(F.col("sa.id") < F.col("sb.id"), F.col("sb.t"))
+        .otherwise(F.col("sa.t")).alias("t_b"),
+    )
+    cands = (
+        cand_long.drop("_shared")
+        .unionByName(cand_short)
+        .unionByName(cand_cross)
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("t_a", "t_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -147,3 +147,39 @@ def test_tar_size_closed_form_matches_builder(sizes):
 
     members = [(f"m{i}.bin", b"x" * s) for i, s in enumerate(sizes)]
     assert len(build_tar_bytes(members)) == tar_size_closed_form(sizes)
+
+
+# --- edit-distance blocking losslessness (pure local twin of the lemma) ----
+
+def _lev(a, b):
+    import functools
+
+    @functools.lru_cache(None)
+    def d(i, j):
+        if i == 0:
+            return j
+        if j == 0:
+            return i
+        return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                   d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+    return d(len(a), len(b))
+
+
+@given(st.lists(st.text(alphabet="abcq ", min_size=9, max_size=16),
+                min_size=2, max_size=6), st.integers(1, 2))
+@settings(max_examples=60, deadline=None)
+def test_qgram_occurrence_bound_never_prunes_true_pairs(strings, k):
+    """The multiset q-gram bound used by edit_distance_pairs: any pair
+    within k edits shares ≥ max_len − q + 1 − k·q gram OCCURRENCES."""
+    from collections import Counter
+
+    q = 3
+    for i, s1 in enumerate(strings):
+        for s2 in strings[i + 1:]:
+            if len(s1) < q + k * q or len(s2) < q + k * q:
+                continue  # short-string band handles these
+            if _lev(s1, s2) <= k:
+                g1 = Counter(s1[j:j + q] for j in range(len(s1) - q + 1))
+                g2 = Counter(s2[j:j + q] for j in range(len(s2) - q + 1))
+                shared = sum((g1 & g2).values())
+                assert shared >= max(len(s1), len(s2)) - q + 1 - k * q

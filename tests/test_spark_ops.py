@@ -1091,3 +1091,34 @@ def test_normalize_text_invariants_on_nasty_corpus(spark):
     by_id = {r.doc_id: r.clean_text for r in out}
     assert by_id[1000] == "plain text stays"
     assert by_id[1001] == "" and by_id[1002] == ""
+
+
+def test_edit_distance_pairs_lossless_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from dataingestion_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(1, "jonathan smith"), (2, "jonathon smith"), (3, "jon smith"),
+            (4, "completely different"), (5, "abc"), (6, "abd"),
+            (7, "jonathan smyth"), (8, "query query par"),
+            (9, "query query spa")]  # internal repetition: multiset bound
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = sorted(tuple(r) for r in
+                 edit_distance_pairs(df, "name", "id", max_dist=2).collect())
+
+    import functools
+
+    def lev(a, b):
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return d(len(a), len(b))
+
+    want = sorted((i, j, lev(a, b)) for (i, a), (j, b) in combinations(rows, 2)
+                  if lev(a, b) <= 2)
+    assert got == want
