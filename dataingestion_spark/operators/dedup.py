@@ -848,10 +848,16 @@ def edit_distance_pairs(df: DataFrame, text_col: str, id_col: str,
     longs = s.filter(F.length("t") >= min_long)
     shorts = s.filter(F.length("t") < min_long)
 
-    # the count lemma is about gram OCCURRENCES: the shared count is the
-    # multiset intersection Σ_g min(c_a(g), c_b(g)) — distinct-gram
-    # counting under-counts strings with internal repetition and would
-    # wrongly prune them (found by the brute-force oracle)
+    # Gram OCCURRENCES as elements (g, occurrence-index): the count lemma
+    # says a true pair shares ≥ max_len − q + 1 − k·q of them (each edit
+    # destroys ≤ q; distinct-gram counting under-counts repetitive
+    # strings — found by the brute-force oracle). A raw gram equi-join
+    # explodes on frequent grams (shared prefixes → n² candidates), so
+    # apply PREFIX FILTERING (ED-Join, Xiao et al. 2008): under a global
+    # rarity order on occurrence-elements, any pair with enough overlap
+    # must share an element among each side's (k·q + 1) RAREST — join on
+    # those prefixes only, then verify with exact levenshtein (no count
+    # re-check needed; the prefix filter is already lossless).
     grams = (
         longs.select(
             "id", "t",
@@ -865,18 +871,35 @@ def edit_distance_pairs(df: DataFrame, text_col: str, id_col: str,
         .groupBy("id", "t", "g")
         .agg(F.count("*").alias("c"))
     )
-    a, b = grams.alias("a"), grams.alias("b")
+    gfreq = grams.groupBy("g").agg(F.sum("c").alias("gf"))
+    prefix_n = max_dist * q + 1
+    pref = (
+        grams.join(gfreq, "g")
+        .withColumn("occ", F.explode(F.sequence(F.lit(1), F.col("c"))))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("gf", "g", "occ")
+            ),
+        )
+        .filter(F.col("_rn") <= prefix_n)
+        .select("id", "t", "g", "occ")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
     cand_long = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.occ") == F.col("b.occ"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
             F.col("a.id").alias("id_a"), F.col("a.t").alias("t_a"),
             F.col("b.id").alias("id_b"), F.col("b.t").alias("t_b"),
         )
-        .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("_shared"))
+        .distinct()
         .filter(
-            F.col("_shared")
-            >= F.greatest(F.length("t_a"), F.length("t_b")) - (q - 1)
-            - max_dist * q
+            F.abs(F.length("t_a") - F.length("t_b")) <= max_dist
         )
     )
     # short strings: gram bound can be ≤ 0 → length-band bucket join (a
@@ -906,7 +929,7 @@ def edit_distance_pairs(df: DataFrame, text_col: str, id_col: str,
         .otherwise(F.col("sa.t")).alias("t_b"),
     )
     cands = (
-        cand_long.drop("_shared")
+        cand_long
         .unionByName(cand_short)
         .unionByName(cand_cross)
         .distinct()
