@@ -735,7 +735,11 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
             if i >= j or int(ids[j]) in out:
                 continue
             c = s[i, j]
-            if abs(c - thr) < eps:  # borderline: exact sequential fold
+            # `<=` so the candidate cut (s >= thr - eps) and the
+            # borderline band meet exactly: a pair whose BLAS score is
+            # precisely thr - eps still gets the exact re-check instead
+            # of being kept below the threshold.
+            if abs(c - thr) <= eps:  # borderline: exact sequential fold
                 dot = na = nb = 0.0
                 for d in range(mat.shape[1]):
                     dot += mat[i, d] * mat[j, d]

@@ -112,19 +112,26 @@ def check_constraints(df: DataFrame, rules: List[Rule]) -> DataFrame:
         else:
             raise ValueError(f"unknown rule kind {kind!r}")
 
-    n_rows = df.count()
     parts: List[DataFrame] = []
     if row_local:
-        agg = df.agg(*[
-            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(str(i))
-            for i, (_, cond) in enumerate(row_local)
-        ])
+        # n_rows rides the same wide aggregation, so every row-local rule
+        # (plus the row count) costs exactly one scan of the table.
+        agg = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(str(i))
+                for i, (_, cond) in enumerate(row_local)
+            ],
+        )
         spark = df.sparkSession
         wide = agg.collect()[0]
+        n_rows = int(wide["_n"])
         parts.append(spark.createDataFrame(
             [(name, int(wide[str(i)])) for i, (name, _) in enumerate(row_local)],
             "rule string, violations long",
         ))
+    else:
+        n_rows = df.count()
     parts.extend(d for _, d in extra)
     out = parts[0]
     for p in parts[1:]:

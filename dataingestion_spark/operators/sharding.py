@@ -194,8 +194,32 @@ def curriculum_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
                        id_col: str = "doc_id") -> DataFrame:
     """Curriculum bucketing: ``bucket`` 1..n by ascending score order
     (ties by id — fully deterministic), equal-count ntile semantics.
-    The global sort range-partitions (one shuffle, no single-task
-    bottleneck); ntile itself needs the total order, which Spark
-    computes per range partition after the exchange."""
-    w = Window.orderBy(F.asc(score_col), F.asc(id_col))
-    return df.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+    NOT ``ntile`` over an unpartitioned ``Window.orderBy`` — Spark
+    executes that by collapsing the whole dataset into a single task
+    (driver-visible as ``Window [...] ORDER BY`` with no partition key),
+    a guaranteed OOM at the corpus sizes this repo targets. Instead the
+    global rank comes from :func:`exclusive_prefix_sum` over a constant-1
+    column (one range shuffle, per-partition cumsums, broadcast offsets)
+    and the bucket is ntile's closed-form piecewise formula over
+    (rank, n): the first ``n mod k`` buckets get ``n div k + 1`` rows,
+    the rest ``n div k`` — bit-identical to ``ntile(k)``. Cost: one tiny
+    count aggregate + one range shuffle of (score, id) — no single-task
+    stage touches the data."""
+    n = df.count()
+    ranked = (
+        exclusive_prefix_sum(df.withColumn("_one", F.lit(1)), "_one",
+                             order_cols=(score_col, id_col))
+        .withColumn("_rank", (F.col("_prior") + 1))
+        .drop("_one", "_prior")
+    )
+    q, rem = divmod(n, n_buckets)
+    big_rows = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    r = F.col("_rank")
+    if q == 0:  # fewer rows than buckets: ntile gives each row its own
+        bucket = r
+    else:
+        bucket = F.when(
+            r <= big_rows, F.floor((r - 1) / (q + 1)) + 1
+        ).otherwise(rem + F.floor((r - 1 - big_rows) / q) + 1)
+    return ranked.withColumn("bucket", bucket.cast("int")).drop("_rank")

@@ -104,7 +104,17 @@ def refresh(spark, base_table: str, view_path: str,
             "aggs": [list(a) for a in aggs]}
     meta = _read_meta(view_path)
 
-    if meta is not None and meta["spec"] == spec:
+    # the meta names the exact data file it describes; if that file is
+    # gone (crash between data and meta swaps of a *previous* refresh
+    # never leaves this state — data files are generation-named and only
+    # deleted after the meta swap — but a manually mangled view can) the
+    # incremental branch would fold deltas into the wrong snapshot →
+    # force a full recompute instead.
+    data_name = (meta or {}).get("data_file", _DATA)
+    data_ok = meta is not None and os.path.exists(
+        os.path.join(view_path, data_name))
+
+    if data_ok and meta["spec"] == spec:
         if meta["files"] == files and meta.get("del_files", []) == del_files:
             return "noop"
         prev = set(meta["files"])
@@ -119,7 +129,7 @@ def refresh(spark, base_table: str, view_path: str,
             delta = ms._read_files(spark, base_table, manifest,
                                    file_subset=set(appended))
             partial = delta.groupBy(*group_cols).agg(*_agg_exprs(aggs, merge=False))
-            old = spark.read.parquet(os.path.join(view_path, _DATA))
+            old = spark.read.parquet(os.path.join(view_path, data_name))
             merged = (
                 old.unionByName(partial)
                 .groupBy(*group_cols)
@@ -136,23 +146,49 @@ def refresh(spark, base_table: str, view_path: str,
 
 def _write_view(df: DataFrame, view_path: str, manifest: Dict,
                 files: List[str], spec: Dict, del_files: List[str]) -> None:
-    """Stage the new view data, then swap data + meta into place (rename
-    is atomic per file; meta last, so a crash leaves a readable view with
-    stale meta → next refresh recomputes)."""
+    """Publish a new view snapshot crash-safely. Data files are
+    GENERATION-NAMED (``view-<gen>.parquet``) and the meta records which
+    one it describes, so the meta swap is the single commit point:
+
+    * crash after writing ``view-<g+1>.parquet`` but before the meta
+      swap → meta still names ``view-<g>.parquet`` (untouched; old
+      generations are deleted only *after* the swap), so readers and the
+      next refresh see the previous consistent snapshot and the orphan
+      is overwritten/garbage-collected later;
+    * crash after the meta swap → new snapshot is live; the leftover old
+      generation is cleaned up by the next successful refresh.
+
+    Never stage-then-rename onto a fixed name: that made the data swap
+    visible *before* the meta swap, and a crash in between let the next
+    refresh fold appended files into a snapshot that already contained
+    them (silent double counting)."""
     os.makedirs(view_path, exist_ok=True)
+    meta = _read_meta(view_path)
+    gen = (meta or {}).get("gen", -1) + 1
+    data_name = f"view-{gen:06d}.parquet"
     staging = os.path.join(view_path, "_staging")
     df.coalesce(1).write.mode("overwrite").parquet(staging)
     part = next(p for p in sorted(os.listdir(staging)) if p.endswith(".parquet"))
-    os.replace(os.path.join(staging, part), os.path.join(view_path, _DATA))
+    os.replace(os.path.join(staging, part), os.path.join(view_path, data_name))
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
     tmp = os.path.join(view_path, _META + ".tmp")
     with open(tmp, "w") as fh:
         json.dump({"base_version": manifest["version"], "files": files,
-                   "spec": spec, "del_files": del_files}, fh)
+                   "spec": spec, "del_files": del_files,
+                   "gen": gen, "data_file": data_name}, fh)
     os.replace(tmp, os.path.join(view_path, _META))
+    for name in os.listdir(view_path):
+        if ((name.startswith("view-") and name.endswith(".parquet")
+             and name != data_name) or name == _DATA):
+            try:
+                os.remove(os.path.join(view_path, name))
+            except OSError:
+                pass
 
 
 def read_view(spark, view_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(view_path, _DATA))
+    meta = _read_meta(view_path)
+    data_name = (meta or {}).get("data_file", _DATA)
+    return spark.read.parquet(os.path.join(view_path, data_name))

@@ -103,6 +103,39 @@ def test_spec_change_forces_full(spark, tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path / "v5"), "_VIEW_META"))
 
 
+def test_crash_between_data_and_meta_never_double_counts(spark, tmp_path):
+    """A refresh that dies after publishing the new data file but BEFORE
+    the meta swap must not leave a state where the next refresh folds the
+    appended files in a second time (the pre-generation-naming bug: data
+    swapped onto a fixed name first, stale meta then claimed the old file
+    set, and the incremental branch double-counted)."""
+    base, view = str(tmp_path / "b6"), str(tmp_path / "v6")
+    ms.write_table(rows_df(spark, [("a", "x", 1), ("b", "x", 5)]), base)
+    mv.refresh(spark, base, view, *SPEC)
+    ms.append_table(rows_df(spark, [("c", "x", 100)]), base)
+
+    # simulate the crash: run the refresh but abort _write_view right
+    # after the data-file publish, before the meta swap
+    import pytest
+
+    real_replace = os.replace
+    def dying_replace(src, dst):
+        real_replace(src, dst)
+        if dst.endswith(".parquet"):
+            raise RuntimeError("simulated crash after data publish")
+    import unittest.mock as um
+
+    with um.patch.object(mv.os, "replace", dying_replace):
+        with pytest.raises(RuntimeError):
+            mv.refresh(spark, base, view, *SPEC)
+
+    # readers still see the previous consistent snapshot
+    assert view_rows(spark, view) == {("x", 2, 6, 1, 5)}
+    # and the retried refresh produces the exact aggregate, not 2× deltas
+    assert mv.refresh(spark, base, view, *SPEC) in ("incremental", "full")
+    assert view_rows(spark, view) == expected(spark, base)
+
+
 def test_streaming_ingest_composes_with_incremental_view(spark, tmp_path):
     """stream_ingest_dedup appends O(batch) commits; the aggregate view
     refreshes from exactly those deltas — the streaming-lakehouse loop."""
