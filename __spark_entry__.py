@@ -3088,6 +3088,170 @@ def q_md_parse_elements(spark, sf):
     )
 
 
+# -- native office readers (sources/docx.py, sources/pdf.py): the Spark
+# query parses fixture bytes distributed (mapInPandas); the oracle is the
+# same parser run locally on the driver → VALUES. Fixture bytes come from
+# the repo's own writers (docx_writer/pdf_writer), pinning the reference's
+# conformance shape (DocumentReaderConformanceTests.cs:56-100).
+
+def _office_fixture_bytes():
+    from dataingestion_spark.sources.docx_writer import (
+        VMERGE, build_docx, sample_docx_bytes,
+    )
+    from dataingestion_spark.sources.pdf_writer import build_pdf, sample_pdf_bytes
+
+    docx_files = {
+        "Sample.docx": sample_docx_bytes(),
+        "Merged.docx": build_docx([
+            ("h1", "Merged Cells"),
+            ("table", [["Years", ("Span2", 2)],
+                       ["2020-2025", "a", "b"],
+                       [VMERGE, "c", "d"]]),
+        ], footer="merged footer"),
+        "Lists.docx": build_docx([
+            ("title", "List Doc"), ("list", ["alpha", "beta", "gamma"]),
+            ("p", "tail paragraph"),
+        ]),
+    }
+    pdf_files = {
+        "Sample.pdf": sample_pdf_bytes(),
+        "TwoPage.pdf": build_pdf([
+            [(18, "Page One Heading"), (11, "first page body text")],
+            [(18, "Page Two Heading"), (11, "second page body text"),
+             ("footer", "p2 footer")],
+        ]),
+    }
+    return docx_files, pdf_files
+
+
+_READER_COLS = ["doc_id", "seq", "elem_type", "markdown", "header_level",
+                "page_number", "cells_json"]
+_READER_TYPES = ["VARCHAR", "BIGINT", "VARCHAR", "VARCHAR", "INTEGER",
+                 "INTEGER", "VARCHAR"]
+
+
+def _reader_golden_rows(files: dict, parse_fn):
+    import json as _json
+
+    rows = []
+    for doc_id in sorted(files):
+        for r in parse_fn(files[doc_id], doc_id):
+            cells = r["table_cells"]
+            rows.append((
+                r["doc_id"], r["seq"], r["elem_type"], r["markdown"],
+                r["header_level"], r["page_number"],
+                _json.dumps(cells, separators=(",", ":")) if cells is not None else None,
+            ))
+    return rows
+
+
+def _reader_select(el):
+    return el.select(
+        "doc_id", "seq", "elem_type", "markdown", "header_level",
+        "page_number",
+        F.when(F.col("table_cells").isNotNull(),
+               F.to_json("table_cells")).alias("cells_json"),
+    )
+
+
+def q_docx_elements(spark, sf):
+    from dataingestion_spark.sources.docx import parse_docx_df
+
+    docx_files, _ = _office_fixture_bytes()
+    src = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(docx_files.items())],
+        "doc_id string, content binary",
+    )
+    return _reader_select(parse_docx_df(src))
+
+
+def _oracle_docx() -> str:
+    from dataingestion_spark.sources.docx import parse_docx
+
+    docx_files, _ = _office_fixture_bytes()
+    return _values_oracle(_reader_golden_rows(docx_files, parse_docx),
+                          _READER_COLS, _READER_TYPES)
+
+
+def q_pdf_elements(spark, sf):
+    from dataingestion_spark.sources.pdf import parse_pdf_df
+
+    _, pdf_files = _office_fixture_bytes()
+    src = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(pdf_files.items())],
+        "doc_id string, content binary",
+    )
+    return _reader_select(parse_pdf_df(src))
+
+
+def _oracle_pdf() -> str:
+    from dataingestion_spark.sources.pdf import parse_pdf
+
+    _, pdf_files = _office_fixture_bytes()
+    return _values_oracle(_reader_golden_rows(pdf_files, parse_pdf),
+                          _READER_COLS, _READER_TYPES)
+
+
+def q_reader_dispatch(spark, sf):
+    """Mixed-format ingestion through the media-type dispatcher
+    (sources/dispatch.py): md + docx + pdf in one elements DataFrame."""
+    from dataingestion_spark.sources.dispatch import parse_any
+    from dataingestion_spark.sources.docx import parse_docx_df  # noqa: F401
+
+    files = _dispatch_fixture_files()
+    src = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(files.items())],
+        "doc_id string, content binary",
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from dataingestion_spark.model import ELEMENTS_SCHEMA as _ES
+        cols = [f.name for f in _ES.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["content"]):
+                out.extend(parse_any(bytes(raw), str(doc_id)))
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    from dataingestion_spark.model import ELEMENTS_SCHEMA
+    el = src.mapInPandas(run, schema=ELEMENTS_SCHEMA)
+    return el.groupBy("doc_id").agg(
+        F.count("*").alias("n_elements"),
+        F.sum(F.when(F.col("elem_type") == "header", 1).otherwise(0)).alias("n_headers"),
+        F.sum(F.when(F.col("elem_type") == "table", 1).otherwise(0)).alias("n_tables"),
+        F.max("page_number").alias("max_page"),
+    )
+
+
+def _dispatch_fixture_files():
+    docx_files, pdf_files = _office_fixture_bytes()
+    return {
+        "guide.md": FIXTURE_DOCS["fx_guide"].encode(),
+        "Sample.docx": docx_files["Sample.docx"],
+        "TwoPage.pdf": pdf_files["TwoPage.pdf"],
+    }
+
+
+def _oracle_dispatch() -> str:
+    from dataingestion_spark.sources.dispatch import parse_any
+
+    rows = []
+    for doc_id, data in sorted(_dispatch_fixture_files().items()):
+        els = parse_any(data, doc_id)
+        rows.append((
+            doc_id, len(els),
+            sum(1 for e in els if e["elem_type"] == "header"),
+            sum(1 for e in els if e["elem_type"] == "table"),
+            max((e["page_number"] or 0 for e in els), default=0) or None,
+        ))
+    return _values_oracle(
+        rows, ["doc_id", "n_elements", "n_headers", "n_tables", "max_page"],
+        ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "INTEGER"],
+    )
+
+
 def _oracle_parse() -> str:
     rows = [
         (r["doc_id"], r["seq"], r["elem_type"], r["markdown"], r["header_level"])
@@ -5185,6 +5349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rake_keywords": q_rake_keywords,
         # ingestion operators (reference SURVEY §2.1-2.5)
         "reader_markdown_elements": q_md_parse_elements,
+        "reader_docx_elements": q_docx_elements,
+        "reader_pdf_elements": q_pdf_elements,
+        "reader_mixed_dispatch": q_reader_dispatch,
         "reader_wet_records": q_reader_wet_records,
         "reader_jsonl_roundtrip": q_jsonl_roundtrip,
         "reader_warc_responses": q_warc_responses,
@@ -5337,6 +5504,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_rake_keywords": _oracle_rake(),
         "search_topk_filtered": ORACLE_EMB_TOPK_FILTERED,
         "reader_markdown_elements": _oracle_parse(),
+        "reader_docx_elements": _oracle_docx(),
+        "reader_pdf_elements": _oracle_pdf(),
+        "reader_mixed_dispatch": _oracle_dispatch(),
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,

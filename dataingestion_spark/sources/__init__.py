@@ -1,1 +1,12 @@
-from . import api_readers, corpus, markdown, media_types, tabular  # noqa: F401
+from . import (  # noqa: F401
+    api_readers,
+    corpus,
+    dispatch,
+    docx,
+    docx_writer,
+    markdown,
+    media_types,
+    pdf,
+    pdf_writer,
+    tabular,
+)

@@ -1,0 +1,75 @@
+"""Media-type reader dispatch: one directory scan, every format.
+
+The reference pipeline picks ONE reader per run and resolves each file's
+media type from its extension (``IngestionDocumentReader.cs:80-171``,
+~90-entry map — mirrored in :mod:`.media_types`). At corpus scale the
+natural unit is a mixed directory, so :func:`read_documents` scans once
+with the distributed ``binaryFile`` source and routes every file to its
+parser *inside the same* ``mapInPandas`` pass — markdown/plain text →
+:func:`..markdown.parse_markdown`, .docx →
+:func:`..docx.parse_docx`, .pdf → :func:`..pdf.parse_pdf` — emitting one
+uniform ``elements`` DataFrame. No second scan, no driver-side routing,
+and per-file parallelism across executors.
+
+Unknown binary formats follow the ``on_error`` contract ('fail' names
+the file and its media type; 'skip' drops it — the 100 TB-crawl
+setting).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List
+
+from ..model import ELEMENTS_SCHEMA
+from .docx import parse_docx
+from .markdown import binary_file_scan, parse_markdown
+from .media_types import media_type_for
+from .pdf import parse_pdf
+
+#: extensions parsed as markdown / plain text
+_TEXT_EXTS = {".md", ".markdown", ".txt", ".text"}
+
+
+def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[dict]:
+    """Parse one file of any supported format into elements rows,
+    routed by extension (driver/test helper; the Spark path inlines the
+    same routing per batch)."""
+    ext = os.path.splitext(doc_id.split("?")[0])[1].lower()
+    if ext == ".docx":
+        return parse_docx(data, doc_id, extract_images=extract_images)
+    if ext == ".pdf":
+        return parse_pdf(data, doc_id, extract_images=extract_images)
+    if ext in _TEXT_EXTS or not ext:
+        return parse_markdown(
+            data.decode("utf-8", errors="replace") if isinstance(data, (bytes, bytearray)) else data,
+            doc_id)
+    raise ValueError(
+        f"{doc_id}: unsupported media type {media_type_for(doc_id)!r} "
+        f"(native readers cover md/txt/docx/pdf; office formats beyond "
+        f"these need the markitdown backend, sources/api_readers.py)")
+
+
+def read_documents(spark, path, glob: str = "*", recursive: bool = False,
+                   on_error: str = "fail", extract_images: bool = False):
+    """Mixed-format directory ingestion → one ``elements`` DataFrame."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
+    files = binary_file_scan(spark, path, glob, recursive)
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
+        for pdf in batches:
+            out: List[dict] = []
+            for doc_id, raw in zip(pdf["path"], pdf["content"]):
+                try:
+                    out.extend(parse_any(bytes(raw), str(doc_id),
+                                         extract_images=extract_images))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return files.mapInPandas(run, schema=ELEMENTS_SCHEMA)
