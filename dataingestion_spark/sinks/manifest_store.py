@@ -10,8 +10,9 @@ needs:
   one or more per doc_bucket (bucket = crc32(documentid) % N_BUCKETS, the
   same layout key the writer already uses);
 * a manifest ``manifest-{version}.json`` lists the files of each bucket for
-  that version; ``_CURRENT`` names the live manifest and is swapped with an
-  atomic rename;
+  that version; the CONDITIONAL PUT of the manifest (``commit_backend.py``)
+  is the commit point — natively supported by S3/GCS/Azure as well as POSIX
+  — and ``_CURRENT`` is a best-effort pointer hint readers probe past;
 * incremental replace reads ONLY the buckets containing replaced documents,
   anti-joins the old rows, writes fresh files for those buckets, and commits
   a manifest that reuses every untouched file — old versions stay readable
@@ -49,9 +50,16 @@ from typing import Dict, Iterable, List, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from .commit_backend import backend_for
 from .vector_store import N_BUCKETS  # single source for the layout constant
 
 _CURRENT = "_CURRENT"
+
+
+def _join(table: str, *parts: str) -> str:
+    """Path join that preserves URI schemes (os.path.join mangles
+    ``s3://`` on some platforms)."""
+    return "/".join([table.rstrip("/"), *parts])
 
 
 def _bucket_col() -> F.Column:
@@ -61,23 +69,40 @@ def _bucket_col() -> F.Column:
 
 
 def _manifest_path(table: str, version: int) -> str:
-    return os.path.join(table, f"manifest-{version:06d}.json")
+    return _join(table, f"manifest-{version:06d}.json")
 
 
 def current_version(table: str) -> Optional[int]:
-    try:
-        with open(os.path.join(table, _CURRENT)) as fh:
-            return int(fh.read().strip())
-    except FileNotFoundError:
-        return None
+    """Live version = the highest committed manifest. ``_CURRENT`` is a
+    HINT that may lag one swap behind (a writer can die between the
+    manifest claim — the commit point — and the pointer write), so the
+    reader probes forward from the hint until the first missing
+    manifest. Claims are strictly sequential (version N+1 is only ever
+    claimed when N exists), so the first gap is the end of the log."""
+    be = backend_for(table)
+    text = be.read_text(_join(table, _CURRENT))
+    v = None if text is None else int(text.strip())
+    probe = 0 if v is None else v + 1
+    while True:
+        nxt = be.read_text(_manifest_path(table, probe))
+        if nxt is None:
+            return v
+        try:  # claims are atomic, so an unparseable manifest is external
+            json.loads(nxt)  # garbage, not a commit — the log ends before it
+        except json.JSONDecodeError:
+            return v
+        v = probe
+        probe += 1
 
 
 def read_manifest(table: str, version: Optional[int] = None) -> Dict:
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    with open(_manifest_path(table, v)) as fh:
-        return json.load(fh)
+    text = backend_for(table).read_text(_manifest_path(table, v))
+    if text is None:
+        raise FileNotFoundError(_manifest_path(table, v))
+    return json.loads(text)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -150,34 +175,45 @@ def _file_stats(path: str) -> Optional[Dict]:
 def _commit(table: str, version: int, buckets: Dict[str, List[str]],
             expected_current: Optional[int] = None,
             extra: Optional[Dict] = None) -> int:
-    """Optimistic-concurrency commit: the manifest file itself is the lock —
-    ``open(..., 'x')`` fails if a racing writer already claimed that version.
+    """Optimistic-concurrency commit. The CONDITIONAL PUT of the
+    manifest file is the commit point: data files are fully written
+    before ``_commit`` is called (insert-before-swap ordering), the
+    manifest payload is complete at claim time, and version numbers are
+    claimed strictly sequentially — so winning the claim IS the commit,
+    and losing it means another writer committed that version first
+    (``ConcurrentWriteError``: re-read the table and retry).
 
-    An existing manifest while _CURRENT still equals ``expected_current`` is
-    an ORPHAN from a crashed writer (created but never swapped in); the
-    commit skips past it to the next free version number instead of wedging
-    the table — version numbers may therefore have gaps. Returns the version
-    actually committed."""
-    while True:
-        if expected_current is not None and current_version(table) != expected_current:
-            raise ConcurrentWriteError(
-                f"table advanced past version {expected_current}; retry the write"
-            )
+    ``_CURRENT`` is only a best-effort HINT written after the claim; a
+    crash between the two leaves a fully committed version that
+    :func:`current_version` still finds by probing past the stale hint.
+    There is no ambiguous "orphan" state — the earlier design that
+    skipped supposed orphans could mistake a racer's in-flight commit
+    (claim done, pointer not yet swapped) for garbage and silently base
+    a new commit on stale state.
+
+    Storage primitives go through :mod:`.commit_backend`: conditional
+    put + plain atomic overwrite, both native on S3/GCS/Azure — the
+    protocol runs unchanged against object storage, with no renames."""
+    be = backend_for(table)
+    if expected_current is not None and current_version(table) != expected_current:
+        raise ConcurrentWriteError(
+            f"table advanced past version {expected_current}; retry the write"
+        )
+    payload = json.dumps({"version": version, "buckets": buckets,
+                          **(extra or {})})
+    while not be.put_if_absent(_manifest_path(table, version), payload):
+        existing = be.read_text(_manifest_path(table, version))
         try:
-            with open(_manifest_path(table, version), "x") as fh:
-                json.dump({"version": version, "buckets": buckets,
-                           **(extra or {})}, fh)
-            break
-        except FileExistsError:
-            if current_version(table) != expected_current:
-                raise ConcurrentWriteError(
-                    f"version {version} was committed concurrently; retry the write"
-                ) from None
-            version += 1  # orphaned manifest from a crashed writer — skip it
-    tmp = os.path.join(table, f"_CURRENT.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp, os.path.join(table, _CURRENT))  # atomic swap
+            if existing is not None:
+                json.loads(existing)
+            raise ConcurrentWriteError(
+                f"version {version} was committed concurrently; retry the write"
+            )
+        except json.JSONDecodeError:
+            # claims are atomic → an unparseable manifest is external
+            # garbage squatting on the version number; clear and reclaim
+            be.delete(_manifest_path(table, version))
+    be.put_atomic(_join(table, _CURRENT), str(version))
     return version
 
 
@@ -641,6 +677,7 @@ def vacuum(table: str, keep_versions: int = 1) -> List[str]:
     racing writer's in-flight commit, or a crashed writer's orphan) are left
     untouched, files included — vacuum must never destroy a commit that may
     be about to win the _CURRENT swap."""
+    be = backend_for(table)
     live = current_version(table)
     if live is None:
         return []
@@ -648,7 +685,7 @@ def vacuum(table: str, keep_versions: int = 1) -> List[str]:
     kept_versions = set(range(max(0, live - keep_versions + 1), live + 1))
     on_disk = [
         int(e.split("-")[1].split(".")[0])
-        for e in os.listdir(table) if e.startswith("manifest-")
+        for e in be.list_dir(table) if e.startswith("manifest-")
     ]
     protected = kept_versions | {v for v in on_disk if v > live}
     for v in sorted(protected):
@@ -661,14 +698,14 @@ def vacuum(table: str, keep_versions: int = 1) -> List[str]:
         for names in m.get("deletes", {}).values():
             keep.update(names)  # deletion vectors are live files too
     removed = []
-    files_dir = os.path.join(table, "files")
-    for name in os.listdir(files_dir):
-        if name not in keep:
-            os.remove(os.path.join(files_dir, name))
+    files_dir = _join(table, "files")
+    for name in be.list_dir(files_dir):
+        if name not in keep and name.endswith(".parquet"):
+            be.delete(_join(files_dir, name))
             removed.append(name)
     for v in on_disk:
         if v not in protected:
-            os.remove(_manifest_path(table, v))
+            be.delete(_manifest_path(table, v))
     return removed
 
 

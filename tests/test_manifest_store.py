@@ -157,15 +157,16 @@ def test_orphaned_manifest_does_not_wedge_table(spark, tmp_path):
 
     table = str(tmp_path / "t7")
     ms.write_table(records_df(spark, {"a": ["a0"]}), table)
-    # crashed writer: manifest created, _CURRENT never swapped
+    # external corruption: unparseable bytes squatting on the next version
+    # number (the protocol itself can't produce this — claims are atomic)
     open(os.path.join(table, "manifest-000001.json"), "w").write("{corrupt")
+    # readers ignore the garbage (log ends at the last valid manifest) …
+    assert ms.current_version(table) == 0
+    # … and the next commit clears it and claims the number normally
     v = ms.incremental_replace(records_df(spark, {"a": ["a1"]}), table)
-    assert v == 2  # skipped the orphan instead of raising forever
+    assert v == 1
     assert {r.content for r in ms.read_table(spark, table).collect()} == {"a1"}
-    # a stale orphan BELOW the live version is garbage — vacuum removes it
-    # (only versions above live are protected as possibly in-flight)
     ms.vacuum(table, keep_versions=1)
-    assert not os.path.exists(os.path.join(table, "manifest-000001.json"))
     assert ms.read_table(spark, table).count() == 1
 
 
