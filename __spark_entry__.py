@@ -4695,7 +4695,7 @@ FROM c
 def q_robots_gate(spark, sf):
     """robots.txt curation (operators/urls.py::parse_robots /
     robots_disallowed — RFC 9309 grouping, longest-match precedence,
-    allow-wins ties, literal-prefix subset): synthesized per-host robots
+    allow-wins ties, full wildcard matching): synthesized per-host robots
     bodies exercising multi-agent groups, empty Disallow, and
     allow-overrides; URLs derived from doc_id. The oracle states the
     expected verdicts in closed form."""
@@ -4708,6 +4708,9 @@ def q_robots_gate(spark, sf):
             ("h2.com", "User-agent: *\nDisallow:\n"),
             ("h3.com", "User-agent: *\nDisallow: /p4/\nAllow: /p4/x\n"
                        "Disallow: /p5/\n"),
+            # RFC 9309 wildcards: * spans, trailing $ anchors
+            ("h4.com", "User-agent: *\nDisallow: /p*1/x$\nDisallow: /p2*\n"
+                       "Disallow: /p6/x.html$\n"),
         ],
         "host string, robots_txt string",
     )
@@ -4728,7 +4731,8 @@ SELECT doc_id,
        'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.com/p'
          || CAST(doc_id % 7 AS VARCHAR) || '/x' AS url,
        ((doc_id % 5 = 0 AND doc_id % 7 IN (1, 2))
-        OR (doc_id % 5 = 3 AND doc_id % 7 = 5)) AS disallowed
+        OR (doc_id % 5 = 3 AND doc_id % 7 = 5)
+        OR (doc_id % 5 = 4 AND doc_id % 7 IN (1, 2))) AS disallowed
 FROM documents
 """
 

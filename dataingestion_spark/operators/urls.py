@@ -280,17 +280,36 @@ def parse_robots(df: DataFrame, text_col: str = "robots_txt",
     )
 
 
+def _rule_regex(rule_path: Column) -> Column:
+    """RFC 9309 rule path → anchored regex, expression-only:
+
+    * regex metacharacters are escaped so rule text matches literally,
+    * ``*`` matches any run of characters (``.*``),
+    * a TRAILING ``$`` anchors the end of the path (a ``$`` anywhere
+      else is literal, the common-implementation reading of §2.2.3).
+
+    A wildcard-free rule compiles to ``^<literal>`` — exactly the
+    longest-prefix semantics of the pre-wildcard fast path, so one code
+    path serves both."""
+    esc = F.regexp_replace(rule_path, r"([\\.\+\?\(\)\[\]\{\}\|\^$])", r"\\$1")
+    # trailing escaped-$ becomes the anchor ("\\$" in the replacement is
+    # Java's escape for a literal $ — bare $ is a group reference there)
+    anchored = F.regexp_replace(esc, r"\\\$$", "\\$")
+    return F.concat(F.lit("^"), F.regexp_replace(anchored, r"\*", ".*"))
+
+
 def robots_disallowed(urls: DataFrame, rules: DataFrame,
                       agent: str = "*", url_col: str = "url") -> DataFrame:
-    """Gate URLs against parsed robots rules for one agent (literal-prefix
-    subset of RFC 9309 — no ``*``/``$`` wildcards, like most large-crawl
-    pipelines' fast path): the LONGEST rule whose path is a prefix of the
-    URL path decides; ties prefer Allow; no matching rule ⇒ allowed.
-    Adds ``disallowed`` (bool). Rules for the agent broadcast (robots
-    tables are rule-sized, not crawl-sized); the crawl side only
-    shuffles if the join itself does — with the broadcast, never."""
+    """Gate URLs against parsed robots rules for one agent, full
+    RFC 9309 matching incl. ``*``/``$`` wildcards (§2.2.3): the MOST
+    SPECIFIC matching rule — longest rule string in octets — decides;
+    ties prefer Allow; no matching rule ⇒ allowed. Adds ``disallowed``
+    (bool). Rules for the agent broadcast (robots tables are rule-sized,
+    not crawl-sized); the crawl side only shuffles if the join itself
+    does — with the broadcast, never."""
     mine = rules.filter(F.lower(F.col("agent")) == agent.lower()).select(
-        "host", "directive", "rule_path"
+        "host", "directive", "rule_path",
+        _rule_regex(F.col("rule_path")).alias("_re"),
     ).filter(F.col("rule_path") != "")
     u = urls.withColumn("_h", url_host(F.col(url_col))).withColumn(
         "_p", url_path(F.col(url_col))
@@ -300,8 +319,7 @@ def robots_disallowed(urls: DataFrame, rules: DataFrame,
     pairs = u.select("_h", "_p").distinct()
     j = pairs.join(
         F.broadcast(mine),
-        (F.col("_h") == F.col("host"))
-        & F.col("_p").startswith(F.col("rule_path")),
+        (F.col("_h") == F.col("host")) & F.regexp_like(F.col("_p"), F.col("_re")),
     )
     # longest match wins; tie -> allow (max of the (len, is_allow) struct)
     verdict = j.groupBy("_h", "_p").agg(

@@ -186,3 +186,42 @@ def test_robots_disallowed_longest_match_and_defaults(spark):
     got = sorted((r.id, r.disallowed)
                  for r in robots_disallowed(urls, rules).collect())
     assert got == [(1, True), (2, False), (3, False), (4, False), (5, True)]
+
+
+def test_robots_wildcards_rfc9309(spark):
+    """RFC 9309 §2.2.3 wildcard rule classes: * spans, trailing $
+    anchors, mid-string $ is literal, regex metachars match literally,
+    and specificity = rule octet length (allow wins ties)."""
+    from dataingestion_spark.operators.urls import parse_robots, robots_disallowed
+
+    robots = spark.createDataFrame(
+        [("w.com",
+          "User-agent: *\n"
+          "Disallow: /fish*\n"          # /fish, /fishheads, /fish/salmon
+          "Allow: /fish/free\n"         # longer → overrides for /fish/free*
+          "Disallow: /*.php$\n"         # only paths ENDING .php
+          "Disallow: /a+b/\n"           # '+' literal, not regex
+          "Disallow: /pr$ice\n"         # mid-string $ literal
+          )],
+        "host string, robots_txt string",
+    )
+    cases = [
+        ("https://w.com/fish", True),
+        ("https://w.com/fishheads/yummy", True),
+        ("https://w.com/fish/salmon.html", True),
+        ("https://w.com/fish/free/zone", False),      # allow overrides
+        ("https://w.com/Fish", False),                # case-sensitive paths
+        ("https://w.com/index.php", True),
+        ("https://w.com/folder/site.php", True),
+        ("https://w.com/index.php5", False),          # $ anchored
+        ("https://w.com/a+b/page", True),
+        ("https://w.com/aab/page", False),            # + not regex
+        ("https://w.com/pr$ice", True),               # literal mid $
+        ("https://w.com/price", False),
+        ("https://w.com/other", False),
+    ]
+    urls = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.disallowed for r in
+           robots_disallowed(urls, parse_robots(robots), agent="*").collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
