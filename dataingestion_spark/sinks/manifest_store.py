@@ -135,38 +135,28 @@ def _bloom_maybe_contains(bloom_hex: str, doc_id: str) -> bool:
 
 
 def _file_stats(path: str) -> Optional[Dict]:
-    """Per-file pruning stats: min/max documentid + row count from the
-    parquet footer, plus a small Bloom filter over the file's documentids
-    (one cheap single-column read of the just-written file). min/max
-    prunes by RANGE; the bloom prunes SCATTERED ids that happen to fall
-    inside a file's range — together point lookups read O(actually
-    matching files). Returns None when footer stats are absent — readers
-    treat a stats-less file as "may contain anything" (no pruning, still
+    """Per-file pruning stats: min/max documentid + row count, plus a
+    small Bloom filter over the file's documentids. min/max prunes by
+    RANGE; the bloom prunes SCATTERED ids that happen to fall inside a
+    file's range — together point lookups read O(actually matching
+    files). ONE file open: the id column is read once and yields the
+    rows/min/max AND the bloom (the earlier footer-then-column double
+    open dominated small-batch commit latency at ~64 tiny files per
+    write). Returns None when the column is absent — readers treat a
+    stats-less file as "may contain anything" (no pruning, still
     correct)."""
     try:
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        if "documentid" not in idx:
+        pf = pq.ParquetFile(path)
+        if "documentid" not in pf.schema_arrow.names:
             return None
-        col = idx["documentid"]
-        mins, maxs, rows = [], [], 0
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(col).statistics
-            rows += md.row_group(rg).num_rows
-            if st is None or not st.has_min_max:
-                return None
-            mins.append(st.min)
-            maxs.append(st.max)
-        if not mins:
+        ids = pf.read(columns=["documentid"])["documentid"]
+        if len(ids) == 0:
             return {"rows": 0}
-        out = {"min": min(mins), "max": max(maxs), "rows": rows}
-        try:
-            ids = pq.read_table(path, columns=["documentid"])["documentid"]
-            out["bloom"] = _bloom_build(x.as_py() for x in ids)
-        except Exception:
-            pass  # bloom is a second-level optimization on top of min/max
+        vals = [x.as_py() for x in ids]
+        out = {"min": min(vals), "max": max(vals), "rows": len(vals),
+               "bloom": _bloom_build(vals)}
         return out
     except Exception:
         return None  # stats are an optimization, never a correctness gate
@@ -222,39 +212,66 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
                         prefix: str = "b",
                         single_task: bool = False) -> Dict[str, List[str]]:
     """Write records (must carry doc_bucket) grouped per bucket; returns
-    bucket -> new file names. One parquet file per (bucket, write) — the
-    writer shuffles on doc_bucket so each file is written by one task.
-    ``single_task`` skips that shuffle and writes everything from one task
-    (for tiny tables — deletion vectors — where a repartition is pure
-    overhead). When ``stats`` is given, each new file's footer stats land
-    in it."""
-    staging = os.path.join(table, "staging", token)
-    # partition by a shadow copy: partition values live in directory names,
-    # not the data files, and readers still need doc_bucket as a column
-    shaped = records.withColumn("_pb", F.col("doc_bucket"))
-    shaped = shaped.coalesce(1) if single_task else shaped.repartition("_pb")
-    shaped.write.mode("overwrite").partitionBy("_pb").parquet(staging)
-    out: Dict[str, List[str]] = {}
+    bucket -> new file names.
+
+    Executors write the parquet files DIRECTLY with pyarrow inside
+    ``mapInArrow`` (exact Spark types, no pandas round trip) into the
+    table's ``files/`` dir under unique never-overwritten names, and
+    return (bucket, file name, pruning stats) as ROWS — one Spark job
+    yields the files, the bucket map, and the per-file min/max/bloom
+    stats with zero post-hoc file reads. This replaces a
+    ``partitionBy``-committer write (task temp dirs + renames + footer
+    re-reads) whose fixed overhead dominated small-batch commits ~3x.
+    Crash safety is unchanged: files not referenced by a committed
+    manifest are invisible orphans until ``vacuum`` collects them.
+
+    ``single_task`` skips the shuffle and writes everything from one
+    task (for tiny tables -- deletion vectors -- where a repartition is
+    pure overhead)."""
     files_dir = os.path.join(table, "files")
     os.makedirs(files_dir, exist_ok=True)
-    for entry in sorted(os.listdir(staging)):
-        if not entry.startswith("_pb="):
-            continue
-        bucket = entry.split("=", 1)[1]
-        for i, part in enumerate(sorted(os.listdir(os.path.join(staging, entry)))):
-            if not part.endswith(".parquet"):
-                continue
-            name = f"{prefix}{bucket}-{token}-{i}.parquet"
-            dest = os.path.join(files_dir, name)
-            os.replace(os.path.join(staging, entry, part), dest)
-            out.setdefault(bucket, []).append(name)
-            if stats is not None:
-                st = _file_stats(dest)
-                if st is not None:
-                    stats[name] = st
-    # remove only THIS write's staging dir — the parent is shared with any
-    # concurrent writers whose in-flight data must survive
-    shutil.rmtree(staging, ignore_errors=True)
+    shaped = records.coalesce(1) if single_task else records.repartition("doc_bucket")
+    want_stats = stats is not None
+
+    def write_batches(batches):
+        import json as _json
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pqt
+
+        acc: Dict[int, list] = {}
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            for b in pc.unique(tbl["doc_bucket"]).to_pylist():
+                acc.setdefault(int(b), []).append(
+                    tbl.filter(pc.equal(tbl["doc_bucket"], b)))
+        buckets_o, names_o, stats_o = [], [], []
+        for b, parts in sorted(acc.items()):
+            tbl = pa.concat_tables(parts)
+            name = f"{prefix}{b}-{token}-{_uuid.uuid4().hex[:8]}.parquet"
+            pqt.write_table(tbl, os.path.join(files_dir, name))
+            st = ""
+            if want_stats and "documentid" in tbl.column_names:
+                vals = tbl["documentid"].to_pylist()
+                st = _json.dumps(
+                    {"min": min(vals), "max": max(vals), "rows": len(vals),
+                     "bloom": _bloom_build(vals)} if vals else {"rows": 0})
+            buckets_o.append(str(b))
+            names_o.append(name)
+            stats_o.append(st)
+        yield pa.RecordBatch.from_pydict(
+            {"bucket": buckets_o, "name": names_o, "stats": stats_o})
+
+    out: Dict[str, List[str]] = {}
+    rows = shaped.mapInArrow(
+        write_batches, schema="bucket string, name string, stats string"
+    ).collect()
+    for r in sorted(rows, key=lambda r: (int(r["bucket"]), r["name"])):
+        out.setdefault(r["bucket"], []).append(r["name"])
+        if want_stats and r["stats"]:
+            stats[r["name"]] = json.loads(r["stats"])
     return out
 
 
@@ -574,16 +591,19 @@ def merge_table(source: DataFrame, table: str,
     # the source batch is read several times (dup guard, bucket list, joins,
     # writes) — pin it once; a merge batch is bounded, unlike the table
     src = source.withColumn("doc_bucket", _bucket_col()).localCheckpoint(eager=True)
-    dup = src.groupBy("documentid").count().filter(F.col("count") > 1)
-    if dup.limit(1).count() > 0:
+    # ONE job answers both pre-checks: per-bucket row/key counts give the
+    # affected-bucket list AND the duplicate guard (rows > distinct keys)
+    precheck = src.groupBy("doc_bucket").agg(
+        F.count("*").alias("_rows"),
+        F.countDistinct("documentid").alias("_keys"),
+    ).collect()
+    if any(r["_rows"] > r["_keys"] for r in precheck):
         raise ValueError("source has duplicate documentids; merge requires "
                          "one source row per key (Delta semantics)")
 
     manifest = read_manifest(table)
     meta = _manifest_meta(manifest)
-    affected = sorted(
-        str(r[0]) for r in src.select("doc_bucket").distinct().collect()
-    )
+    affected = sorted(str(r["doc_bucket"]) for r in precheck)
     existing = [b for b in affected if manifest["buckets"].get(b)]
     tgt = tgt_keys = None
     if existing:
