@@ -119,14 +119,49 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def _prune_hot_bands(banded: DataFrame, max_band_size: Optional[int],
+                     stats_out: Optional[dict] = None) -> DataFrame:
+    """Hot-band skew guard for the LSH self-join: a band bucket of size s
+    emits s·(s−1)/2 candidate pairs, so one boilerplate-degenerate bucket
+    (every page sharing a cookie banner hashes to the same band key) can
+    quadratically dominate the join at web scale. Buckets larger than
+    ``max_band_size`` are DROPPED from pair generation — the standard
+    large-corpus mitigation (cf. Lee et al. 2022's frequent-ngram drops):
+    genuinely similar documents still meet in their other, non-degenerate
+    bands, while the boilerplate bucket's s² explosion never happens.
+
+    The bucket-size aggregation is one map-side-combinable pass over the
+    tiny banded table; the oversize list is broadcast back. With
+    ``stats_out`` a dict, ``skewed_bands`` / ``skipped_rows`` are filled
+    driver-side so pipelines can alert on corpus degeneracy."""
+    if max_band_size is None:
+        return banded
+    if max_band_size < 2:
+        raise ValueError("max_band_size must be ≥ 2 (a pair needs 2 rows)")
+    sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
+    hot = sizes.filter(F.col("_n") > max_band_size)
+    if stats_out is not None:
+        agg = hot.agg(
+            F.count("*").alias("k"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("m"),
+        ).collect()[0]
+        stats_out["skewed_bands"] = int(agg["k"])
+        stats_out["skipped_rows"] = int(agg["m"])
+    return banded.join(F.broadcast(hot.select("band", "band_key")),
+                       ["band", "band_key"], "left_anti")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                      num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+                      max_band_size: Optional[int] = None,
+                      skew_stats: Optional[dict] = None) -> DataFrame:
     """LSH candidate pairs: documents agreeing on at least one signature band.
 
     Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
     band key = md5 of the concatenated band. Candidates come from a self
     equi-join on (band_idx, band_key) — the only shuffle is on band keys, so
-    the cost is O(docs × bands), independent of corpus text size."""
+    the cost is O(docs × bands), independent of corpus text size.
+    ``max_band_size`` arms the hot-band skew guard (:func:`_prune_hot_bands`)."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
@@ -150,6 +185,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # The self-join would recompute the whole shingle→signature pipeline for
     # each side; a local checkpoint materializes it once (tiny: bands×40B/doc).
     banded = banded.localCheckpoint(eager=False)
+    banded = _prune_hot_bands(banded, max_band_size, skew_stats)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -215,10 +251,13 @@ def minhash_signature_fast(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs_fast(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
-                           bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                           bands: int = 4, shingle_n: int = 3,
+                           max_band_size: Optional[int] = None,
+                           skew_stats: Optional[dict] = None) -> DataFrame:
     """Banded LSH candidates over the xxhash64 signatures; band key =
     one more xxhash64 over the band's slice (hashing an array column is
-    native), so the join key is a fixed 8-byte long."""
+    native), so the join key is a fixed 8-byte long. ``max_band_size``
+    arms the hot-band skew guard (:func:`_prune_hot_bands`)."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
@@ -240,6 +279,7 @@ def minhash_lsh_pairs_fast(df: DataFrame, text_col: str = "text",
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
     banded = banded.localCheckpoint(eager=False)
+    banded = _prune_hot_bands(banded, max_band_size, skew_stats)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
