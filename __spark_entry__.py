@@ -5123,8 +5123,10 @@ SELECT event_id, ts, user_id, event_type, value FROM events
 
 def q_streaming_sessions(spark, sf):
     """Watermarked merging session windows (F.session_window under
-    Structured Streaming) — rows-only; exactness vs the batch twin is
-    pinned by tests/test_streaming.py::test_stream_events_sessions_match_batch."""
+    Structured Streaming), fully oracled: the drained append output is
+    exactly the batch sessionization restricted to sessions the final
+    watermark passed (end < max(ts) − 10 min, strict — pinned
+    empirically and in tests/test_streaming.py)."""
     from dataingestion_spark.streaming.pipeline import stream_events_sessions
 
     _utc(spark)
@@ -5150,6 +5152,44 @@ def q_streaming_interval_join(spark, sf):
     q = stream_events_interval_join(spark, sf, query_name=name)
     q.awaitTermination()
     return spark.table(name)
+
+
+# Streamed append-mode output = the batch aggregation restricted to
+# windows/sessions the FINAL watermark passed (strictly: end < max(ts) -
+# delay; the boundary case was pinned empirically — a window ending
+# exactly at the horizon is NOT emitted). That closed form makes both
+# streaming queries fully oracle-checkable, not rows-only.
+ORACLE_STREAM_WINDOWED = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL 5 MINUTE AS win_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+HAVING time_bucket(INTERVAL '5 minutes', ts) + INTERVAL 5 MINUTE
+       < (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+"""
+
+
+ORACLE_STREAM_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL 30 MINUTE
+       < (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+"""
 
 
 ORACLE_STREAM_INTERVAL_JOIN = """
@@ -5546,5 +5586,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
         "streaming_dedup_watermark": ORACLE_STREAM_DEDUP_WM,
         "streaming_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
-        # streaming_events_windowed: intentionally omitted (rows-only check)
+        "streaming_events_windowed": ORACLE_STREAM_WINDOWED,
+        "streaming_session_windows": ORACLE_STREAM_SESSIONS,
     }

@@ -129,7 +129,11 @@ def stream_events_windowed(spark, events_dir: str, window: str = "5 minutes",
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        # decimal-exact sum: a parallel DOUBLE sum is accumulation-order
+        # dependent, which would break cross-engine oracle equality
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("sum_value"))
         .select(
             F.col("window.start").alias("win_start"),
             F.col("window.end").alias("win_end"),
