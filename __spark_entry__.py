@@ -1583,12 +1583,60 @@ SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT 50
 """
 
 
+def _oracle_bpe_merges(n_merges=24):
+    """Unrolled BPE merge loop as chained DuckDB CTEs. Pieces stay
+    single CHARACTERS by assigning each merged token a fresh private-use
+    char (U+E000+k), so adjacent-pair extraction remains substring(w,i,2)
+    in every round; an expansion map (merged char -> token text) recovers
+    byte-level tokens for output and for the (-count, pair-bytes)
+    tie-break. replace() is left-to-right non-overlapping -- exactly the
+    merge-application order of the Python loop."""
+    parts = [r"""WITH w0 AS MATERIALIZED (
+  SELECT piece AS w, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS piece, 1 AS c
+    FROM documents) WHERE piece <> '' GROUP BY piece),
+m0 AS MATERIALIZED (SELECT '' AS ch, '' AS tok WHERE 1=0)"""]
+    for k in range(n_merges):
+        nc = f"chr({0xE000 + k})"
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT substring(w, CAST(i AS INTEGER), 1) AS l,
+         substring(w, CAST(i AS INTEGER) + 1, 1) AS r,
+         SUM(cnt) AS n
+  FROM w{k}, unnest(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2 GROUP BY 1, 2),
+b{k} AS MATERIALIZED (
+  SELECT l, r, {nc} AS nc,
+         coalesce(ml.tok, p{k}.l) || coalesce(mr.tok, p{k}.r) AS tok
+  FROM p{k}
+  LEFT JOIN m{k} ml ON p{k}.l = ml.ch
+  LEFT JOIN m{k} mr ON p{k}.r = mr.ch
+  ORDER BY n DESC, coalesce(ml.tok, p{k}.l), coalesce(mr.tok, p{k}.r)
+  LIMIT 1),
+w{k+1} AS MATERIALIZED (SELECT replace(w, b.l || b.r, b.nc) AS w, cnt FROM w{k}, b{k} b),
+m{k+1} AS MATERIALIZED (SELECT ch, tok FROM m{k} UNION ALL SELECT nc, tok FROM b{k})""")
+    merges = "\nUNION ALL\n".join(
+        f"SELECT {256 + k} AS rank, tok AS token FROM b{k}" for k in range(n_merges))
+    parts.append(f"""merges AS MATERIALIZED (\n{merges}\n),
+cut AS (
+  SELECT MIN(r1.rank) AS c FROM merges r1
+  WHERE EXISTS (SELECT 1 FROM merges r2
+                WHERE r2.token = r1.token AND r2.rank < r1.rank))""")
+    body = ",\n".join(parts)
+    return (body + "\nSELECT CAST(rank AS INTEGER) AS rank, token FROM merges "
+            "WHERE rank < coalesce((SELECT c FROM cut), 1000000)")
+
+
 def q_bpe_train_merges(spark, sf):
-    """Full distributed BPE training (rows-only: the merge loop is
-    iterative — not SQL-expressible; exact equivalence to single-process
-    train_bpe is pinned by tests/test_bpe.py): whitespace-mode piece
-    counts at cluster scale, 24 merges learned from the collected
-    frequency table, returned as the (rank, token) merge table."""
+    """Full distributed BPE training: whitespace-mode piece counts at
+    cluster scale, 24 merges learned from the collected frequency table,
+    returned as the (rank, token) merge table. Fully oracled: the merge
+    loop unrolls into 24 chained SQL rounds (_oracle_bpe_merges) — each
+    merged token becomes a fresh private-use CHARACTER so pair
+    extraction stays substring(w,i,2) in every round, replace() applies
+    merges left-to-right non-overlapping exactly like the trainer, and
+    an expansion map recovers byte-level tokens for output and for the
+    (-count, pair-bytes) tie-break. Single-process equivalence is also
+    pinned by tests/test_bpe.py."""
     from dataingestion_spark.operators.bpe_train import train_bpe_distributed
 
     docs = _t(spark, sf, "documents")
@@ -2073,15 +2121,127 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r F
 """
 
 
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8          # m subspaces x k codewords, sub dims each
+_PQ_NPROBE, _PQ_NCENT = 4, 16
+
+
+def _pq_d2_tree(a, b, j):
+    """((t1+t2)+(t3+t4))+((t5+t6)+(t7+t8)) — numpy's 8-way unrolled
+    pairwise combination for an 8-element sum (encode side)."""
+    t = [f"((CAST({a}[{j}*{_PQ_SUB}+{d+1}] AS DOUBLE) - CAST({b}[{j}*{_PQ_SUB}+{d+1}] AS DOUBLE)) * (CAST({a}[{j}*{_PQ_SUB}+{d+1}] AS DOUBLE) - CAST({b}[{j}*{_PQ_SUB}+{d+1}] AS DOUBLE)))" for d in range(_PQ_SUB)]
+    return (f"((({t[0]} + {t[1]}) + ({t[2]} + {t[3]})) + "
+            f"(({t[4]} + {t[5]}) + ({t[6]} + {t[7]})))")
+
+
+def _pq_d2_chain(a, b, j):
+    """strictly left-assoc fold — matches _adc_lut_df's sequential
+    accumulation (query-LUT side)."""
+    t = [f"((CAST({a}[{j}*{_PQ_SUB}+{d+1}] AS DOUBLE) - CAST({b}[{j}*{_PQ_SUB}+{d+1}] AS DOUBLE)) * (CAST({a}[{j}*{_PQ_SUB}+{d+1}] AS DOUBLE) - CAST({b}[{j}*{_PQ_SUB}+{d+1}] AS DOUBLE)))" for d in range(_PQ_SUB)]
+    out = t[0]
+    for x in t[1:]:
+        out = f"({out} + {x})"
+    return out
+
+
+def _pq_common_ctes():
+    return f"""samp AS MATERIALIZED (
+  SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 100000)),
+cw AS MATERIALIZED (
+  SELECT CAST((rn - 1) // s AS INTEGER) AS c, embedding FROM samp,
+    (SELECT GREATEST(1, (SELECT COUNT(*) FROM samp) // {_PQ_K}) AS s)
+  WHERE (rn - 1) % s = 0 AND (rn - 1) // s < {_PQ_K}),
+subs AS (SELECT CAST(unnest(range(0, {_PQ_M})) AS INTEGER) AS j),
+codes AS MATERIALIZED (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT e.vec_id, s.j, cw.c,
+      row_number() OVER (PARTITION BY e.vec_id, s.j
+        ORDER BY {_pq_d2_tree('e.embedding', 'cw.embedding', 's.j')} ASC, cw.c ASC) AS rk
+    FROM embeddings e, subs s, cw) WHERE rk = 1),
+qlut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, s.j, cw.c,
+         {_pq_d2_chain('q.embedding', 'cw.embedding', 's.j')} AS d2
+  FROM embeddings q, subs s, cw WHERE q.vec_id < 5)"""
+
+
+def _pq_score_total():
+    total = "l0.d2"
+    for j in range(1, _PQ_M):
+        total = f"({total} + l{j}.d2)"
+    return total
+
+
+def _pq_code_joins(anchor):
+    return " ".join(
+        f"JOIN (SELECT vec_id, code FROM codes WHERE j = {j}) c{j} "
+        f"ON c{j}.vec_id = {anchor}.vec_id" for j in range(_PQ_M))
+
+
+def _pq_lut_joins(qref):
+    return " ".join(
+        f"JOIN qlut l{j} ON l{j}.query_id = {qref}.query_id AND l{j}.j = {j} "
+        f"AND l{j}.c = c{j}.code" for j in range(_PQ_M))
+
+
+def _oracle_topk_pq():
+    return f"""WITH {_pq_common_ctes()},
+base AS (SELECT DISTINCT vec_id FROM codes),
+s AS (
+  SELECT q.query_id, base.vec_id, -({_pq_score_total()}) AS score
+  FROM base
+  {_pq_code_joins('base')}
+  CROSS JOIN (SELECT DISTINCT query_id FROM qlut) q
+  {_pq_lut_joins('q')})
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r FROM (
+  SELECT query_id, vec_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 10"""
+
+
+def _oracle_topk_ivf_pq(cos_sql):
+    return f"""WITH {_pq_common_ctes()},
+cents AS MATERIALIZED (
+  SELECT CAST((rn - 1) // s AS INTEGER) + 1 AS centroid_id, embedding AS cvec
+  FROM samp, (SELECT GREATEST(1, (SELECT COUNT(*) FROM samp) // {_PQ_NCENT}) AS s)
+  WHERE (rn - 1) % s = 0 AND (rn - 1) // s < {_PQ_NCENT}),
+assigned AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {cos_sql.format(a='e.embedding', b='c.cvec')} DESC, c.centroid_id) AS crk
+    FROM embeddings e CROSS JOIN cents c) WHERE crk = 1),
+probes AS MATERIALIZED (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        {cos_sql.format(a='q.embedding', b='c.cvec')} DESC, c.centroid_id) AS crk
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE crk <= {_PQ_NPROBE}),
+s AS (
+  SELECT p.query_id, a.vec_id, -({_pq_score_total()}) AS score
+  FROM assigned a
+  JOIN probes p ON a.centroid_id = p.centroid_id
+  {_pq_code_joins('a')}
+  {_pq_lut_joins('p')})
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r FROM (
+  SELECT query_id, vec_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 10"""
+
+
 def q_topk_pq(spark, sf):
-    """Product-quantization ANN (operators/pq.py): m=8 × k=16 codebooks
-    (deterministic farthest-first + Lloyd — iterative, hence no SQL
-    oracle), numpy-batched encode, asymmetric-distance top-k. The
-    billion-vector memory layout: 8 bytes/vector at scoring time."""
+    """Product-quantization ANN (operators/pq.py): m=8 × k=16 STRIDE
+    codebooks (iters=0 — every ⌈n/k⌉-th subvector of the id-ordered
+    sample, which makes the whole encode + ADC path SQL-expressible),
+    numpy-batched encode, asymmetric-distance top-k. Fully oracled:
+    the SQL mirrors numpy's exact 8-way pairwise summation tree for
+    encode distances and the LUT's sequential fold, so codes and scores
+    are bit-identical (Lloyd-trained codebooks are exercised by the
+    recall tests and tests/test_vector_index.py). The billion-vector
+    memory layout: 8 bytes/vector at scoring time."""
     from dataingestion_spark.operators.pq import pq_encode, pq_train, topk_pq_adc
 
     e = _t(spark, sf, "embeddings")
-    books = pq_train(e, m=8, k=16, iters=3)
+    books = pq_train(e, m=8, k=16, iters=0, init="stride")
     # encode only the columns ADC needs — the Arrow roundtrip through the
     # Python encoder shouldn't carry payload columns it just passes through
     enc = pq_encode(e.select("vec_id", "embedding"), books)
@@ -2098,16 +2258,24 @@ def q_topk_ivf_pq(spark, sf):
     """IVF-PQ composition (operators/pq.py::topk_ivf_pq): coarse inverted
     lists bound WHAT each query scans (n_probe/n_centroids of the corpus),
     PQ codes bound what each candidate COSTS (m bytes + m LUT lookups) —
-    the Faiss-style billion-vector layout. Deterministic but k-means-
-    trained, hence rows-only like search_topk_pq."""
-    from dataingestion_spark.operators.pq import topk_ivf_pq
+    the Faiss-style billion-vector layout. Stride centroids + stride
+    codebooks (iters=0) make assignment, probing, encode, and ADC all
+    SQL-expressible — fully oracled end to end (_oracle_topk_ivf_pq);
+    Lloyd training is covered by the recall tests."""
+    from dataingestion_spark.operators.pq import pq_train, topk_ivf_pq
 
     e = _t(spark, sf, "embeddings")
+    n = e.count()
+    stride = max(1, n // 16)
+    srows = e.orderBy("vec_id").limit(100_000).collect()
+    cents = [(i + 1, list(srows[i * stride]["embedding"])) for i in range(16)]
+    books = pq_train(e, m=8, k=16, iters=0, init="stride")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = topk_ivf_pq(e, queries, k=10, n_centroids=16, n_probe=4,
-                      m=8, k_codes=16, iters=3)
+                      m=8, k_codes=16, iters=0, centroids=cents,
+                      codebooks=books)
     return out.select(
         "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
     )
@@ -5587,5 +5755,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_watermark": ORACLE_STREAM_DEDUP_WM,
         "streaming_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
         "streaming_events_windowed": ORACLE_STREAM_WINDOWED,
+        "tokenizer_bpe_train_merges": _oracle_bpe_merges(24),
+        "search_topk_pq": _oracle_topk_pq(),
+        "search_topk_ivf_pq": _oracle_topk_ivf_pq(_COS_SQL),
         "streaming_session_windows": ORACLE_STREAM_SESSIONS,
     }
