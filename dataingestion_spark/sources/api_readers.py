@@ -166,14 +166,121 @@ def adi_result_to_elements(result: dict, doc_id: str) -> List[dict]:
     return rows
 
 
+def _api_reader_run(spark, path, glob, recursive, transport, map_fn,
+                    requests_per_second, max_concurrency, retry=None,
+                    on_error: str = "fail"):
+    """Shared API-reader Spark shape: binaryFile scan → ``mapInPandas``
+    where each PARTITION owns one rate-limited
+    :class:`~dataingestion_spark.model_client.BatchingModelClient`
+    (token-bucket backpressure + decorrelated-jitter retries) wrapping
+    the injectable ``transport(bytes, path) -> result dict``; results go
+    through the pure ``map_fn(result, doc_id) -> element rows``. The
+    repartition bounds GLOBAL concurrency at partitions ×
+    ``max_concurrency`` — the knob a 10k-file ingest needs so the
+    cluster doesn't stampede a rate-limited cloud parser."""
+    from ..model_client import BatchingModelClient, RetryPolicy
+
+    files = binary_file_scan(spark, path, glob, recursive)
+    n_parts = 8
+    retry = retry or RetryPolicy()
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        client = BatchingModelClient(
+            call_fn=lambda chunk: [transport(data, p) for data, p in chunk],
+            batch_size=1,
+            max_concurrency=max_concurrency,
+            requests_per_second=requests_per_second,
+            retry=retry,
+        )
+        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
+        try:
+            for pdf in batches:
+                items = [(bytes(r["content"]), str(r["path"]))
+                         for _, r in pdf.iterrows()]
+                out: List[dict] = []
+                for (data, doc_id), result in zip(items, client(items)):
+                    try:
+                        out.extend(map_fn(result, doc_id))
+                    except Exception:
+                        if on_error == "fail":
+                            raise
+                yield (pd.DataFrame(out, columns=cols) if out
+                       else pd.DataFrame(columns=cols))
+        finally:
+            client.close()
+
+    return files.repartition(n_parts).mapInPandas(run, schema=ELEMENTS_SCHEMA)
+
+
+def adi_http_transport(endpoint: str, key: str,
+                       model: str = "prebuilt-layout",
+                       api_version: str = "2024-02-29-preview",
+                       poll_interval: float = 2.0,
+                       timeout: float = 300.0):
+    """Azure Document Intelligence analyze transport: POST the document
+    to ``{endpoint}/documentintelligence/documentModels/{model}:analyze``
+    (markdown output format, as the reference configures —
+    ``DocumentIntelligenceReader.cs:90``), follow the
+    ``Operation-Location`` long poll until ``succeeded``, return the
+    ``analyzeResult`` dict. stdlib urllib only; raises on terminal
+    failure so the client's retry policy can re-drive transient ones."""
+    import json as _json
+    import time as _time
+    import urllib.request
+
+    def transport(data: bytes, doc_id: str) -> dict:
+        url = (f"{endpoint.rstrip('/')}/documentintelligence/documentModels/"
+               f"{model}:analyze?api-version={api_version}"
+               f"&outputContentFormat=markdown")
+        req = urllib.request.Request(
+            url, data=data, method="POST",
+            headers={"Ocp-Apim-Subscription-Key": key,
+                     "Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req) as resp:
+            op_url = resp.headers["Operation-Location"]
+        deadline = _time.monotonic() + timeout
+        while True:
+            poll = urllib.request.Request(
+                op_url, headers={"Ocp-Apim-Subscription-Key": key})
+            with urllib.request.urlopen(poll) as resp:
+                body = _json.loads(resp.read())
+            status = body.get("status")
+            if status == "succeeded":
+                return body.get("analyzeResult", {})
+            if status in ("failed", "canceled"):
+                raise RuntimeError(f"{doc_id}: analyze {status}: "
+                                   f"{body.get('error')}")
+            if _time.monotonic() > deadline:
+                raise TimeoutError(f"{doc_id}: analyze still {status} after "
+                                   f"{timeout}s")
+            _time.sleep(poll_interval)
+
+    return transport
+
+
 def read_document_intelligence(spark, path, endpoint: Optional[str] = None,
-                               key: Optional[str] = None, **_):
-    raise NotImplementedError(
-        "DocumentIntelligenceReader needs Azure credentials and network "
-        "access. The result mapping is implemented and tested — see "
-        "adi_result_to_elements(); wire it to the service inside mapInPandas "
-        "with a rate-limited client."
-    )
+                               key: Optional[str] = None, glob: str = "*",
+                               recursive: bool = False, transport=None,
+                               requests_per_second: float = 2.0,
+                               max_concurrency: int = 4, retry=None,
+                               on_error: str = "fail", **transport_kw):
+    """Azure Document Intelligence reader, live transport wired through
+    the rate-limited API-reader shape (``_api_reader_run``). Pass
+    ``transport`` to inject a recorded-fixture fake (tests) or a custom
+    HTTP stack; otherwise ``endpoint`` + ``key`` build the real
+    long-polling analyze transport (:func:`adi_http_transport`)."""
+    if transport is None:
+        if not endpoint or not key:
+            raise ValueError(
+                "read_document_intelligence needs endpoint+key for the live "
+                "service, or an injected transport(data, doc_id) -> "
+                "analyzeResult dict")
+        transport = adi_http_transport(endpoint, key, **transport_kw)
+    return _api_reader_run(spark, path, glob, recursive, transport,
+                           adi_result_to_elements, requests_per_second,
+                           max_concurrency, retry, on_error)
 
 
 # ---------------------------------------------------------------------------
@@ -241,9 +348,73 @@ def llamaparse_result_to_elements(result: dict, doc_id: str) -> List[dict]:
     return rows
 
 
-def read_llamaparse(spark, path, api_key: Optional[str] = None, **_):
-    raise NotImplementedError(
-        "LlamaParseReader needs a LlamaCloud API key and network access. The "
-        "result mapping is implemented and tested — see "
-        "llamaparse_result_to_elements()."
-    )
+def llamaparse_http_transport(api_key: str,
+                              base_url: str = "https://api.cloud.llamaindex.ai",
+                              poll_interval: float = 2.0,
+                              timeout: float = 300.0):
+    """LlamaParse transport: multipart upload to
+    ``/api/parsing/upload``, poll ``/api/parsing/job/{id}`` until
+    SUCCESS, fetch the ``/result/json`` payload (the {"pages": [...]}
+    shape ``llamaparse_result_to_elements`` maps — reference
+    ``LlamaParseReader.cs:41-48``). stdlib urllib only."""
+    import json as _json
+    import time as _time
+    import urllib.request
+    import uuid as _uuid
+
+    def transport(data: bytes, doc_id: str) -> dict:
+        boundary = _uuid.uuid4().hex
+        name = doc_id.rsplit("/", 1)[-1] or "document"
+        body = (
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="file"; filename="{name}"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n"
+        ).encode() + data + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"{base_url.rstrip('/')}/api/parsing/upload", data=body,
+            method="POST",
+            headers={"Authorization": f"Bearer {api_key}",
+                     "Content-Type": f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req) as resp:
+            job = _json.loads(resp.read())["id"]
+        deadline = _time.monotonic() + timeout
+        while True:
+            poll = urllib.request.Request(
+                f"{base_url.rstrip('/')}/api/parsing/job/{job}",
+                headers={"Authorization": f"Bearer {api_key}"})
+            with urllib.request.urlopen(poll) as resp:
+                status = _json.loads(resp.read()).get("status")
+            if status == "SUCCESS":
+                break
+            if status in ("ERROR", "CANCELED"):
+                raise RuntimeError(f"{doc_id}: parse job {status}")
+            if _time.monotonic() > deadline:
+                raise TimeoutError(f"{doc_id}: job still {status} after "
+                                   f"{timeout}s")
+            _time.sleep(poll_interval)
+        res = urllib.request.Request(
+            f"{base_url.rstrip('/')}/api/parsing/job/{job}/result/json",
+            headers={"Authorization": f"Bearer {api_key}"})
+        with urllib.request.urlopen(res) as resp:
+            return _json.loads(resp.read())
+
+    return transport
+
+
+def read_llamaparse(spark, path, api_key: Optional[str] = None,
+                    glob: str = "*", recursive: bool = False,
+                    transport=None, requests_per_second: float = 2.0,
+                    max_concurrency: int = 4, retry=None,
+                    on_error: str = "fail", **transport_kw):
+    """LlamaParse reader, live transport through the shared rate-limited
+    API-reader shape; ``transport`` injects a recorded-fixture fake."""
+    if transport is None:
+        if not api_key:
+            raise ValueError(
+                "read_llamaparse needs api_key for the live service, or an "
+                "injected transport(data, doc_id) -> result dict")
+        transport = llamaparse_http_transport(api_key, **transport_kw)
+    return _api_reader_run(spark, path, glob, recursive, transport,
+                           llamaparse_result_to_elements,
+                           requests_per_second, max_concurrency, retry,
+                           on_error)

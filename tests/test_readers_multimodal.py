@@ -122,10 +122,13 @@ def test_llamaparse_mapping():
     assert img["image_media_type"] == "image/png"
 
 
-def test_api_readers_raise_without_backends(spark):
-    with pytest.raises(NotImplementedError):
+def test_api_readers_fail_fast_without_credentials(spark):
+    # live transports exist now (tests/test_api_transports.py drives them
+    # with fixture fakes); without credentials they must fail fast with a
+    # message naming the injectable transport seam
+    with pytest.raises(ValueError, match="transport"):
         read_document_intelligence(spark, "/tmp/x")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="transport"):
         read_llamaparse(spark, "/tmp/x")
 
 
