@@ -3360,6 +3360,103 @@ def _oracle_pdf() -> str:
                           _READER_COLS, _READER_TYPES)
 
 
+_HTML_FIXTURE = """<!DOCTYPE html><html><head><title>T</title>
+<style>p{color:red}</style><script>var x=1;</script></head><body>
+<h1>Engine Overview</h1>
+<p>First <strong>bold</strong> and <em>italic</em> and <a href="http://e.com">a link</a>.</p>
+<h2>Details</h2>
+<ul><li>alpha item</li><li>beta item</li></ul>
+<blockquote><p>a quoted thought</p></blockquote>
+<table><tr><th>K</th><th colspan="2">Wide</th></tr>
+<tr><td rowspan="2">a</td><td>b</td><td>c</td></tr><tr><td>d</td><td>e</td></tr></table>
+<footer><p>page footer line</p></footer>
+</body></html>"""
+
+
+def _office_extra_fixture_bytes():
+    from dataingestion_spark.sources.pptx import build_pptx
+    from dataingestion_spark.sources.xlsx import build_xlsx
+
+    xlsx_files = {
+        "Workbook.xlsx": build_xlsx({
+            "Budget": [["Item", "Q1", "Q2"],
+                       ["Widgets", 100, 230.5],
+                       ["Gadgets", True, None]],
+            "Notes": [["only a note"]],
+        }),
+    }
+    pptx_files = {
+        "Deck.pptx": build_pptx([
+            {"title": "Deck Title", "subtitle": "For Review"},
+            {"title": "Data Slide", "bullets": ["first point", "second point"],
+             "table": [["Q", "Rev"], ["Q1", "10"], ["Q2", "20"]]},
+        ]),
+    }
+    return xlsx_files, pptx_files
+
+
+def q_html_elements(spark, sf):
+    """Native HTML reader (sources/html_reader.py): block structure →
+    elements with inline markdown, merged-cell tables, footer tags."""
+    from dataingestion_spark.sources.html_reader import parse_html_df
+
+    src = spark.createDataFrame(
+        [("Page.html", bytearray(_HTML_FIXTURE.encode()))],
+        "doc_id string, content binary",
+    )
+    return _reader_select(parse_html_df(src))
+
+
+def _oracle_html() -> str:
+    from dataingestion_spark.sources.html_reader import parse_html
+
+    return _values_oracle(
+        _reader_golden_rows({"Page.html": _HTML_FIXTURE.encode()}, parse_html),
+        _READER_COLS, _READER_TYPES)
+
+
+def q_xlsx_elements(spark, sf):
+    """Native XLSX reader (sources/xlsx.py): sheets → sections + table
+    elements, shared/inline strings, typed cells, sparse-grid padding."""
+    from dataingestion_spark.sources.xlsx import parse_xlsx_df
+
+    xlsx_files, _ = _office_extra_fixture_bytes()
+    src = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(xlsx_files.items())],
+        "doc_id string, content binary",
+    )
+    return _reader_select(parse_xlsx_df(src))
+
+
+def _oracle_xlsx() -> str:
+    from dataingestion_spark.sources.xlsx import parse_xlsx
+
+    xlsx_files, _ = _office_extra_fixture_bytes()
+    return _values_oracle(_reader_golden_rows(xlsx_files, parse_xlsx),
+                          _READER_COLS, _READER_TYPES)
+
+
+def q_pptx_elements(spark, sf):
+    """Native PPTX reader (sources/pptx.py): slides → page-numbered
+    sections, placeholder titles → headers, tables, bullet text."""
+    from dataingestion_spark.sources.pptx import parse_pptx_df
+
+    _, pptx_files = _office_extra_fixture_bytes()
+    src = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(pptx_files.items())],
+        "doc_id string, content binary",
+    )
+    return _reader_select(parse_pptx_df(src))
+
+
+def _oracle_pptx() -> str:
+    from dataingestion_spark.sources.pptx import parse_pptx
+
+    _, pptx_files = _office_extra_fixture_bytes()
+    return _values_oracle(_reader_golden_rows(pptx_files, parse_pptx),
+                          _READER_COLS, _READER_TYPES)
+
+
 def q_reader_dispatch(spark, sf):
     """Mixed-format ingestion through the media-type dispatcher
     (sources/dispatch.py): md + docx + pdf in one elements DataFrame."""
@@ -3395,10 +3492,14 @@ def q_reader_dispatch(spark, sf):
 
 def _dispatch_fixture_files():
     docx_files, pdf_files = _office_fixture_bytes()
+    xlsx_files, pptx_files = _office_extra_fixture_bytes()
     return {
         "guide.md": FIXTURE_DOCS["fx_guide"].encode(),
         "Sample.docx": docx_files["Sample.docx"],
         "TwoPage.pdf": pdf_files["TwoPage.pdf"],
+        "Page.html": _HTML_FIXTURE.encode(),
+        "Workbook.xlsx": xlsx_files["Workbook.xlsx"],
+        "Deck.pptx": pptx_files["Deck.pptx"],
     }
 
 
@@ -5564,6 +5665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_docx_elements": q_docx_elements,
         "reader_pdf_elements": q_pdf_elements,
         "reader_mixed_dispatch": q_reader_dispatch,
+        "reader_html_elements": q_html_elements,
+        "reader_xlsx_elements": q_xlsx_elements,
+        "reader_pptx_elements": q_pptx_elements,
         "reader_wet_records": q_reader_wet_records,
         "reader_jsonl_roundtrip": q_jsonl_roundtrip,
         "reader_warc_responses": q_warc_responses,
@@ -5719,6 +5823,9 @@ def oracle_sql() -> dict[str, str]:
         "reader_docx_elements": _oracle_docx(),
         "reader_pdf_elements": _oracle_pdf(),
         "reader_mixed_dispatch": _oracle_dispatch(),
+        "reader_html_elements": _oracle_html(),
+        "reader_xlsx_elements": _oracle_xlsx(),
+        "reader_pptx_elements": _oracle_pptx(),
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,

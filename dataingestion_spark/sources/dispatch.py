@@ -23,9 +23,12 @@ from typing import Iterator, List
 
 from ..model import ELEMENTS_SCHEMA
 from .docx import parse_docx
+from .html_reader import parse_html
 from .markdown import binary_file_scan, parse_markdown
 from .media_types import media_type_for
 from .pdf import parse_pdf
+from .pptx import parse_pptx
+from .xlsx import parse_xlsx
 
 #: extensions parsed as markdown / plain text
 _TEXT_EXTS = {".md", ".markdown", ".txt", ".text"}
@@ -40,14 +43,21 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
         return parse_docx(data, doc_id, extract_images=extract_images)
     if ext == ".pdf":
         return parse_pdf(data, doc_id, extract_images=extract_images)
+    if ext in (".html", ".htm", ".xhtml"):
+        return parse_html(data, doc_id, extract_images=extract_images)
+    if ext == ".xlsx":
+        return parse_xlsx(data, doc_id)
+    if ext == ".pptx":
+        return parse_pptx(data, doc_id, extract_images=extract_images)
     if ext in _TEXT_EXTS or not ext:
         return parse_markdown(
             data.decode("utf-8", errors="replace") if isinstance(data, (bytes, bytearray)) else data,
             doc_id)
     raise ValueError(
         f"{doc_id}: unsupported media type {media_type_for(doc_id)!r} "
-        f"(native readers cover md/txt/docx/pdf; office formats beyond "
-        f"these need the markitdown backend, sources/api_readers.py)")
+        f"(native readers cover md/txt/html/docx/pdf/xlsx/pptx; other "
+        f"office formats need the markitdown backend, "
+        f"sources/api_readers.py)")
 
 
 def read_documents(spark, path, glob: str = "*", recursive: bool = False,

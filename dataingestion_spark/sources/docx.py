@@ -82,7 +82,10 @@ def _load_rels(zf: zipfile.ZipFile, part: str) -> dict:
     for rel in root.findall(_REL + "Relationship"):
         target = rel.get("Target", "")
         if rel.get("TargetMode") != "External" and not target.startswith("/"):
-            target = f"{folder}/{target}" if folder else target
+            import posixpath
+
+            target = posixpath.normpath(
+                f"{folder}/{target}" if folder else target)
         out[rel.get("Id")] = (target, rel.get("TargetMode") == "External")
     return out
 

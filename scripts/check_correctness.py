@@ -17,21 +17,26 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    # every cell normalizes to a (tag, value) tuple so the row sort is
+    # TOTAL — raw None/str/nested-list cells made sorted() throw on
+    # None-vs-str comparisons once nullable string columns appeared
     if v is None:
-        return None
+        return ("_",)
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return None
+            return ("_",)
         return ("f", v)  # exact: preview the strictest possible driver hash
     if isinstance(v, int):
         return ("i", v)
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat().replace("+00:00", ""))
     if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    return v
+        return ("l", tuple(norm_cell(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    return ("s", str(v))
 
 
 # Spark DataType simpleString → dtype class; duckdb arrow type → same classes.

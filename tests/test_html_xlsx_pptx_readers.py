@@ -1,0 +1,132 @@
+"""Native HTML/XLSX/PPTX readers (sources/html_reader.py, xlsx.py,
+pptx.py) — repo-generated fixtures, same element-model contract as the
+DOCX/PDF readers."""
+
+import pytest
+
+from dataingestion_spark.sources.html_reader import parse_html, read_html
+from dataingestion_spark.sources.pptx import build_pptx, parse_pptx, read_pptx
+from dataingestion_spark.sources.xlsx import build_xlsx, parse_xlsx, read_xlsx
+
+HTML = """<!DOCTYPE html><html><head><title>T</title><style>p{c:1}</style>
+<script>x()</script></head><body>
+<h1>Main Title</h1>
+<p>First <strong>bold</strong> and <em>it</em> and <a href="http://e.com">link</a>.</p>
+<h2>Two</h2>
+<ul><li>alpha</li><li>beta</li></ul>
+<blockquote><p>quoted</p></blockquote>
+<table><tr><th>H1</th><th colspan="2">H2</th></tr>
+<tr><td rowspan="2">a</td><td>b</td><td>c</td></tr><tr><td>d</td><td>e</td></tr></table>
+<img src="data:image/png;base64,iVBORw0KGgo=" alt="tiny">
+<footer><p>footer text</p></footer>
+</body></html>"""
+
+
+def test_html_structure_and_inline_markdown():
+    rows = parse_html(HTML, "t.html", extract_images=True)
+    types = [r["elem_type"] for r in rows]
+    assert types.count("header") == 2 and "footer" in types
+    p = next(r for r in rows if r["elem_type"] == "paragraph" and "bold" in r["markdown"])
+    assert p["markdown"] == "First **bold** and *it* and [link](http://e.com)."
+    assert p["text"] == "First bold and it and link."
+    t = next(r for r in rows if r["elem_type"] == "table")
+    assert t["table_cells"] == [["H1", "H2", "H2"], ["a", "b", "c"], ["a", "d", "e"]]
+    img = next(r for r in rows if r["elem_type"] == "image")
+    assert img["image_media_type"] == "image/png" and img["image_content"]
+    assert img["image_alt_text"] == "tiny"
+    # script/style/title content never leaks into any element
+    assert all("x()" not in (r["markdown"] or "") for r in rows)
+
+
+def test_html_lists_and_quotes_are_sections():
+    rows = parse_html(HTML, "t.html")
+    secs = [r for r in rows if r["elem_type"] == "section" and r["seq"] > 0]
+    assert len(secs) == 2  # list + blockquote
+    list_children = [r["text"] for r in rows
+                     if len(r["section_path"]) == 3 and r["elem_type"] == "paragraph"
+                     and r["section_path"][:2] == secs[0]["section_path"]]
+    assert list_children == ["alpha", "beta"]
+
+
+def test_html_rejects_empty():
+    with pytest.raises(ValueError):
+        parse_html("", "x")
+
+
+def test_read_html_distributed(spark, tmp_path):
+    (tmp_path / "a.html").write_text(HTML)
+    (tmp_path / "b.html").write_text("<h1>B</h1><p>b body</p>")
+    el = read_html(spark, str(tmp_path))
+    assert el.select("doc_id").distinct().count() == 2
+    assert el.filter("elem_type = 'table'").count() == 1
+
+
+def test_xlsx_sheets_types_and_merges():
+    b = build_xlsx({
+        "Budget": [["Item", "Q1", "Q2"], ["Widgets", 100, 230.5],
+                   ["Gadgets", True, None]],
+        "Notes": [["only note"]],
+    })
+    rows = parse_xlsx(b, "wb.xlsx")
+    tables = [r for r in rows if r["elem_type"] == "table"]
+    assert tables[0]["table_cells"] == [
+        ["Item", "Q1", "Q2"], ["Widgets", "100", "230.5"], ["Gadgets", "TRUE", ""]]
+    assert tables[1]["table_cells"] == [["only note"]]
+    headers = [r["text"] for r in rows if r["elem_type"] == "header"]
+    assert headers == ["Budget", "Notes"]
+    assert tables[0]["metadata"] == {"sheet": "Budget"}
+
+
+def test_xlsx_rejects_non_xlsx():
+    with pytest.raises(ValueError):
+        parse_xlsx(b"nope", "x")
+
+
+def test_read_xlsx_distributed(spark, tmp_path):
+    (tmp_path / "a.xlsx").write_bytes(build_xlsx({"S": [["h"], ["v"]]}))
+    el = read_xlsx(spark, str(tmp_path))
+    assert el.filter("elem_type = 'table'").count() == 1
+
+
+def test_pptx_slides_titles_tables_images():
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    b = build_pptx([
+        {"title": "Deck Title", "subtitle": "Sub"},
+        {"title": "Data", "bullets": ["p1", "p2"],
+         "table": [["Q", "Rev"], ["Q1", "10"]], "image": png},
+    ])
+    rows = parse_pptx(b, "d.pptx", extract_images=True)
+    pages = [r["page_number"] for r in rows if r["elem_type"] == "section" and r["seq"] > 0]
+    assert pages == [1, 2]
+    hs = {(r["header_level"], r["text"]) for r in rows if r["elem_type"] == "header"}
+    assert {(1, "Deck Title"), (2, "Sub"), (1, "Data")} <= hs
+    t = next(r for r in rows if r["elem_type"] == "table")
+    assert t["table_cells"] == [["Q", "Rev"], ["Q1", "10"]]
+    img = next(r for r in rows if r["elem_type"] == "image")
+    assert img["image_content"] == png and img["page_number"] == 2
+
+
+def test_pptx_rejects_non_pptx():
+    with pytest.raises(ValueError):
+        parse_pptx(b"PK\x03\x04nope", "x")
+
+
+def test_read_pptx_distributed(spark, tmp_path):
+    (tmp_path / "a.pptx").write_bytes(build_pptx([{"title": "T", "bullets": ["x"]}]))
+    el = read_pptx(spark, str(tmp_path))
+    assert el.filter("elem_type = 'header'").count() == 1
+
+
+def test_dispatch_routes_all_native_formats(spark, tmp_path):
+    from dataingestion_spark.sources.dispatch import read_documents
+    from dataingestion_spark.sources.docx_writer import sample_docx_bytes
+    from dataingestion_spark.sources.pdf_writer import sample_pdf_bytes
+
+    (tmp_path / "a.md").write_text("# MD\n\nbody\n")
+    (tmp_path / "b.docx").write_bytes(sample_docx_bytes())
+    (tmp_path / "c.pdf").write_bytes(sample_pdf_bytes())
+    (tmp_path / "d.html").write_text("<h1>H</h1><p>hp</p>")
+    (tmp_path / "e.xlsx").write_bytes(build_xlsx({"S": [["a"], ["1"]]}))
+    (tmp_path / "f.pptx").write_bytes(build_pptx([{"title": "P"}]))
+    el = read_documents(spark, str(tmp_path))
+    assert el.select("doc_id").distinct().count() == 6
