@@ -3457,6 +3457,90 @@ def _oracle_pptx() -> str:
                           _READER_COLS, _READER_TYPES)
 
 
+_OFFICE_CORPUS_DIR = [None]  # per-process cache of the generated corpus
+
+
+def _office_corpus_files():
+    """Deterministic mixed office corpus (~360 docs, content varied by
+    index): the throughput fixture for office-format ingestion."""
+    from dataingestion_spark.sources.docx_writer import build_docx
+    from dataingestion_spark.sources.pdf_writer import build_pdf
+    from dataingestion_spark.sources.pptx import build_pptx
+    from dataingestion_spark.sources.xlsx import build_xlsx
+
+    files = {}
+    for i in range(120):
+        files[f"doc{i:03d}.docx"] = build_docx([
+            ("h1", f"Report {i}"),
+            ("p", f"Summary paragraph number {i} covering metric {i % 7}."),
+            ("table", [["k", "v"], [f"row{i}", str(i * 3)],
+                       [f"row{i + 1}", str(i * 5)]]),
+            ("p", f"Closing remark {i}."),
+        ])
+    for i in range(120):
+        files[f"page{i:03d}.html"] = (
+            f"<h1>Page {i}</h1><p>Body text for page {i} with "
+            f"<b>bold{i}</b>.</p><ul><li>item a{i}</li><li>item b{i}</li></ul>"
+        ).encode()
+    for i in range(60):
+        files[f"memo{i:03d}.pdf"] = build_pdf([[
+            (18, f"Memo {i}"),
+            (11, f"First line of memo number {i}."),
+            (11, f"Second line with figure {i * 11}."),
+        ]])
+    for i in range(30):
+        files[f"book{i:03d}.xlsx"] = build_xlsx(
+            {"Data": [["id", "value"], [str(i), str(i * 2)],
+                      [str(i + 1), str(i * 4)]]})
+    for i in range(30):
+        files[f"deck{i:03d}.pptx"] = build_pptx([
+            {"title": f"Deck {i}", "bullets": [f"point {i}", f"point {i + 1}"]},
+        ])
+    return files
+
+
+def _office_corpus_dir():
+    import os as _os
+    import tempfile as _tf
+
+    if _OFFICE_CORPUS_DIR[0] is None or not _os.path.isdir(_OFFICE_CORPUS_DIR[0]):
+        d = _tf.mkdtemp(prefix="office_corpus_")
+        for name, data in _office_corpus_files().items():
+            with open(_os.path.join(d, name), "wb") as fh:
+                fh.write(data)
+        _OFFICE_CORPUS_DIR[0] = d
+    return _OFFICE_CORPUS_DIR[0]
+
+
+def q_office_ingest(spark, sf):
+    """Mixed office-corpus ingestion throughput: ~360 generated
+    docx/html/pdf/xlsx/pptx files through the media-type dispatcher in
+    ONE binaryFile scan + mapInPandas pass; checked output = per-format
+    element-type counts (the oracle restates them from the same
+    deterministic fixtures parsed locally)."""
+    from dataingestion_spark.sources.dispatch import read_documents
+
+    el = read_documents(spark, _office_corpus_dir())
+    ext = F.regexp_extract("doc_id", r"\.(\w+)$", 1)
+    return (
+        el.groupBy(ext.alias("fmt"), "elem_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _oracle_office_ingest() -> str:
+    from dataingestion_spark.sources.dispatch import parse_any
+
+    counts = {}
+    for name, data in _office_corpus_files().items():
+        fmt = name.rsplit(".", 1)[1]
+        for r in parse_any(data, name):
+            counts[(fmt, r["elem_type"])] = counts.get((fmt, r["elem_type"]), 0) + 1
+    rows = [(fmt, et, n) for (fmt, et), n in sorted(counts.items())]
+    return _values_oracle(rows, ["fmt", "elem_type", "n"],
+                          ["VARCHAR", "VARCHAR", "BIGINT"])
+
+
 def q_reader_dispatch(spark, sf):
     """Mixed-format ingestion through the media-type dispatcher
     (sources/dispatch.py): md + docx + pdf in one elements DataFrame."""
@@ -5668,6 +5752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_html_elements": q_html_elements,
         "reader_xlsx_elements": q_xlsx_elements,
         "reader_pptx_elements": q_pptx_elements,
+        "reader_office_ingest": q_office_ingest,
         "reader_wet_records": q_reader_wet_records,
         "reader_jsonl_roundtrip": q_jsonl_roundtrip,
         "reader_warc_responses": q_warc_responses,
@@ -5826,6 +5911,7 @@ def oracle_sql() -> dict[str, str]:
         "reader_html_elements": _oracle_html(),
         "reader_xlsx_elements": _oracle_xlsx(),
         "reader_pptx_elements": _oracle_pptx(),
+        "reader_office_ingest": _oracle_office_ingest(),
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,

@@ -104,6 +104,7 @@ def main():
         "collocations": em.q_collocations,
         "ann_recall": em.q_recall_ivf,
         "ingest_e2e": ingest_e2e,
+        "office_ingest": em.q_office_ingest,
     }
 
     # Warm the JVM + parquet footer caches so the first timed query doesn't

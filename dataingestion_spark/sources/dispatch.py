@@ -49,6 +49,12 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
         return parse_xlsx(data, doc_id)
     if ext == ".pptx":
         return parse_pptx(data, doc_id, extract_images=extract_images)
+    if ext in (".csv", ".tsv"):
+        from .tabular import parse_delimited
+
+        text = data.decode("utf-8", errors="replace") \
+            if isinstance(data, (bytes, bytearray)) else data
+        return parse_delimited(text, doc_id, "\t" if ext == ".tsv" else ",")
     if ext in _TEXT_EXTS or not ext:
         return parse_markdown(
             data.decode("utf-8", errors="replace") if isinstance(data, (bytes, bytearray)) else data,

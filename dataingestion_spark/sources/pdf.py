@@ -677,6 +677,10 @@ def parse_pdf(data: bytes, doc_id: str,
     shape, ``LlamaParseReader.cs:128-215``)."""
     if not data or not data.startswith(b"%PDF"):
         raise ValueError(f"{doc_id}: not a PDF file")
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data):
+        raise ValueError(
+            f"{doc_id}: encrypted PDF — decrypt out-of-band before ingestion "
+            f"(RC4/AES content streams are not supported)")
     doc = PdfDocument(data)
     pages = doc.pages()
     if not pages:

@@ -130,3 +130,22 @@ def test_dispatch_routes_all_native_formats(spark, tmp_path):
     (tmp_path / "f.pptx").write_bytes(build_pptx([{"title": "P"}]))
     el = read_documents(spark, str(tmp_path))
     assert el.select("doc_id").distinct().count() == 6
+
+
+def test_dispatch_routes_csv(spark, tmp_path):
+    from dataingestion_spark.sources.dispatch import read_documents
+
+    (tmp_path / "t.csv").write_text("a,b\n1,2\n")
+    el = read_documents(spark, str(tmp_path))
+    t = el.filter("elem_type = 'table'").collect()
+    assert len(t) == 1 and t[0]["table_cells"] == [["a", "b"], ["1", "2"]]
+
+
+def test_encrypted_pdf_fails_clearly():
+    from dataingestion_spark.sources.pdf import parse_pdf
+    from dataingestion_spark.sources.pdf_writer import sample_pdf_bytes
+
+    data = sample_pdf_bytes().replace(
+        b"/Root", b"/Encrypt 9 0 R /Root", 1)
+    with pytest.raises(ValueError, match="encrypted"):
+        parse_pdf(data, "enc.pdf")
