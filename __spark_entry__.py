@@ -3541,6 +3541,70 @@ def _oracle_office_ingest() -> str:
                           ["VARCHAR", "VARCHAR", "BIGINT"])
 
 
+_RTF_FIXTURE = (
+    b"{\\rtf1\\ansi\\deff0\n"
+    b"{\\fonttbl{\\f0 Times;}}{\\info{\\title Hidden}}\n"
+    b"\\pard\\outlinelevel0 Quarterly Report\\par\n"
+    b"\\pard Opening summary with \\b bold\\b0  emphasis.\\par\n"
+    b"\\pard\\outlinelevel1 Numbers\\par\n"
+    b"\\trowd\\intbl Metric\\cell Value\\cell\\row\n"
+    b"\\trowd\\intbl Revenue\\cell 42\\cell\\row\n"
+    b"\\pard Closing remark.\\par\n}")
+
+
+def _epub_fixture_bytes():
+    from dataingestion_spark.sources.epub import build_epub
+
+    return build_epub([
+        ("One", "<h1>Chapter One</h1><p>First chapter text with "
+                "<b>bold</b>.</p>"),
+        ("Two", "<h1>Chapter Two</h1><p>Second chapter.</p>"
+                "<ul><li>alpha</li><li>beta</li></ul>"),
+    ])
+
+
+def q_epub_elements(spark, sf):
+    """Native EPUB reader (sources/epub.py): container → OPF spine →
+    XHTML chapters via the HTML block collector; chapters =
+    page-numbered sections."""
+    from dataingestion_spark.sources.epub import parse_epub_df
+
+    src = spark.createDataFrame(
+        [("Book.epub", bytearray(_epub_fixture_bytes()))],
+        "doc_id string, content binary",
+    )
+    return _reader_select(parse_epub_df(src))
+
+
+def _oracle_epub() -> str:
+    from dataingestion_spark.sources.epub import parse_epub
+
+    return _values_oracle(
+        _reader_golden_rows({"Book.epub": _epub_fixture_bytes()}, parse_epub),
+        _READER_COLS, _READER_TYPES)
+
+
+def q_rtf_elements(spark, sf):
+    """Native RTF reader (sources/rtf.py): group/control-word tokenizer,
+    outlinelevel headers, bold/italic markdown, trowd/cell/row tables,
+    skipped non-content destinations."""
+    from dataingestion_spark.sources.rtf import parse_rtf_df
+
+    src = spark.createDataFrame(
+        [("Note.rtf", bytearray(_RTF_FIXTURE))],
+        "doc_id string, content binary",
+    )
+    return _reader_select(parse_rtf_df(src))
+
+
+def _oracle_rtf() -> str:
+    from dataingestion_spark.sources.rtf import parse_rtf
+
+    return _values_oracle(
+        _reader_golden_rows({"Note.rtf": _RTF_FIXTURE}, parse_rtf),
+        _READER_COLS, _READER_TYPES)
+
+
 def q_reader_dispatch(spark, sf):
     """Mixed-format ingestion through the media-type dispatcher
     (sources/dispatch.py): md + docx + pdf in one elements DataFrame."""
@@ -3584,6 +3648,8 @@ def _dispatch_fixture_files():
         "Page.html": _HTML_FIXTURE.encode(),
         "Workbook.xlsx": xlsx_files["Workbook.xlsx"],
         "Deck.pptx": pptx_files["Deck.pptx"],
+        "Book.epub": _epub_fixture_bytes(),
+        "Note.rtf": _RTF_FIXTURE,
     }
 
 
@@ -5753,6 +5819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_xlsx_elements": q_xlsx_elements,
         "reader_pptx_elements": q_pptx_elements,
         "reader_office_ingest": q_office_ingest,
+        "reader_epub_elements": q_epub_elements,
+        "reader_rtf_elements": q_rtf_elements,
         "reader_wet_records": q_reader_wet_records,
         "reader_jsonl_roundtrip": q_jsonl_roundtrip,
         "reader_warc_responses": q_warc_responses,
@@ -5912,6 +5980,8 @@ def oracle_sql() -> dict[str, str]:
         "reader_xlsx_elements": _oracle_xlsx(),
         "reader_pptx_elements": _oracle_pptx(),
         "reader_office_ingest": _oracle_office_ingest(),
+        "reader_epub_elements": _oracle_epub(),
+        "reader_rtf_elements": _oracle_rtf(),
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,

@@ -27,7 +27,9 @@ from .html_reader import parse_html
 from .markdown import binary_file_scan, parse_markdown
 from .media_types import media_type_for
 from .pdf import parse_pdf
+from .epub import parse_epub
 from .pptx import parse_pptx
+from .rtf import parse_rtf
 from .xlsx import parse_xlsx
 
 #: extensions parsed as markdown / plain text
@@ -49,6 +51,10 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
         return parse_xlsx(data, doc_id)
     if ext == ".pptx":
         return parse_pptx(data, doc_id, extract_images=extract_images)
+    if ext == ".epub":
+        return parse_epub(data, doc_id, extract_images=extract_images)
+    if ext == ".rtf":
+        return parse_rtf(data, doc_id)
     if ext in (".csv", ".tsv"):
         from .tabular import parse_delimited
 
@@ -61,7 +67,7 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
             doc_id)
     raise ValueError(
         f"{doc_id}: unsupported media type {media_type_for(doc_id)!r} "
-        f"(native readers cover md/txt/html/docx/pdf/xlsx/pptx; other "
+        f"(native readers cover md/txt/html/docx/pdf/xlsx/pptx/epub/rtf/csv/tsv; other "
         f"office formats need the markitdown backend, "
         f"sources/api_readers.py)")
 

@@ -149,3 +149,71 @@ def test_encrypted_pdf_fails_clearly():
         b"/Root", b"/Encrypt 9 0 R /Root", 1)
     with pytest.raises(ValueError, match="encrypted"):
         parse_pdf(data, "enc.pdf")
+
+
+RTF_FIXTURE = (
+    b"{\\rtf1\\ansi\\deff0\n"
+    b"{\\fonttbl{\\f0 Times;}}{\\info{\\title Hidden}}\n"
+    b"\\pard\\outlinelevel0 Doc Title\\par\n"
+    b"\\pard Body with \\b bold\\b0  words.\\par\n"
+    b"\\trowd\\intbl A\\cell B\\cell\\row\n"
+    b"\\trowd\\intbl 1\\cell 2\\cell\\row\n"
+    b"\\pard Tail.\\par\n}")
+
+
+def test_rtf_structure():
+    from dataingestion_spark.sources.rtf import parse_rtf
+
+    rows = parse_rtf(RTF_FIXTURE, "t.rtf")
+    hs = [(r["header_level"], r["text"]) for r in rows if r["elem_type"] == "header"]
+    assert hs == [(1, "Doc Title")]
+    t = next(r for r in rows if r["elem_type"] == "table")
+    assert t["table_cells"] == [["A", "B"], ["1", "2"]]
+    assert any("**bold**" in r["markdown"] for r in rows
+               if r["elem_type"] == "paragraph")
+    assert not any("Hidden" in (r["markdown"] or "") for r in rows)
+
+
+def test_rtf_rejects_non_rtf():
+    from dataingestion_spark.sources.rtf import parse_rtf
+
+    with pytest.raises(ValueError):
+        parse_rtf(b"plain text", "x")
+
+
+def test_epub_chapters_and_spine_order():
+    from dataingestion_spark.sources.epub import build_epub, parse_epub
+
+    b = build_epub([
+        ("One", "<h1>Chapter One</h1><p>First text.</p>"),
+        ("Two", "<h1>Chapter Two</h1><ul><li>x</li><li>y</li></ul>"),
+    ])
+    rows = parse_epub(b, "book.epub")
+    chaps = [r for r in rows if r["elem_type"] == "section"
+             and len(r["section_path"]) == 2]
+    assert [c["page_number"] for c in chaps] == [1, 2]
+    assert [r["text"] for r in rows if r["elem_type"] == "header"] == \
+        ["Chapter One", "Chapter Two"]
+    # chapter children carry the chapter's page number
+    assert all(r["page_number"] == 2 for r in rows
+               if r["section_path"][:2] == [0, 1])
+
+
+def test_epub_rejects_non_epub():
+    from dataingestion_spark.sources.epub import parse_epub
+
+    with pytest.raises(ValueError):
+        parse_epub(b"PK\x03\x04junk", "x")
+
+
+def test_dispatch_routes_epub_and_rtf(spark, tmp_path):
+    from dataingestion_spark.sources.dispatch import read_documents
+    from dataingestion_spark.sources.epub import build_epub
+
+    (tmp_path / "b.epub").write_bytes(
+        build_epub([("C", "<h1>EC</h1><p>ep</p>")]))
+    (tmp_path / "n.rtf").write_bytes(RTF_FIXTURE)
+    el = read_documents(spark, str(tmp_path))
+    assert el.select("doc_id").distinct().count() == 2
+    hdrs = {r["text"] for r in el.filter("elem_type = 'header'").collect()}
+    assert {"EC", "Doc Title"} <= hdrs
