@@ -2266,9 +2266,13 @@ def q_topk_ivf_pq(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     n = e.count()
-    stride = max(1, n // 16)
     srows = e.orderBy("vec_id").limit(100_000).collect()
-    cents = [(i + 1, list(srows[i * stride]["embedding"])) for i in range(16)]
+    # stride over the CAPPED sample (len(srows)), not the full count —
+    # n > 100k would otherwise index past the sample (and diverge from
+    # the oracle, whose stride is computed over the same capped CTE)
+    stride = max(1, len(srows) // 16)
+    cents = [(i + 1, list(srows[i * stride]["embedding"]))
+             for i in range(min(16, len(srows)))]
     books = pq_train(e, m=8, k=16, iters=0, init="stride")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")

@@ -22,10 +22,12 @@ relied on ``os.rename`` directly, which object storage does not have;
 routing the metadata plane through this seam removes that coupling
 (VERDICT r2 "What's wrong" #2).
 
-The DATA plane (parquet files) is written by Spark through its Hadoop
-filesystem connectors and referenced by unique, never-overwritten
-names, so it needs no atomicity from the store at all — the manifest
-swap is the only commit point.
+The DATA plane (parquet files) needs no atomicity from the store at
+all — files carry unique never-overwritten names and the manifest claim
+is the only commit point — but the CURRENT implementation writes them
+with executor-local pyarrow through os paths, so it is local-FS/fuse
+only (`_write_bucket_files` enforces that loudly). An object-store
+deployment pairs its CommitBackend with its own data-plane writer.
 
 :class:`MemoryCommitBackend` emulates the object-store semantics
 (thread-safe conditional puts, no directories, no renames) for tests —

@@ -134,34 +134,6 @@ def _bloom_maybe_contains(bloom_hex: str, doc_id: str) -> bool:
     return all(bits[p // 8] & (1 << (p % 8)) for p in _bloom_positions(doc_id))
 
 
-def _file_stats(path: str) -> Optional[Dict]:
-    """Per-file pruning stats: min/max documentid + row count, plus a
-    small Bloom filter over the file's documentids. min/max prunes by
-    RANGE; the bloom prunes SCATTERED ids that happen to fall inside a
-    file's range — together point lookups read O(actually matching
-    files). ONE file open: the id column is read once and yields the
-    rows/min/max AND the bloom (the earlier footer-then-column double
-    open dominated small-batch commit latency at ~64 tiny files per
-    write). Returns None when the column is absent — readers treat a
-    stats-less file as "may contain anything" (no pruning, still
-    correct)."""
-    try:
-        import pyarrow.parquet as pq
-
-        pf = pq.ParquetFile(path)
-        if "documentid" not in pf.schema_arrow.names:
-            return None
-        ids = pf.read(columns=["documentid"])["documentid"]
-        if len(ids) == 0:
-            return {"rows": 0}
-        vals = [x.as_py() for x in ids]
-        out = {"min": min(vals), "max": max(vals), "rows": len(vals),
-               "bloom": _bloom_build(vals)}
-        return out
-    except Exception:
-        return None  # stats are an optimization, never a correctness gate
-
-
 def _commit(table: str, version: int, buckets: Dict[str, List[str]],
             expected_current: Optional[int] = None,
             extra: Optional[Dict] = None) -> int:
@@ -191,18 +163,26 @@ def _commit(table: str, version: int, buckets: Dict[str, List[str]],
         )
     payload = json.dumps({"version": version, "buckets": buckets,
                           **(extra or {})})
-    while not be.put_if_absent(_manifest_path(table, version), payload):
+    if not be.put_if_absent(_manifest_path(table, version), payload):
         existing = be.read_text(_manifest_path(table, version))
         try:
             if existing is not None:
                 json.loads(existing)
-            raise ConcurrentWriteError(
-                f"version {version} was committed concurrently; retry the write"
-            )
         except json.JSONDecodeError:
-            # claims are atomic → an unparseable manifest is external
-            # garbage squatting on the version number; clear and reclaim
-            be.delete(_manifest_path(table, version))
+            # claims are atomic, so an unparseable manifest is EXTERNAL
+            # corruption squatting on the version number. Do NOT
+            # delete-and-reclaim here: two writers hitting this branch
+            # concurrently could each delete what the other just
+            # committed (the loser's delete lands after the winner's
+            # claim — a lost update). Corruption is an operator problem;
+            # fail with the exact path so it can be removed manually.
+            raise ConcurrentWriteError(
+                f"unparseable manifest squatting on version {version} "
+                f"({_manifest_path(table, version)}) — external corruption; "
+                f"remove it manually, then retry")
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; retry the write"
+        )
     be.put_atomic(_join(table, _CURRENT), str(version))
     return version
 
@@ -228,6 +208,15 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
     ``single_task`` skips the shuffle and writes everything from one
     task (for tiny tables -- deletion vectors -- where a repartition is
     pure overhead)."""
+    # the DATA plane is executor-local pyarrow writes through os paths:
+    # a remote scheme would be silently mangled into a local directory
+    # while the metadata commit (which IS scheme-aware via
+    # commit_backend) succeeded — a committed manifest no reader could
+    # resolve. Refuse loudly; an object-store deployment implements the
+    # data plane with its own writer alongside its CommitBackend.
+    from .vector_store import _require_local_path
+
+    _require_local_path(table, "manifest_store data plane")
     files_dir = os.path.join(table, "files")
     os.makedirs(files_dir, exist_ok=True)
     shaped = records.coalesce(1) if single_task else records.repartition("doc_bucket")
@@ -254,10 +243,13 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
             pqt.write_table(tbl, os.path.join(files_dir, name))
             st = ""
             if want_stats and "documentid" in tbl.column_names:
-                vals = tbl["documentid"].to_pylist()
-                st = _json.dumps(
-                    {"min": min(vals), "max": max(vals), "rows": len(vals),
-                     "bloom": _bloom_build(vals)} if vals else {"rows": 0})
+                try:  # stats are an optimization, never a correctness gate
+                    vals = tbl["documentid"].to_pylist()
+                    st = _json.dumps(
+                        {"min": min(vals), "max": max(vals), "rows": len(vals),
+                         "bloom": _bloom_build(vals)} if vals else {"rows": 0})
+                except Exception:
+                    st = ""
             buckets_o.append(str(b))
             names_o.append(name)
             stats_o.append(st)

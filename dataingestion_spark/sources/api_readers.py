@@ -185,6 +185,8 @@ def _api_reader_run(spark, path, glob, recursive, transport, map_fn,
     retry = retry or RetryPolicy()
 
     def run(batches) -> Iterator:
+        from concurrent.futures import ThreadPoolExecutor
+
         import pandas as pd
 
         client = BatchingModelClient(
@@ -195,13 +197,21 @@ def _api_reader_run(spark, path, glob, recursive, transport, map_fn,
             retry=retry,
         )
         cols = [f.name for f in ELEMENTS_SCHEMA.fields]
+        # one future per DOCUMENT (each a single-chunk client call) so a
+        # poisoned file that exhausts its retries fails alone —
+        # on_error='skip' drops it instead of killing the whole ingest;
+        # concurrency comes from this pool, rate limiting from the
+        # client's shared token bucket
+        pool = ThreadPoolExecutor(max_workers=max_concurrency)
         try:
             for pdf in batches:
                 items = [(bytes(r["content"]), str(r["path"]))
                          for _, r in pdf.iterrows()]
+                futs = [pool.submit(client, [item]) for item in items]
                 out: List[dict] = []
-                for (data, doc_id), result in zip(items, client(items)):
+                for (data, doc_id), fut in zip(items, futs):
                     try:
+                        result = fut.result()[0]
                         out.extend(map_fn(result, doc_id))
                     except Exception:
                         if on_error == "fail":
@@ -209,6 +219,7 @@ def _api_reader_run(spark, path, glob, recursive, transport, map_fn,
                 yield (pd.DataFrame(out, columns=cols) if out
                        else pd.DataFrame(columns=cols))
         finally:
+            pool.shutdown(wait=True)
             client.close()
 
     return files.repartition(n_parts).mapInPandas(run, schema=ELEMENTS_SCHEMA)
@@ -238,13 +249,16 @@ def adi_http_transport(endpoint: str, key: str,
             url, data=data, method="POST",
             headers={"Ocp-Apim-Subscription-Key": key,
                      "Content-Type": "application/octet-stream"})
-        with urllib.request.urlopen(req) as resp:
+        # every urlopen carries a socket timeout: a half-open connection
+        # must fail into the client's retry policy, not hang the task
+        with urllib.request.urlopen(req, timeout=min(timeout, 120.0)) as resp:
             op_url = resp.headers["Operation-Location"]
         deadline = _time.monotonic() + timeout
         while True:
             poll = urllib.request.Request(
                 op_url, headers={"Ocp-Apim-Subscription-Key": key})
-            with urllib.request.urlopen(poll) as resp:
+            with urllib.request.urlopen(
+                    poll, timeout=max(poll_interval * 5, 30.0)) as resp:
                 body = _json.loads(resp.read())
             status = body.get("status")
             if status == "succeeded":
@@ -375,14 +389,15 @@ def llamaparse_http_transport(api_key: str,
             method="POST",
             headers={"Authorization": f"Bearer {api_key}",
                      "Content-Type": f"multipart/form-data; boundary={boundary}"})
-        with urllib.request.urlopen(req) as resp:
+        with urllib.request.urlopen(req, timeout=min(timeout, 120.0)) as resp:
             job = _json.loads(resp.read())["id"]
         deadline = _time.monotonic() + timeout
         while True:
             poll = urllib.request.Request(
                 f"{base_url.rstrip('/')}/api/parsing/job/{job}",
                 headers={"Authorization": f"Bearer {api_key}"})
-            with urllib.request.urlopen(poll) as resp:
+            with urllib.request.urlopen(
+                    poll, timeout=max(poll_interval * 5, 30.0)) as resp:
                 status = _json.loads(resp.read()).get("status")
             if status == "SUCCESS":
                 break
@@ -395,7 +410,7 @@ def llamaparse_http_transport(api_key: str,
         res = urllib.request.Request(
             f"{base_url.rstrip('/')}/api/parsing/job/{job}/result/json",
             headers={"Authorization": f"Bearer {api_key}"})
-        with urllib.request.urlopen(res) as resp:
+        with urllib.request.urlopen(res, timeout=min(timeout, 120.0)) as resp:
             return _json.loads(resp.read())
 
     return transport

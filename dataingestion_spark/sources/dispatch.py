@@ -74,24 +74,12 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
 
 def read_documents(spark, path, glob: str = "*", recursive: bool = False,
                    on_error: str = "fail", extract_images: bool = False):
-    """Mixed-format directory ingestion → one ``elements`` DataFrame."""
-    if on_error not in ("fail", "skip"):
-        raise ValueError("on_error must be 'fail' or 'skip'")
+    """Mixed-format directory ingestion → one ``elements`` DataFrame
+    (shared plumbing: :func:`.markdown.elements_map_df`)."""
+    from .markdown import elements_map_df
+
     files = binary_file_scan(spark, path, glob, recursive)
-
-    def run(batches) -> Iterator:
-        import pandas as pd
-
-        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
-        for pdf in batches:
-            out: List[dict] = []
-            for doc_id, raw in zip(pdf["path"], pdf["content"]):
-                try:
-                    out.extend(parse_any(bytes(raw), str(doc_id),
-                                         extract_images=extract_images))
-                except Exception:
-                    if on_error == "fail":
-                        raise
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
-
-    return files.mapInPandas(run, schema=ELEMENTS_SCHEMA)
+    return elements_map_df(
+        files, lambda raw, doc_id: parse_any(bytes(raw), doc_id,
+                                             extract_images=extract_images),
+        id_col="path", content_col="content", on_error=on_error)

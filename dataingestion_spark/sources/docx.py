@@ -374,28 +374,14 @@ def parse_docx(data: bytes, doc_id: str,
 
 def parse_docx_df(df, id_col: str = "doc_id", content_col: str = "content",
                   on_error: str = "fail", extract_images: bool = False):
-    """Parse a DataFrame of (id, docx-bytes) into elements rows inside
-    ``mapInPandas`` (same error contract as ``parse_markdown_df``)."""
-    if on_error not in ("fail", "skip"):
-        raise ValueError("on_error must be 'fail' or 'skip'")
+    """Parse a DataFrame of (id, docx-bytes) into elements rows (shared
+    plumbing: :func:`.markdown.elements_map_df`)."""
+    from .markdown import elements_map_df
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
-        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
-        for pdf in batches:
-            out: List[dict] = []
-            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
-                try:
-                    out.extend(parse_docx(bytes(raw), str(doc_id),
-                                          extract_images=extract_images))
-                except Exception:
-                    if on_error == "fail":
-                        raise
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
-
-    return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)
-
+    return elements_map_df(
+        df, lambda raw, doc_id: parse_docx(bytes(raw), doc_id,
+                                           extract_images=extract_images),
+        id_col, content_col, on_error)
 
 def read_docx(spark, path, glob: str = "*.docx", recursive: bool = False,
               on_error: str = "fail", extract_images: bool = False):

@@ -77,7 +77,8 @@ class _Collector(HTMLParser):
         # table state
         self._table: Optional[List[List[str]]] = None
         self._row: Optional[List[str]] = None
-        self._rowspans: dict = {}          # col index -> (text, remaining)
+        self._rowspans: dict = {}          # col index -> (text, rows left)
+        self._new_rowspans: dict = {}      # spans opened in the current row
         self._cell: Optional[dict] = None
 
     # -- inline text ---------------------------------------------------
@@ -139,6 +140,7 @@ class _Collector(HTMLParser):
         elif tag == "table":
             self._table = []
             self._rowspans = {}
+            self._new_rowspans = {}
         elif tag == "tr" and self._table is not None:
             self._row = []
         elif tag in ("td", "th") and self._row is not None:
@@ -179,28 +181,30 @@ class _Collector(HTMLParser):
             row = self._row
             if row is None:
                 return
-            # fill pending rowspans that land before this cell
+            # fill pending rowspans that land before this cell (spans do
+            # NOT age here — each one covers at most one slot per row;
+            # aging happens once per row at </tr>)
             while len(row) in self._rowspans:
-                t, remaining = self._rowspans[len(row)]
-                if remaining > 1:
-                    self._rowspans[len(row)] = (t, remaining)
-                row.append(t)
+                row.append(self._rowspans[len(row)][0])
             start = len(row)
             for k in range(cell["colspan"]):
                 row.append(md)
             if cell["rowspan"] > 1:
                 for k in range(cell["colspan"]):
-                    self._rowspans[start + k] = (md, cell["rowspan"] - 1)
+                    # spans opened THIS row start covering from the next
+                    # row; stage them so this row's own aging skips them
+                    self._new_rowspans[start + k] = (md, cell["rowspan"] - 1)
         elif tag == "tr" and self._table is not None and self._row is not None:
             row = self._row
             while len(row) in self._rowspans:
-                t, remaining = self._rowspans.pop(len(row))
-                row.append(t)
-                if remaining > 1:
-                    self._rowspans[len(row) - 1] = (t, remaining - 1)
+                row.append(self._rowspans[len(row)][0])
             self._table.append(row)
-            # age remaining rowspans
-            self._rowspans = {c: (t, r) for c, (t, r) in self._rowspans.items()}
+            # age the spans that covered this row; drop the exhausted
+            self._rowspans = {
+                c: (t, r - 1) for c, (t, r) in self._rowspans.items() if r > 1
+            }
+            self._rowspans.update(self._new_rowspans)
+            self._new_rowspans = {}
             self._row = None
         elif tag == "table" and self._table is not None:
             rows = [r for r in self._table if r]
@@ -315,27 +319,13 @@ def parse_html(data, doc_id: str, extract_images: bool = False) -> List[dict]:
 
 def parse_html_df(df, id_col: str = "doc_id", content_col: str = "content",
                   on_error: str = "fail", extract_images: bool = False):
-    """mapInPandas wrapper (same contract as ``parse_markdown_df``)."""
-    if on_error not in ("fail", "skip"):
-        raise ValueError("on_error must be 'fail' or 'skip'")
+    """mapInPandas wrapper (shared plumbing: elements_map_df)."""
+    from .markdown import elements_map_df
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
-        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
-        for pdf in batches:
-            out: List[dict] = []
-            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
-                try:
-                    out.extend(parse_html(raw, str(doc_id),
-                                          extract_images=extract_images))
-                except Exception:
-                    if on_error == "fail":
-                        raise
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
-
-    return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)
-
+    return elements_map_df(
+        df, lambda raw, doc_id: parse_html(raw, doc_id,
+                                           extract_images=extract_images),
+        id_col, content_col, on_error)
 
 def read_html(spark, path, glob: str = "*.html", recursive: bool = False,
               on_error: str = "fail", extract_images: bool = False):

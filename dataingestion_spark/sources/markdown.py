@@ -414,6 +414,35 @@ def binary_file_scan(spark, path, glob: str = "*", recursive: bool = False):
     )
 
 
+def elements_map_df(df, parse_fn, id_col: str = "doc_id",
+                    content_col: str = "content", on_error: str = "fail"):
+    """Shared reader plumbing for EVERY parser in this package: run
+    ``parse_fn(raw, doc_id) -> element rows`` over (id, content) rows
+    inside ``mapInPandas``. ``on_error='fail'`` propagates parser errors
+    (reference contract: bad content is an error); ``'skip'`` drops the
+    offending document — the setting for a 100 TB crawl where one bad
+    file must not kill the job. One implementation ⇒ the error contract
+    is a one-place change, not N copies across readers."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
+        for pdf in batches:
+            out: List[dict] = []
+            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    out.extend(parse_fn(raw, str(doc_id)))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)
+
+
 def read_markdown(spark, path, glob: str = "*.md", recursive: bool = False,
                   on_error: str = "fail"):
     """Scan ``path`` with the distributed binaryFile source and parse each
@@ -466,22 +495,9 @@ def parse_markdown_df(df, id_col: str = "doc_id", content_col: str = "markdown",
     content is an error); ``'skip'`` drops undecodable/empty documents — the
     pragmatic setting for a 100 TB crawl where one bad file must not kill
     the job."""
-    if on_error not in ("fail", "skip"):
-        raise ValueError("on_error must be 'fail' or 'skip'")
+    def parse(raw, doc_id):
+        text = raw.decode("utf-8", errors="replace") \
+            if isinstance(raw, (bytes, bytearray)) else raw
+        return parse_markdown(text, doc_id)
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
-        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
-        for pdf in batches:
-            out: List[dict] = []
-            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
-                text = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
-                try:
-                    out.extend(parse_markdown(text, str(doc_id)))
-                except Exception:
-                    if on_error == "fail":
-                        raise
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
-
-    return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)
+    return elements_map_df(df, parse, id_col, content_col, on_error)

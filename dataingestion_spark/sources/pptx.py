@@ -83,6 +83,11 @@ def _tbl_cells(tbl: ET.Element) -> List[List[str]]:
     for tr in tbl.findall(_A + "tr"):
         row: List[str] = []
         for tc in tr.findall(_A + "tc"):
+            if tc.get("hMerge") == "1":
+                # covered continuation of a gridSpan to its left — the
+                # span origin already extended the row; emitting these
+                # too would double-count the merge and shift later cells
+                continue
             if tc.get("vMerge") == "1":
                 above = rows[-1] if rows else []
                 col = len(row)
@@ -200,26 +205,13 @@ def parse_pptx(data: bytes, doc_id: str,
 
 def parse_pptx_df(df, id_col: str = "doc_id", content_col: str = "content",
                   on_error: str = "fail", extract_images: bool = False):
-    if on_error not in ("fail", "skip"):
-        raise ValueError("on_error must be 'fail' or 'skip'")
+    """mapInPandas wrapper (shared plumbing: elements_map_df)."""
+    from .markdown import elements_map_df
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
-        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
-        for pdf in batches:
-            out: List[dict] = []
-            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
-                try:
-                    out.extend(parse_pptx(bytes(raw), str(doc_id),
-                                          extract_images=extract_images))
-                except Exception:
-                    if on_error == "fail":
-                        raise
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
-
-    return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)
-
+    return elements_map_df(
+        df, lambda raw, doc_id: parse_pptx(bytes(raw), doc_id,
+                                           extract_images=extract_images),
+        id_col, content_col, on_error)
 
 def read_pptx(spark, path, glob: str = "*.pptx", recursive: bool = False,
               on_error: str = "fail", extract_images: bool = False):

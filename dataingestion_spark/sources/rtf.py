@@ -116,12 +116,17 @@ def parse_rtf(data: bytes, doc_id: str) -> List[dict]:
             cur_md.append("*")
             state.italic = False
 
-    def flush_para():
+    def flush_para(as_cell: bool = False):
         close_styles()
         md = re.sub(r"[ \t]+", " ", "".join(cur_md)).strip()
         text = re.sub(r"[ \t]+", " ", "".join(cur_text)).strip()
         cur_md.clear()
         cur_text.clear()
+        if as_cell:
+            # a \cell ALWAYS yields a cell, even when empty — dropping
+            # empties would shift every following cell left one column
+            row_cells.append(md)
+            return
         if not md:
             return
         if state.in_table:
@@ -200,9 +205,7 @@ def parse_rtf(data: bytes, doc_id: str) -> List[dict]:
             elif word in (b"trowd", b"intbl"):
                 state.in_table = True
             elif word == b"cell":
-                flush_para()
-                if not row_cells:
-                    row_cells.append("")
+                flush_para(as_cell=True)
             elif word == b"row":
                 if cur_md:
                     flush_para()
@@ -276,25 +279,12 @@ def parse_rtf(data: bytes, doc_id: str) -> List[dict]:
 
 def parse_rtf_df(df, id_col: str = "doc_id", content_col: str = "content",
                  on_error: str = "fail"):
-    if on_error not in ("fail", "skip"):
-        raise ValueError("on_error must be 'fail' or 'skip'")
+    """mapInPandas wrapper (shared plumbing: elements_map_df)."""
+    from .markdown import elements_map_df
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
-        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
-        for pdf in batches:
-            out: List[dict] = []
-            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
-                try:
-                    out.extend(parse_rtf(bytes(raw), str(doc_id)))
-                except Exception:
-                    if on_error == "fail":
-                        raise
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
-
-    return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)
-
+    return elements_map_df(
+        df, lambda raw, doc_id: parse_rtf(bytes(raw), doc_id),
+        id_col, content_col, on_error)
 
 def read_rtf(spark, path, glob: str = "*.rtf", recursive: bool = False,
              on_error: str = "fail"):

@@ -179,25 +179,12 @@ def parse_xlsx(data: bytes, doc_id: str) -> List[dict]:
 
 def parse_xlsx_df(df, id_col: str = "doc_id", content_col: str = "content",
                   on_error: str = "fail"):
-    if on_error not in ("fail", "skip"):
-        raise ValueError("on_error must be 'fail' or 'skip'")
+    """mapInPandas wrapper (shared plumbing: elements_map_df)."""
+    from .markdown import elements_map_df
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
-        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
-        for pdf in batches:
-            out: List[dict] = []
-            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
-                try:
-                    out.extend(parse_xlsx(bytes(raw), str(doc_id)))
-                except Exception:
-                    if on_error == "fail":
-                        raise
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
-
-    return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)
-
+    return elements_map_df(
+        df, lambda raw, doc_id: parse_xlsx(bytes(raw), doc_id),
+        id_col, content_col, on_error)
 
 def read_xlsx(spark, path, glob: str = "*.xlsx", recursive: bool = False,
               on_error: str = "fail"):

@@ -104,3 +104,22 @@ def test_missing_credentials_fail_fast(spark, tmp_path):
         read_document_intelligence(spark, str(tmp_path))
     with pytest.raises(ValueError, match="api_key"):
         read_llamaparse(spark, str(tmp_path))
+
+
+def test_on_error_skip_drops_poisoned_documents(spark, tmp_path):
+    """One document whose transport permanently fails must not kill a
+    skip-mode ingest — the rest of the corpus still lands."""
+    _write_docs(tmp_path, n=3)
+
+    def poisoned(data: bytes, doc_id: str) -> dict:
+        if doc_id.endswith("doc1.pdf"):
+            raise ConnectionError("permanently broken document")
+        return ADI_RESULT
+
+    el = read_document_intelligence(spark, str(tmp_path), glob="*.pdf",
+                                    transport=poisoned,
+                                    requests_per_second=1000.0,
+                                    retry=_FAST_RETRY, on_error="skip")
+    docs = {r["doc_id"].rsplit("/", 1)[-1]
+            for r in el.select("doc_id").distinct().collect()}
+    assert docs == {"doc0.pdf", "doc2.pdf"}

@@ -217,3 +217,52 @@ def test_dispatch_routes_epub_and_rtf(spark, tmp_path):
     assert el.select("doc_id").distinct().count() == 2
     hdrs = {r["text"] for r in el.filter("elem_type = 'header'").collect()}
     assert {"EC", "Doc Title"} <= hdrs
+
+
+def test_html_rowspan_expires_correctly():
+    """A rowspan that ends before the last row must stop filling (the
+    round-3 review's confirmed bug: the span leaked into every later
+    row and shifted real cells right)."""
+    h = ('<table><tr><td rowspan="2">a</td><td>b</td></tr>'
+         '<tr><td>c</td></tr><tr><td>d</td><td>e</td></tr></table>')
+    cells = [r for r in parse_html(h, "t")
+             if r["elem_type"] == "table"][0]["table_cells"]
+    assert cells == [["a", "b"], ["a", "c"], ["d", "e"]]
+    h3 = ('<table><tr><td rowspan="3">x</td><td>1</td></tr>'
+          '<tr><td>2</td></tr><tr><td>3</td></tr>'
+          '<tr><td>y</td><td>4</td></tr></table>')
+    c3 = [r for r in parse_html(h3, "t")
+          if r["elem_type"] == "table"][0]["table_cells"]
+    assert c3 == [["x", "1"], ["x", "2"], ["x", "3"], ["y", "4"]]
+
+
+def test_pptx_hmerge_continuation_cells_not_double_counted():
+    """Real PowerPoint files include covered cells with hMerge="1" after
+    a gridSpan origin; they must not widen the row."""
+    from xml.etree import ElementTree as ET
+
+    from dataingestion_spark.sources.pptx import _tbl_cells
+
+    A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    tbl = ET.fromstring(
+        f'<a:tbl xmlns:a="{A}">'
+        '<a:tr><a:tc gridSpan="2"><a:txBody><a:p><a:r><a:t>Wide</a:t>'
+        '</a:r></a:p></a:txBody></a:tc><a:tc hMerge="1"/>'
+        '<a:tc><a:txBody><a:p><a:r><a:t>C</a:t></a:r></a:p></a:txBody>'
+        '</a:tc></a:tr>'
+        '<a:tr><a:tc><a:txBody><a:p><a:r><a:t>x</a:t></a:r></a:p></a:txBody></a:tc>'
+        '<a:tc><a:txBody><a:p><a:r><a:t>y</a:t></a:r></a:p></a:txBody></a:tc>'
+        '<a:tc><a:txBody><a:p><a:r><a:t>z</a:t></a:r></a:p></a:txBody></a:tc>'
+        '</a:tr></a:tbl>')
+    assert _tbl_cells(tbl) == [["Wide", "Wide", "C"], ["x", "y", "z"]]
+
+
+def test_rtf_empty_cells_keep_column_alignment():
+    from dataingestion_spark.sources.rtf import parse_rtf
+
+    rtf = (b"{\\rtf1\\ansi\n"
+           b"\\trowd\\intbl A\\cell \\cell C\\cell\\row\n"
+           b"\\trowd\\intbl 1\\cell 2\\cell 3\\cell\\row\n}")
+    t = [r for r in parse_rtf(rtf, "t")
+         if r["elem_type"] == "table"][0]["table_cells"]
+    assert t == [["A", "", "C"], ["1", "2", "3"]]

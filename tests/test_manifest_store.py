@@ -162,7 +162,15 @@ def test_orphaned_manifest_does_not_wedge_table(spark, tmp_path):
     open(os.path.join(table, "manifest-000001.json"), "w").write("{corrupt")
     # readers ignore the garbage (log ends at the last valid manifest) …
     assert ms.current_version(table) == 0
-    # … and the next commit clears it and claims the number normally
+    # … and a writer fails LOUDLY naming the corrupt path (it must not
+    # delete-and-reclaim: racing writers doing that could destroy each
+    # other's fresh commits)
+    import pytest
+
+    with pytest.raises(ms.ConcurrentWriteError, match="manifest-000001"):
+        ms.incremental_replace(records_df(spark, {"a": ["a1"]}), table)
+    # operator removes the corruption → the retry commits normally
+    os.remove(os.path.join(table, "manifest-000001.json"))
     v = ms.incremental_replace(records_df(spark, {"a": ["a1"]}), table)
     assert v == 1
     assert {r.content for r in ms.read_table(spark, table).collect()} == {"a1"}
