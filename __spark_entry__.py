@@ -3609,6 +3609,52 @@ def _oracle_rtf() -> str:
         _READER_COLS, _READER_TYPES)
 
 
+def _odf_fixture_bytes():
+    from dataingestion_spark.sources.odf import build_odp, build_ods, build_odt
+
+    return {
+        "Doc.odt": build_odt([
+            ("h", 1, "ODT Report"),
+            ("p", "Opening paragraph."),
+            ("pb", "bold words"),
+            ("list", ["alpha item", "beta item"]),
+            ("table", [["k", "v"], ["row1", "10"], ["row2", "20"]]),
+            ("h", 2, "Closing"),
+        ]),
+        "Book.ods": build_ods({
+            "Data": [["id", "value", "flag"],
+                     [1.0, 2.5, True],
+                     [2.0, "text cell", False]],
+        }),
+        "Deck.odp": build_odp([
+            {"title": "ODP Deck", "points": ["first point", "second point"]},
+            {"title": "Slide Two"},
+        ]),
+    }
+
+
+def q_odf_elements(spark, sf):
+    """Native OpenDocument reader (sources/odf.py): one content.xml
+    parser covering text (.odt), spreadsheet (.ods), and presentation
+    (.odp) bodies — headers from outline levels, bold/italic span
+    markdown, typed spreadsheet cells, page-numbered slides."""
+    from dataingestion_spark.sources.odf import parse_odf_df
+
+    src = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(_odf_fixture_bytes().items())],
+        "doc_id string, content binary",
+    )
+    return _reader_select(parse_odf_df(src))
+
+
+def _oracle_odf() -> str:
+    from dataingestion_spark.sources.odf import parse_odf
+
+    return _values_oracle(
+        _reader_golden_rows(_odf_fixture_bytes(), parse_odf),
+        _READER_COLS, _READER_TYPES)
+
+
 def q_reader_dispatch(spark, sf):
     """Mixed-format ingestion through the media-type dispatcher
     (sources/dispatch.py): md + docx + pdf in one elements DataFrame."""
@@ -3654,6 +3700,7 @@ def _dispatch_fixture_files():
         "Deck.pptx": pptx_files["Deck.pptx"],
         "Book.epub": _epub_fixture_bytes(),
         "Note.rtf": _RTF_FIXTURE,
+        "Doc.odt": _odf_fixture_bytes()["Doc.odt"],
     }
 
 
@@ -5825,6 +5872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_office_ingest": q_office_ingest,
         "reader_epub_elements": q_epub_elements,
         "reader_rtf_elements": q_rtf_elements,
+        "reader_odf_elements": q_odf_elements,
         "reader_wet_records": q_reader_wet_records,
         "reader_jsonl_roundtrip": q_jsonl_roundtrip,
         "reader_warc_responses": q_warc_responses,
@@ -5986,6 +6034,7 @@ def oracle_sql() -> dict[str, str]:
         "reader_office_ingest": _oracle_office_ingest(),
         "reader_epub_elements": _oracle_epub(),
         "reader_rtf_elements": _oracle_rtf(),
+        "reader_odf_elements": _oracle_odf(),
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,

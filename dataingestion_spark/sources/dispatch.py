@@ -28,6 +28,7 @@ from .markdown import binary_file_scan, parse_markdown
 from .media_types import media_type_for
 from .pdf import parse_pdf
 from .epub import parse_epub
+from .odf import parse_odf
 from .pptx import parse_pptx
 from .rtf import parse_rtf
 from .xlsx import parse_xlsx
@@ -55,6 +56,8 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
         return parse_epub(data, doc_id, extract_images=extract_images)
     if ext == ".rtf":
         return parse_rtf(data, doc_id)
+    if ext in (".odt", ".ods", ".odp"):
+        return parse_odf(data, doc_id)
     if ext in (".csv", ".tsv"):
         from .tabular import parse_delimited
 
@@ -67,7 +70,7 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
             doc_id)
     raise ValueError(
         f"{doc_id}: unsupported media type {media_type_for(doc_id)!r} "
-        f"(native readers cover md/txt/html/docx/pdf/xlsx/pptx/epub/rtf/csv/tsv; other "
+        f"(native readers cover md/txt/html/docx/pdf/xlsx/pptx/odt/ods/odp/epub/rtf/csv/tsv; other "
         f"office formats need the markitdown backend, "
         f"sources/api_readers.py)")
 

@@ -266,3 +266,49 @@ def test_rtf_empty_cells_keep_column_alignment():
     t = [r for r in parse_rtf(rtf, "t")
          if r["elem_type"] == "table"][0]["table_cells"]
     assert t == [["A", "", "C"], ["1", "2", "3"]]
+
+
+def test_odf_text_spreadsheet_presentation():
+    from dataingestion_spark.sources.odf import (
+        build_odp,
+        build_ods,
+        build_odt,
+        parse_odf,
+    )
+
+    rows = parse_odf(build_odt([
+        ("h", 1, "T"), ("p", "body"), ("pb", "bold bit"),
+        ("list", ["a", "b"]), ("table", [["k", "v"], ["x", "1"]]),
+    ]), "d.odt")
+    assert [(r["header_level"], r["text"]) for r in rows
+            if r["elem_type"] == "header"] == [(1, "T")]
+    assert any("**bold bit**" in (r["markdown"] or "") for r in rows)
+    t = next(r for r in rows if r["elem_type"] == "table")
+    assert t["table_cells"] == [["k", "v"], ["x", "1"]]
+
+    rows2 = parse_odf(build_ods({"S": [["h1", "h2"], [1.5, True]]}), "d.ods")
+    t2 = next(r for r in rows2 if r["elem_type"] == "table")
+    assert t2["table_cells"] == [["h1", "h2"], ["1.5", "TRUE"]]
+    assert t2["metadata"] == {"sheet": "S"}
+
+    rows3 = parse_odf(build_odp(
+        [{"title": "D", "points": ["p1"]}, {"title": "E"}]), "d.odp")
+    assert [r["page_number"] for r in rows3
+            if r["elem_type"] == "section" and r["seq"] > 0] == [1, 2]
+    assert [r["text"] for r in rows3 if r["elem_type"] == "header"] == ["D", "E"]
+
+
+def test_odf_rejects_non_odf():
+    from dataingestion_spark.sources.odf import parse_odf
+
+    with pytest.raises(ValueError):
+        parse_odf(b"not a zip", "x")
+
+
+def test_dispatch_routes_odf(spark, tmp_path):
+    from dataingestion_spark.sources.dispatch import read_documents
+    from dataingestion_spark.sources.odf import build_odt
+
+    (tmp_path / "a.odt").write_bytes(build_odt([("h", 1, "OT"), ("p", "x")]))
+    el = read_documents(spark, str(tmp_path))
+    assert {r["text"] for r in el.filter("elem_type = 'header'").collect()} == {"OT"}
