@@ -64,6 +64,8 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
         text = data.decode("utf-8", errors="replace") \
             if isinstance(data, (bytes, bytearray)) else data
         return parse_delimited(text, doc_id, "\t" if ext == ".tsv" else ",")
+    if ext == ".zip":
+        return _parse_zip(data, doc_id, extract_images)
     if ext in _TEXT_EXTS or not ext:
         return parse_markdown(
             data.decode("utf-8", errors="replace") if isinstance(data, (bytes, bytearray)) else data,
@@ -73,6 +75,39 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
         f"(native readers cover md/txt/html/docx/pdf/xlsx/pptx/odt/ods/odp/epub/rtf/csv/tsv; other "
         f"office formats need the markitdown backend, "
         f"sources/api_readers.py)")
+
+
+def _parse_zip(data: bytes, doc_id: str, extract_images: bool) -> List[dict]:
+    """Expand a .zip ARCHIVE of documents (markitdown's archive
+    behavior): every supported inner entry parses through
+    :func:`parse_any` with identifier ``outer.zip!inner/path``, elements
+    concatenated in entry order with reassigned sequence numbers.
+    Unsupported/undecodable entries are skipped — an archive is a
+    container, not a document, so one odd member shouldn't kill it."""
+    import io
+    import zipfile
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+    except zipfile.BadZipFile:
+        raise ValueError(f"{doc_id}: not a zip archive")
+    out: List[dict] = []
+    seq = 0
+    for info in zf.infolist():
+        if info.is_dir() or info.filename.startswith("__MACOSX/"):
+            continue
+        inner_id = f"{doc_id}!{info.filename}"
+        try:
+            rows = parse_any(zf.read(info), inner_id,
+                             extract_images=extract_images)
+        except Exception:
+            continue
+        for r in rows:
+            r = dict(r)
+            r["seq"] = seq
+            seq += 1
+            out.append(r)
+    return out
 
 
 def read_documents(spark, path, glob: str = "*", recursive: bool = False,

@@ -312,3 +312,25 @@ def test_dispatch_routes_odf(spark, tmp_path):
     (tmp_path / "a.odt").write_bytes(build_odt([("h", 1, "OT"), ("p", "x")]))
     el = read_documents(spark, str(tmp_path))
     assert {r["text"] for r in el.filter("elem_type = 'header'").collect()} == {"OT"}
+
+
+def test_zip_archive_expands_inner_documents(spark, tmp_path):
+    import io
+    import zipfile
+
+    from dataingestion_spark.sources.dispatch import read_documents
+    from dataingestion_spark.sources.docx_writer import sample_docx_bytes
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("notes/readme.md", "# Inner MD\n\nmd body\n")
+        zf.writestr("report.docx", sample_docx_bytes())
+        zf.writestr("junk.bin", b"\x00\x01")  # unsupported: skipped
+    (tmp_path / "bundle.zip").write_bytes(buf.getvalue())
+    el = read_documents(spark, str(tmp_path))
+    ids = {r["doc_id"].split("!", 1)[-1]
+           for r in el.select("doc_id").distinct().collect()}
+    assert ids == {"notes/readme.md", "report.docx"}
+    hdrs = {r["text"] for r in el.filter("elem_type = 'header'").collect()}
+    assert "Inner MD" in hdrs
+    assert el.filter("elem_type = 'table'").count() == 1  # the docx table
