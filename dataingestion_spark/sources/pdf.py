@@ -28,9 +28,16 @@ digitally-born-PDF text extractor from the PDF 1.7 spec (ISO 32000-1):
   wrapped into a PNG (stdlib zlib+struct) — the conformance image
   contract (``DocumentReaderConformanceTests.cs:144-155``).
 
-Tables are NOT reconstructed from PDF geometry (a known gap vs the
-cloud-OCR readers; the office-format table golden is pinned on the DOCX
-path, ``DocumentReaderConformanceTests.cs:79-100``).
+Grid tables ARE reconstructed geometrically (:func:`detect_grid_tables`):
+a run of ≥2 consecutive lines whose non-blank segment x-anchors are
+identical — the shape word processors emit for real tables, since each
+cell gets its own text matrix — becomes a table element with first row
+as header. Verified against the reference's real ``Sample.pdf``: the
+same 5×4 milestone matrix the DOCX conformance golden pins
+(``DocumentReaderConformanceTests.cs:86-99``). Borderless column
+LAYOUTS that coincidentally align could in principle false-positive;
+the identical-anchor + ≥2-columns + ≥2-rows requirement keeps prose and
+ragged layouts out.
 
 Spark entry point :func:`read_pdf` = distributed ``binaryFile`` scan +
 ``mapInPandas`` parse, like every reader in this package.
@@ -50,6 +57,7 @@ from ..model import (
     ELEM_IMAGE,
     ELEM_PARAGRAPH,
     ELEM_SECTION,
+    ELEM_TABLE,
     ELEMENTS_SCHEMA,
     element_row,
 )
@@ -558,7 +566,11 @@ def extract_spans(doc: PdfDocument, page: dict) -> List[dict]:
 # -- layout → elements ----------------------------------------------------
 
 def _spans_to_lines(spans: List[dict]) -> List[dict]:
-    """Cluster spans into lines by y (tolerance scaled to font size)."""
+    """Cluster spans into lines by y (tolerance scaled to font size).
+    Each line also keeps its SEGMENTS — runs of spans sharing an x
+    anchor (PDF writers emit one text matrix per table cell, so cell
+    boundaries survive as distinct anchors) — which the grid-table
+    detector consumes."""
     lines: List[dict] = []
     for s in sorted(spans, key=lambda s: (-s["y"], s["x"])):
         tol = max(2.0, 0.4 * s["size"])
@@ -570,10 +582,52 @@ def _spans_to_lines(spans: List[dict]) -> List[dict]:
             ln["text"] += joiner + s["text"]
             ln["size"] = max(ln["size"], s["size"])
             ln["x_end"] = max(ln["x_end"], s["x"])
+            if abs(s["x"] - ln["segs"][-1][0]) <= 1.0:
+                ln["segs"][-1][1] += s["text"]
+            else:
+                ln["segs"].append([s["x"], s["text"]])
         else:
             lines.append({"y": s["y"], "x": s["x"], "x_end": s["x"],
-                          "size": s["size"], "text": s["text"]})
+                          "size": s["size"], "text": s["text"],
+                          "segs": [[s["x"], s["text"]]]})
     return [ln for ln in lines if ln["text"].strip()]
+
+
+def _line_anchors(ln: dict) -> Optional[tuple]:
+    """Column-anchor signature of a line: the rounded x starts of its
+    non-blank segments, or None when the line can't be a table row
+    (fewer than 2 cells)."""
+    anchors = tuple(round(x / 2.0) for x, t in ln["segs"] if t.strip())
+    return anchors if len(anchors) >= 2 else None
+
+
+def detect_grid_tables(lines: List[dict]) -> List[tuple]:
+    """Conservative grid-table detection over a page's lines: a run of
+    ≥2 CONSECUTIVE lines whose non-blank segment anchors are IDENTICAL
+    (each line same columns at the same x positions) is a table — the
+    shape word processors emit for real tables, and one that multi-size
+    prose never produces by accident. Returns [(start, end_exclusive,
+    cells)] with cells[r][c] the segment texts."""
+    out = []
+    i = 0
+    while i < len(lines):
+        sig = _line_anchors(lines[i])
+        if sig is None:
+            i += 1
+            continue
+        j = i + 1
+        while j < len(lines) and _line_anchors(lines[j]) == sig:
+            j += 1
+        if j - i >= 2:
+            cells = [
+                [t.strip() for x, t in lines[k]["segs"] if t.strip()]
+                for k in range(i, j)
+            ]
+            out.append((i, j, cells))
+            i = j
+        else:
+            i += 1
+    return out
 
 
 def _body_size(lines: List[dict]) -> float:
@@ -585,13 +639,21 @@ def _body_size(lines: List[dict]) -> float:
     return max(weights, key=lambda s: (weights[s], -s)) if weights else 12.0
 
 
-def page_blocks(lines: List[dict], body: float,
-                footer_margin: float = 60.0) -> List[dict]:
-    """Lines → blocks: {kind: header|paragraph|footer, text, size}."""
-    # distinct header sizes, biggest = level 1
+def header_level_map(lines: List[dict], body: float) -> Dict[float, int]:
+    """Distinct above-body font sizes across the WHOLE document, biggest
+    = level 1 — computed once so header levels stay consistent across
+    pages and across the table-slice interleave."""
     header_sizes = sorted({round(ln["size"], 1) for ln in lines
                            if ln["size"] > body * 1.15 + 0.01}, reverse=True)
-    level_of = {s: min(i + 1, 9) for i, s in enumerate(header_sizes)}
+    return {s: min(i + 1, 9) for i, s in enumerate(header_sizes)}
+
+
+def page_blocks(lines: List[dict], body: float,
+                footer_margin: float = 60.0,
+                level_of: Optional[Dict[float, int]] = None) -> List[dict]:
+    """Lines → blocks: {kind: header|paragraph|footer, text, size}."""
+    if level_of is None:
+        level_of = header_level_map(lines, body)
     blocks: List[dict] = []
     after_break = False
     for ln in lines:
@@ -669,6 +731,12 @@ def _wrap_png(raw: bytes, width: int, height: int, ncomp: int) -> bytes:
             + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
 
 
+def _grid_table_markdown(cells: List[List[str]]) -> str:
+    from .docx import _table_markdown
+
+    return _table_markdown(cells)
+
+
 def parse_pdf(data: bytes, doc_id: str,
               extract_images: bool = False) -> List[dict]:
     """Parse one PDF byte blob into ``elements`` rows: a root section,
@@ -701,8 +769,21 @@ def parse_pdf(data: bytes, doc_id: str,
         _spans_to_lines(extract_spans(doc, page)) for page in pages
     ]
     body = _body_size([ln for lines in all_lines for ln in lines])
+    level_of = header_level_map([ln for lines in all_lines for ln in lines], body)
     for pno, (page, lines) in enumerate(zip(pages, all_lines), start=1):
-        blocks = page_blocks(lines, body)
+        # grid tables first (consumes their lines); the remaining slices
+        # go through the header/paragraph/footer classifier, with the
+        # page's reading order preserved across the interleave
+        tables = detect_grid_tables(lines)
+        blocks: List[dict] = []
+        cursor = 0
+        for start, end, cells in tables:
+            blocks.extend(page_blocks(lines[cursor:start], body,
+                                      level_of=level_of))
+            blocks.append({"kind": "table", "cells": cells,
+                           "text": _grid_table_markdown(cells)})
+            cursor = end
+        blocks.extend(page_blocks(lines[cursor:], body, level_of=level_of))
         if not blocks and not extract_images:
             continue
         page_md = [b["text"] for b in blocks]
@@ -718,6 +799,9 @@ def parse_pdf(data: bytes, doc_id: str,
             elif b["kind"] == "footer":
                 emit(path, elem_type=ELEM_FOOTER, markdown=b["text"],
                      text=b["text"], page_number=pno)
+            elif b["kind"] == "table":
+                emit(path, elem_type=ELEM_TABLE, markdown=b["text"],
+                     table_cells=b["cells"], page_number=pno)
             else:
                 emit(path, elem_type=ELEM_PARAGRAPH, markdown=b["text"],
                      text=b["text"], page_number=pno)

@@ -198,3 +198,67 @@ def test_read_documents_unknown_format_skip_and_fail(spark, tmp_path):
         .select("doc_id").distinct().count() == 1
     with pytest.raises(Exception):
         read_documents(spark, str(tmp_path), on_error="fail").collect()
+
+
+def test_pdf_grid_table_detection_from_reference_layout():
+    """Geometric grid tables: ≥2 consecutive lines with identical
+    segment x-anchors become a table element (first row = header), and
+    the conformance 5×4 milestone matrix extracts from a generated
+    equivalent of the reference's table layout."""
+    from dataingestion_spark.sources.pdf import PdfDocument  # noqa: F401
+
+    # build a PDF whose 'table' rows share per-column x anchors, the way
+    # word processors emit real tables (one text matrix per cell)
+    rows = [
+        ["Milestone", "Target Date", "Department", "Indicator"],
+        ["Environmental Audit", "Mar 2025", "Environmental", "Audit Complete"],
+        ["Renewable Energy Launch", "Jul 2025", "Facilities", "Install Operational"],
+        ["Staff Workshop", "Sep 2025", "HR", "Workshop Held"],
+        ["Emissions Review", "Dec 2029", "All", "25% Emissions Cut"],
+    ]
+    xs = [72, 240, 330, 420]
+    ops = [b"BT", b"/F1 11 Tf"]
+    y = 700
+    ops += [b"1 0 0 1 72 720 Tm (Intro paragraph line.) Tj"]
+    for row in rows:
+        for x, cell in zip(xs, row):
+            esc = cell.encode("cp1252").replace(b"(", b"\\(").replace(b")", b"\\)")
+            ops.append(b"1 0 0 1 %d %d Tm (" % (x, y) + esc + b") Tj")
+        y -= 16
+    ops += [b"1 0 0 1 72 %d Tm (Closing paragraph line.) Tj" % (y - 10), b"ET"]
+    stream = b"\n".join(ops)
+    objs = [
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 1 0 R >> >> /Contents 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Catalog /Pages 4 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 5 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref_at)
+
+    el = parse_pdf(bytes(out), "grid.pdf")
+    tables = [r for r in el if r["elem_type"] == "table"]
+    assert len(tables) == 1
+    assert tables[0]["table_cells"] == rows
+    paras = [r["text"] for r in el if r["elem_type"] == "paragraph"]
+    assert paras == ["Intro paragraph line.", "Closing paragraph line."]
+
+
+def test_pdf_prose_not_misdetected_as_table():
+    """Ordinary left-aligned prose (one anchor per line) must never
+    trigger the grid detector."""
+    b = build_pdf([[(11, "first prose line"), (11, "second prose line"),
+                    (11, "third prose line")]])
+    el = parse_pdf(b, "p.pdf")
+    assert not [r for r in el if r["elem_type"] == "table"]
