@@ -3655,6 +3655,37 @@ def _oracle_odf() -> str:
         _READER_COLS, _READER_TYPES)
 
 
+def _doc_fixture_bytes():
+    from dataingestion_spark.sources.doc_legacy import build_doc
+
+    return build_doc([
+        "First legacy paragraph of the binary Word document.",
+        "Second paragraph with a MERGEFIELD placeholder stripped.",
+        "Closing line.",
+    ])
+
+
+def q_doc_legacy_elements(spark, sf):
+    """Legacy .doc reader (sources/doc_legacy.py): OLE2 compound file →
+    FIB → piece table → paragraph elements (documented partial parity:
+    text complete, no styles/tables)."""
+    from dataingestion_spark.sources.doc_legacy import parse_doc_df
+
+    src = spark.createDataFrame(
+        [("Old.doc", bytearray(_doc_fixture_bytes()))],
+        "doc_id string, content binary",
+    )
+    return _reader_select(parse_doc_df(src))
+
+
+def _oracle_doc_legacy() -> str:
+    from dataingestion_spark.sources.doc_legacy import parse_doc
+
+    return _values_oracle(
+        _reader_golden_rows({"Old.doc": _doc_fixture_bytes()}, parse_doc),
+        _READER_COLS, _READER_TYPES)
+
+
 def q_reader_dispatch(spark, sf):
     """Mixed-format ingestion through the media-type dispatcher
     (sources/dispatch.py): md + docx + pdf in one elements DataFrame."""
@@ -5873,6 +5904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_epub_elements": q_epub_elements,
         "reader_rtf_elements": q_rtf_elements,
         "reader_odf_elements": q_odf_elements,
+        "reader_doc_legacy_elements": q_doc_legacy_elements,
         "reader_wet_records": q_reader_wet_records,
         "reader_jsonl_roundtrip": q_jsonl_roundtrip,
         "reader_warc_responses": q_warc_responses,
@@ -6035,6 +6067,7 @@ def oracle_sql() -> dict[str, str]:
         "reader_epub_elements": _oracle_epub(),
         "reader_rtf_elements": _oracle_rtf(),
         "reader_odf_elements": _oracle_odf(),
+        "reader_doc_legacy_elements": _oracle_doc_legacy(),
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,

@@ -22,6 +22,7 @@ import os
 from typing import Iterator, List
 
 from ..model import ELEMENTS_SCHEMA
+from .doc_legacy import parse_doc
 from .docx import parse_docx
 from .html_reader import parse_html
 from .markdown import binary_file_scan, parse_markdown
@@ -44,6 +45,8 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
     ext = os.path.splitext(doc_id.split("?")[0])[1].lower()
     if ext == ".docx":
         return parse_docx(data, doc_id, extract_images=extract_images)
+    if ext in (".doc", ".dot"):
+        return parse_doc(data, doc_id)
     if ext == ".pdf":
         return parse_pdf(data, doc_id, extract_images=extract_images)
     if ext in (".html", ".htm", ".xhtml"):
@@ -72,7 +75,7 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
             doc_id)
     raise ValueError(
         f"{doc_id}: unsupported media type {media_type_for(doc_id)!r} "
-        f"(native readers cover md/txt/html/docx/pdf/xlsx/pptx/odt/ods/odp/epub/rtf/csv/tsv; other "
+        f"(native readers cover md/txt/html/doc/docx/pdf/xlsx/pptx/odt/ods/odp/epub/rtf/csv/tsv; other "
         f"office formats need the markitdown backend, "
         f"sources/api_readers.py)")
 

@@ -334,3 +334,35 @@ def test_zip_archive_expands_inner_documents(spark, tmp_path):
     hdrs = {r["text"] for r in el.filter("elem_type = 'header'").collect()}
     assert "Inner MD" in hdrs
     assert el.filter("elem_type = 'table'").count() == 1  # the docx table
+
+
+def test_legacy_doc_text_extraction():
+    from dataingestion_spark.sources.doc_legacy import build_doc, parse_doc
+
+    b = build_doc(["First legacy paragraph.", "Second with\x13 HYPERLINK x\x14"
+                   " shown text\x15 inline.", "Third."])
+    paras = [r["text"] for r in parse_doc(b, "o.doc")
+             if r["elem_type"] == "paragraph"]
+    assert paras[0] == "First legacy paragraph."
+    # field instruction (0x13..0x14) stripped, shown part kept
+    assert paras[1] == "Second with shown text inline."
+    assert paras[2] == "Third."
+
+
+def test_legacy_doc_rejects_garbage():
+    from dataingestion_spark.sources.doc_legacy import parse_doc
+
+    with pytest.raises(ValueError):
+        parse_doc(b"not ole at all", "x.doc")
+    with pytest.raises(ValueError):
+        parse_doc(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 600, "x.doc")
+
+
+def test_dispatch_routes_legacy_doc(spark, tmp_path):
+    from dataingestion_spark.sources.dispatch import read_documents
+    from dataingestion_spark.sources.doc_legacy import build_doc
+
+    (tmp_path / "old.doc").write_bytes(build_doc(["legacy body text"]))
+    el = read_documents(spark, str(tmp_path))
+    assert [r["text"] for r in el.filter("elem_type = 'paragraph'").collect()] \
+        == ["legacy body text"]

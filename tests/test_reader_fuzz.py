@@ -144,3 +144,15 @@ def test_zip_prefixed_garbage_fails_cleanly(tail):
             _check_rows(parse_any(b"PK\x03\x04" + tail, name))
         except _ALLOWED:
             pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_ole_prefixed_garbage_fails_cleanly(tail):
+    from dataingestion_spark.sources.doc_legacy import parse_doc
+
+    try:
+        _check_rows(parse_doc(
+            b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + tail, "g.doc"))
+    except _ALLOWED:
+        pass
