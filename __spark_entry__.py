@@ -3686,6 +3686,38 @@ def _oracle_doc_legacy() -> str:
         _READER_COLS, _READER_TYPES)
 
 
+def _xls_fixture_bytes():
+    from dataingestion_spark.sources.xls_legacy import build_xls
+
+    return build_xls({
+        "Budget": [["Item", "Q1", "Q2"],
+                   ["Widgets", 100, 230.5],
+                   ["Gadgets", True, ""]],
+        "Notes": [["only a legacy note"]],
+    })
+
+
+def q_xls_legacy_elements(spark, sf):
+    """Legacy .xls reader (sources/xls_legacy.py): OLE2 + BIFF8 record
+    stream (SST, BOUNDSHEET, LABELSST/NUMBER/RK/BOOLERR cells) →
+    sheet sections + tables, same shape as the XLSX reader."""
+    from dataingestion_spark.sources.xls_legacy import parse_xls_df
+
+    src = spark.createDataFrame(
+        [("Old.xls", bytearray(_xls_fixture_bytes()))],
+        "doc_id string, content binary",
+    )
+    return _reader_select(parse_xls_df(src))
+
+
+def _oracle_xls_legacy() -> str:
+    from dataingestion_spark.sources.xls_legacy import parse_xls
+
+    return _values_oracle(
+        _reader_golden_rows({"Old.xls": _xls_fixture_bytes()}, parse_xls),
+        _READER_COLS, _READER_TYPES)
+
+
 def q_reader_dispatch(spark, sf):
     """Mixed-format ingestion through the media-type dispatcher
     (sources/dispatch.py): md + docx + pdf in one elements DataFrame."""
@@ -5905,6 +5937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_rtf_elements": q_rtf_elements,
         "reader_odf_elements": q_odf_elements,
         "reader_doc_legacy_elements": q_doc_legacy_elements,
+        "reader_xls_legacy_elements": q_xls_legacy_elements,
         "reader_wet_records": q_reader_wet_records,
         "reader_jsonl_roundtrip": q_jsonl_roundtrip,
         "reader_warc_responses": q_warc_responses,
@@ -6068,6 +6101,7 @@ def oracle_sql() -> dict[str, str]:
         "reader_rtf_elements": _oracle_rtf(),
         "reader_odf_elements": _oracle_odf(),
         "reader_doc_legacy_elements": _oracle_doc_legacy(),
+        "reader_xls_legacy_elements": _oracle_xls_legacy(),
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,

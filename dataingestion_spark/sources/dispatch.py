@@ -32,6 +32,7 @@ from .epub import parse_epub
 from .odf import parse_odf
 from .pptx import parse_pptx
 from .rtf import parse_rtf
+from .xls_legacy import parse_xls
 from .xlsx import parse_xlsx
 
 #: extensions parsed as markdown / plain text
@@ -53,6 +54,8 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
         return parse_html(data, doc_id, extract_images=extract_images)
     if ext == ".xlsx":
         return parse_xlsx(data, doc_id)
+    if ext in (".xls", ".xlt"):
+        return parse_xls(data, doc_id)
     if ext == ".pptx":
         return parse_pptx(data, doc_id, extract_images=extract_images)
     if ext == ".epub":
@@ -75,7 +78,7 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
             doc_id)
     raise ValueError(
         f"{doc_id}: unsupported media type {media_type_for(doc_id)!r} "
-        f"(native readers cover md/txt/html/doc/docx/pdf/xlsx/pptx/odt/ods/odp/epub/rtf/csv/tsv; other "
+        f"(native readers cover md/txt/html/doc/docx/pdf/xls/xlsx/pptx/odt/ods/odp/epub/rtf/csv/tsv; other "
         f"office formats need the markitdown backend, "
         f"sources/api_readers.py)")
 

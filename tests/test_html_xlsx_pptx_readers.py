@@ -366,3 +366,30 @@ def test_dispatch_routes_legacy_doc(spark, tmp_path):
     el = read_documents(spark, str(tmp_path))
     assert [r["text"] for r in el.filter("elem_type = 'paragraph'").collect()] \
         == ["legacy body text"]
+
+
+def test_legacy_xls_sheets_and_types():
+    from dataingestion_spark.sources.xls_legacy import build_xls, parse_xls
+
+    b = build_xls({"S": [["h1", "h2"], [1, 2.5], [True, "txt"]]})
+    rows = parse_xls(b, "o.xls")
+    t = next(r for r in rows if r["elem_type"] == "table")
+    assert t["table_cells"] == [["h1", "h2"], ["1", "2.5"], ["TRUE", "txt"]]
+    assert [r["text"] for r in rows if r["elem_type"] == "header"] == ["S"]
+
+
+def test_legacy_xls_rejects_garbage():
+    from dataingestion_spark.sources.xls_legacy import parse_xls
+
+    with pytest.raises(ValueError):
+        parse_xls(b"junk", "x.xls")
+
+
+def test_dispatch_routes_legacy_xls(spark, tmp_path):
+    from dataingestion_spark.sources.dispatch import read_documents
+    from dataingestion_spark.sources.xls_legacy import build_xls
+
+    (tmp_path / "w.xls").write_bytes(build_xls({"D": [["v"], ["42"]]}))
+    el = read_documents(spark, str(tmp_path))
+    t = el.filter("elem_type = 'table'").collect()
+    assert len(t) == 1 and t[0]["table_cells"] == [["v"], ["42"]]

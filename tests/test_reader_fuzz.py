@@ -156,3 +156,15 @@ def test_ole_prefixed_garbage_fails_cleanly(tail):
             b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + tail, "g.doc"))
     except _ALLOWED:
         pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_xls_ole_prefixed_garbage_fails_cleanly(tail):
+    from dataingestion_spark.sources.xls_legacy import parse_xls
+
+    try:
+        _check_rows(parse_xls(
+            b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + tail, "g.xls"))
+    except _ALLOWED:
+        pass
