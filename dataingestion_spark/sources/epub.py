@@ -19,7 +19,7 @@ from __future__ import annotations
 import io
 import posixpath
 import zipfile
-from typing import Iterator, List
+from typing import List
 from xml.etree import ElementTree as ET
 
 from ..model import ELEM_SECTION, ELEMENTS_SCHEMA, element_row

@@ -36,7 +36,7 @@ from __future__ import annotations
 import base64
 import re
 from html.parser import HTMLParser
-from typing import Iterator, List, Optional
+from typing import List, Optional
 
 from ..model import (
     ELEM_FOOTER,
@@ -45,13 +45,23 @@ from ..model import (
     ELEM_PARAGRAPH,
     ELEM_SECTION,
     ELEM_TABLE,
-    ELEMENTS_SCHEMA,
     element_row,
 )
 
 _H_RE = re.compile(r"^h([1-6])$")
 _SKIP_CONTENT = {"script", "style", "head", "template", "noscript"}
 _DATA_URI_RE = re.compile(r"^data:(?P<mt>[^;,]+)(;base64)?,(?P<data>.*)$", re.S)
+
+
+def _span_attr(raw) -> int:
+    """HTML5 colspan/rowspan semantics: invalid, missing, or 0 → 1
+    (one bad attribute must not kill the document or mis-shift a row);
+    clamped so a hostile span can't allocate unbounded cells."""
+    try:
+        n = int(str(raw).strip())
+    except (TypeError, ValueError):
+        return 1
+    return min(max(n, 1), 1000)
 
 
 class _Collector(HTMLParser):
@@ -128,16 +138,20 @@ class _Collector(HTMLParser):
         elif tag == "li":
             self._open_block("li")
         elif tag in ("ul", "ol"):
+            self._flush_stray()
             if self._list_depth == 0:
                 self._list_items = []
             self._list_depth += 1
         elif tag == "blockquote":
+            self._flush_stray()
             if self._blockquote_depth == 0:
                 self._quote_paras = []
             self._blockquote_depth += 1
         elif tag == "footer":
+            self._flush_stray()
             self._footer_depth += 1
         elif tag == "table":
+            self._flush_stray()
             self._table = []
             self._rowspans = {}
             self._new_rowspans = {}
@@ -145,8 +159,8 @@ class _Collector(HTMLParser):
             self._row = []
         elif tag in ("td", "th") and self._row is not None:
             self._flush_inline()  # drop inter-cell whitespace
-            self._cell = {"colspan": int(a.get("colspan") or 1),
-                          "rowspan": int(a.get("rowspan") or 1)}
+            self._cell = {"colspan": _span_attr(a.get("colspan")),
+                          "rowspan": _span_attr(a.get("rowspan"))}
 
     def handle_endtag(self, tag):
         if tag in _SKIP_CONTENT:
@@ -174,7 +188,11 @@ class _Collector(HTMLParser):
                 self.blocks.append({"kind": "quote", "items": self._quote_paras})
                 self._quote_paras = []
         elif tag == "footer":
+            self._flush_stray()
             self._footer_depth = max(0, self._footer_depth - 1)
+        elif tag in ("div", "section", "article", "main", "aside", "body",
+                     "html"):
+            self._flush_stray()
         elif tag in ("td", "th") and self._cell is not None:
             text, md = self._flush_inline()
             cell, self._cell = self._cell, None
@@ -215,8 +233,27 @@ class _Collector(HTMLParser):
             self._table = None
 
     # -- block plumbing ------------------------------------------------
+    def _flush_stray(self):
+        """Bare text outside any h/p/li block (directly inside <div>,
+        <body>, <td>-free containers — the dominant shape of crawled
+        HTML) becomes an implicit paragraph instead of being discarded."""
+        if self._block is not None or self._table is not None:
+            self._flush_inline()
+            return
+        text, md = self._flush_inline()
+        if not md:
+            return
+        if self._blockquote_depth:
+            self._quote_paras.append((text, md))
+        elif self._list_depth:
+            self._list_items.append((text, md))
+        elif self._footer_depth:
+            self.blocks.append({"kind": "footer", "text": text, "md": md})
+        else:
+            self.blocks.append({"kind": "p", "text": text, "md": md})
+
     def _open_block(self, kind):
-        self._flush_inline()  # discard stray inter-block text
+        self._flush_stray()
         self._block = kind
 
     def _close_block(self):

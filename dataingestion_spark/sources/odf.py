@@ -103,13 +103,13 @@ def _para_text_md(p: ET.Element, spans: Dict[str, str]) -> tuple:
                 md.append("\n")
             elif tag == _T + "a":
                 href = ch.get("{http://www.w3.org/1999/xlink}href") or ""
-                inner_start = len(plain)
+                bracket_at = len(md)
                 md.append("[")
                 walk(ch)
-                md.append(f"]({href})" if href else "")
-                if not href:
-                    md[-2] = ""  # drop the opening bracket too
-                _ = inner_start
+                if href:
+                    md.append(f"]({href})")
+                else:  # no target: drop ONLY the opening bracket marker
+                    md[bracket_at] = ""
             else:
                 walk(ch)
             if ch.tail:

@@ -623,6 +623,16 @@ def detect_grid_tables(lines: List[dict]) -> List[tuple]:
                 [t.strip() for x, t in lines[k]["segs"] if t.strip()]
                 for k in range(i, j)
             ]
+            # two-anchor runs are ambiguous with TWO-COLUMN PROSE LAYOUTS
+            # (both columns left-aligned at fixed x): real 2-column
+            # tables are short-celled and short; a column layout runs the
+            # whole page with sentence-length "cells". Reject those.
+            if len(cells[0]) == 2:
+                avg_len = sum(len(c) for row in cells for c in row) / (
+                    2 * len(cells))
+                if j - i > 12 or avg_len > 50:
+                    i = j
+                    continue
             out.append((i, j, cells))
             i = j
         else:

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import io
 import zipfile
-from typing import Iterator, List
+from typing import List
 from xml.etree import ElementTree as ET
 
 from ..model import (
@@ -35,7 +35,6 @@ from ..model import (
     ELEM_PARAGRAPH,
     ELEM_SECTION,
     ELEM_TABLE,
-    ELEMENTS_SCHEMA,
     element_row,
 )
 from .docx import _load_rels, _table_markdown
@@ -49,15 +48,22 @@ _TITLE_TYPES = {"title", "ctrTitle"}
 
 
 def _para_md(p: ET.Element) -> tuple:
-    """(plain, markdown) of one ``a:p``."""
+    """(plain, markdown) of one ``a:p`` — runs and line breaks in
+    document order (``a:br`` → newline, so broken lines don't fuse)."""
     plain, md = [], []
-    for r in p.findall(_A + "r"):
-        t = r.find(_A + "t")
+    for node in p:
+        if node.tag == _A + "br":
+            plain.append("\n")
+            md.append("\n")
+            continue
+        if node.tag != _A + "r":
+            continue
+        t = node.find(_A + "t")
         text = t.text or "" if t is not None else ""
         if not text:
             continue
         plain.append(text)
-        rpr = r.find(_A + "rPr")
+        rpr = node.find(_A + "rPr")
         bold = rpr is not None and rpr.get("b") == "1"
         italic = rpr is not None and rpr.get("i") == "1"
         core = text.strip()
@@ -68,8 +74,6 @@ def _para_md(p: ET.Element) -> tuple:
         elif core and italic:
             text = text.replace(core, f"*{core}*", 1)
         md.append(text)
-    for br in p.findall(_A + "br"):
-        pass  # line breaks within a paragraph collapse to the join below
     return "".join(plain).strip(), "".join(md).strip()
 
 

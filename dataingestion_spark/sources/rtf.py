@@ -24,14 +24,13 @@ Spark entry point :func:`read_rtf` = distributed ``binaryFile`` scan +
 from __future__ import annotations
 
 import re
-from typing import Iterator, List
+from typing import List
 
 from ..model import (
     ELEM_HEADER,
     ELEM_PARAGRAPH,
     ELEM_SECTION,
     ELEM_TABLE,
-    ELEMENTS_SCHEMA,
     element_row,
 )
 from .docx import _table_markdown
@@ -94,7 +93,6 @@ def parse_rtf(data: bytes, doc_id: str) -> List[dict]:
     state = _RtfState()
     stack: List[_RtfState] = []
     skip_depth = 0          # >0 → inside a skipped destination group
-    pending_star = False
     # table assembly
     table_rows: List[List[str]] = []
     row_cells: List[str] = []
@@ -153,9 +151,6 @@ def parse_rtf(data: bytes, doc_id: str) -> List[dict]:
                 skip_depth += 1
             else:
                 stack.append(state.copy())
-                if pending_star:
-                    skip_depth = 1
-            pending_star = False
             continue
         if kind == "close":
             if skip_depth:
@@ -175,7 +170,13 @@ def parse_rtf(data: bytes, doc_id: str) -> List[dict]:
                 state.uc_skip = state.uc_skip or prev_uc
             continue
         if kind == "star":
-            pending_star = True
+            # \* arrives right AFTER the '{' of its group (tokens: open,
+            # star, \destination): mark the CURRENT group as a skipped
+            # destination — the earlier design armed a flag consumed by
+            # the NEXT '{', which both leaked this group's content and
+            # swallowed the following, unrelated group
+            if not skip_depth:
+                skip_depth = 1
             continue
         if skip_depth:
             continue

@@ -60,6 +60,10 @@ def _records(data: bytes, start: int = 0):
 
 
 def _num_text(v: float) -> str:
+    import math
+
+    if not math.isfinite(v):
+        return ""  # NaN/inf cached results render as empty, never crash
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v)
@@ -67,9 +71,7 @@ def _num_text(v: float) -> str:
 
 def _rk_value(rk: int) -> float:
     cents = rk & 0x02
-    if rk & 0x01:  # integer payload
-        val = float(rk >> 2 if rk >= 0 else -((-rk) >> 2))
-        # arithmetic shift for negatives
+    if rk & 0x01:  # int30 payload — arithmetic shift handles the sign
         val = float(struct.unpack("<i", struct.pack("<I", rk & 0xFFFFFFFF))[0] >> 2)
     else:  # top 30 bits of an IEEE double
         val = struct.unpack("<d", b"\x00\x00\x00\x00" +
@@ -224,11 +226,23 @@ def parse_xls(data: bytes, doc_id: str) -> List[dict]:
             elif opcode == _FORMULA and sz >= 14:
                 r, c = struct.unpack_from("<HH", wb, off)
                 result = wb[off + 6:off + 14]
-                if result[6:8] == b"\xff\xff" and result[0] == 0:
-                    last_formula_cell = (r, c)  # string result follows
+                if result[6:8] == b"\xff\xff":
+                    # non-numeric cached result, typed by byte 0:
+                    # 0 = string (a STRING record follows), 1 = boolean,
+                    # 2 = error, 3 = blank — decoding these as a double
+                    # yields NaN and used to abort the whole document
+                    t = result[0]
+                    if t == 0:
+                        last_formula_cell = (r, c)
+                    elif t == 1:
+                        grid.setdefault(r, {})[c] = (
+                            "TRUE" if result[2] else "FALSE")
+                    # error/blank cells render as empty (omitted)
                 else:
                     (v,) = struct.unpack_from("<d", result, 0)
-                    grid.setdefault(r, {})[c] = _num_text(v)
+                    txt = _num_text(v)
+                    if txt:
+                        grid.setdefault(r, {})[c] = txt
             elif opcode == _STRING and last_formula_cell is not None:
                 (cch,) = struct.unpack_from("<H", wb, off)
                 try:

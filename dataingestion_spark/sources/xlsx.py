@@ -31,14 +31,13 @@ from __future__ import annotations
 import io
 import re
 import zipfile
-from typing import Dict, Iterator, List
+from typing import Dict, List
 from xml.etree import ElementTree as ET
 
 from ..model import (
     ELEM_HEADER,
     ELEM_SECTION,
     ELEM_TABLE,
-    ELEMENTS_SCHEMA,
     element_row,
 )
 from .docx import _load_rels, _table_markdown
@@ -56,15 +55,27 @@ def _col_index(letters: str) -> int:
     return n - 1
 
 
+def _si_text(si: ET.Element) -> str:
+    """One shared-string item: direct <t> or rich-text <r>/<t> runs;
+    phonetic guides (<rPh>, standard in Japanese workbooks) are display
+    annotations, NOT cell content — including them duplicated the text."""
+    parts = []
+    for child in si:
+        if child.tag == _S + "t":
+            parts.append(child.text or "")
+        elif child.tag == _S + "r":
+            t = child.find(_S + "t")
+            if t is not None:
+                parts.append(t.text or "")
+    return "".join(parts)
+
+
 def _shared_strings(zf: zipfile.ZipFile) -> List[str]:
     try:
         root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
     except KeyError:
         return []
-    out = []
-    for si in root.findall(_S + "si"):
-        out.append("".join(t.text or "" for t in si.iter(_S + "t")))
-    return out
+    return [_si_text(si) for si in root.findall(_S + "si")]
 
 
 def _cell_value(c: ET.Element, shared: List[str]) -> str:

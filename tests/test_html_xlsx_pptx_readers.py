@@ -393,3 +393,112 @@ def test_dispatch_routes_legacy_xls(spark, tmp_path):
     el = read_documents(spark, str(tmp_path))
     t = el.filter("elem_type = 'table'").collect()
     assert len(t) == 1 and t[0]["table_cells"] == [["v"], ["42"]]
+
+
+# ---------------------------------------------------------------------------
+# round-3 second-review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_html_bare_container_text_becomes_paragraphs():
+    """Text directly inside <div>/<body> (the dominant shape of crawled
+    HTML) must become paragraphs, not vanish."""
+    rows = parse_html('<div>Important bare text.</div><p>real para</p>', "t")
+    assert [r["text"] for r in rows if r["elem_type"] == "paragraph"] == \
+        ["Important bare text.", "real para"]
+
+
+def test_html_invalid_span_attrs_are_harmless():
+    rows = parse_html(
+        '<table><tr><td colspan="abc">x</td><td colspan="0">y</td>'
+        '<td>z</td></tr><tr><td>1</td><td>2</td><td>3</td></tr></table>', "t")
+    t = next(r for r in rows if r["elem_type"] == "table")
+    assert t["table_cells"] == [["x", "y", "z"], ["1", "2", "3"]]
+
+
+def test_rtf_star_destination_does_not_swallow_next_group():
+    from dataingestion_spark.sources.rtf import parse_rtf
+
+    rows = parse_rtf(
+        b"{\\rtf1\\ansi{\\*\\rsidtbl \\rsid123456}{\\b Bold opening}"
+        b" plain tail.\\par}", "t")
+    md = [r["markdown"] for r in rows if r["elem_type"] == "paragraph"]
+    assert md == ["**Bold opening** plain tail."]
+
+
+def test_xls_formula_bool_and_error_results():
+    import struct
+
+    from dataingestion_spark.sources.doc_legacy import _build_ole
+    from dataingestion_spark.sources.xls_legacy import parse_xls
+
+    def rec(op, p):
+        return struct.pack("<HH", op, len(p)) + p
+
+    bof_s = rec(0x0809, struct.pack("<HHHHIi", 0x0600, 0x0010, 0, 0, 0, 0))
+    boolf = rec(0x0006, struct.pack("<HHH", 1, 0, 0)
+                + bytes([1, 0, 1, 0, 0, 0, 0xFF, 0xFF]) + b"\x00" * 8)
+    errf = rec(0x0006, struct.pack("<HHH", 2, 0, 0)
+               + bytes([2, 0, 0x07, 0, 0, 0, 0xFF, 0xFF]) + b"\x00" * 8)
+    num = rec(0x0203, struct.pack("<HHHd", 0, 0, 0, 42.0))
+    sheet = bof_s + num + boolf + errf + rec(0x000A, b"")
+    g_bof = rec(0x0809, struct.pack("<HHHHIi", 0x0600, 0x0005, 0, 0, 0, 0))
+    sst = rec(0x00FC, struct.pack("<ii", 0, 0))
+    glb_probe = g_bof + sst + rec(
+        0x0085, struct.pack("<IHB", 0, 0, 1) + b"\x00S") + rec(0x000A, b"")
+    bs = rec(0x0085, struct.pack("<IHB", len(glb_probe), 0, 1) + b"\x00S")
+    glb = g_bof + sst + bs + rec(0x000A, b"")
+    rows = parse_xls(_build_ole({"Workbook": glb + sheet}), "f.xls")
+    t = next(r for r in rows if r["elem_type"] == "table")
+    assert t["table_cells"] == [["42"], ["TRUE"]]  # error row dropped
+
+
+def test_pdf_two_column_prose_is_not_a_table():
+    from dataingestion_spark.sources.pdf import detect_grid_tables
+
+    def line(segs):
+        return {"y": 0, "x": segs[0][0], "x_end": 0, "size": 11,
+                "text": " ".join(t for _, t in segs),
+                "segs": [list(s) for s in segs]}
+    prose = [line([(72, "a long sentence of left-column prose text here"),
+                   (320, "a long sentence of right-column prose text too")])
+             for _ in range(20)]
+    assert detect_grid_tables(prose) == []
+    # short 2-col tables and any 3+-col grid still detect
+    assert len(detect_grid_tables(
+        [line([(72, "k"), (320, "v")]), line([(72, "a"), (320, "1")])])) == 1
+
+
+def test_odf_anchor_without_href_keeps_text():
+    from xml.etree import ElementTree as ET
+
+    from dataingestion_spark.sources.odf import _para_text_md
+
+    T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    p = ET.fromstring(f'<text:p xmlns:text="{T}">See '
+                      f'<text:a>the appendix</text:a> now.</text:p>')
+    _, md = _para_text_md(p, {})
+    assert md == "See the appendix now."
+
+
+def test_xlsx_phonetic_runs_not_duplicated():
+    from xml.etree import ElementTree as ET
+
+    from dataingestion_spark.sources.xlsx import _si_text
+
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    si = ET.fromstring(f'<si xmlns="{S}"><r><t>Tokyo</t></r>'
+                       f'<rPh sb="0" eb="2"><t>phonetic</t></rPh></si>')
+    assert _si_text(si) == "Tokyo"
+
+
+def test_pptx_line_breaks_render_as_newlines():
+    from xml.etree import ElementTree as ET
+
+    from dataingestion_spark.sources.pptx import _para_md
+
+    A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    p = ET.fromstring(f'<a:p xmlns:a="{A}"><a:r><a:t>one</a:t></a:r>'
+                      f'<a:br/><a:r><a:t>two</a:t></a:r></a:p>')
+    plain, _ = _para_md(p)
+    assert plain == "one\ntwo"
