@@ -5769,6 +5769,88 @@ FROM documents
 """
 
 
+# --- SFT chat rendering + loss masks (operators/sft.py) -------------------
+
+_SFT_MSGS_SQL = """
+SELECT CAST(doc_id % 37 AS BIGINT) AS conv_id,
+       CAST(doc_id AS BIGINT) AS pos,
+       CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       substr(text, 1, 160) AS content
+FROM documents
+WHERE doc_id < 600
+"""
+
+
+def _sft_messages(spark, sf):
+    """Deterministic message stream derived from documents: 37
+    conversations, alternating user/assistant turns in doc_id order,
+    content = first 160 chars. Mirrors _SFT_MSGS_SQL exactly."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 600)
+    return docs.select(
+        (F.col("doc_id") % 37).cast("long").alias("conv_id"),
+        F.col("doc_id").cast("long").alias("pos"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+         .otherwise(F.lit("assistant")).alias("role"),
+        F.substring("text", 1, 160).alias("content"),
+    )
+
+
+def q_sft_offsets(spark, sf):
+    """ChatML-template rendering with per-message character offsets
+    (operators/sft.py::render_messages): one window cumulative sum per
+    conversation, expression-only. The offsets are what lets a trainer
+    loss-mask non-assistant spans without re-tokenizing."""
+    from dataingestion_spark.operators.sft import render_messages
+
+    out = render_messages(_sft_messages(spark, sf))
+    return out.select("conv_id", "pos", "role", "start_off", "end_off",
+                      "content_start", "content_end")
+
+
+def q_sft_chat(spark, sf):
+    """Per-conversation rendered prompt + loss-mask scalars
+    (operators/sft.py::render_chat): ordered string fold + masked-char
+    accounting, grouped on the same conv_id partitioning the offsets
+    pass already established."""
+    from dataingestion_spark.operators.sft import render_chat, render_messages
+
+    return render_chat(render_messages(_sft_messages(spark, sf)))
+
+
+def q_sft_token_mask(spark, sf):
+    """Character-span loss mask projected onto the space-token stream
+    (operators/sft.py::token_loss_mask): split + posexplode + one
+    intra-piece cumulative sum; the span test rides the same row, so no
+    join. Restricted to 4 conversations to keep the oracle volume sane."""
+    from dataingestion_spark.operators.sft import render_messages, token_loss_mask
+
+    rendered = render_messages(_sft_messages(spark, sf)).filter(F.col("conv_id") < 4)
+    return token_loss_mask(rendered)
+
+
+def _oracle_sft_offsets() -> str:
+    from dataingestion_spark.operators.sft import render_messages_sql
+
+    return (
+        "SELECT conv_id, pos, role, start_off, end_off, content_start, content_end "
+        f"FROM ({render_messages_sql(_SFT_MSGS_SQL)})"
+    )
+
+
+def _oracle_sft_chat() -> str:
+    from dataingestion_spark.operators.sft import render_chat_sql
+
+    return render_chat_sql(_SFT_MSGS_SQL)
+
+
+def _oracle_sft_token_mask() -> str:
+    from dataingestion_spark.operators.sft import token_loss_mask_sql
+
+    return (
+        f"SELECT * FROM ({token_loss_mask_sql(_SFT_MSGS_SQL)}) WHERE conv_id < 4"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5859,6 +5941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_pii_scrub": q_pii_scrub,
         "doc_normalize_text": q_doc_normalize,
+        "sft_render_offsets": q_sft_offsets,
+        "sft_chat_text": q_sft_chat,
+        "sft_token_loss_mask": q_sft_token_mask,
         "table_quality_constraints": q_quality_constraints,
         "table_column_profile": q_profile_table,
         "doc_url_signals": q_url_signals,
@@ -6030,6 +6115,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "doc_pii_scrub": _oracle_pii(),
         "doc_normalize_text": _oracle_normalize(),
+        "sft_render_offsets": _oracle_sft_offsets(),
+        "sft_chat_text": _oracle_sft_chat(),
+        "sft_token_loss_mask": _oracle_sft_token_mask(),
         "table_quality_constraints": ORACLE_QUALITY_CONSTRAINTS,
         "table_column_profile": _oracle_profile(),
         "doc_url_signals": ORACLE_URL_SIGNALS,
