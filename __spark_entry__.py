@@ -5851,6 +5851,80 @@ def _oracle_sft_token_mask() -> str:
     )
 
 
+# --- KMV / theta sketch set algebra (operators/kmv.py) ---------------------
+
+_KMV_K = 256
+
+
+def q_kmv_distinct(spark, sf):
+    """KMV distinct-count sketch (operators/kmv.py::kmv_sample/estimate)
+    of orders.o_custkey, k=256, alongside the exact distinct count. The
+    sketch build is a distinct-hash aggregate + TakeOrderedAndProject
+    top-k; values never shuffle, only 13-char hashes."""
+    from dataingestion_spark.operators.kmv import kmv_estimate, kmv_sample
+
+    orders = _t(spark, sf, "orders")
+    est = kmv_estimate(kmv_sample(orders, "o_custkey", _KMV_K), _KMV_K)
+    exact = orders.agg(F.countDistinct("o_custkey").cast("long").alias("n_exact"))
+    return (est.crossJoin(exact)
+            .select("n_sample", F.round("est", 6).alias("est"), "n_exact"))
+
+
+def q_kmv_setops(spark, sf):
+    """Theta-sketch union/intersection/difference estimates between the
+    customer sets of even- and odd-keyed orders, checked against the
+    exact overlap. Two independent sketches + ≤2k-row set algebra —
+    the two streams are never joined."""
+    from dataingestion_spark.operators.kmv import kmv_sample, kmv_set_estimates
+
+    orders = _t(spark, sf, "orders")
+    a = kmv_sample(orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", _KMV_K)
+    b = kmv_sample(orders.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", _KMV_K)
+    ests = kmv_set_estimates(a, b, _KMV_K)
+    ea = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey").distinct()
+    eb = orders.filter(F.col("o_orderkey") % 2 == 1).select("o_custkey").distinct()
+    exact = (ea.withColumnRenamed("o_custkey", "ck").join(
+                 eb.withColumnRenamed("o_custkey", "ck"), "ck", "inner")
+             .agg(F.count("*").cast("long").alias("n_exact_intersect")))
+    return (ests.crossJoin(exact)
+            .select(F.round("est_union", 6).alias("est_union"),
+                    F.round("est_intersect", 6).alias("est_intersect"),
+                    F.round("est_diff_a", 6).alias("est_diff_a"),
+                    "n_union", "n_intersect", "n_exact_intersect"))
+
+
+def _oracle_kmv_distinct() -> str:
+    from dataingestion_spark.operators.kmv import kmv_estimate_sql
+
+    est = kmv_estimate_sql("SELECT o_custkey FROM orders", "o_custkey", _KMV_K)
+    return f"""
+SELECT e.n_sample, ROUND(e.est, 6) AS est, x.n_exact
+FROM ({est}) e,
+     (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders) x
+"""
+
+
+def _oracle_kmv_setops() -> str:
+    from dataingestion_spark.operators.kmv import kmv_sample_sql, kmv_set_estimates_sql
+
+    a = kmv_sample_sql("SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0",
+                       "o_custkey", _KMV_K)
+    b = kmv_sample_sql("SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1",
+                       "o_custkey", _KMV_K)
+    ests = kmv_set_estimates_sql(a, b, _KMV_K)
+    return f"""
+SELECT ROUND(e.est_union, 6) AS est_union,
+       ROUND(e.est_intersect, 6) AS est_intersect,
+       ROUND(e.est_diff_a, 6) AS est_diff_a,
+       e.n_union, e.n_intersect, x.n_exact_intersect
+FROM ({ests}) e,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_intersect FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1)) x
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5944,6 +6018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_render_offsets": q_sft_offsets,
         "sft_chat_text": q_sft_chat,
         "sft_token_loss_mask": q_sft_token_mask,
+        "sketch_kmv_distinct": q_kmv_distinct,
+        "sketch_kmv_setops": q_kmv_setops,
         "table_quality_constraints": q_quality_constraints,
         "table_column_profile": q_profile_table,
         "doc_url_signals": q_url_signals,
@@ -6118,6 +6194,8 @@ def oracle_sql() -> dict[str, str]:
         "sft_render_offsets": _oracle_sft_offsets(),
         "sft_chat_text": _oracle_sft_chat(),
         "sft_token_loss_mask": _oracle_sft_token_mask(),
+        "sketch_kmv_distinct": _oracle_kmv_distinct(),
+        "sketch_kmv_setops": _oracle_kmv_setops(),
         "table_quality_constraints": ORACLE_QUALITY_CONSTRAINTS,
         "table_column_profile": _oracle_profile(),
         "doc_url_signals": ORACLE_URL_SIGNALS,

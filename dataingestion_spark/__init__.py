@@ -73,6 +73,17 @@ from .operators.pq import (  # noqa: E402,F401
 )
 from .operators.text_analysis import repetition_signals  # noqa: E402,F401
 from .operators.sketches import hll_distinct, histogram_quantiles  # noqa: E402,F401
+from .operators.kmv import (  # noqa: E402,F401
+    kmv_estimate,
+    kmv_sample,
+    kmv_set_estimates,
+    kmv_union_sample,
+)
+from .operators.sft import (  # noqa: E402,F401
+    render_chat,
+    render_messages,
+    token_loss_mask,
+)
 from .operators.temporal import (  # noqa: E402,F401
     asof_join,
     cohort_retention,
