@@ -5925,6 +5925,121 @@ FROM ({ests}) e,
 """
 
 
+# --- incremental near-dup vs persisted MinHash index -----------------------
+
+def q_dedup_incremental(spark, sf):
+    """Probe a new batch against a persisted corpus MinHash index
+    (operators/dedup_index.py): index all documents once (bands
+    partitioned by band idx, signatures stored for verification), then
+    match a batch of re-crawled copies (doc_id+1000000, every 11th doc)
+    without touching corpus text. Output is the verified match list with
+    the Broder signature-agreement estimate."""
+    import tempfile
+
+    from dataingestion_spark.operators.dedup_index import (
+        probe_minhash_index, write_minhash_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    idx = tempfile.mkdtemp(prefix="mh_idx_") + "/idx"
+    os.makedirs(idx, exist_ok=True)
+    write_minhash_index(docs, idx, num_hashes=16, bands=4)
+    batch = (docs.filter(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    out = probe_minhash_index(batch, idx, min_est_jaccard=0.5)
+    return out.select("batch_id", "corpus_id", "n_agree", "est_jaccard")
+
+
+def _oracle_dedup_incremental() -> str:
+    mins = ", ".join(_minhash_sql(j) for j in range(16))
+    shingle = """
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                 i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM src)
+"""
+    return f"""
+WITH corpus_src AS (SELECT doc_id, text FROM documents),
+batch_src AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+corpus_sig AS (
+  WITH src AS (SELECT * FROM corpus_src), sh AS ({shingle})
+  SELECT doc_id, [{mins}] AS sig FROM sh),
+batch_sig AS (
+  WITH src AS (SELECT * FROM batch_src), sh AS ({shingle})
+  SELECT doc_id, [{mins}] AS sig FROM sh),
+corpus_bands AS (
+  SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')) AS bk
+  FROM corpus_sig, (SELECT unnest([0,1,2,3]) AS b)),
+batch_bands AS (
+  SELECT doc_id, b, md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')) AS bk
+  FROM batch_sig, (SELECT unnest([0,1,2,3]) AS b)),
+cand AS (
+  SELECT DISTINCT p.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM batch_bands p JOIN corpus_bands c ON p.b = c.b AND p.bk = c.bk
+  WHERE p.doc_id != c.doc_id),
+agree AS (
+  SELECT cand.batch_id, cand.corpus_id,
+         CAST((SELECT COUNT(*) FROM generate_series(1, 16) g(j)
+               WHERE bs.sig[j] = cs.sig[j]) AS INTEGER) AS n_agree
+  FROM cand
+  JOIN batch_sig bs ON bs.doc_id = cand.batch_id
+  JOIN corpus_sig cs ON cs.doc_id = cand.corpus_id)
+SELECT batch_id, corpus_id, n_agree,
+       CAST(n_agree AS DOUBLE) / 16.0 AS est_jaccard
+FROM agree
+WHERE CAST(n_agree AS DOUBLE) / 16.0 >= 0.5
+"""
+
+
+# --- snapshot drift detection (operators/drift.py) -------------------------
+
+_DRIFT_EDGES = [0.0, 10000.0, 20000.0, 30000.0, 40000.0, 50000.0,
+                60000.0, 70000.0, 80000.0, 100000.0]
+
+
+def q_drift_numeric(spark, sf):
+    """Histogram drift between the even/odd-orderkey halves of lineitem
+    on l_extendedprice (operators/drift.py::drift_report): one fixed-bin
+    aggregation pass per side, decimal-summed TVD + chi-square. PSI is
+    computed by the operator but excluded here (ln is not bit-stable
+    across engines)."""
+    from dataingestion_spark.operators.drift import drift_report
+
+    li = _t(spark, sf, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    rep = drift_report(a, b, "l_extendedprice", _DRIFT_EDGES)
+    return rep.select("tvd", "chi2", "n_bins_hit", "max_bin_gap")
+
+
+def q_drift_categorical(spark, sf):
+    """Per-category proportion drift for documents.lang between the
+    doc_id parity halves (operators/drift.py::categorical_drift), with
+    the exact TVD on every row."""
+    from dataingestion_spark.operators.drift import categorical_drift
+
+    docs = _t(spark, sf, "documents")
+    return categorical_drift(docs.filter(F.col("doc_id") % 2 == 0),
+                             docs.filter(F.col("doc_id") % 2 == 1), "lang")
+
+
+def _oracle_drift_numeric() -> str:
+    from dataingestion_spark.operators.drift import drift_report_sql
+
+    return drift_report_sql(
+        "SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 0",
+        "SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 1",
+        "l_extendedprice", _DRIFT_EDGES)
+
+
+def _oracle_drift_categorical() -> str:
+    from dataingestion_spark.operators.drift import categorical_drift_sql
+
+    return categorical_drift_sql(
+        "SELECT lang FROM documents WHERE doc_id % 2 = 0",
+        "SELECT lang FROM documents WHERE doc_id % 2 = 1", "lang")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6020,6 +6135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_token_loss_mask": q_sft_token_mask,
         "sketch_kmv_distinct": q_kmv_distinct,
         "sketch_kmv_setops": q_kmv_setops,
+        "dedup_incremental_probe": q_dedup_incremental,
+        "drift_numeric_report": q_drift_numeric,
+        "drift_categorical_lang": q_drift_categorical,
         "table_quality_constraints": q_quality_constraints,
         "table_column_profile": q_profile_table,
         "doc_url_signals": q_url_signals,
@@ -6196,6 +6314,9 @@ def oracle_sql() -> dict[str, str]:
         "sft_token_loss_mask": _oracle_sft_token_mask(),
         "sketch_kmv_distinct": _oracle_kmv_distinct(),
         "sketch_kmv_setops": _oracle_kmv_setops(),
+        "dedup_incremental_probe": _oracle_dedup_incremental(),
+        "drift_numeric_report": _oracle_drift_numeric(),
+        "drift_categorical_lang": _oracle_drift_categorical(),
         "table_quality_constraints": ORACLE_QUALITY_CONSTRAINTS,
         "table_column_profile": _oracle_profile(),
         "doc_url_signals": ORACLE_URL_SIGNALS,

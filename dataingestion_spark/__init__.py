@@ -73,6 +73,15 @@ from .operators.pq import (  # noqa: E402,F401
 )
 from .operators.text_analysis import repetition_signals  # noqa: E402,F401
 from .operators.sketches import hll_distinct, histogram_quantiles  # noqa: E402,F401
+from .operators.drift import (  # noqa: E402,F401
+    categorical_drift,
+    drift_report,
+)
+from .operators.dedup_index import (  # noqa: E402,F401
+    append_minhash_index,
+    probe_minhash_index,
+    write_minhash_index,
+)
 from .operators.kmv import (  # noqa: E402,F401
     kmv_estimate,
     kmv_sample,
