@@ -273,7 +273,24 @@ def _manifest_meta(manifest: Dict) -> Dict:
         "seq": dict(manifest.get("seq", {})),
         "stats": dict(manifest.get("stats", {})),
         "deletes": {b: list(v) for b, v in manifest.get("deletes", {}).items()},
+        # table schema as StructField jsonValues, widened commit-by-commit;
+        # [] on pre-schema manifests (reads fall back to footer merging)
+        "schema": list(manifest.get("schema", [])),
     }
+
+
+def _schema_union(meta: Dict, df: DataFrame) -> None:
+    """Fold a data write's schema into the manifest's: existing fields keep
+    their position and FIRST-SEEN type, new fields append. This is what
+    mergeSchema computed from every footer on every read — recording it at
+    commit time makes reads footer-scan-free. A same-name type change is
+    not merged (first type wins); as with mergeSchema, such files fail at
+    scan time rather than silently coercing."""
+    names = {f["name"] for f in meta["schema"]}
+    for f in df.schema.jsonValue()["fields"]:
+        if f["name"] not in names:
+            meta["schema"].append(f)
+            names.add(f["name"])
 
 
 def _prune_meta(meta: Dict, buckets: Dict[str, List[str]]) -> Dict:
@@ -307,11 +324,20 @@ def _read_files(spark, table: str, manifest: Dict,
             f"version {manifest['version']} of {table} has no matching files"
         )
     files_dir = os.path.join(table, "files")
-    # mergeSchema: commits may widen the schema over time (append with a
-    # new column via unionByName) — without it the scan schema comes from
-    # ONE arbitrary footer and a later-added column can silently vanish
-    df = (spark.read.option("mergeSchema", "true")
-          .parquet(*[os.path.join(files_dir, n) for n in names]))
+    # commits may widen the schema over time (append with a new column via
+    # unionByName); the commit-time union recorded in the manifest gives
+    # the same widened view WITHOUT reading every file's footer here (a
+    # whole extra job per read on multi-file tables). Files predating a
+    # column surface null for it, exactly as mergeSchema did. Pre-schema
+    # manifests fall back to footer merging.
+    paths = [os.path.join(files_dir, n) for n in names]
+    if meta["schema"]:
+        from pyspark.sql import types as T
+
+        st = T.StructType.fromJson({"type": "struct", "fields": meta["schema"]})
+        df = spark.read.schema(st).parquet(*paths)
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
     del_names = [n for b in sorted(sel) for n in meta["deletes"].get(b, [])]
     if not del_names:
         return df
@@ -356,7 +382,8 @@ def write_table(records: DataFrame, table: str) -> int:
     version = _commit(
         table, version, buckets, expected_current=cv,
         extra={"seq": {n: version for names in buckets.values() for n in names},
-               "stats": stats},
+               "stats": stats,
+               "schema": records.schema.jsonValue()["fields"]},
     )
     return version
 
@@ -450,6 +477,7 @@ def incremental_replace(records: DataFrame, table: str, mode: str = "rewrite") -
 
     token = uuid.uuid4().hex[:8]
     version = manifest["version"] + 1
+    _schema_union(meta, merged)
     new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"])
     buckets = {
         b: names for b, names in manifest["buckets"].items() if b not in affected
@@ -473,6 +501,7 @@ def _replace_with_dv(records: DataFrame, table: str) -> int:
     meta = _manifest_meta(manifest)
     version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
+    _schema_union(meta, records)
     new_buckets = _write_bucket_files(records, table, token, stats=meta["stats"])
     del_df = records.select("documentid", "doc_bucket").distinct()
     del_buckets = _write_bucket_files(del_df, table, "d" + token, prefix="del-",
@@ -528,6 +557,7 @@ def append_table(records: DataFrame, table: str) -> int:
     meta = _manifest_meta(manifest)
     version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
+    _schema_union(meta, records)
     new_buckets = _write_bucket_files(records, table, token, stats=meta["stats"])
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     for b, names in new_buckets.items():
@@ -581,8 +611,10 @@ def merge_table(source: DataFrame, table: str,
         raise FileNotFoundError(f"no committed version in {table}")
 
     # the source batch is read several times (dup guard, bucket list, joins,
-    # writes) — pin it once; a merge batch is bounded, unlike the table
-    src = source.withColumn("doc_bucket", _bucket_col()).localCheckpoint(eager=True)
+    # writes) — pin it once; a merge batch is bounded, unlike the table.
+    # Lazy: the precheck collect right below materializes it, so an eager
+    # checkpoint would only add a redundant job to every merge.
+    src = source.withColumn("doc_bucket", _bucket_col()).localCheckpoint(eager=False)
     # ONE job answers both pre-checks: per-bucket row/key counts give the
     # affected-bucket list AND the duplicate guard (rows > distinct keys)
     precheck = src.groupBy("doc_bucket").agg(
@@ -609,8 +641,16 @@ def merge_table(source: DataFrame, table: str,
         if matched_condition is None:
             act = src.join(tgt_keys, "documentid", "semi")
         else:
+            # pack only the target columns the condition actually names —
+            # nested-field pruning through a freshly built struct is not
+            # guaranteed, and dragging the text column through the join
+            # dominates merge cost on document tables
+            import re as _re
+
+            referenced = set(_re.findall(r"target\.`?(\w+)`?", matched_condition))
+            packed_cols = [c for c in tgt.columns if c in referenced] or tgt.columns
             tgt_packed = tgt.select(
-                "documentid", F.struct(*tgt.columns).alias("target")
+                "documentid", F.struct(*packed_cols).alias("target")
             )
             act = src.join(tgt_packed, "documentid").filter(
                 F.expr(matched_condition)
@@ -618,7 +658,7 @@ def merge_table(source: DataFrame, table: str,
         act_ids = (
             act.select("documentid").distinct()
             .withColumn("doc_bucket", _bucket_col())
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     new_rows = None
@@ -634,6 +674,7 @@ def merge_table(source: DataFrame, table: str,
     token = "m" + uuid.uuid4().hex[:7]
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     if new_rows is not None:
+        _schema_union(meta, new_rows)
         new_buckets = _write_bucket_files(new_rows, table, token, stats=meta["stats"])
         for b, names in new_buckets.items():
             buckets.setdefault(b, []).extend(names)
@@ -669,6 +710,7 @@ def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
     merged = _read_files(spark, table, manifest, bucket_subset=to_compact)
     token = "c" + uuid.uuid4().hex[:7]
     version = manifest["version"] + 1
+    _schema_union(meta, merged)
     new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"])
     buckets = {
         b: names for b, names in manifest["buckets"].items() if b not in to_compact
