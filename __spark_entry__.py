@@ -5991,6 +5991,35 @@ WHERE CAST(n_agree AS DOUBLE) / 16.0 >= 0.5
 """
 
 
+# --- privacy release gate (operators/privacy.py) ---------------------------
+
+def q_privacy_kanon(spark, sf):
+    """k-anonymity / l-diversity release gate over customer
+    (operators/privacy.py::k_anonymity_report): quasi-identifiers =
+    (c_nationkey, c_mktsegment, phone country-code prefix), sensitive =
+    c_acctbal, k=5, l=3 — one groupBy, no joins; the violation counts
+    and the gate verdict come from the same aggregate."""
+    from dataingestion_spark.operators.privacy import k_anonymity_report
+
+    c = _t(spark, sf, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_name")
+    return k_anonymity_report(c, ["c_nationkey", "c_mktsegment", "bal_band"],
+                              k=5, sensitive_col="c_name", l=3)
+
+
+def _oracle_privacy_kanon() -> str:
+    from dataingestion_spark.operators.privacy import k_anonymity_report_sql
+
+    return k_anonymity_report_sql(
+        "SELECT c_nationkey, c_mktsegment, "
+        "CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band, c_name "
+        "FROM customer",
+        ["c_nationkey", "c_mktsegment", "bal_band"], k=5,
+        sensitive_col="c_name", l=3)
+
+
 # --- snapshot drift detection (operators/drift.py) -------------------------
 
 _DRIFT_EDGES = [0.0, 10000.0, 20000.0, 30000.0, 40000.0, 50000.0,
@@ -6136,6 +6165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": q_kmv_distinct,
         "sketch_kmv_setops": q_kmv_setops,
         "dedup_incremental_probe": q_dedup_incremental,
+        "privacy_k_anonymity": q_privacy_kanon,
         "drift_numeric_report": q_drift_numeric,
         "drift_categorical_lang": q_drift_categorical,
         "table_quality_constraints": q_quality_constraints,
@@ -6315,6 +6345,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_distinct": _oracle_kmv_distinct(),
         "sketch_kmv_setops": _oracle_kmv_setops(),
         "dedup_incremental_probe": _oracle_dedup_incremental(),
+        "privacy_k_anonymity": _oracle_privacy_kanon(),
         "drift_numeric_report": _oracle_drift_numeric(),
         "drift_categorical_lang": _oracle_drift_categorical(),
         "table_quality_constraints": ORACLE_QUALITY_CONSTRAINTS,

@@ -82,6 +82,10 @@ from .operators.dedup_index import (  # noqa: E402,F401
     probe_minhash_index,
     write_minhash_index,
 )
+from .operators.privacy import (  # noqa: E402,F401
+    anonymity_groups,
+    k_anonymity_report,
+)
 from .operators.kmv import (  # noqa: E402,F401
     kmv_estimate,
     kmv_sample,
