@@ -105,6 +105,11 @@ def main():
         "ann_recall": em.q_recall_ivf,
         "ingest_e2e": ingest_e2e,
         "office_ingest": em.q_office_ingest,
+        "sft_render": em.q_sft_chat,
+        "kmv_setops": em.q_kmv_setops,
+        "drift_report": em.q_drift_numeric,
+        "dedup_incr_probe": em.q_dedup_incremental,
+        "k_anonymity": em.q_privacy_kanon,
     }
 
     # Warm the JVM + parquet footer caches so the first timed query doesn't
