@@ -5991,6 +5991,64 @@ WHERE CAST(n_agree AS DOUBLE) / 16.0 >= 0.5
 """
 
 
+def q_kmv_by_group(spark, sf):
+    """Per-group KMV sketches (operators/kmv.py::kmv_estimate_by):
+    estimated distinct users per event_type (k=128) next to the exact
+    count — distinct (group, hash) shuffle + per-group top-k window,
+    no global sort, no collect."""
+    from dataingestion_spark.operators.kmv import kmv_estimate_by
+
+    ev = _t(spark, sf, "events")
+    est = kmv_estimate_by(ev, "user_id", "event_type", k=128)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return (est.join(exact, "event_type")
+            .select("event_type", "n_sample", F.round("est", 6).alias("est"),
+                    "n_exact"))
+
+
+def _oracle_kmv_by_group() -> str:
+    from dataingestion_spark.operators.kmv import kmv_estimate_by_sql
+
+    inner = kmv_estimate_by_sql("SELECT event_type, user_id FROM events",
+                                "user_id", "event_type", k=128)
+    return f"""
+SELECT e.event_type, e.n_sample, ROUND(e.est, 6) AS est, x.n_exact
+FROM ({inner}) e
+JOIN (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type) x USING (event_type)
+"""
+
+
+def q_io_orc_roundtrip(spark, sf):
+    """ORC interchange: write the events table to ORC (Spark-native
+    columnar alternate format), read it back, aggregate. The oracle runs
+    the same aggregate on the parquet source, so the check pins
+    write→read byte fidelity of values and timestamps through the ORC
+    path. Decimal-exact sums."""
+    import tempfile
+
+    ev = _t(spark, sf, "events")
+    path = tempfile.mkdtemp(prefix="orc_io_") + "/events_orc"
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                  .alias("sum_value"),
+                 F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")))
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM events GROUP BY event_type
+"""
+
+
 # --- privacy release gate (operators/privacy.py) ---------------------------
 
 def q_privacy_kanon(spark, sf):
@@ -6164,6 +6222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_token_loss_mask": q_sft_token_mask,
         "sketch_kmv_distinct": q_kmv_distinct,
         "sketch_kmv_setops": q_kmv_setops,
+        "sketch_kmv_by_group": q_kmv_by_group,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
         "dedup_incremental_probe": q_dedup_incremental,
         "privacy_k_anonymity": q_privacy_kanon,
         "drift_numeric_report": q_drift_numeric,
@@ -6344,6 +6404,8 @@ def oracle_sql() -> dict[str, str]:
         "sft_token_loss_mask": _oracle_sft_token_mask(),
         "sketch_kmv_distinct": _oracle_kmv_distinct(),
         "sketch_kmv_setops": _oracle_kmv_setops(),
+        "sketch_kmv_by_group": _oracle_kmv_by_group(),
+        "io_orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
         "dedup_incremental_probe": _oracle_dedup_incremental(),
         "privacy_k_anonymity": _oracle_privacy_kanon(),
         "drift_numeric_report": _oracle_drift_numeric(),

@@ -38,10 +38,12 @@ __all__ = [
     "kmv_estimate",
     "kmv_union_sample",
     "kmv_set_estimates",
+    "kmv_estimate_by",
     "kmv_hash_sql",
     "kmv_sample_sql",
     "kmv_estimate_sql",
     "kmv_set_estimates_sql",
+    "kmv_estimate_by_sql",
 ]
 
 _NCHARS = 13
@@ -141,6 +143,36 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     )
 
 
+def kmv_estimate_by(df: DataFrame, value_col: str, group_cols,
+                    k: int) -> DataFrame:
+    """Per-group distinct-count estimates: one row per group with
+    ``n_sample`` and ``est`` — the grouped form of sample+estimate.
+
+    Shape: distinct (group, hash) → window row_number per group (the
+    shuffle is on the group key; per-group state is the top-k only)
+    → filter rank ≤ k → per-group aggregate. No per-group collect, no
+    global sort: groups with < k distinct values report exactly."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    h = F.substring(F.md5(F.col(value_col).cast("string")), 1, _NCHARS)
+    d = (df.select(*group_cols, h.alias("h"))
+         .where(F.col("h").isNotNull()).distinct())
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    top = (d.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= k)
+           .select(*group_cols, _hex_long(F.col("h")).alias("hv")))
+    agg = top.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_sample"),
+        F.max("hv").alias("max_hv"))
+    est = (F.when(F.col("n_sample") < k, F.col("n_sample").cast("double"))
+           .otherwise(F.lit(float(k - 1)) * F.lit(_SPACE) / F.col("max_hv")))
+    return agg.select(*group_cols, "n_sample", est.alias("est"))
+
+
 # --- DuckDB twins ----------------------------------------------------------
 
 def kmv_hash_sql(value_expr: str, nchars: int = _NCHARS) -> tuple[str, str]:
@@ -207,4 +239,30 @@ SELECT CAST(n_union AS DOUBLE) * ({_SPACE} / theta_hv) AS est_union,
        CAST(n_diff_a AS DOUBLE) * ({_SPACE} / theta_hv) AS est_diff_a,
        n_union, n_intersect
 FROM cnt
+"""
+
+def kmv_estimate_by_sql(values_sql: str, value_expr: str, group_cols,
+                        k: int) -> str:
+    """DuckDB twin of :func:`kmv_estimate_by`."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    gc = ", ".join(group_cols)
+    hexpr, hv = kmv_hash_sql(value_expr)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {gc}, {hexpr} AS h FROM ({values_sql})
+  WHERE {value_expr} IS NOT NULL
+),
+top AS (
+  SELECT {gc}, {hv} AS hv
+  FROM (SELECT {gc}, h,
+               ROW_NUMBER() OVER (PARTITION BY {gc} ORDER BY h) AS rk
+        FROM d)
+  WHERE rk <= {k}
+)
+SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n_sample,
+       CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE CAST({float(k - 1)} AS DOUBLE) * {_SPACE} / MAX(hv) END AS est
+FROM top
+GROUP BY {gc}
 """

@@ -76,3 +76,22 @@ def test_nulls_are_ignored(spark):
     df = spark.createDataFrame([Row(v="x"), Row(v=None), Row(v="y")])
     est = kmv_estimate(kmv_sample(df, "v", k=8), k=8).collect()[0]
     assert est.n_sample == 2 and est.est == 2.0
+
+
+def test_group_estimates_match_global_for_single_group(spark):
+    from dataingestion_spark.operators.kmv import kmv_estimate_by
+    xs = [f"u{i}" for i in range(3000)]
+    df = spark.createDataFrame([Row(g="a", v=x) for x in xs])
+    row = kmv_estimate_by(df, "v", "g", k=128).collect()[0]
+    glob = kmv_estimate(kmv_sample(df, "v", k=128), k=128).collect()[0]
+    assert (row.n_sample, row.est) == (glob.n_sample, glob.est)
+
+
+def test_group_estimates_are_independent(spark):
+    from dataingestion_spark.operators.kmv import kmv_estimate_by
+    rows = ([Row(g="small", v=f"s{i}") for i in range(10)]
+            + [Row(g="big", v=f"b{i}") for i in range(2000)])
+    df = spark.createDataFrame(rows)
+    got = {r.g: r for r in kmv_estimate_by(df, "v", "g", k=64).collect()}
+    assert got["small"].est == 10.0           # unsaturated → exact
+    assert abs(got["big"].est - 2000) / 2000 < 0.5
