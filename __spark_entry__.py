@@ -6049,6 +6049,28 @@ FROM events GROUP BY event_type
 """
 
 
+def q_bm25_indexed(spark, sf):
+    """BM25 over a PERSISTED inverted index (sinks/text_index.py): build
+    postings partitioned by term-hash bucket from most documents, append
+    the rest O(batch), then search — term selection becomes partition
+    pruning over ~|query terms|/64 of the postings. Scores are
+    bit-identical to the from-scratch bm25_topk, so the same SQL oracle
+    pins build→append→prune→search."""
+    import tempfile
+
+    from dataingestion_spark.sinks.text_index import (
+        append_text_index, search_text_index, write_text_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="text_idx_") + "/idx"
+    write_text_index(docs.filter(F.col("doc_id") % 5 != 0), path)
+    append_text_index(docs.filter(F.col("doc_id") % 5 == 0), path)
+    out = search_text_index(spark, path, _bm25_queries_df(spark), k=10)
+    return out.select("query_id", "rank", "doc_id",
+                      F.round("score", 6).alias("score_r"))
+
+
 # --- privacy release gate (operators/privacy.py) ---------------------------
 
 def q_privacy_kanon(spark, sf):
@@ -6288,6 +6310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
         "search_bm25": q_bm25,
+        "search_bm25_indexed": q_bm25_indexed,
         "search_hybrid_rrf": q_hybrid_rrf,
         "search_phrase_positions": q_phrase_search,
         "search_tfidf_top_terms": q_tfidf_top_terms,
@@ -6463,6 +6486,7 @@ def oracle_sql() -> dict[str, str]:
         "search_recall_at_k": _oracle_recall_ivf(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_bm25": ORACLE_BM25,
+        "search_bm25_indexed": ORACLE_BM25,
         "search_hybrid_rrf": ORACLE_HYBRID_RRF,
         "search_phrase_positions": ORACLE_PHRASE,
         "search_tfidf_top_terms": ORACLE_TFIDF,

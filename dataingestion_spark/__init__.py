@@ -138,6 +138,11 @@ from .sinks.manifest_store import (  # noqa: E402,F401
     table_stats,
 )
 from .sinks.matview import refresh as refresh_view  # noqa: E402,F401
+from .sinks.text_index import (  # noqa: E402,F401
+    append_text_index,
+    search_text_index,
+    write_text_index,
+)
 from .sinks.vector_index import (  # noqa: E402,F401
     append_ivf_index,
     build_ivf_index,
