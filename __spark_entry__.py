@@ -6071,6 +6071,74 @@ def q_bm25_indexed(spark, sf):
                       F.round("score", 6).alias("score_r"))
 
 
+def q_dedup_representatives(spark, sf):
+    """Quality-aware dedup survivors (dedup.select_representatives):
+    near-dup clusters keep their longest member (n_chars, ties → min id)
+    instead of the min-id canonical; singletons keep themselves. The
+    oracle recomputes clusters via recursive-CTE closure and applies the
+    same ranking."""
+    docs = _t(spark, sf, "documents")
+    clusters = dedup.neardup_clusters(docs, num_hashes=16, bands=4)
+    out = dedup.select_representatives(docs, clusters, "n_chars")
+    return out.select("doc_id", "cluster_id",
+                      F.col("quality").cast("long").alias("quality"), "keep")
+
+
+def _oracle_representatives() -> str:
+    return f"""
+WITH clusters AS ({_oracle_cluster()}),
+j AS (
+  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS cluster_id,
+         CAST(d.n_chars AS BIGINT) AS quality
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+SELECT doc_id, cluster_id, quality,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY quality DESC, doc_id) = 1) AS keep
+FROM j
+"""
+
+
+def q_vocab_coverage(spark, sf):
+    """Vocabulary coverage / OOV audit: vocab = top-500 corpus tokens
+    (count desc, token asc — deterministic), per-document OOV token
+    share. The vocab is a broadcast side; the per-doc pass is one
+    explode + left-semi-style membership aggregation."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n"), F.asc("tok")).limit(500)
+             .select("tok", F.lit(1).alias("_in_vocab")))
+    per_doc = (toks.join(F.broadcast(vocab), "tok", "left")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_tokens"),
+                    F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                     .cast("long").alias("n_oov")))
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"))
+
+
+ORACLE_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 500)),
+per AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+FROM per
+"""
+
+
 # --- privacy release gate (operators/privacy.py) ---------------------------
 
 def q_privacy_kanon(spark, sf):
@@ -6269,6 +6337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination_check": q_contamination,
         "dedup_embedding_pairs": q_emb_neardup,
         "dedup_cluster_canonical": q_dedup_clusters,
+        "dedup_representatives": q_dedup_representatives,
+        "doc_vocab_coverage": q_vocab_coverage,
         "dedup_semantic_clusters": q_semantic_dedup,
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
@@ -6449,6 +6519,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_contamination_check": ORACLE_CONTAMINATION,
         "dedup_embedding_pairs": ORACLE_EMB_NEARDUP,
         "dedup_cluster_canonical": _oracle_cluster(),
+        "dedup_representatives": _oracle_representatives(),
+        "doc_vocab_coverage": ORACLE_VOCAB_COVERAGE,
         "dedup_semantic_clusters": ORACLE_SEMANTIC_DEDUP,
         "doc_lm_perplexity": ORACLE_LM_PERPLEXITY,
         "doc_url_psl_domain": ORACLE_URL_PSL,

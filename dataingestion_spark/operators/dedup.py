@@ -1115,3 +1115,31 @@ def edit_distance_pairs(df: DataFrame, text_col: str, id_col: str,
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def select_representatives(docs: DataFrame, clusters: DataFrame,
+                           quality_col: str, id_col: str = "doc_id",
+                           canonical_col: str = "canonical_id") -> DataFrame:
+    """Quality-aware survivor selection after near-dup clustering: keep the
+    highest-``quality_col`` member of each cluster (ties → smallest id)
+    instead of the arbitrary min-id canonical — the curation policy large
+    corpus pipelines actually want (keep the longest / highest-scoring
+    crawl of a page, drop the rest).
+
+    ``clusters`` is :func:`neardup_clusters` output (docs absent from it
+    are singletons and keep themselves). One left join on the id + one
+    window rank per cluster — both shuffles are on bounded keys. Output:
+    every input doc with its ``cluster_id``, ``quality``, and ``keep``.
+    """
+    from pyspark.sql import Window
+
+    joined = (docs.select(id_col, F.col(quality_col).alias("quality"))
+              .join(clusters.select(id_col, canonical_col), id_col, "left")
+              .withColumn("cluster_id",
+                          F.coalesce(F.col(canonical_col), F.col(id_col)))
+              .drop(canonical_col))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"),
+                                                 F.asc(id_col))
+    return (joined.withColumn("_rk", F.row_number().over(w))
+            .withColumn("keep", (F.col("_rk") == 1).cast("boolean"))
+            .drop("_rk"))

@@ -57,3 +57,22 @@ def test_guard_rejects_degenerate_cap(spark):
     docs = _boilerplate_corpus(spark, n_boiler=0, n_normal=3)
     with pytest.raises(ValueError, match="max_band_size"):
         minhash_lsh_pairs(docs, max_band_size=1).collect()
+
+
+def test_select_representatives_keeps_best_quality(spark):
+    from pyspark.sql import Row
+    from dataingestion_spark.operators.dedup import select_representatives
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, q=10), Row(doc_id=2, q=30), Row(doc_id=3, q=30),
+         Row(doc_id=9, q=5)])  # 9 is a singleton
+    clusters = spark.createDataFrame(
+        [Row(doc_id=1, canonical_id=1), Row(doc_id=2, canonical_id=1),
+         Row(doc_id=3, canonical_id=1)])
+    out = {r.doc_id: r for r in
+           select_representatives(docs, clusters, "q").collect()}
+    # best quality 30 tie between 2 and 3 -> smaller id 2 wins
+    assert out[2].keep is True
+    assert out[1].keep is False and out[3].keep is False
+    assert out[9].keep is True and out[9].cluster_id == 9
+    assert all(out[i].cluster_id == 1 for i in (1, 2, 3))
