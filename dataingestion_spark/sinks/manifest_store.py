@@ -276,7 +276,26 @@ def _manifest_meta(manifest: Dict) -> Dict:
         # table schema as StructField jsonValues, widened commit-by-commit;
         # [] on pre-schema manifests (reads fall back to footer merging)
         "schema": list(manifest.get("schema", [])),
+        # writer-app -> highest applied epoch: the idempotent-retry guard
+        # for streaming foreachBatch sinks (Delta's txn appId/version)
+        "txn": dict(manifest.get("txn", {})),
     }
+
+
+def _txn_applied(manifest: Dict, txn) -> bool:
+    """True if this (app, epoch) already committed — the retried micro-batch
+    must be skipped, not re-applied."""
+    if txn is None:
+        return False
+    app, epoch = txn
+    last = manifest.get("txn", {}).get(str(app))
+    return last is not None and int(epoch) <= int(last)
+
+
+def _txn_record(meta: Dict, txn) -> None:
+    if txn is not None:
+        app, epoch = txn
+        meta["txn"][str(app)] = int(epoch)
 
 
 def _schema_union(meta: Dict, df: DataFrame) -> None:
@@ -367,7 +386,7 @@ def _read_files(spark, table: str, manifest: Dict,
     )
 
 
-def write_table(records: DataFrame, table: str) -> int:
+def write_table(records: DataFrame, table: str, txn=None) -> int:
     """Full (over)write as version 0... n+1; returns the committed version."""
     from .vector_store import _require_local_path
 
@@ -383,7 +402,8 @@ def write_table(records: DataFrame, table: str) -> int:
         table, version, buckets, expected_current=cv,
         extra={"seq": {n: version for names in buckets.values() for n in names},
                "stats": stats,
-               "schema": records.schema.jsonValue()["fields"]},
+               "schema": records.schema.jsonValue()["fields"],
+               **({"txn": {str(txn[0]): int(txn[1])}} if txn else {})},
     )
     return version
 
@@ -444,23 +464,32 @@ def _candidate_files(table: str, doc_ids: List[str],
     return out
 
 
-def incremental_replace(records: DataFrame, table: str, mode: str = "rewrite") -> int:
+def incremental_replace(records: DataFrame, table: str, mode: str = "rewrite",
+                        txn=None) -> int:
     """Replace-by-documentid. ``mode="rewrite"`` (default) rewrites only the
     buckets containing replaced documents — O(changed-buckets); every other
     bucket's files are reused by reference. ``mode="dv"`` appends the new
     rows plus an equality deletion vector in ONE commit — O(batch) even for
-    huge buckets; run :func:`compact` to materialise. Returns the version."""
+    huge buckets; run :func:`compact` to materialise. Returns the version.
+
+    ``txn=(app_id, epoch)`` makes the commit idempotent under retries: a
+    replace whose epoch is <= the app's last committed epoch is a no-op
+    returning the current version — exactly-once table contents for a
+    foreachBatch sink that re-runs failed micro-batches."""
     if mode not in ("rewrite", "dv"):
         raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     spark = records.sparkSession
     if current_version(table) is None:
-        return write_table(records, table)
+        return write_table(records, table, txn=txn)
     if mode == "dv":
-        return _replace_with_dv(records, table)
+        return _replace_with_dv(records, table, txn=txn)
 
     records = records.withColumn("doc_bucket", _bucket_col())
     manifest = read_manifest(table)
+    if _txn_applied(manifest, txn):
+        return manifest["version"]
     meta = _manifest_meta(manifest)
+    _txn_record(meta, txn)
     affected = sorted(
         str(r[0]) for r in records.select("doc_bucket").distinct().collect()
     )
@@ -491,14 +520,17 @@ def incremental_replace(records: DataFrame, table: str, mode: str = "rewrite") -
                    extra=_prune_meta(meta, buckets))
 
 
-def _replace_with_dv(records: DataFrame, table: str) -> int:
+def _replace_with_dv(records: DataFrame, table: str, txn=None) -> int:
     """Append new rows + a deletion vector for their documentids in one
     commit. New data files and the delete files share the commit's sequence
     number; deletes apply only to files with seq STRICTLY below, so the new
     rows survive while every older copy of those documents dies."""
     records = records.withColumn("doc_bucket", _bucket_col())
     manifest = read_manifest(table)
+    if _txn_applied(manifest, txn):
+        return manifest["version"]
     meta = _manifest_meta(manifest)
+    _txn_record(meta, txn)
     version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
     _schema_union(meta, records)
@@ -545,7 +577,7 @@ def delete_documents(spark, table: str, doc_ids: List[str]) -> int:
                    extra=_prune_meta(meta, buckets))
 
 
-def append_table(records: DataFrame, table: str) -> int:
+def append_table(records: DataFrame, table: str, txn=None) -> int:
     """Append-only commit for documents known to be new: adds files to the
     affected buckets WITHOUT reading or rewriting existing ones — O(batch)
     regardless of table size. This is what accumulates small files per
@@ -554,7 +586,10 @@ def append_table(records: DataFrame, table: str) -> int:
         return write_table(records, table)
     records = records.withColumn("doc_bucket", _bucket_col())
     manifest = read_manifest(table)
+    if _txn_applied(manifest, txn):
+        return manifest["version"]
     meta = _manifest_meta(manifest)
+    _txn_record(meta, txn)
     version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
     _schema_union(meta, records)

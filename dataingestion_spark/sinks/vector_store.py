@@ -120,7 +120,8 @@ def write_vector_table(chunks_df: DataFrame, path: str,
 def write_vector_table_versioned(chunks_df: DataFrame, path: str,
                                  embed: Optional[Callable[[Column], Column]] = None,
                                  incremental: bool = False,
-                                 deterministic_keys: bool = False) -> int:
+                                 deterministic_keys: bool = False,
+                                 txn=None) -> int:
     """Vector table on the manifest store (``manifest_store.py``): versioned
     commits, O(changed-buckets) incremental replace, time travel. The
     production-shaped writer; returns the committed version."""
@@ -128,8 +129,8 @@ def write_vector_table_versioned(chunks_df: DataFrame, path: str,
 
     records = build_vector_records(chunks_df, embed, deterministic_keys)
     if incremental:
-        return ms.incremental_replace(records, path)
-    return ms.write_table(records, path)
+        return ms.incremental_replace(records, path, txn=txn)
+    return ms.write_table(records, path, txn=txn)
 
 
 def read_vector_table_versioned(spark, path: str, version: Optional[int] = None) -> DataFrame:

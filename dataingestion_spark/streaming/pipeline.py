@@ -94,9 +94,13 @@ def stream_ingest(spark, input_dir: str, table_path: str,
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        # one versioned O(changed-buckets) commit per micro-batch
+        # one versioned O(changed-buckets) commit per micro-batch; the
+        # (app, epoch) txn makes retried micro-batches no-ops, so the
+        # table contents are exactly-once even under at-least-once
+        # foreachBatch delivery (Delta's txn appId/version pattern)
         write_vector_table_versioned(batch_df, table_path, incremental=True,
-                                     deterministic_keys=True)
+                                     deterministic_keys=True,
+                                     txn=("stream_ingest", epoch_id))
 
     return (
         chunks.writeStream.outputMode("append")

@@ -447,3 +447,47 @@ def test_table_stats_metadata_only(spark, tmp_path):
     assert s["n_rows_known"] == 3 and s["stats_coverage"] == 1.0
     assert s["n_delete_vectors"] == 1 and s["buckets_with_deletes"] == 1
     assert s["version"] == ms.current_version(table)
+
+
+def test_txn_guard_skips_retried_epoch(spark, tmp_path):
+    """foreachBatch retry semantics: replaying an (app, epoch) that already
+    committed is a no-op — same version, same contents."""
+    table = str(tmp_path / "txn1")
+    ms.write_table(records_df(spark, {"a": ["v1"]}), table, txn=("app", 0))
+    v1 = ms.incremental_replace(records_df(spark, {"b": ["v1"]}), table,
+                                txn=("app", 1))
+    # retry of epoch 1 (same or stale content — must not matter)
+    v2 = ms.incremental_replace(records_df(spark, {"b": ["GHOST"]}), table,
+                                txn=("app", 1))
+    assert v2 == v1
+    got = {r.documentid: r.content for r in ms.read_table(spark, table).collect()}
+    assert got == {"a": "v1", "b": "v1"}
+    # epoch 2 applies normally
+    v3 = ms.incremental_replace(records_df(spark, {"b": ["v2"]}), table,
+                                txn=("app", 2))
+    assert v3 == v1 + 1
+    got = {r.documentid: r.content for r in ms.read_table(spark, table).collect()}
+    assert got["b"] == "v2"
+
+
+def test_txn_guard_is_per_app(spark, tmp_path):
+    table = str(tmp_path / "txn2")
+    ms.write_table(records_df(spark, {"a": ["x"]}), table, txn=("app1", 5))
+    # a DIFFERENT app at a lower epoch is independent and applies
+    v = ms.append_table(records_df(spark, {"b": ["y"]}), table, txn=("app2", 0))
+    assert ms.read_table(spark, table).count() == 2
+    # app1 replaying epoch 5 skips
+    assert ms.append_table(records_df(spark, {"c": ["z"]}), table,
+                           txn=("app1", 5)) == v
+    assert ms.read_table(spark, table).count() == 2
+
+
+def test_txn_guard_dv_mode(spark, tmp_path):
+    table = str(tmp_path / "txn3")
+    ms.write_table(records_df(spark, {"a": ["v1"]}), table)
+    v1 = ms.incremental_replace(records_df(spark, {"a": ["v2"]}), table,
+                                mode="dv", txn=("s", 1))
+    assert ms.incremental_replace(records_df(spark, {"a": ["v3"]}), table,
+                                  mode="dv", txn=("s", 1)) == v1
+    got = [r.content for r in ms.read_table(spark, table).collect()]
+    assert got == ["v2"]
