@@ -177,9 +177,11 @@ def test_round3_continuation_plan_shapes(spark):
     s = plan_summary(em.queries()["dedup_representatives"](spark, sf))
     assert s["nested_loop_joins"] == 0
 
-    # SFT offsets: exactly one exchange (the conv_id window shuffle)
+    # SFT offsets: exactly one exchange (the conv_id window shuffle).
+    # plan_summary counts the formatted output, which names each exchange
+    # twice (tree line + details header) — so one shuffle == 2 hits.
     s = plan_summary(em.queries()["sft_render_offsets"](spark, sf))
-    assert s["exchanges"] <= 1
+    assert s["exchanges"] <= 2
 
     # privacy gate reads only the projected columns
     s = plan_summary(em.queries()["privacy_k_anonymity"](spark, sf))
