@@ -1422,6 +1422,38 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_events_asof_forward(spark, sf):
+    """Forward as-of with a staleness bound: for each error, the EARLIEST
+    click at-or-after it by the same user within 2 hours
+    (asof_join(direction='forward', tolerance=...) — the kdb/pandas
+    direction the backward query can't express). Ties pick the min value
+    row, mirrored by the lateral min in the oracle."""
+    import pandas as pd
+
+    from dataingestion_spark.operators.temporal import asof_join
+
+    _utc(spark)
+    e = _events(spark, sf)
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(errors, clicks, on="user_id", right_cols=["value"],
+                    direction="forward", tolerance=pd.Timedelta(hours=2))
+    return out.select("user_id", "event_id", "ts", "ts_right", "value_right")
+
+
+ORACLE_ASOF_FORWARD = """
+WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT l.user_id, l.event_id, l.ts, m.ts AS ts_right, m.value AS value_right
+FROM l LEFT JOIN LATERAL (
+  SELECT r.ts, r.value FROM r
+  WHERE r.user_id = l.user_id AND r.ts >= l.ts
+    AND r.ts <= l.ts + INTERVAL 2 HOUR
+  ORDER BY r.ts, r.value LIMIT 1
+) m ON true
+"""
+
+
 def q_events_range_join(spark, sf):
     """Clicks landing in the 30 minutes after each purchase by the same user
     — a point-in-interval (range) join. Spark would plan the raw inequality
@@ -6285,6 +6317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": q_events_json_stats,
         "lineitem_quantiles": q_lineitem_quantiles,
         "events_asof_join": q_events_asof_join,
+        "events_asof_forward": q_events_asof_forward,
         "events_range_join": q_events_range_join,
         "events_moving_sum": q_events_moving_sum,
         "events_gapfill_locf": q_events_gapfill,
@@ -6472,6 +6505,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_stats": ORACLE_JSON,
         "lineitem_quantiles": ORACLE_QUANTILES,
         "events_asof_join": ORACLE_ASOF,
+        "events_asof_forward": ORACLE_ASOF_FORWARD,
         "events_range_join": ORACLE_RANGE_JOIN,
         "events_moving_sum": ORACLE_MOVING,
         "events_gapfill_locf": ORACLE_GAPFILL,

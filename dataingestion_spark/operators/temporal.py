@@ -21,10 +21,21 @@ from pyspark.sql import types as T
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: List[str] | None = None,
-              suffix: str = "_right") -> DataFrame:
-    """For every left row: columns of the latest right row with
-    ``right.ts <= left.ts`` within the same ``on`` key (backward as-of,
-    inclusive — ANSI/DuckDB ASOF JOIN semantics); nulls when no such row."""
+              suffix: str = "_right", direction: str = "backward",
+              tolerance=None) -> DataFrame:
+    """For every left row: columns of the matching right row within the
+    same ``on`` key; nulls when no such row.
+
+    ``direction`` (the pandas/kdb vocabulary): ``"backward"`` — latest
+    right row with ``right.ts <= left.ts`` (inclusive, ANSI/DuckDB ASOF
+    JOIN semantics; ties pick the max by the value tiebreak);
+    ``"forward"`` — earliest right row with ``right.ts >= left.ts`` (ties
+    pick the min); ``"nearest"`` — whichever side is closer (backward
+    wins exact ties, per pandas). ``tolerance`` (a ``pd.Timedelta`` for
+    timestamps, a number for numeric ts) bounds the match distance —
+    the feature-store staleness limit."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     out_fields = list(left.schema.fields)
     rs = {f.name: f.dataType for f in right.schema.fields}
@@ -67,7 +78,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         )
         merged = pd.merge_asof(
             lpdf, rpdf, left_on=left_ts, right_on=right_ts + suffix,
-            direction="backward",
+            direction=direction, tolerance=tolerance,
         )
         if len(lnull):
             merged = pd.concat([merged[out_cols], no_match(lnull)], ignore_index=True)

@@ -1119,3 +1119,28 @@ def test_edit_distance_pairs_lossless_vs_bruteforce(spark):
     want = sorted((i, j, lev(a, b)) for (i, a), (j, b) in combinations(rows, 2)
                   if lev(a, b) <= 2)
     assert got == want
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    import pandas as pd
+    from pyspark.sql import Row
+    from dataingestion_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([Row(k="u", i=1, ts=10.0), Row(k="u", i=2, ts=50.0)])
+    right = spark.createDataFrame(
+        [Row(k="u", ts=12.0, v=1.0), Row(k="u", ts=12.0, v=2.0),
+         Row(k="u", ts=40.0, v=3.0)])
+    fwd = {r.i: (r.ts_right, r.v_right)
+           for r in asof_join(left, right, on="k", direction="forward").collect()}
+    assert fwd[1] == (12.0, 1.0)       # earliest >= 10; tie -> min v
+    assert fwd[2] == (None, None)      # nothing at/after 50
+    near = {r.i: r.ts_right
+            for r in asof_join(left, right, on="k", direction="nearest").collect()}
+    assert near[1] == 12.0 and near[2] == 40.0
+    tol = {r.i: r.ts_right
+           for r in asof_join(left, right, on="k", direction="backward",
+                              tolerance=5.0).collect()}
+    assert tol[2] is None              # 50-40=10 > 5 -> stale, no match
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        asof_join(left, right, on="k", direction="sideways")
