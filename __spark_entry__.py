@@ -3179,6 +3179,71 @@ def q_pagerank_nations(spark, sf):
     )
 
 
+def q_ppr_nations(spark, sf):
+    """PERSONALIZED PageRank (operators/graph.py::pagerank(seeds=...)):
+    teleport mass confined to the EUROPE nations — "how relevant is each
+    trading partner to Europe's neighborhood", the crawl-frontier /
+    related-items scoring. Same deterministic fold; the oracle unrolls
+    the seeded iteration with per-node teleport."""
+    from dataingestion_spark.operators.graph import pagerank
+
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    seeds = (n.join(r, n.n_regionkey == r.r_regionkey)
+             .filter(F.col("r_name") == "EUROPE")
+             .select(F.col("n_nationkey").alias("node")))
+    ranks = pagerank(edges, iters=3, seeds=seeds)
+    return ranks.join(n, ranks.node == n.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.round("rank", 12).alias("rank_r")
+    )
+
+
+def _oracle_ppr() -> str:
+    it = """
+c{i} AS (SELECT e.dst, list_reduce(list(r.rank / e.odeg ORDER BY e.src), (a, b) -> a + b) AS inr
+        FROM e JOIN r{p} r ON e.src = r.node GROUP BY e.dst),
+r{i} AS (SELECT nodes.node,
+               (CASE WHEN nodes.is_seed
+                     THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / ns
+                     ELSE CAST(0.0 AS DOUBLE) END)
+               + CAST(0.85 AS DOUBLE) * coalesce(c{i}.inr, CAST(0.0 AS DOUBLE)) AS rank
+        FROM nodes CROSS JOIN sn LEFT JOIN c{i} ON nodes.node = c{i}.dst),
+"""
+    iters = "".join(it.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+WITH e0 AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey),
+seeds AS (SELECT n.n_nationkey AS node FROM nation n
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'),
+nodes AS (SELECT node, EXISTS (SELECT 1 FROM seeds s WHERE s.node = q.node) AS is_seed
+          FROM (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)) q),
+sn AS (SELECT COUNT(*) AS ns FROM seeds),
+od AS (SELECT src, COUNT(*) AS odeg FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, od.odeg FROM e0 JOIN od USING (src)),
+r0 AS (SELECT node, CASE WHEN is_seed THEN CAST(1.0 AS DOUBLE) / ns
+                         ELSE CAST(0.0 AS DOUBLE) END AS rank
+       FROM nodes CROSS JOIN sn),
+{iters}
+final AS (SELECT node, rank FROM r3)
+SELECT n.n_name AS nation, round(f.rank, 12) AS rank_r
+FROM final f JOIN nation n ON f.node = n.n_nationkey
+"""
+
+
 def _oracle_pagerank() -> str:
     it = """
 c{i} AS (SELECT e.dst, list_reduce(list(r.rank / e.odeg ORDER BY e.src), (a, b) -> a + b) AS inr
@@ -6379,6 +6444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_script_profile": q_script_profile,
         "dedup_boilerplate_lines": q_boilerplate_lines,
         "graph_pagerank_nations": q_pagerank_nations,
+        "graph_ppr_europe": q_ppr_nations,
         "graph_triangle_count": q_triangle_count,
         "doc_char_entropy": q_char_entropy,
         "doc_compression_ratio": q_compression_ratio,
@@ -6562,6 +6628,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_script_profile": _oracle_script_profile(),
         "dedup_boilerplate_lines": ORACLE_BOILERPLATE,
         "graph_pagerank_nations": _oracle_pagerank(),
+        "graph_ppr_europe": _oracle_ppr(),
         "graph_triangle_count": ORACLE_TRIANGLES,
         "doc_char_entropy": ORACLE_CHAR_ENTROPY,
         "sample_dsir_weights": _oracle_dsir(),

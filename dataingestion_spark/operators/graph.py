@@ -38,11 +38,19 @@ from pyspark.sql import DataFrame, functions as F
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 5, damping: float = 0.85,
-             checkpoint: bool = True) -> DataFrame:
+             checkpoint: bool = True, seeds: DataFrame = None,
+             seed_col: str = "node") -> DataFrame:
     """Ranks for every node appearing in ``edges`` → ``(node, rank)``.
 
     ``edges`` is a distinct directed edge list; duplicate edges should be
-    deduped by the caller (each duplicate adds weight)."""
+    deduped by the caller (each duplicate adds weight).
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala 2002): the
+    teleport mass lands only on the seed set (uniformly), and the walk
+    starts there — the crawl-frontier / related-items scoring where
+    relevance means "close to these nodes", not globally central. Seeds
+    are broadcast (a seed set is small by definition); ranks of nodes
+    unreachable from the seeds converge to 0."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -51,6 +59,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
+    if seeds is not None:
+        seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+        ns = seed_nodes.count()
+        if ns == 0:
+            raise ValueError("seeds is empty")
+        nodes = nodes.join(
+            F.broadcast(seed_nodes.withColumn("_is_seed", F.lit(True))),
+            "node", "left",
+        ).select("node", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
+        if checkpoint:
+            nodes = nodes.localCheckpoint(eager=True)
     outdeg = edges.groupBy(src).agg(F.count("*").alias("_outdeg"))
     # edges carry their src outdegree so each round is one join + one agg
     e = edges.join(outdeg, src).select(
@@ -58,8 +77,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
     if checkpoint:
         e = e.localCheckpoint(eager=True)
-    base = F.lit((1.0 - damping) / n)
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if seeds is None:
+        base = F.lit((1.0 - damping) / n)
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    else:
+        seed_mass = F.when(F.col("_is_seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
+        base = F.when(F.col("_is_seed"),
+                      F.lit((1.0 - damping) / ns)).otherwise(F.lit(0.0))
+        ranks = nodes.select("node", seed_mass.alias("rank"))
     for _ in range(iters):
         contribs = e.join(
             ranks, e["_src"] == ranks["node"]
@@ -78,7 +103,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         ).select(
             "node",
             (base + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias("rank"),
-        )
+        )  # base is per-node when personalized (seed columns ride `nodes`)
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -60,3 +60,32 @@ def test_triangle_count_k4_plus_pendant(spark):
     )
     got = sorted(tuple(r) for r in triangle_count(edges).collect())
     assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]  # pendant excluded
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    from pyspark.sql import Row
+    from dataingestion_spark.operators.graph import pagerank
+
+    # two disconnected 2-cycles; seed only in the first
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=1),
+         Row(src=10, dst=11), Row(src=11, dst=10)])
+    seeds = spark.createDataFrame([Row(node=1)])
+    ranks = {r.node: r.rank for r in
+             pagerank(edges, iters=8, seeds=seeds).collect()}
+    assert ranks[1] > 0.4 and ranks[2] > 0.3    # mass stays in the seed cycle
+    assert ranks[10] == 0.0 and ranks[11] == 0.0  # unreachable from seeds
+    # global pagerank spreads everywhere instead
+    g = {r.node: r.rank for r in pagerank(edges, iters=8).collect()}
+    assert g[10] > 0.2
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    import pytest
+    from pyspark.sql import Row
+    from dataingestion_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([Row(src=1, dst=2)])
+    seeds = spark.createDataFrame([Row(node=1)]).filter("node > 5")
+    with pytest.raises(ValueError):
+        pagerank(edges, seeds=seeds)
