@@ -6437,6 +6437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": q_dedup_clusters,
         "dedup_representatives": q_dedup_representatives,
         "doc_vocab_coverage": q_vocab_coverage,
+        "doc_span_corruption": q_span_corruption,
         "dedup_semantic_clusters": q_semantic_dedup,
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
@@ -6621,6 +6622,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": _oracle_cluster(),
         "dedup_representatives": _oracle_representatives(),
         "doc_vocab_coverage": ORACLE_VOCAB_COVERAGE,
+        "doc_span_corruption": _oracle_span_corruption(),
         "dedup_semantic_clusters": ORACLE_SEMANTIC_DEDUP,
         "doc_lm_perplexity": ORACLE_LM_PERPLEXITY,
         "doc_url_psl_domain": ORACLE_URL_PSL,
@@ -6720,3 +6722,21 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_ivf_pq": _oracle_topk_ivf_pq(_COS_SQL),
         "streaming_session_windows": ORACLE_STREAM_SESSIONS,
     }
+
+
+def q_span_corruption(spark, sf):
+    """T5-style span corruption (operators/augment.py): deterministic
+    hash-picked spans replaced by sentinels in the input and collected in
+    the target — the denoising-objective data prep as ONE window pass per
+    doc, expression-only, bit-identical across engines."""
+    from dataingestion_spark.operators.augment import span_corruption
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return span_corruption(docs, mask_rate=0.15, span_len=3, salt="r3")
+
+
+def _oracle_span_corruption() -> str:
+    from dataingestion_spark.operators.augment import span_corruption_sql
+
+    return span_corruption_sql("SELECT doc_id, text FROM documents WHERE doc_id < 300",
+                               mask_rate=0.15, span_len=3, salt="r3")

@@ -82,6 +82,7 @@ from .operators.dedup_index import (  # noqa: E402,F401
     probe_minhash_index,
     write_minhash_index,
 )
+from .operators.augment import span_corruption  # noqa: E402,F401
 from .operators.privacy import (  # noqa: E402,F401
     anonymity_groups,
     k_anonymity_report,
