@@ -6438,6 +6438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "doc_vocab_coverage": q_vocab_coverage,
         "doc_span_corruption": q_span_corruption,
+        "doc_prefix_lm_split": q_prefix_lm,
+        "search_hard_negatives": q_hard_negatives,
         "dedup_semantic_clusters": q_semantic_dedup,
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
@@ -6623,6 +6625,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_representatives": _oracle_representatives(),
         "doc_vocab_coverage": ORACLE_VOCAB_COVERAGE,
         "doc_span_corruption": _oracle_span_corruption(),
+        "doc_prefix_lm_split": _oracle_prefix_lm(),
+        "search_hard_negatives": ORACLE_HARD_NEGATIVES,
         "dedup_semantic_clusters": ORACLE_SEMANTIC_DEDUP,
         "doc_lm_perplexity": ORACLE_LM_PERPLEXITY,
         "doc_url_psl_domain": ORACLE_URL_PSL,
@@ -6740,3 +6744,53 @@ def _oracle_span_corruption() -> str:
 
     return span_corruption_sql("SELECT doc_id, text FROM documents WHERE doc_id < 300",
                                mask_rate=0.15, span_len=3, salt="r3")
+
+
+def q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining (similarity.hard_negatives): for
+    each anchor embedding, the top-5 most similar vectors with a
+    DIFFERENT label — the negatives a contrastive loss learns from.
+    Exact two-phase ranking; label inequality as a residual filter on
+    the one corpus scan."""
+    from dataingestion_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(e, anchors, k=5)
+    return out.select("query_id", "rank", "vec_id",
+                      F.round("score", 6).alias("score_r"))
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         {_COS_SQL.format(a="e.embedding", b="q.qv")} AS score
+  FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlabel)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS score_r FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+def q_prefix_lm(spark, sf):
+    """UL2/prefix-LM split (operators/augment.py::prefix_lm_split):
+    deterministic hash-picked boundary in [0.5, 0.9] of each doc's
+    tokens, integer-only math, expression-only (no window, no UDF)."""
+    from dataingestion_spark.operators.augment import prefix_lm_split
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    return prefix_lm_split(docs, salt="r3")
+
+
+def _oracle_prefix_lm() -> str:
+    from dataingestion_spark.operators.augment import prefix_lm_split_sql
+
+    return prefix_lm_split_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 400", salt="r3")

@@ -82,7 +82,7 @@ from .operators.dedup_index import (  # noqa: E402,F401
     probe_minhash_index,
     write_minhash_index,
 )
-from .operators.augment import span_corruption  # noqa: E402,F401
+from .operators.augment import prefix_lm_split, span_corruption  # noqa: E402,F401
 from .operators.privacy import (  # noqa: E402,F401
     anonymity_groups,
     k_anonymity_report,
@@ -130,7 +130,7 @@ from .operators.text_analysis import (  # noqa: E402,F401
     script_profile,
 )
 from .operators.bpe_train import train_bpe_distributed  # noqa: E402,F401
-from .operators.similarity import recall_at_k  # noqa: E402,F401
+from .operators.similarity import hard_negatives, recall_at_k  # noqa: E402,F401
 from .operators.graph import pagerank, triangle_count  # noqa: E402,F401
 from .operators.urls import parse_robots, robots_disallowed  # noqa: E402,F401
 from .sinks.manifest_store import (  # noqa: E402,F401

@@ -148,3 +148,79 @@ SELECT doc_id, input_text,
        n_tokens, n_masked, n_spans
 FROM agg
 """
+
+
+def prefix_lm_split(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", min_frac: float = 0.5,
+                    max_frac: float = 0.9, salt: str = "") -> DataFrame:
+    """UL2 S-denoiser / prefix-LM pairs: split each document's token
+    stream at a deterministic hash-picked boundary in
+    ``[min_frac, max_frac]`` — input = prefix (bidirectional context),
+    target = continuation. Integer-only boundary math
+    (``lo + hash % (hi - lo + 1)``) so every engine cuts at the same
+    token; expression-only, not even a window."""
+    if not 0.0 < min_frac <= max_frac < 1.0:
+        raise ValueError("need 0 < min_frac <= max_frac < 1")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    hv = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_HEXLEN)),
+            lambda i: F.instr(F.lit("0123456789abcdef"),
+                              F.substring(
+                                  F.md5(F.concat(F.lit(f"{salt}|"),
+                                                 F.col(id_col).cast("string"))),
+                                  i, 1)) - 1),
+        F.lit(0).cast("long"), lambda acc, d: acc * 16 + d)
+    lo = F.greatest(F.lit(1), F.ceil(n.cast("double") * min_frac).cast("int"))
+    hi = F.least(n - 1, F.floor(n.cast("double") * max_frac).cast("int"))
+    lo2 = F.least(lo, hi)  # degenerate tiny docs collapse to one choice
+    cut = F.when(n >= 2, lo2 + (hv % (hi - lo2 + 1)).cast("int")).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.slice(toks, 1, cut), " ").alias("input_text"),
+        F.when(cut > 0, F.array_join(F.slice(toks, cut + 1, n - cut), " "))
+         .otherwise(F.array_join(toks, " ")).alias("target_text"),
+        n.cast("long").alias("n_tokens"),
+        cut.cast("long").alias("cut"),
+    )
+
+
+def prefix_lm_split_sql(src_sql: str, text_expr: str = "text",
+                        id_expr: str = "doc_id", min_frac: float = 0.5,
+                        max_frac: float = 0.9, salt: str = "") -> str:
+    """DuckDB twin of :func:`prefix_lm_split`."""
+    hexdigits = " ".join(
+        f"(instr('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+        for i in range(1, _HEXLEN + 1))
+    hv = None
+    # Horner fold: ((d1*16+d2)*16+d3)... — build the exact same integer
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(1, _HEXLEN + 1):
+        expr = (f"({expr} * 16 + (instr('0123456789abcdef', "
+                f"substr(h, {i}, 1)) - 1))")
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS doc_id,
+         regexp_split_to_array(trim({text_expr}), '\\s+') AS w,
+         md5('{salt}|' || CAST({id_expr} AS VARCHAR)) AS h
+  FROM ({src_sql})),
+calc AS (
+  SELECT doc_id, w, len(w) AS n, {expr} AS hv FROM base),
+cuts AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n >= 2 THEN
+           LEAST(GREATEST(1, CAST(ceil(CAST(n AS DOUBLE) * {min_frac}) AS INTEGER)),
+                 LEAST(n - 1, CAST(floor(CAST(n AS DOUBLE) * {max_frac}) AS INTEGER)))
+           + CAST(hv % (LEAST(n - 1, CAST(floor(CAST(n AS DOUBLE) * {max_frac}) AS INTEGER))
+                  - LEAST(GREATEST(1, CAST(ceil(CAST(n AS DOUBLE) * {min_frac}) AS INTEGER)),
+                          LEAST(n - 1, CAST(floor(CAST(n AS DOUBLE) * {max_frac}) AS INTEGER))) + 1) AS INTEGER)
+         ELSE 0 END AS cut
+  FROM calc)
+SELECT doc_id,
+       array_to_string(list_slice(w, 1, cut), ' ') AS input_text,
+       CASE WHEN cut > 0 THEN array_to_string(list_slice(w, cut + 1, n), ' ')
+            ELSE array_to_string(w, ' ') END AS target_text,
+       CAST(n AS BIGINT) AS n_tokens, CAST(cut AS BIGINT) AS cut
+FROM cuts
+"""

@@ -636,3 +636,27 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int,
             F.col("n_hit") / F.least(F.lit(k), F.col("n_exact")),
         )
     )
+
+
+def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 10,
+                   corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                   label_col: str = "label", query_id: str = "query_id",
+                   query_vec: str = "query_vec",
+                   query_label: str = "query_label") -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the top-k most
+    cosine-similar corpus vectors whose label DIFFERS from the anchor's —
+    the negatives that actually move a contrastive loss (near the anchor,
+    wrong class), vs. easy random negatives.
+
+    Same two-phase exact ranking as :func:`topk_cosine` (anchors
+    broadcast, per-partition local top-k, global rank over survivors);
+    the label inequality rides the scored frame as a residual filter, so
+    the corpus is scanned once whatever the anchor count."""
+    scored = corpus.crossJoin(F.broadcast(anchors)).filter(
+        F.col(label_col) != F.col(query_label)
+    ).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    return _rank_topk(scored, k, query_id, corpus_id)

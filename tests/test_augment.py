@@ -84,3 +84,21 @@ def test_validation(spark):
         span_corruption(_df(spark, [TEXT]), mask_rate=0.0)
     with pytest.raises(ValueError):
         span_corruption(_df(spark, [TEXT]), span_len=0)
+
+
+def test_prefix_lm_split_properties(spark):
+    from dataingestion_spark.operators.augment import prefix_lm_split
+
+    texts = [TEXT, "a b", "single"]
+    out = {r.doc_id: r for r in prefix_lm_split(_df(spark, texts)).collect()}
+    # reconstruction: input + " " + target == original (when cut > 0)
+    r = out[0]
+    assert 0 < r.cut < r.n_tokens
+    assert f"{r.input_text} {r.target_text}" == TEXT
+    assert r.cut >= r.n_tokens * 0.5 - 1 and r.cut <= r.n_tokens * 0.9 + 1
+    # two-token doc: the only valid cut is 1
+    assert out[1].cut == 1 and out[1].input_text == "a" and out[1].target_text == "b"
+    # single token: no valid prefix -> cut 0, everything is target
+    assert out[2].cut == 0 and out[2].input_text == "" and out[2].target_text == "single"
+    with pytest.raises(ValueError):
+        prefix_lm_split(_df(spark, texts), min_frac=0.9, max_frac=0.5)

@@ -250,3 +250,21 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert got[10] > got[11]  # target-like doc gets the higher weight
     sel = {r.doc_id: r.selected for r in dsir_select(w, n=1).collect()}
     assert sel == {10: True, 11: False}
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from pyspark.sql import Row
+    from dataingestion_spark.operators.similarity import hard_negatives
+
+    rows = [Row(vec_id=i, embedding=[1.0, float(i) / 10], label=i % 2)
+            for i in range(10)]
+    corpus = spark.createDataFrame(rows)
+    anchors = spark.createDataFrame(
+        [Row(query_id=0, query_vec=[1.0, 0.0], query_label=0)])
+    out = hard_negatives(corpus, anchors, k=3).collect()
+    assert len(out) == 3
+    labels = {r.vec_id % 2 for r in out}
+    assert labels == {1}                     # only the other class
+    assert [r.rank for r in out] == [1, 2, 3]
+    # nearest odd vector to [1, 0] is vec 1 ([1.0, 0.1])
+    assert out[0].vec_id == 1
