@@ -84,8 +84,10 @@ def write_minhash_index(df: DataFrame, path: str, text_col: str = "text",
     the text never leaves the scan."""
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     sigs = sigs.localCheckpoint(eager=False)
+    # repartition on (band, id): parallelism scales with the corpus
+    # instead of capping at `bands` tasks; files stay band_key-sorted
     (signature_bands(sigs, id_col, num_hashes, bands)
-     .repartition("band").sortWithinPartitions("band_key")
+     .repartition("band", id_col).sortWithinPartitions("band", "band_key")
      .write.mode("overwrite").partitionBy("band")
      .parquet(os.path.join(path, "bands")))
     sigs.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
@@ -103,7 +105,7 @@ def append_minhash_index(df: DataFrame, path: str,
                              meta["num_hashes"], meta["shingle_n"])
     sigs = sigs.localCheckpoint(eager=False)
     (signature_bands(sigs, id_col, meta["num_hashes"], meta["bands"])
-     .repartition("band").sortWithinPartitions("band_key")
+     .repartition("band", id_col).sortWithinPartitions("band", "band_key")
      .write.mode("append").partitionBy("band")
      .parquet(os.path.join(path, "bands")))
     sigs.write.mode("append").parquet(os.path.join(path, "signatures"))
@@ -140,9 +142,11 @@ def probe_minhash_index(batch: DataFrame, path: str, text_col: str = "text",
     agree = F.size(F.filter(
         F.zip_with("sig_b", "sig_c", lambda x, y: x == y),
         lambda eq: eq))
-    out = (cand
-           .join(F.broadcast(batch_sigs), "batch_id")
-           .join(corpus_sigs, "corpus_id")
+    # candidates (batch-sized) stay the broadcast side of BOTH joins so
+    # the big stored-signature table is scanned once and never shuffled
+    small = cand.join(F.broadcast(batch_sigs), "batch_id")
+    out = (corpus_sigs
+           .join(F.broadcast(small), "corpus_id")
            .withColumn("n_agree", agree.cast("int"))
            .withColumn("est_jaccard",
                        F.col("n_agree").cast("double") / F.lit(float(nh))))

@@ -61,7 +61,12 @@ def _write(docs: DataFrame, path: str, text_col: str, id_col: str,
                             F.explode(words).alias("term"))
                 .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
                 .withColumn("tb", _term_bucket(F.col("term"))))
-    (postings.repartition("tb").sortWithinPartitions("term")
+    # repartition carries doc_id so write parallelism tracks the cluster
+    # (repartition("tb") alone would cap the job at 64 tasks forever);
+    # partitionBy still routes rows to their bucket directory, and the
+    # within-task sort keeps every output file term-ordered for
+    # row-group-stat pruning.
+    (postings.repartition("tb", "doc_id").sortWithinPartitions("tb", "term")
      .write.mode(mode).partitionBy("tb")
      .parquet(os.path.join(path, "postings")))
     (docs.select(F.col(id_col).alias("doc_id"), F.size(words).alias("dl"))
