@@ -110,6 +110,8 @@ def main():
         "drift_report": em.q_drift_numeric,
         "dedup_incr_probe": em.q_dedup_incremental,
         "k_anonymity": em.q_privacy_kanon,
+        "bm25_indexed": em.q_bm25_indexed,
+        "span_corruption": em.q_span_corruption,
     }
 
     # Warm the JVM + parquet footer caches so the first timed query doesn't
