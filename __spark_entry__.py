@@ -6436,6 +6436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_emb_neardup,
         "dedup_cluster_canonical": q_dedup_clusters,
         "dedup_representatives": q_dedup_representatives,
+        "dedup_cluster_split": q_cluster_split,
         "doc_vocab_coverage": q_vocab_coverage,
         "doc_span_corruption": q_span_corruption,
         "doc_prefix_lm_split": q_prefix_lm,
@@ -6623,6 +6624,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": ORACLE_EMB_NEARDUP,
         "dedup_cluster_canonical": _oracle_cluster(),
         "dedup_representatives": _oracle_representatives(),
+        "dedup_cluster_split": _oracle_cluster_split(),
         "doc_vocab_coverage": ORACLE_VOCAB_COVERAGE,
         "doc_span_corruption": _oracle_span_corruption(),
         "doc_prefix_lm_split": _oracle_prefix_lm(),
@@ -6794,3 +6796,32 @@ def _oracle_prefix_lm() -> str:
 
     return prefix_lm_split_sql(
         "SELECT doc_id, text FROM documents WHERE doc_id < 400", salt="r3")
+
+
+def q_cluster_split(spark, sf):
+    """Leakage-safe splitting (sharding.cluster_aware_split): near-dup
+    clusters share a split because the hash key is the cluster id —
+    the decontamination-by-construction a per-doc split can't give.
+    The oracle recomputes the cluster closure and applies the identical
+    integer-threshold draw."""
+    from dataingestion_spark.operators.sharding import cluster_aware_split
+
+    docs = _t(spark, sf, "documents")
+    clusters = dedup.neardup_clusters(docs, num_hashes=16, bands=4)
+    out = cluster_aware_split(docs, clusters,
+                              weights={"train": 0.9, "valid": 0.05, "test": 0.05},
+                              salt="r3split")
+    return out.select("doc_id", "split")
+
+
+def _oracle_cluster_split() -> str:
+    from dataingestion_spark.operators.sharding import hash_split_sql
+
+    split = hash_split_sql("k", weights={"train": 0.9, "valid": 0.05, "test": 0.05},
+                           salt="r3split")
+    return f"""
+WITH clusters AS ({_oracle_cluster()}),
+j AS (SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS k
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+SELECT doc_id, {split} AS split FROM j
+"""

@@ -111,7 +111,7 @@ from .operators.sampling import (  # noqa: E402,F401
     uniform_sample_k,
     weighted_sample_k,
 )
-from .operators.sharding import curriculum_buckets, kfold_assign  # noqa: E402,F401
+from .operators.sharding import cluster_aware_split, curriculum_buckets, kfold_assign  # noqa: E402,F401
 from .operators.quality_checks import (  # noqa: E402,F401
     assert_constraints,
     check_constraints,

@@ -223,3 +223,24 @@ def curriculum_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
             r <= big_rows, F.floor((r - 1) / (q + 1)) + 1
         ).otherwise(rem + F.floor((r - 1 - big_rows) / q) + 1)
     return ranked.withColumn("bucket", bucket.cast("int")).drop("_rank")
+
+
+def cluster_aware_split(df: DataFrame, clusters: DataFrame,
+                        weights: Dict[str, float] | None = None,
+                        salt: str = "split", id_col: str = "doc_id",
+                        cluster_col: str = "canonical_id") -> DataFrame:
+    """Leakage-safe train/valid/test split: the assignment hashes the
+    near-dup CLUSTER id instead of the document id, so every member of a
+    duplicate cluster lands in the SAME split — a plain per-doc
+    ``hash_split`` puts one crawl of a page in train and its near-copy
+    in test, silently inflating eval scores.
+
+    ``clusters`` is ``dedup.neardup_clusters`` output; docs absent from
+    it are singletons and hash their own id. One left join + the same
+    exact integer-threshold draw as :func:`hash_split` (append-stable,
+    salt-redrawable)."""
+    joined = df.join(clusters.select(id_col, cluster_col), id_col, "left")
+    key = F.coalesce(F.col(cluster_col), F.col(id_col))
+    out = hash_split(joined.withColumn("_skey", key), id_col="_skey",
+                     weights=weights, salt=salt)
+    return out.drop("_skey", cluster_col)

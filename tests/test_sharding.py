@@ -91,3 +91,25 @@ def test_curriculum_buckets_monotone_in_score(spark):
         assert max(by_bucket[b]) <= min(by_bucket[b + 1])
     # equal-count (500 / 4)
     assert sorted(len(v) for v in by_bucket.values()) == [125, 125, 125, 125]
+
+
+def test_cluster_aware_split_keeps_neardups_together(spark):
+    from pyspark.sql import Row
+    from dataingestion_spark.operators.sharding import cluster_aware_split, hash_split
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=f"t{i}") for i in range(40)])
+    # every doc pairs with its +20 twin in one cluster
+    clusters = spark.createDataFrame(
+        [Row(doc_id=i, canonical_id=i % 20) for i in range(40)])
+    out = cluster_aware_split(docs, clusters, salt="s",
+                              weights={"train": 0.5, "test": 0.5}).collect()
+    split = {r.doc_id: r.split for r in out}
+    for i in range(20):
+        assert split[i] == split[i + 20], f"near-dups {i}/{i+20} separated"
+    # sanity: the plain per-doc split DOES separate at least one pair
+    plain = {r.doc_id: r.split
+             for r in hash_split(docs, weights={"train": 0.5, "test": 0.5},
+                                 salt="s").collect()}
+    assert any(plain[i] != plain[i + 20] for i in range(20))
+    # schema untouched apart from the split column
+    assert {r.doc_id for r in out} == set(range(40))
