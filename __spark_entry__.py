@@ -6532,6 +6532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counts": q_streaming_stateful,
         "streaming_session_windows": q_streaming_sessions,
         "streaming_dedup_ingest": q_streaming_dedup,
+        "streaming_exactly_once_ingest": q_exactly_once_ingest,
         "streaming_dedup_watermark": q_streaming_dedup_watermark,
         "streaming_interval_join": q_streaming_interval_join,
     }
@@ -6720,6 +6721,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,
         "multimodal_image_tiles": ORACLE_IMAGE_TILES,
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
+        "streaming_exactly_once_ingest": ORACLE_EXACTLY_ONCE,
         "streaming_dedup_watermark": ORACLE_STREAM_DEDUP_WM,
         "streaming_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
         "streaming_events_windowed": ORACLE_STREAM_WINDOWED,
@@ -6824,4 +6826,41 @@ WITH clusters AS ({_oracle_cluster()}),
 j AS (SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS k
       FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
 SELECT doc_id, {split} AS split FROM j
+"""
+
+
+def q_exactly_once_ingest(spark, sf):
+    """Exactly-once ingest under retried micro-batches (manifest-store txn
+    guard): epoch 0 writes the even docs, a RETRY of epoch 0 re-appends
+    the same batch (skipped — without the guard it would double them),
+    epoch 1 appends the odds, and its retry is skipped too. The output
+    pins total rows == distinct docs == |documents| and the version
+    counter stopping at 1 — the three facts that only hold if retries
+    are no-ops."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"), "text")
+    table = tempfile.mkdtemp(prefix="eo_ingest_") + "/t"
+    evens = docs.filter(F.col("documentid").cast("long") % 2 == 0)
+    odds = docs.filter(F.col("documentid").cast("long") % 2 == 1)
+    ms.write_table(evens, table, txn=("ingest", 0))
+    ms.append_table(evens, table, txn=("ingest", 0))   # retried epoch 0
+    ms.append_table(odds, table, txn=("ingest", 1))
+    ms.append_table(odds, table, txn=("ingest", 1))    # retried epoch 1
+    t = ms.read_table(spark, table)
+    return t.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("documentid").cast("long").alias("n_docs"),
+    ).withColumn("final_version",
+                 F.lit(ms.current_version(table)).cast("long"))
+
+
+ORACLE_EXACTLY_ONCE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(1 AS BIGINT) AS final_version
+FROM documents
 """
