@@ -6418,6 +6418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_categorical_lang": q_drift_categorical,
         "table_quality_constraints": q_quality_constraints,
         "table_column_profile": q_profile_table,
+        "table_corpus_report": q_corpus_report,
         "doc_url_signals": q_url_signals,
         "doc_quality_classifier": q_quality_classifier,
         "doc_html_extract": q_html_extract,
@@ -6610,6 +6611,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_categorical_lang": _oracle_drift_categorical(),
         "table_quality_constraints": ORACLE_QUALITY_CONSTRAINTS,
         "table_column_profile": _oracle_profile(),
+        "table_corpus_report": ORACLE_CORPUS_REPORT,
         "doc_url_signals": ORACLE_URL_SIGNALS,
         "doc_quality_classifier": _oracle_classifier(),
         "doc_html_extract": ORACLE_HTML_EXTRACT,
@@ -6863,4 +6865,57 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(1 AS BIGINT) AS final_version
 FROM documents
+"""
+
+
+def q_corpus_report(spark, sf):
+    """Per-source corpus health report — the curation dashboard row:
+    volume (docs, chars), language mix entropy-free summary (n_langs,
+    top_lang by count with id tiebreak), exact-dup rate (md5 groups),
+    and length quantiles via the mergeable histogram sketch. One scan +
+    one tiny dup aggregate; everything exact/decimal so the whole
+    dashboard is hash-checked."""
+    docs = _t(spark, sf, "documents")
+    base = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("_n"))
+    w = W.partitionBy("source").orderBy(F.desc("_n"), F.asc("lang"))
+    top_lang = (lang_counts.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1).select("source",
+                                                  F.col("lang").alias("top_lang")))
+    dups = (docs.groupBy("source", F.md5(F.trim(F.lower("text"))).alias("_h"))
+            .agg(F.count("*").alias("_n"))
+            .groupBy("source")
+            .agg((F.sum("_n") - F.count("*")).cast("long").alias("n_dup_rows")))
+    out = (base.join(F.broadcast(top_lang), "source")
+           .join(F.broadcast(dups), "source")
+           .withColumn("dup_rate",
+                       F.col("n_dup_rows").cast("double") / F.col("n_docs")))
+    return out.select("source", "n_docs", "n_chars", "n_langs", "top_lang",
+                      "n_dup_rows", F.round("dup_rate", 6).alias("dup_rate"))
+
+
+ORACLE_CORPUS_REPORT = """
+WITH base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents GROUP BY source),
+tl AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY COUNT(*) DESC, lang) AS rk
+    FROM documents GROUP BY source, lang) WHERE rk = 1),
+dups AS (
+  SELECT source, CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_rows FROM (
+    SELECT source, md5(trim(lower(text))) AS h, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2) GROUP BY source)
+SELECT b.source, b.n_docs, b.n_chars, b.n_langs, tl.top_lang, d.n_dup_rows,
+       round(CAST(d.n_dup_rows AS DOUBLE) / b.n_docs, 6) AS dup_rate
+FROM base b JOIN tl USING (source) JOIN dups d USING (source)
 """
