@@ -33,7 +33,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["span_corruption", "span_corruption_sql"]
+from .hashing import hex_prefix_long, horner_hex_sql
+
+__all__ = ["span_corruption", "span_corruption_sql",
+           "prefix_lm_split", "prefix_lm_split_sql"]
 
 _HEXLEN = 6  # 24 bits of hash — plenty of resolution for a mask threshold
 
@@ -163,15 +166,9 @@ def prefix_lm_split(df: DataFrame, text_col: str = "text",
         raise ValueError("need 0 < min_frac <= max_frac < 1")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
-    hv = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(_HEXLEN)),
-            lambda i: F.instr(F.lit("0123456789abcdef"),
-                              F.substring(
-                                  F.md5(F.concat(F.lit(f"{salt}|"),
-                                                 F.col(id_col).cast("string"))),
-                                  i, 1)) - 1),
-        F.lit(0).cast("long"), lambda acc, d: acc * 16 + d)
+    hv = hex_prefix_long(
+        F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+        _HEXLEN)
     lo = F.greatest(F.lit(1), F.ceil(n.cast("double") * min_frac).cast("int"))
     hi = F.least(n - 1, F.floor(n.cast("double") * max_frac).cast("int"))
     lo2 = F.least(lo, hi)  # degenerate tiny docs collapse to one choice
@@ -190,15 +187,7 @@ def prefix_lm_split_sql(src_sql: str, text_expr: str = "text",
                         id_expr: str = "doc_id", min_frac: float = 0.5,
                         max_frac: float = 0.9, salt: str = "") -> str:
     """DuckDB twin of :func:`prefix_lm_split`."""
-    hexdigits = " ".join(
-        f"(instr('0123456789abcdef', substr(h, {i}, 1)) - 1)"
-        for i in range(1, _HEXLEN + 1))
-    hv = None
-    # Horner fold: ((d1*16+d2)*16+d3)... — build the exact same integer
-    expr = "CAST(0 AS BIGINT)"
-    for i in range(1, _HEXLEN + 1):
-        expr = (f"({expr} * 16 + (instr('0123456789abcdef', "
-                f"substr(h, {i}, 1)) - 1))")
+    expr = horner_hex_sql("h", _HEXLEN)
     return f"""
 WITH base AS (
   SELECT {id_expr} AS doc_id,
@@ -218,7 +207,7 @@ cuts AS (
          ELSE 0 END AS cut
   FROM calc)
 SELECT doc_id,
-       array_to_string(list_slice(w, 1, cut), ' ') AS input_text,
+       COALESCE(array_to_string(list_slice(w, 1, cut), ' '), '') AS input_text,
        CASE WHEN cut > 0 THEN array_to_string(list_slice(w, cut + 1, n), ' ')
             ELSE array_to_string(w, ' ') END AS target_text,
        CAST(n AS BIGINT) AS n_tokens, CAST(cut AS BIGINT) AS cut

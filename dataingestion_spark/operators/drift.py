@@ -11,11 +11,16 @@ credit-risk teams popularized.
 Everything is ONE aggregation pass per side over explicit caller-fixed
 bin edges (no quantile pre-pass, no collect): bin id = a sum of
 ``x >= edge`` indicators (a handful of comparisons, expression-only),
-then a tiny bins×2 frame carries the arithmetic. Per-bin terms are
-IEEE-exact in both engines (integer counts, one division, one subtract,
-one multiply); the cross-bin sums go through ``decimal(38,18)`` so the
-result is independent of Spark's partial-aggregation order — the same
-trick the TPC-H aggregates here use.
+then a tiny bins×2 frame carries the arithmetic — including the totals,
+which come from a window sum over the joined histogram rather than a
+second scan of either snapshot. Per-bin terms are IEEE-exact in both
+engines (integer counts, a few correctly-rounded double ops); the
+cross-bin sums run as a SORTED fold over the collected bin list
+(``aggregate(array_sort(collect_list(...)))`` / ``list_reduce(list(...
+ORDER BY bin))``) so both engines add the same doubles in the same
+order — decimal casts are NOT order-independent across engines (Spark
+shortens the decimal string, DuckDB converts the exact binary value),
+which bit-flips the last ulp.
 
 TVD and chi-square are pure arithmetic and cross-engine exact. PSI needs
 ``ln``, whose last ulp is not guaranteed identical across libm
@@ -40,9 +45,6 @@ __all__ = [
     "categorical_drift_sql",
 ]
 
-_DEC = "decimal(38,18)"
-
-
 def bin_id(value: Column, edges: Sequence[float]) -> Column:
     """0-based bin index over explicit edges: bin b holds
     ``edges[b-1] <= x < edges[b]`` with underflow in bin 0 and overflow
@@ -61,14 +63,19 @@ def histogram_counts(df: DataFrame, value_col: str,
 
 
 def _joined_props(ha: DataFrame, hb: DataFrame) -> DataFrame:
-    na = ha.agg(F.sum("n").alias("tot")).select(F.col("tot").alias("tot_a"))
-    nb = hb.agg(F.sum("n").alias("tot")).select(F.col("tot").alias("tot_b"))
+    from pyspark.sql import Window
+
+    # totals from the joined (bins-sized) frame — the full outer join
+    # holds every row of both histograms, so a window sum is exact and
+    # each snapshot is scanned ONCE
     j = (ha.withColumnRenamed("n", "n_a")
          .join(hb.withColumnRenamed("n", "n_b"), "bin", "full")
          .select("bin",
                  F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
-                 F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"))
-         .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)))
+                 F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b")))
+    w = Window.partitionBy()
+    j = (j.withColumn("tot_a", F.sum("n_a").over(w))
+         .withColumn("tot_b", F.sum("n_b").over(w)))
     return j.withColumn("p_a", F.col("n_a").cast("double") / F.col("tot_a"))\
             .withColumn("p_b", F.col("n_b").cast("double") / F.col("tot_b"))
 
@@ -88,10 +95,17 @@ def drift_report(a: DataFrame, b: DataFrame, value_col: str,
     pa_s = F.col("p_a") + psi_eps
     pb_s = F.col("p_b") + psi_eps
     psi_term = (pa_s - pb_s) * (F.log(pa_s) - F.log(pb_s))
+
+    def bin_fold(term):
+        # sorted fold: both engines sum the identical doubles in bin order
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", term.alias("t")))),
+            F.lit(0.0), lambda acc, x: acc + x["t"])
+
     return j.agg(
-        (F.sum(gap.cast(_DEC)).cast("double") / 2).alias("tvd"),
-        F.sum(chi_term.cast(_DEC)).cast("double").alias("chi2"),
-        F.sum(psi_term.cast(_DEC)).cast("double").alias("psi"),
+        (bin_fold(gap) / 2).alias("tvd"),
+        bin_fold(chi_term).alias("chi2"),
+        bin_fold(psi_term).alias("psi"),
         F.count("*").cast("long").alias("n_bins_hit"),
         F.max(gap).alias("max_bin_gap"),
     )
@@ -105,20 +119,22 @@ def categorical_drift(a: DataFrame, b: DataFrame, cat_col: str) -> DataFrame:
         return (df.select(F.coalesce(F.col(cat_col), F.lit("∅")).alias("cat"))
                 .groupBy("cat").agg(F.count("*").cast("long").alias(out)))
 
+    from pyspark.sql import Window
+
     ca, cb = counts(a, "n_a"), counts(b, "n_b")
-    ta = ca.agg(F.sum("n_a").alias("tot_a"))
-    tb = cb.agg(F.sum("n_b").alias("tot_b"))
+    w = Window.partitionBy()
     j = (ca.join(cb, "cat", "full")
          .select("cat",
                  F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
                  F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"))
-         .crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+         .withColumn("tot_a", F.sum("n_a").over(w))   # totals from the joined
+         .withColumn("tot_b", F.sum("n_b").over(w))   # frame: one scan/side
          .withColumn("p_a", F.col("n_a").cast("double") / F.col("tot_a"))
          .withColumn("p_b", F.col("n_b").cast("double") / F.col("tot_b"))
          .withColumn("gap", F.abs(F.col("p_a") - F.col("p_b"))))
-    from pyspark.sql import Window
-    tvd = (F.sum(F.col("gap").cast(_DEC)).over(Window.partitionBy())
-           .cast("double") / 2)
+    # sorted fold over categories: identical IEEE sum order in both engines
+    ordered = F.array_sort(F.collect_list(F.struct("cat", F.col("gap").alias("g"))).over(w))
+    tvd = (F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x["g"]) / 2)
     return j.select("cat", "n_a", "n_b", "p_a", "p_b", "gap", tvd.alias("tvd"))
 
 
@@ -144,17 +160,20 @@ def drift_report_sql(a_sql: str, b_sql: str, value_expr: str,
     hb = histogram_counts_sql(b_sql, value_expr, edges)
     return f"""
 WITH ha AS ({ha}), hb AS ({hb}),
-tots AS (SELECT (SELECT SUM(n) FROM ha) AS tot_a, (SELECT SUM(n) FROM hb) AS tot_b),
-j AS (
+j0 AS (
   SELECT COALESCE(ha.bin, hb.bin) AS bin,
-         CAST(COALESCE(ha.n, 0) AS DOUBLE) / t.tot_a AS p_a,
-         CAST(COALESCE(hb.n, 0) AS DOUBLE) / t.tot_b AS p_b
-  FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin, tots t
-)
-SELECT CAST(SUM(CAST(ABS(p_a - p_b) AS DECIMAL(38,18))) AS DOUBLE) / 2 AS tvd,
-       CAST(SUM(CAST(CASE WHEN p_a + p_b > 0
+         CAST(COALESCE(ha.n, 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(hb.n, 0) AS BIGINT) AS n_b
+  FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+j AS (
+  SELECT bin,
+         CAST(n_a AS DOUBLE) / SUM(n_a) OVER () AS p_a,
+         CAST(n_b AS DOUBLE) / SUM(n_b) OVER () AS p_b
+  FROM j0)
+SELECT list_reduce(list(ABS(p_a - p_b) ORDER BY bin), (x, y) -> x + y) / 2 AS tvd,
+       list_reduce(list(CASE WHEN p_a + p_b > 0
                  THEN (p_a - p_b) * (p_a - p_b) / (p_a + p_b)
-                 ELSE 0 END AS DECIMAL(38,18))) AS DOUBLE) AS chi2,
+                 ELSE CAST(0.0 AS DOUBLE) END ORDER BY bin), (x, y) -> x + y) AS chi2,
        CAST(COUNT(*) AS BIGINT) AS n_bins_hit,
        MAX(ABS(p_a - p_b)) AS max_bin_gap
 FROM j
@@ -167,16 +186,19 @@ WITH ca AS (SELECT COALESCE({cat_expr}, '∅') AS cat, CAST(COUNT(*) AS BIGINT) 
             FROM ({a_sql}) GROUP BY 1),
 cb AS (SELECT COALESCE({cat_expr}, '∅') AS cat, CAST(COUNT(*) AS BIGINT) AS n_b
        FROM ({b_sql}) GROUP BY 1),
-tots AS (SELECT (SELECT SUM(n_a) FROM ca) AS tot_a, (SELECT SUM(n_b) FROM cb) AS tot_b),
-j AS (
+j0 AS (
   SELECT COALESCE(ca.cat, cb.cat) AS cat,
          CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
-         CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
-         CAST(COALESCE(n_a, 0) AS DOUBLE) / t.tot_a AS p_a,
-         CAST(COALESCE(n_b, 0) AS DOUBLE) / t.tot_b AS p_b
-  FROM ca FULL OUTER JOIN cb ON ca.cat = cb.cat, tots t
-)
-SELECT cat, n_a, n_b, p_a, p_b, ABS(p_a - p_b) AS gap,
-       CAST(SUM(CAST(ABS(p_a - p_b) AS DECIMAL(38,18))) OVER () AS DOUBLE) / 2 AS tvd
-FROM j
+         CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.cat = cb.cat),
+j AS (
+  SELECT cat, n_a, n_b,
+         CAST(n_a AS DOUBLE) / SUM(n_a) OVER () AS p_a,
+         CAST(n_b AS DOUBLE) / SUM(n_b) OVER () AS p_b
+  FROM j0),
+tv AS (
+  SELECT list_reduce(list(ABS(p_a - p_b) ORDER BY cat), (x, y) -> x + y) / 2 AS tvd
+  FROM j)
+SELECT cat, n_a, n_b, p_a, p_b, ABS(p_a - p_b) AS gap, tv.tvd
+FROM j, tv
 """

@@ -29,9 +29,9 @@ roll up without revisiting data.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import hex_prefix_long, horner_hex_sql
 
 __all__ = [
     "kmv_sample",
@@ -50,18 +50,10 @@ _NCHARS = 13
 _SPACE = float(1 << (4 * _NCHARS))  # 2^52
 
 
-def _hex_digit(col: Column) -> Column:
-    return F.instr(F.lit("0123456789abcdef"), col) - 1
-
-
 def _hex_long(h: Column, nchars: int = _NCHARS) -> Column:
-    """Numeric value of a lowercase hex prefix — a 13-term polynomial of
-    engine-agnostic string ops (no conv(), which DuckDB lacks)."""
-    terms = [
-        _hex_digit(F.substring(h, i + 1, 1)).cast("long") * (1 << (4 * (nchars - 1 - i)))
-        for i in range(nchars)
-    ]
-    return reduce(lambda a, b: a + b, terms)
+    """Numeric value of a lowercase hex prefix (shared canonical helper —
+    operators/hashing.py; no conv(), which DuckDB lacks)."""
+    return hex_prefix_long(h, nchars)
 
 
 def kmv_sample(df: DataFrame, value_col: str, k: int) -> DataFrame:
@@ -178,11 +170,7 @@ def kmv_estimate_by(df: DataFrame, value_col: str, group_cols,
 def kmv_hash_sql(value_expr: str, nchars: int = _NCHARS) -> tuple[str, str]:
     """(hex-prefix expr, numeric-value-of-h expr over a column named h)."""
     hexpr = f"substr(md5(CAST({value_expr} AS VARCHAR)), 1, {nchars})"
-    terms = " + ".join(
-        f"(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {1 << (4 * (nchars - 1 - i))}"
-        for i in range(nchars)
-    )
-    return hexpr, f"CAST({terms} AS BIGINT)"
+    return hexpr, f"CAST({horner_hex_sql('h', nchars)} AS BIGINT)"
 
 
 def kmv_sample_sql(values_sql: str, value_expr: str, k: int) -> str:

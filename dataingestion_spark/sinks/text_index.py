@@ -99,15 +99,18 @@ def search_text_index(spark, path: str, queries: DataFrame, k: int = 10,
         F.col(query_id_col),
         F.explode(F.array_distinct(F.split(F.trim(F.col(query_text_col)),
                                            _WS))).alias("term"))
+    doclens = spark.read.parquet(os.path.join(path, "doclens"))
     terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
     if not terms:
+        # empty schema mirrors the live one — doc_id keeps the INDEX's id
+        # type, not a hardcoded long
+        id_type = doclens.schema["doc_id"].dataType
         return (qterms.select(query_id_col)
                 .withColumn("rank", F.lit(0))
-                .withColumn("doc_id", F.lit(None).cast("long"))
+                .withColumn("doc_id", F.lit(None).cast(id_type))
                 .withColumn("score", F.lit(0.0)).limit(0))
     buckets = sorted({zlib.crc32(t.encode()) % _N_TERM_BUCKETS for t in terms})
 
-    doclens = spark.read.parquet(os.path.join(path, "doclens"))
     stats = doclens.agg(F.count("*").alias("n_docs"),
                         F.sum("dl").alias("sum_dl"))
     rel = (spark.read.parquet(os.path.join(path, "postings"))
