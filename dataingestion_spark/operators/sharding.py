@@ -30,13 +30,12 @@ _SPLIT_MOD = 1 << _SPLIT_BITS
 
 
 def _hex_to_long(h: Column, n_chars: int) -> Column:
-    """instr-based hex → integer (no conv(): DuckDB 1.0 lacks it, and the
-    same construction must run in the oracle). Digit decode shared with the
-    HLL sketch (`sketches._hex_val`)."""
-    acc = F.lit(0).cast("long")
-    for i in range(1, n_chars + 1):
-        acc = acc * 16 + _hex_val(F.substring(h, i, 1))
-    return acc
+    """instr-based hex → integer — the canonical copy lives in
+    operators/hashing.py (no conv(): DuckDB 1.0 lacks it, and the same
+    construction must run in the oracle)."""
+    from .hashing import hex_prefix_long
+
+    return hex_prefix_long(h, n_chars)
 
 
 def hash_split(df: DataFrame, id_col: str = "doc_id",
@@ -72,10 +71,10 @@ def hash_split_sql(id_col: str, weights: Dict[str, float] | None = None,
     """The ``split`` expression as SQL (DuckDB-compatible), term by term."""
     weights = weights or {"train": 0.98, "valid": 0.01, "test": 0.01}
     total = sum(weights.values())
+    from .hashing import horner_hex_sql
+
     h = f"md5(concat('{salt}:', CAST({id_col} AS VARCHAR)))"
-    acc = "0"
-    for i in range(1, _SPLIT_BITS // 4 + 1):
-        acc = f"({acc} * 16 + (instr('0123456789abcdef', substr({h}, {i}, 1)) - 1))"
+    acc = horner_hex_sql(h, _SPLIT_BITS // 4)
     case = "CASE"
     cum = 0.0
     items = list(weights.items())
@@ -119,9 +118,19 @@ def exclusive_prefix_sum(df: DataFrame, token_col: str,
     )
 
     def add_local_prior(batches):
+        import numpy as np
+
         run = 0
         for pdf in batches:
             c = pdf[token_col].to_numpy()
+            # a null token count arrives as NaN (pandas upcasts the int
+            # column) and would silently poison the cumsum, then crash
+            # int(sum) with an opaque worker traceback — fail with the
+            # actual cause instead
+            if np.isnan(c.astype("float64")).any():
+                raise ValueError(
+                    f"exclusive_prefix_sum: null value in {token_col!r}; "
+                    "filter or fill token counts before prefix-summing")
             pdf = pdf.assign(_local_prior=run + c.cumsum() - c)
             run += int(c.sum())
             yield pdf

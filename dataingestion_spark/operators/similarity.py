@@ -86,7 +86,9 @@ def norm_fixed(a: Column, dim: int) -> Column:
 
 
 def _hexval(h: Column, i: int) -> Column:
-    return F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+    from .hashing import hex_digit
+
+    return hex_digit(F.substring(h, i, 1))
 
 
 def plane_component(p: int, d: int) -> Column:
@@ -181,6 +183,25 @@ def _rank_topk(scored: DataFrame, k: int, query_id: str, corpus_id: str) -> Data
     )
 
 
+def _stride_centroid_rows(corpus: DataFrame, corpus_id: str, corpus_vec: str,
+                          n_centroids: int, n: int) -> DataFrame:
+    """Every ``stride``-th corpus row in ``corpus_id`` order, as
+    ``(centroid_id = 1-based global position, cvec)`` — identical output
+    to a global ``row_number`` but computed with the distributed
+    range-partitioned prefix sum, not a single-task global sort (the
+    row_number-over-no-partition trap collapses the whole corpus +
+    embeddings into one task)."""
+    from .sharding import exclusive_prefix_sum
+
+    stride = max(1, n // n_centroids)
+    base = corpus.select(corpus_id, corpus_vec).withColumn("_one", F.lit(1))
+    idx = exclusive_prefix_sum(base, "_one", order_cols=(corpus_id,))
+    return (idx.filter(F.col("_prior") % stride == 0)
+            .orderBy(F.asc("_prior")).limit(n_centroids)
+            .select((F.col("_prior") + 1).cast("int").alias("centroid_id"),
+                    F.col(corpus_vec).alias("cvec")))
+
+
 #: below this row count the whole k-means runs driver-side on the
 #: collected matrix (same math, no per-iteration Spark jobs); above it,
 #: Lloyd iterations are distributed and farthest-first seeding uses a
@@ -205,13 +226,17 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
 
     if init not in ("stride", "farthest"):
         raise ValueError(f"init must be 'stride' or 'farthest', got {init!r}")
+    n = corpus.count()
     rows = corpus.select(corpus_id, corpus_vec).orderBy(corpus_id).collect() \
-        if corpus.count() <= _DRIVER_KMEANS_CAP else None
+        if n <= _DRIVER_KMEANS_CAP else None
     if rows is not None:
         # small corpus: iterate driver-side on the collected matrix (exactly
-        # the same math, without iters× Spark jobs)
+        # the same math, without iters× Spark jobs). Zero-norm rows (padding
+        # / failed encodes) are clamped exactly like the distributed path —
+        # one NaN would otherwise poison every argmin.
         mat = np.array([r[1] for r in rows], dtype=np.float64)
-        normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        normed = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                                  1e-300)
         if init == "farthest":
             chosen = [0]  # first seed: lowest id (deterministic)
             best = normed @ normed[0]  # closest-seed similarity per vector
@@ -235,7 +260,6 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
 
     # large corpus: distributed iterations
     spark = corpus.sparkSession
-    n = corpus.count()
     if init == "farthest":
         # Gonzalez traversal on a DETERMINISTIC SAMPLE: one corpus scan
         # total for seeding, whatever C is. The earlier design scanned
@@ -266,12 +290,8 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
             best = np.maximum(best, snorm @ snorm[nxt])
         cents = [[float(x) for x in smat[i]] for i in chosen]
     else:
-        stride = max(1, n // n_centroids)
-        cent_rows = (
-            corpus.withColumn("rn", F.row_number().over(Window.orderBy(F.asc(corpus_id))))
-            .filter((F.col("rn") - 1) % stride == 0).limit(n_centroids)
-            .select(F.col(corpus_vec)).collect()
-        )
+        cent_rows = _stride_centroid_rows(corpus, corpus_id, corpus_vec,
+                                          n_centroids, n).select("cvec").collect()
         cents = [list(map(float, r[0])) for r in cent_rows]
     for _ in range(iters):
         cdf = spark.createDataFrame(
@@ -375,18 +395,8 @@ def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
         )
     else:
         n = corpus.count()
-        stride = max(1, n // n_centroids)
-        cents = (
-            corpus.withColumn(
-                "rn",
-                F.row_number().over(Window.orderBy(F.asc(corpus_id))),
-            )
-            .filter((F.col("rn") - 1) % stride == 0)
-            .limit(n_centroids)
-            .select(
-                F.col("rn").alias("centroid_id"), F.col(corpus_vec).alias("cvec")
-            )
-        )
+        cents = _stride_centroid_rows(corpus, corpus_id, corpus_vec,
+                                      n_centroids, n)
     assigned = ivf_assign(corpus, cents, corpus_id, corpus_vec, max_list_size)
     probe_w = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
     probes = (

@@ -11,7 +11,7 @@ formulation, if one user dominates).
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 

@@ -339,6 +339,15 @@ def _read_files(spark, table: str, manifest: Dict,
         if file_subset is None or n in file_subset
     ]
     if not names:
+        if meta["schema"]:
+            # a committed-but-empty version (or an all-pruned subset) is a
+            # legitimate state — surface it as an empty frame of the
+            # manifest schema, not an error
+            from pyspark.sql import types as T
+
+            st = T.StructType.fromJson({"type": "struct",
+                                        "fields": meta["schema"]})
+            return spark.createDataFrame([], st)
         raise FileNotFoundError(
             f"version {manifest['version']} of {table} has no matching files"
         )
@@ -583,7 +592,7 @@ def append_table(records: DataFrame, table: str, txn=None) -> int:
     regardless of table size. This is what accumulates small files per
     bucket; run :func:`compact` periodically."""
     if current_version(table) is None:
-        return write_table(records, table)
+        return write_table(records, table, txn=txn)
     records = records.withColumn("doc_bucket", _bucket_col())
     manifest = read_manifest(table)
     if _txn_applied(manifest, txn):
@@ -760,12 +769,23 @@ def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
                    extra=_prune_meta(meta, buckets))
 
 
-def vacuum(table: str, keep_versions: int = 1) -> List[str]:
+def vacuum(table: str, keep_versions: int = 1,
+           min_file_age_seconds: float = 86400.0) -> List[str]:
     """Delete files unreachable from the newest ``keep_versions`` manifests
     and drop manifests older than them. Versions ABOVE the live one (a
     racing writer's in-flight commit, or a crashed writer's orphan) are left
     untouched, files included — vacuum must never destroy a commit that may
-    be about to win the _CURRENT swap."""
+    be about to win the _CURRENT swap.
+
+    ``min_file_age_seconds`` (default 24 h, the Delta convention) protects
+    files YOUNGER than the window even when no manifest references them:
+    a concurrent writer fully writes its data files BEFORE claiming the
+    next manifest, and an unguarded vacuum in that gap would delete the
+    files out from under a commit that is about to succeed. Pass 0 only
+    when no other writer can be active. Files whose age cannot be
+    determined are kept."""
+    import time as _time
+
     be = backend_for(table)
     live = current_version(table)
     if live is None:
@@ -788,8 +808,16 @@ def vacuum(table: str, keep_versions: int = 1) -> List[str]:
             keep.update(names)  # deletion vectors are live files too
     removed = []
     files_dir = _join(table, "files")
+    now = _time.time()
     for name in be.list_dir(files_dir):
         if name not in keep and name.endswith(".parquet"):
+            if min_file_age_seconds > 0:
+                try:
+                    age = now - os.path.getmtime(os.path.join(files_dir, name))
+                except OSError:
+                    continue  # age unknown (remote backend): keep, stay safe
+                if age < min_file_age_seconds:
+                    continue
             be.delete(_join(files_dir, name))
             removed.append(name)
     for v in on_disk:
@@ -822,6 +850,22 @@ def table_diff(spark, table: str, v_from: int, v_to: Optional[int] = None) -> Da
 
     ins_t = F.lit("insert").alias("_change_type")
     del_t = F.lit("delete").alias("_change_type")
+
+    def align(x: DataFrame, y: DataFrame):
+        # schema may have WIDENED between the versions; conform both
+        # sides to the union of columns (missing -> typed nulls) so
+        # exceptAll/union never see a column-count mismatch
+        types = {f.name: f.dataType for f in y.schema.fields}
+        types.update({f.name: f.dataType for f in x.schema.fields})
+        cols = list(dict.fromkeys([*x.columns, *y.columns]))
+
+        def sel(df):
+            return df.select(*[
+                (F.col(c) if c in df.columns
+                 else F.lit(None).cast(types[c])).alias(c)
+                for c in cols])
+
+        return sel(x), sel(y)
     if files0 <= files1 and dels0 <= dels1:
         added = sorted(files1 - files0)
         inserts = (
@@ -836,6 +880,7 @@ def table_diff(spark, table: str, v_from: int, v_to: Optional[int] = None) -> Da
             # old-files-with-new-DVs
             old_now = _read_files(spark, table, m1, file_subset=files0)
             old_before = _read_files(spark, table, m0, file_subset=files0)
+            old_before, old_now = align(old_before, old_now)
             deletes = old_before.exceptAll(old_now)
         parts = []
         if inserts is not None:
@@ -847,11 +892,12 @@ def table_diff(spark, table: str, v_from: int, v_to: Optional[int] = None) -> Da
             return base.limit(0).select("*", ins_t)
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     before = read_table(spark, table, v_from)
     after = read_table(spark, table, v_to)
+    before, after = align(before, after)
     return (
         after.exceptAll(before).select("*", ins_t)
         .unionByName(before.exceptAll(after).select("*", del_t))

@@ -70,7 +70,7 @@ def main():
     print(f"time travel: v{v0} had {old} rows; live has {new}")
 
     ms.compact(spark, table, max_files_per_bucket=2)
-    removed = ms.vacuum(table, keep_versions=1)
+    removed = ms.vacuum(table, keep_versions=1, min_file_age_seconds=0)
     print(f"compact+vacuum: {len(removed)} unreachable files removed, "
           f"{n_files(table)} live")
 

@@ -152,7 +152,7 @@ def test_vacuum_through_backend(monkeypatch):
     be.put_atomic("mem://tbl/files/old.parquet", "DATA0")
     ms._commit(t, 1, {"0": ["new.parquet"]}, expected_current=0)
     be.put_atomic("mem://tbl/files/new.parquet", "DATA1")
-    removed = ms.vacuum(t, keep_versions=1)
+    removed = ms.vacuum(t, keep_versions=1, min_file_age_seconds=0)
     assert removed == ["old.parquet"]
     assert be.read_text("mem://tbl/files/new.parquet") == "DATA1"
     assert be.read_text("mem://tbl/files/old.parquet") is None

@@ -66,7 +66,7 @@ def test_vacuum_drops_unreachable_files(spark, tmp_path):
     ms.write_table(records_df(spark, {"x": ["x0"], "y": ["y0"]}), table)
     ms.incremental_replace(records_df(spark, {"x": ["x1"]}), table)
     files_before = set(os.listdir(os.path.join(table, "files")))
-    removed = ms.vacuum(table, keep_versions=1)
+    removed = ms.vacuum(table, keep_versions=1, min_file_age_seconds=0)
     files_after = set(os.listdir(os.path.join(table, "files")))
     assert set(removed) == files_before - files_after
     assert removed  # the replaced bucket's old file went away
@@ -174,7 +174,7 @@ def test_orphaned_manifest_does_not_wedge_table(spark, tmp_path):
     v = ms.incremental_replace(records_df(spark, {"a": ["a1"]}), table)
     assert v == 1
     assert {r.content for r in ms.read_table(spark, table).collect()} == {"a1"}
-    ms.vacuum(table, keep_versions=1)
+    ms.vacuum(table, keep_versions=1, min_file_age_seconds=0)
     assert ms.read_table(spark, table).count() == 1
 
 
@@ -244,7 +244,7 @@ def test_compact_materialises_deletion_vectors(spark, tmp_path):
     assert after == before
     assert "doc5-c0" not in after and "doc2-NEW" in after
     # vacuum now drops the obsolete delete files
-    ms.vacuum(table, keep_versions=1)
+    ms.vacuum(table, keep_versions=1, min_file_age_seconds=0)
     leftover = [f for f in os.listdir(os.path.join(table, "files"))
                 if f.startswith("del-")]
     assert leftover == []
