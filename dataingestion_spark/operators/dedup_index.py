@@ -68,13 +68,20 @@ def signature_bands(sigs: DataFrame, id_col: str, num_hashes: int,
 
 
 def _write_meta(path: str, meta: dict) -> None:
-    with open(os.path.join(path, _META), "w") as f:
-        json.dump(meta, f)
+    # through the commit-backend seam, not open(): the meta must live
+    # wherever the parquet lives (object stores included)
+    from ..sinks.commit_backend import backend_for
+
+    backend_for(path).put_atomic(f"{path.rstrip('/')}/{_META}", json.dumps(meta))
 
 
 def _read_meta(path: str) -> dict:
-    with open(os.path.join(path, _META)) as f:
-        return json.load(f)
+    from ..sinks.commit_backend import backend_for
+
+    text = backend_for(path).read_text(f"{path.rstrip('/')}/{_META}")
+    if text is None:
+        raise FileNotFoundError(f"no {_META} under {path} — not a MinHash index")
+    return json.loads(text)
 
 
 def write_minhash_index(df: DataFrame, path: str, text_col: str = "text",
