@@ -6283,7 +6283,8 @@ def q_drift_numeric(spark, sf):
     a = li.filter(F.col("l_orderkey") % 2 == 0)
     b = li.filter(F.col("l_orderkey") % 2 == 1)
     rep = drift_report(a, b, "l_extendedprice", _DRIFT_EDGES)
-    return rep.select("tvd", "chi2", "n_bins_hit", "max_bin_gap")
+    return rep.select("tvd", "chi2", "n_bins_hit", "max_bin_gap",
+                      "n_total_a", "n_total_b")
 
 
 def q_drift_categorical(spark, sf):

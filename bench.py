@@ -32,19 +32,17 @@ def main():
     from dataingestion_spark.sources.corpus import documents_to_markdown
     from dataingestion_spark.tokenizer import WordTokenizer
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("dataingestion-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        .getOrCreate()
+    # the engine's own tuned session (UTC, AQE+skew, Arrow, nanosAsLong,
+    # zstd) — a hand-built copy here had already drifted from it
+    from dataingestion_spark.session import get_spark
+
+    spark = get_spark(
+        "dataingestion-bench", cpus=cpus, shuffle_partitions=int(cpus),
+        driver_mem=os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch":
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -119,6 +119,30 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+
+
+def signature_bands(sigs: DataFrame, id_col: str, num_hashes: int,
+                    bands: int) -> DataFrame:
+    """(id, band, band_key) rows from a signature frame: band key = md5 of
+    the '|'-joined band slice. THE banding definition — the LSH self-join
+    and the persisted index (operators/dedup_index.py) both call this, so
+    the key derivation can never drift between them (a drifted copy makes
+    probes silently return zero candidates)."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    return sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.array_join(F.slice("signature", b * r + 1, r), "|"))
+                 .alias("band_key"),
+            ) for b in range(bands)
+        ])).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+
+
 def _prune_hot_bands(banded: DataFrame, max_band_size: Optional[int],
                      stats_out: Optional[dict] = None) -> DataFrame:
     """Hot-band skew guard for the LSH self-join: a band bucket of size s
@@ -162,26 +186,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     equi-join on (band_idx, band_key) — the only shuffle is on band keys, so
     the cost is O(docs × bands), independent of corpus text size.
     ``max_band_size`` arms the hot-band skew guard (:func:`_prune_hot_bands`)."""
-    if num_hashes % bands:
-        raise ValueError("bands must divide num_hashes")
-    r = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(F.slice("signature", b * r + 1, r), "|")
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_key")
+    banded = signature_bands(sigs, id_col, num_hashes, bands)
     # The self-join would recompute the whole shingle→signature pipeline for
     # each side; a local checkpoint materializes it once (tiny: bands×40B/doc).
     banded = banded.localCheckpoint(eager=False)

@@ -35,7 +35,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .dedup import minhash_signature
+from .dedup import minhash_signature, signature_bands
 
 __all__ = [
     "write_minhash_index",
@@ -45,26 +45,6 @@ __all__ = [
 ]
 
 _META = "_MINHASH_META.json"
-
-
-def signature_bands(sigs: DataFrame, id_col: str, num_hashes: int,
-                    bands: int) -> DataFrame:
-    """(id, band, band_key) rows from a signature frame — the same
-    banding as minhash_lsh_pairs (dedup.py:170): band key = md5 of the
-    '|'-joined band slice."""
-    if num_hashes % bands:
-        raise ValueError("bands must divide num_hashes")
-    r = num_hashes // bands
-    return sigs.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.array_join(F.slice("signature", b * r + 1, r), "|"))
-                 .alias("band_key"),
-            ) for b in range(bands)
-        ])).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_key")
 
 
 def _write_meta(path: str, meta: dict) -> None:

@@ -76,8 +76,16 @@ def _joined_props(ha: DataFrame, hb: DataFrame) -> DataFrame:
     w = Window.partitionBy()
     j = (j.withColumn("tot_a", F.sum("n_a").over(w))
          .withColumn("tot_b", F.sum("n_b").over(w)))
-    return j.withColumn("p_a", F.col("n_a").cast("double") / F.col("tot_a"))\
-            .withColumn("p_b", F.col("n_b").cast("double") / F.col("tot_b"))
+    # an EMPTY snapshot (source went dark) must read as p=0 for every
+    # bin — division by a zero total is NULL in both engines, and NULL
+    # would silently fold drift to "nothing happened"
+    # try_divide: NULL on a zero total in ANSI and non-ANSI sessions alike
+    return (j.withColumn("p_a", F.coalesce(
+                F.try_divide(F.col("n_a").cast("double"), F.col("tot_a")),
+                F.lit(0.0)))
+            .withColumn("p_b", F.coalesce(
+                F.try_divide(F.col("n_b").cast("double"), F.col("tot_b")),
+                F.lit(0.0))))
 
 
 def drift_report(a: DataFrame, b: DataFrame, value_col: str,
@@ -108,6 +116,9 @@ def drift_report(a: DataFrame, b: DataFrame, value_col: str,
         bin_fold(psi_term).alias("psi"),
         F.count("*").cast("long").alias("n_bins_hit"),
         F.max(gap).alias("max_bin_gap"),
+        # totals ride along so an outage (tot=0, tvd=0.5) is attributable
+        F.max("tot_a").cast("long").alias("n_total_a"),
+        F.max("tot_b").cast("long").alias("n_total_b"),
     )
 
 
@@ -129,8 +140,12 @@ def categorical_drift(a: DataFrame, b: DataFrame, cat_col: str) -> DataFrame:
                  F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"))
          .withColumn("tot_a", F.sum("n_a").over(w))   # totals from the joined
          .withColumn("tot_b", F.sum("n_b").over(w))   # frame: one scan/side
-         .withColumn("p_a", F.col("n_a").cast("double") / F.col("tot_a"))
-         .withColumn("p_b", F.col("n_b").cast("double") / F.col("tot_b"))
+         .withColumn("p_a", F.coalesce(
+             F.try_divide(F.col("n_a").cast("double"), F.col("tot_a")),
+             F.lit(0.0)))
+         .withColumn("p_b", F.coalesce(
+             F.try_divide(F.col("n_b").cast("double"), F.col("tot_b")),
+             F.lit(0.0)))
          .withColumn("gap", F.abs(F.col("p_a") - F.col("p_b"))))
     # sorted fold over categories: identical IEEE sum order in both engines
     ordered = F.array_sort(F.collect_list(F.struct("cat", F.col("gap").alias("g"))).over(w))
@@ -167,15 +182,18 @@ j0 AS (
   FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
 j AS (
   SELECT bin,
-         CAST(n_a AS DOUBLE) / SUM(n_a) OVER () AS p_a,
-         CAST(n_b AS DOUBLE) / SUM(n_b) OVER () AS p_b
+         COALESCE(CAST(n_a AS DOUBLE) / SUM(n_a) OVER (), CAST(0.0 AS DOUBLE)) AS p_a,
+         COALESCE(CAST(n_b AS DOUBLE) / SUM(n_b) OVER (), CAST(0.0 AS DOUBLE)) AS p_b,
+         SUM(n_a) OVER () AS tot_a, SUM(n_b) OVER () AS tot_b
   FROM j0)
 SELECT list_reduce(list(ABS(p_a - p_b) ORDER BY bin), (x, y) -> x + y) / 2 AS tvd,
        list_reduce(list(CASE WHEN p_a + p_b > 0
                  THEN (p_a - p_b) * (p_a - p_b) / (p_a + p_b)
                  ELSE CAST(0.0 AS DOUBLE) END ORDER BY bin), (x, y) -> x + y) AS chi2,
        CAST(COUNT(*) AS BIGINT) AS n_bins_hit,
-       MAX(ABS(p_a - p_b)) AS max_bin_gap
+       MAX(ABS(p_a - p_b)) AS max_bin_gap,
+       CAST(MAX(tot_a) AS BIGINT) AS n_total_a,
+       CAST(MAX(tot_b) AS BIGINT) AS n_total_b
 FROM j
 """
 
@@ -193,8 +211,8 @@ j0 AS (
   FROM ca FULL OUTER JOIN cb ON ca.cat = cb.cat),
 j AS (
   SELECT cat, n_a, n_b,
-         CAST(n_a AS DOUBLE) / SUM(n_a) OVER () AS p_a,
-         CAST(n_b AS DOUBLE) / SUM(n_b) OVER () AS p_b
+         COALESCE(CAST(n_a AS DOUBLE) / SUM(n_a) OVER (), CAST(0.0 AS DOUBLE)) AS p_a,
+         COALESCE(CAST(n_b AS DOUBLE) / SUM(n_b) OVER (), CAST(0.0 AS DOUBLE)) AS p_b
   FROM j0),
 tv AS (
   SELECT list_reduce(list(ABS(p_a - p_b) ORDER BY cat), (x, y) -> x + y) / 2 AS tvd

@@ -162,6 +162,9 @@ def _write_view(df: DataFrame, view_path: str, manifest: Dict,
     visible *before* the meta swap, and a crash in between let the next
     refresh fold appended files into a snapshot that already contained
     them (silent double counting)."""
+    # the VIEW artifact is local-FS by design (single-file swap via
+    # os.replace is its crash-atomicity mechanism); the base TABLE is the
+    # portable object — recompute views next to the compute tier
     os.makedirs(view_path, exist_ok=True)
     meta = _read_meta(view_path)
     gen = (meta or {}).get("gen", -1) + 1

@@ -54,14 +54,21 @@ def build_ivf_index(corpus: DataFrame, path: str, n_centroids: int = 16,
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(os.path.join(path, "lists"))
     )
-    with open(os.path.join(path, "centroids.json"), "w") as fh:
-        json.dump([[int(c), list(map(float, v))] for c, v in cents], fh)
+    from .commit_backend import backend_for
+
+    backend_for(path).put_atomic(
+        f"{path.rstrip('/')}/centroids.json",
+        json.dumps([[int(c), list(map(float, v))] for c, v in cents]))
     return len(cents)
 
 
 def load_centroids(path: str) -> List[Centroid]:
-    with open(os.path.join(path, "centroids.json")) as fh:
-        return [(int(c), [float(x) for x in v]) for c, v in json.load(fh)]
+    from .commit_backend import backend_for
+
+    text = backend_for(path).read_text(f"{path.rstrip('/')}/centroids.json")
+    if text is None:
+        raise FileNotFoundError(f"no centroids.json under {path}")
+    return [(int(c), [float(x) for x in v]) for c, v in json.loads(text)]
 
 
 def search_ivf_index(spark: SparkSession, path: str, queries: DataFrame,

@@ -56,6 +56,8 @@ def events_stream_schema(spark, events_dir: str,
     and normalize_event_ts converts either representation. Falls back to
     EVENTS_SCHEMA when the probe fails (e.g. empty input dir before the
     first file lands)."""
+    from pyspark.errors import AnalysisException
+
     try:
         probed = (
             spark.read.option("pathGlobFilter", glob).parquet(events_dir).schema
@@ -64,8 +66,15 @@ def events_stream_schema(spark, events_dir: str,
             [probed[f.name] if f.name in probed.fieldNames() else f
              for f in EVENTS_SCHEMA.fields]
         )
-    except Exception:
-        return EVENTS_SCHEMA
+    except AnalysisException as e:
+        # only the documented fallback case: nothing to probe yet. Any
+        # OTHER failure (e.g. TIMESTAMP(NANOS) without nanosAsLong) must
+        # surface here, where the message is actionable — swallowing it
+        # just moves the crash to stream start with a worse error.
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg                 or "Path does not exist" in msg:
+            return EVENTS_SCHEMA
+        raise
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
@@ -74,7 +83,11 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     integer DIV keeps exactness beyond double's 2^53 range), otherwise a
     native timestamp/timestamp_ntz (cast is wall-clock under a UTC session)."""
     if dict(df.dtypes)["ts"] == "bigint":
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # FLOOR division, not DIV: DIV truncates toward zero, which would
+        # round pre-1970 nanos the wrong way (still integer math — no
+        # double precision loss past 2^53)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

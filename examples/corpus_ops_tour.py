@@ -34,13 +34,15 @@ from dataingestion_spark import (
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 spark = get_spark("corpus-ops-tour")
 docs = spark.read.parquet(f"{sf}/documents.parquet")
-events = spark.read.parquet(f"{sf}/events.parquet")
+from dataingestion_spark.streaming.pipeline import normalize_event_ts
+events = normalize_event_ts(spark.read.parquet(f"{sf}/events.parquet"))
 
 # 1. Index the corpus once; probe tonight's "crawl" without rescanning it.
 idx = tempfile.mkdtemp(prefix="tour_mh_") + "/idx"
 os.makedirs(idx, exist_ok=True)
 write_minhash_index(docs, idx)
-crawl = docs.limit(20).select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+crawl = (docs.orderBy("doc_id").limit(20)   # deterministic batch across re-evaluations
+         .select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
 matches = probe_minhash_index(crawl, idx, min_est_jaccard=0.8)
 n_dup = matches.select("batch_id").distinct().count()
 print(f"[dedup-index] {n_dup} of 20 crawled docs already in corpus")

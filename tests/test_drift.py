@@ -64,3 +64,14 @@ def test_categorical_drift_proportions_and_tvd(spark):
     assert rows["de"].n_b == 0 and rows["fr"].n_a == 0
     # TVD = (0.3 + 0.2 + 0.5) / 2
     assert math.isclose(rows["en"].tvd, 0.5, abs_tol=1e-12)
+
+
+def test_empty_snapshot_reads_as_total_drift_not_silence(spark):
+    """A source going dark must FIRE the alert, not fold to NULL/zero."""
+    a = _vals(spark, [5.0] * 100)
+    b = _vals(spark, []).filter("v IS NOT NULL")  # empty frame
+    rep = drift_report(a, b, "v", EDGES).collect()[0]
+    assert rep.tvd == 0.5          # all of a's mass vs nothing
+    assert rep.chi2 > 0.0
+    assert rep.max_bin_gap == 1.0
+    assert rep.n_total_a == 100 and rep.n_total_b == 0
