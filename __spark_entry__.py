@@ -2857,6 +2857,55 @@ def q_recall_ivf(spark, sf):
     return recall_at_k(exact, approx, 10)
 
 
+def q_recall_matryoshka(spark, sf):
+    """Matryoshka truncation evaluation (Kusupati et al. 2022): recall@10
+    of cosine retrieval on the FIRST HALF of the embedding dims against
+    the full-dim exact ranking — the question every MRL deployment asks
+    before cutting its vector storage in half. Pure composition of
+    slice + the exact top-k + recall_at_k; both rankings re-derived in
+    SQL by the oracle."""
+    from dataingestion_spark.operators.similarity import recall_at_k
+
+    e = _t(spark, sf, "embeddings")
+    half = F.slice("embedding", 1, 32)
+    e_half = e.select("vec_id", half.alias("embedding"))
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    q_half = e_half.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    exact = similarity.topk_cosine(e, queries, k=10)
+    trunc = similarity.topk_cosine(e_half, q_half, k=10)
+    return recall_at_k(exact, trunc, 10)
+
+
+def _oracle_recall_matryoshka() -> str:
+    def ranking(vec_a: str, vec_b: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_SQL.format(a=vec_a, b=vec_b)} DESC,
+                                       e.vec_id) AS rank
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5) q)
+  WHERE rank <= 10)"""
+
+    ex = ranking("e.embedding", "q.qv", "ex")
+    tr = ranking("list_slice(e.embedding, 1, 32)", "list_slice(q.qv, 1, 32)", "tr")
+    return f"""
+WITH {ex}, {tr},
+tot AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+hit AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM ex JOIN tr ON ex.query_id = tr.query_id AND ex.vec_id = tr.vec_id
+        GROUP BY 1)
+SELECT t.query_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / LEAST(10, t.n_exact) AS recall
+FROM tot t LEFT JOIN hit h USING (query_id)
+"""
+
+
 def _oracle_recall_ivf() -> str:
     return f"""
 WITH exact AS (SELECT * FROM ({ORACLE_EMB_TOPK})),
@@ -6479,6 +6528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_ivf": q_topk_ivf,
         "search_topk_ivf_persisted": q_topk_ivf_persisted,
         "search_recall_at_k": q_recall_ivf,
+        "search_recall_matryoshka": q_recall_matryoshka,
         "doc_c4_filters": q_c4_filters,
         "doc_gopher_filters": q_gopher_filters,
         # similarity search
@@ -6669,6 +6719,7 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_ivf": _oracle_topk_ivf(),
         "search_topk_ivf_persisted": _oracle_topk_ivf(),
         "search_recall_at_k": _oracle_recall_ivf(),
+        "search_recall_matryoshka": _oracle_recall_matryoshka(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_bm25": ORACLE_BM25,
         "search_bm25_indexed": ORACLE_BM25,
