@@ -6466,6 +6466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_k_anonymity": q_privacy_kanon,
         "drift_numeric_report": q_drift_numeric,
         "drift_categorical_lang": q_drift_categorical,
+        "drift_by_group": q_drift_by_group,
         "table_quality_constraints": q_quality_constraints,
         "table_column_profile": q_profile_table,
         "table_corpus_report": q_corpus_report,
@@ -6660,6 +6661,7 @@ def oracle_sql() -> dict[str, str]:
         "privacy_k_anonymity": _oracle_privacy_kanon(),
         "drift_numeric_report": _oracle_drift_numeric(),
         "drift_categorical_lang": _oracle_drift_categorical(),
+        "drift_by_group": _oracle_drift_by_group(),
         "table_quality_constraints": ORACLE_QUALITY_CONSTRAINTS,
         "table_column_profile": _oracle_profile(),
         "table_corpus_report": ORACLE_CORPUS_REPORT,
@@ -6971,3 +6973,27 @@ SELECT b.source, b.n_docs, b.n_chars, b.n_langs, tl.top_lang, d.n_dup_rows,
        round(CAST(d.n_dup_rows AS DOUBLE) / b.n_docs, 6) AS dup_rate
 FROM base b JOIN tl USING (source) JOIN dups d USING (source)
 """
+
+
+def q_drift_by_group(spark, sf):
+    """Per-group drift (operators/drift.py::drift_report_by): every
+    l_returnflag's l_extendedprice distribution compared between the
+    orderkey-parity halves in ONE pass per snapshot — the per-source
+    monitoring dashboard, per-group windows instead of per-source
+    queries."""
+    from dataingestion_spark.operators.drift import drift_report_by
+
+    li = _t(spark, sf, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    out = drift_report_by(a, b, "l_extendedprice", _DRIFT_EDGES, "l_returnflag")
+    return out.withColumnRenamed("l_returnflag", "g")
+
+
+def _oracle_drift_by_group() -> str:
+    from dataingestion_spark.operators.drift import drift_report_by_sql
+
+    return drift_report_by_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 0",
+        "SELECT l_returnflag, l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 1",
+        "l_extendedprice", _DRIFT_EDGES, "l_returnflag")

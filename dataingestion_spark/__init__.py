@@ -76,6 +76,7 @@ from .operators.sketches import hll_distinct, histogram_quantiles  # noqa: E402,
 from .operators.drift import (  # noqa: E402,F401
     categorical_drift,
     drift_report,
+    drift_report_by,
 )
 from .operators.dedup_index import (  # noqa: E402,F401
     append_minhash_index,

@@ -39,9 +39,11 @@ __all__ = [
     "bin_id",
     "histogram_counts",
     "drift_report",
+    "drift_report_by",
     "categorical_drift",
     "histogram_counts_sql",
     "drift_report_sql",
+    "drift_report_by_sql",
     "categorical_drift_sql",
 ]
 
@@ -219,4 +221,87 @@ tv AS (
   FROM j)
 SELECT cat, n_a, n_b, p_a, p_b, ABS(p_a - p_b) AS gap, tv.tvd
 FROM j, tv
+"""
+
+
+def drift_report_by(a: DataFrame, b: DataFrame, value_col: str,
+                    edges: Sequence[float], group_cols) -> DataFrame:
+    """Per-group :func:`drift_report` — one report row per value of
+    ``group_cols`` (the per-source monitoring dashboard: every source's
+    distribution checked in ONE pass per snapshot, not a query per
+    source). Same exactness contract: try_divide'd proportions, sorted
+    per-bin folds, totals from the joined frame via per-group window
+    sums. Groups present in only one snapshot read as total drift."""
+    from pyspark.sql import Window
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (df.select(*group_cols,
+                          bin_id(F.col(value_col), edges).alias("bin"))
+                .groupBy(*group_cols, "bin")
+                .agg(F.count("*").cast("long").alias(out)))
+
+    ha, hb = counts(a, "n_a"), counts(b, "n_b")
+    j = (ha.join(hb, [*group_cols, "bin"], "full")
+         .select(*group_cols, "bin",
+                 F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+                 F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b")))
+    w = Window.partitionBy(*group_cols)
+    j = (j.withColumn("tot_a", F.sum("n_a").over(w))
+         .withColumn("tot_b", F.sum("n_b").over(w))
+         .withColumn("p_a", F.coalesce(
+             F.try_divide(F.col("n_a").cast("double"), F.col("tot_a")),
+             F.lit(0.0)))
+         .withColumn("p_b", F.coalesce(
+             F.try_divide(F.col("n_b").cast("double"), F.col("tot_b")),
+             F.lit(0.0))))
+    gap = F.abs(F.col("p_a") - F.col("p_b"))
+
+    def bin_fold(term):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", term.alias("t")))),
+            F.lit(0.0), lambda acc, x: acc + x["t"])
+
+    return j.groupBy(*group_cols).agg(
+        (bin_fold(gap) / 2).alias("tvd"),
+        F.max(gap).alias("max_bin_gap"),
+        F.count("*").cast("long").alias("n_bins_hit"),
+        F.max("tot_a").cast("long").alias("n_total_a"),
+        F.max("tot_b").cast("long").alias("n_total_b"),
+    )
+
+
+def drift_report_by_sql(a_sql: str, b_sql: str, value_expr: str,
+                        edges: Sequence[float], group_expr: str) -> str:
+    """DuckDB twin of :func:`drift_report_by` (single group column)."""
+    def counts(src, out):
+        return (f"SELECT {group_expr} AS g, "
+                f"CAST({_bin_sql(value_expr, edges)} AS INTEGER) AS bin, "
+                f"CAST(COUNT(*) AS BIGINT) AS {out} FROM ({src}) GROUP BY 1, 2")
+
+    return f"""
+WITH ha AS ({counts(a_sql, 'n_a')}), hb AS ({counts(b_sql, 'n_b')}),
+j0 AS (
+  SELECT COALESCE(ha.g, hb.g) AS g, COALESCE(ha.bin, hb.bin) AS bin,
+         CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+  FROM ha FULL OUTER JOIN hb ON ha.g = hb.g AND ha.bin = hb.bin),
+j AS (
+  SELECT g, bin, n_a, n_b,
+         SUM(n_a) OVER (PARTITION BY g) AS tot_a,
+         SUM(n_b) OVER (PARTITION BY g) AS tot_b,
+         COALESCE(CAST(n_a AS DOUBLE) / NULLIF(SUM(n_a) OVER (PARTITION BY g), 0),
+                  CAST(0.0 AS DOUBLE)) AS p_a,
+         COALESCE(CAST(n_b AS DOUBLE) / NULLIF(SUM(n_b) OVER (PARTITION BY g), 0),
+                  CAST(0.0 AS DOUBLE)) AS p_b
+  FROM j0)
+SELECT g,
+       list_reduce(list(ABS(p_a - p_b) ORDER BY bin), (x, y) -> x + y) / 2 AS tvd,
+       MAX(ABS(p_a - p_b)) AS max_bin_gap,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_hit,
+       CAST(MAX(tot_a) AS BIGINT) AS n_total_a,
+       CAST(MAX(tot_b) AS BIGINT) AS n_total_b
+FROM j GROUP BY g
 """

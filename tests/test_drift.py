@@ -75,3 +75,19 @@ def test_empty_snapshot_reads_as_total_drift_not_silence(spark):
     assert rep.chi2 > 0.0
     assert rep.max_bin_gap == 1.0
     assert rep.n_total_a == 100 and rep.n_total_b == 0
+
+
+def test_drift_by_group_isolates_groups(spark):
+    from dataingestion_spark.operators.drift import drift_report_by
+
+    rows_a = ([Row(g="stable", v=5.0)] * 50 + [Row(g="moved", v=5.0)] * 50)
+    rows_b = ([Row(g="stable", v=5.0)] * 70 + [Row(g="moved", v=25.0)] * 30
+              + [Row(g="gone_dark", v=5.0)] * 0)
+    a = spark.createDataFrame(rows_a + [Row(g="gone_dark", v=5.0)] * 10)
+    b = spark.createDataFrame(rows_b)
+    out = {r.g: r for r in
+           drift_report_by(a, b, "v", EDGES, "g").collect()}
+    assert out["stable"].tvd == 0.0
+    assert out["moved"].tvd == 1.0            # bin 1 -> bin 3 entirely
+    assert out["gone_dark"].tvd == 0.5        # outage, visible per group
+    assert out["gone_dark"].n_total_b == 0
