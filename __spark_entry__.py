@@ -6394,7 +6394,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER matters: the driver's correctness gate oracles the FIRST 50
+    # entries.  Rounds 1-3 led with TPC-H, so the reference surface
+    # (SURVEY §2.1-§2.6: readers, chunkers, processors, enrichers, writers,
+    # lakehouse, multimodal, search) was never externally checked.  Round 4
+    # leads with exactly those 50; TPC-H (driver-green three rounds running)
+    # moves to the back.  Rotate again next round to cover entries 51-100.
     return {
+        # §2.1 readers
+        "reader_markdown_elements": q_md_parse_elements,
+        "reader_docx_elements": q_docx_elements,
+        "reader_pdf_elements": q_pdf_elements,
+        "reader_mixed_dispatch": q_reader_dispatch,
+        "reader_html_elements": q_html_elements,
+        "reader_xlsx_elements": q_xlsx_elements,
+        "reader_pptx_elements": q_pptx_elements,
+        "reader_office_ingest": q_office_ingest,
+        "reader_epub_elements": q_epub_elements,
+        "reader_rtf_elements": q_rtf_elements,
+        "reader_odf_elements": q_odf_elements,
+        "reader_doc_legacy_elements": q_doc_legacy_elements,
+        "reader_xls_legacy_elements": q_xls_legacy_elements,
+        "reader_wet_records": q_reader_wet_records,
+        "reader_jsonl_roundtrip": q_jsonl_roundtrip,
+        "reader_warc_responses": q_warc_responses,
+        # §2.3 chunkers
+        "chunker_header": q_header_chunks,
+        "chunker_section": q_section_chunks,
+        "chunker_markdown": q_markdown_chunks,
+        "chunker_token_sliding": q_token_chunks,
+        "chunker_semantic": q_semantic_chunks,
+        "chunker_image_binary": q_image_chunks,
+        # §2.2 processors / §2.4 enrichers
+        "processor_removal_footers": q_removal_footers,
+        "enricher_fakes": q_enrich_fakes,
+        "enricher_image_alt": q_image_alt_enricher,
+        # §2.5 writers + lakehouse
+        "writer_vector_records": q_vector_records,
+        "writer_qa_pairs": q_qa_pairs,
+        "writer_incremental_replace": q_writer_incremental,
+        "writer_webdataset_shards": q_webdataset_shards,
+        "lakehouse_merge_upsert": q_lakehouse_merge,
+        "lakehouse_incremental_agg": q_incremental_agg_view,
+        "lakehouse_change_feed": q_change_feed,
+        # multimodal
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "multimodal_audio_segments": q_audio_segments,
+        "multimodal_image_tiles": q_image_tiles,
+        # §2.6 search family
+        "search_topk_cosine": q_emb_topk,
+        "search_topk_filtered": q_emb_topk_filtered,
+        "search_topk_quantized": q_topk_quantized,
+        "search_topk_ann": q_topk_ann,
+        "search_topk_pq": q_topk_pq,
+        "search_topk_ivf": q_topk_ivf,
+        "search_topk_ivf_persisted": q_topk_ivf_persisted,
+        "search_topk_ivf_pq": q_topk_ivf_pq,
+        "search_recall_at_k": q_recall_ivf,
+        "search_recall_matryoshka": q_recall_matryoshka,
+        "search_bm25": q_bm25,
+        "search_bm25_indexed": q_bm25_indexed,
+        "search_hybrid_rrf": q_hybrid_rrf,
+        "search_phrase_positions": q_phrase_search,
+        # --- entry 51+ below: never driver-sampled yet; rotate forward in r5 ---
+        "search_tfidf_top_terms": q_tfidf_top_terms,
+        "search_pmi_collocations": q_collocations,
+        "doc_rake_keywords": q_rake_keywords,
+        "search_hard_negatives": q_hard_negatives,
         # relational coverage (SURVEY §2.7 categories exercised in Spark)
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q2_min_cost_supplier": q_tpch_q2,
@@ -6492,7 +6559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_coverage": q_vocab_coverage,
         "doc_span_corruption": q_span_corruption,
         "doc_prefix_lm_split": q_prefix_lm,
-        "search_hard_negatives": q_hard_negatives,
         "dedup_semantic_clusters": q_semantic_dedup,
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
@@ -6523,63 +6589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_upsample_epochs": q_upsample_epochs,
         "pack_doc_sequences": q_pack_sequences,
         "pack_concat_spans": q_concat_spans,
-        "search_topk_quantized": q_topk_quantized,
-        "search_topk_ann": q_topk_ann,
-        "search_topk_pq": q_topk_pq,
-        "search_topk_ivf": q_topk_ivf,
-        "search_topk_ivf_persisted": q_topk_ivf_persisted,
-        "search_recall_at_k": q_recall_ivf,
-        "search_recall_matryoshka": q_recall_matryoshka,
         "doc_c4_filters": q_c4_filters,
         "doc_gopher_filters": q_gopher_filters,
-        # similarity search
-        "search_topk_cosine": q_emb_topk,
-        "search_topk_filtered": q_emb_topk_filtered,
-        "search_bm25": q_bm25,
-        "search_bm25_indexed": q_bm25_indexed,
-        "search_hybrid_rrf": q_hybrid_rrf,
-        "search_phrase_positions": q_phrase_search,
-        "search_tfidf_top_terms": q_tfidf_top_terms,
-        "search_pmi_collocations": q_collocations,
-        "doc_rake_keywords": q_rake_keywords,
-        # ingestion operators (reference SURVEY §2.1-2.5)
-        "reader_markdown_elements": q_md_parse_elements,
-        "reader_docx_elements": q_docx_elements,
-        "reader_pdf_elements": q_pdf_elements,
-        "reader_mixed_dispatch": q_reader_dispatch,
-        "reader_html_elements": q_html_elements,
-        "reader_xlsx_elements": q_xlsx_elements,
-        "reader_pptx_elements": q_pptx_elements,
-        "reader_office_ingest": q_office_ingest,
-        "reader_epub_elements": q_epub_elements,
-        "reader_rtf_elements": q_rtf_elements,
-        "reader_odf_elements": q_odf_elements,
-        "reader_doc_legacy_elements": q_doc_legacy_elements,
-        "reader_xls_legacy_elements": q_xls_legacy_elements,
-        "reader_wet_records": q_reader_wet_records,
-        "reader_jsonl_roundtrip": q_jsonl_roundtrip,
-        "reader_warc_responses": q_warc_responses,
-        "chunker_header": q_header_chunks,
-        "chunker_section": q_section_chunks,
-        "chunker_markdown": q_markdown_chunks,
-        "chunker_token_sliding": q_token_chunks,
-        "chunker_semantic": q_semantic_chunks,
-        "chunker_image_binary": q_image_chunks,
-        "processor_removal_footers": q_removal_footers,
-        "enricher_fakes": q_enrich_fakes,
-        "enricher_image_alt": q_image_alt_enricher,
-        "writer_vector_records": q_vector_records,
-        "writer_qa_pairs": q_qa_pairs,
-        "writer_incremental_replace": q_writer_incremental,
-        "writer_webdataset_shards": q_webdataset_shards,
-        "lakehouse_merge_upsert": q_lakehouse_merge,
-        "lakehouse_incremental_agg": q_incremental_agg_view,
-        "lakehouse_change_feed": q_change_feed,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "multimodal_audio_meta": q_multimodal_audio_meta,
-        "multimodal_audio_segments": q_audio_segments,
-        "multimodal_image_tiles": q_image_tiles,
-        "search_topk_ivf_pq": q_topk_ivf_pq,
         # streaming (rows-only)
         "streaming_events_windowed": q_streaming_events,
         "streaming_stateful_counts": q_streaming_stateful,
