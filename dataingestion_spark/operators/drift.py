@@ -184,8 +184,8 @@ j0 AS (
   FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
 j AS (
   SELECT bin,
-         COALESCE(CAST(n_a AS DOUBLE) / SUM(n_a) OVER (), CAST(0.0 AS DOUBLE)) AS p_a,
-         COALESCE(CAST(n_b AS DOUBLE) / SUM(n_b) OVER (), CAST(0.0 AS DOUBLE)) AS p_b,
+         COALESCE(CAST(n_a AS DOUBLE) / NULLIF(SUM(n_a) OVER (), 0), CAST(0.0 AS DOUBLE)) AS p_a,
+         COALESCE(CAST(n_b AS DOUBLE) / NULLIF(SUM(n_b) OVER (), 0), CAST(0.0 AS DOUBLE)) AS p_b,
          SUM(n_a) OVER () AS tot_a, SUM(n_b) OVER () AS tot_b
   FROM j0)
 SELECT list_reduce(list(ABS(p_a - p_b) ORDER BY bin), (x, y) -> x + y) / 2 AS tvd,
@@ -213,8 +213,8 @@ j0 AS (
   FROM ca FULL OUTER JOIN cb ON ca.cat = cb.cat),
 j AS (
   SELECT cat, n_a, n_b,
-         COALESCE(CAST(n_a AS DOUBLE) / SUM(n_a) OVER (), CAST(0.0 AS DOUBLE)) AS p_a,
-         COALESCE(CAST(n_b AS DOUBLE) / SUM(n_b) OVER (), CAST(0.0 AS DOUBLE)) AS p_b
+         COALESCE(CAST(n_a AS DOUBLE) / NULLIF(SUM(n_a) OVER (), 0), CAST(0.0 AS DOUBLE)) AS p_a,
+         COALESCE(CAST(n_b AS DOUBLE) / NULLIF(SUM(n_b) OVER (), 0), CAST(0.0 AS DOUBLE)) AS p_b
   FROM j0),
 tv AS (
   SELECT list_reduce(list(ABS(p_a - p_b) ORDER BY cat), (x, y) -> x + y) / 2 AS tvd

@@ -298,6 +298,23 @@ def _txn_record(meta: Dict, txn) -> None:
         meta["txn"][str(app)] = int(epoch)
 
 
+def _seed_schema(spark, table: str, manifest: Dict, meta: Dict) -> None:
+    """On a PRE-SCHEMA manifest (``meta['schema'] == []``) that already has
+    data files, seed the schema from the existing files' merged footer
+    schema before any batch fields are unioned in. Without this, an
+    append/replace of a narrower batch would record only the batch's
+    fields, and the schema-trusting read path would silently drop columns
+    that exist only in older files (they previously survived via the
+    mergeSchema fallback)."""
+    if meta["schema"] or not any(manifest["buckets"].values()):
+        return
+    files_dir = os.path.join(table, "files")
+    paths = [os.path.join(files_dir, n)
+             for names in manifest["buckets"].values() for n in names]
+    existing = spark.read.option("mergeSchema", "true").parquet(*paths).schema
+    meta["schema"] = existing.jsonValue()["fields"]
+
+
 def _schema_union(meta: Dict, df: DataFrame) -> None:
     """Fold a data write's schema into the manifest's: existing fields keep
     their position and FIRST-SEEN type, new fields append. This is what
@@ -396,13 +413,28 @@ def _read_files(spark, table: str, manifest: Dict,
 
 
 def write_table(records: DataFrame, table: str, txn=None) -> int:
-    """Full (over)write as version 0... n+1; returns the committed version."""
+    """Full (over)write as version 0... n+1; returns the committed version.
+
+    The prior manifest's txn map (writer-app -> last applied epoch) is
+    carried forward and this write's idempotency is checked against it:
+    an overwrite must not reset OTHER writers' retry watermarks (a later
+    retried append from another app would be re-applied, double-counting
+    rows), and a retried overwrite itself must be a no-op — Delta's
+    appId/version semantics."""
     from .vector_store import _require_local_path
 
     _require_local_path(table, "manifest_store")
     os.makedirs(table, exist_ok=True)
-    records = records.withColumn("doc_bucket", _bucket_col())
     cv = current_version(table)
+    txn_map: Dict[str, int] = {}
+    if cv is not None:
+        prior = read_manifest(table)
+        if _txn_applied(prior, txn):
+            return prior["version"]
+        txn_map = {str(a): int(e) for a, e in prior.get("txn", {}).items()}
+    if txn is not None:
+        txn_map[str(txn[0])] = int(txn[1])
+    records = records.withColumn("doc_bucket", _bucket_col())
     token = uuid.uuid4().hex[:8]
     stats: Dict[str, Dict] = {}
     buckets = _write_bucket_files(records, table, token, stats=stats)
@@ -412,7 +444,7 @@ def write_table(records: DataFrame, table: str, txn=None) -> int:
         extra={"seq": {n: version for names in buckets.values() for n in names},
                "stats": stats,
                "schema": records.schema.jsonValue()["fields"],
-               **({"txn": {str(txn[0]): int(txn[1])}} if txn else {})},
+               **({"txn": txn_map} if txn_map else {})},
     )
     return version
 
@@ -515,6 +547,7 @@ def incremental_replace(records: DataFrame, table: str, mode: str = "rewrite",
 
     token = uuid.uuid4().hex[:8]
     version = manifest["version"] + 1
+    _seed_schema(spark, table, manifest, meta)
     _schema_union(meta, merged)
     new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"])
     buckets = {
@@ -542,6 +575,7 @@ def _replace_with_dv(records: DataFrame, table: str, txn=None) -> int:
     _txn_record(meta, txn)
     version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
+    _seed_schema(records.sparkSession, table, manifest, meta)
     _schema_union(meta, records)
     new_buckets = _write_bucket_files(records, table, token, stats=meta["stats"])
     del_df = records.select("documentid", "doc_bucket").distinct()
@@ -601,6 +635,7 @@ def append_table(records: DataFrame, table: str, txn=None) -> int:
     _txn_record(meta, txn)
     version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
+    _seed_schema(records.sparkSession, table, manifest, meta)
     _schema_union(meta, records)
     new_buckets = _write_bucket_files(records, table, token, stats=meta["stats"])
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
@@ -691,8 +726,16 @@ def merge_table(source: DataFrame, table: str,
             # dominates merge cost on document tables
             import re as _re
 
-            referenced = set(_re.findall(r"target\.`?(\w+)`?", matched_condition))
-            packed_cols = [c for c in tgt.columns if c in referenced] or tgt.columns
+            # capture both plain and backtick-quoted identifiers (a quoted
+            # column may contain spaces/dots); if any `target.` reference
+            # remains unparsed, pack ALL columns — over-packing costs IO,
+            # under-packing fails the merge at analysis
+            refs = _re.findall(r"target\.(?:`([^`]+)`|(\w+))", matched_condition)
+            referenced = {a or b for a, b in refs}
+            if len(_re.findall(r"target\.", matched_condition)) > len(refs):
+                packed_cols = tgt.columns
+            else:
+                packed_cols = [c for c in tgt.columns if c in referenced] or tgt.columns
             tgt_packed = tgt.select(
                 "documentid", F.struct(*packed_cols).alias("target")
             )
@@ -718,6 +761,7 @@ def merge_table(source: DataFrame, table: str,
     token = "m" + uuid.uuid4().hex[:7]
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     if new_rows is not None:
+        _seed_schema(spark, table, manifest, meta)
         _schema_union(meta, new_rows)
         new_buckets = _write_bucket_files(new_rows, table, token, stats=meta["stats"])
         for b, names in new_buckets.items():
@@ -754,6 +798,7 @@ def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
     merged = _read_files(spark, table, manifest, bucket_subset=to_compact)
     token = "c" + uuid.uuid4().hex[:7]
     version = manifest["version"] + 1
+    _seed_schema(spark, table, manifest, meta)
     _schema_union(meta, merged)
     new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"])
     buckets = {

@@ -491,3 +491,89 @@ def test_txn_guard_dv_mode(spark, tmp_path):
                                   mode="dv", txn=("s", 1)) == v1
     got = [r.content for r in ms.read_table(spark, table).collect()]
     assert got == ["v2"]
+
+
+def _strip_schema(table: str):
+    """Rewrite the current manifest as a PRE-SCHEMA one (no 'schema' key),
+    simulating a table committed by an older engine version."""
+    import json
+
+    v = ms.current_version(table)
+    p = ms._manifest_path(table, v)
+    m = json.loads(open(p).read())
+    m.pop("schema", None)
+    open(p, "w").write(json.dumps(m))
+
+
+def test_append_on_pre_schema_manifest_keeps_old_columns(spark, tmp_path):
+    """ADVICE r4: appending a NARROWER batch to a pre-schema manifest must
+    not drop columns that exist only in the older files — the schema seed
+    comes from the existing footers, not just the new batch."""
+    table = str(tmp_path / "preschema")
+    wide = records_df(spark, {"a": ["a0"]}).withColumn("extra", F.lit("keep"))
+    ms.write_table(wide, table)
+    _strip_schema(table)
+    ms.append_table(records_df(spark, {"b": ["b0"]}), table)  # no 'extra'
+    got = {r.documentid: r.asDict() for r in ms.read_table(spark, table).collect()}
+    assert got["a"]["extra"] == "keep"  # column survived
+    assert got["b"]["extra"] is None  # new file surfaces null for it
+
+
+def test_replace_dv_on_pre_schema_manifest_keeps_old_columns(spark, tmp_path):
+    table = str(tmp_path / "preschema_dv")
+    wide = records_df(spark, {"a": ["a0"], "c": ["c0"]}).withColumn(
+        "extra", F.lit("keep"))
+    ms.write_table(wide, table)
+    _strip_schema(table)
+    ms.incremental_replace(records_df(spark, {"a": ["a1"]}), table, mode="dv")
+    got = {r.documentid: r.asDict() for r in ms.read_table(spark, table).collect()}
+    assert got["c"]["extra"] == "keep"
+    assert got["a"]["extra"] is None
+
+
+def test_merge_on_pre_schema_manifest_keeps_old_columns(spark, tmp_path):
+    table = str(tmp_path / "preschema_merge")
+    wide = records_df(spark, {"a": ["a0"]}).withColumn("extra", F.lit("keep"))
+    ms.write_table(wide, table)
+    _strip_schema(table)
+    ms.merge_table(records_df(spark, {"b": ["b0"]}), table)
+    got = {r.documentid: r.asDict() for r in ms.read_table(spark, table).collect()}
+    assert got["a"]["extra"] == "keep"
+
+
+def test_overwrite_carries_other_apps_txn_watermarks(spark, tmp_path):
+    """ADVICE r4: write_table must carry the prior manifest's txn map
+    forward — an overwrite resetting other writers' epochs would let a
+    retried append from another app re-apply (double-counting rows)."""
+    table = str(tmp_path / "txn_carry")
+    ms.write_table(records_df(spark, {"a": ["x"]}), table)
+    ms.append_table(records_df(spark, {"b": ["y"]}), table, txn=("stream", 3))
+    # an unrelated overwrite by a batch job
+    v = ms.write_table(records_df(spark, {"z": ["base"]}), table, txn=("batch", 0))
+    # stream's retried epoch 3 must STILL be a no-op
+    assert ms.append_table(records_df(spark, {"b": ["GHOST"]}), table,
+                           txn=("stream", 3)) == v
+    got = {r.documentid for r in ms.read_table(spark, table).collect()}
+    assert got == {"z"}
+    # and a retried overwrite itself is a no-op
+    assert ms.write_table(records_df(spark, {"z": ["GHOST2"]}), table,
+                          txn=("batch", 0)) == v
+    assert {r.content for r in ms.read_table(spark, table).collect()} == {"base"}
+
+
+def test_merge_condition_backtick_quoted_column(spark, tmp_path):
+    """ADVICE r4: a matched_condition referencing a backtick-quoted column
+    (spaces in the name) must pack that column, not fail at analysis."""
+    table = str(tmp_path / "merge_bt")
+    base = records_df(spark, {"a": ["old"]}).withColumn(
+        "my col", F.lit(1))
+    ms.write_table(base, table)
+    src = records_df(spark, {"a": ["new"]}).withColumn("my col", F.lit(2))
+    ms.merge_table(src, table, matched_condition="`my col` > target.`my col`")
+    got = {r.content for r in ms.read_table(spark, table).collect()}
+    assert got == {"new"}
+    # condition false -> no update
+    src2 = records_df(spark, {"a": ["newer"]}).withColumn("my col", F.lit(0))
+    ms.merge_table(src2, table, matched_condition="`my col` > target.`my col`")
+    got = {r.content for r in ms.read_table(spark, table).collect()}
+    assert got == {"new"}
