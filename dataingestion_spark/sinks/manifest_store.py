@@ -42,8 +42,6 @@ manifest — older manifests read fine):
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import uuid
 import zlib
 from typing import Dict, Iterable, List, Optional
@@ -70,6 +68,14 @@ def _bucket_col() -> F.Column:
 
 def _manifest_path(table: str, version: int) -> str:
     return _join(table, f"manifest-{version:06d}.json")
+
+
+def _data_delete(table: str, name: str) -> None:
+    """Remove an uncommitted data-plane file (DV written for a bucket
+    with no pre-existing files) through the table's data backend."""
+    from .data_backend import data_backend_for
+
+    data_backend_for(table).delete(_join(table, "files", name))
 
 
 def current_version(table: str) -> Optional[int]:
@@ -207,18 +213,22 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
 
     ``single_task`` skips the shuffle and writes everything from one
     task (for tiny tables -- deletion vectors -- where a repartition is
-    pure overhead)."""
-    # the DATA plane is executor-local pyarrow writes through os paths:
-    # a remote scheme would be silently mangled into a local directory
-    # while the metadata commit (which IS scheme-aware via
-    # commit_backend) succeeded — a committed manifest no reader could
-    # resolve. Refuse loudly; an object-store deployment implements the
-    # data plane with its own writer alongside its CommitBackend.
-    from .vector_store import _require_local_path
+    pure overhead).
 
-    _require_local_path(table, "manifest_store data plane")
-    files_dir = os.path.join(table, "files")
-    os.makedirs(files_dir, exist_ok=True)
+    IO goes through the table scheme's :class:`~.data_backend.DataBackend`.
+    On executor-writable backends (local FS, object stores) each task
+    writes its files in place and only (bucket, name, stats) rows return
+    to the driver — the scale path. On driver-side backends (the memory
+    emulator) the serialized bytes ride back in the same rows and the
+    driver performs the puts; those backends are test-scale by contract
+    (``DataBackend.executor_writes``)."""
+    from .data_backend import data_backend_for
+
+    be = data_backend_for(table)
+    files_dir = _join(table, "files")
+    be.ensure_dir(files_dir)
+    # ship only a picklable backend to executors; None ⇒ payload returns
+    exec_be = be if be.executor_writes else None
     shaped = records.coalesce(1) if single_task else records.repartition("doc_bucket")
     want_stats = stats is not None
 
@@ -236,11 +246,18 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
             for b in pc.unique(tbl["doc_bucket"]).to_pylist():
                 acc.setdefault(int(b), []).append(
                     tbl.filter(pc.equal(tbl["doc_bucket"], b)))
-        buckets_o, names_o, stats_o = [], [], []
+        buckets_o, names_o, stats_o, payload_o = [], [], [], []
         for b, parts in sorted(acc.items()):
             tbl = pa.concat_tables(parts)
             name = f"{prefix}{b}-{token}-{_uuid.uuid4().hex[:8]}.parquet"
-            pqt.write_table(tbl, os.path.join(files_dir, name))
+            sink = pa.BufferOutputStream()
+            pqt.write_table(tbl, sink)
+            data = sink.getvalue().to_pybytes()
+            if exec_be is not None:
+                exec_be.write_bytes(f"{files_dir}/{name}", data)
+                payload_o.append(b"")
+            else:
+                payload_o.append(data)
             st = ""
             if want_stats and "documentid" in tbl.column_names:
                 try:  # stats are an optimization, never a correctness gate
@@ -254,13 +271,17 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
             names_o.append(name)
             stats_o.append(st)
         yield pa.RecordBatch.from_pydict(
-            {"bucket": buckets_o, "name": names_o, "stats": stats_o})
+            {"bucket": buckets_o, "name": names_o, "stats": stats_o,
+             "payload": payload_o})
 
     out: Dict[str, List[str]] = {}
     rows = shaped.mapInArrow(
-        write_batches, schema="bucket string, name string, stats string"
+        write_batches,
+        schema="bucket string, name string, stats string, payload binary",
     ).collect()
     for r in sorted(rows, key=lambda r: (int(r["bucket"]), r["name"])):
+        if exec_be is None:
+            be.write_bytes(f"{files_dir}/{r['name']}", r["payload"])
         out.setdefault(r["bucket"], []).append(r["name"])
         if want_stats and r["stats"]:
             stats[r["name"]] = json.loads(r["stats"])
@@ -308,10 +329,16 @@ def _seed_schema(spark, table: str, manifest: Dict, meta: Dict) -> None:
     mergeSchema fallback)."""
     if meta["schema"] or not any(manifest["buckets"].values()):
         return
-    files_dir = os.path.join(table, "files")
-    paths = [os.path.join(files_dir, n)
-             for names in manifest["buckets"].values() for n in names]
-    existing = spark.read.option("mergeSchema", "true").parquet(*paths).schema
+    from .data_backend import data_backend_for
+
+    be = data_backend_for(table)
+    files_dir = _join(table, "files")
+    names = [n for ns in manifest["buckets"].values() for n in ns]
+    if be.spark_readable:
+        paths = [_join(files_dir, n) for n in names]
+        existing = spark.read.option("mergeSchema", "true").parquet(*paths).schema
+    else:
+        existing = _scan_via_backend(spark, be, files_dir, names).schema
     meta["schema"] = existing.jsonValue()["fields"]
 
 
@@ -338,6 +365,47 @@ def _prune_meta(meta: Dict, buckets: Dict[str, List[str]]) -> Dict:
     meta["stats"] = {n: s for n, s in meta["stats"].items() if n in live}
     meta["deletes"] = {b: v for b, v in meta["deletes"].items() if v}
     return meta
+
+
+def _scan_via_backend(spark, be, files_dir: str, names: List[str],
+                      schema_fields: Optional[List[Dict]] = None,
+                      seqs: Optional[Dict[str, int]] = None,
+                      seq_col: str = "_seq") -> DataFrame:
+    """Materialize the named files from a non-Spark-readable DataBackend
+    through the driver: per-file arrow tables → one unioned DataFrame,
+    conformed to the manifest schema when given (missing columns become
+    typed nulls, like the schema-trusting parquet read), with an optional
+    per-file sequence-number literal for DV application. Bounded use only
+    — backends that set ``spark_readable=False`` are test/emulation
+    backends by contract."""
+    import io
+
+    import pyarrow.parquet as pqt
+    from pyspark.sql import types as T
+
+    dfs = []
+    for n in names:
+        data = be.read_bytes(f"{files_dir}/{n}")
+        if data is None:
+            raise FileNotFoundError(f"{files_dir}/{n}")
+        df = spark.createDataFrame(pqt.read_table(io.BytesIO(data)))
+        if seqs is not None:
+            df = df.withColumn(seq_col, F.lit(int(seqs.get(n, 0))))
+        dfs.append(df)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    if schema_fields:
+        st = T.StructType.fromJson({"type": "struct", "fields": schema_fields})
+        cols = [
+            (F.col(f.name) if f.name in out.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in st.fields
+        ]
+        if seqs is not None:
+            cols.append(F.col(seq_col))
+        out = out.select(*cols)
+    return out
 
 
 def _read_files(spark, table: str, manifest: Dict,
@@ -368,39 +436,56 @@ def _read_files(spark, table: str, manifest: Dict,
         raise FileNotFoundError(
             f"version {manifest['version']} of {table} has no matching files"
         )
-    files_dir = os.path.join(table, "files")
-    # commits may widen the schema over time (append with a new column via
-    # unionByName); the commit-time union recorded in the manifest gives
-    # the same widened view WITHOUT reading every file's footer here (a
-    # whole extra job per read on multi-file tables). Files predating a
-    # column surface null for it, exactly as mergeSchema did. Pre-schema
-    # manifests fall back to footer merging.
-    paths = [os.path.join(files_dir, n) for n in names]
-    if meta["schema"]:
-        from pyspark.sql import types as T
+    from .data_backend import data_backend_for
 
-        st = T.StructType.fromJson({"type": "struct", "fields": meta["schema"]})
-        df = spark.read.schema(st).parquet(*paths)
-    else:
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    be = data_backend_for(table)
+    files_dir = _join(table, "files")
     del_names = [n for b in sorted(sel) for n in meta["deletes"].get(b, [])]
-    if not del_names:
-        return df
-    # file basename -> seq (names are unique by construction); the lit map
-    # is manifest-sized driver data, well under broadcast limits
-    def seq_map(for_names):
-        return F.create_map(*[
-            x for n in for_names
-            for x in (F.lit(n), F.lit(int(meta["seq"].get(n, 0))))
-        ])
+    if be.spark_readable:
+        # commits may widen the schema over time (append with a new column
+        # via unionByName); the commit-time union recorded in the manifest
+        # gives the same widened view WITHOUT reading every file's footer
+        # here (a whole extra job per read on multi-file tables). Files
+        # predating a column surface null for it, exactly as mergeSchema
+        # did. Pre-schema manifests fall back to footer merging.
+        paths = [_join(files_dir, n) for n in names]
+        if meta["schema"]:
+            from pyspark.sql import types as T
 
-    basename = lambda: F.element_at(F.split(F.input_file_name(), "/"), -1)  # noqa: E731
-    df = df.withColumn("_seq", seq_map(names)[basename()])
-    deletes = (
-        spark.read.parquet(*[os.path.join(files_dir, n) for n in del_names])
-        .withColumn("_dseq", seq_map(del_names)[basename()])
-        .groupBy("documentid").agg(F.max("_dseq").alias("_dseq"))
-    )
+            st = T.StructType.fromJson({"type": "struct",
+                                        "fields": meta["schema"]})
+            df = spark.read.schema(st).parquet(*paths)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if not del_names:
+            return df
+
+        # file basename -> seq (names are unique by construction); the lit
+        # map is manifest-sized driver data, well under broadcast limits
+        def seq_map(for_names):
+            return F.create_map(*[
+                x for n in for_names
+                for x in (F.lit(n), F.lit(int(meta["seq"].get(n, 0))))
+            ])
+
+        basename = lambda: F.element_at(F.split(F.input_file_name(), "/"), -1)  # noqa: E731
+        df = df.withColumn("_seq", seq_map(names)[basename()])
+        deletes = (
+            spark.read.parquet(*[_join(files_dir, n) for n in del_names])
+            .withColumn("_dseq", seq_map(del_names)[basename()])
+        )
+    else:
+        # non-Spark-readable backend: driver-materialized per-file scans
+        # (test-scale by the backend's contract); the per-file seq rides
+        # in as a literal column since input_file_name() has no meaning
+        df = _scan_via_backend(spark, be, files_dir, names,
+                               schema_fields=meta["schema"] or None,
+                               seqs=meta["seq"] if del_names else None)
+        if not del_names:
+            return df
+        deletes = _scan_via_backend(spark, be, files_dir, del_names,
+                                    seqs=meta["seq"], seq_col="_dseq")
+    deletes = deletes.groupBy("documentid").agg(F.max("_dseq").alias("_dseq"))
     cols = [c for c in df.columns if c != "_seq"]
     return (
         df.join(F.broadcast(deletes), "documentid", "left")
@@ -421,10 +506,9 @@ def write_table(records: DataFrame, table: str, txn=None) -> int:
     retried append from another app would be re-applied, double-counting
     rows), and a retried overwrite itself must be a no-op — Delta's
     appId/version semantics."""
-    from .vector_store import _require_local_path
+    from .data_backend import data_backend_for
 
-    _require_local_path(table, "manifest_store")
-    os.makedirs(table, exist_ok=True)
+    data_backend_for(table).ensure_dir(table)  # also validates the scheme
     cv = current_version(table)
     txn_map: Dict[str, int] = {}
     if cv is not None:
@@ -591,7 +675,7 @@ def _replace_with_dv(records: DataFrame, table: str, txn=None) -> int:
             meta["seq"].update({n: version for n in names})
         else:
             for n in names:
-                os.remove(os.path.join(table, "files", n))
+                _data_delete(table, n)
     return _commit(table, version, buckets, expected_current=manifest["version"],
                    extra=_prune_meta(meta, buckets))
 
@@ -614,7 +698,7 @@ def delete_documents(spark, table: str, doc_ids: List[str]) -> int:
             meta["seq"].update({n: version for n in names})
         else:
             for n in names:
-                os.remove(os.path.join(table, "files", n))
+                _data_delete(table, n)
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     return _commit(table, version, buckets, expected_current=manifest["version"],
                    extra=_prune_meta(meta, buckets))
@@ -776,7 +860,7 @@ def merge_table(source: DataFrame, table: str,
                 meta["seq"].update({n: version for n in names})
             else:  # DV on a bucket with no pre-existing files is a no-op
                 for n in names:
-                    os.remove(os.path.join(table, "files", n))
+                    _data_delete(table, n)
     return _commit(table, version, buckets, expected_current=manifest["version"],
                    extra=_prune_meta(meta, buckets))
 
@@ -854,16 +938,20 @@ def vacuum(table: str, keep_versions: int = 1,
     removed = []
     files_dir = _join(table, "files")
     now = _time.time()
-    for name in be.list_dir(files_dir):
+    # parquet files live in the DATA plane (its backend may differ from
+    # the metadata plane's — e.g. the in-memory emulator in tests)
+    from .data_backend import data_backend_for
+
+    dbe = data_backend_for(table)
+    for name in dbe.list_dir(files_dir):
         if name not in keep and name.endswith(".parquet"):
             if min_file_age_seconds > 0:
-                try:
-                    age = now - os.path.getmtime(os.path.join(files_dir, name))
-                except OSError:
-                    continue  # age unknown (remote backend): keep, stay safe
-                if age < min_file_age_seconds:
+                age_at = dbe.mtime(_join(files_dir, name))
+                if age_at is None:
+                    continue  # age unknown: keep, stay safe
+                if now - age_at < min_file_age_seconds:
                     continue
-            be.delete(_join(files_dir, name))
+            dbe.delete(_join(files_dir, name))
             removed.append(name)
     for v in on_disk:
         if v not in protected:

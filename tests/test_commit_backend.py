@@ -144,16 +144,24 @@ def test_losing_a_claim_is_never_mistaken_for_an_orphan(monkeypatch):
 
 
 def test_vacuum_through_backend(monkeypatch):
-    """vacuum's manifest listing/deletion goes through the seam too."""
+    """vacuum routes manifests through the COMMIT backend and parquet
+    files through the DATA backend — two independent seams."""
+    from dataingestion_spark.sinks.data_backend import (
+        MemoryDataBackend,
+        register_data_backend,
+    )
+
     be = MemoryCommitBackend()
     _commit_on(monkeypatch, be)
+    dbe = MemoryDataBackend()
+    register_data_backend("mem", lambda: dbe)
     t = "mem://tbl"
     ms._commit(t, 0, {"0": ["old.parquet"]}, expected_current=None)
-    be.put_atomic("mem://tbl/files/old.parquet", "DATA0")
+    dbe.write_bytes("mem://tbl/files/old.parquet", b"DATA0")
     ms._commit(t, 1, {"0": ["new.parquet"]}, expected_current=0)
-    be.put_atomic("mem://tbl/files/new.parquet", "DATA1")
+    dbe.write_bytes("mem://tbl/files/new.parquet", b"DATA1")
     removed = ms.vacuum(t, keep_versions=1, min_file_age_seconds=0)
     assert removed == ["old.parquet"]
-    assert be.read_text("mem://tbl/files/new.parquet") == "DATA1"
-    assert be.read_text("mem://tbl/files/old.parquet") is None
+    assert dbe.read_bytes("mem://tbl/files/new.parquet") == b"DATA1"
+    assert dbe.read_bytes("mem://tbl/files/old.parquet") is None
     assert be.read_text("mem://tbl/manifest-000000.json") is None

