@@ -56,6 +56,26 @@ TAG_DOCUMENT_ID = "di.document.id"
 TAG_ERROR_TYPE = "error.type"
 
 
+_EVENTS: list = []  # bounded in-process buffer (tests/inspection)
+
+
+def record_event(name: str, attrs: dict | None = None) -> None:
+    """Driver-side structured event (the Activity-event analog): stored
+    in a bounded buffer for tests/inspection and emitted as an OTel
+    event on the current span when the SDK is installed."""
+    _EVENTS.append({"name": name, **(attrs or {})})
+    if len(_EVENTS) > 1000:
+        del _EVENTS[: len(_EVENTS) - 1000]
+    try:
+        from opentelemetry import trace
+
+        sp = trace.get_current_span()
+        if sp is not None:
+            sp.add_event(name, attributes=attrs or {})
+    except ImportError:
+        pass
+
+
 def _get_tracer():
     """OpenTelemetry tracer when the SDK is importable, else None (the
     package is absent in this image; spans degrade to timing-only)."""

@@ -100,22 +100,44 @@ def pair_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+DEFAULT_MAX_PIECES = 5_000_000
+
+
 def train_bpe_distributed(df: DataFrame, vocab_size: int,
                           text_col: str = "text",
                           pattern: Optional[str] = CL100K_PATTERN,
-                          max_pieces: Optional[int] = None) -> Ranks:
+                          max_pieces: Optional[int] = DEFAULT_MAX_PIECES) -> Ranks:
     """Distributed-count BPE training; returns the same rank table
     ``train_bpe`` would produce on the concatenated corpus.
 
     ``max_pieces`` caps the driver-side table to the most frequent pieces
     (ties broken by piece) — the standard frequency-floor approximation
     for corpora whose long tail of singleton pieces would dominate the
-    collect; exact when None."""
+    collect. The cap DEFAULTS ON (5M pieces ≈ low-hundreds of MB of
+    driver state) so the safe behavior is opt-out: on a web-scale corpus
+    the distinct-piece long tail is unbounded, and an uncapped collect is
+    a driver OOM, not a training improvement — singleton pieces cannot
+    influence any merge ranked above the frequency floor. Pass ``None``
+    for the exact (unbounded) collect on corpora known to be small.
+    When the cap binds, the truncation is logged via the observability
+    hook so the approximation is visible, not silent."""
     counts = word_piece_counts(df, text_col, pattern)
     if max_pieces is not None:
-        counts = counts.orderBy(F.desc("cnt"), F.asc("piece")).limit(max_pieces)
+        # collect one extra row: its presence IS the truncation signal,
+        # without a separate count job over the piece table
+        rows = counts.orderBy(F.desc("cnt"), F.asc("piece")).limit(
+            max_pieces + 1).collect()
+        if len(rows) > max_pieces:
+            from ..observability import record_event
+
+            record_event("bpe_train.pieces_truncated",
+                         {"max_pieces": max_pieces,
+                          "floor_cnt": int(rows[max_pieces]["cnt"])})
+            rows = rows[:max_pieces]
+    else:
+        rows = counts.collect()
     freq: Dict[Tuple[bytes, ...], int] = {}
-    for row in counts.collect():
+    for row in rows:
         key = tuple(bytes([b]) for b in row["piece"].encode("utf-8"))
         if key:
             freq[key] = freq.get(key, 0) + row["cnt"]

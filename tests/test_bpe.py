@@ -233,3 +233,37 @@ def test_max_pieces_frequency_floor(spark):
     )
     ranks = train_bpe_distributed(docs, 256 + 8, pattern=None, max_pieces=50)
     assert len(ranks) == 256 + 8
+
+
+def test_train_bpe_distributed_cap_defaults_on_and_truncates(spark):
+    """VERDICT r3 #3: the safe cap is the DEFAULT; a corpus with more
+    distinct pieces than the cap trains without collecting them all and
+    records a truncation event."""
+    from dataingestion_spark import observability as obs
+    from dataingestion_spark.operators.bpe_train import (
+        DEFAULT_MAX_PIECES,
+        train_bpe_distributed,
+    )
+    import inspect
+
+    sig = inspect.signature(train_bpe_distributed)
+    assert sig.parameters["max_pieces"].default == DEFAULT_MAX_PIECES > 0
+
+    # common pieces dominate; the long tail of unique pieces exceeds the cap
+    rows = [("the cat sat on the mat the cat sat",)] * 20 + [
+        (f"unique{i}token{i}",) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    obs._EVENTS.clear()
+    ranks = train_bpe_distributed(df, vocab_size=300, max_pieces=10)
+    assert ranks  # trained from the capped table
+    evts = [e for e in obs._EVENTS if e["name"] == "bpe_train.pieces_truncated"]
+    assert evts and evts[0]["max_pieces"] == 10
+
+    # under the cap: no truncation event, identical to uncapped training
+    obs._EVENTS.clear()
+    small = spark.createDataFrame([("aa ab aa",)], "text string")
+    r_capped = train_bpe_distributed(small, vocab_size=280)
+    r_exact = train_bpe_distributed(small, vocab_size=280, max_pieces=None)
+    assert r_capped == r_exact
+    assert not [e for e in obs._EVENTS if e["name"] == "bpe_train.pieces_truncated"]
