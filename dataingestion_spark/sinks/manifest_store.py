@@ -196,7 +196,8 @@ def _commit(table: str, version: int, buckets: Dict[str, List[str]],
 def _write_bucket_files(records: DataFrame, table: str, token: str,
                         stats: Optional[Dict[str, Dict]] = None,
                         prefix: str = "b",
-                        single_task: bool = False) -> Dict[str, List[str]]:
+                        single_task: bool = False,
+                        derive_deletes: bool = False):
     """Write records (must carry doc_bucket) grouped per bucket; returns
     bucket -> new file names.
 
@@ -221,7 +222,18 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
     to the driver — the scale path. On driver-side backends (the memory
     emulator) the serialized bytes ride back in the same rows and the
     driver performs the puts; those backends are test-scale by contract
-    (``DataBackend.executor_writes``)."""
+    (``DataBackend.executor_writes``).
+
+    ``derive_deletes=True`` additionally writes, per bucket, a ``del-…``
+    equality-delete file of the DATA rows' distinct documentids — inside
+    the SAME task, zero extra Spark work. This is exactly the DV a
+    replace/upsert commit needs: under the strictly-smaller sequence rule
+    a DV entry for a documentid with no older rows (a pure insert) is a
+    no-op, so deriving the delete set from the written rows is equivalent
+    to shipping the matched-ids frame separately — and saves the second
+    write job plus the union lineage whose job overhead dominated
+    small-batch merge latency. Returns ``(data_buckets, del_buckets)``
+    in this mode."""
     from .data_backend import data_backend_for
 
     be = data_backend_for(table)
@@ -229,7 +241,9 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
     be.ensure_dir(files_dir)
     # ship only a picklable backend to executors; None ⇒ payload returns
     exec_be = be if be.executor_writes else None
-    shaped = records.coalesce(1) if single_task else records.repartition("doc_bucket")
+    mixed = derive_deletes
+    shaped = (records.coalesce(1) if single_task
+              else records.repartition("doc_bucket"))
     want_stats = stats is not None
 
     def write_batches(batches):
@@ -246,10 +260,9 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
             for b in pc.unique(tbl["doc_bucket"]).to_pylist():
                 acc.setdefault(int(b), []).append(
                     tbl.filter(pc.equal(tbl["doc_bucket"], b)))
-        buckets_o, names_o, stats_o, payload_o = [], [], [], []
-        for b, parts in sorted(acc.items()):
-            tbl = pa.concat_tables(parts)
-            name = f"{prefix}{b}-{token}-{_uuid.uuid4().hex[:8]}.parquet"
+        buckets_o, names_o, stats_o, payload_o, kind_o = [], [], [], [], []
+
+        def emit(b, tbl, name, kind, with_stats):
             sink = pa.BufferOutputStream()
             pqt.write_table(tbl, sink)
             data = sink.getvalue().to_pybytes()
@@ -259,7 +272,7 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
             else:
                 payload_o.append(data)
             st = ""
-            if want_stats and "documentid" in tbl.column_names:
+            if with_stats and "documentid" in tbl.column_names:
                 try:  # stats are an optimization, never a correctness gate
                     vals = tbl["documentid"].to_pylist()
                     st = _json.dumps(
@@ -270,21 +283,40 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
             buckets_o.append(str(b))
             names_o.append(name)
             stats_o.append(st)
+            kind_o.append(kind)
+
+        for b, parts in sorted(acc.items()):
+            tbl = pa.concat_tables(parts)
+            emit(b, tbl,
+                 f"{prefix}{b}-{token}-{_uuid.uuid4().hex[:8]}.parquet",
+                 "d", want_stats)
+            if mixed and tbl.num_rows:
+                del_tbl = (tbl.select(["documentid", "doc_bucket"])
+                           .group_by(["documentid", "doc_bucket"])
+                           .aggregate([]))
+                emit(b, del_tbl,
+                     f"del-{b}-d{token}-{_uuid.uuid4().hex[:8]}.parquet",
+                     "x", False)
         yield pa.RecordBatch.from_pydict(
             {"bucket": buckets_o, "name": names_o, "stats": stats_o,
-             "payload": payload_o})
+             "payload": payload_o, "kind": kind_o})
 
     out: Dict[str, List[str]] = {}
+    out_del: Dict[str, List[str]] = {}
     rows = shaped.mapInArrow(
         write_batches,
-        schema="bucket string, name string, stats string, payload binary",
+        schema="bucket string, name string, stats string, payload binary, "
+               "kind string",
     ).collect()
     for r in sorted(rows, key=lambda r: (int(r["bucket"]), r["name"])):
         if exec_be is None:
             be.write_bytes(f"{files_dir}/{r['name']}", r["payload"])
-        out.setdefault(r["bucket"], []).append(r["name"])
-        if want_stats and r["stats"]:
+        tgt = out if r["kind"] == "d" else out_del
+        tgt.setdefault(r["bucket"], []).append(r["name"])
+        if want_stats and r["kind"] == "d" and r["stats"]:
             stats[r["name"]] = json.loads(r["stats"])
+    if mixed:
+        return out, out_del
     return out
 
 
@@ -461,12 +493,15 @@ def _read_files(spark, table: str, manifest: Dict,
             return df
 
         # file basename -> seq (names are unique by construction); the lit
-        # map is manifest-sized driver data, well under broadcast limits
+        # map is manifest-sized driver data, well under broadcast limits.
+        # Built as ONE sql expression string: create_map from 2N F.lit
+        # Columns costs 2N py4j round trips (~0.5 s of driver chatter on
+        # a 100-file table) before any job runs. File names are generated
+        # hex tokens — no quoting hazards.
         def seq_map(for_names):
-            return F.create_map(*[
-                x for n in for_names
-                for x in (F.lit(n), F.lit(int(meta["seq"].get(n, 0))))
-            ])
+            entries = ", ".join(
+                f"'{n}', {int(meta['seq'].get(n, 0))}" for n in for_names)
+            return F.expr(f"map({entries})")
 
         basename = lambda: F.element_at(F.split(F.input_file_name(), "/"), -1)  # noqa: E731
         df = df.withColumn("_seq", seq_map(names)[basename()])
@@ -661,10 +696,9 @@ def _replace_with_dv(records: DataFrame, table: str, txn=None) -> int:
     token = uuid.uuid4().hex[:8]
     _seed_schema(records.sparkSession, table, manifest, meta)
     _schema_union(meta, records)
-    new_buckets = _write_bucket_files(records, table, token, stats=meta["stats"])
-    del_df = records.select("documentid", "doc_bucket").distinct()
-    del_buckets = _write_bucket_files(del_df, table, "d" + token, prefix="del-",
-                                      single_task=True)
+    # one job for data files AND delete vectors (see _write_bucket_files)
+    new_buckets, del_buckets = _write_bucket_files(
+        records, table, token, stats=meta["stats"], derive_deletes=True)
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     for b, names in new_buckets.items():
         buckets.setdefault(b, []).extend(names)
@@ -792,6 +826,29 @@ def merge_table(source: DataFrame, table: str,
     meta = _manifest_meta(manifest)
     affected = sorted(str(r["doc_bucket"]) for r in precheck)
     existing = [b for b in affected if manifest["buckets"].get(b)]
+    # an unconditional delete-only merge never needs the target AT ALL:
+    # a DV entry for an id the table doesn't hold is a no-op under the
+    # strictly-smaller sequence rule, so the source ids (already distinct
+    # per the dup guard) ARE the delete vector — O(batch) with zero
+    # target IO, the shape a 100 TB delete wants
+    if (when_matched == "delete" and matched_condition is None
+            and when_not_matched is None and existing):
+        del_ids = src.select("documentid", "doc_bucket")
+        del_buckets = _write_bucket_files(del_ids, table,
+                                          "d" + "m" + uuid.uuid4().hex[:7],
+                                          prefix="del-")
+        version = manifest["version"] + 1
+        buckets = {b: list(names) for b, names in manifest["buckets"].items()}
+        for b, names in del_buckets.items():
+            if manifest["buckets"].get(b):
+                meta["deletes"].setdefault(b, []).extend(names)
+                meta["seq"].update({n: version for n in names})
+            else:  # DV on a bucket with no pre-existing files is a no-op
+                for n in names:
+                    _data_delete(table, n)
+        return _commit(table, version, buckets,
+                       expected_current=manifest["version"],
+                       extra=_prune_meta(meta, buckets))
     tgt = tgt_keys = None
     if existing:
         tgt = _read_files(spark, table, manifest, bucket_subset=existing)
@@ -844,23 +901,43 @@ def merge_table(source: DataFrame, table: str,
     version = manifest["version"] + 1
     token = "m" + uuid.uuid4().hex[:7]
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
+    new_buckets: Dict[str, List[str]] = {}
+    del_buckets: Dict[str, List[str]] = {}
     if new_rows is not None:
         _seed_schema(spark, table, manifest, meta)
         _schema_union(meta, new_rows)
-        new_buckets = _write_bucket_files(new_rows, table, token, stats=meta["stats"])
-        for b, names in new_buckets.items():
-            buckets.setdefault(b, []).extend(names)
-            meta["seq"].update({n: version for n in names})
+        if del_df is not None and when_matched == "update":
+            # data files + derived delete vectors in ONE Spark job (see
+            # _write_bucket_files): for an UPDATE merge the matched ids
+            # are a subset of the written rows' ids and insert-id DVs are
+            # no-ops, so the DV set derives from the data rows in-task —
+            # the second write job's overhead dominated small-batch merges
+            new_buckets, del_buckets = _write_bucket_files(
+                new_rows, table, token, stats=meta["stats"],
+                derive_deletes=True)
+            del_df = None  # consumed
+        else:
+            new_buckets = _write_bucket_files(new_rows, table, token,
+                                              stats=meta["stats"])
     if del_df is not None:
+        # delete-clause DVs (ids NOT among the written rows). NOT
+        # single_task: coalesce(1) would propagate up through the
+        # src-vs-target join and run the whole match on one task; the
+        # bucket repartition keeps the join parallel and the DV files
+        # per-bucket (delete_documents keeps single_task — its input is
+        # a driver-built literal frame with no upstream to collapse)
         del_buckets = _write_bucket_files(del_df, table, "d" + token,
-                                          prefix="del-", single_task=True)
-        for b, names in del_buckets.items():
-            if manifest["buckets"].get(b):
-                meta["deletes"].setdefault(b, []).extend(names)
-                meta["seq"].update({n: version for n in names})
-            else:  # DV on a bucket with no pre-existing files is a no-op
-                for n in names:
-                    _data_delete(table, n)
+                                          prefix="del-")
+    for b, names in new_buckets.items():
+        buckets.setdefault(b, []).extend(names)
+        meta["seq"].update({n: version for n in names})
+    for b, names in del_buckets.items():
+        if manifest["buckets"].get(b):
+            meta["deletes"].setdefault(b, []).extend(names)
+            meta["seq"].update({n: version for n in names})
+        else:  # DV on a bucket with no pre-existing files is a no-op
+            for n in names:
+                _data_delete(table, n)
     return _commit(table, version, buckets, expected_current=manifest["version"],
                    extra=_prune_meta(meta, buckets))
 

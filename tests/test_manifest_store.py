@@ -577,3 +577,38 @@ def test_merge_condition_backtick_quoted_column(spark, tmp_path):
     ms.merge_table(src2, table, matched_condition="`my col` > target.`my col`")
     got = {r.content for r in ms.read_table(spark, table).collect()}
     assert got == {"new"}
+
+
+def test_unconditional_delete_merge_skips_target_and_noop_dvs(spark, tmp_path):
+    """r4 fast path: a delete-only merge with no condition writes the
+    source ids as the DV without reading the target; ids absent from the
+    table are no-ops, and a LATER insert of a deleted id survives (the
+    DV applies only to strictly-older files)."""
+    table = str(tmp_path / "delmerge")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"], "c": ["c0"]}),
+                   table)
+    # 'ghost' is not in the table: must be a harmless no-op
+    ms.merge_table(records_df(spark, {"a": [""], "ghost": [""]})
+                   .select("documentid"),
+                   table, when_matched="delete", when_not_matched=None)
+    got = {r.documentid for r in ms.read_table(spark, table).collect()}
+    assert got == {"b", "c"}
+    # re-insert a previously deleted id: newer seq beats the old DV
+    ms.append_table(records_df(spark, {"a": ["a-reborn"], "ghost": ["g0"]}), table)
+    got = {r.documentid: r.content for r in ms.read_table(spark, table).collect()}
+    assert got["a"] == "a-reborn" and got["ghost"] == "g0"
+
+
+def test_update_merge_derived_dv_kills_all_old_chunks(spark, tmp_path):
+    """derive_deletes: an update merge's single-job DV must kill EVERY
+    old row of an updated multi-chunk document, and leave pure inserts
+    (whose derived DV entries are no-ops) intact."""
+    table = str(tmp_path / "derdv")
+    ms.write_table(records_df(spark, {"multi": ["m0", "m1", "m2"],
+                                      "other": ["o0"]}), table)
+    ms.merge_table(records_df(spark, {"multi": ["M-NEW"], "new": ["n0"]}), table)
+    got = {}
+    for r in ms.read_table(spark, table).collect():
+        got.setdefault(r.documentid, []).append(r.content)
+    assert sorted(got["multi"]) == ["M-NEW"]
+    assert got["other"] == ["o0"] and got["new"] == ["n0"]
