@@ -3897,6 +3897,91 @@ def q_reader_dispatch(spark, sf):
     )
 
 
+def _image_fixture_bytes():
+    """Deterministic standalone-image fixtures: a real PNG from the repo's
+    own encoder, hand-built GIF/BMP headers, a JPEG SOI blob, a PNG with
+    a lying .jpg extension (probe must win), and a WebP the probe doesn't
+    parse (extension media type must win)."""
+    import struct
+
+    from dataingestion_spark.sources.pdf import _wrap_png
+
+    raw = bytes((i * 7) % 256 for i in range(4 * 3 * 3))
+    png = _wrap_png(raw, 4, 3, 3)
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 10
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 20, -30) + b"\x00" * 8
+    jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + bytes(range(64))
+    webp = b"RIFF\x28\x00\x00\x00WEBPVP8 " + bytes(16)
+    return {
+        "photo.png": png,
+        "anim.gif": gif,
+        "scan.bmp": bmp,
+        "cam.jpg": jpeg,
+        "mislabeled.jpg": png,
+        "modern.webp": webp,
+    }
+
+
+def q_image_elements(spark, sf):
+    """Standalone image documents through the one-scan dispatcher
+    (sources/image_reader.py): every image/* extension of the reference
+    MIME map (IngestionDocumentReader.cs:80-171) becomes a single
+    Image-element document — decode-free bytes + media type + header
+    metadata, the IngestionDocumentImage shape
+    (IngestionDocument.cs:225-250). Oracle = the same parser run locally
+    on the driver → VALUES."""
+    from dataingestion_spark.model import ELEMENTS_SCHEMA
+    from dataingestion_spark.sources.dispatch import parse_any
+
+    files = _image_fixture_bytes()
+    src = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(files.items())],
+        "doc_id string, content binary",
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["content"]):
+                out.extend(parse_any(bytes(raw), str(doc_id)))
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    el = src.mapInPandas(run, schema=ELEMENTS_SCHEMA)
+    return el.select(
+        "doc_id", "elem_type", "markdown",
+        F.col("image_media_type").alias("media_type"),
+        el["metadata"]["format"].alias("fmt"),
+        el["metadata"]["width"].cast("int").alias("width"),
+        el["metadata"]["height"].cast("int").alias("height"),
+        el["metadata"]["n_bytes"].cast("long").alias("n_bytes"),
+        el["metadata"]["sha256"].alias("sha256"),
+        F.length("image_content").cast("long").alias("content_len"),
+    )
+
+
+def _oracle_image_elements() -> str:
+    from dataingestion_spark.sources.image_reader import parse_image
+
+    rows = []
+    for doc_id, data in sorted(_image_fixture_bytes().items()):
+        r = parse_image(data, doc_id)[0]
+        m = r["metadata"]
+        rows.append((doc_id, r["elem_type"], r["markdown"],
+                     r["image_media_type"], m["format"], m.get("width"),
+                     m.get("height"), int(m["n_bytes"]), m["sha256"],
+                     len(r["image_content"])))
+    return _values_oracle(
+        rows,
+        ["doc_id", "elem_type", "markdown", "media_type", "fmt", "width",
+         "height", "n_bytes", "sha256", "content_len"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "INTEGER",
+         "INTEGER", "BIGINT", "VARCHAR", "BIGINT"],
+    )
+
+
 def _dispatch_fixture_files():
     docx_files, pdf_files = _office_fixture_bytes()
     xlsx_files, pptx_files = _office_extra_fixture_bytes()
@@ -6418,6 +6503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_wet_records": q_reader_wet_records,
         "reader_jsonl_roundtrip": q_jsonl_roundtrip,
         "reader_warc_responses": q_warc_responses,
+        "reader_image_elements": q_image_elements,
         # §2.3 chunkers
         "chunker_header": q_header_chunks,
         "chunker_section": q_section_chunks,
@@ -6758,6 +6844,7 @@ def oracle_sql() -> dict[str, str]:
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,
+        "reader_image_elements": _oracle_image_elements(),
         "chunker_header": _values_oracle(
             _fixture_chunk_golden(lambda rows: header_chunk_doc(rows, _FIXED_OPTS)),
             _CHUNK_COLS, _CHUNK_TYPES,

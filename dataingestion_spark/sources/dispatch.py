@@ -72,6 +72,11 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
         return parse_delimited(text, doc_id, "\t" if ext == ".tsv" else ",")
     if ext == ".zip":
         return _parse_zip(data, doc_id, extract_images)
+    mt = media_type_for(doc_id)
+    if mt and mt.startswith("image/"):
+        from .image_reader import parse_image
+
+        return parse_image(data, doc_id)
     if ext in _TEXT_EXTS or not ext:
         return parse_markdown(
             data.decode("utf-8", errors="replace") if isinstance(data, (bytes, bytearray)) else data,

@@ -380,3 +380,59 @@ def test_image_tiles_grid_and_edges(spark):
     assert len([k for k in rows if k[0] == 1]) == 4
     assert len([k for k in rows if k[0] == 2]) == 1
     assert not any(k[0] == 3 for k in rows)         # unprobeable dropped
+
+
+# --- standalone image documents (sources/image_reader.py) ------------------
+
+def test_parse_image_png_single_element():
+    from dataingestion_spark.sources.image_reader import parse_image
+
+    rows = parse_image(PNG, "dir/pic.png")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["elem_type"] == "image"
+    assert r["image_media_type"] == "image/png"
+    assert r["image_content"] == PNG
+    assert r["image_alt_text"] is None  # left for the enricher
+    assert r["markdown"] == "![](pic.png)"
+    assert r["metadata"]["format"] == "png"
+    assert (r["metadata"]["width"], r["metadata"]["height"]) == ("640", "480")
+
+
+def test_parse_image_probe_beats_lying_extension():
+    from dataingestion_spark.sources.image_reader import parse_image
+
+    r = parse_image(PNG, "mislabeled.jpg")[0]
+    assert r["image_media_type"] == "image/png"  # header wins
+    r2 = parse_image(b"RIFF\x28\x00\x00\x00WEBPVP8 " + bytes(16), "x.webp")[0]
+    assert r2["image_media_type"] == "image/webp"  # unknown probe -> extension
+    assert "width" not in r2["metadata"]
+
+
+def test_dispatch_routes_images(spark, tmp_path):
+    from dataingestion_spark.sources.dispatch import parse_any, read_documents
+
+    rows = parse_any(PNG, "a.png")
+    assert rows[0]["elem_type"] == "image"
+    # full Spark path: scan a mixed dir with an image in it
+    (tmp_path / "doc.md").write_text("# Title\n\nbody\n")
+    (tmp_path / "pic.png").write_bytes(PNG)
+    el = read_documents(spark, str(tmp_path))
+    by_type = {r.elem_type for r in el.collect()}
+    assert "image" in by_type and "header" in by_type
+    img = el.filter("elem_type = 'image'").collect()[0]
+    assert bytes(img.image_content) == PNG
+    assert img.image_media_type == "image/png"
+
+
+def test_image_document_feeds_alt_text_enricher(spark):
+    from dataingestion_spark.model import ELEMENTS_SCHEMA
+    from dataingestion_spark.operators.enrichers import image_alt_text_enricher
+    from dataingestion_spark.sources.image_reader import parse_image
+
+    import pandas as pd
+
+    rows = parse_image(PNG, "pic.png")
+    el = spark.createDataFrame(pd.DataFrame(rows), schema=ELEMENTS_SCHEMA)
+    out = image_alt_text_enricher(el).collect()[0]
+    assert out.image_alt_text == f"Image (image/png, {len(PNG)} bytes)"
