@@ -123,10 +123,11 @@ def image_resize(df: DataFrame, binary_col: str = "image_content",
     deliberately refuses to fake pixel data."""
     if decoder is None:
         raise NotImplementedError(
-            "image_resize needs a codec (e.g. Pillow): pass decoder="
-            "lambda data, max_side: (resized_bytes, w, h). The Spark plumbing "
-            "(schema 'doc_id string, seq long, image binary, width int, "
-            "height int', Arrow batching) is in place."
+            "image_resize needs a codec: pass decoder=png_codec.png_decoder "
+            "for PNG bytes (stdlib, no external libs), or a Pillow-backed "
+            "lambda data, max_side: (resized_bytes, w, h) for other formats. "
+            "The Spark plumbing (schema 'doc_id string, seq long, image "
+            "binary, width int, height int', Arrow batching) is in place."
         )
 
     def run(batches) -> Iterator:
@@ -256,4 +257,52 @@ def image_tiles(meta: DataFrame, tile_w: int = 256, tile_h: int = 256,
         x0.alias("x0"), y0.alias("y0"),
         F.least(x0 + tile_w, w).alias("x1"),
         F.least(y0 + tile_h, h).alias("y1"),
+    )
+
+
+def png_tile_pixels(df: DataFrame, tile_w: int = 256, tile_h: int = 256,
+                    binary_col: str = "image_content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """REAL tile extraction for PNG bytes — no external codecs: decode
+    once per image with the stdlib codec (:mod:`.png_codec`), crop every
+    rectangle of the same grid :func:`image_tiles` emits (edge tiles
+    truncate), re-encode each tile as PNG. One Arrow-batched pass;
+    non-PNG/undecodable rows are dropped (the codec raises on formats it
+    can't honestly decode). Output: ``(id, tile_x, tile_y, x0, y0, x1,
+    y1, tile binary)``."""
+    if tile_w <= 0 or tile_h <= 0:
+        raise ValueError("tile_w and tile_h must be positive")
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        from .png_codec import crop, decode_png, encode_png
+
+        cols = [id_col, "tile_x", "tile_y", "x0", "y0", "x1", "y1", "tile"]
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                data = r[binary_col]
+                if data is None:
+                    continue
+                try:
+                    pixels, w, h, ch = decode_png(bytes(data))
+                except ValueError:
+                    continue
+                for ty in range((h + tile_h - 1) // tile_h):
+                    for tx in range((w + tile_w - 1) // tile_w):
+                        x0, y0 = tx * tile_w, ty * tile_h
+                        x1, y1 = min(x0 + tile_w, w), min(y0 + tile_h, h)
+                        piece = crop(pixels, w, h, ch, x0, y0, x1, y1)
+                        out.append({
+                            id_col: r[id_col], "tile_x": tx, "tile_y": ty,
+                            "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                            "tile": encode_png(piece, x1 - x0, y1 - y0, ch),
+                        })
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(
+        run,
+        schema=f"{id_col} string, tile_x int, tile_y int, "
+               "x0 int, y0 int, x1 int, y1 int, tile binary",
     )
