@@ -4869,6 +4869,36 @@ def q_streaming_events(spark, sf):
     return spark.table(name)
 
 
+def q_streaming_tws_stats(spark, sf):
+    """Arbitrary stateful streaming on the state API v2
+    (streaming/tws.py::stream_user_type_stats): transformWithStateInPandas
+    + MapState + RocksDB state store, run LIVE — when the real protobuf
+    package is absent, the repo's minimal pure-python protobuf runtime
+    (shims/google/protobuf) is shipped to the workers, so the JVM state
+    server protocol works end-to-end. Totals are exact and
+    order-independent (count/min/max), so the drained emission log reduces
+    to a plain GROUP BY — a fully SQL-oracled stateful-v2 streaming
+    query."""
+    from dataingestion_spark.streaming import tws
+
+    _utc(spark)
+    name = "tws_user_type_stats_check"
+    q = tws.stream_user_type_stats(spark, sf, query_name=name)
+    q.awaitTermination()
+    return tws.final_totals(spark.table(name)).select(
+        "user_id", "event_type", "n",
+        F.round("min_value", 6).alias("min_r"),
+        F.round("max_value", 6).alias("max_r"),
+    )
+
+
+ORACLE_TWS_STATS = """
+SELECT user_id, event_type, COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS min_r, ROUND(MAX(value), 6) AS max_r
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def q_streaming_stateful(spark, sf):
     """Custom stateful streaming op (applyInPandasWithState) — rows-only;
     correctness pinned against the batch aggregation by
@@ -5078,15 +5108,50 @@ FROM ret JOIN sizes USING (c)
 """
 
 
+def _compression_corpus():
+    """Deterministic corpus spanning the signal's range: fixture prose,
+    highly repetitive boilerplate (~0.0x ratio), and md5-chain gibberish
+    (~1.0) — synthesized identically at query and oracle build time."""
+    import hashlib
+
+    gib, h = [], b"seed"
+    for _ in range(64):
+        h = hashlib.md5(h).digest()
+        gib.append(h.hex())
+    rows = dict(FIXTURE_DOCS)
+    rows["fx_repetitive"] = "lorem ipsum dolor sit amet " * 120
+    rows["fx_gibberish"] = "".join(gib)
+    return sorted(rows.items())
+
+
 def q_compression_ratio(spark, sf):
     """Deflate compression-ratio quality signal
-    (operators/text_analysis.py::compression_ratio) — rows-only: no
-    relational deflate exists in any SQL engine, so the driver records
-    count/schema while tests pin the byte counts against direct zlib
-    (DEFLATE at a fixed level is deterministic per zlib build)."""
+    (operators/text_analysis.py::compression_ratio). No relational
+    deflate exists in any SQL engine, so the query runs over a
+    deterministic synthesized corpus and the oracle pins the per-row
+    zlib byte counts as literals (DEFLATE at a fixed level is
+    deterministic for a given zlib build; the goldens come from the
+    same build) — zlib itself stays operator-side only."""
     from dataingestion_spark.operators.text_analysis import compression_ratio
 
-    return compression_ratio(_t(spark, sf, "documents"))
+    docs = spark.createDataFrame(_compression_corpus(),
+                                 "doc_id string, text string")
+    return compression_ratio(docs)
+
+
+def _oracle_compression_ratio() -> str:
+    import zlib
+
+    rows = []
+    for doc_id, text in _compression_corpus():
+        b = text.encode("utf-8")
+        n, nd = len(b), len(zlib.compress(b, 6))
+        rows.append((doc_id, n, nd, round(nd / max(n, 1), 6)))
+    return _values_oracle(
+        rows,
+        ["doc_id", "n_bytes", "n_bytes_deflate", "compression_ratio"],
+        ["VARCHAR", "BIGINT", "BIGINT", "DOUBLE"],
+    )
 
 
 def q_profile_table(spark, sf):
@@ -6528,6 +6593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_audio_segments": q_audio_segments,
         "multimodal_image_tiles": q_image_tiles,
+        # stateful streaming, state API v2 (live via the protobuf shim)
+        "streaming_tws_type_stats": q_streaming_tws_stats,
         # §2.6 search family
         "search_topk_cosine": q_emb_topk,
         "search_topk_filtered": q_emb_topk_filtered,
@@ -6718,6 +6785,7 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_per_type": ORACLE_TOPK,
         "events_sessionize": ORACLE_SESSIONIZE,
         "events_session_window": ORACLE_SESSION_WINDOW,
+        "streaming_tws_type_stats": ORACLE_TWS_STATS,
         "events_windowed_5min": ORACLE_WINDOWED,
         "events_pivot_by_user": ORACLE_PIVOT,
         "events_unpivot_long": ORACLE_UNPIVOT,
@@ -6792,6 +6860,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr_europe": _oracle_ppr(),
         "graph_triangle_count": ORACLE_TRIANGLES,
         "doc_char_entropy": ORACLE_CHAR_ENTROPY,
+        "doc_compression_ratio": _oracle_compression_ratio(),
         "sample_dsir_weights": _oracle_dsir(),
         "sketch_hll_users": _oracle_hll(),
         "sketch_hll_merged": _oracle_hll_merged(),

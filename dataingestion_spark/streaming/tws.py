@@ -11,16 +11,17 @@ float summation), which is what makes the drained output fully
 SQL-oracle-checkable: for each key the emission with the largest ``n`` is
 the final total and must equal the batch ``GROUP BY`` on the same files.
 
-Capability gate: the v2 state protocol speaks protobuf between the JVM
-and a dedicated Python state server; this image ships no
-``google.protobuf``, so :func:`tws_available` is False here and
-:func:`stream_user_type_stats` raises :class:`TwsUnavailable` with the
-provisioning hint (verified failure mode: the streaming query dies with
-"TransformWithStateInPySpark driver worker exited unexpectedly" —
-the worker crashes importing ``StateMessage_pb2``). The pure
-accumulation logic (:func:`merge_type_stats`) and the processor class
-are unit-tested offline; on a protobuf-equipped cluster the query runs
-as written with the RocksDB provider config below.
+Capability gate, now SELF-PROVISIONING: the v2 state protocol speaks
+protobuf between the JVM and a dedicated Python state server. When the
+real ``google.protobuf`` is absent (this image ships none),
+:func:`ensure_protobuf` activates the repo's minimal pure-python
+protobuf runtime (``shims/google/protobuf`` — wire-format codec +
+dynamic message classes built from the generated module's own embedded
+FileDescriptorProto) on the driver via ``sys.path`` and on executors
+via ``SparkContext.addPyFile``, so the query runs LIVE end-to-end.
+:func:`tws_available` is therefore True wherever either the real
+package or the shim can load; the pure accumulation logic
+(:func:`merge_type_stats`) stays unit-tested offline as well.
 
 Reference parity: the reference has no stateful streaming at all (its
 "streaming" is a pull-based IAsyncEnumerable,
@@ -54,14 +55,83 @@ class TwsUnavailable(RuntimeError):
     """transformWithState's python worker needs the protobuf package."""
 
 
-def tws_available() -> bool:
-    """True when the state API v2's python dependency (protobuf) exists."""
+def _real_protobuf_present() -> bool:
+    """True only for a REAL protobuf distribution. Two look-alikes must
+    not count: (a) a bare namespace package — spark-core.jar sits on the
+    worker PYTHONPATH and contains ``google/protobuf/*.proto`` resources,
+    which Python happily assembles into an empty namespace ``google.
+    protobuf`` ("unknown location" ImportErrors at use); (b) our own shim
+    already on the driver's sys.path — the driver importing it must not
+    skip shipping it to the workers."""
     try:
         # find_spec imports the parent package, so a missing 'google'
         # namespace raises instead of returning None
-        return importlib.util.find_spec("google.protobuf") is not None
+        spec = importlib.util.find_spec("google.protobuf")
     except ModuleNotFoundError:
         return False
+    if spec is None or spec.origin is None:  # namespace portion only
+        return False
+    d = _shims_dir()
+    return not (d is not None and spec.origin.startswith(d))
+
+
+def _shims_dir() -> Optional[str]:
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "shims")
+    return d if os.path.isfile(
+        os.path.join(d, "google", "protobuf", "_mini_runtime.py")) else None
+
+
+def ensure_protobuf(spark=None) -> bool:
+    """Make ``google.protobuf`` importable: no-op when the real package
+    exists; otherwise put the repo's mini runtime on the driver's
+    ``sys.path`` and (when a session is given) ship it to the Python
+    workers with ``addPyFile`` — the canonical mechanism that lands on
+    every worker's import path, local or cluster. Returns availability."""
+    if _real_protobuf_present():
+        return True
+    d = _shims_dir()
+    if d is None:
+        return False
+    import sys
+
+    if d not in sys.path:
+        sys.path.insert(0, d)
+        importlib.invalidate_caches()
+    if spark is not None:
+        import os
+        import tempfile
+        import zipfile
+
+        sc = spark.sparkContext
+        if not getattr(sc, "_graft_protobuf_shim_shipped", False):
+            zpath = os.path.join(tempfile.mkdtemp(prefix="pb_shim_"),
+                                 "protobuf_shim.zip")
+            with zipfile.ZipFile(zpath, "w") as zf:
+                for root, _, files in os.walk(os.path.join(d, "google")):
+                    for f in files:
+                        if f.endswith(".py"):
+                            p = os.path.join(root, f)
+                            zf.write(p, os.path.relpath(p, d))
+            # regular task workers: the include list delivered through the
+            # worker protocol
+            sc.addPyFile(zpath)
+            # the TWS/foreachBatch "driver worker" (StreamingPythonRunner)
+            # bypasses that protocol — it builds PYTHONPATH from the python
+            # function's envVars, which pyspark seeds from sc.environment
+            env_pp = sc.environment.get("PYTHONPATH", "")
+            sc.environment["PYTHONPATH"] = (
+                d if not env_pp else f"{d}{os.pathsep}{env_pp}")
+            sc._graft_protobuf_shim_shipped = True
+    return True
+
+
+def tws_available() -> bool:
+    """True when the state API v2's python dependency (protobuf) exists
+    or the repo's mini runtime can stand in for it."""
+    return _real_protobuf_present() or _shims_dir() is not None
 
 
 Stats = Tuple[int, Optional[float], Optional[float]]  # (n, min, max)
@@ -146,21 +216,21 @@ def stream_user_type_stats(spark, events_dir: str,
     """events file-stream → per-(user, event_type) exact running
     (count, min, max) on the state API v2. Returns the started query.
 
-    Raises :class:`TwsUnavailable` when protobuf is missing (this image);
-    see the module docstring for the provisioning hint."""
-    if not tws_available():
+    Raises :class:`TwsUnavailable` only when neither the real protobuf
+    nor the repo's mini runtime is reachable; see the module docstring."""
+    if not ensure_protobuf(spark):
         raise TwsUnavailable(
             "transformWithStateInPandas needs the 'protobuf' python package "
-            "on driver and executors (pip install protobuf) plus the "
+            "on driver and executors (pip install protobuf, or ship the "
+            "repo's shims/google/protobuf mini runtime) plus the "
             "RocksDB state store provider "
             "(spark.sql.streaming.stateStore.providerClass="
             "...state.RocksDBStateStoreProvider)"
         )
     for k, v in ROCKSDB_PROVIDER_CONF.items():
         if spark.conf.get(k, "") != v:
-            raise TwsUnavailable(
-                f"transformWithState requires {k}={v} at session build time"
-            )
+            # a runtime-settable SQL conf: new streaming queries pick it up
+            spark.conf.set(k, v)
     stream = normalize_event_ts(
         spark.readStream.schema(events_stream_schema(spark, events_dir, glob))
         .option("pathGlobFilter", glob)
