@@ -3982,6 +3982,93 @@ def _oracle_image_elements() -> str:
     )
 
 
+def _container_fixture_files():
+    """Deterministic .ipynb / .eml / .wav fixtures for the container-ish
+    formats markitdown reaches: a notebook (markdown + code + output
+    cells), an email with RFC 2047 subject, plain body, and a markdown
+    attachment (recursed like a zip member), and a WAV with a real fmt
+    header."""
+    import json
+    import struct
+
+    nb = {
+        "cells": [
+            {"cell_type": "markdown",
+             "source": ["# Notebook Title\n", "\n", "intro paragraph"]},
+            {"cell_type": "code", "source": "print('hi')",
+             "outputs": [{"output_type": "stream", "text": ["hi\n"]}]},
+            {"cell_type": "markdown", "source": "## Analysis\n\nresult text"},
+        ],
+        "metadata": {"kernelspec": {"language": "python"}},
+        "nbformat": 4,
+    }
+    eml = (b"From: a@example.com\r\nTo: b@example.com\r\n"
+           b"Subject: Weekly =?utf-8?q?r=C3=A9sum=C3=A9?=\r\n"
+           b"Date: Mon, 1 Jan 2024 00:00:00 +0000\r\nMIME-Version: 1.0\r\n"
+           b"Content-Type: multipart/mixed; boundary=B\r\n\r\n"
+           b"--B\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+           b"Hello body text\r\n\r\n"
+           b"--B\r\nContent-Type: text/markdown; name=notes.md\r\n"
+           b"Content-Disposition: attachment; filename=notes.md\r\n\r\n"
+           b"# Attached\r\n\r\nnote body\r\n"
+           b"--B--\r\n")
+    wav = (b"RIFF" + struct.pack("<I", 36 + 16000) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 16000) + b"\x00" * 16000)
+    return {
+        "report.ipynb": json.dumps(nb).encode(),
+        "mail.eml": eml,
+        "clip.wav": wav,
+    }
+
+
+def q_container_elements(spark, sf):
+    """Notebook / email / audio documents through the one-scan dispatcher
+    (sources/ipynb.py, eml.py, audio_reader.py — the remaining format
+    families markitdown reaches that the native readers now cover):
+    .ipynb renders to markdown then parses structurally, .eml yields
+    subject header + envelope + body + recursed attachments, .wav yields
+    a probe-metadata paragraph. Oracle = the same parsers run locally →
+    VALUES."""
+    from dataingestion_spark.model import ELEMENTS_SCHEMA
+    from dataingestion_spark.sources.dispatch import parse_any
+
+    files = _container_fixture_files()
+    src = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(files.items())],
+        "doc_id string, content binary",
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        cols = [f.name for f in ELEMENTS_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["content"]):
+                out.extend(parse_any(bytes(raw), str(doc_id)))
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    el = src.mapInPandas(run, schema=ELEMENTS_SCHEMA)
+    return el.select("doc_id", "seq", "elem_type", "markdown", "header_level")
+
+
+def _oracle_container_elements() -> str:
+    from dataingestion_spark.sources.dispatch import parse_any
+
+    rows = []
+    for doc_id, data in sorted(_container_fixture_files().items()):
+        for r in parse_any(data, doc_id):
+            rows.append((r["doc_id"], r["seq"], r["elem_type"], r["markdown"],
+                         r["header_level"]))
+    return _values_oracle(
+        rows,
+        ["doc_id", "seq", "elem_type", "markdown", "header_level"],
+        ["VARCHAR", "BIGINT", "VARCHAR", "VARCHAR", "INTEGER"],
+    )
+
+
 def _dispatch_fixture_files():
     docx_files, pdf_files = _office_fixture_bytes()
     xlsx_files, pptx_files = _office_extra_fixture_bytes()
@@ -6569,6 +6656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_jsonl_roundtrip": q_jsonl_roundtrip,
         "reader_warc_responses": q_warc_responses,
         "reader_image_elements": q_image_elements,
+        "reader_container_elements": q_container_elements,
         # §2.3 chunkers
         "chunker_header": q_header_chunks,
         "chunker_section": q_section_chunks,
@@ -6914,6 +7002,7 @@ def oracle_sql() -> dict[str, str]:
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,
         "reader_image_elements": _oracle_image_elements(),
+        "reader_container_elements": _oracle_container_elements(),
         "chunker_header": _values_oracle(
             _fixture_chunk_golden(lambda rows: header_chunk_doc(rows, _FIXED_OPTS)),
             _CHUNK_COLS, _CHUNK_TYPES,

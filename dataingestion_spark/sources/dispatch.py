@@ -72,11 +72,23 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
         return parse_delimited(text, doc_id, "\t" if ext == ".tsv" else ",")
     if ext == ".zip":
         return _parse_zip(data, doc_id, extract_images)
+    if ext == ".ipynb":
+        from .ipynb import parse_ipynb
+
+        return parse_ipynb(data, doc_id)
+    if ext == ".eml":
+        from .eml import parse_eml
+
+        return parse_eml(data, doc_id)
     mt = media_type_for(doc_id)
     if mt and mt.startswith("image/"):
         from .image_reader import parse_image
 
         return parse_image(data, doc_id)
+    if mt and mt.startswith("audio/"):
+        from .audio_reader import parse_audio
+
+        return parse_audio(data, doc_id)
     if ext in _TEXT_EXTS or not ext:
         return parse_markdown(
             data.decode("utf-8", errors="replace") if isinstance(data, (bytes, bytearray)) else data,

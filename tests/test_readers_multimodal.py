@@ -574,3 +574,83 @@ def test_png_tile_pixels_roundtrip(spark):
             off = ((t.y0 + y) * w + t.x0) * ch
             canvas[off:off + tw * ch] = src
     assert bytes(canvas) == pixels
+
+
+# --- notebook / email / audio documents ------------------------------------
+
+def test_parse_ipynb_structure():
+    import json
+
+    from dataingestion_spark.sources.ipynb import parse_ipynb
+
+    nb = {"cells": [
+        {"cell_type": "markdown", "source": ["# T\n", "\n", "body"]},
+        {"cell_type": "code", "source": "x = 1",
+         "outputs": [{"output_type": "execute_result",
+                      "data": {"text/plain": ["1"]}},
+                     {"output_type": "display_data",
+                      "data": {"image/png": "not-text-skipped"}}]},
+        {"cell_type": "raw", "source": "raw text"},
+        {"cell_type": "code", "source": ""},  # empty code cell: skipped
+    ], "metadata": {"language_info": {"name": "julia"}}}
+    rows = parse_ipynb(json.dumps(nb).encode(), "n.ipynb")
+    kinds = [(r["elem_type"], r["markdown"]) for r in rows]
+    assert ("header", "# T") in kinds
+    assert ("paragraph", "```julia\nx = 1\n```") in kinds
+    assert ("paragraph", "```\n1\n```") in kinds
+    assert ("paragraph", "raw text") in kinds
+    assert not any("image/png" in (r["markdown"] or "") for r in rows)
+    with pytest.raises(ValueError, match="no renderable cells"):
+        parse_ipynb(b'{"cells": []}', "empty.ipynb")
+
+
+def test_parse_eml_subject_body_attachment():
+    from dataingestion_spark.sources.eml import parse_eml
+
+    eml = (b"From: a@x.com\r\nSubject: =?utf-8?q?caf=C3=A9?=\r\n"
+           b"MIME-Version: 1.0\r\n"
+           b"Content-Type: multipart/mixed; boundary=B\r\n\r\n"
+           b"--B\r\nContent-Type: text/plain\r\n\r\nplain body\r\n\r\n"
+           b"--B\r\nContent-Type: text/markdown; name=a.md\r\n"
+           b"Content-Disposition: attachment; filename=a.md\r\n\r\n"
+           b"# Att\r\n\r\nattached text\r\n"
+           b"--B--\r\n")
+    rows = parse_eml(eml, "m.eml")
+    headers = [r["markdown"] for r in rows if r["elem_type"] == "header"]
+    assert "# café" in headers  # RFC 2047 decoding via stdlib policy
+    assert any(r["doc_id"] == "m.eml!a.md" for r in rows)  # recursed
+    assert any((r["markdown"] or "") == "plain body" for r in rows)
+
+
+def test_parse_eml_html_body_falls_back():
+    from dataingestion_spark.sources.eml import parse_eml
+
+    eml = (b"Subject: H\r\nMIME-Version: 1.0\r\n"
+           b"Content-Type: text/html\r\n\r\n"
+           b"<html><body><h2>Inner</h2><p>html para</p></body></html>\r\n")
+    rows = parse_eml(eml, "h.eml")
+    assert any((r["markdown"] or "") == "## Inner" for r in rows)
+    assert any("html para" in (r["markdown"] or "") for r in rows)
+
+
+def test_parse_audio_document_and_dispatch():
+    import struct
+
+    from dataingestion_spark.sources.audio_reader import parse_audio
+    from dataingestion_spark.sources.dispatch import parse_any
+
+    wav = (b"RIFF" + struct.pack("<I", 36 + 8000) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+           + b"data" + struct.pack("<I", 8000) + b"\x00" * 8000)
+    rows = parse_audio(wav, "x.wav")
+    assert len(rows) == 1 and rows[0]["elem_type"] == "paragraph"
+    assert rows[0]["metadata"]["sample_rate"] == "16000"
+    assert rows[0]["metadata"]["channels"] == "2"
+    assert "2 channels" in rows[0]["markdown"]
+    # dispatch routes by audio/* media type
+    assert parse_any(wav, "x.wav")[0]["metadata"]["sha256"] == \
+        rows[0]["metadata"]["sha256"]
+    # notebooks route too
+    assert parse_any(b'{"cells":[{"cell_type":"markdown","source":"# N"}]}',
+                     "n.ipynb")[0]["elem_type"] in ("section", "header")
