@@ -346,15 +346,15 @@ def test_entry_contract(spark):
     oracles = em.oracle_sql()
     missing = [k for k in oracles if k not in qs]
     assert not missing
-    # every query has an oracle except the four genuinely non-SQL ops:
-    # xxhash64 has no DuckDB twin by construction, no relational deflate
-    # exists, and the GroupState custom operator's multi-batch emission
-    # order is engine-internal (all four pinned by behavioral tests)
+    # every query has an oracle except the three genuinely non-SQL ops:
+    # xxhash64 has no DuckDB twin by construction, and the GroupState
+    # custom operator's multi-batch emission order is engine-internal
+    # (all pinned by behavioral tests); doc_compression_ratio moved to a
+    # literal-golden oracle in r4
     assert set(qs) - set(oracles) == {
         "streaming_stateful_counts",
         "dedup_minhash_fast_pairs",
         "dedup_simhash_fast",
-        "doc_compression_ratio",
     }
 
 

@@ -138,3 +138,67 @@ def test_processor_replays_to_batch_groupby(spark):
         .collect()
     }
     assert got == want
+
+
+def test_live_value_list_timer_state_protocol(spark):
+    """Exercise the REST of the state-protocol surface live through the
+    mini protobuf runtime: ValueState (exists/get/update), ListState
+    (appendList/get), and processing-time timer registration + listing —
+    message families the MapState query never touches."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class ProtocolProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._count = handle.getValueState("cnt", "n bigint")
+            self._vals = handle.getListState("vals", "v double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n_new, appended = 0, 0
+            for pdf in rows:
+                n_new += len(pdf)
+                vs = [(float(v),) for v in pdf["value"].dropna()]
+                if vs:
+                    self._vals.appendList(vs)
+                    appended += len(vs)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            self._count.update((prev + n_new,))
+            self._handle.registerTimer(32503680000000)  # year 3000: never fires
+            n_timers = len(list(self._handle.listTimers()))
+            n_list = sum(1 for _ in self._vals.get())
+            yield pd.DataFrame(
+                [(key[0], prev + n_new, n_list, n_timers)],
+                columns=["user_id", "n", "n_list", "n_timers"])
+
+        def close(self):
+            pass
+
+    # provision BEFORE the UDF is created — its envVars are captured then
+    tws.ensure_protobuf(spark)
+    for k, v in tws.ROCKSDB_PROVIDER_CONF.items():
+        spark.conf.set(k, v)
+    ev = spark.readStream.schema(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    ).option("pathGlobFilter", "events*.parquet").parquet("/root/testdata/sf0.001")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        ProtocolProcessor(),
+        "user_id long, n bigint, n_list bigint, n_timers bigint",
+        "Update", "ProcessingTime",
+    )
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("tws_protocol_test").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    assert q.exception() is None
+    got = {r.user_id: r for r in spark.table("tws_protocol_test").collect()}
+    ev_b = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = {r.user_id: (r.n, r.nv) for r in
+            ev_b.groupBy("user_id").agg(
+                F.count("*").alias("n"),
+                F.count("value").alias("nv")).collect()}
+    assert set(got) == set(want)
+    for uid, (n, nv) in want.items():
+        assert got[uid].n == n          # ValueState accumulated count
+        assert got[uid].n_list == nv    # ListState holds every non-null value
+        assert got[uid].n_timers == 1   # timer registered and listed
