@@ -4016,10 +4016,15 @@ def _container_fixture_files():
            + b"fmt " + struct.pack("<I", 16)
            + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
            + b"data" + struct.pack("<I", 16000) + b"\x00" * 16000)
+    from dataingestion_spark.sources.msg import build_msg
+
+    msg = build_msg("Quarterly report", "Numbers look **good**.\n\nDetails attached.",
+                    sender="Alice Chen", to="Bob Singh")
     return {
         "report.ipynb": json.dumps(nb).encode(),
         "mail.eml": eml,
         "clip.wav": wav,
+        "memo.msg": msg,
     }
 
 

@@ -80,6 +80,10 @@ def parse_any(data: bytes, doc_id: str, extract_images: bool = False) -> List[di
         from .eml import parse_eml
 
         return parse_eml(data, doc_id)
+    if ext == ".msg":
+        from .msg import parse_msg
+
+        return parse_msg(data, doc_id)
     mt = media_type_for(doc_id)
     if mt and mt.startswith("image/"):
         from .image_reader import parse_image

@@ -333,7 +333,10 @@ def _build_ole(streams: Dict[str, bytes]) -> bytes:
         for k in range(count - 1):
             fat[start + k] = start + k + 1
         fat[start + count - 1] = _ENDOFCHAIN
-    dcount = len(dir_entries) // ssz or 1
+    # CEIL, not floor: a 5th directory entry starts a second sector, and
+    # flooring left that sector out of the FAT chain — readers then lost
+    # every entry past the 4th (surfaced by the 4-stream .msg fixtures)
+    dcount = (len(dir_entries) + ssz - 1) // ssz or 1
     for k in range(dcount - 1):
         fat[dir_start + k] = dir_start + k + 1
     fat[dir_start + dcount - 1] = _ENDOFCHAIN

@@ -654,3 +654,39 @@ def test_parse_audio_document_and_dispatch():
     # notebooks route too
     assert parse_any(b'{"cells":[{"cell_type":"markdown","source":"# N"}]}',
                      "n.ipynb")[0]["elem_type"] in ("section", "header")
+
+
+def test_parse_msg_properties_and_html_fallback():
+    from dataingestion_spark.sources.dispatch import parse_any
+    from dataingestion_spark.sources.msg import build_msg, parse_msg
+
+    m = build_msg("Subj", "plain body", sender="A", to="B")
+    rows = parse_msg(m, "x.msg")
+    md = [(r["elem_type"], r["markdown"]) for r in rows]
+    assert ("header", "# Subj") in md
+    assert ("paragraph", "plain body") in md
+    assert any("**From:** A" in (r["markdown"] or "") for r in rows)
+    # html body path (no plain body property)
+    h = build_msg("H", "", html=b"<html><body><h2>In</h2><p>hp</p></body></html>")
+    rows = parse_msg(h, "h.msg")
+    assert any((r["markdown"] or "") == "## In" for r in rows)
+    # dispatch routes .msg; a .doc OLE2 without MAPI streams raises loudly
+    assert parse_any(m, "x.msg")[0]["doc_id"] == "x.msg"
+    import pytest as _pytest
+
+    from dataingestion_spark.sources.doc_legacy import build_doc
+
+    with _pytest.raises(ValueError, match="MAPI"):
+        parse_msg(build_doc(["not a mail"]), "not.msg")
+
+
+def test_build_ole_directory_spans_sectors():
+    """r4 regression: >4 directory entries span a second sector; the FAT
+    chain must include it (ceil, not floor)."""
+    from dataingestion_spark.sources.doc_legacy import CompoundFile, _build_ole
+
+    streams = {f"S{i}": f"data{i}".encode() for i in range(7)}
+    cfb = CompoundFile(_build_ole(streams))
+    assert set(cfb.entries) == set(streams)
+    for name in streams:
+        assert cfb.stream(name).rstrip(b"\x00") == streams[name]
