@@ -49,7 +49,15 @@ def probe_image(data: bytes) -> dict:
         width, height = struct.unpack("<ii", data[18:26])
         height = abs(height)  # top-down BMPs store a negative biHeight
     elif data[:3] == b"\xff\xd8\xff":
-        fmt = "jpeg"  # scanning SOF frames needs a real decoder
+        fmt = "jpeg"
+        try:  # header-only SOF scan (operators/jpeg_codec.py) — real dims
+            from .jpeg_codec import probe_jpeg_dimensions
+
+            dims = probe_jpeg_dimensions(data)
+            if dims is not None:
+                width, height = dims
+        except Exception:
+            pass
     return {
         "width": width,
         "height": height,
@@ -288,6 +296,85 @@ def png_tile_pixels(df: DataFrame, tile_w: int = 256, tile_h: int = 256,
                 try:
                     pixels, w, h, ch = decode_png(bytes(data))
                 except ValueError:
+                    continue
+                for ty in range((h + tile_h - 1) // tile_h):
+                    for tx in range((w + tile_w - 1) // tile_w):
+                        x0, y0 = tx * tile_w, ty * tile_h
+                        x1, y1 = min(x0 + tile_w, w), min(y0 + tile_h, h)
+                        piece = crop(pixels, w, h, ch, x0, y0, x1, y1)
+                        out.append({
+                            id_col: r[id_col], "tile_x": tx, "tile_y": ty,
+                            "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                            "tile": encode_png(piece, x1 - x0, y1 - y0, ch),
+                        })
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(
+        run,
+        schema=f"{id_col} string, tile_x int, tile_y int, "
+               "x0 int, y0 int, x1 int, y1 int, tile binary",
+    )
+
+
+def decode_image_bytes(data: bytes):
+    """Magic-byte routed decode to raw samples via the stdlib codecs:
+    PNG (:mod:`.png_codec`) or baseline JPEG (:mod:`.jpeg_codec`).
+    Returns (pixels, width, height, channels); raises ValueError for
+    formats neither codec can honestly decode."""
+    data = bytes(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png_codec import decode_png
+
+        return decode_png(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError("unsupported image format (PNG and baseline JPEG "
+                     "decode natively; others need an external codec)")
+
+
+def image_decoder(data: bytes, max_side: int):
+    """:func:`image_resize` codec hook covering BOTH native formats:
+    decode by magic, shrink (never upscale, aspect preserved), re-encode
+    as PNG (lossless output side)."""
+    from .png_codec import encode_png, resize_nearest
+
+    pixels, w, h, ch = decode_image_bytes(data)
+    if max(w, h) <= max_side:
+        return encode_png(pixels, w, h, ch), w, h
+    if w >= h:
+        nw, nh = max_side, max(1, h * max_side // w)
+    else:
+        nw, nh = max(1, w * max_side // h), max_side
+    return (encode_png(resize_nearest(pixels, w, h, ch, nw, nh), nw, nh, ch),
+            nw, nh)
+
+
+def image_tile_pixels(df: DataFrame, tile_w: int = 256, tile_h: int = 256,
+                      binary_col: str = "image_content",
+                      id_col: str = "doc_id") -> DataFrame:
+    """:func:`png_tile_pixels` generalized over both native codecs: PNG
+    and baseline JPEG bytes decode once per image, every grid rectangle
+    crops and re-encodes as PNG tiles. Undecodable rows are dropped."""
+    if tile_w <= 0 or tile_h <= 0:
+        raise ValueError("tile_w and tile_h must be positive")
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        from .png_codec import crop, encode_png
+
+        cols = [id_col, "tile_x", "tile_y", "x0", "y0", "x1", "y1", "tile"]
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                data = r[binary_col]
+                if data is None:
+                    continue
+                try:
+                    pixels, w, h, ch = decode_image_bytes(bytes(data))
+                except (ValueError, NotImplementedError):
                     continue
                 for ty in range((h + tile_h - 1) // tile_h):
                     for tx in range((w + tile_w - 1) // tile_w):

@@ -690,3 +690,108 @@ def test_build_ole_directory_spans_sectors():
     assert set(cfb.entries) == set(streams)
     for name in streams:
         assert cfb.stream(name).rstrip(b"\x00") == streams[name]
+
+
+# --- baseline JPEG codec (operators/jpeg_codec.py) -------------------------
+
+def _gradient_rgb(w, h):
+    import numpy as np
+
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    r = np.tile(x, (h, 1))
+    g = np.tile(y[:, None], (1, w))
+    return np.stack([r, g, (r + g) / 2], -1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    import numpy as np
+
+    from dataingestion_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    w, h = 37, 21  # not multiples of 8 or 16: partial blocks + crop
+    rgb = _gradient_rgb(w, h)
+    for sub, tol in (("444", 6), ("420", 16)):
+        jp = encode_jpeg(rgb.tobytes(), w, h, 3, quality=90, subsampling=sub)
+        pix, dw, dh, ch = decode_jpeg(jp)
+        assert (dw, dh, ch) == (w, h, 3)
+        err = np.abs(np.frombuffer(pix, np.uint8).reshape(h, w, 3).astype(float)
+                     - rgb.astype(float))
+        assert err.max() <= tol, (sub, err.max())
+
+
+def test_jpeg_grayscale_and_probe_dims():
+    import numpy as np
+
+    from dataingestion_spark.operators.jpeg_codec import (
+        decode_jpeg, encode_jpeg, probe_jpeg_dimensions,
+    )
+    from dataingestion_spark.operators.multimodal import probe_image
+
+    w, h = 24, 16
+    gray = _gradient_rgb(w, h)[..., 1].copy()
+    jp = encode_jpeg(gray.tobytes(), w, h, 1, quality=90)
+    assert probe_jpeg_dimensions(jp) == (w, h)
+    meta = probe_image(jp)  # probe_image now reports real JPEG dims
+    assert (meta["format"], meta["width"], meta["height"]) == ("jpeg", w, h)
+    pix, dw, dh, ch = decode_jpeg(jp)
+    assert (dw, dh, ch) == (w, h, 1)
+    err = np.abs(np.frombuffer(pix, np.uint8).reshape(h, w).astype(float)
+                 - gray.astype(float))
+    assert err.max() <= 4
+
+
+def test_jpeg_progressive_raises_loudly():
+    import pytest as _pytest
+
+    from dataingestion_spark.operators.jpeg_codec import decode_jpeg
+
+    # minimal stream with an SOF2 marker
+    bad = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+           b"\xff\xd9")
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bad)
+
+
+def test_image_resize_routes_jpeg_and_png(spark):
+    from dataingestion_spark.operators.jpeg_codec import encode_jpeg
+    from dataingestion_spark.operators.multimodal import image_decoder, image_resize
+    from dataingestion_spark.operators.png_codec import decode_png, encode_png
+
+    w, h = 64, 32
+    rgb = _gradient_rgb(w, h)
+    png = encode_png(rgb.tobytes(), w, h, 3)
+    jpg = encode_jpeg(rgb.tobytes(), w, h, 3, quality=90)
+    df = spark.createDataFrame(
+        [("p", 0, bytearray(png)), ("j", 1, bytearray(jpg))],
+        "doc_id string, seq long, image_content binary",
+    )
+    out = {r.doc_id: r for r in
+           image_resize(df, max_side=16, decoder=image_decoder).collect()}
+    for k in ("p", "j"):
+        assert (out[k].width, out[k].height) == (16, 8)
+        _, rw, rh, rch = decode_png(bytes(out[k].image))
+        assert (rw, rh, rch) == (16, 8, 3)
+
+
+def test_image_tile_pixels_jpeg(spark):
+    import numpy as np
+
+    from dataingestion_spark.operators.jpeg_codec import encode_jpeg
+    from dataingestion_spark.operators.multimodal import image_tile_pixels
+    from dataingestion_spark.operators.png_codec import decode_png
+
+    w, h = 20, 12
+    rgb = _gradient_rgb(w, h)
+    jpg = encode_jpeg(rgb.tobytes(), w, h, 3, quality=95)
+    df = spark.createDataFrame([("d", bytearray(jpg))],
+                               "doc_id string, image_content binary")
+    tiles = image_tile_pixels(df, tile_w=8, tile_h=8).collect()
+    assert len(tiles) == 3 * 2
+    # reassembled tiles approximate the original within jpeg loss
+    canvas = np.zeros((h, w, 3))
+    for t in tiles:
+        tp, tw, th, ch = decode_png(bytes(t.tile))
+        canvas[t.y0:t.y1, t.x0:t.x1] = np.frombuffer(
+            tp, np.uint8).reshape(th, tw, 3)
+    assert np.abs(canvas - rgb.astype(float)).max() <= 8
