@@ -4028,6 +4028,64 @@ def _container_fixture_files():
     }
 
 
+def q_tile_pixel_bytes(spark, sf):
+    """REAL tile extraction through the stdlib codecs
+    (operators/multimodal.py::image_tile_pixels over png_codec /
+    jpeg_codec): a deterministic PNG and a deterministic baseline JPEG
+    decode once per image, each grid rectangle crops and re-encodes as a
+    PNG tile. The PNG path is bit-deterministic (zlib at a fixed level),
+    so tile md5s pin exact pixel bytes; JPEG tiles pin dims + byte count
+    via the same local-compute oracle. Oracle = the identical pipeline
+    run locally on the driver → VALUES."""
+    rows = [(k, bytearray(v)) for k, v in _tile_fixture_images()]
+    src = spark.createDataFrame(rows, "doc_id string, image_content binary")
+    from dataingestion_spark.operators.multimodal import image_tile_pixels
+
+    t = image_tile_pixels(src, tile_w=8, tile_h=8)
+    return t.select(
+        "doc_id", "tile_x", "tile_y", "x0", "y0", "x1", "y1",
+        F.md5(F.col("tile")).alias("tile_md5"),
+        F.length("tile").cast("long").alias("tile_bytes"),
+    )
+
+
+def _tile_fixture_images():
+    from dataingestion_spark.operators.jpeg_codec import encode_jpeg
+    from dataingestion_spark.operators.png_codec import encode_png
+
+    w, h = 20, 12
+    pixels = bytes((i * 13) % 256 for i in range(w * h * 3))
+    return [("grad.png", encode_png(pixels, w, h, 3)),
+            ("grad.jpg", encode_jpeg(pixels, w, h, 3, quality=90,
+                                     subsampling="420"))]
+
+
+def _oracle_tile_pixels() -> str:
+    import hashlib
+
+    from dataingestion_spark.operators.multimodal import decode_image_bytes
+    from dataingestion_spark.operators.png_codec import crop, encode_png
+
+    rows = []
+    for doc_id, data in _tile_fixture_images():
+        pixels, w, h, ch = decode_image_bytes(data)
+        for ty in range((h + 7) // 8):
+            for tx in range((w + 7) // 8):
+                x0, y0 = tx * 8, ty * 8
+                x1, y1 = min(x0 + 8, w), min(y0 + 8, h)
+                tile = encode_png(crop(pixels, w, h, ch, x0, y0, x1, y1),
+                                  x1 - x0, y1 - y0, ch)
+                rows.append((doc_id, tx, ty, x0, y0, x1, y1,
+                             hashlib.md5(tile).hexdigest(), len(tile)))
+    return _values_oracle(
+        rows,
+        ["doc_id", "tile_x", "tile_y", "x0", "y0", "x1", "y1",
+         "tile_md5", "tile_bytes"],
+        ["VARCHAR", "INTEGER", "INTEGER", "BIGINT", "BIGINT", "BIGINT",
+         "BIGINT", "VARCHAR", "BIGINT"],
+    )
+
+
 def q_container_elements(spark, sf):
     """Notebook / email / audio documents through the one-scan dispatcher
     (sources/ipynb.py, eml.py, audio_reader.py — the remaining format
@@ -6686,6 +6744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_audio_segments": q_audio_segments,
         "multimodal_image_tiles": q_image_tiles,
+        "multimodal_tile_pixels": q_tile_pixel_bytes,
         # stateful streaming, state API v2 (live via the protobuf shim)
         "streaming_tws_type_stats": q_streaming_tws_stats,
         # §2.6 search family
@@ -7037,6 +7096,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,
         "multimodal_image_tiles": ORACLE_IMAGE_TILES,
+        "multimodal_tile_pixels": _oracle_tile_pixels(),
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
         "streaming_exactly_once_ingest": ORACLE_EXACTLY_ONCE,
         "streaming_dedup_watermark": ORACLE_STREAM_DEDUP_WM,

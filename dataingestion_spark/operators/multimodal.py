@@ -8,12 +8,16 @@ touches the bytes, and every transform is a ``mapInPandas`` batch operator —
 Arrow moves the bytes to Python once per batch, the decode library runs
 vectorized, and the output schema is fixed up front.
 
-The actual codec work (Pillow/ffmpeg/torchaudio) is NOT in this image, so
-the decoders are deterministic structural stubs behind ``decoder=`` hooks:
-they parse real container headers (PNG IHDR, WAV fmt) where possible and
-otherwise derive deterministic pseudo-features from the bytes. The Spark
-side — schemas, batching, partitioning, null handling — is real and tested;
-swapping in a real codec is a one-argument change.
+Codec story (r4): PNG and baseline JPEG decode/encode/resize/crop are
+REAL, pure-python, deterministic (:mod:`.png_codec`,
+:mod:`.jpeg_codec`) — ``image_resize(decoder=image_decoder)`` and
+:func:`image_tile_pixels` do actual pixel work with no external imaging
+libraries, and the probes parse real container headers (PNG IHDR, JPEG
+SOF, GIF/BMP, WAV fmt). Formats beyond those (video demux, progressive
+JPEG, HEIC, …) stay behind explicit ``decoder=`` hooks that raise with
+the needed library named; the Spark side — schemas, Arrow batching,
+partitioning, null handling — is identical either way, so swapping in
+Pillow/ffmpeg is a one-argument change.
 """
 
 from __future__ import annotations
