@@ -795,3 +795,27 @@ def test_image_tile_pixels_jpeg(spark):
         canvas[t.y0:t.y1, t.x0:t.x1] = np.frombuffer(
             tp, np.uint8).reshape(th, tw, 3)
     assert np.abs(canvas - rgb.astype(float)).max() <= 8
+
+
+def test_image_directory_to_vector_records_e2e(spark, tmp_path):
+    """The reference user journey for a directory with images: one scan →
+    image documents → alt-text enricher → image chunker (the
+    IngestionChunk<DataContent> shape) — binary payload intact end to
+    end, searchable text from the enricher."""
+    from dataingestion_spark.operators.chunkers import image_chunker
+    from dataingestion_spark.operators.enrichers import image_alt_text_enricher
+    from dataingestion_spark.operators.png_codec import encode_png
+    from dataingestion_spark.sources.dispatch import read_documents
+
+    png = encode_png(bytes((i * 3) % 256 for i in range(8 * 6 * 3)), 8, 6, 3)
+    (tmp_path / "pic.png").write_bytes(png)
+    (tmp_path / "note.md").write_text("# Note\n\nwith ![inline](x.png) text\n")
+    el = read_documents(spark, str(tmp_path))
+    enriched = image_alt_text_enricher(el)
+    chunks = image_chunker(enriched).collect()
+    assert len(chunks) == 1  # the standalone image (inline one has no bytes)
+    c = chunks[0]
+    assert bytes(c.content_binary) == png
+    assert c.content_media_type == "image/png"
+    assert c.content == f"Image (image/png, {len(png)} bytes)"
+    assert c.metadata["sha256"]
