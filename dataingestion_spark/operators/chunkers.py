@@ -429,7 +429,13 @@ def _apply_per_doc(elements_df, chunk_fn, colocated: bool = False):
 
     ``colocated=False`` (default) shuffles on doc_id — correct for any input.
     ``colocated=True`` skips the shuffle via :func:`_apply_colocated` — use
-    when elements come straight from a reader (rows per doc contiguous)."""
+    when elements come straight from a reader (rows per doc contiguous).
+
+    ``elem_type='error'`` rows (quarantine-mode ingestion bookkeeping,
+    ``sources/markdown.py::elements_map_df``) are dropped here — they are
+    crawl diagnostics, never chunk content; the JVM-side filter also
+    prunes whole quarantined documents before the shuffle."""
+    elements_df = elements_df.filter(F.col("elem_type") != "error")
     if colocated:
         return _apply_colocated(elements_df, chunk_fn)
 

@@ -421,10 +421,15 @@ def elements_map_df(df, parse_fn, id_col: str = "doc_id",
     inside ``mapInPandas``. ``on_error='fail'`` propagates parser errors
     (reference contract: bad content is an error); ``'skip'`` drops the
     offending document — the setting for a 100 TB crawl where one bad
-    file must not kill the job. One implementation ⇒ the error contract
+    file must not kill the job; ``'quarantine'`` keeps the failure
+    VISIBLE instead of silent: the bad document yields one ``elem_type=
+    'error'`` row (error class + message in ``metadata``) in the same
+    scan, so the crawl report is ``filter(elem_type = 'error')`` — no
+    second pass, no side channel — while every chunker/processor ignores
+    the row by its type filter. One implementation ⇒ the error contract
     is a one-place change, not N copies across readers."""
-    if on_error not in ("fail", "skip"):
-        raise ValueError("on_error must be 'fail' or 'skip'")
+    if on_error not in ("fail", "skip", "quarantine"):
+        raise ValueError("on_error must be 'fail', 'skip' or 'quarantine'")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -435,9 +440,17 @@ def elements_map_df(df, parse_fn, id_col: str = "doc_id",
             for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
                 try:
                     out.extend(parse_fn(raw, str(doc_id)))
-                except Exception:
+                except Exception as e:
                     if on_error == "fail":
                         raise
+                    if on_error == "quarantine":
+                        out.append(element_row(
+                            doc_id=str(doc_id), seq=0, section_path=[0],
+                            elem_type="error",
+                            markdown=f"[ingestion error] {type(e).__name__}",
+                            text=str(e)[:500],
+                            metadata={"error_type": type(e).__name__},
+                        ))
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
     return df.mapInPandas(run, schema=ELEMENTS_SCHEMA)

@@ -168,3 +168,35 @@ def test_xls_ole_prefixed_garbage_fails_cleanly(tail):
             b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + tail, "g.xls"))
     except _ALLOWED:
         pass
+
+
+def test_on_error_quarantine_surfaces_bad_files(spark, tmp_path):
+    """r4: a 100 TB crawl needs failures VISIBLE, not silently skipped —
+    quarantine mode yields one elem_type='error' row per bad file in the
+    same scan, and chunkers ignore it by type."""
+    from dataingestion_spark.operators.chunkers import (
+        ChunkerOptions, header_chunker,
+    )
+    from dataingestion_spark.sources.dispatch import read_documents
+    from dataingestion_spark.tokenizer import WordTokenizer
+
+    (tmp_path / "good.md").write_text("# Fine\n\nbody\n")
+    (tmp_path / "bad.pdf").write_bytes(b"this is not a pdf at all")
+    (tmp_path / "bad.docx").write_bytes(b"PK\x03\x04 truncated nonsense")
+
+    el = read_documents(spark, str(tmp_path), on_error="quarantine")
+    errs = {r.doc_id.rsplit("/", 1)[-1]: r
+            for r in el.filter("elem_type = 'error'").collect()}
+    assert set(errs) == {"bad.pdf", "bad.docx"}
+    assert errs["bad.pdf"].metadata["error_type"] == "ValueError"
+    assert "[ingestion error]" in errs["bad.pdf"].markdown
+    # the good document is intact and chunkers ignore the error rows
+    chunks = header_chunker(el, ChunkerOptions(WordTokenizer(), 100)).collect()
+    assert len(chunks) == 1 and "body" in chunks[0].content
+    # skip mode still drops silently; fail mode still raises
+    assert read_documents(spark, str(tmp_path),
+                          on_error="skip").filter("elem_type='error'").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_documents(spark, str(tmp_path), on_error="fail").count()
