@@ -62,6 +62,38 @@ def probe_image(data: bytes) -> dict:
                 width, height = dims
         except Exception:
             pass
+    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 16:
+        fmt = "webp"
+        tag = data[12:16]
+        if tag == b"VP8X" and len(data) >= 30:  # 24-bit canvas minus one
+            width = 1 + int.from_bytes(data[24:27], "little")
+            height = 1 + int.from_bytes(data[27:30], "little")
+        elif tag == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+            bits = int.from_bytes(data[21:25], "little")  # lossless stream
+            width = (bits & 0x3FFF) + 1
+            height = ((bits >> 14) & 0x3FFF) + 1
+        elif (tag == b"VP8 " and len(data) >= 30
+              and data[23:26] == b"\x9d\x01\x2a"):  # lossy key frame
+            width = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+            height = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+    elif data[:4] in (b"II*\x00", b"MM\x00*") and len(data) >= 8:
+        fmt = "tiff"
+        bo = "<" if data[:2] == b"II" else ">"
+        try:  # IFD0 walk: tags 256/257, SHORT or LONG inline values
+            (ifd_off,) = struct.unpack_from(f"{bo}I", data, 4)
+            (n,) = struct.unpack_from(f"{bo}H", data, ifd_off)
+            for i in range(n):
+                tag, typ, cnt = struct.unpack_from(
+                    f"{bo}HHI", data, ifd_off + 2 + 12 * i)
+                voff = ifd_off + 2 + 12 * i + 8
+                val = (struct.unpack_from(f"{bo}H", data, voff)[0]
+                       if typ == 3 else struct.unpack_from(f"{bo}I", data, voff)[0])
+                if tag == 256:
+                    width = val
+                elif tag == 257:
+                    height = val
+        except (struct.error, IndexError):
+            width = height = None
     return {
         "width": width,
         "height": height,

@@ -819,3 +819,43 @@ def test_image_directory_to_vector_records_e2e(spark, tmp_path):
     assert c.content_media_type == "image/png"
     assert c.content == f"Image (image/png, {len(png)} bytes)"
     assert c.metadata["sha256"]
+
+
+def test_probe_webp_and_tiff_dimensions():
+    import struct
+
+    from dataingestion_spark.operators.multimodal import probe_image
+
+    # VP8L lossless: 0x2F then 14-bit (w-1), 14-bit (h-1) little-endian
+    wm1, hm1 = 639, 359
+    bits = wm1 | (hm1 << 14)
+    vp8l = (b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"VP8L"
+            + struct.pack("<I", 5) + b"\x2f" + bits.to_bytes(4, "little"))
+    m = probe_image(vp8l)
+    assert (m["format"], m["width"], m["height"]) == ("webp", 640, 360)
+
+    # VP8X extended: 24-bit canvas minus one at offset 24
+    vp8x = (b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8X"
+            + struct.pack("<I", 10) + b"\x00" * 4
+            + (799).to_bytes(3, "little") + (449).to_bytes(3, "little"))
+    m = probe_image(vp8x)
+    assert (m["width"], m["height"]) == (800, 450)
+
+    # VP8 lossy key frame: sync 9D 01 2A then 14-bit dims
+    vp8 = (b"RIFF" + struct.pack("<I", 24) + b"WEBP" + b"VP8 "
+           + struct.pack("<I", 12) + b"\x00" * 3 + b"\x9d\x01\x2a"
+           + struct.pack("<HH", 320, 240) + b"\x00" * 2)
+    m = probe_image(vp8)
+    assert (m["width"], m["height"]) == (320, 240)
+
+    # TIFF little- and big-endian IFD0
+    def tiff(bo, magic):
+        ifd = struct.pack(f"{bo}H", 2)
+        ifd += struct.pack(f"{bo}HHI", 256, 3, 1) + struct.pack(f"{bo}H", 123) + b"\x00\x00"
+        ifd += struct.pack(f"{bo}HHI", 257, 4, 1) + struct.pack(f"{bo}I", 456)
+        ifd += struct.pack(f"{bo}I", 0)
+        return magic + struct.pack(f"{bo}I", 8) + ifd
+
+    for bo, magic in (("<", b"II*\x00"), (">", b"MM\x00*")):
+        m = probe_image(tiff(bo, magic))
+        assert (m["format"], m["width"], m["height"]) == ("tiff", 123, 456)
