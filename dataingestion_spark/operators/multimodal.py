@@ -366,8 +366,12 @@ def decode_image_bytes(data: bytes):
         from .jpeg_codec import decode_jpeg
 
         return decode_jpeg(data)
-    raise ValueError("unsupported image format (PNG and baseline JPEG "
-                     "decode natively; others need an external codec)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif_codec import decode_gif
+
+        return decode_gif(data)
+    raise ValueError("unsupported image format (PNG, baseline JPEG, and "
+                     "GIF decode natively; others need an external codec)")
 
 
 def image_decoder(data: bytes, max_side: int):

@@ -859,3 +859,108 @@ def test_probe_webp_and_tiff_dimensions():
     for bo, magic in (("<", b"II*\x00"), (">", b"MM\x00*")):
         m = probe_image(tiff(bo, magic))
         assert (m["format"], m["width"], m["height"]) == ("tiff", 123, 456)
+
+
+# --- GIF codec (operators/gif_codec.py) ------------------------------------
+
+def test_gif_roundtrip_exact_and_alpha():
+    from dataingestion_spark.operators.gif_codec import decode_gif, encode_gif
+
+    w, h = 13, 9
+    px = bytes(b for i in range(w * h)
+               for b in ((i * 5) % 256, (i * 11) % 128, 200))
+    got, gw, gh, ch = decode_gif(encode_gif(px, w, h, 3))
+    assert (gw, gh, ch) == (w, h, 3) and got == px  # indexed = lossless
+
+    px4 = bytes(b for i in range(w * h)
+                for b in ((i * 3) % 200, 10, 30, 0 if i % 7 == 0 else 255))
+    got4, _, _, ch4 = decode_gif(encode_gif(px4, w, h, 4))
+    assert ch4 == 4
+    assert all((got4[4 * i + 3] == 0) == (i % 7 == 0) for i in range(w * h))
+
+
+def test_gif_lzw_width_growth_and_reset():
+    import hashlib
+
+    from dataingestion_spark.operators.gif_codec import decode_gif, encode_gif
+
+    w, h = 120, 90  # ~10.8k pixels: 9->12 bit codes + table reset
+    vals = bytearray()
+    seed = b"gif"
+    while len(vals) < w * h:
+        seed = hashlib.md5(seed).digest()
+        vals += seed
+    px = bytes(b for i in range(w * h)
+               for b in (vals[i] % 250, (vals[i] * 3) % 250, (vals[i] * 7) % 250))
+    got, gw, gh, ch = decode_gif(encode_gif(px, w, h, 3))
+    assert got == px
+
+
+def test_gif_interlaced_decode():
+    """Hand-built interlaced frame: rows stored in pass order must come
+    back in natural order."""
+    import struct
+
+    from dataingestion_spark.operators.gif_codec import _lzw_encode, decode_gif
+
+    w, h = 4, 10
+    natural = [bytes([r] * w) for r in range(h)]  # row index as color index
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    stored = b"".join(natural[r] for r in order)
+    palette = bytearray(256 * 3)
+    for i in range(h):
+        palette[3 * i:3 * i + 3] = bytes([i, i * 2, i * 3])
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+    gif += palette
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    gif += bytes([8])
+    lzw = _lzw_encode(stored, 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+    got, gw, gh, ch = decode_gif(bytes(gif))
+    for r in range(h):
+        assert got[r * w * 3:r * w * 3 + 3] == bytes([r, r * 2, r * 3])
+
+
+def test_gif_too_many_colors_raises():
+    import pytest as _pytest
+
+    from dataingestion_spark.operators.gif_codec import encode_gif
+
+    w, h = 32, 16  # 512 distinct colors
+    px = bytes(b for i in range(w * h) for b in (i % 256, i // 256, 0))
+    with _pytest.raises(ValueError, match="256 distinct"):
+        encode_gif(px, w, h, 3)
+
+
+def test_image_pipeline_routes_gif(spark):
+    from dataingestion_spark.operators.gif_codec import encode_gif
+    from dataingestion_spark.operators.multimodal import (
+        image_decoder, image_resize, image_tile_pixels,
+    )
+    from dataingestion_spark.operators.png_codec import decode_png
+
+    w, h = 24, 16
+    px = bytes(b for i in range(w * h)
+               for b in ((i * 5) % 200, (i * 7) % 200, 99))
+    gif = encode_gif(px, w, h, 3)
+    df = spark.createDataFrame([("g", 0, bytearray(gif))],
+                               "doc_id string, seq long, image_content binary")
+    out = image_resize(df, max_side=8, decoder=image_decoder).collect()[0]
+    assert (out.width, out.height) == (8, 5)
+    assert decode_png(bytes(out.image))[3] == 3
+    tiles = image_tile_pixels(
+        df.select("doc_id", "image_content"), tile_w=8, tile_h=8).collect()
+    assert len(tiles) == 3 * 2
+    # exact reassembly: GIF decode is lossless
+    canvas = bytearray(w * h * 3)
+    for t in tiles:
+        tp, tw, th, ch = decode_png(bytes(t.tile))
+        for y in range(th):
+            off = ((t.y0 + y) * w + t.x0) * 3
+            canvas[off:off + tw * 3] = tp[y * tw * 3:(y + 1) * tw * 3]
+    assert bytes(canvas) == px
