@@ -4050,14 +4050,18 @@ def q_tile_pixel_bytes(spark, sf):
 
 
 def _tile_fixture_images():
+    from dataingestion_spark.operators.gif_codec import encode_gif
     from dataingestion_spark.operators.jpeg_codec import encode_jpeg
     from dataingestion_spark.operators.png_codec import encode_png
 
     w, h = 20, 12
     pixels = bytes((i * 13) % 256 for i in range(w * h * 3))
+    gif_px = bytes(b for i in range(w * h)
+                   for b in ((i * 13) % 200, (i * 7) % 200, 99))
     return [("grad.png", encode_png(pixels, w, h, 3)),
             ("grad.jpg", encode_jpeg(pixels, w, h, 3, quality=90,
-                                     subsampling="420"))]
+                                     subsampling="420")),
+            ("grad.gif", encode_gif(gif_px, w, h, 3))]
 
 
 def _oracle_tile_pixels() -> str:
