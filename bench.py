@@ -208,19 +208,31 @@ def main():
         medians[name] = round(times[len(times) // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "bench_total",
+        "value": round(sum(medians.values()), 3),
+        "unit": "sec",
+        "stat": "median",
+        "queries": medians,
+        "queries_min": timings,
+        "reps": reps,
+        "sf": sf_val,
+    }
+    # full report (median + min) to a file; stdout gets ONE compact line —
+    # the driver's tail capture is ~2 KB and r4's pretty/two-dict line got
+    # front-truncated into an unparseable artifact (VERDICT r4 #4)
+    report_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json")
+    with open(report_path, "w") as f:
+        json.dump(full, f, indent=1)
+    compact = {k: full[k] for k in
+               ("metric", "value", "unit", "stat", "queries", "reps", "sf")}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay under the driver's tail-capture window
+        compact["queries"] = {k: round(v, 2) for k, v in medians.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

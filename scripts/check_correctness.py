@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -27,7 +28,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("_",)
-        return ("f", v)  # exact: preview the strictest possible driver hash
+        # struct-pack the IEEE bits so -0.0 != +0.0 here, exactly like the
+        # driver's value hash (Python's == treats them equal, which hid the
+        # r4 search_topk_pq signed-zero divergence from this replica)
+        return ("f", struct.pack(">d", v))
     if isinstance(v, int):
         return ("i", v)
     if hasattr(v, "isoformat"):

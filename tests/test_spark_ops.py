@@ -634,6 +634,36 @@ def test_pq_train_encode_adc_match_numpy(spark):
         assert abs(s - float(scores[vid])) <= 1e-12 * max(1.0, abs(s))
 
 
+def test_pq_score_zero_is_positive_on_both_engines(spark):
+    """Signed-zero regression (r4 driver hash-FAIL): a query that is its
+    own codeword has ADC distance exactly 0, and Spark's round(-0.0, 6)
+    emits +0.0 while DuckDB's keeps -0.0.  Both the entry query and its
+    oracle normalize with `+ 0.0`, so every zero score must come back
+    with copysign +1 from BOTH engines."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = SF
+    for qname in ("search_topk_pq", "search_topk_ivf_pq"):
+        srows = entrymod.queries()[qname](spark, sf).collect()
+        szero = [r["score_r"] for r in srows if r["score_r"] == 0.0]
+        assert szero, f"{qname}: expected a self-match zero score at {sf}"
+        assert all(math.copysign(1.0, s) == 1.0 for s in szero), qname
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        orows = con.execute(entrymod.oracle_sql()[qname]).fetchall()
+        ozero = [r[3] for r in orows if r[3] == 0.0]
+        assert ozero and all(math.copysign(1.0, s) == 1.0 for s in ozero), qname
+        con.close()
+
+
 def test_pq_encode_deterministic_across_partitionings(spark):
     from dataingestion_spark.operators.pq import pq_train, pq_encode
 
