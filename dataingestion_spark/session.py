@@ -30,6 +30,13 @@ def get_spark(app_name: str = "dataingestion_spark", cpus: str | int | None = No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # manifest-store reads pass exact file paths (often >32 of them);
+        # the default threshold (32) turns every such read into an extra
+        # distributed-listing Spark job, which on local FS costs more than
+        # the sequential driver stat it replaces. Cluster deployments on
+        # object stores should restore the default (driver-side HEADs of
+        # hundreds of paths are slower than one listing job there).
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
         .config("spark.driver.memory",
                 driver_mem or os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
