@@ -160,19 +160,20 @@ def audio_metadata(df: DataFrame, binary_col: str = "audio_content",
 def image_resize(df: DataFrame, binary_col: str = "image_content",
                  max_side: int = 256,
                  decoder: Optional[Callable] = None) -> DataFrame:
-    """Resize plumbing: batches bytes through Arrow, applies ``decoder``
-    (a real Pillow-based resize in production), returns binary + new dims.
+    """Resize through Arrow-batched ``mapInPandas``: per-image CPU, zero
+    shuffle, zero driver pixels.
 
-    Without a decoder this raises — resizing *requires* a codec; the stub
-    deliberately refuses to fake pixel data."""
-    if decoder is None:
-        raise NotImplementedError(
-            "image_resize needs a codec: pass decoder=png_codec.png_decoder "
-            "for PNG bytes (stdlib, no external libs), or a Pillow-backed "
-            "lambda data, max_side: (resized_bytes, w, h) for other formats. "
-            "The Spark plumbing (schema 'doc_id string, seq long, image "
-            "binary, width int, height int', Arrow batching) is in place."
-        )
+    ``decoder=None`` (the default) routes by magic bytes through the
+    repo's own stdlib codecs (:func:`image_decoder`: PNG / baseline JPEG
+    / GIF decode, lossless PNG re-encode); bytes neither codec can
+    honestly decode yield a null image/width/height row so one stray
+    WebP can't kill a corpus-wide job. An explicit ``decoder`` (e.g. a
+    Pillow/native ``lambda data, max_side: (resized_bytes, w, h)`` at
+    throughput scale) keeps raise-through semantics — its errors are its
+    caller's contract."""
+    default_route = decoder is None
+    if default_route:
+        decoder = image_decoder
 
     def run(batches) -> Iterator:
         import pandas as pd
@@ -184,10 +185,15 @@ def image_resize(df: DataFrame, binary_col: str = "image_content",
                 if data is None:
                     out.append({"doc_id": r["doc_id"], "seq": r["seq"],
                                 "image": None, "width": None, "height": None})
-                else:
+                    continue
+                try:
                     resized, w, h = decoder(bytes(data), max_side)
-                    out.append({"doc_id": r["doc_id"], "seq": r["seq"],
-                                "image": resized, "width": w, "height": h})
+                except ValueError:
+                    if not default_route:
+                        raise
+                    resized = w = h = None
+                out.append({"doc_id": r["doc_id"], "seq": r["seq"],
+                            "image": resized, "width": w, "height": h})
             yield pd.DataFrame(out)
 
     return df.mapInPandas(

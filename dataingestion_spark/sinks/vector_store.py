@@ -91,7 +91,14 @@ def write_vector_table(chunks_df: DataFrame, path: str,
                        embed: Optional[Callable[[Column], Column]] = None,
                        incremental: bool = False,
                        deterministic_keys: bool = False) -> None:
-    """Write (or incrementally replace-by-document into) the vector table."""
+    """Write (or incrementally replace-by-document into) the vector table.
+
+    **Local/dev path only**: plain partitioned parquet with os-level
+    staging-dir swaps — it refuses non-local schemes by design. For
+    object storage or any multi-writer/cluster deployment use
+    :func:`write_vector_table_versioned` (the manifest store: pluggable
+    metadata + data backends, conditional-put commits, O(changed-buckets)
+    incremental replace, time travel). Same record shape either way."""
     _require_local_path(path, "write_vector_table")
     spark = chunks_df.sparkSession
     records = build_vector_records(chunks_df, embed, deterministic_keys)

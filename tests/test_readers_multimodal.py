@@ -179,16 +179,28 @@ def test_image_metadata_distributed(spark):
     assert out[2].width is None
 
 
-def test_image_resize_requires_codec(spark):
-    df = spark.createDataFrame([("d", 1, bytearray(PNG))],
-                               "doc_id string, seq long, image_content binary")
-    with pytest.raises(NotImplementedError):
-        image_resize(df)
+def test_image_resize_default_codec_and_injection(spark):
+    # default decoder auto-routes by magic bytes (r4 VERDICT #7): PNG
+    # resizes through the stdlib codec with no decoder= argument, while
+    # undecodable bytes (truncated header-only PNG, fake BMP) yield null
+    # rows instead of killing the job
+    from dataingestion_spark.operators.png_codec import encode_png
+
+    real_png = encode_png(bytes(range(48)) * 64, 32, 32, 3)
+    df = spark.createDataFrame(
+        [("d", 1, bytearray(real_png)), ("d", 2, bytearray(b"BM\x00fakebmp")),
+         ("d", 3, bytearray(PNG))],
+        "doc_id string, seq long, image_content binary",
+    )
+    out = {r.seq: r for r in image_resize(df, max_side=16).collect()}
+    assert out[1].image is not None and out[1].width == 16
+    assert out[2].image is None and out[2].width is None
+    assert out[3].image is None  # header-only PNG: decode fails → null
     # with an injected fake codec the plumbing works end-to-end
     out = image_resize(
-        df, decoder=lambda data, m: (data[:8], m, m)
+        df.filter("seq = 1"), decoder=lambda data, m: (data[:8], m, m)
     ).collect()
-    assert out[0].width == 256 and out[0].image == PNG[:8]
+    assert out[0].width == 256 and out[0].image == real_png[:8]
 
 
 def test_audio_metadata_distributed(spark):
@@ -772,6 +784,33 @@ def test_image_resize_routes_jpeg_and_png(spark):
         assert (out[k].width, out[k].height) == (16, 8)
         _, rw, rh, rch = decode_png(bytes(out[k].image))
         assert (rw, rh, rch) == (16, 8, 3)
+
+
+def test_image_resize_no_decoder_roundtrip_all_formats(spark):
+    """r4 VERDICT #7 done-criterion: resize round-trips PNG, baseline
+    JPEG, and GIF with NO decoder= argument."""
+    from dataingestion_spark.operators.gif_codec import encode_gif
+    from dataingestion_spark.operators.jpeg_codec import encode_jpeg
+    from dataingestion_spark.operators.multimodal import image_resize
+    from dataingestion_spark.operators.png_codec import decode_png, encode_png
+
+    w, h = 64, 32
+    rgb = _gradient_rgb(w, h)
+    # GIF is indexed: build a ≤256-distinct-color variant for that row
+    idx = bytes(b for y in range(h) for x in range(w)
+                for b in ((x // 8) * 32, (y // 8) * 32, 0))
+    df = spark.createDataFrame(
+        [("png", 0, bytearray(encode_png(rgb.tobytes(), w, h, 3))),
+         ("jpg", 1, bytearray(encode_jpeg(rgb.tobytes(), w, h, 3, quality=90))),
+         ("gif", 2, bytearray(encode_gif(idx, w, h, 3)))],
+        "doc_id string, seq long, image_content binary",
+    )
+    out = {r.doc_id: r for r in image_resize(df, max_side=16).collect()}
+    assert set(out) == {"png", "jpg", "gif"}
+    for k, r in out.items():
+        assert (r.width, r.height) == (16, 8), k
+        _, rw, rh, _ = decode_png(bytes(r.image))
+        assert (rw, rh) == (16, 8), k
 
 
 def test_image_tile_pixels_jpeg(spark):
