@@ -196,10 +196,14 @@ def main():
     # plan's actual cost; the median is reported alongside so noisy
     # entries are visible (SPARK_GRAFT_BENCH_REPS=1 restores single-shot)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # entries that swung >2x between rounds with unchanged code (r4
+    # VERDICT #10: host-VM variance, min≈median within a run but not
+    # across runs) get extra reps so the reported min is stable
+    noisy = {"pq_adc", "quantized_topk", "lang_quality", "span_removal"}
     timings, medians = {}, {}
     for name, fn in bench_queries.items():
         times = []
-        for _ in range(reps):
+        for _ in range(max(reps, 5) if name in noisy and reps > 1 else reps):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - start)
