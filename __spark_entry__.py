@@ -4071,6 +4071,69 @@ def _tile_fixture_images():
             ("grad.gif", encode_gif(gif_px, w, h, 3))]
 
 
+def _frame_fixture_videos():
+    """Deterministic video fixtures: a 12-frame MJPEG-AVI (frames from
+    the repo's own JPEG encoder), a 5-frame animated GIF, and one
+    foreign-container byte blob that must yield zero rows."""
+    from dataingestion_spark.operators.gif_codec import encode_gif_animation
+    from dataingestion_spark.operators.jpeg_codec import encode_jpeg
+    from dataingestion_spark.operators.video_demux import encode_avi_mjpeg
+
+    w, h = 16, 8
+    jf = [encode_jpeg(bytes(((i * 37 + k * 11) % 256)
+                            for i in range(w * h * 3)), w, h, 3, quality=90)
+          for k in range(12)]
+    gf = [bytes(b for i in range(w * h)
+                for b in ((k * 40) % 200, (i % 8) * 20, 7))
+          for k in range(5)]
+    return [("clip.avi", encode_avi_mjpeg(jf, w, h, fps=10)),
+            ("anim.gif", encode_gif_animation(gf, w, h, 3,
+                                              delays_ms=[200] * 5)),
+            ("movie.mp4", b"\x00\x00\x00\x18ftypmp42" + b"x" * 64)]
+
+
+def q_frame_sample(spark, sf):
+    """REAL video frame sampling with zero external libs
+    (operators/multimodal.py::frame_sample over
+    operators/video_demux.py): MJPEG-in-AVI demuxes via the RIFF walk
+    (frames = the contained JPEGs verbatim), animated GIF via the GCE
+    frame iterator (frames re-encoded as deterministic PNG), the first
+    frame at or past each every_n_ms boundary is kept, and foreign
+    containers (the mp4 blob) produce zero rows. Frame md5s pin exact
+    bytes; each frame is also probed for dims through
+    decode_image_bytes. Oracle = the identical pipeline run locally on
+    the driver → VALUES (same pattern as multimodal_tile_pixels)."""
+    from dataingestion_spark.operators.multimodal import frame_sample
+
+    rows = [(k, bytearray(v)) for k, v in _frame_fixture_videos()]
+    src = spark.createDataFrame(rows, "doc_id string, video_content binary")
+    out = frame_sample(src, every_n_ms=400)
+    return out.select(
+        "doc_id", "ts_ms",
+        F.md5(F.col("frame")).alias("frame_md5"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+def _oracle_frame_sample() -> str:
+    import hashlib
+
+    from dataingestion_spark.operators.video_demux import video_frame_decoder
+
+    rows = []
+    for doc_id, data in _frame_fixture_videos():
+        try:
+            sampled = video_frame_decoder(data, 400)
+        except (ValueError, NotImplementedError):
+            continue
+        for ts_ms, frame in sampled:
+            rows.append((doc_id, ts_ms,
+                         hashlib.md5(frame).hexdigest(), len(frame)))
+    return _values_oracle(
+        rows, ["doc_id", "ts_ms", "frame_md5", "frame_bytes"],
+        ["VARCHAR", "BIGINT", "VARCHAR", "BIGINT"])
+
+
 def _oracle_tile_pixels() -> str:
     import hashlib
 
@@ -6766,6 +6829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_hll_merged": q_sketch_hll_merged,
         # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
+        "multimodal_frame_sample": q_frame_sample,
         "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
         "dedup_simhash_fast": q_simhash_fast,
         "sketch_histogram_quantiles": q_sketch_quantiles,
@@ -7101,6 +7165,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,
         "multimodal_image_tiles": ORACLE_IMAGE_TILES,
         "multimodal_tile_pixels": _oracle_tile_pixels(),
+        "multimodal_frame_sample": _oracle_frame_sample(),
         "streaming_dedup_ingest": ORACLE_STREAM_DEDUP,
         "streaming_exactly_once_ingest": ORACLE_EXACTLY_ONCE,
         "streaming_dedup_watermark": ORACLE_STREAM_DEDUP_WM,

@@ -1,19 +1,23 @@
-"""Pure-stdlib GIF decoder (GIF87a/89a, first frame) + minimal encoder.
+"""Pure-stdlib GIF decoder (GIF87a/89a, stills + animation frames) and
+minimal encoder.
 
 Completes the native still-image codec family next to
 :mod:`.png_codec` and :mod:`.jpeg_codec`: logical screen + global/local
 color tables, LZW decompression with variable code width and table
 reset, interlaced row reordering, the GCE transparency index (exposed
-as alpha), and first-frame extraction (animation frames beyond the
-first are out of scope for corpus pipelines that want one
-representative raster — a loud documented boundary, not a wrong
-answer). Output is RGB or RGBA samples, same contract as the other
-codecs, so :func:`..multimodal.decode_image_bytes` routes ``GIF8``
-magic here and resize/tile work unchanged.
+as alpha). :func:`decode_gif` returns the first frame (the single
+representative raster corpus pipelines want); :func:`iter_gif_frames`
+yields every frame with its GCE delay, which is what
+:mod:`.video_demux` samples for animated-GIF frame extraction. Frames
+come back as standalone rasters — logical-screen compositing (disposal
+methods, partial-frame offsets) is a loud documented boundary, not a
+wrong answer. Output is RGB or RGBA samples, same contract as the
+other codecs, so :func:`..multimodal.decode_image_bytes` routes
+``GIF8`` magic here and resize/tile work unchanged.
 
-The encoder writes a single-frame GIF with a 256-entry color table via
-real LZW compression — enough to round-trip any ≤256-color image and
-pin the decoder without external libraries.
+The encoder writes single- or multi-frame GIFs with a 256-entry color
+table via real LZW compression — enough to round-trip any ≤256-color
+image or animation and pin the decoder without external libraries.
 """
 
 from __future__ import annotations
@@ -82,9 +86,17 @@ def _deinterlace(indices: bytes, width: int, height: int) -> bytes:
     return b"".join(natural)
 
 
-def decode_gif(data: bytes) -> Tuple[bytes, int, int, int]:
-    """First frame → (samples, width, height, channels 3|4). Channels
-    is 4 (RGBA) iff the frame declares a transparent index."""
+def iter_gif_frames(data: bytes):
+    """Every frame of a (possibly animated) GIF, in stream order:
+    yields ``(delay_ms, samples, width, height, channels 3|4)``.
+
+    ``delay_ms`` is the frame's own Graphic Control Extension delay
+    (centiseconds × 10; 0 when the stream declares none). Per GIF89a the
+    GCE applies only to the image that follows it, so transparency and
+    delay reset after each frame. Frames are returned as standalone
+    rasters — logical-screen compositing (disposal methods, frame
+    offsets onto the previous canvas) is out of scope, the same
+    documented boundary as :func:`decode_gif`."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF byte stream")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -95,6 +107,7 @@ def decode_gif(data: bytes) -> Tuple[bytes, int, int, int]:
         gct = data[pos:pos + 3 * n]
         pos += 3 * n
     transparent: Optional[int] = None
+    delay_ms = 0
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
@@ -104,6 +117,7 @@ def decode_gif(data: bytes) -> Tuple[bytes, int, int, int]:
             pos += 2
             if label == 0xF9 and data[pos] >= 4:  # GCE
                 gflags = data[pos + 1]
+                delay_ms = struct.unpack_from("<H", data, pos + 2)[0] * 10
                 if gflags & 1:
                     transparent = data[pos + 4]
             while data[pos]:  # sub-blocks
@@ -143,8 +157,18 @@ def decode_gif(data: bytes) -> Tuple[bytes, int, int, int]:
                     out[o + 3] = 0 if idx == transparent else 255
             # frames positioned inside a larger logical screen: return the
             # frame raster itself (corpus semantics: the image IS the frame)
-            return bytes(out), iw, ih, ch
+            yield delay_ms, bytes(out), iw, ih, ch
+            transparent = None  # GCE scope ends with its image
+            delay_ms = 0
+            continue
         pos += 1
+
+
+def decode_gif(data: bytes) -> Tuple[bytes, int, int, int]:
+    """First frame → (samples, width, height, channels 3|4). Channels
+    is 4 (RGBA) iff the frame declares a transparent index."""
+    for _delay, samples, w, h, ch in iter_gif_frames(data):
+        return samples, w, h, ch
     raise ValueError("GIF: no image descriptor")
 
 
@@ -198,25 +222,46 @@ def encode_gif(pixels: bytes, width: int, height: int, channels: int) -> bytes:
     """Single-frame GIF89a with a full 256-entry palette built from the
     image's distinct colors (>256 distinct colors raises — GIF is an
     indexed format; quantization is out of scope)."""
+    return encode_gif_animation([pixels], width, height, channels)
+
+
+def encode_gif_animation(frames, width: int, height: int, channels: int,
+                         delays_ms=None) -> bytes:
+    """GIF89a with one image block per frame raster, sharing one global
+    256-entry palette over ALL frames (more than 256 distinct colors
+    across the animation raises, like :func:`encode_gif`). ``delays_ms``
+    (per-frame, rounded down to centiseconds) become each frame's GCE
+    delay; a single-frame call with no delays writes a plain still."""
     if channels not in (3, 4):
         raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
-    px = bytes(pixels)
+    if not frames:
+        raise ValueError("need at least one frame")
+    delays = list(delays_ms or [0] * len(frames))
+    if len(delays) != len(frames):
+        raise ValueError("delays_ms must match frames")
     colors: dict = {}
-    indices = bytearray()
     transparent = None
-    for i in range(width * height):
-        o = i * channels
-        if channels == 4 and px[o + 3] < 128:
-            key = None  # transparent pixel
-        else:
-            key = px[o:o + 3]
-        if key not in colors:
-            if len(colors) >= 256:
-                raise ValueError("GIF encode: more than 256 distinct colors")
-            colors[key] = len(colors)
-            if key is None:
-                transparent = colors[key]
-        indices.append(colors[key])
+    frame_indices: List[bytearray] = []
+    for pixels in frames:
+        px = bytes(pixels)
+        if len(px) != width * height * channels:
+            raise ValueError("frame size mismatch")
+        indices = bytearray()
+        for i in range(width * height):
+            o = i * channels
+            if channels == 4 and px[o + 3] < 128:
+                key = None  # transparent pixel
+            else:
+                key = px[o:o + 3]
+            if key not in colors:
+                if len(colors) >= 256:
+                    raise ValueError(
+                        "GIF encode: more than 256 distinct colors")
+                colors[key] = len(colors)
+                if key is None:
+                    transparent = colors[key]
+            indices.append(colors[key])
+        frame_indices.append(indices)
     palette = bytearray(256 * 3)
     for key, idx in colors.items():
         if key is not None:
@@ -224,14 +269,19 @@ def encode_gif(pixels: bytes, width: int, height: int, channels: int) -> bytes:
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0x80 | 7, 0, 0)  # 256-entry GCT
     out += palette
-    if transparent is not None:
-        out += b"\x21\xf9\x04\x01\x00\x00" + bytes([transparent]) + b"\x00"
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
     min_code = 8
-    out += bytes([min_code])
-    lzw = _lzw_encode(bytes(indices), min_code)
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i:i + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    for indices, delay in zip(frame_indices, delays):
+        if transparent is not None or delay:
+            out += (b"\x21\xf9\x04"
+                    + bytes([1 if transparent is not None else 0])
+                    + struct.pack("<H", max(0, int(delay)) // 10)
+                    + bytes([transparent or 0]) + b"\x00")
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([min_code])
+        lzw = _lzw_encode(bytes(indices), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

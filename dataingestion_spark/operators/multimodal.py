@@ -204,14 +204,21 @@ def image_resize(df: DataFrame, binary_col: str = "image_content",
 def frame_sample(df: DataFrame, binary_col: str = "video_content",
                  every_n_ms: int = 1000,
                  decoder: Optional[Callable] = None) -> DataFrame:
-    """Video frame sampling plumbing (one row per sampled frame). Needs a
-    real demuxer via ``decoder``; refuses to fabricate frames."""
-    if decoder is None:
-        raise NotImplementedError(
-            "frame_sample needs a demuxer (e.g. ffmpeg): pass decoder="
-            "lambda data, every_n_ms: [(ts_ms, frame_bytes), ...]. Plumbing "
-            "schema: 'doc_id string, ts_ms long, frame binary'."
-        )
+    """Video frame sampling: one row per sampled frame
+    (``doc_id, ts_ms, frame``), Arrow-batched, zero shuffle.
+
+    ``decoder=None`` (the default) demuxes the two containers the repo
+    handles natively (:mod:`.video_demux`: MJPEG-in-AVI → verbatim JPEG
+    frames; animated GIF → PNG-encoded frames), sampling the first
+    frame at or past each ``every_n_ms`` boundary; bytes of any other
+    container produce zero rows for that document rather than killing
+    the corpus job. An explicit ``decoder`` (an ffmpeg-backed
+    ``lambda data, every_n_ms: [(ts_ms, frame_bytes), ...]`` at
+    throughput scale) keeps raise-through semantics."""
+    default_route = decoder is None
+    if default_route:
+        from .video_demux import video_frame_decoder
+        decoder = video_frame_decoder
 
     def run(batches) -> Iterator:
         import pandas as pd
@@ -222,7 +229,13 @@ def frame_sample(df: DataFrame, binary_col: str = "video_content",
                 data = r[binary_col]
                 if data is None:
                     continue
-                for ts_ms, frame in decoder(bytes(data), every_n_ms):
+                try:
+                    sampled = decoder(bytes(data), every_n_ms)
+                except (ValueError, NotImplementedError):
+                    if not default_route:
+                        raise
+                    continue
+                for ts_ms, frame in sampled:
                     out.append({"doc_id": r["doc_id"], "ts_ms": ts_ms, "frame": frame})
             yield pd.DataFrame(out, columns=["doc_id", "ts_ms", "frame"])
 
