@@ -99,6 +99,13 @@ def iter_gif_frames(data: bytes):
     documented boundary as :func:`decode_gif`."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF byte stream")
+    try:
+        yield from _iter_gif_frames_unchecked(data)
+    except (IndexError, struct.error) as e:  # truncated mid-structure
+        raise ValueError(f"GIF: truncated byte stream ({e})") from e
+
+
+def _iter_gif_frames_unchecked(data: bytes):
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct: Optional[bytes] = None

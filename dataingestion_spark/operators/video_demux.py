@@ -60,10 +60,13 @@ def demux_avi(data: bytes) -> List[Tuple[int, bytes]]:
 
     def walk(pos: int, end: int, in_movi: bool) -> None:
         nonlocal us_per_frame, rate_scale, vids_handler
+        end = min(end, len(data))
         while pos + 8 <= end:
             cid = _fourcc(data, pos)
             size = struct.unpack_from("<I", data, pos + 4)[0]
             body = pos + 8
+            if body + size > end:
+                raise ValueError("AVI: truncated chunk")
             if cid == b"LIST":
                 ltype = _fourcc(data, body)
                 walk(body + 4, body + size,
@@ -82,7 +85,10 @@ def demux_avi(data: bytes) -> List[Tuple[int, bytes]]:
                 frames.append(bytes(data[body:body + size]))
             pos = body + size + (size & 1)  # chunks pad to even
 
-    walk(12, len(data), False)
+    try:
+        walk(12, len(data), False)
+    except struct.error as e:  # truncated header inside a declared chunk
+        raise ValueError(f"AVI: truncated structure ({e})") from e
 
     if not frames:
         raise ValueError("AVI: no stream-0 video frames")

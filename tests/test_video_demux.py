@@ -85,6 +85,22 @@ def test_video_frame_decoder_sampling_boundaries():
         video_frame_decoder(b"\x00\x00\x00\x18ftypmp42" + b"x" * 64, 100)
 
 
+def test_truncated_containers_raise_valueerror_not_crash():
+    """Every truncation point of valid AVI/GIF bytes must surface as
+    ValueError (the exception class the default frame_sample route
+    swallows) — never struct.error / IndexError, which would kill a
+    corpus job on one damaged file."""
+    avi = encode_avi_mjpeg(_jpeg_frames(3), W, H, fps=5)
+    gif = encode_gif_animation(_gif_frames(3), W, H, 3, delays_ms=[100] * 3)
+    for blob in (avi, gif):
+        for cut in range(7, len(blob), 13):
+            try:
+                video_frame_decoder(blob[:cut], 100)
+            except ValueError:
+                pass  # the contract
+            # frames cleanly cut at a boundary may legitimately parse
+
+
 def test_frame_sample_default_route_live(spark):
     """frame_sample with NO decoder argument runs LIVE over a mixed
     column: AVI rows yield verbatim JPEG frames, GIF rows yield PNG
