@@ -2324,6 +2324,41 @@ def q_topk_ivf_pq(spark, sf):
     )
 
 
+def q_topk_ivfpq_persisted(spark, sf):
+    """Persisted IVF-PQ (sinks/vector_index.py::build_ivfpq_index /
+    search_ivfpq_index): the on-disk Faiss-IVFADC layout — inverted
+    lists partitioned by centroid_id whose rows carry m-byte PQ codes,
+    so a query physically reads ~n_probe/C of the corpus AND never
+    touches a float vector (ReadSchema is (vec_id, pq_code);
+    plan-asserted in tests). Stride centroids + stride codebooks make
+    the whole build+serve path SQL-expressible: same oracle as the
+    in-memory search_topk_ivf_pq, which this must agree with exactly."""
+    import tempfile
+
+    from dataingestion_spark.operators.pq import pq_train
+    from dataingestion_spark.sinks.vector_index import (
+        build_ivfpq_index, search_ivfpq_index,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    srows = e.orderBy("vec_id").limit(100_000).collect()
+    stride = max(1, len(srows) // 16)
+    cents = [(i + 1, list(srows[i * stride]["embedding"]))
+             for i in range(min(16, len(srows)))]
+    books = pq_train(e, m=8, k=16, iters=0, init="stride")
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/idx"
+    build_ivfpq_index(e, path, centroids=cents, codebooks=books)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = search_ivfpq_index(spark, path, queries, k=10, n_probe=4)
+    # + 0.0 normalizes IEEE signed zero (-0.0 → +0.0) — see q_topk_pq
+    return out.select(
+        "query_id", "rank", "vec_id",
+        (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+    )
+
+
 def q_c4_filters(spark, sf):
     """C4-style web-scrape cleaning signals + keep decision
     (operators/text_analysis.py::c4_signals): terminal-punctuation line
@@ -6830,6 +6865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_merged": q_sketch_hll_merged,
         # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         "multimodal_frame_sample": q_frame_sample,
+        "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
         "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
         "dedup_simhash_fast": q_simhash_fast,
         "sketch_histogram_quantiles": q_sketch_quantiles,
@@ -7174,6 +7210,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_train_merges": _oracle_bpe_merges(24),
         "search_topk_pq": _oracle_topk_pq(),
         "search_topk_ivf_pq": _oracle_topk_ivf_pq(_COS_SQL),
+        # the persisted index must agree exactly with the in-memory path
+        "search_topk_ivfpq_persisted": _oracle_topk_ivf_pq(_COS_SQL),
         "streaming_session_windows": ORACLE_STREAM_SESSIONS,
     }
 

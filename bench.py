@@ -123,7 +123,8 @@ def main():
         append_text_index, search_text_index, write_text_index,
     )
     from dataingestion_spark.sinks.vector_index import (
-        build_ivf_index, search_ivf_index,
+        build_ivf_index, build_ivfpq_index, search_ivf_index,
+        search_ivfpq_index,
     )
     from pyspark.sql import Window as W
 
@@ -158,7 +159,15 @@ def main():
                             num_hashes=16, bands=4)
         return spark.range(1), path
 
+    def build_ivfpq(spark, sf, path=None):
+        path = path or tempfile.mkdtemp(prefix="ivfpq_idx_") + "/idx"
+        build_ivfpq_index(em._t(spark, sf, "embeddings"), path,
+                          centroids=_ivf_centroids(spark, sf),
+                          m=8, k_codes=16, pq_iters=2)
+        return spark.range(1), path
+
     _, ivf_path = build_ivf(spark, sf_dir)
+    _, ivfpq_path = build_ivfpq(spark, sf_dir)
     _, text_path = build_text(spark, sf_dir)
     _, mh_path = build_mh(spark, sf_dir)
 
@@ -178,9 +187,18 @@ def main():
                  .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
         return probe_minhash_index(batch, mh_path, min_est_jaccard=0.5)
 
+    def ivfpq_serve(spark, sf):
+        e = em._t(spark, sf, "embeddings")
+        queries = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        return search_ivfpq_index(spark, ivfpq_path, queries, k=10, n_probe=2)
+
     bench_queries.update({
         "ivf_build": lambda spark, sf: build_ivf(spark, sf)[0],
         "ivf_persisted": ivf_serve,
+        "ivfpq_build": lambda spark, sf: build_ivfpq(spark, sf)[0],
+        "ivfpq_persisted": ivfpq_serve,
         "bm25_index_build": lambda spark, sf: build_text(spark, sf)[0],
         "bm25_indexed": bm25_serve,
         "dedup_index_build": lambda spark, sf: build_mh(spark, sf)[0],

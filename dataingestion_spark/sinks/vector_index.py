@@ -132,3 +132,149 @@ def append_ivf_index(new_vectors: DataFrame, path: str,
         .write.mode("append").partitionBy("centroid_id")
         .parquet(os.path.join(path, "lists"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ: the on-disk Faiss-IVFADC layout — partition-pruned
+# inverted lists whose rows carry m-byte PQ codes instead of float vectors.
+# ---------------------------------------------------------------------------
+
+def build_ivfpq_index(corpus: DataFrame, path: str, n_centroids: int = 16,
+                      iters: int = 5, m: int = 8, k_codes: int = 16,
+                      pq_iters: int = 3, corpus_id: str = "vec_id",
+                      corpus_vec: str = "embedding",
+                      centroids: Optional[List[Centroid]] = None,
+                      codebooks=None,
+                      max_list_size: Optional[int] = None) -> int:
+    """Build the combined index: coarse inverted lists bound WHAT a query
+    scans (``n_probe``/``n_centroids`` of the corpus, physically pruned
+    at the file listing), PQ codes bound what each scanned candidate
+    COSTS (m small ints + m LUT lookups — no float vector is ever read
+    at serve time). At a billion vectors the list payload is ~m bytes
+    per vector vs 4·dim for :func:`build_ivf_index` — the difference
+    between an index that fits in page cache and one that doesn't.
+
+    Codes quantize RAW vectors (not residuals): encode then needs no
+    list context, which is what keeps :func:`append_ivfpq_index` an
+    O(batch) operation and lets ONE LUT per query serve every probed
+    list. Residual IVFADC (better recall per byte, list-coupled
+    appends) stays the in-memory ``operators.pq.topk_ivf_pq`` variant.
+
+    Layout::
+
+        <path>/centroids.json   [[centroid_id, [floats...]], ...]
+        <path>/codebooks.json   [m][k_codes][dim/m] floats
+        <path>/lists/centroid_id=<c>/part-*.parquet   (vec_id, pq_code)
+    """
+    from ..operators.pq import pq_encode, pq_train
+
+    cents = centroids or train_centroids(
+        corpus, n_centroids=n_centroids, iters=iters,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+    )
+    if codebooks is None:
+        codebooks = pq_train(corpus, m=m, k=k_codes, iters=pq_iters,
+                             corpus_id=corpus_id, corpus_vec=corpus_vec)
+    cdf = corpus.sparkSession.createDataFrame(cents, ["centroid_id", "cvec"])
+    assigned = ivf_assign(corpus.select(corpus_id, corpus_vec), cdf,
+                          corpus_id, corpus_vec, max_list_size)
+    encoded = pq_encode(assigned, codebooks, corpus_vec).select(
+        corpus_id, "centroid_id", "pq_code"
+    )
+    (
+        encoded.repartition("centroid_id")
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(os.path.join(path, "lists"))
+    )
+    from .commit_backend import backend_for
+
+    be = backend_for(path)
+    be.put_atomic(
+        f"{path.rstrip('/')}/centroids.json",
+        json.dumps([[int(c), list(map(float, v))] for c, v in cents]))
+    be.put_atomic(
+        f"{path.rstrip('/')}/codebooks.json",
+        json.dumps([[[float(x) for x in cw] for cw in book]
+                    for book in codebooks]))
+    return len(cents)
+
+
+def load_ivfpq_codebooks(path: str):
+    from .commit_backend import backend_for
+
+    text = backend_for(path).read_text(f"{path.rstrip('/')}/codebooks.json")
+    if text is None:
+        raise FileNotFoundError(f"no codebooks.json under {path}")
+    return json.loads(text)
+
+
+def search_ivfpq_index(spark: SparkSession, path: str, queries: DataFrame,
+                       k: int = 10, n_probe: int = 4,
+                       corpus_id: str = "vec_id",
+                       query_id: str = "query_id",
+                       query_vec: str = "query_vec") -> DataFrame:
+    """ADC top-k over the persisted lists: probe selection against the
+    sidecar centroids (driver-sized), partition pruning down to the
+    probed lists, then the broadcast probe×LUT equi-join — identical
+    scoring to ``operators.pq.topk_ivf_pq(residual=False)`` with the
+    same centroids/codebooks (pinned in tests)."""
+    from ..operators.pq import _adc_lut_df, _adc_total
+    from ..operators.similarity import _rank_topk
+
+    cents = load_centroids(path)
+    codebooks = load_ivfpq_codebooks(path)
+    cdf = spark.createDataFrame(cents, ["centroid_id", "cvec"])
+    probe_w = Window.partitionBy(query_id).orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cdf))
+        .withColumn("csim", cosine_sim(F.col(query_vec), F.col("cvec")))
+        .withColumn("crk", F.row_number().over(probe_w))
+        .filter(F.col("crk") <= n_probe)
+        .select(query_id, "centroid_id")
+        .localCheckpoint(eager=True)  # reused for pruning ids AND the join
+    )
+    probe_ids = sorted(
+        {int(r[0]) for r in probes.select("centroid_id").distinct().collect()}
+    )
+    lists = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .filter(F.col("centroid_id").isin(probe_ids))
+    )
+    qluts = _adc_lut_df(queries, codebooks, query_id, query_vec)
+    scored = lists.join(
+        F.broadcast(probes.join(F.broadcast(qluts), query_id)), "centroid_id"
+    ).select(
+        F.col(query_id), F.col(corpus_id),
+        (-_adc_total(len(codebooks), "pq_code")).alias("score"),
+    )
+    return _rank_topk(scored, k, query_id, corpus_id)
+
+
+def append_ivfpq_index(new_vectors: DataFrame, path: str,
+                       corpus_id: str = "vec_id",
+                       corpus_vec: str = "embedding") -> None:
+    """O(batch) maintenance, same contract as :func:`append_ivf_index`:
+    assign against the stored centroids, encode against the stored
+    codebooks (raw-vector codes need no list context — the reason this
+    index skips residual encoding), append to the affected partitions.
+    Search-after-append equals search of a one-shot build (pinned in
+    tests); rebuild when drift degrades recall."""
+    from ..operators.pq import pq_encode
+
+    spark = new_vectors.sparkSession
+    cents = load_centroids(path)
+    codebooks = load_ivfpq_codebooks(path)
+    cdf = spark.createDataFrame(cents, ["centroid_id", "cvec"])
+    assigned = ivf_assign(
+        new_vectors.select(corpus_id, corpus_vec), cdf, corpus_id, corpus_vec
+    )
+    encoded = pq_encode(assigned, codebooks, corpus_vec).select(
+        corpus_id, "centroid_id", "pq_code"
+    )
+    (
+        encoded.repartition("centroid_id")
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(os.path.join(path, "lists"))
+    )

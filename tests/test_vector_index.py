@@ -70,3 +70,80 @@ def test_append_equals_rebuild(spark, tmp_path):
     b = search_ivf_index(spark, oneshot, qs, k=10, n_probe=3)
     assert ({(r.query_id, r.rank, r.vec_id) for r in a.collect()}
             == {(r.query_id, r.rank, r.vec_id) for r in b.collect()})
+
+
+# --- persisted IVF-PQ -------------------------------------------------------
+
+def _ivfpq_setup(spark, tmp_path):
+    from dataingestion_spark.operators.pq import pq_train
+    from dataingestion_spark.sinks.vector_index import build_ivfpq_index
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(e, n_centroids=8, iters=2)
+    books = pq_train(e, m=4, k=16, iters=2)
+    path = str(tmp_path / "ivfpq")
+    n = build_ivfpq_index(e, path, centroids=cents, codebooks=books)
+    assert n == 8
+    return e, cents, books, path
+
+
+def test_ivfpq_search_equals_in_memory(spark, tmp_path):
+    from dataingestion_spark.operators.pq import topk_ivf_pq
+    from dataingestion_spark.sinks.vector_index import search_ivfpq_index
+
+    e, cents, books, path = _ivfpq_setup(spark, tmp_path)
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = search_ivfpq_index(spark, path, qs, k=10, n_probe=2)
+    want = topk_ivf_pq(e, qs, k=10, n_centroids=8, n_probe=2, m=4,
+                       k_codes=16, centroids=cents, codebooks=books)
+    assert ({(r.query_id, r.rank, r.vec_id, round(r.score, 9))
+             for r in got.collect()}
+            == {(r.query_id, r.rank, r.vec_id, round(r.score, 9))
+                for r in want.collect()})
+
+
+def test_ivfpq_probe_prunes_partitions_and_reads_no_vectors(spark, tmp_path):
+    from dataingestion_spark.sinks.vector_index import search_ivfpq_index
+
+    e, cents, books, path = _ivfpq_setup(spark, tmp_path)
+    qs = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = search_ivfpq_index(spark, path, qs, k=5, n_probe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1)  # pruning reaches the scan
+    # serve path never reads a float vector: the list scan schema is
+    # (vec_id, pq_code) only
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "embedding" not in m.group(1), m.group(1)
+    got.collect()
+
+
+def test_ivfpq_append_equals_rebuild(spark, tmp_path):
+    from dataingestion_spark.operators.pq import pq_train
+    from dataingestion_spark.sinks.vector_index import (
+        append_ivfpq_index, build_ivfpq_index, search_ivfpq_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = e.filter(F.col("vec_id") < 300)
+    rest = e.filter(F.col("vec_id") >= 300)
+    cents = train_centroids(first, n_centroids=8, iters=2)
+    books = pq_train(first, m=4, k=16, iters=2)
+
+    grown = str(tmp_path / "pq_grown")
+    build_ivfpq_index(first, grown, centroids=cents, codebooks=books)
+    append_ivfpq_index(rest, grown)
+    oneshot = str(tmp_path / "pq_oneshot")
+    build_ivfpq_index(e, oneshot, centroids=cents, codebooks=books)
+
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = search_ivfpq_index(spark, grown, qs, k=10, n_probe=3).collect()
+    b = search_ivfpq_index(spark, oneshot, qs, k=10, n_probe=3).collect()
+    assert ({(r.query_id, r.rank, r.vec_id) for r in a}
+            == {(r.query_id, r.rank, r.vec_id) for r in b})
