@@ -6101,6 +6101,39 @@ SELECT user_id, bucket_ts, CAST(n AS BIGINT) AS n, value FROM filled
 """
 
 
+def q_lakehouse_skipping(spark, sf):
+    """Delta-style data skipping (sinks/manifest_store.py::
+    read_table_where): three append commits with disjoint n_chars ranges
+    give every file a tight per-column [min,max] recorded at write time;
+    a conjunctive predicate then prunes the file list BEFORE any footer
+    IO (candidate_files_where), and the surviving files are filtered
+    exactly in Spark. Equivalent-by-construction to read-then-filter —
+    the oracle restates the predicate over the raw documents table."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "lang", "n_chars",
+    )
+    table = tempfile.mkdtemp(prefix="skip_lh_") + "/t"
+    ms.write_table(docs.filter(F.col("n_chars") < 150), table)
+    ms.append_table(
+        docs.filter((F.col("n_chars") >= 150) & (F.col("n_chars") < 300)),
+        table)
+    ms.append_table(docs.filter(F.col("n_chars") >= 300), table)
+    out = ms.read_table_where(
+        spark, table, [("n_chars", ">=", 300), ("lang", "!=", "de")])
+    return out.select("documentid", "lang", "n_chars")
+
+
+ORACLE_SKIPPING = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid, lang, n_chars
+FROM documents WHERE n_chars >= 300 AND lang <> 'de'
+"""
+
+
 def q_change_feed(spark, sf):
     """CDF-lite change feed (sinks/manifest_store.py::table_diff):
     base = doc_id%3==0 slice; then append %3==1, delete %9==0, and one
@@ -6866,6 +6899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         "multimodal_frame_sample": q_frame_sample,
         "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
+        "lakehouse_skipping_read": q_lakehouse_skipping,
         "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
         "dedup_simhash_fast": q_simhash_fast,
         "sketch_histogram_quantiles": q_sketch_quantiles,
@@ -7196,6 +7230,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_merge_upsert": ORACLE_MERGE,
         "lakehouse_incremental_agg": ORACLE_INCR_AGG,
         "lakehouse_change_feed": ORACLE_CHANGE_FEED,
+        "lakehouse_skipping_read": ORACLE_SKIPPING,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

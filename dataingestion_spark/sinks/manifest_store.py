@@ -275,9 +275,37 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
             if with_stats and "documentid" in tbl.column_names:
                 try:  # stats are an optimization, never a correctness gate
                     vals = tbl["documentid"].to_pylist()
-                    st = _json.dumps(
-                        {"min": min(vals), "max": max(vals), "rows": len(vals),
-                         "bloom": _bloom_build(vals)} if vals else {"rows": 0})
+                    stat = ({"min": min(vals), "max": max(vals),
+                             "rows": len(vals), "bloom": _bloom_build(vals)}
+                            if vals else {"rows": 0})
+                    # per-column min/max for data skipping (Delta-style):
+                    # primitive columns only, JSON-safe values, capped at
+                    # the first 32 columns; failures skip the column —
+                    # a file without stats is always read, never wrongly
+                    # skipped
+                    if vals:
+                        cols = {}
+                        for fld in list(tbl.schema)[:32]:
+                            if fld.name in ("documentid", "doc_bucket"):
+                                continue
+                            t = fld.type
+                            ok = (pa.types.is_integer(t)
+                                  or pa.types.is_floating(t)
+                                  or pa.types.is_string(t)
+                                  or pa.types.is_large_string(t)
+                                  or pa.types.is_boolean(t))
+                            if not ok:
+                                continue
+                            try:
+                                mm = pc.min_max(tbl[fld.name])
+                                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                                if lo is not None and hi is not None:
+                                    cols[fld.name] = [lo, hi]
+                            except Exception:
+                                pass
+                        if cols:
+                            stat["cols"] = cols
+                    st = _json.dumps(stat)
                 except Exception:
                     st = ""
             buckets_o.append(str(b))
@@ -571,6 +599,90 @@ def write_table(records: DataFrame, table: str, txn=None) -> int:
 def read_table(spark, table: str, version: Optional[int] = None) -> DataFrame:
     manifest = read_manifest(table, version)
     return _read_files(spark, table, manifest)
+
+
+_SKIP_OPS = ("<=", ">=", "!=", "=", "<", ">")  # longest-match order
+
+
+def _file_may_match(stat: Dict, col: str, op: str, value) -> bool:
+    """Can a file with these stats hold a row satisfying ``col op value``?
+    True (must read) unless the [min,max] range PROVES no row matches.
+    Files without stats for the column always read — skipping is an
+    optimization, never a correctness gate."""
+    rng = (stat or {}).get("cols", {}).get(col)
+    if not rng:
+        return True
+    lo, hi = rng
+    if type(lo) is not type(value) and not (
+            isinstance(lo, (int, float)) and isinstance(value, (int, float))):
+        return True  # incomparable stat/literal types: must read
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        if op == "!=":
+            return not (lo == hi == value)
+    except TypeError:
+        return True
+    return True
+
+
+def candidate_files_where(table: str, conditions, version: Optional[int] = None):
+    """File names that may hold rows matching ALL ``conditions`` — each a
+    ``(column, op, literal)`` tuple with op in ``= != < <= > >=`` —
+    pruned by the per-file column [min,max] stats recorded at write time.
+    Returns (manifest, {bucket: [names]})."""
+    manifest = read_manifest(table, version)
+    meta = _manifest_meta(manifest)
+    for col, op, _ in conditions:
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported skip op {op!r} on {col!r}")
+    chosen: Dict[str, List[str]] = {}
+    for b, names in manifest["buckets"].items():
+        keep = [
+            n for n in names
+            if all(_file_may_match(meta["stats"].get(n), c, op, v)
+                   for c, op, v in conditions)
+        ]
+        if keep:
+            chosen[b] = keep
+    return manifest, chosen
+
+
+def read_table_where(spark, table: str, conditions,
+                     version: Optional[int] = None) -> DataFrame:
+    """Delta-style data skipping: read only the files whose per-column
+    [min,max] stats may satisfy ALL of ``conditions`` (conjunctive
+    ``(column, op, literal)`` tuples), then apply the same conditions as
+    real Spark filters for exactness. Equivalent to
+    ``read_table(...).filter(...)`` by construction — the stats only
+    prune files that provably hold no matching row; files or columns
+    without stats are always read. DVs apply as on any read.
+
+    At 100 TB this is the difference between a predicate scanning every
+    bucket and one that touches the handful of files whose ranges
+    overlap — the same role parquet row-group stats play one level
+    down, lifted to the manifest so pruning happens before any footer
+    IO."""
+    manifest, chosen = candidate_files_where(table, conditions, version)
+    names = {n for ns in chosen.values() for n in ns}
+    df = _read_files(spark, table, manifest,
+                     bucket_subset=chosen.keys() or None,
+                     file_subset=names) if chosen else _read_files(
+        spark, table, manifest, bucket_subset=[])
+    for col, op, value in conditions:
+        sql_op = "<>" if op == "!=" else op
+        lit = f"'{str(value).replace(chr(39), chr(39) * 2)}'" \
+            if isinstance(value, str) else repr(value)
+        df = df.filter(F.expr(f"`{col}` {sql_op} {lit}"))
+    return df
 
 
 def read_documents(spark, table: str, doc_ids: List[str],

@@ -612,3 +612,64 @@ def test_update_merge_derived_dv_kills_all_old_chunks(spark, tmp_path):
         got.setdefault(r.documentid, []).append(r.content)
     assert sorted(got["multi"]) == ["M-NEW"]
     assert got["other"] == ["o0"] and got["new"] == ["n0"]
+
+
+# --- data skipping ----------------------------------------------------------
+
+def test_data_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, candidate_files_where, read_table, read_table_where,
+        write_table,
+    )
+
+    t = str(tmp_path / "skip_t")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("documentid"), "n_chars", "lang")
+    # three commits with disjoint n_chars ranges -> per-file ranges disjoint
+    write_table(docs.filter("n_chars < 150"), t)
+    append_table(docs.filter("n_chars >= 150 and n_chars < 300"), t)
+    append_table(docs.filter("n_chars >= 300"), t)
+
+    conds = [("n_chars", ">=", 300)]
+    manifest, chosen = candidate_files_where(t, conds)
+    all_files = sum(len(v) for v in manifest["buckets"].values())
+    kept = sum(len(v) for v in chosen.values())
+    assert 0 < kept < all_files  # pruning really dropped files
+    # only commit-3 files survive: every kept file's min >= 800
+    from dataingestion_spark.sinks.manifest_store import _manifest_meta
+    meta = _manifest_meta(manifest)
+    for ns in chosen.values():
+        for n in ns:
+            assert meta["stats"][n]["cols"]["n_chars"][0] >= 300
+
+    got = read_table_where(spark, t, conds)
+    want = read_table(spark, t).filter("n_chars >= 300")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # string + conjunctive conditions; no-match prunes to empty frame
+    got2 = read_table_where(spark, t, [("lang", "=", "en"),
+                                       ("n_chars", "<", 150)])
+    want2 = read_table(spark, t).filter("lang = 'en' and n_chars < 150")
+    assert got2.exceptAll(want2).count() == 0 and want2.exceptAll(got2).count() == 0
+    assert read_table_where(spark, t, [("n_chars", ">", 10**9)]).count() == 0
+
+
+def test_data_skipping_never_skips_statless_or_unknown_columns(spark, tmp_path):
+    from dataingestion_spark.sinks.manifest_store import (
+        candidate_files_where, read_table, read_table_where, write_table,
+    )
+
+    t = str(tmp_path / "skip_u")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("documentid"), "n_chars")
+    write_table(docs, t)
+    # a column with no recorded stats (never written) -> everything reads,
+    # the Spark-side filter still applies
+    manifest, chosen = candidate_files_where(t, [("nope", ">", 5)])
+    assert sum(len(v) for v in chosen.values()) == \
+        sum(len(v) for v in manifest["buckets"].values())
+    got = read_table_where(spark, t, [("n_chars", "!=", -1)])
+    assert got.count() == read_table(spark, t).count()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported skip op"):
+        read_table_where(spark, t, [("n_chars", "like", "x")])
