@@ -876,6 +876,28 @@ def append_table(records: DataFrame, table: str, txn=None) -> int:
                    extra=_prune_meta(meta, buckets))
 
 
+def _merge_target_files(manifest: Dict, meta: Dict, existing, precheck):
+    """Target files a merge must read: within each affected bucket, only
+    files whose documentid [min,max] footer range OVERLAPS the source
+    batch's id range for that bucket. A file outside the range provably
+    holds none of the source ids, so every per-id join (matched
+    detection, insert anti-join) is unaffected by skipping it — the same
+    never-wrongly-skip contract as :func:`candidate_files_where`. Files
+    without stats always read."""
+    by_bucket = {str(r["doc_bucket"]): (r["_idmin"], r["_idmax"])
+                 for r in precheck}
+    keep = set()
+    for b in existing:
+        lo, hi = by_bucket.get(str(b), (None, None))
+        for n in manifest["buckets"].get(b, []):
+            st = meta["stats"].get(n) or {}
+            fmin, fmax = st.get("min"), st.get("max")
+            if (lo is None or fmin is None or fmax is None
+                    or (fmin <= hi and fmax >= lo)):
+                keep.add(n)
+    return keep
+
+
 def merge_table(source: DataFrame, table: str,
                 when_matched: Optional[str] = "update",
                 when_not_matched: Optional[str] = "insert",
@@ -924,11 +946,14 @@ def merge_table(source: DataFrame, table: str,
     # Lazy: the precheck collect right below materializes it, so an eager
     # checkpoint would only add a redundant job to every merge.
     src = source.withColumn("doc_bucket", _bucket_col()).localCheckpoint(eager=False)
-    # ONE job answers both pre-checks: per-bucket row/key counts give the
-    # affected-bucket list AND the duplicate guard (rows > distinct keys)
+    # ONE job answers all three pre-checks: per-bucket row/key counts give
+    # the affected-bucket list AND the duplicate guard (rows > distinct
+    # keys), and per-bucket id [min,max] feeds target-file range pruning
     precheck = src.groupBy("doc_bucket").agg(
         F.count("*").alias("_rows"),
         F.countDistinct("documentid").alias("_keys"),
+        F.min("documentid").alias("_idmin"),
+        F.max("documentid").alias("_idmax"),
     ).collect()
     if any(r["_rows"] > r["_keys"] for r in precheck):
         raise ValueError("source has duplicate documentids; merge requires "
@@ -969,7 +994,9 @@ def merge_table(source: DataFrame, table: str,
                        extra=_prune_meta(meta, buckets))
     tgt = tgt_keys = None
     if existing:
-        tgt = _read_files(spark, table, manifest, bucket_subset=existing)
+        tgt_files = _merge_target_files(manifest, meta, existing, precheck)
+        tgt = _read_files(spark, table, manifest, bucket_subset=existing,
+                          file_subset=tgt_files)
         tgt_keys = tgt.select("documentid").distinct()
 
     # matched-and-passing DOCUMENT ids (stored docs may span several rows —

@@ -673,3 +673,53 @@ def test_data_skipping_never_skips_statless_or_unknown_columns(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported skip op"):
         read_table_where(spark, t, [("n_chars", "like", "x")])
+
+
+def test_merge_target_read_prunes_by_id_range(spark, tmp_path):
+    """Merge reads only the target files whose documentid range overlaps
+    the source batch's — and stays exactly equivalent to an unpruned
+    merge."""
+    from dataingestion_spark.sinks.manifest_store import (
+        _manifest_meta, _merge_target_files, merge_table, read_manifest,
+        read_table, write_table, append_table,
+    )
+
+    t = str(tmp_path / "mrg_prune")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias("documentid"),
+        "n_chars")
+    high = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.concat(F.lit("z"), F.col("doc_id").cast("string")).alias("documentid"),
+        "n_chars")
+    write_table(docs, t)      # ids a…
+    append_table(high, t)     # ids z… -> every bucket has one a-file + one z-file
+    manifest = read_manifest(t)
+    meta = _manifest_meta(manifest)
+
+    # a source wholly in the z range: per bucket, the a-file must be pruned
+    src = high.limit(50).withColumn(
+        "n_chars", F.col("n_chars") + 1).withColumn(
+        "doc_bucket", (F.crc32(F.col("documentid").cast("binary")) % 64).cast("int"))
+    pre = src.groupBy("doc_bucket").agg(
+        F.count("*").alias("_rows"), F.countDistinct("documentid").alias("_keys"),
+        F.min("documentid").alias("_idmin"), F.max("documentid").alias("_idmax"),
+    ).collect()
+    existing = [str(r["doc_bucket"]) for r in pre
+                if manifest["buckets"].get(str(r["doc_bucket"]))]
+    kept = _merge_target_files(manifest, meta, existing, pre)
+    all_names = [n for b in existing for n in manifest["buckets"][b]]
+    assert len(kept) < len(all_names)          # pruning really dropped files
+    for n in kept:                             # survivors all hold z-range ids
+        assert meta["stats"][n]["min"].startswith("z")
+
+    # end-to-end: the pruned merge equals read-then-compute semantics
+    merge_table(src.drop("doc_bucket"), t,
+                matched_condition="n_chars > target.n_chars")
+    out = read_table(spark, t)
+    # the 50 matched docs were updated (n_chars bumped by 1), rest intact
+    bumped = out.join(src.select("documentid"), "documentid", "semi")
+    orig = high.join(src.select("documentid"), "documentid", "semi")
+    assert bumped.count() == 50
+    assert (bumped.selectExpr("sum(n_chars)").first()[0]
+            == orig.selectExpr("sum(n_chars)").first()[0] + 50)
+    assert out.count() == docs.count() + high.count()
