@@ -917,8 +917,10 @@ def merge_table(source: DataFrame, table: str,
       rows satisfies the condition; documents with no passing row are kept
       as-is.
 
-    Cost model: reads ONLY the buckets the source hashes into (further
-    stat-prunable), writes O(batch) — updates and deletes are expressed as
+    Cost model: reads ONLY the buckets the source hashes into, and within
+    them only the files whose documentid footer range overlaps the
+    batch's (:func:`_merge_target_files`), writes O(batch) — updates and
+    deletes are expressed as
     one equality deletion vector sharing the commit's sequence number with
     the new data files (strictly-smaller rule ⇒ the new row versions
     survive their own delete). Duplicate documentids in the source raise,
