@@ -5116,6 +5116,51 @@ WHERE documentid NOT IN
 # E. streaming (rows-only check — not SQL-expressible)
 # ---------------------------------------------------------------------------
 
+def q_streaming_upsert(spark, sf):
+    """Streaming MERGE INTO (streaming/pipeline.py::stream_upsert): a
+    file-source stream of update batches applied per micro-batch as a
+    conditional-free upsert against the manifest store — matched docs
+    replaced, unmatched inserted, retried epochs no-ops via the
+    merge_table (app, epoch) txn guard. The final table state is
+    batching-independent (each id appears once in the source), so the
+    oracle restates the merge as joins over the raw documents table —
+    a fully SQL-oracled streaming+lakehouse query."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.streaming.pipeline import stream_upsert
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "text", "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    table = tempfile.mkdtemp(prefix="upsert_lh_") + "/t"
+    ms.write_table(docs.filter(F.col("doc_id").cast("long") % 3 != 0), table)
+    src_dir = tempfile.mkdtemp(prefix="upsert_src_")
+    (_t(spark, sf, "documents").filter(F.col("doc_id") % 2 == 0)
+     .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+     .select("doc_id", "text", "lang", "source",
+             F.col("n_chars").cast("long").alias("n_chars"))
+     .coalesce(1).write.mode("overwrite").parquet(src_dir))
+    stream_upsert(spark, src_dir, table).awaitTermination()
+    return ms.read_table(spark, table).select(
+        "documentid", "text", "lang", "n_chars")
+
+
+ORACLE_STREAM_UPSERT = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS documentid, text, lang, n_chars
+  FROM documents WHERE doc_id % 3 <> 0),
+upd AS (
+  SELECT CAST(doc_id AS VARCHAR) AS documentid, 'v2 ' || text AS text,
+         lang, n_chars
+  FROM documents WHERE doc_id % 2 = 0)
+SELECT documentid, text, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+  SELECT * FROM base WHERE documentid NOT IN (SELECT documentid FROM upd)
+  UNION ALL SELECT * FROM upd)
+"""
+
+
 def q_streaming_events(spark, sf):
     from dataingestion_spark.streaming.pipeline import stream_events_windowed
 
@@ -6900,6 +6945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_frame_sample,
         "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
         "lakehouse_skipping_read": q_lakehouse_skipping,
+        "streaming_upsert_merge": q_streaming_upsert,
         "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
         "dedup_simhash_fast": q_simhash_fast,
         "sketch_histogram_quantiles": q_sketch_quantiles,
@@ -7242,6 +7288,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_watermark": ORACLE_STREAM_DEDUP_WM,
         "streaming_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
         "streaming_events_windowed": ORACLE_STREAM_WINDOWED,
+        "streaming_upsert_merge": ORACLE_STREAM_UPSERT,
         "tokenizer_bpe_train_merges": _oracle_bpe_merges(24),
         "search_topk_pq": _oracle_topk_pq(),
         "search_topk_ivf_pq": _oracle_topk_ivf_pq(_COS_SQL),

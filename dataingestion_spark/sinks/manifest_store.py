@@ -901,7 +901,8 @@ def _merge_target_files(manifest: Dict, meta: Dict, existing, precheck):
 def merge_table(source: DataFrame, table: str,
                 when_matched: Optional[str] = "update",
                 when_not_matched: Optional[str] = "insert",
-                matched_condition: Optional[str] = None) -> int:
+                matched_condition: Optional[str] = None,
+                txn=None) -> int:
     """Delta-style MERGE INTO keyed on ``documentid``.
 
     * ``when_matched="update"`` — replace ALL stored rows of the document
@@ -929,6 +930,12 @@ def merge_table(source: DataFrame, table: str,
     version. Replaces nothing the reference has (its writer is
     upsert-only, ``VectorStoreWriter.cs:76-108``); this is the general
     conditional form a lakehouse needs.
+
+    ``txn=(app, epoch)`` is the same idempotent-retry guard as
+    write/append: a retried epoch whose merge already committed is a
+    no-op, which makes per-micro-batch streaming MERGE
+    (:func:`..streaming.pipeline.stream_upsert`) exactly-once under
+    at-least-once foreachBatch delivery.
     """
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be 'update', 'delete' or None, got {when_matched!r}")
@@ -940,8 +947,14 @@ def merge_table(source: DataFrame, table: str,
     spark = source.sparkSession
     if current_version(table) is None:
         if when_not_matched == "insert":
-            return write_table(source, table)
+            return write_table(source, table, txn=txn)
         raise FileNotFoundError(f"no committed version in {table}")
+    if txn is not None:
+        # check BEFORE the precheck job: a retried epoch should cost one
+        # manifest read, not a Spark job
+        prior = read_manifest(table)
+        if _txn_applied(prior, txn):
+            return prior["version"]
 
     # the source batch is read several times (dup guard, bucket list, joins,
     # writes) — pin it once; a merge batch is bounded, unlike the table.
@@ -962,7 +975,10 @@ def merge_table(source: DataFrame, table: str,
                          "one source row per key (Delta semantics)")
 
     manifest = read_manifest(table)
+    if _txn_applied(manifest, txn):  # re-check against the freshest manifest
+        return manifest["version"]
     meta = _manifest_meta(manifest)
+    _txn_record(meta, txn)
     affected = sorted(str(r["doc_bucket"]) for r in precheck)
     existing = [b for b in affected if manifest["buckets"].get(b)]
     # an unconditional delete-only merge never needs the target AT ALL:

@@ -123,6 +123,44 @@ def stream_ingest(spark, input_dir: str, table_path: str,
     )
 
 
+def stream_upsert(spark, input_dir: str, table_path: str,
+                  matched_condition: str | None = None,
+                  app: str = "stream_upsert"):
+    """Streaming MERGE INTO (the Delta CDC-apply pattern): a file-source
+    stream of document batches, each micro-batch applied as one
+    conditional upsert — matched documents replaced (optionally gated by
+    ``matched_condition``), unmatched inserted. Within-batch duplicate
+    ids keep one row (``dropDuplicates`` on documentid — Spark gives no
+    intra-batch order, same as Delta's own streaming merge guidance),
+    and the ``(app, epoch)`` txn makes retried micro-batches no-ops, so
+    the table is exactly-once under at-least-once foreachBatch delivery.
+    Each commit reads only the source batch's buckets, range-pruned to
+    the files its ids can touch — O(batch), never O(table)."""
+    from ..sinks.manifest_store import merge_table
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    records = stream.select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "text", "lang", "source", "n_chars",
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_table(batch_df.dropDuplicates(["documentid"]), table_path,
+                    matched_condition=matched_condition,
+                    txn=(app, epoch_id))
+
+    return (
+        records.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_events_windowed(spark, events_dir: str, window: str = "5 minutes",
                            slide: str = "5 minutes", watermark: str = "10 minutes",
                            query_name: str = "events_windowed",

@@ -242,3 +242,41 @@ def test_stream_dedup_within_watermark_equals_batch_distinct(spark):
     batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     assert got.count() == batch.count()
     assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_upsert_merges_batches_and_is_exactly_once(spark, tmp_path):
+    """Streaming MERGE (stream_upsert): the base table plus a streamed
+    update batch converge to merge semantics, and a retried epoch is a
+    no-op (merge_table txn guard)."""
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.streaming.pipeline import stream_upsert
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "text", "lang", "source", "n_chars")
+    table = str(tmp_path / "upsert_t")
+    ms.write_table(docs.filter("documentid NOT LIKE '%7'"), table)
+
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    updates = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id % 2 = 0").withColumn(
+        "text", F.concat(F.lit("v2 "), F.col("text")))
+    updates.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream_upsert(spark, str(src), table).awaitTermination()
+
+    out = ms.read_table(spark, table)
+    # updated: even ids now carry the v2 text
+    assert out.filter("documentid = '2' AND text NOT LIKE 'v2 %'").count() == 0
+    # inserted: even ids ending in 7 were absent from base, now present
+    base_n = docs.filter("documentid NOT LIKE '%7'").count()
+    ins_n = updates.filter("CAST(doc_id AS STRING) LIKE '%7'").count()
+    assert out.count() == base_n + ins_n
+
+    # retried epoch is a no-op: replay the same merge with epoch 0
+    v = ms.current_version(table)
+    ms.merge_table(
+        updates.select(F.col("doc_id").cast("string").alias("documentid"),
+                       "text", "lang", "source", "n_chars"),
+        table, txn=("stream_upsert", 0))
+    assert ms.current_version(table) == v  # nothing recommitted
