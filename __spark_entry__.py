@@ -2231,6 +2231,33 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
   FROM s) WHERE rank <= 10"""
 
 
+def _oracle_topk_pq_rerank(cos_sql, candidates=100):
+    return f"""WITH {_pq_common_ctes()},
+base AS (SELECT DISTINCT vec_id FROM codes),
+s AS (
+  SELECT q.query_id, base.vec_id, -({_pq_score_total()}) AS adc
+  FROM base
+  {_pq_code_joins('base')}
+  CROSS JOIN (SELECT DISTINCT query_id FROM qlut) q
+  {_pq_lut_joins('q')}),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS ark
+    FROM s) WHERE ark <= {candidates}),
+rer AS (
+  SELECT sl.query_id, sl.vec_id,
+    {cos_sql.format(a='qe.embedding', b='ce.embedding')} AS score
+  FROM shortlist sl
+  JOIN embeddings ce ON ce.vec_id = sl.vec_id
+  JOIN embeddings qe ON qe.vec_id = sl.query_id)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+  round(score, 6) + 0.0 AS score_r FROM (
+  SELECT query_id, vec_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM rer) WHERE rank <= 10"""
+
+
 def _oracle_topk_ivf_pq(cos_sql):
     return f"""WITH {_pq_common_ctes()},
 cents AS MATERIALIZED (
@@ -2285,6 +2312,32 @@ def q_topk_pq(spark, sf):
     out = topk_pq_adc(enc, books, queries, k=10)
     # + 0.0 normalizes IEEE signed zero (-0.0 → +0.0) so the driver's
     # value hash agrees with the DuckDB oracle (which does the same)
+    return out.select(
+        "query_id", "rank", "vec_id",
+        (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+    )
+
+
+def q_topk_pq_rerank(spark, sf):
+    """Two-stage PQ serving (operators/pq.py::topk_pq_rerank): ADC over
+    m-byte codes shortlists 100 candidates per query, exact cosine
+    re-ranks only the shortlist — the standard production ANN shape,
+    measured in SCALE.md to lift the m=8,k=16 ADC recall ceiling
+    (0.23) to 0.63 at C=100 / 0.90 at C=400. Stride codebooks make
+    both stages SQL-expressible; the whole shortlist→join→re-rank chain
+    is restated in the oracle."""
+    from dataingestion_spark.operators.pq import (
+        pq_encode, pq_train, topk_pq_rerank,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    books = pq_train(e, m=8, k=16, iters=0, init="stride")
+    enc = pq_encode(e.select("vec_id", "embedding"), books)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = topk_pq_rerank(enc, books, queries, e, k=10, candidates=100)
+    # + 0.0 normalizes IEEE signed zero (-0.0 → +0.0) — see q_topk_pq
     return out.select(
         "query_id", "rank", "vec_id",
         (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
@@ -6946,6 +6999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
         "lakehouse_skipping_read": q_lakehouse_skipping,
         "streaming_upsert_merge": q_streaming_upsert,
+        "search_topk_pq_rerank": q_topk_pq_rerank,
         "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
         "dedup_simhash_fast": q_simhash_fast,
         "sketch_histogram_quantiles": q_sketch_quantiles,
@@ -7294,6 +7348,7 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_ivf_pq": _oracle_topk_ivf_pq(_COS_SQL),
         # the persisted index must agree exactly with the in-memory path
         "search_topk_ivfpq_persisted": _oracle_topk_ivf_pq(_COS_SQL),
+        "search_topk_pq_rerank": _oracle_topk_pq_rerank(_COS_SQL),
         "streaming_session_windows": ORACLE_STREAM_SESSIONS,
     }
 

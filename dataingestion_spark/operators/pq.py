@@ -408,3 +408,41 @@ def permute_vectors(df: DataFrame, perm: List[int],
     return df.withColumn(
         vec_col, F.array(*[F.element_at(v, i + 1) for i in perm])
     )
+
+
+def topk_pq_rerank(encoded: DataFrame, codebooks: List[List[List[float]]],
+                   queries: DataFrame, corpus: DataFrame, k: int = 10,
+                   candidates: int = 100,
+                   corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                   code_col: str = "pq_code",
+                   query_id: str = "query_id", query_vec: str = "query_vec"
+                   ) -> DataFrame:
+    """Two-stage PQ serving (the standard production shape): ADC scans
+    the m-byte codes to shortlist ``candidates`` ids per query, then
+    exact cosine re-ranks ONLY the shortlist against the float vectors.
+
+    The measured motivation (SCALE.md "ANN recall/cost"): ADC recall@10
+    is bounded by the code budget (0.23 at m=8,k=16 → 0.64 at m=16,
+    k=256 on the sf0.1 embeddings) — no n_probe or training fix changes
+    that ceiling; re-ranking restores exactness for whatever the
+    shortlist covers at the cost of reading candidates·|queries| float
+    vectors instead of the corpus. The re-rank join is a semi-join of
+    the corpus against a BROADCAST shortlist (queries are small by the
+    ADC contract), so the corpus sees one scan with an in-filter — at
+    100 TB the float vectors are touched only for ~candidates rows per
+    query."""
+    short = topk_pq_adc(encoded, codebooks, queries, k=candidates,
+                        corpus_id=corpus_id, code_col=code_col,
+                        query_id=query_id, query_vec=query_vec
+                        ).select(query_id, corpus_id)
+    from .similarity import _rank_topk, cosine_sim
+
+    pairs = short.join(
+        F.broadcast(queries.select(query_id, query_vec)), query_id)
+    scored = corpus.select(corpus_id, corpus_vec).join(
+        F.broadcast(pairs), corpus_id
+    ).select(
+        F.col(query_id), F.col(corpus_id),
+        cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    return _rank_topk(scored, k, query_id, corpus_id)

@@ -1174,3 +1174,55 @@ def test_asof_join_forward_and_tolerance(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         asof_join(left, right, on="k", direction="sideways")
+
+
+def test_pq_rerank_restores_exactness_when_shortlist_covers_corpus(spark):
+    import math
+
+    from dataingestion_spark.operators.pq import pq_encode, pq_train, topk_pq_rerank
+    from dataingestion_spark.operators.similarity import topk_cosine
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    books = pq_train(e, m=4, k=8, iters=2)
+    enc = pq_encode(e.select("vec_id", "embedding"), books)
+    n = e.count()
+    # shortlist == whole corpus -> the ADC stage is a no-op and the
+    # re-rank must equal exact cosine top-k, scores included
+    got = topk_pq_rerank(enc, books, q, e, k=5, candidates=n).collect()
+    want = topk_cosine(e, q, k=5).collect()
+    gk = {(r.query_id, r.rank): (r.vec_id, r.score) for r in got}
+    wk = {(r.query_id, r.rank): (r.vec_id, r.score) for r in want}
+    assert gk.keys() == wk.keys()
+    for k2 in gk:
+        assert gk[k2][0] == wk[k2][0]
+        assert math.isclose(gk[k2][1], wk[k2][1], rel_tol=0, abs_tol=1e-12)
+
+
+def test_pq_rerank_beats_raw_adc_recall(spark):
+    from dataingestion_spark.operators.pq import (
+        pq_encode, pq_train, topk_pq_adc, topk_pq_rerank,
+    )
+    from dataingestion_spark.operators.similarity import topk_cosine
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    truth = {}
+    for r in topk_cosine(e, q, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(w & got.get(k2, set())) for k2, w in truth.items()) \
+            / sum(len(w) for w in truth.values())
+
+    books = pq_train(e, m=8, k=16, iters=2)
+    enc = pq_encode(e.select("vec_id", "embedding"), books)
+    raw = recall(topk_pq_adc(enc, books, q, k=10).collect())
+    rr = recall(topk_pq_rerank(enc, books, q, e, k=10, candidates=100).collect())
+    assert rr > raw  # re-ranking must lift the quantization ceiling
+    assert rr >= 0.5
