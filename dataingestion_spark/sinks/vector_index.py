@@ -278,3 +278,42 @@ def append_ivfpq_index(new_vectors: DataFrame, path: str,
         .write.mode("append").partitionBy("centroid_id")
         .parquet(os.path.join(path, "lists"))
     )
+
+
+def compact_index_lists(spark: SparkSession, path: str,
+                        max_files_per_list: int = 4) -> int:
+    """Index maintenance for the small-file growth of per-batch appends
+    (both layouts: float-vector IVF and IVF-PQ lists). When any list
+    partition holds more than ``max_files_per_list`` parquet files, the
+    whole ``lists/`` tree is rewritten one-file-per-list and swapped in
+    via a staging directory (insert-before-delete, like the plain
+    vector-table writer — local/dev semantics; at object-store scale
+    rebuild into a fresh index path and flip the serving pointer, or
+    keep lists on the manifest store). Search results are unchanged by
+    construction — only the file layout moves. Returns the number of
+    list partitions that were over the threshold (0 = nothing to do)."""
+    import shutil
+    import uuid as _uuid
+
+    lists_dir = os.path.join(path, "lists")
+    over = 0
+    for d in os.listdir(lists_dir):
+        if not d.startswith("centroid_id="):
+            continue
+        n = sum(1 for f in os.listdir(os.path.join(lists_dir, d))
+                if f.endswith(".parquet"))
+        if n > max_files_per_list:
+            over += 1
+    if not over:
+        return 0
+    df = spark.read.parquet(lists_dir)
+    tmp = f"{lists_dir}.__staging__{_uuid.uuid4().hex[:8]}"
+    (
+        df.repartition("centroid_id")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+    )
+    old = f"{lists_dir}.__old__{_uuid.uuid4().hex[:8]}"
+    os.rename(lists_dir, old)
+    os.rename(tmp, lists_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return over

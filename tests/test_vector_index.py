@@ -147,3 +147,42 @@ def test_ivfpq_append_equals_rebuild(spark, tmp_path):
     b = search_ivfpq_index(spark, oneshot, qs, k=10, n_probe=3).collect()
     assert ({(r.query_id, r.rank, r.vec_id) for r in a}
             == {(r.query_id, r.rank, r.vec_id) for r in b})
+
+
+def test_compact_index_lists_collapses_files_search_unchanged(spark, tmp_path):
+    import os
+
+    from dataingestion_spark.operators.pq import pq_train
+    from dataingestion_spark.sinks.vector_index import (
+        append_ivfpq_index, build_ivfpq_index, compact_index_lists,
+        search_ivfpq_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(e.filter(F.col("vec_id") < 100), 8, iters=2)
+    books = pq_train(e, m=4, k=16, iters=2)
+    path = str(tmp_path / "cmp")
+    build_ivfpq_index(e.filter(F.col("vec_id") < 100), path,
+                      centroids=cents, codebooks=books)
+    for lo in range(100, 600, 100):  # five O(batch) appends
+        append_ivfpq_index(
+            e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)),
+            path)
+
+    def max_files():
+        ld = os.path.join(path, "lists")
+        return max(sum(1 for f in os.listdir(os.path.join(ld, d))
+                       if f.endswith(".parquet"))
+                   for d in os.listdir(ld) if d.startswith("centroid_id="))
+
+    assert max_files() > 4
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    before = {(r.query_id, r.rank, r.vec_id) for r in
+              search_ivfpq_index(spark, path, qs, k=10, n_probe=3).collect()}
+    assert compact_index_lists(spark, path) > 0
+    assert max_files() == 1
+    after = {(r.query_id, r.rank, r.vec_id) for r in
+             search_ivfpq_index(spark, path, qs, k=10, n_probe=3).collect()}
+    assert before == after
+    assert compact_index_lists(spark, path) == 0  # idempotent no-op
