@@ -79,6 +79,7 @@ def main():
         "emb_neardup": em.q_emb_neardup,
         "quantized_topk": em.q_topk_quantized,
         "pq_adc": em.q_topk_pq,
+        "pq_rerank": em.q_topk_pq_rerank,
         "pack_sequences": em.q_pack_sequences,
         "span_removal": em.q_span_removal,
         "bm25_hybrid": em.q_hybrid_rrf,

@@ -56,10 +56,16 @@ def demux_avi(data: bytes) -> List[Tuple[int, bytes]]:
     us_per_frame: Optional[int] = None
     rate_scale: Optional[Tuple[int, int]] = None
     vids_handler: Optional[bytes] = None
+    # streams are numbered by strl order ([MS]/OpenDML convention): the
+    # video stream is not necessarily stream 00 when audio comes first,
+    # so the chunk-id prefix ("00", "01", …) is derived from where the
+    # 'vids' strh appears. Pass 1 reads headers, pass 2 collects chunks.
+    stream_idx = 0
+    vids_idx: Optional[int] = None
     frames: List[bytes] = []
 
-    def walk(pos: int, end: int, in_movi: bool) -> None:
-        nonlocal us_per_frame, rate_scale, vids_handler
+    def walk(pos: int, end: int, in_movi: bool, collect: bool) -> None:
+        nonlocal us_per_frame, rate_scale, vids_handler, stream_idx, vids_idx
         end = min(end, len(data))
         while pos + 8 <= end:
             cid = _fourcc(data, pos)
@@ -70,23 +76,27 @@ def demux_avi(data: bytes) -> List[Tuple[int, bytes]]:
             if cid == b"LIST":
                 ltype = _fourcc(data, body)
                 walk(body + 4, body + size,
-                     in_movi or ltype in (b"movi", b"rec "))
-            elif cid == b"avih" and size >= 16:
+                     in_movi or ltype in (b"movi", b"rec "), collect)
+            elif not collect and cid == b"avih" and size >= 16:
                 us_per_frame = struct.unpack_from("<I", data, body)[0]
-            elif cid == b"strh" and size >= 32:
+            elif not collect and cid == b"strh" and size >= 32:
                 fcc_type = _fourcc(data, body)
-                if fcc_type == b"vids":
+                if fcc_type == b"vids" and vids_idx is None:
+                    vids_idx = stream_idx
                     vids_handler = _fourcc(data, body + 4)
                     scale, rate = struct.unpack_from("<II", data, body + 20)
                     if rate:
                         rate_scale = (rate, scale or 1)
-            elif in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db") \
-                    and cid[:2] == b"00":
+                stream_idx += 1
+            elif collect and in_movi and len(cid) == 4 \
+                    and cid[2:4] in (b"dc", b"db") \
+                    and cid[:2] == b"%02d" % (vids_idx or 0):
                 frames.append(bytes(data[body:body + size]))
             pos = body + size + (size & 1)  # chunks pad to even
 
     try:
-        walk(12, len(data), False)
+        walk(12, len(data), False, collect=False)
+        walk(12, len(data), False, collect=True)
     except struct.error as e:  # truncated header inside a declared chunk
         raise ValueError(f"AVI: truncated structure ({e})") from e
 

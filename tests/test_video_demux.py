@@ -140,3 +140,41 @@ def test_frame_sample_explicit_decoder_raises_through(spark):
 
     with pytest.raises(Exception, match="boom"):
         frame_sample(df, decoder=bad).collect()
+
+
+def test_avi_video_stream_not_first():
+    """Audio strl before video strl: the video chunks are 01dc, and the
+    demuxer must follow the strl order rather than assuming stream 00."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    frames = _jpeg_frames(3)
+    avih = struct.pack("<IIIIIIIIII4I", 100_000, 0, 0, 0x10, 3, 0, 2,
+                       0, W, H, 0, 0, 0, 0)
+    auds_strh = (b"auds" + b"\x00" * 4 + struct.pack(
+        "<IHHIIIIIIIi", 0, 0, 0, 0, 1, 8000, 0, 100, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, 0, 0))
+    vids_strh = (b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIi", 0, 0, 0, 0, 1, 10, 0, 3, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, W, H))
+    strf_a = b"\x01\x00" * 9  # fake WAVEFORMATEX
+    strf_v = struct.pack("<IiiHH4sIiiII", 40, W, H, 1, 24, b"MJPG",
+                         W * H * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", strf_a))
+               + lst(b"strl", chunk(b"strh", vids_strh) + chunk(b"strf", strf_v)))
+    movi = lst(b"movi",
+               chunk(b"00wb", b"\x00" * 64)        # audio payload, stream 0
+               + b"".join(chunk(b"01dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    out = demux_avi(avi)
+    assert [f for _, f in out] == frames
+    assert [t for t, _ in out] == [0, 100, 200]
