@@ -295,6 +295,12 @@ def compact_index_lists(spark: SparkSession, path: str,
     import shutil
     import uuid as _uuid
 
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            "compact_index_lists swaps directories with os-level renames "
+            f"(local/dev); for scheme '{scheme}' rebuild into a fresh index "
+            "path and flip the serving pointer instead.")
     lists_dir = os.path.join(path, "lists")
     over = 0
     for d in os.listdir(lists_dir):

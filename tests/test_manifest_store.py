@@ -723,3 +723,25 @@ def test_merge_target_read_prunes_by_id_range(spark, tmp_path):
     assert (bumped.selectExpr("sum(n_chars)").first()[0]
             == orig.selectExpr("sum(n_chars)").first()[0] + 50)
     assert out.count() == docs.count() + high.count()
+
+
+def test_data_skipping_applies_deletion_vectors(spark, tmp_path):
+    """read_table_where on a DV'd table stays equivalent to
+    read-then-filter — pruned file subsets must not bypass DVs."""
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, merge_table, read_table, read_table_where, write_table,
+    )
+
+    t = str(tmp_path / "skip_dv")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("documentid"), "n_chars")
+    write_table(docs.filter("n_chars < 150"), t)
+    append_table(docs.filter("n_chars >= 150"), t)
+    # DV-delete a slice that overlaps the predicate range
+    merge_table(docs.filter("n_chars >= 150 and documentid LIKE '%3'")
+                .select("documentid"),
+                t, when_matched="delete", when_not_matched=None)
+    got = read_table_where(spark, t, [("n_chars", ">=", 150)])
+    want = read_table(spark, t).filter("n_chars >= 150")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.filter("documentid LIKE '%3'").count() == 0
