@@ -183,3 +183,49 @@ def test_qgram_occurrence_bound_never_prunes_true_pairs(strings, k):
                 g2 = Counter(s2[j:j + q] for j in range(len(s2) - q + 1))
                 shared = sum((g1 & g2).values())
                 assert shared >= max(len(s1), len(s2)) - q + 1 - k * q
+
+
+# --- video demux round trips -------------------------------------------------
+
+_px = st.integers(min_value=0, max_value=255)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.binary(min_size=2, max_size=400), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=60),
+)
+def test_avi_mux_demux_roundtrip_any_payload(frames, fps):
+    """The AVI container round-trips arbitrary frame payloads verbatim
+    with exact i*1000/fps timestamps (demux never inspects frame bytes)."""
+    from dataingestion_spark.operators.video_demux import (
+        demux_avi, encode_avi_mjpeg,
+    )
+
+    avi = encode_avi_mjpeg(frames, 16, 8, fps=fps)
+    out = demux_avi(avi)
+    assert [f for _, f in out] == frames
+    assert [t for t, _ in out] == [i * 1000 // fps for i in range(len(frames))]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=4),
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=4, max_size=4),
+)
+def test_gif_animation_roundtrip_any_palette(frame_seeds, delays):
+    """Multi-frame GIF round-trips every frame raster and its
+    (centisecond-floored) delay through encode → iter_gif_frames."""
+    from dataingestion_spark.operators.gif_codec import (
+        encode_gif_animation, iter_gif_frames,
+    )
+
+    w, h = 6, 4
+    frames = [bytes(b for i in range(w * h)
+                    for b in ((s * 30) % 256, (i * 11) % 256, 5))
+              for s in frame_seeds]
+    ds = delays[:len(frames)] + [0] * max(0, len(frames) - len(delays))
+    gif = encode_gif_animation(frames, w, h, 3, delays_ms=ds)
+    got = list(iter_gif_frames(gif))
+    assert [g[1] for g in got] == frames
+    assert [g[0] for g in got] == [d // 10 * 10 for d in ds]
