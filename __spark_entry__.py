@@ -6232,6 +6232,56 @@ FROM documents WHERE n_chars >= 300 AND lang <> 'de'
 """
 
 
+def q_lakehouse_sync(spark, sf):
+    """CDF-driven replication (sinks/manifest_store.py::sync_table): a
+    downstream replica bootstraps as a full copy, then each sync applies
+    ONLY the change feed between the last applied source version and
+    head — updates/inserts as one replace-by-documentid DV commit,
+    pure deletions as one O(batch) DV commit, the applied version
+    stamped in the replica's txn map (re-sync is a no-op). The oracle
+    restates the source mutations (unconditional even-id upsert, %5
+    delete) as joins; the replica must equal the source exactly."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "text", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    src = tempfile.mkdtemp(prefix="sync_src_") + "/t"
+    dst = tempfile.mkdtemp(prefix="sync_dst_") + "/t"
+    ms.write_table(docs.filter(F.col("doc_id") % 3 != 0), src)
+    ms.sync_table(spark, src, dst)  # bootstrap
+    ms.merge_table(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text"))), src)
+    ms.merge_table(docs.filter(F.col("doc_id") % 5 == 0).select("documentid"),
+                   src, when_matched="delete", when_not_matched=None)
+    ms.sync_table(spark, src, dst)
+    ms.sync_table(spark, src, dst)  # idempotent re-sync
+    return ms.read_table(spark, dst).select(
+        "documentid", "text", "lang", "n_chars")
+
+
+ORACLE_SYNC = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS documentid, text, lang, n_chars
+  FROM documents WHERE doc_id % 3 <> 0),
+upd AS (
+  SELECT CAST(doc_id AS VARCHAR) AS documentid, 'v2 ' || text AS text,
+         lang, n_chars
+  FROM documents WHERE doc_id % 2 = 0),
+merged AS (
+  SELECT * FROM base WHERE documentid NOT IN (SELECT documentid FROM upd)
+  UNION ALL SELECT * FROM upd)
+SELECT documentid, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM merged
+WHERE documentid NOT IN
+  (SELECT CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 5 = 0)
+"""
+
+
 def q_change_feed(spark, sf):
     """CDF-lite change feed (sinks/manifest_store.py::table_diff):
     base = doc_id%3==0 slice; then append %3==1, delete %9==0, and one
@@ -7000,6 +7050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_skipping_read": q_lakehouse_skipping,
         "streaming_upsert_merge": q_streaming_upsert,
         "search_topk_pq_rerank": q_topk_pq_rerank,
+        "lakehouse_sync_replica": q_lakehouse_sync,
         "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
         "dedup_simhash_fast": q_simhash_fast,
         "sketch_histogram_quantiles": q_sketch_quantiles,
@@ -7331,6 +7382,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_incremental_agg": ORACLE_INCR_AGG,
         "lakehouse_change_feed": ORACLE_CHANGE_FEED,
         "lakehouse_skipping_read": ORACLE_SKIPPING,
+        "lakehouse_sync_replica": ORACLE_SYNC,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

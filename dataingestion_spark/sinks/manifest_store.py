@@ -1305,3 +1305,59 @@ def table_stats(table: str, version: Optional[int] = None) -> Dict:
         "n_delete_vectors": sum(len(v) for v in meta["deletes"].values()),
         "buckets_with_deletes": sum(1 for v in meta["deletes"].values() if v),
     }
+
+
+def sync_table(spark, src: str, dst: str) -> int:
+    """Incremental downstream replication off the change feed (the Delta
+    CDF → sync pattern): bring ``dst`` from the last src version it
+    applied to ``src``'s current version WITHOUT rescanning either
+    table — inserts/updates apply as one replace-by-documentid commit
+    over the diff's insert rows (multi-row documents replace atomically,
+    which a one-row-per-key MERGE cannot express), pure deletions as one
+    O(batch) DV commit. The applied src version rides in dst's txn map
+    under ``sync:<src>``, so a re-run after success is a no-op and a
+    re-run after a mid-sync crash re-applies idempotent operations
+    (replace-by-id and delete-by-id converge to the same state).
+    First call bootstraps dst as a full copy. Returns dst's version."""
+    app = f"sync:{src.rstrip('/')}"
+    sv = current_version(src)
+    if sv is None:
+        raise FileNotFoundError(f"no committed version in {src}")
+    dv = current_version(dst)
+    if dv is None:
+        return write_table(read_table(spark, src), dst, txn=(app, sv))
+    dman = read_manifest(dst)
+    applied = dman.get("txn", {}).get(app)
+    if applied is None:
+        raise ValueError(
+            f"{dst} was not created by sync_table from {src} "
+            "(no sync txn recorded); bootstrap into an empty path")
+    if int(applied) >= sv:
+        return dman["version"]
+    diff = table_diff(spark, src, int(applied), sv).localCheckpoint(eager=True)
+    ins = diff.filter(F.col("_change_type") == "insert").drop("_change_type")
+    ins_ids = ins.select("documentid").distinct()
+    pure_del = [
+        r["documentid"] for r in
+        diff.filter(F.col("_change_type") == "delete")
+        .select("documentid").distinct()
+        .join(ins_ids, "documentid", "left_anti").collect()
+    ]
+    version = dman["version"]
+    if ins.limit(1).count():
+        version = incremental_replace(ins, dst, mode="dv",
+                                      txn=None if pure_del else (app, sv))
+    if pure_del:
+        delete_documents(spark, dst, pure_del)
+        # stamp the applied src version in its own metadata-only commit
+        # (delete_documents has no txn seam; the stamp must be LAST so a
+        # crash before it replays the idempotent steps above)
+        man = read_manifest(dst)
+        meta = _manifest_meta(man)
+        _txn_record(meta, (app, sv))
+        version = _commit(dst, man["version"] + 1,
+                          {b: list(n) for b, n in man["buckets"].items()},
+                          expected_current=man["version"],
+                          extra=_prune_meta(meta, {b: list(n) for b, n
+                                                   in man["buckets"].items()}))
+    return version

@@ -745,3 +745,48 @@ def test_data_skipping_applies_deletion_vectors(spark, tmp_path):
     want = read_table(spark, t).filter("n_chars >= 150")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     assert got.filter("documentid LIKE '%3'").count() == 0
+
+
+def test_sync_table_replicates_incrementally(spark, tmp_path):
+    """CDF-driven replication: bootstrap copy, then apply only the change
+    feed — updates, inserts, and deletions — and converge to the source;
+    re-sync with no new source commits is a version-stable no-op."""
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, current_version, merge_table, read_table, sync_table,
+        write_table,
+    )
+
+    src = str(tmp_path / "sync_src")
+    dst = str(tmp_path / "sync_dst")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("documentid"), "text", "n_chars")
+    write_table(docs.filter("doc_id % 3 != 0"), src)
+
+    sync_table(spark, src, dst)  # bootstrap = full copy
+    def same():
+        a = read_table(spark, src).select("documentid", "text", "n_chars")
+        b = read_table(spark, dst).select("documentid", "text", "n_chars")
+        return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert same()
+
+    # mutate the source: update evens, append new ids, DV-delete %7
+    merge_table(docs.filter("doc_id % 2 = 0")
+                .withColumn("text", F.concat(F.lit("v2 "), F.col("text"))), src)
+    append_table(docs.filter("doc_id % 3 = 0 and doc_id % 2 = 1")
+                 .withColumn("documentid", F.concat(F.lit("new"),
+                                                    F.col("documentid"))), src)
+    merge_table(docs.filter("doc_id % 7 = 0").select("documentid"), src,
+                when_matched="delete", when_not_matched=None)
+
+    sync_table(spark, src, dst)
+    assert same()
+    v = current_version(dst)
+    sync_table(spark, src, dst)  # nothing new -> no-op
+    assert current_version(dst) == v
+
+    # a dst that was not created by sync refuses to be overwritten
+    import pytest as _pytest
+    rogue = str(tmp_path / "rogue")
+    write_table(docs.limit(5), rogue)
+    with _pytest.raises(ValueError, match="not created by sync_table"):
+        sync_table(spark, src, rogue)
