@@ -69,6 +69,23 @@ def main():
     new = ms.read_table(spark, table).count()
     print(f"time travel: v{v0} had {old} rows; live has {new}")
 
+    # data skipping: per-column [min,max] recorded at write time prune the
+    # file list before any footer is opened
+    _, chosen = ms.candidate_files_where(table, [("n_chars", ">=", 300)])
+    print("skipping-read candidates:",
+          sum(len(v) for v in chosen.values()), "of", n_files(table), "files;",
+          ms.read_table_where(spark, table, [("n_chars", ">=", 300)]).count(),
+          "rows")
+
+    # CDF-driven replication: a downstream replica applies only the feed
+    replica = tempfile.mkdtemp(prefix="tour_replica_") + "/t"
+    ms.sync_table(spark, table, replica)          # bootstrap
+    ms.delete_documents(spark, table, ["7", "14"])
+    ms.sync_table(spark, table, replica)          # applies just the deletes
+    print("replica in sync:",
+          ms.read_table(spark, replica).count()
+          == ms.read_table(spark, table).count())
+
     ms.compact(spark, table, max_files_per_bucket=2)
     removed = ms.vacuum(table, keep_versions=1, min_file_age_seconds=0)
     print(f"compact+vacuum: {len(removed)} unreachable files removed, "
