@@ -360,6 +360,10 @@ def _manifest_meta(manifest: Dict) -> Dict:
         # writer-app -> highest applied epoch: the idempotent-retry guard
         # for streaming foreachBatch sinks (Delta's txn appId/version)
         "txn": dict(manifest.get("txn", {})),
+        # file name -> ABSOLUTE path for files referenced OUTSIDE this
+        # table's files/ dir (shallow clones, Delta-style); names absent
+        # here resolve to files/<name> as always
+        "ext": dict(manifest.get("ext", {})),
     }
 
 
@@ -424,13 +428,17 @@ def _prune_meta(meta: Dict, buckets: Dict[str, List[str]]) -> Dict:
     meta["seq"] = {n: s for n, s in meta["seq"].items() if n in live}
     meta["stats"] = {n: s for n, s in meta["stats"].items() if n in live}
     meta["deletes"] = {b: v for b, v in meta["deletes"].items() if v}
+    meta["ext"] = {n: p for n, p in meta["ext"].items() if n in live}
+    if not meta["ext"]:
+        meta.pop("ext")
     return meta
 
 
 def _scan_via_backend(spark, be, files_dir: str, names: List[str],
                       schema_fields: Optional[List[Dict]] = None,
                       seqs: Optional[Dict[str, int]] = None,
-                      seq_col: str = "_seq") -> DataFrame:
+                      seq_col: str = "_seq",
+                      ext: Optional[Dict[str, str]] = None) -> DataFrame:
     """Materialize the named files from a non-Spark-readable DataBackend
     through the driver: per-file arrow tables → one unioned DataFrame,
     conformed to the manifest schema when given (missing columns become
@@ -445,9 +453,10 @@ def _scan_via_backend(spark, be, files_dir: str, names: List[str],
 
     dfs = []
     for n in names:
-        data = be.read_bytes(f"{files_dir}/{n}")
+        p = (ext or {}).get(n) or f"{files_dir}/{n}"
+        data = be.read_bytes(p)
         if data is None:
-            raise FileNotFoundError(f"{files_dir}/{n}")
+            raise FileNotFoundError(p)
         df = spark.createDataFrame(pqt.read_table(io.BytesIO(data)))
         if seqs is not None:
             df = df.withColumn(seq_col, F.lit(int(seqs.get(n, 0))))
@@ -508,7 +517,8 @@ def _read_files(spark, table: str, manifest: Dict,
         # here (a whole extra job per read on multi-file tables). Files
         # predating a column surface null for it, exactly as mergeSchema
         # did. Pre-schema manifests fall back to footer merging.
-        paths = [_join(files_dir, n) for n in names]
+        path_for = lambda n: meta["ext"].get(n) or _join(files_dir, n)  # noqa: E731
+        paths = [path_for(n) for n in names]
         if meta["schema"]:
             from pyspark.sql import types as T
 
@@ -534,7 +544,7 @@ def _read_files(spark, table: str, manifest: Dict,
         basename = lambda: F.element_at(F.split(F.input_file_name(), "/"), -1)  # noqa: E731
         df = df.withColumn("_seq", seq_map(names)[basename()])
         deletes = (
-            spark.read.parquet(*[_join(files_dir, n) for n in del_names])
+            spark.read.parquet(*[path_for(n) for n in del_names])
             .withColumn("_dseq", seq_map(del_names)[basename()])
         )
     else:
@@ -543,11 +553,13 @@ def _read_files(spark, table: str, manifest: Dict,
         # in as a literal column since input_file_name() has no meaning
         df = _scan_via_backend(spark, be, files_dir, names,
                                schema_fields=meta["schema"] or None,
-                               seqs=meta["seq"] if del_names else None)
+                               seqs=meta["seq"] if del_names else None,
+                               ext=meta["ext"])
         if not del_names:
             return df
         deletes = _scan_via_backend(spark, be, files_dir, del_names,
-                                    seqs=meta["seq"], seq_col="_dseq")
+                                    seqs=meta["seq"], seq_col="_dseq",
+                                    ext=meta["ext"])
     deletes = deletes.groupBy("documentid").agg(F.max("_dseq").alias("_dseq"))
     cols = [c for c in df.columns if c != "_seq"]
     return (
@@ -1361,3 +1373,112 @@ def sync_table(spark, src: str, dst: str) -> int:
                           extra=_prune_meta(meta, {b: list(n) for b, n
                                                    in man["buckets"].items()}))
     return version
+
+
+def restore_table(table: str, version: int, validate: bool = True) -> int:
+    """Delta-style ``RESTORE TABLE ... TO VERSION AS OF``: commit a NEW
+    head whose data state is exactly an earlier committed version's.
+    Metadata-only — the restored version's file references, per-file
+    sequence numbers, deletion vectors, stats, and schema are re-pointed,
+    no data file is read, copied, or rewritten (O(manifest), not O(data),
+    which is the only acceptable cost for an undo at 100 TB). History is
+    preserved: the bad versions stay readable via time travel, and the
+    restore itself is an ordinary commit that ``table_diff`` reports like
+    any other.
+
+    The CURRENT head's txn map (writer-app -> last applied epoch) is
+    carried forward, not the restored version's: restore rolls back DATA,
+    not other writers' idempotent-retry watermarks — resetting those
+    would let a retried streaming micro-batch re-apply and double-count.
+
+    ``validate=True`` (default) checks the restored data files still
+    exist before committing — :func:`vacuum` may have collected files
+    unreachable from recent versions; restoring past a vacuum horizon
+    must fail loudly at restore time, not at first read."""
+    try:
+        old = read_manifest(table, version)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"cannot restore {table} to version {version}: that manifest "
+            "was vacuumed (or never committed)")
+    head = read_manifest(table)
+    if validate:
+        from .data_backend import data_backend_for
+
+        be = data_backend_for(table)
+        present = set(be.list_dir(_join(table, "files")))
+        need = {n for ns in old["buckets"].values() for n in ns}
+        need |= {n for ns in old.get("deletes", {}).values() for n in ns}
+        missing = sorted(need - present)
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {table} to version {version}: "
+                f"{len(missing)} data file(s) were vacuumed "
+                f"(first: {missing[0]})")
+    extra = {k: v for k, v in old.items() if k not in ("version", "txn")}
+    txn_map = dict(head.get("txn", {}))
+    if txn_map:
+        extra["txn"] = txn_map
+    else:
+        extra.pop("txn", None)
+    return _commit(table, head["version"] + 1,
+                   extra.pop("buckets"),
+                   expected_current=head["version"], extra=extra)
+
+
+def clone_table(src: str, dst: str, version: Optional[int] = None,
+                shallow: bool = True) -> int:
+    """Delta-style ``CREATE TABLE ... CLONE``: materialize ``dst`` as an
+    independent table whose initial state equals ``src`` at ``version``
+    (default: head).
+
+    ``shallow=True`` (default) copies NO data: dst's manifest references
+    src's data files by absolute path (the manifest's ``ext`` map), so
+    the clone commits in O(manifest) regardless of table size — the
+    zero-cost dev/test-against-prod branch a 100 TB table needs. Writes
+    to the clone land in the clone's own ``files/`` dir and never touch
+    src; :func:`compact` re-materializes rewritten buckets as owned
+    files (un-shallowing them), and :func:`vacuum` on the CLONE never
+    deletes src's files (they live outside its files/ dir). The one
+    Delta-shared caveat applies and is intentional: ``vacuum`` on the
+    SOURCE does not know about clones — vacuuming src past the cloned
+    version breaks the clone, so keep src's retention ≥ clone lifetime.
+
+    ``shallow=False`` byte-copies the referenced files into dst (no
+    Spark job — a driver-side backend copy; at real scale prefer a
+    distributed file copy, then :func:`restore_table`-style metadata
+    fix-up, or just a shallow clone + :func:`compact`).
+
+    dst must not already exist as a table. Returns dst's version (0)."""
+    from .data_backend import data_backend_for
+
+    man = read_manifest(src, version)
+    meta = _manifest_meta(man)
+    if current_version(dst) is not None:
+        raise FileExistsError(f"{dst} already holds a committed table")
+    sbe, dbe = data_backend_for(src), data_backend_for(dst)
+    dbe.ensure_dir(_join(dst, "files"))
+    src_files = _join(src, "files")
+    names = {n for ns in man["buckets"].values() for n in ns}
+    names |= {n for ns in meta["deletes"].values() for n in ns}
+    src_ext = meta.get("ext", {})  # cloning a clone: chase to the real file
+    if shallow:
+        if sbe.__class__ is not dbe.__class__:
+            raise ValueError(
+                "shallow clone requires src and dst on the same storage "
+                "backend (the clone reads src's files in place)")
+        meta["ext"] = {n: src_ext.get(n) or _join(src_files, n)
+                       for n in names}
+    else:
+        meta.pop("ext", None)
+        for n in sorted(names):
+            data = sbe.read_bytes(src_ext.get(n) or _join(src_files, n))
+            if data is None:
+                raise FileNotFoundError(_join(src_files, n))
+            dbe.write_bytes(_join(dst, "files", n), data)
+    extra = {k: v for k, v in meta.items() if v}
+    extra.pop("txn", None)  # a clone starts with no writer watermarks
+    extra["cloned_from"] = {"table": src, "version": man["version"],
+                            "shallow": shallow}
+    return _commit(dst, 0, {b: list(ns) for b, ns in man["buckets"].items()},
+                   extra=extra)

@@ -790,3 +790,159 @@ def test_sync_table_replicates_incrementally(spark, tmp_path):
     write_table(docs.limit(5), rogue)
     with _pytest.raises(ValueError, match="not created by sync_table"):
         sync_table(spark, src, rogue)
+
+
+# --- RESTORE (time-travel rollback) ---
+
+
+def test_restore_rolls_back_data_to_old_version(spark, tmp_path):
+    table = str(tmp_path / "rst")
+    v0 = ms.write_table(
+        records_df(spark, {f"d{i}": [f"d{i}-c0"] for i in range(10)}), table)
+    ms.incremental_replace(
+        records_df(spark, {"d3": ["d3-NEW", "d3-NEW2"]}), table, mode="dv")
+    ms.delete_documents(spark, table, ["d5", "d7"])
+    assert ms.read_table(spark, table).count() == 9  # 10 + 1 - 2
+    v = ms.restore_table(table, v0)
+    assert v == 3  # an ordinary commit on top of the history
+    got = ms.read_table(spark, table)
+    assert got.count() == 10
+    assert {r.documentid for r in got.select("documentid").collect()} \
+        == {f"d{i}" for i in range(10)}
+    # the rolled-back versions stay readable (history preserved)
+    assert ms.read_table(spark, table, version=2).count() == 9
+    # restore is metadata-only: head references version-0 file names
+    assert ms.read_manifest(table)["buckets"] == ms.read_manifest(table, v0)["buckets"]
+
+
+def test_restore_carries_forward_head_txn_map(spark, tmp_path):
+    table = str(tmp_path / "rst_txn")
+    v0 = ms.write_table(records_df(spark, {"a": ["a0"]}), table)
+    ms.append_table(records_df(spark, {"b": ["b0"]}), table, txn=("app1", 7))
+    ms.restore_table(table, v0)
+    # the retry watermark survives the rollback: a replayed epoch <= 7
+    # from app1 must still be a no-op
+    v = ms.append_table(records_df(spark, {"b": ["b0"]}), table, txn=("app1", 7))
+    assert v == ms.current_version(table)
+    assert ms.read_table(spark, table).filter(
+        F.col("documentid") == "b").count() == 0
+
+
+def test_restore_past_vacuum_horizon_fails_loudly(spark, tmp_path):
+    table = str(tmp_path / "rst_vac")
+    ms.write_table(records_df(spark, {"a": ["a0"]}), table)
+    ms.incremental_replace(records_df(spark, {"a": ["a1"]}), table,
+                           mode="rewrite")
+    ms.vacuum(table, keep_versions=1, min_file_age_seconds=0)
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        ms.restore_table(table, 0)
+
+
+def test_restore_diff_reports_the_rollback(spark, tmp_path):
+    table = str(tmp_path / "rst_diff")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"]}), table)
+    v1 = ms.delete_documents(spark, table, ["b"])
+    v2 = ms.restore_table(table, 0)
+    feed = ms.table_diff(spark, table, v1, v2)
+    rows = {(r.documentid, r._change_type) for r in feed.collect()}
+    assert ("b", "insert") in rows  # the restore re-surfaces b
+
+
+# --- CLONE (zero-copy table branching) ---
+
+
+def test_shallow_clone_copies_no_data_and_reads_equal(spark, tmp_path):
+    src = str(tmp_path / "csrc")
+    dst = str(tmp_path / "cdst")
+    docs = {f"d{i}": [f"d{i}-c0", f"d{i}-c1"] for i in range(12)}
+    ms.write_table(records_df(spark, docs), src)
+    ms.delete_documents(spark, src, ["d4"])  # clone must carry DVs too
+    v = ms.clone_table(src, dst)
+    assert v == 0
+    assert os.listdir(os.path.join(dst, "files")) == []  # zero data copied
+    a = {tuple(r) for r in ms.read_table(spark, src).drop("doc_bucket").collect()}
+    b = {tuple(r) for r in ms.read_table(spark, dst).drop("doc_bucket").collect()}
+    assert a == b and len(a) == 22
+
+
+def test_clone_writes_diverge_without_touching_source(spark, tmp_path):
+    src = str(tmp_path / "csrc2")
+    dst = str(tmp_path / "cdst2")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"]}), src)
+    src_files_before = sorted(os.listdir(os.path.join(src, "files")))
+    ms.clone_table(src, dst)
+    ms.incremental_replace(records_df(spark, {"a": ["a1-clone"]}), dst,
+                           mode="dv")
+    ms.append_table(records_df(spark, {"c": ["c0-clone"]}), dst)
+    assert sorted(os.listdir(os.path.join(src, "files"))) == src_files_before
+    assert ms.read_table(spark, src).count() == 2  # source unchanged
+    got = {r.content for r in ms.read_table(spark, dst).collect()}
+    assert got == {"a1-clone", "b0", "c0-clone"}
+
+
+def test_compact_unshallows_rewritten_buckets(spark, tmp_path):
+    src = str(tmp_path / "csrc3")
+    dst = str(tmp_path / "cdst3")
+    docs = {f"d{i}": [f"d{i}-c0"] for i in range(8)}
+    ms.write_table(records_df(spark, docs), src)
+    ms.clone_table(src, dst)
+    # force DVs everywhere so compact rewrites every populated bucket
+    ms.incremental_replace(
+        records_df(spark, {f"d{i}": [f"d{i}-NEW"] for i in range(8)}),
+        dst, mode="dv")
+    ms.compact(spark, dst, max_files_per_bucket=1)
+    man = ms.read_manifest(dst)
+    assert not man.get("ext")  # fully materialized: no external refs left
+    got = {r.content for r in ms.read_table(spark, dst).collect()}
+    assert got == {f"d{i}-NEW" for i in range(8)}
+
+
+def test_deep_clone_owns_its_files(spark, tmp_path):
+    src = str(tmp_path / "csrc4")
+    dst = str(tmp_path / "cdst4")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"]}), src)
+    ms.clone_table(src, dst, shallow=False)
+    assert sorted(os.listdir(os.path.join(dst, "files"))) \
+        == sorted(os.listdir(os.path.join(src, "files")))
+    # destroy the source entirely: the deep clone must still read
+    import shutil
+
+    shutil.rmtree(src)
+    assert ms.read_table(spark, dst).count() == 2
+
+
+def test_clone_of_clone_chases_to_real_files(spark, tmp_path):
+    a = str(tmp_path / "ca")
+    b = str(tmp_path / "cb")
+    c = str(tmp_path / "cc")
+    ms.write_table(records_df(spark, {"x": ["x0"]}), a)
+    ms.clone_table(a, b)
+    ms.clone_table(b, c)  # must reference a's files, not b's empty dir
+    man = ms.read_manifest(c)
+    assert all(os.path.dirname(p) == os.path.join(a, "files")
+               for p in man["ext"].values())
+    assert ms.read_table(spark, c).count() == 1
+
+
+def test_clone_into_existing_table_refuses(spark, tmp_path):
+    src = str(tmp_path / "csrc5")
+    dst = str(tmp_path / "cdst5")
+    ms.write_table(records_df(spark, {"a": ["a0"]}), src)
+    ms.write_table(records_df(spark, {"z": ["z0"]}), dst)
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        ms.clone_table(src, dst)
+
+
+def test_vacuum_on_clone_never_deletes_source_files(spark, tmp_path):
+    src = str(tmp_path / "csrc6")
+    dst = str(tmp_path / "cdst6")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"]}), src)
+    ms.clone_table(src, dst)
+    # rewrite everything in the clone, then vacuum aggressively
+    ms.write_table(records_df(spark, {"q": ["q0"]}), dst)
+    ms.vacuum(dst, keep_versions=1, min_file_age_seconds=0)
+    assert ms.read_table(spark, src).count() == 2  # src files intact
