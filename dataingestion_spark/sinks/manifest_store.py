@@ -44,7 +44,7 @@ from __future__ import annotations
 import json
 import uuid
 import zlib
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -197,7 +197,9 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
                         stats: Optional[Dict[str, Dict]] = None,
                         prefix: str = "b",
                         single_task: bool = False,
-                        derive_deletes: bool = False):
+                        derive_deletes: bool = False,
+                        split_col: Optional[str] = None,
+                        sort_col: Optional[str] = None):
     """Write records (must carry doc_bucket) grouped per bucket; returns
     bucket -> new file names.
 
@@ -233,7 +235,13 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
     to shipping the matched-ids frame separately — and saves the second
     write job plus the union lineage whose job overhead dominated
     small-batch merge latency. Returns ``(data_buckets, del_buckets)``
-    in this mode."""
+    in this mode.
+
+    ``split_col`` (an int column) splits each bucket's rows into one file
+    PER DISTINCT VALUE instead of one file per bucket, and ``sort_col``
+    orders rows within each file — the write side of
+    :func:`optimize_zorder` (clustered multi-file buckets with tight
+    per-file stats). Both helper columns are dropped before writing."""
     from .data_backend import data_backend_for
 
     be = data_backend_for(table)
@@ -254,12 +262,17 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
         import pyarrow.compute as pc
         import pyarrow.parquet as pqt
 
-        acc: Dict[int, list] = {}
+        acc: Dict[tuple, list] = {}
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             for b in pc.unique(tbl["doc_bucket"]).to_pylist():
-                acc.setdefault(int(b), []).append(
-                    tbl.filter(pc.equal(tbl["doc_bucket"], b)))
+                tb = tbl.filter(pc.equal(tbl["doc_bucket"], b))
+                if split_col is None:
+                    acc.setdefault((int(b),), []).append(tb)
+                else:
+                    for s in pc.unique(tb[split_col]).to_pylist():
+                        acc.setdefault((int(b), int(s)), []).append(
+                            tb.filter(pc.equal(tb[split_col], s)))
         buckets_o, names_o, stats_o, payload_o, kind_o = [], [], [], [], []
 
         def emit(b, tbl, name, kind, with_stats):
@@ -313,8 +326,15 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
             stats_o.append(st)
             kind_o.append(kind)
 
-        for b, parts in sorted(acc.items()):
+        for key, parts in sorted(acc.items()):
+            b = key[0]
             tbl = pa.concat_tables(parts)
+            if sort_col is not None:
+                tbl = tbl.sort_by(sort_col)
+            drop = [c for c in (split_col, sort_col)
+                    if c is not None and c in tbl.column_names]
+            if drop:
+                tbl = tbl.drop_columns(drop)
             emit(b, tbl,
                  f"{prefix}{b}-{token}-{_uuid.uuid4().hex[:8]}.parquet",
                  "d", want_stats)
@@ -1482,3 +1502,98 @@ def clone_table(src: str, dst: str, version: Optional[int] = None,
                             "shallow": shallow}
     return _commit(dst, 0, {b: list(ns) for b, ns in man["buckets"].items()},
                    extra=extra)
+
+
+def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
+                    files_per_bucket: int = 4,
+                    bounds: Optional[Dict[str, Tuple[int, int]]] = None) -> int:
+    """Delta-style ``OPTIMIZE ... ZORDER BY``: rewrite the table clustered
+    along a Morton curve over ``by`` (>= 2 int-like columns) so every
+    data file carries TIGHT per-column [min,max] stats in all chosen
+    dimensions at once — :func:`read_table_where` then prunes
+    multi-predicate scans to ~1/2^d of the files instead of reading
+    everything. Rows stay in their documentid hash bucket (merge /
+    point-lookup pruning is untouched); each bucket is split into
+    ``files_per_bucket`` z-contiguous files, rows sorted by the curve key
+    inside each file (parquet row-group stats get the same win).
+
+    Pending deletion vectors are materialized by the rewrite (it reads
+    through :func:`_read_files`), so OPTIMIZE doubles as a full compact.
+    Column bounds come from ``bounds`` (col -> (lo, hi)), else from the
+    manifest's per-file stats (metadata-only), else from one min/max agg
+    job. Stale bounds only degrade clustering, never correctness — the
+    curve key clamps.
+
+    Cost: one full-table rewrite (a per-bucket sort shuffle) — the same
+    O(data) any engine's OPTIMIZE pays; run it per partition/bucket group
+    at 100 TB and steer reads with the stats immediately after. Commits
+    one new version; concurrent appends lose the optimistic race and
+    retry, never get clobbered."""
+    from .layout import zorder_key
+
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    live = [n for ns in manifest["buckets"].values() for n in ns]
+    if not live:
+        return manifest["version"]
+
+    los, his = [], []
+    need_scan = []
+    bounds = dict(bounds or {})
+    for c in by:
+        if c in bounds:
+            continue
+        per_file = [meta["stats"].get(n, {}).get("cols", {}).get(c)
+                    for n in live]
+        if all(p is not None for p in per_file) and all(
+                isinstance(p[0], (int, float)) for p in per_file):
+            bounds[c] = (int(min(p[0] for p in per_file)),
+                         int(max(p[1] for p in per_file)))
+        else:
+            need_scan.append(c)
+
+    merged = _read_files(spark, table, manifest)
+    if need_scan:
+        row = merged.agg(*[F.min(F.col(c).cast("bigint")).alias(f"_lo_{c}")
+                           for c in need_scan],
+                         *[F.max(F.col(c).cast("bigint")).alias(f"_hi_{c}")
+                           for c in need_scan]).collect()[0]
+        for c in need_scan:
+            lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+            if lo is None:
+                raise ValueError(f"cannot z-order by all-null column {c!r}")
+            bounds[c] = (int(lo), int(hi))
+    for c in by:
+        lo, hi = bounds[c]
+        los.append(lo)
+        his.append(hi if hi > lo else lo + 1)  # constant column: degenerate
+
+    zk = zorder_key(by, los, his, bits)
+    n_slices = max(1, int(files_per_bucket))
+    # VALUE-aligned slices (equal z-ranges), not count-aligned ntile:
+    # with a power-of-two slice count the boundaries fall on Morton
+    # quadrant edges, so a d-dimensional box predicate lands in exactly
+    # the quadrant files instead of leaking across count-balanced splits
+    # — and the slice id is a pure projection (no per-bucket window
+    # sort), keeping OPTIMIZE's only shuffle the bucket repartition.
+    # Cost: skewed data gives uneven file sizes; stats stay correct.
+    divisor = max(1, (1 << (bits * len(by))) // n_slices)
+    clustered = (
+        merged.withColumn("_zkey", zk)
+        .withColumn("_zslice",
+                    F.least(F.expr(f"CAST(_zkey DIV {divisor} AS INT)"),
+                            F.lit(n_slices - 1)))
+    )
+    version = manifest["version"] + 1
+    token = "z" + uuid.uuid4().hex[:7]
+    _seed_schema(spark, table, manifest, meta)
+    _schema_union(meta, merged)
+    meta["stats"] = {}
+    new_buckets = _write_bucket_files(clustered, table, token,
+                                      stats=meta["stats"],
+                                      split_col="_zslice", sort_col="_zkey")
+    meta["seq"] = {n: version for ns in new_buckets.values() for n in ns}
+    meta["deletes"] = {}
+    return _commit(table, version, new_buckets,
+                   expected_current=manifest["version"],
+                   extra=_prune_meta(meta, new_buckets))

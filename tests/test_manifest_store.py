@@ -946,3 +946,69 @@ def test_vacuum_on_clone_never_deletes_source_files(spark, tmp_path):
     ms.write_table(records_df(spark, {"q": ["q0"]}), dst)
     ms.vacuum(dst, keep_versions=1, min_file_age_seconds=0)
     assert ms.read_table(spark, src).count() == 2  # src files intact
+
+
+# --- OPTIMIZE ZORDER (clustered rewrite for multi-column skipping) ---
+
+
+def _zorder_rows(spark, n=400):
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"d{i:05d}", rng.randrange(0, 1000), rng.randrange(0, 1000))
+            for i in range(n)]
+    return spark.createDataFrame(rows, "documentid string, x long, y long")
+
+
+def test_optimize_zorder_prunes_and_preserves_content(spark, tmp_path):
+    table = str(tmp_path / "zt")
+    # enough rows that every pre-optimize file's random x/y stats span
+    # ~the full range (no accidental tightness from tiny files)
+    df = _zorder_rows(spark, 20000)
+    # three shuffled appends: every file's x/y stats span ~the full range
+    ms.write_table(df.filter(F.col("documentid").substr(-1, 1).isin("0", "1", "2", "3")), table)
+    ms.append_table(df.filter(F.col("documentid").substr(-1, 1).isin("4", "5", "6")), table)
+    ms.append_table(df.filter(F.col("documentid").substr(-1, 1).isin("7", "8", "9")), table)
+
+    def n_candidates(conds):
+        _, chosen = ms.candidate_files_where(table, conds)
+        return sum(len(v) for v in chosen.values())
+
+    conds = [("x", "<", 100), ("y", "<", 100)]
+    before_files = n_candidates(conds)
+    before = {tuple(r) for r in ms.read_table_where(spark, table, conds)
+              .select("documentid", "x", "y").collect()}
+
+    v = ms.optimize_zorder(spark, table, ["x", "y"], files_per_bucket=4)
+    assert v == ms.current_version(table)
+    after_files = n_candidates(conds)
+    after = {tuple(r) for r in ms.read_table_where(spark, table, conds)
+             .select("documentid", "x", "y").collect()}
+
+    assert after == before  # layout-only: identical results
+    total = ms.table_stats(table)["n_files"]
+    # a ~10% x ~10% box must read a small corner of a z-ordered layout
+    assert after_files < before_files / 2
+    assert after_files <= total // 2
+    # full content preserved too
+    assert ms.read_table(spark, table).count() == 20000
+
+
+def test_optimize_zorder_materializes_pending_dvs(spark, tmp_path):
+    table = str(tmp_path / "ztdv")
+    ms.write_table(_zorder_rows(spark, 100), table)
+    ms.delete_documents(spark, table, [f"d{i:05d}" for i in range(10)])
+    assert ms.table_stats(table)["n_delete_vectors"] > 0
+    ms.optimize_zorder(spark, table, ["x", "y"])
+    assert ms.table_stats(table)["n_delete_vectors"] == 0
+    assert ms.read_table(spark, table).count() == 90
+
+
+def test_optimize_zorder_uses_manifest_stats_bounds(spark, tmp_path):
+    table = str(tmp_path / "ztb")
+    ms.write_table(_zorder_rows(spark, 100), table)
+    # bounds resolvable from per-file stats: no scan needed — just verify
+    # the call works and clamping keeps out-of-bounds values correct
+    ms.optimize_zorder(spark, table, ["x", "y"],
+                       bounds={"x": (0, 500), "y": (0, 500)})
+    assert ms.read_table(spark, table).count() == 100  # clamp never drops
