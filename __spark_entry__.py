@@ -6330,6 +6330,135 @@ FROM documents WHERE doc_id % 9 = 0
 """
 
 
+def q_lakehouse_restore(spark, sf):
+    """Time-travel rollback (sinks/manifest_store.py::restore_table):
+    write all documents at v0; a bad batch then inflates n_chars by 100
+    for doc_id%4==0 (merge update) and deletes doc_id%7==0; RESTORE to
+    v0 undoes both as a metadata-only commit (old files re-referenced,
+    zero data IO); a post-restore append of a 'new-' slice proves the
+    restored table keeps accepting commits. The oracle restates the net
+    state: every original document unchanged, plus the appended slice."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "lang", F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    did = F.col("documentid").cast("long")
+    table = tempfile.mkdtemp(prefix="restore_lh_") + "/t"
+    v0 = ms.write_table(docs, table)
+    ms.merge_table(
+        docs.filter(did % 4 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 100), table)
+    ms.delete_documents(
+        spark, table,
+        [r[0] for r in docs.filter(did % 7 == 0)
+         .select("documentid").collect()])
+    ms.restore_table(table, v0)
+    ms.append_table(
+        docs.filter(did % 11 == 0)
+        .withColumn("documentid", F.concat(F.lit("new-"), "documentid")),
+        table)
+    return ms.read_table(spark, table).select("documentid", "lang", "n_chars")
+
+
+ORACLE_RESTORE = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid, lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+UNION ALL
+SELECT 'new-' || CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS BIGINT)
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def q_lakehouse_clone_branch(spark, sf):
+    """Zero-copy table branching (sinks/manifest_store.py::clone_table):
+    prod = the doc_id%2==0 slice; a shallow clone commits in O(manifest)
+    with NO data copied (the clone's manifest references prod's files by
+    path). The dev branch then diverges — an upsert prefixes text for
+    doc_id%6==0, an append adds the odd slice — while prod keeps writing
+    too (an appended 'prod-' slice the clone must NOT see). Returned:
+    the dev branch's final state; the oracle restates it in closed form
+    (prod's post-clone append is absent by construction)."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "text", F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    did = F.col("documentid").cast("long")
+    base = tempfile.mkdtemp(prefix="clone_lh_")
+    prod, dev = base + "/prod", base + "/dev"
+    ms.write_table(docs.filter(did % 2 == 0), prod)
+    ms.clone_table(prod, dev)
+    ms.merge_table(
+        docs.filter(did % 6 == 0)
+        .withColumn("text", F.concat(F.lit("dev "), "text")), dev)
+    ms.append_table(docs.filter(did % 2 == 1), dev)
+    # prod moves on independently; the clone must not observe this
+    ms.append_table(
+        docs.filter(did % 2 == 0).limit(5)
+        .withColumn("documentid", F.concat(F.lit("prod-"), "documentid")),
+        prod)
+    return ms.read_table(spark, dev).select("documentid", "text", "n_chars")
+
+
+ORACLE_CLONE = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid,
+       CASE WHEN doc_id % 6 = 0 THEN 'dev ' || text ELSE text END AS text,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), text, CAST(n_chars AS BIGINT)
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+def q_lakehouse_zorder_read(spark, sf):
+    """OPTIMIZE ZORDER (sinks/manifest_store.py::optimize_zorder): events
+    land in three type-split appends (every file's user_id/value stats
+    span ~the full range), then one clustered rewrite along the
+    (user_id, value) Morton curve makes per-file stats tight in BOTH
+    dimensions; the 2-d box read then prunes to the matching quadrant
+    files via candidate_files_where before any footer IO. Equivalent by
+    construction to read-then-filter — the oracle restates the box over
+    the raw events table."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias("documentid"),
+        "event_type", "user_id", "value",
+    )
+    table = tempfile.mkdtemp(prefix="zorder_lh_") + "/t"
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    third = max(1, len(types) // 3)
+    ms.write_table(ev.filter(F.col("event_type").isin(types[:third])), table)
+    ms.append_table(
+        ev.filter(F.col("event_type").isin(types[third:2 * third])), table)
+    ms.append_table(
+        ev.filter(~F.col("event_type").isin(types[:2 * third])), table)
+    ms.optimize_zorder(spark, table, ["user_id", "value"],
+                       files_per_bucket=8)
+    out = ms.read_table_where(
+        spark, table, [("user_id", "<", 30), ("value", ">=", 100.0)])
+    return out.select("documentid", "user_id",
+                      (F.round("value", 6) + F.lit(0.0)).alias("value"))
+
+
+ORACLE_ZORDER = """
+SELECT CAST(event_id AS VARCHAR) AS documentid, user_id,
+       round(value, 6) + 0.0 AS value
+FROM events WHERE user_id < 30 AND value >= 100.0
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -7078,6 +7207,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exactly_once_ingest": q_exactly_once_ingest,
         "streaming_dedup_watermark": q_streaming_dedup_watermark,
         "streaming_interval_join": q_streaming_interval_join,
+        # --- round-6 additions (restore / clone / zorder) ---
+        "lakehouse_restore": q_lakehouse_restore,
+        "lakehouse_clone_branch": q_lakehouse_clone_branch,
+        "lakehouse_zorder_read": q_lakehouse_zorder_read,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7383,6 +7516,9 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_change_feed": ORACLE_CHANGE_FEED,
         "lakehouse_skipping_read": ORACLE_SKIPPING,
         "lakehouse_sync_replica": ORACLE_SYNC,
+        "lakehouse_restore": ORACLE_RESTORE,
+        "lakehouse_clone_branch": ORACLE_CLONE,
+        "lakehouse_zorder_read": ORACLE_ZORDER,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,
