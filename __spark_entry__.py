@@ -6109,6 +6109,49 @@ def q_events_funnel(spark, sf):
     return out.select("user_id", "t_1", "t_2", "t_3", "steps_completed")
 
 
+def q_events_sessionize(spark, sf):
+    """Batch sessionization (operators/temporal.py::sessionize): the
+    gaps-and-islands pattern — per user, lag() marks session starts
+    (first event or gap > 8 h), a running sum numbers them, one
+    aggregate yields bounds and counts; session ids are '<user>#<n>' in
+    time order, deterministic at session granularity even under ts ties
+    (exactly one start-mark lands in any tie group). The oracle unrolls
+    the identical window recurrence."""
+    from dataingestion_spark.operators.temporal import sessionize
+
+    _utc(spark)
+    e = _events(spark, sf)
+    out = sessionize(e, ts_col="ts", key_col="user_id",
+                     gap_seconds=28800)
+    return out.select("user_id", "session_id", "session_start",
+                      "session_end", "n_events")
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > CAST(28800 AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess_n
+  FROM marked
+)
+SELECT user_id,
+       CAST(user_id AS VARCHAR) || '#' || CAST(sess_n AS VARCHAR)
+         AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_n
+"""
+
+
 ORACLE_FUNNEL = """
 WITH t1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
             WHERE event_type = 'signup' GROUP BY 1),
@@ -7211,6 +7254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_restore": q_lakehouse_restore,
         "lakehouse_clone_branch": q_lakehouse_clone_branch,
         "lakehouse_zorder_read": q_lakehouse_zorder_read,
+        "events_sessionize": q_events_sessionize,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7519,6 +7563,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_restore": ORACLE_RESTORE,
         "lakehouse_clone_branch": ORACLE_CLONE,
         "lakehouse_zorder_read": ORACLE_ZORDER,
+        "events_sessionize": ORACLE_SESSIONIZE,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

@@ -366,3 +366,50 @@ def transition_counts(df: DataFrame, ts_col: str, key_col: str,
             F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
         )
     )
+
+
+def sessionize(df: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
+               gap_seconds: int = 1800) -> DataFrame:
+    """Batch sessionization (the gaps-and-islands pattern; the batch twin
+    of ``streaming/pipeline.py``'s session windows): events of one key
+    belong to the same session while consecutive gaps stay <=
+    ``gap_seconds``; a larger gap starts a new session.
+
+    Pure window algebra — no state store, no UDF: per key, ``lag(ts)``
+    marks session starts (gap > threshold or first event), a running sum
+    of the marks numbers sessions, and one aggregate yields per-session
+    bounds and counts. Session ids are deterministic (``<key>#<n>`` in
+    time order), so results are append-stable and engine-reproducible.
+
+    Returns (key_col, session_id, session_start, session_end, n_events).
+    Scale shape: ONE shuffle on the key for both windows (same
+    partitioning, reused) plus the final per-session aggregate —
+    identical to any engine's sessionization; skewed keys sessionize
+    alone but a single key's event stream must sort in one partition
+    (salt upstream if one key holds billions of events)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    marked = (
+        df.withColumn("_prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull()
+             | (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_prev"))
+                > F.lit(int(gap_seconds) * 1_000_000))).cast("int"),
+        )
+        .withColumn("_sess_n", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        marked.groupBy(key_col, "_sess_n")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            key_col,
+            F.concat(F.col(key_col).cast("string"), F.lit("#"),
+                     F.col("_sess_n").cast("string")).alias("session_id"),
+            "session_start", "session_end", "n_events",
+        )
+    )

@@ -1226,3 +1226,32 @@ def test_pq_rerank_beats_raw_adc_recall(spark):
     rr = recall(topk_pq_rerank(enc, books, q, e, k=10, candidates=100).collect())
     assert rr > raw  # re-ranking must lift the quantization ceiling
     assert rr >= 0.5
+
+
+def test_sessionize_gap_splits_and_counts(spark):
+    import datetime as dt
+
+    from dataingestion_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: 3 events within gaps, then a 2h break, then 1 more
+        (1, t0), (1, t0 + dt.timedelta(minutes=10)),
+        (1, t0 + dt.timedelta(minutes=25)),
+        (1, t0 + dt.timedelta(hours=2, minutes=26)),
+        # user 2: single event
+        (2, t0),
+        # user 3: boundary exactly AT the gap -> same session (<=)
+        (3, t0), (3, t0 + dt.timedelta(seconds=1800)),
+        # user 3: one microsecond past the gap -> new session
+        (3, t0 + dt.timedelta(seconds=3600, microseconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {r.session_id: (r.n_events, r.session_start, r.session_end)
+           for r in sessionize(df, gap_seconds=1800).collect()}
+    assert out["1#1"][0] == 3 and out["1#2"][0] == 1
+    assert out["2#1"][0] == 1
+    assert out["3#1"][0] == 2  # gap == threshold stays in-session
+    assert out["3#2"][0] == 1
+    assert out["1#1"][1] == t0
+    assert out["1#1"][2] == t0 + dt.timedelta(minutes=25)
