@@ -6502,6 +6502,43 @@ FROM events WHERE user_id < 30 AND value >= 100.0
 """
 
 
+def q_lakehouse_constraints(spark, sf):
+    """Write-time CHECK constraints (sinks/manifest_store.py::
+    add_constraint): after the constraint lands, a batch with negated
+    n_chars is rejected ATOMICALLY (ConstraintViolation before the
+    manifest commit — its files stay invisible orphans) and the valid
+    odd slice then appends normally. The oracle restates the net state:
+    exactly the original documents, nothing from the rejected batch."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "lang", F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    did = F.col("documentid").cast("long")
+    table = tempfile.mkdtemp(prefix="ck_lh_") + "/t"
+    ms.write_table(docs.filter(did % 2 == 0), table)
+    ms.add_constraint(spark, table, "chars_nonneg", "n_chars >= 0")
+    bad = (docs.filter(did % 2 == 1)
+           .withColumn("n_chars", -F.col("n_chars") - 1))
+    try:
+        ms.append_table(bad, table)
+        raise AssertionError("constraint must reject the bad batch")
+    except ms.ConstraintViolation:
+        pass
+    ms.append_table(docs.filter(did % 2 == 1), table)
+    return ms.read_table(spark, table).select("documentid", "lang", "n_chars")
+
+
+ORACLE_CONSTRAINTS = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid, lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -7255,6 +7292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_clone_branch": q_lakehouse_clone_branch,
         "lakehouse_zorder_read": q_lakehouse_zorder_read,
         "events_sessionize": q_events_sessionize,
+        "lakehouse_check_constraints": q_lakehouse_constraints,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7333,6 +7371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_set_ops": q_part_set_ops,
         "events_topk_per_type": q_events_topk_per_type,
         "events_sessionize": q_events_sessionize,
+        "lakehouse_check_constraints": q_lakehouse_constraints,
         "events_session_window": q_events_session_window,
         "events_windowed_5min": q_events_windowed,
         "events_pivot_by_user": q_events_pivot,
@@ -7402,6 +7441,7 @@ def oracle_sql() -> dict[str, str]:
         "part_set_ops": ORACLE_SET_OPS,
         "events_topk_per_type": ORACLE_TOPK,
         "events_sessionize": ORACLE_SESSIONIZE,
+        "lakehouse_check_constraints": ORACLE_CONSTRAINTS,
         "events_session_window": ORACLE_SESSION_WINDOW,
         "streaming_tws_type_stats": ORACLE_TWS_STATS,
         "events_windowed_5min": ORACLE_WINDOWED,
@@ -7564,6 +7604,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_clone_branch": ORACLE_CLONE,
         "lakehouse_zorder_read": ORACLE_ZORDER,
         "events_sessionize": ORACLE_SESSIONIZE,
+        "lakehouse_check_constraints": ORACLE_CONSTRAINTS,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

@@ -115,6 +115,41 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed since this transaction read the table."""
 
 
+class ConstraintViolation(ValueError):
+    """A data-adding commit carried rows failing a table CHECK constraint."""
+
+
+def _enforce_constraints(df: DataFrame, constraints: Dict[str, str]) -> None:
+    """Reject the BATCH if any row fails any registered constraint
+    (Delta CHECK semantics: a row violates when the expr is FALSE; NULL
+    passes, SQL style). One Spark job total regardless of constraint
+    count — all exprs evaluate in a single filter pass, and the error
+    names the failed constraint(s) of the first violating row. Runs
+    BEFORE the manifest commit; files already written by a rejected
+    batch stay invisible orphans until vacuum. Tables without
+    constraints pay nothing."""
+    if not constraints:
+        return
+    checks = [
+        F.when(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+               F.lit(name))
+        for name, expr in sorted(constraints.items())
+    ]
+    hit = (
+        df.withColumn("_failed", F.array_compact(F.array(*checks)))
+        .filter(F.size("_failed") > 0)
+        .limit(1).collect()
+    )
+    if hit:
+        row = hit[0]
+        failed = list(row["_failed"])
+        doc = row["documentid"] if "documentid" in row.__fields__ else "?"
+        raise ConstraintViolation(
+            f"batch violates CHECK constraint(s) {failed} "
+            f"(first offending documentid: {doc!r}); "
+            f"exprs: {[constraints[n] for n in failed]}")
+
+
 _BLOOM_BITS = 2048  # 256 bytes/file in the manifest; ~1% FP at ~200 ids
 _BLOOM_K = 3
 
@@ -384,6 +419,9 @@ def _manifest_meta(manifest: Dict) -> Dict:
         # table's files/ dir (shallow clones, Delta-style); names absent
         # here resolve to files/<name> as always
         "ext": dict(manifest.get("ext", {})),
+        # constraint name -> SQL boolean expr every data-adding commit
+        # must satisfy (Delta CHECK constraints; NULL passes, SQL style)
+        "constraints": dict(manifest.get("constraints", {})),
     }
 
 
@@ -451,6 +489,8 @@ def _prune_meta(meta: Dict, buckets: Dict[str, List[str]]) -> Dict:
     meta["ext"] = {n: p for n, p in meta["ext"].items() if n in live}
     if not meta["ext"]:
         meta.pop("ext")
+    if not meta["constraints"]:
+        meta.pop("constraints")
     return meta
 
 
@@ -606,13 +646,16 @@ def write_table(records: DataFrame, table: str, txn=None) -> int:
     data_backend_for(table).ensure_dir(table)  # also validates the scheme
     cv = current_version(table)
     txn_map: Dict[str, int] = {}
+    cons: Dict[str, str] = {}
     if cv is not None:
         prior = read_manifest(table)
         if _txn_applied(prior, txn):
             return prior["version"]
         txn_map = {str(a): int(e) for a, e in prior.get("txn", {}).items()}
+        cons = dict(prior.get("constraints", {}))
     if txn is not None:
         txn_map[str(txn[0])] = int(txn[1])
+    _enforce_constraints(records, cons)
     records = records.withColumn("doc_bucket", _bucket_col())
     token = uuid.uuid4().hex[:8]
     stats: Dict[str, Dict] = {}
@@ -623,7 +666,8 @@ def write_table(records: DataFrame, table: str, txn=None) -> int:
         extra={"seq": {n: version for names in buckets.values() for n in names},
                "stats": stats,
                "schema": records.schema.jsonValue()["fields"],
-               **({"txn": txn_map} if txn_map else {})},
+               **({"txn": txn_map} if txn_map else {}),
+               **({"constraints": cons} if cons else {})},
     )
     return version
 
@@ -793,6 +837,7 @@ def incremental_replace(records: DataFrame, table: str, mode: str = "rewrite",
     if _txn_applied(manifest, txn):
         return manifest["version"]
     meta = _manifest_meta(manifest)
+    _enforce_constraints(records, meta["constraints"])
     _txn_record(meta, txn)
     affected = sorted(
         str(r[0]) for r in records.select("doc_bucket").distinct().collect()
@@ -835,6 +880,7 @@ def _replace_with_dv(records: DataFrame, table: str, txn=None) -> int:
     if _txn_applied(manifest, txn):
         return manifest["version"]
     meta = _manifest_meta(manifest)
+    _enforce_constraints(records, meta["constraints"])
     _txn_record(meta, txn)
     version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
@@ -894,6 +940,7 @@ def append_table(records: DataFrame, table: str, txn=None) -> int:
     if _txn_applied(manifest, txn):
         return manifest["version"]
     meta = _manifest_meta(manifest)
+    _enforce_constraints(records, meta["constraints"])
     _txn_record(meta, txn)
     version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
@@ -1104,6 +1151,7 @@ def merge_table(source: DataFrame, table: str,
     new_buckets: Dict[str, List[str]] = {}
     del_buckets: Dict[str, List[str]] = {}
     if new_rows is not None:
+        _enforce_constraints(new_rows, meta["constraints"])
         _seed_schema(spark, table, manifest, meta)
         _schema_union(meta, new_rows)
         if del_df is not None and when_matched == "update":
@@ -1597,3 +1645,37 @@ def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
     return _commit(table, version, new_buckets,
                    expected_current=manifest["version"],
                    extra=_prune_meta(meta, new_buckets))
+
+
+def add_constraint(spark, table: str, name: str, expr: str) -> int:
+    """Delta-style ``ALTER TABLE ... ADD CONSTRAINT <name> CHECK (expr)``:
+    validates the EXISTING table data against ``expr`` (one filter pass;
+    a table already in violation refuses the constraint, Delta
+    semantics), then commits the constraint as metadata. Every
+    subsequent data-adding commit (write/append/replace/merge insert or
+    update rows) is checked in one extra job and rejected atomically on
+    violation — the bad batch's files stay invisible orphans. NULL
+    evaluations pass (SQL CHECK semantics). Returns the new version."""
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    if name in meta["constraints"]:
+        raise ValueError(f"constraint {name!r} already exists on {table}")
+    _enforce_constraints(_read_files(spark, table, manifest), {name: expr})
+    meta["constraints"][name] = expr
+    buckets = {b: list(ns) for b, ns in manifest["buckets"].items()}
+    return _commit(table, manifest["version"] + 1, buckets,
+                   expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets))
+
+
+def drop_constraint(table: str, name: str) -> int:
+    """Remove a CHECK constraint (metadata-only commit)."""
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    if name not in meta["constraints"]:
+        raise ValueError(f"no constraint {name!r} on {table}")
+    del meta["constraints"][name]
+    buckets = {b: list(ns) for b, ns in manifest["buckets"].items()}
+    return _commit(table, manifest["version"] + 1, buckets,
+                   expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets))

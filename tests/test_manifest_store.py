@@ -1012,3 +1012,65 @@ def test_optimize_zorder_uses_manifest_stats_bounds(spark, tmp_path):
     ms.optimize_zorder(spark, table, ["x", "y"],
                        bounds={"x": (0, 500), "y": (0, 500)})
     assert ms.read_table(spark, table).count() == 100  # clamp never drops
+
+
+# --- CHECK constraints (Delta-style write-time enforcement) ---
+
+
+def test_constraint_rejects_bad_batches_on_every_path(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "ck")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"]}), table)
+    v = ms.add_constraint(spark, table, "content_nonempty",
+                          "length(content) > 0")
+    assert v == ms.current_version(table)
+
+    bad = records_df(spark, {"c": [""]})
+    with pytest.raises(ms.ConstraintViolation, match="content_nonempty"):
+        ms.append_table(bad, table)
+    with pytest.raises(ms.ConstraintViolation):
+        ms.incremental_replace(bad, table, mode="dv")
+    with pytest.raises(ms.ConstraintViolation):
+        ms.incremental_replace(bad, table, mode="rewrite")
+    with pytest.raises(ms.ConstraintViolation):
+        ms.merge_table(bad.filter(F.col("documentid") == "c"), table)
+    with pytest.raises(ms.ConstraintViolation):
+        ms.write_table(bad, table)  # overwrite keeps the table's contract
+    # a rejected batch commits NOTHING
+    assert ms.read_table(spark, table).count() == 2
+    # good batches flow normally and the constraint survives commits
+    ms.append_table(records_df(spark, {"d": ["fine"]}), table)
+    assert ms.read_manifest(table)["constraints"] == {
+        "content_nonempty": "length(content) > 0"}
+
+
+def test_add_constraint_refuses_table_already_in_violation(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "ck2")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": [""]}), table)
+    with pytest.raises(ms.ConstraintViolation):
+        ms.add_constraint(spark, table, "nonempty", "length(content) > 0")
+    # nothing committed
+    assert "constraints" not in ms.read_manifest(table)
+
+
+def test_constraint_null_passes_and_drop_restores_writes(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "ck3")
+    df = spark.createDataFrame([("k1", "a", None)],
+                               "key string, documentid string, n int")
+    ms.write_table(df, table)
+    ms.add_constraint(spark, table, "n_positive", "n > 0")  # NULL passes
+    null_row = spark.createDataFrame([("k2", "b", None)],
+                                     "key string, documentid string, n int")
+    ms.append_table(null_row, table)  # NULL: not a violation
+    bad = spark.createDataFrame([("k3", "c", -5)],
+                                "key string, documentid string, n int")
+    with pytest.raises(ms.ConstraintViolation):
+        ms.append_table(bad, table)
+    ms.drop_constraint(table, "n_positive")
+    ms.append_table(bad, table)  # dropped: anything goes again
+    assert ms.read_table(spark, table).count() == 3
