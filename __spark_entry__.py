@@ -6539,6 +6539,40 @@ FROM documents
 """
 
 
+def q_bpe_encode_roundtrip(spark, sf):
+    """Distributed BPE encode/decode (operators/bpe_train.py::
+    bpe_encode_df / bpe_decode_df): train a 300-symbol vocab on the
+    corpus (distributed piece counts -> driver merge loop), broadcast
+    the ranks, Arrow-batch encode every document, decode back. Two
+    invariants are externally pinned per document: byte-level BPE is
+    LOSSLESS (decode(encode(text)) == text) and merges only ever shrink
+    (n_tokens <= utf-8 byte length). Exact token ids are pinned by
+    golden tests (no SQL engine can restate the merge loop)."""
+    from dataingestion_spark.operators.bpe_train import (
+        bpe_decode_df,
+        bpe_encode_df,
+        train_bpe_distributed,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"), "text")
+    ranks = train_bpe_distributed(docs, vocab_size=300)
+    enc = bpe_encode_df(docs, ranks)
+    dec = bpe_decode_df(enc, ranks)
+    return dec.select(
+        "documentid",
+        (F.col("decoded") == F.col("text")).alias("roundtrip_ok"),
+        (F.col("n_tokens") <= F.octet_length("text")).alias("tokens_le_bytes"),
+    )
+
+
+ORACLE_BPE_ENCODE = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid,
+       TRUE AS roundtrip_ok, TRUE AS tokens_le_bytes
+FROM documents
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -7293,6 +7327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_zorder_read": q_lakehouse_zorder_read,
         "events_sessionize": q_events_sessionize,
         "lakehouse_check_constraints": q_lakehouse_constraints,
+        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7372,6 +7407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_per_type": q_events_topk_per_type,
         "events_sessionize": q_events_sessionize,
         "lakehouse_check_constraints": q_lakehouse_constraints,
+        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
         "events_session_window": q_events_session_window,
         "events_windowed_5min": q_events_windowed,
         "events_pivot_by_user": q_events_pivot,
@@ -7442,6 +7478,7 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_per_type": ORACLE_TOPK,
         "events_sessionize": ORACLE_SESSIONIZE,
         "lakehouse_check_constraints": ORACLE_CONSTRAINTS,
+        "tokenizer_bpe_encode_roundtrip": ORACLE_BPE_ENCODE,
         "events_session_window": ORACLE_SESSION_WINDOW,
         "streaming_tws_type_stats": ORACLE_TWS_STATS,
         "events_windowed_5min": ORACLE_WINDOWED,
@@ -7605,6 +7642,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_zorder_read": ORACLE_ZORDER,
         "events_sessionize": ORACLE_SESSIONIZE,
         "lakehouse_check_constraints": ORACLE_CONSTRAINTS,
+        "tokenizer_bpe_encode_roundtrip": ORACLE_BPE_ENCODE,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

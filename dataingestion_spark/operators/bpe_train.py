@@ -142,3 +142,81 @@ def train_bpe_distributed(df: DataFrame, vocab_size: int,
         if key:
             freq[key] = freq.get(key, 0) + row["cnt"]
     return train_bpe_from_counts(freq, vocab_size)
+
+
+def bpe_encode_df(df: DataFrame, ranks: Ranks, text_col: str = "text",
+                  out_col: str = "token_ids",
+                  pattern: Optional[str] = CL100K_PATTERN) -> DataFrame:
+    """Distributed BPE ENCODE: the apply side of the train→tokenize→pack
+    pipeline — adds ``out_col`` (``array<int>`` token ids) and
+    ``n_tokens`` to every row.
+
+    The rank table rides to executors ONCE via a Spark broadcast (a
+    cl100k-scale vocab is ~2 MB — closure-pickling it into every task
+    would re-ship it per task), and each Arrow batch is encoded with the
+    repo's own merge loop (:class:`~dataingestion_spark.bpe.BPE`, the
+    tiktoken algorithm). Python-per-row is irreducible here — BPE's
+    greedy merge has no relational form — so this is the documented
+    Pandas-UDF slow path: Arrow batch transfer, zero driver involvement,
+    linear in corpus bytes, embarrassingly parallel (no shuffle at all).
+
+    decode(encode(x)) == x for any text (byte-level BPE is lossless);
+    the driver query pins that round trip externally, golden-id tests
+    pin exact tokenizations."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((dict(ranks), pattern))
+    fields = df.schema.fields
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        from dataingestion_spark.bpe import BPE
+
+        rk, pat = bc.value
+        enc = BPE(rk, pattern=pat) if pat is not None else BPE(rk)
+        for pdf in batches:
+            texts = pdf[text_col].astype(object)
+            ids = [enc.encode(t) if isinstance(t, str) else []
+                   for t in texts]
+            pdf[out_col] = pd.Series(ids, index=pdf.index, dtype=object)
+            pdf["n_tokens"] = [len(i) for i in ids]
+            yield pdf
+
+    schema = T.StructType(
+        list(fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType())),
+           T.StructField("n_tokens", T.IntegerType())]
+    )
+    return df.mapInPandas(encode_batches, schema=schema)
+
+
+def bpe_decode_df(df: DataFrame, ranks: Ranks,
+                  ids_col: str = "token_ids",
+                  out_col: str = "decoded",
+                  pattern: Optional[str] = CL100K_PATTERN) -> DataFrame:
+    """Inverse of :func:`bpe_encode_df`: ``out_col`` holds the UTF-8
+    decode of each row's token ids (lossless for ids produced by the
+    same rank table). Same broadcast + Arrow-batch shape."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((dict(ranks), pattern))
+    fields = df.schema.fields
+
+    def decode_batches(batches):
+        from dataingestion_spark.bpe import BPE
+
+        rk, pat = bc.value
+        enc = BPE(rk, pattern=pat) if pat is not None else BPE(rk)
+        for pdf in batches:
+            pdf[out_col] = [
+                enc.decode(list(ids)) if ids is not None else None
+                for ids in pdf[ids_col]
+            ]
+            yield pdf
+
+    schema = T.StructType(list(fields)
+                          + [T.StructField(out_col, T.StringType())])
+    return df.mapInPandas(decode_batches, schema=schema)

@@ -267,3 +267,43 @@ def test_train_bpe_distributed_cap_defaults_on_and_truncates(spark):
     r_exact = train_bpe_distributed(small, vocab_size=280, max_pieces=None)
     assert r_capped == r_exact
     assert not [e for e in obs._EVENTS if e["name"] == "bpe_train.pieces_truncated"]
+
+
+def test_bpe_encode_df_matches_local_and_roundtrips(spark):
+    from dataingestion_spark.bpe import BPE, train_bpe
+    from dataingestion_spark.operators.bpe_train import (
+        bpe_decode_df,
+        bpe_encode_df,
+    )
+
+    corpus = ["the cat sat on the mat", "the mat sat on the cat cat",
+              "naïve café — unicode too 🚀", ""]
+    ranks = train_bpe(corpus, vocab_size=300)
+    local = BPE(ranks)
+
+    df = spark.createDataFrame([(str(i), t) for i, t in enumerate(corpus)],
+                               "documentid string, text string")
+    enc = bpe_encode_df(df, ranks)
+    got = {r.documentid: (list(r.token_ids), r.n_tokens)
+           for r in enc.collect()}
+    for i, t in enumerate(corpus):
+        want = local.encode(t)
+        assert got[str(i)][0] == want        # distributed == local, exactly
+        assert got[str(i)][1] == len(want)
+
+    dec = bpe_decode_df(enc, ranks)
+    assert {(r.documentid, r.decoded) for r in dec.collect()} \
+        == {(str(i), t) for i, t in enumerate(corpus)}  # lossless
+
+
+def test_bpe_encode_df_null_text_yields_empty(spark):
+    from dataingestion_spark.bpe import train_bpe
+    from dataingestion_spark.operators.bpe_train import bpe_encode_df
+
+    ranks = train_bpe(["ab ab"], vocab_size=280)
+    df = spark.createDataFrame([("a", None), ("b", "ab")],
+                               "documentid string, text string")
+    got = {r.documentid: (list(r.token_ids), r.n_tokens)
+           for r in bpe_encode_df(df, ranks).collect()}
+    assert got["a"] == ([], 0)
+    assert got["b"][1] > 0
