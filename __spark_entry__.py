@@ -6109,49 +6109,6 @@ def q_events_funnel(spark, sf):
     return out.select("user_id", "t_1", "t_2", "t_3", "steps_completed")
 
 
-def q_events_sessionize(spark, sf):
-    """Batch sessionization (operators/temporal.py::sessionize): the
-    gaps-and-islands pattern — per user, lag() marks session starts
-    (first event or gap > 8 h), a running sum numbers them, one
-    aggregate yields bounds and counts; session ids are '<user>#<n>' in
-    time order, deterministic at session granularity even under ts ties
-    (exactly one start-mark lands in any tie group). The oracle unrolls
-    the identical window recurrence."""
-    from dataingestion_spark.operators.temporal import sessionize
-
-    _utc(spark)
-    e = _events(spark, sf)
-    out = sessionize(e, ts_col="ts", key_col="user_id",
-                     gap_seconds=28800)
-    return out.select("user_id", "session_id", "session_start",
-                      "session_end", "n_events")
-
-
-ORACLE_SESSIONIZE = """
-WITH marked AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                      > CAST(28800 AS BIGINT) * 1000000
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-), numbered AS (
-  SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS sess_n
-  FROM marked
-)
-SELECT user_id,
-       CAST(user_id AS VARCHAR) || '#' || CAST(sess_n AS VARCHAR)
-         AS session_id,
-       MIN(ts) AS session_start, MAX(ts) AS session_end,
-       COUNT(*) AS n_events
-FROM numbered
-GROUP BY user_id, sess_n
-"""
-
-
 ORACLE_FUNNEL = """
 WITH t1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
             WHERE event_type = 'signup' GROUP BY 1),
@@ -7325,7 +7282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_restore": q_lakehouse_restore,
         "lakehouse_clone_branch": q_lakehouse_clone_branch,
         "lakehouse_zorder_read": q_lakehouse_zorder_read,
-        "events_sessionize": q_events_sessionize,
         "lakehouse_check_constraints": q_lakehouse_constraints,
         "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
         # --- driver-green in earlier rounds (r1-r4) ---
@@ -7406,8 +7362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_set_ops": q_part_set_ops,
         "events_topk_per_type": q_events_topk_per_type,
         "events_sessionize": q_events_sessionize,
-        "lakehouse_check_constraints": q_lakehouse_constraints,
-        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
         "events_session_window": q_events_session_window,
         "events_windowed_5min": q_events_windowed,
         "events_pivot_by_user": q_events_pivot,
@@ -7477,8 +7431,6 @@ def oracle_sql() -> dict[str, str]:
         "part_set_ops": ORACLE_SET_OPS,
         "events_topk_per_type": ORACLE_TOPK,
         "events_sessionize": ORACLE_SESSIONIZE,
-        "lakehouse_check_constraints": ORACLE_CONSTRAINTS,
-        "tokenizer_bpe_encode_roundtrip": ORACLE_BPE_ENCODE,
         "events_session_window": ORACLE_SESSION_WINDOW,
         "streaming_tws_type_stats": ORACLE_TWS_STATS,
         "events_windowed_5min": ORACLE_WINDOWED,
@@ -7640,7 +7592,6 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_restore": ORACLE_RESTORE,
         "lakehouse_clone_branch": ORACLE_CLONE,
         "lakehouse_zorder_read": ORACLE_ZORDER,
-        "events_sessionize": ORACLE_SESSIONIZE,
         "lakehouse_check_constraints": ORACLE_CONSTRAINTS,
         "tokenizer_bpe_encode_roundtrip": ORACLE_BPE_ENCODE,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
