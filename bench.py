@@ -195,6 +195,48 @@ def main():
             F.col("embedding").alias("query_vec"))
         return search_ivfpq_index(spark, ivfpq_path, queries, k=10, n_probe=2)
 
+    # ---- round-6 lakehouse ops: OPTIMIZE ZORDER is an O(data) rewrite
+    # (its own *_optimize entry); the pruned read serves a PREBUILT
+    # clustered table; clone+restore are O(manifest) metadata commits —
+    # their entry timing ~milliseconds IS the scale claim being measured.
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    def _zorder_base(spark, sf, path=None):
+        path = path or tempfile.mkdtemp(prefix="zt_bench_") + "/t"
+        ev = em._events(spark, sf).select(
+            F.col("event_id").cast("string").alias("documentid"),
+            "user_id", "value")
+        ms.write_table(ev, path)
+        return path
+
+    def zorder_optimize(spark, sf):
+        p = _zorder_base(spark, sf)
+        ms.optimize_zorder(spark, p, ["user_id", "value"],
+                           files_per_bucket=8)
+        return spark.range(1)
+
+    zt_path = _zorder_base(spark, sf_dir)
+    ms.optimize_zorder(spark, zt_path, ["user_id", "value"],
+                       files_per_bucket=8)
+
+    def zorder_read(spark, sf):
+        return ms.read_table_where(
+            spark, zt_path, [("user_id", "<", 30), ("value", ">=", 100.0)])
+
+    clone_src = _zorder_base(spark, sf_dir)
+
+    def clone_restore_meta(spark, sf):
+        dst = tempfile.mkdtemp(prefix="clone_bench_") + "/t"
+        ms.clone_table(clone_src, dst)          # O(manifest), zero data
+        ms.restore_table(dst, 0)                # metadata-only rollback
+        return spark.range(1)
+
+    bench_queries.update({
+        "zorder_optimize": zorder_optimize,
+        "zorder_read": zorder_read,
+        "clone_restore_meta": clone_restore_meta,
+    })
+
     bench_queries.update({
         "ivf_build": lambda spark, sf: build_ivf(spark, sf)[0],
         "ivf_persisted": ivf_serve,

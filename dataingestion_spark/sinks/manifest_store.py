@@ -1477,6 +1477,16 @@ def restore_table(table: str, version: int, validate: bool = True) -> int:
         present = set(be.list_dir(_join(table, "files")))
         need = {n for ns in old["buckets"].values() for n in ns}
         need |= {n for ns in old.get("deletes", {}).values() for n in ns}
+        # externally-referenced files (shallow clones) live outside this
+        # table's files/ dir — check each referenced dir, listed once
+        ext = old.get("ext", {})
+        by_dir: Dict[str, set] = {}
+        for n in need & set(ext):
+            p = ext[n]
+            by_dir.setdefault(p.rsplit("/", 1)[0], set()).add(n)
+        for d, names in by_dir.items():
+            listed = set(be.list_dir(d))
+            present |= {n for n in names if n in listed}
         missing = sorted(need - present)
         if missing:
             raise FileNotFoundError(

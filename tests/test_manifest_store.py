@@ -1074,3 +1074,14 @@ def test_constraint_null_passes_and_drop_restores_writes(spark, tmp_path):
     ms.drop_constraint(table, "n_positive")
     ms.append_table(bad, table)  # dropped: anything goes again
     assert ms.read_table(spark, table).count() == 3
+
+
+def test_restore_on_shallow_clone_validates_ext_refs(spark, tmp_path):
+    src = str(tmp_path / "csrc7")
+    dst = str(tmp_path / "cdst7")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"]}), src)
+    ms.clone_table(src, dst)
+    ms.append_table(records_df(spark, {"c": ["c0"]}), dst)
+    v = ms.restore_table(dst, 0)  # must see src's files through ext refs
+    assert v == 2
+    assert ms.read_table(spark, dst).count() == 2
