@@ -6530,6 +6530,72 @@ FROM documents
 """
 
 
+def q_preference_pairs(spark, sf):
+    """DPO/RLHF preference-pair prep (operators/sft.py::
+    preference_pairs): synthetic scored completions (prompt = doc_id%40,
+    score = n_chars%101) -> one (chosen, rejected) row per prompt via
+    max_by/min_by on the (score, completion) struct — deterministic
+    tie-breaks, ONE map-side-combinable groupBy, text shuffled once.
+    The oracle restates the tie-break as rank-1 windows."""
+    from dataingestion_spark.operators.sft import preference_pairs
+
+    d = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 40).cast("string").alias("prompt_id"),
+        F.col("text").alias("completion"),
+        (F.col("n_chars") % 101).cast("double").alias("score"),
+    )
+    return preference_pairs(d)
+
+
+ORACLE_PREF_PAIRS = """
+WITH s AS (
+  SELECT CAST(doc_id % 40 AS VARCHAR) AS prompt_id, text AS completion,
+         CAST(n_chars % 101 AS DOUBLE) AS score
+  FROM documents),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY score DESC, completion DESC) AS rmax,
+    row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY score ASC, completion ASC) AS rmin
+  FROM s),
+c AS (SELECT prompt_id, completion AS chosen, score AS cs FROM r WHERE rmax = 1),
+j AS (SELECT prompt_id, completion AS rejected, score AS rs FROM r WHERE rmin = 1)
+SELECT prompt_id, chosen, rejected, cs AS chosen_score, rs AS rejected_score
+FROM c JOIN j USING (prompt_id)
+WHERE cs - rs > 0
+"""
+
+
+def q_best_of_n(spark, sf):
+    """Rejection sampling / best-of-n (operators/sft.py::best_of_n):
+    top-2 completions per prompt by (score desc, completion asc) with a
+    deterministic rank column — the oversample -> reward-score -> keep
+    winners distillation shape, one window on the prompt key."""
+    from dataingestion_spark.operators.sft import best_of_n
+
+    d = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 40).cast("string").alias("prompt_id"),
+        F.col("text").alias("completion"),
+        (F.col("n_chars") % 101).cast("double").alias("score"),
+    )
+    return best_of_n(d, n=2).select(
+        "prompt_id", "completion", "score", "rank")
+
+
+ORACLE_BEST_OF_N = """
+WITH s AS (
+  SELECT CAST(doc_id % 40 AS VARCHAR) AS prompt_id, text AS completion,
+         CAST(n_chars % 101 AS DOUBLE) AS score
+  FROM documents),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY score DESC, completion ASC) AS INTEGER) AS rank
+  FROM s)
+SELECT prompt_id, completion, score, rank FROM r WHERE rank <= 2
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -7284,6 +7350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_zorder_read": q_lakehouse_zorder_read,
         "lakehouse_check_constraints": q_lakehouse_constraints,
         "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
+        "sft_preference_pairs": q_preference_pairs,
+        "sft_best_of_n": q_best_of_n,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7594,6 +7662,8 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_zorder_read": ORACLE_ZORDER,
         "lakehouse_check_constraints": ORACLE_CONSTRAINTS,
         "tokenizer_bpe_encode_roundtrip": ORACLE_BPE_ENCODE,
+        "sft_preference_pairs": ORACLE_PREF_PAIRS,
+        "sft_best_of_n": ORACLE_BEST_OF_N,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

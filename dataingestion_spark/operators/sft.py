@@ -46,6 +46,8 @@ __all__ = [
     "render_messages_sql",
     "render_chat_sql",
     "token_loss_mask_sql",
+    "preference_pairs",
+    "best_of_n",
 ]
 
 
@@ -235,3 +237,54 @@ SELECT {id_col}, {pos_col}, tok, tok_start,
 FROM off
 WHERE length(tok) > 0
 """
+
+
+def preference_pairs(df: DataFrame, *, prompt_col: str = "prompt_id",
+                     completion_col: str = "completion",
+                     score_col: str = "score",
+                     margin: float = 0.0) -> DataFrame:
+    """Preference-pair preparation for DPO/RLHF reward modelling: from a
+    ``(prompt, completion, score)`` stream, emit one ``(prompt, chosen,
+    rejected, chosen_score, rejected_score)`` row per prompt — chosen =
+    the highest-scored completion, rejected = the lowest — keeping only
+    prompts where the gap exceeds ``margin`` (equal-score prompts carry
+    no preference signal and are dropped at margin 0).
+
+    Deterministic under score ties: ``max_by``/``min_by`` on the
+    ``(score, completion)`` struct makes the lexicographically greatest
+    completion win among tied maxima (and least lose among tied minima),
+    so results are engine-reproducible — the oracle restates the same
+    tie-break with ``arg_max``/``arg_min`` on the paired struct.
+
+    Scale shape: ONE groupBy on the prompt key (map-side combinable
+    aggregates, no window, no self-join); completion text moves through
+    the shuffle once. Skewed prompts (millions of completions for one
+    prompt) reduce fine — max/min are commutative."""
+    by_score = F.struct(F.col(score_col), F.col(completion_col))
+    agg = (
+        df.groupBy(prompt_col)
+        .agg(
+            F.max_by(F.col(completion_col), by_score).alias("chosen"),
+            F.min_by(F.col(completion_col), by_score).alias("rejected"),
+            F.max(score_col).alias("chosen_score"),
+            F.min(score_col).alias("rejected_score"),
+        )
+    )
+    return agg.filter(
+        F.col("chosen_score") - F.col("rejected_score") > F.lit(margin))
+
+
+def best_of_n(df: DataFrame, *, prompt_col: str = "prompt_id",
+              completion_col: str = "completion",
+              score_col: str = "score", n: int = 1) -> DataFrame:
+    """Rejection sampling (best-of-n): keep the top ``n`` completions per
+    prompt by score, ranked deterministically (score desc, completion
+    asc as the tie-break). One window on the prompt key; rows carry
+    ``rank`` (1 = best). The distillation shape: oversample, score with
+    a reward model, keep the winners."""
+    w = Window.partitionBy(prompt_col).orderBy(
+        F.desc(score_col), F.asc(completion_col))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )

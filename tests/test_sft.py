@@ -100,3 +100,38 @@ def test_empty_content_message_keeps_zero_width_span(spark):
     (r,) = rows
     assert r.content_start == r.content_end  # empty user turn
     assert r.end_off - r.start_off == len("<|user|>\n<|end|>\n")
+
+
+def test_preference_pairs_margin_and_tiebreak(spark):
+    from dataingestion_spark.operators.sft import preference_pairs
+
+    rows = [
+        ("p1", "good answer", 0.9), ("p1", "bad answer", 0.1),
+        ("p1", "meh", 0.5),
+        ("p2", "tie a", 0.7), ("p2", "tie z", 0.7),  # tied max AND min
+        ("p3", "only one", 0.4),
+    ]
+    df = spark.createDataFrame(rows, "prompt_id string, completion string, score double")
+    got = {r.prompt_id: r for r in preference_pairs(df).collect()}
+    assert got["p1"].chosen == "good answer"
+    assert got["p1"].rejected == "bad answer"
+    assert got["p1"].chosen_score == 0.9 and got["p1"].rejected_score == 0.1
+    # ties: lexicographically greatest wins among tied maxima, least loses
+    # among tied minima -> gap 0 -> dropped at margin 0
+    assert "p2" not in got
+    assert "p3" not in got  # single completion: no pair
+    # with a margin, small gaps drop too
+    got2 = {r.prompt_id for r in preference_pairs(df, margin=0.9).collect()}
+    assert got2 == set()
+
+
+def test_best_of_n_rank_and_tiebreak(spark):
+    from dataingestion_spark.operators.sft import best_of_n
+
+    rows = [("p", "c", 0.5), ("p", "a", 0.9), ("p", "b", 0.9), ("q", "x", 0.1)]
+    df = spark.createDataFrame(rows, "prompt_id string, completion string, score double")
+    got = [(r.completion, r.rank) for r in
+           best_of_n(df, n=2).filter("prompt_id = 'p'")
+           .orderBy("rank").collect()]
+    assert got == [("a", 1), ("b", 2)]  # tie broken asc by completion
+    assert best_of_n(df, n=1).filter("prompt_id = 'q'").count() == 1
