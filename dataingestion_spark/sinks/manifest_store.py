@@ -1689,3 +1689,93 @@ def drop_constraint(table: str, name: str) -> int:
     return _commit(table, manifest["version"] + 1, buckets,
                    expected_current=manifest["version"],
                    extra=_prune_meta(meta, buckets))
+
+
+def clustering_drift(table: str, by: List[str]) -> float:
+    """Fraction of data files that are LOOSE in every ``by`` dimension
+    (per-file [min,max] spans more than half the table's global range in
+    each column) — a metadata-only clustering-health signal. Freshly
+    appended unclustered files are loose in all dimensions; files cut by
+    :func:`optimize_zorder` are tight in at least one. 0.0 = fully
+    clustered, 1.0 = every file would survive no multi-dim pruning.
+    Files without stats count as loose (they can't prune)."""
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    names = [n for ns in manifest["buckets"].values() for n in ns]
+    if not names:
+        return 0.0
+    glo: Dict[str, List[float]] = {}
+    for c in by:
+        rngs = [meta["stats"].get(n, {}).get("cols", {}).get(c)
+                for n in names]
+        vals = [r for r in rngs if r is not None
+                and isinstance(r[0], (int, float))]
+        if not vals:
+            return 1.0  # no stats at all: nothing can prune
+        glo[c] = [min(v[0] for v in vals), max(v[1] for v in vals)]
+    loose = 0
+    for n in names:
+        cols = meta["stats"].get(n, {}).get("cols", {})
+        is_loose = True
+        for c in by:
+            r = cols.get(c)
+            lo, hi = glo[c]
+            span = (hi - lo) or 1
+            if r is not None and isinstance(r[0], (int, float)) \
+                    and (r[1] - r[0]) / span <= 0.5:
+                is_loose = False  # tight in this dimension: prunable
+                break
+        loose += is_loose
+    return loose / len(names)
+
+
+def maintain_table(spark, table: str, *,
+                   max_files_per_bucket: int = 4,
+                   keep_versions: int = 3,
+                   min_file_age_seconds: float = 86400.0,
+                   zorder_by: Optional[List[str]] = None,
+                   max_drift: float = 0.5) -> Dict:
+    """One-call policy-driven maintenance — the OPTIMIZE/VACUUM scheduler
+    an operator would cron at 100 TB. Every DECISION is metadata-only
+    (one manifest read); data moves only when a trigger fires:
+
+    1. ``zorder_by`` set and :func:`clustering_drift` > ``max_drift``
+       → :func:`optimize_zorder` (full clustered rewrite, which also
+       materializes DVs and compacts);
+    2. else files-per-bucket over ``max_files_per_bucket`` OR pending
+       DVs → :func:`compact`;
+    3. :func:`vacuum` with the given retention.
+
+    Returns a report of what ran and why; a healthy table returns
+    ``actions: []`` having read one manifest and listed one directory.
+    Idempotent: a second call right after is a no-op by construction."""
+    st = table_stats(table)
+    report: Dict = {"version_before": st["version"], "actions": [],
+                    "stats": st}
+    drift = None
+    if zorder_by:
+        drift = clustering_drift(table, zorder_by)
+        report["clustering_drift"] = round(drift, 3)
+    if zorder_by and drift is not None and drift > max_drift:
+        v = optimize_zorder(spark, table, list(zorder_by))
+        report["actions"].append(
+            {"op": "optimize_zorder", "version": v,
+             "reason": f"drift {drift:.2f} > {max_drift}"})
+    elif (st["max_files_per_bucket"] > max_files_per_bucket
+            or st["n_delete_vectors"] > 0):
+        v = compact(spark, table, max_files_per_bucket=max_files_per_bucket)
+        if v != st["version"]:
+            report["actions"].append(
+                {"op": "compact", "version": v,
+                 "reason": (f"max_files_per_bucket "
+                            f"{st['max_files_per_bucket']} > "
+                            f"{max_files_per_bucket}"
+                            if st["max_files_per_bucket"]
+                            > max_files_per_bucket
+                            else f"{st['n_delete_vectors']} pending DVs")})
+    removed = vacuum(table, keep_versions=keep_versions,
+                     min_file_age_seconds=min_file_age_seconds)
+    if removed:
+        report["actions"].append({"op": "vacuum", "removed": len(removed)})
+    report["version_after"] = current_version(table)
+    return report

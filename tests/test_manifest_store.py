@@ -1085,3 +1085,43 @@ def test_restore_on_shallow_clone_validates_ext_refs(spark, tmp_path):
     v = ms.restore_table(dst, 0)  # must see src's files through ext refs
     assert v == 2
     assert ms.read_table(spark, dst).count() == 2
+
+
+# --- maintain_table (policy-driven OPTIMIZE/VACUUM scheduler) ---
+
+
+def test_maintain_detects_drift_reclusters_then_noops(spark, tmp_path):
+    table = str(tmp_path / "mt")
+    df = _zorder_rows(spark, 4000)
+    ms.write_table(df, table)
+    ms.append_table(_zorder_rows(spark, 4000).withColumn(
+        "documentid", F.concat(F.lit("e"), "documentid")), table)
+
+    drift0 = ms.clustering_drift(table, ["x", "y"])
+    assert drift0 > 0.5  # random appends: loose in both dims
+
+    rep = ms.maintain_table(spark, table, zorder_by=["x", "y"],
+                            keep_versions=1, min_file_age_seconds=0)
+    ops = [a["op"] for a in rep["actions"]]
+    assert "optimize_zorder" in ops and "vacuum" in ops
+    assert ms.clustering_drift(table, ["x", "y"]) <= 0.5
+    assert ms.read_table(spark, table).count() == 8000  # content intact
+
+    # healthy table: second run is metadata-only, no actions
+    rep2 = ms.maintain_table(spark, table, zorder_by=["x", "y"],
+                             keep_versions=1, min_file_age_seconds=0)
+    assert rep2["actions"] == []
+    assert rep2["version_after"] == rep["version_after"]
+
+
+def test_maintain_compacts_small_files_without_zorder(spark, tmp_path):
+    table = str(tmp_path / "mt2")
+    same_bucket = ["doc4", "doc39", "doc47", "doc117", "doc169", "doc181"]
+    ms.write_table(records_df(spark, {same_bucket[0]: ["v0"]}), table)
+    for d in same_bucket[1:]:
+        ms.append_table(records_df(spark, {d: [f"x-{d}"]}), table)
+    assert ms.table_stats(table)["max_files_per_bucket"] > 4
+    rep = ms.maintain_table(spark, table, min_file_age_seconds=0)
+    assert [a["op"] for a in rep["actions"]][0] == "compact"
+    assert ms.table_stats(table)["max_files_per_bucket"] <= 4
+    assert ms.read_table(spark, table).count() == 6
