@@ -6596,6 +6596,46 @@ SELECT prompt_id, completion, score, rank FROM r WHERE rank <= 2
 """
 
 
+def q_lakehouse_maintenance(spark, sf):
+    """Policy-driven maintenance (sinks/manifest_store.py::
+    maintain_table): two unclustered event commits push clustering_drift
+    (metadata-only loose-file fraction) past the threshold; maintain
+    re-clusters via optimize_zorder (materializing the pending deletes),
+    vacuums history, and a second call no-ops. Layout changes only —
+    the oracle restates the surviving rows over raw events."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias("documentid"),
+        "user_id", "value")
+    eid = F.col("documentid").cast("long")
+    table = tempfile.mkdtemp(prefix="maint_lh_") + "/t"
+    ms.write_table(ev.filter(eid % 2 == 0), table)
+    ms.append_table(ev.filter(eid % 2 == 1), table)
+    ms.delete_documents(
+        spark, table,
+        [r[0] for r in ev.filter(eid % 13 == 0)
+         .select("documentid").collect()])
+    rep = ms.maintain_table(spark, table, zorder_by=["user_id", "value"],
+                            keep_versions=1, min_file_age_seconds=0)
+    assert any(a["op"] == "optimize_zorder" for a in rep["actions"])
+    rep2 = ms.maintain_table(spark, table, zorder_by=["user_id", "value"],
+                             keep_versions=1, min_file_age_seconds=0)
+    assert rep2["actions"] == []
+    return ms.read_table(spark, table).select(
+        "documentid", "user_id",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"))
+
+
+ORACLE_MAINTENANCE = """
+SELECT CAST(event_id AS VARCHAR) AS documentid, user_id,
+       round(value, 6) + 0.0 AS value
+FROM events WHERE event_id % 13 <> 0
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -7352,6 +7392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
         "sft_preference_pairs": q_preference_pairs,
         "sft_best_of_n": q_best_of_n,
+        "lakehouse_maintenance": q_lakehouse_maintenance,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7664,6 +7705,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_encode_roundtrip": ORACLE_BPE_ENCODE,
         "sft_preference_pairs": ORACLE_PREF_PAIRS,
         "sft_best_of_n": ORACLE_BEST_OF_N,
+        "lakehouse_maintenance": ORACLE_MAINTENANCE,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

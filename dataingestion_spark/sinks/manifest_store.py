@@ -1692,41 +1692,39 @@ def drop_constraint(table: str, name: str) -> int:
 
 
 def clustering_drift(table: str, by: List[str]) -> float:
-    """Fraction of data files that are LOOSE in every ``by`` dimension
-    (per-file [min,max] spans more than half the table's global range in
-    each column) — a metadata-only clustering-health signal. Freshly
-    appended unclustered files are loose in all dimensions; files cut by
-    :func:`optimize_zorder` are tight in at least one. 0.0 = fully
-    clustered, 1.0 = every file would survive no multi-dim pruning.
-    Files without stats count as loose (they can't prune)."""
+    """Average same-bucket file-overlap fraction in the ``by`` dimensions
+    — a metadata-only clustering-health signal in [0, 1]. For every pair
+    of files sharing a bucket, they "overlap" when their per-file
+    [min,max] stats intersect in EVERY listed column (the condition
+    under which a multi-dim predicate cannot separate them). Freshly
+    appended random files overlap almost everything (→ 1.0); files cut
+    by :func:`optimize_zorder` have disjoint bounding boxes by
+    construction (value-aligned slices partition the space, → ~0.0).
+    Robust to skewed value distributions, unlike a global-span ratio —
+    overlap is relative to neighbors, not to the global range. Files
+    without stats overlap everything. O(Σ files_per_bucket²) manifest
+    arithmetic, no data IO; single-file buckets contribute nothing."""
     manifest = read_manifest(table)
     meta = _manifest_meta(manifest)
-    names = [n for ns in manifest["buckets"].values() for n in ns]
-    if not names:
-        return 0.0
-    glo: Dict[str, List[float]] = {}
-    for c in by:
-        rngs = [meta["stats"].get(n, {}).get("cols", {}).get(c)
-                for n in names]
-        vals = [r for r in rngs if r is not None
-                and isinstance(r[0], (int, float))]
-        if not vals:
-            return 1.0  # no stats at all: nothing can prune
-        glo[c] = [min(v[0] for v in vals), max(v[1] for v in vals)]
-    loose = 0
-    for n in names:
-        cols = meta["stats"].get(n, {}).get("cols", {})
-        is_loose = True
-        for c in by:
-            r = cols.get(c)
-            lo, hi = glo[c]
-            span = (hi - lo) or 1
-            if r is not None and isinstance(r[0], (int, float)) \
-                    and (r[1] - r[0]) / span <= 0.5:
-                is_loose = False  # tight in this dimension: prunable
-                break
-        loose += is_loose
-    return loose / len(names)
+    pairs = overlaps = 0
+    for names in manifest["buckets"].values():
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                pairs += 1
+                hit = True
+                for c in by:
+                    a = meta["stats"].get(names[i], {}).get("cols", {}).get(c)
+                    b = meta["stats"].get(names[j], {}).get("cols", {}).get(c)
+                    if a is None or b is None:
+                        continue  # statless: cannot separate -> overlaps
+                    try:
+                        if a[0] > b[1] or b[0] > a[1]:
+                            hit = False
+                            break
+                    except TypeError:
+                        continue
+                overlaps += hit
+    return overlaps / pairs if pairs else 0.0
 
 
 def maintain_table(spark, table: str, *,
