@@ -1554,6 +1554,18 @@ def clone_table(src: str, dst: str, version: Optional[int] = None,
             if data is None:
                 raise FileNotFoundError(_join(src_files, n))
             dbe.write_bytes(_join(dst, "files", n), data)
+    # SHIFT copied sequence numbers BELOW zero (order-preserving): seq
+    # values in the source ran up to src's version, but the clone's own
+    # commits restart at version 1 — copied verbatim, a fresh DV commit
+    # on the clone (seq 1) would rank BELOW copied data files (seq up to
+    # src version) and the strictly-smaller delete rule would silently
+    # no-op it. Shifting all copied seqs by -(max+1) keeps every copied
+    # DV/data relationship intact while guaranteeing any new commit
+    # supersedes the cloned snapshot.
+    seqs = {n: int(meta["seq"].get(n, 0)) for n in names}  # default-0 files
+    if seqs:                                               # shift with the rest
+        shift = max(seqs.values()) + 1
+        meta["seq"] = {n: v - shift for n, v in seqs.items()}
     extra = {k: v for k, v in meta.items() if v}
     extra.pop("txn", None)  # a clone starts with no writer watermarks
     extra["cloned_from"] = {"table": src, "version": man["version"],

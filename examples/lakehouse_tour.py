@@ -91,6 +91,37 @@ def main():
     print(f"compact+vacuum: {len(removed)} unreachable files removed, "
           f"{n_files(table)} live")
 
+    # --- round-6 ops ---
+
+    # CHECK constraint: a bad batch is rejected atomically
+    ms.add_constraint(spark, table, "chars_nonneg", "n_chars >= 0")
+    try:
+        ms.append_table(
+            docs.limit(3).withColumn("documentid",
+                                     F.concat(F.lit("bad-"), "documentid"))
+            .withColumn("n_chars", F.lit(-1)), table)
+    except ms.ConstraintViolation as e:
+        print("constraint rejected bad batch:", str(e)[:80], "...")
+
+    # zero-copy branch: experiment on a clone, prod untouched
+    dev = tempfile.mkdtemp(prefix="tour_dev_") + "/t"
+    ms.clone_table(table, dev)
+    import os as _os
+
+    print("shallow clone: data files copied =",
+          len(_os.listdir(_os.path.join(dev, "files"))))
+    ms.delete_documents(spark, dev, ["20", "21", "22"])
+    print("dev diverged:", ms.read_table(spark, dev).count(),
+          "rows vs prod", ms.read_table(spark, table).count())
+
+    # RESTORE: undo the dev deletes as a metadata-only commit
+    ms.restore_table(dev, 0)
+    print("dev restored:", ms.read_table(spark, dev).count(), "rows")
+
+    # policy maintenance: metadata-only decisions, data moves on triggers
+    rep = ms.maintain_table(spark, table, min_file_age_seconds=0)
+    print("maintenance report:", rep["actions"] or "healthy, no-op")
+
 
 if __name__ == "__main__":
     main()

@@ -1125,3 +1125,32 @@ def test_maintain_compacts_small_files_without_zorder(spark, tmp_path):
     assert [a["op"] for a in rep["actions"]][0] == "compact"
     assert ms.table_stats(table)["max_files_per_bucket"] <= 4
     assert ms.read_table(spark, table).count() == 6
+
+
+def test_clone_of_multi_commit_source_accepts_new_deletes(spark, tmp_path):
+    # REGRESSION (found by the lakehouse tour): copied seq numbers from a
+    # multi-commit source outrank the clone's fresh version counter, so a
+    # new DV commit on the clone was a silent no-op. Copied seqs must
+    # shift below zero, preserving copied DV/data ordering.
+    src = str(tmp_path / "csrc8")
+    dst = str(tmp_path / "cdst8")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"]}), src)
+    ms.append_table(records_df(spark, {"c": ["c0"]}), src)     # seq 1
+    ms.incremental_replace(records_df(spark, {"b": ["b1"]}), src,
+                           mode="dv")                          # seq 2 + DV
+    ms.append_table(records_df(spark, {"d": ["d0"]}), src)     # seq 3
+    assert ms.current_version(src) == 3
+    ms.clone_table(src, dst)
+    # copied DV must still kill the OLD b0 row (relative order preserved)
+    assert {r.content for r in ms.read_table(spark, dst).collect()} \
+        == {"a0", "b1", "c0", "d0"}
+    # a fresh delete on the clone must take effect (seq 1 > shifted seqs)
+    ms.delete_documents(spark, dst, ["c", "d"])
+    assert {r.content for r in ms.read_table(spark, dst).collect()} \
+        == {"a0", "b1"}
+    # and a fresh replace supersedes cloned rows
+    ms.incremental_replace(records_df(spark, {"a": ["a2"]}), dst, mode="dv")
+    assert {r.content for r in ms.read_table(spark, dst).collect()} \
+        == {"a2", "b1"}
+    # source untouched throughout
+    assert ms.read_table(spark, src).count() == 4
