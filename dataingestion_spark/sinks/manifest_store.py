@@ -177,7 +177,7 @@ def _bloom_maybe_contains(bloom_hex: str, doc_id: str) -> bool:
 
 def _commit(table: str, version: int, buckets: Dict[str, List[str]],
             expected_current: Optional[int] = None,
-            extra: Optional[Dict] = None) -> int:
+            extra: Optional[Dict] = None, op: Optional[str] = None) -> int:
     """Optimistic-concurrency commit. The CONDITIONAL PUT of the
     manifest file is the commit point: data files are fully written
     before ``_commit`` is called (insert-before-swap ordering), the
@@ -203,6 +203,7 @@ def _commit(table: str, version: int, buckets: Dict[str, List[str]],
             f"table advanced past version {expected_current}; retry the write"
         )
     payload = json.dumps({"version": version, "buckets": buckets,
+                          **({"op": op} if op else {}),
                           **(extra or {})})
     if not be.put_if_absent(_manifest_path(table, version), payload):
         existing = be.read_text(_manifest_path(table, version))
@@ -662,7 +663,7 @@ def write_table(records: DataFrame, table: str, txn=None) -> int:
     buckets = _write_bucket_files(records, table, token, stats=stats)
     version = 0 if cv is None else cv + 1
     version = _commit(
-        table, version, buckets, expected_current=cv,
+        table, version, buckets, expected_current=cv, op="WRITE",
         extra={"seq": {n: version for names in buckets.values() for n in names},
                "stats": stats,
                "schema": records.schema.jsonValue()["fields"],
@@ -867,7 +868,7 @@ def incremental_replace(records: DataFrame, table: str, mode: str = "rewrite",
     # the rewrite applied any pending deletes for these buckets
     meta["deletes"] = {b: v for b, v in meta["deletes"].items() if b not in affected}
     return _commit(table, version, buckets, expected_current=manifest["version"],
-                   extra=_prune_meta(meta, buckets))
+                   extra=_prune_meta(meta, buckets), op="REPLACE")
 
 
 def _replace_with_dv(records: DataFrame, table: str, txn=None) -> int:
@@ -901,7 +902,7 @@ def _replace_with_dv(records: DataFrame, table: str, txn=None) -> int:
             for n in names:
                 _data_delete(table, n)
     return _commit(table, version, buckets, expected_current=manifest["version"],
-                   extra=_prune_meta(meta, buckets))
+                   extra=_prune_meta(meta, buckets), op="REPLACE_DV")
 
 
 def delete_documents(spark, table: str, doc_ids: List[str]) -> int:
@@ -925,7 +926,7 @@ def delete_documents(spark, table: str, doc_ids: List[str]) -> int:
                 _data_delete(table, n)
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     return _commit(table, version, buckets, expected_current=manifest["version"],
-                   extra=_prune_meta(meta, buckets))
+                   extra=_prune_meta(meta, buckets), op="DELETE")
 
 
 def append_table(records: DataFrame, table: str, txn=None) -> int:
@@ -952,7 +953,7 @@ def append_table(records: DataFrame, table: str, txn=None) -> int:
         buckets.setdefault(b, []).extend(names)
         meta["seq"].update({n: version for n in names})
     return _commit(table, version, buckets, expected_current=manifest["version"],
-                   extra=_prune_meta(meta, buckets))
+                   extra=_prune_meta(meta, buckets), op="APPEND")
 
 
 def _merge_target_files(manifest: Dict, meta: Dict, existing, precheck):
@@ -1088,7 +1089,8 @@ def merge_table(source: DataFrame, table: str,
                     _data_delete(table, n)
         return _commit(table, version, buckets,
                        expected_current=manifest["version"],
-                       extra=_prune_meta(meta, buckets))
+                       extra=_prune_meta(meta, buckets),
+                       op="MERGE_DELETE")
     tgt = tgt_keys = None
     if existing:
         tgt_files = _merge_target_files(manifest, meta, existing, precheck)
@@ -1187,7 +1189,7 @@ def merge_table(source: DataFrame, table: str,
             for n in names:
                 _data_delete(table, n)
     return _commit(table, version, buckets, expected_current=manifest["version"],
-                   extra=_prune_meta(meta, buckets))
+                   extra=_prune_meta(meta, buckets), op="MERGE")
 
 
 def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
@@ -1220,11 +1222,12 @@ def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
         b: v for b, v in meta["deletes"].items() if b not in to_compact
     }
     return _commit(table, version, buckets, expected_current=manifest["version"],
-                   extra=_prune_meta(meta, buckets))
+                   extra=_prune_meta(meta, buckets), op="COMPACT")
 
 
 def vacuum(table: str, keep_versions: int = 1,
-           min_file_age_seconds: float = 86400.0) -> List[str]:
+           min_file_age_seconds: float = 86400.0,
+           dry_run: bool = False) -> List[str]:
     """Delete files unreachable from the newest ``keep_versions`` manifests
     and drop manifests older than them. Versions ABOVE the live one (a
     racing writer's in-flight commit, or a crashed writer's orphan) are left
@@ -1237,7 +1240,8 @@ def vacuum(table: str, keep_versions: int = 1,
     next manifest, and an unguarded vacuum in that gap would delete the
     files out from under a commit that is about to succeed. Pass 0 only
     when no other writer can be active. Files whose age cannot be
-    determined are kept."""
+    determined are kept. ``dry_run=True`` returns what WOULD be deleted
+    without touching anything — the audit step before a real vacuum."""
     import time as _time
 
     be = backend_for(table)
@@ -1276,11 +1280,13 @@ def vacuum(table: str, keep_versions: int = 1,
                     continue  # age unknown: keep, stay safe
                 if now - age_at < min_file_age_seconds:
                     continue
-            dbe.delete(_join(files_dir, name))
+            if not dry_run:
+                dbe.delete(_join(files_dir, name))
             removed.append(name)
-    for v in on_disk:
-        if v not in protected:
-            be.delete(_manifest_path(table, v))
+    if not dry_run:
+        for v in on_disk:
+            if v not in protected:
+                be.delete(_manifest_path(table, v))
     return removed
 
 
@@ -1439,7 +1445,8 @@ def sync_table(spark, src: str, dst: str) -> int:
                           {b: list(n) for b, n in man["buckets"].items()},
                           expected_current=man["version"],
                           extra=_prune_meta(meta, {b: list(n) for b, n
-                                                   in man["buckets"].items()}))
+                                                   in man["buckets"].items()}),
+                          op="SYNC_STAMP")
     return version
 
 
@@ -1493,7 +1500,8 @@ def restore_table(table: str, version: int, validate: bool = True) -> int:
                 f"cannot restore {table} to version {version}: "
                 f"{len(missing)} data file(s) were vacuumed "
                 f"(first: {missing[0]})")
-    extra = {k: v for k, v in old.items() if k not in ("version", "txn")}
+    extra = {k: v for k, v in old.items()
+             if k not in ("version", "txn", "op")}
     txn_map = dict(head.get("txn", {}))
     if txn_map:
         extra["txn"] = txn_map
@@ -1501,7 +1509,8 @@ def restore_table(table: str, version: int, validate: bool = True) -> int:
         extra.pop("txn", None)
     return _commit(table, head["version"] + 1,
                    extra.pop("buckets"),
-                   expected_current=head["version"], extra=extra)
+                   expected_current=head["version"], extra=extra,
+                   op="RESTORE")
 
 
 def clone_table(src: str, dst: str, version: Optional[int] = None,
@@ -1571,7 +1580,7 @@ def clone_table(src: str, dst: str, version: Optional[int] = None,
     extra["cloned_from"] = {"table": src, "version": man["version"],
                             "shallow": shallow}
     return _commit(dst, 0, {b: list(ns) for b, ns in man["buckets"].items()},
-                   extra=extra)
+                   extra=extra, op="CLONE")
 
 
 def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
@@ -1666,7 +1675,8 @@ def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
     meta["deletes"] = {}
     return _commit(table, version, new_buckets,
                    expected_current=manifest["version"],
-                   extra=_prune_meta(meta, new_buckets))
+                   extra=_prune_meta(meta, new_buckets),
+                   op="OPTIMIZE_ZORDER")
 
 
 def add_constraint(spark, table: str, name: str, expr: str) -> int:
@@ -1687,7 +1697,7 @@ def add_constraint(spark, table: str, name: str, expr: str) -> int:
     buckets = {b: list(ns) for b, ns in manifest["buckets"].items()}
     return _commit(table, manifest["version"] + 1, buckets,
                    expected_current=manifest["version"],
-                   extra=_prune_meta(meta, buckets))
+                   extra=_prune_meta(meta, buckets), op="ADD_CONSTRAINT")
 
 
 def drop_constraint(table: str, name: str) -> int:
@@ -1700,7 +1710,7 @@ def drop_constraint(table: str, name: str) -> int:
     buckets = {b: list(ns) for b, ns in manifest["buckets"].items()}
     return _commit(table, manifest["version"] + 1, buckets,
                    expected_current=manifest["version"],
-                   extra=_prune_meta(meta, buckets))
+                   extra=_prune_meta(meta, buckets), op="DROP_CONSTRAINT")
 
 
 def clustering_drift(table: str, by: List[str]) -> float:
@@ -1789,3 +1799,38 @@ def maintain_table(spark, table: str, *,
         report["actions"].append({"op": "vacuum", "removed": len(removed)})
     report["version_after"] = current_version(table)
     return report
+
+
+def table_history(table: str, limit: Optional[int] = None) -> List[Dict]:
+    """Delta ``DESCRIBE HISTORY`` analog: the commit log, newest first —
+    version, operation label (recorded at commit time), file/row/DV
+    counts from manifest metadata. Vacuumed versions vanish from history
+    like their manifests. O(manifests read), no data IO."""
+    be = backend_for(table)
+    live = current_version(table)
+    if live is None:
+        return []
+    out = []
+    for v in range(live, -1, -1):
+        if limit is not None and len(out) >= limit:
+            break
+        try:
+            m = read_manifest(table, v)
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue  # vacuumed (or orphaned) version
+        meta = _manifest_meta(m)
+        files = [n for ns in m["buckets"].values() for n in ns]
+        rows = [meta["stats"].get(n, {}).get("rows") for n in files]
+        entry = {
+            "version": v,
+            "op": m.get("op", "UNKNOWN"),
+            "n_files": len(files),
+            "n_rows_known": sum(r for r in rows if r is not None),
+            "n_delete_vectors": sum(len(x) for x in meta["deletes"].values()),
+        }
+        if "cloned_from" in m:
+            entry["cloned_from"] = m["cloned_from"]
+        if meta["constraints"]:
+            entry["constraints"] = sorted(meta["constraints"])
+        out.append(entry)
+    return out

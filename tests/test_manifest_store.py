@@ -1154,3 +1154,30 @@ def test_clone_of_multi_commit_source_accepts_new_deletes(spark, tmp_path):
         == {"a2", "b1"}
     # source untouched throughout
     assert ms.read_table(spark, src).count() == 4
+
+
+def test_table_history_records_ops_and_dry_run_vacuum(spark, tmp_path):
+    table = str(tmp_path / "hist")
+    ms.write_table(records_df(spark, {"a": ["a0"], "b": ["b0"]}), table)
+    ms.append_table(records_df(spark, {"c": ["c0"]}), table)
+    ms.delete_documents(spark, table, ["b"])
+    ms.merge_table(records_df(spark, {"d": ["d0"]}), table)
+    ms.add_constraint(spark, table, "nonempty", "length(content) > 0")
+    ms.restore_table(table, 1)
+    hist = ms.table_history(table)
+    assert [h["op"] for h in hist] == [
+        "RESTORE", "ADD_CONSTRAINT", "MERGE", "DELETE", "APPEND", "WRITE"]
+    assert hist[0]["version"] == 5
+    assert hist[1]["constraints"] == ["nonempty"]
+    assert ms.table_history(table, limit=2)[-1]["op"] == "ADD_CONSTRAINT"
+
+    would = ms.vacuum(table, keep_versions=1, min_file_age_seconds=0,
+                      dry_run=True)
+    import os
+
+    files_before = set(os.listdir(os.path.join(table, "files")))
+    assert would  # something is unreachable from the restored head...
+    assert set(os.listdir(os.path.join(table, "files"))) == files_before
+    assert len(ms.table_history(table)) == 6  # manifests untouched too
+    real = ms.vacuum(table, keep_versions=1, min_file_age_seconds=0)
+    assert sorted(real) == sorted(would)  # the dry run told the truth
