@@ -6636,6 +6636,44 @@ FROM events WHERE event_id % 13 <> 0
 """
 
 
+def q_lakehouse_bloom_read(spark, sf):
+    """Bloom-indexed equality skipping (sinks/manifest_store.py::
+    set_bloom_columns): documents get a synthetic high-cardinality url
+    (md5(doc_id) — identical in both engines), the url column is
+    declared bloom-indexed, a compact back-fills per-file blooms, and
+    the point read prunes to ~the one file that can contain the value
+    before any footer IO. Equivalent by construction to
+    read-then-filter; the oracle restates the md5 point predicate."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "lang", F.col("n_chars").cast("long").alias("n_chars"),
+    ).withColumn("url", F.concat(F.lit("https://x/"),
+                                 F.md5(F.col("documentid"))))
+    table = tempfile.mkdtemp(prefix="bloom_lh_") + "/t"
+    ms.write_table(docs, table)
+    ms.set_bloom_columns(table, ["url"])
+    ms.compact(spark, table, max_files_per_bucket=0)  # back-fill blooms
+    import hashlib
+
+    target = "https://x/" + hashlib.md5(b"7").hexdigest()
+    out = ms.read_table_where(spark, table, [("url", "=", target)])
+    return out.select("documentid", "lang", "n_chars", "url")
+
+
+ORACLE_BLOOM_READ = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid, lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       'https://x/' || md5(CAST(doc_id AS VARCHAR)) AS url
+FROM documents
+WHERE 'https://x/' || md5(CAST(doc_id AS VARCHAR))
+      = 'https://x/' || md5('7')
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -7393,6 +7431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_preference_pairs": q_preference_pairs,
         "sft_best_of_n": q_best_of_n,
         "lakehouse_maintenance": q_lakehouse_maintenance,
+        "lakehouse_bloom_read": q_lakehouse_bloom_read,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7706,6 +7745,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_preference_pairs": ORACLE_PREF_PAIRS,
         "sft_best_of_n": ORACLE_BEST_OF_N,
         "lakehouse_maintenance": ORACLE_MAINTENANCE,
+        "lakehouse_bloom_read": ORACLE_BLOOM_READ,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

@@ -235,7 +235,8 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
                         single_task: bool = False,
                         derive_deletes: bool = False,
                         split_col: Optional[str] = None,
-                        sort_col: Optional[str] = None):
+                        sort_col: Optional[str] = None,
+                        bloom_cols: Optional[List[str]] = None):
     """Write records (must carry doc_bucket) grouped per bucket; returns
     bucket -> new file names.
 
@@ -354,6 +355,17 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
                                 pass
                         if cols:
                             stat["cols"] = cols
+                    if vals and bloom_cols:
+                        blooms = {}
+                        for bc in bloom_cols:
+                            if bc not in tbl.column_names:
+                                continue
+                            bvals = [str(x) for x in tbl[bc].to_pylist()
+                                     if x is not None]
+                            if bvals:
+                                blooms[bc] = _bloom_build(bvals)
+                        if blooms:
+                            stat["blooms"] = blooms
                     st = _json.dumps(stat)
                 except Exception:
                     st = ""
@@ -423,6 +435,9 @@ def _manifest_meta(manifest: Dict) -> Dict:
         # constraint name -> SQL boolean expr every data-adding commit
         # must satisfy (Delta CHECK constraints; NULL passes, SQL style)
         "constraints": dict(manifest.get("constraints", {})),
+        # columns whose per-file Bloom filters are recorded at write time
+        # (equality skipping on high-cardinality non-key columns)
+        "bloom_cols": list(manifest.get("bloom_cols", [])),
     }
 
 
@@ -492,6 +507,8 @@ def _prune_meta(meta: Dict, buckets: Dict[str, List[str]]) -> Dict:
         meta.pop("ext")
     if not meta["constraints"]:
         meta.pop("constraints")
+    if not meta["bloom_cols"]:
+        meta.pop("bloom_cols")
     return meta
 
 
@@ -648,19 +665,22 @@ def write_table(records: DataFrame, table: str, txn=None) -> int:
     cv = current_version(table)
     txn_map: Dict[str, int] = {}
     cons: Dict[str, str] = {}
+    bcols: List[str] = []
     if cv is not None:
         prior = read_manifest(table)
         if _txn_applied(prior, txn):
             return prior["version"]
         txn_map = {str(a): int(e) for a, e in prior.get("txn", {}).items()}
         cons = dict(prior.get("constraints", {}))
+        bcols = list(prior.get("bloom_cols", []))
     if txn is not None:
         txn_map[str(txn[0])] = int(txn[1])
     _enforce_constraints(records, cons)
     records = records.withColumn("doc_bucket", _bucket_col())
     token = uuid.uuid4().hex[:8]
     stats: Dict[str, Dict] = {}
-    buckets = _write_bucket_files(records, table, token, stats=stats)
+    buckets = _write_bucket_files(records, table, token, stats=stats,
+                                  bloom_cols=bcols)
     version = 0 if cv is None else cv + 1
     version = _commit(
         table, version, buckets, expected_current=cv, op="WRITE",
@@ -668,7 +688,8 @@ def write_table(records: DataFrame, table: str, txn=None) -> int:
                "stats": stats,
                "schema": records.schema.jsonValue()["fields"],
                **({"txn": txn_map} if txn_map else {}),
-               **({"constraints": cons} if cons else {})},
+               **({"constraints": cons} if cons else {}),
+               **({"bloom_cols": bcols} if bcols else {})},
     )
     return version
 
@@ -686,6 +707,10 @@ def _file_may_match(stat: Dict, col: str, op: str, value) -> bool:
     True (must read) unless the [min,max] range PROVES no row matches.
     Files without stats for the column always read — skipping is an
     optimization, never a correctness gate."""
+    if op == "=":
+        bloom = (stat or {}).get("blooms", {}).get(col)
+        if bloom is not None and not _bloom_maybe_contains(bloom, str(value)):
+            return False  # bloom proves absence: skip regardless of range
     rng = (stat or {}).get("cols", {}).get(col)
     if not rng:
         return True
@@ -858,7 +883,8 @@ def incremental_replace(records: DataFrame, table: str, mode: str = "rewrite",
     version = manifest["version"] + 1
     _seed_schema(spark, table, manifest, meta)
     _schema_union(meta, merged)
-    new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"])
+    new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"],
+                                      bloom_cols=meta["bloom_cols"])
     buckets = {
         b: names for b, names in manifest["buckets"].items() if b not in affected
     }
@@ -889,7 +915,8 @@ def _replace_with_dv(records: DataFrame, table: str, txn=None) -> int:
     _schema_union(meta, records)
     # one job for data files AND delete vectors (see _write_bucket_files)
     new_buckets, del_buckets = _write_bucket_files(
-        records, table, token, stats=meta["stats"], derive_deletes=True)
+        records, table, token, stats=meta["stats"], derive_deletes=True,
+        bloom_cols=meta["bloom_cols"])
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     for b, names in new_buckets.items():
         buckets.setdefault(b, []).extend(names)
@@ -947,7 +974,9 @@ def append_table(records: DataFrame, table: str, txn=None) -> int:
     token = uuid.uuid4().hex[:8]
     _seed_schema(records.sparkSession, table, manifest, meta)
     _schema_union(meta, records)
-    new_buckets = _write_bucket_files(records, table, token, stats=meta["stats"])
+    new_buckets = _write_bucket_files(records, table, token,
+                                      stats=meta["stats"],
+                                      bloom_cols=meta["bloom_cols"])
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     for b, names in new_buckets.items():
         buckets.setdefault(b, []).extend(names)
@@ -1164,11 +1193,12 @@ def merge_table(source: DataFrame, table: str,
             # the second write job's overhead dominated small-batch merges
             new_buckets, del_buckets = _write_bucket_files(
                 new_rows, table, token, stats=meta["stats"],
-                derive_deletes=True)
+                derive_deletes=True, bloom_cols=meta["bloom_cols"])
             del_df = None  # consumed
         else:
             new_buckets = _write_bucket_files(new_rows, table, token,
-                                              stats=meta["stats"])
+                                              stats=meta["stats"],
+                                              bloom_cols=meta["bloom_cols"])
     if del_df is not None:
         # delete-clause DVs (ids NOT among the written rows). NOT
         # single_task: coalesce(1) would propagate up through the
@@ -1211,7 +1241,8 @@ def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
     version = manifest["version"] + 1
     _seed_schema(spark, table, manifest, meta)
     _schema_union(meta, merged)
-    new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"])
+    new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"],
+                                      bloom_cols=meta["bloom_cols"])
     buckets = {
         b: names for b, names in manifest["buckets"].items() if b not in to_compact
     }
@@ -1670,7 +1701,8 @@ def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
     meta["stats"] = {}
     new_buckets = _write_bucket_files(clustered, table, token,
                                       stats=meta["stats"],
-                                      split_col="_zslice", sort_col="_zkey")
+                                      split_col="_zslice", sort_col="_zkey",
+                                      bloom_cols=meta["bloom_cols"])
     meta["seq"] = {n: version for ns in new_buckets.values() for n in ns}
     meta["deletes"] = {}
     return _commit(table, version, new_buckets,
@@ -1834,3 +1866,20 @@ def table_history(table: str, limit: Optional[int] = None) -> List[Dict]:
             entry["constraints"] = sorted(meta["constraints"])
         out.append(entry)
     return out
+
+
+def set_bloom_columns(table: str, cols: List[str]) -> int:
+    """Declare columns to carry per-file Bloom filters from the NEXT
+    write on (equality skipping for high-cardinality non-key columns —
+    a `url = ...` point read on a 100 TB corpus should open ~0 files
+    that can't contain it; min/max ranges barely prune such columns).
+    Existing files simply lack blooms and keep reading (skipping is
+    never a correctness gate); a :func:`compact` / :func:`optimize_zorder`
+    rewrite back-fills them. Metadata-only commit."""
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    meta["bloom_cols"] = sorted(set(meta["bloom_cols"]) | set(cols))
+    buckets = {b: list(ns) for b, ns in manifest["buckets"].items()}
+    return _commit(table, manifest["version"] + 1, buckets,
+                   expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets), op="SET_BLOOM_COLUMNS")

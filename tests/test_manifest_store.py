@@ -1181,3 +1181,43 @@ def test_table_history_records_ops_and_dry_run_vacuum(spark, tmp_path):
     assert len(ms.table_history(table)) == 6  # manifests untouched too
     real = ms.vacuum(table, keep_versions=1, min_file_age_seconds=0)
     assert sorted(real) == sorted(would)  # the dry run told the truth
+
+
+def test_bloom_columns_prune_equality_reads(spark, tmp_path):
+    table = str(tmp_path / "bl")
+    rows = [(f"d{i:04d}", f"https://site-{i % 97}.example/p{i}")
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "documentid string, url string")
+    ms.write_table(df, table)
+    ms.set_bloom_columns(table, ["url"])
+    # pre-declaration files have no blooms: everything still reads
+    _, ch0 = ms.candidate_files_where(
+        table, [("url", "=", "https://site-5.example/p5")])
+    n0 = sum(len(v) for v in ch0.values())
+    assert n0 == ms.table_stats(table)["n_files"] or n0 > 0
+
+    # a rewrite back-fills blooms for every file
+    ms.compact(spark, table, max_files_per_bucket=0)
+    target = "https://site-5.example/p5"
+    _, ch1 = ms.candidate_files_where(table, [("url", "=", target)])
+    n1 = sum(len(v) for v in ch1.values())
+    total = ms.table_stats(table)["n_files"]
+    assert 1 <= n1 <= max(3, total // 8)  # bloom prunes to ~the one file
+
+    # correctness: the pruned read returns exactly the row
+    got = ms.read_table_where(spark, table, [("url", "=", target)])
+    assert [r.documentid for r in got.collect()] == ["d0005"]
+    # absent value: bloom proves absence across all files
+    _, ch2 = ms.candidate_files_where(
+        table, [("url", "=", "https://nope.example/x")])
+    assert sum(len(v) for v in ch2.values()) <= total // 8
+    assert ms.read_table_where(
+        spark, table, [("url", "=", "https://nope.example/x")]).count() == 0
+
+    # appends after declaration carry blooms immediately
+    ms.append_table(spark.createDataFrame(
+        [("zz1", "https://fresh.example/1")],
+        "documentid string, url string"), table)
+    _, ch3 = ms.candidate_files_where(
+        table, [("url", "=", "https://fresh.example/1")])
+    assert 1 <= sum(len(v) for v in ch3.values()) <= max(3, total // 8)
