@@ -202,7 +202,10 @@ def _commit(table: str, version: int, buckets: Dict[str, List[str]],
         raise ConcurrentWriteError(
             f"table advanced past version {expected_current}; retry the write"
         )
+    import time as _time
+
     payload = json.dumps({"version": version, "buckets": buckets,
+                          "ts": round(_time.time(), 3),
                           **({"op": op} if op else {}),
                           **(extra or {})})
     if not be.put_if_absent(_manifest_path(table, version), payload):
@@ -694,7 +697,34 @@ def write_table(records: DataFrame, table: str, txn=None) -> int:
     return version
 
 
-def read_table(spark, table: str, version: Optional[int] = None) -> DataFrame:
+def version_at_timestamp(table: str, ts: float) -> int:
+    """Newest committed version whose commit time is <= ``ts`` (Delta
+    ``TIMESTAMP AS OF``). Commit times are recorded in each manifest;
+    pre-timestamp manifests count as time 0 (always eligible)."""
+    live = current_version(table)
+    if live is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    best = None
+    for v in range(live, -1, -1):
+        try:
+            m = read_manifest(table, v)
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
+        if float(m.get("ts", 0.0)) <= ts:
+            best = v
+            break  # commit times are monotone along the log
+    if best is None:
+        raise ValueError(
+            f"no version of {table} existed at timestamp {ts}")
+    return best
+
+
+def read_table(spark, table: str, version: Optional[int] = None,
+               timestamp: Optional[float] = None) -> DataFrame:
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(table, timestamp)
     manifest = read_manifest(table, version)
     return _read_files(spark, table, manifest)
 
@@ -1532,7 +1562,7 @@ def restore_table(table: str, version: int, validate: bool = True) -> int:
                 f"{len(missing)} data file(s) were vacuumed "
                 f"(first: {missing[0]})")
     extra = {k: v for k, v in old.items()
-             if k not in ("version", "txn", "op")}
+             if k not in ("version", "txn", "op", "ts")}
     txn_map = dict(head.get("txn", {}))
     if txn_map:
         extra["txn"] = txn_map
@@ -1856,6 +1886,7 @@ def table_history(table: str, limit: Optional[int] = None) -> List[Dict]:
         entry = {
             "version": v,
             "op": m.get("op", "UNKNOWN"),
+            "ts": m.get("ts"),
             "n_files": len(files),
             "n_rows_known": sum(r for r in rows if r is not None),
             "n_delete_vectors": sum(len(x) for x in meta["deletes"].values()),

@@ -1221,3 +1221,28 @@ def test_bloom_columns_prune_equality_reads(spark, tmp_path):
     _, ch3 = ms.candidate_files_where(
         table, [("url", "=", "https://fresh.example/1")])
     assert 1 <= sum(len(v) for v in ch3.values()) <= max(3, total // 8)
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    import time
+
+    import pytest
+
+    table = str(tmp_path / "ts")
+    ms.write_table(records_df(spark, {"a": ["a0"]}), table)
+    t_after_v0 = time.time()
+    time.sleep(0.05)
+    ms.append_table(records_df(spark, {"b": ["b0"]}), table)
+
+    assert ms.version_at_timestamp(table, t_after_v0) == 0
+    assert ms.version_at_timestamp(table, time.time()) == 1
+    assert ms.read_table(spark, table, timestamp=t_after_v0).count() == 1
+    assert ms.read_table(spark, table).count() == 2
+    with pytest.raises(ValueError, match="no version"):
+        ms.version_at_timestamp(table, t_after_v0 - 1000)
+    with pytest.raises(ValueError, match="not both"):
+        ms.read_table(spark, table, version=0, timestamp=t_after_v0)
+    # restore stamps its own fresh commit time, not the restored one's
+    ms.restore_table(table, 0)
+    hist = ms.table_history(table)
+    assert hist[0]["op"] == "RESTORE" and hist[0]["ts"] >= hist[1]["ts"]
