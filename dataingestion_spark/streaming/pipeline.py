@@ -125,7 +125,9 @@ def stream_ingest(spark, input_dir: str, table_path: str,
 
 def stream_upsert(spark, input_dir: str, table_path: str,
                   matched_condition: str | None = None,
-                  app: str = "stream_upsert"):
+                  app: str = "stream_upsert",
+                  maintain_every: int | None = None,
+                  maintain_kwargs: dict | None = None):
     """Streaming MERGE INTO (the Delta CDC-apply pattern): a file-source
     stream of document batches, each micro-batch applied as one
     conditional upsert — matched documents replaced (optionally gated by
@@ -135,8 +137,16 @@ def stream_upsert(spark, input_dir: str, table_path: str,
     and the ``(app, epoch)`` txn makes retried micro-batches no-ops, so
     the table is exactly-once under at-least-once foreachBatch delivery.
     Each commit reads only the source batch's buckets, range-pruned to
-    the files its ids can touch — O(batch), never O(table)."""
-    from ..sinks.manifest_store import merge_table
+    the files its ids can touch — O(batch), never O(table).
+
+    ``maintain_every=N`` runs :func:`..sinks.manifest_store.maintain_table`
+    after every Nth micro-batch (kwargs via ``maintain_kwargs``): the
+    small files + DVs that per-batch merges accumulate get compacted
+    inline instead of by a separate cron. Maintenance losing an
+    optimistic race to a concurrent writer just defers to the next
+    trigger — the merge itself is never blocked."""
+    from ..sinks.manifest_store import (ConcurrentWriteError, maintain_table,
+                                        merge_table)
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -152,6 +162,11 @@ def stream_upsert(spark, input_dir: str, table_path: str,
         merge_table(batch_df.dropDuplicates(["documentid"]), table_path,
                     matched_condition=matched_condition,
                     txn=(app, epoch_id))
+        if maintain_every and (epoch_id + 1) % maintain_every == 0:
+            try:
+                maintain_table(spark, table_path, **(maintain_kwargs or {}))
+            except ConcurrentWriteError:
+                pass  # a live writer won the race; next trigger retries
 
     return (
         records.writeStream.outputMode("append")

@@ -280,3 +280,37 @@ def test_stream_upsert_merges_batches_and_is_exactly_once(spark, tmp_path):
                        "text", "lang", "source", "n_chars"),
         table, txn=("stream_upsert", 0))
     assert ms.current_version(table) == v  # nothing recommitted
+
+
+def test_stream_upsert_inline_maintenance_compacts(spark, tmp_path):
+    """maintain_every runs the table maintenance inside the foreachBatch
+    sink: after the stream drains, the per-batch DV/small-file debris is
+    compacted away and the data is unchanged."""
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.streaming.pipeline import stream_upsert
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "text", "lang", "source", "n_chars")
+    table = str(tmp_path / "maint_t")
+    ms.write_table(docs, table)
+
+    src = tmp_path / "maint_src"
+    src.mkdir()
+    # several small files -> several micro-batches (maxFilesPerTrigger=4)
+    updates = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id % 3 = 0").withColumn(
+        "text", F.concat(F.lit("m "), F.col("text")))
+    updates.repartition(8).write.mode("overwrite").parquet(str(src))
+    stream_upsert(spark, str(src), table, maintain_every=1,
+                  maintain_kwargs={"min_file_age_seconds": 0,
+                                   "keep_versions": 1}).awaitTermination()
+
+    st = ms.table_stats(table)
+    assert st["n_delete_vectors"] == 0           # maintenance ran
+    assert st["max_files_per_bucket"] <= 4
+    out = ms.read_table(spark, table)
+    assert out.filter("documentid = '3' AND text NOT LIKE 'm %'").count() == 0
+    assert out.count() == docs.count()
+    ops = [h["op"] for h in ms.table_history(table)]
+    assert "COMPACT" in ops
