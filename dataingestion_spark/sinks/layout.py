@@ -97,3 +97,27 @@ def zorder_write_ready(df: DataFrame, cols: Sequence[str],
         .repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")
     )
+
+
+def string_prefix_key(col: str, nbytes: int = 7) -> Column:
+    """Order-preserving integer key for a STRING column: the first
+    ``nbytes`` UTF-8 bytes, big-endian (shorter strings zero-pad, which
+    sorts them first — exactly byte-wise string order). 7 bytes stays
+    under 2^56, inside signed-long integer math for the z-curve scaler.
+    Collisions beyond the prefix only coarsen clustering, never
+    correctness — file skipping still compares the REAL string min/max
+    stats; this key only decides layout."""
+    if not (1 <= nbytes <= 7):
+        raise ValueError("nbytes must be in [1, 7]")
+    hexpr = f"hex(encode(coalesce({col}, ''), 'UTF-8'))"
+    return F.expr(
+        f"CAST(conv(rpad(substring({hexpr}, 1, {2 * nbytes}),"
+        f" {2 * nbytes}, '0'), 16, 10) AS BIGINT)"
+    )
+
+
+def string_prefix_int(value: str, nbytes: int = 7) -> int:
+    """The same key computed driver-side (for bounds from string
+    min/max stats)."""
+    raw = (value or "").encode("utf-8")[:nbytes]
+    return int.from_bytes(raw.ljust(nbytes, b"\x00"), "big")

@@ -1677,6 +1677,20 @@ def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
     if not live:
         return manifest["version"]
 
+    from .layout import string_prefix_int
+
+    # STRING columns cluster by an order-preserving 7-byte prefix int
+    # (layout.string_prefix_key); file SKIPPING still compares the real
+    # string min/max stats, so prefix collisions only coarsen layout
+    is_str = {
+        f["name"]: (isinstance(f.get("type"), str)
+                    and f["type"] == "string")
+        for f in meta["schema"]
+    }
+
+    def _as_int(c, v):
+        return string_prefix_int(v) if is_str.get(c) else int(v)
+
     los, his = [], []
     need_scan = []
     bounds = dict(bounds or {})
@@ -1686,29 +1700,50 @@ def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
         per_file = [meta["stats"].get(n, {}).get("cols", {}).get(c)
                     for n in live]
         if all(p is not None for p in per_file) and all(
-                isinstance(p[0], (int, float)) for p in per_file):
-            bounds[c] = (int(min(p[0] for p in per_file)),
-                         int(max(p[1] for p in per_file)))
+                isinstance(p[0], (int, float, str)) for p in per_file):
+            bounds[c] = (min(_as_int(c, p[0]) for p in per_file),
+                         max(_as_int(c, p[1]) for p in per_file))
         else:
             need_scan.append(c)
 
+    def _term(c):
+        # zorder_key inlines these into SQL, so a full expression works;
+        # this is string_prefix_key(c, nbytes=7) spelled as SQL
+        if not is_str.get(c):
+            return c
+        return (f"CAST(conv(rpad(substring(hex(encode(coalesce({c}, '')"
+                f", 'UTF-8')), 1, 14), 14, '0'), 16, 10) AS BIGINT)")
+
     merged = _read_files(spark, table, manifest)
     if need_scan:
-        row = merged.agg(*[F.min(F.col(c).cast("bigint")).alias(f"_lo_{c}")
-                           for c in need_scan],
-                         *[F.max(F.col(c).cast("bigint")).alias(f"_hi_{c}")
-                           for c in need_scan]).collect()[0]
+        row = merged.agg(
+            *[F.min(F.expr(_term(c)).cast("bigint")).alias(f"_lo_{c}")
+              for c in need_scan],
+            *[F.max(F.expr(_term(c)).cast("bigint")).alias(f"_hi_{c}")
+              for c in need_scan]).collect()[0]
         for c in need_scan:
             lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
             if lo is None:
                 raise ValueError(f"cannot z-order by all-null column {c!r}")
             bounds[c] = (int(lo), int(hi))
+    terms = []
     for c in by:
         lo, hi = bounds[c]
+        hi = hi if hi > lo else lo + 1  # constant column: degenerate
+        # the scaler computes (v - lo) * (2^bits - 1) in BIGINT: for huge
+        # ranges (string prefix ints reach 2^56) that product overflows,
+        # so down-shift value and bounds together — layout only coarsens
+        term = _term(c)
+        shift = max(0, (hi - lo).bit_length() + bits - 62)
+        if shift:
+            term = f"(({term}) div {1 << shift})"
+            lo >>= shift
+            hi = max(hi >> shift, lo + 1)
+        terms.append(term)
         los.append(lo)
-        his.append(hi if hi > lo else lo + 1)  # constant column: degenerate
+        his.append(hi)
 
-    zk = zorder_key(by, los, his, bits)
+    zk = zorder_key(terms, los, his, bits)
     n_slices = max(1, int(files_per_bucket))
     # VALUE-aligned slices (equal z-ranges), not count-aligned ntile:
     # with a power-of-two slice count the boundaries fall on Morton

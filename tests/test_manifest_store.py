@@ -1246,3 +1246,35 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     ms.restore_table(table, 0)
     hist = ms.table_history(table)
     assert hist[0]["op"] == "RESTORE" and hist[0]["ts"] >= hist[1]["ts"]
+
+
+def test_optimize_zorder_string_column(spark, tmp_path):
+    import random
+
+    rng = random.Random(3)
+    hosts = [f"host-{i:03d}.example" for i in range(200)]
+    rows = [(f"d{i:05d}", rng.choice(hosts), rng.randrange(0, 1000))
+            for i in range(8000)]
+    df = spark.createDataFrame(rows, "documentid string, host string, x long")
+    table = str(tmp_path / "zs")
+    # two interleaved commits: host/x stats loose everywhere
+    ms.write_table(df.filter(F.col("x") % 2 == 0), table)
+    ms.append_table(df.filter(F.col("x") % 2 == 1), table)
+
+    conds = [("host", "<", "host-020"), ("x", "<", 100)]
+
+    def n_cand():
+        _, ch = ms.candidate_files_where(table, conds)
+        return sum(len(v) for v in ch.values())
+
+    before_rows = {tuple(r) for r in
+                   ms.read_table_where(spark, table, conds)
+                   .select("documentid", "host", "x").collect()}
+    before_files = n_cand()
+    ms.optimize_zorder(spark, table, ["host", "x"], files_per_bucket=8)
+    after_rows = {tuple(r) for r in
+                  ms.read_table_where(spark, table, conds)
+                  .select("documentid", "host", "x").collect()}
+    assert after_rows == before_rows            # layout-only
+    assert n_cand() < before_files / 2          # string dim now prunes
+    assert ms.read_table(spark, table).count() == 8000
