@@ -6674,6 +6674,50 @@ WHERE 'https://x/' || md5(CAST(doc_id AS VARCHAR))
 """
 
 
+def q_pack_token_id_rows(spark, sf):
+    """Token-ID-level sequence packing (operators/packing.py::
+    pack_token_ids): synthetic per-document id streams (doc_id*100000+p,
+    length n_chars%50+5 — reproducible in any engine) concatenate in
+    documentid string order and cut every 256 ids; full sequences only.
+    Pins the distributed prefix-sum placement, the explode/regroup
+    ordering, and the partial-tail drop exactly. The REAL chain (BPE
+    ids) is pinned by a decode-the-packed-stream round-trip test."""
+    from dataingestion_spark.operators.packing import pack_token_ids
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        (F.col("n_chars") % 50 + 5).cast("int").alias("n"),
+    )
+    df = d.select(
+        "documentid",
+        F.expr("transform(sequence(0, n - 1), p -> "
+               "CAST(CAST(documentid AS BIGINT) * 100000 + p AS INT))")
+        .alias("token_ids"),
+    )
+    out = pack_token_ids(df, seq_len=256)
+    return out.select("seq_id", "tokens", "n")
+
+
+ORACLE_PACK_IDS = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS documentid, doc_id,
+         n_chars % 50 + 5 AS n
+  FROM documents),
+o AS (
+  SELECT *, COALESCE(SUM(n) OVER (ORDER BY documentid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM d),
+t AS (
+  SELECT CAST((o.prior + u.p) // 256 AS BIGINT) AS seq_id,
+         (o.prior + u.p) % 256 AS pos,
+         CAST(o.doc_id * 100000 + u.p AS INTEGER) AS id
+  FROM o, LATERAL unnest(range(o.n)) AS u(p))
+SELECT seq_id, list(id ORDER BY pos) AS tokens,
+       CAST(count(*) AS INTEGER) AS n
+FROM t GROUP BY seq_id HAVING count(*) = 256
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -7432,6 +7476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_best_of_n": q_best_of_n,
         "lakehouse_maintenance": q_lakehouse_maintenance,
         "lakehouse_bloom_read": q_lakehouse_bloom_read,
+        "pack_token_id_rows": q_pack_token_id_rows,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7746,6 +7791,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_best_of_n": ORACLE_BEST_OF_N,
         "lakehouse_maintenance": ORACLE_MAINTENANCE,
         "lakehouse_bloom_read": ORACLE_BLOOM_READ,
+        "pack_token_id_rows": ORACLE_PACK_IDS,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

@@ -150,3 +150,52 @@ pack AS (
 )
 SELECT * EXCLUDE (_tok, _rn, _fill) FROM pack
 """
+
+
+def pack_token_ids(df: DataFrame, ids_col: str = "token_ids",
+                   seq_len: int = 512,
+                   order_cols: Sequence[str] = ("documentid",),
+                   drop_partial: bool = True) -> DataFrame:
+    """Materialize GPT-style training sequences of ACTUAL token ids (the
+    id-level twin of :func:`concat_chunk_spans`, which only places
+    counts): concatenate every document's ``ids_col`` in the
+    deterministic ``order_cols`` order and cut every ``seq_len`` tokens,
+    documents crossing boundaries freely.
+
+    Relational end to end: one distributed exclusive prefix sum over
+    token counts (:func:`..sharding.exclusive_prefix_sum` — one range
+    shuffle), then ``posexplode`` assigns every token its global
+    position; ``seq_id = pos div seq_len`` and one groupBy rebuilds each
+    sequence with ``array_sort(collect_list(struct(pos, id)))`` — order
+    is explicit in the data, not an accident of partitioning, so any
+    engine reproduces the exact sequences. The explode is linear in
+    corpus tokens and the only wide exchange is the seq_id groupBy —
+    the minimal cost of physically building training rows.
+
+    ``drop_partial`` drops the trailing short sequence (standard
+    pretraining practice). Returns (seq_id, tokens, n)."""
+    from .sharding import exclusive_prefix_sum
+
+    counted = df.select(*order_cols, ids_col).withColumn(
+        "_n", F.size(F.col(ids_col)))
+    based = exclusive_prefix_sum(counted, "_n", order_cols=list(order_cols))
+    toks = (
+        based.select("_prior", F.posexplode(ids_col).alias("_p", "_id"))
+        .select(((F.col("_prior") + F.col("_p")) / seq_len)
+                .cast("long").alias("seq_id"),
+                ((F.col("_prior") + F.col("_p")) % seq_len).alias("_pos"),
+                "_id")
+    )
+    seqs = (
+        toks.groupBy("seq_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_id")))
+             .alias("_packed"))
+        .select(
+            "seq_id",
+            F.transform("_packed", lambda s: s["_id"]).alias("tokens"),
+            F.size("_packed").alias("n"),
+        )
+    )
+    if drop_partial:
+        seqs = seqs.filter(F.col("n") == seq_len)
+    return seqs

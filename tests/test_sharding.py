@@ -113,3 +113,44 @@ def test_cluster_aware_split_keeps_neardups_together(spark):
     assert any(plain[i] != plain[i + 20] for i in range(20))
     # schema untouched apart from the split column
     assert {r.doc_id for r in out} == set(range(40))
+
+
+def test_pack_token_ids_exact_concatenation(spark):
+    from dataingestion_spark.operators.packing import pack_token_ids
+
+    docs = [("a", [1, 2, 3]), ("b", [4, 5]), ("c", [6, 7, 8, 9]), ("d", [10])]
+    df = spark.createDataFrame(docs, "documentid string, token_ids array<int>")
+    out = {r.seq_id: (list(r.tokens), r.n)
+           for r in pack_token_ids(df, seq_len=4).collect()}
+    # global stream in documentid order: 1..10 -> [1,2,3,4] [5,6,7,8]; [9,10] partial dropped
+    assert out == {0: ([1, 2, 3, 4], 4), 1: ([5, 6, 7, 8], 4)}
+    with_partial = {r.seq_id: list(r.tokens) for r in
+                    pack_token_ids(df, seq_len=4, drop_partial=False).collect()}
+    assert with_partial[2] == [9, 10]
+
+
+def test_pack_token_ids_bpe_roundtrip_across_boundaries(spark):
+    """The full train->encode->pack chain: decoding the packed global
+    stream reproduces the concatenated corpus byte-for-byte, even though
+    documents cross sequence boundaries."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.bpe import BPE
+    from dataingestion_spark.operators.bpe_train import (
+        bpe_encode_df,
+        train_bpe_distributed,
+    )
+    from dataingestion_spark.operators.packing import pack_token_ids
+
+    texts = ["the cat sat on the mat ", "and the dog ran away ",
+             "unicode: naïve café 🚀 ", "short "]
+    df = spark.createDataFrame(
+        [(f"doc{i}", t) for i, t in enumerate(texts)],
+        "documentid string, text string")
+    ranks = train_bpe_distributed(df, vocab_size=300)
+    enc = bpe_encode_df(df, ranks)
+    seqs = pack_token_ids(enc, seq_len=8, drop_partial=False)
+    rows = sorted(seqs.collect(), key=lambda r: r.seq_id)
+    stream = [t for r in rows for t in r.tokens]
+    assert BPE(ranks).decode(stream) == "".join(texts)
+    assert all(r.n == 8 for r in rows[:-1])  # only the tail may be short
