@@ -6718,6 +6718,45 @@ FROM t GROUP BY seq_id HAVING count(*) = 256
 """
 
 
+def q_lakehouse_schema_evolution(spark, sf):
+    """Commit-time schema evolution (sinks/manifest_store.py::
+    _schema_union): the base commit has (documentid, lang); an append
+    then WIDENS the table with n_chars, and a merge widens again with
+    src_tag — old files surface typed NULLs for columns they predate
+    (recorded schema, no footer scans at read). The oracle restates the
+    widened union with explicit NULL fills."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "lang", F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    did = F.col("documentid").cast("long")
+    table = tempfile.mkdtemp(prefix="schev_lh_") + "/t"
+    ms.write_table(docs.filter(did % 3 == 0).select("documentid", "lang"),
+                   table)
+    ms.append_table(docs.filter(did % 3 == 1), table)  # + n_chars
+    ms.merge_table(
+        docs.filter(did % 3 == 2).withColumn("src_tag", F.lit("m")), table)
+    return ms.read_table(spark, table).select(
+        "documentid", "lang", "n_chars", "src_tag")
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid, lang,
+       CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS VARCHAR) AS src_tag
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS BIGINT), NULL
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS BIGINT), 'm'
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -7477,6 +7516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_maintenance": q_lakehouse_maintenance,
         "lakehouse_bloom_read": q_lakehouse_bloom_read,
         "pack_token_id_rows": q_pack_token_id_rows,
+        "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7792,6 +7832,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_maintenance": ORACLE_MAINTENANCE,
         "lakehouse_bloom_read": ORACLE_BLOOM_READ,
         "pack_token_id_rows": ORACLE_PACK_IDS,
+        "lakehouse_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,
