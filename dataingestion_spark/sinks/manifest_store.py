@@ -1869,6 +1869,18 @@ def maintain_table(spark, table: str, *,
     st = table_stats(table)
     report: Dict = {"version_before": st["version"], "actions": [],
                     "stats": st}
+    man = read_manifest(table)
+    meta = _manifest_meta(man)
+    # declared bloom columns not yet present in every file's stats mean
+    # equality skipping is partial — a one-time full rewrite back-fills
+    bloom_gap = False
+    if meta["bloom_cols"]:
+        names = [n for ns in man["buckets"].values() for n in ns]
+        bloom_gap = any(
+            set(meta["bloom_cols"])
+            - set(meta["stats"].get(n, {}).get("blooms", {}))
+            for n in names)
+        report["bloom_backfill_needed"] = bloom_gap
     drift = None
     if zorder_by:
         drift = clustering_drift(table, zorder_by)
@@ -1878,6 +1890,11 @@ def maintain_table(spark, table: str, *,
         report["actions"].append(
             {"op": "optimize_zorder", "version": v,
              "reason": f"drift {drift:.2f} > {max_drift}"})
+    elif bloom_gap:
+        v = compact(spark, table, max_files_per_bucket=0)
+        report["actions"].append(
+            {"op": "compact", "version": v,
+             "reason": "bloom back-fill for declared columns"})
     elif (st["max_files_per_bucket"] > max_files_per_bucket
             or st["n_delete_vectors"] > 0):
         v = compact(spark, table, max_files_per_bucket=max_files_per_bucket)

@@ -1278,3 +1278,20 @@ def test_optimize_zorder_string_column(spark, tmp_path):
     assert after_rows == before_rows            # layout-only
     assert n_cand() < before_files / 2          # string dim now prunes
     assert ms.read_table(spark, table).count() == 8000
+
+
+def test_maintain_backfills_declared_blooms_once(spark, tmp_path):
+    table = str(tmp_path / "mtb")
+    rows = [(f"d{i:04d}", f"u{i}") for i in range(300)]
+    ms.write_table(spark.createDataFrame(rows, "documentid string, u string"),
+                   table)
+    ms.set_bloom_columns(table, ["u"])
+    rep = ms.maintain_table(spark, table, min_file_age_seconds=0)
+    assert rep["bloom_backfill_needed"] is True
+    assert any(a["op"] == "compact"
+               and "bloom" in a["reason"] for a in rep["actions"])
+    _, ch = ms.candidate_files_where(table, [("u", "=", "u7")])
+    assert sum(len(v) for v in ch.values()) <= 3  # blooms now prune
+    rep2 = ms.maintain_table(spark, table, min_file_age_seconds=0)
+    assert rep2["bloom_backfill_needed"] is False
+    assert rep2["actions"] == []
