@@ -1966,3 +1966,26 @@ def set_bloom_columns(table: str, cols: List[str]) -> int:
     return _commit(table, manifest["version"] + 1, buckets,
                    expected_current=manifest["version"],
                    extra=_prune_meta(meta, buckets), op="SET_BLOOM_COLUMNS")
+
+
+def with_retries(fn, attempts: int = 6, base_backoff: float = 0.05):
+    """Run a manifest-store write closure with optimistic-concurrency
+    retries: every public write API re-reads the table head on entry, so
+    "retry" is simply calling it again after a ConcurrentWriteError —
+    the loser of a version race backs off (decorrelated jitter, like the
+    model-client transport) and re-applies against the new head. This is
+    the ONLY coordination multi-writer ingestion needs: conditional-put
+    claims serialize commits, losers retry, nobody blocks."""
+    import random
+    import time as _time
+
+    last: Optional[ConcurrentWriteError] = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except ConcurrentWriteError as e:
+            last = e
+            if attempt == attempts - 1:
+                break
+            _time.sleep(base_backoff * (2 ** attempt) * random.uniform(0.5, 1.5))
+    raise last

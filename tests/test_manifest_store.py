@@ -1295,3 +1295,37 @@ def test_maintain_backfills_declared_blooms_once(spark, tmp_path):
     rep2 = ms.maintain_table(spark, table, min_file_age_seconds=0)
     assert rep2["bloom_backfill_needed"] is False
     assert rep2["actions"] == []
+
+
+def test_concurrent_appenders_all_land_with_retries(spark, tmp_path):
+    """Eight racing writers, one table: optimistic claims serialize the
+    commits, losers retry against the new head, and every batch lands
+    exactly once — the multi-writer contract at 100 TB."""
+    import threading
+
+    table = str(tmp_path / "race")
+    ms.write_table(records_df(spark, {"seed": ["s0"]}), table)
+
+    errors = []
+
+    def writer(i):
+        try:
+            ms.with_retries(lambda: ms.append_table(
+                records_df(spark, {f"w{i}": [f"w{i}-c0", f"w{i}-c1"]}),
+                table), attempts=12)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    out = ms.read_table(spark, table)
+    assert out.count() == 1 + 16
+    assert out.select("documentid").distinct().count() == 9
+    # the log is strictly sequential: versions 0..8, every one readable
+    assert ms.current_version(table) == 8
+    ops = [h["op"] for h in ms.table_history(table)]
+    assert ops == ["APPEND"] * 8 + ["WRITE"]
