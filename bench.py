@@ -260,7 +260,8 @@ def main():
     # entries that swung >2x between rounds with unchanged code (r4
     # VERDICT #10: host-VM variance, min≈median within a run but not
     # across runs) get extra reps so the reported min is stable
-    noisy = {"pq_adc", "quantized_topk", "lang_quality", "span_removal"}
+    noisy = {"pq_adc", "quantized_topk", "lang_quality", "span_removal",
+             "ann_recall"}
     timings, medians = {}, {}
     for name, fn in bench_queries.items():
         times = []
