@@ -1646,7 +1646,8 @@ def clone_table(src: str, dst: str, version: Optional[int] = None,
 
 def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
                     files_per_bucket: int = 4,
-                    bounds: Optional[Dict[str, Tuple[int, int]]] = None) -> int:
+                    bounds: Optional[Dict[str, Tuple[int, int]]] = None,
+                    bucket_subset: Optional[Iterable[str]] = None) -> int:
     """Delta-style ``OPTIMIZE ... ZORDER BY``: rewrite the table clustered
     along a Morton curve over ``by`` (>= 2 int-like columns) so every
     data file carries TIGHT per-column [min,max] stats in all chosen
@@ -1664,11 +1665,14 @@ def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
     job. Stale bounds only degrade clustering, never correctness — the
     curve key clamps.
 
-    Cost: one full-table rewrite (a per-bucket sort shuffle) — the same
-    O(data) any engine's OPTIMIZE pays; run it per partition/bucket group
-    at 100 TB and steer reads with the stats immediately after. Commits
-    one new version; concurrent appends lose the optimistic race and
-    retry, never get clobbered."""
+    Cost: one rewrite of the selected buckets (full table by default) —
+    the same O(data) any engine's OPTIMIZE pays. ``bucket_subset``
+    re-clusters ONLY those buckets (liquid-clustering style incremental
+    OPTIMIZE — :func:`maintain_table` picks the drifted ones from
+    metadata), reading and rewriting nothing else; bounds still come
+    from the whole table's stats so slices from different passes align
+    on the same quadrant grid. Commits one new version; concurrent
+    appends lose the optimistic race and retry, never get clobbered."""
     from .layout import zorder_key
 
     manifest = read_manifest(table)
@@ -1714,7 +1718,9 @@ def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
         return (f"CAST(conv(rpad(substring(hex(encode(coalesce({c}, '')"
                 f", 'UTF-8')), 1, 14), 14, '0'), 16, 10) AS BIGINT)")
 
-    merged = _read_files(spark, table, manifest)
+    subset = (None if bucket_subset is None
+              else sorted({str(b) for b in bucket_subset}))
+    merged = _read_files(spark, table, manifest, bucket_subset=subset)
     if need_scan:
         row = merged.agg(
             *[F.min(F.expr(_term(c)).cast("bigint")).alias(f"_lo_{c}")
@@ -1763,16 +1769,26 @@ def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
     token = "z" + uuid.uuid4().hex[:7]
     _seed_schema(spark, table, manifest, meta)
     _schema_union(meta, merged)
-    meta["stats"] = {}
     new_buckets = _write_bucket_files(clustered, table, token,
                                       stats=meta["stats"],
                                       split_col="_zslice", sort_col="_zkey",
                                       bloom_cols=meta["bloom_cols"])
-    meta["seq"] = {n: version for ns in new_buckets.values() for n in ns}
-    meta["deletes"] = {}
-    return _commit(table, version, new_buckets,
+    if subset is None:
+        buckets = new_buckets
+        meta["seq"] = {n: version for ns in new_buckets.values() for n in ns}
+        meta["deletes"] = {}
+    else:
+        # incremental pass: untouched buckets keep files, seqs, and DVs
+        buckets = {b: names for b, names in manifest["buckets"].items()
+                   if b not in set(subset)}
+        buckets.update(new_buckets)
+        for ns in new_buckets.values():
+            meta["seq"].update({n: version for n in ns})
+        meta["deletes"] = {b: v for b, v in meta["deletes"].items()
+                           if b not in set(subset)}
+    return _commit(table, version, buckets,
                    expected_current=manifest["version"],
-                   extra=_prune_meta(meta, new_buckets),
+                   extra=_prune_meta(meta, buckets),
                    op="OPTIMIZE_ZORDER")
 
 
@@ -1810,6 +1826,38 @@ def drop_constraint(table: str, name: str) -> int:
                    extra=_prune_meta(meta, buckets), op="DROP_CONSTRAINT")
 
 
+def bucket_drift(table: str, by: List[str]) -> Dict[str, float]:
+    """Per-bucket :func:`clustering_drift` (same pairwise-overlap metric,
+    restricted to each bucket's own files) — the selection signal for
+    incremental OPTIMIZE: rewrite only buckets whose local overlap is
+    high. Metadata-only."""
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    out: Dict[str, float] = {}
+    for b, names in manifest["buckets"].items():
+        pairs = overlaps = 0
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                pairs += 1
+                overlaps += _files_overlap(meta, names[i], names[j], by)
+        out[b] = overlaps / pairs if pairs else 0.0
+    return out
+
+
+def _files_overlap(meta: Dict, na: str, nb: str, by: List[str]) -> bool:
+    for c in by:
+        a = meta["stats"].get(na, {}).get("cols", {}).get(c)
+        b = meta["stats"].get(nb, {}).get("cols", {}).get(c)
+        if a is None or b is None:
+            continue  # statless: cannot separate -> overlaps
+        try:
+            if a[0] > b[1] or b[0] > a[1]:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
 def clustering_drift(table: str, by: List[str]) -> float:
     """Average same-bucket file-overlap fraction in the ``by`` dimensions
     — a metadata-only clustering-health signal in [0, 1]. For every pair
@@ -1830,19 +1878,7 @@ def clustering_drift(table: str, by: List[str]) -> float:
         for i in range(len(names)):
             for j in range(i + 1, len(names)):
                 pairs += 1
-                hit = True
-                for c in by:
-                    a = meta["stats"].get(names[i], {}).get("cols", {}).get(c)
-                    b = meta["stats"].get(names[j], {}).get("cols", {}).get(c)
-                    if a is None or b is None:
-                        continue  # statless: cannot separate -> overlaps
-                    try:
-                        if a[0] > b[1] or b[0] > a[1]:
-                            hit = False
-                            break
-                    except TypeError:
-                        continue
-                overlaps += hit
+                overlaps += _files_overlap(meta, names[i], names[j], by)
     return overlaps / pairs if pairs else 0.0
 
 
@@ -1882,14 +1918,31 @@ def maintain_table(spark, table: str, *,
             for n in names)
         report["bloom_backfill_needed"] = bloom_gap
     drift = None
+    hot: List[str] = []
+    per_b: Dict[str, float] = {}
     if zorder_by:
         drift = clustering_drift(table, zorder_by)
         report["clustering_drift"] = round(drift, 3)
-    if zorder_by and drift is not None and drift > max_drift:
-        v = optimize_zorder(spark, table, list(zorder_by))
-        report["actions"].append(
-            {"op": "optimize_zorder", "version": v,
-             "reason": f"drift {drift:.2f} > {max_drift}"})
+        per_b = bucket_drift(table, list(zorder_by))
+        hot = sorted(b for b, d in per_b.items() if d > max_drift)
+    if zorder_by and hot:
+        populated = len(per_b)
+        # liquid-clustering style: when drift is localized, rewrite only
+        # the drifted buckets (bounds stay global, grids align); a
+        # mostly-drifted table takes the full rewrite (also clears DVs)
+        if len(hot) < populated / 2:
+            v = optimize_zorder(spark, table, list(zorder_by),
+                                bucket_subset=hot)
+            report["actions"].append(
+                {"op": "optimize_zorder", "version": v,
+                 "buckets": len(hot),
+                 "reason": (f"drift {drift:.2f} > {max_drift} in "
+                            f"{len(hot)}/{populated} buckets")})
+        else:
+            v = optimize_zorder(spark, table, list(zorder_by))
+            report["actions"].append(
+                {"op": "optimize_zorder", "version": v,
+                 "reason": f"drift {drift:.2f} > {max_drift}"})
     elif bloom_gap:
         v = compact(spark, table, max_files_per_bucket=0)
         report["actions"].append(

@@ -1329,3 +1329,44 @@ def test_concurrent_appenders_all_land_with_retries(spark, tmp_path):
     assert ms.current_version(table) == 8
     ops = [h["op"] for h in ms.table_history(table)]
     assert ops == ["APPEND"] * 8 + ["WRITE"]
+
+
+def test_incremental_zorder_rewrites_only_drifted_buckets(spark, tmp_path):
+    table = str(tmp_path / "zinc")
+    base = _zorder_rows(spark, 8000)
+    ms.write_table(base, table)
+    v_opt = ms.optimize_zorder(spark, table, ["x", "y"], files_per_bucket=4)
+    m_opt = ms.read_manifest(table)
+    # drift ~0 after the full pass
+    assert ms.clustering_drift(table, ["x", "y"]) < 0.2
+
+    # two loose appends confined to a FEW buckets (ids picked by hash)
+    import zlib
+
+    extra = _zorder_rows(spark, 1200).withColumn(
+        "documentid", F.concat(F.lit("q"), "documentid"))
+    targets = {"3", "11", "29", "45", "60"}
+    ids = [r[0] for r in extra.select("documentid").collect()
+           if str(zlib.crc32(r[0].encode()) % ms.N_BUCKETS) in targets]
+    half = len(ids) // 2
+    ms.append_table(extra.filter(F.col("documentid").isin(ids[:half])), table)
+    ms.append_table(extra.filter(F.col("documentid").isin(ids[half:])), table)
+    per_b = ms.bucket_drift(table, ["x", "y"])
+    hot = {b for b, d in per_b.items() if d > 0.5}
+    assert hot and len(hot) < len([b for b in per_b])
+
+    rep = ms.maintain_table(spark, table, zorder_by=["x", "y"],
+                            min_file_age_seconds=0, keep_versions=1)
+    acts = [a for a in rep["actions"] if a["op"] == "optimize_zorder"]
+    assert acts and acts[0].get("buckets") == len(hot)  # incremental pass
+    # untouched buckets kept their files by reference
+    m_new = ms.read_manifest(table)
+    untouched = [b for b in m_opt["buckets"]
+                 if b not in hot and b not in targets
+                 and m_opt["buckets"][b]]
+    assert untouched
+    for b in untouched:
+        assert m_new["buckets"][b] == m_opt["buckets"][b]
+    # content intact and drift healed
+    assert ms.read_table(spark, table).count() == 8000 + len(ids)
+    assert ms.clustering_drift(table, ["x", "y"]) <= 0.5
