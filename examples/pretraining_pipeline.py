@@ -8,6 +8,7 @@ the operators in this repo.
       → split train/valid/test (append-stable md5 draws)
       → pack the train split into fixed-length sequences
       → assign token-budget shards
+      → train a BPE vocab, encode, and materialize real token-id rows
 
 Every keep/placement decision is a deterministic function of (salt,
 doc_id) — re-running on any cluster size reproduces the same corpus.
@@ -84,6 +85,26 @@ def main() -> None:
             F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
             .orderBy("shard_id").limit(5).collect()):
         print(f"  shard {r['shard_id']:>3}  docs={r['docs']:>6} chars={r['chars']}")
+
+    # 7. REAL tokens end-to-end: train a BPE vocab on the cleaned corpus,
+    # encode every document, and materialize fixed-length training rows
+    # of actual token ids (documents cross sequence boundaries)
+    from dataingestion_spark.bpe import BPE
+    from dataingestion_spark.operators.bpe_train import (
+        bpe_encode_df, train_bpe_distributed,
+    )
+    from dataingestion_spark.operators.packing import pack_token_ids
+
+    corpus = clean.select(F.col("doc_id").cast("string").alias("documentid"),
+                          "text")
+    ranks = train_bpe_distributed(corpus, vocab_size=400)
+    enc = bpe_encode_df(corpus, ranks)
+    seqs = pack_token_ids(enc, seq_len=512)
+    n, toks = seqs.agg(F.count("*"), F.sum("n")).collect()[0]
+    print(f"tokenized: {n} sequences x 512 real BPE ids ({toks} tokens)")
+    sample = seqs.orderBy("seq_id").limit(1).collect()[0]
+    preview = BPE(ranks).decode(list(sample.tokens)[:40])
+    print(f"  seq 0 decodes to: {preview[:70]!r} ...")
 
     spark.stop()
 
