@@ -1370,3 +1370,82 @@ def test_incremental_zorder_rewrites_only_drifted_buckets(spark, tmp_path):
     # content intact and drift healed
     assert ms.read_table(spark, table).count() == 8000 + len(ids)
     assert ms.clustering_drift(table, ["x", "y"]) <= 0.5
+
+
+def test_randomized_op_sequence_matches_model(spark, tmp_path):
+    """Model-based check: a random (seeded) sequence of write/append/
+    replace/merge/delete/compact/zorder/restore ops, mirrored against a
+    plain dict model {documentid: content}; after every op the table
+    must equal the model, and every historical version must equal its
+    snapshot. This is the whole-store invariant no single-op test
+    covers: DV sequencing, rewrites, and metadata-only commits compose."""
+    import random
+
+    rng = random.Random(20260814)
+    table = str(tmp_path / "model")
+
+    def df_of(model_slice):
+        rows = [(f"{d}#0", d, c) for d, c in sorted(model_slice.items())]
+        return spark.createDataFrame(
+            rows, "key string, documentid string, content string")
+
+    model = {f"d{i:03d}": f"v0-{i}" for i in range(30)}
+    ms.write_table(df_of(model), table)
+    snapshots = {0: dict(model)}
+
+    def check(tag):
+        got = {r.documentid: r.content
+               for r in ms.read_table(spark, table).collect()}
+        assert got == model, f"live mismatch after {tag}"
+
+    for step in range(14):
+        op = rng.choice(["append", "replace", "delete", "merge",
+                         "compact", "zorder", "restore"])
+        if op == "append":
+            new = {f"d{rng.randrange(1000, 9999)}": f"a{step}"
+                   for _ in range(rng.randrange(1, 4))}
+            new = {d: c for d, c in new.items() if d not in model}
+            if not new:
+                continue
+            ms.append_table(df_of(new), table)
+            model.update(new)
+        elif op == "replace":
+            targets = rng.sample(sorted(model), min(3, len(model)))
+            upd = {d: f"r{step}" for d in targets}
+            ms.incremental_replace(df_of(upd), table,
+                                   mode=rng.choice(["dv", "rewrite"]))
+            model.update(upd)
+        elif op == "delete":
+            targets = rng.sample(sorted(model), min(2, len(model)))
+            ms.delete_documents(spark, table, targets)
+            for d in targets:
+                model.pop(d)
+        elif op == "merge":
+            ups = {d: f"m{step}" for d in
+                   rng.sample(sorted(model), min(2, len(model)))}
+            ins = {f"n{step}-{i}": f"i{step}" for i in range(2)}
+            ms.merge_table(df_of({**ups, **ins}), table)
+            model.update(ups)
+            model.update(ins)
+        elif op == "compact":
+            ms.compact(spark, table, max_files_per_bucket=1)
+        elif op == "zorder":
+            # cluster on (n_chars-ish) derived ints? columns are strings —
+            # use key/content lengths via bounds on documentid prefix int
+            ms.optimize_zorder(spark, table, ["documentid", "content"],
+                               files_per_bucket=2)
+        elif op == "restore":
+            v = rng.choice(sorted(snapshots))
+            try:
+                ms.restore_table(table, v)
+            except FileNotFoundError:
+                continue  # snapshot vacuumed? (we never vacuum) — defensive
+            model = dict(snapshots[v])
+        snapshots[ms.current_version(table)] = dict(model)
+        check(f"step {step} ({op})")
+
+    # every surviving historical version equals its snapshot
+    for v, snap in snapshots.items():
+        got = {r.documentid: r.content
+               for r in ms.read_table(spark, table, version=v).collect()}
+        assert got == snap, f"version {v} mismatch"
