@@ -17,12 +17,13 @@ reduced to append-only deltas):
   recorded one — appends create NEW files only, so aggregating just
   those and merging partials (count→sum, sum→sum, min→min, max→max) is
   exact;
-* any change that REMOVES or REWRITES files (replace, compaction) or
-  adds NEW equality deletion vectors invalidates the delta rule →
-  automatic fall back to a full recompute (one scan of the base, the
-  unavoidable cost of non-append churn). Pre-existing DVs are fine:
-  they only kill rows of files with strictly smaller sequence numbers,
-  which appended files never are.
+* non-append churn (updates, deletes, replace-by-id) stays incremental
+  for count/sum specs via the CHANGE FEED (r6): the signed diff between
+  the view's base version and head folds in as +1 per inserted row and
+  -1 per deleted one, with an internal ``_rows`` counter deciding when
+  a group disappears — O(changed rows), the Materialize-style delta
+  path. min/max cannot subtract, and file REWRITES (compaction) break
+  the fast diff → automatic fall back to a full recompute.
 
 Exactness note: integer sums and min/max merge bit-exactly; a DOUBLE sum
 folds in a different order than a single-pass aggregation and can differ
@@ -125,21 +126,67 @@ def refresh(spark, base_table: str, view_path: str,
         append_only = (
             meta.get("del_files", []) == del_files and set(files) >= prev
         )
+        old = spark.read.parquet(os.path.join(view_path, data_name))
         if append_only and appended:
             delta = ms._read_files(spark, base_table, manifest,
                                    file_subset=set(appended))
-            partial = delta.groupBy(*group_cols).agg(*_agg_exprs(aggs, merge=False))
-            old = spark.read.parquet(os.path.join(view_path, data_name))
+            partial = delta.groupBy(*group_cols).agg(
+                *_agg_exprs(aggs, merge=False),
+                F.count(F.lit(1)).alias("_rows"))
+            if "_rows" not in old.columns:  # pre-_rows snapshot: seed it
+                old = old.withColumn("_rows", F.lit(None).cast("long"))
             merged = (
                 old.unionByName(partial)
                 .groupBy(*group_cols)
-                .agg(*_agg_exprs(aggs, merge=True))
+                .agg(*_agg_exprs(aggs, merge=True),
+                     F.sum("_rows").alias("_rows"))
             )
             _write_view(merged, view_path, manifest, files, spec, del_files)
             return "incremental"
 
+        # CDF branch — non-append churn (updates, deletes, replaces) is
+        # still incremental for count/sum specs: fold the SIGNED change
+        # feed between the view's base version and head (+1 per inserted
+        # row, -1 per deleted; an update is its delete+insert pair).
+        # min/max can't subtract, and a pre-_rows snapshot can't tell an
+        # emptied group from a zero-sum one — both fall back to full.
+        if ({f for _, f in aggs} <= {"count", "sum"}
+                and "_rows" in old.columns):
+            try:
+                diff = ms.table_diff(spark, base_table,
+                                     int(meta["base_version"]),
+                                     manifest["version"])
+            except (FileNotFoundError, json.JSONDecodeError):
+                diff = None  # base version vacuumed: full recompute
+            if diff is not None:
+                sgn = F.when(F.col("_change_type") == "insert",
+                             F.lit(1)).otherwise(F.lit(-1))
+                exprs = []
+                for col, func in aggs:
+                    out = _out_col(col, func)
+                    if func == "count":
+                        exprs.append(
+                            F.sum(F.when(F.col(col).isNotNull(), sgn)
+                                  .otherwise(F.lit(0)))
+                            .cast("long").alias(out))
+                    else:
+                        exprs.append(F.sum(F.col(col) * sgn).alias(out))
+                partial = diff.groupBy(*group_cols).agg(
+                    *exprs, F.sum(sgn).alias("_rows"))
+                merged = (
+                    old.unionByName(partial)
+                    .groupBy(*group_cols)
+                    .agg(*_agg_exprs(aggs, merge=True),
+                         F.sum("_rows").alias("_rows"))
+                    .filter(F.col("_rows") > 0)
+                )
+                _write_view(merged, view_path, manifest, files, spec,
+                            del_files)
+                return "incremental_cdf"
+
     base = ms.read_table(spark, base_table)
-    full = base.groupBy(*group_cols).agg(*_agg_exprs(aggs, merge=False))
+    full = base.groupBy(*group_cols).agg(*_agg_exprs(aggs, merge=False),
+                                         F.count(F.lit(1)).alias("_rows"))
     _write_view(full, view_path, manifest, files, spec, del_files)
     return "full"
 
@@ -194,4 +241,5 @@ def _write_view(df: DataFrame, view_path: str, manifest: Dict,
 def read_view(spark, view_path: str) -> DataFrame:
     meta = _read_meta(view_path)
     data_name = (meta or {}).get("data_file", _DATA)
-    return spark.read.parquet(os.path.join(view_path, data_name))
+    df = spark.read.parquet(os.path.join(view_path, data_name))
+    return df.drop("_rows")  # internal group-liveness counter

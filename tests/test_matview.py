@@ -175,3 +175,57 @@ def test_streaming_ingest_composes_with_incremental_view(spark, tmp_path):
     assert mv.refresh(spark, table, view, *spec) == "incremental"
     got = {r.lang: r.n_rows for r in mv.read_view(spark, view).collect()}
     assert got == {"en": 2, "de": 1}  # the dup's 'xx' row never landed
+
+
+CDF_SPEC = (["src"], [("v", "count"), ("v", "sum")])
+
+
+def view_rows_cdf(spark, view):
+    return {tuple(r) for r in mv.read_view(spark, view).select(
+        "src", "n_rows", "sum_v").collect()}
+
+
+def expected_cdf(spark, base):
+    return {
+        tuple(r)
+        for r in ms.read_table(spark, base)
+        .groupBy("src")
+        .agg(F.count("v").alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+
+
+def test_cdf_refresh_stays_incremental_under_deletes_and_updates(spark, tmp_path, monkeypatch):
+    base, view = str(tmp_path / "b7"), str(tmp_path / "v7")
+    ms.write_table(rows_df(spark, [("a", "x", 1), ("b", "x", 5),
+                                   ("c", "y", 2), ("d", "y", 7)]), base)
+    mv.refresh(spark, base, view, *CDF_SPEC)
+
+    # a DELETE is applied from the change feed, not a rescan
+    ms.delete_documents(spark, base, ["b"])
+    assert mv.refresh(spark, base, view, *CDF_SPEC) == "incremental_cdf"
+    assert view_rows_cdf(spark, view) == expected_cdf(spark, base)
+
+    # an UPDATE merge (delete+insert pair in the feed) too
+    ms.merge_table(rows_df(spark, [("a", "x", 100)]), base)
+    assert mv.refresh(spark, base, view, *CDF_SPEC) == "incremental_cdf"
+    assert view_rows_cdf(spark, view) == expected_cdf(spark, base)
+
+    # emptying a group removes its row entirely
+    ms.delete_documents(spark, base, ["c", "d"])
+    assert mv.refresh(spark, base, view, *CDF_SPEC) == "incremental_cdf"
+    got = view_rows_cdf(spark, view)
+    assert got == expected_cdf(spark, base)
+    assert all(r[0] != "y" for r in got)
+
+    # and the result still matches a from-scratch recompute exactly
+    assert mv.refresh(spark, base, view, *CDF_SPEC) == "noop"
+
+
+def test_cdf_ineligible_specs_still_full(spark, tmp_path):
+    base, view = str(tmp_path / "b8"), str(tmp_path / "v8")
+    ms.write_table(rows_df(spark, [("a", "x", 1), ("b", "y", 5)]), base)
+    mv.refresh(spark, base, view, *SPEC)           # has min/max
+    ms.delete_documents(spark, base, ["a"])
+    assert mv.refresh(spark, base, view, *SPEC) == "full"
+    assert view_rows(spark, view) == expected(spark, base)
