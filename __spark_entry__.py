@@ -6762,8 +6762,11 @@ def q_incremental_agg_view(spark, sf):
     table = documents slice doc_id%3==0, full refresh; append the
     doc_id%3==1 slice, second refresh folds ONLY the appended files'
     partial aggregates into the stored view (asserted incremental —
-    silently recomputing would mask a broken delta rule). The oracle
-    aggregates the union of both slices directly."""
+    silently recomputing would mask a broken delta rule); then a CDF
+    view (count/sum spec) absorbs a DELETE of doc_id%9==1 and an
+    n_chars+10 UPDATE of doc_id%6==4 from the SIGNED change feed
+    (asserted incremental_cdf — r6 Materialize-style delta path). The
+    oracle restates the surviving mutated rows in closed form."""
     import tempfile
 
     from dataingestion_spark.sinks import manifest_store as ms
@@ -6782,17 +6785,48 @@ def q_incremental_agg_view(spark, sf):
     ms.append_table(docs.filter(F.col("documentid").cast("long") % 3 == 1), base)
     mode2 = mv.refresh(spark, base, view, *spec)
     assert (mode1, mode2) == ("full", "incremental"), (mode1, mode2)
-    return mv.read_view(spark, view).select(
-        "source", "n_rows", "sum_n_chars", "min_n_chars", "max_n_chars"
-    )
+
+    # count/sum view: deletes and updates refresh from the change feed
+    view2 = tempfile.mkdtemp(prefix="mv_view2_") + "/v"
+    spec2 = (["source"], [("n_chars", "count"), ("n_chars", "sum")])
+    did = F.col("documentid").cast("long")
+    mv.refresh(spark, base, view2, *spec2)
+    ms.delete_documents(
+        spark, base,
+        [r[0] for r in docs.filter(did % 9 == 1)
+         .select("documentid").collect()])
+    ms.merge_table(
+        docs.filter(did % 6 == 4)
+        .withColumn("n_chars", F.col("n_chars") + 10), base,
+        when_not_matched=None)
+    mode3 = mv.refresh(spark, base, view2, *spec2)
+    assert mode3 == "incremental_cdf", mode3
+    a = mv.read_view(spark, view).select(
+        "source", "n_rows", "sum_n_chars", "min_n_chars", "max_n_chars")
+    b = mv.read_view(spark, view2).select(
+        F.col("source").alias("source2"),
+        F.col("n_rows").alias("n_rows_cdf"),
+        F.col("sum_n_chars").alias("sum_n_chars_cdf"))
+    return a.join(b, a["source"] == b["source2"], "inner").drop("source2")
 
 
 ORACLE_INCR_AGG = """
-SELECT source, COUNT(*) AS n_rows,
-       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
-       MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
-FROM documents WHERE doc_id % 3 IN (0, 1)
-GROUP BY source
+WITH slab AS (
+  SELECT source, n_chars FROM documents WHERE doc_id % 3 IN (0, 1)),
+mutated AS (
+  SELECT source,
+         n_chars + CASE WHEN doc_id % 6 = 4 THEN 10 ELSE 0 END AS n_chars
+  FROM documents
+  WHERE doc_id % 3 IN (0, 1) AND doc_id % 9 <> 1)
+SELECT a.source, a.n_rows, a.sum_n_chars, a.min_n_chars, a.max_n_chars,
+       b.n_rows_cdf, b.sum_n_chars_cdf
+FROM (SELECT source, COUNT(*) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+             MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+      FROM slab GROUP BY source) a
+JOIN (SELECT source, COUNT(*) AS n_rows_cdf,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars_cdf
+      FROM mutated GROUP BY source) b USING (source)
 """
 
 
