@@ -6757,6 +6757,39 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+def q_lakehouse_delete_where(spark, sf):
+    """Predicate delete (sinks/manifest_store.py::delete_where): three
+    range-disjoint event commits, then DELETE WHERE user_id >= 100 AND
+    value < 50 — stats prune the scan to candidate files, matching ids
+    become one distributed equality-DV commit (no file rewritten, no
+    driver collect). The oracle restates the survivors."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias("documentid"),
+        "user_id", "value")
+    table = tempfile.mkdtemp(prefix="dw_lh_") + "/t"
+    ms.write_table(ev.filter(F.col("user_id") < 50), table)
+    ms.append_table(
+        ev.filter((F.col("user_id") >= 50) & (F.col("user_id") < 100)), table)
+    ms.append_table(ev.filter(F.col("user_id") >= 100), table)
+    ms.delete_where(spark, table,
+                    [("user_id", ">=", 100), ("value", "<", 50.0)])
+    return ms.read_table(spark, table).select(
+        "documentid", "user_id",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"))
+
+
+ORACLE_DELETE_WHERE = """
+SELECT CAST(event_id AS VARCHAR) AS documentid, user_id,
+       round(value, 6) + 0.0 AS value
+FROM events
+WHERE NOT (user_id >= 100 AND value < 50.0)
+"""
+
+
 def q_incremental_agg_view(spark, sf):
     """Incrementally-maintained aggregate view (sinks/matview.py): base
     table = documents slice doc_id%3==0, full refresh; append the
@@ -7551,6 +7584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_bloom_read": q_lakehouse_bloom_read,
         "pack_token_id_rows": q_pack_token_id_rows,
         "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
+        "lakehouse_delete_where": q_lakehouse_delete_where,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7867,6 +7901,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_bloom_read": ORACLE_BLOOM_READ,
         "pack_token_id_rows": ORACLE_PACK_IDS,
         "lakehouse_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
+        "lakehouse_delete_where": ORACLE_DELETE_WHERE,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

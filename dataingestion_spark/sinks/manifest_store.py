@@ -986,6 +986,50 @@ def delete_documents(spark, table: str, doc_ids: List[str]) -> int:
                    extra=_prune_meta(meta, buckets), op="DELETE")
 
 
+def delete_where(spark, table: str, conditions) -> int:
+    """Predicate delete (``DELETE FROM t WHERE ...`` for conjunctive
+    ``(col, op, literal)`` conditions): per-file stats + blooms prune to
+    the candidate files, ONLY those are scanned for matching documentids,
+    and one equality-DV commit kills every row of the matched documents —
+    no data file rewritten, ids never collected to the driver (the DV
+    files are written straight from the distributed frame). O(matching
+    files + DV rows) whatever the table size. Documents are deleted as
+    WHOLE units (any row matching deletes the document — documents are
+    the unit of replacement everywhere in this store). Returns the new
+    version (unchanged if nothing matched)."""
+    manifest, chosen = candidate_files_where(table, conditions)
+    meta = _manifest_meta(manifest)
+    if not any(chosen.values()):
+        return manifest["version"]
+    names = {n for ns in chosen.values() for n in ns}
+    df = _read_files(spark, table, manifest, bucket_subset=chosen,
+                     file_subset=names)
+    cond = None
+    for c, op, v in conditions:
+        left = F.col(c)
+        expr = {"=": left == v, "!=": left != v, "<": left < v,
+                "<=": left <= v, ">": left > v, ">=": left >= v}[op]
+        cond = expr if cond is None else (cond & expr)
+    hits = (df.filter(cond).select("documentid").distinct()
+            .withColumn("doc_bucket", _bucket_col()))
+    version = manifest["version"] + 1
+    token = "x" + uuid.uuid4().hex[:7]
+    del_buckets = _write_bucket_files(hits, table, token, prefix="del-")
+    if not del_buckets:
+        return manifest["version"]
+    for b, dnames in del_buckets.items():
+        if manifest["buckets"].get(b):
+            meta["deletes"].setdefault(b, []).extend(dnames)
+            meta["seq"].update({n: version for n in dnames})
+        else:
+            for n in dnames:
+                _data_delete(table, n)
+    buckets = {b: list(ns) for b, ns in manifest["buckets"].items()}
+    return _commit(table, version, buckets,
+                   expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets), op="DELETE_WHERE")
+
+
 def append_table(records: DataFrame, table: str, txn=None) -> int:
     """Append-only commit for documents known to be new: adds files to the
     affected buckets WITHOUT reading or rewriting existing ones — O(batch)

@@ -1449,3 +1449,27 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
         got = {r.documentid: r.content
                for r in ms.read_table(spark, table, version=v).collect()}
         assert got == snap, f"version {v} mismatch"
+
+
+def test_delete_where_scans_only_candidates_and_kills_documents(spark, tmp_path):
+    table = str(tmp_path / "dw")
+    df = _zorder_rows(spark, 3000)
+    # three range-disjoint commits give the files tight x stats
+    ms.write_table(df.filter(F.col("x") < 300), table)
+    ms.append_table(df.filter((F.col("x") >= 300) & (F.col("x") < 700)), table)
+    ms.append_table(df.filter(F.col("x") >= 700), table)
+    total = ms.read_table(spark, table).count()
+    keep = ms.read_table(spark, table).filter("NOT (x >= 700 AND y < 500)")
+    expect = {r.documentid for r in keep.select("documentid").collect()}
+
+    v = ms.delete_where(spark, table, [("x", ">=", 700), ("y", "<", 500)])
+    assert v == ms.current_version(table)
+    got = {r.documentid for r in ms.read_table(spark, table)
+           .select("documentid").collect()}
+    assert got == expect and len(got) < total
+    assert ms.table_history(table)[0]["op"] == "DELETE_WHERE"
+    # no data file was rewritten: bucket lists unchanged
+    assert ms.read_manifest(table)["buckets"] \
+        == ms.read_manifest(table, v - 1)["buckets"]
+    # nothing-matches is a no-op commit-wise
+    assert ms.delete_where(spark, table, [("x", ">", 99999)]) == v
