@@ -6757,6 +6757,34 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+def q_lakehouse_update_where(spark, sf):
+    """Predicate update (sinks/manifest_store.py::update_where):
+    UPDATE events SET value = round(value,6) + 1000 WHERE user_id < 10 —
+    matched documents rewrite as one replace-by-documentid DV commit
+    from the affected buckets only. Oracle restates the mutation."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias("documentid"),
+        "user_id", (F.round("value", 6) + F.lit(0.0)).alias("value"))
+    table = tempfile.mkdtemp(prefix="uw_lh_") + "/t"
+    ms.write_table(ev, table)
+    ms.update_where(spark, table, [("user_id", "<", 10)],
+                    {"value": "value + 1000"})
+    return ms.read_table(spark, table).select(
+        "documentid", "user_id", "value")
+
+
+ORACLE_UPDATE_WHERE = """
+SELECT CAST(event_id AS VARCHAR) AS documentid, user_id,
+       round(value, 6) + 0.0
+         + CASE WHEN user_id < 10 THEN 1000 ELSE 0 END AS value
+FROM events
+"""
+
+
 def q_lakehouse_delete_where(spark, sf):
     """Predicate delete (sinks/manifest_store.py::delete_where): three
     range-disjoint event commits, then DELETE WHERE user_id >= 100 AND
@@ -7585,6 +7613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_id_rows": q_pack_token_id_rows,
         "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
         "lakehouse_delete_where": q_lakehouse_delete_where,
+        "lakehouse_update_where": q_lakehouse_update_where,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
@@ -7902,6 +7931,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_token_id_rows": ORACLE_PACK_IDS,
         "lakehouse_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "lakehouse_delete_where": ORACLE_DELETE_WHERE,
+        "lakehouse_update_where": ORACLE_UPDATE_WHERE,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

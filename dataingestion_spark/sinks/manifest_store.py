@@ -1030,6 +1030,43 @@ def delete_where(spark, table: str, conditions) -> int:
                    extra=_prune_meta(meta, buckets), op="DELETE_WHERE")
 
 
+def update_where(spark, table: str, conditions,
+                 set_map: Dict[str, str]) -> int:
+    """Predicate update (``UPDATE t SET col = expr WHERE ...``):
+    stats/bloom-pruned scan finds matched documentids, ALL rows of those
+    documents (whole-document semantics) are read from just the affected
+    buckets, the ``set_map`` SQL expressions are applied, and the new
+    row versions land as one replace-by-documentid DV commit — no
+    unmatched file rewritten. ``set_map`` exprs may reference any row
+    column (e.g. ``{"n_chars": "n_chars + 10"}``). O(affected buckets),
+    CHECK constraints enforced on the rewritten rows like any replace."""
+    manifest, chosen = candidate_files_where(table, conditions)
+    if not any(chosen.values()):
+        return manifest["version"]
+    names = {n for ns in chosen.values() for n in ns}
+    scan = _read_files(spark, table, manifest, bucket_subset=chosen,
+                       file_subset=names)
+    cond = None
+    for c, op, v in conditions:
+        left = F.col(c)
+        expr = {"=": left == v, "!=": left != v, "<": left < v,
+                "<=": left <= v, ">": left > v, ">=": left >= v}[op]
+        cond = expr if cond is None else (cond & expr)
+    ids = scan.filter(cond).select("documentid").distinct()
+    affected = sorted(str(r[0]) for r in
+                      ids.withColumn("b", _bucket_col())
+                      .select("b").distinct().collect())
+    if not affected:
+        return manifest["version"]
+    full = (_read_files(spark, table, manifest, bucket_subset=affected)
+            .join(F.broadcast(ids), "documentid", "semi"))
+    updated = full.withColumns(
+        {col: F.expr(e) for col, e in set_map.items()})
+    if "doc_bucket" in updated.columns:
+        updated = updated.drop("doc_bucket")
+    return incremental_replace(updated, table, mode="dv")
+
+
 def append_table(records: DataFrame, table: str, txn=None) -> int:
     """Append-only commit for documents known to be new: adds files to the
     affected buckets WITHOUT reading or rewriting existing ones — O(batch)

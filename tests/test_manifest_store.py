@@ -1473,3 +1473,26 @@ def test_delete_where_scans_only_candidates_and_kills_documents(spark, tmp_path)
         == ms.read_manifest(table, v - 1)["buckets"]
     # nothing-matches is a no-op commit-wise
     assert ms.delete_where(spark, table, [("x", ">", 99999)]) == v
+
+
+def test_update_where_rewrites_only_matched_documents(spark, tmp_path):
+    table = str(tmp_path / "uw")
+    df = _zorder_rows(spark, 1000)
+    ms.write_table(df, table)
+    v = ms.update_where(spark, table, [("x", "<", 100)],
+                        {"y": "y + 10000"})
+    assert v == 1
+    got = ms.read_table(spark, table)
+    assert got.filter("x < 100 AND y < 10000").count() == 0
+    assert got.filter("x >= 100 AND y >= 10000").count() == 0
+    assert got.count() == 1000
+    # constraints gate predicate updates too
+    ms.add_constraint(spark, table, "y_bounded", "y < 100000")
+    import pytest
+
+    with pytest.raises(ms.ConstraintViolation):
+        ms.update_where(spark, table, [("x", "<", 100)],
+                        {"y": "y + 10000000"})
+    # no match: no commit
+    assert ms.update_where(spark, table, [("x", ">", 10**9)],
+                           {"y": "0"}) == ms.current_version(table)
