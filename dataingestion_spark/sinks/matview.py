@@ -150,8 +150,13 @@ def refresh(spark, base_table: str, view_path: str,
         # row, -1 per deleted; an update is its delete+insert pair).
         # min/max can't subtract, and a pre-_rows snapshot can't tell an
         # emptied group from a zero-sum one — both fall back to full.
+        # Gate on the DIFF's fast path: file REWRITES (compaction) force
+        # table_diff into its generic exceptAll (two full scans) — for a
+        # content-identical rewrite that costs 2x a recompute for an
+        # empty feed, so rewrites take the full branch instead.
+        kept_files_intact = set(files) >= prev
         if ({f for _, f in aggs} <= {"count", "sum"}
-                and "_rows" in old.columns):
+                and "_rows" in old.columns and kept_files_intact):
             try:
                 diff = ms.table_diff(spark, base_table,
                                      int(meta["base_version"]),
