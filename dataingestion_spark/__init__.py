@@ -135,9 +135,18 @@ from .operators.similarity import hard_negatives, recall_at_k  # noqa: E402,F401
 from .operators.graph import pagerank, triangle_count  # noqa: E402,F401
 from .operators.urls import parse_robots, robots_disallowed  # noqa: E402,F401
 from .sinks.manifest_store import (  # noqa: E402,F401
+    add_constraint,
+    clone_table,
+    delete_where,
+    maintain_table,
     merge_table,
+    optimize_zorder,
+    restore_table,
+    set_bloom_columns,
     table_diff,
+    table_history,
     table_stats,
+    update_where,
 )
 from .sinks.matview import refresh as refresh_view  # noqa: E402,F401
 from .sinks.text_index import (  # noqa: E402,F401
