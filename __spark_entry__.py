@@ -7509,11 +7509,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness gate oracles the FIRST 50
     # entries.  r1-r3 led with TPC-H/relational, r4 with the reference
     # surface (readers/chunkers/writers/lakehouse/multimodal/search) — both
-    # blocks are driver-green.  r5 leads with the third distinct block: the
-    # 50 never-driver-sampled oracled entries (bm25/text-search, sft,
-    # sketches, dedup clustering, drift/profiling, graph).  Entries 51-77
-    # are the remaining never-sampled entries (incl. the rows-only
-    # streaming set) queued for r6; previously-green blocks follow.
+    # blocks are driver-green.  No r5 driver artifacts were delivered, so
+    # r6's first 50 = 37 entries of the never-sampled r5 block
+    # (bm25/text-search, sft, sketches, dedup clustering, drift/profiling)
+    # + the 13 round-6 additions (lakehouse RESTORE/CLONE/ZORDER/
+    # constraints/bloom/maintenance/schema-evolution/DELETE+UPDATE WHERE,
+    # BPE encode, preference pairs, token-id packing).  The displaced r5
+    # tail and the 51-77 block queue for r7; previously-green blocks
+    # follow.
     return {
         # --- r5 driver sample: never-checked oracled block (1-50) ---
         "search_bm25": q_bm25,
@@ -7553,6 +7556,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_corruption": q_span_corruption,
         "doc_prefix_lm_split": q_prefix_lm,
         "dedup_semantic_clusters": q_semantic_dedup,
+        # --- round-6 additions: sampled this round ---
+        "lakehouse_restore": q_lakehouse_restore,
+        "lakehouse_clone_branch": q_lakehouse_clone_branch,
+        "lakehouse_zorder_read": q_lakehouse_zorder_read,
+        "lakehouse_check_constraints": q_lakehouse_constraints,
+        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
+        "sft_preference_pairs": q_preference_pairs,
+        "sft_best_of_n": q_best_of_n,
+        "lakehouse_maintenance": q_lakehouse_maintenance,
+        "lakehouse_bloom_read": q_lakehouse_bloom_read,
+        "pack_token_id_rows": q_pack_token_id_rows,
+        "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
+        "lakehouse_delete_where": q_lakehouse_delete_where,
+        "lakehouse_update_where": q_lakehouse_update_where,
+        # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
+        # --- displaced r5-block tail (locally green; r7 queue) ---
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
         "doc_robots_gate": q_robots_gate,
@@ -7566,7 +7585,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dsir_weights": q_dsir_weights,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_hll_merged": q_sketch_hll_merged,
-        # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         "multimodal_frame_sample": q_frame_sample,
         "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
         "lakehouse_skipping_read": q_lakehouse_skipping,
@@ -7600,20 +7618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exactly_once_ingest": q_exactly_once_ingest,
         "streaming_dedup_watermark": q_streaming_dedup_watermark,
         "streaming_interval_join": q_streaming_interval_join,
-        # --- round-6 additions (restore / clone / zorder) ---
-        "lakehouse_restore": q_lakehouse_restore,
-        "lakehouse_clone_branch": q_lakehouse_clone_branch,
-        "lakehouse_zorder_read": q_lakehouse_zorder_read,
-        "lakehouse_check_constraints": q_lakehouse_constraints,
-        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
-        "sft_preference_pairs": q_preference_pairs,
-        "sft_best_of_n": q_best_of_n,
-        "lakehouse_maintenance": q_lakehouse_maintenance,
-        "lakehouse_bloom_read": q_lakehouse_bloom_read,
-        "pack_token_id_rows": q_pack_token_id_rows,
-        "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
-        "lakehouse_delete_where": q_lakehouse_delete_where,
-        "lakehouse_update_where": q_lakehouse_update_where,
         # --- driver-green in earlier rounds (r1-r4) ---
         "reader_markdown_elements": q_md_parse_elements,
         "reader_docx_elements": q_docx_elements,
