@@ -239,7 +239,8 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
                         derive_deletes: bool = False,
                         split_col: Optional[str] = None,
                         sort_col: Optional[str] = None,
-                        bloom_cols: Optional[List[str]] = None):
+                        bloom_cols: Optional[List[str]] = None,
+                        max_rows_per_file: Optional[int] = None):
     """Write records (must carry doc_bucket) grouped per bucket; returns
     bucket -> new file names.
 
@@ -386,9 +387,14 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
                     if c is not None and c in tbl.column_names]
             if drop:
                 tbl = tbl.drop_columns(drop)
-            emit(b, tbl,
-                 f"{prefix}{b}-{token}-{_uuid.uuid4().hex[:8]}.parquet",
-                 "d", want_stats)
+            chunks = ([tbl] if not max_rows_per_file
+                      else [tbl.slice(i, max_rows_per_file)
+                            for i in range(0, max(tbl.num_rows, 1),
+                                           max_rows_per_file)])
+            for ck in chunks:
+                emit(b, ck,
+                     f"{prefix}{b}-{token}-{_uuid.uuid4().hex[:8]}.parquet",
+                     "d", want_stats)
             if mixed and tbl.num_rows:
                 del_tbl = (tbl.select(["documentid", "doc_bucket"])
                            .group_by(["documentid", "doc_bucket"])
@@ -653,7 +659,8 @@ def _read_files(spark, table: str, manifest: Dict,
     )
 
 
-def write_table(records: DataFrame, table: str, txn=None) -> int:
+def write_table(records: DataFrame, table: str, txn=None,
+                max_rows_per_file: Optional[int] = None) -> int:
     """Full (over)write as version 0... n+1; returns the committed version.
 
     The prior manifest's txn map (writer-app -> last applied epoch) is
@@ -683,7 +690,8 @@ def write_table(records: DataFrame, table: str, txn=None) -> int:
     token = uuid.uuid4().hex[:8]
     stats: Dict[str, Dict] = {}
     buckets = _write_bucket_files(records, table, token, stats=stats,
-                                  bloom_cols=bcols)
+                                  bloom_cols=bcols,
+                                  max_rows_per_file=max_rows_per_file)
     version = 0 if cv is None else cv + 1
     version = _commit(
         table, version, buckets, expected_current=cv, op="WRITE",
@@ -1067,13 +1075,15 @@ def update_where(spark, table: str, conditions,
     return incremental_replace(updated, table, mode="dv")
 
 
-def append_table(records: DataFrame, table: str, txn=None) -> int:
+def append_table(records: DataFrame, table: str, txn=None,
+                 max_rows_per_file: Optional[int] = None) -> int:
     """Append-only commit for documents known to be new: adds files to the
     affected buckets WITHOUT reading or rewriting existing ones — O(batch)
     regardless of table size. This is what accumulates small files per
     bucket; run :func:`compact` periodically."""
     if current_version(table) is None:
-        return write_table(records, table, txn=txn)
+        return write_table(records, table, txn=txn,
+                           max_rows_per_file=max_rows_per_file)
     records = records.withColumn("doc_bucket", _bucket_col())
     manifest = read_manifest(table)
     if _txn_applied(manifest, txn):
@@ -1087,7 +1097,8 @@ def append_table(records: DataFrame, table: str, txn=None) -> int:
     _schema_union(meta, records)
     new_buckets = _write_bucket_files(records, table, token,
                                       stats=meta["stats"],
-                                      bloom_cols=meta["bloom_cols"])
+                                      bloom_cols=meta["bloom_cols"],
+                                      max_rows_per_file=max_rows_per_file)
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     for b, names in new_buckets.items():
         buckets.setdefault(b, []).extend(names)

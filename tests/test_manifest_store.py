@@ -1496,3 +1496,24 @@ def test_update_where_rewrites_only_matched_documents(spark, tmp_path):
     # no match: no commit
     assert ms.update_where(spark, table, [("x", ">", 10**9)],
                            {"y": "0"}) == ms.current_version(table)
+
+
+def test_max_rows_per_file_splits_and_tightens_stats(spark, tmp_path):
+    table = str(tmp_path / "mrpf")
+    df = _zorder_rows(spark, 2000)
+    ms.write_table(df, table, max_rows_per_file=20)
+    st = ms.table_stats(table)
+    m = ms.read_manifest(table)
+    meta = ms._manifest_meta(m)
+    # every file respects the cap and carries its own stats
+    for names in m["buckets"].values():
+        for n in names:
+            assert meta["stats"][n]["rows"] <= 20
+    assert st["max_files_per_bucket"] >= 2
+    assert ms.read_table(spark, table).count() == 2000
+    # appends honor the cap too, and reads/DVs work across the split
+    ms.append_table(df.limit(50).withColumn(
+        "documentid", F.concat(F.lit("e"), "documentid")),
+        table, max_rows_per_file=10)
+    ms.delete_documents(spark, table, ["d00001", "ed00001"])
+    assert ms.read_table(spark, table).count() == 2000 + 50 - 2
