@@ -6785,6 +6785,49 @@ FROM events
 """
 
 
+def q_lakehouse_stream_read(spark, sf):
+    """Structured Streaming READ of a manifest table
+    (streaming/table_source.py::stream_table — a Spark 4 Python streaming
+    data source, the Delta ``readStream.format("delta")`` analog): v0 =
+    documents doc_id%3==0 slice; first availableNow pass emits the
+    snapshot batch into a parquet sink; then doc_id%3==1 is APPENDED and
+    a second pass tails exactly that commit through the checkpointed
+    version offsets (one input partition per added file, executor-side
+    Arrow reads). The returned frame is the sink — snapshot ∪ tailed
+    append — which the oracle restates in closed form; exactly-once,
+    change-commit failure, and startingVersion are pinned in
+    tests/test_table_stream.py."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.streaming.table_source import stream_table
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="stream_lh_")
+    table, sink, ckpt = tmp + "/t", tmp + "/sink", tmp + "/ckpt"
+    ms.write_table(docs.filter(F.col("doc_id") % 3 == 0), table)
+
+    def drain():
+        q = (stream_table(spark, table)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()  # snapshot batch
+    ms.append_table(docs.filter(F.col("doc_id") % 3 == 1), table)
+    drain()  # tail the append commit
+    return spark.read.parquet(sink).select("documentid", "lang", "n_chars")
+
+
+ORACLE_STREAM_READ = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid, lang, n_chars
+FROM documents WHERE doc_id % 3 IN (0, 1)
+"""
+
+
 def q_lakehouse_delete_where(spark, sf):
     """Predicate delete (sinks/manifest_store.py::delete_where): three
     range-disjoint event commits, then DELETE WHERE user_id >= 100 AND
@@ -7570,6 +7613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
         "lakehouse_delete_where": q_lakehouse_delete_where,
         "lakehouse_update_where": q_lakehouse_update_where,
+        "lakehouse_stream_read": q_lakehouse_stream_read,
         # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         # --- displaced r5-block tail (locally green; r7 queue) ---
         "doc_lm_perplexity": q_lm_perplexity,
@@ -7936,6 +7980,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "lakehouse_delete_where": ORACLE_DELETE_WHERE,
         "lakehouse_update_where": ORACLE_UPDATE_WHERE,
+        "lakehouse_stream_read": ORACLE_STREAM_READ,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

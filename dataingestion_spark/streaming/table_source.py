@@ -1,0 +1,269 @@
+"""Structured Streaming SOURCE over a manifest-store table.
+
+Delta Lake exposes its tables as streaming sources (``spark.readStream
+.format("delta")``): the commit log is the offset sequence, appends flow
+through as micro-batches, and change commits either fail the stream or
+are skipped (``skipChangeCommits``). This module gives the repo's
+manifest tables (:mod:`dataingestion_spark.sinks.manifest_store`) the
+same capability, implemented as a Spark 4 **Python streaming data
+source** (`pyspark.sql.datasource.DataSourceStreamReader`) — the
+idiomatic extension point, so the source composes with every sink,
+trigger (incl. ``availableNow``), checkpoint recovery, and operator
+Structured Streaming offers.
+
+Semantics (mirroring ``spark.readStream.format("delta")``):
+
+* **Offsets are commit versions** (``{"version": N}``); the checkpoint
+  stores them, so restarts resume exactly where the last batch ended
+  (the manifest log is immutable history — a version range always
+  replays to the same rows).
+* **First batch = table snapshot** at the version current when the
+  stream starts (equality deletion vectors applied), unless
+  ``startingVersion`` pins the first commit to read instead.
+* **Subsequent batches = appended files** of versions ``(start, end]``.
+  A commit that REWRITES or DELETES pre-existing rows (file removals or
+  new deletion vectors) is a *change commit*: the stream fails with a
+  descriptive error unless ``skipChangeCommits=true`` (Delta's option),
+  which skips those commits whole and keeps tailing appends.
+* **One input partition per data file** — a 1000-file append becomes a
+  1000-task micro-batch; executors read their file directly with
+  pyarrow (no driver materialization), null-padding columns added by
+  later schema evolution.
+
+Scale: the driver-side planning per batch is O(manifests in the version
+range) JSON reads; the data plane never touches the driver. The reader
+needs ``pyarrow``-readable file paths (local or object store) — the
+in-memory test backend is not streamable, matching its contract.
+
+Reference: the reference system has no streaming-source story for its
+vector stores (write-only sinks, ``VectorStoreWriter.cs``); this is
+beyond-reference surface motivated by Delta/Iceberg CDC tailing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+__all__ = ["LakehouseTableDataSource", "stream_table"]
+
+_FORMAT_NAME = "lakehouse_table"
+
+
+def _read_arrow_file(path: str):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+class _FilePartition(InputPartition):
+    """One data file + the deletion vectors that may kill its rows.
+
+    ``dvs`` is ``[(path, delete_seq), ...]`` restricted to the file's
+    bucket; a row dies when its documentid appears in a DV whose seq is
+    strictly greater than the data file's (Iceberg equality-delete
+    semantics, identical to ``manifest_store._read_files``).
+    """
+
+    def __init__(self, path: str, seq: int, dvs: List):
+        self.path = path
+        self.seq = int(seq)
+        self.dvs = list(dvs)
+
+
+class _TableStreamReader(DataSourceStreamReader):
+    # offset sentinel: "snapshot not yet emitted"
+    _SNAPSHOT_PENDING = -2
+
+    def __init__(self, schema, options: Dict[str, str]):
+        self._schema = schema
+        self._table = options.get("path") or options.get("table")
+        if not self._table:
+            raise ValueError("lakehouse_table source requires a path "
+                             "(readStream.load(<table>) or .option('path', …))")
+        sv = options.get("startingversion")
+        self._starting_version: Optional[int] = None if sv is None else int(sv)
+        self._skip_changes = str(
+            options.get("skipchangecommits", "false")).lower() == "true"
+
+    # -- driver-side planning -------------------------------------------
+    def initialOffset(self) -> dict:
+        if self._starting_version is not None:
+            # read commits FROM startingVersion (inclusive) — no snapshot
+            return {"version": self._starting_version - 1}
+        return {"version": self._SNAPSHOT_PENDING}
+
+    def latestOffset(self) -> dict:
+        from ..sinks import manifest_store as ms
+
+        cur = ms.current_version(self._table)
+        if cur is None:
+            # nothing committed yet: hold at the initial offset so the
+            # engine plans empty batches until the first commit lands
+            return self.initialOffset()
+        return {"version": cur}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        if s == e:
+            return []
+        if s == self._SNAPSHOT_PENDING:
+            return self._snapshot_partitions(e)
+        parts: List[_FilePartition] = []
+        for v in range(s + 1, e + 1):
+            parts.extend(self._commit_partitions(v))
+        return parts
+
+    def _snapshot_partitions(self, version: int) -> List[_FilePartition]:
+        from ..sinks import manifest_store as ms
+
+        manifest = ms.read_manifest(self._table, version)
+        meta = ms._manifest_meta(manifest)
+        path_for = lambda n: (meta["ext"].get(n)  # noqa: E731
+                              or ms._join(self._table, "files", n))
+        parts = []
+        for bucket, names in manifest["buckets"].items():
+            dvs = [(path_for(d), int(meta["seq"].get(d, 0)))
+                   for d in meta["deletes"].get(bucket, [])]
+            for n in names:
+                parts.append(_FilePartition(
+                    path_for(n), int(meta["seq"].get(n, 0)), dvs))
+        return parts
+
+    def _commit_partitions(self, version: int) -> List[_FilePartition]:
+        from ..sinks import manifest_store as ms
+
+        cur = ms.read_manifest(self._table, version)
+        meta = ms._manifest_meta(cur)
+        if version == 0:
+            prev_buckets: Dict[str, List[str]] = {}
+            prev_deletes: Dict[str, List[str]] = {}
+        else:
+            prev = ms.read_manifest(self._table, version - 1)
+            pmeta = ms._manifest_meta(prev)
+            prev_buckets = prev["buckets"]
+            prev_deletes = pmeta["deletes"]
+
+        added: List[str] = []
+        changed = False
+        for bucket in set(cur["buckets"]) | set(prev_buckets):
+            now = set(cur["buckets"].get(bucket, []))
+            before = set(prev_buckets.get(bucket, []))
+            added.extend(sorted(now - before))
+            if before - now:
+                changed = True  # files rewritten/removed
+        for bucket in set(meta["deletes"]) | set(prev_deletes):
+            if (set(meta["deletes"].get(bucket, []))
+                    - set(prev_deletes.get(bucket, []))):
+                changed = True  # new deletion vectors target old rows
+        if changed:
+            if self._skip_changes:
+                return []
+            raise RuntimeError(
+                f"commit version {version} of {self._table} updates or "
+                "deletes pre-existing rows; a streaming read only tails "
+                "appends. Set skipChangeCommits=true to skip such commits, "
+                "or restart the stream to re-snapshot the table.")
+        path_for = lambda n: (meta["ext"].get(n)  # noqa: E731
+                              or ms._join(self._table, "files", n))
+        return [_FilePartition(path_for(n), int(meta["seq"].get(n, 0)), [])
+                for n in added]
+
+    # -- executor-side read ---------------------------------------------
+    def read(self, partition):  # type: ignore[override]
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        tbl = _read_arrow_file(partition.path)
+        kills = set()
+        for dv_path, dseq in partition.dvs:
+            if dseq > partition.seq:
+                dv = _read_arrow_file(dv_path)
+                kills.update(dv.column("documentid").to_pylist())
+        if kills and "documentid" in tbl.column_names:
+            mask = pc.is_in(tbl.column("documentid"),
+                            value_set=pa.array(sorted(kills)))
+            tbl = tbl.filter(pc.invert(mask))
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:  # file predates a schema-evolution column
+                cols.append(pa.nulls(tbl.num_rows, field.type))
+        out = pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in cols],
+            schema=target)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; nothing to ack
+
+
+class LakehouseTableDataSource(DataSource):
+    """``spark.readStream.format("lakehouse_table").load(table_path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return _FORMAT_NAME
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        from ..sinks import manifest_store as ms
+
+        table = self.options.get("path") or self.options.get("table")
+        if not table:
+            raise ValueError("lakehouse_table source requires a path")
+        manifest = ms.read_manifest(table)
+        fields = ms._manifest_meta(manifest)["schema"]
+        if fields:
+            st = T.StructType.fromJson({"type": "struct", "fields": fields})
+            # files written before a schema-evolution column surface null
+            # for it regardless of how the adding batch declared it — the
+            # source schema must be nullable (same forcing Spark's file
+            # sources apply via asNullable)
+            return T.StructType(
+                [T.StructField(f.name, f.dataType, True, f.metadata)
+                 for f in st.fields])
+        # pre-schema manifest: derive from one data file's footer
+        from pyspark.sql.pandas.types import from_arrow_schema
+        import pyarrow.parquet as pq
+
+        meta = ms._manifest_meta(manifest)
+        for bucket, names in manifest["buckets"].items():
+            for n in names:
+                path = meta["ext"].get(n) or ms._join(table, "files", n)
+                return from_arrow_schema(pq.read_schema(path))
+        raise FileNotFoundError(f"{table} has no schema and no data files")
+
+    def streamReader(self, schema):
+        return _TableStreamReader(schema, dict(self.options))
+
+
+def stream_table(spark: SparkSession, table: str, *,
+                 starting_version: Optional[int] = None,
+                 skip_change_commits: bool = False):
+    """Open a manifest table as a streaming DataFrame.
+
+    ``starting_version=None`` (default) emits the current snapshot as the
+    first micro-batch, then tails appends; an integer starts at that
+    commit with no snapshot. ``skip_change_commits`` mirrors Delta's
+    option: silently skip commits that rewrite or delete existing rows
+    instead of failing the stream.
+    """
+    spark.dataSource.register(LakehouseTableDataSource)
+    reader = spark.readStream.format(_FORMAT_NAME).option("path", table)
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    if skip_change_commits:
+        reader = reader.option("skipChangeCommits", "true")
+    return reader.load()

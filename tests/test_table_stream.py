@@ -1,0 +1,113 @@
+"""Streaming reads of manifest tables (streaming/table_source.py).
+
+Pins the Delta-streaming-source semantics: snapshot-first batch, append
+tailing with commit versions as checkpointed offsets, exactly-once
+across restarts, change-commit failure vs ``skipChangeCommits``,
+``startingVersion``, DV application in snapshots, and schema-evolution
+null padding in the per-file Arrow reads.
+"""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.sinks import manifest_store as ms
+from dataingestion_spark.streaming.table_source import stream_table
+
+
+def _mk(spark, a, b, extra=None):
+    df = spark.range(a, b).select(
+        F.col("id").cast("string").alias("documentid"),
+        (F.col("id") * 2).alias("v"),
+    )
+    if extra is not None:
+        df = df.withColumn("tag", F.lit(extra))
+    return df
+
+
+def _drain(spark, table, sink, ckpt, **kw):
+    """One availableNow pass; returns the cumulative sink row count."""
+    q = (
+        stream_table(spark, table, **kw)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).count()
+
+
+def test_snapshot_then_tail_exactly_once(spark, tmp_path):
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 80), table)
+    assert _drain(spark, table, sink, ckpt) == 80  # snapshot batch
+    ms.append_table(_mk(spark, 80, 120), table)
+    assert _drain(spark, table, sink, ckpt) == 120  # only the append
+    # no new commits -> the checkpoint holds, nothing re-emitted
+    assert _drain(spark, table, sink, ckpt) == 120
+    # offsets in the checkpoint are commit versions
+    tails = [open(f).read().splitlines()[-1]
+             for f in sorted(glob.glob(ckpt + "/offsets/*"))]
+    assert '{"version": 1}' in tails[-1]
+
+
+def test_snapshot_applies_deletion_vectors(spark, tmp_path):
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 50), table)
+    ms.delete_documents(spark, table, [str(i) for i in range(0, 50, 5)])
+    got = _drain(spark, table, sink, ckpt)
+    assert got == 40
+    ids = {r.documentid for r in spark.read.parquet(sink).collect()}
+    assert "5" not in ids and "7" in ids
+
+
+def test_change_commit_fails_then_skip_recovers(spark, tmp_path):
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 40), table)
+    assert _drain(spark, table, sink, ckpt) == 40
+    ms.delete_documents(spark, table, ["1", "2"])  # v1: change commit
+    with pytest.raises(Exception) as ei:
+        _drain(spark, table, sink, ckpt)
+    assert "skipChangeCommits" in str(ei.value)
+    ms.append_table(_mk(spark, 40, 50), table)  # v2: clean append
+    # recovery replays the failed WAL batch first (skipped -> no rows),
+    # then the next pass drains the append — engine availableNow behavior
+    n = _drain(spark, table, sink, ckpt, skip_change_commits=True)
+    if n != 50:
+        n = _drain(spark, table, sink, ckpt, skip_change_commits=True)
+    assert n == 50
+
+
+def test_starting_version_skips_snapshot(spark, tmp_path):
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 30), table)  # v0
+    ms.append_table(_mk(spark, 30, 45), table)  # v1
+    ms.append_table(_mk(spark, 45, 55), table)  # v2
+    got = _drain(spark, table, sink, ckpt, starting_version=1)
+    assert got == 25  # v1 + v2 appends only, no v0 snapshot
+
+
+def test_schema_evolution_null_padded(spark, tmp_path):
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 10), table)
+    ms.append_table(_mk(spark, 10, 20, extra="new"), table)  # widens schema
+    assert _drain(spark, table, sink, ckpt) == 20
+    out = spark.read.parquet(sink)
+    assert "tag" in out.columns
+    assert out.filter(F.col("tag").isNull()).count() == 10
+    assert out.filter(F.col("tag") == "new").count() == 10
+
+
+def test_stream_matches_batch_read(spark, tmp_path):
+    """Snapshot + appends through the source == read_table, row for row."""
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 60), table)
+    ms.append_table(_mk(spark, 60, 90), table)
+    _drain(spark, table, sink, ckpt)
+    streamed = spark.read.parquet(sink).select("documentid", "v")
+    batch = ms.read_table(spark, table).select("documentid", "v")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
