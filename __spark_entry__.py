@@ -6828,6 +6828,43 @@ FROM documents WHERE doc_id % 3 IN (0, 1)
 """
 
 
+def q_lakehouse_delta_roundtrip(spark, sf):
+    """Delta Lake protocol interop (interop/delta.py): a manifest table
+    (documents doc_id%4!=3, then doc_id%5==0 DELETED — live equality
+    DVs) is published with export_delta, which first MATERIALIZES the
+    DVs (compacting only DV-carrying buckets), then writes a spec-
+    conformant _delta_log commit — protocol v1/v2, metaData carrying the
+    tracked Spark schema verbatim, one add per live file with
+    numRecords/minValues/maxValues translated from manifest stats. The
+    returned frame re-reads the export through read_delta (JSON commit
+    replay). Foreign-log replay (removes, partitions, checkpoints,
+    feature rejection) is pinned in tests/test_delta_interop.py."""
+    import tempfile
+
+    from dataingestion_spark.interop.delta import export_delta, read_delta
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="delta_lh_")
+    table, dst = tmp + "/t", tmp + "/delta"
+    ms.write_table(docs.filter(F.col("doc_id") % 4 != 3), table)
+    dels = [r["documentid"] for r in
+            docs.filter((F.col("doc_id") % 4 != 3)
+                        & (F.col("doc_id") % 5 == 0))
+            .select("documentid").collect()]
+    ms.delete_documents(spark, table, dels)
+    export_delta(spark, table, dst, mode="copy")
+    return read_delta(spark, dst).select("documentid", "lang", "n_chars")
+
+
+ORACLE_DELTA_ROUNDTRIP = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid, lang, n_chars
+FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 5 <> 0
+"""
+
+
 def q_lakehouse_delete_where(spark, sf):
     """Predicate delete (sinks/manifest_store.py::delete_where): three
     range-disjoint event commits, then DELETE WHERE user_id >= 100 AND
@@ -7614,6 +7651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_delete_where": q_lakehouse_delete_where,
         "lakehouse_update_where": q_lakehouse_update_where,
         "lakehouse_stream_read": q_lakehouse_stream_read,
+        "lakehouse_delta_roundtrip": q_lakehouse_delta_roundtrip,
         # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         # --- displaced r5-block tail (locally green; r7 queue) ---
         "doc_lm_perplexity": q_lm_perplexity,
@@ -7981,6 +8019,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_delete_where": ORACLE_DELETE_WHERE,
         "lakehouse_update_where": ORACLE_UPDATE_WHERE,
         "lakehouse_stream_read": ORACLE_STREAM_READ,
+        "lakehouse_delta_roundtrip": ORACLE_DELTA_ROUNDTRIP,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

@@ -1,0 +1,186 @@
+"""Delta Lake protocol interop (interop/delta.py).
+
+Round-trips manifest tables through export_delta/read_delta and pins the
+reader against hand-built Delta logs: multi-commit replay with removes,
+partition-column restoration, checkpoint resume, and loud rejection of
+reader features (deletion vectors, column mapping) this reader does not
+implement.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.interop.delta import export_delta, read_delta
+from dataingestion_spark.sinks import manifest_store as ms
+
+
+def _mk(spark, a, b):
+    return spark.range(a, b).select(
+        F.col("id").cast("string").alias("documentid"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("w"), F.col("id")).alias("w"),
+    )
+
+
+def _assert_same(a, b):
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+@pytest.mark.parametrize("mode", ["copy", "shallow"])
+def test_export_roundtrip(spark, tmp_path, mode):
+    table, dst = str(tmp_path / "t"), str(tmp_path / f"delta_{mode}")
+    ms.write_table(_mk(spark, 0, 60), table)
+    ms.append_table(_mk(spark, 60, 90), table)
+    export_delta(spark, table, dst, mode=mode)
+    got = read_delta(spark, dst)
+    want = ms.read_table(spark, table)
+    _assert_same(got.select("documentid", "v", "w"),
+                 want.select("documentid", "v", "w"))
+    # the log carries per-file stats a Delta reader can skip on
+    log0 = open(os.path.join(dst, "_delta_log",
+                             "0" * 20 + ".json")).read().splitlines()
+    adds = [json.loads(x)["add"] for x in log0 if '"add"' in x]
+    assert adds and all("stats" in a for a in adds)
+    assert all(json.loads(a["stats"])["numRecords"] > 0 for a in adds)
+
+
+def test_export_materializes_dvs(spark, tmp_path):
+    table, dst = str(tmp_path / "t"), str(tmp_path / "delta")
+    ms.write_table(_mk(spark, 0, 50), table)
+    ms.delete_documents(spark, table, [str(i) for i in range(0, 50, 5)])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_delta(spark, table, dst, apply_deletes=False)
+    export_delta(spark, table, dst)  # compacts DV buckets, then exports
+    got = read_delta(spark, dst)
+    assert got.count() == 40
+    assert not any(r.documentid == "10" for r in got.collect())
+
+
+def test_export_refuses_overwrite(spark, tmp_path):
+    table, dst = str(tmp_path / "t"), str(tmp_path / "delta")
+    ms.write_table(_mk(spark, 0, 5), table)
+    export_delta(spark, table, dst)
+    with pytest.raises(FileExistsError):
+        export_delta(spark, table, dst)
+
+
+def _write_delta_commit(log_dir, version, actions):
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _meta_action(schema_json, part_cols=()):
+    return {"metaData": {"id": "m", "format": {"provider": "parquet",
+                                               "options": {}},
+                         "schemaString": json.dumps(schema_json),
+                         "partitionColumns": list(part_cols),
+                         "configuration": {}}}
+
+
+_SCHEMA = {"type": "struct", "fields": [
+    {"name": "k", "type": "string", "nullable": True, "metadata": {}},
+    {"name": "n", "type": "long", "nullable": True, "metadata": {}},
+    {"name": "day", "type": "integer", "nullable": True, "metadata": {}},
+]}
+
+
+def _write_part(spark, path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k": [r[0] for r in rows],
+                             "n": pa.array([r[1] for r in rows],
+                                           type=pa.int64())}), path)
+
+
+def test_read_foreign_log_replay_and_partitions(spark, tmp_path):
+    """Multi-commit log with partitionValues and a remove action."""
+    root = str(tmp_path / "ext")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(root, exist_ok=True)
+    _write_part(spark, os.path.join(root, "a.parquet"), [("x", 1), ("y", 2)])
+    _write_part(spark, os.path.join(root, "b.parquet"), [("z", 3)])
+    _write_part(spark, os.path.join(root, "c.parquet"), [("q", 4)])
+    _write_delta_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(_SCHEMA, part_cols=["day"]),
+        {"add": {"path": "a.parquet", "partitionValues": {"day": "7"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "b.parquet", "partitionValues": {"day": "8"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    _write_delta_commit(log, 1, [
+        {"remove": {"path": "b.parquet", "dataChange": True}},
+        {"add": {"path": "c.parquet", "partitionValues": {"day": None},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    got = read_delta(spark, root)
+    assert [f.name for f in got.schema.fields] == ["k", "n", "day"]
+    rows = {(r.k, r.n, r.day) for r in got.collect()}
+    assert rows == {("x", 1, 7), ("y", 2, 7), ("q", 4, None)}
+    assert dict(got.dtypes)["day"] == "int"  # typed, not the log's string
+
+
+def test_read_resumes_from_checkpoint(spark, tmp_path):
+    """_last_checkpoint + a later JSON commit; pre-checkpoint commits may
+    be vacuumed away and must not be required."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cp")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    _write_part(spark, os.path.join(root, "a.parquet"), [("x", 1)])
+    _write_part(spark, os.path.join(root, "b.parquet"), [("y", 2)])
+    schema2 = {"type": "struct", "fields": _SCHEMA["fields"][:2]}
+    # checkpoint at version 5 holds state: metaData + protocol + one add
+    cp = pa.table({
+        "protocol": [{"minReaderVersion": 1, "minWriterVersion": 2}, None],
+        "metaData": [{"id": "m", "schemaString": json.dumps(schema2),
+                      "partitionColumns": []}, None],
+        "add": [None, {"path": "a.parquet",
+                       "size": 1, "modificationTime": 0}],
+    })
+    pq.write_table(cp, os.path.join(log, f"{5:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 5, "size": 2}, f)
+    _write_delta_commit(log, 6, [
+        {"add": {"path": "b.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    got = read_delta(spark, root)
+    assert {(r.k, r.n) for r in got.collect()} == {("x", 1), ("y", 2)}
+
+
+def test_reader_rejects_unsupported_features(spark, tmp_path):
+    root = str(tmp_path / "dv")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(root, exist_ok=True)
+    _write_part(spark, os.path.join(root, "a.parquet"), [("x", 1)])
+    _write_delta_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta_action({"type": "struct", "fields": _SCHEMA["fields"][:2]}),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta(spark, root)
+
+    root2 = str(tmp_path / "cm")
+    log2 = os.path.join(root2, "_delta_log")
+    os.makedirs(root2, exist_ok=True)
+    meta = _meta_action({"type": "struct", "fields": _SCHEMA["fields"][:2]})
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    _write_delta_commit(log2, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+    ])
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        read_delta(spark, root2)
