@@ -91,11 +91,19 @@ class _TableStreamReader(DataSourceStreamReader):
         self._starting_version: Optional[int] = None if sv is None else int(sv)
         self._skip_changes = str(
             options.get("skipchangecommits", "false")).lower() == "true"
+        mc = options.get("maxcommitspertrigger")
+        self._max_commits: Optional[int] = None if mc is None else max(1, int(mc))
 
     # -- driver-side planning -------------------------------------------
     def initialOffset(self) -> dict:
         if self._starting_version is not None:
-            # read commits FROM startingVersion (inclusive) — no snapshot
+            # read commits FROM startingVersion (inclusive) — no snapshot;
+            # seed the pacing position (monotone: never lower an already
+            # observed one) so a fresh processing-time stream paces even
+            # its initial backlog
+            seed = self._starting_version - 1
+            prev = getattr(self, "_pos", None)
+            self._pos = seed if prev is None else max(prev, seed)
             return {"version": self._starting_version - 1}
         return {"version": self._SNAPSHOT_PENDING}
 
@@ -107,10 +115,32 @@ class _TableStreamReader(DataSourceStreamReader):
             # nothing committed yet: hold at the initial offset so the
             # engine plans empty batches until the first commit lands
             return self.initialOffset()
+        if self._max_commits is not None:
+            # bounded micro-batches (Delta's maxFilesPerTrigger analog at
+            # commit granularity): advance at most N commits past the
+            # last known planned position, so a backlogged table drains
+            # in paced batches instead of one giant catch-up batch. The
+            # snapshot batch is never split — it is one consistent
+            # version. The position is in-memory, strictly monotone
+            # (initialOffset seed, partitions() starts/ends, own
+            # returns), so a cap can never regress below a committed
+            # offset; when the position is unknown — the first call
+            # after a RESTART, or the availableNow end-capture that
+            # precedes initialOffset — the batch is unpaced by design.
+            prev = getattr(self, "_pos", None)
+            if prev is not None and prev >= -1:  # -2 = snapshot pending
+                cur = min(cur, prev + self._max_commits)
+        prev = getattr(self, "_pos", None)
+        self._pos = cur if prev is None else max(prev, cur)
         return {"version": cur}
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
+        # keep the pacing position honest across engine-driven replans
+        # (e.g. a WAL batch replayed after restart)
+        if e >= 0:
+            prev = getattr(self, "_pos", None)
+            self._pos = e if prev is None else max(prev, e)
         if s == e:
             return []
         if s == self._SNAPSHOT_PENDING:
@@ -251,14 +281,18 @@ class LakehouseTableDataSource(DataSource):
 
 def stream_table(spark: SparkSession, table: str, *,
                  starting_version: Optional[int] = None,
-                 skip_change_commits: bool = False):
+                 skip_change_commits: bool = False,
+                 max_commits_per_trigger: Optional[int] = None):
     """Open a manifest table as a streaming DataFrame.
 
     ``starting_version=None`` (default) emits the current snapshot as the
     first micro-batch, then tails appends; an integer starts at that
     commit with no snapshot. ``skip_change_commits`` mirrors Delta's
     option: silently skip commits that rewrite or delete existing rows
-    instead of failing the stream.
+    instead of failing the stream. ``max_commits_per_trigger`` bounds
+    how many table commits one micro-batch may span (Delta's
+    ``maxFilesPerTrigger`` analog at commit granularity) so a backlogged
+    table drains paced instead of in one giant batch.
     """
     spark.dataSource.register(LakehouseTableDataSource)
     reader = spark.readStream.format(_FORMAT_NAME).option("path", table)
@@ -266,4 +300,7 @@ def stream_table(spark: SparkSession, table: str, *,
         reader = reader.option("startingVersion", str(starting_version))
     if skip_change_commits:
         reader = reader.option("skipChangeCommits", "true")
+    if max_commits_per_trigger is not None:
+        reader = reader.option("maxCommitsPerTrigger",
+                               str(max_commits_per_trigger))
     return reader.load()

@@ -111,3 +111,55 @@ def test_stream_matches_batch_read(spark, tmp_path):
     batch = ms.read_table(spark, table).select("documentid", "v")
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_max_commits_per_trigger_reader_protocol(spark, tmp_path):
+    """maxCommitsPerTrigger paces the offset advance: driving the reader
+    through the engine's planning sequence (initialOffset → latestOffset
+    → partitions → latestOffset …), each latestOffset moves at most N
+    commits past the last planned position — and never regresses, even
+    when calls arrive in the availableNow order (latestOffset BEFORE
+    initialOffset, observed engine behavior)."""
+    from dataingestion_spark.streaming.table_source import _TableStreamReader
+
+    table = str(tmp_path / "t")
+    ms.write_table(_mk(spark, 0, 10), table)        # v0
+    ms.append_table(_mk(spark, 10, 30), table)      # v1
+    ms.append_table(_mk(spark, 30, 60), table)      # v2
+    ms.append_table(_mk(spark, 60, 100), table)     # v3
+    opts = {"path": table, "startingversion": "0",
+            "maxcommitspertrigger": "2"}
+
+    # fresh processing-time stream: initialOffset first, then paced taps
+    r = _TableStreamReader(None, opts)
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 1}       # -1 + 2
+    r.partitions({"version": -1}, {"version": 1})
+    assert r.latestOffset() == {"version": 3}       # 1 + 2, backlog done
+    assert r.latestOffset() == {"version": 3}       # no further commits
+
+    # availableNow ordering: the end-capture precedes initialOffset; the
+    # capture is unpaced (position unknown) and the later initialOffset
+    # must not regress the position below it
+    r2 = _TableStreamReader(None, opts)
+    assert r2.latestOffset() == {"version": 3}
+    r2.initialOffset()
+    assert r2.latestOffset() == {"version": 3}      # monotone, no regress
+
+    # restart shape: no initialOffset call at all — first tap unpaced
+    r3 = _TableStreamReader(None, opts)
+    assert r3.latestOffset() == {"version": 3}
+
+
+def test_max_commits_per_trigger_drains_fully(spark, tmp_path):
+    """End to end under the engine: the option never loses or duplicates
+    rows — an availableNow pass over a 4-commit backlog still lands all
+    rows exactly once."""
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 10), table)
+    ms.append_table(_mk(spark, 10, 30), table)
+    ms.append_table(_mk(spark, 30, 100), table)
+    n = _drain(spark, table, sink, ckpt,
+               starting_version=0, max_commits_per_trigger=1)
+    assert n == 100
+    assert spark.read.parquet(sink).select("documentid").distinct().count() == 100
