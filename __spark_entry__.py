@@ -2973,6 +2973,81 @@ def q_recall_matryoshka(spark, sf):
     return recall_at_k(exact, trunc, 10)
 
 
+def q_search_eval_ndcg_mrr(spark, sf):
+    """Ranking-quality evaluation (operators/similarity.py::ndcg_at_k +
+    mrr_at_k): exact cosine top-10 for 5 query vectors scored against
+    deterministic graded judgments (doc relevant to query q iff
+    vec_id % 37 == q, grade 1 + vec_id % 3 — the self-match is always
+    judged, so every query has a hit). Returns per-query
+    dcg/idcg/ndcg@10 and first_rank/rr@10 side by side; the oracle
+    recomputes the ranking, the ideal ranking, and both metrics in SQL
+    (exponential-gain DCG, trec_eval drop-unjudged semantics)."""
+    from dataingestion_spark.operators.similarity import mrr_at_k, ndcg_at_k
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    results = similarity.topk_cosine(e, queries, k=10)
+    rel = (
+        e.select("vec_id").crossJoin(
+            queries.select("query_id"))
+        .filter(F.col("vec_id") % 37 == F.col("query_id"))
+        .select("query_id", "vec_id",
+                (F.lit(1) + F.col("vec_id") % 3).cast("double").alias("rel"))
+    )
+    nd = ndcg_at_k(results, rel, 10)
+    rr = mrr_at_k(results, rel, 10)
+    return nd.join(rr, "query_id").select(
+        "query_id", "dcg", "idcg", "ndcg",
+        F.col("first_rank").cast("int").alias("first_rank"), "rr")
+
+
+ORACLE_NDCG_MRR = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+res AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {{cos}} DESC, e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q)
+  WHERE rank <= 10),
+rel AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(1 + e.vec_id % 3 AS DOUBLE) AS rel
+  FROM embeddings e CROSS JOIN (SELECT query_id FROM q) q
+  WHERE e.vec_id % 37 = q.query_id),
+dcg AS (
+  SELECT r.query_id,
+         SUM((pow(2.0, rel) - 1) / log2(r.rank + 1.0)) AS dcg
+  FROM res r JOIN rel USING (query_id, vec_id) GROUP BY 1),
+ideal AS (
+  SELECT query_id, SUM((pow(2.0, rel) - 1) / log2(irank + 1.0)) AS idcg
+  FROM (SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS irank
+        FROM rel)
+  WHERE irank <= 10 GROUP BY 1),
+firsts AS (
+  SELECT r.query_id, MIN(r.rank) AS first_rank
+  FROM res r JOIN (SELECT DISTINCT query_id, vec_id FROM rel) j
+       USING (query_id, vec_id)
+  GROUP BY 1)
+SELECT i.query_id,
+       COALESCE(round(d.dcg, 6) + 0.0, 0.0) AS dcg,
+       round(i.idcg, 6) + 0.0 AS idcg,
+       CASE WHEN i.idcg > 0
+            THEN round(COALESCE(d.dcg, 0.0) / i.idcg, 6) + 0.0
+            ELSE 0.0 END AS ndcg,
+       CAST(f.first_rank AS INT) AS first_rank,
+       COALESCE(round(1.0 / f.first_rank, 6) + 0.0, 0.0) AS rr
+FROM ideal i
+LEFT JOIN dcg d USING (query_id)
+LEFT JOIN firsts f USING (query_id)
+""".replace("{cos}", _COS_SQL.format(a="e.embedding", b="q.qv"))
+
+
 def _oracle_recall_matryoshka() -> str:
     def ranking(vec_a: str, vec_b: str, name: str) -> str:
         return f"""
@@ -5981,6 +6056,58 @@ def q_topk_ivf_persisted(spark, sf):
     )
 
 
+def q_topk_ivf_filtered(spark, sf):
+    """Metadata-FILTERED search on the persisted IVF index
+    (sinks/vector_index.py::search_ivf_index(allowed=…)): the allowed-id
+    frame (vec_id % 2 == 0, the ids a metadata predicate would pass)
+    semi-joins the probed lists BEFORE scoring — post-filter ANN, the
+    Milvus/pgvector shape. Probing ALL 8 centroids makes the result the
+    exact filtered top-k, so the oracle is closed-form: the cosine
+    ranking restricted to even ids."""
+    import tempfile
+
+    from dataingestion_spark.sinks.vector_index import (
+        build_ivf_index, search_ivf_index,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    n = e.count()
+    stride = max(1, n // 8)
+    rows = (
+        e.withColumn("rn", F.row_number().over(W.orderBy(F.asc("vec_id"))))
+        .filter((F.col("rn") - 1) % stride == 0)
+        .orderBy("rn").limit(8).select("rn", "embedding").collect()
+    )
+    cents = [(int(r["rn"]), [float(x) for x in r["embedding"]]) for r in rows]
+    path = tempfile.mkdtemp(prefix="ivf_flt_") + "/idx"
+    build_ivf_index(e, path, centroids=cents)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    allowed = e.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    out = search_ivf_index(spark, path, queries, k=10, n_probe=8,
+                           allowed=allowed)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score_r")
+    )
+
+
+ORACLE_TOPK_IVF_FILTERED = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id, {cos} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id % 2 = 0)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       round(score, 6) AS score_r FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
 def q_uniform_sample_k(spark, sf):
     """Exact-k deterministic uniform sample
     (operators/sampling.py::uniform_sample_k): first 100 documents by
@@ -7748,8 +7875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_pq": q_topk_pq,
         "search_topk_ivf": q_topk_ivf,
         "search_topk_ivf_persisted": q_topk_ivf_persisted,
+        "search_topk_ivf_filtered": q_topk_ivf_filtered,
         "search_topk_ivf_pq": q_topk_ivf_pq,
         "search_recall_at_k": q_recall_ivf,
+        "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
         "search_recall_matryoshka": q_recall_matryoshka,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q2_min_cost_supplier": q_tpch_q2,
@@ -7949,7 +8078,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_filters": _oracle_gopher(),
         "search_topk_ivf": _oracle_topk_ivf(),
         "search_topk_ivf_persisted": _oracle_topk_ivf(),
+        "search_topk_ivf_filtered": ORACLE_TOPK_IVF_FILTERED.format(
+            cos=_COS_SQL.format(a="e.embedding", b="q.qv")),
         "search_recall_at_k": _oracle_recall_ivf(),
+        "search_eval_ndcg_mrr": ORACLE_NDCG_MRR,
         "search_recall_matryoshka": _oracle_recall_matryoshka(),
         "search_topk_cosine": ORACLE_EMB_TOPK,
         "search_bm25": ORACLE_BM25,

@@ -131,7 +131,12 @@ from .operators.text_analysis import (  # noqa: E402,F401
     script_profile,
 )
 from .operators.bpe_train import train_bpe_distributed  # noqa: E402,F401
-from .operators.similarity import hard_negatives, recall_at_k  # noqa: E402,F401
+from .operators.similarity import (  # noqa: E402,F401
+    hard_negatives,
+    mrr_at_k,
+    ndcg_at_k,
+    recall_at_k,
+)
 from .operators.graph import pagerank, triangle_count  # noqa: E402,F401
 from .operators.urls import parse_robots, robots_disallowed  # noqa: E402,F401
 from .sinks.manifest_store import (  # noqa: E402,F401

@@ -648,6 +648,88 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int,
     )
 
 
+def ndcg_at_k(results: DataFrame, relevance: DataFrame, k: int,
+              query_id: str = "query_id",
+              corpus_id: str = "vec_id",
+              rel_col: str = "rel") -> DataFrame:
+    """Per-query nDCG@k of a ranked result list against graded relevance
+    judgments (standard exponential-gain form):
+    ``DCG = Σ_{i≤k} (2^rel_i − 1)/log2(i+1)`` over the result ranking,
+    normalized by the ideal DCG of the query's top-k relevance grades.
+    Queries with judgments but no retrieved relevant doc score 0;
+    queries absent from ``relevance`` are dropped (standard trec_eval
+    behavior — unjudged queries are unmeasurable, not zero).
+
+    Pure expression-only aggregation: one left join of the top-k results
+    onto judgments, one window over judgments for the ideal ranking,
+    two per-query sums. Returns (query_id, dcg, idcg, ndcg); ndcg is
+    rounded to 6 places (``+0.0`` signed-zero normalization, the
+    cross-engine float discipline used throughout)."""
+    gain = lambda c: F.pow(F.lit(2.0), F.col(c)) - F.lit(1.0)  # noqa: E731
+    hits = (
+        results.filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank")
+        .join(relevance.select(query_id, corpus_id, rel_col),
+              [query_id, corpus_id], "inner")
+        .groupBy(query_id)
+        .agg(F.sum(gain(rel_col)
+                   / F.log2(F.col("rank") + F.lit(1.0))).alias("dcg"))
+    )
+    iw = Window.partitionBy(query_id).orderBy(
+        F.desc(rel_col), F.asc(corpus_id))
+    ideal = (
+        relevance.withColumn("irank", F.row_number().over(iw))
+        .filter(F.col("irank") <= k)
+        .groupBy(query_id)
+        .agg(F.sum(gain(rel_col)
+                   / F.log2(F.col("irank") + F.lit(1.0))).alias("idcg"))
+    )
+    return (
+        ideal.join(hits, query_id, "left")
+        .select(
+            query_id,
+            F.coalesce(F.round("dcg", 6) + F.lit(0.0), F.lit(0.0)).alias("dcg"),
+            (F.round("idcg", 6) + F.lit(0.0)).alias("idcg"),
+            F.when(F.col("idcg") > 0,
+                   F.round(F.coalesce(F.col("dcg"), F.lit(0.0))
+                           / F.col("idcg"), 6) + F.lit(0.0))
+            .otherwise(F.lit(0.0)).alias("ndcg"),
+        )
+    )
+
+
+def mrr_at_k(results: DataFrame, relevance: DataFrame, k: int,
+             query_id: str = "query_id",
+             corpus_id: str = "vec_id") -> DataFrame:
+    """Per-query reciprocal rank of the FIRST relevant result within the
+    top k (MRR's per-query term; average the column for the suite-level
+    MRR). Relevance is binary here — any judged (query, doc) pair
+    counts, grades don't matter for MRR. Queries with judgments but no
+    relevant retrieval score 0; unjudged queries are dropped.
+
+    One semi-shaped inner join + one min per query. Returns
+    (query_id, first_rank, rr) with ``first_rank`` null when nothing
+    relevant was retrieved."""
+    hit_ranks = (
+        results.filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank")
+        .join(relevance.select(query_id, corpus_id).distinct(),
+              [query_id, corpus_id], "inner")
+        .groupBy(query_id)
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    judged = relevance.select(query_id).distinct()
+    return (
+        judged.join(hit_ranks, query_id, "left")
+        .select(
+            query_id,
+            "first_rank",
+            F.coalesce(F.round(F.lit(1.0) / F.col("first_rank"), 6)
+                       + F.lit(0.0), F.lit(0.0)).alias("rr"),
+        )
+    )
+
+
 def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 10,
                    corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                    label_col: str = "label", query_id: str = "query_id",

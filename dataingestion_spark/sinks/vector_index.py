@@ -75,12 +75,21 @@ def search_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
                      k: int = 10, n_probe: int = 4,
                      corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                      query_id: str = "query_id",
-                     query_vec: str = "query_vec") -> DataFrame:
+                     query_vec: str = "query_vec",
+                     allowed: "DataFrame" = None) -> DataFrame:
     """Top-k over the persisted index: pick each query's ``n_probe``
     nearest centroids, then scan ONLY those list partitions (the
     ``centroid_id`` filter prunes at the file-listing level). Output:
     (query_id, rank, corpus_id, score) — identical to
-    ``topk_cosine_ivf`` with the same centroids and probes."""
+    ``topk_cosine_ivf`` with the same centroids and probes.
+
+    ``allowed`` (a one-column frame of permitted ``corpus_id`` values —
+    e.g. the ids passing a metadata predicate on the source table)
+    restricts results to that set: POST-FILTER semantics, applied to
+    the probed lists before scoring, the standard filtered-ANN shape
+    (Milvus/pgvector). A selective filter thins candidate lists, so
+    raise ``n_probe`` to hold recall — with all centroids probed the
+    result is exactly the filtered exact top-k."""
     from ..operators.similarity import _rank_topk
 
     cents = load_centroids(path)
@@ -103,6 +112,13 @@ def search_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
         spark.read.parquet(os.path.join(path, "lists"))
         .filter(F.col("centroid_id").isin(probe_ids))
     )
+    if allowed is not None:
+        # no broadcast hint: the allowed set can be anywhere from a
+        # handful of ids to most of the corpus — AQE picks the join
+        # strategy from its actual size
+        lists = lists.join(
+            allowed.withColumnRenamed(allowed.columns[0], corpus_id),
+            corpus_id, "semi")
     scored = lists.join(F.broadcast(probes), "centroid_id").select(
         F.col(query_id),
         F.col(corpus_id),

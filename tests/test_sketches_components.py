@@ -170,3 +170,30 @@ def test_hll_merge_equals_direct(spark):
                            ["event_type"]).collect()
     }
     assert per_type == via_regs
+
+
+def test_ndcg_and_mrr(spark):
+    """Hand-computable fixture: 1 query, results ranked [d1,d2,d3],
+    judgments d1:rel2 (rank 1), d3:rel1 (rank 3), d9:rel3 (missed)."""
+    import math
+
+    from dataingestion_spark.operators.similarity import mrr_at_k, ndcg_at_k
+
+    results = spark.createDataFrame(
+        [("q1", 1, "d1"), ("q1", 2, "d2"), ("q1", 3, "d3")],
+        ["query_id", "rank", "vec_id"])
+    rel = spark.createDataFrame(
+        [("q1", "d1", 2.0), ("q1", "d3", 1.0), ("q1", "d9", 3.0),
+         ("q2", "d1", 1.0)],  # q2 judged but never retrieved
+        ["query_id", "vec_id", "rel"])
+    nd = {r.query_id: r for r in ndcg_at_k(results, rel, 10).collect()}
+    dcg = (2 ** 2 - 1) / math.log2(2) + (2 ** 1 - 1) / math.log2(4)
+    idcg = ((2 ** 3 - 1) / math.log2(2) + (2 ** 2 - 1) / math.log2(3)
+            + (2 ** 1 - 1) / math.log2(4))
+    assert abs(nd["q1"].dcg - round(dcg, 6)) < 1e-9
+    assert abs(nd["q1"].idcg - round(idcg, 6)) < 1e-9
+    assert abs(nd["q1"].ndcg - round(dcg / idcg, 6)) < 1e-9
+    assert nd["q2"].ndcg == 0.0 and nd["q2"].dcg == 0.0  # judged, no hits
+    rr = {r.query_id: r for r in mrr_at_k(results, rel, 10).collect()}
+    assert rr["q1"].first_rank == 1 and rr["q1"].rr == 1.0
+    assert rr["q2"].first_rank is None and rr["q2"].rr == 0.0

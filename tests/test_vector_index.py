@@ -186,3 +186,22 @@ def test_compact_index_lists_collapses_files_search_unchanged(spark, tmp_path):
              search_ivfpq_index(spark, path, qs, k=10, n_probe=3).collect()}
     assert before == after
     assert compact_index_lists(spark, path) == 0  # idempotent no-op
+
+
+def test_filtered_search_restricts_to_allowed_ids(spark, tmp_path):
+    """allowed= semi-joins the probed lists: results contain only allowed
+    ids, and with all centroids probed they equal the exact filtered
+    top-k (brute-force cosine over the allowed subset)."""
+    from dataingestion_spark.operators.similarity import topk_cosine
+
+    e, cents, path = setup_index(spark, tmp_path)
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    allowed = e.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = search_ivf_index(spark, path, qs, k=8, n_probe=8, allowed=allowed)
+    rows = got.collect()
+    assert rows and all(r.vec_id % 2 == 0 for r in rows)
+    want = topk_cosine(e.filter(F.col("vec_id") % 2 == 0), qs, k=8)
+    assert ({(r.query_id, r.rank, r.vec_id) for r in rows}
+            == {(r.query_id, r.rank, r.vec_id) for r in want.collect()})
