@@ -7768,17 +7768,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_clone_branch": q_lakehouse_clone_branch,
         "lakehouse_zorder_read": q_lakehouse_zorder_read,
         "lakehouse_check_constraints": q_lakehouse_constraints,
-        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
-        "sft_preference_pairs": q_preference_pairs,
-        "sft_best_of_n": q_best_of_n,
         "lakehouse_maintenance": q_lakehouse_maintenance,
         "lakehouse_bloom_read": q_lakehouse_bloom_read,
-        "pack_token_id_rows": q_pack_token_id_rows,
         "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
         "lakehouse_delete_where": q_lakehouse_delete_where,
         "lakehouse_update_where": q_lakehouse_update_where,
         "lakehouse_stream_read": q_lakehouse_stream_read,
         "lakehouse_delta_roundtrip": q_lakehouse_delta_roundtrip,
+        "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
+        "search_topk_ivf_filtered": q_topk_ivf_filtered,
+        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
+        "sft_preference_pairs": q_preference_pairs,
+        "sft_best_of_n": q_best_of_n,
+        "pack_token_id_rows": q_pack_token_id_rows,
         # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         # --- displaced r5-block tail (locally green; r7 queue) ---
         "doc_lm_perplexity": q_lm_perplexity,
@@ -7875,10 +7877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_pq": q_topk_pq,
         "search_topk_ivf": q_topk_ivf,
         "search_topk_ivf_persisted": q_topk_ivf_persisted,
-        "search_topk_ivf_filtered": q_topk_ivf_filtered,
         "search_topk_ivf_pq": q_topk_ivf_pq,
         "search_recall_at_k": q_recall_ivf,
-        "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
         "search_recall_matryoshka": q_recall_matryoshka,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q2_min_cost_supplier": q_tpch_q2,
