@@ -6955,6 +6955,33 @@ FROM documents WHERE doc_id % 3 IN (0, 1)
 """
 
 
+def q_lakehouse_meta_count(spark, sf):
+    """Metadata-only COUNT(*) (sinks/manifest_store.py::metadata_count):
+    two append commits, count answered from the summed per-file row
+    stats in the manifest — zero data files opened (pinned by a
+    stats-poisoning unit test); with live DVs or missing stats it falls
+    back to the DV-applied scan, same number. Here the clean path runs
+    and the oracle recomputes the count from the raw rows."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"), "n_chars")
+    table = tempfile.mkdtemp(prefix="cnt_lh_") + "/t"
+    ms.write_table(docs.filter(F.col("doc_id") % 2 == 0), table)
+    ms.append_table(docs.filter((F.col("doc_id") % 2 == 1)
+                                & (F.col("doc_id") % 3 == 0)), table)
+    n = ms.metadata_count(spark, table)
+    return spark.createDataFrame([(int(n),)], "n_rows bigint")
+
+
+ORACLE_META_COUNT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents
+WHERE doc_id % 2 = 0 OR (doc_id % 2 = 1 AND doc_id % 3 = 0)
+"""
+
+
 def q_lakehouse_delta_roundtrip(spark, sf):
     """Delta Lake protocol interop (interop/delta.py): a manifest table
     (documents doc_id%4!=3, then doc_id%5==0 DELETED — live equality
@@ -7780,6 +7807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
         "sft_preference_pairs": q_preference_pairs,
         "sft_best_of_n": q_best_of_n,
+        "lakehouse_meta_count": q_lakehouse_meta_count,
         "pack_token_id_rows": q_pack_token_id_rows,
         # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         # --- displaced r5-block tail (locally green; r7 queue) ---
@@ -8152,6 +8180,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_update_where": ORACLE_UPDATE_WHERE,
         "lakehouse_stream_read": ORACLE_STREAM_READ,
         "lakehouse_delta_roundtrip": ORACLE_DELTA_ROUNDTRIP,
+        "lakehouse_meta_count": ORACLE_META_COUNT,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

@@ -145,6 +145,7 @@ from .sinks.manifest_store import (  # noqa: E402,F401
     delete_where,
     maintain_table,
     merge_table,
+    metadata_count,
     optimize_zorder,
     restore_table,
     set_bloom_columns,

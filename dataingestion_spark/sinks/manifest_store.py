@@ -1546,6 +1546,30 @@ def table_stats(table: str, version: Optional[int] = None) -> Dict:
     }
 
 
+def metadata_count(spark, table: str, version: Optional[int] = None) -> int:
+    """Exact ``COUNT(*)`` of the table — answered from MANIFEST METADATA
+    when possible (Delta answers ``SELECT COUNT(*)`` from its log the
+    same way): with no live deletion vectors and full per-file stats
+    coverage, the count is the sum of the recorded per-file row counts —
+    zero data files opened, O(manifest) driver work at any table size.
+
+    Equality DVs make the metadata answer inexact (a DV id may kill
+    zero or many rows across files, so no stored cardinality is
+    correct by construction), and files predating stats have unknown
+    rows — both cases fall back to counting the DV-applied scan, same
+    result, just not free. ``compact()`` restores the metadata-only
+    path by materializing DVs."""
+    m = read_manifest(table, version)
+    meta = _manifest_meta(m)
+    live = any(meta["deletes"].get(b) for b in m["buckets"]
+               if m["buckets"].get(b))
+    files = [n for v in m["buckets"].values() for n in v]
+    rows = [meta["stats"].get(n, {}).get("rows") for n in files]
+    if not live and all(r is not None for r in rows):
+        return int(sum(rows))
+    return _read_files(spark, table, m).count()
+
+
 def sync_table(spark, src: str, dst: str) -> int:
     """Incremental downstream replication off the change feed (the Delta
     CDF → sync pattern): bring ``dst`` from the last src version it

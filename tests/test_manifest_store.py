@@ -1517,3 +1517,41 @@ def test_max_rows_per_file_splits_and_tightens_stats(spark, tmp_path):
         table, max_rows_per_file=10)
     ms.delete_documents(spark, table, ["d00001", "ed00001"])
     assert ms.read_table(spark, table).count() == 2000 + 50 - 2
+
+
+def test_metadata_count_paths(spark, tmp_path):
+    """DV-free tables answer COUNT(*) from manifest stats with zero data
+    IO; live DVs fall back to the scan count; compact() restores the
+    metadata-only path. Both paths must agree with read_table."""
+    from dataingestion_spark.sinks.manifest_store import (
+        compact, delete_documents, metadata_count, read_table, write_table,
+        append_table,
+    )
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    mk = lambda a, b: spark.range(a, b).select(  # noqa: E731
+        F.col("id").cast("string").alias("documentid"), F.col("id").alias("v"))
+    write_table(mk(0, 120), t)
+    append_table(mk(120, 200), t)
+    assert metadata_count(spark, t) == 200 == read_table(spark, t).count()
+    delete_documents(spark, t, [str(i) for i in range(0, 200, 4)])
+    assert metadata_count(spark, t) == 150 == read_table(spark, t).count()
+    compact(spark, t, max_files_per_bucket=10 ** 9)
+    # back on the metadata-only path (asserted by poisoning a stats row:
+    # a wrong stored count would surface verbatim, proving no scan ran)
+    import json
+
+    from dataingestion_spark.sinks.commit_backend import backend_for
+    from dataingestion_spark.sinks.manifest_store import (
+        _manifest_path, current_version,
+    )
+
+    assert metadata_count(spark, t) == 150
+    v = current_version(t)
+    be = backend_for(t)
+    m = json.loads(be.read_text(_manifest_path(t, v)))
+    name = next(n for ns in m["buckets"].values() for n in ns)
+    m["stats"][name]["rows"] += 7
+    be.put_atomic(_manifest_path(t, v), json.dumps(m))
+    assert metadata_count(spark, t) == 157  # metadata-only, provably
