@@ -237,6 +237,48 @@ def main():
         "clone_restore_meta": clone_restore_meta,
     })
 
+    # ---- round-6 continuation: streaming table source (snapshot + one
+    # tailed append through real checkpointed micro-batches) and Delta
+    # export+read interop on a documents-sized table
+    from dataingestion_spark.interop.delta import export_delta, read_delta
+    from dataingestion_spark.streaming.table_source import stream_table
+
+    def _docs_table(spark, sf):
+        path = tempfile.mkdtemp(prefix="st_bench_") + "/t"
+        docs = em._t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("documentid"),
+            "lang", "n_chars")
+        ms.write_table(docs.filter(F.col("doc_id") % 3 != 0), path)
+        return path, docs
+
+    def stream_tail(spark, sf):
+        path, docs = _docs_table(spark, sf)
+        root = tempfile.mkdtemp(prefix="st_bench_io_")
+        sink, ckpt = root + "/sink", root + "/ckpt"
+
+        def drain():
+            q = (stream_table(spark, path)
+                 .writeStream.format("parquet").option("path", sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        drain()
+        ms.append_table(docs.filter(F.col("doc_id") % 3 == 0), path)
+        drain()
+        return spark.read.parquet(sink)
+
+    def delta_roundtrip(spark, sf):
+        path, _ = _docs_table(spark, sf)
+        dst = tempfile.mkdtemp(prefix="delta_bench_") + "/d"
+        export_delta(spark, path, dst, mode="copy")
+        return read_delta(spark, dst)
+
+    bench_queries.update({
+        "stream_tail": stream_tail,
+        "delta_roundtrip": delta_roundtrip,
+    })
+
     bench_queries.update({
         "ivf_build": lambda spark, sf: build_ivf(spark, sf)[0],
         "ivf_persisted": ivf_serve,
