@@ -268,9 +268,13 @@ def _delta_state(path: str) -> Tuple[Dict[str, Dict], Dict]:
             "implements reader versions 1-2 without column mapping")
     mapping = (state["metaData"].get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
-    if mapping not in ("none", ""):
+    if mapping not in ("none", "", "name"):
+        # "id" mapping resolves columns by parquet field id, which the
+        # plain Spark parquet reader does not consult — refuse rather
+        # than resolve-by-name and silently misread renamed columns
         raise NotImplementedError(
-            f"delta.columnMapping.mode={mapping} is not supported")
+            f"delta.columnMapping.mode={mapping} is not supported "
+            "(only 'none' and 'name')")
     for add in adds.values():
         if add.get("deletionVector"):
             raise NotImplementedError(
@@ -296,8 +300,20 @@ def read_delta(spark: SparkSession, path: str,
     md = state["metaData"]
     schema = T.StructType.fromJson(json.loads(md["schemaString"]))
     part_cols: List[str] = list(md.get("partitionColumns") or [])
+    # columnMapping.mode=name: files store PHYSICAL names (the spec's
+    # col-… UUIDs, recorded per field in schema metadata); scan under
+    # them, rename to the logical schema afterwards. Partition values
+    # in the log are ALSO keyed by physical name.
+    mapping = (md.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    phys_of = {
+        f.name: (f.metadata.get("delta.columnMapping.physicalName", f.name)
+                 if mapping == "name" else f.name)
+        for f in schema.fields
+    }
     physical = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols])
+        [T.StructField(phys_of[f.name], f.dataType, f.nullable)
+         for f in schema.fields if f.name not in part_cols])
     by_part: Dict[Tuple, List[str]] = {}
     for add in adds.values():
         p = unquote(add["path"])
@@ -310,7 +326,7 @@ def read_delta(spark: SparkSession, path: str,
         elif not p.startswith("/"):
             p = f"{path.rstrip('/')}/{p}"
         pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys_of[c], pv.get(c)) for c in part_cols)
         by_part.setdefault(key, []).append(p)
     if not by_part:
         return spark.createDataFrame([], schema)
@@ -320,6 +336,9 @@ def read_delta(spark: SparkSession, path: str,
     for key, files in sorted(by_part.items(),
                              key=lambda kv: tuple(str(k) for k in kv[0])):
         df = spark.read.schema(physical).parquet(*sorted(files))
+        for f in schema.fields:  # physical -> logical names
+            if f.name not in part_cols and phys_of[f.name] != f.name:
+                df = df.withColumnRenamed(phys_of[f.name], f.name)
         for col, raw in zip(part_cols, key):
             # Delta serializes partition values as strings; null is a
             # missing/None entry. The string->type cast below follows the

@@ -173,14 +173,56 @@ def test_reader_rejects_unsupported_features(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="deletionVectors"):
         read_delta(spark, root)
 
-    root2 = str(tmp_path / "cm")
-    log2 = os.path.join(root2, "_delta_log")
-    os.makedirs(root2, exist_ok=True)
-    meta = _meta_action({"type": "struct", "fields": _SCHEMA["fields"][:2]})
+
+def test_read_column_mapping_by_name(spark, tmp_path):
+    """columnMapping.mode=name: files store physical col-… names (and
+    partitionValues are keyed by them); the reader scans physically and
+    returns the LOGICAL schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cmn")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(
+        pa.table({"col-aaa": ["x", "y"],
+                  "col-bbb": pa.array([1, 2], type=pa.int64())}),
+        os.path.join(root, "a.parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "n", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+        {"name": "day", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ddd"}},
+    ]}
+    meta = _meta_action(schema, part_cols=["day"])
     meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
-    _write_delta_commit(log2, 0, [
+    _write_delta_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        {"add": {"path": "a.parquet",
+                 "partitionValues": {"col-ddd": "9"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    got = read_delta(spark, root)
+    assert [f.name for f in got.schema.fields] == ["k", "n", "day"]
+    assert {(r.k, r.n, r.day) for r in got.collect()} == {("x", 1, 9),
+                                                          ("y", 2, 9)}
+
+
+def test_reader_rejects_id_mapping(spark, tmp_path):
+    root = str(tmp_path / "cmi")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(root, exist_ok=True)
+    meta = _meta_action({"type": "struct", "fields": _SCHEMA["fields"][:2]})
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    _write_delta_commit(log, 0, [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         meta,
     ])
-    with pytest.raises(NotImplementedError, match="columnMapping"):
-        read_delta(spark, root2)
+    with pytest.raises(NotImplementedError, match="only 'none' and 'name'"):
+        read_delta(spark, root)
