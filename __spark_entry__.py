@@ -6955,6 +6955,45 @@ FROM documents WHERE doc_id % 3 IN (0, 1)
 """
 
 
+def q_lakehouse_delta_mirror(spark, sf):
+    """Continuous Delta mirroring (interop/delta.py::mirror_delta):
+    first call full-exports the documents doc_id%2==0 slice; the
+    doc_id%2==1, %3==0 slice is appended and a doc_id%10==0 slice
+    deleted (DVs materialized by bucket-scoped compaction); the second
+    mirror call writes ONE incremental Delta commit of remove+add
+    actions (O(changed files), diffed against the mirror's live file
+    set — no watermark state). Returned frame re-reads the mirror
+    through read_delta; the oracle restates the surviving rows."""
+    import tempfile
+
+    from dataingestion_spark.interop.delta import mirror_delta, read_delta
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="mirror_lh_")
+    table, dst = tmp + "/t", tmp + "/mirror"
+    ms.write_table(docs.filter(F.col("doc_id") % 2 == 0), table)
+    mirror_delta(spark, table, dst)
+    ms.append_table(docs.filter((F.col("doc_id") % 2 == 1)
+                                & (F.col("doc_id") % 3 == 0)), table)
+    dels = [r["documentid"] for r in
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .select("documentid").collect()]
+    ms.delete_documents(spark, table, dels)
+    mirror_delta(spark, table, dst)
+    return read_delta(spark, dst).select("documentid", "lang", "n_chars")
+
+
+ORACLE_DELTA_MIRROR = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid, lang, n_chars
+FROM documents
+WHERE (doc_id % 2 = 0 OR (doc_id % 2 = 1 AND doc_id % 3 = 0))
+  AND doc_id % 10 <> 0
+"""
+
+
 def q_lakehouse_meta_count(spark, sf):
     """Metadata-only COUNT(*) (sinks/manifest_store.py::metadata_count):
     two append commits, count answered from the summed per-file row
@@ -7808,6 +7847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_preference_pairs": q_preference_pairs,
         "sft_best_of_n": q_best_of_n,
         "lakehouse_meta_count": q_lakehouse_meta_count,
+        "lakehouse_delta_mirror": q_lakehouse_delta_mirror,
         "pack_token_id_rows": q_pack_token_id_rows,
         # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         # --- displaced r5-block tail (locally green; r7 queue) ---
@@ -8181,6 +8221,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_stream_read": ORACLE_STREAM_READ,
         "lakehouse_delta_roundtrip": ORACLE_DELTA_ROUNDTRIP,
         "lakehouse_meta_count": ORACLE_META_COUNT,
+        "lakehouse_delta_mirror": ORACLE_DELTA_MIRROR,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

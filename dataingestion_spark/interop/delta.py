@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["export_delta", "read_delta"]
+__all__ = ["export_delta", "mirror_delta", "read_delta"]
 
 _LOG_DIR = "_delta_log"
 
@@ -190,6 +190,114 @@ def export_delta(spark: SparkSession, table: str, dst: str, *,
     return dst
 
 
+def mirror_delta(spark: SparkSession, table: str, dst: str, *,
+                 apply_deletes: bool = True) -> int:
+    """Incrementally publish a manifest table to an existing Delta export
+    (continuous mirroring): diff the mirror's LIVE file set against the
+    manifest's and write ONE new Delta commit of ``remove``/``add``
+    actions — O(changed files), no re-export, and self-healing (the diff
+    is against what the mirror actually references, not a stored
+    watermark, so a crashed previous sync just re-diffs). A first call
+    on an empty ``dst`` falls back to :func:`export_delta` (copy mode).
+
+    File names are unique hex tokens shared between the manifest and the
+    export, so basename identity IS file identity; compaction/zorder on
+    the source mirrors naturally as remove+add. Live DVs are
+    materialized first exactly like ``export_delta``. The mirror's mode
+    is inferred from its existing ``add`` paths (absolute URIs ⇒
+    shallow, relative ⇒ copy). A schema widened since the last sync
+    re-emits ``metaData`` in the same commit. Returns the Delta version
+    written (or the current one when nothing changed).
+    """
+    from urllib.parse import unquote
+
+    from ..sinks import manifest_store as ms
+    from ..sinks.commit_backend import backend_for
+    from ..sinks.data_backend import data_backend_for
+
+    log_dir = f"{dst.rstrip('/')}/{_LOG_DIR}"
+    cbe = backend_for(dst)
+    if cbe.read_text(f"{log_dir}/{_commit_name(0)}") is None:
+        export_delta(spark, table, dst, mode="copy",
+                     apply_deletes=apply_deletes)
+        return 0
+    adds, state = _delta_state(dst)
+
+    manifest = ms.read_manifest(table)
+    meta = ms._manifest_meta(manifest)
+    has_dvs = any(meta["deletes"].get(b) for b in manifest["buckets"]
+                  if manifest["buckets"].get(b))
+    if has_dvs:
+        if not apply_deletes:
+            raise ValueError("table carries live deletion vectors; run "
+                             "compact() first or pass apply_deletes=True")
+        ms.compact(spark, table, max_files_per_bucket=10 ** 9)
+        manifest = ms.read_manifest(table)
+        meta = ms._manifest_meta(manifest)
+
+    shallow = any("://" in a["path"] for a in adds.values())
+    prev_by_name = {unquote(a["path"]).rsplit("/", 1)[-1]: a["path"]
+                    for a in adds.values()}
+    now_names = {n: b for b in manifest["buckets"]
+                 for n in manifest["buckets"][b]}
+    removed = [prev_by_name[n] for n in sorted(set(prev_by_name) - set(now_names))]
+    added = sorted(set(now_names) - set(prev_by_name))
+
+    schema = _spark_schema_from_manifest(meta)
+    schema_str = json.dumps(schema.jsonValue())
+    schema_changed = state["metaData"].get("schemaString") != schema_str
+
+    version = state["lastDeltaVersion"] + 1
+    if not removed and not added and not schema_changed:
+        return version - 1
+
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    actions: List[str] = [json.dumps({"commitInfo": {
+        "operation": "MIRROR", "timestamp": now_ms,
+        "operationParameters": {"sourceVersion": str(manifest["version"])},
+    }})]
+    if schema_changed:
+        md = dict(state["metaData"])
+        md["schemaString"] = schema_str
+        actions.append(json.dumps({"metaData": md}))
+    for p in removed:
+        actions.append(json.dumps({"remove": {
+            "path": p, "deletionTimestamp": now_ms, "dataChange": True}}))
+    src_be = data_backend_for(table)
+    dst_be = data_backend_for(dst)
+    for name in added:
+        src_path = meta["ext"].get(name) or ms._join(table, "files", name)
+        if shallow:
+            abs_path = os.path.abspath(src_path) \
+                if "://" not in src_path else src_path
+            path = abs_path if "://" in abs_path else f"file://{abs_path}"
+            try:
+                size = os.path.getsize(src_path)
+            except OSError:
+                data = src_be.read_bytes(src_path)
+                size = 0 if data is None else len(data)
+        else:
+            data = src_be.read_bytes(src_path)
+            if data is None:
+                raise FileNotFoundError(src_path)
+            dst_be.write_bytes(f"{dst.rstrip('/')}/{name}", data)
+            path, size = name, len(data)
+        add = {"path": path, "partitionValues": {}, "size": int(size),
+               "modificationTime": now_ms, "dataChange": True}
+        st = _delta_stats(meta["stats"].get(name))
+        if st is not None:
+            add["stats"] = st
+        actions.append(json.dumps({"add": add}))
+    payload = "\n".join(actions) + "\n"
+    if not cbe.put_if_absent(f"{log_dir}/{_commit_name(version)}", payload):
+        raise RuntimeError(
+            f"Delta version {version} of {dst} was committed concurrently; "
+            "re-run the mirror")
+    return version
+
+
 # ---------------------------------------------------------------------------
 # reader
 
@@ -239,6 +347,7 @@ def _delta_state(path: str) -> Tuple[Dict[str, Dict], Dict]:
     commit_versions = sorted(
         int(n[:20]) for n in names
         if n.endswith(".json") and n[:20].isdigit() and len(n) == 25)
+    state["lastDeltaVersion"] = max(commit_versions, default=start_after)
     for v in commit_versions:
         if v <= start_after:
             continue

@@ -226,3 +226,51 @@ def test_reader_rejects_id_mapping(spark, tmp_path):
     ])
     with pytest.raises(NotImplementedError, match="only 'none' and 'name'"):
         read_delta(spark, root)
+
+
+def test_mirror_incremental_sync(spark, tmp_path):
+    """mirror_delta keeps an export current in O(changed files): first
+    call = full export; appends mirror as add-only commits; deletes
+    (materialized by compaction) mirror as remove+add of the affected
+    buckets; a no-change sync writes nothing."""
+    from dataingestion_spark.interop.delta import mirror_delta
+
+    table, dst = str(tmp_path / "t"), str(tmp_path / "mirror")
+    ms.write_table(_mk(spark, 0, 60), table)
+    v0 = mirror_delta(spark, table, dst)
+    assert v0 == 0
+    _assert_same(read_delta(spark, dst).select("documentid", "v"),
+                 ms.read_table(spark, table).select("documentid", "v"))
+
+    ms.append_table(_mk(spark, 60, 100), table)
+    v1 = mirror_delta(spark, table, dst)
+    assert v1 == 1
+    assert read_delta(spark, dst).count() == 100
+    # the append commit contains only adds (no removes)
+    log1 = open(os.path.join(dst, "_delta_log",
+                             f"{1:020d}.json")).read()
+    assert '"remove"' not in log1 and '"add"' in log1
+
+    ms.delete_documents(spark, table, [str(i) for i in range(0, 100, 10)])
+    v2 = mirror_delta(spark, table, dst)  # materializes DVs, then diffs
+    assert v2 == 2
+    got = read_delta(spark, dst)
+    assert got.count() == 90
+    assert not any(r.documentid == "30" for r in got.collect())
+    log2 = open(os.path.join(dst, "_delta_log",
+                             f"{2:020d}.json")).read()
+    assert '"remove"' in log2  # DV buckets rewrote -> remove+add
+
+    # idempotent: nothing changed, no commit written
+    assert mirror_delta(spark, table, dst) == 2
+    assert not os.path.exists(
+        os.path.join(dst, "_delta_log", f"{3:020d}.json"))
+
+    # schema widening re-emits metaData
+    ms.append_table(
+        _mk(spark, 100, 110).withColumn("extra", F.lit(7)), table)
+    v3 = mirror_delta(spark, table, dst)
+    assert v3 == 3
+    out = read_delta(spark, dst)
+    assert "extra" in out.columns and out.count() == 100
+    assert out.filter(F.col("extra") == 7).count() == 10
