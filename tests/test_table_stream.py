@@ -163,3 +163,18 @@ def test_max_commits_per_trigger_drains_fully(spark, tmp_path):
                starting_version=0, max_commits_per_trigger=1)
     assert n == 100
     assert spark.read.parquet(sink).select("documentid").distinct().count() == 100
+
+
+def test_stream_shallow_clone_resolves_ext_refs(spark, tmp_path):
+    """A shallow clone references the SOURCE's files via the manifest ext
+    map; the streaming source must resolve those paths in both snapshot
+    and tail partitions."""
+    from dataingestion_spark.sinks.manifest_store import clone_table
+
+    src, clone = str(tmp_path / "src"), str(tmp_path / "clone")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    ms.write_table(_mk(spark, 0, 40), src)
+    clone_table(src, clone)
+    assert _drain(spark, clone, sink, ckpt) == 40  # snapshot via ext refs
+    ms.append_table(_mk(spark, 40, 55), clone)  # clone-local commit
+    assert _drain(spark, clone, sink, ckpt) == 55
