@@ -274,3 +274,85 @@ def test_mirror_incremental_sync(spark, tmp_path):
     out = read_delta(spark, dst)
     assert "extra" in out.columns and out.count() == 100
     assert out.filter(F.col("extra") == 7).count() == 10
+
+
+def test_replay_matches_model_random_logs(spark, tmp_path):
+    """Model-based replay check: random add/remove action sequences over
+    many commits (with an occasional checkpoint) must reconstruct
+    exactly the model's live file set and latest schema."""
+    import random
+
+    from dataingestion_spark.interop.delta import _delta_state
+
+    rng = random.Random(20260815)
+    for trial in range(8):
+        root = str(tmp_path / f"m{trial}")
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log, exist_ok=True)
+        model = {}  # path -> add dict
+        schema_rev = [0]
+        n_commits = rng.randint(1, 9)
+        cp_at = rng.choice([None] + list(range(n_commits)))
+        for v in range(n_commits):
+            actions = []
+            if v == 0 or rng.random() < 0.2:
+                schema_rev[0] += 1
+                sch = {"type": "struct", "fields": _SCHEMA["fields"][:2]
+                       + [{"name": f"c{schema_rev[0]}", "type": "long",
+                           "nullable": True, "metadata": {}}]}
+                if v == 0:
+                    actions.append({"protocol": {"minReaderVersion": 1,
+                                                 "minWriterVersion": 2}})
+                actions.append(_meta_action(sch))
+            for _ in range(rng.randint(0, 4)):
+                p = f"f{rng.randint(0, 14)}.parquet"
+                if p in model and rng.random() < 0.5:
+                    actions.append({"remove": {"path": p,
+                                               "dataChange": True}})
+                    model.pop(p)
+                else:
+                    add = {"path": p, "partitionValues": {}, "size": 1,
+                           "modificationTime": v, "dataChange": True}
+                    actions.append({"add": add})
+                    model[p] = add
+            _write_delta_commit(log, v, actions)
+            if cp_at == v:
+                # checkpoint = the state as of this commit
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                rows_meta, rows_add = [], []
+                sch_now = {"type": "struct",
+                           "fields": _SCHEMA["fields"][:2]
+                           + [{"name": f"c{schema_rev[0]}", "type": "long",
+                               "nullable": True, "metadata": {}}]}
+                rows_meta.append({"id": "m",
+                                  "schemaString": json.dumps(sch_now),
+                                  "partitionColumns": []})
+                for a in model.values():
+                    rows_add.append({"path": a["path"], "size": 1,
+                                     "modificationTime": 0})
+                n = max(len(rows_add), 1)
+                cp = pa.table({
+                    "protocol": [{"minReaderVersion": 1,
+                                  "minWriterVersion": 2}] + [None] * (n - 1)
+                    if n > 0 else [],
+                    "metaData": [rows_meta[0]] + [None] * (n - 1),
+                    "add": (rows_add + [None] * (n - len(rows_add)))
+                    if rows_add else [None] * n,
+                })
+                pq.write_table(
+                    cp, os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+                with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+                    json.dump({"version": v, "size": n}, f)
+                # pre-checkpoint commits may be vacuumed
+                if rng.random() < 0.5:
+                    for old in range(v):
+                        p = os.path.join(log, f"{old:020d}.json")
+                        if os.path.exists(p):
+                            os.remove(p)
+        adds, state = _delta_state(root)
+        assert set(adds) == set(model), (trial, sorted(adds), sorted(model))
+        got_schema = json.loads(state["metaData"]["schemaString"])
+        assert got_schema["fields"][-1]["name"] == f"c{schema_rev[0]}"
+        assert state["lastDeltaVersion"] == n_commits - 1
