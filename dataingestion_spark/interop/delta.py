@@ -392,8 +392,30 @@ def _delta_state(path: str) -> Tuple[Dict[str, Dict], Dict]:
     return adds, state
 
 
+def _add_may_match(add: Dict, col: str, op: str, value) -> bool:
+    """Can a file with these Delta ``add.stats`` hold a matching row?
+    True (must read) unless [minValues, maxValues] proves otherwise —
+    missing/unparseable stats always read (skipping is an optimization,
+    never a correctness gate). Mirrors
+    ``manifest_store._file_may_match`` over the Delta stats shape."""
+    st = add.get("stats")
+    if not st:
+        return True
+    try:
+        parsed = json.loads(st) if isinstance(st, str) else st
+        lo = (parsed.get("minValues") or {}).get(col)
+        hi = (parsed.get("maxValues") or {}).get(col)
+    except (ValueError, AttributeError):
+        return True
+    if lo is None or hi is None:
+        return True
+    from ..sinks.manifest_store import _file_may_match
+
+    return _file_may_match({"cols": {col: [lo, hi]}}, col, op, value)
+
+
 def read_delta(spark: SparkSession, path: str,
-               ) -> DataFrame:
+               where=None) -> DataFrame:
     """Read a Delta Lake table directory as a DataFrame (current snapshot).
 
     Minimal but safe: JSON commit replay with parquet-checkpoint resume,
@@ -402,10 +424,46 @@ def read_delta(spark: SparkSession, path: str,
     columns per file group. Raises ``NotImplementedError`` for tables
     that need reader features beyond v2 (deletion vectors, column
     mapping) instead of silently mis-reading them.
+
+    ``where`` — optional ``[(column, op, literal), ...]`` conditions
+    (op in ``= != < <= > >=``): files whose ``add.stats`` min/max
+    bounds prove no row can match are dropped from the scan BEFORE any
+    parquet IO (data skipping over the log's stats, the same shape
+    Delta readers use), then the conditions are re-applied as a row
+    filter so the result is exact, not just file-granular. On
+    partition columns the bound check runs against ``partitionValues``
+    instead (partition pruning).
     """
     from urllib.parse import unquote, urlparse
 
+    from ..sinks.manifest_store import _file_may_match
+
     adds, state = _delta_state(path)
+    if where:
+        md0 = state["metaData"]
+        pcols = set(md0.get("partitionColumns") or [])
+        kept = {}
+        for p, add in adds.items():
+            ok = True
+            for col, op, val in where:
+                if col in pcols:
+                    raw = (add.get("partitionValues") or {}).get(col)
+                    # string-serialized partition value: compare as the
+                    # literal's type when parseable, else read the file
+                    try:
+                        pv = type(val)(raw) if raw is not None else None
+                    except (TypeError, ValueError):
+                        continue
+                    if pv is not None and not _file_may_match(
+                            {"cols": {col: [pv, pv]}}, col, op, val):
+                        ok = False
+                        break
+                elif not _add_may_match(add, col, op, val):
+                    ok = False
+                    break
+            if ok:
+                kept[p] = add
+        adds = kept
     md = state["metaData"]
     schema = T.StructType.fromJson(json.loads(md["schemaString"]))
     part_cols: List[str] = list(md.get("partitionColumns") or [])
@@ -458,4 +516,10 @@ def read_delta(spark: SparkSession, path: str,
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    if where:
+        ops = {"=": lambda c, v: c == v, "!=": lambda c, v: c != v,
+               "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+               ">": lambda c, v: c > v, ">=": lambda c, v: c >= v}
+        for col, op, val in where:
+            out = out.filter(ops[op](F.col(col), F.lit(val)))
     return out

@@ -68,7 +68,10 @@ class _FilePartition(InputPartition):
     ``dvs`` is ``[(path, delete_seq), ...]`` restricted to the file's
     bucket; a row dies when its documentid appears in a DV whose seq is
     strictly greater than the data file's (Iceberg equality-delete
-    semantics, identical to ``manifest_store._read_files``).
+    semantics, identical to ``manifest_store._read_files``). Each task
+    re-reads its bucket's DV files — DVs are small id lists and buckets
+    hold few files, so the redundancy is bounded; a snapshot of a
+    heavily-deleted table is better served by compacting first anyway.
     """
 
     def __init__(self, path: str, seq: int, dvs: List):

@@ -356,3 +356,38 @@ def test_replay_matches_model_random_logs(spark, tmp_path):
         got_schema = json.loads(state["metaData"]["schemaString"])
         assert got_schema["fields"][-1]["name"] == f"c{schema_rev[0]}"
         assert state["lastDeltaVersion"] == n_commits - 1
+
+
+def test_read_delta_where_skips_files(spark, tmp_path):
+    """where= prunes files by add.stats bounds before any parquet IO
+    (proved by pointing a pruned add at a nonexistent file), prunes
+    partitions by partitionValues, and still returns EXACT rows."""
+    root = str(tmp_path / "skip")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(root, exist_ok=True)
+    _write_part(spark, os.path.join(root, "lo.parquet"), [("a", 1), ("b", 5)])
+    # hi.parquet does NOT exist on disk: if pruning failed, the scan
+    # would error loudly instead of skipping it
+    _write_delta_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(_SCHEMA, part_cols=["day"]),
+        {"add": {"path": "lo.parquet", "partitionValues": {"day": "1"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2,
+                                      "minValues": {"n": 1},
+                                      "maxValues": {"n": 5}})}},
+        {"add": {"path": "hi.parquet", "partitionValues": {"day": "1"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2,
+                                      "minValues": {"n": 100},
+                                      "maxValues": {"n": 200}})}},
+        {"add": {"path": "other_day.parquet", "partitionValues": {"day": "9"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    got = read_delta(spark, root, where=[("n", "<", 10), ("day", "=", 1)])
+    rows = {(r.k, r.n, r.day) for r in got.collect()}
+    assert rows == {("a", 1, 1), ("b", 5, 1)}
+    # row-exactness on top of file pruning: a tighter predicate cuts
+    # rows WITHIN the surviving file too
+    got2 = read_delta(spark, root, where=[("n", "<", 3), ("day", "=", 1)])
+    assert {(r.k, r.n) for r in got2.collect()} == {("a", 1)}
