@@ -212,15 +212,25 @@ class _TableStreamReader(DataSourceStreamReader):
     def read(self, partition):  # type: ignore[override]
         import pyarrow as pa
         import pyarrow.compute as pc
+        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
-        tbl = _read_arrow_file(partition.path)
         kills = set()
         for dv_path, dseq in partition.dvs:
             if dseq > partition.seq:
                 dv = _read_arrow_file(dv_path)
                 kills.update(dv.column("documentid").to_pylist())
+        # read ONLY the columns the source schema needs (Spark cannot
+        # push projection into a Python source, so the narrowing done by
+        # stream_table(columns=…) must happen here to save IO) — plus
+        # documentid when DVs must be applied
+        pf = pq.ParquetFile(partition.path)
+        avail = set(pf.schema_arrow.names)
+        need = [f.name for f in target if f.name in avail]
+        if kills and "documentid" in avail and "documentid" not in need:
+            need = ["documentid"] + need
+        tbl = pf.read(columns=need) if need else pf.read()
         if kills and "documentid" in tbl.column_names:
             mask = pc.is_in(tbl.column("documentid"),
                             value_set=pa.array(sorted(kills)))
@@ -256,10 +266,19 @@ class LakehouseTableDataSource(DataSource):
         table = self.options.get("path") or self.options.get("table")
         if not table:
             raise ValueError("lakehouse_table source requires a path")
+        cols = self.options.get("columns")
+        wanted = ([c.strip() for c in cols.split(",") if c.strip()]
+                  if cols else None)
         manifest = ms.read_manifest(table)
         fields = ms._manifest_meta(manifest)["schema"]
         if fields:
             st = T.StructType.fromJson({"type": "struct", "fields": fields})
+            if wanted is not None:
+                missing = set(wanted) - {f.name for f in st.fields}
+                if missing:
+                    raise ValueError(
+                        f"columns {sorted(missing)} not in table schema")
+                st = T.StructType([f for f in st.fields if f.name in wanted])
             # files written before a schema-evolution column surface null
             # for it regardless of how the adding batch declared it — the
             # source schema must be nullable (same forcing Spark's file
@@ -285,7 +304,8 @@ class LakehouseTableDataSource(DataSource):
 def stream_table(spark: SparkSession, table: str, *,
                  starting_version: Optional[int] = None,
                  skip_change_commits: bool = False,
-                 max_commits_per_trigger: Optional[int] = None):
+                 max_commits_per_trigger: Optional[int] = None,
+                 columns: Optional[List[str]] = None):
     """Open a manifest table as a streaming DataFrame.
 
     ``starting_version=None`` (default) emits the current snapshot as the
@@ -306,4 +326,9 @@ def stream_table(spark: SparkSession, table: str, *,
     if max_commits_per_trigger is not None:
         reader = reader.option("maxCommitsPerTrigger",
                                str(max_commits_per_trigger))
+    if columns is not None:
+        # projection must be declared at the source: Spark does not push
+        # column pruning into Python data sources, so a downstream
+        # .select() would still read every column from parquet
+        reader = reader.option("columns", ",".join(columns))
     return reader.load()

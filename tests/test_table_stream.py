@@ -178,3 +178,26 @@ def test_stream_shallow_clone_resolves_ext_refs(spark, tmp_path):
     assert _drain(spark, clone, sink, ckpt) == 40  # snapshot via ext refs
     ms.append_table(_mk(spark, 40, 55), clone)  # clone-local commit
     assert _drain(spark, clone, sink, ckpt) == 55
+
+
+def test_columns_projection(spark, tmp_path):
+    """stream_table(columns=…) narrows the source schema — the executor
+    reads only those parquet columns (Spark can't push projection into
+    Python sources, so the option IS the pruning path). DVs still apply
+    even when documentid is projected away."""
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 30), table)
+    ms.delete_documents(spark, table, ["3", "4"])
+    q = (
+        stream_table(spark, table, columns=["v"])
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    assert out.columns == ["v"]
+    vals = {r.v for r in out.collect()}
+    assert len(vals) == 28 and 6 not in vals and 8 not in vals  # DVs applied
+    with pytest.raises(Exception, match="not in table schema"):
+        stream_table(spark, table, columns=["nope"]).schema
