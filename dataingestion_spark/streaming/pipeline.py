@@ -402,3 +402,43 @@ def stream_ingest_dedup(spark, input_dir: str, table_path: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_table_pipeline(spark, src_table: str, dst_table: str,
+                          checkpoint: str, transform=None,
+                          app: str = "table_pipeline",
+                          skip_change_commits: bool = False,
+                          available_now: bool = True):
+    """Table-to-table streaming pipeline — the medallion silver job as
+    one call: TAIL ``src_table`` through the streaming table source
+    (:func:`..streaming.table_source.stream_table` — snapshot first,
+    then appended commits), apply ``transform`` (DataFrame -> DataFrame,
+    must keep ``documentid``) per micro-batch, and MERGE the result into
+    ``dst_table`` exactly-once (``(app, epoch)`` txn guard, so retried
+    batches are no-ops and re-running a drained pipeline commits
+    nothing). Batches whose transform yields no rows skip the commit.
+
+    Cost per sync is O(new commits): the source plans from manifest
+    diffs and the merge reads only the batch's pruned target buckets.
+    Returns the StreamingQuery (``awaitTermination()`` it)."""
+    from ..sinks.manifest_store import merge_table
+    from .table_source import stream_table
+
+    src = stream_table(spark, src_table,
+                       skip_change_commits=skip_change_commits)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        if "documentid" not in out.columns:
+            raise ValueError("transform must keep the documentid column")
+        out = out.dropDuplicates(["documentid"])
+        if out.isEmpty():
+            return
+        merge_table(out, dst_table, txn=(app, epoch_id))
+
+    writer = (src.writeStream.outputMode("append")
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -201,3 +201,35 @@ def test_columns_projection(spark, tmp_path):
     assert len(vals) == 28 and 6 not in vals and 8 not in vals  # DVs applied
     with pytest.raises(Exception, match="not in table schema"):
         stream_table(spark, table, columns=["nope"]).schema
+
+
+def test_stream_table_pipeline_e2e(spark, tmp_path):
+    """stream_table_pipeline: tail a source table, transform, merge into
+    a destination exactly-once; appends flow through, drained re-runs
+    commit nothing."""
+    from dataingestion_spark.streaming.pipeline import stream_table_pipeline
+
+    src, dst, ckpt = (str(tmp_path / n) for n in ("src", "dst", "ckpt"))
+    ms.write_table(_mk(spark, 0, 50), src)
+
+    def clean(df):
+        return df.filter(F.col("v") % 4 == 0).withColumn(
+            "vv", F.col("v") * 10)
+
+    q = stream_table_pipeline(spark, src, dst, ckpt, transform=clean)
+    q.awaitTermination()
+    got = ms.read_table(spark, dst)
+    assert got.count() == 25  # ids 0..49 with (2*id)%4==0 -> even ids
+    assert got.filter(F.col("vv") != F.col("v") * 10).count() == 0
+
+    ms.append_table(_mk(spark, 50, 70), src)
+    v_before = ms.current_version(dst)
+    q = stream_table_pipeline(spark, src, dst, ckpt, transform=clean)
+    q.awaitTermination()
+    assert ms.read_table(spark, dst).count() == 35
+    assert ms.current_version(dst) == v_before + 1  # exactly one commit
+
+    # drained: no new commits on re-run
+    q = stream_table_pipeline(spark, src, dst, ckpt, transform=clean)
+    q.awaitTermination()
+    assert ms.current_version(dst) == v_before + 1
