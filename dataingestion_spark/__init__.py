@@ -157,7 +157,12 @@ from .sinks.manifest_store import (  # noqa: E402,F401
 from .sinks.matview import refresh as refresh_view  # noqa: E402,F401
 from .streaming.table_source import stream_table  # noqa: E402,F401
 from .streaming.pipeline import stream_table_pipeline  # noqa: E402,F401
-from .interop.delta import export_delta, mirror_delta, read_delta  # noqa: E402,F401
+from .interop.delta import (  # noqa: E402,F401
+    export_delta,
+    mirror_delta,
+    read_delta,
+    vacuum_delta,
+)
 from .sinks.text_index import (  # noqa: E402,F401
     append_text_index,
     search_text_index,

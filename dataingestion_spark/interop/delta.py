@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["export_delta", "mirror_delta", "read_delta"]
+__all__ = ["export_delta", "mirror_delta", "read_delta", "vacuum_delta"]
 
 _LOG_DIR = "_delta_log"
 
@@ -296,6 +296,52 @@ def mirror_delta(spark: SparkSession, table: str, dst: str, *,
             f"Delta version {version} of {dst} was committed concurrently; "
             "re-run the mirror")
     return version
+
+
+def vacuum_delta(dst: str, keep_hours: float = 168.0,
+                 dry_run: bool = False) -> List[str]:
+    """Delete data files a mirror no longer references (Delta VACUUM):
+    files named by ``remove`` actions whose ``deletionTimestamp`` is
+    older than ``keep_hours`` (default 7 days, Delta's default) and that
+    are not re-referenced by a live ``add``. Only relative-path (copy
+    mode) files are touched — shallow mirrors own no data. Honors time
+    travel the same way Delta does: vacuumed history is gone, so keep
+    the window longer than any reader's lag. Returns the deleted names
+    (candidates when ``dry_run``)."""
+    import time as _time
+
+    from ..sinks.data_backend import data_backend_for
+    from ..sinks.commit_backend import backend_for
+
+    be = backend_for(dst)
+    log_dir = f"{dst.rstrip('/')}/{_LOG_DIR}"
+    names = be_names = data_backend_for(dst).list_dir(log_dir)
+    if not names:
+        raise FileNotFoundError(f"no {_LOG_DIR} under {dst}")
+    adds, _state = _delta_state(dst)
+    live = {a["path"] for a in adds.values()}
+    cutoff_ms = (_time.time() - keep_hours * 3600.0) * 1000.0
+    removed: Dict[str, float] = {}
+    for n in sorted(be_names):
+        if not (n.endswith(".json") and n[:20].isdigit() and len(n) == 25):
+            continue
+        text = be.read_text(f"{log_dir}/{n}")
+        if text is None:
+            continue
+        for line in text.splitlines():
+            if '"remove"' not in line:
+                continue
+            action = json.loads(line)
+            rm = action.get("remove")
+            if rm and rm.get("path") and "://" not in rm["path"]:
+                removed[rm["path"]] = rm.get("deletionTimestamp", 0)
+    dbe = data_backend_for(dst)
+    victims = sorted(p for p, ts in removed.items()
+                     if p not in live and ts < cutoff_ms)
+    if not dry_run:
+        for p in victims:
+            dbe.delete(f"{dst.rstrip('/')}/{p}")
+    return victims
 
 
 # ---------------------------------------------------------------------------

@@ -391,3 +391,28 @@ def test_read_delta_where_skips_files(spark, tmp_path):
     # rows WITHIN the surviving file too
     got2 = read_delta(spark, root, where=[("n", "<", 3), ("day", "=", 1)])
     assert {(r.k, r.n) for r in got2.collect()} == {("a", 1)}
+
+
+def test_vacuum_delta_removes_old_unreferenced(spark, tmp_path):
+    """vacuum: files removed by mirror commits and outside the retention
+    window are deleted; live files and recent removes survive; dry_run
+    only lists."""
+    from dataingestion_spark.interop.delta import mirror_delta, vacuum_delta
+
+    table, dst = str(tmp_path / "t"), str(tmp_path / "mirror")
+    ms.write_table(_mk(spark, 0, 40), table)
+    mirror_delta(spark, table, dst)
+    ms.delete_documents(spark, table, [str(i) for i in range(0, 40, 4)])
+    mirror_delta(spark, table, dst)  # compaction -> remove+add commit
+    # candidates exist but are inside the 7-day window
+    assert vacuum_delta(dst) == []
+    cands = vacuum_delta(dst, keep_hours=0, dry_run=True)
+    assert cands  # the pre-compaction files
+    for p in cands:
+        assert os.path.exists(os.path.join(dst, p))
+    gone = vacuum_delta(dst, keep_hours=0)
+    assert gone == cands
+    for p in gone:
+        assert not os.path.exists(os.path.join(dst, p))
+    # table still reads fully after vacuum
+    assert read_delta(spark, dst).count() == 30
