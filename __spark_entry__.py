@@ -6994,6 +6994,67 @@ WHERE (doc_id % 2 = 0 OR (doc_id % 2 = 1 AND doc_id % 3 = 0))
 """
 
 
+def q_lakehouse_change_stream(spark, sf):
+    """Streaming CHANGE FEED (streaming/table_source.py::stream_changes —
+    Delta readChangeFeed analog): v0 writes the doc_id%3!=2 slice, v1 is
+    a MERGE of the doc_id%2==0 slice with n_chars+1000 (updates emit
+    delete+insert pairs at the same version), v2 deletes the surviving
+    doc_id%7==0 keys. One availableNow drain of the feed returns every
+    per-commit row change with _change_type/_commit_version; the oracle
+    restates all five change sets in closed form. Per-commit equality
+    with table_diff is pinned in tests/test_change_stream.py."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.streaming.table_source import stream_changes
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="cdc_lh_")
+    table, sink, ckpt = tmp + "/t", tmp + "/sink", tmp + "/ckpt"
+    ms.write_table(docs.filter(F.col("doc_id") % 3 != 2), table)
+    ms.merge_table(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000)), table)
+    dels = [r["documentid"] for r in
+            ms.read_table(spark, table)
+            .filter(F.col("documentid").cast("bigint") % 7 == 0)
+            .select("documentid").collect()]
+    ms.delete_documents(spark, table, dels)
+    q = (stream_changes(spark, table)
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(sink).select(
+        "documentid", "lang", "n_chars", "_change_type",
+        F.col("_commit_version").alias("commit_v"))
+
+
+ORACLE_CHANGE_STREAM = """
+WITH a AS (SELECT CAST(doc_id AS VARCHAR) AS documentid, lang, n_chars
+           FROM documents WHERE doc_id % 3 <> 2),
+b AS (SELECT CAST(doc_id AS VARCHAR) AS documentid, lang,
+             n_chars + 1000 AS n_chars
+      FROM documents WHERE doc_id % 2 = 0),
+state AS (
+  SELECT * FROM b
+  UNION ALL
+  SELECT * FROM a WHERE documentid NOT IN (SELECT documentid FROM b))
+SELECT documentid, lang, n_chars, 'insert' AS _change_type,
+       CAST(0 AS BIGINT) AS commit_v FROM a
+UNION ALL
+SELECT documentid, lang, n_chars, 'insert', 1 FROM b
+UNION ALL
+SELECT a.documentid, a.lang, a.n_chars, 'delete', 1
+FROM a JOIN b ON a.documentid = b.documentid
+UNION ALL
+SELECT documentid, lang, n_chars, 'delete', 2
+FROM state WHERE CAST(documentid AS BIGINT) % 7 = 0
+"""
+
+
 def q_lakehouse_meta_count(spark, sf):
     """Metadata-only COUNT(*) (sinks/manifest_store.py::metadata_count):
     two append commits, count answered from the summed per-file row
@@ -7848,6 +7909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_best_of_n": q_best_of_n,
         "lakehouse_meta_count": q_lakehouse_meta_count,
         "lakehouse_delta_mirror": q_lakehouse_delta_mirror,
+        "lakehouse_change_stream": q_lakehouse_change_stream,
         "pack_token_id_rows": q_pack_token_id_rows,
         # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         # --- displaced r5-block tail (locally green; r7 queue) ---
@@ -8222,6 +8284,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_delta_roundtrip": ORACLE_DELTA_ROUNDTRIP,
         "lakehouse_meta_count": ORACLE_META_COUNT,
         "lakehouse_delta_mirror": ORACLE_DELTA_MIRROR,
+        "lakehouse_change_stream": ORACLE_CHANGE_STREAM,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio_meta": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_audio_segments": ORACLE_AUDIO_SEGMENTS,

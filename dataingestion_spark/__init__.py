@@ -155,7 +155,10 @@ from .sinks.manifest_store import (  # noqa: E402,F401
     update_where,
 )
 from .sinks.matview import refresh as refresh_view  # noqa: E402,F401
-from .streaming.table_source import stream_table  # noqa: E402,F401
+from .streaming.table_source import (  # noqa: E402,F401
+    stream_changes,
+    stream_table,
+)
 from .streaming.pipeline import stream_table_pipeline  # noqa: E402,F401
 from .interop.delta import (  # noqa: E402,F401
     export_delta,

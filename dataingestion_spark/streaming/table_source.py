@@ -51,7 +51,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-__all__ = ["LakehouseTableDataSource", "stream_table"]
+__all__ = ["LakehouseChangesDataSource", "LakehouseTableDataSource",
+           "stream_changes", "stream_table"]
 
 _FORMAT_NAME = "lakehouse_table"
 
@@ -299,6 +300,227 @@ class LakehouseTableDataSource(DataSource):
 
     def streamReader(self, schema):
         return _TableStreamReader(schema, dict(self.options))
+
+
+class _ChangeFilePartition(InputPartition):
+    """Insert-side partition: one data file added at ``version``."""
+
+    def __init__(self, path: str, version: int):
+        self.kind = "insert"
+        self.path = path
+        self.version = int(version)
+
+
+class _ChangeDVPartition(InputPartition):
+    """Delete-side partition: one bucket's new DVs at ``version``.
+
+    ``old_files``/``old_dvs`` are ``[(path, seq), ...]`` of the bucket's
+    RETAINED data files and its PRE-EXISTING delete vectors (the v-1 DV
+    state); ``new_dvs`` are the DV files added at ``version``. The rows
+    to emit as deletes are: alive under the old DV state AND killed by
+    the new DVs (strictly-smaller seq rule both times).
+    """
+
+    def __init__(self, old_files, old_dvs, new_dvs, version: int):
+        self.kind = "delete"
+        self.old_files = list(old_files)
+        self.old_dvs = list(old_dvs)
+        self.new_dvs = list(new_dvs)
+        self.version = int(version)
+
+
+class _ChangesStreamReader(DataSourceStreamReader):
+    """Per-commit change rows (Delta ``readChangeFeed`` analog).
+
+    Emits each commit's row-level changes with ``_change_type``
+    ('insert' | 'delete'; an update is its delete+insert pair, both at
+    the same ``_commit_version``) for APPEND and DV commits — the two
+    shapes every DML path here produces (append/write/merge/
+    delete_where/update_where/replace). Commits that DROP files
+    (compaction, zorder, restore) have no per-commit row delta
+    derivable from changed files alone; they raise unless
+    ``skipRewrites`` is set, which treats them as content-neutral —
+    EXACT for compaction/OPTIMIZE (layout-only by construction), wrong
+    for a RESTORE that rolls data back, so the option is opt-in.
+    """
+
+    def __init__(self, schema, options: Dict[str, str]):
+        self._schema = schema
+        self._table = options.get("path") or options.get("table")
+        if not self._table:
+            raise ValueError("lakehouse_changes source requires a path")
+        self._start = int(options.get("startingversion", "0"))
+        self._skip_rewrites = str(
+            options.get("skiprewrites", "false")).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start - 1}
+
+    def latestOffset(self) -> dict:
+        from ..sinks import manifest_store as ms
+
+        cur = ms.current_version(self._table)
+        return self.initialOffset() if cur is None else {"version": cur}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            parts.extend(self._commit_changes(v))
+        return parts
+
+    def _commit_changes(self, version: int):
+        from ..sinks import manifest_store as ms
+
+        cur = ms.read_manifest(self._table, version)
+        meta = ms._manifest_meta(cur)
+        if version == 0:
+            prev_buckets: Dict[str, List[str]] = {}
+            prev_dels: Dict[str, List[str]] = {}
+        else:
+            prev = ms.read_manifest(self._table, version - 1)
+            prev_buckets = prev["buckets"]
+            prev_dels = ms._manifest_meta(prev)["deletes"]
+        path_for = lambda n: (meta["ext"].get(n)  # noqa: E731
+                              or ms._join(self._table, "files", n))
+        seq_of = lambda n: int(meta["seq"].get(n, 0))  # noqa: E731
+        dropped = any(
+            set(prev_buckets.get(b, [])) - set(cur["buckets"].get(b, []))
+            for b in prev_buckets)
+        if dropped:
+            if self._skip_rewrites:
+                return []
+            raise RuntimeError(
+                f"commit version {version} of {self._table} rewrites "
+                "files; a change feed cannot derive its row delta from "
+                "changed files alone. Set skipRewrites=true ONLY if such "
+                "commits are content-neutral (compaction/OPTIMIZE).")
+        parts = []
+        for b in cur["buckets"]:
+            added = [n for n in cur["buckets"][b]
+                     if n not in set(prev_buckets.get(b, []))]
+            parts.extend(_ChangeFilePartition(path_for(n), version)
+                         for n in added)
+        for b in meta["deletes"]:
+            new_dvs = [n for n in meta["deletes"][b]
+                       if n not in set(prev_dels.get(b, []))]
+            if not new_dvs:
+                continue
+            old_files = [(path_for(n), seq_of(n))
+                         for n in prev_buckets.get(b, [])]
+            if not old_files:
+                continue  # DV on an empty bucket deletes nothing
+            old_dvs = [(path_for(n), seq_of(n))
+                       for n in prev_dels.get(b, [])]
+            parts.append(_ChangeDVPartition(
+                old_files, old_dvs,
+                [(path_for(n), seq_of(n)) for n in new_dvs], version))
+        return parts
+
+    def read(self, partition):  # type: ignore[override]
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        data_fields = [f for f in target
+                       if f.name not in ("_change_type", "_commit_version")]
+
+        def conform(tbl, change_type, version):
+            cols = []
+            for f in data_fields:
+                if f.name in tbl.column_names:
+                    c = tbl.column(f.name).cast(f.type)
+                    cols.append(c.combine_chunks()
+                                if isinstance(c, pa.ChunkedArray) else c)
+                else:
+                    cols.append(pa.nulls(tbl.num_rows, f.type))
+            cols.append(pa.array([change_type] * tbl.num_rows,
+                                 type=pa.string()))
+            cols.append(pa.array([version] * tbl.num_rows,
+                                 type=pa.int64()))
+            return pa.Table.from_arrays(cols, schema=target)
+
+        if partition.kind == "insert":
+            tbl = _read_arrow_file(partition.path)
+            out = conform(tbl, "insert", partition.version)
+            yield from out.to_batches(max_chunksize=1 << 16)
+            return
+
+        # delete side: rows alive under the OLD DV state and killed by
+        # the new DVs
+        def dv_kills(dvs, file_seq):
+            ids = set()
+            for dv_path, dseq in dvs:
+                if dseq > file_seq:
+                    ids.update(_read_arrow_file(dv_path)
+                               .column("documentid").to_pylist())
+            return ids
+
+        new_ids = set()
+        for dv_path, _ in partition.new_dvs:
+            new_ids.update(_read_arrow_file(dv_path)
+                           .column("documentid").to_pylist())
+        pieces = []
+        for path, seq in partition.old_files:
+            tbl = _read_arrow_file(path)
+            already_dead = dv_kills(partition.old_dvs, seq)
+            # the new DVs share the commit's seq, which is > every
+            # retained file's seq, so membership alone decides the kill
+            mask_new = pc.is_in(tbl.column("documentid"),
+                                value_set=pa.array(sorted(new_ids)))
+            if already_dead:
+                mask_old = pc.is_in(tbl.column("documentid"),
+                                    value_set=pa.array(sorted(already_dead)))
+                mask = pc.and_(mask_new, pc.invert(mask_old))
+            else:
+                mask = mask_new
+            hit = tbl.filter(mask)
+            if hit.num_rows:
+                pieces.append(hit)
+        for tbl in pieces:
+            out = conform(tbl, "delete", partition.version)
+            yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class LakehouseChangesDataSource(DataSource):
+    """``spark.readStream.format("lakehouse_changes").load(table)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse_changes"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        base = LakehouseTableDataSource(self.options).schema()
+        return T.StructType(
+            list(base.fields)
+            + [T.StructField("_change_type", T.StringType(), True),
+               T.StructField("_commit_version", T.LongType(), True)])
+
+    def streamReader(self, schema):
+        return _ChangesStreamReader(schema, dict(self.options))
+
+
+def stream_changes(spark: SparkSession, table: str, *,
+                   starting_version: int = 0,
+                   skip_rewrites: bool = False):
+    """Open a manifest table's CHANGE FEED as a streaming DataFrame
+    (Delta's ``readChangeFeed`` analog): per-commit row-level changes
+    with ``_change_type`` ('insert'/'delete'; updates are their
+    delete+insert pair) and ``_commit_version``. Commits that rewrite
+    files raise unless ``skip_rewrites`` (exact for compaction/OPTIMIZE,
+    which are content-neutral; NOT for restore)."""
+    spark.dataSource.register(LakehouseChangesDataSource)
+    reader = (spark.readStream.format("lakehouse_changes")
+              .option("path", table)
+              .option("startingVersion", str(starting_version)))
+    if skip_rewrites:
+        reader = reader.option("skipRewrites", "true")
+    return reader.load()
 
 
 def stream_table(spark: SparkSession, table: str, *,

@@ -1,0 +1,101 @@
+"""Streaming change feed (streaming/table_source.py::stream_changes).
+
+Per-commit insert/delete rows with _change_type/_commit_version; updates
+appear as delete+insert pairs; rewrites raise unless skipRewrites; each
+single-commit feed must match table_diff over the same version range.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.sinks import manifest_store as ms
+from dataingestion_spark.streaming.table_source import stream_changes
+
+
+def _mk(spark, a, b, rev=1):
+    return spark.range(a, b).select(
+        F.col("id").cast("string").alias("documentid"),
+        (F.col("id") * 10 + rev).alias("v"),
+    )
+
+
+def _drain(spark, table, sink, ckpt, **kw):
+    q = (
+        stream_changes(spark, table, **kw)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+def test_inserts_updates_deletes(spark, tmp_path):
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 30), table)                 # v0: 30 inserts
+    ms.merge_table(_mk(spark, 20, 40, rev=2), table)         # v1: 10 upd + 10 ins
+    ms.delete_documents(spark, table, ["0", "1", "2"])       # v2: 3 deletes
+    out = _drain(spark, table, sink, ckpt)
+    by = {(r._commit_version, r._change_type): 0 for r in out.collect()}
+    for r in out.collect():
+        by[(r._commit_version, r._change_type)] += 1
+    assert by[(0, "insert")] == 30
+    assert by[(1, "insert")] == 20      # 10 updated + 10 new rows
+    assert by[(1, "delete")] == 10      # the updated docs' old rows
+    assert by[(2, "delete")] == 3
+    # the update pair carries old and new values
+    olds = {r.v for r in out.filter(
+        (F.col("_commit_version") == 1)
+        & (F.col("_change_type") == "delete")).collect()}
+    news = {r.v for r in out.filter(
+        (F.col("_commit_version") == 1) & (F.col("_change_type") == "insert")
+        & (F.col("documentid") < "30") & (F.col("documentid") >= "2")).collect()}
+    assert all(v % 10 == 1 for v in olds)
+    assert all(v % 10 == 2 for v in news)
+
+
+def test_feed_matches_table_diff_per_commit(spark, tmp_path):
+    """Each commit's feed rows == table_diff(v-1, v) exactly."""
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 25), table)
+    ms.merge_table(_mk(spark, 10, 35, rev=3), table)
+    ms.delete_documents(spark, table, [str(i) for i in range(5)])
+    out = _drain(spark, table, sink, ckpt)
+    for v in (1, 2):
+        feed = (out.filter(F.col("_commit_version") == v)
+                .select("documentid", "v", "_change_type"))
+        diff = ms.table_diff(spark, table, v - 1, v).select(
+            "documentid", "v", "_change_type")
+        assert feed.exceptAll(diff).count() == 0
+        assert diff.exceptAll(feed).count() == 0
+
+
+def test_rewrite_raises_unless_skipped(spark, tmp_path):
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 40), table)
+    ms.delete_documents(spark, table, ["1"])
+    ms.compact(spark, table, max_files_per_bucket=10 ** 9)  # rewrite commit
+    ms.append_table(_mk(spark, 40, 45), table)
+    with pytest.raises(Exception, match="skipRewrites"):
+        _drain(spark, table, sink, ckpt)
+    out = _drain(spark, table, str(tmp_path / "s2"), str(tmp_path / "c2"),
+                 skip_rewrites=True)
+    by_type = {r._change_type: 0 for r in out.collect()}
+    for r in out.collect():
+        by_type[r._change_type] += 1
+    assert by_type == {"insert": 45, "delete": 1}  # compaction itself: silent
+
+
+def test_starting_version_and_exactly_once(spark, tmp_path):
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 20), table)
+    ms.append_table(_mk(spark, 20, 30), table)
+    out = _drain(spark, table, sink, ckpt, starting_version=1)
+    assert out.count() == 10  # v1 only
+    ms.delete_documents(spark, table, ["21"])
+    out = _drain(spark, table, sink, ckpt, starting_version=1)
+    assert out.count() == 11  # +1 delete row, nothing re-emitted
+    out = _drain(spark, table, sink, ckpt, starting_version=1)
+    assert out.count() == 11
