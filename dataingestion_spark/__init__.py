@@ -159,7 +159,10 @@ from .streaming.table_source import (  # noqa: E402,F401
     stream_changes,
     stream_table,
 )
-from .streaming.pipeline import stream_table_pipeline  # noqa: E402,F401
+from .streaming.pipeline import (  # noqa: E402,F401
+    stream_replicate,
+    stream_table_pipeline,
+)
 from .interop.delta import (  # noqa: E402,F401
     export_delta,
     mirror_delta,

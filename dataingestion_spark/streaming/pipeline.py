@@ -442,3 +442,58 @@ def stream_table_pipeline(spark, src_table: str, dst_table: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_replicate(spark, src_table: str, dst_table: str,
+                     checkpoint: str, app: str = "stream_replicate",
+                     skip_rewrites: bool = False,
+                     available_now: bool = True):
+    """Continuous replication off the streaming CHANGE FEED
+    (:func:`..streaming.table_source.stream_changes`) — the streaming
+    twin of :func:`..sinks.manifest_store.sync_table`: every micro-batch
+    applies its insert rows as an upsert MERGE and its pure-delete keys
+    (delete rows whose documentid has no insert in the same batch — an
+    update's delete half is superseded by its insert half) as a delete
+    MERGE, each exactly-once under its own ``(app, epoch)`` txn. The
+    replica follows UPDATES and DELETES, which plain ``stream_table``
+    tailing cannot. Cost per sync is O(changes).
+
+    A batch may span several source commits; within one batch the
+    last-written version of a document wins, which equals the source's
+    final state for that range (the feed is ordered per key by commit).
+    Returns the StreamingQuery."""
+    from ..sinks.manifest_store import merge_table
+    from .table_source import stream_changes
+
+    feed = stream_changes(spark, src_table, skip_rewrites=skip_rewrites)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import pyspark.sql.functions as SF
+        from pyspark.sql.window import Window as W
+
+        data_cols = [c for c in batch_df.columns
+                     if c not in ("_change_type", "_commit_version")]
+        # last change per key in the batch decides its fate
+        w = W.partitionBy("documentid").orderBy(
+            SF.desc("_commit_version"),
+            # insert outranks delete at the same version (update pair)
+            SF.desc(SF.col("_change_type") == SF.lit("insert")))
+        last = (batch_df.withColumn("_rn", SF.row_number().over(w))
+                .filter(SF.col("_rn") == 1))
+        ins = last.filter(SF.col("_change_type") == "insert") \
+            .select(*data_cols)
+        dels = last.filter(SF.col("_change_type") == "delete") \
+            .select("documentid")
+        if not ins.isEmpty():
+            merge_table(ins, dst_table, txn=(f"{app}-ins", epoch_id))
+        if not dels.isEmpty():
+            merge_table(dels, dst_table, when_matched="delete",
+                        when_not_matched=None,
+                        txn=(f"{app}-del", epoch_id))
+
+    writer = (feed.writeStream.outputMode("append")
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -99,3 +99,35 @@ def test_starting_version_and_exactly_once(spark, tmp_path):
     assert out.count() == 11  # +1 delete row, nothing re-emitted
     out = _drain(spark, table, sink, ckpt, starting_version=1)
     assert out.count() == 11
+
+
+def test_stream_replicate_follows_updates_and_deletes(spark, tmp_path):
+    """The CDF-driven replica converges to the source through writes,
+    updates, and deletes; drained re-runs commit nothing."""
+    from dataingestion_spark.streaming.pipeline import stream_replicate
+
+    src, dst, ckpt = (str(tmp_path / n) for n in ("src", "dst", "ckpt"))
+    ms.write_table(_mk(spark, 0, 30), src)
+    ms.merge_table(_mk(spark, 15, 40, rev=2), src)       # updates + inserts
+    ms.delete_documents(spark, src, [str(i) for i in range(0, 10)])
+    q = stream_replicate(spark, src, dst, ckpt)
+    q.awaitTermination()
+
+    def same():
+        a = ms.read_table(spark, src).select("documentid", "v")
+        b = ms.read_table(spark, dst).select("documentid", "v")
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    same()
+    # more churn, second sync
+    ms.merge_table(_mk(spark, 35, 45, rev=3), src)
+    ms.delete_documents(spark, src, ["12", "13"])
+    q = stream_replicate(spark, src, dst, ckpt)
+    q.awaitTermination()
+    same()
+    # drained: no new replica commits
+    v = ms.current_version(dst)
+    q = stream_replicate(spark, src, dst, ckpt)
+    q.awaitTermination()
+    assert ms.current_version(dst) == v
