@@ -7896,12 +7896,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_zorder_read": q_lakehouse_zorder_read,
         "lakehouse_check_constraints": q_lakehouse_constraints,
         "lakehouse_maintenance": q_lakehouse_maintenance,
-        "lakehouse_bloom_read": q_lakehouse_bloom_read,
         "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
         "lakehouse_delete_where": q_lakehouse_delete_where,
         "lakehouse_update_where": q_lakehouse_update_where,
         "lakehouse_stream_read": q_lakehouse_stream_read,
         "lakehouse_delta_roundtrip": q_lakehouse_delta_roundtrip,
+        "lakehouse_change_stream": q_lakehouse_change_stream,
         "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
         "search_topk_ivf_filtered": q_topk_ivf_filtered,
         "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
@@ -7909,8 +7909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_best_of_n": q_best_of_n,
         "lakehouse_meta_count": q_lakehouse_meta_count,
         "lakehouse_delta_mirror": q_lakehouse_delta_mirror,
-        "lakehouse_change_stream": q_lakehouse_change_stream,
         "pack_token_id_rows": q_pack_token_id_rows,
+        "lakehouse_bloom_read": q_lakehouse_bloom_read,
         # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         # --- displaced r5-block tail (locally green; r7 queue) ---
         "doc_lm_perplexity": q_lm_perplexity,
