@@ -411,9 +411,14 @@ class _ChangesStreamReader(DataSourceStreamReader):
                 continue  # DV on an empty bucket deletes nothing
             old_dvs = [(path_for(n), seq_of(n))
                        for n in prev_dels.get(b, [])]
-            parts.append(_ChangeDVPartition(
-                old_files, old_dvs,
-                [(path_for(n), seq_of(n)) for n in new_dvs], version))
+            new_dv_paths = [(path_for(n), seq_of(n)) for n in new_dvs]
+            # one partition PER OLD FILE, not per bucket: a big bucket's
+            # delete scan parallelizes like any other read, and each
+            # task still sees the whole new-DV id set (small by the
+            # O(batch) delete-commit contract)
+            parts.extend(
+                _ChangeDVPartition([of], old_dvs, new_dv_paths, version)
+                for of in old_files)
         return parts
 
     def read(self, partition):  # type: ignore[override]
