@@ -6912,6 +6912,69 @@ FROM events
 """
 
 
+def q_lakehouse_scd2(spark, sf):
+    """SCD Type 2 dimension maintenance (sinks/scd.py::scd2_merge): three
+    snapshot batches over the customer dimension — batch 1 seeds every
+    key; batch 2 re-observes every key but only custkey%3==0 changed
+    (balance+100), the rest must be detected unchanged and left alone;
+    batch 3 observes only custkey%2==0 with a new segment. Changed keys
+    close their current row (valid_to=effective, is_current=false) and
+    open a new one in ONE O(batch) DV commit. The oracle restates the
+    final history in closed form (valid_to = next version's stamp).
+    Beyond the reference (its writer is whole-document upsert,
+    VectorStoreWriter.cs:76-108)."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.sinks.scd import scd2_merge
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("documentid"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.round("c_acctbal", 2) + F.lit(0.0)).alias("balance"))
+    key = F.col("documentid").cast("long")
+    bal2 = F.col("balance") + F.when(key % 3 == 0, 100.0).otherwise(0.0)
+    table = tempfile.mkdtemp(prefix="scd2_lh_") + "/dim"
+    scd2_merge(cust.withColumn("effective_ts", F.lit(1.0)),
+               table, tracked=["segment", "balance"])
+    scd2_merge(cust.withColumn("balance", bal2)
+               .withColumn("effective_ts", F.lit(2.0)),
+               table, tracked=["segment", "balance"])
+    scd2_merge(cust.withColumn("balance", bal2)
+               .withColumn("segment", F.lit("CHURNED"))
+               .withColumn("effective_ts", F.lit(3.0))
+               .filter(key % 2 == 0),
+               table, tracked=["segment", "balance"])
+    return ms.read_table(spark, table).select(
+        "documentid", "segment", "balance",
+        "valid_from", "valid_to", "is_current")
+
+
+ORACLE_SCD2 = """
+WITH base AS (
+  SELECT c_custkey AS k, CAST(c_custkey AS VARCHAR) AS documentid,
+         c_mktsegment AS seg0, round(c_acctbal, 2) + 0.0 AS bal0
+  FROM customer)
+SELECT documentid, seg0 AS segment, bal0 AS balance,
+       CAST(1.0 AS DOUBLE) AS valid_from,
+       CAST(CASE WHEN k % 3 = 0 THEN 2.0 WHEN k % 2 = 0 THEN 3.0 END AS DOUBLE) AS valid_to,
+       (k % 3 <> 0 AND k % 2 <> 0) AS is_current
+FROM base
+UNION ALL
+SELECT documentid, seg0 AS segment, bal0 + 100 AS balance,
+       CAST(2.0 AS DOUBLE) AS valid_from,
+       CAST(CASE WHEN k % 2 = 0 THEN 3.0 END AS DOUBLE) AS valid_to,
+       (k % 2 <> 0) AS is_current
+FROM base WHERE k % 3 = 0
+UNION ALL
+SELECT documentid, 'CHURNED' AS segment,
+       bal0 + CASE WHEN k % 3 = 0 THEN 100 ELSE 0 END AS balance,
+       CAST(3.0 AS DOUBLE) AS valid_from, CAST(NULL AS DOUBLE) AS valid_to,
+       TRUE AS is_current
+FROM base WHERE k % 2 = 0
+"""
+
+
 def q_lakehouse_stream_read(spark, sf):
     """Structured Streaming READ of a manifest table
     (streaming/table_source.py::stream_table — a Spark 4 Python streaming
@@ -7910,8 +7973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_meta_count": q_lakehouse_meta_count,
         "lakehouse_delta_mirror": q_lakehouse_delta_mirror,
         "pack_token_id_rows": q_pack_token_id_rows,
+        "lakehouse_scd2_merge": q_lakehouse_scd2,
+        # --- entries 51-78: remaining never-driver-sampled (r6 queue) ---
         "lakehouse_bloom_read": q_lakehouse_bloom_read,
-        # --- entries 51-77: remaining never-driver-sampled (r6 queue) ---
         # --- displaced r5-block tail (locally green; r7 queue) ---
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
@@ -8280,6 +8344,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "lakehouse_delete_where": ORACLE_DELETE_WHERE,
         "lakehouse_update_where": ORACLE_UPDATE_WHERE,
+        "lakehouse_scd2_merge": ORACLE_SCD2,
         "lakehouse_stream_read": ORACLE_STREAM_READ,
         "lakehouse_delta_roundtrip": ORACLE_DELTA_ROUNDTRIP,
         "lakehouse_meta_count": ORACLE_META_COUNT,

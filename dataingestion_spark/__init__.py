@@ -155,6 +155,7 @@ from .sinks.manifest_store import (  # noqa: E402,F401
     update_where,
 )
 from .sinks.matview import refresh as refresh_view  # noqa: E402,F401
+from .sinks.scd import scd2_at, scd2_current, scd2_merge  # noqa: E402,F401
 from .streaming.table_source import (  # noqa: E402,F401
     stream_changes,
     stream_table,

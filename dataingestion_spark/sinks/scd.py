@@ -1,0 +1,181 @@
+"""Slowly-changing-dimension (Type 2) maintenance over manifest tables.
+
+The reference's writer is whole-document upsert only
+(``VectorStoreWriter.cs:76-108``); this adds the standard warehouse
+pattern a lakehouse needs for dimension data: every business key keeps
+a *history* of attribute versions, each stamped with a validity
+interval, and merging a new snapshot closes the changed keys' current
+rows and opens new ones — without touching unchanged keys.
+
+Storage model: ``documentid`` = the business key; a document's rows =
+the key's full version history. History columns (owned by this module):
+
+* ``valid_from`` — the batch's effective stamp when the version opened;
+* ``valid_to``   — the stamp that closed it (NULL while current);
+* ``is_current`` — exactly one true row per key.
+
+Because documents are whole units in the manifest store (the same
+replace-by-documentid contract the reference's writer has), a changed
+key rewrites its full history in one DV commit — O(changed keys ×
+average history length), never O(table). Dimension histories are short
+(a handful of versions), so this is the right 100 TB shape: a merge
+batch costs the batch, not the dimension.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import manifest_store as ms
+
+HISTORY_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def _open_rows(source: DataFrame, tracked: List[str], effective_col: str):
+    """Source rows shaped as freshly-opened history rows."""
+    return source.select(
+        "documentid", *tracked,
+        F.col(effective_col).alias("valid_from"),
+    ).withColumn(
+        "valid_to", F.lit(None).cast(source.schema[effective_col].dataType)
+    ).withColumn("is_current", F.lit(True))
+
+
+def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
+               effective_col: str = "effective_ts", txn=None) -> int:
+    """Merge a snapshot batch into an SCD Type 2 dimension table.
+
+    ``source`` carries one row per business key: ``documentid``, the
+    ``tracked`` attribute columns, and ``effective_col`` (any orderable
+    type — timestamp, date, double) stamping when this observation takes
+    effect. Per key:
+
+    * **new key** → insert an open row (``valid_from=effective``,
+      ``valid_to=NULL``, ``is_current=true``);
+    * **unchanged** (every tracked attribute null-safe-equal to the
+      key's current row) → no-op, the key's history is not rewritten;
+    * **changed** → the current row closes (``valid_to=effective``,
+      ``is_current=false``) and a new open row appends.
+
+    A changed key whose ``effective`` stamp is not strictly greater than
+    its current ``valid_from`` raises — SCD2 requires monotone effective
+    stamps per key (out-of-order observations have no well-defined
+    current row). Duplicate keys in one batch raise, as in
+    :func:`~.manifest_store.merge_table`.
+
+    Cost model: ONE precheck job (bucket list + dup guard + id ranges),
+    a pruned read of only the buckets/files the batch's keys can live in
+    (same footer-range skipping as MERGE), and one
+    ``incremental_replace(mode="dv")`` commit — appends the changed
+    keys' rewritten histories plus an equality deletion vector, O(batch)
+    write regardless of table size. Unchanged keys are detected
+    distributed (a null-safe attribute comparison inside the join) and
+    cost nothing downstream.
+
+    ``txn=(app, epoch)`` is the usual idempotent-retry guard, making
+    per-micro-batch streaming SCD2 exactly-once under foreachBatch
+    retries. Returns the committed version.
+    """
+    for c in ("documentid", effective_col, *tracked):
+        if c not in source.columns:
+            raise ValueError(f"source is missing column {c!r}")
+    bad = [c for c in HISTORY_COLS if c in source.columns]
+    if bad:
+        raise ValueError(f"source must not carry history columns {bad} "
+                         "(owned by scd2_merge)")
+    if not tracked:
+        raise ValueError("tracked must name at least one attribute column")
+    spark = source.sparkSession
+
+    if ms.current_version(table) is None:
+        return ms.write_table(_open_rows(source, tracked, effective_col),
+                              table, txn=txn)
+    if txn is not None:
+        prior = ms.read_manifest(table)
+        if ms._txn_applied(prior, txn):
+            return prior["version"]
+
+    src = (source.withColumn("doc_bucket", ms._bucket_col())
+           .localCheckpoint(eager=False))
+    precheck = src.groupBy("doc_bucket").agg(
+        F.count("*").alias("_rows"),
+        F.countDistinct("documentid").alias("_keys"),
+        F.min("documentid").alias("_idmin"),
+        F.max("documentid").alias("_idmax"),
+    ).collect()
+    if any(r["_rows"] > r["_keys"] for r in precheck):
+        raise ValueError("source has duplicate documentids; scd2_merge "
+                         "requires one source row per key")
+
+    manifest = ms.read_manifest(table)
+    if ms._txn_applied(manifest, txn):
+        return manifest["version"]
+    meta = ms._manifest_meta(manifest)
+    affected = sorted(str(r["doc_bucket"]) for r in precheck)
+    existing = [b for b in affected if manifest["buckets"].get(b)]
+
+    hist = None
+    if existing:
+        tgt_files = ms._merge_target_files(manifest, meta, existing, precheck)
+        hist = (ms._read_files(spark, table, manifest, bucket_subset=existing,
+                               file_subset=tgt_files)
+                .join(F.broadcast(src.select("documentid").distinct()),
+                      "documentid", "semi"))
+
+    opened = _open_rows(src.drop("doc_bucket"), tracked, effective_col)
+    if hist is None:
+        return ms.incremental_replace(opened, table, mode="dv", txn=txn)
+
+    # current row per stored key, renamed for the change comparison
+    cur = hist.filter("is_current").select(
+        "documentid", F.col("valid_from").alias("_cur_from"),
+        *[F.col(c).alias(f"_cur_{c}") for c in tracked])
+    joined = opened.join(cur, "documentid", "left")
+    changed_test = F.lit(False)
+    for c in tracked:
+        changed_test = changed_test | ~F.col(c).eqNullSafe(F.col(f"_cur_{c}"))
+    # new keys (no current row) always insert; matched keys only when changed
+    action = (F.when(F.col("_cur_from").isNull(), F.lit("insert"))
+              .when(changed_test, F.lit("change"))
+              .otherwise(F.lit("noop")))
+    decided = joined.withColumn("_action", action).filter("_action != 'noop'")
+    decided = decided.localCheckpoint(eager=False)
+
+    stale = decided.filter(
+        (F.col("_action") == "change")
+        & (F.col("valid_from") <= F.col("_cur_from"))).limit(1).count()
+    if stale:
+        raise ValueError("effective stamp must be strictly greater than the "
+                         "current row's valid_from (non-monotone SCD2 batch)")
+
+    out_cols = ["documentid", *tracked, *HISTORY_COLS]
+    new_open = decided.select(*out_cols)
+    changed_keys = decided.filter("_action = 'change'").select(
+        "documentid", F.col("valid_from").alias("_close_at"))
+    # rewritten history for changed keys: prior rows verbatim except the
+    # current one, which closes at the batch's effective stamp
+    closed_hist = (hist.join(F.broadcast(changed_keys), "documentid")
+                   .withColumn("valid_to", F.when(F.col("is_current"),
+                                                  F.col("_close_at"))
+                               .otherwise(F.col("valid_to")))
+                   .withColumn("is_current", F.lit(False))
+                   .select(*out_cols))
+    # inserted keys' histories are exactly their open row; changed keys' =
+    # closed prior rows + the new open row — one replace commit for both
+    return ms.incremental_replace(closed_hist.unionByName(new_open),
+                                  table, mode="dv", txn=txn)
+
+
+def scd2_current(spark, table: str, version: Optional[int] = None) -> DataFrame:
+    """The dimension's current snapshot: one row per key."""
+    return ms.read_table(spark, table, version=version).filter("is_current")
+
+
+def scd2_at(spark, table: str, stamp, version: Optional[int] = None) -> DataFrame:
+    """Point-in-time lookup: the version of each key valid at ``stamp``
+    (``valid_from <= stamp < valid_to``, open rows count as unbounded)."""
+    df = ms.read_table(spark, table, version=version)
+    return df.filter((F.col("valid_from") <= F.lit(stamp))
+                     & (F.col("valid_to").isNull()
+                        | (F.col("valid_to") > F.lit(stamp))))

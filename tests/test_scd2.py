@@ -1,0 +1,132 @@
+import tempfile
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dataingestion_spark.sinks import manifest_store as ms
+from dataingestion_spark.sinks.scd import scd2_at, scd2_current, scd2_merge
+
+
+def _tbl():
+    return tempfile.mkdtemp(prefix="scd2_") + "/dim"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [Row(documentid=k, segment=s, balance=float(b), effective_ts=float(t))
+         for k, s, b, t in rows])
+
+
+def _state(spark, table):
+    return {(r.documentid, r.valid_from): (r.segment, r.balance, r.valid_to,
+                                           r.is_current)
+            for r in ms.read_table(spark, table).collect()}
+
+
+def test_scd2_lifecycle(spark):
+    table = _tbl()
+    scd2_merge(_batch(spark, [("a", "AUTO", 10, 1), ("b", "BIKE", 20, 1)]),
+               table, tracked=["segment", "balance"])
+    # a changes balance, b unchanged, c is new
+    scd2_merge(_batch(spark, [("a", "AUTO", 15, 2), ("b", "BIKE", 20, 2),
+                              ("c", "CARS", 30, 2)]),
+               table, tracked=["segment", "balance"])
+    st = _state(spark, table)
+    assert st[("a", 1.0)] == ("AUTO", 10.0, 2.0, False)
+    assert st[("a", 2.0)] == ("AUTO", 15.0, None, True)
+    assert st[("b", 1.0)] == ("BIKE", 20.0, None, True)  # untouched
+    assert st[("c", 2.0)] == ("CARS", 30.0, None, True)
+    assert len(st) == 4
+
+    # third batch: a changes again -> three-version history
+    scd2_merge(_batch(spark, [("a", "GOLF", 15, 3)]),
+               table, tracked=["segment", "balance"])
+    st = _state(spark, table)
+    assert st[("a", 2.0)] == ("AUTO", 15.0, 3.0, False)
+    assert st[("a", 3.0)] == ("GOLF", 15.0, None, True)
+    assert len(st) == 5
+
+    cur = {r.documentid: r.segment for r in scd2_current(spark, table).collect()}
+    assert cur == {"a": "GOLF", "b": "BIKE", "c": "CARS"}
+    at2 = {r.documentid: (r.segment, r.balance)
+           for r in scd2_at(spark, table, 2.0).collect()}
+    assert at2 == {"a": ("AUTO", 15.0), "b": ("BIKE", 20.0),
+                   "c": ("CARS", 30.0)}
+    at1 = {r.documentid for r in scd2_at(spark, table, 1.5).collect()}
+    assert at1 == {"a", "b"}
+
+
+def test_scd2_null_safe_change_detection(spark):
+    table = _tbl()
+    df1 = spark.createDataFrame(
+        [("a", None, 1.0, 1.0)],
+        "documentid string, segment string, balance double, effective_ts double")
+    scd2_merge(df1, table, tracked=["segment", "balance"])
+    # same null segment -> no-op
+    scd2_merge(df1.withColumn("effective_ts", F.lit(2.0)),
+               table, tracked=["segment", "balance"])
+    assert ms.read_table(spark, table).count() == 1
+    # null -> value IS a change
+    scd2_merge(df1.withColumn("segment", F.lit("S"))
+               .withColumn("effective_ts", F.lit(3.0)),
+               table, tracked=["segment", "balance"])
+    st = _state(spark, table)
+    assert st[("a", 1.0)][3] is False and st[("a", 3.0)][3] is True
+
+
+def test_scd2_guards(spark):
+    table = _tbl()
+    scd2_merge(_batch(spark, [("a", "AUTO", 10, 5)]),
+               table, tracked=["segment", "balance"])
+    with pytest.raises(ValueError, match="duplicate"):
+        scd2_merge(_batch(spark, [("a", "X", 1, 6), ("a", "Y", 2, 6)]),
+                   table, tracked=["segment", "balance"])
+    with pytest.raises(ValueError, match="monotone"):
+        scd2_merge(_batch(spark, [("a", "LATE", 9, 5)]),
+                   table, tracked=["segment", "balance"])
+    with pytest.raises(ValueError, match="history columns"):
+        scd2_merge(_batch(spark, [("a", "X", 1, 6)])
+                   .withColumn("is_current", F.lit(True)),
+                   table, tracked=["segment", "balance"])
+    with pytest.raises(ValueError, match="missing column"):
+        scd2_merge(_batch(spark, [("a", "X", 1, 6)]).drop("segment"),
+                   table, tracked=["segment", "balance"])
+
+
+def test_scd2_txn_idempotent(spark):
+    table = _tbl()
+    scd2_merge(_batch(spark, [("a", "AUTO", 10, 1)]),
+               table, tracked=["segment"], txn=("app", 1))
+    v = scd2_merge(_batch(spark, [("a", "GOLF", 10, 2)]),
+                   table, tracked=["segment"], txn=("app", 2))
+    # retry of epoch 2 is a no-op returning the same version
+    assert scd2_merge(_batch(spark, [("a", "GOLF", 10, 2)]),
+                      table, tracked=["segment"], txn=("app", 2)) == v
+    assert ms.read_table(spark, table).count() == 2
+
+
+def test_scd2_matches_sql_replay(spark):
+    """Three snapshot batches over a 40-key dimension must equal the
+    closed-form SQL replay (valid_to = next version's valid_from)."""
+    keys = list(range(40))
+    b1 = _batch(spark, [(str(k), "S0", k, 1) for k in keys])
+    b2 = _batch(spark, [(str(k), "S0" if k % 3 else "S1", k, 2) for k in keys])
+    b3 = _batch(spark, [(str(k), ("S0" if k % 3 else "S1"),
+                         k + (100 if k % 2 == 0 else 0), 3) for k in keys])
+    table = _tbl()
+    for b in (b1, b2, b3):
+        scd2_merge(b, table, tracked=["segment", "balance"])
+    got = _state(spark, table)
+
+    expected = {}
+    for k in keys:
+        versions = [(1.0, "S0", float(k))]
+        if k % 3 == 0:
+            versions.append((2.0, "S1", float(k)))
+        if k % 2 == 0:
+            seg = "S1" if k % 3 == 0 else "S0"
+            versions.append((3.0, seg, float(k + 100)))
+        for i, (vf, seg, bal) in enumerate(versions):
+            vt = versions[i + 1][0] if i + 1 < len(versions) else None
+            expected[(str(k), vf)] = (seg, bal, vt, vt is None)
+    assert got == expected
