@@ -7057,6 +7057,42 @@ WHERE (doc_id % 2 = 0 OR (doc_id % 2 = 1 AND doc_id % 3 = 0))
 """
 
 
+def q_lakehouse_meta_minmax(spark, sf):
+    """MIN/MAX answered from manifest file stats
+    (sinks/manifest_store.py::metadata_minmax — the Delta log-answered
+    min/max analog): the events table is written once, then the extremes
+    of a numeric, an integer, and a string column are folded from the
+    per-file [min,max] ranges recorded at write time — zero data files
+    opened (the test passes spark=None to prove no scan can run). The
+    oracle computes the same aggregates directly."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias("documentid"),
+        "user_id", "event_type",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"))
+    table = tempfile.mkdtemp(prefix="mm_lh_") + "/t"
+    ms.write_table(ev, table)
+    mm = ms.metadata_minmax(None, table, ["user_id", "event_type", "value"])
+    return spark.createDataFrame(
+        [(mm["user_id"][0], mm["user_id"][1],
+          mm["event_type"][0], mm["event_type"][1],
+          mm["value"][0], mm["value"][1])],
+        "uid_min bigint, uid_max bigint, et_min string, et_max string, "
+        "val_min double, val_max double")
+
+
+ORACLE_META_MINMAX = """
+SELECT MIN(user_id) AS uid_min, MAX(user_id) AS uid_max,
+       MIN(event_type) AS et_min, MAX(event_type) AS et_max,
+       MIN(round(value, 6) + 0.0) AS val_min,
+       MAX(round(value, 6) + 0.0) AS val_max
+FROM events
+"""
+
+
 def q_lakehouse_change_stream(spark, sf):
     """Streaming CHANGE FEED (streaming/table_source.py::stream_changes —
     Delta readChangeFeed analog): v0 writes the doc_id%3!=2 slice, v1 is
@@ -7965,6 +8001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_stream_read": q_lakehouse_stream_read,
         "lakehouse_delta_roundtrip": q_lakehouse_delta_roundtrip,
         "lakehouse_change_stream": q_lakehouse_change_stream,
+        "lakehouse_scd2_merge": q_lakehouse_scd2,
+        "lakehouse_meta_minmax": q_lakehouse_meta_minmax,
+        # --- entries 51+: remaining never-driver-sampled (r7 queue) ---
         "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
         "search_topk_ivf_filtered": q_topk_ivf_filtered,
         "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
@@ -7973,8 +8012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_meta_count": q_lakehouse_meta_count,
         "lakehouse_delta_mirror": q_lakehouse_delta_mirror,
         "pack_token_id_rows": q_pack_token_id_rows,
-        "lakehouse_scd2_merge": q_lakehouse_scd2,
-        # --- entries 51-78: remaining never-driver-sampled (r6 queue) ---
         "lakehouse_bloom_read": q_lakehouse_bloom_read,
         # --- displaced r5-block tail (locally green; r7 queue) ---
         "doc_lm_perplexity": q_lm_perplexity,
@@ -8344,6 +8381,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "lakehouse_delete_where": ORACLE_DELETE_WHERE,
         "lakehouse_update_where": ORACLE_UPDATE_WHERE,
+        "lakehouse_meta_minmax": ORACLE_META_MINMAX,
         "lakehouse_scd2_merge": ORACLE_SCD2,
         "lakehouse_stream_read": ORACLE_STREAM_READ,
         "lakehouse_delta_roundtrip": ORACLE_DELTA_ROUNDTRIP,

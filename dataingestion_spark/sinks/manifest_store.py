@@ -1570,6 +1570,58 @@ def metadata_count(spark, table: str, version: Optional[int] = None) -> int:
     return _read_files(spark, table, m).count()
 
 
+def metadata_minmax(spark, table: str, cols: List[str],
+                    version: Optional[int] = None) -> Dict[str, tuple]:
+    """Exact ``MIN(col)``/``MAX(col)`` per column — answered from the
+    per-file column stats recorded at write time (Delta answers
+    min/max the same way): with no live deletion vectors and a stats
+    range present for the column in EVERY non-empty file, the answer is
+    the fold of the file ranges — zero data files opened, O(manifest)
+    driver work at any table size.
+
+    Falls back to an aggregating scan (same result, not free) for the
+    columns it cannot prove from metadata: any live DV (a deleted row
+    may have held the extreme), a file predating stats, a file whose
+    stats skipped the column (non-primitive type, >32 columns, or
+    all-null within that file — pyarrow ``min_max`` ignores nulls, so a
+    missing range cannot be assumed empty). SQL MIN/MAX null semantics
+    are preserved: nulls never win, an all-null column folds to
+    ``(None, None)`` via the scan path. ``compact()`` restores the
+    metadata-only path after deletes."""
+    m = read_manifest(table, version)
+    meta = _manifest_meta(m)
+    live = any(meta["deletes"].get(b) for b in m["buckets"]
+               if m["buckets"].get(b))
+    files = [n for v in m["buckets"].values() for n in v]
+    out: Dict[str, tuple] = {}
+    need_scan = []
+    for c in cols:
+        ranges, provable = [], not live
+        for n in files:
+            st = meta["stats"].get(n)
+            if st is None:
+                provable = False
+                break
+            if st.get("rows") == 0:
+                continue
+            rng = (st.get("cols") or {}).get(c)
+            if rng is None:
+                provable = False
+                break
+            ranges.append(rng)
+        if provable:
+            out[c] = ((min(r[0] for r in ranges), max(r[1] for r in ranges))
+                      if ranges else (None, None))
+        else:
+            need_scan.append(c)
+    if need_scan:
+        row = _read_files(spark, table, m).agg(
+            *[f(c) for c in need_scan for f in (F.min, F.max)]).collect()[0]
+        for i, c in enumerate(need_scan):
+            out[c] = (row[2 * i], row[2 * i + 1])
+    return out
+
+
 def sync_table(spark, src: str, dst: str) -> int:
     """Incremental downstream replication off the change feed (the Delta
     CDF → sync pattern): bring ``dst`` from the last src version it

@@ -1555,3 +1555,41 @@ def test_metadata_count_paths(spark, tmp_path):
     m["stats"][name]["rows"] += 7
     be.put_atomic(_manifest_path(t, v), json.dumps(m))
     assert metadata_count(spark, t) == 157  # metadata-only, provably
+
+
+def test_metadata_minmax_paths(spark, tmp_path):
+    """DV-free tables with full column stats answer MIN/MAX from the
+    manifest with zero data IO (spark=None proves no scan can run);
+    live DVs, all-null columns, and non-primitive columns fall back to
+    the aggregating scan and must agree with read_table."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sinks.manifest_store import (
+        compact, delete_documents, metadata_minmax, read_table, write_table,
+    )
+
+    t = str(tmp_path / "mm")
+    df = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("documentid"),
+        (F.col("id") * 2 - 100).alias("v"),
+        F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 3, "0"))
+        .alias("s"),
+        F.lit(None).cast("string").alias("allnull"),
+        F.array(F.col("id")).alias("arr"))
+    write_table(df, t)
+    # metadata-only: passing spark=None proves no scan job is possible
+    mm = metadata_minmax(None, t, ["v", "s"])
+    assert mm["v"] == (-100, 298)
+    assert mm["s"] == ("s000", "s199")
+    # all-null and non-primitive columns fall back to the scan
+    mm = metadata_minmax(spark, t, ["v", "allnull"])
+    assert mm["allnull"] == (None, None) and mm["v"] == (-100, 298)
+    # a live DV that held the extremes forces the scan and changes both
+    delete_documents(spark, t, ["0", "199"])
+    mm = metadata_minmax(spark, t, ["v", "s"])
+    assert mm["v"] == (-98, 296) and mm["s"] == ("s001", "s198")
+    # compact materializes the DV and restores the metadata-only path
+    compact(spark, t, max_files_per_bucket=10 ** 9)
+    mm = metadata_minmax(None, t, ["v", "s"])
+    assert mm["v"] == (-98, 296) and mm["s"] == ("s001", "s198")
+    assert read_table(spark, t).agg(F.min("v"), F.max("v")).collect()[0][0] == -98
