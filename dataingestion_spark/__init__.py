@@ -162,6 +162,7 @@ from .streaming.table_source import (  # noqa: E402,F401
 )
 from .streaming.pipeline import (  # noqa: E402,F401
     stream_replicate,
+    stream_scd2,
     stream_table_pipeline,
 )
 from .interop.delta import (  # noqa: E402,F401

@@ -176,6 +176,43 @@ def stream_upsert(spark, input_dir: str, table_path: str,
     )
 
 
+def stream_scd2(records: DataFrame, table_path: str, *,
+                tracked: list, effective_col: str = "effective_ts",
+                app: str = "stream_scd2"):
+    """Streaming SCD Type 2 apply: each micro-batch of key observations
+    merges into the dimension via :func:`..sinks.scd.scd2_merge` —
+    changed keys close their current row and open a new version,
+    unchanged keys are no-ops. Within a batch, the LATEST observation
+    per key wins (``row_number`` over ``effective_col`` descending —
+    micro-batch granularity is snapshot granularity, the same collapsing
+    Delta's streaming-merge guidance prescribes; equal stamps break
+    arbitrarily, which is safe under retries because the ``(app,
+    epoch)`` txn makes a re-delivered batch a committed no-op — the
+    first commit's choice stands). A non-monotone batch (an effective
+    stamp at or before a key's current ``valid_from``) fails the stream
+    loudly rather than silently corrupting history order.
+
+    ``records`` is any streaming DataFrame carrying ``documentid``, the
+    ``tracked`` attribute columns, and ``effective_col``. Returns the
+    started query (availableNow trigger — rerun to drain new data)."""
+    from pyspark.sql.window import Window
+
+    from ..sinks.scd import scd2_merge
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy("documentid").orderBy(
+            F.col(effective_col).desc())
+        latest = (batch_df.withColumn("_rn", F.row_number().over(w))
+                  .filter("_rn = 1").drop("_rn"))
+        scd2_merge(latest, table_path, tracked=tracked,
+                   effective_col=effective_col, txn=(app, epoch_id))
+
+    return (records.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_events_windowed(spark, events_dir: str, window: str = "5 minutes",
                            slide: str = "5 minutes", watermark: str = "10 minutes",
                            query_name: str = "events_windowed",
