@@ -1076,11 +1076,23 @@ def update_where(spark, table: str, conditions,
 
 
 def append_table(records: DataFrame, table: str, txn=None,
-                 max_rows_per_file: Optional[int] = None) -> int:
+                 max_rows_per_file: Optional[int] = None,
+                 rebase_attempts: int = 5) -> int:
     """Append-only commit for documents known to be new: adds files to the
     affected buckets WITHOUT reading or rewriting existing ones — O(batch)
     regardless of table size. This is what accumulates small files per
-    bucket; run :func:`compact` periodically."""
+    bucket; run :func:`compact` periodically.
+
+    Losing a commit race does NOT re-run the Spark write job: append
+    data files reference no prior state, so the commit REBASES — re-read
+    the new head, splice the already-written files in with a fresh
+    sequence number, re-claim (up to ``rebase_attempts`` heads). This is
+    how N concurrent appenders stay O(N) total work instead of O(N²)
+    write-job re-runs; Delta resolves blind appends the same way. Any
+    constraints added concurrently are re-enforced before the re-claim,
+    and a concurrently-applied ``txn`` epoch turns the rebase into a
+    no-op (the already-written files are left as vacuum-collectable
+    orphans rather than risking a double-append)."""
     if current_version(table) is None:
         return write_table(records, table, txn=txn,
                            max_rows_per_file=max_rows_per_file)
@@ -1090,6 +1102,7 @@ def append_table(records: DataFrame, table: str, txn=None,
         return manifest["version"]
     meta = _manifest_meta(manifest)
     _enforce_constraints(records, meta["constraints"])
+    enforced = dict(meta["constraints"])
     _txn_record(meta, txn)
     version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
@@ -1099,12 +1112,33 @@ def append_table(records: DataFrame, table: str, txn=None,
                                       stats=meta["stats"],
                                       bloom_cols=meta["bloom_cols"],
                                       max_rows_per_file=max_rows_per_file)
-    buckets = {b: list(names) for b, names in manifest["buckets"].items()}
-    for b, names in new_buckets.items():
-        buckets.setdefault(b, []).extend(names)
-        meta["seq"].update({n: version for n in names})
-    return _commit(table, version, buckets, expected_current=manifest["version"],
-                   extra=_prune_meta(meta, buckets), op="APPEND")
+    new_names = [n for names in new_buckets.values() for n in names]
+    new_stats = {n: meta["stats"][n] for n in new_names if n in meta["stats"]}
+    for attempt in range(max(1, rebase_attempts)):
+        buckets = {b: list(names) for b, names in manifest["buckets"].items()}
+        for b, names in new_buckets.items():
+            buckets.setdefault(b, []).extend(names)
+            meta["seq"].update({n: version for n in names})
+        try:
+            return _commit(table, version,
+                           buckets, expected_current=manifest["version"],
+                           extra=_prune_meta(meta, buckets), op="APPEND")
+        except ConcurrentWriteError:
+            if attempt == max(1, rebase_attempts) - 1:
+                raise
+        # rebase: fresh head + the files already on disk, no Spark re-run
+        manifest = read_manifest(table)
+        if _txn_applied(manifest, txn):
+            return manifest["version"]  # our files become vacuumable orphans
+        meta = _manifest_meta(manifest)
+        if meta["constraints"] != enforced:
+            _enforce_constraints(records, meta["constraints"])
+            enforced = dict(meta["constraints"])
+        _txn_record(meta, txn)
+        meta["stats"].update(new_stats)
+        _seed_schema(records.sparkSession, table, manifest, meta)
+        _schema_union(meta, records)
+        version = manifest["version"] + 1
 
 
 def _merge_target_files(manifest: Dict, meta: Dict, existing, precheck):

@@ -1593,3 +1593,40 @@ def test_metadata_minmax_paths(spark, tmp_path):
     mm = metadata_minmax(None, t, ["v", "s"])
     assert mm["v"] == (-98, 296) and mm["s"] == ("s001", "s198")
     assert read_table(spark, t).agg(F.min("v"), F.max("v")).collect()[0][0] == -98
+
+
+def test_append_rebase_on_conflict(spark, tmp_path, monkeypatch):
+    """An append losing the commit race must NOT re-run its Spark write
+    job: the already-written files rebase onto the new head (fresh
+    version + seq) and re-claim. Both appends' rows land; exactly one
+    write job ran per append."""
+    import dataingestion_spark.sinks.manifest_store as ms
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "rebase")
+    mk = lambda a, b: spark.range(a, b).select(  # noqa: E731
+        F.col("id").cast("string").alias("documentid"), F.col("id").alias("v"))
+    ms.write_table(mk(0, 50), t)
+
+    calls = {"n": 0}
+    real = ms._write_bucket_files
+
+    def wrapped(records, table, token, **kw):
+        calls["n"] += 1
+        out = real(records, table, token, **kw)
+        if calls["n"] == 1:
+            # a racer commits between our write job and our claim
+            ms.append_table(mk(100, 130), t)
+        return out
+
+    monkeypatch.setattr(ms, "_write_bucket_files", wrapped)
+    v = ms.append_table(mk(200, 220), t)
+    assert v == 2  # WRITE=v0, racer APPEND=v1, ours lost v1 -> rebased to v2
+    ops = [h["op"] for h in ms.table_history(t)]
+    assert ops.count("APPEND") == 2
+    # one write job per append: ours (n=1) + racer (n=2), NO re-run
+    assert calls["n"] == 2
+    df = ms.read_table(spark, t)
+    assert df.count() == 100
+    assert df.filter("documentid = '205'").count() == 1
+    assert df.filter("documentid = '115'").count() == 1
