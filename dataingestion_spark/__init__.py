@@ -146,12 +146,15 @@ from .sinks.manifest_store import (  # noqa: E402,F401
     maintain_table,
     merge_table,
     metadata_count,
+    metadata_minmax,
+    register_table,
     optimize_zorder,
     restore_table,
     set_bloom_columns,
     table_diff,
     table_history,
     table_stats,
+    table_sql,
     update_where,
 )
 from .sinks.matview import refresh as refresh_view  # noqa: E402,F401

@@ -1604,6 +1604,30 @@ def metadata_count(spark, table: str, version: Optional[int] = None) -> int:
     return _read_files(spark, table, m).count()
 
 
+def register_table(spark, table: str, name: str,
+                   version: Optional[int] = None) -> None:
+    """Expose a manifest table to ``spark.sql`` as a temp view ``name``
+    (DV-applied current snapshot, or a time-travel snapshot with
+    ``version=`` — the VERSION AS OF analog). The view is a lazy logical
+    plan over the manifest's file list: filters and projections on it
+    still prune/push down through the parquet scan, and nothing is read
+    until a query runs. Re-register after commits to see a newer head
+    (a view pins the file list of the version it was built from —
+    exactly Delta's snapshot-isolation read semantics)."""
+    read_table(spark, table, version=version).createOrReplaceTempView(name)
+
+
+def table_sql(spark, query: str, tables: Dict[str, str],
+              versions: Optional[Dict[str, int]] = None) -> DataFrame:
+    """One-shot SQL over manifest tables: register each ``name -> path``
+    (optionally pinned to ``versions[name]``) and run ``query``. All
+    views see their version's consistent snapshot, so multi-table joins
+    read one coherent state even while writers commit concurrently."""
+    for name, path in tables.items():
+        register_table(spark, path, name, (versions or {}).get(name))
+    return spark.sql(query)
+
+
 def metadata_minmax(spark, table: str, cols: List[str],
                     version: Optional[int] = None) -> Dict[str, tuple]:
     """Exact ``MIN(col)``/``MAX(col)`` per column — answered from the

@@ -1630,3 +1630,40 @@ def test_append_rebase_on_conflict(spark, tmp_path, monkeypatch):
     assert df.count() == 100
     assert df.filter("documentid = '205'").count() == 1
     assert df.filter("documentid = '115'").count() == 1
+
+
+def test_register_table_sql(spark, tmp_path):
+    """spark.sql over manifest tables: snapshot views (current + time
+    travel) join correctly, see DV-applied state, and pin their version
+    against later commits until re-registered."""
+    import dataingestion_spark.sinks.manifest_store as ms
+    from pyspark.sql import functions as F
+
+    dim = str(tmp_path / "dim")
+    fact = str(tmp_path / "fact")
+    ms.write_table(spark.range(0, 10).select(
+        F.col("id").cast("string").alias("documentid"),
+        F.concat(F.lit("n"), "id").alias("name")), dim)
+    ms.write_table(spark.range(0, 100).select(
+        F.col("id").cast("string").alias("documentid"),
+        (F.col("id") % 10).cast("string").alias("k"),
+        F.col("id").alias("v")), fact)
+    out = ms.table_sql(
+        spark,
+        "SELECT d.name, SUM(f.v) AS s FROM f JOIN d ON f.k = d.documentid "
+        "GROUP BY d.name ORDER BY d.name",
+        {"d": dim, "f": fact})
+    rows = out.collect()
+    assert len(rows) == 10 and rows[0].s == sum(range(0, 100, 10))
+    # DV-applied + snapshot pinning
+    v0 = ms.current_version(dim)
+    ms.delete_documents(spark, dim, ["3"])
+    ms.register_table(spark, dim, "d_now")
+    ms.register_table(spark, dim, "d_v0", version=v0)
+    assert spark.sql("SELECT COUNT(*) c FROM d_now").collect()[0].c == 9
+    assert spark.sql("SELECT COUNT(*) c FROM d_v0").collect()[0].c == 10
+    # the pinned view keeps its file list across later commits
+    ms.append_table(spark.range(50, 60).select(
+        F.col("id").cast("string").alias("documentid"),
+        F.concat(F.lit("n"), "id").alias("name")), dim)
+    assert spark.sql("SELECT COUNT(*) c FROM d_now").collect()[0].c == 9
