@@ -92,6 +92,7 @@ def main():
         "pagerank": em.q_pagerank_nations,
         "url_psl": em.q_url_psl_domain,
         "merge_upsert": em.q_lakehouse_merge,
+        "scd2_merge": em.q_lakehouse_scd2,
         "bpe_train": em.q_bpe_train_merges,
         "gapfill_locf": em.q_events_gapfill,
         "funnel": em.q_events_funnel,
