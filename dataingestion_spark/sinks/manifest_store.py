@@ -101,14 +101,75 @@ def current_version(table: str) -> Optional[int]:
         probe += 1
 
 
+# Full-state manifest cadence. Version v % N == 0 stores the complete
+# table state (the Delta "checkpoint" analog); other versions store a
+# DELTA against their predecessor — O(changed entries), not O(table) —
+# so a 1-row append to a million-file table commits a small document
+# instead of rewriting every file's stats. Readers reconstruct by
+# walking at most N-1 deltas back to the nearest full manifest.
+_CHECKPOINT_EVERY = 10
+
+# map-shaped sections diffed per entry in delta manifests; everything
+# else (version/ts/op/schema/txn/constraints/bloom_cols) is small and
+# stored verbatim in EVERY manifest, so probes and history never replay
+_DIFF_KEYS = ("buckets", "stats", "seq", "deletes", "ext")
+
+
+def _delta_doc(state: Dict, base: Dict) -> Dict:
+    """``state`` encoded as a delta against ``base`` (its predecessor):
+    per diffed section, changed/new entries under ``<key>+`` and removed
+    entry names under ``<key>-``; small keys verbatim. Exactly the keys
+    present in ``state`` reconstruct — a small key dropped by the commit
+    (e.g. pruned empty constraints) stays dropped on replay."""
+    d: Dict = {}
+    for k in _DIFF_KEYS:
+        new, old = state.get(k) or {}, base.get(k) or {}
+        add = {x: v for x, v in new.items() if x not in old or old[x] != v}
+        rem = [x for x in old if x not in new]
+        if add:
+            d[k + "+"] = add
+        if rem:
+            d[k + "-"] = rem
+    small = {k: v for k, v in state.items() if k not in _DIFF_KEYS}
+    return {**small, "base": base["version"], "d": d}
+
+
 def read_manifest(table: str, version: Optional[int] = None) -> Dict:
+    """The complete state of ``version`` (default: head). Delta manifests
+    reconstruct by replaying forward from the nearest full manifest —
+    at most ``_CHECKPOINT_EVERY - 1`` small reads; full manifests (and
+    every manifest of a pre-delta table) return as stored."""
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    text = backend_for(table).read_text(_manifest_path(table, v))
-    if text is None:
-        raise FileNotFoundError(_manifest_path(table, v))
-    return json.loads(text)
+    be = backend_for(table)
+    chain: List[Dict] = []
+    w = v
+    while True:
+        text = be.read_text(_manifest_path(table, w))
+        if text is None:
+            raise FileNotFoundError(_manifest_path(table, w))
+        doc = json.loads(text)
+        if "base" not in doc:
+            state = doc
+            break
+        chain.append(doc)
+        w = doc["base"]
+    for doc in reversed(chain):
+        nxt: Dict = {}
+        for k in _DIFF_KEYS:
+            merged = dict(state.get(k) or {})
+            for x in doc.get("d", {}).get(k + "-", []):
+                merged.pop(x, None)
+            merged.update(doc.get("d", {}).get(k + "+", {}))
+            if merged:
+                nxt[k] = merged
+        for k, val in doc.items():
+            if k not in ("d", "base"):
+                nxt[k] = val
+        nxt.setdefault("buckets", {})  # the one section readers index raw
+        state = nxt
+    return state
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -204,10 +265,19 @@ def _commit(table: str, version: int, buckets: Dict[str, List[str]],
         )
     import time as _time
 
-    payload = json.dumps({"version": version, "buckets": buckets,
-                          "ts": round(_time.time(), 3),
-                          **({"op": op} if op else {}),
-                          **(extra or {})})
+    state = {"version": version, "buckets": buckets,
+             "ts": round(_time.time(), 3),
+             **({"op": op} if op else {}),
+             **(extra or {})}
+    doc = state
+    if version % _CHECKPOINT_EVERY != 0:
+        try:
+            # the base is the already-committed predecessor — immutable,
+            # so the delta is deterministic regardless of racing writers
+            doc = _delta_doc(state, read_manifest(table, version - 1))
+        except (FileNotFoundError, json.JSONDecodeError):
+            doc = state  # no reconstructible base: store full
+    payload = json.dumps(doc)
     if not be.put_if_absent(_manifest_path(table, version), payload):
         existing = be.read_text(_manifest_path(table, version))
         try:
@@ -1451,6 +1521,39 @@ def vacuum(table: str, keep_versions: int = 1,
             keep.update(names)
         for names in m.get("deletes", {}).values():
             keep.update(names)  # deletion vectors are live files too
+    # a protected DELTA manifest reconstructs through its ancestors. The
+    # OLDEST KEPT version is re-encoded as a full manifest first (same
+    # state, different encoding — an atomic, content-preserving
+    # overwrite), so the kept window is self-contained and every older
+    # manifest can drop, keeping vacuum's contract exact. Readers of
+    # versions AT the retention edge can race this (Delta checkpoints
+    # share the caveat); kept versions above the edge chain within the
+    # window. In-flight commits above live keep their chains via the
+    # protection walk below.
+    if not dry_run and kept_versions:
+        oldest = min(kept_versions)
+        raw = be.read_text(_manifest_path(table, oldest))
+        try:
+            if raw is not None and "base" in json.loads(raw):
+                be.put_atomic(_manifest_path(table, oldest),
+                              json.dumps(read_manifest(table, oldest)))
+        except json.JSONDecodeError:
+            pass
+    chain_protect = set(protected)
+    for v in sorted(protected):
+        w = v
+        while True:
+            try:
+                doc = json.loads(be.read_text(_manifest_path(table, w))
+                                 or "null")
+            except json.JSONDecodeError:
+                break
+            if not isinstance(doc, dict) or "base" not in doc:
+                break
+            w = doc["base"]
+            if w in chain_protect:
+                break
+            chain_protect.add(w)
     removed = []
     files_dir = _join(table, "files")
     now = _time.time()
@@ -1472,7 +1575,7 @@ def vacuum(table: str, keep_versions: int = 1,
             removed.append(name)
     if not dry_run:
         for v in on_disk:
-            if v not in protected:
+            if v not in chain_protect:
                 be.delete(_manifest_path(table, v))
     return removed
 

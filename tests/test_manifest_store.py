@@ -1,7 +1,10 @@
 """Manifest-based versioned vector table: O(changed-buckets) replace,
 time travel, vacuum."""
 
+import json
 import os
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -1550,7 +1553,11 @@ def test_metadata_count_paths(spark, tmp_path):
     assert metadata_count(spark, t) == 150
     v = current_version(t)
     be = backend_for(t)
-    m = json.loads(be.read_text(_manifest_path(t, v)))
+    # poke the RECONSTRUCTED state and store it back as a full manifest
+    # (the on-disk doc may be a delta, which has no flat stats section)
+    from dataingestion_spark.sinks.manifest_store import read_manifest
+
+    m = read_manifest(t, v)
     name = next(n for ns in m["buckets"].values() for n in ns)
     m["stats"][name]["rows"] += 7
     be.put_atomic(_manifest_path(t, v), json.dumps(m))
@@ -1667,3 +1674,51 @@ def test_register_table_sql(spark, tmp_path):
         F.col("id").cast("string").alias("documentid"),
         F.concat(F.lit("n"), "id").alias("name")), dim)
     assert spark.sql("SELECT COUNT(*) c FROM d_now").collect()[0].c == 9
+
+
+def test_delta_manifests_roundtrip_and_vacuum(spark, tmp_path):
+    """Commits between checkpoints store O(changed entries) delta docs,
+    not the full table state; reconstruction is exact at every version;
+    vacuum keeps the manifest chain a kept delta version needs."""
+    import dataingestion_spark.sinks.manifest_store as ms
+    from dataingestion_spark.sinks.commit_backend import backend_for
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "dl")
+    mk = lambda a, b: spark.range(a, b).select(  # noqa: E731
+        F.col("id").cast("string").alias("documentid"), F.col("id").alias("v"))
+    ms.write_table(mk(0, 400), t)                      # v0: full
+    for i in range(1, 13):                             # v1..v12: appends
+        ms.append_table(mk(1000 * i, 1000 * i + 5), t)
+    be = backend_for(t)
+    docs = {v: json.loads(be.read_text(ms._manifest_path(t, v)))
+            for v in range(13)}
+    assert "base" not in docs[0] and "base" not in docs[10]  # checkpoints
+    assert all("base" in docs[v] for v in range(1, 10)) and "base" in docs[11]
+    # the delta doc carries only the touched entries, not the table
+    full_sz = len(be.read_text(ms._manifest_path(t, 0)))
+    delta_sz = len(be.read_text(ms._manifest_path(t, 5)))
+    assert delta_sz < full_sz / 2
+    # exact reconstruction at every version (counts + a spot value)
+    for v in range(13):
+        assert ms.read_table(spark, t, version=v).count() == 400 + 5 * v
+    # stats survive the delta encoding end-to-end
+    assert ms.metadata_count(None if False else spark, t) == 400 + 60
+    mm = ms.metadata_minmax(None, t, ["v"])
+    assert mm["v"] == (0, 12004)
+    # vacuum to the newest 2 versions: the oldest kept delta (v11) is
+    # re-encoded as a full manifest so its anchor chain can drop — the
+    # kept window stays self-contained and exactly the kept manifests
+    # survive; reads at both kept versions still see exact state
+    ms.vacuum(t, keep_versions=2, min_file_age_seconds=0)
+    assert ms.read_table(spark, t, version=12).count() == 400 + 60
+    assert ms.read_table(spark, t, version=11).count() == 400 + 55
+    with pytest.raises(FileNotFoundError):
+        ms.read_manifest(t, 5)
+    on_disk = sorted(int(e.split("-")[1].split(".")[0])
+                     for e in be.list_dir(t) if e.startswith("manifest-"))
+    assert on_disk == [11, 12]
+    assert "base" not in json.loads(
+        be.read_text(ms._manifest_path(t, 11)))  # materialized full
+    assert "base" in json.loads(
+        be.read_text(ms._manifest_path(t, 12)))  # still a delta vs 11
