@@ -126,6 +126,17 @@ def _delta_doc(state: Dict, base: Dict) -> Dict:
         new, old = state.get(k) or {}, base.get(k) or {}
         add = {x: v for x, v in new.items() if x not in old or old[x] != v}
         rem = [x for x in old if x not in new]
+        if k in ("buckets", "deletes") and add:
+            # list-valued sections grow by appending (append/DV commits
+            # extend the per-bucket list): when the old list is a prefix
+            # of the new, ship only the SUFFIX — an append to a bucket of
+            # F files costs O(new names), not O(F)
+            ext = {x: v[len(old[x]):] for x, v in add.items()
+                   if x in old and isinstance(v, list)
+                   and v[:len(old[x])] == old[x]}
+            if ext:
+                d[k + "^"] = ext
+                add = {x: v for x, v in add.items() if x not in ext}
         if add:
             d[k + "+"] = add
         if rem:
@@ -162,6 +173,8 @@ def read_manifest(table: str, version: Optional[int] = None) -> Dict:
             for x in doc.get("d", {}).get(k + "-", []):
                 merged.pop(x, None)
             merged.update(doc.get("d", {}).get(k + "+", {}))
+            for x, suffix in doc.get("d", {}).get(k + "^", {}).items():
+                merged[x] = list(merged.get(x) or []) + suffix
             if merged:
                 nxt[k] = merged
         for k, val in doc.items():
