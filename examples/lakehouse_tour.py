@@ -122,6 +122,34 @@ def main():
     rep = ms.maintain_table(spark, table, min_file_age_seconds=0)
     print("maintenance report:", rep["actions"] or "healthy, no-op")
 
+    # --- round-6 continuation ops ---
+
+    # SQL over the lakehouse: snapshot views + time travel in one query
+    ms.register_table(spark, table, "prod")
+    ms.register_table(spark, dev, "dev_v0", version=0)
+    print("SQL join:", spark.sql(
+        "SELECT COUNT(*) AS both FROM prod p JOIN dev_v0 d "
+        "ON p.documentid = d.documentid").collect()[0].both, "shared ids")
+
+    # metadata-answered aggregates: zero data IO on the clean path
+    print("metadata COUNT/MIN/MAX:", ms.metadata_count(spark, table),
+          ms.metadata_minmax(None, table, ["n_chars"])["n_chars"])
+
+    # SCD Type 2 dimension: change-detected version histories
+    from dataingestion_spark.sinks.scd import scd2_at, scd2_current, scd2_merge
+
+    dim = tempfile.mkdtemp(prefix="tour_scd_") + "/dim"
+    snap = docs.limit(20).select("documentid", "lang",
+                                 F.lit(1.0).alias("effective_ts"))
+    scd2_merge(snap, dim, tracked=["lang"])
+    scd2_merge(snap.withColumn("lang", F.lit("zz"))
+               .withColumn("effective_ts", F.lit(2.0))
+               .filter(F.col("documentid").cast("long") % 4 == 0),
+               dim, tracked=["lang"])
+    print("SCD2: current rows =", scd2_current(spark, dim).count(),
+          "| as-of t=1.5 =", scd2_at(spark, dim, 1.5).count(),
+          "| history rows =", ms.read_table(spark, dim).count())
+
 
 if __name__ == "__main__":
     main()
