@@ -149,6 +149,7 @@ from .sinks.manifest_store import (  # noqa: E402,F401
     metadata_minmax,
     register_table,
     optimize_zorder,
+    pair_update_images,
     restore_table,
     set_bloom_columns,
     table_diff,

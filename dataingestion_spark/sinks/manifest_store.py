@@ -1671,6 +1671,31 @@ def table_diff(spark, table: str, v_from: int, v_to: Optional[int] = None) -> Da
     )
 
 
+def pair_update_images(changes: DataFrame) -> DataFrame:
+    """Relabel a change feed's update pairs with Delta CDF's richer
+    types: a documentid that has BOTH a delete and an insert in the same
+    commit (or in the same :func:`table_diff` window when no
+    ``_commit_version`` column is present) was updated — its delete rows
+    become ``update_preimage`` and its insert rows ``update_postimage``;
+    pure inserts/deletes keep their labels. Granularity is the
+    DOCUMENT (deletes are whole-document in this store), so a chunked
+    document's every pre/post row carries the image label. One window
+    over the feed, no extra reads — apply to :func:`table_diff` output
+    or inside a ``stream_changes`` foreachBatch."""
+    from pyspark.sql.window import Window
+
+    keys = ["documentid"] + (
+        ["_commit_version"] if "_commit_version" in changes.columns else [])
+    w = Window.partitionBy(*keys)
+    ct = F.col("_change_type")
+    both = ((F.max((ct == "delete").cast("int")).over(w) == 1)
+            & (F.max((ct == "insert").cast("int")).over(w) == 1))
+    relabeled = (F.when(both & (ct == "delete"), F.lit("update_preimage"))
+                 .when(both & (ct == "insert"), F.lit("update_postimage"))
+                 .otherwise(ct))
+    return changes.withColumn("_change_type", relabeled)
+
+
 def table_stats(table: str, version: Optional[int] = None) -> Dict:
     """Operational health report from MANIFEST METADATA ONLY (no data
     read): version, file/bucket counts, row totals (from per-file
@@ -1721,16 +1746,18 @@ def metadata_count(spark, table: str, version: Optional[int] = None) -> int:
 
 
 def register_table(spark, table: str, name: str,
-                   version: Optional[int] = None) -> None:
+                   version: Optional[int] = None,
+                   timestamp: Optional[float] = None) -> None:
     """Expose a manifest table to ``spark.sql`` as a temp view ``name``
     (DV-applied current snapshot, or a time-travel snapshot with
-    ``version=`` — the VERSION AS OF analog). The view is a lazy logical
+    ``version=`` / ``timestamp=`` — the VERSION/TIMESTAMP AS OF analogs). The view is a lazy logical
     plan over the manifest's file list: filters and projections on it
     still prune/push down through the parquet scan, and nothing is read
     until a query runs. Re-register after commits to see a newer head
     (a view pins the file list of the version it was built from —
     exactly Delta's snapshot-isolation read semantics)."""
-    read_table(spark, table, version=version).createOrReplaceTempView(name)
+    read_table(spark, table, version=version,
+               timestamp=timestamp).createOrReplaceTempView(name)
 
 
 def table_sql(spark, query: str, tables: Dict[str, str],

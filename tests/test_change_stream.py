@@ -131,3 +131,28 @@ def test_stream_replicate_follows_updates_and_deletes(spark, tmp_path):
     q = stream_replicate(spark, src, dst, ckpt)
     q.awaitTermination()
     assert ms.current_version(dst) == v
+
+
+def test_pair_update_images(spark, tmp_path):
+    """pair_update_images relabels same-commit delete+insert pairs as
+    update_preimage/update_postimage; pure changes keep their labels —
+    on the drained feed AND on table_diff output (no version column)."""
+    table, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    ms.write_table(_mk(spark, 0, 30), table)            # v0: inserts
+    ms.merge_table(_mk(spark, 20, 40, rev=2), table)    # v1: 10 upd + 10 ins
+    ms.delete_documents(spark, table, ["0", "1"])       # v2: deletes
+    out = ms.pair_update_images(_drain(spark, table, sink, ckpt))
+    by = {}
+    for r in out.collect():
+        by[(r._commit_version, r._change_type)] = by.get(
+            (r._commit_version, r._change_type), 0) + 1
+    assert by[(0, "insert")] == 30
+    assert by[(1, "update_preimage")] == 10
+    assert by[(1, "update_postimage")] == 10
+    assert by[(1, "insert")] == 10          # genuinely new keys stay inserts
+    assert by[(2, "delete")] == 2
+    assert (1, "delete") not in by
+    # table_diff output (whole-range, no _commit_version): same relabel
+    d = ms.pair_update_images(ms.table_diff(spark, table, 0, 1))
+    kinds = {r._change_type for r in d.collect()}
+    assert kinds == {"update_preimage", "update_postimage", "insert"}
