@@ -323,9 +323,18 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
                         split_col: Optional[str] = None,
                         sort_col: Optional[str] = None,
                         bloom_cols: Optional[List[str]] = None,
-                        max_rows_per_file: Optional[int] = None):
+                        max_rows_per_file: Optional[int] = None,
+                        write_parallelism: Optional[int] = None):
     """Write records (must carry doc_bucket) grouped per bucket; returns
     bucket -> new file names.
+
+    ``write_parallelism=P`` lifts the write job above the bucket-count
+    task ceiling: rows shuffle on (doc_bucket, salt) into ~P partitions,
+    each task emitting its own uniquely-named files per bucket it holds
+    — a 1000-executor ingest commit is no longer capped at N_BUCKETS
+    concurrent writers. Trade: ~P files per commit instead of one per
+    touched bucket (``compact``/OPTIMIZE consolidate on the maintenance
+    cadence). Default (None) keeps one file per bucket.
 
     Executors write the parquet files DIRECTLY with pyarrow inside
     ``mapInArrow`` (exact Spark types, no pandas round trip) into the
@@ -374,8 +383,15 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
     # ship only a picklable backend to executors; None ⇒ payload returns
     exec_be = be if be.executor_writes else None
     mixed = derive_deletes
-    shaped = (records.coalesce(1) if single_task
-              else records.repartition("doc_bucket"))
+    if single_task:
+        shaped = records.coalesce(1)
+    elif write_parallelism and write_parallelism > 1:
+        salts = max(1, -(-int(write_parallelism) // N_BUCKETS))
+        shaped = records.repartition(
+            int(write_parallelism), "doc_bucket",
+            F.pmod(F.xxhash64(F.col("documentid")), F.lit(salts)))
+    else:
+        shaped = records.repartition("doc_bucket")
     want_stats = stats is not None
 
     def write_batches(batches):
@@ -743,7 +759,8 @@ def _read_files(spark, table: str, manifest: Dict,
 
 
 def write_table(records: DataFrame, table: str, txn=None,
-                max_rows_per_file: Optional[int] = None) -> int:
+                max_rows_per_file: Optional[int] = None,
+                write_parallelism: Optional[int] = None) -> int:
     """Full (over)write as version 0... n+1; returns the committed version.
 
     The prior manifest's txn map (writer-app -> last applied epoch) is
@@ -774,7 +791,8 @@ def write_table(records: DataFrame, table: str, txn=None,
     stats: Dict[str, Dict] = {}
     buckets = _write_bucket_files(records, table, token, stats=stats,
                                   bloom_cols=bcols,
-                                  max_rows_per_file=max_rows_per_file)
+                                  max_rows_per_file=max_rows_per_file,
+                                  write_parallelism=write_parallelism)
     version = 0 if cv is None else cv + 1
     version = _commit(
         table, version, buckets, expected_current=cv, op="WRITE",
@@ -1160,7 +1178,8 @@ def update_where(spark, table: str, conditions,
 
 def append_table(records: DataFrame, table: str, txn=None,
                  max_rows_per_file: Optional[int] = None,
-                 rebase_attempts: int = 5) -> int:
+                 rebase_attempts: int = 5,
+                 write_parallelism: Optional[int] = None) -> int:
     """Append-only commit for documents known to be new: adds files to the
     affected buckets WITHOUT reading or rewriting existing ones — O(batch)
     regardless of table size. This is what accumulates small files per
@@ -1178,7 +1197,8 @@ def append_table(records: DataFrame, table: str, txn=None,
     orphans rather than risking a double-append)."""
     if current_version(table) is None:
         return write_table(records, table, txn=txn,
-                           max_rows_per_file=max_rows_per_file)
+                           max_rows_per_file=max_rows_per_file,
+                           write_parallelism=write_parallelism)
     records = records.withColumn("doc_bucket", _bucket_col())
     manifest = read_manifest(table)
     if _txn_applied(manifest, txn):
@@ -1194,7 +1214,8 @@ def append_table(records: DataFrame, table: str, txn=None,
     new_buckets = _write_bucket_files(records, table, token,
                                       stats=meta["stats"],
                                       bloom_cols=meta["bloom_cols"],
-                                      max_rows_per_file=max_rows_per_file)
+                                      max_rows_per_file=max_rows_per_file,
+                                      write_parallelism=write_parallelism)
     new_names = [n for names in new_buckets.values() for n in names]
     new_stats = {n: meta["stats"][n] for n in new_names if n in meta["stats"]}
     for attempt in range(max(1, rebase_attempts)):

@@ -88,20 +88,32 @@ def main() -> None:
                       "rows": counts, "sec": results,
                       "ratio": round(results["sf1"] / results["sf0.1"], 2)}))
 
-    # append-commit manifest bytes at each scale: the table is 10x the
-    # files, the delta must stay O(new files)
+    # append-commit manifest bytes vs table file count: grow a table
+    # from 64 to ~1k files, then land a SMALL append — the delta must
+    # stay O(new files) while the full (checkpoint) manifest grows with
+    # the table. This is the write-amplification claim.
     amp = {}
-    for name, df in dims.items():
+    for n_appends, label in ((4, "~320_files"), (14, "~960_files")):
+        df = dims["sf0.1"]
         table = tempfile.mkdtemp(prefix="amp_probe_") + "/t"
         ms.write_table(df, table)
-        for i in range(1, 3):  # land on delta versions
-            ms.append_table(df.limit(500).withColumn(
+        for i in range(1, n_appends + 1):
+            ms.append_table(df.limit(2000).withColumn(
                 "documentid", F.concat(F.lit(f"x{i}-"), "documentid")), table)
+        small = df.limit(10).withColumn(
+            "documentid", F.concat(F.lit("tiny-"), "documentid"))
+        ms.append_table(small, table)  # the measured steady-state commit
         be = backend_for(table)
         v = ms.current_version(table)
-        amp[name] = {
-            "full_manifest_bytes": len(be.read_text(ms._manifest_path(table, 0))),
-            "append_delta_bytes": len(be.read_text(ms._manifest_path(table, v))),
+        files = sum(len(x) for x in ms.read_manifest(table)["buckets"].values())
+        ckpt = max(w for w in range(v + 1)
+                   if w % ms._CHECKPOINT_EVERY == 0)
+        amp[label] = {
+            "live_files": files,
+            "checkpoint_manifest_bytes":
+                len(be.read_text(ms._manifest_path(table, ckpt))),
+            "small_append_delta_bytes":
+                len(be.read_text(ms._manifest_path(table, v))),
         }
         shutil.rmtree(os.path.dirname(table), ignore_errors=True)
     print(json.dumps({"kernel": "append_commit_manifest_bytes", **amp}))

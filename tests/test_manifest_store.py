@@ -1722,3 +1722,32 @@ def test_delta_manifests_roundtrip_and_vacuum(spark, tmp_path):
         be.read_text(ms._manifest_path(t, 11)))  # materialized full
     assert "base" in json.loads(
         be.read_text(ms._manifest_path(t, 12)))  # still a delta vs 11
+
+
+def test_write_parallelism_salted_layout(spark, tmp_path):
+    """write_parallelism=P shuffles on (bucket, salt): more concurrent
+    writer tasks than buckets, multiple files per touched bucket, and
+    byte-identical reads / DV behavior afterwards."""
+    import dataingestion_spark.sinks.manifest_store as ms
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "wp")
+    df = spark.range(0, 5000).select(
+        F.col("id").cast("string").alias("documentid"), F.col("id").alias("v"))
+    ms.write_table(df, t, write_parallelism=256)
+    m = ms.read_manifest(t)
+    per_bucket = [len(v) for v in m["buckets"].values() if v]
+    assert max(per_bucket) >= 2            # salt split buckets into files
+    assert sum(per_bucket) > 64
+    got = ms.read_table(spark, t)
+    assert got.count() == 5000
+    assert got.filter("documentid = '4999'").collect()[0].v == 4999
+    # appends, stats-answered aggregates, and DVs work across the split
+    ms.append_table(df.withColumn(
+        "documentid", F.concat(F.lit("x"), "documentid")), t,
+        write_parallelism=128)
+    assert ms.metadata_count(None, t) == 10000
+    ms.delete_documents(spark, t, ["0", "x0"])
+    assert ms.read_table(spark, t).count() == 9998
+    ms.compact(spark, t, max_files_per_bucket=1)
+    assert ms.read_table(spark, t).count() == 9998
