@@ -165,6 +165,7 @@ from .streaming.table_source import (  # noqa: E402,F401
     stream_table,
 )
 from .streaming.pipeline import (  # noqa: E402,F401
+    stream_history,
     stream_replicate,
     stream_scd2,
     stream_table_pipeline,

@@ -12,7 +12,8 @@ the key's full version history. History columns (owned by this module):
 
 * ``valid_from`` — the batch's effective stamp when the version opened;
 * ``valid_to``   — the stamp that closed it (NULL while current);
-* ``is_current`` — exactly one true row per key.
+* ``is_current`` — at most one true row per key (a key whose tombstone
+  closed it has none until re-observed).
 
 Because documents are whole units in the manifest store (the same
 replace-by-documentid contract the reference's writer has), a changed
@@ -43,7 +44,8 @@ def _open_rows(source: DataFrame, tracked: List[str], effective_col: str):
 
 
 def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
-               effective_col: str = "effective_ts", txn=None) -> int:
+               effective_col: str = "effective_ts",
+               deleted_col: Optional[str] = None, txn=None) -> int:
     """Merge a snapshot batch into an SCD Type 2 dimension table.
 
     ``source`` carries one row per business key: ``documentid``, the
@@ -56,9 +58,14 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
     * **unchanged** (every tracked attribute null-safe-equal to the
       key's current row) → no-op, the key's history is not rewritten;
     * **changed** → the current row closes (``valid_to=effective``,
-      ``is_current=false``) and a new open row appends.
+      ``is_current=false``) and a new open row appends;
+    * **tombstone** (``deleted_col`` names a boolean column and the
+      row's value is true) → the current row closes and NOTHING opens —
+      the key's history ends until a later observation re-inserts it.
+      Tombstones for unknown keys are no-ops. This is what lets a CDC
+      feed's deletes flow into the dimension (:func:`stream_history`).
 
-    A changed key whose ``effective`` stamp is not strictly greater than
+    A closing key whose ``effective`` stamp is not strictly greater than
     its current ``valid_from`` raises — SCD2 requires monotone effective
     stamps per key (out-of-order observations have no well-defined
     current row). Duplicate keys in one batch raise, as in
@@ -77,7 +84,8 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
     per-micro-batch streaming SCD2 exactly-once under foreachBatch
     retries. Returns the committed version.
     """
-    for c in ("documentid", effective_col, *tracked):
+    for c in ("documentid", effective_col, *tracked,
+              *([deleted_col] if deleted_col else [])):
         if c not in source.columns:
             raise ValueError(f"source is missing column {c!r}")
     bad = [c for c in HISTORY_COLS if c in source.columns]
@@ -87,9 +95,12 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
     if not tracked:
         raise ValueError("tracked must name at least one attribute column")
     spark = source.sparkSession
+    is_del = (F.coalesce(F.col(deleted_col), F.lit(False)) if deleted_col
+              else F.lit(False))
+    live = source.filter(~is_del).drop(*([deleted_col] if deleted_col else []))
 
     if ms.current_version(table) is None:
-        return ms.write_table(_open_rows(source, tracked, effective_col),
+        return ms.write_table(_open_rows(live, tracked, effective_col),
                               table, txn=txn)
     if txn is not None:
         prior = ms.read_manifest(table)
@@ -123,46 +134,66 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
                 .join(F.broadcast(src.select("documentid").distinct()),
                       "documentid", "semi"))
 
-    opened = _open_rows(src.drop("doc_bucket"), tracked, effective_col)
     if hist is None:
-        return ms.incremental_replace(opened, table, mode="dv", txn=txn)
+        # no stored rows can match: live rows insert, tombstones no-op
+        return ms.incremental_replace(
+            _open_rows(live, tracked, effective_col), table,
+            mode="dv", txn=txn)
 
-    # current row per stored key, renamed for the change comparison
+    # observations (with a tombstone flag) against each key's current row
+    obs = src.select(
+        "documentid", *tracked,
+        F.col(effective_col).alias("valid_from"), is_del.alias("_del"))
     cur = hist.filter("is_current").select(
         "documentid", F.col("valid_from").alias("_cur_from"),
         *[F.col(c).alias(f"_cur_{c}") for c in tracked])
-    joined = opened.join(cur, "documentid", "left")
+    joined = obs.join(cur, "documentid", "left")
     changed_test = F.lit(False)
     for c in tracked:
         changed_test = changed_test | ~F.col(c).eqNullSafe(F.col(f"_cur_{c}"))
-    # new keys (no current row) always insert; matched keys only when changed
-    action = (F.when(F.col("_cur_from").isNull(), F.lit("insert"))
+    action = (F.when(F.col("_del") & F.col("_cur_from").isNotNull(),
+                     F.lit("close"))
+              .when(F.col("_del"), F.lit("noop"))
+              .when(F.col("_cur_from").isNull(), F.lit("insert"))
               .when(changed_test, F.lit("change"))
               .otherwise(F.lit("noop")))
     decided = joined.withColumn("_action", action).filter("_action != 'noop'")
     decided = decided.localCheckpoint(eager=False)
 
     stale = decided.filter(
-        (F.col("_action") == "change")
+        F.col("_action").isin("change", "close")
         & (F.col("valid_from") <= F.col("_cur_from"))).limit(1).count()
     if stale:
         raise ValueError("effective stamp must be strictly greater than the "
                          "current row's valid_from (non-monotone SCD2 batch)")
 
     out_cols = ["documentid", *tracked, *HISTORY_COLS]
-    new_open = decided.select(*out_cols)
-    changed_keys = decided.filter("_action = 'change'").select(
-        "documentid", F.col("valid_from").alias("_close_at"))
-    # rewritten history for changed keys: prior rows verbatim except the
-    # current one, which closes at the batch's effective stamp
-    closed_hist = (hist.join(F.broadcast(changed_keys), "documentid")
-                   .withColumn("valid_to", F.when(F.col("is_current"),
-                                                  F.col("_close_at"))
+    vt_type = source.schema[effective_col].dataType
+    new_open = (decided.filter(F.col("_action").isin("insert", "change"))
+                .withColumn("valid_to", F.lit(None).cast(vt_type))
+                .withColumn("is_current", F.lit(True))
+                .select(*out_cols))
+    # every acted key's prior rows ride along VERBATIM (the DV commit
+    # kills all old copies of those documentids, so dropping any prior
+    # row would lose history — e.g. a tombstoned key being re-inserted);
+    # only change/close keys get their current row stamped shut
+    act_keys = decided.select(
+        "documentid",
+        F.when(F.col("_action").isin("change", "close"),
+               F.col("valid_from")).alias("_close_at"))
+    closed_hist = (hist.join(F.broadcast(act_keys), "documentid")
+                   .withColumn("valid_to",
+                               F.when(F.col("is_current")
+                                      & F.col("_close_at").isNotNull(),
+                                      F.col("_close_at"))
                                .otherwise(F.col("valid_to")))
-                   .withColumn("is_current", F.lit(False))
+                   .withColumn("is_current",
+                               F.col("is_current")
+                               & F.col("_close_at").isNull())
                    .select(*out_cols))
-    # inserted keys' histories are exactly their open row; changed keys' =
-    # closed prior rows + the new open row — one replace commit for both
+    # inserted keys' histories = prior rows (if any) + the open row;
+    # changed keys' = closed prior rows + the new open row; tombstoned
+    # keys' = prior rows with the current one shut — ONE replace commit
     return ms.incremental_replace(closed_hist.unionByName(new_open),
                                   table, mode="dv", txn=txn)
 

@@ -213,6 +213,54 @@ def stream_scd2(records: DataFrame, table_path: str, *,
             .start())
 
 
+def stream_history(spark, src_table: str, dim_table: str, *,
+                   tracked: list, app: str = "stream_history"):
+    """Turn a Type-1 operational table into a Type-2 HISTORY table by
+    following its change feed: each micro-batch of
+    :func:`..streaming.table_source.stream_changes` rows collapses to
+    the last change per key (same rule as :func:`stream_replicate`),
+    then applies as one :func:`..sinks.scd.scd2_merge` — inserts and
+    update post-images open new versions (unchanged attributes are
+    detected and skipped), pure deletes become tombstones that close the
+    key's history. ``valid_from``/``valid_to`` stamps are the SOURCE
+    COMMIT VERSIONS (monotone per key by construction), so the dimension
+    is point-in-time queryable against source versions via
+    :func:`..sinks.scd.scd2_at`. Commits apply ONE AT A TIME inside the
+    sink (a micro-batch may span several source commits), each under a
+    txn whose epoch is the source version — no intermediate version is
+    ever collapsed away, and replays skip already-applied commits.
+    Returns the started availableNow query."""
+    from ..sinks.manifest_store import pair_update_images
+    from ..sinks.scd import scd2_merge
+    from .table_source import stream_changes
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # a batch may span several source commits (availableNow captures
+        # its end offset up front, so source-side pacing cannot split
+        # it): apply them one at a time, oldest first, each under a txn
+        # whose epoch IS the source version — exactly-once per commit,
+        # and a replayed batch skips the versions already applied
+        batch = batch_df.localCheckpoint()
+        versions = sorted(r[0] for r in
+                          batch.select("_commit_version").distinct().collect())
+        for v in versions:
+            paired = pair_update_images(
+                batch.filter(F.col("_commit_version") == v))
+            live = paired.filter(F.col("_change_type") != "update_preimage")
+            obs = live.select(
+                "documentid", *tracked,
+                F.col("_commit_version").cast("double").alias("effective_ts"),
+                (F.col("_change_type") == "delete").alias("_tombstone"))
+            scd2_merge(obs, dim_table, tracked=tracked,
+                       deleted_col="_tombstone", txn=(app, v))
+
+    return (stream_changes(spark, src_table, max_commits_per_trigger=1)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_events_windowed(spark, events_dir: str, window: str = "5 minutes",
                            slide: str = "5 minutes", watermark: str = "10 minutes",
                            query_name: str = "events_windowed",

@@ -352,17 +352,32 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self._start = int(options.get("startingversion", "0"))
         self._skip_rewrites = str(
             options.get("skiprewrites", "false")).lower() == "true"
+        mc = options.get("maxcommitspertrigger")
+        self._max_commits: Optional[int] = None if mc is None else max(1, int(mc))
 
     def initialOffset(self) -> dict:
+        self._pos = self._start - 1
         return {"version": self._start - 1}
 
     def latestOffset(self) -> dict:
         from ..sinks import manifest_store as ms
 
         cur = ms.current_version(self._table)
-        return self.initialOffset() if cur is None else {"version": cur}
+        if cur is None:
+            return self.initialOffset()
+        if self._max_commits is not None:
+            # same monotone-safe pacing as the table source: advance at
+            # most N commits past the last planned position; unpaced
+            # when the position is unknown (restart / end pre-capture)
+            prev = getattr(self, "_pos", None)
+            if prev is not None:
+                cur = min(cur, prev + self._max_commits)
+        prev = getattr(self, "_pos", None)
+        self._pos = cur if prev is None else max(prev, cur)
+        return {"version": cur}
 
     def partitions(self, start: dict, end: dict):
+        self._pos = max(getattr(self, "_pos", -1), int(end["version"]))
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             parts.extend(self._commit_changes(v))
@@ -512,19 +527,26 @@ class LakehouseChangesDataSource(DataSource):
 
 def stream_changes(spark: SparkSession, table: str, *,
                    starting_version: int = 0,
-                   skip_rewrites: bool = False):
+                   skip_rewrites: bool = False,
+                   max_commits_per_trigger: Optional[int] = None):
     """Open a manifest table's CHANGE FEED as a streaming DataFrame
     (Delta's ``readChangeFeed`` analog): per-commit row-level changes
     with ``_change_type`` ('insert'/'delete'; updates are their
     delete+insert pair) and ``_commit_version``. Commits that rewrite
     files raise unless ``skip_rewrites`` (exact for compaction/OPTIMIZE,
-    which are content-neutral; NOT for restore)."""
+    which are content-neutral; NOT for restore).
+    ``max_commits_per_trigger`` bounds how many commits one micro-batch
+    spans — consumers that must see every intermediate version (e.g.
+    :func:`..streaming.pipeline.stream_history`) set 1."""
     spark.dataSource.register(LakehouseChangesDataSource)
     reader = (spark.readStream.format("lakehouse_changes")
               .option("path", table)
               .option("startingVersion", str(starting_version)))
     if skip_rewrites:
         reader = reader.option("skipRewrites", "true")
+    if max_commits_per_trigger is not None:
+        reader = reader.option("maxCommitsPerTrigger",
+                               str(max_commits_per_trigger))
     return reader.load()
 
 

@@ -178,3 +178,68 @@ def test_stream_scd2(spark, tmp_path):
     assert st2[("b", 1.0)] == ("B", True)
     assert st2[("c", 2.0)] == ("C", True)
     assert len(st2) == 4
+
+
+def test_scd2_tombstones_and_reinsert(spark):
+    """deleted_col=True closes the key's current row without opening a
+    new one; a later observation re-inserts the key and its PRIOR closed
+    history survives the replace commit."""
+    table = _tbl()
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "documentid string, segment string, balance double, "
+                  "effective_ts double, gone boolean")
+
+    scd2_merge(b([("a", "A", 1.0, 1.0, False), ("b", "B", 2.0, 1.0, False)]),
+               table, tracked=["segment", "balance"], deleted_col="gone")
+    # tombstone a; tombstone for unknown key x is a no-op
+    scd2_merge(b([("a", None, None, 2.0, True), ("x", None, None, 2.0, True)]),
+               table, tracked=["segment", "balance"], deleted_col="gone")
+    st = _state(spark, table)
+    assert st[("a", 1.0)] == ("A", 1.0, 2.0, False)  # closed, no reopen
+    assert st[("b", 1.0)] == ("B", 2.0, None, True)
+    assert len(st) == 2
+    assert {r.documentid for r in scd2_current(spark, table).collect()} == {"b"}
+    # re-insert a: closed history must SURVIVE alongside the new version
+    scd2_merge(b([("a", "A2", 5.0, 3.0, False)]),
+               table, tracked=["segment", "balance"], deleted_col="gone")
+    st = _state(spark, table)
+    assert st[("a", 1.0)] == ("A", 1.0, 2.0, False)  # preserved
+    assert st[("a", 3.0)] == ("A2", 5.0, None, True)
+    assert len(st) == 3
+    # point-in-time: a absent in the tombstoned window
+    assert {r.documentid for r in scd2_at(spark, table, 2.5).collect()} == {"b"}
+
+
+def test_stream_history_cdc_to_scd2(spark, tmp_path):
+    """stream_history follows a table's change feed into a Type-2
+    dimension: inserts open, updates close+open (unchanged attrs skip),
+    deletes tombstone; stamps are source commit versions; a drained
+    re-run is a no-op."""
+    from dataingestion_spark.streaming.pipeline import stream_history
+
+    src, dim = str(tmp_path / "src"), str(tmp_path / "dim")
+
+    def mk(rows):
+        return spark.createDataFrame(rows,
+                                     "documentid string, lang string, n long")
+
+    ms.write_table(mk([("a", "en", 1), ("b", "de", 2), ("c", "fr", 3)]), src)
+    ms.merge_table(mk([("a", "en", 9), ("b", "de", 2)]), src)   # v1: a upd, b same-values update
+    ms.delete_documents(spark, src, ["c"])                       # v2: c gone
+
+    def drain():
+        q = stream_history(spark, src, dim, tracked=["lang", "n"])
+        q.awaitTermination()
+
+    drain()
+    st = {(r.documentid, r.valid_from): (r.lang, r.n, r.valid_to, r.is_current)
+          for r in ms.read_table(spark, dim).collect()}
+    assert st[("a", 0.0)] == ("en", 1, 1.0, False)
+    assert st[("a", 1.0)] == ("en", 9, None, True)
+    assert st[("b", 0.0)] == ("de", 2, None, True)   # rewrite, no attr change
+    assert st[("c", 0.0)] == ("fr", 3, 2.0, False)   # tombstoned at v2
+    assert len(st) == 4
+    drain()  # nothing new: exactly-once, dim unchanged
+    assert ms.read_table(spark, dim).count() == 4
