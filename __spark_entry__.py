@@ -7131,6 +7131,60 @@ def q_lakehouse_change_stream(spark, sf):
         F.col("_commit_version").alias("commit_v"))
 
 
+def q_lakehouse_history_stream(spark, sf):
+    """CDC feed -> SCD Type 2 history (streaming/pipeline.py::
+    stream_history + sinks/scd.py tombstones): the source table takes a
+    write (v0), a MERGE update (v1, n_chars+1000 for doc_id%2==0 — also
+    INSERTING the %3==2 evens), and a delete of the surviving %7==0 keys
+    (v2). One drain turns the change feed into a dimension whose
+    valid_from/valid_to stamps are the source commit versions; deletes
+    close histories without reopening. Oracle restates the final
+    history in closed form. Beyond the reference."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.streaming.pipeline import stream_history
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="hist_lh_")
+    src, dim = tmp + "/src", tmp + "/dim"
+    ms.write_table(docs.filter(F.col("doc_id") % 3 != 2), src)
+    ms.merge_table(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000)), src)
+    dels = [r["documentid"] for r in
+            ms.read_table(spark, src)
+            .filter(F.col("documentid").cast("bigint") % 7 == 0)
+            .select("documentid").collect()]
+    ms.delete_documents(spark, src, dels)
+    stream_history(spark, src, dim,
+                   tracked=["lang", "n_chars"]).awaitTermination()
+    return ms.read_table(spark, dim).select(
+        "documentid", "lang", "n_chars",
+        "valid_from", "valid_to", "is_current")
+
+
+ORACLE_HISTORY_STREAM = """
+WITH base AS (
+  SELECT doc_id AS k, CAST(doc_id AS VARCHAR) AS documentid, lang, n_chars
+  FROM documents)
+SELECT documentid, lang, n_chars,
+       CAST(0.0 AS DOUBLE) AS valid_from,
+       CAST(CASE WHEN k % 2 = 0 THEN 1.0
+                 WHEN k % 7 = 0 THEN 2.0 END AS DOUBLE) AS valid_to,
+       (k % 2 <> 0 AND k % 7 <> 0) AS is_current
+FROM base WHERE k % 3 <> 2
+UNION ALL
+SELECT documentid, lang, n_chars + 1000 AS n_chars,
+       CAST(1.0 AS DOUBLE) AS valid_from,
+       CAST(CASE WHEN k % 7 = 0 THEN 2.0 END AS DOUBLE) AS valid_to,
+       (k % 7 <> 0) AS is_current
+FROM base WHERE k % 2 = 0
+"""
+
+
 ORACLE_CHANGE_STREAM = """
 WITH a AS (SELECT CAST(doc_id AS VARCHAR) AS documentid, lang, n_chars
            FROM documents WHERE doc_id % 3 <> 2),
@@ -8004,6 +8058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_scd2_merge": q_lakehouse_scd2,
         "lakehouse_meta_minmax": q_lakehouse_meta_minmax,
         # --- entries 51+: remaining never-driver-sampled (r7 queue) ---
+        "lakehouse_history_stream": q_lakehouse_history_stream,
         "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
         "search_topk_ivf_filtered": q_topk_ivf_filtered,
         "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
@@ -8382,6 +8437,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_delete_where": ORACLE_DELETE_WHERE,
         "lakehouse_update_where": ORACLE_UPDATE_WHERE,
         "lakehouse_meta_minmax": ORACLE_META_MINMAX,
+        "lakehouse_history_stream": ORACLE_HISTORY_STREAM,
         "lakehouse_scd2_merge": ORACLE_SCD2,
         "lakehouse_stream_read": ORACLE_STREAM_READ,
         "lakehouse_delta_roundtrip": ORACLE_DELTA_ROUNDTRIP,
