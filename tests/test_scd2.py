@@ -243,3 +243,48 @@ def test_stream_history_cdc_to_scd2(spark, tmp_path):
     assert len(st) == 4
     drain()  # nothing new: exactly-once, dim unchanged
     assert ms.read_table(spark, dim).count() == 4
+
+
+def test_scd2_model_based_random_ops(spark):
+    """Seeded random batch sequence (observations, tombstones, re-inserts,
+    no-op repeats) against a pure-python SCD2 model: the stored history
+    must equal the model's after every merge."""
+    import random
+
+    rng = random.Random(20260815)
+    keys = [f"k{i}" for i in range(8)]
+    table = _tbl()
+    model = {}  # key -> list of [seg, vf, vt, cur]
+
+    def model_apply(obs, stamp):
+        for k, seg, dead in obs:
+            hist = model.setdefault(k, [])
+            cur = next((h for h in hist if h[3]), None)
+            if dead:
+                if cur is not None:
+                    cur[2], cur[3] = stamp, False
+            elif cur is None:
+                hist.append([seg, stamp, None, True])
+            elif cur[0] != seg:
+                cur[2], cur[3] = stamp, False
+                hist.append([seg, stamp, None, True])
+
+    for stamp in range(1, 13):
+        chosen = rng.sample(keys, rng.randint(1, 6))
+        obs = []
+        for k in chosen:
+            dead = rng.random() < 0.25
+            seg = None if dead else rng.choice(["A", "B", "C"])
+            obs.append((k, seg, dead))
+        df = spark.createDataFrame(
+            [(k, s, float(stamp), d) for k, s, d in obs],
+            "documentid string, segment string, effective_ts double, "
+            "gone boolean")
+        scd2_merge(df, table, tracked=["segment"], deleted_col="gone")
+        model_apply(obs, float(stamp))
+        got = {(r.documentid, r.valid_from): (r.segment, r.valid_to,
+                                              r.is_current)
+               for r in ms.read_table(spark, table).collect()}
+        want = {(k, h[1]): (h[0], h[2], h[3])
+                for k, hist in model.items() for h in hist}
+        assert got == want, f"diverged after stamp {stamp}"
