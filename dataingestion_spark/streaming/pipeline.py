@@ -176,9 +176,29 @@ def stream_upsert(spark, input_dir: str, table_path: str,
     )
 
 
+def _maybe_maintain(spark, table_path: str, epoch_id: int,
+                    maintain_every: int | None,
+                    maintain_kwargs: dict | None) -> None:
+    """Every Nth micro-batch, run table maintenance inline (compact the
+    small files + DVs that per-batch DV merges accumulate). Losing the
+    optimistic race to a live writer defers to the next trigger — the
+    data commit itself is never blocked. Shared by the scd2 sinks;
+    stream_upsert carries the same logic inline."""
+    if not maintain_every or (epoch_id + 1) % maintain_every:
+        return
+    from ..sinks.manifest_store import ConcurrentWriteError, maintain_table
+
+    try:
+        maintain_table(spark, table_path, **(maintain_kwargs or {}))
+    except ConcurrentWriteError:
+        pass
+
+
 def stream_scd2(records: DataFrame, table_path: str, *,
                 tracked: list, effective_col: str = "effective_ts",
-                app: str = "stream_scd2"):
+                app: str = "stream_scd2",
+                maintain_every: int | None = None,
+                maintain_kwargs: dict | None = None):
     """Streaming SCD Type 2 apply: each micro-batch of key observations
     merges into the dimension via :func:`..sinks.scd.scd2_merge` —
     changed keys close their current row and open a new version,
@@ -206,6 +226,8 @@ def stream_scd2(records: DataFrame, table_path: str, *,
                   .filter("_rn = 1").drop("_rn"))
         scd2_merge(latest, table_path, tracked=tracked,
                    effective_col=effective_col, txn=(app, epoch_id))
+        _maybe_maintain(batch_df.sparkSession, table_path, epoch_id,
+                        maintain_every, maintain_kwargs)
 
     return (records.writeStream.outputMode("append")
             .foreachBatch(sink)
@@ -214,7 +236,9 @@ def stream_scd2(records: DataFrame, table_path: str, *,
 
 
 def stream_history(spark, src_table: str, dim_table: str, *,
-                   tracked: list, app: str = "stream_history"):
+                   tracked: list, app: str = "stream_history",
+                   maintain_every: int | None = None,
+                   maintain_kwargs: dict | None = None):
     """Turn a Type-1 operational table into a Type-2 HISTORY table by
     following its change feed: each micro-batch of
     :func:`..streaming.table_source.stream_changes` rows collapses to
@@ -253,6 +277,8 @@ def stream_history(spark, src_table: str, dim_table: str, *,
                 (F.col("_change_type") == "delete").alias("_tombstone"))
             scd2_merge(obs, dim_table, tracked=tracked,
                        deleted_col="_tombstone", txn=(app, v))
+        _maybe_maintain(spark, dim_table, epoch_id,
+                        maintain_every, maintain_kwargs)
 
     return (stream_changes(spark, src_table, max_commits_per_trigger=1)
             .writeStream.outputMode("append")

@@ -288,3 +288,28 @@ def test_scd2_model_based_random_ops(spark):
         want = {(k, h[1]): (h[0], h[2], h[3])
                 for k, hist in model.items() for h in hist}
         assert got == want, f"diverged after stamp {stamp}"
+
+
+def test_stream_history_inline_maintenance(spark, tmp_path):
+    """maintain_every compacts the DV/small-file debris the per-commit
+    scd2 merges accumulate, without changing the dimension's contents."""
+    from dataingestion_spark.streaming.pipeline import stream_history
+
+    src, dim = str(tmp_path / "src"), str(tmp_path / "dim")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "documentid string, lang string")
+
+    ms.write_table(mk([("a", "en"), ("b", "de")]), src)
+    for i, lang in enumerate(["fr", "it", "pt"]):
+        ms.merge_table(mk([("a", lang)]), src)
+    stream_history(spark, src, dim, tracked=["lang"], maintain_every=1,
+                   maintain_kwargs={"min_file_age_seconds": 0,
+                                    "keep_versions": 1}).awaitTermination()
+    st = ms.table_stats(dim)
+    assert st["n_delete_vectors"] == 0  # maintenance materialized the DVs
+    got = {(r.documentid, r.valid_from): (r.lang, r.is_current)
+           for r in ms.read_table(spark, dim).collect()}
+    assert got[("a", 3.0)] == ("pt", True)
+    assert got[("b", 0.0)] == ("de", True)
+    assert len(got) == 5  # a: 4 versions, b: 1
