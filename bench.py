@@ -189,6 +189,16 @@ def main():
                  .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
         return probe_minhash_index(batch, mh_path, min_est_jaccard=0.5)
 
+    def hybrid_indexed(spark, sf):
+        e = em._t(spark, sf, "embeddings")
+        vq = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        from dataingestion_spark.sinks.text_index import hybrid_search_indexed
+        return hybrid_search_indexed(
+            spark, text_path, ivf_path, em._bm25_queries_df(spark), vq,
+            k=10, per_side_k=20, n_probe=2)
+
     def ivfpq_serve(spark, sf):
         e = em._t(spark, sf, "embeddings")
         queries = e.filter(F.col("vec_id") < 5).select(
@@ -286,6 +296,41 @@ def main():
         "delta_roundtrip": delta_roundtrip,
     })
 
+    # SCD2 steady state: the dimension is prebuilt (two snapshot merges
+    # at setup); the timed entry is ONE incremental merge where 1/5 of
+    # the keys changed — the per-batch cost a continuous dimension feed
+    # pays. Each rep uses a fresh effective stamp so work is identical.
+    from dataingestion_spark.sinks.scd import scd2_merge as _scd2
+
+    def _cust(spark, sf):
+        return em._t(spark, sf, "customer").select(
+            F.col("c_custkey").cast("string").alias("documentid"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round("c_acctbal", 2).alias("balance"))
+
+    scd2_dim = tempfile.mkdtemp(prefix="scd2_bench_") + "/dim"
+    _scd2(_cust(spark, sf_dir).withColumn("effective_ts", F.lit(1.0)),
+          scd2_dim, tracked=["segment", "balance"])
+    _scd2(_cust(spark, sf_dir).withColumn(
+        "balance", F.col("balance") + F.when(
+            F.col("documentid").cast("long") % 3 == 0, 100.0).otherwise(0.0))
+        .withColumn("effective_ts", F.lit(2.0)),
+        scd2_dim, tracked=["segment", "balance"])
+    scd2_stamp = {"v": 2.0}
+
+    def scd2_steady(spark, sf):
+        scd2_stamp["v"] += 1.0
+        key = F.col("documentid").cast("long")
+        batch = _cust(spark, sf).withColumn(
+            "balance", F.col("balance")
+            + F.when(key % 3 == 0, 100.0).otherwise(0.0)   # match current
+            + F.when(key % 5 == 0, scd2_stamp["v"] * 10).otherwise(0.0)
+        ).withColumn("effective_ts", F.lit(scd2_stamp["v"]))
+        _scd2(batch, scd2_dim, tracked=["segment", "balance"])
+        return spark.range(1)
+
+    bench_queries.update({"scd2_steady": scd2_steady})
+
     bench_queries.update({
         "ivf_build": lambda spark, sf: build_ivf(spark, sf)[0],
         "ivf_persisted": ivf_serve,
@@ -293,6 +338,7 @@ def main():
         "ivfpq_persisted": ivfpq_serve,
         "bm25_index_build": lambda spark, sf: build_text(spark, sf)[0],
         "bm25_indexed": bm25_serve,
+        "hybrid_indexed": hybrid_indexed,
         "dedup_index_build": lambda spark, sf: build_mh(spark, sf)[0],
         "dedup_incr_probe": mh_probe,
     })

@@ -178,6 +178,7 @@ from .interop.delta import (  # noqa: E402,F401
 )
 from .sinks.text_index import (  # noqa: E402,F401
     append_text_index,
+    hybrid_search_indexed,
     search_text_index,
     write_text_index,
 )

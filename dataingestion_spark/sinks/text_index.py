@@ -138,3 +138,28 @@ def search_text_index(spark, path: str, queries: DataFrame, k: int = 10,
     return (total.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id_col, "rank", "doc_id", "score"))
+
+
+def hybrid_search_indexed(spark, text_path: str, ivf_path: str,
+                          text_queries: DataFrame, vec_queries: DataFrame,
+                          k: int = 10, per_side_k: int = 20,
+                          n_probe: int = 4, k0: int = 60) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from persisted indexes: BM25
+    top-``per_side_k`` from the inverted index (partition+row-group
+    pruned postings) fused with ANN top-``per_side_k`` from the IVF
+    index (probe-as-partition-pruning) by reciprocal-rank fusion —
+    neither side rescans the corpus, so serve cost tracks query load,
+    not table size. With ``n_probe`` >= the index's centroid count the
+    result is bit-identical to the non-indexed
+    ``bm25_topk``+``topk_cosine``+``rrf_fuse`` composition (pinned in
+    tests); lower ``n_probe`` trades vector-side recall for pruning,
+    leaving the BM25 side exact. Output: (query_id, rank, doc_id,
+    rrf_score)."""
+    from ..operators.text_search import rrf_fuse
+    from .vector_index import search_ivf_index
+
+    bm = search_text_index(spark, text_path, text_queries, k=per_side_k)
+    cos = search_ivf_index(spark, ivf_path, vec_queries,
+                           k=per_side_k, n_probe=n_probe).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse(bm, cos, k0=k0, k=k)

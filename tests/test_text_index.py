@@ -68,3 +68,38 @@ def test_unknown_terms_return_empty(spark, tmp_path):
     write_text_index(_docs(spark), path)
     q = spark.createDataFrame([Row(query_id=1, query_text="zzz qqq")])
     assert search_text_index(spark, path, q, k=3).count() == 0
+
+
+def test_hybrid_indexed_equals_from_scratch(spark, tmp_path):
+    """Index-served hybrid (inverted index BM25 + exhaustive-probe IVF,
+    RRF-fused) is bit-identical to the non-indexed composition."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.operators.similarity import topk_cosine
+    from dataingestion_spark.operators.text_search import rrf_fuse
+    from dataingestion_spark.sinks.text_index import hybrid_search_indexed
+    from dataingestion_spark.sinks.vector_index import build_ivf_index
+
+    docs = _docs(spark)
+    # tiny deterministic embeddings keyed like the docs
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 7 + j * 3) % 5) - 2.0
+                                  for j in range(4)])
+         for i, _ in DOCS])
+    tpath = str(tmp_path / "tidx")
+    vpath = str(tmp_path / "vidx")
+    write_text_index(docs, tpath)
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [-1.0, 0.5, 0.0, 0.0])]
+    build_ivf_index(emb, vpath, centroids=cents)
+    vq = emb.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+
+    got = hybrid_search_indexed(spark, tpath, vpath, _queries(spark), vq,
+                                k=5, per_side_k=4, n_probe=len(cents))
+    bm = bm25_topk(docs, _queries(spark), k=4)
+    cos = topk_cosine(emb, vq, k=4).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank")
+    want = rrf_fuse(bm, cos, k=5)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
