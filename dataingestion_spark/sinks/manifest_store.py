@@ -438,6 +438,7 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
                     # skipped
                     if vals:
                         cols = {}
+                        nulls = {}
                         for fld in list(tbl.schema)[:32]:
                             if fld.name in ("documentid", "doc_bucket"):
                                 continue
@@ -454,10 +455,16 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
                                 lo, hi = mm["min"].as_py(), mm["max"].as_py()
                                 if lo is not None and hi is not None:
                                     cols[fld.name] = [lo, hi]
+                                # null count in the same pass (Delta's
+                                # nullCount): drives IS [NOT] NULL skipping
+                                nulls.setdefault(
+                                    fld.name, tbl[fld.name].null_count)
                             except Exception:
                                 pass
                         if cols:
                             stat["cols"] = cols
+                        if nulls:
+                            stat["nulls"] = nulls
                     if vals and bloom_cols:
                         blooms = {}
                         for bc in bloom_cols:
@@ -838,7 +845,8 @@ def read_table(spark, table: str, version: Optional[int] = None,
     return _read_files(spark, table, manifest)
 
 
-_SKIP_OPS = ("<=", ">=", "!=", "=", "<", ">")  # longest-match order
+_SKIP_OPS = ("<=", ">=", "!=", "=", "<", ">",
+             "is_null", "not_null")  # longest-match order
 
 
 def _file_may_match(stat: Dict, col: str, op: str, value) -> bool:
@@ -850,6 +858,12 @@ def _file_may_match(stat: Dict, col: str, op: str, value) -> bool:
         bloom = (stat or {}).get("blooms", {}).get(col)
         if bloom is not None and not _bloom_maybe_contains(bloom, str(value)):
             return False  # bloom proves absence: skip regardless of range
+    if op in ("is_null", "not_null"):
+        nulls = (stat or {}).get("nulls", {}).get(col)
+        rows = (stat or {}).get("rows")
+        if nulls is None or rows is None:
+            return True  # no null stats recorded: must read
+        return nulls > 0 if op == "is_null" else nulls < rows
     rng = (stat or {}).get("cols", {}).get(col)
     if not rng:
         return True
@@ -919,6 +933,10 @@ def read_table_where(spark, table: str, conditions,
                      file_subset=names) if chosen else _read_files(
         spark, table, manifest, bucket_subset=[])
     for col, op, value in conditions:
+        if op in ("is_null", "not_null"):
+            df = df.filter(F.expr(
+                f"`{col}` IS {'NOT ' if op == 'not_null' else ''}NULL"))
+            continue
         sql_op = "<>" if op == "!=" else op
         lit = f"'{str(value).replace(chr(39), chr(39) * 2)}'" \
             if isinstance(value, str) else repr(value)

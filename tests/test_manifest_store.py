@@ -1751,3 +1751,44 @@ def test_write_parallelism_salted_layout(spark, tmp_path):
     assert ms.read_table(spark, t).count() == 9998
     ms.compact(spark, t, max_files_per_bucket=1)
     assert ms.read_table(spark, t).count() == 9998
+
+
+def test_null_count_stats_skipping(spark, tmp_path):
+    """IS [NOT] NULL predicates prune on per-file null counts: a commit
+    whose column is fully populated is skipped by is_null, an all-null
+    commit is skipped by not_null, and results equal the unpruned
+    filter."""
+    import dataingestion_spark.sinks.manifest_store as ms
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "nulls")
+    full = spark.range(0, 100).select(
+        F.col("id").cast("string").alias("documentid"),
+        F.concat(F.lit("u"), "id").alias("url"))
+    none = spark.range(100, 200).select(
+        F.col("id").cast("string").alias("documentid"),
+        F.lit(None).cast("string").alias("url"))
+    mixed = spark.range(200, 300).select(
+        F.col("id").cast("string").alias("documentid"),
+        F.when(F.col("id") % 2 == 0,
+               F.concat(F.lit("u"), "id")).alias("url"))
+    ms.write_table(full, t)
+    ms.append_table(none, t)
+    ms.append_table(mixed, t)
+    n_all = sum(len(v) for v in ms.read_manifest(t)["buckets"].values())
+    _, ch_null = ms.candidate_files_where(t, [("url", "is_null", None)])
+    _, ch_not = ms.candidate_files_where(t, [("url", "not_null", None)])
+    n_null = sum(len(v) for v in ch_null.values())
+    n_not = sum(len(v) for v in ch_not.values())
+    assert n_null < n_all and n_not < n_all          # both prune something
+    assert n_null + n_not < 2 * n_all
+    got_null = ms.read_table_where(spark, t, [("url", "is_null", None)])
+    got_not = ms.read_table_where(spark, t, [("url", "not_null", None)])
+    assert got_null.count() == 100 + 50
+    assert got_not.count() == 100 + 50
+    # conjunctive with a range: only mixed commit's evens above 250
+    got = ms.read_table_where(
+        spark, t, [("url", "not_null", None), ("documentid", ">", "250")])
+    want = ms.read_table(spark, t).filter(
+        "url IS NOT NULL AND documentid > '250'")
+    assert got.count() == want.count() > 0
