@@ -143,11 +143,13 @@ from .sinks.manifest_store import (  # noqa: E402,F401
     add_constraint,
     clone_table,
     delete_where,
+    drop_column,
     maintain_table,
     merge_table,
     metadata_count,
     metadata_minmax,
     register_table,
+    rename_column,
     optimize_zorder,
     pair_update_images,
     restore_table,

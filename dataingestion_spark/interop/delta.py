@@ -119,6 +119,12 @@ def export_delta(spark: SparkSession, table: str, dst: str, *,
     from ..sinks import manifest_store as ms
     from ..sinks.data_backend import data_backend_for
 
+    if "colmap" in ms.read_manifest(table, version):
+        raise NotImplementedError(
+            f"{table} uses column mapping (renamed/dropped columns); "
+            "Delta export does not yet emit columnMapping metadata — "
+            "compact-rewrite or export from a pre-rename version")
+
     if mode not in ("copy", "shallow"):
         raise ValueError(f"mode must be 'copy' or 'shallow', got {mode!r}")
     manifest = ms.read_manifest(table, version)
@@ -215,6 +221,10 @@ def mirror_delta(spark: SparkSession, table: str, dst: str, *,
     from ..sinks.commit_backend import backend_for
     from ..sinks.data_backend import data_backend_for
 
+    if "colmap" in ms.read_manifest(table):
+        raise NotImplementedError(
+            f"{table} uses column mapping (renamed/dropped columns); "
+            "Delta mirroring does not yet emit columnMapping metadata")
     log_dir = f"{dst.rstrip('/')}/{_LOG_DIR}"
     cbe = backend_for(dst)
     if cbe.read_text(f"{log_dir}/{_commit_name(0)}") is None:

@@ -324,7 +324,8 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
                         sort_col: Optional[str] = None,
                         bloom_cols: Optional[List[str]] = None,
                         max_rows_per_file: Optional[int] = None,
-                        write_parallelism: Optional[int] = None):
+                        write_parallelism: Optional[int] = None,
+                        colmap: Optional[Dict[str, str]] = None):
     """Write records (must carry doc_bucket) grouped per bucket; returns
     bucket -> new file names.
 
@@ -377,6 +378,12 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
     per-file stats). Both helper columns are dropped before writing."""
     from .data_backend import data_backend_for
 
+    if colmap:
+        # column-mapping mode: files carry frozen PHYSICAL names; the
+        # logical batch maps here, stats/blooms key by physical below
+        records = records.select(*[F.col(c).alias(colmap.get(c, c))
+                                   for c in records.columns])
+        bloom_cols = [colmap.get(c, c) for c in (bloom_cols or [])]
     be = data_backend_for(table)
     files_dir = _join(table, "files")
     be.ensure_dir(files_dir)
@@ -553,6 +560,14 @@ def _manifest_meta(manifest: Dict) -> Dict:
         # columns whose per-file Bloom filters are recorded at write time
         # (equality skipping on high-cardinality non-key columns)
         "bloom_cols": list(manifest.get("bloom_cols", [])),
+        # logical -> PHYSICAL column names (Delta column-mapping analog):
+        # None = mapping never used (identity everywhere, zero overhead);
+        # a dict (even empty) = RENAME/DROP has happened — data files keep
+        # frozen physical names, the manifest schema stays logical, and
+        # new columns get fresh physical names so a re-added name can
+        # never resurrect buried data
+        "colmap": (dict(manifest["colmap"]) if "colmap" in manifest
+                   else None),
     }
 
 
@@ -607,6 +622,11 @@ def _schema_union(meta: Dict, df: DataFrame) -> None:
         if f["name"] not in names:
             meta["schema"].append(f)
             names.add(f["name"])
+            if meta.get("colmap") is not None and f["name"] != "doc_bucket":
+                # column-mapping mode: a NEW column gets a fresh physical
+                # name, so re-adding a previously dropped/renamed name can
+                # never read that name's buried bytes out of old files
+                meta["colmap"][f["name"]] = "c" + uuid.uuid4().hex[:12]
 
 
 def _prune_meta(meta: Dict, buckets: Dict[str, List[str]]) -> Dict:
@@ -624,7 +644,38 @@ def _prune_meta(meta: Dict, buckets: Dict[str, List[str]]) -> Dict:
         meta.pop("constraints")
     if not meta["bloom_cols"]:
         meta.pop("bloom_cols")
+    if meta.get("colmap") is None:
+        meta.pop("colmap", None)
     return meta
+
+
+def _cmap(meta: Dict) -> Dict[str, str]:
+    """logical -> physical names; {} = identity."""
+    return meta.get("colmap") or {}
+
+
+def _phys_name(meta: Dict, col: str) -> str:
+    return _cmap(meta).get(col, col)
+
+
+def _phys_fields(meta: Dict) -> List[Dict]:
+    """The manifest schema with field names mapped to their PHYSICAL
+    parquet names — what a trusted-schema file read must ask for."""
+    cm = _cmap(meta)
+    if not cm:
+        return meta["schema"]
+    return [{**f, "name": cm.get(f["name"], f["name"])}
+            for f in meta["schema"]]
+
+
+def _to_logical(df: DataFrame, meta: Dict) -> DataFrame:
+    """Alias a physical-named scan back to logical names (identity when
+    the table never renamed); internal columns (_seq etc.) pass through."""
+    cm = _cmap(meta)
+    if not cm:
+        return df
+    inv = {p: l for l, p in cm.items()}
+    return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
 
 
 def _scan_via_backend(spark, be, files_dir: str, names: List[str],
@@ -716,12 +767,12 @@ def _read_files(spark, table: str, manifest: Dict,
             from pyspark.sql import types as T
 
             st = T.StructType.fromJson({"type": "struct",
-                                        "fields": meta["schema"]})
+                                        "fields": _phys_fields(meta)})
             df = spark.read.schema(st).parquet(*paths)
         else:
             df = spark.read.option("mergeSchema", "true").parquet(*paths)
         if not del_names:
-            return df
+            return _to_logical(df, meta)
 
         # file basename -> seq (names are unique by construction); the lit
         # map is manifest-sized driver data, well under broadcast limits.
@@ -745,24 +796,23 @@ def _read_files(spark, table: str, manifest: Dict,
         # (test-scale by the backend's contract); the per-file seq rides
         # in as a literal column since input_file_name() has no meaning
         df = _scan_via_backend(spark, be, files_dir, names,
-                               schema_fields=meta["schema"] or None,
+                               schema_fields=_phys_fields(meta) or None,
                                seqs=meta["seq"] if del_names else None,
                                ext=meta["ext"])
         if not del_names:
-            return df
+            return _to_logical(df, meta)
         deletes = _scan_via_backend(spark, be, files_dir, del_names,
                                     seqs=meta["seq"], seq_col="_dseq",
                                     ext=meta["ext"])
     deletes = deletes.groupBy("documentid").agg(F.max("_dseq").alias("_dseq"))
     cols = [c for c in df.columns if c != "_seq"]
-    return (
+    return _to_logical(
         df.join(F.broadcast(deletes), "documentid", "left")
         .filter(F.col("_dseq").isNull() | (F.col("_dseq") <= F.col("_seq")))
         # the join moved its key to the front — restore the scan's column
         # order so DV and DV-free reads are positionally identical
         # (exceptAll/unionByName consumers depend on it)
-        .select(*cols)
-    )
+        .select(*cols), meta)
 
 
 def write_table(records: DataFrame, table: str, txn=None,
@@ -783,6 +833,7 @@ def write_table(records: DataFrame, table: str, txn=None,
     txn_map: Dict[str, int] = {}
     cons: Dict[str, str] = {}
     bcols: List[str] = []
+    cmap: Optional[Dict[str, str]] = None
     if cv is not None:
         prior = read_manifest(table)
         if _txn_applied(prior, txn):
@@ -790,6 +841,7 @@ def write_table(records: DataFrame, table: str, txn=None,
         txn_map = {str(a): int(e) for a, e in prior.get("txn", {}).items()}
         cons = dict(prior.get("constraints", {}))
         bcols = list(prior.get("bloom_cols", []))
+        cmap = dict(prior["colmap"]) if "colmap" in prior else None
     if txn is not None:
         txn_map[str(txn[0])] = int(txn[1])
     _enforce_constraints(records, cons)
@@ -799,13 +851,15 @@ def write_table(records: DataFrame, table: str, txn=None,
     buckets = _write_bucket_files(records, table, token, stats=stats,
                                   bloom_cols=bcols,
                                   max_rows_per_file=max_rows_per_file,
-                                  write_parallelism=write_parallelism)
+                                  write_parallelism=write_parallelism,
+                                  colmap=cmap)
     version = 0 if cv is None else cv + 1
     version = _commit(
         table, version, buckets, expected_current=cv, op="WRITE",
         extra={"seq": {n: version for names in buckets.values() for n in names},
                "stats": stats,
                "schema": records.schema.jsonValue()["fields"],
+               **({"colmap": cmap} if cmap is not None else {}),
                **({"txn": txn_map} if txn_map else {}),
                **({"constraints": cons} if cons else {}),
                **({"bloom_cols": bcols} if bcols else {})},
@@ -900,11 +954,13 @@ def candidate_files_where(table: str, conditions, version: Optional[int] = None)
         if op not in _SKIP_OPS:
             raise ValueError(f"unsupported skip op {op!r} on {col!r}")
     chosen: Dict[str, List[str]] = {}
+    # stats are keyed by the PHYSICAL column names files carry
+    phys = [(_phys_name(meta, c), op, v) for c, op, v in conditions]
     for b, names in manifest["buckets"].items():
         keep = [
             n for n in names
             if all(_file_may_match(meta["stats"].get(n), c, op, v)
-                   for c, op, v in conditions)
+                   for c, op, v in phys)
         ]
         if keep:
             chosen[b] = keep
@@ -1041,7 +1097,8 @@ def incremental_replace(records: DataFrame, table: str, mode: str = "rewrite",
     _seed_schema(spark, table, manifest, meta)
     _schema_union(meta, merged)
     new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"],
-                                      bloom_cols=meta["bloom_cols"])
+                                      bloom_cols=meta["bloom_cols"],
+                                      colmap=meta["colmap"])
     buckets = {
         b: names for b, names in manifest["buckets"].items() if b not in affected
     }
@@ -1073,7 +1130,7 @@ def _replace_with_dv(records: DataFrame, table: str, txn=None) -> int:
     # one job for data files AND delete vectors (see _write_bucket_files)
     new_buckets, del_buckets = _write_bucket_files(
         records, table, token, stats=meta["stats"], derive_deletes=True,
-        bloom_cols=meta["bloom_cols"])
+        bloom_cols=meta["bloom_cols"], colmap=meta["colmap"])
     buckets = {b: list(names) for b, names in manifest["buckets"].items()}
     for b, names in new_buckets.items():
         buckets.setdefault(b, []).extend(names)
@@ -1233,7 +1290,8 @@ def append_table(records: DataFrame, table: str, txn=None,
                                       stats=meta["stats"],
                                       bloom_cols=meta["bloom_cols"],
                                       max_rows_per_file=max_rows_per_file,
-                                      write_parallelism=write_parallelism)
+                                      write_parallelism=write_parallelism,
+                                      colmap=meta["colmap"])
     new_names = [n for names in new_buckets.values() for n in names]
     new_stats = {n: meta["stats"][n] for n in new_names if n in meta["stats"]}
     for attempt in range(max(1, rebase_attempts)):
@@ -1471,12 +1529,14 @@ def merge_table(source: DataFrame, table: str,
             # the second write job's overhead dominated small-batch merges
             new_buckets, del_buckets = _write_bucket_files(
                 new_rows, table, token, stats=meta["stats"],
-                derive_deletes=True, bloom_cols=meta["bloom_cols"])
+                derive_deletes=True, bloom_cols=meta["bloom_cols"],
+                colmap=meta["colmap"])
             del_df = None  # consumed
         else:
             new_buckets = _write_bucket_files(new_rows, table, token,
                                               stats=meta["stats"],
-                                              bloom_cols=meta["bloom_cols"])
+                                              bloom_cols=meta["bloom_cols"],
+                                              colmap=meta["colmap"])
     if del_df is not None:
         # delete-clause DVs (ids NOT among the written rows). NOT
         # single_task: coalesce(1) would propagate up through the
@@ -1520,7 +1580,8 @@ def compact(spark, table: str, max_files_per_bucket: int = 4) -> int:
     _seed_schema(spark, table, manifest, meta)
     _schema_union(meta, merged)
     new_buckets = _write_bucket_files(merged, table, token, stats=meta["stats"],
-                                      bloom_cols=meta["bloom_cols"])
+                                      bloom_cols=meta["bloom_cols"],
+                                      colmap=meta["colmap"])
     buckets = {
         b: names for b, names in manifest["buckets"].items() if b not in to_compact
     }
@@ -1710,6 +1771,78 @@ def table_diff(spark, table: str, v_from: int, v_to: Optional[int] = None) -> Da
     )
 
 
+def _guard_colmap_op(meta: Dict, col: str) -> None:
+    if col in ("documentid", "doc_bucket"):
+        raise ValueError(f"column {col!r} is structural and cannot be "
+                         "renamed or dropped")
+    import re as _re
+
+    for cname, expr in meta["constraints"].items():
+        if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint "
+                f"{cname!r}; drop the constraint first")
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """Metadata-only column RENAME (Delta column-mapping analog): data
+    files keep their frozen physical names, the manifest schema adopts
+    the new logical name, and reads/writes map through the recorded
+    logical->physical table. O(manifest) at any size; no file is read or
+    rewritten. Time travel to pre-rename versions shows the old name.
+    Once a table has renamed or dropped a column, NEW columns get
+    fresh physical names (re-adding a retired name never resurrects its
+    buried bytes). ``documentid`` is structural and cannot move;
+    columns referenced by CHECK constraints must be un-constrained
+    first. Streaming sources and Delta export gate loudly on mapped
+    tables (same restriction family as Delta's columnMapping+CDF)."""
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    _guard_colmap_op(meta, old)
+    names = [f["name"] for f in meta["schema"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {table}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists in {table}")
+    cm = meta["colmap"] if meta.get("colmap") is not None else {}
+    phys = cm.pop(old, old)
+    if phys != new:
+        cm[new] = phys
+    meta["colmap"] = cm  # mapping mode is ON from here, even if empty
+    for f in meta["schema"]:
+        if f["name"] == old:
+            f["name"] = new
+    meta["bloom_cols"] = [new if c == old else c for c in meta["bloom_cols"]]
+    buckets = {b: list(v) for b, v in manifest["buckets"].items()}
+    return _commit(table, manifest["version"] + 1, buckets,
+                   expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets), op="RENAME_COLUMN")
+
+
+def drop_column(table: str, col: str) -> int:
+    """Metadata-only column DROP: the field leaves the schema (reads
+    stop selecting it — trusted-schema scans never touch the bytes), the
+    mapping entry retires, and data files are untouched until a rewrite
+    (compact/OPTIMIZE) naturally ages the bytes out. A later re-add of
+    the same name is a NEW column (fresh physical name, nulls for old
+    rows). Same guards as :func:`rename_column`."""
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    _guard_colmap_op(meta, col)
+    names = [f["name"] for f in meta["schema"]]
+    if col not in names:
+        raise ValueError(f"no column {col!r} in {table}")
+    cm = meta["colmap"] if meta.get("colmap") is not None else {}
+    cm.pop(col, None)
+    meta["colmap"] = cm
+    meta["schema"] = [f for f in meta["schema"] if f["name"] != col]
+    meta["bloom_cols"] = [c for c in meta["bloom_cols"] if c != col]
+    buckets = {b: list(v) for b, v in manifest["buckets"].items()}
+    return _commit(table, manifest["version"] + 1, buckets,
+                   expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets), op="DROP_COLUMN")
+
+
 def pair_update_images(changes: DataFrame) -> DataFrame:
     """Relabel a change feed's update pairs with Delta CDF's richer
     types: a documentid that has BOTH a delete and an insert in the same
@@ -1836,6 +1969,7 @@ def metadata_minmax(spark, table: str, cols: List[str],
     out: Dict[str, tuple] = {}
     need_scan = []
     for c in cols:
+        pc = _phys_name(meta, c)  # stats key by physical name
         ranges, provable = [], not live
         for n in files:
             st = meta["stats"].get(n)
@@ -1844,7 +1978,7 @@ def metadata_minmax(spark, table: str, cols: List[str],
                 break
             if st.get("rows") == 0:
                 continue
-            rng = (st.get("cols") or {}).get(c)
+            rng = (st.get("cols") or {}).get(pc)
             if rng is None:
                 provable = False
                 break
@@ -2180,7 +2314,8 @@ def optimize_zorder(spark, table: str, by: List[str], bits: int = 12,
     new_buckets = _write_bucket_files(clustered, table, token,
                                       stats=meta["stats"],
                                       split_col="_zslice", sort_col="_zkey",
-                                      bloom_cols=meta["bloom_cols"])
+                                      bloom_cols=meta["bloom_cols"],
+                                      colmap=meta["colmap"])
     if subset is None:
         buckets = new_buckets
         meta["seq"] = {n: version for ns in new_buckets.values() for n in ns}

@@ -57,6 +57,23 @@ __all__ = ["LakehouseChangesDataSource", "LakehouseTableDataSource",
 _FORMAT_NAME = "lakehouse_table"
 
 
+def _reject_column_mapping(table: str) -> None:
+    """Streaming readers scan data files executor-side by their PHYSICAL
+    parquet names; a renamed/dropped-column table would leak physical
+    names into user-facing frames. Gate loudly (the same restriction
+    family Delta applies to columnMapping + CDF streaming)."""
+    from ..sinks import manifest_store as ms
+
+    v = ms.current_version(table)
+    if v is None:
+        return
+    if "colmap" in ms.read_manifest(table, v):
+        raise NotImplementedError(
+            f"{table} uses column mapping (a column was renamed or "
+            "dropped); streaming sources do not yet translate physical "
+            "file columns — read it in batch via read_table/table_diff")
+
+
 def _read_arrow_file(path: str):
     import pyarrow.parquet as pq
 
@@ -91,6 +108,7 @@ class _TableStreamReader(DataSourceStreamReader):
         if not self._table:
             raise ValueError("lakehouse_table source requires a path "
                              "(readStream.load(<table>) or .option('path', …))")
+        _reject_column_mapping(self._table)
         sv = options.get("startingversion")
         self._starting_version: Optional[int] = None if sv is None else int(sv)
         self._skip_changes = str(
@@ -349,6 +367,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self._table = options.get("path") or options.get("table")
         if not self._table:
             raise ValueError("lakehouse_changes source requires a path")
+        _reject_column_mapping(self._table)
         self._start = int(options.get("startingversion", "0"))
         self._skip_rewrites = str(
             options.get("skiprewrites", "false")).lower() == "true"

@@ -1792,3 +1792,71 @@ def test_null_count_stats_skipping(spark, tmp_path):
     want = ms.read_table(spark, t).filter(
         "url IS NOT NULL AND documentid > '250'")
     assert got.count() == want.count() > 0
+
+
+def test_rename_drop_column_mapping(spark, tmp_path):
+    """Metadata-only RENAME/DROP: values survive a rename across old and
+    new files (frozen physical names), stats skipping works on the new
+    logical name, time travel shows the old name, a re-added dropped
+    name is a fresh column, and structural/constraint guards hold."""
+    import dataingestion_spark.sinks.manifest_store as ms
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "cm")
+    mk = lambda a, b, col: spark.range(a, b).select(  # noqa: E731
+        F.col("id").cast("string").alias("documentid"),
+        F.col("id").alias(col),
+        F.concat(F.lit("s"), "id").alias("tag"))
+    ms.write_table(mk(0, 100, "score"), t)
+    v_pre = ms.current_version(t)
+    ms.rename_column(t, "score", "points")
+    got = ms.read_table(spark, t)
+    assert "points" in got.columns and "score" not in got.columns
+    assert got.filter("documentid = '7'").collect()[0].points == 7
+    # writes after the rename: logical batch, physical files
+    ms.append_table(mk(100, 150, "points"), t)
+    df = ms.read_table(spark, t)
+    assert df.count() == 150
+    assert df.filter("documentid = '120'").collect()[0].points == 120
+    # stats skipping + metadata minmax on the LOGICAL name
+    _, chosen = ms.candidate_files_where(t, [("points", ">=", 120)])
+    n_all = sum(len(v) for v in ms.read_manifest(t)["buckets"].values())
+    assert 0 < sum(len(v) for v in chosen.values()) < n_all
+    assert ms.read_table_where(spark, t, [("points", ">=", 120)]).count() == 30
+    assert ms.metadata_minmax(None, t, ["points"])["points"] == (0, 149)
+    # time travel to the pre-rename version shows the old name
+    assert "score" in ms.read_table(spark, t, version=v_pre).columns
+    # merge + DVs still work through the mapping
+    upd = mk(0, 10, "points").withColumn("points", F.col("points") + 1000)
+    ms.merge_table(upd, t)
+    assert ms.read_table(spark, t).filter("documentid = '3'") \
+        .collect()[0].points == 1003
+    # DROP then re-add: old bytes stay buried (nulls for old rows)
+    ms.drop_column(t, "tag")
+    assert "tag" not in ms.read_table(spark, t).columns
+    ms.append_table(mk(150, 160, "points").withColumn(
+        "tag", F.lit("fresh")), t)
+    back = ms.read_table(spark, t)
+    assert back.filter("documentid = '5'").collect()[0].tag is None
+    assert back.filter("documentid = '155'").collect()[0].tag == "fresh"
+    # compaction rewrites through the mapping and preserves everything
+    ms.compact(spark, t, max_files_per_bucket=1)
+    after = ms.read_table(spark, t)
+    assert after.count() == 160
+    assert after.filter("documentid = '3'").collect()[0].points == 1003
+    assert after.filter("documentid = '155'").collect()[0].tag == "fresh"
+    # guards
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="structural"):
+        ms.rename_column(t, "documentid", "id")
+    ms.add_constraint(spark, t, "pos", "points >= 0")
+    with _pytest.raises(ValueError, match="constraint"):
+        ms.rename_column(t, "points", "score")
+    # streaming + delta export gate loudly on mapped tables
+    from dataingestion_spark.streaming.table_source import stream_table
+    with _pytest.raises(Exception, match="column mapping"):
+        stream_table(spark, t).writeStream.format("noop") \
+            .trigger(availableNow=True).start().awaitTermination()
+    from dataingestion_spark.interop.delta import export_delta
+    with _pytest.raises(NotImplementedError, match="column mapping"):
+        export_delta(spark, t, str(tmp_path / "d"))
