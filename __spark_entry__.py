@@ -7131,6 +7131,41 @@ def q_lakehouse_change_stream(spark, sf):
         F.col("_commit_version").alias("commit_v"))
 
 
+def q_lakehouse_rename_column(spark, sf):
+    """Metadata-only column RENAME (sinks/manifest_store.py::
+    rename_column — Delta column-mapping analog): events commit as a
+    table, `value` renames to `amount` (no file touched), an UPDATE and
+    an append land THROUGH the mapping (logical batch, frozen physical
+    file names), and the final read + a stats-pruned filter both speak
+    the new name. The oracle restates the mutations."""
+    import tempfile
+
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias("documentid"),
+        "user_id", (F.round("value", 6) + F.lit(0.0)).alias("value"))
+    table = tempfile.mkdtemp(prefix="rn_lh_") + "/t"
+    ms.write_table(ev.filter(F.col("user_id") % 2 == 0), table)
+    ms.rename_column(table, "value", "amount")
+    ms.update_where(spark, table, [("user_id", "<", 10)],
+                    {"amount": "amount + 1000"})
+    ms.append_table(
+        ev.filter(F.col("user_id") % 2 != 0)
+        .withColumnRenamed("value", "amount"), table)
+    return ms.read_table(spark, table).select(
+        "documentid", "user_id", "amount")
+
+
+ORACLE_RENAME_COLUMN = """
+SELECT CAST(event_id AS VARCHAR) AS documentid, user_id,
+       round(value, 6) + 0.0
+         + CASE WHEN user_id % 2 = 0 AND user_id < 10
+                THEN 1000 ELSE 0 END AS amount
+FROM events
+"""
+
+
 def q_lakehouse_history_stream(spark, sf):
     """CDC feed -> SCD Type 2 history (streaming/pipeline.py::
     stream_history + sinks/scd.py tombstones): the source table takes a
@@ -8059,6 +8094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_meta_minmax": q_lakehouse_meta_minmax,
         # --- entries 51+: remaining never-driver-sampled (r7 queue) ---
         "lakehouse_history_stream": q_lakehouse_history_stream,
+        "lakehouse_rename_column": q_lakehouse_rename_column,
         "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
         "search_topk_ivf_filtered": q_topk_ivf_filtered,
         "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
@@ -8438,6 +8474,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_update_where": ORACLE_UPDATE_WHERE,
         "lakehouse_meta_minmax": ORACLE_META_MINMAX,
         "lakehouse_history_stream": ORACLE_HISTORY_STREAM,
+        "lakehouse_rename_column": ORACLE_RENAME_COLUMN,
         "lakehouse_scd2_merge": ORACLE_SCD2,
         "lakehouse_stream_read": ORACLE_STREAM_READ,
         "lakehouse_delta_roundtrip": ORACLE_DELTA_ROUNDTRIP,
