@@ -70,6 +70,31 @@ def _spark_schema_from_manifest(meta: Dict) -> T.StructType:
     return T.StructType.fromJson({"type": "struct", "fields": meta["schema"]})
 
 
+def _schema_string(meta: Dict) -> str:
+    """metaData.schemaString for a manifest table: plain Spark schema
+    JSON, plus per-field ``delta.columnMapping.id``/``physicalName``
+    metadata when the table has renamed/dropped columns (its files carry
+    frozen physical names — exactly Delta's columnMapping.mode=name)."""
+    fields = meta["schema"]
+    if meta.get("colmap") is None:
+        return json.dumps({"type": "struct", "fields": fields})
+    cm = meta["colmap"]
+    out = []
+    for i, f in enumerate(fields):
+        md = dict(f.get("metadata") or {})
+        md["delta.columnMapping.id"] = i + 1
+        md["delta.columnMapping.physicalName"] = cm.get(f["name"], f["name"])
+        out.append({**f, "metadata": md})
+    return json.dumps({"type": "struct", "fields": out})
+
+
+def _mapping_config(meta: Dict) -> Dict[str, str]:
+    if meta.get("colmap") is None:
+        return {}
+    return {"delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(meta["schema"]))}
+
+
 def _delta_stats(file_stats: Optional[Dict]) -> Optional[str]:
     """Manifest per-file stats -> Delta's ``add.stats`` JSON string."""
     if not file_stats or "rows" not in file_stats:
@@ -119,11 +144,6 @@ def export_delta(spark: SparkSession, table: str, dst: str, *,
     from ..sinks import manifest_store as ms
     from ..sinks.data_backend import data_backend_for
 
-    if "colmap" in ms.read_manifest(table, version):
-        raise NotImplementedError(
-            f"{table} uses column mapping (renamed/dropped columns); "
-            "Delta export does not yet emit columnMapping metadata — "
-            "compact-rewrite or export from a pre-rename version")
 
     if mode not in ("copy", "shallow"):
         raise ValueError(f"mode must be 'copy' or 'shallow', got {mode!r}")
@@ -154,15 +174,17 @@ def export_delta(spark: SparkSession, table: str, dst: str, *,
     import time as _time
 
     now_ms = int(_time.time() * 1000)
+    mapped = meta.get("colmap") is not None
     actions: List[str] = [
-        json.dumps({"protocol": {"minReaderVersion": 1,
-                                 "minWriterVersion": 2}}),
+        json.dumps({"protocol": (
+            {"minReaderVersion": 2, "minWriterVersion": 5} if mapped
+            else {"minReaderVersion": 1, "minWriterVersion": 2})}),
         json.dumps({"metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(schema.jsonValue()),
+            "schemaString": _schema_string(meta),
             "partitionColumns": [],
-            "configuration": {},
+            "configuration": _mapping_config(meta),
             "createdTime": now_ms,
         }}),
     ]
@@ -221,10 +243,6 @@ def mirror_delta(spark: SparkSession, table: str, dst: str, *,
     from ..sinks.commit_backend import backend_for
     from ..sinks.data_backend import data_backend_for
 
-    if "colmap" in ms.read_manifest(table):
-        raise NotImplementedError(
-            f"{table} uses column mapping (renamed/dropped columns); "
-            "Delta mirroring does not yet emit columnMapping metadata")
     log_dir = f"{dst.rstrip('/')}/{_LOG_DIR}"
     cbe = backend_for(dst)
     if cbe.read_text(f"{log_dir}/{_commit_name(0)}") is None:
@@ -253,9 +271,12 @@ def mirror_delta(spark: SparkSession, table: str, dst: str, *,
     removed = [prev_by_name[n] for n in sorted(set(prev_by_name) - set(now_names))]
     added = sorted(set(now_names) - set(prev_by_name))
 
-    schema = _spark_schema_from_manifest(meta)
-    schema_str = json.dumps(schema.jsonValue())
-    schema_changed = state["metaData"].get("schemaString") != schema_str
+    schema_str = _schema_string(meta)
+    want_cfg = {**(state["metaData"].get("configuration") or {}),
+                **_mapping_config(meta)}
+    schema_changed = (
+        state["metaData"].get("schemaString") != schema_str
+        or (state["metaData"].get("configuration") or {}) != want_cfg)
 
     version = state["lastDeltaVersion"] + 1
     if not removed and not added and not schema_changed:
@@ -271,6 +292,11 @@ def mirror_delta(spark: SparkSession, table: str, dst: str, *,
     if schema_changed:
         md = dict(state["metaData"])
         md["schemaString"] = schema_str
+        md["configuration"] = want_cfg
+        if meta.get("colmap") is not None:
+            # mapping requires the columnMapping protocol level
+            actions.append(json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}))
         actions.append(json.dumps({"metaData": md}))
     for p in removed:
         actions.append(json.dumps({"remove": {

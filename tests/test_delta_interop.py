@@ -416,3 +416,52 @@ def test_vacuum_delta_removes_old_unreferenced(spark, tmp_path):
         assert not os.path.exists(os.path.join(dst, p))
     # table still reads fully after vacuum
     assert read_delta(spark, dst).count() == 30
+
+
+def test_export_column_mapped_table_roundtrip(spark, tmp_path):
+    """A renamed-column table exports with real columnMapping metadata
+    (mode=name, per-field physicalName, reader v2) and read_delta
+    round-trips it under logical names; mirror_delta upgrades an
+    existing unmapped export in place when the source renames."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.interop.delta import (
+        export_delta, mirror_delta, read_delta,
+    )
+    from dataingestion_spark.sinks import manifest_store as ms
+
+    t = str(tmp_path / "src")
+    df = spark.range(0, 80).select(
+        F.col("id").cast("string").alias("documentid"),
+        F.col("id").alias("score"))
+    ms.write_table(df, t)
+    d0 = str(tmp_path / "mirror")
+    export_delta(spark, t, d0, mode="copy")          # unmapped export
+
+    ms.rename_column(t, "score", "points")
+    ms.append_table(spark.range(80, 100).select(
+        F.col("id").cast("string").alias("documentid"),
+        F.col("id").alias("points")), t)
+
+    # fresh export of the mapped table
+    d1 = str(tmp_path / "mapped")
+    export_delta(spark, t, d1, mode="copy")
+    log0 = json.loads(
+        open(f"{d1}/_delta_log/{0:020d}.json").read().splitlines()[1])
+    cfg = log0["metaData"]["configuration"]
+    assert cfg["delta.columnMapping.mode"] == "name"
+    fields = json.loads(log0["metaData"]["schemaString"])["fields"]
+    by_name = {f["name"]: f["metadata"] for f in fields}
+    assert by_name["points"]["delta.columnMapping.physicalName"] == "score"
+    back = read_delta(spark, d1)
+    assert "points" in back.columns and "score" not in back.columns
+    assert back.count() == 100
+    assert back.filter("documentid = '90'").collect()[0].points == 90
+
+    # incremental mirror upgrades the pre-rename export in place
+    mirror_delta(spark, t, d0)
+    back0 = read_delta(spark, d0)
+    assert "points" in back0.columns and back0.count() == 100
+    assert back0.filter("documentid = '7'").collect()[0].points == 7
