@@ -57,21 +57,18 @@ __all__ = ["LakehouseChangesDataSource", "LakehouseTableDataSource",
 _FORMAT_NAME = "lakehouse_table"
 
 
-def _reject_column_mapping(table: str) -> None:
-    """Streaming readers scan data files executor-side by their PHYSICAL
-    parquet names; a renamed/dropped-column table would leak physical
-    names into user-facing frames. Gate loudly (the same restriction
-    family Delta applies to columnMapping + CDF streaming)."""
+def _physical_map(table: str) -> Dict[str, str]:
+    """logical -> PHYSICAL column names of a renamed/dropped-column
+    table ({} = identity). Captured once at stream start: physical names
+    are FROZEN when assigned, so one map is correct for every commit the
+    stream will read — the stream's output schema is pinned at start
+    anyway (a mid-stream rename changes future streams, not this one)."""
     from ..sinks import manifest_store as ms
 
     v = ms.current_version(table)
     if v is None:
-        return
-    if "colmap" in ms.read_manifest(table, v):
-        raise NotImplementedError(
-            f"{table} uses column mapping (a column was renamed or "
-            "dropped); streaming sources do not yet translate physical "
-            "file columns — read it in batch via read_table/table_diff")
+        return {}
+    return dict(ms.read_manifest(table, v).get("colmap") or {})
 
 
 def _read_arrow_file(path: str):
@@ -108,7 +105,7 @@ class _TableStreamReader(DataSourceStreamReader):
         if not self._table:
             raise ValueError("lakehouse_table source requires a path "
                              "(readStream.load(<table>) or .option('path', …))")
-        _reject_column_mapping(self._table)
+        self._physmap = _physical_map(self._table)
         sv = options.get("startingversion")
         self._starting_version: Optional[int] = None if sv is None else int(sv)
         self._skip_changes = str(
@@ -246,7 +243,9 @@ class _TableStreamReader(DataSourceStreamReader):
         # documentid when DVs must be applied
         pf = pq.ParquetFile(partition.path)
         avail = set(pf.schema_arrow.names)
-        need = [f.name for f in target if f.name in avail]
+        # files carry frozen PHYSICAL names on renamed-column tables
+        phys = lambda n: self._physmap.get(n, n)  # noqa: E731
+        need = [phys(f.name) for f in target if phys(f.name) in avail]
         if kills and "documentid" in avail and "documentid" not in need:
             need = ["documentid"] + need
         tbl = pf.read(columns=need) if need else pf.read()
@@ -256,8 +255,8 @@ class _TableStreamReader(DataSourceStreamReader):
             tbl = tbl.filter(pc.invert(mask))
         cols = []
         for field in target:
-            if field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type))
+            if phys(field.name) in tbl.column_names:
+                cols.append(tbl.column(phys(field.name)).cast(field.type))
             else:  # file predates a schema-evolution column
                 cols.append(pa.nulls(tbl.num_rows, field.type))
         out = pa.Table.from_arrays(
@@ -367,7 +366,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self._table = options.get("path") or options.get("table")
         if not self._table:
             raise ValueError("lakehouse_changes source requires a path")
-        _reject_column_mapping(self._table)
+        self._physmap = _physical_map(self._table)
         self._start = int(options.get("startingversion", "0"))
         self._skip_rewrites = str(
             options.get("skiprewrites", "false")).lower() == "true"
@@ -464,11 +463,13 @@ class _ChangesStreamReader(DataSourceStreamReader):
         data_fields = [f for f in target
                        if f.name not in ("_change_type", "_commit_version")]
 
+        phys = lambda n: self._physmap.get(n, n)  # noqa: E731
+
         def conform(tbl, change_type, version):
             cols = []
             for f in data_fields:
-                if f.name in tbl.column_names:
-                    c = tbl.column(f.name).cast(f.type)
+                if phys(f.name) in tbl.column_names:
+                    c = tbl.column(phys(f.name)).cast(f.type)
                     cols.append(c.combine_chunks()
                                 if isinstance(c, pa.ChunkedArray) else c)
                 else:

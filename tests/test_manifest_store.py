@@ -1852,10 +1852,15 @@ def test_rename_drop_column_mapping(spark, tmp_path):
     ms.add_constraint(spark, t, "pos", "points >= 0")
     with _pytest.raises(ValueError, match="constraint"):
         ms.rename_column(t, "points", "score")
-    # streaming gates loudly on mapped tables (executor file reads would
-    # leak physical names); Delta export handles them via columnMapping
-    # (round-trip pinned in tests/test_delta_interop.py)
+    # streaming reads translate frozen physical file names back to the
+    # logical schema (Delta export does the same via columnMapping —
+    # round-trip pinned in tests/test_delta_interop.py)
     from dataingestion_spark.streaming.table_source import stream_table
-    with _pytest.raises(Exception, match="column mapping"):
-        stream_table(spark, t).writeStream.format("noop") \
-            .trigger(availableNow=True).start().awaitTermination()
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    (stream_table(spark, t).writeStream.format("parquet")
+     .option("path", sink).option("checkpointLocation", ckpt)
+     .trigger(availableNow=True).start().awaitTermination())
+    streamed = spark.read.parquet(sink)
+    assert streamed.count() == 160
+    assert streamed.filter("documentid = '3'").collect()[0].points == 1003
+    assert streamed.filter("documentid = '155'").collect()[0].tag == "fresh"
