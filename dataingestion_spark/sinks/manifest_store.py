@@ -2389,6 +2389,7 @@ def bucket_drift(table: str, by: List[str]) -> Dict[str, float]:
 
 def _files_overlap(meta: Dict, na: str, nb: str, by: List[str]) -> bool:
     for c in by:
+        c = _phys_name(meta, c)  # stats key by physical name
         a = meta["stats"].get(na, {}).get("cols", {}).get(c)
         b = meta["stats"].get(nb, {}).get("cols", {}).get(c)
         if a is None or b is None:
