@@ -6022,6 +6022,43 @@ ORDER BY e, doc_id LIMIT 100
 """
 
 
+def q_hybrid_indexed(spark, sf):
+    """Hybrid retrieval served ENTIRELY from persisted indexes
+    (sinks/text_index.py::hybrid_search_indexed): inverted-index BM25 +
+    IVF ANN fused by RRF. With every centroid probed the vector side is
+    exact, so the result is bit-identical to the non-indexed
+    bm25_topk+topk_cosine+rrf composition and the SAME SQL oracle pins
+    the whole build→persist→prune→fuse path."""
+    import tempfile
+
+    from dataingestion_spark.sinks.text_index import (
+        hybrid_search_indexed, write_text_index,
+    )
+    from dataingestion_spark.sinks.vector_index import build_ivf_index
+
+    e = _t(spark, sf, "embeddings")
+    n = e.count()
+    stride = max(1, n // 8)
+    rows = (
+        e.withColumn("rn", F.row_number().over(W.orderBy(F.asc("vec_id"))))
+        .filter((F.col("rn") - 1) % stride == 0)
+        .orderBy("rn").limit(8).select("rn", "embedding").collect()
+    )
+    cents = [(int(r["rn"]), [float(x) for x in r["embedding"]]) for r in rows]
+    tmp = tempfile.mkdtemp(prefix="hyb_idx_")
+    vpath, tpath = tmp + "/v", tmp + "/t"
+    build_ivf_index(e, vpath, centroids=cents)
+    write_text_index(_t(spark, sf, "documents"), tpath)
+    vq = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    fused = hybrid_search_indexed(
+        spark, tpath, vpath, _bm25_queries_df(spark), vq,
+        k=10, per_side_k=20, n_probe=len(cents))
+    return fused.select(
+        "query_id", "rank", "doc_id", F.round("rrf_score", 9).alias("rrf_r"))
+
+
 def q_topk_ivf_persisted(spark, sf):
     """Persisted IVF index (sinks/vector_index.py): build with the same
     deterministic stride centroids as search_topk_ivf, write the lists
@@ -8095,6 +8132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+: remaining never-driver-sampled (r7 queue) ---
         "lakehouse_history_stream": q_lakehouse_history_stream,
         "lakehouse_rename_column": q_lakehouse_rename_column,
+        "search_hybrid_indexed": q_hybrid_indexed,
         "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
         "search_topk_ivf_filtered": q_topk_ivf_filtered,
         "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
@@ -8475,6 +8513,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_meta_minmax": ORACLE_META_MINMAX,
         "lakehouse_history_stream": ORACLE_HISTORY_STREAM,
         "lakehouse_rename_column": ORACLE_RENAME_COLUMN,
+        "search_hybrid_indexed": ORACLE_HYBRID_RRF,
         "lakehouse_scd2_merge": ORACLE_SCD2,
         "lakehouse_stream_read": ORACLE_STREAM_READ,
         "lakehouse_delta_roundtrip": ORACLE_DELTA_ROUNDTRIP,
