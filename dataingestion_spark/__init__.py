@@ -141,6 +141,7 @@ from .operators.graph import pagerank, triangle_count  # noqa: E402,F401
 from .operators.urls import parse_robots, robots_disallowed  # noqa: E402,F401
 from .sinks.manifest_store import (  # noqa: E402,F401
     add_constraint,
+    analyze_table,
     clone_table,
     delete_where,
     drop_column,

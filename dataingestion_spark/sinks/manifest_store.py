@@ -279,7 +279,10 @@ def _commit(table: str, version: int, buckets: Dict[str, List[str]],
     import time as _time
 
     state = {"version": version, "buckets": buckets,
-             "ts": round(_time.time(), 3),
+             # FLOOR to ms, never round up: a commit's recorded time must
+             # not exceed any wall-clock reading taken after it returns
+             # (TIMESTAMP AS OF with a just-taken stamp must see it)
+             "ts": int(_time.time() * 1000) / 1000,
              **({"op": op} if op else {}),
              **(extra or {})}
     doc = state
@@ -313,6 +316,59 @@ def _commit(table: str, version: int, buckets: Dict[str, List[str]],
         )
     be.put_atomic(_join(table, _CURRENT), str(version))
     return version
+
+
+def _arrow_file_stats(tbl, bloom_cols: Optional[List[str]] = None) -> Dict:
+    """Per-file pruning stats of an arrow table: documentid [min,max] +
+    row count + id bloom, per-column [min,max] + null counts for data
+    skipping (Delta-style: primitive columns only, JSON-safe values,
+    first 32 columns; failures skip the column — a file without stats is
+    always read, never wrongly skipped), plus blooms for the declared
+    columns. Shared by the bucket writer's emit path (stats computed in
+    the same pass that writes the file, zero extra IO) and
+    :func:`analyze_table` (back-fill without rewriting)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vals = tbl["documentid"].to_pylist()
+    if not vals:
+        return {"rows": 0}
+    stat: Dict = {"min": min(vals), "max": max(vals),
+                  "rows": len(vals), "bloom": _bloom_build(vals)}
+    cols: Dict = {}
+    nulls: Dict = {}
+    for fld in list(tbl.schema)[:32]:
+        if fld.name in ("documentid", "doc_bucket"):
+            continue
+        t = fld.type
+        ok = (pa.types.is_integer(t)
+              or pa.types.is_floating(t)
+              or pa.types.is_string(t)
+              or pa.types.is_large_string(t)
+              or pa.types.is_boolean(t))
+        if not ok:
+            continue
+        try:
+            mm = pc.min_max(tbl[fld.name])
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is not None and hi is not None:
+                cols[fld.name] = [lo, hi]
+            # null count in the same pass (Delta's nullCount): drives
+            # IS [NOT] NULL skipping
+            nulls.setdefault(fld.name, tbl[fld.name].null_count)
+        except Exception:
+            pass
+    if cols:
+        stat["cols"] = cols
+    if nulls:
+        stat["nulls"] = nulls
+    for bc in bloom_cols or []:
+        if bc not in tbl.column_names:
+            continue
+        bvals = [str(x) for x in tbl[bc].to_pylist() if x is not None]
+        if bvals:
+            stat.setdefault("blooms", {})[bc] = _bloom_build(bvals)
+    return stat
 
 
 def _write_bucket_files(records: DataFrame, table: str, token: str,
@@ -434,56 +490,7 @@ def _write_bucket_files(records: DataFrame, table: str, token: str,
             st = ""
             if with_stats and "documentid" in tbl.column_names:
                 try:  # stats are an optimization, never a correctness gate
-                    vals = tbl["documentid"].to_pylist()
-                    stat = ({"min": min(vals), "max": max(vals),
-                             "rows": len(vals), "bloom": _bloom_build(vals)}
-                            if vals else {"rows": 0})
-                    # per-column min/max for data skipping (Delta-style):
-                    # primitive columns only, JSON-safe values, capped at
-                    # the first 32 columns; failures skip the column —
-                    # a file without stats is always read, never wrongly
-                    # skipped
-                    if vals:
-                        cols = {}
-                        nulls = {}
-                        for fld in list(tbl.schema)[:32]:
-                            if fld.name in ("documentid", "doc_bucket"):
-                                continue
-                            t = fld.type
-                            ok = (pa.types.is_integer(t)
-                                  or pa.types.is_floating(t)
-                                  or pa.types.is_string(t)
-                                  or pa.types.is_large_string(t)
-                                  or pa.types.is_boolean(t))
-                            if not ok:
-                                continue
-                            try:
-                                mm = pc.min_max(tbl[fld.name])
-                                lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                                if lo is not None and hi is not None:
-                                    cols[fld.name] = [lo, hi]
-                                # null count in the same pass (Delta's
-                                # nullCount): drives IS [NOT] NULL skipping
-                                nulls.setdefault(
-                                    fld.name, tbl[fld.name].null_count)
-                            except Exception:
-                                pass
-                        if cols:
-                            stat["cols"] = cols
-                        if nulls:
-                            stat["nulls"] = nulls
-                    if vals and bloom_cols:
-                        blooms = {}
-                        for bc in bloom_cols:
-                            if bc not in tbl.column_names:
-                                continue
-                            bvals = [str(x) for x in tbl[bc].to_pylist()
-                                     if x is not None]
-                            if bvals:
-                                blooms[bc] = _bloom_build(bvals)
-                        if blooms:
-                            stat["blooms"] = blooms
-                    st = _json.dumps(stat)
+                    st = _json.dumps(_arrow_file_stats(tbl, bloom_cols))
                 except Exception:
                     st = ""
             buckets_o.append(str(b))
@@ -2563,6 +2570,80 @@ def set_bloom_columns(table: str, cols: List[str]) -> int:
     return _commit(table, manifest["version"] + 1, buckets,
                    expected_current=manifest["version"],
                    extra=_prune_meta(meta, buckets), op="SET_BLOOM_COLUMNS")
+
+
+def analyze_table(spark, table: str) -> int:
+    """ANALYZE: back-fill pruning stats for files that lack them —
+    WITHOUT rewriting any data (compaction also back-fills, but only by
+    rewriting; this is the read-only path for legacy/pre-stats files,
+    files missing per-column ranges, and files written before
+    :func:`set_bloom_columns` declared their columns). One task per gap
+    file computes the same stats the bucket writer emits inline
+    (:func:`_arrow_file_stats`), then one metadata commit records them.
+    O(gap files) read, zero writes to the data plane; a no-op (current
+    version) when nothing is missing."""
+    manifest = read_manifest(table)
+    meta = _manifest_meta(manifest)
+    names = [n for ns in manifest["buckets"].values() for n in ns]
+    bloom_cols = [
+        _phys_name(meta, c) for c in meta["bloom_cols"]]
+
+    def gap(n: str) -> bool:
+        st = meta["stats"].get(n)
+        if st is None:
+            return True
+        if st.get("rows") == 0:
+            return False
+        if "cols" not in st or "nulls" not in st:
+            return True
+        return any(bc not in (st.get("blooms") or {}) for bc in bloom_cols)
+
+    gaps = [n for n in names if gap(n)]
+    if not gaps:
+        return manifest["version"]
+    from .data_backend import data_backend_for
+
+    be = data_backend_for(table)
+    files_dir = _join(table, "files")
+    path_for = lambda n: meta["ext"].get(n) or _join(files_dir, n)  # noqa: E731
+    if be.spark_readable:
+        pdf = spark.createDataFrame([(n, path_for(n)) for n in gaps],
+                                    "name string, path string")
+
+        def compute(batches):
+            import pyarrow as pa
+            import pyarrow.parquet as pqt
+
+            for batch in batches:
+                out_n, out_s = [], []
+                for n, p in zip(batch.column("name").to_pylist(),
+                                batch.column("path").to_pylist()):
+                    out_n.append(n)
+                    out_s.append(json.dumps(_arrow_file_stats(
+                        pqt.read_table(p), bloom_cols)))
+                yield pa.RecordBatch.from_pydict(
+                    {"name": out_n, "stats": out_s})
+
+        rows = (pdf.repartition(min(len(gaps), 256))
+                .mapInArrow(compute, "name string, stats string").collect())
+        computed = {r["name"]: json.loads(r["stats"]) for r in rows}
+    else:  # driver-funneled backend (test-scale by contract)
+        import io
+
+        import pyarrow.parquet as pqt
+
+        computed = {}
+        for n in gaps:
+            data = be.read_bytes(path_for(n))
+            if data is None:
+                continue
+            computed[n] = _arrow_file_stats(
+                pqt.read_table(io.BytesIO(data)), bloom_cols)
+    meta["stats"].update(computed)
+    buckets = {b: list(ns) for b, ns in manifest["buckets"].items()}
+    return _commit(table, manifest["version"] + 1, buckets,
+                   expected_current=manifest["version"],
+                   extra=_prune_meta(meta, buckets), op="ANALYZE")
 
 
 def with_retries(fn, attempts: int = 6, base_backoff: float = 0.05):

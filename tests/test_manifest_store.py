@@ -1864,3 +1864,44 @@ def test_rename_drop_column_mapping(spark, tmp_path):
     assert streamed.count() == 160
     assert streamed.filter("documentid = '3'").collect()[0].points == 1003
     assert streamed.filter("documentid = '155'").collect()[0].tag == "fresh"
+
+
+def test_analyze_backfills_stats_without_rewrite(spark, tmp_path):
+    """analyze_table computes missing per-file stats (legacy statless
+    files, post-declaration blooms) in a read-only pass: file names are
+    unchanged, skipping starts working, a second call no-ops."""
+    import dataingestion_spark.sinks.manifest_store as ms
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "an")
+    df = spark.range(0, 300).select(
+        F.col("id").cast("string").alias("documentid"),
+        F.col("id").alias("v"),
+        F.concat(F.lit("u"), "id").alias("url"))
+    ms.write_table(df.filter("id < 100"), t)
+    ms.append_table(df.filter("id >= 100 AND id < 200"), t)
+    # simulate a legacy engine: strip ALL stats from the manifest
+    v = ms.current_version(t)
+    be = ms.backend_for(t)
+    m = ms.read_manifest(t, v)
+    m.pop("stats", None)
+    be.put_atomic(ms._manifest_path(t, v), json.dumps(m))
+    # declare blooms AFTER the fact: old files lack them too
+    ms.set_bloom_columns(t, ["url"])
+    ms.append_table(df.filter("id >= 200"), t)  # this commit HAS full stats
+    files_before = sorted(n for ns in ms.read_manifest(t)["buckets"].values()
+                          for n in ns)
+    assert ms.metadata_count(None if False else spark, t) == 300  # scan path
+    ver = ms.analyze_table(spark, t)
+    files_after = sorted(n for ns in ms.read_manifest(t)["buckets"].values()
+                         for n in ns)
+    assert files_after == files_before            # no rewrite
+    assert ms.metadata_count(None, t) == 300      # metadata-only now
+    assert ms.metadata_minmax(None, t, ["v"])["v"] == (0, 299)
+    # bloom skipping works for pre-declaration files after the backfill
+    _, chosen = ms.candidate_files_where(t, [("url", "=", "u50")])
+    n_all = len(files_before)
+    assert 0 < sum(len(v) for v in chosen.values()) < n_all
+    assert ms.read_table_where(spark, t, [("url", "=", "u50")]).count() == 1
+    # second call: nothing missing, no new version
+    assert ms.analyze_table(spark, t) == ver
