@@ -19,8 +19,12 @@ The standard lakehouse shape for a continuously-fed training corpus:
 Run: python examples/medallion_tour.py
 """
 
+import os
 import shutil
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
