@@ -950,6 +950,27 @@ def _file_may_match(stat: Dict, col: str, op: str, value) -> bool:
     return True
 
 
+def _cond_expr(conditions):
+    """Spark Column for conjunctive ``(col, op, literal)`` conditions —
+    the full ``_SKIP_OPS`` set including is_null/not_null (whose literal
+    slot is ignored)."""
+    cond = None
+    for c, op, v in conditions:
+        left = F.col(c)
+        if op == "is_null":
+            expr = left.isNull()
+        elif op == "not_null":
+            expr = left.isNotNull()
+        else:
+            try:
+                expr = {"=": left == v, "!=": left != v, "<": left < v,
+                        "<=": left <= v, ">": left > v, ">=": left >= v}[op]
+            except KeyError:
+                raise ValueError(f"unsupported condition op {op!r} on {c!r}")
+        cond = expr if cond is None else (cond & expr)
+    return cond
+
+
 def candidate_files_where(table: str, conditions, version: Optional[int] = None):
     """File names that may hold rows matching ALL ``conditions`` — each a
     ``(column, op, literal)`` tuple with op in ``= != < <= > >=`` —
@@ -1195,13 +1216,7 @@ def delete_where(spark, table: str, conditions) -> int:
     names = {n for ns in chosen.values() for n in ns}
     df = _read_files(spark, table, manifest, bucket_subset=chosen,
                      file_subset=names)
-    cond = None
-    for c, op, v in conditions:
-        left = F.col(c)
-        expr = {"=": left == v, "!=": left != v, "<": left < v,
-                "<=": left <= v, ">": left > v, ">=": left >= v}[op]
-        cond = expr if cond is None else (cond & expr)
-    hits = (df.filter(cond).select("documentid").distinct()
+    hits = (df.filter(_cond_expr(conditions)).select("documentid").distinct()
             .withColumn("doc_bucket", _bucket_col()))
     version = manifest["version"] + 1
     token = "x" + uuid.uuid4().hex[:7]
@@ -1237,13 +1252,7 @@ def update_where(spark, table: str, conditions,
     names = {n for ns in chosen.values() for n in ns}
     scan = _read_files(spark, table, manifest, bucket_subset=chosen,
                        file_subset=names)
-    cond = None
-    for c, op, v in conditions:
-        left = F.col(c)
-        expr = {"=": left == v, "!=": left != v, "<": left < v,
-                "<=": left <= v, ">": left > v, ">=": left >= v}[op]
-        cond = expr if cond is None else (cond & expr)
-    ids = scan.filter(cond).select("documentid").distinct()
+    ids = scan.filter(_cond_expr(conditions)).select("documentid").distinct()
     affected = sorted(str(r[0]) for r in
                       ids.withColumn("b", _bucket_col())
                       .select("b").distinct().collect())
@@ -1293,6 +1302,10 @@ def append_table(records: DataFrame, table: str, txn=None,
     token = uuid.uuid4().hex[:8]
     _seed_schema(records.sparkSession, table, manifest, meta)
     _schema_union(meta, records)
+    # the physical column names baked into the files below are fixed by
+    # THIS head's colmap; a rebase onto a head whose colmap differs (a
+    # concurrent rename/drop committed mid-append) cannot splice them in
+    written_colmap = None if meta["colmap"] is None else dict(meta["colmap"])
     new_buckets = _write_bucket_files(records, table, token,
                                       stats=meta["stats"],
                                       bloom_cols=meta["bloom_cols"],
@@ -1318,6 +1331,15 @@ def append_table(records: DataFrame, table: str, txn=None,
         if _txn_applied(manifest, txn):
             return manifest["version"]  # our files become vacuumable orphans
         meta = _manifest_meta(manifest)
+        head_colmap = None if meta["colmap"] is None else dict(meta["colmap"])
+        if head_colmap != written_colmap:
+            # Delta's metadata-changed conflict rule: the already-written
+            # files carry pre-change physical names — splicing them under
+            # the new map would silently null the renamed column on read
+            raise ConcurrentWriteError(
+                f"column mapping of {table} changed concurrently "
+                "(rename/drop committed during the append); re-run the "
+                "append against the new head")
         if meta["constraints"] != enforced:
             _enforce_constraints(records, meta["constraints"])
             enforced = dict(meta["constraints"])
@@ -2186,6 +2208,13 @@ def clone_table(src: str, dst: str, version: Optional[int] = None,
         shift = max(seqs.values()) + 1
         meta["seq"] = {n: v - shift for n, v in seqs.items()}
     extra = {k: v for k, v in meta.items() if v}
+    # colmap {} means "mapping mode, no renames yet" — dropping it via the
+    # falsy filter would clone into NON-mapping mode, and re-adding a
+    # previously dropped column name in the clone would resurrect the
+    # buried bytes from the shallow-referenced files (mirrors
+    # _prune_meta's `colmap is None` check)
+    if meta.get("colmap") is not None:
+        extra["colmap"] = meta["colmap"]
     extra.pop("txn", None)  # a clone starts with no writer watermarks
     extra["cloned_from"] = {"table": src, "version": man["version"],
                             "shallow": shallow}

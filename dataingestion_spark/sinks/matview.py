@@ -127,14 +127,17 @@ def refresh(spark, base_table: str, view_path: str,
             meta.get("del_files", []) == del_files and set(files) >= prev
         )
         old = spark.read.parquet(os.path.join(view_path, data_name))
-        if append_only and appended:
+        # A pre-_rows snapshot takes the FULL branch (which writes _rows
+        # for every group) rather than seeding NULLs: F.sum skips nulls,
+        # so groups untouched by this append would carry NULL _rows
+        # forever and the CDF branch's `_rows > 0` filter would silently
+        # drop them on the first delete.
+        if append_only and appended and "_rows" in old.columns:
             delta = ms._read_files(spark, base_table, manifest,
                                    file_subset=set(appended))
             partial = delta.groupBy(*group_cols).agg(
                 *_agg_exprs(aggs, merge=False),
                 F.count(F.lit(1)).alias("_rows"))
-            if "_rows" not in old.columns:  # pre-_rows snapshot: seed it
-                old = old.withColumn("_rows", F.lit(None).cast("long"))
             merged = (
                 old.unionByName(partial)
                 .groupBy(*group_cols)

@@ -524,15 +524,21 @@ def stream_table_pipeline(spark, src_table: str, dst_table: str,
     one call: TAIL ``src_table`` through the streaming table source
     (:func:`..streaming.table_source.stream_table` — snapshot first,
     then appended commits), apply ``transform`` (DataFrame -> DataFrame,
-    must keep ``documentid``) per micro-batch, and MERGE the result into
-    ``dst_table`` exactly-once (``(app, epoch)`` txn guard, so retried
-    batches are no-ops and re-running a drained pipeline commits
-    nothing). Batches whose transform yields no rows skip the commit.
+    must keep ``documentid``) per micro-batch, and apply the result to
+    ``dst_table`` as one replace-by-documentid commit exactly-once
+    (``(app, epoch)`` txn guard, so retried batches are no-ops and
+    re-running a drained pipeline commits nothing). The transform may
+    emit MULTIPLE rows per documentid (a chunker fans a document out) —
+    documents are whole replacement units everywhere in this store, so
+    the apply is :func:`..sinks.manifest_store.incremental_replace`
+    (``mode="dv"``, O(batch)), NOT a one-row-per-key MERGE, which would
+    silently truncate chunked documents to one arbitrary row. Batches
+    whose transform yields no rows skip the commit.
 
     Cost per sync is O(new commits): the source plans from manifest
-    diffs and the merge reads only the batch's pruned target buckets.
+    diffs and the replace writes the batch plus one deletion vector.
     Returns the StreamingQuery (``awaitTermination()`` it)."""
-    from ..sinks.manifest_store import merge_table
+    from ..sinks.manifest_store import incremental_replace
     from .table_source import stream_table
 
     src = stream_table(spark, src_table,
@@ -542,10 +548,9 @@ def stream_table_pipeline(spark, src_table: str, dst_table: str,
         out = transform(batch_df) if transform is not None else batch_df
         if "documentid" not in out.columns:
             raise ValueError("transform must keep the documentid column")
-        out = out.dropDuplicates(["documentid"])
         if out.isEmpty():
             return
-        merge_table(out, dst_table, txn=(app, epoch_id))
+        incremental_replace(out, dst_table, mode="dv", txn=(app, epoch_id))
 
     writer = (src.writeStream.outputMode("append")
               .foreachBatch(sink)
@@ -562,41 +567,58 @@ def stream_replicate(spark, src_table: str, dst_table: str,
     """Continuous replication off the streaming CHANGE FEED
     (:func:`..streaming.table_source.stream_changes`) — the streaming
     twin of :func:`..sinks.manifest_store.sync_table`: every micro-batch
-    applies its insert rows as an upsert MERGE and its pure-delete keys
-    (delete rows whose documentid has no insert in the same batch — an
-    update's delete half is superseded by its insert half) as a delete
-    MERGE, each exactly-once under its own ``(app, epoch)`` txn. The
-    replica follows UPDATES and DELETES, which plain ``stream_table``
-    tailing cannot. Cost per sync is O(changes).
+    applies its winning insert rows as one replace-by-documentid commit
+    (``incremental_replace(mode="dv")`` — multi-row/chunked documents
+    replace atomically, which a one-row-per-key MERGE cannot express;
+    same apply path as the batch twin) and its pure-delete keys (keys
+    whose last change in the batch is a delete) as a delete MERGE, each
+    exactly-once under its own ``(app, epoch)`` txn. The replica follows
+    UPDATES and DELETES, which plain ``stream_table`` tailing cannot.
+    Cost per sync is O(changes).
 
     A batch may span several source commits; within one batch the
-    last-written version of a document wins, which equals the source's
-    final state for that range (the feed is ordered per key by commit).
-    Returns the StreamingQuery."""
-    from ..sinks.manifest_store import merge_table
+    last-committed change of a document wins — selected per key as
+    ``max(struct(_commit_version, is_insert))`` (insert outranks delete
+    at the same version: an update's delete half is superseded by its
+    insert half), then joined back so ALL rows of the winning change
+    survive, not one arbitrary row. This equals the source's final
+    state for the commit range. Returns the StreamingQuery."""
+    from ..sinks.manifest_store import incremental_replace, merge_table
     from .table_source import stream_changes
 
     feed = stream_changes(spark, src_table, skip_rewrites=skip_rewrites)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         import pyspark.sql.functions as SF
-        from pyspark.sql.window import Window as W
 
         data_cols = [c for c in batch_df.columns
                      if c not in ("_change_type", "_commit_version")]
-        # last change per key in the batch decides its fate
-        w = W.partitionBy("documentid").orderBy(
-            SF.desc("_commit_version"),
-            # insert outranks delete at the same version (update pair)
-            SF.desc(SF.col("_change_type") == SF.lit("insert")))
-        last = (batch_df.withColumn("_rn", SF.row_number().over(w))
-                .filter(SF.col("_rn") == 1))
+        # winning (version, change_type) per key via map-side-combinable
+        # aggregation, then join back for ALL rows of that change — a
+        # row_number()==1 pick would truncate chunked documents
+        winners = (batch_df
+                   .withColumn("_ins", (SF.col("_change_type") == "insert")
+                               .cast("int"))
+                   .groupBy("documentid")
+                   .agg(SF.max(SF.struct("_commit_version", "_ins"))
+                        .alias("_w"))
+                   .select("documentid",
+                           SF.col("_w._commit_version").alias("_wv"),
+                           SF.col("_w._ins").alias("_wins")))
+        last = batch_df.join(
+            SF.broadcast(winners),
+            on=[batch_df["documentid"] == winners["documentid"],
+                batch_df["_commit_version"] == winners["_wv"],
+                (batch_df["_change_type"] == "insert").cast("int")
+                == winners["_wins"]],
+        ).drop(winners["documentid"]).localCheckpoint(eager=False)
         ins = last.filter(SF.col("_change_type") == "insert") \
             .select(*data_cols)
         dels = last.filter(SF.col("_change_type") == "delete") \
-            .select("documentid")
+            .select("documentid").distinct()
         if not ins.isEmpty():
-            merge_table(ins, dst_table, txn=(f"{app}-ins", epoch_id))
+            incremental_replace(ins, dst_table, mode="dv",
+                                txn=(f"{app}-ins", epoch_id))
         if not dels.isEmpty():
             merge_table(dels, dst_table, when_matched="delete",
                         when_not_matched=None,

@@ -156,3 +156,37 @@ def test_pair_update_images(spark, tmp_path):
     d = ms.pair_update_images(ms.table_diff(spark, table, 0, 1))
     kinds = {r._change_type for r in d.collect()}
     assert kinds == {"update_preimage", "update_postimage", "insert"}
+
+
+def test_stream_replicate_keeps_multirow_documents(spark, tmp_path):
+    """Chunked (multi-row) documents replicate WHOLE: every row of the
+    winning change lands in the replica, not one arbitrary row
+    (regression: the row_number()==1 winner pick silently truncated
+    multi-row documents to a single row)."""
+    from dataingestion_spark.streaming.pipeline import stream_replicate
+
+    src, dst, ckpt = (str(tmp_path / n) for n in ("src", "dst", "ckpt"))
+
+    def chunks(a, b, n, rev=1):
+        rows = [(str(i), c, i * 100 + c * 10 + rev)
+                for i in range(a, b) for c in range(n)]
+        return spark.createDataFrame(
+            rows, "documentid string, chunk int, v long")
+
+    ms.write_table(chunks(0, 10, 3), src)            # 10 docs x 3 chunks
+    q = stream_replicate(spark, src, dst, ckpt)
+    q.awaitTermination()
+    assert ms.read_table(spark, dst).count() == 30
+    # replace docs 0..4 with FOUR chunks each (multi-row whole-document
+    # replace), delete doc 9 — one replication pass must apply both
+    ms.incremental_replace(chunks(0, 5, 4, rev=2), src, mode="dv")
+    ms.delete_documents(spark, src, ["9"])
+    q = stream_replicate(spark, src, dst, ckpt)
+    q.awaitTermination()
+    a = ms.read_table(spark, src).select("documentid", "chunk", "v")
+    b = ms.read_table(spark, dst).select("documentid", "chunk", "v")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    got = ms.read_table(spark, dst)
+    assert got.filter(F.col("documentid") == "0").count() == 4
+    assert got.filter(F.col("documentid") == "9").count() == 0

@@ -1905,3 +1905,87 @@ def test_analyze_backfills_stats_without_rewrite(spark, tmp_path):
     assert ms.read_table_where(spark, t, [("url", "=", "u50")]).count() == 1
     # second call: nothing missing, no new version
     assert ms.analyze_table(spark, t) == ver
+
+
+def test_clone_preserves_empty_colmap(spark, tmp_path):
+    """A source in column-mapping mode with an EMPTY map (drop_column on
+    a never-renamed table) must clone into mapping mode too (regression:
+    the falsy meta filter dropped colmap={}, so re-adding the dropped
+    column name in a shallow clone resurrected the buried bytes from the
+    shared files)."""
+    src, dst = str(tmp_path / "cm-src"), str(tmp_path / "cm-dst")
+    mk = lambda a, b: spark.range(a, b).select(  # noqa: E731
+        F.col("id").cast("string").alias("documentid"),
+        F.col("id").alias("score"),
+        F.concat(F.lit("s"), "id").alias("tag"))
+    ms.write_table(mk(0, 30), src)
+    ms.drop_column(src, "tag")          # mapping mode ON, colmap == {}
+    assert ms._manifest_meta(ms.read_manifest(src))["colmap"] == {}
+    ms.clone_table(src, dst)            # shallow: references src's files
+    assert ms._manifest_meta(ms.read_manifest(dst))["colmap"] == {}
+    # re-add the retired name in the CLONE: fresh column, old rows null —
+    # never the buried bytes
+    ms.append_table(
+        spark.range(30, 35).select(
+            F.col("id").cast("string").alias("documentid"),
+            F.col("id").alias("score"),
+            F.lit("fresh").alias("tag")), dst)
+    got = ms.read_table(spark, dst)
+    assert got.filter("documentid = '5'").collect()[0].tag is None
+    assert got.filter("documentid = '31'").collect()[0].tag == "fresh"
+
+
+def test_delete_update_where_null_ops(spark, tmp_path):
+    """delete_where/update_where accept the full _SKIP_OPS set including
+    is_null/not_null (regression: they validated then died with a bare
+    KeyError building the filter)."""
+    t = str(tmp_path / "nulls")
+    rows = [(str(i), i if i % 3 else None) for i in range(30)]
+    ms.write_table(
+        spark.createDataFrame(rows, "documentid string, v long"), t)
+    n_null = sum(1 for _, v in rows if v is None)
+    ms.update_where(spark, t, [("v", "is_null", None)], {"v": "-1"})
+    got = ms.read_table(spark, t)
+    assert got.filter("v = -1").count() == n_null
+    assert got.filter("v IS NULL").count() == 0
+    ms.delete_where(spark, t, [("v", "=", -1)])
+    assert ms.read_table(spark, t).count() == 30 - n_null
+    with pytest.raises(ValueError, match="unsupported"):
+        ms.delete_where(spark, t, [("v", "like", "x")])
+
+
+def test_append_rebase_raises_on_concurrent_colmap_change(spark, tmp_path,
+                                                          monkeypatch):
+    """A rename/drop that commits between an append's file write and its
+    commit claim must fail the rebase loudly (Delta's metadata-changed
+    conflict rule): the already-written files carry pre-change physical
+    names and cannot be spliced under the new mapping (regression: the
+    rebase re-enforced constraints but not column mapping, silently
+    nulling the renamed column in the spliced files)."""
+    t = str(tmp_path / "rb")
+    mk = lambda a, b, col="score": spark.range(a, b).select(  # noqa: E731
+        F.col("id").cast("string").alias("documentid"),
+        F.col("id").alias(col))
+    ms.write_table(mk(0, 20), t)
+    orig = ms._commit
+    state = {"raced": False}
+
+    def racing(table, version, buckets, expected_current=None,
+               extra=None, op=None):
+        if op == "APPEND" and not state["raced"]:
+            state["raced"] = True
+            # concurrent writer wins the version: rename commits first,
+            # our claim then loses with ConcurrentWriteError and rebases
+            ms.rename_column(t, "score", "points")
+        return orig(table, version, buckets,
+                    expected_current=expected_current, extra=extra, op=op)
+
+    monkeypatch.setattr(ms, "_commit", racing)
+    with pytest.raises(ms.ConcurrentWriteError, match="column mapping"):
+        ms.append_table(mk(20, 30), t)
+    monkeypatch.undo()
+    # the table head is the rename's; a fresh append under the new map works
+    ms.append_table(mk(30, 40, col="points"), t)
+    got = ms.read_table(spark, t)
+    assert got.count() == 30
+    assert got.filter("documentid = '35'").collect()[0].points == 35

@@ -229,3 +229,39 @@ def test_cdf_ineligible_specs_still_full(spark, tmp_path):
     ms.delete_documents(spark, base, ["a"])
     assert mv.refresh(spark, base, view, *SPEC) == "full"
     assert view_rows(spark, view) == expected(spark, base)
+
+
+def test_legacy_snapshot_without_rows_forces_full(spark, tmp_path):
+    """A view snapshot written before _rows existed must take the FULL
+    branch on its next refresh, not seed NULL _rows (regression: F.sum
+    skips nulls, so groups untouched by the seeding append carried NULL
+    _rows forever and the CDF branch's `_rows > 0` filter dropped them
+    on the first delete)."""
+    import json
+
+    import pandas as pd
+
+    base, view = str(tmp_path / "b9"), str(tmp_path / "v9")
+    spec = (["src"], [("v", "count"), ("v", "sum")])
+    ms.write_table(rows_df(spark, [("a", "x", 1), ("b", "x", 5),
+                                   ("c", "y", 2)]), base)
+    assert mv.refresh(spark, base, view, *spec) == "full"
+    # simulate the legacy snapshot: drop _rows from the stored data file
+    with open(os.path.join(view, "_VIEW_META")) as fh:
+        meta = json.load(fh)
+    path = os.path.join(view, meta["data_file"])
+    pd.read_parquet(path).drop(columns=["_rows"]).to_parquet(path, index=False)
+
+    ms.append_table(rows_df(spark, [("d", "z", 7)]), base)
+    assert mv.refresh(spark, base, view, *spec) == "full"  # NOT incremental
+    got = {tuple(r) for r in mv.read_view(spark, view)
+           .select("src", "n_rows", "sum_v").collect()}
+    assert got == {("x", 2, 6), ("y", 1, 2), ("z", 1, 7)}
+
+    # the recompute restored _rows, so CDF stays incremental AND keeps
+    # the groups the regression used to drop
+    ms.delete_documents(spark, base, ["d"])
+    assert mv.refresh(spark, base, view, *spec) == "incremental_cdf"
+    got = {tuple(r) for r in mv.read_view(spark, view)
+           .select("src", "n_rows", "sum_v").collect()}
+    assert got == {("x", 2, 6), ("y", 1, 2)}

@@ -233,3 +233,29 @@ def test_stream_table_pipeline_e2e(spark, tmp_path):
     q = stream_table_pipeline(spark, src, dst, ckpt, transform=clean)
     q.awaitTermination()
     assert ms.current_version(dst) == v_before + 1
+
+
+def test_stream_table_pipeline_chunking_transform_keeps_all_rows(spark, tmp_path):
+    """A transform that fans one document into several rows (a chunker —
+    the canonical silver job) keeps ALL rows per document in the
+    destination (regression: dropDuplicates + one-row-per-key MERGE
+    silently truncated chunked documents to one arbitrary row)."""
+    from dataingestion_spark.streaming.pipeline import stream_table_pipeline
+
+    src, dst, ckpt = (str(tmp_path / n) for n in ("src", "dst", "ckpt"))
+    ms.write_table(_mk(spark, 0, 20), src)
+
+    def chunker(df):
+        return df.withColumn(
+            "chunk", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+
+    q = stream_table_pipeline(spark, src, dst, ckpt, transform=chunker)
+    q.awaitTermination()
+    got = ms.read_table(spark, dst)
+    assert got.count() == 60
+    assert got.groupBy("documentid").count().filter("count != 3").count() == 0
+
+    ms.append_table(_mk(spark, 20, 25), src)
+    q = stream_table_pipeline(spark, src, dst, ckpt, transform=chunker)
+    q.awaitTermination()
+    assert ms.read_table(spark, dst).count() == 75
