@@ -209,6 +209,30 @@ def _stride_centroid_rows(corpus: DataFrame, corpus_id: str, corpus_vec: str,
 _DRIVER_KMEANS_CAP = 100_000
 
 
+def _lloyd_assign(corpus: DataFrame, cdf: DataFrame,
+                  corpus_id: str, corpus_vec: str) -> DataFrame:
+    """One Lloyd assignment pass: nearest broadcast centroid per corpus
+    vector, as ``(centroid_id, corpus_vec)``. The argmax is an
+    AGGREGATION, not a window: ``max(struct(csim, -cid, vec))`` gets
+    map-side partial aggregation, so the shuffle moves one partial per
+    (task, vector) instead of sorting corpus×C expanded rows per
+    iteration (the window/row_number formulation's cost). -centroid_id
+    keeps the window version's tie-break (smallest id wins at equal
+    similarity); the vec rides in the struct — (csim, -cid) is unique
+    per group so it is never compared — saving a second corpus pass."""
+    return (
+        corpus.crossJoin(F.broadcast(cdf))
+        .withColumn("csim", cosine_sim(F.col(corpus_vec), F.col("cvec")))
+        .groupBy(corpus_id)
+        .agg(F.max(F.struct(
+            F.col("csim"),
+            (-F.col("centroid_id")).alias("_ncid"),
+            F.col(corpus_vec).alias("_vec"))).alias("_w"))
+        .select((-F.col("_w._ncid")).alias("centroid_id"),
+                F.col("_w._vec").alias(corpus_vec))
+    )
+
+
 def train_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
                     corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                     init: str = "stride") -> list:
@@ -297,13 +321,7 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
         cdf = spark.createDataFrame(
             [(i + 1, v) for i, v in enumerate(cents)], ["centroid_id", "cvec"]
         )
-        w = Window.partitionBy(corpus_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
-        assigned = (
-            corpus.crossJoin(F.broadcast(cdf))
-            .withColumn("csim", cosine_sim(F.col(corpus_vec), F.col("cvec")))
-            .withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") == 1)
-        )
+        assigned = _lloyd_assign(corpus, cdf, corpus_id, corpus_vec)
         dim = len(cents[0])
         means = assigned.groupBy("centroid_id").agg(
             *[F.avg(F.col(corpus_vec)[d].cast("double")).alias(f"m{d}") for d in range(dim)]

@@ -110,3 +110,46 @@ def test_distributed_farthest_seeding_single_scan(spark, monkeypatch):
     )
     counts = {r.centroid_id: 1 for r in sane.select("centroid_id").distinct().collect()}
     assert len(counts) >= 2  # more than one non-empty list
+
+
+def test_lloyd_assignment_agg_no_window_and_matches_reference(spark, monkeypatch):
+    """Distributed Lloyd's argmax is a map-side-combinable aggregation,
+    not a window sort over corpus×C expanded rows: the assignment plan
+    has NO Window/Sort node, and the trained centroids match an exact
+    numpy re-derivation of the same math (stride init, cosine argmax
+    with smallest-centroid-id tie-break, unnormalized means)."""
+    import numpy as np
+
+    from dataingestion_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "_DRIVER_KMEANS_CAP", 10)  # force the big path
+    v = _vectors(spark, n=40, dim=6)
+    iters = 3
+    got = sim.train_centroids(v, n_centroids=4, iters=iters, init="stride")
+
+    # numpy reference of the distributed path's math
+    rows = sorted(v.collect(), key=lambda r: r.vec_id)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    n = len(mat)
+    stride = max(1, n // 4)
+    cents = [list(map(float, mat[i])) for i in range(0, n, stride)][:4]
+    for _ in range(iters):
+        cm = np.array(cents)
+        sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ (
+            cm / np.linalg.norm(cm, axis=1, keepdims=True)).T
+        assign = sims.argmax(axis=1)  # numpy argmax = first max = lowest id
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = [float(x) for x in members.mean(axis=0)]
+    for (cid, vec), ref in zip(got, cents):
+        assert max(abs(a - b) for a, b in zip(vec, ref)) < 1e-9, (cid, vec, ref)
+
+    # plan shape: aggregation, no window sort
+    cdf = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(cents)], ["centroid_id", "cvec"])
+    plan = sim._lloyd_assign(v, cdf, "vec_id", "embedding") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan \
+        or "SortAggregate" in plan
