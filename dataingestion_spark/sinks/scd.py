@@ -32,6 +32,10 @@ from . import manifest_store as ms
 
 HISTORY_COLS = ("valid_from", "valid_to", "is_current")
 
+#: marker in the executor-side monotonicity failure, rethrown as ValueError
+_STALE_MSG = ("effective stamp must be strictly greater than the "
+              "current row's valid_from (non-monotone SCD2 batch)")
+
 
 def _open_rows(source: DataFrame, tracked: List[str], effective_col: str):
     """Source rows shaped as freshly-opened history rows."""
@@ -158,14 +162,19 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
               .when(changed_test, F.lit("change"))
               .otherwise(F.lit("noop")))
     decided = joined.withColumn("_action", action).filter("_action != 'noop'")
+    # monotonicity guard folded INTO the frame (raise_error fires inside
+    # whatever job first materializes a stale row) instead of a separate
+    # limit(1).count() job — that job re-read the pruned target files
+    # and was a per-batch latency floor for the streaming twin. The
+    # commit stays atomic: a guard hit fails the write job before any
+    # manifest claim, leaving only vacuum-collectable orphans.
+    stale_row = (F.col("_action").isin("change", "close")
+                 & (F.col("valid_from") <= F.col("_cur_from")))
+    decided = decided.withColumn(
+        "valid_from",
+        F.when(stale_row, F.raise_error(F.lit(_STALE_MSG)))
+        .otherwise(F.col("valid_from")))
     decided = decided.localCheckpoint(eager=False)
-
-    stale = decided.filter(
-        F.col("_action").isin("change", "close")
-        & (F.col("valid_from") <= F.col("_cur_from"))).limit(1).count()
-    if stale:
-        raise ValueError("effective stamp must be strictly greater than the "
-                         "current row's valid_from (non-monotone SCD2 batch)")
 
     out_cols = ["documentid", *tracked, *HISTORY_COLS]
     vt_type = source.schema[effective_col].dataType
@@ -194,8 +203,13 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
     # inserted keys' histories = prior rows (if any) + the open row;
     # changed keys' = closed prior rows + the new open row; tombstoned
     # keys' = prior rows with the current one shut — ONE replace commit
-    return ms.incremental_replace(closed_hist.unionByName(new_open),
-                                  table, mode="dv", txn=txn)
+    try:
+        return ms.incremental_replace(closed_hist.unionByName(new_open),
+                                      table, mode="dv", txn=txn)
+    except Exception as e:  # rethrow the folded guard as the API's ValueError
+        if _STALE_MSG in str(e):
+            raise ValueError(_STALE_MSG) from None
+        raise
 
 
 def scd2_current(spark, table: str, version: Optional[int] = None) -> DataFrame:
