@@ -8066,70 +8066,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness gate oracles the FIRST 50
-    # entries.  r1-r3 led with TPC-H/relational, r4 with the reference
-    # surface (readers/chunkers/writers/lakehouse/multimodal/search) — both
-    # blocks are driver-green.  No r5 driver artifacts were delivered, so
-    # r6's first 50 = 37 entries of the never-sampled r5 block
-    # (bm25/text-search, sft, sketches, dedup clustering, drift/profiling)
-    # + the 13 round-6 additions (lakehouse RESTORE/CLONE/ZORDER/
-    # constraints/bloom/maintenance/schema-evolution/DELETE+UPDATE WHERE,
-    # BPE encode, preference pairs, token-id packing).  The displaced r5
-    # tail and the 51-77 block queue for r7; previously-green blocks
-    # follow.
+    # entries.  r8 rotation (the r6/r7 verdicts' #1 ask): first 50 = the four
+    # PQ-family queries (r4's only red rows; the signed-zero fix has passed
+    # two judge replicas but never a driver sample) + 45 of the 58
+    # never-driver-sampled queries + graph_triangle_count.  Entries 51-60 are
+    # the deferred never-sampled siblings (every family keeps at least one
+    # representative in the first 50); 61+ is the r9 queue: the relational/
+    # TPC-H block last externally checked in r3, then the r4 reader block,
+    # then the r6/r7-green blocks (doubly confirmed, lowest priority).
     return {
-        # --- r5 driver sample: never-checked oracled block (1-50) ---
-        "search_bm25": q_bm25,
-        "search_bm25_indexed": q_bm25_indexed,
-        "search_hybrid_rrf": q_hybrid_rrf,
-        "search_phrase_positions": q_phrase_search,
-        "search_tfidf_top_terms": q_tfidf_top_terms,
-        "search_pmi_collocations": q_collocations,
-        "doc_rake_keywords": q_rake_keywords,
-        "search_hard_negatives": q_hard_negatives,
-        "tokenizer_bpe_train_merges": q_bpe_train_merges,
-        "doc_normalize_text": q_doc_normalize,
-        "sft_render_offsets": q_sft_offsets,
-        "sft_chat_text": q_sft_chat,
-        "sft_token_loss_mask": q_sft_token_mask,
-        "sketch_kmv_distinct": q_kmv_distinct,
-        "sketch_kmv_setops": q_kmv_setops,
-        "sketch_kmv_by_group": q_kmv_by_group,
-        "io_orc_roundtrip": q_io_orc_roundtrip,
-        "dedup_incremental_probe": q_dedup_incremental,
-        "privacy_k_anonymity": q_privacy_kanon,
-        "drift_numeric_report": q_drift_numeric,
-        "drift_categorical_lang": q_drift_categorical,
-        "drift_by_group": q_drift_by_group,
-        "table_quality_constraints": q_quality_constraints,
-        "table_column_profile": q_profile_table,
-        "table_corpus_report": q_corpus_report,
-        "doc_url_signals": q_url_signals,
-        "doc_quality_classifier": q_quality_classifier,
-        "doc_html_extract": q_html_extract,
-        "dedup_edit_distance_pairs": q_edit_distance_pairs,
-        "dedup_embedding_pairs": q_emb_neardup,
-        "dedup_cluster_canonical": q_dedup_clusters,
-        "dedup_representatives": q_dedup_representatives,
-        "dedup_cluster_split": q_cluster_split,
-        "doc_vocab_coverage": q_vocab_coverage,
-        "doc_span_corruption": q_span_corruption,
-        "doc_prefix_lm_split": q_prefix_lm,
-        "dedup_semantic_clusters": q_semantic_dedup,
-        # --- round-6 additions: sampled this round ---
-        "lakehouse_restore": q_lakehouse_restore,
-        "lakehouse_clone_branch": q_lakehouse_clone_branch,
-        "lakehouse_zorder_read": q_lakehouse_zorder_read,
-        "lakehouse_check_constraints": q_lakehouse_constraints,
-        "lakehouse_maintenance": q_lakehouse_maintenance,
-        "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
-        "lakehouse_delete_where": q_lakehouse_delete_where,
-        "lakehouse_update_where": q_lakehouse_update_where,
-        "lakehouse_stream_read": q_lakehouse_stream_read,
-        "lakehouse_delta_roundtrip": q_lakehouse_delta_roundtrip,
-        "lakehouse_change_stream": q_lakehouse_change_stream,
-        "lakehouse_scd2_merge": q_lakehouse_scd2,
-        "lakehouse_meta_minmax": q_lakehouse_meta_minmax,
-        # --- entries 51+: remaining never-driver-sampled (r7 queue) ---
+        # --- r8 driver sample (1-50): PQ family + never-sampled ---
+        "search_topk_pq": q_topk_pq,
+        "search_topk_ivf_pq": q_topk_ivf_pq,
+        "search_topk_pq_rerank": q_topk_pq_rerank,
+        "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
         "lakehouse_history_stream": q_lakehouse_history_stream,
         "lakehouse_rename_column": q_lakehouse_rename_column,
         "search_hybrid_indexed": q_hybrid_indexed,
@@ -8142,25 +8092,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_delta_mirror": q_lakehouse_delta_mirror,
         "pack_token_id_rows": q_pack_token_id_rows,
         "lakehouse_bloom_read": q_lakehouse_bloom_read,
-        # --- displaced r5-block tail (locally green; r7 queue) ---
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_url_psl_domain": q_url_psl_domain,
         "doc_robots_gate": q_robots_gate,
         "doc_script_profile": q_script_profile,
         "dedup_boilerplate_lines": q_boilerplate_lines,
-        "graph_pagerank_nations": q_pagerank_nations,
-        "graph_ppr_europe": q_ppr_nations,
-        "graph_triangle_count": q_triangle_count,
-        "doc_char_entropy": q_char_entropy,
-        "doc_compression_ratio": q_compression_ratio,
         "sample_dsir_weights": q_dsir_weights,
         "sketch_hll_users": q_sketch_hll_users,
-        "sketch_hll_merged": q_sketch_hll_merged,
         "multimodal_frame_sample": q_frame_sample,
-        "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
         "lakehouse_skipping_read": q_lakehouse_skipping,
         "streaming_upsert_merge": q_streaming_upsert,
-        "search_topk_pq_rerank": q_topk_pq_rerank,
         "lakehouse_sync_replica": q_lakehouse_sync,
         "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
         "dedup_simhash_fast": q_simhash_fast,
@@ -8169,19 +8110,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_membership": q_bloom_membership,
         "curation_funnel": q_curation_funnel,
         "split_hash_assignment": q_hash_split,
-        "split_kfold_assignment": q_kfold_assign,
         "sample_curriculum_buckets": q_curriculum_buckets,
         "shards_token_budget": q_assign_shards,
         "sample_stratified": q_stratified_sample,
         "sample_uniform_exact_k": q_uniform_sample_k,
         "sample_weighted_exact_k": q_weighted_sample_k,
         "sample_mixture_budget": q_mixture_sample,
-        "sample_temperature_mixture": q_temperature_mixture,
-        "sample_upsample_epochs": q_upsample_epochs,
         "pack_doc_sequences": q_pack_sequences,
-        "pack_concat_spans": q_concat_spans,
         "doc_c4_filters": q_c4_filters,
-        "doc_gopher_filters": q_gopher_filters,
         "streaming_events_windowed": q_streaming_events,
         "streaming_stateful_counts": q_streaming_stateful,
         "streaming_session_windows": q_streaming_sessions,
@@ -8189,57 +8125,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exactly_once_ingest": q_exactly_once_ingest,
         "streaming_dedup_watermark": q_streaming_dedup_watermark,
         "streaming_interval_join": q_streaming_interval_join,
-        # --- driver-green in earlier rounds (r1-r4) ---
-        "reader_markdown_elements": q_md_parse_elements,
-        "reader_docx_elements": q_docx_elements,
-        "reader_pdf_elements": q_pdf_elements,
-        "reader_mixed_dispatch": q_reader_dispatch,
-        "reader_html_elements": q_html_elements,
-        "reader_xlsx_elements": q_xlsx_elements,
-        "reader_pptx_elements": q_pptx_elements,
-        "reader_office_ingest": q_office_ingest,
-        "reader_epub_elements": q_epub_elements,
-        "reader_rtf_elements": q_rtf_elements,
-        "reader_odf_elements": q_odf_elements,
-        "reader_doc_legacy_elements": q_doc_legacy_elements,
-        "reader_xls_legacy_elements": q_xls_legacy_elements,
-        "reader_wet_records": q_reader_wet_records,
-        "reader_jsonl_roundtrip": q_jsonl_roundtrip,
-        "reader_warc_responses": q_warc_responses,
-        "reader_image_elements": q_image_elements,
-        "reader_container_elements": q_container_elements,
-        "chunker_header": q_header_chunks,
-        "chunker_section": q_section_chunks,
-        "chunker_markdown": q_markdown_chunks,
-        "chunker_token_sliding": q_token_chunks,
-        "chunker_semantic": q_semantic_chunks,
-        "chunker_image_binary": q_image_chunks,
-        "processor_removal_footers": q_removal_footers,
-        "enricher_fakes": q_enrich_fakes,
-        "enricher_image_alt": q_image_alt_enricher,
-        "writer_vector_records": q_vector_records,
-        "writer_qa_pairs": q_qa_pairs,
-        "writer_incremental_replace": q_writer_incremental,
-        "writer_webdataset_shards": q_webdataset_shards,
-        "lakehouse_merge_upsert": q_lakehouse_merge,
-        "lakehouse_incremental_agg": q_incremental_agg_view,
-        "lakehouse_change_feed": q_change_feed,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "multimodal_audio_meta": q_multimodal_audio_meta,
-        "multimodal_audio_segments": q_audio_segments,
-        "multimodal_image_tiles": q_image_tiles,
-        "multimodal_tile_pixels": q_tile_pixel_bytes,
-        "streaming_tws_type_stats": q_streaming_tws_stats,
-        "search_topk_cosine": q_emb_topk,
-        "search_topk_filtered": q_emb_topk_filtered,
-        "search_topk_quantized": q_topk_quantized,
-        "search_topk_ann": q_topk_ann,
-        "search_topk_pq": q_topk_pq,
-        "search_topk_ivf": q_topk_ivf,
-        "search_topk_ivf_persisted": q_topk_ivf_persisted,
-        "search_topk_ivf_pq": q_topk_ivf_pq,
-        "search_recall_at_k": q_recall_ivf,
-        "search_recall_matryoshka": q_recall_matryoshka,
+        "graph_triangle_count": q_triangle_count,
+        # --- 51-60: deferred never-sampled siblings (r9 queue head) ---
+        "graph_pagerank_nations": q_pagerank_nations,
+        "graph_ppr_europe": q_ppr_nations,
+        "doc_char_entropy": q_char_entropy,
+        "doc_compression_ratio": q_compression_ratio,
+        "sketch_hll_merged": q_sketch_hll_merged,
+        "sample_temperature_mixture": q_temperature_mixture,
+        "sample_upsample_epochs": q_upsample_epochs,
+        "pack_concat_spans": q_concat_spans,
+        "split_kfold_assignment": q_kfold_assign,
+        "doc_gopher_filters": q_gopher_filters,
+        # --- 61+: relational/TPC-H block, externally stale since r3 ---
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q2_min_cost_supplier": q_tpch_q2,
         "tpch_q3_shipping_priority": q_tpch_q3,
@@ -8304,6 +8202,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_doc_shingles": q_cross_doc_shingles,
         "dedup_span_removal": q_span_removal,
         "dedup_contamination_check": q_contamination,
+        # --- driver-green r4 readers, then r6/r7 doubly-confirmed blocks ---
+        "search_bm25": q_bm25,
+        "search_bm25_indexed": q_bm25_indexed,
+        "search_hybrid_rrf": q_hybrid_rrf,
+        "search_phrase_positions": q_phrase_search,
+        "search_tfidf_top_terms": q_tfidf_top_terms,
+        "search_pmi_collocations": q_collocations,
+        "doc_rake_keywords": q_rake_keywords,
+        "search_hard_negatives": q_hard_negatives,
+        "tokenizer_bpe_train_merges": q_bpe_train_merges,
+        "doc_normalize_text": q_doc_normalize,
+        "sft_render_offsets": q_sft_offsets,
+        "sft_chat_text": q_sft_chat,
+        "sft_token_loss_mask": q_sft_token_mask,
+        "sketch_kmv_distinct": q_kmv_distinct,
+        "sketch_kmv_setops": q_kmv_setops,
+        "sketch_kmv_by_group": q_kmv_by_group,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
+        "dedup_incremental_probe": q_dedup_incremental,
+        "privacy_k_anonymity": q_privacy_kanon,
+        "drift_numeric_report": q_drift_numeric,
+        "drift_categorical_lang": q_drift_categorical,
+        "drift_by_group": q_drift_by_group,
+        "table_quality_constraints": q_quality_constraints,
+        "table_column_profile": q_profile_table,
+        "table_corpus_report": q_corpus_report,
+        "doc_url_signals": q_url_signals,
+        "doc_quality_classifier": q_quality_classifier,
+        "doc_html_extract": q_html_extract,
+        "dedup_edit_distance_pairs": q_edit_distance_pairs,
+        "dedup_embedding_pairs": q_emb_neardup,
+        "dedup_cluster_canonical": q_dedup_clusters,
+        "dedup_representatives": q_dedup_representatives,
+        "dedup_cluster_split": q_cluster_split,
+        "doc_vocab_coverage": q_vocab_coverage,
+        "doc_span_corruption": q_span_corruption,
+        "doc_prefix_lm_split": q_prefix_lm,
+        "dedup_semantic_clusters": q_semantic_dedup,
+        "lakehouse_restore": q_lakehouse_restore,
+        "lakehouse_clone_branch": q_lakehouse_clone_branch,
+        "lakehouse_zorder_read": q_lakehouse_zorder_read,
+        "lakehouse_check_constraints": q_lakehouse_constraints,
+        "lakehouse_maintenance": q_lakehouse_maintenance,
+        "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
+        "lakehouse_delete_where": q_lakehouse_delete_where,
+        "lakehouse_update_where": q_lakehouse_update_where,
+        "lakehouse_stream_read": q_lakehouse_stream_read,
+        "lakehouse_delta_roundtrip": q_lakehouse_delta_roundtrip,
+        "lakehouse_change_stream": q_lakehouse_change_stream,
+        "lakehouse_scd2_merge": q_lakehouse_scd2,
+        "lakehouse_meta_minmax": q_lakehouse_meta_minmax,
+        "reader_markdown_elements": q_md_parse_elements,
+        "reader_docx_elements": q_docx_elements,
+        "reader_pdf_elements": q_pdf_elements,
+        "reader_mixed_dispatch": q_reader_dispatch,
+        "reader_html_elements": q_html_elements,
+        "reader_xlsx_elements": q_xlsx_elements,
+        "reader_pptx_elements": q_pptx_elements,
+        "reader_office_ingest": q_office_ingest,
+        "reader_epub_elements": q_epub_elements,
+        "reader_rtf_elements": q_rtf_elements,
+        "reader_odf_elements": q_odf_elements,
+        "reader_doc_legacy_elements": q_doc_legacy_elements,
+        "reader_xls_legacy_elements": q_xls_legacy_elements,
+        "reader_wet_records": q_reader_wet_records,
+        "reader_jsonl_roundtrip": q_jsonl_roundtrip,
+        "reader_warc_responses": q_warc_responses,
+        "reader_image_elements": q_image_elements,
+        "reader_container_elements": q_container_elements,
+        "chunker_header": q_header_chunks,
+        "chunker_section": q_section_chunks,
+        "chunker_markdown": q_markdown_chunks,
+        "chunker_token_sliding": q_token_chunks,
+        "chunker_semantic": q_semantic_chunks,
+        "chunker_image_binary": q_image_chunks,
+        "processor_removal_footers": q_removal_footers,
+        "enricher_fakes": q_enrich_fakes,
+        "enricher_image_alt": q_image_alt_enricher,
+        "writer_vector_records": q_vector_records,
+        "writer_qa_pairs": q_qa_pairs,
+        "writer_incremental_replace": q_writer_incremental,
+        "writer_webdataset_shards": q_webdataset_shards,
+        "lakehouse_merge_upsert": q_lakehouse_merge,
+        "lakehouse_incremental_agg": q_incremental_agg_view,
+        "lakehouse_change_feed": q_change_feed,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "multimodal_audio_segments": q_audio_segments,
+        "multimodal_image_tiles": q_image_tiles,
+        "multimodal_tile_pixels": q_tile_pixel_bytes,
+        "streaming_tws_type_stats": q_streaming_tws_stats,
+        "search_topk_cosine": q_emb_topk,
+        "search_topk_filtered": q_emb_topk_filtered,
+        "search_topk_quantized": q_topk_quantized,
+        "search_topk_ann": q_topk_ann,
+        "search_topk_ivf": q_topk_ivf,
+        "search_topk_ivf_persisted": q_topk_ivf_persisted,
+        "search_recall_at_k": q_recall_ivf,
+        "search_recall_matryoshka": q_recall_matryoshka,
     }
 
 

@@ -632,8 +632,13 @@ def _schema_union(meta: Dict, df: DataFrame) -> None:
             if meta.get("colmap") is not None and f["name"] != "doc_bucket":
                 # column-mapping mode: a NEW column gets a fresh physical
                 # name, so re-adding a previously dropped/renamed name can
-                # never read that name's buried bytes out of old files
-                meta["colmap"][f["name"]] = "c" + uuid.uuid4().hex[:12]
+                # never read that name's buried bytes out of old files.
+                # setdefault, not assignment: a rebase splices the
+                # already-written physical name in BEFORE re-unioning the
+                # schema, and overwriting it would orphan the new
+                # column's bytes in the files written pre-rebase
+                meta["colmap"].setdefault(f["name"],
+                                          "c" + uuid.uuid4().hex[:12])
 
 
 def _prune_meta(meta: Dict, buckets: Dict[str, List[str]]) -> Dict:
@@ -973,9 +978,10 @@ def _cond_expr(conditions):
 
 def candidate_files_where(table: str, conditions, version: Optional[int] = None):
     """File names that may hold rows matching ALL ``conditions`` — each a
-    ``(column, op, literal)`` tuple with op in ``= != < <= > >=`` —
-    pruned by the per-file column [min,max] stats recorded at write time.
-    Returns (manifest, {bucket: [names]})."""
+    ``(column, op, literal)`` tuple with op in ``= != < <= > >= is_null
+    not_null`` (the null forms ignore the literal; pass None) — pruned
+    by the per-file column [min,max,null-count] stats recorded at write
+    time. Returns (manifest, {bucket: [names]})."""
     manifest = read_manifest(table, version)
     meta = _manifest_meta(manifest)
     for col, op, _ in conditions:
@@ -1301,10 +1307,14 @@ def append_table(records: DataFrame, table: str, txn=None,
     version = manifest["version"] + 1
     token = uuid.uuid4().hex[:8]
     _seed_schema(records.sparkSession, table, manifest, meta)
+    base_colmap = None if meta["colmap"] is None else dict(meta["colmap"])
+    base_names = {f["name"] for f in meta["schema"]}
     _schema_union(meta, records)
     # the physical column names baked into the files below are fixed by
-    # THIS head's colmap; a rebase onto a head whose colmap differs (a
-    # concurrent rename/drop committed mid-append) cannot splice them in
+    # THIS head's colmap; a rebase onto a head whose colmap differs on
+    # any PRE-EXISTING column (a concurrent rename/drop committed
+    # mid-append) cannot splice them in. Columns this append itself
+    # introduced (written_colmap minus base_colmap) are ours to splice.
     written_colmap = None if meta["colmap"] is None else dict(meta["colmap"])
     new_buckets = _write_bucket_files(records, table, token,
                                       stats=meta["stats"],
@@ -1331,15 +1341,56 @@ def append_table(records: DataFrame, table: str, txn=None,
         if _txn_applied(manifest, txn):
             return manifest["version"]  # our files become vacuumable orphans
         meta = _manifest_meta(manifest)
-        head_colmap = None if meta["colmap"] is None else dict(meta["colmap"])
-        if head_colmap != written_colmap:
-            # Delta's metadata-changed conflict rule: the already-written
-            # files carry pre-change physical names — splicing them under
-            # the new map would silently null the renamed column on read
+        # a column OUR files carry that predates this append and is gone
+        # from the racing head's schema was dropped (or renamed away)
+        # concurrently — splicing our files in would resurrect it. The
+        # colmap comparison below cannot see this for identity-mapped
+        # columns (pre-mapping-mode names have no colmap entry).
+        head_names = {f["name"] for f in meta["schema"]}
+        gone = sorted(c for c in records.columns
+                      if c != "doc_bucket" and c in base_names
+                      and c not in head_names)
+        if gone:
             raise ConcurrentWriteError(
                 f"column mapping of {table} changed concurrently "
-                "(rename/drop committed during the append); re-run the "
-                "append against the new head")
+                f"(column(s) {gone} dropped/renamed during the append); "
+                "re-run the append against the new head")
+        head_colmap = None if meta["colmap"] is None else dict(meta["colmap"])
+        if head_colmap != written_colmap:
+            # A schema-EVOLVING append's written_colmap is the pre-write
+            # head plus fresh physical names for the columns IT added
+            # (ours = written minus base), so it can never equal a
+            # racing head's colmap even when the race was a plain data
+            # append. That case is safe to rebase: every column that
+            # predates this append must map identically in the head
+            # (else a rename/drop really did race — Delta's
+            # metadata-changed conflict), our added names must not
+            # exist in the head (a concurrent add of the same logical
+            # name wrote different physical bytes), and our physical
+            # names must collide with nothing the head maps. Then the
+            # added entries splice in so the written files read back
+            # whole; columns the head added concurrently are kept as
+            # the head has them.
+            ours = ({} if written_colmap is None else
+                    {k: v for k, v in written_colmap.items()
+                     if base_colmap is None or k not in base_colmap})
+            safe = (head_colmap is not None and written_colmap is not None
+                    and all(head_colmap.get(k) == v
+                            for k, v in written_colmap.items()
+                            if k not in ours)
+                    and all(k not in head_colmap
+                            and v not in set(head_colmap.values())
+                            for k, v in ours.items()))
+            if not safe:
+                # the written files carry pre-change physical names —
+                # splicing them under a renamed/dropped map would
+                # silently null the renamed column on read
+                raise ConcurrentWriteError(
+                    f"column mapping of {table} changed concurrently "
+                    "(rename/drop committed during the append); re-run "
+                    "the append against the new head")
+            for k, v in ours.items():
+                meta["colmap"][k] = v
         if meta["constraints"] != enforced:
             _enforce_constraints(records, meta["constraints"])
             enforced = dict(meta["constraints"])

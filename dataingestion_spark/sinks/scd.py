@@ -207,8 +207,13 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
         return ms.incremental_replace(closed_hist.unionByName(new_open),
                                       table, mode="dv", txn=txn)
     except Exception as e:  # rethrow the folded guard as the API's ValueError
-        if _STALE_MSG in str(e):
-            raise ValueError(_STALE_MSG) from None
+        # the folded guard surfaces as raise_error's USER_RAISED_EXCEPTION
+        # error class; requiring both it and the marker text (and chaining
+        # the original) keeps an unrelated executor failure that merely
+        # echoes the marker in user data from being misclassified — and
+        # keeps its traceback either way
+        if _STALE_MSG in str(e) and "USER_RAISED_EXCEPTION" in str(e):
+            raise ValueError(_STALE_MSG) from e
         raise
 
 

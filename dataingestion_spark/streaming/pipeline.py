@@ -515,11 +515,48 @@ def stream_ingest_dedup(spark, input_dir: str, table_path: str):
     )
 
 
+def winning_changes(batch_df: DataFrame) -> DataFrame:
+    """Rows of the last-committed change per documentid within one
+    change-feed micro-batch. The winner per key is selected as
+    ``max(struct(_commit_version, is_insert))`` — map-side-combinable,
+    insert outranks delete at the same version (an update's delete half
+    is superseded by its insert half) — then equi-joined back so ALL
+    rows of the winning change survive (a ``row_number()==1`` pick
+    would truncate chunked documents to one arbitrary row).
+
+    The join-back carries NO broadcast hint: a replica bootstrapping a
+    large table gets one batch spanning the entire keyset, and a forced
+    ``broadcast(winners)`` would materialize one row per distinct
+    documentid on every executor — an OOM at the 100 TB design point.
+    A plain equi-join lets AQE broadcast small batches at runtime and
+    shuffle large ones."""
+    import pyspark.sql.functions as SF
+
+    winners = (batch_df
+               .withColumn("_ins", (SF.col("_change_type") == "insert")
+                           .cast("int"))
+               .groupBy("documentid")
+               .agg(SF.max(SF.struct("_commit_version", "_ins"))
+                    .alias("_w"))
+               .select("documentid",
+                       SF.col("_w._commit_version").alias("_wv"),
+                       SF.col("_w._ins").alias("_wins")))
+    return batch_df.join(
+        winners,
+        on=[batch_df["documentid"] == winners["documentid"],
+            batch_df["_commit_version"] == winners["_wv"],
+            (batch_df["_change_type"] == "insert").cast("int")
+            == winners["_wins"]],
+    ).drop(winners["documentid"]).drop("_wv", "_wins")
+
+
 def stream_table_pipeline(spark, src_table: str, dst_table: str,
                           checkpoint: str, transform=None,
                           app: str = "table_pipeline",
                           skip_change_commits: bool = False,
-                          available_now: bool = True):
+                          available_now: bool = True,
+                          starting_version=None,
+                          max_commits_per_trigger=None):
     """Table-to-table streaming pipeline — the medallion silver job as
     one call: TAIL ``src_table`` through the streaming table source
     (:func:`..streaming.table_source.stream_table` — snapshot first,
@@ -537,12 +574,21 @@ def stream_table_pipeline(spark, src_table: str, dst_table: str,
 
     Cost per sync is O(new commits): the source plans from manifest
     diffs and the replace writes the batch plus one deletion vector.
+    ``max_commits_per_trigger`` bounds how many source commits one
+    micro-batch may span (so a catch-up over a long history is paced
+    instead of landing as one table-sized batch) and
+    ``starting_version`` skips the snapshot and tails from a commit.
     Returns the StreamingQuery (``awaitTermination()`` it)."""
     from ..sinks.manifest_store import incremental_replace
     from .table_source import stream_table
 
     src = stream_table(spark, src_table,
-                       skip_change_commits=skip_change_commits)
+                       starting_version=starting_version,
+                       skip_change_commits=skip_change_commits,
+                       max_commits_per_trigger=max_commits_per_trigger,
+                       pace_from_start=(max_commits_per_trigger is not None
+                                        and starting_version is not None
+                                        and not available_now))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
@@ -563,7 +609,9 @@ def stream_table_pipeline(spark, src_table: str, dst_table: str,
 def stream_replicate(spark, src_table: str, dst_table: str,
                      checkpoint: str, app: str = "stream_replicate",
                      skip_rewrites: bool = False,
-                     available_now: bool = True):
+                     available_now: bool = True,
+                     starting_version: int = 0,
+                     max_commits_per_trigger=None):
     """Continuous replication off the streaming CHANGE FEED
     (:func:`..streaming.table_source.stream_changes`) — the streaming
     twin of :func:`..sinks.manifest_store.sync_table`: every micro-batch
@@ -581,37 +629,36 @@ def stream_replicate(spark, src_table: str, dst_table: str,
     ``max(struct(_commit_version, is_insert))`` (insert outranks delete
     at the same version: an update's delete half is superseded by its
     insert half), then joined back so ALL rows of the winning change
-    survive, not one arbitrary row. This equals the source's final
-    state for the commit range. Returns the StreamingQuery."""
+    survive, not one arbitrary row (:func:`winning_changes` — no
+    broadcast hint; AQE sizes the join). This equals the source's
+    final state for the commit range. ``max_commits_per_trigger``
+    paces catch-up so a replica bootstrapping a large table never
+    sees one batch spanning the whole history (processing-time
+    triggers; an ``availableNow`` run's end-capture precedes the
+    pacing position by design — same documented behavior as the
+    table source); ``starting_version`` resumes the feed
+    mid-history. Returns the StreamingQuery."""
     from ..sinks.manifest_store import incremental_replace, merge_table
     from .table_source import stream_changes
 
-    feed = stream_changes(spark, src_table, skip_rewrites=skip_rewrites)
+    feed = stream_changes(spark, src_table,
+                          starting_version=starting_version,
+                          skip_rewrites=skip_rewrites,
+                          max_commits_per_trigger=max_commits_per_trigger,
+                          # paced bootstrap is the point of the cap on a
+                          # processing-time replica; an availableNow run
+                          # keeps the drain-everything contract (its one
+                          # catch-up batch is unpaced by design)
+                          pace_from_start=(max_commits_per_trigger
+                                           is not None
+                                           and not available_now))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         import pyspark.sql.functions as SF
 
         data_cols = [c for c in batch_df.columns
                      if c not in ("_change_type", "_commit_version")]
-        # winning (version, change_type) per key via map-side-combinable
-        # aggregation, then join back for ALL rows of that change — a
-        # row_number()==1 pick would truncate chunked documents
-        winners = (batch_df
-                   .withColumn("_ins", (SF.col("_change_type") == "insert")
-                               .cast("int"))
-                   .groupBy("documentid")
-                   .agg(SF.max(SF.struct("_commit_version", "_ins"))
-                        .alias("_w"))
-                   .select("documentid",
-                           SF.col("_w._commit_version").alias("_wv"),
-                           SF.col("_w._ins").alias("_wins")))
-        last = batch_df.join(
-            SF.broadcast(winners),
-            on=[batch_df["documentid"] == winners["documentid"],
-                batch_df["_commit_version"] == winners["_wv"],
-                (batch_df["_change_type"] == "insert").cast("int")
-                == winners["_wins"]],
-        ).drop(winners["documentid"]).localCheckpoint(eager=False)
+        last = winning_changes(batch_df).localCheckpoint(eager=False)
         ins = last.filter(SF.col("_change_type") == "insert") \
             .select(*data_cols)
         dels = last.filter(SF.col("_change_type") == "delete") \

@@ -112,6 +112,16 @@ class _TableStreamReader(DataSourceStreamReader):
             options.get("skipchangecommits", "false")).lower() == "true"
         mc = options.get("maxcommitspertrigger")
         self._max_commits: Optional[int] = None if mc is None else max(1, int(mc))
+        if (self._max_commits is not None
+                and self._starting_version is not None and str(
+                options.get("pacefromstart", "false")).lower() == "true"):
+            # seed the pacing position at construction so even the FIRST
+            # batch of a fresh query is paced (the engine polls
+            # latestOffset before initialOffset — see the changes reader
+            # for the full rationale). Only meaningful with
+            # startingVersion: the snapshot path is one consistent
+            # version and is never split.
+            self._pos = self._starting_version - 1
 
     # -- driver-side planning -------------------------------------------
     def initialOffset(self) -> dict:
@@ -372,9 +382,23 @@ class _ChangesStreamReader(DataSourceStreamReader):
             options.get("skiprewrites", "false")).lower() == "true"
         mc = options.get("maxcommitspertrigger")
         self._max_commits: Optional[int] = None if mc is None else max(1, int(mc))
+        if (self._max_commits is not None and str(
+                options.get("pacefromstart", "false")).lower() == "true"):
+            # seed the pacing position at construction: the engine's FIRST
+            # latestOffset call precedes initialOffset, so without a seed
+            # the bootstrap batch of a fresh query is unpaced — one batch
+            # spanning the entire table history, the exact catch-up spike
+            # pacing exists to prevent. Opt-in because an availableNow
+            # run's end-capture then also paces: such a run applies at
+            # most max_commits commits and terminates (bounded work per
+            # run), where unseeded availableNow drains everything in one
+            # batch. A restart whose checkpoint is ahead of the seed
+            # cannot stall: the position slides forward on every poll.
+            self._pos = self._start - 1
 
     def initialOffset(self) -> dict:
-        self._pos = self._start - 1
+        self._pos = max(getattr(self, "_pos", self._start - 1),
+                        self._start - 1)
         return {"version": self._start - 1}
 
     def latestOffset(self) -> dict:
@@ -548,7 +572,8 @@ class LakehouseChangesDataSource(DataSource):
 def stream_changes(spark: SparkSession, table: str, *,
                    starting_version: int = 0,
                    skip_rewrites: bool = False,
-                   max_commits_per_trigger: Optional[int] = None):
+                   max_commits_per_trigger: Optional[int] = None,
+                   pace_from_start: bool = False):
     """Open a manifest table's CHANGE FEED as a streaming DataFrame
     (Delta's ``readChangeFeed`` analog): per-commit row-level changes
     with ``_change_type`` ('insert'/'delete'; updates are their
@@ -557,7 +582,15 @@ def stream_changes(spark: SparkSession, table: str, *,
     which are content-neutral; NOT for restore).
     ``max_commits_per_trigger`` bounds how many commits one micro-batch
     spans — consumers that must see every intermediate version (e.g.
-    :func:`..streaming.pipeline.stream_history`) set 1."""
+    :func:`..streaming.pipeline.stream_history`) set 1. Without
+    ``pace_from_start`` the first batch of a fresh query is UNPACED
+    (the engine polls the latest offset before the initial one), so an
+    availableNow run still drains the whole backlog in one batch;
+    with it, even the bootstrap batch spans at most
+    ``max_commits_per_trigger`` commits — and an availableNow run then
+    applies at most that many commits before terminating (bounded work
+    per run), so paced bootstrap callers should use a processing-time
+    trigger or rerun until drained."""
     spark.dataSource.register(LakehouseChangesDataSource)
     reader = (spark.readStream.format("lakehouse_changes")
               .option("path", table)
@@ -567,6 +600,8 @@ def stream_changes(spark: SparkSession, table: str, *,
     if max_commits_per_trigger is not None:
         reader = reader.option("maxCommitsPerTrigger",
                                str(max_commits_per_trigger))
+    if pace_from_start:
+        reader = reader.option("paceFromStart", "true")
     return reader.load()
 
 
@@ -574,6 +609,7 @@ def stream_table(spark: SparkSession, table: str, *,
                  starting_version: Optional[int] = None,
                  skip_change_commits: bool = False,
                  max_commits_per_trigger: Optional[int] = None,
+                 pace_from_start: bool = False,
                  columns: Optional[List[str]] = None):
     """Open a manifest table as a streaming DataFrame.
 
@@ -585,6 +621,11 @@ def stream_table(spark: SparkSession, table: str, *,
     how many table commits one micro-batch may span (Delta's
     ``maxFilesPerTrigger`` analog at commit granularity) so a backlogged
     table drains paced instead of in one giant batch.
+    ``pace_from_start`` (with ``starting_version``) paces even the
+    FIRST batch of a fresh query — without it the bootstrap batch is
+    unpaced because the engine polls the latest offset before the
+    initial one; see :func:`stream_changes` for the availableNow
+    interaction.
     """
     spark.dataSource.register(LakehouseTableDataSource)
     reader = spark.readStream.format(_FORMAT_NAME).option("path", table)
@@ -595,6 +636,8 @@ def stream_table(spark: SparkSession, table: str, *,
     if max_commits_per_trigger is not None:
         reader = reader.option("maxCommitsPerTrigger",
                                str(max_commits_per_trigger))
+    if pace_from_start:
+        reader = reader.option("paceFromStart", "true")
     if columns is not None:
         # projection must be declared at the source: Spark does not push
         # column pruning into Python data sources, so a downstream

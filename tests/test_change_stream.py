@@ -190,3 +190,77 @@ def test_stream_replicate_keeps_multirow_documents(spark, tmp_path):
     got = ms.read_table(spark, dst)
     assert got.filter(F.col("documentid") == "0").count() == 4
     assert got.filter(F.col("documentid") == "9").count() == 0
+
+
+def test_stream_replicate_paced_catchup(spark, tmp_path):
+    """max_commits_per_trigger=1 paces a multi-commit catch-up into one
+    micro-batch per source commit (a fresh replica of a large table must
+    never see one batch spanning the whole history), and the replica
+    still converges exactly. Pacing applies to processing-time triggers;
+    an availableNow run's end-capture precedes the pacing position by
+    design (same documented behavior as the table source), so this
+    drives the paced path with available_now=False and stops on
+    convergence."""
+    import time
+
+    from dataingestion_spark.streaming.pipeline import stream_replicate
+
+    src, dst, ckpt = (str(tmp_path / n) for n in ("src", "dst", "ckpt"))
+    ms.write_table(_mk(spark, 0, 20), src)               # v0
+    ms.merge_table(_mk(spark, 10, 30, rev=2), src)       # v1
+    ms.delete_documents(spark, src, ["0", "1"])          # v2
+    ms.append_table(_mk(spark, 30, 35), src)             # v3
+    q = stream_replicate(spark, src, dst, ckpt,
+                         max_commits_per_trigger=1, available_now=False)
+    try:
+        deadline = time.time() + 120
+        src_rows = ms.read_table(spark, src).count()
+        while time.time() < deadline:
+            try:
+                if ms.read_table(spark, dst).count() == src_rows:
+                    break
+            except Exception:
+                pass  # replica table not created yet
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    a = ms.read_table(spark, src).select("documentid", "v")
+    b = ms.read_table(spark, dst).select("documentid", "v")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # paced: each source commit became its own micro-batch, so the
+    # replica carries one txn epoch per insert-bearing source commit
+    # (v0, v1, v3) plus the delete epoch (v2) — a single catch-up
+    # batch would have produced at most two commits
+    assert ms.current_version(dst) >= 3
+
+
+def test_winning_changes_join_not_forced_broadcast(spark, tmp_path):
+    """The winner join-back must carry NO broadcast hint: with runtime
+    auto-broadcast disabled the plan falls back to a shuffle join,
+    proving nothing forces `winners` (one row per documentid in the
+    batch — unbounded on replica bootstrap) onto every executor."""
+    from dataingestion_spark.streaming.pipeline import winning_changes
+
+    rows = [(str(i), c, v, t)
+            for i in range(20) for c in range(3)
+            for v, t in ((0, "insert"), (1, "delete"), (1, "insert"))]
+    batch = spark.createDataFrame(
+        rows, "documentid string, chunk int, _commit_version long, "
+              "_change_type string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = winning_changes(batch)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        # semantics unchanged: v1 insert wins for every key, all chunks
+        got = out.collect()
+        assert len(got) == 60
+        assert all(r._commit_version == 1 and r._change_type == "insert"
+                   for r in got)
+        assert {(r.documentid, r.chunk) for r in got} == {
+            (str(i), c) for i in range(20) for c in range(3)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

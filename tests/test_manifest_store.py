@@ -1989,3 +1989,80 @@ def test_append_rebase_raises_on_concurrent_colmap_change(spark, tmp_path,
     got = ms.read_table(spark, t)
     assert got.count() == 30
     assert got.filter("documentid = '35'").collect()[0].points == 35
+
+
+def test_append_rebase_splices_own_new_columns(spark, tmp_path, monkeypatch):
+    """A schema-EVOLVING append that loses the commit race to a PLAIN
+    data append must rebase, not die: its written colmap is the head's
+    plus fresh physical names for the columns it itself introduced, so
+    the new entries splice into the racing head's map and the written
+    files read back whole (regression: any colmap difference raised
+    'column mapping changed concurrently', even when nothing was
+    renamed or dropped)."""
+    t = str(tmp_path / "rbadd")
+    mk = lambda a, b: spark.range(a, b).select(  # noqa: E731
+        F.col("id").cast("string").alias("documentid"),
+        F.col("id").alias("score"))
+    ms.write_table(mk(0, 20), t)
+    ms.rename_column(t, "score", "points")  # mapping mode ON
+    orig = ms._commit
+    state = {"raced": False}
+
+    def racing(table, version, buckets, expected_current=None,
+               extra=None, op=None):
+        if op == "APPEND" and not state["raced"]:
+            state["raced"] = True
+            ms.append_table(
+                spark.range(100, 110).select(
+                    F.col("id").cast("string").alias("documentid"),
+                    F.col("id").alias("points")), t)
+        return orig(table, version, buckets,
+                    expected_current=expected_current, extra=extra, op=op)
+
+    monkeypatch.setattr(ms, "_commit", racing)
+    evolving = spark.range(20, 30).select(
+        F.col("id").cast("string").alias("documentid"),
+        F.col("id").alias("points"),
+        F.lit("fr").alias("lang"))
+    ms.append_table(evolving, t)  # must rebase and succeed
+    monkeypatch.undo()
+    got = ms.read_table(spark, t)
+    assert got.count() == 40
+    # the spliced column reads back from the pre-rebase files...
+    assert got.filter("documentid = '25'").collect()[0].lang == "fr"
+    # ...and null-fills everywhere else; pre-existing mapping intact
+    assert got.filter("lang IS NULL").count() == 30
+    assert got.filter("documentid = '105'").collect()[0].points == 105
+
+
+def test_append_rebase_still_raises_on_concurrent_drop(spark, tmp_path,
+                                                       monkeypatch):
+    """The superset splice must NOT resurrect a concurrently dropped
+    column: an evolving append racing a DROP of a pre-existing column
+    still fails with the metadata-changed conflict."""
+    t = str(tmp_path / "rbdrop")
+    mk = lambda a, b: spark.range(a, b).select(  # noqa: E731
+        F.col("id").cast("string").alias("documentid"),
+        F.col("id").alias("score"),
+        F.col("id").alias("extra"))
+    ms.write_table(mk(0, 20), t)
+    ms.rename_column(t, "score", "points")
+    orig = ms._commit
+    state = {"raced": False}
+
+    def racing(table, version, buckets, expected_current=None,
+               extra=None, op=None):
+        if op == "APPEND" and not state["raced"]:
+            state["raced"] = True
+            ms.drop_column(t, "extra")
+        return orig(table, version, buckets,
+                    expected_current=expected_current, extra=extra, op=op)
+
+    monkeypatch.setattr(ms, "_commit", racing)
+    evolving = spark.range(20, 30).select(
+        F.col("id").cast("string").alias("documentid"),
+        F.col("id").alias("points"),
+        F.col("id").alias("extra"),
+        F.lit("fr").alias("lang"))
+    with pytest.raises(ms.ConcurrentWriteError, match="column mapping"):
+        ms.append_table(evolving, t)
