@@ -127,6 +127,21 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        # Driver parity: its canonicalizer sorts rows with raw pandas and
+        # throws on list cells (the r8 pack_token_id_rows red).  The old
+        # tuple-normalization in norm_cell masked that class locally, so
+        # reject non-scalar output columns outright.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        nonscalar = [
+            f.name for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nonscalar:
+            failures.append(name)
+            print(f"FAIL  {name}: non-scalar output columns {nonscalar} "
+                  "(driver canon cannot sort list cells)")
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             continue
