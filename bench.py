@@ -350,8 +350,11 @@ def main():
     # min-of-N per query: the host VM shows 2x wall-clock swings between
     # identical runs, and the min is the least-noisy estimator of the
     # plan's actual cost; the median is reported alongside so noisy
-    # entries are visible (SPARK_GRAFT_BENCH_REPS=1 restores single-shot)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # entries are visible (SPARK_GRAFT_BENCH_REPS=1 restores single-shot).
+    # Default raised 3 -> 5 (r6 #4 / r7 #3 / r8 #4: at reps=3 a real 1.3x
+    # regression is indistinguishable from the documented 15-25% same-code
+    # host drift; the ~2 extra total-suite runs cost ~2-3 min at sf0.1).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     # entries that swung >2x between rounds with unchanged code (r4
     # VERDICT #10: host-VM variance, min≈median within a run but not
     # across runs) get extra reps so the reported min is stable

@@ -421,10 +421,23 @@ def _delta_state(path: str) -> Tuple[Dict[str, Dict], Dict]:
     start_after = -1
     lc = be.read_bytes(f"{log_dir}/_last_checkpoint")
     if lc is not None:
-        cp_version = int(json.loads(lc.decode())["version"])
-        cp_name = f"{cp_version:020d}.checkpoint.parquet"
-        if cp_name in names:
-            _replay_checkpoint(f"{log_dir}/{cp_name}", adds, state)
+        lcdoc = json.loads(lc.decode())
+        cp_version = int(lcdoc["version"])
+        parts = lcdoc.get("parts")
+        if parts:
+            # multi-part checkpoint (foreign writers split large state):
+            # {v}.checkpoint.{i}.{parts}.parquet, i in 1..parts — all
+            # parts together hold the state; replay requires every one
+            cp_names = [
+                f"{cp_version:020d}.checkpoint."
+                f"{i:010d}.{int(parts):010d}.parquet"
+                for i in range(1, int(parts) + 1)
+            ]
+        else:
+            cp_names = [f"{cp_version:020d}.checkpoint.parquet"]
+        if all(n in names for n in cp_names):
+            for n in cp_names:
+                _replay_checkpoint(f"{log_dir}/{n}", adds, state)
             start_after = cp_version
     commit_versions = sorted(
         int(n[:20]) for n in names

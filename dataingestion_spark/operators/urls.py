@@ -16,6 +16,8 @@ handling is part of the beyond-reference curation surface, like
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Query parameters that identify a click, not a resource. Stripping them
@@ -26,6 +28,11 @@ TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "ref", "ref_src", "igshid")
 # Two-label public suffixes (a deliberately small, fixed subset of the
 # Mozilla Public Suffix List — the operator contract is determinism;
 # swap in the full PSL as a broadcast join for production).
+# Provenance: hand-picked high-traffic entries from the PSL's ICANN
+# section as published at publicsuffix.org circa 2024-06; it is NOT a
+# complete snapshot and never will be — completeness is the job of
+# psl_rules(spark, path_or_lines) + registered_domain_psl, which accept
+# the full, current list verbatim.
 TWO_LABEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "com.au", "net.au", "org.au",
@@ -133,9 +140,15 @@ def url_signals(
 # ---------------------------------------------------------------------------
 
 def psl_rules(spark, rules) -> DataFrame:
-    """Parse raw PSL lines (publicsuffix.org/list/ format) into a rule
-    table for :func:`registered_domain_psl`. Comments (``//``) and blank
-    lines are skipped. Each rule becomes:
+    """Parse the Public Suffix List (publicsuffix.org/list/ format) into
+    a rule table for :func:`registered_domain_psl`.
+
+    ``rules`` is either an iterable of raw PSL lines OR a path to a rule
+    file (e.g. a downloaded ``public_suffix_list.dat``, ~15k rules) —
+    the full current list loads verbatim; ship it alongside the job and
+    load it here rather than relying on the vendored
+    ``TWO_LABEL_SUFFIXES`` subset. Comments (``//``) and blank lines are
+    skipped. Each rule becomes:
 
     * ``lit`` — the literal label-suffix to equi-join on (wildcard ``*.``
       and exception ``!`` markers stripped),
@@ -148,6 +161,9 @@ def psl_rules(spark, rules) -> DataFrame:
       must consume a real label: ``*.ck`` does not match host ``ck``),
     * ``is_exc`` — exception rules prevail over everything.
     """
+    if isinstance(rules, (str, bytes, os.PathLike)):
+        with open(rules, encoding="utf-8") as f:
+            rules = f.read().splitlines()
     parsed = []
     for raw in rules:
         line = raw.strip()

@@ -133,10 +133,22 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
     hist = None
     if existing:
         tgt_files = ms._merge_target_files(manifest, meta, existing, precheck)
+        # hist feeds TWO consumers inside the one replace-commit job (the
+        # current-row side of change detection AND the ride-along closed
+        # histories); the lazy checkpoint computes the pruned scan +
+        # semi-join once instead of up to 4x. Checkpointing here and NOT
+        # on `decided` is a measured choice (sf0.1, 5-rep steady-state):
+        # `decided`'s plan spans the whole merge pipeline and its
+        # localCheckpoint cost ~1 s of pure driver-side physical planning
+        # per merge (median 4.26 s -> 3.50 s moving the checkpoint to
+        # hist, whose plan is just scan+semi-join) — recomputing the
+        # cheap expression layer above hist twice costs less than
+        # planning the full pipeline twice.
         hist = (ms._read_files(spark, table, manifest, bucket_subset=existing,
                                file_subset=tgt_files)
                 .join(F.broadcast(src.select("documentid").distinct()),
-                      "documentid", "semi"))
+                      "documentid", "semi")
+                .localCheckpoint(eager=False))
 
     if hist is None:
         # no stored rows can match: live rows insert, tombstones no-op
@@ -174,7 +186,9 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
         "valid_from",
         F.when(stale_row, F.raise_error(F.lit(_STALE_MSG)))
         .otherwise(F.col("valid_from")))
-    decided = decided.localCheckpoint(eager=False)
+    # deliberately NOT checkpointed: decided is cheap expressions over the
+    # checkpointed src and hist (see the hist checkpoint note above) —
+    # its own localCheckpoint was the profiled ~1 s/merge planning floor
 
     out_cols = ["documentid", *tracked, *HISTORY_COLS]
     vt_type = source.schema[effective_col].dataType
@@ -208,12 +222,27 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
                                       table, mode="dv", txn=txn)
     except Exception as e:  # rethrow the folded guard as the API's ValueError
         # the folded guard surfaces as raise_error's USER_RAISED_EXCEPTION
-        # error class; requiring both it and the marker text (and chaining
-        # the original) keeps an unrelated executor failure that merely
+        # error class; prefer the STRUCTURED error class over the message
+        # text (a Spark version / connect path may stringify the
+        # executor-side raise_error without the error-class tag), falling
+        # back to the tag-in-message check. Requiring the marker text in
+        # both cases keeps an unrelated executor failure that merely
         # echoes the marker in user data from being misclassified — and
-        # keeps its traceback either way
-        if _STALE_MSG in str(e) and "USER_RAISED_EXCEPTION" in str(e):
-            raise ValueError(_STALE_MSG) from e
+        # `from e` keeps its traceback either way.
+        if _STALE_MSG in str(e):
+            cls = None
+            for probe in ("getCondition", "getErrorClass"):
+                get_cls = getattr(e, probe, None)
+                if callable(get_cls):
+                    try:
+                        cls = get_cls()
+                    except Exception:
+                        cls = None
+                    if cls:
+                        break
+            if (cls or "").startswith("USER_RAISED_EXCEPTION") or (
+                    cls is None and "USER_RAISED_EXCEPTION" in str(e)):
+                raise ValueError(_STALE_MSG) from e
         raise
 
 

@@ -532,22 +532,28 @@ def winning_changes(batch_df: DataFrame) -> DataFrame:
     shuffle large ones."""
     import pyspark.sql.functions as SF
 
+    # winners is built from ONLY the change-feed columns (a source table
+    # may legitimately carry columns named like the helpers), and every
+    # helper column is dropped by its winners-side Column REFERENCE, so a
+    # same-named data column on the batch side survives untouched
     winners = (batch_df
-               .withColumn("_ins", (SF.col("_change_type") == "insert")
+               .select("documentid", "_commit_version", "_change_type")
+               .withColumn("__wc_ins", (SF.col("_change_type") == "insert")
                            .cast("int"))
                .groupBy("documentid")
-               .agg(SF.max(SF.struct("_commit_version", "_ins"))
-                    .alias("_w"))
+               .agg(SF.max(SF.struct(SF.col("_commit_version"),
+                                     SF.col("__wc_ins"))).alias("__wc_w"))
                .select("documentid",
-                       SF.col("_w._commit_version").alias("_wv"),
-                       SF.col("_w._ins").alias("_wins")))
+                       SF.col("__wc_w._commit_version").alias("__wc_wv"),
+                       SF.col("__wc_w.__wc_ins").alias("__wc_wins")))
     return batch_df.join(
         winners,
         on=[batch_df["documentid"] == winners["documentid"],
-            batch_df["_commit_version"] == winners["_wv"],
+            batch_df["_commit_version"] == winners["__wc_wv"],
             (batch_df["_change_type"] == "insert").cast("int")
-            == winners["_wins"]],
-    ).drop(winners["documentid"]).drop("_wv", "_wins")
+            == winners["__wc_wins"]],
+    ).drop(winners["documentid"]).drop(winners["__wc_wv"]) \
+     .drop(winners["__wc_wins"])
 
 
 def stream_table_pipeline(spark, src_table: str, dst_table: str,

@@ -120,7 +120,12 @@ class _TableStreamReader(DataSourceStreamReader):
             # latestOffset before initialOffset — see the changes reader
             # for the full rationale). Only meaningful with
             # startingVersion: the snapshot path is one consistent
-            # version and is never split.
+            # version and is never split. On a checkpoint RESTART the
+            # seed is stale (the engine never calls initialOffset), so
+            # the first poll may return a rewound offset — partitions()
+            # folds the engine-committed START into the position and the
+            # delivery floor, making the rewind one empty batch instead
+            # of a data replay.
             self._pos = self._starting_version - 1
 
     # -- driver-side planning -------------------------------------------
@@ -166,7 +171,19 @@ class _TableStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
         # keep the pacing position honest across engine-driven replans
-        # (e.g. a WAL batch replayed after restart)
+        # (e.g. a WAL batch replayed after restart).  START is folded in
+        # too, not just end: after a checkpoint RESTART the engine never
+        # calls initialOffset, so the first latestOffset may have
+        # returned a stale paced offset (constructor pace seed, which
+        # knows nothing about the checkpoint) BELOW the committed
+        # position.  start is an engine-committed fact — folding it into
+        # both the pacing position and the delivery floor re-anchors the
+        # reader at the real position on the first partitions call.
+        if s != self._SNAPSHOT_PENDING:
+            prev = getattr(self, "_pos", None)
+            self._pos = s if prev is None else max(prev, s)
+            fl = getattr(self, "_floor", None)
+            self._floor = s if fl is None else max(fl, s)
         if e >= 0:
             prev = getattr(self, "_pos", None)
             self._pos = e if prev is None else max(prev, e)
@@ -174,8 +191,18 @@ class _TableStreamReader(DataSourceStreamReader):
             return []
         if s == self._SNAPSHOT_PENDING:
             return self._snapshot_partitions(e)
+        # The microbatch engine is strictly sequential: only the LATEST
+        # planned batch can ever be retried, so commits ≤ the highest
+        # start offset ever seen were delivered by an earlier batch and
+        # can never be legitimately requested again.  If a stale paced
+        # offset briefly rewound the offset log (restart + pace seed →
+        # one empty batch whose end sits below the committed position),
+        # the next planned range nominally spans already-delivered
+        # commits — emit only the genuinely new ones instead of
+        # replaying them into the sink under fresh (app, epoch) txns.
+        lo = max(s, getattr(self, "_floor", s))
         parts: List[_FilePartition] = []
-        for v in range(s + 1, e + 1):
+        for v in range(lo + 1, e + 1):
             parts.extend(self._commit_partitions(v))
         return parts
 
@@ -276,7 +303,15 @@ class _TableStreamReader(DataSourceStreamReader):
         yield from out.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the stream checkpoint; nothing to ack
+        # offsets live in the stream checkpoint, but the ack is an
+        # engine-committed fact: slide the pacing position and the
+        # delivery floor forward so a later rewound range (restart +
+        # pace seed) can never replay committed commits
+        v = int(end.get("version", -1)) if isinstance(end, dict) else -1
+        if v >= 0:
+            self._pos = max(getattr(self, "_pos", v), v)
+            fl = getattr(self, "_floor", None)
+            self._floor = v if fl is None else max(fl, v)
 
 
 class LakehouseTableDataSource(DataSource):
@@ -393,7 +428,12 @@ class _ChangesStreamReader(DataSourceStreamReader):
             # most max_commits commits and terminates (bounded work per
             # run), where unseeded availableNow drains everything in one
             # batch. A restart whose checkpoint is ahead of the seed
-            # cannot stall: the position slides forward on every poll.
+            # cannot stall OR replay: the first latestOffset may return
+            # a stale paced offset (one empty rewound batch in the
+            # offset log), but partitions() folds the engine-committed
+            # START into the position and the delivery floor, so pacing
+            # re-anchors immediately and already-delivered commits are
+            # never re-emitted (see partitions()).
             self._pos = self._start - 1
 
     def initialOffset(self) -> dict:
@@ -419,9 +459,22 @@ class _ChangesStreamReader(DataSourceStreamReader):
         return {"version": cur}
 
     def partitions(self, start: dict, end: dict):
-        self._pos = max(getattr(self, "_pos", -1), int(end["version"]))
+        s, e = int(start["version"]), int(end["version"])
+        # fold START into the pacing position and the delivery floor —
+        # same restart-rewind defense as _TableStreamReader.partitions:
+        # after a checkpoint restart the first latestOffset may return a
+        # stale paced offset (constructor seed) below the committed
+        # position; start is an engine-committed fact.
+        self._pos = max(getattr(self, "_pos", -1), s, e)
+        fl = getattr(self, "_floor", None)
+        self._floor = s if fl is None else max(fl, s)
+        # emit only commits above the highest start ever seen: the engine
+        # is strictly sequential, so those were already delivered — a
+        # rewound range (restart + pace seed) must not replay them as
+        # fresh change rows
+        lo = max(s, self._floor)
         parts = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        for v in range(lo + 1, e + 1):
             parts.extend(self._commit_changes(v))
         return parts
 
@@ -546,7 +599,13 @@ class _ChangesStreamReader(DataSourceStreamReader):
             yield from out.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
-        pass
+        # same engine-committed ack as the table reader: advance the
+        # pacing position and delivery floor
+        v = int(end.get("version", -1)) if isinstance(end, dict) else -1
+        if v >= 0:
+            self._pos = max(getattr(self, "_pos", v), v)
+            fl = getattr(self, "_floor", None)
+            self._floor = v if fl is None else max(fl, v)
 
 
 class LakehouseChangesDataSource(DataSource):

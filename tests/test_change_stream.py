@@ -264,3 +264,110 @@ def test_winning_changes_join_not_forced_broadcast(spark, tmp_path):
             (str(i), c) for i in range(20) for c in range(3)}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _mk_commits(spark, table):
+    """v0..v4: five append commits, 5 docs each."""
+    ms.write_table(_mk(spark, 0, 5), table)
+    for i in range(1, 5):
+        ms.append_table(_mk(spark, i * 5, i * 5 + 5), table)
+
+
+def test_changes_reader_restart_rewind_no_replay(spark, tmp_path):
+    """Checkpoint-restart with a pace seed: the engine never calls
+    initialOffset and commit() starts as a no-op, so the first
+    latestOffset returns a stale paced offset BELOW the committed
+    position.  The rewound batch must be EMPTY, pacing must re-anchor
+    at the engine-committed start, and the follow-up range spanning
+    already-delivered commits must emit only the genuinely new ones —
+    never replay commits <= the committed position as fresh change
+    rows (transient replica regression + wrong-if-stopped-mid-replay)."""
+    from dataingestion_spark.streaming.table_source import _ChangesStreamReader
+
+    table = str(tmp_path / "t")
+    _mk_commits(spark, table)  # v0..v4
+    r = _ChangesStreamReader(None, {
+        "path": table, "startingversion": "0",
+        "maxcommitspertrigger": "1", "pacefromstart": "true"})
+    # restart: engine committed through v3; first poll is latestOffset
+    stale = r.latestOffset()
+    assert stale["version"] == 0  # paced from the stale constructor seed
+    # engine plans the rewound batch (committed=3 -> stale end=0)
+    assert r.partitions({"version": 3}, {"version": 0}) == []
+    # pacing re-anchored at the engine-committed start
+    assert r.latestOffset()["version"] == 4
+    # the follow-up range nominally spans v1..v4; only v4 may be emitted
+    parts = r.partitions({"version": 0}, {"version": 4})
+    assert parts and {p.version for p in parts} == {4}
+
+
+def test_changes_reader_batch_retry_still_full(spark, tmp_path):
+    """The delivery floor must NOT dedupe a legitimate retry of the
+    latest planned batch: re-requesting the same (start, end) range
+    returns the full partition set both times."""
+    from dataingestion_spark.streaming.table_source import _ChangesStreamReader
+
+    table = str(tmp_path / "t")
+    _mk_commits(spark, table)
+    r = _ChangesStreamReader(None, {"path": table, "startingversion": "0"})
+    first = r.partitions({"version": 1}, {"version": 3})
+    retry = r.partitions({"version": 1}, {"version": 3})
+    assert {p.version for p in first} == {2, 3}
+    assert [(p.path, p.version) for p in first] == \
+        [(p.path, p.version) for p in retry]
+
+
+def test_changes_reader_commit_advances_floor(spark, tmp_path):
+    """commit(end) is an engine-committed fact: it slides the pacing
+    position and delivery floor so a later rewound range cannot replay
+    committed commits even before any partitions() call."""
+    from dataingestion_spark.streaming.table_source import _ChangesStreamReader
+
+    table = str(tmp_path / "t")
+    _mk_commits(spark, table)
+    r = _ChangesStreamReader(None, {
+        "path": table, "startingversion": "0",
+        "maxcommitspertrigger": "1", "pacefromstart": "true"})
+    r.commit({"version": 3})
+    assert r.latestOffset()["version"] == 4  # paced from 3, not the seed
+    parts = r.partitions({"version": 0}, {"version": 4})
+    assert parts and {p.version for p in parts} == {4}
+
+
+def test_table_reader_restart_rewind_no_replay(spark, tmp_path):
+    """Same restart-rewind defense for the table source reader
+    (stream_table): empty rewound batch, re-anchored pacing, no
+    re-emission of commits <= the engine-committed start."""
+    from dataingestion_spark.streaming.table_source import _TableStreamReader
+
+    table = str(tmp_path / "t")
+    _mk_commits(spark, table)  # v0..v4
+    r = _TableStreamReader(None, {
+        "path": table, "startingversion": "0",
+        "maxcommitspertrigger": "1", "pacefromstart": "true"})
+    stale = r.latestOffset()
+    assert stale["version"] == 0
+    assert r.partitions({"version": 3}, {"version": 0}) == []
+    assert r.latestOffset()["version"] == 4
+    parts = r.partitions({"version": 0}, {"version": 4})
+    assert parts and {p.seq for p in parts} == {4}
+
+
+def test_winning_changes_survives_helper_name_collisions(spark):
+    """A source table may legitimately carry columns named like the
+    winner-selection helpers; they must pass through untouched instead
+    of being dropped or shadowed."""
+    from dataingestion_spark.streaming.pipeline import winning_changes
+
+    rows = [(str(i), 7, 8, 9, v, t)
+            for i in range(5) for v, t in ((0, "insert"), (1, "insert"))]
+    batch = spark.createDataFrame(
+        rows, "documentid string, _ins int, _wv int, _wins int, "
+              "_commit_version long, _change_type string")
+    out = winning_changes(batch)
+    assert set(out.columns) == {"documentid", "_ins", "_wv", "_wins",
+                                "_commit_version", "_change_type"}
+    got = out.collect()
+    assert len(got) == 5
+    assert all(r._commit_version == 1 and (r._ins, r._wv, r._wins)
+               == (7, 8, 9) for r in got)

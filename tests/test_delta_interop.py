@@ -465,3 +465,99 @@ def test_export_column_mapped_table_roundtrip(spark, tmp_path):
     back0 = read_delta(spark, d0)
     assert "points" in back0.columns and back0.count() == 100
     assert back0.filter("documentid = '7'").collect()[0].points == 7
+
+
+def test_read_foreign_multipart_checkpoint_with_string_stats(spark, tmp_path):
+    """A log shaped like a FOREIGN writer's (this repo's exporter never
+    produces it): a two-part checkpoint ({v}.checkpoint.{i}.{parts}
+    .parquet named by _last_checkpoint's `parts`), `add.stats` carried
+    as Delta's JSON string (with extra keys like nullCount), and the
+    pre-checkpoint commits vacuumed away.  The reader must reconstruct
+    state from ALL parts, apply the post-checkpoint commit, and use the
+    string stats for file skipping."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "mp")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    _write_part(spark, os.path.join(root, "a.parquet"), [("a1", 1), ("a2", 2)])
+    _write_part(spark, os.path.join(root, "b.parquet"), [("b1", 3)])
+    _write_part(spark, os.path.join(root, "c.parquet"), [("c1", 4)])
+    schema2 = {"type": "struct", "fields": _SCHEMA["fields"][:2]}
+
+    def stats(lo, hi, n):
+        return json.dumps({"numRecords": n, "minValues": {"k": lo},
+                           "maxValues": {"k": hi},
+                           "nullCount": {"k": 0}})  # foreign extra key
+
+    add_t = pa.struct([("path", pa.string()), ("size", pa.int64()),
+                       ("modificationTime", pa.int64()),
+                       ("stats", pa.string())])
+    # part 1: protocol + metaData; part 2: the adds — state spans parts
+    part1 = pa.table({
+        "protocol": [{"minReaderVersion": 1, "minWriterVersion": 2}],
+        "metaData": [{"id": "m", "schemaString": json.dumps(schema2),
+                      "partitionColumns": []}],
+        "add": pa.array([None], type=add_t),
+    })
+    part2 = pa.table({
+        "add": pa.array(
+            [{"path": "a.parquet", "size": 1, "modificationTime": 0,
+              "stats": stats("a1", "a2", 2)},
+             {"path": "b.parquet", "size": 1, "modificationTime": 0,
+              "stats": stats("b1", "b1", 1)}], type=add_t),
+    })
+    v = 7
+    pq.write_table(part1, os.path.join(
+        log, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    pq.write_table(part2, os.path.join(
+        log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": 3, "parts": 2}, f)
+    # post-checkpoint commit: one more add with string stats
+    _write_delta_commit(log, v + 1, [
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": stats("c1", "c1", 1)}},
+    ])
+    got = read_delta(spark, root)
+    assert {(r.k, r.n) for r in got.collect()} == {
+        ("a1", 1), ("a2", 2), ("b1", 3), ("c1", 4)}
+    # string stats drive skipping: k = 'b1' can only live in b.parquet
+    hit = read_delta(spark, root, where=[("k", "=", "b1")])
+    assert {(r.k, r.n) for r in hit.collect()} == {("b1", 3)}
+
+
+def test_read_foreign_multipart_checkpoint_missing_part_falls_back(
+        spark, tmp_path):
+    """If any checkpoint part is absent the checkpoint must be IGNORED
+    (not half-applied): with all JSON commits still present the replay
+    reconstructs the same state from scratch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "mp2")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    _write_part(spark, os.path.join(root, "a.parquet"), [("x", 1)])
+    schema2 = {"type": "struct", "fields": _SCHEMA["fields"][:2]}
+    _write_delta_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(schema2),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    # _last_checkpoint advertises 2 parts but only part 1 exists
+    add_t = pa.struct([("path", pa.string()), ("size", pa.int64()),
+                       ("modificationTime", pa.int64())])
+    pq.write_table(
+        pa.table({"metaData": [{"id": "m",
+                                "schemaString": json.dumps(schema2),
+                                "partitionColumns": []}],
+                  "add": pa.array([None], type=add_t)}),
+        os.path.join(log, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0, "size": 2, "parts": 2}, f)
+    got = read_delta(spark, root)
+    assert {(r.k, r.n) for r in got.collect()} == {("x", 1)}

@@ -225,3 +225,44 @@ def test_robots_wildcards_rfc9309(spark):
            robots_disallowed(urls, parse_robots(robots), agent="*").collect()}
     for u, want in cases:
         assert got[u] == want, (u, got[u], want)
+
+
+def test_psl_rules_loads_rule_file(spark, tmp_path):
+    """psl_rules accepts a PATH to a publicsuffix.org-format rule file
+    (the full downloaded list drops in verbatim): an EXTENDED file —
+    the sample rules plus entries absent from the vendored subset
+    (private-section style multi-label and wildcard rules) — must parse
+    identically to passing the lines, and the extra rules must take
+    effect in registered_domain_psl."""
+    from dataingestion_spark.operators.urls import (
+        psl_rules, registered_domain_psl,
+    )
+
+    extended = _PSL_SAMPLE + [
+        "// ===BEGIN PRIVATE DOMAINS===",
+        "github.io",            # multi-label private-section entry
+        "s3.amazonaws.com",
+        "*.futurecms.at", "at",
+        "// ===END PRIVATE DOMAINS===",
+    ]
+    p = tmp_path / "public_suffix_list.dat"
+    p.write_text("\n".join(extended) + "\n", encoding="utf-8")
+
+    from_file = psl_rules(spark, str(p))
+    from_lines = psl_rules(spark, extended)
+    assert sorted(map(tuple, from_file.collect())) == \
+        sorted(map(tuple, from_lines.collect()))
+
+    df = spark.createDataFrame(
+        [(0, "user.github.io"), (1, "bucket.s3.amazonaws.com"),
+         (2, "x.y.futurecms.at"), (3, "example.com")],
+        "doc_id long, host string")
+    out = registered_domain_psl(df, from_file)
+    got = {r.host: (r.public_suffix, r.registered_domain)
+           for r in out.collect()}
+    assert got["user.github.io"] == ("github.io", "user.github.io")
+    assert got["bucket.s3.amazonaws.com"] == (
+        "s3.amazonaws.com", "bucket.s3.amazonaws.com")
+    # wildcard *.futurecms.at consumes one host label
+    assert got["x.y.futurecms.at"] == ("y.futurecms.at", "x.y.futurecms.at")
+    assert got["example.com"] == ("com", "example.com")
