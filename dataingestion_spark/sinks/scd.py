@@ -133,6 +133,9 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
     hist = None
     if existing:
         tgt_files = ms._merge_target_files(manifest, meta, existing, precheck)
+        # the broadcast side carries src's documentids VERBATIM — the
+        # precheck above already raised on duplicates, so a distinct()
+        # here would only add a shuffle to the broadcast build.
         # hist feeds TWO consumers inside the one replace-commit job (the
         # current-row side of change detection AND the ride-along closed
         # histories); the lazy checkpoint computes the pruned scan +
@@ -146,7 +149,7 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
         # planning the full pipeline twice.
         hist = (ms._read_files(spark, table, manifest, bucket_subset=existing,
                                file_subset=tgt_files)
-                .join(F.broadcast(src.select("documentid").distinct()),
+                .join(F.broadcast(src.select("documentid")),
                       "documentid", "semi")
                 .localCheckpoint(eager=False))
 

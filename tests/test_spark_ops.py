@@ -346,16 +346,12 @@ def test_entry_contract(spark):
     oracles = em.oracle_sql()
     missing = [k for k in oracles if k not in qs]
     assert not missing
-    # every query has an oracle except the three genuinely non-SQL ops:
-    # xxhash64 has no DuckDB twin by construction, and the GroupState
-    # custom operator's multi-batch emission order is engine-internal
-    # (all pinned by behavioral tests); doc_compression_ratio moved to a
-    # literal-golden oracle in r4
-    assert set(qs) - set(oracles) == {
-        "streaming_stateful_counts",
-        "dedup_minhash_fast_pairs",
-        "dedup_simhash_fast",
-    }
+    # EVERY query has an oracle (r9): the last three rows-only ops were
+    # restated as provable invariants — the xxhash64 twins through
+    # seed-free outputs (verified clone pairs / order-invariance
+    # hamming), the GroupState operator through its final-emission
+    # drained-equals-batch state
+    assert set(qs) == set(oracles)
 
 
 def test_ann_multiprobe_improves_recall(spark):
