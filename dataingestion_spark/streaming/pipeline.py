@@ -594,7 +594,11 @@ def stream_table_pipeline(spark, src_table: str, dst_table: str,
                        max_commits_per_trigger=max_commits_per_trigger,
                        pace_from_start=(max_commits_per_trigger is not None
                                         and starting_version is not None
-                                        and not available_now))
+                                        and not available_now),
+                       # restart anchor: the paced seed reads the
+                       # query's own offset log so a restored stream
+                       # never polls below its committed offset
+                       checkpoint=checkpoint)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
@@ -657,7 +661,11 @@ def stream_replicate(spark, src_table: str, dst_table: str,
                           # catch-up batch is unpaced by design)
                           pace_from_start=(max_commits_per_trigger
                                            is not None
-                                           and not available_now))
+                                           and not available_now),
+                          # restart anchor: the paced seed reads the
+                          # query's own offset log so a restored stream
+                          # never polls below its committed offset
+                          checkpoint=checkpoint)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         import pyspark.sql.functions as SF

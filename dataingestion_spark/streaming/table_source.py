@@ -42,6 +42,7 @@ beyond-reference surface motivated by Delta/Iceberg CDC tailing.
 
 from __future__ import annotations
 
+import json
 from typing import Dict, List, Optional
 
 from pyspark.sql import SparkSession
@@ -75,6 +76,59 @@ def _read_arrow_file(path: str):
     import pyarrow.parquet as pq
 
     return pq.read_table(path)
+
+
+def _checkpoint_offset(ckpt) -> Optional[int]:
+    """Best-effort highest version recorded in a stream checkpoint's
+    offset log (None when absent or unparseable).
+
+    Used to anchor the pace-from-start seed on RESTART: the engine never
+    calls initialOffset on a restored query, so without this a freshly
+    constructed paced reader would return an offset below the committed
+    position from its very first latestOffset — and once that rewound
+    offset is LOGGED, a second restart loses the in-memory delivery
+    floor and replays committed commits (found by the engine-model
+    test). Seeding from the checkpoint makes latestOffset monotone
+    across restarts, so the rewound entry can never be written.
+
+    Format (HDFSMetadataLog, written atomically via rename): files named
+    by batch id under <ckpt>/offsets; line 1 = "v1", line 2 = engine
+    metadata (contains batchWatermarkMs), then one offset-json line per
+    source — ours is ``{"version": N}``. Parsing is deliberately
+    lenient: any failure returns None and the reader behaves as before
+    (fresh-query semantics)."""
+    if not ckpt:
+        return None
+    import os
+
+    d = os.path.join(str(ckpt), "offsets")
+    try:
+        nums = [int(n) for n in os.listdir(d) if n.isdigit()]
+    except OSError:
+        return None
+    if not nums:
+        return None
+    try:
+        with open(os.path.join(d, str(max(nums))), encoding="utf-8") as f:
+            lines = f.read().splitlines()
+    except OSError:
+        return None
+    for line in reversed(lines):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            doc = json.loads(line)
+        except ValueError:
+            continue
+        if not isinstance(doc, dict) or "batchWatermarkMs" in doc:
+            continue
+        if "version" in doc:
+            try:
+                return int(doc["version"])
+            except (TypeError, ValueError):
+                return None
+    return None
 
 
 class _FilePartition(InputPartition):
@@ -122,11 +176,16 @@ class _TableStreamReader(DataSourceStreamReader):
             # startingVersion: the snapshot path is one consistent
             # version and is never split. On a checkpoint RESTART the
             # seed is stale (the engine never calls initialOffset), so
-            # the first poll may return a rewound offset — partitions()
-            # folds the engine-committed START into the position and the
-            # delivery floor, making the rewind one empty batch instead
-            # of a data replay.
-            self._pos = self._starting_version - 1
+            # the first poll may return a rewound offset — anchored here
+            # on the checkpoint's own offset log when the caller passes
+            # checkpointLocation (our pipelines do), which makes
+            # latestOffset monotone across restarts; without the hint,
+            # partitions() still folds the engine-committed START into
+            # the position and the delivery floor, degrading the rewind
+            # to one empty batch.
+            seed = self._starting_version - 1
+            ck = _checkpoint_offset(options.get("checkpointlocation"))
+            self._pos = seed if ck is None else max(seed, ck)
 
     # -- driver-side planning -------------------------------------------
     def initialOffset(self) -> dict:
@@ -428,13 +487,17 @@ class _ChangesStreamReader(DataSourceStreamReader):
             # most max_commits commits and terminates (bounded work per
             # run), where unseeded availableNow drains everything in one
             # batch. A restart whose checkpoint is ahead of the seed
-            # cannot stall OR replay: the first latestOffset may return
-            # a stale paced offset (one empty rewound batch in the
-            # offset log), but partitions() folds the engine-committed
-            # START into the position and the delivery floor, so pacing
-            # re-anchors immediately and already-delivered commits are
-            # never re-emitted (see partitions()).
-            self._pos = self._start - 1
+            # cannot stall OR replay: the seed anchors on the
+            # checkpoint's own offset log when the caller passes
+            # checkpointLocation (our pipelines do), so latestOffset is
+            # monotone across restarts and the rewound entry is never
+            # logged; without the hint, partitions() still folds the
+            # engine-committed START into the position and the delivery
+            # floor, degrading the rewind to one empty batch (see
+            # partitions() and _checkpoint_offset).
+            seed = self._start - 1
+            ck = _checkpoint_offset(options.get("checkpointlocation"))
+            self._pos = seed if ck is None else max(seed, ck)
 
     def initialOffset(self) -> dict:
         self._pos = max(getattr(self, "_pos", self._start - 1),
@@ -632,7 +695,8 @@ def stream_changes(spark: SparkSession, table: str, *,
                    starting_version: int = 0,
                    skip_rewrites: bool = False,
                    max_commits_per_trigger: Optional[int] = None,
-                   pace_from_start: bool = False):
+                   pace_from_start: bool = False,
+                   checkpoint: Optional[str] = None):
     """Open a manifest table's CHANGE FEED as a streaming DataFrame
     (Delta's ``readChangeFeed`` analog): per-commit row-level changes
     with ``_change_type`` ('insert'/'delete'; updates are their
@@ -649,7 +713,12 @@ def stream_changes(spark: SparkSession, table: str, *,
     ``max_commits_per_trigger`` commits — and an availableNow run then
     applies at most that many commits before terminating (bounded work
     per run), so paced bootstrap callers should use a processing-time
-    trigger or rerun until drained."""
+    trigger or rerun until drained. ``checkpoint`` should name the
+    query's checkpointLocation when ``pace_from_start`` is set: the
+    reader anchors its pace seed on the checkpoint's offset log so a
+    RESTARTED query's first poll can never return an offset below the
+    committed one (without it, a restart costs one empty rewound
+    batch — see :func:`_checkpoint_offset`)."""
     spark.dataSource.register(LakehouseChangesDataSource)
     reader = (spark.readStream.format("lakehouse_changes")
               .option("path", table)
@@ -661,6 +730,8 @@ def stream_changes(spark: SparkSession, table: str, *,
                                str(max_commits_per_trigger))
     if pace_from_start:
         reader = reader.option("paceFromStart", "true")
+    if checkpoint is not None:
+        reader = reader.option("checkpointLocation", checkpoint)
     return reader.load()
 
 
@@ -669,7 +740,8 @@ def stream_table(spark: SparkSession, table: str, *,
                  skip_change_commits: bool = False,
                  max_commits_per_trigger: Optional[int] = None,
                  pace_from_start: bool = False,
-                 columns: Optional[List[str]] = None):
+                 columns: Optional[List[str]] = None,
+                 checkpoint: Optional[str] = None):
     """Open a manifest table as a streaming DataFrame.
 
     ``starting_version=None`` (default) emits the current snapshot as the
@@ -684,7 +756,7 @@ def stream_table(spark: SparkSession, table: str, *,
     FIRST batch of a fresh query — without it the bootstrap batch is
     unpaced because the engine polls the latest offset before the
     initial one; see :func:`stream_changes` for the availableNow
-    interaction.
+    interaction and the ``checkpoint`` restart anchor.
     """
     spark.dataSource.register(LakehouseTableDataSource)
     reader = spark.readStream.format(_FORMAT_NAME).option("path", table)
@@ -697,6 +769,8 @@ def stream_table(spark: SparkSession, table: str, *,
                                str(max_commits_per_trigger))
     if pace_from_start:
         reader = reader.option("paceFromStart", "true")
+    if checkpoint is not None:
+        reader = reader.option("checkpointLocation", checkpoint)
     if columns is not None:
         # projection must be declared at the source: Spark does not push
         # column pruning into Python data sources, so a downstream

@@ -434,3 +434,96 @@ def test_stream_replicate_paced_checkpoint_restart_no_replay(spark, tmp_path):
     # replica's version advanced by the post-restart epochs alone, not
     # by re-running the pre-restart ones
     assert ms.current_version(dst) > v_after_first
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42, 1234])
+def test_reader_engine_model_exactly_once_under_restarts(spark, tmp_path, seed):
+    """Model-based pin of paced-restart safety: a simulated microbatch
+    engine drives _ChangesStreamReader through randomized polls, batch
+    commits, retries, and FULL RESTARTS — each restart constructs a
+    fresh reader exactly like a checkpoint restore (stale constructor
+    state, offset log preserved on disk).  The engine writes the offset
+    log in Spark's HDFSMetadataLog format and passes checkpointLocation,
+    so the pace seed must anchor on the committed offset: latestOffset
+    may never rewind, and across every schedule the union of versions
+    delivered by committed batches covers each source commit exactly
+    once.  (Without the checkpoint anchor, seed=42's schedule restarts
+    right after a rewound offset was logged and replays commits 2-7 —
+    the failure that motivated _checkpoint_offset.)"""
+    import os
+    import random
+
+    from dataingestion_spark.streaming.table_source import _ChangesStreamReader
+
+    rng = random.Random(seed)
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    ms.write_table(_mk(spark, 0, 3), table)               # v0
+    n_commits = 8
+    for i in range(1, n_commits):
+        ms.append_table(_mk(spark, i * 3, i * 3 + 3), table)
+    opts = {"path": table, "startingversion": "0",
+            "maxcommitspertrigger": "2", "pacefromstart": "true",
+            "checkpointlocation": ckpt}
+
+    def fresh_reader():
+        return _ChangesStreamReader(None, opts)
+
+    def write_offset_file(batch_idx, off):
+        # HDFSMetadataLog layout: v1 header, engine metadata line, then
+        # one offset-json line per source
+        import json as _json
+
+        with open(os.path.join(ckpt, "offsets", str(batch_idx)), "w") as f:
+            f.write("v1\n")
+            f.write('{"batchWatermarkMs":0,"batchTimestampMs":0}\n')
+            f.write(_json.dumps(off) + "\n")
+
+    reader = fresh_reader()
+    log = [{"version": -1}]          # initialOffset equivalent
+    committed_through = 0
+    delivered_by_batch = {}
+
+    steps = 0
+    while steps < 200:
+        steps += 1
+        action = rng.random()
+        if action < 0.2:
+            # full restart: fresh reader reconstructed from options; an
+            # uncommitted trailing log entry is WAL-replayed first
+            reader = fresh_reader()
+            if committed_through < len(log) - 1:
+                s, e = log[-2], log[-1]
+                parts = reader.partitions(s, e)
+                delivered_by_batch[len(log) - 1] = {p.version for p in parts}
+                committed_through = len(log) - 1
+                reader.commit(e)
+            continue
+        off = reader.latestOffset()
+        assert off["version"] >= log[-1]["version"], \
+            f"latestOffset rewound: {off} after {log[-1]} (seed={seed})"
+        if off["version"] != log[-1]["version"]:
+            log.append(off)
+            write_offset_file(len(log) - 1, off)
+            s, e = log[-2], log[-1]
+            parts = reader.partitions(s, e)
+            versions = {p.version for p in parts}
+            if rng.random() < 0.15:
+                # batch fails once and is retried (same range)
+                parts = reader.partitions(s, e)
+                assert {p.version for p in parts} == versions, \
+                    "retry of the latest batch must redeliver identically"
+            delivered_by_batch[len(log) - 1] = versions
+            committed_through = len(log) - 1
+            reader.commit(e)
+        if log[-1]["version"] >= n_commits - 1 and rng.random() < 0.3:
+            break
+
+    all_delivered = sorted(
+        v for versions in delivered_by_batch.values() for v in versions)
+    assert all_delivered == list(range(n_commits)), \
+        f"schedule (seed={seed}) delivered {all_delivered}"
+    # pacing honored: no planned batch spans more than max_commits
+    for idx, versions in delivered_by_batch.items():
+        assert len(versions) <= 2, (idx, sorted(versions))
