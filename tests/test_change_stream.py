@@ -527,3 +527,84 @@ def test_reader_engine_model_exactly_once_under_restarts(spark, tmp_path, seed):
     # pacing honored: no planned batch spans more than max_commits
     for idx, versions in delivered_by_batch.items():
         assert len(versions) <= 2, (idx, sorted(versions))
+
+
+@pytest.mark.parametrize("seed", [3, 11, 77])
+def test_table_reader_engine_model_snapshot_and_restarts(spark, tmp_path,
+                                                         seed):
+    """Engine-model pin for _TableStreamReader: snapshot bootstrap (no
+    startingVersion) followed by randomized appends-tailing with
+    restarts.  The snapshot batch must deliver the full state exactly
+    once, every post-snapshot commit exactly once, and latestOffset
+    must never rewind below the logged position once anchored on the
+    checkpoint."""
+    import os
+    import random
+
+    from dataingestion_spark.streaming.table_source import _TableStreamReader
+
+    rng = random.Random(seed)
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    ms.write_table(_mk(spark, 0, 3), table)               # v0
+    n_commits = 7
+    for i in range(1, n_commits):
+        ms.append_table(_mk(spark, i * 3, i * 3 + 3), table)
+    snap_version = ms.current_version(table)
+    opts = {"path": table, "maxcommitspertrigger": "2",
+            "checkpointlocation": ckpt}
+
+    def fresh():
+        return _TableStreamReader(None, opts)
+
+    def write_offset_file(batch_idx, off):
+        import json as _json
+
+        with open(os.path.join(ckpt, "offsets", str(batch_idx)), "w") as f:
+            f.write("v1\n")
+            f.write('{"batchWatermarkMs":0,"batchTimestampMs":0}\n')
+            f.write(_json.dumps(off) + "\n")
+
+    reader = fresh()
+    log = [reader.initialOffset()]                        # snapshot pending
+    write_offset_file(0, log[0])
+    delivered_files = []
+    snapshot_seen = False
+    steps = 0
+    while steps < 120:
+        steps += 1
+        if rng.random() < 0.25:
+            reader = fresh()                              # restart
+            continue
+        off = reader.latestOffset()
+        if snapshot_seen:
+            assert off["version"] >= log[-1]["version"], \
+                f"rewind {off} after {log[-1]} (seed={seed})"
+        if off["version"] != log[-1]["version"]:
+            log.append(off)
+            write_offset_file(len(log) - 1, off)
+            parts = reader.partitions(log[-2], log[-1])
+            if log[-2]["version"] == -2:                  # snapshot batch
+                snapshot_seen = True
+                assert {p.seq for p in parts} <= set(range(snap_version + 1))
+                assert len(parts) > 0
+                delivered_files += [("snap", p.path) for p in parts]
+            else:
+                delivered_files += [(p.seq, p.path) for p in parts]
+            reader.commit(log[-1])
+        # new commits land mid-stream
+        if rng.random() < 0.3 and n_commits < 10:
+            ms.append_table(_mk(spark, n_commits * 3, n_commits * 3 + 3),
+                            table)
+            n_commits += 1
+        if log[-1]["version"] >= n_commits - 1 and rng.random() < 0.4:
+            break
+    # exactly-once: no file delivered twice (snapshot files appear once,
+    # each appended commit's files once)
+    assert len(delivered_files) == len(set(delivered_files)), \
+        f"duplicate delivery (seed={seed})"
+    # completeness: every version beyond the snapshot that the log
+    # covers was delivered
+    covered = {v for v, _ in delivered_files if v != "snap"}
+    assert covered == set(range(snap_version + 1, log[-1]["version"] + 1))
