@@ -96,7 +96,14 @@ def _checkpoint_offset(ckpt) -> Optional[int]:
     metadata (contains batchWatermarkMs), then one offset-json line per
     source — ours is ``{"version": N}``. Parsing is deliberately
     lenient: any failure returns None and the reader behaves as before
-    (fresh-query semantics)."""
+    (fresh-query semantics). Local-filesystem checkpoints only (the
+    os.listdir on an object-store URI raises OSError → None): a cluster
+    whose checkpoints live on S3/ABFS falls back to the in-memory
+    delivery-floor defense — a restart then costs one empty rewound
+    batch, immediately corrected, and only a SECOND crash inside that
+    one-poll window (after the rewound entry is logged, before the
+    corrective batch) can replay; with a readable checkpoint the rewound
+    entry is never written at all."""
     if not ckpt:
         return None
     import os
