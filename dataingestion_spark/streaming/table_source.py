@@ -96,29 +96,36 @@ def _checkpoint_offset(ckpt) -> Optional[int]:
     metadata (contains batchWatermarkMs), then one offset-json line per
     source — ours is ``{"version": N}``. Parsing is deliberately
     lenient: any failure returns None and the reader behaves as before
-    (fresh-query semantics). Local-filesystem checkpoints only (the
-    os.listdir on an object-store URI raises OSError → None): a cluster
-    whose checkpoints live on S3/ABFS falls back to the in-memory
-    delivery-floor defense — a restart then costs one empty rewound
-    batch, immediately corrected, and only a SECOND crash inside that
-    one-poll window (after the rewound entry is logged, before the
-    corrective batch) can replay; with a readable checkpoint the rewound
-    entry is never written at all."""
+    (fresh-query semantics). The checkpoint is listed through the
+    data-backend registry (``sinks.data_backend``), so an object-store
+    scheme works once its backend is registered; an unreadable or
+    unregistered checkpoint falls back to the in-memory delivery-floor
+    defense — a restart then costs one empty rewound batch, immediately
+    corrected, and only a SECOND crash inside that one-poll window
+    (after the rewound entry is logged, before the corrective batch)
+    can replay; with a readable checkpoint the rewound entry is never
+    written at all."""
     if not ckpt:
         return None
-    import os
+    from ..sinks.data_backend import data_backend_for
 
-    d = os.path.join(str(ckpt), "offsets")
+    d = str(ckpt).rstrip("/") + "/offsets"
     try:
-        nums = [int(n) for n in os.listdir(d) if n.isdigit()]
-    except OSError:
+        be = data_backend_for(d)
+        nums = [int(n) for n in be.list_dir(d) if n.isdigit()]
+    except Exception:
         return None
     if not nums:
         return None
     try:
-        with open(os.path.join(d, str(max(nums))), encoding="utf-8") as f:
-            lines = f.read().splitlines()
-    except OSError:
+        raw = be.read_bytes(f"{d}/{max(nums)}")
+    except Exception:
+        return None
+    if raw is None:
+        return None
+    try:
+        lines = raw.decode("utf-8").splitlines()
+    except UnicodeDecodeError:
         return None
     for line in reversed(lines):
         line = line.strip()
