@@ -1541,7 +1541,17 @@ def merge_table(source: DataFrame, table: str,
         tgt_files = _merge_target_files(manifest, meta, existing, precheck)
         tgt = _read_files(spark, table, manifest, bucket_subset=existing,
                           file_subset=tgt_files)
-        tgt_keys = tgt.select("documentid").distinct()
+        # lazily pinned: the default merge consumes tgt_keys TWICE inside
+        # the one commit job (matched semi-join + not-matched anti-join),
+        # each consumption re-running the pruned target scan + distinct.
+        # Its plan is small (scan+distinct), so — unlike a checkpoint on
+        # the full merge pipeline (see sinks/scd.py) — the planning cost
+        # is cheap: measured at sf0.1 (15k-key mixed update/insert
+        # batches, 5 reps) median 4.49 s -> 2.64 s per merge, identical
+        # results. Single-consumer shapes (delete-only, conditional) pay
+        # only that small planning cost.
+        tgt_keys = tgt.select("documentid").distinct() \
+            .localCheckpoint(eager=False)
 
     # matched-and-passing DOCUMENT ids (stored docs may span several rows —
     # chunked tables — so all set logic is per documentid, never per row)
