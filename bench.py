@@ -360,6 +360,16 @@ def main():
     # across runs) get extra reps so the reported min is stable
     noisy = {"pq_adc", "quantized_topk", "lang_quality", "span_removal",
              "ann_recall"}
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c runs just those entries — for
+    # profiling one operator without paying the full-suite wall clock
+    # (the compact stdout line then reports only the subset)
+    only = {n for n in os.environ.get(
+        "SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
+    if only:
+        unknown = only - set(bench_queries)
+        if unknown:
+            raise SystemExit(f"unknown bench entries: {sorted(unknown)}")
+        bench_queries = {n: f for n, f in bench_queries.items() if n in only}
     timings, medians = {}, {}
     for name, fn in bench_queries.items():
         times = []
