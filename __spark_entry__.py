@@ -8049,6 +8049,52 @@ FROM events GROUP BY event_type
 """
 
 
+def q_io_tfrecord_roundtrip(spark, sf):
+    """TFRecord interchange (sources/tfrecord.py): documents become
+    tf.train.Example records — doc_id int64, text as a bytes feature,
+    score float32, neighbors int64_list — hash-sharded into framed
+    TFRecord files (masked-crc32c, hand-coded proto3 wire format, no
+    tensorflow dependency), then read back with per-record CRC
+    verification. The oracle restates the expected content from the
+    parquet source in closed form, so the check pins write→read byte
+    fidelity of every feature kind through the framing + protobuf
+    codec. Beyond the reference (training-data interchange surface,
+    like the WebDataset sink)."""
+    import tempfile
+
+    from dataingestion_spark.sources.tfrecord import (
+        read_tfrecord, write_tfrecord,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("binary").alias("text"),
+        (F.col("n_chars") * 0.5).cast("float").alias("score"),
+        F.array(F.col("doc_id"), F.col("doc_id") + 1).alias("neighbors"),
+    )
+    features = {"doc_id": "int64", "text": "bytes", "score": "float",
+                "neighbors": "int64_list"}
+    out = tempfile.mkdtemp(prefix="tfrec_io_") + "/shards"
+    write_tfrecord(docs, features, out, shards=4)
+    back = read_tfrecord(spark, out, features)
+    return back.select(
+        "doc_id",
+        F.col("text").cast("string").alias("text"),
+        "score",
+        F.array_join(F.expr(
+            "transform(neighbors, x -> CAST(x AS STRING))"), ",")
+        .alias("neighbors_csv"))
+
+
+ORACLE_TFRECORD_ROUNDTRIP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+       CAST(n_chars * 0.5 AS REAL) AS score,
+       CAST(doc_id AS VARCHAR) || ',' ||
+       CAST(doc_id + 1 AS VARCHAR) AS neighbors_csv
+FROM documents
+"""
+
+
 def q_bm25_indexed(spark, sf):
     """BM25 over a PERSISTED inverted index (sinks/text_index.py): build
     postings partitioned by term-hash bucket from most documents, append
@@ -8314,7 +8360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rank_windows": q_lineitem_rank_windows,
         "events_json_stats": q_events_json_stats,
         "lineitem_quantiles": q_lineitem_quantiles,
-        # --- 51+: relational remainder (r3-stale), r4 readers, r6/r7 ---
+        # --- 51+: r9-new first, then relational remainder (r3-stale),
+        # r4 readers, r6/r7 blocks ---
+        "io_tfrecord_roundtrip": q_io_tfrecord_roundtrip,
         "events_asof_join": q_events_asof_join,
         "events_asof_forward": q_events_asof_forward,
         "events_range_join": q_events_range_join,
@@ -8697,6 +8745,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_fast": ORACLE_SIMHASH_FAST,
         "streaming_stateful_counts": ORACLE_STREAMING_STATEFUL,
         "lakehouse_medallion": ORACLE_MEDALLION,
+        "io_tfrecord_roundtrip": ORACLE_TFRECORD_ROUNDTRIP,
         "lakehouse_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "lakehouse_delete_where": ORACLE_DELETE_WHERE,
         "lakehouse_update_where": ORACLE_UPDATE_WHERE,

@@ -93,6 +93,7 @@ def main():
         "url_psl": em.q_url_psl_domain,
         "merge_upsert": em.q_lakehouse_merge,
         "scd2_merge": em.q_lakehouse_scd2,
+        "tfrecord_io": em.q_io_tfrecord_roundtrip,
         "bpe_train": em.q_bpe_train_merges,
         "gapfill_locf": em.q_events_gapfill,
         "funnel": em.q_events_funnel,

@@ -1,0 +1,186 @@
+"""TFRecord source/sink (sources/tfrecord.py).
+
+Pins the crc32c known-answer vectors, the tf.train.Example wire format
+against hand-assembled golden bytes, framing corruption detection, the
+write->read Spark round trip, and a hypothesis property over arbitrary
+feature dicts.
+"""
+
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dataingestion_spark.sources.tfrecord import (
+    crc32c, decode_example, encode_example, read_tfrecord, write_tfrecord,
+    _frame_record, _iter_records, _masked_crc,
+)
+
+
+def test_crc32c_known_answers():
+    # RFC 3720 / Castagnoli test vectors
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def test_example_golden_bytes():
+    """Hand-assembled canonical encoding of one Example with a single
+    bytes feature — pins our writer to the exact protoc wire bytes a
+    TF reader expects (map entry {1: "k", 2: Feature{1: BytesList
+    {1: "v"}}} inside Features inside Example)."""
+    got = encode_example({"k": ("bytes", b"v")})
+    bytes_list = b"\x0a\x01v"                      # field1 len1 'v'
+    feature = b"\x0a" + bytes([len(bytes_list)]) + bytes_list
+    entry = (b"\x0a\x01k"                          # key = "k"
+             + b"\x12" + bytes([len(feature)]) + feature)
+    features = b"\x0a" + bytes([len(entry)]) + entry
+    example = b"\x0a" + bytes([len(features)]) + features
+    assert got == example
+
+
+def test_example_roundtrip_all_kinds():
+    feats = {
+        "b": ("bytes", b"\x00\xffpayload"),
+        "i": ("int64", -42),
+        "f": ("float", 1.5),
+        "bl": ("bytes_list", [b"", b"x", b"yz"]),
+        "il": ("int64_list", [0, 1, -(1 << 62), (1 << 62)]),
+        "fl": ("float_list", [0.0, -2.25, 3.5]),
+    }
+    out = decode_example(encode_example(feats))
+    assert out["b"] == ("bytes_list", [b"\x00\xffpayload"])
+    assert out["i"] == ("int64_list", [-42])
+    assert out["f"] == ("float_list", [1.5])
+    assert out["bl"] == ("bytes_list", [b"", b"x", b"yz"])
+    assert out["il"] == ("int64_list", [0, 1, -(1 << 62), (1 << 62)])
+    assert out["fl"][0] == "float_list"
+    assert out["fl"][1] == [0.0, -2.25, 3.5]
+
+
+def test_decode_accepts_unpacked_numeric_lists():
+    """proto3 readers must accept the UNPACKED encoding of repeated
+    numerics (older writers emit it): one tagged element per value."""
+    # Int64List{value: 7, value: 9} unpacked: (tag 1,varint)=0x08
+    il = b"\x08\x07\x08\x09"
+    feature = b"\x1a" + bytes([len(il)]) + il       # Feature.int64_list=3
+    entry = b"\x0a\x01n" + b"\x12" + bytes([len(feature)]) + feature
+    features = b"\x0a" + bytes([len(entry)]) + entry
+    example = b"\x0a" + bytes([len(features)]) + features
+    assert decode_example(example)["n"] == ("int64_list", [7, 9])
+    # FloatList unpacked: (tag 1, fixed32)=0x0d
+    fl = b"\x0d" + struct.pack("<f", 2.5) + b"\x0d" + struct.pack("<f", -1.0)
+    feature = b"\x12" + bytes([len(fl)]) + fl       # Feature.float_list=2
+    entry = b"\x0a\x01x" + b"\x12" + bytes([len(feature)]) + feature
+    features = b"\x0a" + bytes([len(entry)]) + entry
+    example = b"\x0a" + bytes([len(features)]) + features
+    assert decode_example(example)["x"] == ("float_list", [2.5, -1.0])
+
+
+def test_framing_roundtrip_and_corruption():
+    payloads = [b"alpha", b"", b"\x00" * 100]
+    blob = b"".join(_frame_record(p) for p in payloads)
+    assert list(_iter_records(blob, "t")) == payloads
+    # flip one payload byte -> payload CRC mismatch
+    bad = bytearray(blob)
+    bad[12] ^= 0x01
+    with pytest.raises(ValueError, match="payload CRC"):
+        list(_iter_records(bytes(bad), "t"))
+    # flip a length byte -> length CRC mismatch
+    bad = bytearray(blob)
+    bad[0] ^= 0x01
+    with pytest.raises(ValueError, match="length CRC"):
+        list(_iter_records(bytes(bad), "t"))
+    # truncation
+    with pytest.raises(ValueError, match="truncated"):
+        list(_iter_records(blob[:-2], "t"))
+    # verify=False skips CRC checks but still frames correctly
+    bad = bytearray(blob)
+    bad[8] ^= 0x01  # corrupt the length-CRC field itself
+    assert list(_iter_records(bytes(bad), "t", verify=False)) == payloads
+
+
+def test_masked_crc_matches_spec():
+    crc = crc32c(b"123456789")
+    assert _masked_crc(b"123456789") == (
+        (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.dictionaries(
+    st.text(st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=8),
+    st.one_of(
+        st.tuples(st.just("bytes_list"),
+                  st.lists(st.binary(max_size=12), max_size=4)),
+        st.tuples(st.just("int64_list"),
+                  st.lists(st.integers(-(1 << 63), (1 << 63) - 1),
+                           max_size=4)),
+        st.tuples(st.just("float_list"),
+                  st.lists(st.floats(width=32, allow_nan=False),
+                           max_size=4)),
+    ),
+    max_size=5))
+def test_example_roundtrip_property(feats):
+    out = decode_example(encode_example(feats))
+    for name, (kind, values) in feats.items():
+        if not values:
+            # empty lists encode as an empty Feature; the oneof kind is
+            # unrecoverable by design (matches protobuf semantics)
+            assert out[name][1] == []
+        else:
+            assert out[name] == (kind, values)
+    assert set(out) == set(feats)
+
+
+def test_spark_roundtrip_and_determinism(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).cast("binary").alias("text"),
+        (F.col("id") * 0.5).cast("float").alias("score"),
+        F.array(F.col("id"), F.col("id") + 1).alias("neighbors"),
+    )
+    features = {"doc_id": "int64", "text": "bytes", "score": "float",
+                "neighbors": "int64_list"}
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    names = write_tfrecord(df, features, out1, shards=3)
+    assert names == [f"part-{i:05d}-of-00003.tfrecord" for i in range(3)]
+    # deterministic bytes: a second write of the same data is identical
+    write_tfrecord(df, features, out2, shards=3)
+    for n in names:
+        assert (tmp_path / "o1" / n).read_bytes() == \
+            (tmp_path / "o2" / n).read_bytes()
+
+    back = read_tfrecord(spark, out1, features)
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert len(rows) == 200
+    assert bytes(rows[7]["text"]) == b"text-7"
+    assert rows[7]["score"] == 3.5
+    assert list(rows[7]["neighbors"]) == [7, 8]
+    # declared-but-absent feature -> NULL; scalar over list -> loud
+    back2 = read_tfrecord(spark, out1, {"doc_id": "int64",
+                                        "missing": "bytes"})
+    assert all(r["missing"] is None for r in back2.collect())
+    with pytest.raises(Exception, match="declared scalar"):
+        read_tfrecord(spark, out1, {"neighbors": "int64"}).collect()
+
+
+def test_read_rejects_corrupt_file(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5).select(F.col("id").alias("doc_id"))
+    out = str(tmp_path / "o")
+    (name,) = write_tfrecord(df, {"doc_id": "int64"}, out, shards=1)
+    p = tmp_path / "o" / name
+    blob = bytearray(p.read_bytes())
+    blob[8] ^= 0xFF  # corrupt the length-CRC field; payload stays intact
+    p.write_bytes(bytes(blob))
+    with pytest.raises(Exception, match="CRC mismatch"):
+        read_tfrecord(spark, out, {"doc_id": "int64"}).collect()
+    # opt-out for salvage reads
+    got = read_tfrecord(spark, out, {"doc_id": "int64"},
+                        verify_crc=False).count()
+    assert got == 5
