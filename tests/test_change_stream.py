@@ -608,3 +608,36 @@ def test_table_reader_engine_model_snapshot_and_restarts(spark, tmp_path,
     # covers was delivered
     covered = {v for v, _ in delivered_files if v != "snap"}
     assert covered == set(range(snap_version + 1, log[-1]["version"] + 1))
+
+
+def test_changes_reader_fresh_availablenow_endcapture_is_paced(spark,
+                                                               tmp_path):
+    """The reason the constructor seed exists: on a FRESH query the
+    engine captures the availableNow end via latestOffset BEFORE
+    calling initialOffset.  With pace_from_start the captured end must
+    span at most max_commits commits past the starting version, and the
+    single planned batch must deliver exactly those commits."""
+    import os
+
+    from dataingestion_spark.streaming.table_source import _ChangesStreamReader
+
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")  # exists but EMPTY = fresh query
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    _mk_commits(spark, table)  # v0..v4
+    r = _ChangesStreamReader(None, {
+        "path": table, "startingversion": "0",
+        "maxcommitspertrigger": "2", "pacefromstart": "true",
+        "checkpointlocation": ckpt})
+    end = r.latestOffset()          # availableNow end capture
+    assert end["version"] == 1      # -1 seed + 2
+    start = r.initialOffset()
+    assert start["version"] == -1
+    parts = r.partitions(start, end)
+    assert {p.version for p in parts} == {0, 1}
+    # an UNSEEDED reader's capture drains everything in one batch —
+    # the documented availableNow contract without pace_from_start
+    r2 = _ChangesStreamReader(None, {
+        "path": table, "startingversion": "0",
+        "maxcommitspertrigger": "2"})
+    assert r2.latestOffset()["version"] == 4
