@@ -94,9 +94,17 @@ def _checkpoint_offset(ckpt) -> Optional[int]:
     Format (HDFSMetadataLog, written atomically via rename): files named
     by batch id under <ckpt>/offsets; line 1 = "v1", line 2 = engine
     metadata (contains batchWatermarkMs), then one offset-json line per
-    source — ours is ``{"version": N}``. Parsing is deliberately
-    lenient: any failure returns None and the reader behaves as before
-    (fresh-query semantics). The checkpoint is listed through the
+    source — ours is ``{"version": N}``. In a MULTI-source query the
+    file holds one line per source and ``{"version": N}`` alone cannot
+    be attributed to this reader (two lakehouse sources are
+    indistinguishable by shape), so when more than one version-shaped
+    line is present this returns None — declining to anchor is the
+    documented degraded mode (one empty rewound batch, corrected by
+    the delivery floor), whereas anchoring on ANOTHER source's line
+    could silently disable pacing or re-log a rewound entry. Parsing
+    is otherwise deliberately lenient: any failure returns None and
+    the reader behaves as before (fresh-query semantics). The
+    checkpoint is listed through the
     data-backend registry (``sinks.data_backend``), so an object-store
     scheme works once its backend is registered; an unreadable or
     unregistered checkpoint falls back to the in-memory delivery-floor
@@ -127,7 +135,8 @@ def _checkpoint_offset(ckpt) -> Optional[int]:
         lines = raw.decode("utf-8").splitlines()
     except UnicodeDecodeError:
         return None
-    for line in reversed(lines):
+    found: List[int] = []
+    for line in lines:
         line = line.strip()
         if not line.startswith("{"):
             continue
@@ -139,10 +148,12 @@ def _checkpoint_offset(ckpt) -> Optional[int]:
             continue
         if "version" in doc:
             try:
-                return int(doc["version"])
+                found.append(int(doc["version"]))
             except (TypeError, ValueError):
                 return None
-    return None
+    # exactly one version-shaped source line → unambiguous anchor;
+    # multi-source queries decline (see docstring)
+    return found[0] if len(found) == 1 else None
 
 
 class _FilePartition(InputPartition):

@@ -436,6 +436,36 @@ def test_stream_replicate_paced_checkpoint_restart_no_replay(spark, tmp_path):
     assert ms.current_version(dst) > v_after_first
 
 
+def test_checkpoint_offset_declines_multi_source_files(tmp_path):
+    """A multi-source query's offsets file holds one version-shaped line
+    PER source; {"version": N} alone cannot be attributed to this
+    reader, so the anchor must decline (None) instead of guessing — a
+    wrong anchor can disable pacing or re-log a rewound entry, while
+    declining falls back to the documented delivery-floor defense."""
+    import os
+
+    from dataingestion_spark.streaming.table_source import _checkpoint_offset
+
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(os.path.join(ckpt, "offsets"))
+
+    def write(lines):
+        with open(os.path.join(ckpt, "offsets", "0"), "w") as f:
+            f.write("v1\n")
+            f.write('{"batchWatermarkMs":0,"batchTimestampMs":0}\n')
+            for ln in lines:
+                f.write(ln + "\n")
+
+    write(['{"version": 5}'])
+    assert _checkpoint_offset(ckpt) == 5          # unambiguous → anchor
+    write(['{"version": 5}', '{"version": 9}'])
+    assert _checkpoint_offset(ckpt) is None       # two sources → decline
+    write(['{"version": 5}', '"kafka-offset-json"'])
+    assert _checkpoint_offset(ckpt) == 5          # foreign non-dict line ok
+    write([])
+    assert _checkpoint_offset(ckpt) is None
+
+
 @pytest.mark.parametrize("seed", [1, 7, 42, 1234])
 def test_reader_engine_model_exactly_once_under_restarts(spark, tmp_path, seed):
     """Model-based pin of paced-restart safety: a simulated microbatch

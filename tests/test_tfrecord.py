@@ -13,7 +13,8 @@ from hypothesis import given, settings, strategies as st
 
 from dataingestion_spark.sources.tfrecord import (
     crc32c, decode_example, encode_example, read_tfrecord, write_tfrecord,
-    _frame_record, _iter_records, _masked_crc,
+    _crc_tables, _frame_record, _get_varint, _iter_records, _masked_crc,
+    _maybe_decompress,
 )
 
 
@@ -23,6 +24,37 @@ def test_crc32c_known_answers():
     assert crc32c(b"123456789") == 0xE3069283
     assert crc32c(b"\x00" * 32) == 0x8A9136AA
     assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def _crc32c_per_byte(data):
+    # the original one-table-per-byte formulation, kept as the oracle
+    # for the slicing-by-16 production path
+    tbl = _crc_tables()[0]
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=120, deadline=None)
+def test_crc32c_slicing_matches_per_byte(data):
+    # every length mod 16 (0..15 tail bytes) and arbitrary content
+    assert crc32c(data) == _crc32c_per_byte(data)
+
+
+def test_crc32c_long_buffer():
+    data = bytes(range(256)) * 1000  # 256 KB, exercises the sliced loop
+    assert crc32c(data) == _crc32c_per_byte(data)
+
+
+def test_get_varint_truncated_raises_valueerror():
+    # a CRC-valid but truncated varint must surface the module's loud
+    # ValueError family, not a bare IndexError
+    with pytest.raises(ValueError, match="truncated varint"):
+        _get_varint(b"\x80\x80", 0)
+    with pytest.raises(ValueError, match="truncated varint"):
+        _get_varint(b"", 0)
 
 
 def test_example_golden_bytes():
@@ -166,6 +198,96 @@ def test_spark_roundtrip_and_determinism(spark, tmp_path):
     assert all(r["missing"] is None for r in back2.collect())
     with pytest.raises(Exception, match="declared scalar"):
         read_tfrecord(spark, out1, {"neighbors": "int64"}).collect()
+
+
+def test_gzip_roundtrip_and_detection(spark, tmp_path):
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 2).alias("twice"),
+    )
+    features = {"doc_id": "int64", "twice": "int64"}
+    out1, out2 = str(tmp_path / "gz1"), str(tmp_path / "gz2")
+    names = write_tfrecord(df, features, out1, shards=2,
+                           compression="gzip")
+    assert names == [f"part-{i:05d}-of-00002.tfrecord.gz"
+                     for i in range(2)]
+    # the shard really is gzip on disk, and byte-deterministic (mtime=0)
+    raw = (tmp_path / "gz1" / names[0]).read_bytes()
+    assert raw[:2] == b"\x1f\x8b"
+    write_tfrecord(df, features, out2, shards=2, compression="gzip")
+    for n in names:
+        assert (tmp_path / "gz1" / n).read_bytes() == \
+            (tmp_path / "gz2" / n).read_bytes()
+    # read back through the default glob (magic-sniffed, CRC-verified)
+    back = read_tfrecord(spark, out1, features)
+    rows = {r["doc_id"]: r["twice"] for r in back.collect()}
+    assert rows == {i: 2 * i for i in range(120)}
+    # a MULTI-MEMBER gzip stream (two concatenated gzip members, the
+    # shape `cat a.gz b.gz` produces) also reads — gzip.decompress
+    # handles member concatenation, and our records span the boundary
+    import os
+
+    plain = str(tmp_path / "plain")
+    (pname,) = write_tfrecord(df, features, plain, shards=1)
+    body = (tmp_path / "plain" / pname).read_bytes()
+    half = len(body) // 2
+    members = gzip.compress(body[:half], mtime=0) \
+        + gzip.compress(body[half:], mtime=0)
+    mixed = str(tmp_path / "mixed")
+    os.makedirs(mixed)
+    with open(os.path.join(mixed, "x.tfrecord.gz"), "wb") as f:
+        f.write(members)
+    assert read_tfrecord(spark, mixed, features).count() == 120
+    with pytest.raises(ValueError, match="unsupported compression"):
+        write_tfrecord(df, features, out1, compression="zstd")
+
+
+def test_maybe_decompress_ambiguous_magic_falls_back():
+    import gzip
+    import zlib
+
+    # a RAW shard whose first record is 35615 bytes long: its length
+    # header starts 1f 8b (the gzip magic) — detection must fall back
+    payload = b"\x00" * 35615
+    blob = _frame_record(payload)
+    assert blob[:2] == b"\x1f\x8b"
+    assert _maybe_decompress(blob) == blob
+    assert list(_iter_records(_maybe_decompress(blob), "t")) == [payload]
+    # and real gzip / zlib streams do decompress
+    inner = _frame_record(b"abc")
+    assert _maybe_decompress(gzip.compress(inner)) == inner
+    assert _maybe_decompress(zlib.compress(inner)) == inner
+
+
+def test_write_null_and_nan_cells_become_absent_features(spark, tmp_path):
+    """Nullable numeric columns arrive in pandas as float64-with-NaN;
+    both None and NaN cells must be written as ABSENT features (the
+    read path maps absent back to NULL), not crash int(NaN) or write
+    a literal NaN float."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 10).alias("maybe_i"),
+        F.when(F.col("id") % 3 == 0, F.col("id") * 0.5)
+         .cast("float").alias("maybe_f"),
+    )
+    features = {"doc_id": "int64", "maybe_i": "int64", "maybe_f": "float"}
+    out = str(tmp_path / "nulls")
+    write_tfrecord(df, features, out, shards=1)
+    back = {r["doc_id"]: r for r in
+            read_tfrecord(spark, out, features).collect()}
+    assert len(back) == 10
+    for i in range(10):
+        assert back[i]["maybe_i"] == (i * 10 if i % 2 == 0 else None)
+        if i % 3 == 0:
+            assert back[i]["maybe_f"] == pytest.approx(i * 0.5)
+        else:
+            assert back[i]["maybe_f"] is None
 
 
 def test_read_rejects_corrupt_file(spark, tmp_path):
