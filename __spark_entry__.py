@@ -8295,45 +8295,223 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness gate oracles the FIRST 50
-    # entries.  r9 rotation (the r8 verdict's #2 ask): first 50 = the 10
-    # never-driver-sampled queries (every other oracled query has a green
-    # row in some round) + the re-landed pack_token_id_rows (r8's one red —
-    # now scalar-only output) + the three previously rows-only queries
-    # restated as oracled invariants (r6 #5 / r7 #5 / r8 #3) + the new
-    # lakehouse_medallion (r8 #7) + the relational/TPC-H block, externally
-    # stale since r3.  51+ = the relational remainder, then the r4 reader
-    # block and r6/r7-green blocks; the r8-green block (freshest external
-    # confirmation) sits at the very end.
+    # entries.  r10 rotation (the r9 verdict's #1/#5 asks): first 50 = the
+    # 50 LEAST-RECENTLY-verified queries — io_tfrecord_roundtrip (the only
+    # entry never driver-sampled, new in r9) first, then the r1-green dedup
+    # and text-analysis block, the r2/r3-green relational/events block, and
+    # the start of the r4 reader/chunker/multimodal block.  Entries 51+
+    # continue in stalest-first order (the rest of r4, then r7, r8, with
+    # the r9-green block — freshest external confirmation — at the very
+    # end), so future rotations are a simple prefix shift.  Standing
+    # policy: any new query enters the next round's first-50.
     return {
-        # --- r9 driver sample 1-10: never-sampled queries ---
-        "graph_pagerank_nations": q_pagerank_nations,
-        "graph_ppr_europe": q_ppr_nations,
-        "doc_char_entropy": q_char_entropy,
-        "doc_compression_ratio": q_compression_ratio,
-        "sketch_hll_merged": q_sketch_hll_merged,
-        "sample_temperature_mixture": q_temperature_mixture,
-        "sample_upsample_epochs": q_upsample_epochs,
-        "pack_concat_spans": q_concat_spans,
-        "split_kfold_assignment": q_kfold_assign,
-        "doc_gopher_filters": q_gopher_filters,
-        # --- 11: r8's one red row, re-landed with scalar-only output ---
-        "pack_token_id_rows": q_pack_token_id_rows,
-        # --- 12-14: formerly rows-only, now oracled invariants ---
+        # --- r10 sample 1: never driver-sampled (new in r9) ---
+        "io_tfrecord_roundtrip": q_io_tfrecord_roundtrip,
+        # --- r10 sample 2-14: r1/r2-green, externally stale since ---
+        "dedup_contamination_check": q_contamination,
+        "dedup_cross_doc_shingles": q_cross_doc_shingles,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_minhash_signature": q_minhash_signature,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_simhash,
+        "dedup_span_removal": q_span_removal,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_pii_scrub": q_pii_scrub,
+        "doc_quality_score": q_doc_quality,
+        "doc_repetition_signals": q_repetition_signals,
+        "tokenizer_bpe_pair_counts": q_bpe_pair_counts,
+        # --- r10 sample 16-30: r3-green relational/events block ---
+        "customers_with_urgent_orders": q_customers_with_urgent_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_predicate_forms": q_doc_predicate_forms,
+        "doc_token_counts": q_doc_token_counts,
+        "events_anomaly_zscore": q_events_anomaly,
+        "events_asof_forward": q_events_asof_forward,
+        "events_asof_join": q_events_asof_join,
+        "events_cohort_retention": q_cohort_retention,
+        "events_funnel_ordered": q_events_funnel,
+        "events_gapfill_locf": q_events_gapfill,
+        "events_markov_transitions": q_event_transitions,
+        "events_moving_sum": q_events_moving_sum,
+        "events_range_join": q_events_range_join,
+        "events_zorder_key": q_events_zorder,
+        # --- r10 sample 31-50: start of the r4 reader/chunker/multimodal block ---
+        "chunker_header": q_header_chunks,
+        "chunker_image_binary": q_image_chunks,
+        "chunker_markdown": q_markdown_chunks,
+        "chunker_section": q_section_chunks,
+        "chunker_semantic": q_semantic_chunks,
+        "chunker_token_sliding": q_token_chunks,
+        "enricher_fakes": q_enrich_fakes,
+        "enricher_image_alt": q_image_alt_enricher,
+        "lakehouse_change_feed": q_change_feed,
+        "lakehouse_incremental_agg": q_incremental_agg_view,
+        "lakehouse_merge_upsert": q_lakehouse_merge,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "multimodal_audio_segments": q_audio_segments,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_image_tiles": q_image_tiles,
+        "multimodal_tile_pixels": q_tile_pixel_bytes,
+        "processor_removal_footers": q_removal_footers,
+        "reader_container_elements": q_container_elements,
+        "reader_doc_legacy_elements": q_doc_legacy_elements,
+        "reader_docx_elements": q_docx_elements,
+        # --- 51+: remainder, stalest-first (rest of r4, then r7/r8/r9) ---
+        "reader_epub_elements": q_epub_elements,
+        "reader_html_elements": q_html_elements,
+        "reader_image_elements": q_image_elements,
+        "reader_jsonl_roundtrip": q_jsonl_roundtrip,
+        "reader_markdown_elements": q_md_parse_elements,
+        "reader_mixed_dispatch": q_reader_dispatch,
+        "reader_odf_elements": q_odf_elements,
+        "reader_office_ingest": q_office_ingest,
+        "reader_pdf_elements": q_pdf_elements,
+        "reader_pptx_elements": q_pptx_elements,
+        "reader_rtf_elements": q_rtf_elements,
+        "reader_warc_responses": q_warc_responses,
+        "reader_wet_records": q_reader_wet_records,
+        "reader_xls_legacy_elements": q_xls_legacy_elements,
+        "reader_xlsx_elements": q_xlsx_elements,
+        "search_recall_at_k": q_recall_ivf,
+        "search_recall_matryoshka": q_recall_matryoshka,
+        "search_topk_ann": q_topk_ann,
+        "search_topk_cosine": q_emb_topk,
+        "search_topk_filtered": q_emb_topk_filtered,
+        "search_topk_ivf": q_topk_ivf,
+        "search_topk_ivf_persisted": q_topk_ivf_persisted,
+        "search_topk_quantized": q_topk_quantized,
+        "streaming_tws_type_stats": q_streaming_tws_stats,
+        "writer_incremental_replace": q_writer_incremental,
+        "writer_qa_pairs": q_qa_pairs,
+        "writer_vector_records": q_vector_records,
+        "writer_webdataset_shards": q_webdataset_shards,
+        "dedup_cluster_canonical": q_dedup_clusters,
+        "dedup_cluster_split": q_cluster_split,
+        "dedup_edit_distance_pairs": q_edit_distance_pairs,
+        "dedup_embedding_pairs": q_emb_neardup,
+        "dedup_incremental_probe": q_dedup_incremental,
+        "dedup_representatives": q_dedup_representatives,
+        "dedup_semantic_clusters": q_semantic_dedup,
+        "doc_html_extract": q_html_extract,
+        "doc_normalize_text": q_doc_normalize,
+        "doc_prefix_lm_split": q_prefix_lm,
+        "doc_quality_classifier": q_quality_classifier,
+        "doc_rake_keywords": q_rake_keywords,
+        "doc_span_corruption": q_span_corruption,
+        "doc_url_signals": q_url_signals,
+        "doc_vocab_coverage": q_vocab_coverage,
+        "drift_by_group": q_drift_by_group,
+        "drift_categorical_lang": q_drift_categorical,
+        "drift_numeric_report": q_drift_numeric,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
+        "lakehouse_change_stream": q_lakehouse_change_stream,
+        "lakehouse_check_constraints": q_lakehouse_constraints,
+        "lakehouse_clone_branch": q_lakehouse_clone_branch,
+        "lakehouse_delete_where": q_lakehouse_delete_where,
+        "lakehouse_delta_roundtrip": q_lakehouse_delta_roundtrip,
+        "lakehouse_maintenance": q_lakehouse_maintenance,
+        "lakehouse_meta_minmax": q_lakehouse_meta_minmax,
+        "lakehouse_restore": q_lakehouse_restore,
+        "lakehouse_scd2_merge": q_lakehouse_scd2,
+        "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
+        "lakehouse_stream_read": q_lakehouse_stream_read,
+        "lakehouse_update_where": q_lakehouse_update_where,
+        "lakehouse_zorder_read": q_lakehouse_zorder_read,
+        "privacy_k_anonymity": q_privacy_kanon,
+        "search_bm25": q_bm25,
+        "search_bm25_indexed": q_bm25_indexed,
+        "search_hard_negatives": q_hard_negatives,
+        "search_hybrid_rrf": q_hybrid_rrf,
+        "search_phrase_positions": q_phrase_search,
+        "search_pmi_collocations": q_collocations,
+        "search_tfidf_top_terms": q_tfidf_top_terms,
+        "sft_chat_text": q_sft_chat,
+        "sft_render_offsets": q_sft_offsets,
+        "sft_token_loss_mask": q_sft_token_mask,
+        "sketch_kmv_by_group": q_kmv_by_group,
+        "sketch_kmv_distinct": q_kmv_distinct,
+        "sketch_kmv_setops": q_kmv_setops,
+        "table_column_profile": q_profile_table,
+        "table_corpus_report": q_corpus_report,
+        "table_quality_constraints": q_quality_constraints,
+        "tokenizer_bpe_train_merges": q_bpe_train_merges,
+        "curation_funnel": q_curation_funnel,
+        "dedup_boilerplate_lines": q_boilerplate_lines,
+        "doc_c4_filters": q_c4_filters,
+        "doc_lm_perplexity": q_lm_perplexity,
+        "doc_robots_gate": q_robots_gate,
+        "doc_script_profile": q_script_profile,
+        "doc_url_psl_domain": q_url_psl_domain,
+        "graph_triangle_count": q_triangle_count,
+        "lakehouse_bloom_read": q_lakehouse_bloom_read,
+        "lakehouse_delta_mirror": q_lakehouse_delta_mirror,
+        "lakehouse_history_stream": q_lakehouse_history_stream,
+        "lakehouse_meta_count": q_lakehouse_meta_count,
+        "lakehouse_rename_column": q_lakehouse_rename_column,
+        "lakehouse_skipping_read": q_lakehouse_skipping,
+        "lakehouse_sync_replica": q_lakehouse_sync,
+        "multimodal_frame_sample": q_frame_sample,
+        "pack_doc_sequences": q_pack_sequences,
+        "sample_curriculum_buckets": q_curriculum_buckets,
+        "sample_dsir_weights": q_dsir_weights,
+        "sample_mixture_budget": q_mixture_sample,
+        "sample_stratified": q_stratified_sample,
+        "sample_uniform_exact_k": q_uniform_sample_k,
+        "sample_weighted_exact_k": q_weighted_sample_k,
+        "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
+        "search_hybrid_indexed": q_hybrid_indexed,
+        "search_topk_ivf_filtered": q_topk_ivf_filtered,
+        "search_topk_ivf_pq": q_topk_ivf_pq,
+        "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
+        "search_topk_pq": q_topk_pq,
+        "search_topk_pq_rerank": q_topk_pq_rerank,
+        "sft_best_of_n": q_best_of_n,
+        "sft_preference_pairs": q_preference_pairs,
+        "shards_token_budget": q_assign_shards,
+        "sketch_bloom_membership": q_bloom_membership,
+        "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
+        "sketch_histogram_quantiles": q_sketch_quantiles,
+        "sketch_hll_users": q_sketch_hll_users,
+        "split_hash_assignment": q_hash_split,
+        "streaming_dedup_ingest": q_streaming_dedup,
+        "streaming_dedup_watermark": q_streaming_dedup_watermark,
+        "streaming_events_windowed": q_streaming_events,
+        "streaming_exactly_once_ingest": q_exactly_once_ingest,
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_session_windows": q_streaming_sessions,
+        "streaming_upsert_merge": q_streaming_upsert,
+        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
         "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
         "dedup_simhash_fast": q_simhash_fast,
-        "streaming_stateful_counts": q_streaming_stateful,
-        # --- 15: new this round (r8 verdict #7) ---
+        "doc_char_entropy": q_char_entropy,
+        "doc_compression_ratio": q_compression_ratio,
+        "doc_gopher_filters": q_gopher_filters,
+        "events_json_stats": q_events_json_stats,
+        "events_pivot_by_user": q_events_pivot,
+        "events_session_window": q_events_session_window,
+        "events_sessionize": q_events_sessionize,
+        "events_topk_per_type": q_events_topk_per_type,
+        "events_unpivot_long": q_events_unpivot,
+        "events_windowed_5min": q_events_windowed,
+        "graph_pagerank_nations": q_pagerank_nations,
+        "graph_ppr_europe": q_ppr_nations,
         "lakehouse_medallion": q_lakehouse_medallion,
-        # --- 16-50: relational/TPC-H block, externally stale since r3 ---
-        "tpch_q1_pricing_summary": q_tpch_q1,
-        "tpch_q2_min_cost_supplier": q_tpch_q2,
-        "tpch_q3_shipping_priority": q_tpch_q3,
-        "tpch_q4_priority_exists": q_tpch_q4,
-        "tpch_q5_local_supplier": q_tpch_q5,
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "tpch_q7_nation_volume": q_tpch_q7,
-        "tpch_q8_market_share": q_tpch_q8,
-        "tpch_q9_product_profit": q_tpch_q9,
+        "lineitem_quantiles": q_lineitem_quantiles,
+        "lineitem_rank_windows": q_lineitem_rank_windows,
+        "orders_cube_grouping": q_orders_cube,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "orders_rollup": q_orders_rollup,
+        "pack_concat_spans": q_concat_spans,
+        "pack_token_id_rows": q_pack_token_id_rows,
+        "part_set_ops": q_part_set_ops,
+        "sample_temperature_mixture": q_temperature_mixture,
+        "sample_upsample_epochs": q_upsample_epochs,
+        "sketch_hll_merged": q_sketch_hll_merged,
+        "split_kfold_assignment": q_kfold_assign,
+        "streaming_stateful_counts": q_streaming_stateful,
         "tpch_q10_returned_revenue": q_tpch_q10,
         "tpch_q11_important_parts": q_tpch_q11,
         "tpch_q12_late_shipments": q_tpch_q12,
@@ -8344,200 +8522,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty_revenue": q_tpch_q17,
         "tpch_q18_large_orders": q_tpch_q18,
         "tpch_q19_disjunctive_preds": q_tpch_q19,
+        "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q20_excess_shipments": q_tpch_q20,
         "tpch_q21_waiting_suppliers": q_tpch_q21,
         "tpch_q22_dormant_customers": q_tpch_q22,
-        "orders_rollup": q_orders_rollup,
-        "orders_cube_grouping": q_orders_cube,
-        "part_set_ops": q_part_set_ops,
-        "events_topk_per_type": q_events_topk_per_type,
-        "events_sessionize": q_events_sessionize,
-        "events_session_window": q_events_session_window,
-        "events_windowed_5min": q_events_windowed,
-        "events_pivot_by_user": q_events_pivot,
-        "events_unpivot_long": q_events_unpivot,
-        "orders_grouping_sets": q_orders_grouping_sets,
-        "lineitem_rank_windows": q_lineitem_rank_windows,
-        "events_json_stats": q_events_json_stats,
-        "lineitem_quantiles": q_lineitem_quantiles,
-        # --- 51+: r9-new first, then relational remainder (r3-stale),
-        # r4 readers, r6/r7 blocks ---
-        "io_tfrecord_roundtrip": q_io_tfrecord_roundtrip,
-        "events_asof_join": q_events_asof_join,
-        "events_asof_forward": q_events_asof_forward,
-        "events_range_join": q_events_range_join,
-        "events_moving_sum": q_events_moving_sum,
-        "events_gapfill_locf": q_events_gapfill,
-        "events_funnel_ordered": q_events_funnel,
-        "events_anomaly_zscore": q_events_anomaly,
-        "events_cohort_retention": q_cohort_retention,
-        "events_markov_transitions": q_event_transitions,
-        "events_zorder_key": q_events_zorder,
-        "customers_without_orders": q_customers_without_orders,
-        "customers_with_urgent_orders": q_customers_with_urgent_orders,
-        "doc_predicate_forms": q_doc_predicate_forms,
-        "doc_token_counts": q_doc_token_counts,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
-        "tokenizer_bpe_pair_counts": q_bpe_pair_counts,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_quality_score": q_doc_quality,
-        "doc_repetition_signals": q_repetition_signals,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_pii_scrub": q_pii_scrub,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_signature": q_minhash_signature,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_simhash": q_simhash,
-        "dedup_cross_doc_shingles": q_cross_doc_shingles,
-        "dedup_span_removal": q_span_removal,
-        "dedup_contamination_check": q_contamination,
-        # --- driver-green r4 readers, then r6/r7 doubly-confirmed blocks ---
-        "search_bm25": q_bm25,
-        "search_bm25_indexed": q_bm25_indexed,
-        "search_hybrid_rrf": q_hybrid_rrf,
-        "search_phrase_positions": q_phrase_search,
-        "search_tfidf_top_terms": q_tfidf_top_terms,
-        "search_pmi_collocations": q_collocations,
-        "doc_rake_keywords": q_rake_keywords,
-        "search_hard_negatives": q_hard_negatives,
-        "tokenizer_bpe_train_merges": q_bpe_train_merges,
-        "doc_normalize_text": q_doc_normalize,
-        "sft_render_offsets": q_sft_offsets,
-        "sft_chat_text": q_sft_chat,
-        "sft_token_loss_mask": q_sft_token_mask,
-        "sketch_kmv_distinct": q_kmv_distinct,
-        "sketch_kmv_setops": q_kmv_setops,
-        "sketch_kmv_by_group": q_kmv_by_group,
-        "io_orc_roundtrip": q_io_orc_roundtrip,
-        "dedup_incremental_probe": q_dedup_incremental,
-        "privacy_k_anonymity": q_privacy_kanon,
-        "drift_numeric_report": q_drift_numeric,
-        "drift_categorical_lang": q_drift_categorical,
-        "drift_by_group": q_drift_by_group,
-        "table_quality_constraints": q_quality_constraints,
-        "table_column_profile": q_profile_table,
-        "table_corpus_report": q_corpus_report,
-        "doc_url_signals": q_url_signals,
-        "doc_quality_classifier": q_quality_classifier,
-        "doc_html_extract": q_html_extract,
-        "dedup_edit_distance_pairs": q_edit_distance_pairs,
-        "dedup_embedding_pairs": q_emb_neardup,
-        "dedup_cluster_canonical": q_dedup_clusters,
-        "dedup_representatives": q_dedup_representatives,
-        "dedup_cluster_split": q_cluster_split,
-        "doc_vocab_coverage": q_vocab_coverage,
-        "doc_span_corruption": q_span_corruption,
-        "doc_prefix_lm_split": q_prefix_lm,
-        "dedup_semantic_clusters": q_semantic_dedup,
-        "lakehouse_restore": q_lakehouse_restore,
-        "lakehouse_clone_branch": q_lakehouse_clone_branch,
-        "lakehouse_zorder_read": q_lakehouse_zorder_read,
-        "lakehouse_check_constraints": q_lakehouse_constraints,
-        "lakehouse_maintenance": q_lakehouse_maintenance,
-        "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
-        "lakehouse_delete_where": q_lakehouse_delete_where,
-        "lakehouse_update_where": q_lakehouse_update_where,
-        "lakehouse_stream_read": q_lakehouse_stream_read,
-        "lakehouse_delta_roundtrip": q_lakehouse_delta_roundtrip,
-        "lakehouse_change_stream": q_lakehouse_change_stream,
-        "lakehouse_scd2_merge": q_lakehouse_scd2,
-        "lakehouse_meta_minmax": q_lakehouse_meta_minmax,
-        "reader_markdown_elements": q_md_parse_elements,
-        "reader_docx_elements": q_docx_elements,
-        "reader_pdf_elements": q_pdf_elements,
-        "reader_mixed_dispatch": q_reader_dispatch,
-        "reader_html_elements": q_html_elements,
-        "reader_xlsx_elements": q_xlsx_elements,
-        "reader_pptx_elements": q_pptx_elements,
-        "reader_office_ingest": q_office_ingest,
-        "reader_epub_elements": q_epub_elements,
-        "reader_rtf_elements": q_rtf_elements,
-        "reader_odf_elements": q_odf_elements,
-        "reader_doc_legacy_elements": q_doc_legacy_elements,
-        "reader_xls_legacy_elements": q_xls_legacy_elements,
-        "reader_wet_records": q_reader_wet_records,
-        "reader_jsonl_roundtrip": q_jsonl_roundtrip,
-        "reader_warc_responses": q_warc_responses,
-        "reader_image_elements": q_image_elements,
-        "reader_container_elements": q_container_elements,
-        "chunker_header": q_header_chunks,
-        "chunker_section": q_section_chunks,
-        "chunker_markdown": q_markdown_chunks,
-        "chunker_token_sliding": q_token_chunks,
-        "chunker_semantic": q_semantic_chunks,
-        "chunker_image_binary": q_image_chunks,
-        "processor_removal_footers": q_removal_footers,
-        "enricher_fakes": q_enrich_fakes,
-        "enricher_image_alt": q_image_alt_enricher,
-        "writer_vector_records": q_vector_records,
-        "writer_qa_pairs": q_qa_pairs,
-        "writer_incremental_replace": q_writer_incremental,
-        "writer_webdataset_shards": q_webdataset_shards,
-        "lakehouse_merge_upsert": q_lakehouse_merge,
-        "lakehouse_incremental_agg": q_incremental_agg_view,
-        "lakehouse_change_feed": q_change_feed,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "multimodal_audio_meta": q_multimodal_audio_meta,
-        "multimodal_audio_segments": q_audio_segments,
-        "multimodal_image_tiles": q_image_tiles,
-        "multimodal_tile_pixels": q_tile_pixel_bytes,
-        "streaming_tws_type_stats": q_streaming_tws_stats,
-        "search_topk_cosine": q_emb_topk,
-        "search_topk_filtered": q_emb_topk_filtered,
-        "search_topk_quantized": q_topk_quantized,
-        "search_topk_ann": q_topk_ann,
-        "search_topk_ivf": q_topk_ivf,
-        "search_topk_ivf_persisted": q_topk_ivf_persisted,
-        "search_recall_at_k": q_recall_ivf,
-        "search_recall_matryoshka": q_recall_matryoshka,
-        # --- r8-green block (freshest external confirmation, lowest prio) ---
-        "search_topk_pq": q_topk_pq,
-        "search_topk_ivf_pq": q_topk_ivf_pq,
-        "search_topk_pq_rerank": q_topk_pq_rerank,
-        "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
-        "lakehouse_history_stream": q_lakehouse_history_stream,
-        "lakehouse_rename_column": q_lakehouse_rename_column,
-        "search_hybrid_indexed": q_hybrid_indexed,
-        "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
-        "search_topk_ivf_filtered": q_topk_ivf_filtered,
-        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
-        "sft_preference_pairs": q_preference_pairs,
-        "sft_best_of_n": q_best_of_n,
-        "lakehouse_meta_count": q_lakehouse_meta_count,
-        "lakehouse_delta_mirror": q_lakehouse_delta_mirror,
-        "lakehouse_bloom_read": q_lakehouse_bloom_read,
-        "doc_lm_perplexity": q_lm_perplexity,
-        "doc_url_psl_domain": q_url_psl_domain,
-        "doc_robots_gate": q_robots_gate,
-        "doc_script_profile": q_script_profile,
-        "dedup_boilerplate_lines": q_boilerplate_lines,
-        "sample_dsir_weights": q_dsir_weights,
-        "sketch_hll_users": q_sketch_hll_users,
-        "multimodal_frame_sample": q_frame_sample,
-        "lakehouse_skipping_read": q_lakehouse_skipping,
-        "streaming_upsert_merge": q_streaming_upsert,
-        "lakehouse_sync_replica": q_lakehouse_sync,
-        "sketch_histogram_quantiles": q_sketch_quantiles,
-        "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
-        "sketch_bloom_membership": q_bloom_membership,
-        "curation_funnel": q_curation_funnel,
-        "split_hash_assignment": q_hash_split,
-        "sample_curriculum_buckets": q_curriculum_buckets,
-        "shards_token_budget": q_assign_shards,
-        "sample_stratified": q_stratified_sample,
-        "sample_uniform_exact_k": q_uniform_sample_k,
-        "sample_weighted_exact_k": q_weighted_sample_k,
-        "sample_mixture_budget": q_mixture_sample,
-        "pack_doc_sequences": q_pack_sequences,
-        "doc_c4_filters": q_c4_filters,
-        "streaming_events_windowed": q_streaming_events,
-        "streaming_session_windows": q_streaming_sessions,
-        "streaming_dedup_ingest": q_streaming_dedup,
-        "streaming_exactly_once_ingest": q_exactly_once_ingest,
-        "streaming_dedup_watermark": q_streaming_dedup_watermark,
-        "streaming_interval_join": q_streaming_interval_join,
-        "graph_triangle_count": q_triangle_count,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q4_priority_exists": q_tpch_q4,
+        "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q7_nation_volume": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
     }
 
 
