@@ -307,25 +307,29 @@ def simhash_fast(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """xxhash64 SimHash twin of :func:`simhash`: bit j's vote comes from
     bit j of the word's 64-bit digest — pure integer shifts, no hex
     parsing. Same output contract (``simhash`` long); no cross-engine
-    oracle, behavioral agreement pinned in tests."""
+    oracle, behavioral agreement pinned in tests.
+
+    Same ONE-aggregation shape as the md5 twin: each word OCCURRENCE
+    votes ±1 directly into the per-doc partial sums, so there is no
+    intermediate (doc, word) count stage — summing per occurrence
+    equals count-weighted voting exactly, and the r10 calm-host
+    adjudication showed the extra groupBy(doc, word) shuffle was
+    costing this 'fast' twin 30% OVER the md5 family (SCALE.md)."""
     if not 1 <= bits <= 63:
         raise ValueError("bits must be in 1..63")
-    words = df.select(
+    # project the digest ONCE per occurrence; 32 inline copies would make
+    # codegen recompute it per bit (cf. the minhash_signature md5 note)
+    hashed = df.select(
         F.col(id_col).alias(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
-    )
-    counted = words.groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
-    # project the digest ONCE per row; 32 inline copies would make codegen
-    # recompute it per bit (cf. the minhash_signature md5 note)
-    counted = counted.select(id_col, "cnt", F.xxhash64(F.col("w")).alias("_h"))
+    ).select(id_col, F.xxhash64(F.col("w")).alias("_h"))
     votes = [
         F.sum(
-            F.col("cnt")
-            * (F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"_v{j}")
         for j in range(bits)
     ]
-    per_doc = counted.groupBy(id_col).agg(*votes)
+    per_doc = hashed.groupBy(id_col).agg(*votes)
     acc = F.lit(0).cast("long")
     for j in range(bits):
         acc = acc + F.when(F.col(f"_v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
