@@ -244,6 +244,17 @@ def test_gzip_roundtrip_and_detection(spark, tmp_path):
     assert read_tfrecord(spark, mixed, features).count() == 120
     with pytest.raises(ValueError, match="unsupported compression"):
         write_tfrecord(df, features, out1, compression="zstd")
+    # ZLIB option (TF's other compression_type): plain .tfrecord name,
+    # stream sniffed by header bytes
+    outz = str(tmp_path / "zl")
+    znames = write_tfrecord(df, features, outz, shards=1,
+                            compression="zlib")
+    assert znames == ["part-00000-of-00001.tfrecord"]
+    zraw = (tmp_path / "zl" / znames[0]).read_bytes()
+    assert zraw[0] == 0x78  # zlib header, not raw framing
+    zrows = {r["doc_id"]: r["twice"]
+             for r in read_tfrecord(spark, outz, features).collect()}
+    assert zrows == {i: 2 * i for i in range(120)}
 
 
 def test_maybe_decompress_ambiguous_magic_falls_back():
