@@ -6411,6 +6411,58 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def q_jsonl_zst_roundtrip(spark, sf):
+    """zstd-compressed JSONL shards (sources/jsonl.py::write_jsonl_zst /
+    read_jsonl_zst — the DCLM / RedPajama-v2 corpus shape): documents →
+    deterministic hash-sharded .jsonl.zst (pyarrow's bundled zstd; one
+    task per shard) → tolerant schema-enforced read-back (binaryFile +
+    mapInPandas, one task per file), plus an injected corrupt line that
+    must be excluded, not poison the scan. Lossless for string/int
+    columns, so the read-back equals the parquet original exactly.
+    Beyond the reference (training-corpus interchange surface, like
+    JSONL/TFRecord/WebDataset)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from dataingestion_spark.sources import jsonl
+
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="jsonl_zst_") + "/shards"
+    jsonl.write_jsonl_zst(docs, out, shards=4, order_by="doc_id")
+    bad = pa.Codec("zstd").compress(b"not json at all\n").to_pybytes()
+    with open(os.path.join(out, "extra.jsonl.zst"), "wb") as fh:
+        fh.write(bad)
+    return jsonl.read_jsonl_zst(spark, out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def q_arrow_ipc_roundtrip(spark, sf):
+    """Arrow IPC / Feather v2 interchange (sources/arrow_ipc.py): the
+    random-access columnar format training dataloaders mmap. Documents
+    → deterministic hash-sharded .arrow files (one task/shard, pyarrow
+    IPC writer, explicit record-batch granularity) → read-back with
+    schema pinned from the first footer and per-file type checks, plus
+    a column projection that prunes at the deserialization boundary.
+    Lossless, so the read-back equals the parquet original. Beyond the
+    reference (training-data interchange surface)."""
+    import tempfile
+
+    from dataingestion_spark.sources.arrow_ipc import (
+        read_arrow_ipc, write_arrow_ipc,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="arrow_ipc_") + "/shards"
+    write_arrow_ipc(docs, out, shards=4, order_by="doc_id",
+                    batch_rows=256)
+    return read_arrow_ipc(spark, out).select(
+        "doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_events_gapfill(spark, sf):
     """Regular-grid resampling with LOCF gap filling
     (operators/temporal.py::resample_gapfill — the TimescaleDB
@@ -8305,7 +8357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # end), so future rotations are a simple prefix shift.  Standing
     # policy: any new query enters the next round's first-50.
     return {
-        # --- r10 sample 1: never driver-sampled (new in r9) ---
+        # --- r10 sample 1-2: new this round / never driver-sampled ---
+        "io_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
+        "io_arrow_roundtrip": q_arrow_ipc_roundtrip,
         "io_tfrecord_roundtrip": q_io_tfrecord_roundtrip,
         # --- r10 sample 2-14: r1/r2-green, externally stale since ---
         "dedup_contamination_check": q_contamination,
@@ -8697,6 +8751,8 @@ def oracle_sql() -> dict[str, str]:
         "reader_xls_legacy_elements": _oracle_xls_legacy(),
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
+        "io_jsonl_zst_roundtrip": ORACLE_JSONL,
+        "io_arrow_roundtrip": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,
         "reader_image_elements": _oracle_image_elements(),
         "reader_container_elements": _oracle_container_elements(),

@@ -94,6 +94,8 @@ def main():
         "merge_upsert": em.q_lakehouse_merge,
         "scd2_merge": em.q_lakehouse_scd2,
         "tfrecord_io": em.q_io_tfrecord_roundtrip,
+        "jsonl_zst_io": em.q_jsonl_zst_roundtrip,
+        "arrow_ipc_io": em.q_arrow_ipc_roundtrip,
         "bpe_train": em.q_bpe_train_merges,
         "gapfill_locf": em.q_events_gapfill,
         "funnel": em.q_events_funnel,

@@ -1,0 +1,124 @@
+"""Arrow IPC (Feather v2) file source and sink.
+
+The Arrow IPC *file* format is the random-access interchange format
+training loops and dataloaders read zero-copy (mmap) — the natural
+hand-off between a Spark curation pipeline and a local tokenizer/
+packing stage when parquet decode overhead matters. Both sides ride
+pyarrow's bundled implementation; no new dependency.
+
+Scale shape: an IPC file is a sequence of record batches with a footer
+index — random-access by BATCH, but the repo's reader keeps the
+one-task-per-file shape of the other byte-stream sources (TFRecord,
+WARC, zstd-JSONL) because `binaryFile` delivers whole blobs; shard at
+write time so files stay executor-memory sized. The writer is one task
+per hash-shard with in-shard ordering, so bytes are DETERMINISTIC
+given the data (same layout contract as the TFRecord/WebDataset/zstd
+sinks — re-exports are idempotent, shards content-addressable).
+
+Cited parity: the reference has no Arrow surface; this extends the
+training-data interchange matrix (SURVEY.md §2-beyond) the same way
+TFRecord (`sources/tfrecord.py`) and WebDataset (`sinks/webdataset.py`)
+do.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["read_arrow_ipc", "write_arrow_ipc"]
+
+
+def read_arrow_ipc(spark: SparkSession, path: str,
+                   columns: Optional[List[str]] = None,
+                   glob: str = "*.arrow") -> DataFrame:
+    """Read a directory of Arrow IPC (Feather v2) files.
+
+    Schema comes from the first file's footer (one driver-side read —
+    explicit, not inferred per task); every file must match it, a
+    mismatch fails loudly with the file name. ``columns`` prunes at the
+    deserialization boundary (IPC is columnar, so unprojected columns
+    are never materialized into pandas). One task per file."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    scan = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob).load(path)
+            .select("path", "content"))
+    first = scan.select("path", "content").limit(1).collect()
+    if not first:
+        raise ValueError(f"no files match {glob!r} under {path}")
+    schema = pa.ipc.open_file(pa.py_buffer(bytes(first[0]["content"]))).schema
+    if columns is not None:
+        missing = [c for c in columns if c not in schema.names]
+        if missing:
+            raise ValueError(f"columns not in schema: {missing}")
+        schema = pa.schema([schema.field(c) for c in columns])
+    spark_schema = from_arrow_schema(schema)
+    want = [f.name for f in schema]
+
+    def parse(batches):
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                reader = pa.ipc.open_file(pa.py_buffer(bytes(blob)))
+                fschema = reader.schema
+                for name in want:
+                    expect = schema.field(name)
+                    if (name not in fschema.names
+                            or fschema.field(name).type != expect.type):
+                        got = (fschema.field(name).type
+                               if name in fschema.names else None)
+                        raise ValueError(
+                            f"{fpath}: field {name!r} is {got}, "
+                            f"expected {expect.type}")
+                tbl = reader.read_all().select(want)
+                yield tbl.to_pandas()
+
+    return scan.mapInPandas(parse, spark_schema)
+
+
+def write_arrow_ipc(df: DataFrame, out_dir: str, shards: int = 4,
+                    order_by: Optional[str] = None,
+                    prefix: str = "part",
+                    batch_rows: int = 4096) -> List[str]:
+    """Write ``df`` as ``shards`` Arrow IPC (Feather v2) files.
+
+    Rows hash-shard on ``order_by`` (default: first column) and sort
+    within a shard — deterministic bytes given the data. ``batch_rows``
+    sets the record-batch granularity inside each file (the unit a
+    random-access consumer reads); one task per shard. Returns shard
+    names."""
+    import os
+
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    key = order_by or df.columns[0]
+    cols = df.columns
+    os.makedirs(out_dir, exist_ok=True)
+    sel = df.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(key).cast("string")),
+                         F.lit(shards)).cast("int"))
+
+    def write_shard(pdf):
+        import pandas as pd
+        import pyarrow as pa
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"name": [], "n_records": []})
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values(key, kind="mergesort")
+        name = f"{prefix}-{shard:05d}-of-{shards:05d}.arrow"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        tbl = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+        with pa.OSFile(tmp, "wb") as sink:
+            with pa.ipc.new_file(sink, tbl.schema) as w:
+                for batch in tbl.to_batches(max_chunksize=batch_rows):
+                    w.write_batch(batch)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pd.DataFrame({"name": [name], "n_records": [len(pdf)]})
+
+    manifest = (sel.groupBy("_shard").applyInPandas(
+        write_shard, "name string, n_records long").collect())
+    return sorted(r["name"] for r in manifest)

@@ -38,6 +38,28 @@ DOCUMENTS_SCHEMA = T.StructType(
 _CORRUPT = "_corrupt"
 
 
+def _parse_lines(raw: DataFrame, schema: T.StructType,
+                 keep_corrupt: bool) -> DataFrame:
+    """Tolerant-parse a one-string-column ("value") frame of JSONL lines
+    — shared by the text-source and zstd readers so the corrupt-line
+    contract can never drift between them."""
+    # from_json (Spark 4) yields a null-FIELDED struct for malformed input,
+    # not a null struct — the corrupt-record field in the parse schema is
+    # what actually distinguishes "unparseable line" from "all fields null"
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    parsed = raw.filter(F.trim(F.col("value")) != "").select(
+        F.from_json(
+            F.col("value"), with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("_r")
+    )
+    if keep_corrupt:
+        return parsed.select("_r.*")
+    return parsed.filter(F.col(f"_r.{_CORRUPT}").isNull()).select("_r.*").drop(_CORRUPT)
+
+
 def read_jsonl(spark: SparkSession, path: str,
                schema: Optional[T.StructType] = None,
                keep_corrupt: bool = False) -> DataFrame:
@@ -51,23 +73,8 @@ def read_jsonl(spark: SparkSession, path: str,
     of the analyzer restriction that a plan referencing ONLY the internal
     corrupt-record column (e.g. a count after filtering on it) is
     disallowed — and blank lines are structural, never counted corrupt."""
-    schema = schema or DOCUMENTS_SCHEMA
-    # from_json (Spark 4) yields a null-FIELDED struct for malformed input,
-    # not a null struct — the corrupt-record field in the parse schema is
-    # what actually distinguishes "unparseable line" from "all fields null"
-    with_corrupt = T.StructType(
-        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
-    )
-    raw = spark.read.text(path).filter(F.trim(F.col("value")) != "")
-    parsed = raw.select(
-        F.from_json(
-            F.col("value"), with_corrupt,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
-        ).alias("_r")
-    )
-    if keep_corrupt:
-        return parsed.select("_r.*")
-    return parsed.filter(F.col(f"_r.{_CORRUPT}").isNull()).select("_r.*").drop(_CORRUPT)
+    return _parse_lines(spark.read.text(path), schema or DOCUMENTS_SCHEMA,
+                        keep_corrupt)
 
 
 def corrupt_count(spark: SparkSession, path: str,
@@ -88,3 +95,86 @@ def write_jsonl(df: DataFrame, path: str, compression: Optional[str] = "gzip",
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def read_jsonl_zst(spark: SparkSession, path: str,
+                   schema: Optional[T.StructType] = None,
+                   keep_corrupt: bool = False,
+                   glob: str = "*.jsonl.zst") -> DataFrame:
+    """Tolerant JSONL read over zstd-compressed shards (the DCLM /
+    RedPajama-v2 corpus shape, ``*.jsonl.zst``).
+
+    Spark's text source lacks a zstd codec in this image, so shards
+    decompress through pyarrow's bundled zstd in the same
+    ``binaryFile`` + ``mapInPandas`` shape as the WARC/TFRecord
+    readers: one task per file (zstd frames aren't splittable without
+    a seekable-table sidecar; shard at write time), memory bounds to
+    one decompressed shard per task, multi-frame streams accepted.
+    Line parsing reuses :func:`read_jsonl`'s exact corrupt-record
+    contract via the shared ``_parse_lines``."""
+    schema = schema or DOCUMENTS_SCHEMA
+
+    def decompress(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                # CompressedInputStream, not Codec.decompress: the
+                # one-shot API demands the decompressed size up front,
+                # the stream API doesn't and accepts multi-frame files
+                data = pa.input_stream(pa.py_buffer(bytes(blob)),
+                                       compression="zstd").read()
+                lines = data.decode("utf-8").split("\n")
+                yield pd.DataFrame({"value": lines})
+
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", glob).load(path)
+           .select("content")
+           .mapInPandas(decompress, "value string"))
+    return _parse_lines(raw, schema, keep_corrupt)
+
+
+def write_jsonl_zst(df: DataFrame, path: str, shards: int = 4,
+                    order_by: Optional[str] = None,
+                    level: int = 3, prefix: str = "part") -> list:
+    """Write ``df`` as ``shards`` zstd-compressed JSONL files.
+
+    Rows hash-shard on ``order_by`` (default: first column) and sort
+    within a shard — the same deterministic-bytes contract as the
+    TFRecord/WebDataset sinks, so re-exports are idempotent and shards
+    content-addressable. One task per shard; raise ``shards`` to scale
+    (a big export wants file sizes a downstream one-task-per-file
+    reader can hold decompressed in memory). Returns shard names."""
+    import os
+
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    key = order_by or df.columns[0]
+    os.makedirs(path, exist_ok=True)
+    payload = df.select(
+        F.col(key).cast("string").alias("_k"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("_j"),
+    ).withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col("_k")), F.lit(shards)).cast("int"))
+
+    def write_shard(pdf):
+        import pandas as pd
+        import pyarrow as pa
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"name": [], "n_records": []})
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values("_k", kind="mergesort")
+        name = f"{prefix}-{shard:05d}-of-{shards:05d}.jsonl.zst"
+        body = ("\n".join(pdf["_j"]) + "\n").encode("utf-8")
+        codec = pa.Codec("zstd", compression_level=level)
+        tmp = os.path.join(path, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(codec.compress(body).to_pybytes())
+        os.replace(tmp, os.path.join(path, name))
+        return pd.DataFrame({"name": [name], "n_records": [len(pdf)]})
+
+    manifest = (payload.groupBy("_shard").applyInPandas(
+        write_shard, "name string, n_records long").collect())
+    return sorted(r["name"] for r in manifest)

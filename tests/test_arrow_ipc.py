@@ -1,0 +1,71 @@
+"""Arrow IPC (Feather v2) source/sink (sources/arrow_ipc.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.sources.arrow_ipc import (
+    read_arrow_ipc, write_arrow_ipc,
+)
+
+
+def test_roundtrip_determinism_and_projection(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out1, out2 = str(tmp_path / "a1"), str(tmp_path / "a2")
+    names = write_arrow_ipc(docs, out1, shards=3, order_by="doc_id")
+    assert names == [f"part-{i:05d}-of-00003.arrow" for i in range(3)]
+    # genuine Feather v2 on disk: ARROW1 magic
+    raw = (tmp_path / "a1" / names[0]).read_bytes()
+    assert raw[:6] == b"ARROW1"
+    # byte-deterministic re-export
+    write_arrow_ipc(docs, out2, shards=3, order_by="doc_id")
+    for n in names:
+        assert (tmp_path / "a1" / n).read_bytes() == \
+            (tmp_path / "a2" / n).read_bytes()
+
+    back = read_arrow_ipc(spark, out1)
+    assert back.schema == docs.schema
+    assert {tuple(r) for r in back.collect()} == \
+        {tuple(r) for r in docs.collect()}
+
+    # column projection prunes at the deserialization boundary
+    two = read_arrow_ipc(spark, out1, columns=["doc_id", "lang"])
+    assert two.columns == ["doc_id", "lang"]
+    assert two.count() == docs.count()
+    with pytest.raises(ValueError, match="columns not in schema"):
+        read_arrow_ipc(spark, out1, columns=["nope"])
+
+
+def test_schema_mismatch_fails_loudly(spark, tmp_path):
+    import pyarrow as pa
+
+    a = spark.range(3).select(F.col("id").alias("k"),
+                              F.lit("x").alias("v"))
+    out = str(tmp_path / "mix")
+    write_arrow_ipc(a, out, shards=1)
+    # drop a second file whose 'v' has a different type
+    tbl = pa.table({"k": pa.array([9], pa.int64()),
+                    "v": pa.array([1.5], pa.float64())})
+    with pa.OSFile(os.path.join(out, "zz-other.arrow"), "wb") as sink:
+        with pa.ipc.new_file(sink, tbl.schema) as w:
+            w.write_table(tbl)
+    with pytest.raises(Exception, match="expected"):
+        read_arrow_ipc(spark, out).collect()
+    # empty dir fails with a clear message (a missing path fails with
+    # Spark's own PATH_NOT_FOUND before ours)
+    (tmp_path / "nothing_here").mkdir()
+    with pytest.raises(Exception, match="no files match"):
+        read_arrow_ipc(spark, str(tmp_path / "nothing_here"))
+
+
+def test_batch_rows_controls_ipc_granularity(spark, tmp_path):
+    import pyarrow as pa
+
+    docs = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = str(tmp_path / "b")
+    (name,) = write_arrow_ipc(docs, out, shards=1, batch_rows=100)
+    reader = pa.ipc.open_file(os.path.join(out, name))
+    assert reader.num_record_batches == 10
+    assert sum(reader.get_batch(i).num_rows
+               for i in range(reader.num_record_batches)) == 1000

@@ -49,3 +49,40 @@ def test_corrupt_lines_are_data_not_poison(spark, tmp_path):
     assert {r._corrupt for r in bad.collect()} == {
         "this is not json", '{"truncated": '
     }
+
+
+def test_zst_roundtrip_determinism_and_corrupt_contract(spark, tmp_path):
+    """zstd shards (DCLM / RedPajama-v2 shape): deterministic bytes,
+    real zstd frames on disk, multi-frame files accepted, and the SAME
+    corrupt-line contract as the plain reader (shared _parse_lines)."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out1, out2 = str(tmp_path / "z1"), str(tmp_path / "z2")
+    names = jsonl.write_jsonl_zst(docs, out1, shards=3, order_by="doc_id")
+    assert names == [f"part-{i:05d}-of-00003.jsonl.zst" for i in range(3)]
+    raw = (tmp_path / "z1" / names[0]).read_bytes()
+    assert raw[:4] == b"\x28\xb5\x2f\xfd"  # zstd frame magic
+    jsonl.write_jsonl_zst(docs, out2, shards=3, order_by="doc_id")
+    for n in names:  # byte-deterministic re-export
+        assert (tmp_path / "z1" / n).read_bytes() == \
+            (tmp_path / "z2" / n).read_bytes()
+
+    back = jsonl.read_jsonl_zst(spark, out1)
+    assert {tuple(r) for r in back.collect()} == \
+        {tuple(r) for r in docs.collect()}
+
+    # a MULTI-FRAME shard (two concatenated frames) + a corrupt line
+    codec = pa.Codec("zstd")
+    good = ('{"doc_id": 900000001, "text": "ok", "lang": "en", '
+            '"source": "s", "n_chars": 2}\n')
+    frame1 = codec.compress(good.encode()).to_pybytes()
+    frame2 = codec.compress(b"not json at all\n").to_pybytes()
+    extra = tmp_path / "z1" / "extra.jsonl.zst"
+    extra.write_bytes(frame1 + frame2)
+    with_extra = jsonl.read_jsonl_zst(spark, out1, keep_corrupt=True)
+    corrupt = with_extra.filter(F.col("_corrupt").isNotNull()).count()
+    assert corrupt == 1
+    ok = jsonl.read_jsonl_zst(spark, out1)
+    assert ok.count() == docs.count() + 1
+    assert ok.filter(F.col("doc_id") == 900000001).count() == 1
