@@ -59,6 +59,29 @@ def test_schema_mismatch_fails_loudly(spark, tmp_path):
         read_arrow_ipc(spark, str(tmp_path / "nothing_here"))
 
 
+def test_native_buffer_compression_roundtrip(spark, tmp_path):
+    """IPC per-buffer zstd: smaller on disk, still random-access by
+    batch, reads back transparently (and stays byte-deterministic)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain, comp = str(tmp_path / "p"), str(tmp_path / "c")
+    (pname,) = write_arrow_ipc(docs, plain, shards=1, order_by="doc_id")
+    (cname,) = write_arrow_ipc(docs, comp, shards=1, order_by="doc_id",
+                               compression="zstd")
+    psize = os.path.getsize(os.path.join(plain, pname))
+    csize = os.path.getsize(os.path.join(comp, cname))
+    assert csize < psize * 0.8
+    back = read_arrow_ipc(spark, comp)
+    assert {tuple(r) for r in back.collect()} == \
+        {tuple(r) for r in docs.collect()}
+    comp2 = str(tmp_path / "c2")
+    write_arrow_ipc(docs, comp2, shards=1, order_by="doc_id",
+                    compression="zstd")
+    assert (tmp_path / "c2" / cname).read_bytes() == \
+        (tmp_path / "c" / cname).read_bytes()
+    with pytest.raises(ValueError, match="unsupported compression"):
+        write_arrow_ipc(docs, comp, compression="gzip")
+
+
 def test_batch_rows_controls_ipc_granularity(spark, tmp_path):
     import pyarrow as pa
 
