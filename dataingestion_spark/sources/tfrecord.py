@@ -227,8 +227,13 @@ def _crc32c_many(buf, starts, lens):
         k = int(np.searchsorted(ln, j, side="right"))
         if k >= mrec:
             break
-        if mrec - k < 8 and int(ln[-1]) - j > 4096:
-            break  # few long stragglers: per-record path is faster
+        if mrec - k < 512 and int(ln[-1]) - j > 16384:
+            # few-but-long active set: per-record row-parallel CRC beats
+            # the lockstep once the per-column gather is under ~512
+            # lanes with tens of KB still to go (measured on this host:
+            # 64×512KB lockstep 8 MB/s vs row-parallel 147; 1024×8KB
+            # lockstep 48 vs 24 — the crossover is ~512 lanes / ~16 KB)
+            break
         col = buf[s[k:] + j]
         st[k:] = tbl[(st[k:] ^ col) & 0xFF] ^ (st[k:] >> u8)
         j += 1

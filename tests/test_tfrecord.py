@@ -200,6 +200,34 @@ def test_spark_roundtrip_and_determinism(spark, tmp_path):
         read_tfrecord(spark, out1, {"neighbors": "int64"}).collect()
 
 
+def test_crc32c_many_covers_every_dispatch_shape():
+    """_crc32c_many agrees with scalar crc32c across the shapes that
+    pick different internal paths: many small (pure lockstep), few
+    large (immediate peel to row-parallel), ragged mixed (lockstep then
+    mid-stream peel with carried prefix state), empty slices."""
+    import os
+    import random
+
+    import numpy as np
+
+    from dataingestion_spark.sources.tfrecord import _crc32c_many
+
+    random.seed(11)
+    for sizes in (
+        [8] * 200,                                   # all tiny (headers)
+        [300 * 1024] * 12,                           # few large: peel at j=0
+        [random.randint(0, 5000) for _ in range(500)] + [120000],  # ragged
+        [0, 0, 1],                                   # empties
+    ):
+        blob = os.urandom(sum(sizes))
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        starts = np.cumsum([0] + sizes[:-1]).astype(np.int64)
+        lens = np.array(sizes, dtype=np.int64)
+        got = list(_crc32c_many(buf, starts, lens))
+        assert got == [crc32c(blob[s:s + n])
+                       for s, n in zip(starts, lens)]
+
+
 def test_gzip_roundtrip_and_detection(spark, tmp_path):
     import gzip
 
