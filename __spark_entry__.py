@@ -6463,6 +6463,34 @@ def q_arrow_ipc_roundtrip(spark, sf):
         "doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_streaming_jsonl_ingest(spark, sf):
+    """Continuous JSONL corpus ingestion (sources/jsonl.py::stream_jsonl
+    — Spark's exactly-once file stream source + the batch reader's
+    corrupt-line contract via shared _parse_lines): documents export to
+    gzip shards + one injected corrupt file, the stream drains with
+    availableNow paced one file per micro-batch into a memory sink, and
+    the drained rows must equal the batch parse exactly — a dropped or
+    double-read shard, or a corrupt line poisoning its batch, goes red.
+    Beyond the reference (training-corpus landing-dir tailing)."""
+    import os
+    import tempfile
+
+    from dataingestion_spark.sources import jsonl
+
+    docs = _t(spark, sf, "documents")
+    land = tempfile.mkdtemp(prefix="jsonl_stream_") + "/landing"
+    jsonl.write_jsonl(docs, land, shards=4)
+    with open(os.path.join(land, "bad.jsonl"), "w") as fh:
+        fh.write("definitely not json\n")
+    name = "jsonl_ingest_check"
+    q = (jsonl.stream_jsonl(spark, land, max_files_per_trigger=1)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_events_gapfill(spark, sf):
     """Regular-grid resampling with LOCF gap filling
     (operators/temporal.py::resample_gapfill — the TimescaleDB
@@ -8360,6 +8388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10 sample 1-2: new this round / never driver-sampled ---
         "io_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
         "io_arrow_roundtrip": q_arrow_ipc_roundtrip,
+        "streaming_jsonl_ingest": q_streaming_jsonl_ingest,
         "io_tfrecord_roundtrip": q_io_tfrecord_roundtrip,
         # --- r10 sample 2-14: r1/r2-green, externally stale since ---
         "dedup_contamination_check": q_contamination,
@@ -8753,6 +8782,7 @@ def oracle_sql() -> dict[str, str]:
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "io_jsonl_zst_roundtrip": ORACLE_JSONL,
         "io_arrow_roundtrip": ORACLE_JSONL,
+        "streaming_jsonl_ingest": ORACLE_JSONL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,
         "reader_image_elements": _oracle_image_elements(),
         "reader_container_elements": _oracle_container_elements(),

@@ -97,6 +97,31 @@ def write_jsonl(df: DataFrame, path: str, compression: Optional[str] = "gzip",
     w.json(path)
 
 
+def stream_jsonl(spark: SparkSession, path: str,
+                 schema: Optional[T.StructType] = None,
+                 keep_corrupt: bool = False,
+                 max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl`: continuous ingestion of a
+    landing directory of JSONL shards (gzip included — the file stream
+    source decompresses like the batch one).
+
+    Spark's file streaming source provides exactly-once shard
+    discovery through the checkpoint's file log, so a curation
+    pipeline tails a crawler's output directory with no bookkeeping of
+    its own; ``max_files_per_trigger`` paces catch-up after downtime
+    (the backlog drains in bounded micro-batches instead of one giant
+    batch — same philosophy as the lakehouse sources'
+    maxCommitsPerTrigger). Line parsing shares ``_parse_lines``, so
+    the corrupt-record contract is identical to the batch reader:
+    malformed lines are data, never poison a running stream."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    raw = reader.load(path)
+    return _parse_lines(raw, schema or DOCUMENTS_SCHEMA, keep_corrupt)
+
+
 def read_jsonl_zst(spark: SparkSession, path: str,
                    schema: Optional[T.StructType] = None,
                    keep_corrupt: bool = False,

@@ -86,3 +86,48 @@ def test_zst_roundtrip_determinism_and_corrupt_contract(spark, tmp_path):
     ok = jsonl.read_jsonl_zst(spark, out1)
     assert ok.count() == docs.count() + 1
     assert ok.filter(F.col("doc_id") == 900000001).count() == 1
+
+
+def test_stream_jsonl_tails_a_landing_dir(spark, tmp_path):
+    """availableNow drain of a shard directory == the batch read, with
+    the same tolerant corrupt-line contract, paced one file per
+    micro-batch; a shard landing AFTER the first drain is picked up by
+    the next run on the same checkpoint, exactly once."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    land = str(tmp_path / "landing")
+    jsonl.write_jsonl(docs, land, shards=3)
+    (tmp_path / "landing" / "bad.jsonl").write_text(
+        "definitely not json\n")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        before = spark.read.parquet(sink).count() \
+            if (tmp_path / "sink").exists() else 0
+        q = (jsonl.stream_jsonl(spark, land, max_files_per_trigger=1)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        all_rows = spark.read.parquet(sink)
+        return all_rows, all_rows.count() - before
+
+    got, n_new = drain()
+    assert n_new == docs.count()  # corrupt line excluded, rest in
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in docs.collect()}
+
+    # a late shard lands; the next availableNow run ingests ONLY it
+    late = spark.createDataFrame(
+        [(999000001, "late doc", "en", "s", 8)], jsonl.DOCUMENTS_SCHEMA)
+    jsonl.write_jsonl(late, land + "_tmp", compression=None, shards=1)
+    import os
+    import shutil
+    src = next(p for p in os.listdir(land + "_tmp")
+               if p.endswith(".json"))
+    shutil.move(os.path.join(land + "_tmp", src),
+                os.path.join(land, "late.jsonl"))
+    got2, n_new2 = drain()
+    assert n_new2 == 1  # exactly the late shard, nothing replayed
+    assert got2.filter(F.col("doc_id") == 999000001).count() == 1
+    assert got2.count() == docs.count() + 1
