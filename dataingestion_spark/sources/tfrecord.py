@@ -572,7 +572,11 @@ def _maybe_decompress(data: bytes) -> bytes:
     if data[:2] == b"\x1f\x8b":
         try:
             return gzip.decompress(data)  # multi-member streams included
-        except OSError:
+        except (OSError, EOFError):
+            # EOFError too: a RAW shard whose fake magic leads the gzip
+            # header parser off the end raises EOFError, not BadGzipFile;
+            # falling back lets the CRC walk adjudicate either way (a
+            # genuinely truncated gzip then fails the walk loudly)
             return data
     if len(data) >= 2 and data[0] == 0x78 and data[1] in (0x01, 0x5E,
                                                           0x9C, 0xDA):

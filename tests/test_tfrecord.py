@@ -300,6 +300,15 @@ def test_maybe_decompress_ambiguous_magic_falls_back():
     inner = _frame_record(b"abc")
     assert _maybe_decompress(gzip.compress(inner)) == inner
     assert _maybe_decompress(zlib.compress(inner)) == inner
+    # a magic prefix whose "header" runs off the end (gzip raises
+    # EOFError here, not BadGzipFile) must also fall back, not crash
+    stub = b"\x1f\x8b\x08\x04\x00"
+    assert _maybe_decompress(stub) == stub
+    # a genuinely truncated gzip shard falls back to raw and then fails
+    # the framing walk loudly with a labeled error
+    trunc = gzip.compress(_frame_record(b"x" * 50000))[:40]
+    with pytest.raises(ValueError, match="truncated TFRecord"):
+        list(_iter_records(_maybe_decompress(trunc), "t"))
 
 
 def test_write_null_and_nan_cells_become_absent_features(spark, tmp_path):
