@@ -47,10 +47,21 @@ def read_arrow_ipc(spark: SparkSession, path: str,
     scan = (spark.read.format("binaryFile")
             .option("pathGlobFilter", glob).load(path)
             .select("path", "content"))
-    first = scan.select("path", "content").limit(1).collect()
+    # schema comes from one FOOTER, not one whole file: collect only the
+    # path (cheap metadata row) and open the footer directly when the
+    # scheme is local; only a non-local scheme pays a full-blob collect
+    first = scan.select("path").limit(1).collect()
     if not first:
         raise ValueError(f"no files match {glob!r} under {path}")
-    schema = pa.ipc.open_file(pa.py_buffer(bytes(first[0]["content"]))).schema
+    fpath = first[0]["path"]
+    if fpath.startswith("file:"):
+        local = fpath[5:]
+        while local.startswith("//"):  # file:///x and file:/x both occur
+            local = local[1:]
+        schema = pa.ipc.open_file(local).schema
+    else:  # pragma: no cover - no object store in this image
+        blob = scan.limit(1).collect()[0]["content"]
+        schema = pa.ipc.open_file(pa.py_buffer(bytes(blob))).schema
     if columns is not None:
         missing = [c for c in columns if c not in schema.names]
         if missing:
