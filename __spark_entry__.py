@@ -6491,6 +6491,65 @@ def q_streaming_jsonl_ingest(spark, sf):
         "doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_export_incremental(spark, sf):
+    """Incremental corpus publish (sinks/corpus_export.py): documents →
+    lakehouse table → full zstd-JSONL export, then append/delete/merge
+    on narrow key slices and an INCREMENTAL export that rewrites only
+    the shards whose row set changed (change feed → pmod(xxhash64)
+    shard ids → filtered snapshot rewrite; byte-identical to a full
+    re-export because shard bytes are deterministic — pinned in
+    tests/test_corpus_export.py). The read-back of the published
+    directory must equal the closed-form final state; a stale shard
+    (deleted rows still served) or an unrewritten update goes red.
+    Asserts the rewrite list is a PROPER subset of the shard set —
+    the whole point of the incremental path."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.sinks.corpus_export import (
+        export_corpus, export_corpus_incremental,
+    )
+    from dataingestion_spark.sources.jsonl import read_jsonl_zst
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"), "n_chars")
+    did = F.col("documentid").cast("long")
+    table = tempfile.mkdtemp(prefix="exp_") + "/t"
+    out = tempfile.mkdtemp(prefix="exp_") + "/pub"
+    ms.write_table(docs, table)
+    export_corpus(spark, table, out, fmt="jsonl_zst", shards=64)
+    ms.append_table(
+        docs.filter(did % 577 == 3).select(
+            (did + 10_000_000).cast("string").alias("documentid"),
+            (F.col("n_chars") + 1).alias("n_chars")), table)
+    ms.delete_documents(
+        spark, table,
+        [r[0] for r in docs.filter(did % 251 == 0)
+         .select("documentid").collect()])
+    ms.merge_table(
+        docs.filter(did % 313 == 1).withColumn(
+            "n_chars", F.col("n_chars") + 7), table)
+    st = export_corpus_incremental(spark, table, out)
+    assert 0 < len(st["rewritten"]) < 64, st["rewritten"]
+    schema = T.StructType([T.StructField("documentid", T.StringType()),
+                           T.StructField("n_chars", T.LongType())])
+    return read_jsonl_zst(spark, out, schema=schema)
+
+
+ORACLE_EXPORT_INCREMENTAL = """
+SELECT CAST(doc_id AS VARCHAR) AS documentid, n_chars + 7 AS n_chars
+FROM documents WHERE doc_id % 313 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), n_chars FROM documents
+WHERE doc_id % 313 <> 1 AND doc_id % 251 <> 0
+UNION ALL
+SELECT CAST(doc_id + 10000000 AS VARCHAR), n_chars + 1
+FROM documents WHERE doc_id % 577 = 3
+"""
+
+
 def q_events_gapfill(spark, sf):
     """Regular-grid resampling with LOCF gap filling
     (operators/temporal.py::resample_gapfill — the TimescaleDB
@@ -8389,6 +8448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
         "io_arrow_roundtrip": q_arrow_ipc_roundtrip,
         "streaming_jsonl_ingest": q_streaming_jsonl_ingest,
+        "lakehouse_export_incremental": q_export_incremental,
         "io_tfrecord_roundtrip": q_io_tfrecord_roundtrip,
         # --- r10 sample 2-14: r1/r2-green, externally stale since ---
         "dedup_contamination_check": q_contamination,
@@ -8783,6 +8843,7 @@ def oracle_sql() -> dict[str, str]:
         "io_jsonl_zst_roundtrip": ORACLE_JSONL,
         "io_arrow_roundtrip": ORACLE_JSONL,
         "streaming_jsonl_ingest": ORACLE_JSONL,
+        "lakehouse_export_incremental": ORACLE_EXPORT_INCREMENTAL,
         "reader_warc_responses": ORACLE_WARC_RESPONSES,
         "reader_image_elements": _oracle_image_elements(),
         "reader_container_elements": _oracle_container_elements(),

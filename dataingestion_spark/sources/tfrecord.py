@@ -745,8 +745,13 @@ def write_tfrecord(df: DataFrame, features: Dict[str, str], out_dir: str,
                         and pd.isna(v)):
                     continue
                 if kind in ("bytes", "bytes_list"):
-                    conv = (bytes(v) if kind == "bytes"
-                            else [bytes(x) for x in v])
+                    # a string cell under a bytes kind is utf-8 encoded
+                    # (the TF convention for text features); bytes("x")
+                    # without an encoding would crash
+                    enc = (lambda x: x.encode("utf-8")
+                           if isinstance(x, str) else bytes(x))
+                    conv = (enc(v) if kind == "bytes"
+                            else [enc(x) for x in v])
                 elif kind in ("int64", "int64_list"):
                     conv = (int(v) if kind == "int64"
                             else [int(x) for x in v])

@@ -1,0 +1,100 @@
+"""Incremental corpus exports (sinks/corpus_export.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestion_spark.sinks import manifest_store as ms
+from dataingestion_spark.sinks.corpus_export import (
+    export_corpus, export_corpus_incremental,
+)
+
+
+def _docs(spark, lo, hi, bump=0):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("string").alias("documentid"),
+        (F.col("id") * 2 + bump).alias("v"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+    )
+
+
+def _dir_bytes(d):
+    return {n: open(os.path.join(d, n), "rb").read()
+            for n in os.listdir(d) if n != "_export_state.json"}
+
+
+@pytest.mark.parametrize("fmt,features", [
+    ("jsonl_zst", None),
+    ("arrow", None),
+    ("tfrecord", {"documentid": "bytes", "v": "int64", "text": "bytes"}),
+])
+def test_incremental_equals_full_reexport(spark, tmp_path, fmt, features):
+    """THE property: after any mutation mix, the incremental publish is
+    byte-identical to a from-scratch full export of the same version —
+    deterministic shard bytes make changed-shards-only exact."""
+    table = str(tmp_path / "t")
+    ms.write_table(_docs(spark, 0, 60), table)
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    st = export_corpus(spark, table, inc_dir, fmt=fmt, shards=8,
+                       features=features)
+    assert len(os.listdir(inc_dir)) == 8 + 1  # all shards + state
+
+    # mutate: append, delete, update
+    ms.append_table(_docs(spark, 60, 70), table)
+    ms.delete_documents(spark, table, [str(i) for i in range(0, 60, 7)])
+    ms.merge_table(_docs(spark, 20, 30, bump=1), table)
+
+    st2 = export_corpus_incremental(spark, table, inc_dir,
+                                    features=features)
+    assert st2["version"] > st["version"]
+    assert 0 < len(st2["rewritten"]) <= 8
+
+    export_corpus(spark, table, full_dir, fmt=fmt, shards=8,
+                  features=features)
+    assert _dir_bytes(inc_dir) == _dir_bytes(full_dir)
+
+    # no-op when the table hasn't moved
+    st3 = export_corpus_incremental(spark, table, inc_dir,
+                                    features=features)
+    assert st3["rewritten"] == []
+
+
+def test_emptied_shard_is_rewritten_empty(spark, tmp_path):
+    """Deleting EVERY row of some shard must rewrite it as a valid
+    empty file — leaving the old bytes would keep serving dead rows."""
+    from dataingestion_spark.sources.jsonl import read_jsonl_zst
+
+    table = str(tmp_path / "t")
+    ms.write_table(_docs(spark, 0, 40), table)
+    out = str(tmp_path / "out")
+    export_corpus(spark, table, out, fmt="jsonl_zst", shards=4)
+    ms.delete_documents(spark, table, [str(i) for i in range(40)])
+    st = export_corpus_incremental(spark, table, out)
+    assert len(st["rewritten"]) == 4
+    import pyarrow as pa
+
+    schema = "documentid string, v long, text string"
+    from pyspark.sql.types import _parse_datatype_string
+
+    back = read_jsonl_zst(spark, out,
+                          schema=_parse_datatype_string(schema))
+    assert back.count() == 0
+    for n in st["rewritten"]:  # every shard decodes as empty, not stale
+        raw = open(os.path.join(out, n), "rb").read()
+        assert pa.input_stream(pa.py_buffer(raw),
+                               compression="zstd").read() == b""
+
+
+def test_guards(spark, tmp_path):
+    table = str(tmp_path / "t")
+    ms.write_table(_docs(spark, 0, 5), table)
+    with pytest.raises(ValueError, match="no _export_state"):
+        export_corpus_incremental(spark, table, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="fmt"):
+        export_corpus(spark, table, str(tmp_path / "o"), fmt="csv")
+    with pytest.raises(ValueError, match="features"):
+        export_corpus(spark, table, str(tmp_path / "o2"), fmt="tfrecord")
+    with pytest.raises(ValueError, match="not in columns"):
+        export_corpus(spark, table, str(tmp_path / "o3"),
+                      columns=["v"], key="documentid")
