@@ -40,7 +40,7 @@ from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["export_corpus", "export_corpus_incremental"]
+__all__ = ["export_corpus", "export_corpus_incremental", "verify_export"]
 
 _STATE = "_export_state.json"
 _FORMATS = ("jsonl_zst", "tfrecord", "arrow")
@@ -127,10 +127,41 @@ def export_corpus(spark: SparkSession, table: str, out_dir: str, *,
         if n not in names and not os.path.exists(os.path.join(out_dir, n)):
             _write_empty_shard(snap, fmt, out_dir, n, features)
     state = {"version": version, "fmt": fmt, "key": key, "shards": shards,
-             "columns": columns, "rewritten": sorted(names)}
+             "columns": columns, "rewritten": sorted(names),
+             "sha256": _digests(out_dir, fmt, shards)}
     with open(os.path.join(out_dir, _STATE), "w") as f:
         json.dump(state, f)
     return state
+
+
+def _digests(out_dir: str, fmt: str, shards: int) -> Dict[str, str]:
+    """sha256 per shard — deterministic bytes make the export
+    CONTENT-ADDRESSABLE, so the manifest doubles as an integrity
+    contract a consumer (or `verify_export`) can check offline."""
+    import hashlib
+
+    out = {}
+    for s in range(shards):
+        n = _shard_name(fmt, s, shards)
+        h = hashlib.sha256()
+        with open(os.path.join(out_dir, n), "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        out[n] = h.hexdigest()
+    return out
+
+
+def verify_export(out_dir: str) -> List[str]:
+    """Re-hash every shard against the stamped manifest; returns the
+    names that DIVERGE (empty list = intact). Catches torn copies,
+    bit rot, and out-of-band edits before a training run consumes
+    them — cheap because it is pure local IO, no Spark session."""
+    with open(os.path.join(out_dir, _STATE)) as f:
+        state = json.load(f)
+    fresh = _digests(out_dir, state["fmt"], int(state["shards"]))
+    stamped = state.get("sha256") or {}
+    return sorted(n for n in fresh
+                  if stamped.get(n) != fresh[n])
 
 
 def export_corpus_incremental(spark: SparkSession, table: str,
@@ -171,7 +202,8 @@ def export_corpus_incremental(spark: SparkSession, table: str,
         if n not in names:
             _write_empty_shard(snap, fmt, out_dir, n, features)
             names.append(n)
-    state = {**state, "version": cur, "rewritten": sorted(names)}
+    state = {**state, "version": cur, "rewritten": sorted(names),
+             "sha256": _digests(out_dir, fmt, shards)}
     with open(state_path, "w") as f:
         json.dump(state, f)
     return state

@@ -86,6 +86,23 @@ def test_emptied_shard_is_rewritten_empty(spark, tmp_path):
                                compression="zstd").read() == b""
 
 
+def test_verify_export_catches_divergence(spark, tmp_path):
+    from dataingestion_spark.sinks.corpus_export import verify_export
+
+    table = str(tmp_path / "t")
+    ms.write_table(_docs(spark, 0, 30), table)
+    out = str(tmp_path / "out")
+    export_corpus(spark, table, out, shards=4)
+    assert verify_export(out) == []
+    ms.append_table(_docs(spark, 30, 35), table)
+    st = export_corpus_incremental(spark, table, out)
+    assert verify_export(out) == []  # manifest re-stamped incrementally
+    victim = st["rewritten"][0]
+    with open(os.path.join(out, victim), "ab") as f:
+        f.write(b"\x00")  # out-of-band corruption
+    assert verify_export(out) == [victim]
+
+
 def test_guards(spark, tmp_path):
     table = str(tmp_path / "t")
     ms.write_table(_docs(spark, 0, 5), table)
