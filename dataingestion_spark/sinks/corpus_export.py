@@ -164,6 +164,44 @@ def verify_export(out_dir: str) -> List[str]:
                   if stamped.get(n) != fresh[n])
 
 
+def _load_state(out_dir: str) -> dict:
+    try:
+        with open(os.path.join(out_dir, _STATE)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{out_dir}: no {_STATE} — run export_corpus first")
+
+
+def _rewrite_shards(spark: SparkSession, table: str, out_dir: str,
+                    state: dict, affected: List[int], version: int,
+                    features: Optional[Dict[str, str]]) -> dict:
+    """Rewrite ``affected`` shard ids from the ``version`` snapshot and
+    re-stamp state. IDEMPOTENT: rewriting a shard always produces the
+    bytes a full export of that snapshot would — so a replayed
+    streaming batch or a crashed-and-retried incremental run converges
+    instead of corrupting."""
+    from . import manifest_store as ms
+
+    fmt, key, shards = state["fmt"], state["key"], int(state["shards"])
+    snap = ms.read_table(spark, table, version=version)
+    if state["columns"] is not None:
+        snap = snap.select(*state["columns"])
+    part = snap.filter(_shard_expr(key, shards).isin(list(affected)))
+    names = _write(part, fmt, out_dir, key, shards, features) \
+        if affected else []
+    for s in affected:  # emptied shards: rewrite as valid empty files
+        n = _shard_name(fmt, s, shards)
+        if n not in names:
+            _write_empty_shard(snap, fmt, out_dir, n, features)
+            names.append(n)
+    state = {**state, "version": version, "rewritten": sorted(names),
+             "sha256": _digests(out_dir, fmt, shards)}
+    with open(os.path.join(out_dir, _STATE), "w") as f:
+        json.dump(state, f)
+    return state
+
+
 def export_corpus_incremental(spark: SparkSession, table: str,
                               out_dir: str, *,
                               features: Optional[Dict[str, str]] = None
@@ -173,14 +211,8 @@ def export_corpus_incremental(spark: SparkSession, table: str,
     list) when the table hasn't moved."""
     from . import manifest_store as ms
 
-    state_path = os.path.join(out_dir, _STATE)
-    try:
-        with open(state_path) as f:
-            state = json.load(f)
-    except FileNotFoundError:
-        raise ValueError(
-            f"{out_dir}: no {_STATE} — run export_corpus first")
-    fmt, key, shards = state["fmt"], state["key"], int(state["shards"])
+    state = _load_state(out_dir)
+    key, shards = state["key"], int(state["shards"])
     since = int(state["version"])
     cur = ms.current_version(table)
     if cur is None or cur < since:
@@ -191,19 +223,49 @@ def export_corpus_incremental(spark: SparkSession, table: str,
     affected = sorted(
         r["_s"] for r in diff.select(
             _shard_expr(key, shards).alias("_s")).distinct().collect())
-    snap = ms.read_table(spark, table, version=cur)
-    if state["columns"] is not None:
-        snap = snap.select(*state["columns"])
-    part = snap.filter(_shard_expr(key, shards).isin(affected))
-    names = _write(part, fmt, out_dir, key, shards, features) \
-        if affected else []
-    for s in affected:  # emptied shards: rewrite as valid empty files
-        n = _shard_name(fmt, s, shards)
-        if n not in names:
-            _write_empty_shard(snap, fmt, out_dir, n, features)
-            names.append(n)
-    state = {**state, "version": cur, "rewritten": sorted(names),
-             "sha256": _digests(out_dir, fmt, shards)}
-    with open(state_path, "w") as f:
-        json.dump(state, f)
-    return state
+    return _rewrite_shards(spark, table, out_dir, state, affected, cur,
+                           features)
+
+
+def stream_export_corpus(spark: SparkSession, table: str, out_dir: str,
+                         checkpoint: str, *,
+                         features: Optional[Dict[str, str]] = None,
+                         max_commits_per_trigger: Optional[int] = None,
+                         available_now: bool = True):
+    """Continuously-fresh published corpus: tail the table's change
+    feed and rewrite affected shards per micro-batch.
+
+    The change stream (``streaming.table_source.stream_changes``) does
+    the exactly-once commit bookkeeping through its checkpoint; each
+    batch's changed keys map to shard ids and the rewrite reads the
+    CURRENT snapshot — so a batch replayed after a crash rewrites the
+    same shards to the same bytes (idempotent, see _rewrite_shards),
+    and a rewrite that observes commits newer than its batch is still
+    exactly a full export of that newer snapshot. ``available_now``
+    drains the backlog and stops (cron-style publish); False runs a
+    continuous query. Returns the StreamingQuery."""
+    from . import manifest_store as ms
+    from ..streaming.table_source import stream_changes
+
+    state = _load_state(out_dir)
+    key, shards = state["key"], int(state["shards"])
+    changes = stream_changes(
+        spark, table, starting_version=int(state["version"]) + 1,
+        max_commits_per_trigger=max_commits_per_trigger,
+        checkpoint=checkpoint)
+
+    def publish(batch_df, batch_id):
+        affected = sorted(
+            r["_s"] for r in batch_df.select(
+                _shard_expr(key, shards).alias("_s")).distinct().collect())
+        if not affected:
+            return
+        cur = ms.current_version(table)
+        _rewrite_shards(spark, table, out_dir, _load_state(out_dir),
+                        affected, cur, features)
+
+    writer = (changes.writeStream.foreachBatch(publish)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -115,3 +115,33 @@ def test_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="not in columns"):
         export_corpus(spark, table, str(tmp_path / "o3"),
                       columns=["v"], key="documentid")
+
+
+def test_stream_export_continuous_publish(spark, tmp_path):
+    """availableNow drain of the change feed rewrites affected shards;
+    the published directory is byte-identical to a full re-export after
+    every drain, and a second drain on the same checkpoint processes
+    only the commits that landed in between."""
+    from dataingestion_spark.sinks.corpus_export import stream_export_corpus
+
+    table = str(tmp_path / "t")
+    ms.write_table(_docs(spark, 0, 40), table)
+    out = str(tmp_path / "pub")
+    ckpt = str(tmp_path / "ckpt")
+    export_corpus(spark, table, out, shards=8)
+
+    ms.append_table(_docs(spark, 40, 50), table)
+    ms.delete_documents(spark, table, [str(i) for i in range(0, 40, 9)])
+    q = stream_export_corpus(spark, table, out, ckpt)
+    q.awaitTermination()
+    ref1 = str(tmp_path / "ref1")
+    export_corpus(spark, table, ref1, shards=8)
+    assert _dir_bytes(out) == _dir_bytes(ref1)
+
+    # more commits; same checkpoint -> only the new ones drive rewrites
+    ms.merge_table(_docs(spark, 45, 48, bump=3), table)
+    q2 = stream_export_corpus(spark, table, out, ckpt)
+    q2.awaitTermination()
+    ref2 = str(tmp_path / "ref2")
+    export_corpus(spark, table, ref2, shards=8)
+    assert _dir_bytes(out) == _dir_bytes(ref2)
