@@ -134,15 +134,19 @@ def export_corpus(spark: SparkSession, table: str, out_dir: str, *,
     return state
 
 
-def _digests(out_dir: str, fmt: str, shards: int) -> Dict[str, str]:
+def _digests(out_dir: str, fmt: str, shards: int,
+             only: Optional[List[str]] = None) -> Dict[str, str]:
     """sha256 per shard — deterministic bytes make the export
     CONTENT-ADDRESSABLE, so the manifest doubles as an integrity
-    contract a consumer (or `verify_export`) can check offline."""
+    contract a consumer (or `verify_export`) can check offline.
+    ``only`` restricts hashing to the named shards (the incremental
+    path re-hashes O(changed), never O(corpus))."""
     import hashlib
 
+    names = only if only is not None else [
+        _shard_name(fmt, s, shards) for s in range(shards)]
     out = {}
-    for s in range(shards):
-        n = _shard_name(fmt, s, shards)
+    for n in names:
         h = hashlib.sha256()
         with open(os.path.join(out_dir, n), "rb") as f:
             for chunk in iter(lambda: f.read(1 << 20), b""):
@@ -196,7 +200,8 @@ def _rewrite_shards(spark: SparkSession, table: str, out_dir: str,
             _write_empty_shard(snap, fmt, out_dir, n, features)
             names.append(n)
     state = {**state, "version": version, "rewritten": sorted(names),
-             "sha256": _digests(out_dir, fmt, shards)}
+             "sha256": {**(state.get("sha256") or {}),
+                        **_digests(out_dir, fmt, shards, only=names)}}
     with open(os.path.join(out_dir, _STATE), "w") as f:
         json.dump(state, f)
     return state
