@@ -115,8 +115,15 @@ def write_arrow_ipc(df: DataFrame, out_dir: str, shards: int = 4,
     if compression not in (None, "zstd", "lz4"):
         raise ValueError(f"unsupported compression {compression!r} "
                          "(None, 'zstd' or 'lz4')")
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     key = order_by or df.columns[0]
     cols = df.columns
+    # the file schema is PINNED from the Spark schema — from_pandas
+    # inference would type an all-null column as null() and an
+    # int-with-NaN column as float64, making shard schemas diverge by
+    # CONTENT and fail the reader's per-file type check
+    arrow_schema = to_arrow_schema(df.select(*cols).schema)
     os.makedirs(out_dir, exist_ok=True)
     sel = df.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col(key).cast("string")),
@@ -132,7 +139,8 @@ def write_arrow_ipc(df: DataFrame, out_dir: str, shards: int = 4,
         pdf = pdf.sort_values(key, kind="mergesort")
         name = f"{prefix}-{shard:05d}-of-{shards:05d}.arrow"
         tmp = os.path.join(out_dir, f".{name}.tmp")
-        tbl = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+        tbl = pa.Table.from_pandas(pdf[cols], schema=arrow_schema,
+                                   preserve_index=False)
         opts = pa.ipc.IpcWriteOptions(
             compression=compression) if compression else None
         with pa.OSFile(tmp, "wb") as sink:

@@ -92,3 +92,31 @@ def test_batch_rows_controls_ipc_granularity(spark, tmp_path):
     assert reader.num_record_batches == 10
     assert sum(reader.get_batch(i).num_rows
                for i in range(reader.num_record_batches)) == 1000
+
+
+def test_adversarial_content_roundtrip(spark, tmp_path):
+    """Nulls, empty strings, unicode, newlines, binary, arrays — the
+    cells that break interchange layers — survive the IPC round trip."""
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, "a\nb", bytearray(b"\x00\xff"), [1, 2], 1.5),
+        (2, None, None, None, None),
+        (3, "é中\U0001f600", bytearray(b""), [], 0.0),
+        (4, "", bytearray(b"x"), [7], float("inf")),
+    ]
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("b", T.BinaryType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+        T.StructField("f", T.DoubleType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "adv")
+    write_arrow_ipc(df, out, shards=2, order_by="k")
+    back = read_arrow_ipc(spark, out)
+    norm = lambda r: (r[0], r[1], bytes(r[2]) if r[2] is not None else None,
+                      tuple(r[3]) if r[3] is not None else None, r[4])
+    assert {norm(r) for r in back.collect()} == \
+        {norm(r) for r in df.collect()}

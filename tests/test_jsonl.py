@@ -131,3 +131,30 @@ def test_stream_jsonl_tails_a_landing_dir(spark, tmp_path):
     assert n_new2 == 1  # exactly the late shard, nothing replayed
     assert got2.filter(F.col("doc_id") == 999000001).count() == 1
     assert got2.count() == docs.count() + 1
+
+
+def test_zst_roundtrip_property(spark, tmp_path):
+    """Adversarial content survives the zst pipeline: newlines inside
+    text (JSON-escaped), quotes/backslashes, unicode, empty strings,
+    and NULL cells."""
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, "line one\nline two\nthree", "en"),
+        (2, 'quote " backslash \\ tab\t', "de"),
+        (3, "unicode: é中文 \U0001f600 ​", "zh"),
+        (4, "", "fr"),
+        (5, None, None),
+        (6, "   leading/trailing   ", "en"),
+        (7, "{}[]:,\"'", "en"),
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "adv")
+    jsonl.write_jsonl_zst(df, out, shards=2, order_by="doc_id")
+    back = jsonl.read_jsonl_zst(spark, out, schema=schema)
+    assert {tuple(r) for r in back.collect()} == set(rows)
