@@ -110,7 +110,9 @@ def main():
 
     table = os.path.join(tmp, "lakehouse_t")
     pub = os.path.join(tmp, "published")
-    ms.write_table(docs.withColumnRenamed("doc_id", "documentid"), table)
+    ms.write_table(
+        docs.select(F.col("doc_id").cast("string").alias("documentid"),
+                    "text", "lang", "source", "n_chars"), table)
     export_corpus(spark, table, pub, fmt="jsonl_zst", shards=16,
                   key="documentid")
     ms.delete_documents(spark, table,
