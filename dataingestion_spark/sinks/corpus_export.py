@@ -242,14 +242,20 @@ def stream_export_corpus(spark: SparkSession, table: str, out_dir: str,
 
     The change stream (``streaming.table_source.stream_changes``) does
     the exactly-once commit bookkeeping through its checkpoint; each
-    batch's changed keys map to shard ids and the rewrite reads the
-    CURRENT snapshot — so a batch replayed after a crash rewrites the
-    same shards to the same bytes (idempotent, see _rewrite_shards),
-    and a rewrite that observes commits newer than its batch is still
-    exactly a full export of that newer snapshot. ``available_now``
-    drains the backlog and stops (cron-style publish); False runs a
+    batch's changed keys map to shard ids, and BOTH the rewrite
+    snapshot and the state stamp anchor on the batch's own
+    ``max(_commit_version)`` — never on ``current_version``, which may
+    include commits the stream has not delivered (landed after an
+    availableNow end-capture): stamping those would make a later
+    ``export_corpus_incremental`` diff skip them, leaving their shards
+    stale forever. With the batch anchor, the published directory
+    always equals a full export of the STAMPED version (the engine is
+    strictly sequential, so every commit ≤ the batch max is delivered
+    by the time the batch runs), a replayed batch rewrites the same
+    shards to the same bytes (idempotent, see _rewrite_shards), and
+    newer commits are the next batch's job. ``available_now`` drains
+    the backlog and stops (cron-style publish); False runs a
     continuous query. Returns the StreamingQuery."""
-    from . import manifest_store as ms
     from ..streaming.table_source import stream_changes
 
     state = _load_state(out_dir)
@@ -260,14 +266,16 @@ def stream_export_corpus(spark: SparkSession, table: str, out_dir: str,
         checkpoint=checkpoint)
 
     def publish(batch_df, batch_id):
-        affected = sorted(
-            r["_s"] for r in batch_df.select(
-                _shard_expr(key, shards).alias("_s")).distinct().collect())
-        if not affected:
+        agg = batch_df.select(
+            _shard_expr(key, shards).alias("_s"),
+            F.col("_commit_version").alias("_v"))
+        rows = agg.groupBy("_s").agg(F.max("_v").alias("_v")).collect()
+        if not rows:
             return
-        cur = ms.current_version(table)
+        affected = sorted(r["_s"] for r in rows)
+        batch_max = max(r["_v"] for r in rows)
         _rewrite_shards(spark, table, out_dir, _load_state(out_dir),
-                        affected, cur, features)
+                        affected, int(batch_max), features)
 
     writer = (changes.writeStream.foreachBatch(publish)
               .option("checkpointLocation", checkpoint))

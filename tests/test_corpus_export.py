@@ -145,3 +145,39 @@ def test_stream_export_continuous_publish(spark, tmp_path):
     ref2 = str(tmp_path / "ref2")
     export_corpus(spark, table, ref2, shards=8)
     assert _dir_bytes(out) == _dir_bytes(ref2)
+
+
+def test_publish_stamp_anchors_on_delivered_not_head(spark, tmp_path):
+    """The streaming publisher stamps the batch's own max commit
+    version, NOT current_version: if a commit lands after the stream's
+    end-capture but before the rewrite, stamping head would make the
+    next incremental diff skip it — its shard stale forever. Simulated
+    deterministically by rewriting with a batch_max one commit behind
+    head (exactly what publish() does for an undelivered trailing
+    commit), then requiring the follow-up incremental to pick that
+    commit up."""
+    from dataingestion_spark.sinks.corpus_export import (
+        _load_state, _rewrite_shards, _shard_expr,
+    )
+
+    table = str(tmp_path / "t")
+    v0 = ms.write_table(_docs(spark, 0, 40), table)
+    out = str(tmp_path / "pub")
+    export_corpus(spark, table, out, shards=8)
+
+    v1 = ms.merge_table(_docs(spark, 3, 4, bump=5), table)   # delivered
+    v2 = ms.merge_table(_docs(spark, 9, 10, bump=9), table)  # NOT yet
+    assert v2 > v1 > v0
+    aff1 = sorted(r["_s"] for r in _docs(spark, 3, 4).select(
+        _shard_expr("documentid", 8).alias("_s")).distinct().collect())
+    # what publish() does for a batch that delivered only v1
+    _rewrite_shards(spark, table, out, _load_state(out), aff1, v1, None)
+    assert int(_load_state(out)["version"]) == v1  # not head (v2)
+
+    # the undelivered commit is NOT lost: the next incremental rewrites
+    # its shard and the directory equals a full export of head
+    st = export_corpus_incremental(spark, table, out)
+    assert st["version"] == v2 and st["rewritten"]
+    ref = str(tmp_path / "ref")
+    export_corpus(spark, table, ref, shards=8)
+    assert _dir_bytes(out) == _dir_bytes(ref)
