@@ -8435,16 +8435,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness gate oracles the FIRST 50
     # entries.  r10 rotation (the r9 verdict's #1/#5 asks): first 50 = the
-    # 50 LEAST-RECENTLY-verified queries — io_tfrecord_roundtrip (the only
-    # entry never driver-sampled, new in r9) first, then the r1-green dedup
-    # and text-analysis block, the r2/r3-green relational/events block, and
-    # the start of the r4 reader/chunker/multimodal block.  Entries 51+
+    # LEAST-RECENTLY-verified queries — the four queries NEW this round
+    # (zstd-JSONL, Arrow IPC, streaming JSONL ingest, incremental corpus
+    # publish; standing policy: new queries enter the current sample
+    # head), then io_tfrecord_roundtrip (the only r9 entry never
+    # driver-sampled), the r1-green dedup and text-analysis block, the
+    # r2/r3-green relational/events block, and the start of the r4
+    # reader/chunker/multimodal block.  All 50 verified green against the
+    # sf0.01 DuckDB replica before landing.  Entries 51+
     # continue in stalest-first order (the rest of r4, then r7, r8, with
     # the r9-green block — freshest external confirmation — at the very
     # end), so future rotations are a simple prefix shift.  Standing
     # policy: any new query enters the next round's first-50.
     return {
-        # --- r10 sample 1-2: new this round / never driver-sampled ---
+        # --- r10 sample 1-5: new this round + never driver-sampled ---
         "io_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
         "io_arrow_roundtrip": q_arrow_ipc_roundtrip,
         "streaming_jsonl_ingest": q_streaming_jsonl_ingest,

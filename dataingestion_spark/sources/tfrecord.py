@@ -50,9 +50,11 @@ FEATURE_KINDS = ("bytes", "int64", "float",
 # the same known-answer + hypothesis-equivalence tests:
 #   1. native `crc32c` wheel when importable (not in this image; common in
 #      real deployments — hardware CRC32C instruction, ~GB/s)
-#   2. numpy GF(2)-vectorized for buffers >= 256 B (the common case:
-#      record payloads) — see the derivation above _crc32c_numpy
-#   3. slicing-by-16 scalar python for small buffers (8-byte headers)
+#   2. numpy GF(2)-vectorized for buffers >= 4 KB (the measured
+#      crossover) — see the derivation above _crc32c_numpy; shards
+#      verify/frame through the batched _crc32c_many regardless of
+#      record size, which is where the real throughput lives
+#   3. slicing-by-16 scalar python below that (headers, small payloads)
 # This was the slowest per-byte path in the repo (every read AND written
 # byte passes through it with verify_crc on by default).
 # ---------------------------------------------------------------------------
