@@ -266,8 +266,19 @@ class _TableStreamReader(DataSourceStreamReader):
         if s != self._SNAPSHOT_PENDING:
             prev = getattr(self, "_pos", None)
             self._pos = s if prev is None else max(prev, s)
-            fl = getattr(self, "_floor", None)
-            self._floor = s if fl is None else max(fl, s)
+            if s != e:
+                # the delivery floor rises only on a REAL batch plan: a
+                # batch's start equals the previous batch's end, which
+                # the sequential engine has finalized — that is delivery
+                # evidence.  An EQUAL-endpoint call is the availableNow
+                # end-capture PROBE (observed as partitions(x, x) before
+                # a WAL replay on restart, with x = the logged but
+                # UNCOMMITTED batch end): folding ITS start in treated
+                # an undelivered offset as delivered and silently
+                # suppressed the legitimate batch-0 replay after a sink
+                # failure — real data loss (r10 crash-restart test).
+                fl = getattr(self, "_floor", None)
+                self._floor = s if fl is None else max(fl, s)
         if e >= 0:
             prev = getattr(self, "_pos", None)
             self._pos = e if prev is None else max(prev, e)
@@ -548,19 +559,25 @@ class _ChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
-        # fold START into the pacing position and the delivery floor —
-        # same restart-rewind defense as _TableStreamReader.partitions:
-        # after a checkpoint restart the first latestOffset may return a
-        # stale paced offset (constructor seed) below the committed
-        # position; start is an engine-committed fact.
+        # fold START into the pacing position and — for REAL batch plans
+        # only — the delivery floor. Same restart-rewind defense as
+        # _TableStreamReader.partitions: a batch's start equals the
+        # previous batch's end, which the sequential engine finalized,
+        # so it is delivery evidence. An EQUAL-endpoint call is the
+        # availableNow end-capture PROBE (partitions(x, x) issued before
+        # a WAL replay on restart, x = the logged-but-UNCOMMITTED batch
+        # end); treating its start as delivered suppressed the
+        # legitimate batch-0 replay after a sink failure — real data
+        # loss, caught by the r10 crash-restart publish test.
         self._pos = max(getattr(self, "_pos", -1), s, e)
-        fl = getattr(self, "_floor", None)
-        self._floor = s if fl is None else max(fl, s)
+        if s != e:
+            fl = getattr(self, "_floor", None)
+            self._floor = s if fl is None else max(fl, s)
         # emit only commits above the highest start ever seen: the engine
         # is strictly sequential, so those were already delivered — a
         # rewound range (restart + pace seed) must not replay them as
         # fresh change rows
-        lo = max(s, self._floor)
+        lo = max(s, getattr(self, "_floor", s))
         parts = []
         for v in range(lo + 1, e + 1):
             parts.extend(self._commit_changes(v))

@@ -523,6 +523,15 @@ def test_reader_engine_model_exactly_once_under_restarts(spark, tmp_path, seed):
             # full restart: fresh reader reconstructed from options; an
             # uncommitted trailing log entry is WAL-replayed first
             reader = fresh_reader()
+            if rng.random() < 0.5:
+                # the availableNow end-capture PROBE the real engine
+                # issues before the WAL replay: partitions(x, x) with
+                # x = the logged (possibly uncommitted) end. It plans
+                # nothing and must not count as delivery evidence —
+                # before the r10 fix it raised the floor to the
+                # UNDELIVERED offset and silently swallowed the replay
+                # (real data loss, reproduced with the live engine).
+                assert reader.partitions(log[-1], log[-1]) == []
             if committed_through < len(log) - 1:
                 s, e = log[-2], log[-1]
                 parts = reader.partitions(s, e)

@@ -181,3 +181,43 @@ def test_publish_stamp_anchors_on_delivered_not_head(spark, tmp_path):
     ref = str(tmp_path / "ref")
     export_corpus(spark, table, ref, shards=8)
     assert _dir_bytes(out) == _dir_bytes(ref)
+
+
+def test_stream_export_survives_publish_crash_and_restart(spark, tmp_path):
+    """The idempotence claim under a REAL engine restart: the first
+    publish attempt crashes after the batch is planned; restarting on
+    the same checkpoint replays the batch, the rewrite converges, and
+    the directory equals a full export with nothing lost or stale."""
+    import dataingestion_spark.sinks.corpus_export as ce
+
+    table = str(tmp_path / "t")
+    ms.write_table(_docs(spark, 0, 40), table)
+    out = str(tmp_path / "pub")
+    ckpt = str(tmp_path / "ckpt")
+    export_corpus(spark, table, out, shards=8)
+    ms.append_table(_docs(spark, 40, 46), table)
+    ms.delete_documents(spark, table, ["1", "2"])
+
+    real_rewrite = ce._rewrite_shards
+    crashed = {"n": 0}
+
+    def crash_once(*a, **kw):
+        if crashed["n"] == 0:
+            crashed["n"] += 1
+            raise RuntimeError("injected publish crash")
+        return real_rewrite(*a, **kw)
+
+    ce._rewrite_shards = crash_once
+    try:
+        q = ce.stream_export_corpus(spark, table, out, ckpt)
+        with pytest.raises(Exception, match="injected publish crash"):
+            q.awaitTermination()
+        # restart on the same checkpoint: the failed batch replays
+        q2 = ce.stream_export_corpus(spark, table, out, ckpt)
+        q2.awaitTermination()
+    finally:
+        ce._rewrite_shards = real_rewrite
+    assert crashed["n"] == 1  # the crash really happened, once
+    ref = str(tmp_path / "ref")
+    export_corpus(spark, table, ref, shards=8)
+    assert _dir_bytes(out) == _dir_bytes(ref)
