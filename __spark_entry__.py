@@ -8234,6 +8234,68 @@ FROM documents
 """
 
 
+def q_io_avro_roundtrip(spark, sf):
+    """Avro container interchange (sources/avro.py): documents →
+    deterministic hash-sharded .avro files (hand-coded Avro 1.12 wire
+    format — zigzag varints, block framing with sync markers, deflate
+    codec; the spark-avro connector is absent from this image) →
+    read-back with schema from the first file's header and per-file
+    field checks. Lossless for string/int columns, so the read-back
+    equals the parquet original exactly. Beyond the reference
+    (training-corpus interchange surface, like JSONL/TFRecord/Arrow).
+    Also the codec Iceberg manifests ride (interop/iceberg.py)."""
+    import tempfile
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="avro_io_") + "/shards"
+    write_avro(docs, out, shards=4, order_by="doc_id", codec="deflate")
+    return read_avro(spark, out).select(
+        "doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_iceberg_roundtrip(spark, sf):
+    """Iceberg v2 export + read-back (interop/iceberg.py): documents →
+    manifest-store table → export_iceberg (schema with field-ids,
+    Avro manifest + manifest list carrying per-file record counts and
+    field-id-keyed bounds, metadata JSON + version hint) →
+    read_iceberg (manifest-list walk) → per-lang aggregate. The oracle
+    computes the same aggregate from the parquet source, so a file
+    lost or duplicated anywhere in the manifest chain goes red.
+    Beyond the reference (open-table-format interchange, the Iceberg
+    counterpart of the Delta export family)."""
+    import tempfile
+
+    from dataingestion_spark.interop.iceberg import (
+        export_iceberg, read_iceberg,
+    )
+    from dataingestion_spark.sinks.manifest_store import write_table
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "text", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    td = tempfile.mkdtemp(prefix="iceberg_io_")
+    write_table(docs, td + "/t")
+    export_iceberg(spark, td + "/t", td + "/ice", mode="copy")
+    back = read_iceberg(spark, td + "/ice")
+    return (back.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.min("documentid").alias("min_doc"),
+                 F.max("documentid").alias("max_doc")))
+
+
+ORACLE_ICEBERG_ROUNDTRIP = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(CAST(doc_id AS VARCHAR)) AS min_doc,
+       MAX(CAST(doc_id AS VARCHAR)) AS max_doc
+FROM documents GROUP BY lang
+"""
+
+
 def q_bm25_indexed(spark, sf):
     """BM25 over a PERSISTED inverted index (sinks/text_index.py): build
     postings partitioned by term-hash bucket from most documents, append
@@ -8448,7 +8510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # end), so future rotations are a simple prefix shift.  Standing
     # policy: any new query enters the next round's first-50.
     return {
-        # --- r10 sample 1-5: new this round + never driver-sampled ---
+        # --- r10 sample 1-7: new this round + never driver-sampled ---
+        "io_avro_roundtrip": q_io_avro_roundtrip,
+        "lakehouse_iceberg_roundtrip": q_iceberg_roundtrip,
         "io_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
         "io_arrow_roundtrip": q_arrow_ipc_roundtrip,
         "streaming_jsonl_ingest": q_streaming_jsonl_ingest,
@@ -8844,6 +8908,8 @@ def oracle_sql() -> dict[str, str]:
         "reader_xls_legacy_elements": _oracle_xls_legacy(),
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
+        "io_avro_roundtrip": ORACLE_JSONL,
+        "lakehouse_iceberg_roundtrip": ORACLE_ICEBERG_ROUNDTRIP,
         "io_jsonl_zst_roundtrip": ORACLE_JSONL,
         "io_arrow_roundtrip": ORACLE_JSONL,
         "streaming_jsonl_ingest": ORACLE_JSONL,

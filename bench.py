@@ -96,6 +96,8 @@ def main():
         "tfrecord_io": em.q_io_tfrecord_roundtrip,
         "jsonl_zst_io": em.q_jsonl_zst_roundtrip,
         "arrow_ipc_io": em.q_arrow_ipc_roundtrip,
+        "avro_io": em.q_io_avro_roundtrip,
+        "iceberg_roundtrip": em.q_iceberg_roundtrip,
         "bpe_train": em.q_bpe_train_merges,
         "gapfill_locf": em.q_events_gapfill,
         "funnel": em.q_events_funnel,

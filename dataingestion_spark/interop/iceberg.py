@@ -1,0 +1,780 @@
+"""Apache Iceberg table-format interop: export manifest tables, read
+Iceberg tables.
+
+Implemented against the PUBLIC Iceberg table spec
+(iceberg.apache.org/spec, format-version 2): a table is a directory of
+parquet data files plus a ``metadata/`` tree — ``vN.metadata.json``
+(schemas with field-ids, partition specs, snapshots),
+``version-hint.text`` (filesystem-catalog current pointer), a
+*manifest list* per snapshot and *manifest files*, both Avro, the
+manifest rows carrying per-file record counts and per-column
+lower/upper bounds keyed by field-id (the stats conformant engines
+data-skip on). The Avro layer is this repo's own codec
+(`sources/avro.py`), which preserves the spec's ``field-id`` schema
+attributes and the array-as-map encoding Iceberg uses for non-string
+map keys.
+
+* :func:`export_iceberg` — publish a manifest-store table
+  (:mod:`..sinks.manifest_store`) as an Iceberg v2 table readable by any
+  Iceberg engine (Spark+iceberg-runtime, Trino, DuckDB iceberg,
+  pyiceberg, …). One snapshot: schema with fresh field-ids, an
+  unpartitioned spec, one manifest of ADDED entries whose
+  ``record_count`` and ``lower_bounds``/``upper_bounds`` are translated
+  from the manifest store's per-file stats (single-value binary
+  serialization per spec Appendix D), a manifest list, table metadata
+  JSON and a version hint. Live equality DVs are materialized first via
+  ``compact`` — same contract as the Delta exporter
+  (`interop/delta.py`).
+
+* :func:`read_iceberg` — a minimal Iceberg READER: resolves the current
+  metadata file, walks manifest-list → manifests, keeps live entries
+  (status ≠ DELETED), restores identity-partition values when the data
+  files themselves lack the column (one parquet-footer probe per
+  partition group, the Hive-migration case), and returns a DataFrame.
+  ``where=`` prunes files against the manifests' bounds BEFORE any scan
+  — O(live files) driver-side metadata, zero data IO for pruned files.
+  Tables needing features this module does not implement (delete files,
+  non-parquet data) raise with the feature named rather than returning
+  wrong rows.
+
+Columns are resolved BY NAME between the Iceberg schema and the parquet
+files — correct for this exporter's output and for tables never renamed;
+a foreign table whose current schema renamed a column after data was
+written needs field-id resolution, which is rejected loudly when
+detectable (a schema column name absent from both the file footer and
+the identity-partition tuple).
+
+Scale: export is O(live files) driver-side metadata plus (in ``copy``
+mode) a byte copy per file through the table's DataBackend; ``shallow``
+mode references the manifest table's files in place (valid while the
+source's files live — the same trade as a Delta shallow export).
+Reading scans only live, bounds-surviving files.
+
+The reference system has no table-format story (its sinks push to
+vector stores, ``VectorStoreWriter.cs``); this is beyond-reference
+surface alongside the Delta interop: a 100 TB corpus curated here
+should be consumable by any engine without a rewrite — and Iceberg is
+the other open format those engines speak.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+import uuid
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.avro import (
+    decode_blocks, read_container, write_container,
+)
+
+__all__ = ["export_iceberg", "read_iceberg",
+           "iceberg_schema_from_spark", "spark_schema_from_iceberg"]
+
+
+# ---------------------------------------------------------------------------
+# schema translation (Iceberg JSON schema <-> Spark), fresh field-ids
+
+def iceberg_schema_from_spark(schema: T.StructType) -> Dict:
+    """Spark StructType -> Iceberg schema JSON with fresh field-ids.
+
+    Ids are assigned the way Iceberg's fresh-id visitor does: top-level
+    fields first (1..n), then nested structure ids in field order."""
+    counter = [0]
+
+    def nxt() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def convert_struct(st: T.StructType) -> Dict:
+        fields = []
+        pending: List[Tuple[Dict, T.DataType]] = []
+        for f in st.fields:
+            fid = nxt()
+            node = {"id": fid, "name": f.name, "required": not f.nullable}
+            fields.append(node)
+            pending.append((node, f.dataType))
+        for node, dt in pending:
+            node["type"] = convert_type(dt)
+        return {"type": "struct", "fields": fields}
+
+    def convert_type(dt: T.DataType) -> Any:
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return "int"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "binary"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.DateType):
+            return "date"
+        if isinstance(dt, T.TimestampType):
+            return "timestamptz"  # session tz is pinned UTC repo-wide
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        if isinstance(dt, T.ArrayType):
+            eid = nxt()
+            return {"type": "list", "element-id": eid,
+                    "element": convert_type(dt.elementType),
+                    "element-required": not dt.containsNull}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError(
+                    f"Iceberg export maps non-string keys to map keys "
+                    f"fine, but this exporter supports string keys only "
+                    f"(got {dt.keyType})")
+            kid, vid = nxt(), nxt()
+            return {"type": "map", "key-id": kid, "key": "string",
+                    "value-id": vid, "value": convert_type(dt.valueType),
+                    "value-required": not dt.valueContainsNull}
+        if isinstance(dt, T.StructType):
+            return convert_struct(dt)
+        raise ValueError(f"no Iceberg mapping for Spark type {dt}")
+
+    out = convert_struct(schema)
+    out["schema-id"] = 0
+    out["identifier-field-ids"] = []
+    return out
+
+
+_DECIMAL_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+_FIXED_RE = re.compile(r"fixed\[\s*(\d+)\s*\]")
+
+
+def spark_schema_from_iceberg(schema_js: Dict) -> T.StructType:
+    def convert_type(t: Any, path: str) -> T.DataType:
+        if isinstance(t, str):
+            prim = {"long": T.LongType(), "int": T.IntegerType(),
+                    "double": T.DoubleType(), "float": T.FloatType(),
+                    "string": T.StringType(), "binary": T.BinaryType(),
+                    "boolean": T.BooleanType(), "date": T.DateType(),
+                    "timestamp": T.TimestampType(),
+                    "timestamptz": T.TimestampType()}
+            if t in prim:
+                return prim[t]
+            m = _DECIMAL_RE.fullmatch(t)
+            if m:
+                return T.DecimalType(int(m.group(1)), int(m.group(2)))
+            if _FIXED_RE.fullmatch(t):
+                return T.BinaryType()
+            raise ValueError(
+                f"{path}: Iceberg type {t!r} not supported by this reader "
+                "(time/uuid/timestamp_ns need representations Spark's "
+                "parquet reader does not surface by name)")
+        kind = t.get("type")
+        if kind == "struct":
+            return T.StructType([
+                T.StructField(f["name"],
+                              convert_type(f["type"], f"{path}.{f['name']}"),
+                              not f.get("required", False))
+                for f in t["fields"]])
+        if kind == "list":
+            return T.ArrayType(convert_type(t["element"], path + "[]"),
+                               not t.get("element-required", False))
+        if kind == "map":
+            return T.MapType(convert_type(t["key"], path + ".key"),
+                             convert_type(t["value"], path + ".value"),
+                             not t.get("value-required", False))
+        raise ValueError(f"{path}: unsupported Iceberg type node {t!r}")
+
+    st = convert_type(schema_js, "$")
+    if not isinstance(st, T.StructType):
+        raise ValueError("Iceberg schema root must be a struct")
+    return st
+
+
+# ---------------------------------------------------------------------------
+# single-value serialization (spec Appendix D) for bounds
+
+def _bound_bytes(dt: T.DataType, v: Any) -> Optional[bytes]:
+    try:
+        if isinstance(dt, T.LongType):
+            return struct.pack("<q", int(v))
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return struct.pack("<i", int(v))
+        if isinstance(dt, T.DoubleType):
+            return struct.pack("<d", float(v))
+        if isinstance(dt, T.FloatType):
+            return struct.pack("<f", float(v))
+        if isinstance(dt, T.StringType):
+            return str(v).encode("utf-8")
+        if isinstance(dt, T.BooleanType):
+            return b"\x01" if v else b"\x00"
+        if isinstance(dt, T.DateType):
+            import datetime
+            if isinstance(v, str):
+                v = datetime.date.fromisoformat(v)
+            return struct.pack("<i", v.toordinal() - 719163)
+        if isinstance(dt, T.TimestampType):
+            import pandas as pd
+            return struct.pack("<q", pd.Timestamp(v).value // 1000)
+    except (TypeError, ValueError, struct.error):
+        return None
+    return None
+
+
+def _bound_value(dt: T.DataType, b: bytes) -> Any:
+    """Inverse of :func:`_bound_bytes`; None when not decodable."""
+    try:
+        if isinstance(dt, T.LongType):
+            return struct.unpack("<q", b)[0]
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return struct.unpack("<i", b)[0]
+        if isinstance(dt, T.DoubleType):
+            return struct.unpack("<d", b)[0]
+        if isinstance(dt, T.FloatType):
+            return struct.unpack("<f", b)[0]
+        if isinstance(dt, T.StringType):
+            return b.decode("utf-8", errors="replace")
+        if isinstance(dt, T.BooleanType):
+            return b == b"\x01"
+        if isinstance(dt, T.DateType):
+            import datetime
+            return datetime.date.fromordinal(
+                719163 + struct.unpack("<i", b)[0])
+        if isinstance(dt, T.TimestampType):
+            import pandas as pd
+            return pd.Timestamp(struct.unpack("<q", b)[0] * 1000)
+    except (struct.error, ValueError):
+        return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Avro schemas for manifest files / manifest lists (spec field-ids)
+
+def _kv_map_schema(map_id: int, key_id: int, val_id: int,
+                   key_type: str, val_type: str) -> Dict:
+    """Iceberg's array-as-map representation for non-string keys."""
+    return {"type": "array", "logicalType": "map",
+            "items": {"type": "record",
+                      "name": f"k{key_id}_v{val_id}",
+                      "fields": [
+                          {"name": "key", "type": key_type,
+                           "field-id": key_id},
+                          {"name": "value", "type": val_type,
+                           "field-id": val_id}]}}
+
+
+def _manifest_entry_schema() -> Dict:
+    data_file = {"type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition",
+         "type": {"type": "record", "name": "r102", "fields": []},
+         "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "lower_bounds",
+         "type": ["null", _kv_map_schema(125, 126, 127, "int", "bytes")],
+         "default": None, "field-id": 125},
+        {"name": "upper_bounds",
+         "type": ["null", _kv_map_schema(128, 129, 130, "int", "bytes")],
+         "default": None, "field-id": 128},
+    ]}
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+         "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "type": data_file, "field-id": 2},
+    ]}
+
+
+def _manifest_list_schema() -> Dict:
+    return {"type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ]}
+
+
+# ---------------------------------------------------------------------------
+# export
+
+def export_iceberg(spark: SparkSession, table: str, dst: str, *,
+                   mode: str = "copy", version: Optional[int] = None,
+                   apply_deletes: bool = True) -> str:
+    """Publish a manifest table as an Iceberg v2 table at ``dst``.
+
+    ``mode="copy"`` copies live data files under ``dst/data/`` (the
+    export is self-contained); ``mode="shallow"`` references the
+    manifest table's files in place — zero bytes moved, valid while the
+    source's files live. Live equality DVs are materialized first
+    (``apply_deletes=True`` compacts only DV-carrying buckets);
+    ``version`` exports a DV-free historical snapshot. File paths in
+    manifests are absolute ``file://`` URIs per the spec ("full URI
+    with FS scheme"). Returns ``dst``; raises if ``dst`` already holds
+    Iceberg metadata (continuous mirroring stays the Delta mirror's
+    job)."""
+    import hashlib
+    import time as _time
+
+    from ..sinks import manifest_store as ms
+    from ..sinks.data_backend import data_backend_for
+
+    if mode not in ("copy", "shallow"):
+        raise ValueError(f"mode must be 'copy' or 'shallow', got {mode!r}")
+    manifest = ms.read_manifest(table, version)
+    meta = ms._manifest_meta(manifest)
+    has_dvs = any(meta["deletes"].get(b) for b in manifest["buckets"]
+                  if manifest["buckets"].get(b))
+    if has_dvs:
+        if not apply_deletes or version is not None:
+            raise ValueError(
+                "table carries live deletion vectors, which have no "
+                "Iceberg data-file representation in this exporter; run "
+                "compact() first or export the current version with "
+                "apply_deletes=True")
+        ms.compact(spark, table, max_files_per_bucket=10 ** 9)
+        manifest = ms.read_manifest(table)
+        meta = ms._manifest_meta(manifest)
+
+    spark_schema = T.StructType.fromJson(
+        {"type": "struct", "fields": meta["schema"]})
+    if meta.get("colmap"):
+        raise ValueError(
+            "table uses column mapping (renamed/dropped columns); its "
+            "files carry physical names Iceberg readers would resolve by "
+            "field-id — export a compacted copy without column mapping")
+    ice_schema = iceberg_schema_from_spark(spark_schema)
+    name_to_field = {f["name"]: f for f in ice_schema["fields"]}
+    spark_types = {f.name: f.dataType for f in spark_schema.fields}
+
+    src_be = data_backend_for(table)
+    dst_be = data_backend_for(dst)
+    dst = dst.rstrip("/")
+    meta_dir = f"{dst}/metadata"
+    if dst_be.read_bytes(f"{meta_dir}/version-hint.text") is not None:
+        raise FileExistsError(f"{dst} already holds Iceberg metadata")
+    dst_be.ensure_dir(dst)
+    dst_be.ensure_dir(meta_dir)
+    if mode == "copy":
+        dst_be.ensure_dir(f"{dst}/data")
+
+    now_ms = int(_time.time() * 1000)
+    snap_seed = f"{table}:{version if version is not None else 'head'}"
+    snapshot_id = int.from_bytes(
+        hashlib.sha256(snap_seed.encode()).digest()[:8], "big") >> 1
+    run_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, snap_seed))
+
+    def as_uri(p: str) -> str:
+        if "://" in p:
+            return p
+        return "file://" + os.path.abspath(p)
+
+    entries: List[Dict] = []
+    total_rows = 0
+    for bucket in sorted(manifest["buckets"], key=int):
+        for name in manifest["buckets"][bucket]:
+            src_path = (meta["ext"].get(name)
+                        or ms._join(table, "files", name))
+            if mode == "copy":
+                data = src_be.read_bytes(src_path)
+                if data is None:
+                    raise FileNotFoundError(src_path)
+                dst_be.write_bytes(f"{dst}/data/{name}", data)
+                fpath, fsize = as_uri(f"{dst}/data/{name}"), len(data)
+            else:
+                fpath = as_uri(src_path)
+                try:
+                    fsize = os.path.getsize(src_path)
+                except OSError:
+                    data = src_be.read_bytes(src_path)
+                    if data is None:
+                        raise FileNotFoundError(src_path)
+                    fsize = len(data)
+            st = meta["stats"].get(name) or {}
+            if "rows" in st:
+                nrows = int(st["rows"])
+            else:
+                # record_count is REQUIRED in Iceberg; one footer read
+                # for the rare stats-less file (pre-stats commits)
+                import pyarrow.parquet as pq
+                local = src_path if "://" not in src_path else None
+                if local and os.path.exists(local):
+                    nrows = pq.read_metadata(local).num_rows
+                else:
+                    import pyarrow as pa
+                    blob = src_be.read_bytes(src_path)
+                    nrows = pq.read_metadata(
+                        pa.BufferReader(blob)).num_rows
+            total_rows += nrows
+            lowers: List[Dict] = []
+            uppers: List[Dict] = []
+
+            def add_bound(col: str, lo: Any, hi: Any) -> None:
+                fld = name_to_field.get(col)
+                if fld is None:
+                    return
+                lb = _bound_bytes(spark_types[col], lo)
+                ub = _bound_bytes(spark_types[col], hi)
+                if lb is not None and ub is not None:
+                    lowers.append({"key": fld["id"], "value": lb})
+                    uppers.append({"key": fld["id"], "value": ub})
+
+            if "min" in st:
+                add_bound("documentid", st["min"], st["max"])
+            for col, bounds in (st.get("cols") or {}).items():
+                try:
+                    lo, hi = bounds
+                except (TypeError, ValueError):
+                    continue
+                add_bound(col, lo, hi)
+            entries.append({
+                "status": 1, "snapshot_id": snapshot_id,
+                "sequence_number": 1, "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0, "file_path": fpath,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": int(fsize),
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
+                }})
+
+    schema_json = json.dumps(ice_schema)
+    manifest_name = f"{run_uuid}-m0.avro"
+    manifest_path = f"{meta_dir}/{manifest_name}"
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        tmp = os.path.join(td, manifest_name)
+        write_container(
+            tmp, _manifest_entry_schema(), entries, codec="deflate",
+            sync=hashlib.sha256(manifest_name.encode()).digest()[:16],
+            extra_meta={
+                "schema": schema_json,
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            })
+        manifest_bytes = open(tmp, "rb").read()
+    dst_be.write_bytes(manifest_path, manifest_bytes)
+
+    list_name = f"snap-{snapshot_id}-1-{run_uuid}.avro"
+    list_path = f"{meta_dir}/{list_name}"
+    list_rows = [{
+        "manifest_path": as_uri(manifest_path),
+        "manifest_length": len(manifest_bytes),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": 1, "min_sequence_number": 1,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }]
+    with tempfile.TemporaryDirectory() as td:
+        tmp = os.path.join(td, list_name)
+        write_container(
+            tmp, _manifest_list_schema(), list_rows, codec="deflate",
+            sync=hashlib.sha256(list_name.encode()).digest()[:16],
+            extra_meta={"format-version": "2",
+                        "snapshot-id": str(snapshot_id),
+                        "sequence-number": "1"})
+        dst_be.write_bytes(list_path, open(tmp, "rb").read())
+
+    table_meta = {
+        "format-version": 2,
+        "table-uuid": run_uuid,
+        "location": as_uri(dst),
+        "last-sequence-number": 1,
+        "last-updated-ms": now_ms,
+        "last-column-id": _max_field_id(ice_schema),
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [{
+            "snapshot-id": snapshot_id,
+            "sequence-number": 1,
+            "timestamp-ms": now_ms,
+            "manifest-list": as_uri(list_path),
+            "schema-id": 0,
+            "summary": {"operation": "append",
+                        "added-data-files": str(len(entries)),
+                        "added-records": str(total_rows)},
+        }],
+        "snapshot-log": [{"timestamp-ms": now_ms,
+                          "snapshot-id": snapshot_id}],
+        "metadata-log": [],
+    }
+    dst_be.write_bytes(f"{meta_dir}/v1.metadata.json",
+                       json.dumps(table_meta, indent=1).encode())
+    dst_be.write_bytes(f"{meta_dir}/version-hint.text", b"1")
+    return dst
+
+
+def _max_field_id(node: Any) -> int:
+    best = 0
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k in ("id", "element-id", "key-id", "value-id") \
+                    and isinstance(v, int):
+                best = max(best, v)
+            else:
+                best = max(best, _max_field_id(v))
+    elif isinstance(node, list):
+        for v in node:
+            best = max(best, _max_field_id(v))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# read
+
+def _resolve(uri: str, root: str) -> str:
+    """Manifest/file URIs -> backend paths. Absolute ``file://`` URIs
+    strip the scheme; relative paths resolve against the table root."""
+    if uri.startswith("file://"):
+        p = uri[7:]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if "://" in uri:
+        return uri
+    if os.path.isabs(uri):
+        return uri
+    return os.path.join(root, uri)
+
+
+def _file_may_match(bounds: Dict[int, Tuple], fid: Optional[int],
+                    dt: T.DataType, op: str, value: Any) -> bool:
+    """Conservative bounds check: True unless the manifest PROVES the
+    file holds no matching row (missing bounds ⇒ must scan)."""
+    if fid is None or fid not in bounds:
+        return True
+    lo_b, hi_b = bounds[fid]
+    lo = _bound_value(dt, lo_b) if lo_b is not None else None
+    hi = _bound_value(dt, hi_b) if hi_b is not None else None
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "==":
+            return lo <= value <= hi
+        if op == "<=":
+            return lo <= value
+        if op == ">=":
+            return hi >= value
+        if op == "<":
+            return lo < value
+        if op == ">":
+            return hi > value
+    except TypeError:
+        return True
+    raise ValueError(f"unsupported where op {op!r} "
+                     "(==, <, <=, >, >= supported)")
+
+
+def read_iceberg(spark: SparkSession, path: str, *,
+                 snapshot_id: Optional[int] = None,
+                 where: Optional[Tuple[str, str, Any]] = None) -> DataFrame:
+    """Read an Iceberg v2 (or v1) table directory as a DataFrame.
+
+    Resolves the current metadata via ``version-hint.text`` (filesystem
+    catalog) or the highest ``vN.metadata.json``; ``snapshot_id`` time
+    travels to any snapshot still in the metadata. ``where=(col, op,
+    value)`` prunes data files against manifest lower/upper bounds
+    before any scan (the pruning itself — the returned frame still
+    carries only the predicate the caller applies). Tables with delete
+    files (v2 row-level deletes) or non-parquet data files raise with
+    the feature named."""
+    from ..sinks.data_backend import data_backend_for
+
+    be = data_backend_for(path)
+    root = path.rstrip("/")
+    meta_dir = f"{root}/metadata"
+    hint = be.read_bytes(f"{meta_dir}/version-hint.text")
+    meta_blob = None
+    if hint is not None:
+        v = hint.decode().strip()
+        for cand in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            meta_blob = be.read_bytes(f"{meta_dir}/{cand}")
+            if meta_blob is not None:
+                break
+    if meta_blob is None:
+        versions = []
+        for name in be.list_dir(meta_dir):
+            m = re.match(r"v(\d+)\.metadata\.json$", os.path.basename(name))
+            if m:
+                versions.append(int(m.group(1)))
+        if not versions:
+            raise FileNotFoundError(
+                f"{meta_dir}: no version-hint.text or vN.metadata.json — "
+                "not an Iceberg filesystem table")
+        meta_blob = be.read_bytes(
+            f"{meta_dir}/v{max(versions)}.metadata.json")
+    meta = json.loads(meta_blob)
+
+    if "schemas" in meta:
+        by_id = {s.get("schema-id"): s for s in meta["schemas"]}
+        schema_js = by_id.get(meta.get("current-schema-id"),
+                              meta["schemas"][-1])
+    else:  # format-version 1 compatibility
+        schema_js = meta["schema"]
+    spark_schema = spark_schema_from_iceberg(schema_js)
+    field_ids = {f["name"]: f["id"] for f in schema_js["fields"]}
+    spark_types = {f.name: f.dataType for f in spark_schema.fields}
+
+    snap_id = snapshot_id if snapshot_id is not None \
+        else meta.get("current-snapshot-id")
+    if snap_id is None or snap_id == -1 or not meta.get("snapshots"):
+        return spark.createDataFrame([], spark_schema)
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if snap_id not in snaps:
+        raise ValueError(f"snapshot {snap_id} not in metadata "
+                         f"(have {sorted(snaps)})")
+    snap = snaps[snap_id]
+
+    # identity-partition spec fields (for Hive-migrated value restoration)
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+    identity_by_spec: Dict[int, List[Tuple[str, str]]] = {}
+    for sid, spec in specs.items():
+        idmap = []
+        for pf in spec.get("fields", []):
+            if pf.get("transform") == "identity":
+                src = next((n for n, i in field_ids.items()
+                            if i == pf.get("source-id")), None)
+                if src is not None:
+                    idmap.append((pf.get("name", src), src))
+        identity_by_spec[sid] = idmap
+
+    list_path = _resolve(snap["manifest-list"], root)
+    list_blob = be.read_bytes(list_path)
+    if list_blob is None:
+        raise FileNotFoundError(list_path)
+    manifests = decode_blocks(list_blob, list_path)
+
+    wcol = wop = wval = wfid = wdt = None
+    if where is not None:
+        wcol, wop, wval = where
+        if wcol not in field_ids:
+            raise ValueError(f"where column {wcol!r} not in schema")
+        wfid, wdt = field_ids[wcol], spark_types[wcol]
+
+    groups: Dict[Tuple, List[str]] = {}
+    pruned = 0
+    for mf in manifests:
+        if mf.get("content", 0) == 1:
+            raise ValueError(
+                "table has DELETE manifests (v2 positional/equality "
+                "delete files) — not supported by this reader; compact "
+                "the table with an Iceberg engine first")
+        mblob = be.read_bytes(_resolve(mf["manifest_path"], root))
+        if mblob is None:
+            raise FileNotFoundError(mf["manifest_path"])
+        node, entries = read_container(mblob, mf["manifest_path"])
+        spec_id = mf.get("partition_spec_id", 0)
+        for e in entries:
+            if e.get("status") == 2:  # DELETED
+                continue
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:
+                raise ValueError(
+                    f"{df_rec.get('file_path')}: delete file "
+                    f"(content={df_rec['content']}) — row-level deletes "
+                    "not supported by this reader")
+            if df_rec.get("file_format", "PARQUET").upper() != "PARQUET":
+                raise ValueError(
+                    f"{df_rec.get('file_path')}: file_format "
+                    f"{df_rec.get('file_format')!r} not supported "
+                    "(PARQUET only)")
+            if where is not None:
+                bounds = _entry_bounds(df_rec)
+                if not _file_may_match(bounds, wfid, wdt, wop, wval):
+                    pruned += 1
+                    continue
+            part = df_rec.get("partition") or {}
+            key = (spec_id, tuple(sorted(part.items()))
+                   if isinstance(part, dict) else ())
+            groups.setdefault(key, []).append(
+                _resolve(df_rec["file_path"], root))
+
+    if not groups:
+        return spark.createDataFrame([], spark_schema)
+
+    out: Optional[DataFrame] = None
+    for (spec_id, part_items), files in sorted(groups.items(),
+                                               key=lambda kv: str(kv[0])):
+        part = dict(part_items)
+        probe_cols = _parquet_footer_columns(files[0])
+        df = spark.read.parquet(*files)
+        for name in spark_schema.names:
+            if name in probe_cols:
+                continue
+            # column absent from the data files: identity partition
+            # value restores it; otherwise this is a field-id rename we
+            # cannot resolve by name — refuse rather than return nulls
+            restored = False
+            for pname, src in identity_by_spec.get(spec_id, []):
+                if src == name and pname in part:
+                    df = df.withColumn(
+                        name, F.lit(part[pname]).cast(spark_types[name]))
+                    restored = True
+                    break
+            if not restored:
+                raise ValueError(
+                    f"schema column {name!r} is absent from data file "
+                    f"{files[0]} and no identity partition provides it — "
+                    "field-id column resolution (renamed columns) is not "
+                    "supported by this reader")
+        df = df.select(*[F.col(n).cast(spark_types[n]).alias(n)
+                         for n in spark_schema.names])
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _entry_bounds(df_rec: Dict) -> Dict[int, Tuple]:
+    lows = {kv["key"]: kv["value"]
+            for kv in (df_rec.get("lower_bounds") or [])}
+    highs = {kv["key"]: kv["value"]
+             for kv in (df_rec.get("upper_bounds") or [])}
+    return {k: (lows.get(k), highs.get(k)) for k in set(lows) | set(highs)}
+
+
+def _parquet_footer_columns(path: str) -> set:
+    """Top-level column names in one parquet footer (driver-side probe,
+    one per partition group — the Hive-migration detection)."""
+    import pyarrow.parquet as pq
+
+    if "://" not in path and os.path.exists(path):
+        return set(pq.read_schema(path).names)
+    from ..sinks.data_backend import data_backend_for
+    import pyarrow as pa
+    blob = data_backend_for(path).read_bytes(path)
+    if blob is None:
+        raise FileNotFoundError(path)
+    return set(pq.read_schema(pa.BufferReader(blob)).names)

@@ -564,8 +564,13 @@ def encode_records(schema_js: Any, rows: List[Any]) -> bytes:
 
 def write_container(path: str, schema_js: Any, rows: List[Any],
                     codec: str = "null", sync: Optional[bytes] = None,
-                    block_rows: int = 1024) -> None:
-    """Write one Avro Object Container File (driver- or executor-side)."""
+                    block_rows: int = 1024,
+                    extra_meta: Optional[Dict[str, str]] = None) -> None:
+    """Write one Avro Object Container File (driver- or executor-side).
+
+    ``extra_meta`` adds application key-value pairs to the file-metadata
+    map (Iceberg manifests carry ``schema``/``partition-spec``/… there;
+    keys must not start with ``avro.`` per the spec)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r} "
                          "('null' or 'deflate')")
@@ -580,6 +585,10 @@ def write_container(path: str, schema_js: Any, rows: List[Any],
     header = bytearray(_MAGIC)
     meta = {"avro.schema": json.dumps(schema_js).encode(),
             "avro.codec": codec.encode()}
+    for k, v in (extra_meta or {}).items():
+        if k.startswith("avro."):
+            raise ValueError(f"extra_meta key {k!r} is reserved")
+        meta[k] = v.encode() if isinstance(v, str) else bytes(v)
     _enc_long(header, len(meta))
     for k, v in sorted(meta.items()):
         kb = k.encode()

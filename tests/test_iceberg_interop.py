@@ -1,0 +1,400 @@
+"""Iceberg table-format interop (interop/iceberg.py)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from dataingestion_spark.interop.iceberg import (
+    _manifest_entry_schema, _manifest_list_schema, export_iceberg,
+    iceberg_schema_from_spark, read_iceberg, spark_schema_from_iceberg,
+)
+from dataingestion_spark.sources.avro import read_container, write_container
+
+
+def _docs(spark, n_extra_cols=True):
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(F.col("doc_id").cast("string").alias("documentid"),
+                  "text", "lang",
+                  F.col("n_chars").cast("long").alias("n_chars")))
+    return df
+
+
+def _table(spark, tmp_path, name="t"):
+    from dataingestion_spark.sinks.manifest_store import write_table
+
+    tbl = str(tmp_path / name)
+    write_table(_docs(spark), tbl)
+    return tbl
+
+
+def test_export_read_roundtrip_copy_and_shallow(spark, tmp_path):
+    from dataingestion_spark.sinks.manifest_store import read_table
+
+    tbl = _table(spark, tmp_path)
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+
+    for mode in ("copy", "shallow"):
+        dst = str(tmp_path / f"ice_{mode}")
+        assert export_iceberg(spark, tbl, dst, mode=mode) == dst
+        back = read_iceberg(spark, dst)
+        got = {tuple(r) for r in back
+               .select("documentid", "text", "lang", "n_chars").collect()}
+        assert got == want
+        names = os.listdir(os.path.join(dst, "metadata"))
+        assert "v1.metadata.json" in names and "version-hint.text" in names
+        assert any(n.startswith("snap-") for n in names)
+        if mode == "copy":
+            assert os.path.isdir(os.path.join(dst, "data"))
+        meta = json.load(open(os.path.join(dst, "metadata",
+                                           "v1.metadata.json")))
+        assert meta["format-version"] == 2
+        assert meta["current-schema-id"] == 0
+        assert meta["partition-specs"] == [{"spec-id": 0, "fields": []}]
+        snap = meta["snapshots"][0]
+        assert snap["snapshot-id"] == meta["current-snapshot-id"]
+        assert snap["sequence-number"] == 1
+    # double export refuses
+    with pytest.raises(FileExistsError):
+        export_iceberg(spark, tbl, str(tmp_path / "ice_copy"))
+
+
+def test_manifest_wire_shape(spark, tmp_path):
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "ice")
+    export_iceberg(spark, tbl, dst)
+    meta_dir = os.path.join(dst, "metadata")
+    snap = [n for n in os.listdir(meta_dir) if n.startswith("snap-")][0]
+    node, rows = read_container(
+        open(os.path.join(meta_dir, snap), "rb").read(), snap)
+    assert rows and rows[0]["content"] == 0
+    assert rows[0]["added_files_count"] >= 1
+    assert rows[0]["added_rows_count"] == 500
+    # field-ids preserved in the avro schema (conformant readers resolve
+    # manifest columns by id, not name)
+    by_name = {f["name"]: f["attrs"].get("field-id")
+               for f in node["fields"]}
+    assert by_name["manifest_path"] == 500
+    assert by_name["sequence_number"] == 515
+
+    mpath = rows[0]["manifest_path"]
+    assert mpath.startswith("file://")
+    mnode, entries = read_container(open(mpath[7:], "rb").read(), mpath)
+    assert sum(e["data_file"]["record_count"] for e in entries) == 500
+    e0 = entries[0]
+    assert e0["status"] == 1
+    assert e0["data_file"]["file_format"] == "PARQUET"
+    # manifest carries the table schema + spec in file metadata
+    blob = open(mpath[7:], "rb").read()
+    assert b'"partition-spec-id"' in blob or b"partition-spec-id" in blob
+    # bounds present for documentid (manifest-store stats carry min/max)
+    lbs = e0["data_file"]["lower_bounds"]
+    assert lbs and all(isinstance(kv["key"], int) for kv in lbs)
+
+
+def test_bounds_pruning_skips_files(spark, tmp_path):
+    # two data files with DISJOINT n_chars bounds in the manifest; a
+    # where= on the low range must scan only the low file (the
+    # exporter's own hash-bucketed files have overlapping ranges, so
+    # this fixture pins the bounds logic directly)
+    import struct
+
+    root = str(tmp_path / "pruned")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    lo_path = os.path.join(root, "data", "lo.parquet")
+    hi_path = os.path.join(root, "data", "hi.parquet")
+    pq.write_table(pa.table({"documentid": ["a", "b"],
+                             "n_chars": pa.array([10, 20], pa.int64())}),
+                   lo_path)
+    pq.write_table(pa.table({"documentid": ["c", "d"],
+                             "n_chars": pa.array([1000, 2000],
+                                                 pa.int64())}),
+                   hi_path)
+
+    def entry(path, lo, hi):
+        return {"status": 1, "snapshot_id": 77, "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0, "file_path": "file://" + path,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "lower_bounds": [{"key": 2,
+                                      "value": struct.pack("<q", lo)}],
+                    "upper_bounds": [{"key": 2,
+                                      "value": struct.pack("<q", hi)}]}}
+
+    mpath = os.path.join(root, "metadata", "m0.avro")
+    write_container(mpath, _manifest_entry_schema(),
+                    [entry(lo_path, 10, 20), entry(hi_path, 1000, 2000)])
+    lpath = os.path.join(root, "metadata", "snap-77-1-x.avro")
+    write_container(lpath, _manifest_list_schema(), [{
+        "manifest_path": "file://" + mpath,
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+        "min_sequence_number": 1, "added_snapshot_id": 77,
+        "added_files_count": 2, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 4,
+        "existing_rows_count": 0, "deleted_rows_count": 0}])
+    schema_fields = [
+        {"id": 1, "name": "documentid", "required": False,
+         "type": "string"},
+        {"id": 2, "name": "n_chars", "required": False, "type": "long"}]
+    meta = {"format-version": 2, "table-uuid": "x", "location": root,
+            "last-sequence-number": 1, "last-updated-ms": 0,
+            "last-column-id": 2, "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0,
+                         "fields": schema_fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999, "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 77,
+            "snapshots": [{"snapshot-id": 77, "sequence-number": 1,
+                           "timestamp-ms": 0, "schema-id": 0,
+                           "manifest-list": "file://" + lpath,
+                           "summary": {"operation": "append"}}],
+            "snapshot-log": [], "metadata-log": []}
+    json.dump(meta, open(os.path.join(root, "metadata",
+                                      "v1.metadata.json"), "w"))
+    open(os.path.join(root, "metadata", "version-hint.text"),
+         "w").write("1")
+
+    full = read_iceberg(spark, root)
+    assert len(set(full.inputFiles())) == 2
+    pruned = read_iceberg(spark, root, where=("n_chars", "<=", 20))
+    assert set(pruned.inputFiles()) == {"file://" + lo_path}
+    assert pruned.count() == 2
+    # equality inside the high range scans only the high file
+    one = read_iceberg(spark, root, where=("n_chars", "==", 1500))
+    assert set(one.inputFiles()) == {"file://" + hi_path}
+    # out-of-range equality prunes EVERYTHING → empty frame, zero scans
+    none = read_iceberg(spark, root, where=("n_chars", "==", 500))
+    assert none.count() == 0
+    # pruning is conservative: a predicate matching both ranges scans both
+    both = read_iceberg(spark, root, where=("n_chars", ">=", 15))
+    assert len(set(both.inputFiles())) == 2
+    with pytest.raises(ValueError, match="where column"):
+        read_iceberg(spark, root, where=("nope", "==", 1))
+    with pytest.raises(ValueError, match="unsupported where op"):
+        read_iceberg(spark, root, where=("n_chars", "!=", 20))
+
+
+def test_dv_tables_materialize_first(spark, tmp_path):
+    from dataingestion_spark.sinks.manifest_store import (
+        delete_documents, read_table,
+    )
+
+    tbl = _table(spark, tmp_path)
+    ids = [r[0] for r in read_table(spark, tbl)
+           .select("documentid").limit(3).collect()]
+    assert delete_documents(spark, tbl, ids) > 0
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_iceberg(spark, tbl, str(tmp_path / "no"),
+                       apply_deletes=False)
+    dst = str(tmp_path / "ice")
+    export_iceberg(spark, tbl, dst, apply_deletes=True)
+    got = {r[0] for r in read_iceberg(spark, dst)
+           .select("documentid").collect()}
+    assert not (got & set(ids))
+    assert got == {r[0] for r in read_table(spark, tbl)
+                   .select("documentid").collect()}
+
+
+def test_snapshot_travel_and_empty(spark, tmp_path):
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "ice")
+    export_iceberg(spark, tbl, dst)
+    meta = json.load(open(os.path.join(dst, "metadata",
+                                       "v1.metadata.json")))
+    sid = meta["current-snapshot-id"]
+    assert read_iceberg(spark, dst, snapshot_id=sid).count() == 500
+    with pytest.raises(ValueError, match="snapshot 123 not in metadata"):
+        read_iceberg(spark, dst, snapshot_id=123)
+
+    # empty table: current-snapshot-id -1 → empty frame with schema
+    empty = str(tmp_path / "empty")
+    os.makedirs(os.path.join(empty, "metadata"))
+    meta2 = dict(meta, **{"current-snapshot-id": -1, "snapshots": []})
+    json.dump(meta2, open(os.path.join(empty, "metadata",
+                                       "v1.metadata.json"), "w"))
+    open(os.path.join(empty, "metadata", "version-hint.text"),
+         "w").write("1")
+    df = read_iceberg(spark, empty)
+    assert df.count() == 0 and "documentid" in df.columns
+
+
+def test_delete_manifests_rejected(spark, tmp_path):
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "ice")
+    export_iceberg(spark, tbl, dst)
+    meta_dir = os.path.join(dst, "metadata")
+    snap = [n for n in os.listdir(meta_dir) if n.startswith("snap-")][0]
+    path = os.path.join(meta_dir, snap)
+    node, rows = read_container(open(path, "rb").read(), snap)
+    rows.append(dict(rows[0], content=1))
+    write_container(path, _manifest_list_schema(), rows)
+    with pytest.raises(ValueError, match="DELETE manifests"):
+        read_iceberg(spark, dst)
+
+
+def _write_foreign_table(spark, root, *, drop_col, spec_fields,
+                         partition_schema_fields, partition_values,
+                         schema_fields):
+    """Hand-build an Iceberg v2 table the repo did NOT export: parquet
+    data files (optionally missing a column), one manifest whose
+    partition record carries values, metadata JSON with a partition
+    spec."""
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    docs = _docs(spark).limit(20)
+    if drop_col:
+        docs = docs.drop(drop_col)
+    pdf = docs.toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    data_path = os.path.join(root, "data", "00000.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   data_path)
+
+    entry_schema = _manifest_entry_schema()
+    # swap in a partition record carrying the fixture's fields
+    for f in entry_schema["fields"]:
+        if f["name"] == "data_file":
+            for df_f in f["type"]["fields"]:
+                if df_f["name"] == "partition":
+                    df_f["type"] = {"type": "record", "name": "r102",
+                                    "fields": partition_schema_fields}
+    entry = {"status": 1, "snapshot_id": 77, "sequence_number": 1,
+             "file_sequence_number": 1,
+             "data_file": {"content": 0,
+                           "file_path": "file://" + data_path,
+                           "file_format": "PARQUET",
+                           "partition": partition_values,
+                           "record_count": len(pdf),
+                           "file_size_in_bytes":
+                               os.path.getsize(data_path),
+                           "lower_bounds": None, "upper_bounds": None}}
+    mpath = os.path.join(root, "metadata", "m0.avro")
+    write_container(mpath, entry_schema, [entry])
+    lpath = os.path.join(root, "metadata", "snap-77-1-x.avro")
+    write_container(lpath, _manifest_list_schema(), [{
+        "manifest_path": "file://" + mpath,
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+        "min_sequence_number": 1, "added_snapshot_id": 77,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": len(pdf),
+        "existing_rows_count": 0, "deleted_rows_count": 0}])
+    meta = {"format-version": 2, "table-uuid": "x", "location": root,
+            "last-sequence-number": 1, "last-updated-ms": 0,
+            "last-column-id": 99,
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0,
+                         "fields": schema_fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 1000, "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 77,
+            "snapshots": [{"snapshot-id": 77, "sequence-number": 1,
+                           "timestamp-ms": 0, "schema-id": 0,
+                           "manifest-list": "file://" + lpath,
+                           "summary": {"operation": "append"}}],
+            "snapshot-log": [], "metadata-log": []}
+    json.dump(meta, open(os.path.join(root, "metadata",
+                                      "v1.metadata.json"), "w"))
+    open(os.path.join(root, "metadata", "version-hint.text"),
+         "w").write("1")
+    return len(pdf)
+
+
+SCHEMA_FIELDS = [
+    {"id": 1, "name": "documentid", "required": False, "type": "string"},
+    {"id": 2, "name": "text", "required": False, "type": "string"},
+    {"id": 3, "name": "lang", "required": False, "type": "string"},
+    {"id": 4, "name": "n_chars", "required": False, "type": "long"},
+]
+
+
+def test_foreign_identity_partition_restored(spark, tmp_path):
+    # the Hive-migration shape: data files LACK the partition column,
+    # the manifest partition tuple carries it
+    root = str(tmp_path / "foreign")
+    n = _write_foreign_table(
+        spark, root, drop_col="lang",
+        spec_fields=[{"name": "lang", "transform": "identity",
+                      "source-id": 3, "field-id": 1000}],
+        partition_schema_fields=[{"name": "lang",
+                                  "type": ["null", "string"],
+                                  "field-id": 1000}],
+        partition_values={"lang": "xx"},
+        schema_fields=SCHEMA_FIELDS)
+    df = read_iceberg(spark, root)
+    assert df.count() == n
+    assert df.select("lang").distinct().collect()[0][0] == "xx"
+    assert df.columns == ["documentid", "text", "lang", "n_chars"]
+
+
+def test_foreign_missing_column_without_identity_refused(spark, tmp_path):
+    root = str(tmp_path / "foreign2")
+    _write_foreign_table(
+        spark, root, drop_col="lang", spec_fields=[],
+        partition_schema_fields=[], partition_values={},
+        schema_fields=SCHEMA_FIELDS)
+    with pytest.raises(ValueError, match="field-id column resolution"):
+        read_iceberg(spark, root)
+
+
+def test_schema_translation_roundtrip():
+    st = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.StringType(), True),
+        T.StructField("xs", T.ArrayType(T.DoubleType(), True), True),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType(), True),
+                      True),
+        T.StructField("n", T.StructType([
+            T.StructField("x", T.IntegerType(), True)]), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("d", T.DateType(), True),
+        T.StructField("dec", T.DecimalType(12, 3), True),
+    ])
+    ice = iceberg_schema_from_spark(st)
+    ids = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("id", "element-id", "key-id", "value-id"):
+                    ids.append(v)
+                else:
+                    walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+    walk(ice)
+    assert len(ids) == len(set(ids)), "field-ids must be unique"
+    assert [f["id"] for f in ice["fields"]] == list(range(1, 9))
+    back = spark_schema_from_iceberg(ice)
+    assert back == st
+    with pytest.raises(ValueError, match="not supported"):
+        spark_schema_from_iceberg(
+            {"type": "struct", "fields": [
+                {"id": 1, "name": "u", "required": False, "type": "uuid"}]})
+
+
+def test_pyiceberg_reads_our_export_if_available(spark, tmp_path):
+    pytest.importorskip("pyiceberg")
+    from pyiceberg.table import StaticTable  # pragma: no cover
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "ice")
+    export_iceberg(spark, tbl, dst)
+    st = StaticTable.from_metadata(
+        os.path.join(dst, "metadata", "v1.metadata.json"))
+    assert st.scan().to_arrow().num_rows == 500
