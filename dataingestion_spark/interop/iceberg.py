@@ -285,6 +285,10 @@ def _manifest_entry_schema() -> Dict:
         {"name": "upper_bounds",
          "type": ["null", _kv_map_schema(128, 129, 130, "int", "bytes")],
          "default": None, "field-id": 128},
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int",
+                           "element-id": 136}],
+         "default": None, "field-id": 135},
     ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
@@ -321,19 +325,33 @@ def _manifest_list_schema() -> Dict:
 
 def export_iceberg(spark: SparkSession, table: str, dst: str, *,
                    mode: str = "copy", version: Optional[int] = None,
-                   apply_deletes: bool = True) -> str:
+                   apply_deletes: bool = True,
+                   dv_mode: str = "materialize") -> str:
     """Publish a manifest table as an Iceberg v2 table at ``dst``.
 
     ``mode="copy"`` copies live data files under ``dst/data/`` (the
     export is self-contained); ``mode="shallow"`` references the
     manifest table's files in place — zero bytes moved, valid while the
-    source's files live. Live equality DVs are materialized first
-    (``apply_deletes=True`` compacts only DV-carrying buckets);
-    ``version`` exports a DV-free historical snapshot. File paths in
-    manifests are absolute ``file://`` URIs per the spec ("full URI
-    with FS scheme"). Returns ``dst``; raises if ``dst`` already holds
-    Iceberg metadata (continuous mirroring stays the Delta mirror's
-    job)."""
+    source's files live.
+
+    Live equality DVs: ``dv_mode="materialize"`` (default) compacts
+    only the DV-carrying buckets first (``apply_deletes=False`` then
+    raises) — maximum reader compatibility, since many engines still
+    read v2 deletes poorly. ``dv_mode="equality"`` exports the DV
+    files THEMSELVES as Iceberg equality delete files (content=2,
+    ``equality_ids=[documentid]``) with real sequence numbers — zero
+    data rewrite even for DV-carrying tables, exact because the
+    manifest store's DV rule (delete kills rows of files with strictly
+    smaller seq, `manifest_store.py::_read_files`) IS Iceberg's
+    equality-delete rule. ``version`` exports a historical snapshot
+    (DV-free under ``materialize``).
+
+    File paths in manifests are absolute ``file://`` URIs per the spec
+    ("full URI with FS scheme"); table properties carry
+    ``schema.name-mapping.default`` so conformant readers resolve the
+    parquet files (written without embedded field-ids) by name. Returns
+    ``dst``; raises if ``dst`` already holds Iceberg metadata
+    (continuous mirroring stays the Delta mirror's job)."""
     import hashlib
     import time as _time
 
@@ -342,20 +360,24 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
 
     if mode not in ("copy", "shallow"):
         raise ValueError(f"mode must be 'copy' or 'shallow', got {mode!r}")
+    if dv_mode not in ("materialize", "equality"):
+        raise ValueError(f"dv_mode must be 'materialize' or 'equality', "
+                         f"got {dv_mode!r}")
     manifest = ms.read_manifest(table, version)
     meta = ms._manifest_meta(manifest)
     has_dvs = any(meta["deletes"].get(b) for b in manifest["buckets"]
                   if manifest["buckets"].get(b))
-    if has_dvs:
+    if has_dvs and dv_mode == "materialize":
         if not apply_deletes or version is not None:
             raise ValueError(
-                "table carries live deletion vectors, which have no "
-                "Iceberg data-file representation in this exporter; run "
-                "compact() first or export the current version with "
-                "apply_deletes=True")
+                "table carries live deletion vectors; run compact() "
+                "first, export the current version with "
+                "apply_deletes=True, or export them as Iceberg equality "
+                "delete files with dv_mode='equality'")
         ms.compact(spark, table, max_files_per_bucket=10 ** 9)
         manifest = ms.read_manifest(table)
         meta = ms._manifest_meta(manifest)
+        has_dvs = False
 
     spark_schema = T.StructType.fromJson(
         {"type": "struct", "fields": meta["schema"]})
@@ -390,43 +412,51 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
             return p
         return "file://" + os.path.abspath(p)
 
+    def seq_of(name: str) -> int:
+        # store seqs are commit versions starting at 0; Iceberg data
+        # sequence numbers start at 1. +1 preserves every strict/non-
+        # strict comparison. DV-free exports pin everything to 1.
+        return int(meta["seq"].get(name, 0)) + 1 if has_dvs else 1
+
+    def ship(name: str, src_path: str) -> Tuple[str, int]:
+        """Copy or reference one file; returns (URI, size)."""
+        if mode == "copy":
+            data = src_be.read_bytes(src_path)
+            if data is None:
+                raise FileNotFoundError(src_path)
+            dst_be.write_bytes(f"{dst}/data/{name}", data)
+            return as_uri(f"{dst}/data/{name}"), len(data)
+        try:
+            return as_uri(src_path), os.path.getsize(src_path)
+        except OSError:
+            data = src_be.read_bytes(src_path)
+            if data is None:
+                raise FileNotFoundError(src_path)
+            return as_uri(src_path), len(data)
+
+    def row_count(name: str, src_path: str) -> int:
+        st = meta["stats"].get(name) or {}
+        if "rows" in st:
+            return int(st["rows"])
+        # record_count is REQUIRED in Iceberg; one footer read for the
+        # rare stats-less file (pre-stats commits)
+        import pyarrow.parquet as pq
+        if "://" not in src_path and os.path.exists(src_path):
+            return pq.read_metadata(src_path).num_rows
+        import pyarrow as pa
+        blob = src_be.read_bytes(src_path)
+        return pq.read_metadata(pa.BufferReader(blob)).num_rows
+
     entries: List[Dict] = []
     total_rows = 0
     for bucket in sorted(manifest["buckets"], key=int):
         for name in manifest["buckets"][bucket]:
             src_path = (meta["ext"].get(name)
                         or ms._join(table, "files", name))
-            if mode == "copy":
-                data = src_be.read_bytes(src_path)
-                if data is None:
-                    raise FileNotFoundError(src_path)
-                dst_be.write_bytes(f"{dst}/data/{name}", data)
-                fpath, fsize = as_uri(f"{dst}/data/{name}"), len(data)
-            else:
-                fpath = as_uri(src_path)
-                try:
-                    fsize = os.path.getsize(src_path)
-                except OSError:
-                    data = src_be.read_bytes(src_path)
-                    if data is None:
-                        raise FileNotFoundError(src_path)
-                    fsize = len(data)
-            st = meta["stats"].get(name) or {}
-            if "rows" in st:
-                nrows = int(st["rows"])
-            else:
-                # record_count is REQUIRED in Iceberg; one footer read
-                # for the rare stats-less file (pre-stats commits)
-                import pyarrow.parquet as pq
-                local = src_path if "://" not in src_path else None
-                if local and os.path.exists(local):
-                    nrows = pq.read_metadata(local).num_rows
-                else:
-                    import pyarrow as pa
-                    blob = src_be.read_bytes(src_path)
-                    nrows = pq.read_metadata(
-                        pa.BufferReader(blob)).num_rows
+            fpath, fsize = ship(name, src_path)
+            nrows = row_count(name, src_path)
             total_rows += nrows
+            st = meta["stats"].get(name) or {}
             lowers: List[Dict] = []
             uppers: List[Dict] = []
 
@@ -450,7 +480,8 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
                 add_bound(col, lo, hi)
             entries.append({
                 "status": 1, "snapshot_id": snapshot_id,
-                "sequence_number": 1, "file_sequence_number": 1,
+                "sequence_number": seq_of(name),
+                "file_sequence_number": seq_of(name),
                 "data_file": {
                     "content": 0, "file_path": fpath,
                     "file_format": "PARQUET", "partition": {},
@@ -458,40 +489,84 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
                     "file_size_in_bytes": int(fsize),
                     "lower_bounds": lowers or None,
                     "upper_bounds": uppers or None,
+                    "equality_ids": None,
                 }})
 
-    schema_json = json.dumps(ice_schema)
-    manifest_name = f"{run_uuid}-m0.avro"
-    manifest_path = f"{meta_dir}/{manifest_name}"
-    import tempfile
-    with tempfile.TemporaryDirectory() as td:
-        tmp = os.path.join(td, manifest_name)
-        write_container(
-            tmp, _manifest_entry_schema(), entries, codec="deflate",
-            sync=hashlib.sha256(manifest_name.encode()).digest()[:16],
-            extra_meta={
-                "schema": schema_json,
-                "partition-spec": "[]",
-                "partition-spec-id": "0",
-                "format-version": "2",
-                "content": "data",
-            })
-        manifest_bytes = open(tmp, "rb").read()
-    dst_be.write_bytes(manifest_path, manifest_bytes)
+    del_entries: List[Dict] = []
+    if has_dvs:  # dv_mode == "equality"
+        doc_field = name_to_field.get("documentid")
+        if doc_field is None:
+            raise ValueError(
+                "dv_mode='equality' needs the documentid column the DVs "
+                "key on in the exported schema")
+        for bucket in sorted(meta["deletes"], key=int):
+            for name in meta["deletes"][bucket]:
+                src_path = (meta["ext"].get(name)
+                            or ms._join(table, "files", name))
+                fpath, fsize = ship(name, src_path)
+                del_entries.append({
+                    "status": 1, "snapshot_id": snapshot_id,
+                    "sequence_number": seq_of(name),
+                    "file_sequence_number": seq_of(name),
+                    "data_file": {
+                        "content": 2, "file_path": fpath,
+                        "file_format": "PARQUET", "partition": {},
+                        "record_count": row_count(name, src_path),
+                        "file_size_in_bytes": int(fsize),
+                        "lower_bounds": None, "upper_bounds": None,
+                        "equality_ids": [doc_field["id"]],
+                    }})
 
+    schema_json = json.dumps(ice_schema)
+    import tempfile
+
+    def write_manifest(tag: str, m_entries: List[Dict],
+                       content_kind: str) -> Tuple[str, bytes]:
+        m_name = f"{run_uuid}-{tag}.avro"
+        m_path = f"{meta_dir}/{m_name}"
+        with tempfile.TemporaryDirectory() as td:
+            tmp = os.path.join(td, m_name)
+            write_container(
+                tmp, _manifest_entry_schema(), m_entries, codec="deflate",
+                sync=hashlib.sha256(m_name.encode()).digest()[:16],
+                extra_meta={
+                    "schema": schema_json,
+                    "partition-spec": "[]",
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": content_kind,
+                })
+            blob = open(tmp, "rb").read()
+        dst_be.write_bytes(m_path, blob)
+        return m_path, blob
+
+    def list_row(m_path: str, blob: bytes, m_entries: List[Dict],
+                 content: int) -> Dict:
+        seqs = [e["sequence_number"] for e in m_entries] or [1]
+        rows = sum(e["data_file"]["record_count"] for e in m_entries)
+        return {
+            "manifest_path": as_uri(m_path),
+            "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": max(seqs),
+            "min_sequence_number": min(seqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(m_entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": rows,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        }
+
+    data_mpath, data_mblob = write_manifest("m0", entries, "data")
+    list_rows = [list_row(data_mpath, data_mblob, entries, 0)]
+    if del_entries:
+        del_mpath, del_mblob = write_manifest("m1", del_entries,
+                                              "deletes")
+        list_rows.append(list_row(del_mpath, del_mblob, del_entries, 1))
+
+    max_seq = max(r["sequence_number"] for r in list_rows)
     list_name = f"snap-{snapshot_id}-1-{run_uuid}.avro"
     list_path = f"{meta_dir}/{list_name}"
-    list_rows = [{
-        "manifest_path": as_uri(manifest_path),
-        "manifest_length": len(manifest_bytes),
-        "partition_spec_id": 0, "content": 0,
-        "sequence_number": 1, "min_sequence_number": 1,
-        "added_snapshot_id": snapshot_id,
-        "added_files_count": len(entries),
-        "existing_files_count": 0, "deleted_files_count": 0,
-        "added_rows_count": total_rows,
-        "existing_rows_count": 0, "deleted_rows_count": 0,
-    }]
     with tempfile.TemporaryDirectory() as td:
         tmp = os.path.join(td, list_name)
         write_container(
@@ -499,14 +574,14 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
             sync=hashlib.sha256(list_name.encode()).digest()[:16],
             extra_meta={"format-version": "2",
                         "snapshot-id": str(snapshot_id),
-                        "sequence-number": "1"})
+                        "sequence-number": str(max_seq)})
         dst_be.write_bytes(list_path, open(tmp, "rb").read())
 
     table_meta = {
         "format-version": 2,
         "table-uuid": run_uuid,
         "location": as_uri(dst),
-        "last-sequence-number": 1,
+        "last-sequence-number": max_seq,
         "last-updated-ms": now_ms,
         "last-column-id": _max_field_id(ice_schema),
         "current-schema-id": 0,
@@ -516,16 +591,25 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
         "last-partition-id": 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"write.format.default": "parquet"},
+        "properties": {
+            "write.format.default": "parquet",
+            # our parquet files carry no embedded field-ids; conformant
+            # readers resolve them by name through this mapping (spec
+            # "Column Projection")
+            "schema.name-mapping.default": json.dumps(
+                _name_mapping(ice_schema)),
+        },
         "current-snapshot-id": snapshot_id,
         "snapshots": [{
             "snapshot-id": snapshot_id,
-            "sequence-number": 1,
+            "sequence-number": max_seq,
             "timestamp-ms": now_ms,
             "manifest-list": as_uri(list_path),
             "schema-id": 0,
-            "summary": {"operation": "append",
+            "summary": {"operation":
+                        "overwrite" if del_entries else "append",
                         "added-data-files": str(len(entries)),
+                        "added-delete-files": str(len(del_entries)),
                         "added-records": str(total_rows)},
         }],
         "snapshot-log": [{"timestamp-ms": now_ms,
@@ -536,6 +620,38 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
                        json.dumps(table_meta, indent=1).encode())
     dst_be.write_bytes(f"{meta_dir}/version-hint.text", b"1")
     return dst
+
+
+def _name_mapping(node: Any) -> List[Dict]:
+    """Iceberg name-mapping JSON for a schema node (spec "Name
+    Mapping Serialization")."""
+    def field_entry(f: Dict) -> Dict:
+        out = {"field-id": f["id"], "names": [f["name"]]}
+        nested = _nested_mapping(f["type"])
+        if nested:
+            out["fields"] = nested
+        return out
+
+    def _nested_mapping(t: Any) -> List[Dict]:
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return [field_entry(f) for f in t["fields"]]
+            if t.get("type") == "list":
+                e = {"field-id": t["element-id"], "names": ["element"]}
+                nested = _nested_mapping(t["element"])
+                if nested:
+                    e["fields"] = nested
+                return [e]
+            if t.get("type") == "map":
+                k = {"field-id": t["key-id"], "names": ["key"]}
+                v = {"field-id": t["value-id"], "names": ["value"]}
+                nested = _nested_mapping(t["value"])
+                if nested:
+                    v["fields"] = nested
+                return [k, v]
+        return []
+
+    return [field_entry(f) for f in node["fields"]]
 
 
 def _max_field_id(node: Any) -> int:
@@ -569,6 +685,22 @@ def _resolve(uri: str, root: str) -> str:
     if os.path.isabs(uri):
         return uri
     return os.path.join(root, uri)
+
+
+def _norm_path(p: str) -> str:
+    """``file:/x``, ``file:///x`` and ``/x`` all mean the same local
+    file; normalize for identity matching between manifests, delete
+    files and ``_metadata.file_path`` (writers disagree on slash
+    count). Non-file schemes pass through."""
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _norm_path_col(col):
+    return F.regexp_replace(col, "^file:/+", "/")
 
 
 def _file_may_match(bounds: Dict[int, Tuple], fid: Optional[int],
@@ -609,9 +741,16 @@ def read_iceberg(spark: SparkSession, path: str, *,
     travels to any snapshot still in the metadata. ``where=(col, op,
     value)`` prunes data files against manifest lower/upper bounds
     before any scan (the pruning itself — the returned frame still
-    carries only the predicate the caller applies). Tables with delete
-    files (v2 row-level deletes) or non-parquet data files raise with
-    the feature named."""
+    carries only the predicate the caller applies).
+
+    v2 row-level deletes are APPLIED: positional delete files anti-join
+    on (normalized file path, ``_metadata.row_index``) for data files
+    with sequence number ≤ the delete's; equality delete files
+    anti-join null-safely on their ``equality_ids`` columns for data
+    files with strictly smaller sequence number — both joins stay
+    unhinted so Catalyst/AQE broadcasts the (typically small) delete
+    side and scales out when it is not. Non-parquet data files raise
+    with the feature named."""
     from ..sinks.data_backend import data_backend_for
 
     be = data_backend_for(path)
@@ -685,14 +824,11 @@ def read_iceberg(spark: SparkSession, path: str, *,
             raise ValueError(f"where column {wcol!r} not in schema")
         wfid, wdt = field_ids[wcol], spark_types[wcol]
 
-    groups: Dict[Tuple, List[str]] = {}
+    groups: Dict[Tuple, List[Tuple[str, int]]] = {}
+    pos_deletes: List[Tuple[str, int]] = []
+    eq_deletes: List[Tuple[str, int, Tuple[int, ...]]] = []
     pruned = 0
     for mf in manifests:
-        if mf.get("content", 0) == 1:
-            raise ValueError(
-                "table has DELETE manifests (v2 positional/equality "
-                "delete files) — not supported by this reader; compact "
-                "the table with an Iceberg engine first")
         mblob = be.read_bytes(_resolve(mf["manifest_path"], root))
         if mblob is None:
             raise FileNotFoundError(mf["manifest_path"])
@@ -702,16 +838,38 @@ def read_iceberg(spark: SparkSession, path: str, *,
             if e.get("status") == 2:  # DELETED
                 continue
             df_rec = e["data_file"]
-            if df_rec.get("content", 0) != 0:
+            seq = e.get("sequence_number")
+            if seq is None:  # v2 metadata inheritance
+                seq = int(mf.get("sequence_number", 0))
+            content = df_rec.get("content", 0)
+            mf_content = mf.get("content", 0)
+            if (mf_content == 0) != (content == 0):
                 raise ValueError(
-                    f"{df_rec.get('file_path')}: delete file "
-                    f"(content={df_rec['content']}) — row-level deletes "
-                    "not supported by this reader")
+                    f"{mf['manifest_path']}: manifest content "
+                    f"{mf_content} holds an entry with data_file "
+                    f"content {content} — malformed metadata (data and "
+                    "delete manifests may not mix)")
+            fpath = _resolve(df_rec["file_path"], root)
             if df_rec.get("file_format", "PARQUET").upper() != "PARQUET":
                 raise ValueError(
                     f"{df_rec.get('file_path')}: file_format "
                     f"{df_rec.get('file_format')!r} not supported "
                     "(PARQUET only)")
+            if content == 1:  # position deletes
+                pos_deletes.append((fpath, int(seq)))
+                continue
+            if content == 2:  # equality deletes
+                ids = df_rec.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        f"{df_rec.get('file_path')}: equality delete "
+                        "file without equality_ids")
+                eq_deletes.append((fpath, int(seq), tuple(ids)))
+                continue
+            if content != 0:
+                raise ValueError(
+                    f"{df_rec.get('file_path')}: unknown data_file "
+                    f"content code {content}")
             if where is not None:
                 bounds = _entry_bounds(df_rec)
                 if not _file_may_match(bounds, wfid, wdt, wop, wval):
@@ -720,18 +878,24 @@ def read_iceberg(spark: SparkSession, path: str, *,
             part = df_rec.get("partition") or {}
             key = (spec_id, tuple(sorted(part.items()))
                    if isinstance(part, dict) else ())
-            groups.setdefault(key, []).append(
-                _resolve(df_rec["file_path"], root))
+            groups.setdefault(key, []).append((fpath, int(seq)))
 
     if not groups:
         return spark.createDataFrame([], spark_schema)
+    apply_deletes = bool(pos_deletes or eq_deletes)
+    helper = ["__ice_fp", "__ice_pos"] if apply_deletes else []
 
     out: Optional[DataFrame] = None
     for (spec_id, part_items), files in sorted(groups.items(),
                                                key=lambda kv: str(kv[0])):
         part = dict(part_items)
-        probe_cols = _parquet_footer_columns(files[0])
-        df = spark.read.parquet(*files)
+        paths = [p for p, _ in files]
+        probe_cols = _parquet_footer_columns(paths[0])
+        df = spark.read.parquet(*paths)
+        if apply_deletes:
+            df = (df.withColumn("__ice_fp",
+                                _norm_path_col(F.col("_metadata.file_path")))
+                  .withColumn("__ice_pos", F.col("_metadata.row_index")))
         for name in spark_schema.names:
             if name in probe_cols:
                 continue
@@ -748,13 +912,72 @@ def read_iceberg(spark: SparkSession, path: str, *,
             if not restored:
                 raise ValueError(
                     f"schema column {name!r} is absent from data file "
-                    f"{files[0]} and no identity partition provides it — "
+                    f"{paths[0]} and no identity partition provides it — "
                     "field-id column resolution (renamed columns) is not "
                     "supported by this reader")
         df = df.select(*[F.col(n).cast(spark_types[n]).alias(n)
-                         for n in spark_schema.names])
+                         for n in spark_schema.names], *helper)
         out = df if out is None else out.unionByName(df)
-    return out
+
+    if not apply_deletes:
+        return out
+
+    # data-file sequence numbers ride in via a broadcast lookup on the
+    # normalized path (manifest-sized driver data)
+    all_files = [(_norm_path(p), s)
+                 for flist in groups.values() for p, s in flist]
+    seq_df = spark.createDataFrame(all_files,
+                                   "__ice_fp string, __ice_seq long")
+    out = out.join(F.broadcast(seq_df), "__ice_fp")
+
+    if pos_deletes:
+        # position deletes apply to data files with data_seq <= del_seq
+        del_seq = spark.createDataFrame(
+            [(_norm_path(p), s) for p, s in pos_deletes],
+            "__del_fp string, __del_seq long")
+        pos = (spark.read.parquet(*[p for p, _ in pos_deletes])
+               .select(_norm_path_col(F.col("file_path"))
+                       .alias("__t_fp"),
+                       F.col("pos").cast("long").alias("__t_pos"),
+                       _norm_path_col(F.col("_metadata.file_path"))
+                       .alias("__del_fp"))
+               .join(F.broadcast(del_seq), "__del_fp"))
+        out = out.join(
+            pos,
+            (out["__ice_fp"] == pos["__t_fp"])
+            & (out["__ice_pos"] == pos["__t_pos"])
+            & (pos["__del_seq"] >= out["__ice_seq"]),
+            "left_anti")
+
+    # equality deletes apply to data files with data_seq STRICTLY below;
+    # null-safe equality per spec ("null values match null")
+    by_ids: Dict[Tuple[int, ...], List[Tuple[str, int]]] = {}
+    for p, s, ids in eq_deletes:
+        by_ids.setdefault(ids, []).append((p, s))
+    id_to_name = {i: n for n, i in field_ids.items()}
+    for ids, plist in sorted(by_ids.items()):
+        cols = []
+        for fid in ids:
+            if fid not in id_to_name:
+                raise ValueError(
+                    f"equality delete references field-id {fid} not in "
+                    "the current schema")
+            cols.append(id_to_name[fid])
+        del_seq = spark.createDataFrame(
+            [(_norm_path(p), s) for p, s in plist],
+            "__del_fp string, __del_seq long")
+        eq = (spark.read.parquet(*[p for p, _ in plist])
+              .select(*[F.col(c).cast(spark_types[c]).alias(f"__eq_{c}")
+                        for c in cols],
+                      _norm_path_col(F.col("_metadata.file_path"))
+                      .alias("__del_fp"))
+              .join(F.broadcast(del_seq), "__del_fp"))
+        cond = eq["__del_seq"] > out["__ice_seq"]
+        for c in cols:
+            cond = cond & out[c].eqNullSafe(eq[f"__eq_{c}"])
+        out = out.join(eq, cond, "left_anti")
+
+    return out.select(*spark_schema.names)
 
 
 def _entry_bounds(df_rec: Dict) -> Dict[int, Tuple]:

@@ -229,7 +229,10 @@ def test_snapshot_travel_and_empty(spark, tmp_path):
     assert df.count() == 0 and "documentid" in df.columns
 
 
-def test_delete_manifests_rejected(spark, tmp_path):
+def test_mixed_manifest_content_rejected(spark, tmp_path):
+    # a manifest-list row claiming content=1 (deletes) but pointing at
+    # a manifest of DATA entries is malformed metadata, not a legal
+    # table — refuse loudly instead of double-counting the files
     tbl = _table(spark, tmp_path)
     dst = str(tmp_path / "ice")
     export_iceberg(spark, tbl, dst)
@@ -239,8 +242,196 @@ def test_delete_manifests_rejected(spark, tmp_path):
     node, rows = read_container(open(path, "rb").read(), snap)
     rows.append(dict(rows[0], content=1))
     write_container(path, _manifest_list_schema(), rows)
-    with pytest.raises(ValueError, match="DELETE manifests"):
+    with pytest.raises(ValueError, match="may not mix"):
         read_iceberg(spark, dst)
+
+
+def test_dv_mode_equality_exports_without_rewrite(spark, tmp_path):
+    from dataingestion_spark.sinks.manifest_store import (
+        delete_documents, read_manifest, read_table,
+    )
+
+    tbl = _table(spark, tmp_path)
+    ids = [r[0] for r in read_table(spark, tbl)
+           .select("documentid").limit(4).collect()]
+    assert delete_documents(spark, tbl, ids) > 0
+    dst = str(tmp_path / "ice_eq")
+    export_iceberg(spark, tbl, dst, dv_mode="equality")
+    # the SOURCE still carries its DVs — nothing was compacted
+    m = read_manifest(tbl)
+    assert any(m.get("deletes", {}).values())
+    # read back equals the store's own DV-applied read
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == want
+    assert not ({r[0] for r in got} & set(ids))
+    # metadata shape: a data manifest AND a delete manifest
+    meta = json.load(open(os.path.join(dst, "metadata",
+                                       "v1.metadata.json")))
+    snap = meta["snapshots"][0]
+    assert snap["summary"]["operation"] == "overwrite"
+    assert int(snap["summary"]["added-delete-files"]) >= 1
+    assert meta["last-sequence-number"] > 1
+    lpath = snap["manifest-list"]
+    assert lpath.startswith("file://")
+    rows = read_container(open(lpath[7:], "rb").read(), lpath)[1]
+    assert sorted(r["content"] for r in rows) == [0, 1]
+    # shallow equality export: zero data bytes moved, same rows
+    dst2 = str(tmp_path / "ice_eq_shallow")
+    export_iceberg(spark, tbl, dst2, mode="shallow", dv_mode="equality")
+    assert not os.path.isdir(os.path.join(dst2, "data"))
+    got2 = {tuple(r) for r in read_iceberg(spark, dst2)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got2 == want
+    # name mapping rides along for field-id-less parquet
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {e["names"][0] for e in nm} >= {"documentid", "text"}
+
+
+def _foreign_with_deletes(spark, root, data_rows, data_seq,
+                          pos_rows=None, pos_seq=None,
+                          eq_rows=None, eq_seq=None, eq_ids=None):
+    """Iceberg v2 fixture with one data file and optional positional /
+    equality delete files at explicit sequence numbers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    data_path = os.path.join(root, "data", "d0.parquet")
+    pq.write_table(pa.table({
+        "documentid": pa.array([r[0] for r in data_rows], pa.string()),
+        "n_chars": pa.array([r[1] for r in data_rows], pa.int64())}),
+        data_path)
+
+    def entry(path, content, seq, nrec, equality_ids=None):
+        return {"status": 1, "snapshot_id": 77, "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content, "file_path": "file://" + path,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": nrec,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "lower_bounds": None, "upper_bounds": None,
+                    "equality_ids": equality_ids}}
+
+    manifests = []
+    m0 = os.path.join(root, "metadata", "m0.avro")
+    write_container(m0, _manifest_entry_schema(),
+                    [entry(data_path, 0, data_seq, len(data_rows))])
+    manifests.append((m0, 0, data_seq))
+
+    del_entries = []
+    if pos_rows is not None:
+        pos_path = os.path.join(root, "data", "pd0.parquet")
+        pq.write_table(pa.table({
+            "file_path": pa.array(["file://" + data_path] * len(pos_rows),
+                                  pa.string()),
+            "pos": pa.array(pos_rows, pa.int64())}), pos_path)
+        del_entries.append(entry(pos_path, 1, pos_seq, len(pos_rows)))
+    if eq_rows is not None:
+        eq_path = os.path.join(root, "data", "ed0.parquet")
+        pq.write_table(pa.table({
+            "n_chars": pa.array(eq_rows, pa.int64())}), eq_path)
+        del_entries.append(entry(eq_path, 2, eq_seq, len(eq_rows),
+                                 equality_ids=eq_ids or [2]))
+    if del_entries:
+        m1 = os.path.join(root, "metadata", "m1.avro")
+        write_container(m1, _manifest_entry_schema(), del_entries)
+        manifests.append((m1, 1,
+                          max(e["sequence_number"] for e in del_entries)))
+
+    lpath = os.path.join(root, "metadata", "snap-77-1-x.avro")
+    write_container(lpath, _manifest_list_schema(), [{
+        "manifest_path": "file://" + mp,
+        "manifest_length": os.path.getsize(mp),
+        "partition_spec_id": 0, "content": c, "sequence_number": s,
+        "min_sequence_number": 1, "added_snapshot_id": 77,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 1,
+        "existing_rows_count": 0, "deleted_rows_count": 0}
+        for mp, c, s in manifests])
+    max_seq = max(s for _, _, s in manifests)
+    meta = {"format-version": 2, "table-uuid": "x", "location": root,
+            "last-sequence-number": max_seq, "last-updated-ms": 0,
+            "last-column-id": 2, "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "documentid", "required": False,
+                 "type": "string"},
+                {"id": 2, "name": "n_chars", "required": False,
+                 "type": "long"}]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999, "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 77,
+            "snapshots": [{"snapshot-id": 77, "sequence-number": max_seq,
+                           "timestamp-ms": 0, "schema-id": 0,
+                           "manifest-list": "file://" + lpath,
+                           "summary": {"operation": "overwrite"}}],
+            "snapshot-log": [], "metadata-log": []}
+    json.dump(meta, open(os.path.join(root, "metadata",
+                                      "v1.metadata.json"), "w"))
+    open(os.path.join(root, "metadata", "version-hint.text"),
+         "w").write("1")
+
+
+DATA4 = [("a", 10), ("b", 20), ("c", 30), ("d", 40)]
+
+
+def test_foreign_positional_deletes_applied(spark, tmp_path):
+    root = str(tmp_path / "posdel")
+    _foreign_with_deletes(spark, root, DATA4, data_seq=2,
+                          pos_rows=[1, 3], pos_seq=2)
+    # pos deletes apply when data_seq <= del_seq (same-commit applies)
+    got = {r[0] for r in read_iceberg(spark, root)
+           .select("documentid").collect()}
+    assert got == {"a", "c"}
+
+    root2 = str(tmp_path / "posdel_old")
+    _foreign_with_deletes(spark, root2, DATA4, data_seq=3,
+                          pos_rows=[1, 3], pos_seq=2)
+    # a delete OLDER than the data file must not touch it
+    got2 = {r[0] for r in read_iceberg(spark, root2)
+            .select("documentid").collect()}
+    assert got2 == {"a", "b", "c", "d"}
+
+
+def test_foreign_equality_deletes_strict_seq(spark, tmp_path):
+    root = str(tmp_path / "eqdel")
+    _foreign_with_deletes(spark, root, DATA4, data_seq=1,
+                          eq_rows=[20, 40], eq_seq=2, eq_ids=[2])
+    got = {r[0] for r in read_iceberg(spark, root)
+           .select("documentid").collect()}
+    assert got == {"a", "c"}
+
+    # STRICTLY-smaller rule: an equality delete at the SAME seq as the
+    # data file does not apply (rows appended with the delete survive)
+    root2 = str(tmp_path / "eqdel_same")
+    _foreign_with_deletes(spark, root2, DATA4, data_seq=2,
+                          eq_rows=[20, 40], eq_seq=2, eq_ids=[2])
+    got2 = {r[0] for r in read_iceberg(spark, root2)
+            .select("documentid").collect()}
+    assert got2 == {"a", "b", "c", "d"}
+
+    # unknown equality field-id is named loudly
+    root3 = str(tmp_path / "eqdel_bad")
+    _foreign_with_deletes(spark, root3, DATA4, data_seq=1,
+                          eq_rows=[20], eq_seq=2, eq_ids=[99])
+    with pytest.raises(ValueError, match="field-id 99"):
+        read_iceberg(spark, root3)
+
+
+def test_foreign_both_delete_kinds_compose(spark, tmp_path):
+    root = str(tmp_path / "bothdel")
+    _foreign_with_deletes(spark, root, DATA4, data_seq=1,
+                          pos_rows=[0], pos_seq=1,
+                          eq_rows=[30], eq_seq=2, eq_ids=[2])
+    got = {r[0] for r in read_iceberg(spark, root)
+           .select("documentid").collect()}
+    assert got == {"b", "d"}
 
 
 def _write_foreign_table(spark, root, *, drop_col, spec_fields,
