@@ -22,20 +22,29 @@ map keys.
   ``record_count`` and ``lower_bounds``/``upper_bounds`` are translated
   from the manifest store's per-file stats (single-value binary
   serialization per spec Appendix D), a manifest list, table metadata
-  JSON and a version hint. Live equality DVs are materialized first via
-  ``compact`` — same contract as the Delta exporter
-  (`interop/delta.py`).
+  JSON and a version hint. Live equality DVs either materialize first
+  via ``compact`` (default, same contract as the Delta exporter,
+  `interop/delta.py`) or ship AS Iceberg equality delete files
+  (``dv_mode="equality"`` — zero data rewrite; the store's
+  strictly-smaller-seq DV rule is Iceberg's equality-delete rule).
 
-* :func:`read_iceberg` — a minimal Iceberg READER: resolves the current
+* :func:`read_iceberg` — an Iceberg READER: resolves the current
   metadata file, walks manifest-list → manifests, keeps live entries
-  (status ≠ DELETED), restores identity-partition values when the data
-  files themselves lack the column (one parquet-footer probe per
-  partition group, the Hive-migration case), and returns a DataFrame.
-  ``where=`` prunes files against the manifests' bounds BEFORE any scan
-  — O(live files) driver-side metadata, zero data IO for pruned files.
-  Tables needing features this module does not implement (delete files,
-  non-parquet data) raise with the feature named rather than returning
-  wrong rows.
+  (status ≠ DELETED), APPLIES v2 positional and equality delete files
+  with spec sequence-number semantics, restores identity-partition
+  values when the data files themselves lack the column (driver-side
+  parquet-footer probes, the Hive-migration case), and returns a
+  DataFrame. ``where=`` prunes files against the manifests' bounds
+  BEFORE any scan — O(live files) driver-side metadata, zero data IO
+  for pruned files. Features this module does not implement
+  (non-parquet data, field-id renames) raise with the feature named
+  rather than returning wrong rows.
+
+* :func:`mirror_iceberg` — continuous incremental publishing: ONE new
+  snapshot per sync, O(changed files), carrying unchanged manifests by
+  reference and evolving the schema without renumbering field-ids.
+  :func:`vacuum_iceberg` expires old snapshots and deletes files only
+  they referenced.
 
 Columns are resolved BY NAME between the Iceberg schema and the parquet
 files — correct for this exporter's output and for tables never renamed;
@@ -74,7 +83,8 @@ from ..sources.avro import (
     decode_blocks, read_container, write_container,
 )
 
-__all__ = ["export_iceberg", "read_iceberg",
+__all__ = ["export_iceberg", "mirror_iceberg", "read_iceberg",
+           "vacuum_iceberg",
            "iceberg_schema_from_spark", "spark_schema_from_iceberg"]
 
 
@@ -87,7 +97,17 @@ def iceberg_schema_from_spark(schema: T.StructType) -> Dict:
     Ids are assigned the way Iceberg's fresh-id visitor does: top-level
     fields first (1..n), then nested structure ids in field order."""
     counter = [0]
+    convert_struct, _ = _fresh_converters(counter)
+    out = convert_struct(schema)
+    out["schema-id"] = 0
+    out["identifier-field-ids"] = []
+    return out
 
+
+def _fresh_converters(counter: List[int]):
+    """(convert_struct, convert_type) allocating ids from ``counter`` —
+    shared by fresh-schema export and mirror schema evolution (which
+    must allocate NEW columns above the existing last-column-id)."""
     def nxt() -> int:
         counter[0] += 1
         return counter[0]
@@ -144,10 +164,7 @@ def iceberg_schema_from_spark(schema: T.StructType) -> Dict:
             return convert_struct(dt)
         raise ValueError(f"no Iceberg mapping for Spark type {dt}")
 
-    out = convert_struct(schema)
-    out["schema-id"] = 0
-    out["identifier-field-ids"] = []
-    return out
+    return convert_struct, convert_type
 
 
 _DECIMAL_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
@@ -323,6 +340,71 @@ def _manifest_list_schema() -> Dict:
 # ---------------------------------------------------------------------------
 # export
 
+def _as_uri(p: str) -> str:
+    if "://" in p:
+        return p
+    return "file://" + os.path.abspath(p)
+
+
+def _ship_file(src_be, dst_be, dst: str, mode: str, name: str,
+               src_path: str) -> Tuple[str, int]:
+    """Copy (under ``dst/data/``) or reference one file; (URI, size)."""
+    if mode == "copy":
+        data = src_be.read_bytes(src_path)
+        if data is None:
+            raise FileNotFoundError(src_path)
+        dst_be.write_bytes(f"{dst}/data/{name}", data)
+        return _as_uri(f"{dst}/data/{name}"), len(data)
+    try:
+        return _as_uri(src_path), os.path.getsize(src_path)
+    except OSError:
+        data = src_be.read_bytes(src_path)
+        if data is None:
+            raise FileNotFoundError(src_path)
+        return _as_uri(src_path), len(data)
+
+
+def _row_count(meta: Dict, src_be, name: str, src_path: str) -> int:
+    st = meta["stats"].get(name) or {}
+    if "rows" in st:
+        return int(st["rows"])
+    # record_count is REQUIRED in Iceberg; one footer read for the
+    # rare stats-less file (pre-stats commits)
+    import pyarrow.parquet as pq
+    if "://" not in src_path and os.path.exists(src_path):
+        return pq.read_metadata(src_path).num_rows
+    import pyarrow as pa
+    blob = src_be.read_bytes(src_path)
+    return pq.read_metadata(pa.BufferReader(blob)).num_rows
+
+
+def _stats_bounds(st: Dict, name_to_field: Dict,
+                  spark_types: Dict) -> Tuple[List[Dict], List[Dict]]:
+    """Manifest-store per-file stats -> field-id-keyed bound kv lists."""
+    lowers: List[Dict] = []
+    uppers: List[Dict] = []
+
+    def add_bound(col: str, lo: Any, hi: Any) -> None:
+        fld = name_to_field.get(col)
+        if fld is None:
+            return
+        lb = _bound_bytes(spark_types[col], lo)
+        ub = _bound_bytes(spark_types[col], hi)
+        if lb is not None and ub is not None:
+            lowers.append({"key": fld["id"], "value": lb})
+            uppers.append({"key": fld["id"], "value": ub})
+
+    if "min" in st:
+        add_bound("documentid", st["min"], st["max"])
+    for col, bounds in (st.get("cols") or {}).items():
+        try:
+            lo, hi = bounds
+        except (TypeError, ValueError):
+            continue
+        add_bound(col, lo, hi)
+    return lowers, uppers
+
+
 def export_iceberg(spark: SparkSession, table: str, dst: str, *,
                    mode: str = "copy", version: Optional[int] = None,
                    apply_deletes: bool = True,
@@ -419,33 +501,10 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
         return int(meta["seq"].get(name, 0)) + 1 if has_dvs else 1
 
     def ship(name: str, src_path: str) -> Tuple[str, int]:
-        """Copy or reference one file; returns (URI, size)."""
-        if mode == "copy":
-            data = src_be.read_bytes(src_path)
-            if data is None:
-                raise FileNotFoundError(src_path)
-            dst_be.write_bytes(f"{dst}/data/{name}", data)
-            return as_uri(f"{dst}/data/{name}"), len(data)
-        try:
-            return as_uri(src_path), os.path.getsize(src_path)
-        except OSError:
-            data = src_be.read_bytes(src_path)
-            if data is None:
-                raise FileNotFoundError(src_path)
-            return as_uri(src_path), len(data)
+        return _ship_file(src_be, dst_be, dst, mode, name, src_path)
 
     def row_count(name: str, src_path: str) -> int:
-        st = meta["stats"].get(name) or {}
-        if "rows" in st:
-            return int(st["rows"])
-        # record_count is REQUIRED in Iceberg; one footer read for the
-        # rare stats-less file (pre-stats commits)
-        import pyarrow.parquet as pq
-        if "://" not in src_path and os.path.exists(src_path):
-            return pq.read_metadata(src_path).num_rows
-        import pyarrow as pa
-        blob = src_be.read_bytes(src_path)
-        return pq.read_metadata(pa.BufferReader(blob)).num_rows
+        return _row_count(meta, src_be, name, src_path)
 
     entries: List[Dict] = []
     total_rows = 0
@@ -456,28 +515,8 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
             fpath, fsize = ship(name, src_path)
             nrows = row_count(name, src_path)
             total_rows += nrows
-            st = meta["stats"].get(name) or {}
-            lowers: List[Dict] = []
-            uppers: List[Dict] = []
-
-            def add_bound(col: str, lo: Any, hi: Any) -> None:
-                fld = name_to_field.get(col)
-                if fld is None:
-                    return
-                lb = _bound_bytes(spark_types[col], lo)
-                ub = _bound_bytes(spark_types[col], hi)
-                if lb is not None and ub is not None:
-                    lowers.append({"key": fld["id"], "value": lb})
-                    uppers.append({"key": fld["id"], "value": ub})
-
-            if "min" in st:
-                add_bound("documentid", st["min"], st["max"])
-            for col, bounds in (st.get("cols") or {}).items():
-                try:
-                    lo, hi = bounds
-                except (TypeError, ValueError):
-                    continue
-                add_bound(col, lo, hi)
+            lowers, uppers = _stats_bounds(meta["stats"].get(name) or {},
+                                           name_to_field, spark_types)
             entries.append({
                 "status": 1, "snapshot_id": snapshot_id,
                 "sequence_number": seq_of(name),
@@ -886,27 +925,41 @@ def read_iceberg(spark: SparkSession, path: str, *,
     helper = ["__ice_fp", "__ice_pos"] if apply_deletes else []
 
     out: Optional[DataFrame] = None
+    probe_cache: Dict[str, set] = {}
+
+    def footer_cols(p: str) -> set:
+        if p not in probe_cache:
+            probe_cache[p] = _parquet_footer_columns(p)
+        return probe_cache[p]
+
+    # the read schema always comes from the ICEBERG metadata, not file
+    # footers — per-file missing columns surface null (the reader's
+    # schema-widening contract), and heterogeneous groups (a mirror that
+    # widened the schema mid-stream) stay deterministic
+    read_schema = T.StructType([
+        T.StructField(n, spark_types[n], True)
+        for n in spark_schema.names])
     for (spec_id, part_items), files in sorted(groups.items(),
                                                key=lambda kv: str(kv[0])):
         part = dict(part_items)
         paths = [p for p, _ in files]
-        probe_cols = _parquet_footer_columns(paths[0])
-        df = spark.read.parquet(*paths)
-        if apply_deletes:
-            df = (df.withColumn("__ice_fp",
-                                _norm_path_col(F.col("_metadata.file_path")))
-                  .withColumn("__ice_pos", F.col("_metadata.row_index")))
+        first_cols = footer_cols(paths[0])
+        restore: Dict[str, Any] = {}
         for name in spark_schema.names:
-            if name in probe_cols:
+            if name in first_cols:
                 continue
-            # column absent from the data files: identity partition
-            # value restores it; otherwise this is a field-id rename we
-            # cannot resolve by name — refuse rather than return nulls
+            # missing from the first footer: widened column (present in
+            # SOME file — nulls elsewhere are correct), identity
+            # partition value (present in NO file — restore it), or a
+            # field-id rename we cannot resolve by name — refuse rather
+            # than return nulls. Footer probes are driver-side and
+            # cached; only this rare path pays beyond the first file.
+            if any(name in footer_cols(p) for p in paths[1:]):
+                continue
             restored = False
             for pname, src in identity_by_spec.get(spec_id, []):
                 if src == name and pname in part:
-                    df = df.withColumn(
-                        name, F.lit(part[pname]).cast(spark_types[name]))
+                    restore[name] = part[pname]
                     restored = True
                     break
             if not restored:
@@ -915,6 +968,13 @@ def read_iceberg(spark: SparkSession, path: str, *,
                     f"{paths[0]} and no identity partition provides it — "
                     "field-id column resolution (renamed columns) is not "
                     "supported by this reader")
+        df = spark.read.schema(read_schema).parquet(*paths)
+        if apply_deletes:
+            df = (df.withColumn("__ice_fp",
+                                _norm_path_col(F.col("_metadata.file_path")))
+                  .withColumn("__ice_pos", F.col("_metadata.row_index")))
+        for name, val in restore.items():
+            df = df.withColumn(name, F.lit(val).cast(spark_types[name]))
         df = df.select(*[F.col(n).cast(spark_types[n]).alias(n)
                          for n in spark_schema.names], *helper)
         out = df if out is None else out.unionByName(df)
@@ -1001,3 +1061,438 @@ def _parquet_footer_columns(path: str) -> set:
     if blob is None:
         raise FileNotFoundError(path)
     return set(pq.read_schema(pa.BufferReader(blob)).names)
+
+
+# ---------------------------------------------------------------------------
+# incremental mirroring + snapshot expiry
+
+def _strip_ids(t: Any) -> Any:
+    """Type node minus every id key — the shape two schemas must share
+    for a column to be "the same column" across mirror syncs."""
+    if isinstance(t, dict):
+        return {k: _strip_ids(v) for k, v in t.items()
+                if k not in ("id", "element-id", "key-id", "value-id",
+                             "schema-id", "identifier-field-ids")}
+    if isinstance(t, list):
+        return [_strip_ids(v) for v in t]
+    return t
+
+
+def _evolve_schema(old: Dict, spark_schema: T.StructType,
+                   last_column_id: int) -> Tuple[Dict, int, bool]:
+    """Grow an existing Iceberg schema to the source's current Spark
+    schema WITHOUT renumbering: top-level names that still exist keep
+    their field subtree (every nested id stable), new columns allocate
+    ids above ``last_column_id``, vanished columns drop. A TYPE change
+    on a surviving name raises — Iceberg requires a new column (new
+    field-id) for that. Returns (schema, new last-column-id, changed)."""
+    counter = [last_column_id]
+    _, convert_type = _fresh_converters(counter)
+    old_by_name = {f["name"]: f for f in old["fields"]}
+    fields: List[Dict] = []
+    changed = False
+    for f in spark_schema.fields:
+        if f.name in old_by_name:
+            of = old_by_name[f.name]
+            probe = [0]
+            _, probe_ct = _fresh_converters(probe)
+            if _strip_ids(of["type"]) != _strip_ids(
+                    probe_ct(f.dataType)):
+                raise ValueError(
+                    f"column {f.name!r} changed type since the last "
+                    "mirror sync — Iceberg field-ids forbid in-place "
+                    "type changes; add a new column instead")
+            nf = dict(of)
+            nf["required"] = not f.nullable
+            if nf != of:
+                changed = True
+            fields.append(nf)
+        else:
+            fid = counter[0] + 1
+            counter[0] = fid
+            fields.append({"id": fid, "name": f.name,
+                           "required": not f.nullable,
+                           "type": convert_type(f.dataType)})
+            changed = True
+    if set(old_by_name) - {f.name for f in spark_schema.fields}:
+        changed = True
+    if [f["name"] for f in fields] != [f["name"] for f in old["fields"]]:
+        changed = True
+    if not changed:
+        return old, last_column_id, False
+    out = {"type": "struct",
+           "schema-id": int(old.get("schema-id", 0)) + 1,
+           "identifier-field-ids": [], "fields": fields}
+    return out, counter[0], True
+
+
+def _walk_snapshot(be, root: str, snap: Dict):
+    """Manifest-list rows of one snapshot plus each manifest's LIVE
+    entries (status ≠ DELETED) with sequence numbers made explicit."""
+    lblob = be.read_bytes(_resolve(snap["manifest-list"], root))
+    if lblob is None:
+        raise FileNotFoundError(snap["manifest-list"])
+    rows = decode_blocks(lblob, snap["manifest-list"])
+    out = []
+    for row in rows:
+        mblob = be.read_bytes(_resolve(row["manifest_path"], root))
+        if mblob is None:
+            raise FileNotFoundError(row["manifest_path"])
+        _, ents = read_container(mblob, row["manifest_path"])
+        live = []
+        for e in ents:
+            if e.get("status") == 2:
+                continue
+            if e.get("sequence_number") is None:
+                e = dict(e, sequence_number=int(
+                    row.get("sequence_number", 0)))
+            live.append(e)
+        out.append((row, live))
+    return out
+
+
+def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
+                   dv_mode: str = "materialize") -> int:
+    """Incrementally publish a manifest table to an existing Iceberg
+    export (continuous mirroring, the Iceberg twin of
+    :func:`..interop.delta.mirror_delta`): diff the mirror's live file
+    set against the manifest's by basename (file names are unique hex
+    tokens shared between store and export, so basename identity IS
+    file identity) and write ONE new snapshot — O(changed files), no
+    re-export, self-healing (the diff is against what the mirror
+    actually references, not a stored watermark).
+
+    Manifests containing no removed file are CARRIED into the new
+    manifest list untouched (Iceberg's manifest-reuse fast append);
+    manifests that lost files are rewritten with survivors as EXISTING
+    entries at their original sequence numbers, so time travel to prior
+    snapshots keeps working until :func:`vacuum_iceberg` expires them.
+    A first call on an empty ``dst`` falls back to
+    :func:`export_iceberg` (copy mode). Copy-vs-shallow is inferred
+    from where the existing entries point. Schema widened since the
+    last sync evolves WITHOUT renumbering (new columns get fresh
+    field-ids above last-column-id). ``dv_mode`` as in export; under
+    ``"equality"`` DV files diff exactly like data files and sequence
+    numbers keep the store's ordering. Returns the metadata version
+    written (or the current one when nothing changed)."""
+    import hashlib
+    import time as _time
+
+    from ..sinks import manifest_store as ms
+    from ..sinks.commit_backend import backend_for
+    from ..sinks.data_backend import data_backend_for
+
+    if dv_mode not in ("materialize", "equality"):
+        raise ValueError(f"dv_mode must be 'materialize' or 'equality', "
+                         f"got {dv_mode!r}")
+    root = dst.rstrip("/")
+    meta_dir = f"{root}/metadata"
+    be = data_backend_for(dst)
+    hint = be.read_bytes(f"{meta_dir}/version-hint.text")
+    if hint is None:
+        export_iceberg(spark, table, dst, mode="copy", dv_mode=dv_mode)
+        return 1
+    cur_v = int(hint.decode().strip())
+    tmeta = json.loads(be.read_bytes(f"{meta_dir}/v{cur_v}.metadata.json"))
+
+    manifest = ms.read_manifest(table)
+    meta = ms._manifest_meta(manifest)
+    has_dvs = any(meta["deletes"].get(b) for b in manifest["buckets"]
+                  if manifest["buckets"].get(b))
+    if has_dvs and dv_mode == "materialize":
+        ms.compact(spark, table, max_files_per_bucket=10 ** 9)
+        manifest = ms.read_manifest(table)
+        meta = ms._manifest_meta(manifest)
+    if meta.get("colmap"):
+        raise ValueError(
+            "table uses column mapping (renamed/dropped columns) — "
+            "not mirrorable to Iceberg by name; see export_iceberg")
+
+    spark_schema = T.StructType.fromJson(
+        {"type": "struct", "fields": meta["schema"]})
+    schemas = list(tmeta.get("schemas") or [])
+    by_id = {s.get("schema-id"): s for s in schemas}
+    old_schema = by_id.get(tmeta.get("current-schema-id"), schemas[-1])
+    ice_schema, last_col, schema_changed = _evolve_schema(
+        old_schema, spark_schema, int(tmeta.get("last-column-id", 0)))
+    name_to_field = {f["name"]: f for f in ice_schema["fields"]}
+    spark_types = {f.name: f.dataType for f in spark_schema.fields}
+
+    snaps = {s["snapshot-id"]: s for s in tmeta.get("snapshots", [])}
+    cur_snap = snaps.get(tmeta.get("current-snapshot-id"))
+    old_manifests = _walk_snapshot(be, root, cur_snap) \
+        if cur_snap is not None else []
+
+    mirror_names: Dict[str, int] = {}
+    any_entries = False
+    any_copied = False
+    for _, live in old_manifests:
+        for e in live:
+            any_entries = True
+            p = _norm_path(e["data_file"]["file_path"])
+            if p.startswith(root + "/data/"):
+                any_copied = True
+            mirror_names[os.path.basename(p)] = \
+                e["data_file"].get("content", 0)
+    mode = "copy" if (any_copied or not any_entries) else "shallow"
+
+    now_data = {n for b in manifest["buckets"]
+                for n in manifest["buckets"][b]}
+    now_del = ({n for b in meta["deletes"] for n in meta["deletes"][b]}
+               if dv_mode == "equality" else set())
+    added_data = sorted(now_data - set(mirror_names))
+    added_del = sorted(now_del - set(mirror_names))
+    removed = {n for n, c in mirror_names.items()
+               if n not in now_data and n not in now_del}
+    if not added_data and not added_del and not removed \
+            and not schema_changed:
+        return cur_v
+
+    now_ms = int(_time.time() * 1000)
+    new_v = cur_v + 1
+    seed = f"{table}:{manifest['version']}:{new_v}"
+    snapshot_id = int.from_bytes(
+        hashlib.sha256(seed.encode()).digest()[:8], "big") >> 1
+    run_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, seed))
+    last_seq = int(tmeta.get("last-sequence-number", 1))
+    if dv_mode == "equality":
+        def entry_seq(name: str) -> int:
+            return int(meta["seq"].get(name, 0)) + 1
+    else:
+        def entry_seq(name: str) -> int:
+            return last_seq + 1
+
+    src_be = data_backend_for(table)
+    dst_be = be
+
+    def build_entry(name: str, content: int) -> Dict:
+        src_path = meta["ext"].get(name) or ms._join(table, "files", name)
+        fpath, fsize = _ship_file(src_be, dst_be, root, mode, name,
+                                  src_path)
+        nrows = _row_count(meta, src_be, name, src_path)
+        if content == 0:
+            lowers, uppers = _stats_bounds(
+                meta["stats"].get(name) or {}, name_to_field, spark_types)
+            eq_ids = None
+        else:
+            lowers = uppers = None
+            doc_field = name_to_field.get("documentid")
+            if doc_field is None:
+                raise ValueError(
+                    "dv_mode='equality' needs the documentid column in "
+                    "the mirrored schema")
+            eq_ids = [doc_field["id"]]
+        return {"status": 1, "snapshot_id": snapshot_id,
+                "sequence_number": entry_seq(name),
+                "file_sequence_number": entry_seq(name),
+                "data_file": {
+                    "content": content, "file_path": fpath,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": int(fsize),
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
+                    "equality_ids": eq_ids,
+                }}
+
+    new_data_entries = [build_entry(n, 0) for n in added_data]
+    new_del_entries = [build_entry(n, 2) for n in added_del]
+
+    schema_json = json.dumps(ice_schema)
+    import tempfile
+
+    def write_manifest(tag: str, m_entries: List[Dict],
+                       content_kind: str) -> Tuple[str, bytes]:
+        m_name = f"{run_uuid}-{tag}.avro"
+        m_path = f"{meta_dir}/{m_name}"
+        with tempfile.TemporaryDirectory() as td:
+            tmp = os.path.join(td, m_name)
+            write_container(
+                tmp, _manifest_entry_schema(), m_entries, codec="deflate",
+                sync=hashlib.sha256(m_name.encode()).digest()[:16],
+                extra_meta={"schema": schema_json,
+                            "partition-spec": "[]",
+                            "partition-spec-id": "0",
+                            "format-version": "2",
+                            "content": content_kind})
+            blob = open(tmp, "rb").read()
+        dst_be.write_bytes(m_path, blob)
+        return m_path, blob
+
+    list_rows: List[Dict] = []
+    m_counter = 0
+
+    def add_new_manifest(m_entries: List[Dict], content: int,
+                         kind: str, added: bool) -> None:
+        nonlocal m_counter
+        m_path, blob = write_manifest(f"m{m_counter}", m_entries, kind)
+        m_counter += 1
+        seqs = [e["sequence_number"] for e in m_entries] or [last_seq + 1]
+        rows = sum(e["data_file"]["record_count"] for e in m_entries)
+        n = len(m_entries)
+        list_rows.append({
+            "manifest_path": _as_uri(m_path),
+            "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": max(seqs),
+            "min_sequence_number": min(seqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": n if added else 0,
+            "existing_files_count": 0 if added else n,
+            "deleted_files_count": 0,
+            "added_rows_count": rows if added else 0,
+            "existing_rows_count": 0 if added else rows,
+            "deleted_rows_count": 0,
+        })
+
+    if new_data_entries:
+        add_new_manifest(new_data_entries, 0, "data", added=True)
+    if new_del_entries:
+        add_new_manifest(new_del_entries, 1, "deletes", added=True)
+
+    for row, live in old_manifests:
+        hit = [e for e in live if os.path.basename(
+            _norm_path(e["data_file"]["file_path"])) in removed]
+        if not hit:
+            list_rows.append(row)
+            continue
+        survivors = [dict(e, status=0) for e in live if e not in hit]
+        if not survivors:
+            continue
+        kind = "data" if row.get("content", 0) == 0 else "deletes"
+        add_new_manifest(survivors, row.get("content", 0), kind,
+                         added=False)
+
+    all_entry_seqs = [e["sequence_number"]
+                      for e in new_data_entries + new_del_entries]
+    new_last_seq = max([last_seq + 1] + all_entry_seqs)
+    list_name = f"snap-{snapshot_id}-1-{run_uuid}.avro"
+    list_path = f"{meta_dir}/{list_name}"
+    with tempfile.TemporaryDirectory() as td:
+        tmp = os.path.join(td, list_name)
+        write_container(
+            tmp, _manifest_list_schema(), list_rows, codec="deflate",
+            sync=hashlib.sha256(list_name.encode()).digest()[:16],
+            extra_meta={"format-version": "2",
+                        "snapshot-id": str(snapshot_id),
+                        "sequence-number": str(new_last_seq)})
+        dst_be.write_bytes(list_path, open(tmp, "rb").read())
+
+    new_meta = dict(tmeta)
+    if schema_changed:
+        schemas.append(ice_schema)
+        new_meta["schemas"] = schemas
+        new_meta["current-schema-id"] = ice_schema["schema-id"]
+        new_meta["last-column-id"] = max(
+            int(tmeta.get("last-column-id", 0)), last_col,
+            _max_field_id(ice_schema))
+        props = dict(new_meta.get("properties") or {})
+        props["schema.name-mapping.default"] = json.dumps(
+            _name_mapping(ice_schema))
+        new_meta["properties"] = props
+    new_meta["last-sequence-number"] = new_last_seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(tmeta.get("snapshots", [])) + [{
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": tmeta.get("current-snapshot-id"),
+        "sequence-number": new_last_seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": _as_uri(list_path),
+        "schema-id": ice_schema.get("schema-id", 0),
+        "summary": {
+            "operation": "overwrite"
+            if (removed or new_del_entries) else "append",
+            "added-data-files": str(len(new_data_entries)),
+            "added-delete-files": str(len(new_del_entries)),
+            "removed-data-files": str(len(removed)),
+            "source-version": str(manifest["version"]),
+        }}]
+    new_meta["snapshot-log"] = list(tmeta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+    new_meta["metadata-log"] = list(tmeta.get("metadata-log", [])) + [
+        {"timestamp-ms": int(tmeta.get("last-updated-ms", 0)),
+         "metadata-file": _as_uri(f"{meta_dir}/v{cur_v}.metadata.json")}]
+
+    cbe = backend_for(dst)
+    if not cbe.put_if_absent(f"{meta_dir}/v{new_v}.metadata.json",
+                             json.dumps(new_meta, indent=1)):
+        raise RuntimeError(
+            f"Iceberg metadata v{new_v} of {dst} was committed "
+            "concurrently; re-run the mirror")
+    be.write_bytes(f"{meta_dir}/version-hint.text",
+                   str(new_v).encode())
+    return new_v
+
+
+def vacuum_iceberg(dst: str, keep_snapshots: int = 1,
+                   dry_run: bool = False) -> List[str]:
+    """Expire all but the newest ``keep_snapshots`` snapshots and delete
+    files only they referenced (Iceberg ``expire_snapshots`` + orphan
+    cleanup in one pass): writes a new metadata version with the kept
+    snapshots, then removes manifest lists, manifests and ``data/``
+    files (dst-local only — shallow references are never touched) that
+    no kept snapshot reaches. Returns the deleted (or, with
+    ``dry_run``, would-be-deleted) paths; a dry run changes nothing,
+    not even metadata."""
+    from ..sinks.commit_backend import backend_for
+    from ..sinks.data_backend import data_backend_for
+
+    if keep_snapshots < 1:
+        raise ValueError("keep_snapshots must be >= 1")
+    root = dst.rstrip("/")
+    meta_dir = f"{root}/metadata"
+    be = data_backend_for(dst)
+    hint = be.read_bytes(f"{meta_dir}/version-hint.text")
+    if hint is None:
+        raise FileNotFoundError(f"{meta_dir}: no version-hint.text")
+    cur_v = int(hint.decode().strip())
+    tmeta = json.loads(be.read_bytes(f"{meta_dir}/v{cur_v}.metadata.json"))
+    snaps = sorted(tmeta.get("snapshots", []),
+                   key=lambda s: (s["timestamp-ms"], s["snapshot-id"]))
+    current_id = tmeta.get("current-snapshot-id")
+    kept = snaps[-keep_snapshots:]
+    if current_id not in {s["snapshot-id"] for s in kept}:
+        kept.append(next(s for s in snaps
+                         if s["snapshot-id"] == current_id))
+    expired = [s for s in snaps
+               if s["snapshot-id"] not in {k["snapshot-id"] for k in kept}]
+    if not expired:
+        return []
+
+    def reach(snapshots) -> set:
+        seen = set()
+        for s in snapshots:
+            lp = _norm_path(_resolve(s["manifest-list"], root))
+            seen.add(lp)
+            for row, live in _walk_snapshot(be, root, s):
+                seen.add(_norm_path(_resolve(row["manifest_path"], root)))
+                for e in live:
+                    seen.add(_norm_path(
+                        _resolve(e["data_file"]["file_path"], root)))
+        return seen
+
+    keep_set = reach(kept)
+    drop_set = reach(expired) - keep_set
+    local = sorted(p for p in drop_set if p.startswith(root + "/"))
+    if dry_run:
+        return local
+
+    kept_ids = {s["snapshot-id"] for s in kept}
+    new_meta = dict(tmeta)
+    new_meta["snapshots"] = [s for s in snaps
+                             if s["snapshot-id"] in kept_ids]
+    new_meta["snapshot-log"] = [
+        e for e in tmeta.get("snapshot-log", [])
+        if e.get("snapshot-id") in kept_ids]
+    new_v = cur_v + 1
+    cbe = backend_for(dst)
+    if not cbe.put_if_absent(f"{meta_dir}/v{new_v}.metadata.json",
+                             json.dumps(new_meta, indent=1)):
+        raise RuntimeError(
+            f"Iceberg metadata v{new_v} of {dst} was committed "
+            "concurrently; re-run the vacuum")
+    be.write_bytes(f"{meta_dir}/version-hint.text", str(new_v).encode())
+    for p in local:
+        be.delete(p)
+    return local

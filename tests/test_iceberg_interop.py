@@ -579,6 +579,143 @@ def test_schema_translation_roundtrip():
                 {"id": 1, "name": "u", "required": False, "type": "uuid"}]})
 
 
+def test_mirror_iceberg_incremental(spark, tmp_path):
+    from dataingestion_spark.interop.iceberg import (
+        mirror_iceberg, vacuum_iceberg,
+    )
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, read_table,
+    )
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "mirror")
+    assert mirror_iceberg(spark, tbl, dst) == 1     # first sync = export
+    assert mirror_iceberg(spark, tbl, dst) == 1     # no change → no-op
+    v1_meta = json.load(open(os.path.join(dst, "metadata",
+                                          "v1.metadata.json")))
+    snap1 = v1_meta["current-snapshot-id"]
+
+    extra = _docs(spark).limit(40).select(
+        (F.col("documentid").cast("long") + 1000000).cast("string")
+        .alias("documentid"), "text", "lang", "n_chars")
+    append_table(extra, tbl)
+    assert mirror_iceberg(spark, tbl, dst) == 2
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == want and len(want) == 540
+
+    # manifest reuse: v2's list carries the v1 manifest by reference
+    v2_meta = json.load(open(os.path.join(dst, "metadata",
+                                          "v2.metadata.json")))
+    snap2 = {s["snapshot-id"]: s for s in v2_meta["snapshots"]}[
+        v2_meta["current-snapshot-id"]]
+    lrows = read_container(
+        open(snap2["manifest-list"][7:], "rb").read(), "l")[1]
+    old_snap = {s["snapshot-id"]: s for s in v1_meta["snapshots"]}[snap1]
+    old_lrows = read_container(
+        open(old_snap["manifest-list"][7:], "rb").read(), "l")[1]
+    assert old_lrows[0]["manifest_path"] in \
+        {r["manifest_path"] for r in lrows}
+    assert snap2["parent-snapshot-id"] == snap1
+
+    # time travel to the pre-append snapshot still works
+    assert read_iceberg(spark, dst, snapshot_id=snap1).count() == 500
+
+    # a store compaction rewrites files → mirror handles removed+added
+    from dataingestion_spark.sinks.manifest_store import compact
+    compact(spark, tbl, max_files_per_bucket=1)
+    v = mirror_iceberg(spark, tbl, dst)
+    assert v == 3
+    got3 = {tuple(r) for r in read_iceberg(spark, dst)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got3 == want
+
+    # vacuum: dry run deletes nothing, real run expires old snapshots
+    dry = vacuum_iceberg(dst, keep_snapshots=1, dry_run=True)
+    assert dry and all(os.path.exists(p) for p in dry)
+    gone = vacuum_iceberg(dst, keep_snapshots=1)
+    assert sorted(gone) == sorted(dry)
+    assert not any(os.path.exists(p) for p in gone)
+    got4 = {tuple(r) for r in read_iceberg(spark, dst)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got4 == want
+    with pytest.raises(ValueError, match="not in metadata"):
+        read_iceberg(spark, dst, snapshot_id=snap1)
+
+
+def test_mirror_iceberg_equality_dv_sync(spark, tmp_path):
+    from dataingestion_spark.interop.iceberg import mirror_iceberg
+    from dataingestion_spark.sinks.manifest_store import (
+        delete_documents, read_manifest, read_table,
+    )
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "mirror_eq")
+    assert mirror_iceberg(spark, tbl, dst, dv_mode="equality") == 1
+    ids = [r[0] for r in read_table(spark, tbl)
+           .select("documentid").limit(5).collect()]
+    delete_documents(spark, tbl, ids)
+    assert mirror_iceberg(spark, tbl, dst, dv_mode="equality") == 2
+    # the source kept its DVs — the mirror shipped them, not a compact
+    assert any(read_manifest(tbl).get("deletes", {}).values())
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == want
+    assert not ({r[0] for r in got} & set(ids))
+    meta = json.load(open(os.path.join(dst, "metadata",
+                                       "v2.metadata.json")))
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]]
+    assert snap["summary"]["operation"] == "overwrite"
+    assert int(snap["summary"]["added-delete-files"]) >= 1
+
+
+def test_mirror_iceberg_schema_evolution_keeps_ids(spark, tmp_path):
+    from dataingestion_spark.interop.iceberg import mirror_iceberg
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, read_table,
+    )
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "mirror_ev")
+    mirror_iceberg(spark, tbl, dst)
+    v1_meta = json.load(open(os.path.join(dst, "metadata",
+                                          "v1.metadata.json")))
+    old_ids = {f["name"]: f["id"]
+               for f in v1_meta["schemas"][0]["fields"]}
+
+    widened = _docs(spark).limit(25).select(
+        (F.col("documentid").cast("long") + 2000000).cast("string")
+        .alias("documentid"), "text", "lang", "n_chars",
+        F.lit(3.5).alias("quality"))
+    append_table(widened, tbl)
+    assert mirror_iceberg(spark, tbl, dst) == 2
+    v2_meta = json.load(open(os.path.join(dst, "metadata",
+                                          "v2.metadata.json")))
+    assert len(v2_meta["schemas"]) == 2
+    cur = {s["schema-id"]: s for s in v2_meta["schemas"]}[
+        v2_meta["current-schema-id"]]
+    new_ids = {f["name"]: f["id"] for f in cur["fields"]}
+    for name, fid in old_ids.items():
+        assert new_ids[name] == fid, "existing field-ids must not move"
+    assert new_ids["quality"] > max(old_ids.values())
+    assert v2_meta["last-column-id"] >= new_ids["quality"]
+
+    # read back: old files surface null for the widened column
+    back = read_iceberg(spark, dst)
+    assert back.filter(F.col("quality").isNull()).count() == 500
+    assert back.filter(F.col("quality") == 3.5).count() == 25
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "quality").collect()}
+    got = {tuple(r) for r in back
+           .select("documentid", "quality").collect()}
+    assert got == want
+
+
 def test_pyiceberg_reads_our_export_if_available(spark, tmp_path):
     pytest.importorskip("pyiceberg")
     from pyiceberg.table import StaticTable  # pragma: no cover
