@@ -3,7 +3,8 @@ exported to and read back from every wire format the engine speaks —
 
   parquet (the lakehouse native) → JSONL (+gzip) → zstd-JSONL (DCLM /
   RedPajama-v2 shape) → TFRecord (+gzip, tf.train.Example) → Arrow IPC
-  (+zstd buffers, the dataloader mmap format) → WebDataset tar shards
+  (+zstd buffers, the dataloader mmap format) → Avro containers
+  (+deflate, the codec Iceberg manifests ride) → WebDataset tar shards
 
 Every sink here shares the same contract: deterministic hash-sharded
 bytes (re-exports are idempotent, shards content-addressable), one
@@ -94,6 +95,16 @@ def main():
     write_arrow_ipc(docs, d, shards=4, order_by="doc_id",
                     compression="zstd")
     check("arrow+zstd", d, read_arrow_ipc(spark, d))
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    d = os.path.join(tmp, "avro")
+    write_avro(docs, d, shards=4, order_by="doc_id")
+    check("avro", d, read_avro(spark, d))
+
+    d = os.path.join(tmp, "avro_deflate")
+    write_avro(docs, d, shards=4, order_by="doc_id", codec="deflate")
+    check("avro+deflate", d, read_avro(spark, d))
 
     print(f"\n{n} documents through every interchange format:")
     print(f"{'format':<12} {'MB':>8} {'rows':>7}")
