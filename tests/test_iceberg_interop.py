@@ -716,6 +716,83 @@ def test_mirror_iceberg_schema_evolution_keeps_ids(spark, tmp_path):
     assert got == want
 
 
+def test_mirror_model_random_ops(spark, tmp_path):
+    """Model-based pin: a random interleaving of store ops (append /
+    delete / merge-update / compact), mirrored after each, must keep
+    read_iceberg == read_table at EVERY step, with time travel back to
+    each prior snapshot still serving that step's exact rows until a
+    final vacuum expires them. Seeded — failures reproduce."""
+    import random
+
+    from dataingestion_spark.interop.iceberg import (
+        mirror_iceberg, vacuum_iceberg,
+    )
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, compact, delete_documents, merge_table, read_table,
+    )
+
+    rng = random.Random(20260816)
+    tbl = str(tmp_path / "t")
+    dst = str(tmp_path / "mirror")
+    from dataingestion_spark.sinks.manifest_store import write_table
+    base = _docs(spark).limit(60)
+    write_table(base, tbl)
+    mirror_iceberg(spark, tbl, dst, dv_mode="equality")
+
+    def snap_rows():
+        return {tuple(r) for r in read_table(spark, tbl)
+                .select("documentid", "text", "lang", "n_chars")
+                .collect()}
+
+    history = []  # (snapshot_id, expected rows)
+    next_id = 10 ** 7
+    for step in range(6):
+        op = rng.choice(["append", "delete", "merge", "compact"])
+        live = sorted(r[0] for r in read_table(spark, tbl)
+                      .select("documentid").collect())
+        if op == "append":
+            k = rng.randint(1, 4)
+            extra = _docs(spark).limit(k).select(
+                F.lit(None).cast("string").alias("drop"),
+                (F.monotonically_increasing_id() + next_id)
+                .cast("string").alias("documentid"),
+                "text", "lang", "n_chars").drop("drop")
+            next_id += 100
+            append_table(extra, tbl)
+        elif op == "delete" and live:
+            delete_documents(
+                spark, tbl, rng.sample(live, min(3, len(live))))
+        elif op == "merge" and live:
+            touch = rng.sample(live, min(2, len(live)))
+            batch = (read_table(spark, tbl)
+                     .filter(F.col("documentid").isin(touch))
+                     .withColumn("n_chars", F.col("n_chars") + 1000))
+            merge_table(batch, tbl)
+        else:
+            compact(spark, tbl, max_files_per_bucket=1)
+        v = mirror_iceberg(spark, tbl, dst, dv_mode="equality")
+        want = snap_rows()
+        got = {tuple(r) for r in read_iceberg(spark, dst)
+               .select("documentid", "text", "lang", "n_chars")
+               .collect()}
+        assert got == want, f"step {step} ({op}): mirror diverged"
+        meta = json.load(open(os.path.join(
+            dst, "metadata", f"v{v}.metadata.json")))
+        history.append((meta["current-snapshot-id"], want))
+
+    # every retained snapshot still serves its step's exact rows
+    for sid, want in history:
+        got = {tuple(r) for r in read_iceberg(spark, dst, snapshot_id=sid)
+               .select("documentid", "text", "lang", "n_chars")
+               .collect()}
+        assert got == want, f"time travel to {sid} diverged"
+
+    vacuum_iceberg(dst, keep_snapshots=1)
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == history[-1][1]
+
+
 def test_pyiceberg_reads_our_export_if_available(spark, tmp_path):
     pytest.importorskip("pyiceberg")
     from pyiceberg.table import StaticTable  # pragma: no cover
