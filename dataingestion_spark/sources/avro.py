@@ -550,6 +550,218 @@ def _compile_decoder(node: Dict, path: str) -> Callable[[_Cursor], Any]:
     raise ValueError(f"{path}: cannot decode Avro kind {kind!r}")
 
 
+def _compile_skipper(node: Dict, path: str) -> Callable[[_Cursor], None]:
+    """Advance the cursor past one value WITHOUT building it — writer
+    fields the reader does not want cost parse time only."""
+    kind = node["kind"]
+    if kind == "union":
+        skips = [_compile_skipper(b, path) for b in node["branches"]]
+
+        def skip_union(cur, _skips=skips):
+            i = cur.read_long()
+            try:
+                _skips[i](cur)
+            except IndexError:
+                raise ValueError(
+                    f"{path}: union index {i} out of range") from None
+        return skip_union
+    if kind == "null":
+        return lambda cur: None
+    if kind in ("long", "int"):
+        return lambda cur: cur.read_long() and None
+    if kind == "double":
+        return lambda cur: cur.read_fixed(8) and None
+    if kind == "float":
+        return lambda cur: cur.read_fixed(4) and None
+    if kind == "boolean":
+        return lambda cur: cur.read_fixed(1) and None
+    if kind in ("string", "bytes"):
+        return lambda cur: cur.read_bytes() and None
+    if kind == "fixed":
+        size = node["size"]
+        return lambda cur: cur.read_fixed(size) and None
+    if kind == "enum":
+        return lambda cur: cur.read_long() and None
+    if kind in ("array", "map"):
+        inner = _compile_skipper(
+            node["items"] if kind == "array" else node["values"],
+            path + ("[]" if kind == "array" else "{}"))
+        is_map = kind == "map"
+
+        def skip_blocks(cur, _inner=inner, _map=is_map):
+            while True:
+                n = cur.read_long()
+                if n == 0:
+                    return
+                if n < 0:
+                    # negative count: byte size follows — skip the whole
+                    # block without parsing items (the spec's fast path)
+                    size = cur.read_long()
+                    cur.read_fixed(size)
+                    continue
+                for _ in range(n):
+                    if _map:
+                        cur.read_bytes()
+                    _inner(cur)
+        return skip_blocks
+    if kind == "record":
+        skips = [_compile_skipper(f["schema"], f"{path}.{f['name']}")
+                 for f in node["fields"]]
+
+        def skip_record(cur, _skips=skips):
+            for s in _skips:
+                s(cur)
+        return skip_record
+    raise ValueError(f"{path}: cannot skip Avro kind {kind!r}")
+
+
+_PROMOTIONS = {
+    ("int", "long"): lambda v: v,
+    ("int", "float"): float, ("int", "double"): float,
+    ("long", "float"): float, ("long", "double"): float,
+    ("float", "double"): lambda v: v,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _default_value(field: Dict, path: str):
+    """Reader-side value for a field the writer never wrote: the
+    declared ``default`` (JSON form per spec — bytes defaults are
+    latin-1 strings), else null for nullable unions, else loud."""
+    attrs = field.get("attrs") or {}
+    sch = field["schema"]
+    if "default" in attrs:
+        d = attrs["default"]
+        kind = sch["kind"] if sch["kind"] != "union" \
+            else sch["branches"][0]["kind"]
+        if d is not None and kind == "bytes" and isinstance(d, str):
+            return d.encode("latin-1")
+        return d
+    if sch["kind"] == "union" and any(
+            b["kind"] == "null" for b in sch["branches"]):
+        return None
+    if sch["kind"] == "null":
+        return None
+    raise ValueError(
+        f"{path}: reader field {field['name']!r} is missing from the "
+        "writer schema and has no default")
+
+
+def _compile_resolver(writer: Dict, reader: Dict,
+                      path: str) -> Callable[[_Cursor], Any]:
+    """Spec "Schema Resolution": decode data written under ``writer``
+    into ``reader``-shaped values — field matching by name (writer-only
+    fields skipped, reader-only fields take their default), numeric and
+    string/bytes promotions, branch-wise union resolution."""
+    wk, rk = writer["kind"], reader["kind"]
+    if wk == "union":
+        subs = [_compile_resolver(b, reader, path)
+                for b in writer["branches"]]
+
+        def res_wunion(cur, _subs=subs):
+            i = cur.read_long()
+            try:
+                return _subs[i](cur)
+            except IndexError:
+                raise ValueError(
+                    f"{path}: union index {i} out of range") from None
+        return res_wunion
+    if rk == "union":
+        # first reader branch that accepts the writer type wins
+        last_err = None
+        for b in reader["branches"]:
+            try:
+                return _compile_resolver(writer, b, path)
+            except ValueError as e:
+                last_err = e
+        raise ValueError(
+            f"{path}: no reader union branch accepts writer "
+            f"{wk}: {last_err}")
+    if wk == rk and wk not in ("record", "array", "map", "enum",
+                               "fixed"):
+        # same primitive kind: the READER's logical type decides the
+        # surfaced value (a reader asking for plain long gets the raw
+        # long even if the writer annotated it)
+        merged = dict(writer)
+        if "logical" in reader:
+            merged["logical"] = reader["logical"]
+        else:
+            merged.pop("logical", None)
+        return _compile_decoder(merged, path)
+    if (wk, rk) in _PROMOTIONS:
+        base = _compile_decoder(writer, path)
+        conv = _PROMOTIONS[(wk, rk)]
+        return lambda cur, _b=base, _c=conv: _c(_b(cur))
+    if wk == rk == "enum":
+        return _compile_decoder(writer, path)
+    if wk == rk == "fixed":
+        if writer["size"] != reader["size"]:
+            raise ValueError(f"{path}: fixed size {writer['size']} != "
+                             f"reader {reader['size']}")
+        return _compile_decoder(writer, path)
+    if wk == rk == "array":
+        item = _compile_resolver(writer["items"], reader["items"],
+                                 path + "[]")
+
+        def res_array(cur, _dec=item):
+            out = []
+            while True:
+                n = cur.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    cur.read_long()
+                for _ in range(n):
+                    out.append(_dec(cur))
+        return res_array
+    if wk == rk == "map":
+        val = _compile_resolver(writer["values"], reader["values"],
+                                path + "{}")
+
+        def res_map(cur, _dec=val):
+            out = {}
+            while True:
+                n = cur.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    cur.read_long()
+                for _ in range(n):
+                    k = cur.read_bytes().decode("utf-8")
+                    out[k] = _dec(cur)
+        return res_map
+    if wk == rk == "record":
+        rfields = {f["name"]: f for f in reader["fields"]}
+        steps = []  # (reader name | None, decode-or-skip fn)
+        for wf in writer["fields"]:
+            fp = f"{path}.{wf['name']}"
+            if wf["name"] in rfields:
+                steps.append((wf["name"], _compile_resolver(
+                    wf["schema"], rfields[wf["name"]]["schema"], fp)))
+            else:
+                steps.append((None, _compile_skipper(wf["schema"], fp)))
+        wnames = {f["name"] for f in writer["fields"]}
+        fills = [(f["name"], _default_value(f, f"{path}.{f['name']}"))
+                 for f in reader["fields"] if f["name"] not in wnames]
+
+        def res_record(cur, _steps=steps, _fills=fills):
+            out = {}
+            for name, fn in _steps:
+                if name is None:
+                    fn(cur)
+                else:
+                    out[name] = fn(cur)
+            for name, v in _fills:
+                out[name] = v
+            return out
+        return res_record
+    raise ValueError(
+        f"{path}: writer {wk} is not resolvable to reader {rk}")
+
+
 # ---------------------------------------------------------------------------
 # container file framing
 
@@ -618,12 +830,17 @@ def write_container(path: str, schema_js: Any, rows: List[Any],
 
 
 def read_container(blob: bytes, name: str = "<avro>",
-                   max_rows: Optional[int] = None
+                   max_rows: Optional[int] = None,
+                   reader_node: Optional[Dict] = None
                    ) -> Tuple[Dict, List[Any]]:
-    """Parse one container file -> (schema node, decoded rows).
+    """Parse one container file -> (writer schema node, decoded rows).
 
-    Corruption fails loudly with the file name: bad magic, unknown
-    codec, sync-marker mismatch, truncated varints/bytes."""
+    With ``reader_node`` (a :func:`parse_schema` tree), rows come back
+    READER-shaped via spec schema resolution — writer-only fields are
+    skipped at parse time, reader-only fields take their defaults,
+    int→long→float→double and string↔bytes promote. Corruption fails
+    loudly with the file name: bad magic, unknown codec, sync-marker
+    mismatch, truncated varints/bytes."""
     if blob[:4] != _MAGIC:
         raise ValueError(f"{name}: not an Avro container "
                          f"(magic {blob[:4]!r})")
@@ -649,7 +866,13 @@ def read_container(blob: bytes, name: str = "<avro>",
     except KeyError:
         raise ValueError(f"{name}: header missing avro.schema") from None
     node = parse_schema(schema_js)
-    dec = _compile_decoder(node, "$")
+    if reader_node is None or node == reader_node:
+        dec = _compile_decoder(node, "$")
+    else:
+        try:
+            dec = _compile_resolver(node, reader_node, "$")
+        except ValueError as e:
+            raise ValueError(f"{name}: {e}") from None
     rows: List[Any] = []
     while cur.pos < len(blob):
         count = cur.read_long()
@@ -683,57 +906,63 @@ def decode_blocks(blob: bytes, name: str = "<avro>") -> List[Any]:
 
 def read_avro(spark: SparkSession, path: str,
               columns: Optional[List[str]] = None,
-              glob: str = "*.avro") -> DataFrame:
+              glob: str = "*.avro",
+              schema: Optional[Any] = None) -> DataFrame:
     """Read a directory of Avro container files as a DataFrame.
 
-    Schema comes from the first file's header (one driver-side read of
-    the header bytes when the scheme is local); every file must carry a
-    record schema whose projected fields match by name and kind, else
-    the task fails loudly with the file name. One task per file;
-    ``columns`` prunes materialization (Avro is row-major — all fields
-    still decode; see module docstring)."""
+    The READER schema comes from ``schema`` (an Avro schema JSON dict
+    or a Spark ``StructType``) or, by default, the first file's header
+    (one driver-side read of the header bytes when the scheme is
+    local). Every file resolves against it with the spec's schema-
+    resolution rules — so an evolving corpus reads as one frame:
+    pre-widening shards surface defaults/null for later columns,
+    writer-only fields skip at parse time, int→long→float→double and
+    string↔bytes promote, and a genuinely incompatible file fails
+    loudly with its name and field path. One task per file;
+    ``columns`` prunes the reader schema itself, so unprojected fields
+    are SKIPPED during decode, not just dropped (row-major IO still
+    reads the bytes; see module docstring)."""
     scan = (spark.read.format("binaryFile")
             .option("pathGlobFilter", glob).load(path)
             .select("path", "content"))
-    first = scan.select("path").limit(1).collect()
-    if not first:
-        raise ValueError(f"no files match {glob!r} under {path}")
-    fpath = first[0]["path"]
-    if fpath.startswith("file:"):
-        local = fpath[5:]
-        while local.startswith("//"):
-            local = local[1:]
-        with open(local, "rb") as fh:
-            head = fh.read(1 << 20)  # header is tiny; 1 MB is generous
-        node, _ = read_container(_header_only(head), fpath)
-    else:  # pragma: no cover - no object store in this image
-        blob = scan.limit(1).collect()[0]["content"]
-        node, _ = read_container(_header_only(bytes(blob)), fpath)
-    spark_schema = avro_to_spark_schema(node)
+    if schema is None:
+        first = scan.select("path").limit(1).collect()
+        if not first:
+            raise ValueError(f"no files match {glob!r} under {path}")
+        fpath = first[0]["path"]
+        if fpath.startswith("file:"):
+            local = fpath[5:]
+            while local.startswith("//"):
+                local = local[1:]
+            with open(local, "rb") as fh:
+                head = fh.read(1 << 20)  # header is tiny; 1 MB is generous
+            reader_node, _ = read_container(_header_only(head), fpath)
+        else:  # pragma: no cover - no object store in this image
+            blob = scan.limit(1).collect()[0]["content"]
+            reader_node, _ = read_container(_header_only(bytes(blob)),
+                                            fpath)
+    elif isinstance(schema, T.StructType):
+        reader_node = parse_schema(spark_to_avro_schema(schema))
+    else:
+        reader_node = parse_schema(schema)
     if columns is not None:
-        missing = [c for c in columns if c not in spark_schema.names]
+        by_name = {f["name"]: f for f in reader_node["fields"]}
+        missing = [c for c in columns if c not in by_name]
         if missing:
             raise ValueError(f"columns not in schema: {missing}")
-        spark_schema = T.StructType(
-            [spark_schema[c] for c in columns])
+        reader_node = {"kind": "record",
+                       "name": reader_node.get("name"),
+                       "fields": [by_name[c] for c in columns]}
+    spark_schema = avro_to_spark_schema(reader_node)
     want = list(spark_schema.names)
-    expect_kinds = {f["name"]: f["schema"]["kind"] for f in node["fields"]}
 
     def parse(batches):
         import pandas as pd
 
         for pdf in batches:
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                fnode, rows = read_container(bytes(blob), fpath)
-                fkinds = {f["name"]: f["schema"]["kind"]
-                          for f in fnode["fields"]}
-                for name in want:
-                    if name not in fkinds:
-                        raise ValueError(f"{fpath}: field {name!r} missing")
-                    if fkinds[name] != expect_kinds.get(name):
-                        raise ValueError(
-                            f"{fpath}: field {name!r} is {fkinds[name]}, "
-                            f"expected {expect_kinds.get(name)}")
+                _, rows = read_container(bytes(blob), fpath,
+                                         reader_node=reader_node)
                 yield pd.DataFrame(
                     {c: [r.get(c) for r in rows] for c in want},
                     columns=want)

@@ -195,13 +195,14 @@ def test_spark_cross_file_schema_check(spark, tmp_path):
     a = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("v"))
     out = str(tmp_path / "mix")
     write_avro(a, out, shards=1)
-    # drop a second file whose 'v' is a double
+    # drop a second file whose 'v' is a double — double does not
+    # resolve to a string reader, and the failure names the file
     other = {"type": "record", "name": "row", "fields": [
         {"name": "k", "type": ["null", "long"]},
         {"name": "v", "type": ["null", "double"]}]}
     write_container(str(tmp_path / "mix" / "zz-other.avro"), other,
                     [{"k": 9, "v": 1.5}])
-    with pytest.raises(Exception, match="expected"):
+    with pytest.raises(Exception, match="not resolvable|no reader"):
         read_avro(spark, out).collect()
 
 
@@ -232,6 +233,135 @@ def test_deflate_is_raw_rfc1951(tmp_path):
     with pytest.raises(zlib.error):
         zlib.decompress(payload)  # zlib-wrapped would need this to pass
     assert raw[:4] == _MAGIC
+
+
+def test_schema_resolution_core():
+    # spec "Schema Resolution": field matching by name, writer-only
+    # fields skipped, reader defaults, promotions, reordering
+    writer = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "gone", "type": {"type": "array", "items": "string"}},
+        {"name": "b", "type": "string"},
+    ]}
+    payload = encode_records(writer, [
+        {"a": 7, "gone": ["x", "y"], "b": "hi"}])
+    reader = {"type": "record", "name": "r", "fields": [
+        {"name": "b", "type": "bytes"},                    # promoted
+        {"name": "a", "type": "double"},                   # promoted
+        {"name": "fresh", "type": "long", "default": 42},  # defaulted
+        {"name": "opt", "type": ["null", "string"],
+         "default": None},                                 # null default
+    ]}
+    from dataingestion_spark.sources.avro import (
+        _Cursor, _compile_resolver,
+    )
+    res = _compile_resolver(parse_schema(writer), parse_schema(reader),
+                            "$")
+    row = res(_Cursor(payload, "t"))
+    assert row == {"b": b"hi", "a": 7.0, "fresh": 42, "opt": None}
+    assert isinstance(row["a"], float)
+
+    # missing reader field without default refuses loudly
+    bad = {"type": "record", "name": "r", "fields": [
+        {"name": "nope", "type": "long"}]}
+    with pytest.raises(ValueError, match="no default"):
+        _compile_resolver(parse_schema(writer), parse_schema(bad), "$")
+
+
+def test_spark_widened_corpus_reads_as_one_frame(spark, tmp_path):
+    # shards written before a column existed + shards after: an
+    # explicit reader schema reads both, old shards surface null
+    out = str(tmp_path / "corpus")
+    old = spark.range(5).select(F.col("id").alias("k"),
+                                F.lit("old").alias("v"))
+    write_avro(old, out, shards=1, prefix="old")
+    new = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("new").alias("v"),
+        (F.col("id") * 1.5).alias("score"))
+    write_avro(new, out, shards=1, prefix="new")
+
+    wide = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True)])
+    df = read_avro(spark, out, schema=wide)
+    assert df.schema == wide
+    rows = {(r["k"], r["v"], r["score"]) for r in df.collect()}
+    assert rows == {(i, "old", None) for i in range(5)} | \
+        {(i, "new", i * 1.5) for i in range(5, 8)}
+    # default reader schema = FIRST file's (listing order: the "new"
+    # prefix sorts first here). spark.range columns are NON-nullable,
+    # so that header declares score REQUIRED with no default — and the
+    # old shards must then fail LOUDLY (spec: a missing writer field
+    # needs a reader default), not silently fill garbage
+    first_file = read_avro(spark, out)
+    assert first_file.columns == ["k", "v", "score"]
+    with pytest.raises(Exception, match="no default"):
+        first_file.collect()
+    # a reader pinned to the NARROW shape instead skips the extra
+    # column at parse time in the newer shards
+    narrow = read_avro(spark, out, schema=T.StructType(wide.fields[:2]))
+    assert narrow.columns == ["k", "v"]
+    assert narrow.count() == 8
+    # projection prunes the reader schema → text decode skipped
+    just_k = read_avro(spark, out, columns=["k"], schema=wide)
+    assert just_k.columns == ["k"]
+    assert {r["k"] for r in just_k.collect()} == set(range(8))
+
+
+def test_resolution_promotes_across_files(spark, tmp_path):
+    # an int-typed shard promotes into a long/double reader
+    out = str(tmp_path / "promo")
+    writer = {"type": "record", "name": "row", "fields": [
+        {"name": "k", "type": "int"},
+        {"name": "txt", "type": "string"}]}
+    write_container(str(tmp_path / "promo0.avro"), writer, [])
+    import os
+    os.makedirs(out, exist_ok=True)
+    write_container(os.path.join(out, "a.avro"), writer,
+                    [{"k": 1, "txt": "x"}, {"k": 2, "txt": "y"}])
+    reader = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField("txt", T.BinaryType(), True)])
+    df = read_avro(spark, out, schema=reader)
+    assert {(r["k"], bytes(r["txt"])) for r in df.collect()} == \
+        {(1, b"x"), (2, b"y")}
+    assert df.schema["k"].dataType == T.LongType()
+
+
+def test_resolution_hypothesis_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "i", "type": "int"},
+        {"name": "s", "type": ["null", "string"], "default": None},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "double"}},
+    ]}
+    node = parse_schema(sch)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.fixed_dictionaries({
+        "i": st.integers(-2**31, 2**31 - 1),
+        "s": st.one_of(st.none(), st.text(max_size=20)),
+        "xs": st.lists(st.integers(-2**63, 2**63 - 1), max_size=5),
+        "m": st.dictionaries(st.text(max_size=8),
+                             st.floats(allow_nan=False,
+                                       allow_infinity=False),
+                             max_size=4),
+    }), max_size=8))
+    def roundtrip(rows):
+        payload = encode_records(sch, rows)
+        from dataingestion_spark.sources.avro import (
+            _Cursor, _compile_decoder,
+        )
+        cur = _Cursor(payload, "h")
+        dec = _compile_decoder(node, "$")
+        got = [dec(cur) for _ in rows]
+        assert got == rows and cur.pos == len(payload)
+
+    roundtrip()
 
 
 def test_field_id_attrs_survive_parse():
