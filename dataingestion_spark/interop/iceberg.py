@@ -83,8 +83,8 @@ from ..sources.avro import (
     decode_blocks, read_container, write_container,
 )
 
-__all__ = ["export_iceberg", "mirror_iceberg", "read_iceberg",
-           "vacuum_iceberg",
+__all__ = ["export_iceberg", "export_uniform", "mirror_iceberg",
+           "read_iceberg", "stream_mirror_iceberg", "vacuum_iceberg",
            "iceberg_schema_from_spark", "spark_schema_from_iceberg"]
 
 
@@ -408,7 +408,8 @@ def _stats_bounds(st: Dict, name_to_field: Dict,
 def export_iceberg(spark: SparkSession, table: str, dst: str, *,
                    mode: str = "copy", version: Optional[int] = None,
                    apply_deletes: bool = True,
-                   dv_mode: str = "materialize") -> str:
+                   dv_mode: str = "materialize",
+                   data_uri_base: Optional[str] = None) -> str:
     """Publish a manifest table as an Iceberg v2 table at ``dst``.
 
     ``mode="copy"`` copies live data files under ``dst/data/`` (the
@@ -431,9 +432,12 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
     File paths in manifests are absolute ``file://`` URIs per the spec
     ("full URI with FS scheme"); table properties carry
     ``schema.name-mapping.default`` so conformant readers resolve the
-    parquet files (written without embedded field-ids) by name. Returns
-    ``dst``; raises if ``dst`` already holds Iceberg metadata
-    (continuous mirroring stays the Delta mirror's job)."""
+    parquet files (written without embedded field-ids) by name.
+    ``data_uri_base`` (with ``mode="shallow"``) points the manifests at
+    files that already live under another tree — the
+    :func:`export_uniform` dual-publish path. Returns ``dst``; raises
+    if ``dst`` already holds Iceberg metadata (continuous mirroring is
+    :func:`mirror_iceberg`'s job)."""
     import hashlib
     import time as _time
 
@@ -501,6 +505,15 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
         return int(meta["seq"].get(name, 0)) + 1 if has_dvs else 1
 
     def ship(name: str, src_path: str) -> Tuple[str, int]:
+        if data_uri_base is not None:
+            # the bytes already live under another tree (the UniForm
+            # dual-publish case: Delta copied them first) — reference,
+            # size from the existing file
+            p = f"{data_uri_base.rstrip('/')}/{name}"
+            blob = dst_be.read_bytes(p)
+            if blob is None:
+                raise FileNotFoundError(p)
+            return _as_uri(p), len(blob)
         return _ship_file(src_be, dst_be, dst, mode, name, src_path)
 
     def row_count(name: str, src_path: str) -> int:
@@ -1496,3 +1509,75 @@ def vacuum_iceberg(dst: str, keep_snapshots: int = 1,
     for p in local:
         be.delete(p)
     return local
+
+
+# ---------------------------------------------------------------------------
+# dual-format publish + streaming mirror
+
+def export_uniform(spark: SparkSession, table: str, dst: str, *,
+                   apply_deletes: bool = True) -> str:
+    """Publish ONE copy of the data files with TWO metadata trees —
+    Delta (``_delta_log/``) and Iceberg (``metadata/``) — the shape
+    Delta UniForm popularized: every engine reads ``dst`` in whichever
+    format it speaks, and the parquet bytes exist exactly once.
+
+    Mechanically: :func:`..interop.delta.export_delta` copies the live
+    files to ``dst/<name>`` and writes the Delta commit; the Iceberg
+    metadata then references those SAME files via ``data_uri_base``
+    (shallow manifests, zero extra bytes). DVs are materialized first
+    (Delta reader v1 has no delete representation, and both trees must
+    describe identical files). One-shot like both exporters — for a
+    continuously-fresh copy run ``mirror_delta`` + ``mirror_iceberg``
+    on separate dsts, or re-export.
+    """
+    from .delta import export_delta
+
+    export_delta(spark, table, dst, mode="copy",
+                 apply_deletes=apply_deletes)
+    export_iceberg(spark, table, dst, mode="shallow",
+                   dv_mode="materialize",
+                   data_uri_base=dst.rstrip("/"))
+    return dst
+
+
+def stream_mirror_iceberg(spark: SparkSession, table: str, dst: str,
+                          checkpoint: str, *,
+                          dv_mode: str = "materialize",
+                          max_commits_per_trigger: Optional[int] = None,
+                          available_now: bool = True):
+    """Continuously-fresh Iceberg mirror: tail the manifest table's
+    change feed and run one :func:`mirror_iceberg` sync per
+    micro-batch (one Iceberg snapshot per batch of commits).
+
+    The change stream provides exactly-once TRIGGERING through its
+    checkpoint; correctness does not depend on batch contents because
+    the mirror is diff-based and self-healing — a replayed batch
+    re-diffs against what the mirror already references and converges
+    (possibly to a NEWER table state than the batch, which the next
+    batch would have published anyway). ``available_now`` drains the
+    backlog and stops (cron-style publish); False runs continuously.
+    Returns the StreamingQuery. Note ``dv_mode='materialize'`` compacts
+    the SOURCE on delete-carrying batches — prefer ``'equality'`` for
+    hands-off mirroring of delete-heavy tables."""
+    from ..streaming.table_source import stream_changes
+
+    # skip_rewrites: compaction batches carry no row-level changes, but
+    # the mirror diffs FILES, so it publishes the rewrite regardless —
+    # the feed is only the trigger here
+    changes = stream_changes(
+        spark, table, skip_rewrites=True,
+        max_commits_per_trigger=max_commits_per_trigger,
+        checkpoint=checkpoint)
+
+    def sync(batch_df, batch_id):
+        # the batch is purely the trigger — even a rewrite-only batch
+        # (zero rows under skip_rewrites) must publish, since the
+        # mirror diffs FILES; a truly unchanged table makes
+        # mirror_iceberg a metadata-only no-op returning cur version
+        mirror_iceberg(spark, table, dst, dv_mode=dv_mode)
+
+    writer = (changes.writeStream.foreachBatch(sync)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

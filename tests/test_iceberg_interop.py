@@ -793,6 +793,82 @@ def test_mirror_model_random_ops(spark, tmp_path):
     assert got == history[-1][1]
 
 
+def test_export_uniform_one_copy_two_formats(spark, tmp_path):
+    from dataingestion_spark.interop.delta import read_delta
+    from dataingestion_spark.interop.iceberg import export_uniform
+    from dataingestion_spark.sinks.manifest_store import read_table
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "uniform")
+    export_uniform(spark, tbl, dst)
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    via_delta = {tuple(r) for r in read_delta(spark, dst)
+                 .select("documentid", "text", "lang", "n_chars")
+                 .collect()}
+    via_iceberg = {tuple(r) for r in read_iceberg(spark, dst)
+                   .select("documentid", "text", "lang", "n_chars")
+                   .collect()}
+    assert via_delta == want and via_iceberg == want
+    # ONE copy of the data: parquet at dst/<name>, no dst/data dir,
+    # and the Iceberg manifests reference exactly those files
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    parquet = {n for n in os.listdir(dst)
+               if n not in ("_delta_log", "metadata")
+               and not n.startswith(".")}
+    assert parquet, "shared data files must sit at the table root"
+    ice_files = {os.path.basename(p)
+                 for p in read_iceberg(spark, dst).inputFiles()}
+    assert ice_files == parquet
+    delta_files = {os.path.basename(p)
+                   for p in read_delta(spark, dst).inputFiles()}
+    assert delta_files == parquet
+
+
+def test_stream_mirror_iceberg_continuous(spark, tmp_path):
+    from dataingestion_spark.interop.iceberg import stream_mirror_iceberg
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, compact, delete_documents, read_table,
+    )
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "smirror")
+    cp = str(tmp_path / "cp")
+
+    def drain():
+        q = stream_mirror_iceberg(spark, tbl, dst, cp,
+                                  dv_mode="equality")
+        q.awaitTermination(120)
+
+    drain()
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == want and len(got) == 500
+
+    # a delete batch and a compaction batch both publish
+    ids = [r[0] for r in read_table(spark, tbl)
+           .select("documentid").limit(3).collect()]
+    delete_documents(spark, tbl, ids)
+    extra = _docs(spark).limit(10).select(
+        (F.col("documentid").cast("long") + 5 * 10 ** 6).cast("string")
+        .alias("documentid"), "text", "lang", "n_chars")
+    append_table(extra, tbl)
+    drain()
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == want and len(got) == 507
+
+    compact(spark, tbl, max_files_per_bucket=1)
+    drain()
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == want
+
+
 def test_pyiceberg_reads_our_export_if_available(spark, tmp_path):
     pytest.importorskip("pyiceberg")
     from pyiceberg.table import StaticTable  # pragma: no cover
