@@ -6491,6 +6491,85 @@ def q_streaming_jsonl_ingest(spark, sf):
         "doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_streaming_iceberg_tail(spark, sf):
+    """Streaming reads of Iceberg tables
+    (streaming/iceberg_source.py::stream_iceberg): documents → manifest
+    table → Iceberg mirror, drain the CURRENT SNAPSHOT batch, then two
+    more mirror snapshots (append + delete-carrying with
+    skipChangeCommits) drain into the same checkpointed sink — the
+    cumulative rows must equal the closed-form final state the oracle
+    computes (snapshot rows, plus appended rows, with the skipped
+    delete's victim still present from the snapshot batch: the
+    documented skipChangeCommits trade, same as Delta's). A dropped or
+    double-delivered snapshot, a lineage mix-up, or a broken delete
+    application in the snapshot batch goes red. Beyond the reference
+    (open-table-format streaming hand-off)."""
+    import tempfile
+
+    from dataingestion_spark.interop.iceberg import mirror_iceberg
+    from dataingestion_spark.sinks import manifest_store as ms
+    from dataingestion_spark.streaming.iceberg_source import (
+        stream_iceberg,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("documentid"),
+        "text", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    td = tempfile.mkdtemp(prefix="ice_tail_")
+    tbl, dst = td + "/t", td + "/ice"
+    ms.write_table(docs, tbl)
+    # pre-delete doc 1 so the SNAPSHOT batch itself must apply an
+    # equality delete file
+    ms.delete_documents(spark, tbl, ["1"])
+    mirror_iceberg(spark, tbl, dst, dv_mode="equality")
+    sink, sink_ckpt = td + "/sink", td + "/ckpt"
+
+    def drain():
+        # parquet sink: the memory sink cannot recover a checkpoint,
+        # and this query restarts the stream across three drains
+        q = (stream_iceberg(spark, dst, skip_change_commits=True)
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", sink_ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    extra = docs.filter(F.col("documentid").cast("long") % 7 == 0) \
+        .select((F.col("documentid").cast("long") + 10 ** 6)
+                .cast("string").alias("documentid"),
+                "text", "lang", "n_chars")
+    ms.append_table(extra, tbl)
+    mirror_iceberg(spark, tbl, dst, dv_mode="equality")
+    drain()
+    # a delete snapshot under skipChangeCommits: victim '2' keeps its
+    # snapshot-batch row; the simultaneous append still flows
+    ms.delete_documents(spark, tbl, ["2"])
+    ms.append_table(
+        docs.filter(F.col("documentid") == "3")
+        .select((F.col("documentid").cast("long") + 2 * 10 ** 6)
+                .cast("string").alias("documentid"),
+                "text", "lang", "n_chars"), tbl)
+    mirror_iceberg(spark, tbl, dst, dv_mode="equality")
+    drain()
+    return spark.read.parquet(sink).select(
+        "documentid", "text", "lang", "n_chars")
+
+
+ORACLE_ICEBERG_TAIL = """
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS documentid, text, lang,
+         CAST(n_chars AS BIGINT) AS n_chars, doc_id FROM documents)
+SELECT documentid, text, lang, n_chars FROM src WHERE doc_id <> 1
+UNION ALL
+SELECT CAST(doc_id + 1000000 AS VARCHAR), text, lang, n_chars
+FROM src WHERE doc_id % 7 = 0
+UNION ALL
+SELECT CAST(doc_id + 2000000 AS VARCHAR), text, lang, n_chars
+FROM src WHERE doc_id = 3
+"""
+
+
 def q_export_incremental(spark, sf):
     """Incremental corpus publish (sinks/corpus_export.py): documents →
     lakehouse table → full zstd-JSONL export, then append/delete/merge
@@ -8513,6 +8592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10 sample 1-7: new this round + never driver-sampled ---
         "io_avro_roundtrip": q_io_avro_roundtrip,
         "lakehouse_iceberg_roundtrip": q_iceberg_roundtrip,
+        "streaming_iceberg_tail": q_streaming_iceberg_tail,
         "io_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
         "io_arrow_roundtrip": q_arrow_ipc_roundtrip,
         "streaming_jsonl_ingest": q_streaming_jsonl_ingest,
@@ -8910,6 +8990,7 @@ def oracle_sql() -> dict[str, str]:
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "io_avro_roundtrip": ORACLE_JSONL,
         "lakehouse_iceberg_roundtrip": ORACLE_ICEBERG_ROUNDTRIP,
+        "streaming_iceberg_tail": ORACLE_ICEBERG_TAIL,
         "io_jsonl_zst_roundtrip": ORACLE_JSONL,
         "io_arrow_roundtrip": ORACLE_JSONL,
         "streaming_jsonl_ingest": ORACLE_JSONL,
