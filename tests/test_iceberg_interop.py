@@ -719,11 +719,14 @@ def test_mirror_iceberg_schema_evolution_keeps_ids(spark, tmp_path):
 def test_mirror_model_random_ops(spark, tmp_path):
     """Model-based pin: a random interleaving of store ops (append /
     delete / merge-update / compact), mirrored after each, must keep
-    read_iceberg == read_table at EVERY step, with time travel back to
-    each prior snapshot still serving that step's exact rows until a
-    final vacuum expires them. Seeded — failures reproduce."""
+    read_iceberg == read_table at EVERY step — and, every other step,
+    read_delta of a PARALLEL Delta mirror too (three engines, one
+    truth). Time travel back to each prior snapshot still serves that
+    step's exact rows until a final vacuum expires them. Seeded —
+    failures reproduce."""
     import random
 
+    from dataingestion_spark.interop.delta import mirror_delta, read_delta
     from dataingestion_spark.interop.iceberg import (
         mirror_iceberg, vacuum_iceberg,
     )
@@ -776,6 +779,17 @@ def test_mirror_model_random_ops(spark, tmp_path):
                .select("documentid", "text", "lang", "n_chars")
                .collect()}
         assert got == want, f"step {step} ({op}): mirror diverged"
+        if step % 2 == 1:
+            # the Delta mirror compacts source DVs (reader-v1 has no
+            # delete representation) — MORE churn for the next iceberg
+            # sync to absorb, and a cross-format equality pin
+            mirror_delta(spark, tbl, str(tmp_path / "dmirror"))
+            via_delta = {tuple(r) for r in
+                         read_delta(spark, str(tmp_path / "dmirror"))
+                         .select("documentid", "text", "lang",
+                                 "n_chars").collect()}
+            assert via_delta == snap_rows(), \
+                f"step {step} ({op}): delta mirror diverged"
         meta = json.load(open(os.path.join(
             dst, "metadata", f"v{v}.metadata.json")))
         history.append((meta["current-snapshot-id"], want))
