@@ -286,13 +286,15 @@ def _kv_map_schema(map_id: int, key_id: int, val_id: int,
                            "field-id": val_id}]}}
 
 
-def _manifest_entry_schema() -> Dict:
+def _manifest_entry_schema(
+        partition_fields: Optional[List[Dict]] = None) -> Dict:
     data_file = {"type": "record", "name": "r2", "fields": [
         {"name": "content", "type": "int", "field-id": 134},
         {"name": "file_path", "type": "string", "field-id": 100},
         {"name": "file_format", "type": "string", "field-id": 101},
         {"name": "partition",
-         "type": {"type": "record", "name": "r102", "fields": []},
+         "type": {"type": "record", "name": "r102",
+                  "fields": list(partition_fields or [])},
          "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
@@ -378,6 +380,68 @@ def _row_count(meta: Dict, src_be, name: str, src_path: str) -> int:
     return pq.read_metadata(pa.BufferReader(blob)).num_rows
 
 
+_PART_AVRO_PRIM = {
+    T.IntegerType(): "int", T.LongType(): "long",
+    T.StringType(): "string", T.BooleanType(): "boolean",
+    T.DoubleType(): "double", T.FloatType(): "float",
+}
+
+
+def _partition_spec(cols, name_to_field: Dict, spark_types: Dict
+                    ) -> Tuple[List[Dict], List[Dict]]:
+    """Identity partition spec for ``cols`` → (metadata spec fields,
+    avro partition-record fields). Partition field-ids start at 1000
+    per the spec's convention."""
+    spec_fields: List[Dict] = []
+    avro_fields: List[Dict] = []
+    for i, c in enumerate(cols):
+        fld = name_to_field.get(c)
+        if fld is None:
+            raise ValueError(f"partition column {c!r} not in schema")
+        prim = _PART_AVRO_PRIM.get(spark_types[c])
+        if prim is None:
+            raise ValueError(
+                f"partition column {c!r} has type {spark_types[c]} — "
+                "identity partitions support int/long/string/boolean/"
+                "float/double here")
+        spec_fields.append({"name": c, "transform": "identity",
+                            "source-id": fld["id"],
+                            "field-id": 1000 + i})
+        avro_fields.append({"name": c, "type": ["null", prim],
+                            "default": None, "field-id": 1000 + i})
+    return spec_fields, avro_fields
+
+
+def _file_partition_values(st: Dict, cols, fname: str,
+                           known: Optional[Dict] = None) -> Dict:
+    """Per-file identity partition tuple from manifest-store stats —
+    valid only when the column is CONSTANT within the file. ``known``
+    short-circuits columns whose value the manifest layout itself
+    guarantees (doc_bucket IS the bucket key; the store records no
+    stats for its own bucketing column)."""
+    vals: Dict = {}
+    for c in cols:
+        if known and c in known:
+            vals[c] = known[c]
+            continue
+        b = (st.get("cols") or {}).get(c)
+        if b is None and c == "documentid" and "min" in st:
+            b = [st["min"], st["max"]]
+        try:
+            lo, hi = b  # type: ignore[misc]
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"{fname}: no stats for partition column {c!r} — "
+                "identity-partition export needs per-file bounds") \
+                from None
+        if lo != hi:
+            raise ValueError(
+                f"{fname}: {c!r} spans [{lo}, {hi}] within one file — "
+                "identity partitions need file-constant values")
+        vals[c] = lo
+    return vals
+
+
 def _stats_bounds(st: Dict, name_to_field: Dict,
                   spark_types: Dict) -> Tuple[List[Dict], List[Dict]]:
     """Manifest-store per-file stats -> field-id-keyed bound kv lists."""
@@ -409,7 +473,8 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
                    mode: str = "copy", version: Optional[int] = None,
                    apply_deletes: bool = True,
                    dv_mode: str = "materialize",
-                   data_uri_base: Optional[str] = None) -> str:
+                   data_uri_base: Optional[str] = None,
+                   partition_by: Tuple[str, ...] = ()) -> str:
     """Publish a manifest table as an Iceberg v2 table at ``dst``.
 
     ``mode="copy"`` copies live data files under ``dst/data/`` (the
@@ -435,9 +500,17 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
     parquet files (written without embedded field-ids) by name.
     ``data_uri_base`` (with ``mode="shallow"``) points the manifests at
     files that already live under another tree — the
-    :func:`export_uniform` dual-publish path. Returns ``dst``; raises
-    if ``dst`` already holds Iceberg metadata (continuous mirroring is
-    :func:`mirror_iceberg`'s job)."""
+    :func:`export_uniform` dual-publish path.
+
+    ``partition_by`` declares IDENTITY partitions (e.g.
+    ``("doc_bucket",)`` — the store's files are bucket-constant by
+    construction): manifests carry typed partition tuples, so
+    conformant engines partition-prune; values come from per-file
+    stats and must be file-constant (validated, loud otherwise).
+    Mutually exclusive with ``dv_mode='equality'`` (delete files would
+    need partition scoping this exporter does not implement). Returns
+    ``dst``; raises if ``dst`` already holds Iceberg metadata
+    (continuous mirroring is :func:`mirror_iceberg`'s job)."""
     import hashlib
     import time as _time
 
@@ -475,6 +548,15 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
     ice_schema = iceberg_schema_from_spark(spark_schema)
     name_to_field = {f["name"]: f for f in ice_schema["fields"]}
     spark_types = {f.name: f.dataType for f in spark_schema.fields}
+    partition_by = tuple(partition_by)
+    if partition_by and dv_mode == "equality":
+        raise ValueError(
+            "partition_by with dv_mode='equality' is not supported — "
+            "delete files would need partition scoping; materialize "
+            "the DVs or export unpartitioned")
+    spec_fields, part_avro = _partition_spec(
+        partition_by, name_to_field, spark_types) if partition_by \
+        else ([], [])
 
     src_be = data_backend_for(table)
     dst_be = data_backend_for(dst)
@@ -528,15 +610,20 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
             fpath, fsize = ship(name, src_path)
             nrows = row_count(name, src_path)
             total_rows += nrows
-            lowers, uppers = _stats_bounds(meta["stats"].get(name) or {},
-                                           name_to_field, spark_types)
+            st = meta["stats"].get(name) or {}
+            lowers, uppers = _stats_bounds(st, name_to_field,
+                                           spark_types)
+            part = (_file_partition_values(
+                st, partition_by, name,
+                known={"doc_bucket": int(bucket)})
+                if partition_by else {})
             entries.append({
                 "status": 1, "snapshot_id": snapshot_id,
                 "sequence_number": seq_of(name),
                 "file_sequence_number": seq_of(name),
                 "data_file": {
                     "content": 0, "file_path": fpath,
-                    "file_format": "PARQUET", "partition": {},
+                    "file_format": "PARQUET", "partition": part,
                     "record_count": nrows,
                     "file_size_in_bytes": int(fsize),
                     "lower_bounds": lowers or None,
@@ -579,11 +666,12 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
         with tempfile.TemporaryDirectory() as td:
             tmp = os.path.join(td, m_name)
             write_container(
-                tmp, _manifest_entry_schema(), m_entries, codec="deflate",
+                tmp, _manifest_entry_schema(part_avro), m_entries,
+                codec="deflate",
                 sync=hashlib.sha256(m_name.encode()).digest()[:16],
                 extra_meta={
                     "schema": schema_json,
-                    "partition-spec": "[]",
+                    "partition-spec": json.dumps(spec_fields),
                     "partition-spec-id": "0",
                     "format-version": "2",
                     "content": content_kind,
@@ -639,8 +727,8 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
@@ -928,9 +1016,10 @@ def read_iceberg(spark: SparkSession, path: str, *,
                     pruned += 1
                     continue
             part = df_rec.get("partition") or {}
-            key = (spec_id, tuple(sorted(part.items()))
-                   if isinstance(part, dict) else ())
-            groups.setdefault(key, []).append((fpath, int(seq)))
+            if not isinstance(part, dict):
+                part = {}
+            groups.setdefault(spec_id, []).append(
+                (fpath, int(seq), part))
 
     if not groups:
         return spark.createDataFrame([], spark_schema)
@@ -952,12 +1041,23 @@ def read_iceberg(spark: SparkSession, path: str, *,
     read_schema = T.StructType([
         T.StructField(n, spark_types[n], True)
         for n in spark_schema.names])
-    for (spec_id, part_items), files in sorted(groups.items(),
-                                               key=lambda kv: str(kv[0])):
-        part = dict(part_items)
-        paths = [p for p, _ in files]
+
+    def scan(paths: List[str], restore: Dict[str, Any]) -> DataFrame:
+        df = spark.read.schema(read_schema).parquet(*paths)
+        if apply_deletes:
+            df = (df.withColumn("__ice_fp",
+                                _norm_path_col(F.col("_metadata.file_path")))
+                  .withColumn("__ice_pos", F.col("_metadata.row_index")))
+        for name, val in restore.items():
+            df = df.withColumn(name, F.lit(val).cast(spark_types[name]))
+        return df.select(*[F.col(n).cast(spark_types[n]).alias(n)
+                           for n in spark_schema.names], *helper)
+
+    for spec_id in sorted(groups):
+        files = groups[spec_id]
+        paths = [p for p, _, _ in files]
         first_cols = footer_cols(paths[0])
-        restore: Dict[str, Any] = {}
+        need_restore: List[str] = []
         for name in spark_schema.names:
             if name in first_cols:
                 continue
@@ -969,28 +1069,43 @@ def read_iceberg(spark: SparkSession, path: str, *,
             # cached; only this rare path pays beyond the first file.
             if any(name in footer_cols(p) for p in paths[1:]):
                 continue
-            restored = False
-            for pname, src in identity_by_spec.get(spec_id, []):
-                if src == name and pname in part:
-                    restore[name] = part[pname]
-                    restored = True
-                    break
-            if not restored:
-                raise ValueError(
-                    f"schema column {name!r} is absent from data file "
-                    f"{paths[0]} and no identity partition provides it — "
-                    "field-id column resolution (renamed columns) is not "
-                    "supported by this reader")
-        df = spark.read.schema(read_schema).parquet(*paths)
-        if apply_deletes:
-            df = (df.withColumn("__ice_fp",
-                                _norm_path_col(F.col("_metadata.file_path")))
-                  .withColumn("__ice_pos", F.col("_metadata.row_index")))
-        for name, val in restore.items():
-            df = df.withColumn(name, F.lit(val).cast(spark_types[name]))
-        df = df.select(*[F.col(n).cast(spark_types[n]).alias(n)
-                         for n in spark_schema.names], *helper)
-        out = df if out is None else out.unionByName(df)
+            if any(src == name for _, src in
+                   identity_by_spec.get(spec_id, [])):
+                need_restore.append(name)
+                continue
+            raise ValueError(
+                f"schema column {name!r} is absent from data file "
+                f"{paths[0]} and no identity partition provides it — "
+                "field-id column resolution (renamed columns) is not "
+                "supported by this reader")
+        if not need_restore:
+            # one scan per spec — partitioned tables whose files carry
+            # the partition source columns (Iceberg's normal layout)
+            # never pay a per-tuple plan split
+            df = scan(paths, {})
+            out = df if out is None else out.unionByName(df)
+            continue
+        # Hive-migrated shape: restoration is per partition TUPLE
+        by_tuple: Dict[Tuple, List[str]] = {}
+        tuple_part: Dict[Tuple, Dict] = {}
+        for p, _, part in files:
+            key = tuple(sorted(part.items()))
+            by_tuple.setdefault(key, []).append(p)
+            tuple_part[key] = part
+        for key in sorted(by_tuple, key=str):
+            part = tuple_part[key]
+            restore = {}
+            for name in need_restore:
+                for pname, src in identity_by_spec.get(spec_id, []):
+                    if src == name and pname in part:
+                        restore[name] = part[pname]
+                        break
+                else:
+                    raise ValueError(
+                        f"partition tuple {part} provides no value for "
+                        f"identity-partitioned column {name!r}")
+            df = scan(by_tuple[key], restore)
+            out = df if out is None else out.unionByName(df)
 
     if not apply_deletes:
         return out
@@ -998,7 +1113,7 @@ def read_iceberg(spark: SparkSession, path: str, *,
     # data-file sequence numbers ride in via a broadcast lookup on the
     # normalized path (manifest-sized driver data)
     all_files = [(_norm_path(p), s)
-                 for flist in groups.values() for p, s in flist]
+                 for flist in groups.values() for p, s, _ in flist]
     seq_df = spark.createDataFrame(all_files,
                                    "__ice_fp string, __ice_seq long")
     out = out.join(F.broadcast(seq_df), "__ice_fp")
@@ -1231,6 +1346,33 @@ def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
     name_to_field = {f["name"]: f for f in ice_schema["fields"]}
     spark_types = {f.name: f.dataType for f in spark_schema.fields}
 
+    # honor the export's partition spec: new entries carry the same
+    # identity tuples (values from per-file stats, like the exporter)
+    specs = {s.get("spec-id", 0): s
+             for s in tmeta.get("partition-specs", [])}
+    spec = specs.get(tmeta.get("default-spec-id", 0), {"fields": []})
+    spec_fields = list(spec.get("fields") or [])
+    id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    partition_by = []
+    for pf in spec_fields:
+        if pf.get("transform") != "identity":
+            raise ValueError(
+                f"mirror target uses a {pf.get('transform')!r} "
+                "partition transform — only identity is supported")
+        src = id_to_name.get(pf.get("source-id"))
+        if src is None:
+            raise ValueError(
+                f"partition field {pf.get('name')!r} references "
+                "source-id not in the current schema")
+        partition_by.append(src)
+    if partition_by and dv_mode == "equality":
+        raise ValueError(
+            "partitioned mirrors do not support dv_mode='equality' — "
+            "delete files would need partition scoping")
+    _, part_avro = _partition_spec(
+        partition_by, name_to_field, spark_types) if partition_by \
+        else ([], [])
+
     snaps = {s["snapshot-id"]: s for s in tmeta.get("snapshots", [])}
     cur_snap = snaps.get(tmeta.get("current-snapshot-id"))
     old_manifests = _walk_snapshot(be, root, cur_snap) \
@@ -1251,6 +1393,8 @@ def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
 
     now_data = {n for b in manifest["buckets"]
                 for n in manifest["buckets"][b]}
+    bucket_of = {n: int(b) for b in manifest["buckets"]
+                 for n in manifest["buckets"][b]}
     now_del = ({n for b in meta["deletes"] for n in meta["deletes"][b]}
                if dv_mode == "equality" else set())
     added_data = sorted(now_data - set(mirror_names))
@@ -1283,10 +1427,17 @@ def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
         fpath, fsize = _ship_file(src_be, dst_be, root, mode, name,
                                   src_path)
         nrows = _row_count(meta, src_be, name, src_path)
+        part: Dict = {}
         if content == 0:
-            lowers, uppers = _stats_bounds(
-                meta["stats"].get(name) or {}, name_to_field, spark_types)
+            st = meta["stats"].get(name) or {}
+            lowers, uppers = _stats_bounds(st, name_to_field,
+                                           spark_types)
             eq_ids = None
+            if partition_by:
+                part = _file_partition_values(
+                    st, partition_by, name,
+                    known={"doc_bucket": bucket_of.get(name)}
+                    if bucket_of.get(name) is not None else None)
         else:
             lowers = uppers = None
             doc_field = name_to_field.get("documentid")
@@ -1300,7 +1451,7 @@ def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
                 "file_sequence_number": entry_seq(name),
                 "data_file": {
                     "content": content, "file_path": fpath,
-                    "file_format": "PARQUET", "partition": {},
+                    "file_format": "PARQUET", "partition": part,
                     "record_count": nrows,
                     "file_size_in_bytes": int(fsize),
                     "lower_bounds": lowers or None,
@@ -1321,10 +1472,11 @@ def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
         with tempfile.TemporaryDirectory() as td:
             tmp = os.path.join(td, m_name)
             write_container(
-                tmp, _manifest_entry_schema(), m_entries, codec="deflate",
+                tmp, _manifest_entry_schema(part_avro), m_entries,
+                codec="deflate",
                 sync=hashlib.sha256(m_name.encode()).digest()[:16],
                 extra_meta={"schema": schema_json,
-                            "partition-spec": "[]",
+                            "partition-spec": json.dumps(spec_fields),
                             "partition-spec-id": "0",
                             "format-version": "2",
                             "content": content_kind})

@@ -807,6 +807,77 @@ def test_mirror_model_random_ops(spark, tmp_path):
     assert got == history[-1][1]
 
 
+def test_partitioned_export_and_mirror(spark, tmp_path):
+    from dataingestion_spark.interop.iceberg import mirror_iceberg
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, read_table,
+    )
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "ice_part")
+    export_iceberg(spark, tbl, dst, partition_by=("doc_bucket",))
+    meta = json.load(open(os.path.join(dst, "metadata",
+                                       "v1.metadata.json")))
+    spec = meta["partition-specs"][0]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["name"] == "doc_bucket"
+    assert spec["fields"][0]["field-id"] == 1000
+    assert meta["last-partition-id"] == 1000
+    # manifest entries carry typed partition tuples
+    snap = [n for n in os.listdir(os.path.join(dst, "metadata"))
+            if n.startswith("snap-")][0]
+    lrows = read_container(open(os.path.join(dst, "metadata", snap),
+                                "rb").read(), snap)[1]
+    mpath = lrows[0]["manifest_path"][7:]
+    _, entries = read_container(open(mpath, "rb").read(), mpath)
+    assert all(isinstance(e["data_file"]["partition"].get("doc_bucket"),
+                          int) for e in entries)
+    # read back equals the store (files carry the column — single-scan
+    # path, no per-tuple restoration needed)
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == want
+
+    # mirror preserves the spec: appended files carry their tuples
+    extra = _docs(spark).limit(10).select(
+        (F.col("documentid").cast("long") + 7 * 10 ** 6).cast("string")
+        .alias("documentid"), "text", "lang", "n_chars")
+    append_table(extra, tbl)
+    assert mirror_iceberg(spark, tbl, dst) == 2
+    got2 = {tuple(r) for r in read_iceberg(spark, dst)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got2 == {tuple(r) for r in read_table(spark, tbl)
+                    .select("documentid", "text", "lang",
+                            "n_chars").collect()}
+    meta2 = json.load(open(os.path.join(dst, "metadata",
+                                        "v2.metadata.json")))
+    snap2 = {s["snapshot-id"]: s for s in meta2["snapshots"]}[
+        meta2["current-snapshot-id"]]
+    lrows2 = read_container(
+        open(snap2["manifest-list"][7:], "rb").read(), "l")[1]
+    new_m = [r for r in lrows2 if r["added_snapshot_id"]
+             == meta2["current-snapshot-id"]]
+    assert new_m, "mirror must add a manifest for the appended files"
+    m2 = new_m[0]["manifest_path"][7:]
+    _, ents2 = read_container(open(m2, "rb").read(), m2)
+    assert all(isinstance(e["data_file"]["partition"].get("doc_bucket"),
+                          int) for e in ents2)
+
+    # equality DVs + partitions are mutually exclusive, loudly
+    with pytest.raises(ValueError, match="partition"):
+        export_iceberg(spark, tbl, str(tmp_path / "no"),
+                       partition_by=("doc_bucket",), dv_mode="equality")
+    del_ids = [r[0] for r in read_table(spark, tbl)
+               .select("documentid").limit(2).collect()]
+    from dataingestion_spark.sinks.manifest_store import delete_documents
+    delete_documents(spark, tbl, del_ids)
+    with pytest.raises(ValueError, match="partition"):
+        export_iceberg(spark, tbl, str(tmp_path / "no2"),
+                       partition_by=("doc_bucket",), dv_mode="equality")
+
+
 def test_export_uniform_one_copy_two_formats(spark, tmp_path):
     from dataingestion_spark.interop.delta import read_delta
     from dataingestion_spark.interop.iceberg import export_uniform
