@@ -1231,7 +1231,11 @@ def _evolve_schema(old: Dict, spark_schema: T.StructType,
                     "mirror sync — Iceberg field-ids forbid in-place "
                     "type changes; add a new column instead")
             nf = dict(of)
-            nf["required"] = not f.nullable
+            # required→optional is a legal widening; optional→required
+            # is NOT (files written while optional may lack values) —
+            # keep the old optionality in that direction
+            if of.get("required", False) and f.nullable:
+                nf["required"] = False
             if nf != of:
                 changed = True
             fields.append(nf)
