@@ -827,6 +827,25 @@ def _resolve(uri: str, root: str) -> str:
     return os.path.join(root, uri)
 
 
+def _cmp_exact(op: str, have, want) -> bool:
+    """Exact predicate check on an identity partition value (unlike
+    bounds, a non-match is PROOF — the file holds only this value)."""
+    try:
+        if op == "==":
+            return have == want
+        if op == "<=":
+            return have <= want
+        if op == ">=":
+            return have >= want
+        if op == "<":
+            return have < want
+        if op == ">":
+            return have > want
+    except TypeError:
+        return True
+    return True
+
+
 def _norm_path(p: str) -> str:
     """``file:/x``, ``file:///x`` and ``/x`` all mean the same local
     file; normalize for identity matching between manifests, delete
@@ -1010,14 +1029,27 @@ def read_iceberg(spark: SparkSession, path: str, *,
                 raise ValueError(
                     f"{df_rec.get('file_path')}: unknown data_file "
                     f"content code {content}")
+            part = df_rec.get("partition") or {}
+            if not isinstance(part, dict):
+                part = {}
             if where is not None:
                 bounds = _entry_bounds(df_rec)
                 if not _file_may_match(bounds, wfid, wdt, wop, wval):
                     pruned += 1
                     continue
-            part = df_rec.get("partition") or {}
-            if not isinstance(part, dict):
-                part = {}
+                # identity partition values are EXACT — when the where
+                # column is a partition source, the tuple decides (e.g.
+                # doc_bucket == k scans 1/N of the files with no stats)
+                skip = False
+                for pname, src in identity_by_spec.get(spec_id, []):
+                    if src == wcol and pname in part \
+                            and part[pname] is not None:
+                        if not _cmp_exact(wop, part[pname], wval):
+                            skip = True
+                        break
+                if skip:
+                    pruned += 1
+                    continue
             groups.setdefault(spec_id, []).append(
                 (fpath, int(seq), part))
 

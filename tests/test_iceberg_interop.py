@@ -865,6 +865,17 @@ def test_partitioned_export_and_mirror(spark, tmp_path):
     assert all(isinstance(e["data_file"]["partition"].get("doc_bucket"),
                           int) for e in ents2)
 
+    # identity partition values are exact pruning facts: a where= on
+    # the partition source scans only the matching bucket's files
+    full_n = len(set(read_iceberg(spark, dst).inputFiles()))
+    one = read_iceberg(spark, dst, where=("doc_bucket", "==", 3))
+    assert 0 < len(set(one.inputFiles())) < full_n
+    assert (one.filter(F.col("doc_bucket") == 3).count()
+            == read_iceberg(spark, dst)
+            .filter(F.col("doc_bucket") == 3).count())
+    none = read_iceberg(spark, dst, where=("doc_bucket", "==", 10 ** 6))
+    assert none.count() == 0
+
     # equality DVs + partitions are mutually exclusive, loudly
     with pytest.raises(ValueError, match="partition"):
         export_iceberg(spark, tbl, str(tmp_path / "no"),
