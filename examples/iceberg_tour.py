@@ -40,28 +40,30 @@ def main():
     ms.write_table(docs, table)
     n0 = docs.count()
 
-    # one-shot export: a self-contained Iceberg table
+    # one-shot export: a self-contained Iceberg table, identity-
+    # partitioned on the store's bucketing column
     ice = os.path.join(tmp, "iceberg")
-    export_iceberg(spark, table, ice, mode="copy")
+    export_iceberg(spark, table, ice, mode="copy",
+                   partition_by=("doc_bucket",))
     back = read_iceberg(spark, ice)
     assert back.count() == n0
     meta = json.load(open(os.path.join(ice, "metadata",
                                        "v1.metadata.json")))
     print(f"exported {n0} docs as Iceberg v2: snapshot "
           f"{meta['current-snapshot-id']}, "
-          f"{len(meta['schemas'][0]['fields'])} columns with field-ids")
+          f"{len(meta['schemas'][0]['fields'])} columns with field-ids, "
+          f"identity-partitioned on doc_bucket")
 
-    # bounds pruning straight off the manifests: a predicate outside
-    # every file's [min, max] plans ZERO scans (hash-bucketed files
-    # have overlapping documentid ranges, so an in-range probe must
-    # conservatively scan; range-clustered layouts prune per file —
-    # the disjoint-bounds case is pinned in tests/test_iceberg_interop)
+    # partition pruning straight off the manifests: the identity tuple
+    # is an exact fact, so one bucket's predicate scans one bucket's
+    # files; an out-of-range bounds probe plans ZERO scans
     full_files = len(set(back.inputFiles()))
-    pruned = read_iceberg(spark, ice,
-                          where=("documentid", ">", "￿"))
-    print(f"where=(documentid > out-of-range): plans "
-          f"{len(set(pruned.inputFiles()))}/{full_files} file scans "
-          "(manifest bounds, zero data IO)")
+    one = read_iceberg(spark, ice, where=("doc_bucket", "==", 3))
+    zero = read_iceberg(spark, ice, where=("documentid", ">", "￿"))
+    print(f"where=(doc_bucket == 3): plans "
+          f"{len(set(one.inputFiles()))}/{full_files} file scans; "
+          f"out-of-range bounds probe: "
+          f"{len(set(zero.inputFiles()))}/{full_files}")
 
     # continuous mirror: deletes ship as equality delete files
     mirror = os.path.join(tmp, "mirror")
