@@ -146,6 +146,14 @@ class _IcebergStreamReader(DataSourceStreamReader):
             raise ValueError("iceberg_table source requires a path")
         self._skip_changes = str(
             options.get("skipchangecommits", "false")).lower() == "true"
+        mx = options.get("maxsnapshotspertrigger")
+        self._max_snaps: Optional[int] = None if mx is None \
+            else max(1, int(mx))
+        # pacing position: highest lineage index already planned. Only
+        # paced when KNOWN — after a restart the first poll is unpaced
+        # by design, which sidesteps the entire rewound-offset class
+        # the manifest-table source had to fence with delivery floors
+        self._pos: Optional[int] = None
 
     # -- driver-side planning -------------------------------------------
     def initialOffset(self) -> dict:
@@ -155,8 +163,19 @@ class _IcebergStreamReader(DataSourceStreamReader):
         meta, lineage = _load_lineage(self._path)
         if not lineage:
             return self.initialOffset()
-        return {"idx": len(lineage) - 1,
-                "sid": lineage[-1]["snapshot-id"]}
+        idx = len(lineage) - 1
+        if self._max_snaps is not None and self._pos is not None \
+                and self._pos >= 0:
+            # bounded micro-batches; the snapshot batch is never split
+            idx = min(idx, self._pos + self._max_snaps)
+        if self._pos is not None:
+            idx = max(idx, self._pos)  # never rewind a planned offset
+        # a vacuum that trimmed the lineage mid-stream makes any index
+        # beyond it meaningless — clamp for the sid lookup; the sid
+        # check in partitions() raises the loud lineage-changed error
+        idx = min(idx, len(lineage) - 1)
+        self._pos = idx if self._pos is None else max(self._pos, idx)
+        return {"idx": idx, "sid": lineage[idx]["snapshot-id"]}
 
     def _check(self, lineage: List[Dict], idx: int, sid) -> None:
         if idx < 0:
@@ -177,6 +196,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s_idx, e_idx = int(start["idx"]), int(end["idx"])
+        for v in (s_idx, e_idx):
+            if v >= 0:
+                self._pos = v if self._pos is None else max(self._pos, v)
         if s_idx == e_idx or e_idx < 0:
             return []
         meta, lineage = _load_lineage(self._path)
@@ -284,7 +306,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
         yield from out.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
-        pass
+        v = int(end.get("idx", -1)) if isinstance(end, dict) else -1
+        if v >= 0:
+            self._pos = v if self._pos is None else max(self._pos, v)
 
 
 class IcebergTableDataSource(DataSource):
@@ -318,15 +342,25 @@ class IcebergTableDataSource(DataSource):
 
 
 def stream_iceberg(spark: SparkSession, path: str, *,
-                   skip_change_commits: bool = False) -> DataFrame:
+                   skip_change_commits: bool = False,
+                   max_snapshots_per_trigger: Optional[int] = None
+                   ) -> DataFrame:
     """Open an Iceberg v2 filesystem table as a streaming DataFrame:
     first batch = the current snapshot (delete files applied), later
     batches = the data files each new snapshot appends. Non-append
-    snapshots raise unless ``skip_change_commits``. See module
-    docstring for the lineage-offset contract."""
+    snapshots raise unless ``skip_change_commits``.
+    ``max_snapshots_per_trigger`` bounds how many snapshots one
+    micro-batch spans (the snapshot batch is never split; the first
+    poll after a restart is unpaced by design — the position is only
+    known once the engine has planned a batch, so a paced offset can
+    never rewind below a committed one). See module docstring for the
+    lineage-offset contract."""
     spark.dataSource.register(IcebergTableDataSource)
     reader = (spark.readStream.format(_FORMAT_NAME)
               .option("path", path))
     if skip_change_commits:
         reader = reader.option("skipChangeCommits", "true")
+    if max_snapshots_per_trigger is not None:
+        reader = reader.option("maxSnapshotsPerTrigger",
+                               str(max_snapshots_per_trigger))
     return reader.load()

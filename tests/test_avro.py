@@ -364,6 +364,62 @@ def test_resolution_hypothesis_roundtrip():
     roundtrip()
 
 
+def test_resolution_fuzz_permute_drop_promote():
+    # property: resolving under a reader that PERMUTES and DROPS
+    # fields (plus int->long promotions) equals the plain decode
+    # restricted to the kept fields — for arbitrary values
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataingestion_spark.sources.avro import (
+        _Cursor, _compile_decoder, _compile_resolver,
+    )
+
+    writer = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "b", "type": ["null", "string"], "default": None},
+        {"name": "c", "type": {"type": "array", "items": "int"}},
+        {"name": "d", "type": "double"},
+        {"name": "e", "type": ["null", "boolean"], "default": None},
+    ]}
+    wnode = parse_schema(writer)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        rows=st.lists(st.fixed_dictionaries({
+            "a": st.integers(-2**31, 2**31 - 1),
+            "b": st.one_of(st.none(), st.text(max_size=12)),
+            "c": st.lists(st.integers(-2**31, 2**31 - 1), max_size=4),
+            "d": st.floats(allow_nan=False, allow_infinity=False),
+            "e": st.one_of(st.none(), st.booleans()),
+        }), max_size=6),
+        keep=st.permutations(["a", "b", "c", "d", "e"]),
+        n_keep=st.integers(1, 5),
+        promote_a=st.booleans(),
+    )
+    def check(rows, keep, n_keep, promote_a):
+        kept = keep[:n_keep]
+        wf = {f["name"]: f for f in writer["fields"]}
+        rfields = []
+        for name in kept:
+            f = dict(wf[name])
+            if name == "a" and promote_a:
+                f = dict(f, type="long")
+            rfields.append(f)
+        reader = {"type": "record", "name": "r", "fields": rfields}
+        payload = encode_records(writer, rows)
+        res = _compile_resolver(wnode, parse_schema(reader), "$")
+        cur = _Cursor(payload, "f")
+        got = [res(cur) for _ in rows]
+        assert cur.pos == len(payload)
+        dec = _compile_decoder(wnode, "$")
+        cur2 = _Cursor(payload, "f")
+        plain = [dec(cur2) for _ in rows]
+        assert got == [{k: r[k] for k in kept} for r in plain]
+
+    check()
+
+
 def test_field_id_attrs_survive_parse():
     # Iceberg manifests carry "field-id" on every field; the parser must
     # keep them reachable for interop writers/readers

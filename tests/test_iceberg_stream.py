@@ -119,6 +119,34 @@ def test_widened_column_null_padding(spark, tmp_path):
         {(str(i), "w") for i in range(5, 8)}
 
 
+def test_max_snapshots_per_trigger_paces_backlog(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    dst = str(tmp_path / "ice")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    ms.write_table(_docs(spark, 0, 10), tbl)
+    mirror_iceberg(spark, tbl, dst)
+    got = _drain(spark, dst, sink, ckpt, max_snapshots_per_trigger=1)
+    assert got.count() == 10
+
+    # a 3-snapshot backlog; each paced availableNow run advances by
+    # at most one snapshot (the engine captures one end per run, the
+    # position is known after the first plan)
+    for lo, hi in ((10, 13), (13, 15), (15, 16)):
+        ms.append_table(_docs(spark, lo, hi), tbl)
+        mirror_iceberg(spark, tbl, dst)
+    counts = []
+    for _ in range(4):
+        got = _drain(spark, dst, sink, ckpt,
+                     max_snapshots_per_trigger=1)
+        counts.append(got.count())
+    # monotone, lands exactly on 16, and no run jumps the whole backlog
+    assert counts[-1] == 16
+    assert all(b >= a for a, b in zip(counts, counts[1:]))
+    assert counts[0] < 16, "first paced run must not drain everything"
+    # exactly-once throughout
+    assert got.select("documentid").distinct().count() == 16
+
+
 def test_vacuumed_lineage_fails_loudly(spark, tmp_path):
     tbl = str(tmp_path / "t")
     dst = str(tmp_path / "ice")
