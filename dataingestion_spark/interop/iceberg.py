@@ -322,6 +322,15 @@ def _manifest_entry_schema(
 
 
 def _manifest_list_schema() -> Dict:
+    field_summary = {"type": "record", "name": "r508", "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"],
+         "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"],
+         "default": None, "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"],
+         "default": None, "field-id": 511},
+    ]}
     return {"type": "record", "name": "manifest_file", "fields": [
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
@@ -336,7 +345,39 @@ def _manifest_list_schema() -> Dict:
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # per-partition-field value summaries (spec field 507): engines
+        # skip whole MANIFESTS on these before any manifest IO
+        {"name": "partitions",
+         "type": ["null", {"type": "array", "items": field_summary,
+                           "element-id": 508}],
+         "default": None, "field-id": 507},
     ]}
+
+
+def _partition_summaries(entries: List[Dict], spec_fields: List[Dict],
+                         types_by_name: Dict) -> Optional[List[Dict]]:
+    """field_summary rows (spec order) from entries' partition tuples;
+    None when the spec is unpartitioned."""
+    if not spec_fields:
+        return None
+    out = []
+    for pf in spec_fields:
+        name = pf["name"]
+        dt = types_by_name.get(name)
+        vals = [e["data_file"].get("partition", {}).get(name)
+                for e in entries]
+        nonnull = [v for v in vals if v is not None]
+        lo = min(nonnull) if nonnull else None
+        hi = max(nonnull) if nonnull else None
+        out.append({
+            "contains_null": len(nonnull) < len(vals),
+            "contains_nan": None,
+            "lower_bound": _bound_bytes(dt, lo)
+            if lo is not None and dt is not None else None,
+            "upper_bound": _bound_bytes(dt, hi)
+            if hi is not None and dt is not None else None,
+        })
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -695,6 +736,9 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
             "existing_files_count": 0, "deleted_files_count": 0,
             "added_rows_count": rows,
             "existing_rows_count": 0, "deleted_rows_count": 0,
+            "partitions": _partition_summaries(
+                m_entries, spec_fields, spark_types)
+            if content == 0 else None,
         }
 
     data_mpath, data_mblob = write_manifest("m0", entries, "data")
@@ -988,6 +1032,34 @@ def read_iceberg(spark: SparkSession, path: str, *,
     eq_deletes: List[Tuple[str, int, Tuple[int, ...]]] = []
     pruned = 0
     for mf in manifests:
+        if (where is not None and mf.get("content", 0) == 0
+                and mf.get("partitions")):
+            # manifest-list field summaries: when the where column is
+            # an identity partition source and the summary bounds
+            # prove no value in this manifest can match, skip the
+            # whole manifest BEFORE its IO (identity values equal the
+            # column, and null partition values match no comparison)
+            spec_flds = (specs.get(mf.get("partition_spec_id", 0))
+                         or {}).get("fields") or []
+            skip_mf = False
+            for pf, summ in zip(spec_flds, mf["partitions"]):
+                if pf.get("transform") != "identity" \
+                        or not isinstance(summ, dict):
+                    continue
+                src = next((n for n, i in field_ids.items()
+                            if i == pf.get("source-id")), None)
+                if src != wcol:
+                    continue
+                lo_b, hi_b = summ.get("lower_bound"), \
+                    summ.get("upper_bound")
+                if lo_b is None or hi_b is None:
+                    break
+                if not _file_may_match({wfid: (lo_b, hi_b)},
+                                       wfid, wdt, wop, wval):
+                    skip_mf = True
+                break
+            if skip_mf:
+                continue
         mblob = be.read_bytes(_resolve(mf["manifest_path"], root))
         if mblob is None:
             raise FileNotFoundError(mf["manifest_path"])
@@ -1544,6 +1616,9 @@ def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
             "added_rows_count": rows if added else 0,
             "existing_rows_count": 0 if added else rows,
             "deleted_rows_count": 0,
+            "partitions": _partition_summaries(
+                m_entries, spec_fields, spark_types)
+            if content == 0 else None,
         })
 
     if new_data_entries:

@@ -876,6 +876,25 @@ def test_partitioned_export_and_mirror(spark, tmp_path):
     none = read_iceberg(spark, dst, where=("doc_bucket", "==", 10 ** 6))
     assert none.count() == 0
 
+    # manifest-LIST field summaries let the reader skip a whole
+    # manifest before its IO: corrupt the manifest file — an
+    # out-of-range partition predicate must still answer (skipped),
+    # while an unpruned read hits the corruption loudly
+    lr = read_container(
+        open(os.path.join(dst, "metadata", snap), "rb").read(), snap)[1]
+    assert lr[0]["partitions"][0]["contains_null"] is False
+    assert lr[0]["partitions"][0]["lower_bound"] is not None
+    mfile = lr[0]["manifest_path"][7:]
+    orig = open(mfile, "rb").read()
+    open(mfile, "wb").write(b"garbage")
+    try:
+        assert read_iceberg(
+            spark, dst, where=("doc_bucket", "==", 10 ** 6)).count() == 0
+        with pytest.raises(ValueError, match="not an Avro container"):
+            read_iceberg(spark, dst)
+    finally:
+        open(mfile, "wb").write(orig)
+
     # equality DVs + partitions are mutually exclusive, loudly
     with pytest.raises(ValueError, match="partition"):
         export_iceberg(spark, tbl, str(tmp_path / "no"),
