@@ -83,8 +83,9 @@ from ..sources.avro import (
     decode_blocks, read_container, write_container,
 )
 
-__all__ = ["export_iceberg", "export_uniform", "mirror_iceberg",
-           "read_iceberg", "stream_mirror_iceberg", "vacuum_iceberg",
+__all__ = ["compact_manifests", "export_iceberg", "export_uniform",
+           "mirror_iceberg", "read_iceberg", "stream_mirror_iceberg",
+           "vacuum_iceberg",
            "iceberg_schema_from_spark", "spark_schema_from_iceberg"]
 
 
@@ -1844,3 +1845,168 @@ def stream_mirror_iceberg(spark: SparkSession, table: str, dst: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_manifests(dst: str) -> int:
+    """Merge the current snapshot's manifests into ONE per content
+    class (data / deletes) — the maintenance lever for long-running
+    mirrors, whose one-manifest-per-sync cadence otherwise grows
+    planning cost linearly with sync count (the seam SCALE.md names).
+
+    Metadata-only: no data file moves; entries carry their original
+    sequence numbers as EXISTING rows, so delete-application semantics
+    are bit-identical, prior snapshots keep their manifest lists for
+    time travel, and a tailing ``stream_iceberg`` sees an append-free
+    snapshot (empty batch). Partition summaries are recomputed for the
+    merged manifests. Returns the metadata version written (the
+    current one when there is nothing to merge)."""
+    import hashlib
+    import json as _json
+    import tempfile
+    import time as _time
+
+    from ..sinks.commit_backend import backend_for
+    from ..sinks.data_backend import data_backend_for
+
+    root = dst.rstrip("/")
+    meta_dir = f"{root}/metadata"
+    be = data_backend_for(dst)
+    hint = be.read_bytes(f"{meta_dir}/version-hint.text")
+    if hint is None:
+        raise FileNotFoundError(f"{meta_dir}: no version-hint.text")
+    cur_v = int(hint.decode().strip())
+    tmeta = _json.loads(
+        be.read_bytes(f"{meta_dir}/v{cur_v}.metadata.json"))
+    snaps = {s["snapshot-id"]: s for s in tmeta.get("snapshots", [])}
+    cur_snap = snaps.get(tmeta.get("current-snapshot-id"))
+    if cur_snap is None:
+        return cur_v
+    walked = _walk_snapshot(be, root, cur_snap)
+    data_rows = [r for r, _ in walked if r.get("content", 0) == 0]
+    del_rows = [r for r, _ in walked if r.get("content", 0) == 1]
+    if len(data_rows) <= 1 and len(del_rows) <= 1:
+        return cur_v
+
+    schemas = list(tmeta.get("schemas") or [])
+    by_id = {s.get("schema-id"): s for s in schemas}
+    ice_schema = by_id.get(tmeta.get("current-schema-id"), schemas[-1])
+    spark_schema = spark_schema_from_iceberg(ice_schema)
+    spark_types = {f.name: f.dataType for f in spark_schema.fields}
+    name_to_field = {f["name"]: f for f in ice_schema["fields"]}
+    specs = {s.get("spec-id", 0): s
+             for s in tmeta.get("partition-specs", [])}
+    spec = specs.get(tmeta.get("default-spec-id", 0), {"fields": []})
+    spec_fields = list(spec.get("fields") or [])
+    id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    part_cols = [id_to_name[pf["source-id"]] for pf in spec_fields
+                 if pf.get("transform") == "identity"
+                 and pf.get("source-id") in id_to_name]
+    _, part_avro = _partition_spec(part_cols, name_to_field,
+                                   spark_types) if part_cols \
+        else ([], [])
+
+    new_v = cur_v + 1
+    seed = f"{dst}:compact:{new_v}"
+    snapshot_id = int.from_bytes(
+        hashlib.sha256(seed.encode()).digest()[:8], "big") >> 1
+    run_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, seed))
+    last_seq = int(tmeta.get("last-sequence-number", 1))
+    now_ms = int(_time.time() * 1000)
+    schema_json = _json.dumps(ice_schema)
+
+    def merged_entries(content_code: int) -> List[Dict]:
+        out = []
+        for row, live in walked:
+            if row.get("content", 0) != content_code:
+                continue
+            for e in live:
+                out.append(dict(e, status=0))  # EXISTING, explicit seq
+        return out
+
+    list_rows: List[Dict] = []
+
+    def write_merged(tag: str, m_entries: List[Dict], content: int,
+                     kind: str) -> None:
+        m_name = f"{run_uuid}-{tag}.avro"
+        m_path = f"{meta_dir}/{m_name}"
+        with tempfile.TemporaryDirectory() as td:
+            tmp = os.path.join(td, m_name)
+            write_container(
+                tmp, _manifest_entry_schema(part_avro), m_entries,
+                codec="deflate",
+                sync=hashlib.sha256(m_name.encode()).digest()[:16],
+                extra_meta={"schema": schema_json,
+                            "partition-spec": _json.dumps(spec_fields),
+                            "partition-spec-id": "0",
+                            "format-version": "2",
+                            "content": kind})
+            blob = open(tmp, "rb").read()
+        be.write_bytes(m_path, blob)
+        seqs = [e["sequence_number"] for e in m_entries] or [1]
+        rows = sum(e["data_file"]["record_count"] for e in m_entries)
+        list_rows.append({
+            "manifest_path": _as_uri(m_path),
+            "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": max(seqs),
+            "min_sequence_number": min(seqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": len(m_entries),
+            "deleted_files_count": 0,
+            "added_rows_count": 0, "existing_rows_count": rows,
+            "deleted_rows_count": 0,
+            "partitions": _partition_summaries(
+                m_entries, spec_fields, spark_types)
+            if content == 0 else None,
+        })
+
+    data_entries = merged_entries(0)
+    if data_entries:
+        write_merged("m0", data_entries, 0, "data")
+    del_entries = merged_entries(1)
+    if del_entries:
+        write_merged("m1", del_entries, 1, "deletes")
+
+    new_seq = last_seq + 1
+    list_name = f"snap-{snapshot_id}-1-{run_uuid}.avro"
+    list_path = f"{meta_dir}/{list_name}"
+    with tempfile.TemporaryDirectory() as td:
+        tmp = os.path.join(td, list_name)
+        write_container(
+            tmp, _manifest_list_schema(), list_rows, codec="deflate",
+            sync=hashlib.sha256(list_name.encode()).digest()[:16],
+            extra_meta={"format-version": "2",
+                        "snapshot-id": str(snapshot_id),
+                        "sequence-number": str(new_seq)})
+        be.write_bytes(list_path, open(tmp, "rb").read())
+
+    new_meta = dict(tmeta)
+    new_meta["last-sequence-number"] = new_seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(tmeta.get("snapshots", [])) + [{
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": tmeta.get("current-snapshot-id"),
+        "sequence-number": new_seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": _as_uri(list_path),
+        "schema-id": ice_schema.get("schema-id", 0),
+        "summary": {"operation": "replace",
+                    "manifests-merged": str(len(data_rows)
+                                            + len(del_rows)),
+                    "manifests-created": str(len(list_rows))},
+    }]
+    new_meta["snapshot-log"] = list(tmeta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+    new_meta["metadata-log"] = list(tmeta.get("metadata-log", [])) + [
+        {"timestamp-ms": int(tmeta.get("last-updated-ms", 0)),
+         "metadata-file": _as_uri(f"{meta_dir}/v{cur_v}.metadata.json")}]
+    cbe = backend_for(dst)
+    if not cbe.put_if_absent(f"{meta_dir}/v{new_v}.metadata.json",
+                             _json.dumps(new_meta, indent=1)):
+        raise RuntimeError(
+            f"Iceberg metadata v{new_v} of {dst} was committed "
+            "concurrently; re-run the compaction")
+    be.write_bytes(f"{meta_dir}/version-hint.text", str(new_v).encode())
+    return new_v

@@ -984,6 +984,91 @@ def test_stream_mirror_iceberg_continuous(spark, tmp_path):
     assert got == want
 
 
+def test_compact_manifests_merges_without_semantic_change(spark,
+                                                          tmp_path):
+    from dataingestion_spark.interop.iceberg import (
+        compact_manifests, mirror_iceberg,
+    )
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, delete_documents, read_table,
+    )
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "mirror")
+    mirror_iceberg(spark, tbl, dst, dv_mode="equality")
+    for lo in (1, 2, 3):
+        extra = _docs(spark).limit(5).select(
+            (F.col("documentid").cast("long") + lo * 10 ** 6)
+            .cast("string").alias("documentid"),
+            "text", "lang", "n_chars")
+        append_table(extra, tbl)
+        mirror_iceberg(spark, tbl, dst, dv_mode="equality")
+    ids = [r[0] for r in read_table(spark, tbl)
+           .select("documentid").limit(2).collect()]
+    delete_documents(spark, tbl, ids)
+    v = mirror_iceberg(spark, tbl, dst, dv_mode="equality")
+
+    def list_rows(version):
+        meta = json.load(open(os.path.join(
+            dst, "metadata", f"v{version}.metadata.json")))
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+            meta["current-snapshot-id"]]
+        return read_container(
+            open(snap["manifest-list"][7:], "rb").read(), "l")[1], meta
+
+    before, _ = list_rows(v)
+    assert len(before) >= 4, "need a multi-manifest snapshot"
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    pre_snap_rows = {tuple(r) for r in read_iceberg(spark, dst)
+                     .select("documentid", "text", "lang", "n_chars")
+                     .collect()}
+    assert pre_snap_rows == want
+
+    cv = compact_manifests(dst)
+    assert cv == v + 1
+    after, meta_after = list_rows(cv)
+    assert len(after) == 2  # one data + one deletes manifest
+    assert sorted(r["content"] for r in after) == [0, 1]
+    assert all(r["added_files_count"] == 0 for r in after)
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == want  # delete semantics bit-identical (seqs kept)
+    # idempotent: nothing left to merge
+    assert compact_manifests(dst) == cv
+    # time travel to the pre-compaction snapshot still works
+    prev = meta_after["snapshots"][-2]["snapshot-id"]
+    assert {tuple(r) for r in
+            read_iceberg(spark, dst, snapshot_id=prev)
+            .select("documentid", "text", "lang", "n_chars")
+            .collect()} == want
+
+    # a tailing stream sees an append-free snapshot: drain before and
+    # after compaction must deliver identical cumulative rows
+    from dataingestion_spark.streaming.iceberg_source import (
+        stream_iceberg,
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (stream_iceberg(spark, dst, skip_change_commits=True)
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(sink).count()
+
+    n1 = drain()
+    extra = _docs(spark).limit(3).select(
+        (F.col("documentid").cast("long") + 9 * 10 ** 6).cast("string")
+        .alias("documentid"), "text", "lang", "n_chars")
+    append_table(extra, tbl)
+    mirror_iceberg(spark, tbl, dst, dv_mode="equality")
+    compact_manifests(dst)
+    n2 = drain()
+    assert n2 == n1 + 3  # the append arrived once; compaction added 0
+
+
 def test_pyiceberg_reads_our_export_if_available(spark, tmp_path):
     pytest.importorskip("pyiceberg")
     from pyiceberg.table import StaticTable  # pragma: no cover
