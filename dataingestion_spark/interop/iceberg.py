@@ -1808,7 +1808,8 @@ def stream_mirror_iceberg(spark: SparkSession, table: str, dst: str,
                           checkpoint: str, *,
                           dv_mode: str = "materialize",
                           max_commits_per_trigger: Optional[int] = None,
-                          available_now: bool = True):
+                          available_now: bool = True,
+                          compact_every: Optional[int] = None):
     """Continuously-fresh Iceberg mirror: tail the manifest table's
     change feed and run one :func:`mirror_iceberg` sync per
     micro-batch (one Iceberg snapshot per batch of commits).
@@ -1822,7 +1823,10 @@ def stream_mirror_iceberg(spark: SparkSession, table: str, dst: str,
     backlog and stops (cron-style publish); False runs continuously.
     Returns the StreamingQuery. Note ``dv_mode='materialize'`` compacts
     the SOURCE on delete-carrying batches — prefer ``'equality'`` for
-    hands-off mirroring of delete-heavy tables."""
+    hands-off mirroring of delete-heavy tables. ``compact_every`` runs
+    :func:`compact_manifests` after every N syncs (inline maintenance,
+    the same cadence pattern the SCD2 streaming sinks use), keeping a
+    long-running mirror's manifest count bounded."""
     from ..streaming.table_source import stream_changes
 
     # skip_rewrites: compaction batches carry no row-level changes, but
@@ -1833,12 +1837,17 @@ def stream_mirror_iceberg(spark: SparkSession, table: str, dst: str,
         max_commits_per_trigger=max_commits_per_trigger,
         checkpoint=checkpoint)
 
+    synced = [0]
+
     def sync(batch_df, batch_id):
         # the batch is purely the trigger — even a rewrite-only batch
         # (zero rows under skip_rewrites) must publish, since the
         # mirror diffs FILES; a truly unchanged table makes
         # mirror_iceberg a metadata-only no-op returning cur version
         mirror_iceberg(spark, table, dst, dv_mode=dv_mode)
+        synced[0] += 1
+        if compact_every is not None and synced[0] % compact_every == 0:
+            compact_manifests(dst)
 
     writer = (changes.writeStream.foreachBatch(sync)
               .option("checkpointLocation", checkpoint))

@@ -984,6 +984,50 @@ def test_stream_mirror_iceberg_continuous(spark, tmp_path):
     assert got == want
 
 
+def test_stream_mirror_inline_manifest_compaction(spark, tmp_path):
+    from dataingestion_spark.interop.iceberg import stream_mirror_iceberg
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, read_table,
+    )
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "smirror")
+    cp = str(tmp_path / "cp")
+
+    def drain():
+        q = stream_mirror_iceberg(spark, tbl, dst, cp,
+                                  dv_mode="equality", compact_every=1)
+        q.awaitTermination(120)
+
+    drain()
+    for lo in (1, 2):
+        extra = _docs(spark).limit(4).select(
+            (F.col("documentid").cast("long") + lo * 10 ** 6)
+            .cast("string").alias("documentid"),
+            "text", "lang", "n_chars")
+        append_table(extra, tbl)
+        drain()
+    # every sync compacted: the current snapshot holds ONE data manifest
+    meta_path = sorted(
+        n for n in os.listdir(os.path.join(dst, "metadata"))
+        if n.endswith(".metadata.json"))[-1]
+    meta = json.load(open(os.path.join(dst, "metadata", meta_path)))
+    hint = open(os.path.join(dst, "metadata",
+                             "version-hint.text")).read().strip()
+    meta = json.load(open(os.path.join(dst, "metadata",
+                                       f"v{hint}.metadata.json")))
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]]
+    rows = read_container(
+        open(snap["manifest-list"][7:], "rb").read(), "l")[1]
+    assert len([r for r in rows if r["content"] == 0]) == 1
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == {tuple(r) for r in read_table(spark, tbl)
+                   .select("documentid", "text", "lang",
+                           "n_chars").collect()}
+
+
 def test_compact_manifests_merges_without_semantic_change(spark,
                                                           tmp_path):
     from dataingestion_spark.interop.iceberg import (
