@@ -87,7 +87,16 @@ def main():
     print(f"mirror v{v}: +30 docs in one snapshot "
           f"({len(snaps)} snapshots retained)")
 
+    # maintenance: merge the per-sync manifests (metadata-only)
+    from dataingestion_spark.interop.iceberg import compact_manifests
+    cv = compact_manifests(mirror)
+    assert read_iceberg(spark, mirror).count() == n0 - 5 + 30
+    print(f"compact_manifests → v{cv}: one manifest per content "
+          "class, rows unchanged")
+
     # time travel, then expire history
+    snaps = json.load(open(os.path.join(
+        mirror, "metadata", f"v{cv}.metadata.json")))["snapshots"]
     first = snaps[0]["snapshot-id"]
     n_then = read_iceberg(spark, mirror, snapshot_id=first).count()
     gone = vacuum_iceberg(mirror, keep_snapshots=1)
