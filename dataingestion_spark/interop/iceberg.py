@@ -634,10 +634,10 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
             # dual-publish case: Delta copied them first) — reference,
             # size from the existing file
             p = f"{data_uri_base.rstrip('/')}/{name}"
-            blob = dst_be.read_bytes(p)
-            if blob is None:
+            fsize = dst_be.size(p)  # stat, not a full read — the
+            if fsize is None:       # UniForm export is metadata-only
                 raise FileNotFoundError(p)
-            return _as_uri(p), len(blob)
+            return _as_uri(p), fsize
         return _ship_file(src_be, dst_be, dst, mode, name, src_path)
 
     def row_count(name: str, src_path: str) -> int:
@@ -1002,6 +1002,18 @@ def read_iceberg(spark: SparkSession, path: str, *,
                          f"(have {sorted(snaps)})")
     snap = snaps[snap_id]
 
+    # Time travel reads a snapshot under ITS OWN schema (Iceberg spec:
+    # each snapshot records a schema-id) — after schema evolution the
+    # current schema would silently add/drop columns the snapshot never
+    # had. Fall back to current when the snapshot carries no schema-id.
+    if (snapshot_id is not None and "schemas" in meta
+            and snap.get("schema-id") is not None
+            and snap["schema-id"] in by_id):
+        schema_js = by_id[snap["schema-id"]]
+        spark_schema = spark_schema_from_iceberg(schema_js)
+        field_ids = {f["name"]: f["id"] for f in schema_js["fields"]}
+        spark_types = {f.name: f.dataType for f in spark_schema.fields}
+
     # identity-partition spec fields (for Hive-migrated value restoration)
     specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
     identity_by_spec: Dict[int, List[Tuple[str, str]]] = {}
@@ -1347,8 +1359,12 @@ def _evolve_schema(old: Dict, spark_schema: T.StructType,
         else:
             fid = counter[0] + 1
             counter[0] = fid
+            # Iceberg v2 forbids ADDING a required column (spec, "Schema
+            # Evolution": existing data files have no value for it and
+            # there is no default mechanism) — new columns are always
+            # optional regardless of Spark-side nullability.
             fields.append({"id": fid, "name": f.name,
-                           "required": not f.nullable,
+                           "required": False,
                            "type": convert_type(f.dataType)})
             changed = True
     if set(old_by_name) - {f.name for f in spark_schema.fields}:
@@ -1490,11 +1506,16 @@ def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
     mirror_names: Dict[str, int] = {}
     any_entries = False
     any_copied = False
+    # export stores absolute URIs (_as_uri), so a relative dst must be
+    # absolutized before the prefix test or a copy-mode mirror would be
+    # misclassified as shallow and later syncs would point at source
+    # files in place
+    cmp_root = _norm_path(root if "://" in dst else os.path.abspath(root))
     for _, live in old_manifests:
         for e in live:
             any_entries = True
             p = _norm_path(e["data_file"]["file_path"])
-            if p.startswith(root + "/data/"):
+            if p.startswith(cmp_root + "/data/"):
                 any_copied = True
             mirror_names[os.path.basename(p)] = \
                 e["data_file"].get("content", 0)

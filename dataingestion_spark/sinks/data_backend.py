@@ -68,6 +68,13 @@ class DataBackend:
         vacuum keeps files whose age it cannot determine."""
         raise NotImplementedError
 
+    def size(self, path: str) -> Optional[int]:
+        """Byte size of ``path``, or None if absent. Default falls back
+        to a full read; stores with a cheap stat (HEAD request, os.stat)
+        override so metadata-only callers never pull object bytes."""
+        data = self.read_bytes(path)
+        return None if data is None else len(data)
+
     def ensure_dir(self, path: str) -> None:
         """Create a directory if the store has directories (no-op on
         flat-namespace object stores)."""
@@ -106,6 +113,12 @@ class LocalDataBackend(DataBackend):
     def mtime(self, path: str) -> Optional[float]:
         try:
             return os.path.getmtime(path)
+        except OSError:
+            return None
+
+    def size(self, path: str) -> Optional[int]:
+        try:
+            return os.path.getsize(path)
         except OSError:
             return None
 
@@ -154,6 +167,11 @@ class MemoryDataBackend(DataBackend):
     def mtime(self, path: str) -> Optional[float]:
         with self._lock:
             return self._mtime.get(path)
+
+    def size(self, path: str) -> Optional[int]:
+        with self._lock:
+            data = self._kv.get(path)
+            return None if data is None else len(data)
 
 
 #: scheme → backend factory; cloud deployments register their own next

@@ -98,7 +98,7 @@ def _snapshot_files(path: str, snap: Dict):
     """Live file sets of one snapshot: ({data_path: seq},
     [(eq_path, seq, (id-names…))], [(pos_path, seq)]). Needs the
     current schema for equality-id name resolution."""
-    from ..interop.iceberg import _walk_snapshot, _norm_path
+    from ..interop.iceberg import _walk_snapshot, _norm_path, _resolve
     from ..sinks.data_backend import data_backend_for
 
     be = data_backend_for(path)
@@ -109,7 +109,10 @@ def _snapshot_files(path: str, snap: Dict):
     for row, live in _walk_snapshot(be, root, snap):
         for e in live:
             df_rec = e["data_file"]
-            p = _norm_path(df_rec["file_path"])
+            # foreign tables may store table-root-relative URIs —
+            # resolve like read_iceberg does, or the executor-side
+            # ParquetFile open fails with a bare FileNotFoundError
+            p = _norm_path(_resolve(df_rec["file_path"], root))
             seq = int(e["sequence_number"])
             content = df_rec.get("content", 0)
             if content == 0:

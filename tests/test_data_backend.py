@@ -152,3 +152,23 @@ def test_schema_evolution_append_on_memory_store(spark, mem_table):
     got = {r.documentid: r.asDict() for r in ms.read_table(spark, t).collect()}
     assert got["b"]["lang"] == "en"
     assert got["a"]["lang"] is None
+
+
+def test_size_is_stat_not_read(tmp_path):
+    """size() must answer from a stat where the store has one (the
+    UniForm Iceberg export calls it per data file — a full read there
+    is O(corpus bytes) of driver IO)."""
+    from dataingestion_spark.sinks.data_backend import (
+        LocalDataBackend, MemoryDataBackend,
+    )
+
+    lb = LocalDataBackend()
+    p = str(tmp_path / "blob.bin")
+    lb.write_bytes(p, b"x" * 1234)
+    assert lb.size(p) == 1234
+    assert lb.size(str(tmp_path / "missing")) is None
+
+    mb = MemoryDataBackend()
+    mb.write_bytes("k", b"abc")
+    assert mb.size("k") == 3
+    assert mb.size("nope") is None

@@ -1123,3 +1123,98 @@ def test_pyiceberg_reads_our_export_if_available(spark, tmp_path):
     st = StaticTable.from_metadata(
         os.path.join(dst, "metadata", "v1.metadata.json"))
     assert st.scan().to_arrow().num_rows == 500
+
+
+# ---------------------------------------------------------------------------
+# r11 regression pins (round-10 advisor findings)
+# ---------------------------------------------------------------------------
+
+def test_evolved_new_column_is_optional(spark, tmp_path):
+    """Iceberg v2 forbids ADDING a required column: a mirror sync that
+    introduces a non-nullable Spark column (lit() is non-nullable) must
+    publish it as optional, or conformant engines reject/mis-read the
+    older data files that lack values for it."""
+    from dataingestion_spark.interop.iceberg import mirror_iceberg
+    from dataingestion_spark.sinks.manifest_store import append_table
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "mirror_req")
+    mirror_iceberg(spark, tbl, dst)
+    widened = _docs(spark).limit(5).select(
+        (F.col("documentid").cast("long") + 5 * 10 ** 6).cast("string")
+        .alias("documentid"), "text", "lang", "n_chars",
+        F.lit(7).alias("epoch"))
+    assert not widened.schema["epoch"].nullable  # precondition
+    append_table(widened, tbl)
+    mirror_iceberg(spark, tbl, dst)
+    meta = json.load(open(os.path.join(dst, "metadata",
+                                       "v2.metadata.json")))
+    cur = {s["schema-id"]: s for s in meta["schemas"]}[
+        meta["current-schema-id"]]
+    epoch = next(f for f in cur["fields"] if f["name"] == "epoch")
+    assert epoch["required"] is False
+
+
+def test_time_travel_uses_snapshot_schema(spark, tmp_path):
+    """Time travel reads a snapshot under ITS schema (snapshot
+    schema-id), not the current one — after evolution adds a column,
+    the old snapshot must NOT grow it."""
+    from dataingestion_spark.interop.iceberg import mirror_iceberg
+    from dataingestion_spark.sinks.manifest_store import append_table
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "mirror_tt")
+    mirror_iceberg(spark, tbl, dst)
+    v1 = json.load(open(os.path.join(dst, "metadata",
+                                     "v1.metadata.json")))
+    snap1 = v1["current-snapshot-id"]
+
+    widened = _docs(spark).limit(5).select(
+        (F.col("documentid").cast("long") + 6 * 10 ** 6).cast("string")
+        .alias("documentid"), "text", "lang", "n_chars",
+        F.lit(1.0).alias("quality"))
+    append_table(widened, tbl)
+    mirror_iceberg(spark, tbl, dst)
+
+    old = read_iceberg(spark, dst, snapshot_id=snap1)
+    assert "quality" not in old.columns
+    assert old.count() == 500
+    cur = read_iceberg(spark, dst)
+    assert "quality" in cur.columns
+    assert cur.count() == 505
+
+
+def test_mirror_relative_dst_keeps_copy_mode(spark, tmp_path,
+                                             monkeypatch):
+    """A relative dst must not misclassify a copy-mode mirror as
+    shallow (export stores absolute URIs; the prefix test must
+    absolutize before comparing) — otherwise later syncs reference
+    source files in place and break when the source compacts."""
+    from dataingestion_spark.interop.iceberg import mirror_iceberg
+    from dataingestion_spark.sinks.manifest_store import append_table
+
+    tbl = _table(spark, tmp_path)
+    monkeypatch.chdir(tmp_path)
+    mirror_iceberg(spark, tbl, "mirror_rel")     # first sync = copy
+
+    extra = _docs(spark).limit(7).select(
+        (F.col("documentid").cast("long") + 7 * 10 ** 6).cast("string")
+        .alias("documentid"), "text", "lang", "n_chars")
+    append_table(extra, tbl)
+    mirror_iceberg(spark, tbl, "mirror_rel")
+
+    root = os.path.abspath("mirror_rel")
+    meta = json.load(open(os.path.join(root, "metadata",
+                                       "v2.metadata.json")))
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]]
+    from dataingestion_spark.interop.iceberg import _walk_snapshot
+    from dataingestion_spark.sinks.data_backend import data_backend_for
+    be = data_backend_for(root)
+    for _, live in _walk_snapshot(be, root, snap):
+        for e in live:
+            p = e["data_file"]["file_path"]
+            assert "/mirror_rel/data/" in p, \
+                f"second sync leaked a source-tree reference: {p}"
+    got = read_iceberg(spark, root).count()
+    assert got == 507

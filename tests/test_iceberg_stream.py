@@ -162,3 +162,79 @@ def test_vacuumed_lineage_fails_loudly(spark, tmp_path):
     vacuum_iceberg(dst, keep_snapshots=1)
     with pytest.raises(Exception, match="lineage changed"):
         _drain(spark, dst, sink, ckpt)
+
+
+def test_foreign_relative_paths_resolved(spark, tmp_path):
+    """Foreign tables may store table-root-relative URIs in manifests;
+    the streaming source must resolve them against the root like
+    read_iceberg does (r10 advisor finding) instead of failing at
+    executor ParquetFile open."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataingestion_spark.interop.iceberg import (
+        _manifest_entry_schema, _manifest_list_schema, read_iceberg,
+    )
+    from dataingestion_spark.sources.avro import write_container
+
+    root = str(tmp_path / "rel_tbl")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    pq.write_table(pa.table({
+        "documentid": pa.array(["a", "b", "c"], pa.string()),
+        "v": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(root, "data", "d0.parquet"))
+    m0 = os.path.join(root, "metadata", "m0.avro")
+    write_container(m0, _manifest_entry_schema(), [{
+        "status": 1, "snapshot_id": 9, "sequence_number": 1,
+        "file_sequence_number": 1,
+        "data_file": {
+            "content": 0, "file_path": "data/d0.parquet",  # RELATIVE
+            "file_format": "PARQUET", "partition": {},
+            "record_count": 3,
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(root, "data", "d0.parquet")),
+            "lower_bounds": None, "upper_bounds": None,
+            "equality_ids": None}}])
+    lpath = os.path.join(root, "metadata", "snap-9-1-x.avro")
+    write_container(lpath, _manifest_list_schema(), [{
+        "manifest_path": "metadata/m0.avro",  # RELATIVE
+        "manifest_length": os.path.getsize(m0),
+        "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+        "min_sequence_number": 1, "added_snapshot_id": 9,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 3,
+        "existing_rows_count": 0, "deleted_rows_count": 0}])
+    meta = {"format-version": 2, "table-uuid": "x", "location": root,
+            "last-sequence-number": 1, "last-updated-ms": 0,
+            "last-column-id": 2, "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "documentid", "required": False,
+                 "type": "string"},
+                {"id": 2, "name": "v", "required": False,
+                 "type": "long"}]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999, "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 9,
+            "snapshots": [{"snapshot-id": 9, "sequence-number": 1,
+                           "timestamp-ms": 0, "schema-id": 0,
+                           "manifest-list": "metadata/snap-9-1-x.avro",
+                           "summary": {"operation": "append"}}],
+            "snapshot-log": [], "metadata-log": []}
+    json.dump(meta, open(os.path.join(root, "metadata",
+                                      "v1.metadata.json"), "w"))
+    open(os.path.join(root, "metadata", "version-hint.text"),
+         "w").write("1")
+
+    want = {("a", 1), ("b", 2), ("c", 3)}
+    assert {tuple(r) for r in read_iceberg(spark, root)
+            .select("documentid", "v").collect()} == want
+    got = _drain(spark, root, str(tmp_path / "sink"),
+                 str(tmp_path / "ckpt"))
+    assert {tuple(r) for r in got.select("documentid", "v")
+            .collect()} == want
