@@ -26,7 +26,10 @@ shard-derived sync marker, so bytes are DETERMINISTIC given the data
 (idempotent re-exports, content-addressable shards — the layout
 contract shared by the TFRecord/WebDataset/Arrow-IPC sinks). Decode and
 encode are per-value python (documented hot-spot class, SCALE.md); the
-``deflate`` codec is raw RFC-1951 per the spec.
+``deflate`` codec is raw RFC-1951 per the spec, and ``snappy`` (the
+spec's third core codec, the default on most real-world Avro corpora)
+is pyarrow's bundled Snappy with the spec-required 4-byte big-endian
+CRC32 of the uncompressed block appended to each compressed block.
 
 Also the base layer for Apache Iceberg interop
 (`interop/iceberg.py`): Iceberg manifests and manifest lists are Avro
@@ -765,6 +768,69 @@ def _compile_resolver(writer: Dict, reader: Dict,
 # ---------------------------------------------------------------------------
 # container file framing
 
+_CODECS = ("null", "deflate", "snappy")
+
+
+def _snappy():
+    """pyarrow's bundled Snappy (same route the zstd JSONL reader takes
+    for zstd, `sources/jsonl.py`) — no separate python-snappy needed."""
+    import pyarrow as pa
+
+    try:
+        return pa.Codec("snappy")
+    except Exception as e:  # pragma: no cover - snappy is bundled
+        raise ValueError(f"avro codec 'snappy' unavailable: {e}") from None
+
+
+def _compress_block(codec: str, data: bytes) -> bytes:
+    if codec == "deflate":
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return co.compress(data) + co.flush()
+    if codec == "snappy":
+        # spec: snappy-compressed data followed by the 4-byte BIG-endian
+        # CRC32 of the UNCOMPRESSED block
+        comp = _snappy().compress(data, asbytes=True)
+        return comp + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    return data
+
+
+def _decompress_block(codec: str, data: bytes, name: str) -> bytes:
+    if codec == "deflate":
+        try:
+            return zlib.decompress(data, -15)
+        except zlib.error as e:
+            raise ValueError(f"{name}: deflate block corrupt: {e}")
+    if codec == "snappy":
+        if len(data) < 5:
+            raise ValueError(f"{name}: snappy block too short "
+                             f"({len(data)} bytes)")
+        comp, crc = data[:-4], struct.unpack(">I", data[-4:])[0]
+        # raw snappy streams open with the uncompressed length as a
+        # little-endian varint — parse it so pyarrow (which requires
+        # decompressed_size) can decode
+        n = shift = i = 0
+        while True:
+            if i >= len(comp):
+                raise ValueError(
+                    f"{name}: snappy length preamble truncated")
+            b = comp[i]
+            i += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        try:
+            raw = _snappy().decompress(comp, decompressed_size=n,
+                                       asbytes=True)
+        except Exception as e:
+            raise ValueError(f"{name}: snappy block corrupt: {e}")
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            raise ValueError(
+                f"{name}: snappy block CRC32 mismatch — corrupt block")
+        return raw
+    return data
+
+
 def encode_records(schema_js: Any, rows: List[Any]) -> bytes:
     """Binary-encode ``rows`` (dicts for records) under ``schema_js``."""
     enc = _compile_encoder(parse_schema(schema_js), "$")
@@ -783,9 +849,9 @@ def write_container(path: str, schema_js: Any, rows: List[Any],
     ``extra_meta`` adds application key-value pairs to the file-metadata
     map (Iceberg manifests carry ``schema``/``partition-spec``/… there;
     keys must not start with ``avro.`` per the spec)."""
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise ValueError(f"unsupported avro codec {codec!r} "
-                         "('null' or 'deflate')")
+                         f"(one of {list(_CODECS)})")
     if sync is None:
         import hashlib
         sync = hashlib.sha256(
@@ -817,10 +883,7 @@ def write_container(path: str, schema_js: Any, rows: List[Any],
             payload = bytearray()
             for row in chunk:
                 enc(payload, row)
-            data = bytes(payload)
-            if codec == "deflate":
-                co = zlib.compressobj(9, zlib.DEFLATED, -15)
-                data = co.compress(data) + co.flush()
+            data = _compress_block(codec, bytes(payload))
             block = bytearray()
             _enc_long(block, len(chunk))
             _enc_long(block, len(data))
@@ -859,8 +922,9 @@ def read_container(blob: bytes, name: str = "<avro>",
             meta[k] = cur.read_bytes()
     sync = cur.read_fixed(16)
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"{name}: unsupported avro codec {codec!r}")
+    if codec not in _CODECS:
+        raise ValueError(f"{name}: unsupported avro codec {codec!r} "
+                         f"(one of {list(_CODECS)})")
     try:
         schema_js = json.loads(meta["avro.schema"])
     except KeyError:
@@ -881,11 +945,7 @@ def read_container(blob: bytes, name: str = "<avro>",
         if cur.read_fixed(16) != sync:
             raise ValueError(f"{name}: sync marker mismatch at "
                              f"offset {cur.pos - 16} — corrupt block")
-        if codec == "deflate":
-            try:
-                data = zlib.decompress(data, -15)
-            except zlib.error as e:
-                raise ValueError(f"{name}: deflate block corrupt: {e}")
+        data = _decompress_block(codec, data, name)
         bc = _Cursor(data, name)
         for _ in range(count):
             rows.append(dec(bc))
@@ -998,16 +1058,17 @@ def write_avro(df: DataFrame, out_dir: str, shards: int = 4,
     Rows hash-shard on ``order_by`` (default: first column) and sort
     within a shard; the sync marker derives from the shard name — bytes
     are DETERMINISTIC given the data (same layout contract as the
-    TFRecord/Arrow-IPC/WebDataset sinks). ``codec`` is 'null' or
-    'deflate' (raw RFC-1951, the spec's required codec pair). One task
+    TFRecord/Arrow-IPC/WebDataset sinks). ``codec`` is 'null',
+    'deflate' (raw RFC-1951) or 'snappy' (block + 4-byte BE CRC32 of
+    the uncompressed data, the spec's three core codecs). One task
     per shard; returns shard names."""
     import hashlib
 
     if shards < 1:
         raise ValueError("shards must be >= 1")
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise ValueError(f"unsupported avro codec {codec!r} "
-                         "('null' or 'deflate')")
+                         f"(one of {list(_CODECS)})")
     key = order_by or df.columns[0]
     cols = df.columns
     schema_js = spark_to_avro_schema(df.schema, name="row")

@@ -106,6 +106,10 @@ def main():
     write_avro(docs, d, shards=4, order_by="doc_id", codec="deflate")
     check("avro+deflate", d, read_avro(spark, d))
 
+    d = os.path.join(tmp, "avro_snappy")
+    write_avro(docs, d, shards=4, order_by="doc_id", codec="snappy")
+    check("avro+snappy", d, read_avro(spark, d))
+
     print(f"\n{n} documents through every interchange format:")
     print(f"{'format':<12} {'MB':>8} {'rows':>7}")
     for label, mb, cnt in rows:

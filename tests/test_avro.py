@@ -46,7 +46,7 @@ NESTED_ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_container_roundtrip(tmp_path, codec):
     p = str(tmp_path / "t.avro")
     write_container(p, NESTED, NESTED_ROWS, codec=codec)
@@ -430,3 +430,64 @@ def test_field_id_attrs_survive_parse():
     node = parse_schema(sch)
     assert node["fields"][0]["attrs"]["field-id"] == 0
     assert json.loads(json.dumps(node["attrs"]))["name"] == "manifest_entry"
+
+
+def test_snappy_block_layout_per_spec(tmp_path):
+    """Spec pin for the snappy codec: each block's payload is the
+    raw-snappy compressed records followed by the 4-byte BIG-endian
+    CRC32 of the UNCOMPRESSED data — verified structurally against
+    pyarrow's snappy and zlib.crc32, not just by round-trip."""
+    import struct
+
+    import pyarrow as pa
+
+    from dataingestion_spark.sources.avro import _Cursor, encode_records
+
+    sch = {"type": "record", "name": "s", "fields": [
+        {"name": "t", "type": "string"}]}
+    rows = [{"t": "abc" * 50}, {"t": "zz"}]
+    p = str(tmp_path / "t.avro")
+    write_container(p, sch, rows, codec="snappy")
+    raw = open(p, "rb").read()
+    cur = _Cursor(raw, "t")
+    cur.pos = 4
+    while True:
+        n = cur.read_long()
+        if n == 0:
+            break
+        for _ in range(abs(n) * 2):
+            cur.read_bytes()
+    cur.read_fixed(16)
+    assert cur.read_long() == 2            # record count
+    size = cur.read_long()
+    payload = cur.read_fixed(size)
+    comp, crc = payload[:-4], struct.unpack(">I", payload[-4:])[0]
+    plain = encode_records(sch, rows)
+    got = pa.Codec("snappy").decompress(
+        comp, decompressed_size=len(plain), asbytes=True)
+    assert got == plain
+    assert crc == zlib.crc32(plain) & 0xFFFFFFFF
+
+
+def test_snappy_crc_mismatch_is_loud(tmp_path):
+    sch = {"type": "record", "name": "s", "fields": [
+        {"name": "t", "type": "string"}]}
+    p = str(tmp_path / "t.avro")
+    write_container(p, sch, [{"t": "payload " * 20}], codec="snappy")
+    raw = bytearray(open(p, "rb").read())
+    # the CRC is the 4 bytes right before the trailing 16-byte sync
+    raw[-17] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        read_container(bytes(raw), "x")
+
+
+def test_spark_snappy_roundtrip(spark, tmp_path):
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "text", "lang").limit(120))
+    out = str(tmp_path / "snap")
+    write_avro(df, out, shards=2, codec="snappy")
+    back = read_avro(spark, out)
+    assert {tuple(r) for r in back.collect()} == \
+        {tuple(r) for r in df.collect()}
