@@ -36,7 +36,13 @@ map keys.
   parquet-footer probes, the Hive-migration case), and returns a
   DataFrame. ``where=`` prunes files against the manifests' bounds
   BEFORE any scan — O(live files) driver-side metadata, zero data IO
-  for pruned files. Features this module does not implement
+  for pruned files. Partition pruning evaluates identity values
+  exactly AND the spec's non-identity transforms (``bucket[N]`` via
+  the Appendix-B murmur3 on equality predicates; ``truncate[W]`` /
+  ``day``/``month``/``year``/``hour`` on equality and ranges, being
+  order-preserving), at both the manifest-list field-summary level
+  (whole manifests skip before their IO) and the per-file partition
+  tuple. Features this module does not implement
   (non-parquet data, field-id renames) raise with the feature named
   rather than returning wrong rows.
 
@@ -935,6 +941,204 @@ def _file_may_match(bounds: Dict[int, Tuple], fid: Optional[int],
                      "(==, <, <=, >, >= supported)")
 
 
+# ---------------------------------------------------------------------------
+# partition-transform evaluation (spec "Partition Transforms" +
+# Appendix B 32-bit hash requirements) — lets `where=` prune data files
+# on FOREIGN tables partitioned by bucket[N]/truncate[W]/day/month/
+# year/hour, the common real-deployment layouts, not just identity.
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm), unsigned."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if tail:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+_EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+
+def _parse_transform(t: str) -> Tuple[Optional[str], Optional[int]]:
+    m = re.match(r"bucket\[(\d+)\]$", t or "")
+    if m:
+        return "bucket", int(m.group(1))
+    m = re.match(r"truncate\[(\d+)\]$", t or "")
+    if m:
+        return "truncate", int(m.group(1))
+    if t in ("day", "month", "year", "hour"):
+        return t, None
+    return None, None
+
+
+def _days_since_epoch(v) -> Optional[int]:
+    import datetime
+    if isinstance(v, datetime.datetime):  # incl. pd.Timestamp
+        return v.date().toordinal() - _EPOCH_ORD
+    if isinstance(v, datetime.date):
+        return v.toordinal() - _EPOCH_ORD
+    return None
+
+
+def _micros_since_epoch(v) -> Optional[int]:
+    import calendar
+    import datetime
+    try:
+        import pandas as pd
+        if isinstance(v, pd.Timestamp):
+            return v.value // 1000
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(v, datetime.datetime):
+        return (calendar.timegm(v.timetuple()) * 1_000_000
+                + v.microsecond)
+    return None
+
+
+def _transform_predicate_value(tname: str, tparam: Optional[int],
+                               v: Any, dt: T.DataType):
+    """Apply the transform to a PREDICATE value; None = cannot evaluate
+    (pruning stays conservative and every file scans)."""
+    import datetime
+    if v is None:
+        return None
+    if tname == "bucket":
+        if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType,
+                           T.ByteType)):
+            data = int(v).to_bytes(8, "little", signed=True)
+        elif isinstance(dt, T.StringType):
+            data = str(v).encode("utf-8")
+        elif isinstance(dt, T.DateType):
+            d = _days_since_epoch(v)
+            if d is None:
+                return None
+            data = d.to_bytes(8, "little", signed=True)
+        elif isinstance(dt, T.TimestampType):
+            us = _micros_since_epoch(v)
+            if us is None:
+                return None
+            data = us.to_bytes(8, "little", signed=True)
+        elif isinstance(dt, T.BinaryType):
+            data = bytes(v)
+        else:
+            return None
+        return (_murmur3_32(data) & 0x7FFFFFFF) % tparam
+    if tname == "truncate":
+        if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType,
+                           T.ByteType)):
+            return int(v) - (int(v) % tparam)  # floor multiple (py %)
+        if isinstance(dt, T.StringType):
+            return str(v)[:tparam]
+        return None
+    if tname == "day":
+        return _days_since_epoch(v)
+    if tname == "hour":
+        us = _micros_since_epoch(v)
+        return None if us is None else us // 3_600_000_000
+    # month / year need calendar parts
+    if isinstance(v, datetime.date):  # date or datetime
+        y, mo = v.year, v.month
+    else:
+        return None
+    if tname == "month":
+        return (y - 1970) * 12 + (mo - 1)
+    if tname == "year":
+        return y - 1970
+    return None
+
+
+def _part_transform_norm(tname: str, val: Any) -> Any:
+    """Normalize a STORED partition value to predicate-value space:
+    `day` partitions serialize as date-logical ints (our Avro decoder
+    yields datetime.date); everything else is already int/str."""
+    import datetime
+    if tname == "day" and isinstance(val, datetime.date):
+        return val.toordinal() - _EPOCH_ORD
+    if isinstance(val, (int, str)):
+        return val
+    return None
+
+
+def _transform_may_match(tname: str, tparam: Optional[int],
+                         part_val: Any, op: str, wval: Any,
+                         wdt: T.DataType) -> bool:
+    """Can a file whose transformed partition value is ``part_val``
+    hold a row matching (col op wval)? bucket prunes equality only;
+    truncate/day/month/year/hour are order-preserving so ranges prune
+    too. True (scan) whenever anything is not evaluable."""
+    tv = _transform_predicate_value(tname, tparam, wval, wdt)
+    pv = _part_transform_norm(tname, part_val)
+    if tv is None or pv is None:
+        return True
+    try:
+        if tname == "bucket":
+            return op != "==" or pv == tv
+        if op == "==":
+            return pv == tv
+        if op in ("<=", "<"):
+            return pv <= tv
+        if op in (">=", ">"):
+            return pv >= tv
+    except TypeError:
+        return True
+    return True
+
+
+def _transform_summary_may_match(tname: str, tparam: Optional[int],
+                                 lo: Any, hi: Any, op: str, wval: Any,
+                                 wdt: T.DataType) -> bool:
+    """Manifest-list field-summary variant: partition values in the
+    manifest lie in [lo, hi] (transformed space)."""
+    tv = _transform_predicate_value(tname, tparam, wval, wdt)
+    if tv is None or lo is None or hi is None:
+        return True
+    try:
+        if tname == "bucket" or op == "==":
+            return op != "==" or lo <= tv <= hi
+        if op in ("<=", "<"):
+            return lo <= tv
+        if op in (">=", ">"):
+            return hi >= tv
+    except TypeError:
+        return True
+    return True
+
+
+def _transform_result_type(tname: str, wdt: T.DataType) -> T.DataType:
+    """Spark type whose single-value serialization matches the
+    transform's RESULT type (for decoding summary bounds): bucket and
+    the time transforms serialize as 4-byte ints (day in raw epoch-day
+    space here), truncate keeps the source type."""
+    if tname == "truncate":
+        return wdt
+    return T.IntegerType()
+
+
 def read_iceberg(spark: SparkSession, path: str, *,
                  snapshot_id: Optional[int] = None,
                  where: Optional[Tuple[str, str, Any]] = None) -> DataFrame:
@@ -1014,18 +1218,28 @@ def read_iceberg(spark: SparkSession, path: str, *,
         field_ids = {f["name"]: f["id"] for f in schema_js["fields"]}
         spark_types = {f.name: f.dataType for f in spark_schema.fields}
 
-    # identity-partition spec fields (for Hive-migrated value restoration)
+    # identity-partition spec fields (for Hive-migrated value
+    # restoration) and non-identity transforms (for file pruning)
     specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
     identity_by_spec: Dict[int, List[Tuple[str, str]]] = {}
+    transforms_by_spec: Dict[int, List[Tuple]] = {}
     for sid, spec in specs.items():
         idmap = []
+        tmap = []
         for pf in spec.get("fields", []):
+            src = next((n for n, i in field_ids.items()
+                        if i == pf.get("source-id")), None)
+            if src is None:
+                continue
             if pf.get("transform") == "identity":
-                src = next((n for n, i in field_ids.items()
-                            if i == pf.get("source-id")), None)
-                if src is not None:
-                    idmap.append((pf.get("name", src), src))
+                idmap.append((pf.get("name", src), src))
+            else:
+                tname, tparam = _parse_transform(pf.get("transform"))
+                if tname is not None:
+                    tmap.append((pf.get("name", src), src, tname,
+                                 tparam))
         identity_by_spec[sid] = idmap
+        transforms_by_spec[sid] = tmap
 
     list_path = _resolve(snap["manifest-list"], root)
     list_blob = be.read_bytes(list_path)
@@ -1056,8 +1270,7 @@ def read_iceberg(spark: SparkSession, path: str, *,
                          or {}).get("fields") or []
             skip_mf = False
             for pf, summ in zip(spec_flds, mf["partitions"]):
-                if pf.get("transform") != "identity" \
-                        or not isinstance(summ, dict):
+                if not isinstance(summ, dict):
                     continue
                 src = next((n for n, i in field_ids.items()
                             if i == pf.get("source-id")), None)
@@ -1067,9 +1280,22 @@ def read_iceberg(spark: SparkSession, path: str, *,
                     summ.get("upper_bound")
                 if lo_b is None or hi_b is None:
                     break
-                if not _file_may_match({wfid: (lo_b, hi_b)},
-                                       wfid, wdt, wop, wval):
-                    skip_mf = True
+                if pf.get("transform") == "identity":
+                    if not _file_may_match({wfid: (lo_b, hi_b)},
+                                           wfid, wdt, wop, wval):
+                        skip_mf = True
+                    break
+                tname, tparam = _parse_transform(pf.get("transform"))
+                if tname is not None:
+                    # summary bounds live in TRANSFORMED space —
+                    # decode with the transform's result type
+                    rdt = _transform_result_type(tname, wdt)
+                    if not _transform_summary_may_match(
+                            tname, tparam,
+                            _bound_value(rdt, lo_b),
+                            _bound_value(rdt, hi_b),
+                            wop, wval, wdt):
+                        skip_mf = True
                 break
             if skip_mf:
                 continue
@@ -1132,6 +1358,18 @@ def read_iceberg(spark: SparkSession, path: str, *,
                         if not _cmp_exact(wop, part[pname], wval):
                             skip = True
                         break
+                # transformed partitions prune too: bucket[N] on
+                # equality, truncate/day/month/year/hour on ranges
+                if not skip:
+                    for pname, src, tname, tparam in \
+                            transforms_by_spec.get(spec_id, []):
+                        if src == wcol and pname in part \
+                                and part[pname] is not None:
+                            if not _transform_may_match(
+                                    tname, tparam, part[pname],
+                                    wop, wval, wdt):
+                                skip = True
+                            break
                 if skip:
                     pruned += 1
                     continue

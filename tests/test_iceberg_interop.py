@@ -1218,3 +1218,38 @@ def test_mirror_relative_dst_keeps_copy_mode(spark, tmp_path,
                 f"second sync leaked a source-tree reference: {p}"
     got = read_iceberg(spark, root).count()
     assert got == 507
+
+
+def test_duckdb_iceberg_extension_reads_our_export_if_available(
+        spark, tmp_path):
+    """Third-party read of export_iceberg output via DuckDB's iceberg
+    extension. The extension is not bundled with the python wheel and
+    must be downloaded; in an offline image `INSTALL iceberg` fails
+    with an IOException — probed r11: "Failed to download extension
+    'iceberg'" — so this skips there and runs wherever the extension
+    is present (same conditional-probe pattern as the pyiceberg and
+    delta-rs tests)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("INSTALL iceberg")
+        con.execute("LOAD iceberg")
+    except Exception as e:  # offline / unsupported platform
+        pytest.skip(f"duckdb iceberg extension unavailable: {e}")
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "ice_duck")
+    export_iceberg(spark, tbl, dst)
+    con.execute("SET unsafe_enable_version_guessing=true")
+    rows = con.execute(
+        f"SELECT count(*), count(DISTINCT documentid) "
+        f"FROM iceberg_scan('{dst}')").fetchone()
+    assert rows == (500, 500)
+    got = {tuple(r) for r in con.execute(
+        f"SELECT documentid, n_chars FROM iceberg_scan('{dst}')"
+    ).fetchall()}
+    want = {(r["documentid"], r["n_chars"])
+            for r in read_iceberg(spark, dst)
+            .select("documentid", "n_chars").collect()}
+    assert got == want

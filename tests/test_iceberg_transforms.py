@@ -1,0 +1,240 @@
+"""Partition-transform pruning on foreign Iceberg tables
+(interop/iceberg.py): bucket[N]/truncate[W]/day evaluation per the
+spec's "Partition Transforms" + Appendix B hash vectors. Correctness
+was never affected (transformed tables always scanned everything);
+these pin that `where=` now reads only the provable subset."""
+
+import datetime
+import json
+import os
+import struct
+
+import pytest
+
+from dataingestion_spark.interop.iceberg import (
+    _manifest_entry_schema, _manifest_list_schema, _murmur3_32,
+    read_iceberg,
+)
+from dataingestion_spark.sources.avro import write_container
+
+
+def _signed(h):
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def test_murmur3_spec_vectors():
+    """Iceberg spec Appendix B: the exact 32-bit hash requirements."""
+    def long_hash(v):
+        return _signed(_murmur3_32(int(v).to_bytes(8, "little",
+                                                   signed=True)))
+
+    assert long_hash(34) == 2017239379                  # int & long
+    assert _signed(_murmur3_32(b"iceberg")) == 1210000089   # string
+    assert _signed(_murmur3_32(bytes([0, 1, 2, 3]))) == -188683207
+    days = (datetime.date(2017, 11, 16).toordinal()
+            - datetime.date(1970, 1, 1).toordinal())
+    assert long_hash(days) == -653330422                # date
+    us = (days * 86400 + 22 * 3600 + 31 * 60 + 8) * 1_000_000
+    assert long_hash(us) == -2047944441                 # timestamp
+
+
+def _build(root, schema_fields, spec_fields, part_avro, files,
+           manifests=None):
+    """Minimal foreign Iceberg v2 table. ``files`` = list of
+    (parquet_path, partition_dict) already written; ``manifests``
+    groups file indices per manifest (default: one manifest) with
+    optional per-manifest field summaries."""
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+
+    def entry(path, part):
+        return {"status": 1, "snapshot_id": 7, "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0, "file_path": "file://" + path,
+                    "file_format": "PARQUET", "partition": part,
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(path)}}
+
+    if manifests is None:
+        manifests = [(list(range(len(files))), None)]
+    list_rows = []
+    for mi, (idxs, summ) in enumerate(manifests):
+        mpath = os.path.join(root, "metadata", f"m{mi}.avro")
+        if idxs is not None:
+            write_container(mpath, _manifest_entry_schema(part_avro),
+                            [entry(*files[i]) for i in idxs])
+            mlen = os.path.getsize(mpath)
+        else:  # deliberately missing manifest — must be skipped
+            mlen = 0
+        row = {"manifest_path": "file://" + mpath,
+               "manifest_length": mlen,
+               "partition_spec_id": 0, "content": 0,
+               "sequence_number": 1, "min_sequence_number": 1,
+               "added_snapshot_id": 7, "added_files_count": len(idxs or []),
+               "existing_files_count": 0, "deleted_files_count": 0,
+               "added_rows_count": len(idxs or []),
+               "existing_rows_count": 0, "deleted_rows_count": 0}
+        if summ is not None:
+            row["partitions"] = summ
+        list_rows.append(row)
+    lpath = os.path.join(root, "metadata", "snap-7-1-x.avro")
+    write_container(lpath, _manifest_list_schema(), list_rows)
+    meta = {"format-version": 2, "table-uuid": "x", "location": root,
+            "last-sequence-number": 1, "last-updated-ms": 0,
+            "last-column-id": len(schema_fields),
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0,
+                         "fields": schema_fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 1000 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 7,
+            "snapshots": [{"snapshot-id": 7, "sequence-number": 1,
+                           "timestamp-ms": 0, "schema-id": 0,
+                           "manifest-list": "file://" + lpath,
+                           "summary": {"operation": "append"}}],
+            "snapshot-log": [], "metadata-log": []}
+    json.dump(meta, open(os.path.join(root, "metadata",
+                                      "v1.metadata.json"), "w"))
+    open(os.path.join(root, "metadata", "version-hint.text"),
+         "w").write("1")
+
+
+SCHEMA_ID_V = [
+    {"id": 1, "name": "id", "required": False, "type": "long"},
+    {"id": 2, "name": "v", "required": False, "type": "long"}]
+PART_INT = [{"name": "pb", "type": ["null", "int"], "default": None,
+             "field-id": 1000}]
+
+
+def _bucket4(v):
+    return (_murmur3_32(int(v).to_bytes(8, "little", signed=True))
+            & 0x7FFFFFFF) % 4
+
+
+def test_bucket4_prunes_to_one_file(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "bkt")
+    os.makedirs(os.path.join(root, "data"))
+    by_bucket = {b: [] for b in range(4)}
+    for i in range(40):
+        by_bucket[_bucket4(i)].append(i)
+    assert all(by_bucket.values())        # every bucket non-empty
+    assert _bucket4(34) == 2017239379 % 4  # literal pin vs spec hash
+    files = []
+    for b, ids in sorted(by_bucket.items()):
+        p = os.path.join(root, "data", f"b{b}.parquet")
+        pq.write_table(pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "v": pa.array([i * 10 for i in ids], pa.int64())}), p)
+        files.append((p, {"pb": b}))
+    spec = [{"name": "pb", "transform": "bucket[4]", "source-id": 1,
+             "field-id": 1000}]
+    _build(root, SCHEMA_ID_V, spec, PART_INT, files)
+
+    assert len(set(read_iceberg(spark, root).inputFiles())) == 4
+    got = read_iceberg(spark, root, where=("id", "==", 34))
+    want_file = os.path.join(root, "data",
+                             f"b{_bucket4(34)}.parquet")
+    assert set(got.inputFiles()) == {"file://" + want_file}
+    rows = got.filter("id = 34").collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(34, 340)]
+    # ranges cannot prune through a hash transform → all files scan
+    rng = read_iceberg(spark, root, where=("id", ">=", 34))
+    assert len(set(rng.inputFiles())) == 4
+
+
+def test_truncate10_prunes_ranges(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "trunc")
+    os.makedirs(os.path.join(root, "data"))
+    files = []
+    for lo in (0, 10, 20):
+        p = os.path.join(root, "data", f"t{lo}.parquet")
+        ids = list(range(lo, lo + 10))
+        pq.write_table(pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "v": pa.array([i * 2 for i in ids], pa.int64())}), p)
+        files.append((p, {"pb": lo}))
+    spec = [{"name": "pb", "transform": "truncate[10]", "source-id": 1,
+             "field-id": 1000}]
+    part = [{"name": "pb", "type": ["null", "long"], "default": None,
+             "field-id": 1000}]
+    _build(root, SCHEMA_ID_V, spec, part, files)
+
+    def scanned(where):
+        return {os.path.basename(f) for f in
+                read_iceberg(spark, root, where=where).inputFiles()}
+
+    assert scanned(None) == {"t0.parquet", "t10.parquet",
+                             "t20.parquet"}
+    assert scanned(("id", "==", 13)) == {"t10.parquet"}
+    assert scanned(("id", ">=", 25)) == {"t20.parquet"}
+    assert scanned(("id", "<", 5)) == {"t0.parquet"}
+    assert scanned(("id", "<=", 10)) == {"t0.parquet", "t10.parquet"}
+    got = read_iceberg(spark, root, where=("id", "==", 13))
+    assert got.filter("id = 13").collect()[0]["v"] == 26
+
+
+def test_day_transform_and_manifest_summary_skip(spark, tmp_path):
+    """Day-partitioned foreign table: file-level pruning on a date
+    predicate AND manifest-list summary skipping — the second
+    manifest is a deliberately MISSING file, so if summary skipping
+    regressed the read would fail with FileNotFoundError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "daily")
+    os.makedirs(os.path.join(root, "data"))
+    d0 = datetime.date(2024, 3, 1)
+    epoch = datetime.date(1970, 1, 1).toordinal()
+    files = []
+    for k in range(3):
+        d = datetime.date.fromordinal(d0.toordinal() + k)
+        p = os.path.join(root, "data", f"d{k}.parquet")
+        pq.write_table(pa.table({
+            "d": pa.array([d], pa.date32()),
+            "v": pa.array([k], pa.int64())}), p)
+        files.append((p, {"pd": d}))
+    schema = [
+        {"id": 1, "name": "d", "required": False, "type": "date"},
+        {"id": 2, "name": "v", "required": False, "type": "long"}]
+    spec = [{"name": "pd", "transform": "day", "source-id": 1,
+             "field-id": 1000}]
+    part = [{"name": "pd",
+             "type": ["null", {"type": "int", "logicalType": "date"}],
+             "default": None, "field-id": 1000}]
+
+    def day_bounds(lo_k, hi_k):
+        return [{"contains_null": False, "contains_nan": None,
+                 "lower_bound": struct.pack(
+                     "<i", d0.toordinal() - epoch + lo_k),
+                 "upper_bound": struct.pack(
+                     "<i", d0.toordinal() - epoch + hi_k)}]
+
+    # manifest 0: days 0-2 (real); manifest 1: days 10-12, MISSING
+    # file — only reachable if summary skipping fails
+    _build(root, schema, spec, part, files,
+           manifests=[(list(range(3)), day_bounds(0, 2)),
+                      (None, day_bounds(10, 12))])
+
+    got = read_iceberg(spark, root, where=("d", "==", d0))
+    assert {os.path.basename(f) for f in got.inputFiles()} == \
+        {"d0.parquet"}
+    assert got.collect()[0]["v"] == 0
+    lt = read_iceberg(
+        spark, root,
+        where=("d", "<=", datetime.date(2024, 3, 2)))
+    assert {os.path.basename(f) for f in lt.inputFiles()} == \
+        {"d0.parquet", "d1.parquet"}
+    # a predicate inside the missing manifest's day range DOES fail —
+    # proof the skip above was the summary, not an accident
+    with pytest.raises(Exception):
+        read_iceberg(spark, root,
+                     where=("d", "==", datetime.date(2024, 3, 11)))
