@@ -32,9 +32,11 @@ map keys.
   metadata file, walks manifest-list → manifests, keeps live entries
   (status ≠ DELETED), APPLIES v2 positional and equality delete files
   with spec sequence-number semantics, restores identity-partition
-  values when the data files themselves lack the column (driver-side
-  parquet-footer probes, the Hive-migration case), and returns a
-  DataFrame. ``where=`` prunes files against the manifests' bounds
+  values when the data files themselves lack the column (one driver
+  footer probe for the first file; the any-file-has-it question runs
+  as ONE distributed schema-merge job over executors — the
+  Hive-migration case never serializes per-file IO on the driver), and
+  returns a DataFrame. ``where=`` prunes files against the manifests' bounds
   BEFORE any scan — O(live files) driver-side metadata, zero data IO
   for pruned files. Partition pruning evaluates identity values
   exactly AND the spec's non-identity transforms (``bucket[N]`` via
@@ -1412,6 +1414,17 @@ def read_iceberg(spark: SparkSession, path: str, *,
         files = groups[spec_id]
         paths = [p for p, _, _ in files]
         first_cols = footer_cols(paths[0])
+        present_any: Optional[set] = None
+        if any(n not in first_cols for n in spark_schema.names) \
+                and len(paths) > 1:
+            # some column is absent from the first footer (widened
+            # column / Hive-migrated identity partition / rename) —
+            # resolve "present in ANY file" with Spark's distributed
+            # schema merge, ONE job over executors, instead of probing
+            # 10^5 footers serially on the driver
+            present_any = set(
+                spark.read.option("mergeSchema", "true")
+                .parquet(*paths).schema.names)
         need_restore: List[str] = []
         for name in spark_schema.names:
             if name in first_cols:
@@ -1420,9 +1433,8 @@ def read_iceberg(spark: SparkSession, path: str, *,
             # SOME file — nulls elsewhere are correct), identity
             # partition value (present in NO file — restore it), or a
             # field-id rename we cannot resolve by name — refuse rather
-            # than return nulls. Footer probes are driver-side and
-            # cached; only this rare path pays beyond the first file.
-            if any(name in footer_cols(p) for p in paths[1:]):
+            # than return nulls
+            if present_any is not None and name in present_any:
                 continue
             if any(src == name for _, src in
                    identity_by_spec.get(spec_id, [])):
