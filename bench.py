@@ -20,6 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # host load at start/end rides into the artifacts so noise-vs-
+    # regression adjudication is self-contained (needed in r9 AND r10)
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        load_start = None
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -388,6 +394,10 @@ def main():
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        load_end = None
     full = {
         "metric": "bench_total",
         "value": round(sum(medians.values()), 3),
@@ -397,6 +407,9 @@ def main():
         "queries_min": timings,
         "reps": reps,
         "sf": sf_val,
+        "load_start": load_start,
+        "load_end": load_end,
+        "ncpu": os.cpu_count(),
     }
     # full report (median + min) to a file; stdout gets ONE compact line —
     # the driver's tail capture is ~2 KB and r4's pretty/two-dict line got
@@ -406,7 +419,8 @@ def main():
     with open(report_path, "w") as f:
         json.dump(full, f, indent=1)
     compact = {k: full[k] for k in
-               ("metric", "value", "unit", "stat", "queries", "reps", "sf")}
+               ("metric", "value", "unit", "stat", "queries", "reps",
+                "sf", "load_start", "load_end")}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # stay under the driver's tail-capture window
         compact["queries"] = {k: round(v, 2) for k, v in medians.items()}
