@@ -8313,6 +8313,131 @@ FROM documents
 """
 
 
+def q_io_avro_snappy_roundtrip(spark, sf):
+    """Avro snappy codec + vectorized columnar decode (r11,
+    sources/avro.py + avro_vec.py): documents → one .avro shard with
+    snappy-compressed blocks (pyarrow's bundled Snappy + the
+    spec-required 4-byte big-endian CRC32 of each uncompressed block)
+    at block_rows=4, so the read-back runs the numpy LOCK-STEP block
+    decoder (≥64 blocks engages it; strings materialize through one
+    XOR-scan gather into Arrow, zero per-row python) — the oracle
+    equality therefore pins codec AND vector path end to end."""
+    import tempfile
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="avro_sn_") + "/shards"
+    write_avro(docs, out, shards=1, order_by="doc_id", codec="snappy",
+               block_rows=4)
+    return read_avro(spark, out).select(
+        "doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_iceberg_prune_bucket(spark, sf):
+    """Foreign-table partition-transform pruning (r11,
+    interop/iceberg.py): documents → a hand-built Iceberg v2 table
+    partitioned by bucket[4](doc_id) (spec Appendix-B murmur3; four
+    parquet files, partition tuples in the manifest) → five separate
+    ``where=(doc_id, ==, k)`` reads, each planned against the bucket
+    transform so only the one matching file scans (pinned by
+    tests/test_iceberg_transforms.py; here the DuckDB oracle pins that
+    the PRUNED reads still return exactly the right rows)."""
+    import os as _os
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dataingestion_spark.interop.iceberg import (
+        _manifest_entry_schema, _manifest_list_schema, _murmur3_32,
+        read_iceberg,
+    )
+    from dataingestion_spark.sources.avro import write_container
+
+    pdf = (_t(spark, sf, "documents")
+           .select("doc_id", "lang", "n_chars").toPandas()
+           .sort_values("doc_id"))
+
+    def bucket4(v):
+        return (_murmur3_32(int(v).to_bytes(8, "little", signed=True))
+                & 0x7FFFFFFF) % 4
+
+    root = tempfile.mkdtemp(prefix="ice_bkt_") + "/t"
+    _os.makedirs(root + "/metadata")
+    _os.makedirs(root + "/data")
+    pdf["_b"] = pdf["doc_id"].map(bucket4)
+    entries = []
+    for b, grp in pdf.groupby("_b"):
+        p = f"{root}/data/b{b}.parquet"
+        _pq.write_table(_pa.table({
+            "doc_id": _pa.array(grp["doc_id"], _pa.int64()),
+            "lang": _pa.array(grp["lang"], _pa.string()),
+            "n_chars": _pa.array(grp["n_chars"], _pa.int64())}), p)
+        entries.append({
+            "status": 1, "snapshot_id": 7, "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0, "file_path": "file://" + p,
+                "file_format": "PARQUET", "partition": {"pb": int(b)},
+                "record_count": len(grp),
+                "file_size_in_bytes": _os.path.getsize(p)}})
+    part_avro = [{"name": "pb", "type": ["null", "int"],
+                  "default": None, "field-id": 1000}]
+    mp = root + "/metadata/m0.avro"
+    write_container(mp, _manifest_entry_schema(part_avro), entries)
+    lp = root + "/metadata/snap-7-1-x.avro"
+    write_container(lp, _manifest_list_schema(), [{
+        "manifest_path": "file://" + mp,
+        "manifest_length": _os.path.getsize(mp),
+        "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+        "min_sequence_number": 1, "added_snapshot_id": 7,
+        "added_files_count": len(entries), "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": len(pdf),
+        "existing_rows_count": 0, "deleted_rows_count": 0}])
+    import json as _json
+    meta = {"format-version": 2, "table-uuid": "x", "location": root,
+            "last-sequence-number": 1, "last-updated-ms": 0,
+            "last-column-id": 3, "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "doc_id", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "lang", "required": False,
+                 "type": "string"},
+                {"id": 3, "name": "n_chars", "required": False,
+                 "type": "long"}]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": "pb", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1000}]}],
+            "last-partition-id": 1000, "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 7,
+            "snapshots": [{"snapshot-id": 7, "sequence-number": 1,
+                           "timestamp-ms": 0, "schema-id": 0,
+                           "manifest-list": "file://" + lp,
+                           "summary": {"operation": "append"}}],
+            "snapshot-log": [], "metadata-log": []}
+    with open(root + "/metadata/v1.metadata.json", "w") as fh:
+        _json.dump(meta, fh)
+    with open(root + "/metadata/version-hint.text", "w") as fh:
+        fh.write("1")
+
+    out = None
+    for k in (7, 11, 23, 37, 42):
+        one = (read_iceberg(spark, root, where=("doc_id", "==", k))
+               .filter(F.col("doc_id") == k))
+        out = one if out is None else out.unionByName(one)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+ORACLE_ICEBERG_PRUNE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (7, 11, 23, 37, 42)
+"""
+
+
 def q_io_avro_roundtrip(spark, sf):
     """Avro container interchange (sources/avro.py): documents →
     deterministic hash-sharded .avro files (hand-coded Avro 1.12 wire
@@ -8589,60 +8714,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # end), so future rotations are a simple prefix shift.  Standing
     # policy: any new query enters the next round's first-50.
     return {
-        # --- r10 sample 1-7: new this round + never driver-sampled ---
-        "io_avro_roundtrip": q_io_avro_roundtrip,
-        "lakehouse_iceberg_roundtrip": q_iceberg_roundtrip,
-        "streaming_iceberg_tail": q_streaming_iceberg_tail,
-        "io_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
-        "io_arrow_roundtrip": q_arrow_ipc_roundtrip,
-        "streaming_jsonl_ingest": q_streaming_jsonl_ingest,
-        "lakehouse_export_incremental": q_export_incremental,
-        "io_tfrecord_roundtrip": q_io_tfrecord_roundtrip,
-        # --- r10 sample 2-14: r1/r2-green, externally stale since ---
-        "dedup_contamination_check": q_contamination,
-        "dedup_cross_doc_shingles": q_cross_doc_shingles,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_minhash_signature": q_minhash_signature,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_simhash": q_simhash,
-        "dedup_span_removal": q_span_removal,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_pii_scrub": q_pii_scrub,
-        "doc_quality_score": q_doc_quality,
-        "doc_repetition_signals": q_repetition_signals,
-        "tokenizer_bpe_pair_counts": q_bpe_pair_counts,
-        # --- r10 sample 16-30: r3-green relational/events block ---
-        "customers_with_urgent_orders": q_customers_with_urgent_orders,
-        "customers_without_orders": q_customers_without_orders,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
-        "doc_predicate_forms": q_doc_predicate_forms,
-        "doc_token_counts": q_doc_token_counts,
-        "events_anomaly_zscore": q_events_anomaly,
-        "events_asof_forward": q_events_asof_forward,
-        "events_asof_join": q_events_asof_join,
-        "events_cohort_retention": q_cohort_retention,
-        "events_funnel_ordered": q_events_funnel,
-        "events_gapfill_locf": q_events_gapfill,
-        "events_markov_transitions": q_event_transitions,
-        "events_moving_sum": q_events_moving_sum,
-        "events_range_join": q_events_range_join,
-        "events_zorder_key": q_events_zorder,
-        # --- r10 sample 31-50: start of the r4 reader/chunker/multimodal block ---
-        "chunker_header": q_header_chunks,
-        "chunker_image_binary": q_image_chunks,
-        "chunker_markdown": q_markdown_chunks,
-        "chunker_section": q_section_chunks,
-        "chunker_semantic": q_semantic_chunks,
-        "chunker_token_sliding": q_token_chunks,
-        "enricher_fakes": q_enrich_fakes,
-        "enricher_image_alt": q_image_alt_enricher,
-        "lakehouse_change_feed": q_change_feed,
-        "lakehouse_incremental_agg": q_incremental_agg_view,
-        "lakehouse_merge_upsert": q_lakehouse_merge,
-        "multimodal_audio_meta": q_multimodal_audio_meta,
-        "multimodal_audio_segments": q_audio_segments,
+        # --- r11 sample 1-2: queries NEW this round (standing policy) ---
+        "io_avro_snappy_roundtrip": q_io_avro_snappy_roundtrip,
+        "lakehouse_iceberg_prune_bucket": q_iceberg_prune_bucket,
+        # --- r11 sample 3-50: the stalest external checks (r4 reader/
+        # search/writer block + early r7) — the r10 verdict's #1 ask;
+        # all 50 verified green against the sf0.01 DuckDB replica
+        # before landing ---
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_tiles": q_image_tiles,
         "multimodal_tile_pixels": q_tile_pixel_bytes,
@@ -8650,7 +8728,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_container_elements": q_container_elements,
         "reader_doc_legacy_elements": q_doc_legacy_elements,
         "reader_docx_elements": q_docx_elements,
-        # --- 51+: remainder, stalest-first (rest of r4, then r7/r8/r9) ---
         "reader_epub_elements": q_epub_elements,
         "reader_html_elements": q_html_elements,
         "reader_image_elements": q_image_elements,
@@ -8692,6 +8769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_classifier": q_quality_classifier,
         "doc_rake_keywords": q_rake_keywords,
         "doc_span_corruption": q_span_corruption,
+        # --- 51+: remainder, stalest-first (rest of r7, r8, r9), with
+        # the r10-greened block (freshest external confirmation) at the
+        # very end — future rotations stay a simple prefix shift ---
         "doc_url_signals": q_url_signals,
         "doc_vocab_coverage": q_vocab_coverage,
         "drift_by_group": q_drift_by_group,
@@ -8825,6 +8905,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": q_tpch_q7,
         "tpch_q8_market_share": q_tpch_q8,
         "tpch_q9_product_profit": q_tpch_q9,
+        "io_avro_roundtrip": q_io_avro_roundtrip,
+        "lakehouse_iceberg_roundtrip": q_iceberg_roundtrip,
+        "streaming_iceberg_tail": q_streaming_iceberg_tail,
+        "io_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
+        "io_arrow_roundtrip": q_arrow_ipc_roundtrip,
+        "streaming_jsonl_ingest": q_streaming_jsonl_ingest,
+        "lakehouse_export_incremental": q_export_incremental,
+        "io_tfrecord_roundtrip": q_io_tfrecord_roundtrip,
+        "dedup_contamination_check": q_contamination,
+        "dedup_cross_doc_shingles": q_cross_doc_shingles,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_minhash_signature": q_minhash_signature,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_simhash,
+        "dedup_span_removal": q_span_removal,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_pii_scrub": q_pii_scrub,
+        "doc_quality_score": q_doc_quality,
+        "doc_repetition_signals": q_repetition_signals,
+        "tokenizer_bpe_pair_counts": q_bpe_pair_counts,
+        "customers_with_urgent_orders": q_customers_with_urgent_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_predicate_forms": q_doc_predicate_forms,
+        "doc_token_counts": q_doc_token_counts,
+        "events_anomaly_zscore": q_events_anomaly,
+        "events_asof_forward": q_events_asof_forward,
+        "events_asof_join": q_events_asof_join,
+        "events_cohort_retention": q_cohort_retention,
+        "events_funnel_ordered": q_events_funnel,
+        "events_gapfill_locf": q_events_gapfill,
+        "events_markov_transitions": q_event_transitions,
+        "events_moving_sum": q_events_moving_sum,
+        "events_range_join": q_events_range_join,
+        "events_zorder_key": q_events_zorder,
+        "chunker_header": q_header_chunks,
+        "chunker_image_binary": q_image_chunks,
+        "chunker_markdown": q_markdown_chunks,
+        "chunker_section": q_section_chunks,
+        "chunker_semantic": q_semantic_chunks,
+        "chunker_token_sliding": q_token_chunks,
+        "enricher_fakes": q_enrich_fakes,
+        "enricher_image_alt": q_image_alt_enricher,
+        "lakehouse_change_feed": q_change_feed,
+        "lakehouse_incremental_agg": q_incremental_agg_view,
+        "lakehouse_merge_upsert": q_lakehouse_merge,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "multimodal_audio_segments": q_audio_segments,
     }
 
 
@@ -8989,6 +9119,8 @@ def oracle_sql() -> dict[str, str]:
         "reader_wet_records": ORACLE_WET_RECORDS,
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "io_avro_roundtrip": ORACLE_JSONL,
+        "io_avro_snappy_roundtrip": ORACLE_JSONL,
+        "lakehouse_iceberg_prune_bucket": ORACLE_ICEBERG_PRUNE,
         "lakehouse_iceberg_roundtrip": ORACLE_ICEBERG_ROUNDTRIP,
         "streaming_iceberg_tail": ORACLE_ICEBERG_TAIL,
         "io_jsonl_zst_roundtrip": ORACLE_JSONL,

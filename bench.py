@@ -103,7 +103,9 @@ def main():
         "jsonl_zst_io": em.q_jsonl_zst_roundtrip,
         "arrow_ipc_io": em.q_arrow_ipc_roundtrip,
         "avro_io": em.q_io_avro_roundtrip,
+        "avro_snappy_io": em.q_io_avro_snappy_roundtrip,
         "iceberg_roundtrip": em.q_iceberg_roundtrip,
+        "iceberg_prune": em.q_iceberg_prune_bucket,
         "bpe_train": em.q_bpe_train_merges,
         "gapfill_locf": em.q_events_gapfill,
         "funnel": em.q_events_funnel,
