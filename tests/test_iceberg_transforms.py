@@ -238,3 +238,65 @@ def test_day_transform_and_manifest_summary_skip(spark, tmp_path):
     with pytest.raises(Exception):
         read_iceberg(spark, root,
                      where=("d", "==", datetime.date(2024, 3, 11)))
+
+
+def test_month_year_hour_transform_values():
+    """Unit pins for the remaining time transforms (epoch-relative
+    ints per spec): month/year on dates and datetimes, hour on
+    timestamps, including pre-epoch values."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.interop.iceberg import (
+        _transform_predicate_value as tv,
+    )
+
+    d = datetime.date(2017, 11, 16)
+    assert tv("month", None, d, T.DateType()) == (2017 - 1970) * 12 + 10
+    assert tv("year", None, d, T.DateType()) == 47
+    assert tv("month", None, datetime.date(1969, 12, 31),
+              T.DateType()) == -1
+    assert tv("year", None, datetime.date(1969, 1, 1),
+              T.DateType()) == -1
+    ts = pd.Timestamp("2017-11-16 22:31:08")
+    assert tv("hour", None, ts, T.TimestampType()) == \
+        ts.value // 1000 // 3_600_000_000
+    assert tv("day", None, ts, T.TimestampType()) == \
+        (d.toordinal() - datetime.date(1970, 1, 1).toordinal())
+    # bucket on strings matches the spec hash
+    assert tv("bucket", 16, "iceberg", T.StringType()) == \
+        1210000089 % 16
+
+
+def test_month_partition_prunes(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "monthly")
+    os.makedirs(os.path.join(root, "data"))
+    files = []
+    for k, (y, m) in enumerate([(2024, 1), (2024, 2), (2024, 3)]):
+        d = datetime.date(y, m, 15)
+        p = os.path.join(root, "data", f"m{k}.parquet")
+        pq.write_table(pa.table({
+            "d": pa.array([d], pa.date32()),
+            "v": pa.array([k], pa.int64())}), p)
+        files.append((p, {"pm": (y - 1970) * 12 + (m - 1)}))
+    schema = [
+        {"id": 1, "name": "d", "required": False, "type": "date"},
+        {"id": 2, "name": "v", "required": False, "type": "long"}]
+    spec = [{"name": "pm", "transform": "month", "source-id": 1,
+             "field-id": 1000}]
+    part = [{"name": "pm", "type": ["null", "int"], "default": None,
+             "field-id": 1000}]
+    _build(root, schema, spec, part, files)
+
+    got = read_iceberg(spark, root,
+                       where=("d", "==", datetime.date(2024, 2, 15)))
+    assert {os.path.basename(f) for f in got.inputFiles()} == \
+        {"m1.parquet"}
+    ge = read_iceberg(spark, root,
+                      where=("d", ">=", datetime.date(2024, 2, 1)))
+    assert {os.path.basename(f) for f in ge.inputFiles()} == \
+        {"m1.parquet", "m2.parquet"}
