@@ -30,11 +30,14 @@ which is faster at that scale. Output is columnar (pandas-ready), so
 
 Coverage: flat records of long/int/double/float/boolean/string/bytes/
 enum/fixed, ``['null', T]`` nullable unions, timestamp/date logicals,
-spec schema-resolution projection (writer-only fields skip at wave
-speed), reader defaults, and the int→long→float→double / string↔bytes
-promotions. Anything nested (array/map/record-in-record) returns None
-and the caller uses the scalar path — Iceberg manifests stay scalar by
-design (small metadata files).
+arrays of NON-nullable fixed-width elements (float/double/boolean —
+the embedding-corpus shape; single-block form, with the spec's
+negative-count blocks honored and multi-block arrays falling back via
+_VecFallback), spec schema-resolution projection (writer-only fields
+skip at wave speed), reader defaults, and the int→long→float→double /
+string↔bytes promotions. Varint-element or union-element arrays, maps,
+and nested records return None and the caller uses the scalar path —
+Iceberg manifests stay scalar by design (small metadata files).
 
 Equivalence with the scalar decoder is pinned by differential tests
 (tests/test_avro_vec.py) over random schemas/values, and the measured
@@ -47,6 +50,12 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 _MIN_BLOCKS = 64  # vector width below breakeven (~50 measured) — scalar
+
+
+class _VecFallback(Exception):
+    """Raised mid-decode when the DATA (not the schema) leaves the
+    vectorized path's coverage — e.g. a multi-block array. The caller
+    falls back to the scalar decoder; never surfaces to users."""
 
 _U0, _U1, _U7, _U63 = (np.uint64(0), np.uint64(1), np.uint64(7),
                        np.uint64(63))
@@ -152,7 +161,18 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
     steps: List[Dict] = []
     for f in writer["fields"]:
         wnode, wnull = _unwrap(f["schema"])
-        if wnode is None or wnode["kind"] not in _VEC_KINDS:
+        if wnode is None:
+            return None
+        elem = None
+        if wnode["kind"] == "array":
+            # arrays of NON-nullable fixed-width elements vectorize
+            # (the embedding shape: array<float>); varint or
+            # union-tagged elements have data-dependent widths -> scalar
+            it = wnode["items"]
+            if it["kind"] not in ("double", "float", "boolean"):
+                return None
+            elem = it["kind"]
+        elif wnode["kind"] not in _VEC_KINDS:
             return None
         name = f["name"] if f["name"] in rf else None
         out_kind = wnode["kind"]
@@ -161,7 +181,10 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
             if rnode is None:
                 return None
             wk, rk = wnode["kind"], rnode["kind"]
-            if wk != rk and (wk, rk) not in _PROMOTE:
+            if wk == "array":
+                if rk != "array" or rnode["items"] != wnode["items"]:
+                    return None
+            elif wk != rk and (wk, rk) not in _PROMOTE:
                 return None
             if wnode.get("logical") != rnode.get("logical"):
                 return None
@@ -177,7 +200,9 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
             "reader_nullable": (name is None
                                 or _unwrap(rf[name]["schema"])[1]
                                 is not None),
-            "out_kind": out_kind,
+            "out_kind": out_kind, "elem": elem,
+            "elem_w": {"double": 8, "float": 4,
+                       "boolean": 1}.get(elem),
             "symbols": wnode.get("symbols"), "size": wnode.get("size"),
         })
     fills = []
@@ -203,7 +228,7 @@ class _Cols:
             if name is None:
                 continue
             k = s["kind"]
-            if k in ("string", "bytes", "fixed"):
+            if k in ("string", "bytes", "fixed", "array"):
                 self.starts[name] = np.zeros(n, np.int64)
                 self.lens[name] = np.zeros(n, np.int64)
             elif k == "double":
@@ -274,6 +299,24 @@ def _exec_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
             cols.starts[name][out_pos] = pos[idx]
             cols.lens[name][out_pos] = step["size"]
         pos[idx] += step["size"]
+    elif k == "array":
+        w = step["elem_w"]
+        c = _zigzag(_wave_varint(buf, pos, idx))
+        neg = c < 0
+        if neg.any():
+            # negative-count block form: the byte size follows — we
+            # compute it ourselves from |count| * element width
+            _wave_varint(buf, pos, idx[neg])
+            c = np.abs(c)
+        if name is not None:
+            cols.starts[name][out_pos] = pos[idx]
+            cols.lens[name][out_pos] = c * w
+        pos[idx] += c * w
+        nz = c > 0  # count 0 IS the terminator; others read one more
+        if nz.any():
+            t = _wave_varint(buf, pos, idx[nz])
+            if (t != 0).any():
+                raise _VecFallback("multi-block array")
     else:  # pragma: no cover - plan gate excludes other kinds
         raise ValueError(f"unplannable kind {k!r}")
 
@@ -289,6 +332,32 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
     mask = cols.mask[name]
     has_null = bool(mask.any())
     k, out_k, logical = step["kind"], step["out_kind"], step["logical"]
+    if k == "array":
+        starts, lens = cols.starts[name], cols.lens[name]
+        values = _gather_ranges(buf, starts, lens)
+        w = step["elem_w"]
+        counts = lens // w
+        offs = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        total = int(counts.sum())
+        if step["elem"] == "boolean":
+            child = pa.Array.from_buffers(
+                pa.bool_(), total,
+                [None, pa.py_buffer(np.packbits(
+                    values.view(np.bool_), bitorder="little"))])
+        else:
+            ctyp = pa.float64() if step["elem"] == "double" \
+                else pa.float32()
+            child = pa.Array.from_buffers(
+                ctyp, total, [None, pa.py_buffer(values)])
+        validity = None
+        if has_null:
+            validity = pa.py_buffer(
+                np.packbits(~mask, bitorder="little"))
+        arr = pa.Array.from_buffers(
+            pa.large_list(child.type), len(counts),
+            [validity, pa.py_buffer(offs)], children=[child])
+        return pd.Series(arr.to_pandas(), dtype=object)
     if k in ("string", "bytes", "fixed"):
         starts, lens = cols.starts[name], cols.lens[name]
         values = _gather_ranges(buf, starts, lens)
@@ -375,6 +444,8 @@ def decode_blocks_columnar(datas: List[bytes], counts: List[int],
             out_pos = row_base[active] + r
             for step in steps:
                 _exec_step(step, buf, pos, active, out_pos, cols)
+    except _VecFallback:
+        return None  # data shape out of coverage — caller goes scalar
     except IndexError:
         raise ValueError(f"{name}: truncated block — varint or "
                          "payload runs past block end") from None

@@ -197,3 +197,136 @@ def test_spark_read_uses_columnar(spark, tmp_path):
     back = read_avro(spark, out)
     assert {tuple(r) for r in back.collect()} == \
         {tuple(r) for r in df.collect()}
+
+
+ARR = {"type": "record", "name": "e", "fields": [
+    {"name": "doc_id", "type": "long"},
+    {"name": "emb", "type": {"type": "array", "items": "float"}},
+    {"name": "scores", "type": ["null", {
+        "type": "array", "items": "double"}], "default": None},
+    {"name": "flags", "type": {"type": "array", "items": "boolean"}},
+]}
+
+
+def test_differential_fixed_width_arrays(tmp_path):
+    rng = random.Random(11)
+    rows = []
+    for i in range(700):
+        dim = i % 9  # includes empty arrays
+        rows.append({
+            "doc_id": i,
+            "emb": [round(rng.random(), 3) for _ in range(dim)],
+            "scores": None if i % 4 == 0
+            else [i * 0.5, -1.25, float(i)],
+            "flags": [bool((i + j) % 2) for j in range(i % 3)],
+        })
+    cols, scalar = _vec(tmp_path, ARR, rows)
+    assert cols is not None
+    import numpy as np
+    for i, r in enumerate(scalar):
+        got = cols["emb"].iloc[i]
+        assert np.allclose(np.asarray(got, dtype=np.float32),
+                           np.array(r["emb"], dtype=np.float32))
+        s = cols["scores"].iloc[i]
+        if r["scores"] is None:
+            assert s is None
+        else:
+            assert list(s) == r["scores"]
+        assert [bool(b) for b in cols["flags"].iloc[i]] == r["flags"]
+    assert list(cols["doc_id"]) == [r["doc_id"] for r in scalar]
+
+
+def test_nullable_item_arrays_fall_back(tmp_path):
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "xs", "type": {"type": "array",
+                                "items": ["null", "float"]}}]}
+    rows = [{"xs": [1.0, None]} for _ in range(600)]
+    cols, scalar = _vec(tmp_path, sch, rows)
+    assert cols is None  # data-dependent element width -> scalar
+    assert scalar[0]["xs"][1] is None
+
+
+def test_multiblock_array_falls_back_not_wrong(tmp_path):
+    """A foreign writer may chunk one array into several blocks; the
+    vector path must FALL BACK (None), never mis-slice."""
+    from dataingestion_spark.sources.avro import (
+        _MAGIC, _enc_long,  # noqa: F401 (wire-level fixture)
+    )
+    import struct as _s
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "float"}}]}
+    sync = b"0123456789abcdef"
+    p = str(tmp_path / "mb.avro")
+    write_container(p, sch, [], sync=sync)
+    header = open(p, "rb").read()
+    payload = bytearray()
+    _enc_long(payload, 2)                    # block 1: two elements
+    payload += _s.pack("<f", 1.5) + _s.pack("<f", 2.5)
+    _enc_long(payload, 1)                    # block 2: one element
+    payload += _s.pack("<f", 3.5)
+    _enc_long(payload, 0)                    # terminator
+    block = bytearray()
+    _enc_long(block, 1)                      # one row
+    _enc_long(block, len(payload))
+    block += payload + sync
+    # enough rows/blocks to clear the _MIN_BLOCKS gate
+    blob = header + bytes(block) * 70
+    _, rows = read_container(blob, "mb")
+    assert rows[0]["xs"] == [1.5, 2.5, 3.5] and len(rows) == 70
+    node, cols = read_container_columnar(blob, "mb")
+    assert cols is None
+
+
+def test_negative_count_array_block_decodes(tmp_path):
+    """Spec: an array block may carry count < 0 followed by its byte
+    size — the vector path must honor that form (single block)."""
+    from dataingestion_spark.sources.avro import _enc_long
+    import struct as _s
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "float"}}]}
+    sync = b"0123456789abcdef"
+    p = str(tmp_path / "neg.avro")
+    write_container(p, sch, [], sync=sync)
+    header = open(p, "rb").read()
+    payload = bytearray()
+    _enc_long(payload, -2)                   # negative count
+    _enc_long(payload, 8)                    # byte size
+    payload += _s.pack("<f", 4.5) + _s.pack("<f", 5.5)
+    _enc_long(payload, 0)
+    block = bytearray()
+    _enc_long(block, 1)
+    _enc_long(block, len(payload))
+    block += payload + sync
+    blob = header + bytes(block) * 70
+    _, rows = read_container(blob, "neg")
+    assert rows[0]["xs"] == [4.5, 5.5]
+    node, cols = read_container_columnar(blob, "neg")
+    assert cols is not None
+    assert list(cols["xs"].iloc[0]) == [4.5, 5.5]
+    assert len(cols["xs"]) == 70
+
+
+def test_spark_embedding_corpus_roundtrip(spark, tmp_path):
+    """array<float> embeddings through write_avro/read_avro with the
+    vector path engaged (containsNull=False schema)."""
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("emb", T.ArrayType(T.FloatType(), False),
+                      False)])
+    data = [(i, [float(i) / 7 + j for j in range(16)])
+            for i in range(800)]
+    df = spark.createDataFrame(data, schema)
+    out = str(tmp_path / "emb")
+    write_avro(df, out, shards=2, block_rows=4)
+    back = read_avro(spark, out)
+    got = {r["doc_id"]: list(r["emb"]) for r in back.collect()}
+    import math
+    for i, emb in data:
+        assert all(math.isclose(a, b, rel_tol=1e-6)
+                   for a, b in zip(got[i], emb))
