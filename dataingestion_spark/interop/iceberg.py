@@ -1149,7 +1149,9 @@ def read_iceberg(spark: SparkSession, path: str, *,
     Resolves the current metadata via ``version-hint.text`` (filesystem
     catalog) or the highest ``vN.metadata.json``; ``snapshot_id`` time
     travels to any snapshot still in the metadata. ``where=(col, op,
-    value)`` prunes data files against manifest lower/upper bounds
+    value)`` — or a LIST of such tuples, ANDed — prunes data files
+    against manifest lower/upper bounds and partition values (identity
+    exactly; bucket/truncate/day/month/year/hour in transformed space)
     before any scan (the pruning itself — the returned frame still
     carries only the predicate the caller applies).
 
@@ -1249,56 +1251,62 @@ def read_iceberg(spark: SparkSession, path: str, *,
         raise FileNotFoundError(list_path)
     manifests = decode_blocks(list_blob, list_path)
 
-    wcol = wop = wval = wfid = wdt = None
+    # normalize where= to a conjunction: one (col, op, val) tuple or a
+    # list of them, every predicate a chance to prune independently
+    preds: List[Tuple[str, str, Any, int, T.DataType]] = []
     if where is not None:
-        wcol, wop, wval = where
-        if wcol not in field_ids:
-            raise ValueError(f"where column {wcol!r} not in schema")
-        wfid, wdt = field_ids[wcol], spark_types[wcol]
+        wlist = [where] if isinstance(where, tuple) else list(where)
+        for wcol, wop, wval in wlist:
+            if wcol not in field_ids:
+                raise ValueError(f"where column {wcol!r} not in schema")
+            preds.append((wcol, wop, wval, field_ids[wcol],
+                          spark_types[wcol]))
 
     groups: Dict[Tuple, List[Tuple[str, int]]] = {}
     pos_deletes: List[Tuple[str, int]] = []
     eq_deletes: List[Tuple[str, int, Tuple[int, ...]]] = []
     pruned = 0
     for mf in manifests:
-        if (where is not None and mf.get("content", 0) == 0
+        if (preds and mf.get("content", 0) == 0
                 and mf.get("partitions")):
-            # manifest-list field summaries: when the where column is
-            # an identity partition source and the summary bounds
-            # prove no value in this manifest can match, skip the
-            # whole manifest BEFORE its IO (identity values equal the
-            # column, and null partition values match no comparison)
+            # manifest-list field summaries: when a predicate column is
+            # a partition source and the summary bounds prove no value
+            # in this manifest can match, skip the whole manifest
+            # BEFORE its IO (identity values equal the column; null
+            # partition values match no comparison; transformed bounds
+            # compare in transformed space)
             spec_flds = (specs.get(mf.get("partition_spec_id", 0))
                          or {}).get("fields") or []
             skip_mf = False
             for pf, summ in zip(spec_flds, mf["partitions"]):
-                if not isinstance(summ, dict):
+                if skip_mf or not isinstance(summ, dict):
                     continue
                 src = next((n for n, i in field_ids.items()
                             if i == pf.get("source-id")), None)
-                if src != wcol:
-                    continue
                 lo_b, hi_b = summ.get("lower_bound"), \
                     summ.get("upper_bound")
-                if lo_b is None or hi_b is None:
-                    break
-                if pf.get("transform") == "identity":
-                    if not _file_may_match({wfid: (lo_b, hi_b)},
-                                           wfid, wdt, wop, wval):
-                        skip_mf = True
-                    break
-                tname, tparam = _parse_transform(pf.get("transform"))
-                if tname is not None:
-                    # summary bounds live in TRANSFORMED space —
-                    # decode with the transform's result type
-                    rdt = _transform_result_type(tname, wdt)
-                    if not _transform_summary_may_match(
-                            tname, tparam,
-                            _bound_value(rdt, lo_b),
-                            _bound_value(rdt, hi_b),
-                            wop, wval, wdt):
-                        skip_mf = True
-                break
+                if src is None or lo_b is None or hi_b is None:
+                    continue
+                for wcol, wop, wval, wfid, wdt in preds:
+                    if src != wcol:
+                        continue
+                    if pf.get("transform") == "identity":
+                        if not _file_may_match({wfid: (lo_b, hi_b)},
+                                               wfid, wdt, wop, wval):
+                            skip_mf = True
+                            break
+                        continue
+                    tname, tparam = _parse_transform(
+                        pf.get("transform"))
+                    if tname is not None:
+                        rdt = _transform_result_type(tname, wdt)
+                        if not _transform_summary_may_match(
+                                tname, tparam,
+                                _bound_value(rdt, lo_b),
+                                _bound_value(rdt, hi_b),
+                                wop, wval, wdt):
+                            skip_mf = True
+                            break
             if skip_mf:
                 continue
         mblob = be.read_bytes(_resolve(mf["manifest_path"], root))
@@ -1345,24 +1353,29 @@ def read_iceberg(spark: SparkSession, path: str, *,
             part = df_rec.get("partition") or {}
             if not isinstance(part, dict):
                 part = {}
-            if where is not None:
+            if preds:
                 bounds = _entry_bounds(df_rec)
-                if not _file_may_match(bounds, wfid, wdt, wop, wval):
-                    pruned += 1
-                    continue
-                # identity partition values are EXACT — when the where
-                # column is a partition source, the tuple decides (e.g.
-                # doc_bucket == k scans 1/N of the files with no stats)
                 skip = False
-                for pname, src in identity_by_spec.get(spec_id, []):
-                    if src == wcol and pname in part \
-                            and part[pname] is not None:
-                        if not _cmp_exact(wop, part[pname], wval):
-                            skip = True
+                for wcol, wop, wval, wfid, wdt in preds:
+                    if not _file_may_match(bounds, wfid, wdt,
+                                           wop, wval):
+                        skip = True
                         break
-                # transformed partitions prune too: bucket[N] on
-                # equality, truncate/day/month/year/hour on ranges
-                if not skip:
+                    # identity partition values are EXACT — when the
+                    # predicate column is a partition source the tuple
+                    # decides (doc_bucket == k scans 1/N of the files
+                    # with no stats)
+                    for pname, src in identity_by_spec.get(spec_id,
+                                                           []):
+                        if src == wcol and pname in part \
+                                and part[pname] is not None:
+                            if not _cmp_exact(wop, part[pname], wval):
+                                skip = True
+                            break
+                    if skip:
+                        break
+                    # transformed partitions prune too: bucket[N] on
+                    # equality, truncate/day/month/year/hour on ranges
                     for pname, src, tname, tparam in \
                             transforms_by_spec.get(spec_id, []):
                         if src == wcol and pname in part \
@@ -1372,6 +1385,8 @@ def read_iceberg(spark: SparkSession, path: str, *,
                                     wop, wval, wdt):
                                 skip = True
                             break
+                    if skip:
+                        break
                 if skip:
                     pruned += 1
                     continue

@@ -300,3 +300,46 @@ def test_month_partition_prunes(spark, tmp_path):
                       where=("d", ">=", datetime.date(2024, 2, 1)))
     assert {os.path.basename(f) for f in ge.inputFiles()} == \
         {"m1.parquet", "m2.parquet"}
+
+
+def test_compound_where_conjunction(spark, tmp_path):
+    """where= accepts a LIST of predicates (ANDed): each prunes
+    independently, so a range pair isolates the middle truncate
+    bucket, and adding an unrelated column's predicate never widens
+    the scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "conj")
+    os.makedirs(os.path.join(root, "data"))
+    files = []
+    for lo in (0, 10, 20):
+        p = os.path.join(root, "data", f"t{lo}.parquet")
+        ids = list(range(lo, lo + 10))
+        pq.write_table(pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "v": pa.array([i * 2 for i in ids], pa.int64())}), p)
+        files.append((p, {"pb": lo}))
+    spec = [{"name": "pb", "transform": "truncate[10]", "source-id": 1,
+             "field-id": 1000}]
+    part = [{"name": "pb", "type": ["null", "long"], "default": None,
+             "field-id": 1000}]
+    _build(root, SCHEMA_ID_V, spec, part, files)
+
+    def scanned(where):
+        return {os.path.basename(f) for f in
+                read_iceberg(spark, root, where=where).inputFiles()}
+
+    assert scanned([("id", ">=", 12), ("id", "<", 18)]) == \
+        {"t10.parquet"}
+    assert scanned([("id", ">=", 5), ("id", "<=", 25)]) == \
+        {"t0.parquet", "t10.parquet", "t20.parquet"}
+    # unprunable second predicate (no bounds for v) changes nothing
+    assert scanned([("id", "==", 13), ("v", "==", 26)]) == \
+        {"t10.parquet"}
+    got = read_iceberg(spark, root,
+                       where=[("id", ">=", 12), ("id", "<", 18)])
+    assert got.filter("id = 13").collect()[0]["v"] == 26
+    with pytest.raises(ValueError, match="where column"):
+        read_iceberg(spark, root, where=[("id", "==", 1),
+                                         ("nope", "==", 1)])
