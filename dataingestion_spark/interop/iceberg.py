@@ -54,12 +54,11 @@ map keys.
   :func:`vacuum_iceberg` expires old snapshots and deletes files only
   they referenced.
 
-Columns are resolved BY NAME between the Iceberg schema and the parquet
-files — correct for this exporter's output and for tables never renamed;
-a foreign table whose current schema renamed a column after data was
-written needs field-id resolution, which is rejected loudly when
-detectable (a schema column name absent from both the file footer and
-the identity-partition tuple).
+Columns resolve BY NAME first (correct for this exporter's output and
+for tables never renamed); a schema column absent from the footers
+falls back to FIELD-ID resolution via ``PARQUET:field_id`` footer
+metadata (r11) — the rename case — and is rejected loudly only when
+the files carry no field-ids either.
 
 Scale: export is O(live files) driver-side metadata plus (in ``copy``
 mode) a byte copy per file through the table's DataBackend; ``shallow``
@@ -1222,6 +1221,20 @@ def read_iceberg(spark: SparkSession, path: str, *,
         field_ids = {f["name"]: f["id"] for f in schema_js["fields"]}
         spark_types = {f.name: f.dataType for f in spark_schema.fields}
 
+    # historical spellings per field-id: the metadata IS the rename
+    # record (every schema version is retained), so a field-id that
+    # ever appeared under another name marks a renamed column whose
+    # files may carry any historical spelling
+    hist_names: Dict[int, set] = {}
+    for s_js in meta.get("schemas", []) if "schemas" in meta else []:
+        for f_js in s_js.get("fields", []):
+            hist_names.setdefault(f_js["id"], set()).add(f_js["name"])
+    rename_olds: Dict[str, List[str]] = {
+        name: sorted(hist_names[fid] - {name})
+        for name, fid in field_ids.items()
+        if len(hist_names.get(fid, {name})) > 1
+    }
+
     # identity-partition spec fields (for Hive-migrated value
     # restoration) and non-identity transforms (for file pruning)
     specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
@@ -1414,8 +1427,29 @@ def read_iceberg(spark: SparkSession, path: str, *,
         T.StructField(n, spark_types[n], True)
         for n in spark_schema.names])
 
-    def scan(paths: List[str], restore: Dict[str, Any]) -> DataFrame:
-        df = spark.read.schema(read_schema).parquet(*paths)
+    def scan(paths: List[str], restore: Dict[str, Any],
+             renames: Optional[Dict[str, List[str]]] = None) -> DataFrame:
+        if renames:
+            # renamed columns: files may carry any historical spelling
+            # of the field (field-id identity), and a rename-then-
+            # append table holds SEVERAL spellings across files —
+            # mergeSchema surfaces them all, coalesce prefers the
+            # current one (each file has exactly one spelling, so the
+            # coalesce picks that file's value)
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            for new, olds in renames.items():
+                cands = [c for c in [new] + olds if c in df.columns]
+                if len(cands) == 1:
+                    df = df.withColumn(new, F.col(cands[0]))
+                elif cands:
+                    df = df.withColumn(
+                        new, F.coalesce(*[F.col(c) for c in cands]))
+            for n in spark_schema.names:
+                if n not in df.columns and n not in restore:
+                    df = df.withColumn(
+                        n, F.lit(None).cast(spark_types[n]))
+        else:
+            df = spark.read.schema(read_schema).parquet(*paths)
         if apply_deletes:
             df = (df.withColumn("__ice_fp",
                                 _norm_path_col(F.col("_metadata.file_path")))
@@ -1429,9 +1463,10 @@ def read_iceberg(spark: SparkSession, path: str, *,
         files = groups[spec_id]
         paths = [p for p, _, _ in files]
         first_cols = footer_cols(paths[0])
+        renames: Dict[str, List[str]] = dict(rename_olds)
         present_any: Optional[set] = None
-        if any(n not in first_cols for n in spark_schema.names) \
-                and len(paths) > 1:
+        if any(n not in first_cols and n not in renames
+               for n in spark_schema.names) and len(paths) > 1:
             # some column is absent from the first footer (widened
             # column / Hive-migrated identity partition / rename) —
             # resolve "present in ANY file" with Spark's distributed
@@ -1441,14 +1476,24 @@ def read_iceberg(spark: SparkSession, path: str, *,
                 spark.read.option("mergeSchema", "true")
                 .parquet(*paths).schema.names)
         need_restore: List[str] = []
+        fid_map: Optional[Dict[int, str]] = None
         for name in spark_schema.names:
-            if name in first_cols:
+            if name in first_cols or name in renames:
                 continue
-            # missing from the first footer: widened column (present in
-            # SOME file — nulls elsewhere are correct), identity
-            # partition value (present in NO file — restore it), or a
-            # field-id rename we cannot resolve by name — refuse rather
-            # than return nulls
+            # missing from the first footer: a RENAMED column whose
+            # history the metadata pruned but the footer carries as
+            # PARQUET:field_id (checked FIRST — a genuinely widened
+            # column's fid is absent from old footers, so this cannot
+            # misfire), a widened column (present in SOME file — nulls
+            # elsewhere are correct), or an identity partition value
+            # (present in NO file — restore it); refuse only when none
+            # of those explain it, rather than return nulls
+            if fid_map is None:
+                fid_map = _parquet_footer_field_ids(paths[0])
+            old = fid_map.get(field_ids[name])
+            if old is not None and old != name:
+                renames[name] = [old]
+                continue
             if present_any is not None and name in present_any:
                 continue
             if any(src == name for _, src in
@@ -1457,14 +1502,15 @@ def read_iceberg(spark: SparkSession, path: str, *,
                 continue
             raise ValueError(
                 f"schema column {name!r} is absent from data file "
-                f"{paths[0]} and no identity partition provides it — "
-                "field-id column resolution (renamed columns) is not "
-                "supported by this reader")
+                f"{paths[0]}, no identity partition provides it, and "
+                "the file footer carries no matching PARQUET:field_id "
+                "— cannot resolve (renamed column in field-id-less "
+                "parquet)")
         if not need_restore:
             # one scan per spec — partitioned tables whose files carry
             # the partition source columns (Iceberg's normal layout)
             # never pay a per-tuple plan split
-            df = scan(paths, {})
+            df = scan(paths, {}, renames)
             out = df if out is None else out.unionByName(df)
             continue
         # Hive-migrated shape: restoration is per partition TUPLE
@@ -1486,7 +1532,7 @@ def read_iceberg(spark: SparkSession, path: str, *,
                     raise ValueError(
                         f"partition tuple {part} provides no value for "
                         f"identity-partitioned column {name!r}")
-            df = scan(by_tuple[key], restore)
+            df = scan(by_tuple[key], restore, renames)
             out = df if out is None else out.unionByName(df)
 
     if not apply_deletes:
@@ -1558,19 +1604,39 @@ def _entry_bounds(df_rec: Dict) -> Dict[int, Tuple]:
     return {k: (lows.get(k), highs.get(k)) for k in set(lows) | set(highs)}
 
 
-def _parquet_footer_columns(path: str) -> set:
-    """Top-level column names in one parquet footer (driver-side probe,
-    one per partition group — the Hive-migration detection)."""
+def _parquet_footer_schema(path: str):
     import pyarrow.parquet as pq
 
     if "://" not in path and os.path.exists(path):
-        return set(pq.read_schema(path).names)
+        return pq.read_schema(path)
     from ..sinks.data_backend import data_backend_for
     import pyarrow as pa
     blob = data_backend_for(path).read_bytes(path)
     if blob is None:
         raise FileNotFoundError(path)
-    return set(pq.read_schema(pa.BufferReader(blob)).names)
+    return pq.read_schema(pa.BufferReader(blob))
+
+
+def _parquet_footer_columns(path: str) -> set:
+    """Top-level column names in one parquet footer (driver-side probe,
+    one per partition group — the Hive-migration detection)."""
+    return set(_parquet_footer_schema(path).names)
+
+
+def _parquet_footer_field_ids(path: str) -> Dict[int, str]:
+    """field-id → column name from one parquet footer's
+    ``PARQUET:field_id`` field metadata (written by Iceberg engines;
+    empty for field-id-less files). The rename-resolution probe."""
+    out: Dict[int, str] = {}
+    for f in _parquet_footer_schema(path):
+        md = f.metadata or {}
+        fid = md.get(b"PARQUET:field_id")
+        if fid is not None:
+            try:
+                out[int(fid.decode())] = f.name
+            except ValueError:  # pragma: no cover - malformed id
+                pass
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -538,7 +538,7 @@ def test_foreign_missing_column_without_identity_refused(spark, tmp_path):
         spark, root, drop_col="lang", spec_fields=[],
         partition_schema_fields=[], partition_values={},
         schema_fields=SCHEMA_FIELDS)
-    with pytest.raises(ValueError, match="field-id column resolution"):
+    with pytest.raises(ValueError, match="field-id-less"):
         read_iceberg(spark, root)
 
 

@@ -343,3 +343,91 @@ def test_compound_where_conjunction(spark, tmp_path):
     with pytest.raises(ValueError, match="where column"):
         read_iceberg(spark, root, where=[("id", "==", 1),
                                          ("nope", "==", 1)])
+
+
+def test_renamed_column_resolves_by_field_id(spark, tmp_path):
+    """A foreign table whose current schema RENAMED a column after
+    data was written: files carry the old name + PARQUET:field_id
+    metadata; the reader must resolve by id — including the
+    rename-then-append table holding BOTH spellings across files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "renamed")
+    os.makedirs(os.path.join(root, "data"))
+
+    def write(path, name_for_2, ids, vals):
+        f1 = pa.field("id", pa.int64(),
+                      metadata={b"PARQUET:field_id": b"1"})
+        f2 = pa.field(name_for_2, pa.int64(),
+                      metadata={b"PARQUET:field_id": b"2"})
+        pq.write_table(pa.table(
+            {"id": pa.array(ids, pa.int64()),
+             name_for_2: pa.array(vals, pa.int64())},
+            schema=pa.schema([f1, f2])), path)
+
+    p_old = os.path.join(root, "data", "old.parquet")
+    p_new = os.path.join(root, "data", "new.parquet")
+    write(p_old, "v", [1, 2], [10, 20])          # pre-rename file
+    write(p_new, "v_renamed", [3, 4], [30, 40])  # post-rename file
+    schema = [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v_renamed", "required": False,
+         "type": "long"}]
+    _build(root, schema, [], [], [(p_old, {}), (p_new, {})])
+
+    got = {(r["id"], r["v_renamed"]) for r in
+           read_iceberg(spark, root).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30), (4, 40)}
+
+    # old-name-only table (never appended post-rename) works too
+    root2 = str(tmp_path / "renamed2")
+    os.makedirs(os.path.join(root2, "data"))
+    q = os.path.join(root2, "data", "only.parquet")
+    write(q, "v", [7], [70])
+    _build(root2, schema, [], [], [(q, {})])
+    got2 = {(r["id"], r["v_renamed"]) for r in
+            read_iceberg(spark, root2).collect()}
+    assert got2 == {(7, 70)}
+
+
+def test_rename_resolved_from_schema_history(spark, tmp_path):
+    """When the metadata retains the pre-rename schema (the spec's
+    normal state), rename resolution is metadata-only and works even
+    when the FIRST manifest-listed file already uses the new spelling
+    (the footer-probe fallback alone cannot see that case)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "hist")
+    os.makedirs(os.path.join(root, "data"))
+
+    def write(path, name2, ids, vals):
+        pq.write_table(pa.table(
+            {"id": pa.array(ids, pa.int64()),
+             name2: pa.array(vals, pa.int64())}), path)
+
+    p_new = os.path.join(root, "data", "a_new.parquet")
+    p_old = os.path.join(root, "data", "b_old.parquet")
+    write(p_new, "v_renamed", [3, 4], [30, 40])  # listed FIRST
+    write(p_old, "v", [1, 2], [10, 20])
+    schema = [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v_renamed", "required": False,
+         "type": "long"}]
+    _build(root, schema, [], [], [(p_new, {}), (p_old, {})])
+    # graft the pre-rename schema into history (schema-id 0)
+    mp = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(mp))
+    old_schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"}]}
+    cur = dict(meta["schemas"][0], **{"schema-id": 1})
+    meta["schemas"] = [old_schema, cur]
+    meta["current-schema-id"] = 1
+    meta["snapshots"][0]["schema-id"] = 1
+    json.dump(meta, open(mp, "w"))
+
+    got = {(r["id"], r["v_renamed"]) for r in
+           read_iceberg(spark, root).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30), (4, 40)}
