@@ -589,15 +589,32 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
 
     spark_schema = T.StructType.fromJson(
         {"type": "struct", "fields": meta["schema"]})
-    if meta.get("colmap"):
+    # column-mapped tables (renamed/dropped columns): files carry
+    # FROZEN physical names. The export stays conformant two ways:
+    # the name-mapping lists the physical spelling (engines resolving
+    # field-id-less parquet consult it, spec "Column Projection"), and
+    # a schema-0 with physical names rides in the history (field-ids
+    # shared), which is exactly the rename record read_iceberg
+    # resolves renames from.
+    colmap = {k: v for k, v in (meta.get("colmap") or {}).items()
+              if k != v}
+    partition_by = tuple(partition_by)
+    if colmap and any(c in colmap for c in partition_by):
         raise ValueError(
-            "table uses column mapping (renamed/dropped columns); its "
-            "files carry physical names Iceberg readers would resolve by "
-            "field-id — export a compacted copy without column mapping")
+            "partition_by column is column-mapped (renamed) — compact "
+            "the table to drop column mapping before a partitioned "
+            "export")
+    if colmap and dv_mode == "equality" and "documentid" in colmap:
+        raise ValueError(
+            "dv_mode='equality' with a renamed documentid is not "
+            "supported — delete files would carry the physical name")
     ice_schema = iceberg_schema_from_spark(spark_schema)
     name_to_field = {f["name"]: f for f in ice_schema["fields"]}
     spark_types = {f.name: f.dataType for f in spark_schema.fields}
-    partition_by = tuple(partition_by)
+    for ln, pn in colmap.items():  # stats/bloom keys are PHYSICAL
+        if ln in name_to_field:
+            name_to_field[pn] = name_to_field[ln]
+            spark_types[pn] = spark_types[ln]
     if partition_by and dv_mode == "equality":
         raise ValueError(
             "partition_by with dv_mode='equality' is not supported — "
@@ -769,6 +786,21 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
                         "sequence-number": str(max_seq)})
         dst_be.write_bytes(list_path, open(tmp, "rb").read())
 
+    schemas_out = [ice_schema]
+    cur_schema_id = 0
+    nm = _name_mapping(ice_schema)
+    if colmap:
+        phys_schema = {
+            **ice_schema, "schema-id": 0,
+            "fields": [dict(f, name=colmap.get(f["name"], f["name"]))
+                       for f in ice_schema["fields"]]}
+        ice_schema = {**ice_schema, "schema-id": 1}
+        schemas_out = [phys_schema, ice_schema]
+        cur_schema_id = 1
+        for e in nm:  # files carry the physical spelling — map it
+            ln = e["names"][0]
+            if ln in colmap:
+                e["names"].insert(0, colmap[ln])
     table_meta = {
         "format-version": 2,
         "table-uuid": run_uuid,
@@ -776,8 +808,8 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
         "last-sequence-number": max_seq,
         "last-updated-ms": now_ms,
         "last-column-id": _max_field_id(ice_schema),
-        "current-schema-id": 0,
-        "schemas": [ice_schema],
+        "current-schema-id": cur_schema_id,
+        "schemas": schemas_out,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 999 + len(spec_fields),
@@ -788,8 +820,7 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
             # our parquet files carry no embedded field-ids; conformant
             # readers resolve them by name through this mapping (spec
             # "Column Projection")
-            "schema.name-mapping.default": json.dumps(
-                _name_mapping(ice_schema)),
+            "schema.name-mapping.default": json.dumps(nm),
         },
         "current-snapshot-id": snapshot_id,
         "snapshots": [{
@@ -797,7 +828,7 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
             "sequence-number": max_seq,
             "timestamp-ms": now_ms,
             "manifest-list": as_uri(list_path),
-            "schema-id": 0,
+            "schema-id": cur_schema_id,
             "summary": {"operation":
                         "overwrite" if del_entries else "append",
                         "added-data-files": str(len(entries)),
@@ -1790,7 +1821,9 @@ def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
     if meta.get("colmap"):
         raise ValueError(
             "table uses column mapping (renamed/dropped columns) — "
-            "not mirrorable to Iceberg by name; see export_iceberg")
+            "the mirror's name-based schema evolution cannot track "
+            "physical spellings; use export_iceberg (which publishes "
+            "the rename record) or compact to drop column mapping")
 
     spark_schema = T.StructType.fromJson(
         {"type": "struct", "fields": meta["schema"]})

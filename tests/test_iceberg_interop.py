@@ -1253,3 +1253,42 @@ def test_duckdb_iceberg_extension_reads_our_export_if_available(
             for r in read_iceberg(spark, dst)
             .select("documentid", "n_chars").collect()}
     assert got == want
+
+
+def test_export_column_mapped_table(spark, tmp_path):
+    """r11: a column-mapped store table (renamed column; files carry
+    the frozen PHYSICAL name) exports with a physical-named schema-0
+    in history + physical spellings in the name-mapping, and
+    read_iceberg resolves the rename — values surface under the
+    CURRENT logical name."""
+    from dataingestion_spark.sinks.manifest_store import (
+        read_table, rename_column,
+    )
+
+    tbl = _table(spark, tmp_path)
+    rename_column(tbl, "lang", "language")
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "language", "n_chars").collect()}
+
+    dst = str(tmp_path / "ice_cm")
+    export_iceberg(spark, tbl, dst, mode="copy")
+    meta = json.load(open(os.path.join(dst, "metadata",
+                                       "v1.metadata.json")))
+    assert len(meta["schemas"]) == 2
+    cur = {s["schema-id"]: s for s in meta["schemas"]}[
+        meta["current-schema-id"]]
+    names_cur = [f["name"] for f in cur["fields"]]
+    assert "language" in names_cur and "lang" not in names_cur
+    hist = meta["schemas"][0]
+    fid = next(f["id"] for f in cur["fields"]
+               if f["name"] == "language")
+    phys = next(f["name"] for f in hist["fields"] if f["id"] == fid)
+    assert phys != "language"  # frozen physical spelling
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    entry = next(e for e in nm if e["field-id"] == fid)
+    assert phys in entry["names"] and "language" in entry["names"]
+
+    back = read_iceberg(spark, dst)
+    got = {tuple(r) for r in back
+           .select("documentid", "language", "n_chars").collect()}
+    assert got == want
