@@ -131,12 +131,16 @@ class _IceFilePartition(InputPartition):
     """One data file + the delete files that may kill its rows."""
 
     def __init__(self, path: str, seq: int, eq: List, pos: List,
-                 id_names: Dict[int, str]):
+                 id_names: Dict[int, str],
+                 aliases: Optional[Dict[str, List[str]]] = None):
         self.path = path
         self.seq = int(seq)
         self.eq = list(eq)
         self.pos = list(pos)
         self.id_names = dict(id_names)
+        # current column name -> historical spellings (renamed tables;
+        # files written pre-rename carry the old name)
+        self.aliases = dict(aliases or {})
 
 
 class _IcebergStreamReader(DataSourceStreamReader):
@@ -190,12 +194,23 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 f"{idx}) — vacuum expired the stream's position or the "
                 "table was restored; restart the stream to re-snapshot")
 
-    def _id_names(self) -> Dict[int, str]:
+    def _id_names(self) -> Tuple[Dict[int, str], Dict[str, List[str]]]:
+        """(field-id -> current name, current name -> historical
+        spellings). The retained schema history IS the rename record —
+        same resolution read_iceberg uses."""
         meta, _ = _load_lineage(self._path)
         schemas = meta.get("schemas") or [meta.get("schema")]
         by_id = {s.get("schema-id"): s for s in schemas if s}
         cur = by_id.get(meta.get("current-schema-id"), schemas[-1])
-        return {f["id"]: f["name"] for f in cur["fields"]}
+        names = {f["id"]: f["name"] for f in cur["fields"]}
+        hist: Dict[int, set] = {}
+        for sc in schemas:
+            for f in sc.get("fields", []):
+                hist.setdefault(f["id"], set()).add(f["name"])
+        aliases = {n: sorted(hist.get(fid, {n}) - {n})
+                   for fid, n in names.items()
+                   if len(hist.get(fid, {n})) > 1}
+        return names, aliases
 
     def partitions(self, start: dict, end: dict):
         s_idx, e_idx = int(start["idx"]), int(end["idx"])
@@ -206,10 +221,11 @@ class _IcebergStreamReader(DataSourceStreamReader):
             return []
         meta, lineage = _load_lineage(self._path)
         self._check(lineage, e_idx, end["sid"])
-        id_names = self._id_names()
+        id_names, aliases = self._id_names()
         if s_idx == self._SNAPSHOT_PENDING:
             data, eq, pos = _snapshot_files(self._path, lineage[e_idx])
-            return [_IceFilePartition(p, seq, eq, pos, id_names)
+            return [_IceFilePartition(p, seq, eq, pos, id_names,
+                                      aliases)
                     for p, seq in sorted(data.items())]
         self._check(lineage, s_idx, start["sid"])
         parts: List[_IceFilePartition] = []
@@ -230,7 +246,8 @@ class _IcebergStreamReader(DataSourceStreamReader):
             # appended files cannot be touched by the SAME snapshot's
             # pre-existing deletes (their seq is the newest), so added
             # files ride clean — matching the table source's contract
-            parts.extend(_IceFilePartition(p, nd[p], [], [], id_names)
+            parts.extend(_IceFilePartition(p, nd[p], [], [], id_names,
+                                           aliases)
                          for p in added)
         return parts
 
@@ -244,7 +261,17 @@ class _IcebergStreamReader(DataSourceStreamReader):
         target = to_arrow_schema(self._schema)
         pf = pq.ParquetFile(partition.path)
         avail = set(pf.schema_arrow.names)
-        need = [f.name for f in target if f.name in avail]
+        # renamed tables: a pre-rename file carries the old spelling
+        src_of = {}
+        for f in target:
+            if f.name in avail:
+                src_of[f.name] = f.name
+            else:
+                for alt in partition.aliases.get(f.name, ()):
+                    if alt in avail:
+                        src_of[f.name] = alt
+                        break
+        need = sorted(set(src_of.values()))
         # equality-delete columns must be read even if unprojected
         eq_live = [(p, seq, ids) for p, seq, ids in partition.eq
                    if seq > partition.seq]
@@ -298,8 +325,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
 
         out_cols = []
         for field in target:
-            if field.name in tbl.column_names:
-                out_cols.append(tbl.column(field.name).cast(field.type))
+            src = src_of.get(field.name)
+            if src is not None and src in tbl.column_names:
+                out_cols.append(tbl.column(src).cast(field.type))
             else:  # file predates a widened column
                 out_cols.append(pa.nulls(tbl.num_rows, field.type))
         out = pa.Table.from_arrays(

@@ -238,3 +238,23 @@ def test_foreign_relative_paths_resolved(spark, tmp_path):
                  str(tmp_path / "ckpt"))
     assert {tuple(r) for r in got.select("documentid", "v")
             .collect()} == want
+
+
+def test_stream_resolves_renamed_columns(spark, tmp_path):
+    """A column-mapped store table exported to Iceberg (files carry
+    the frozen physical spelling, schema history records the rename):
+    the streaming source must surface values under the CURRENT name,
+    not null-pad the pre-rename files."""
+    from dataingestion_spark.sinks import manifest_store as ms2
+
+    tbl = str(tmp_path / "t_cm")
+    dst = str(tmp_path / "ice_cm")
+    ms2.write_table(_docs(spark, 0, 15), tbl)
+    ms2.rename_column(tbl, "v", "value")
+    export_iceberg(spark, tbl, dst, mode="copy")
+
+    got = _drain(spark, dst, str(tmp_path / "sink"),
+                 str(tmp_path / "ckpt"))
+    assert "value" in got.columns
+    assert {(r["documentid"], r["value"]) for r in got.collect()} == \
+        {(str(i), 2 * i) for i in range(15)}
