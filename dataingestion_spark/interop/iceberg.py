@@ -1613,12 +1613,35 @@ def read_iceberg(spark: SparkSession, path: str, *,
         del_seq = spark.createDataFrame(
             [(_norm_path(p), s) for p, s in plist],
             "__del_fp string, __del_seq long")
-        eq = (spark.read.parquet(*[p for p, _ in plist])
-              .select(*[F.col(c).cast(spark_types[c]).alias(f"__eq_{c}")
-                        for c in cols],
-                      _norm_path_col(F.col("_metadata.file_path"))
-                      .alias("__del_fp"))
-              .join(F.broadcast(del_seq), "__del_fp"))
+        if any(c in rename_olds for c in cols):
+            # delete files written pre-rename carry the old spelling —
+            # same historical-spellings coalesce as the data scan
+            eq_raw = (spark.read.option("mergeSchema", "true")
+                      .parquet(*[p for p, _ in plist]))
+            sels = []
+            for c in cols:
+                cands = [x for x in [c] + rename_olds.get(c, [])
+                         if x in eq_raw.columns]
+                if not cands:
+                    raise ValueError(
+                        f"equality delete files carry no spelling of "
+                        f"column {c!r}")
+                expr = F.col(cands[0]) if len(cands) == 1 \
+                    else F.coalesce(*[F.col(x) for x in cands])
+                sels.append(expr.cast(spark_types[c])
+                            .alias(f"__eq_{c}"))
+            eq = (eq_raw.select(
+                *sels,
+                _norm_path_col(F.col("_metadata.file_path"))
+                .alias("__del_fp"))
+                .join(F.broadcast(del_seq), "__del_fp"))
+        else:
+            eq = (spark.read.parquet(*[p for p, _ in plist])
+                  .select(*[F.col(c).cast(spark_types[c])
+                            .alias(f"__eq_{c}") for c in cols],
+                          _norm_path_col(F.col("_metadata.file_path"))
+                          .alias("__del_fp"))
+                  .join(F.broadcast(del_seq), "__del_fp"))
         cond = eq["__del_seq"] > out["__ice_seq"]
         for c in cols:
             cond = cond & out[c].eqNullSafe(eq[f"__eq_{c}"])

@@ -431,3 +431,87 @@ def test_rename_resolved_from_schema_history(spark, tmp_path):
     got = {(r["id"], r["v_renamed"]) for r in
            read_iceberg(spark, root).collect()}
     assert got == {(1, 10), (2, 20), (3, 30), (4, 40)}
+
+
+def test_equality_deletes_across_rename(spark, tmp_path):
+    """Equality delete files written PRE-rename (old column spelling)
+    still kill rows after the schema renamed the column — resolved
+    via the same historical-spellings coalesce as the data scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataingestion_spark.interop.iceberg import (
+        _manifest_entry_schema as _mes,
+    )
+    from dataingestion_spark.sources.avro import (
+        write_container as _wc,
+    )
+
+    root = str(tmp_path / "eqren")
+    os.makedirs(os.path.join(root, "data"))
+    dpath = os.path.join(root, "data", "d0.parquet")
+    pq.write_table(pa.table({
+        "documentid": pa.array(["a", "b", "c"], pa.string()),
+        "v": pa.array([1, 2, 3], pa.int64())}), dpath)   # OLD name "v"
+    epath = os.path.join(root, "data", "ed0.parquet")
+    pq.write_table(pa.table({"v": pa.array([2], pa.int64())}), epath)
+
+    def entry(path, content, seq, nrec, eq_ids=None):
+        return {"status": 1, "snapshot_id": 9, "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content, "file_path": "file://" + path,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": nrec,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": eq_ids}}
+
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    m0 = os.path.join(root, "metadata", "m0.avro")
+    m1 = os.path.join(root, "metadata", "m1.avro")
+    _wc(m0, _mes(), [entry(dpath, 0, 1, 3)])
+    _wc(m1, _mes(), [entry(epath, 2, 2, 1, eq_ids=[2])])
+    lpath = os.path.join(root, "metadata", "snap-9-2-x.avro")
+    from dataingestion_spark.interop.iceberg import (
+        _manifest_list_schema as _mls,
+    )
+    def _mrow(mp, content, seq):
+        return {"manifest_path": "file://" + mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "min_sequence_number": 1,
+                "added_snapshot_id": 9, "added_files_count": 1,
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": 1, "existing_rows_count": 0,
+                "deleted_rows_count": 0}
+    _wc(lpath, _mls(), [_mrow(m0, 0, 1), _mrow(m1, 1, 2)])
+    old_schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "documentid", "required": False,
+         "type": "string"},
+        {"id": 2, "name": "v", "required": False, "type": "long"}]}
+    cur_schema = {"type": "struct", "schema-id": 1, "fields": [
+        {"id": 1, "name": "documentid", "required": False,
+         "type": "string"},
+        {"id": 2, "name": "value", "required": False, "type": "long"}]}
+    meta = {"format-version": 2, "table-uuid": "x", "location": root,
+            "last-sequence-number": 2, "last-updated-ms": 0,
+            "last-column-id": 2, "current-schema-id": 1,
+            "schemas": [old_schema, cur_schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999, "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 9,
+            "snapshots": [{"snapshot-id": 9, "sequence-number": 2,
+                           "timestamp-ms": 0, "schema-id": 1,
+                           "manifest-list": "file://" + lpath,
+                           "summary": {"operation": "overwrite"}}],
+            "snapshot-log": [], "metadata-log": []}
+    json.dump(meta, open(os.path.join(root, "metadata",
+                                      "v1.metadata.json"), "w"))
+    open(os.path.join(root, "metadata", "version-hint.text"),
+         "w").write("1")
+
+    got = {(r["documentid"], r["value"]) for r in
+           read_iceberg(spark, root).collect()}
+    assert got == {("a", 1), ("c", 3)}  # value==2 deleted, rename ok
