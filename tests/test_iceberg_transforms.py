@@ -515,3 +515,64 @@ def test_equality_deletes_across_rename(spark, tmp_path):
     got = {(r["documentid"], r["value"]) for r in
            read_iceberg(spark, root).collect()}
     assert got == {("a", 1), ("c", 3)}  # value==2 deleted, rename ok
+
+
+def test_format_version1_foreign_table_reads(spark, tmp_path):
+    """Iceberg format-version 1: singular ``schema`` key, ``partition-
+    spec`` field list, v1 manifests without sequence numbers — the
+    common legacy layout. Reader must answer (sequence numbers default
+    to manifest inheritance = 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataingestion_spark.interop.iceberg import (
+        _manifest_entry_schema as _mes, _manifest_list_schema as _mls,
+    )
+    from dataingestion_spark.sources.avro import write_container as _wc
+
+    root = str(tmp_path / "v1tbl")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    dpath = os.path.join(root, "data", "d0.parquet")
+    pq.write_table(pa.table({
+        "documentid": pa.array(["a", "b"], pa.string()),
+        "n": pa.array([1, 2], pa.int64())}), dpath)
+    m0 = os.path.join(root, "metadata", "m0.avro")
+    # v1 entries omit sequence/file_sequence numbers (schema defaults)
+    _wc(m0, _mes(), [{
+        "status": 1, "snapshot_id": 5,
+        "data_file": {
+            "content": 0, "file_path": "file://" + dpath,
+            "file_format": "PARQUET", "partition": {},
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(dpath)}}])
+    lpath = os.path.join(root, "metadata", "snap-5-1-x.avro")
+    _wc(lpath, _mls(), [{
+        "manifest_path": "file://" + m0,
+        "manifest_length": os.path.getsize(m0),
+        "partition_spec_id": 0, "content": 0, "sequence_number": 0,
+        "min_sequence_number": 0, "added_snapshot_id": 5,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 2,
+        "existing_rows_count": 0, "deleted_rows_count": 0}])
+    meta = {"format-version": 1, "table-uuid": "x", "location": root,
+            "last-updated-ms": 0, "last-column-id": 2,
+            "schema": {"type": "struct", "fields": [
+                {"id": 1, "name": "documentid", "required": False,
+                 "type": "string"},
+                {"id": 2, "name": "n", "required": False,
+                 "type": "long"}]},
+            "partition-spec": [],
+            "current-snapshot-id": 5,
+            "snapshots": [{"snapshot-id": 5, "timestamp-ms": 0,
+                           "manifest-list": "file://" + lpath,
+                           "summary": {"operation": "append"}}],
+            "snapshot-log": [], "metadata-log": []}
+    json.dump(meta, open(os.path.join(root, "metadata",
+                                      "v1.metadata.json"), "w"))
+    open(os.path.join(root, "metadata", "version-hint.text"),
+         "w").write("1")
+
+    got = {tuple(r) for r in read_iceberg(spark, root)
+           .select("documentid", "n").collect()}
+    assert got == {("a", 1), ("b", 2)}
