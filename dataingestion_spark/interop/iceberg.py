@@ -1469,6 +1469,15 @@ def read_iceberg(spark: SparkSession, path: str, *,
             # coalesce picks that file's value)
             df = spark.read.option("mergeSchema", "true").parquet(*paths)
             for new, olds in renames.items():
+                for o in olds:
+                    if o != new and o in spark_schema.names \
+                            and o in df.columns:
+                        raise ValueError(
+                            f"column {o!r} is simultaneously a current "
+                            f"schema column and a historical spelling "
+                            f"of {new!r}, and files carry it — a "
+                            "name-swap history cannot be resolved by "
+                            "name; rewrite the files")
                 cands = [c for c in [new] + olds if c in df.columns]
                 if len(cands) == 1:
                     df = df.withColumn(new, F.col(cands[0]))
@@ -1620,6 +1629,14 @@ def read_iceberg(spark: SparkSession, path: str, *,
                       .parquet(*[p for p, _ in plist]))
             sels = []
             for c in cols:
+                for x in rename_olds.get(c, []):
+                    if x != c and x in spark_schema.names \
+                            and x in eq_raw.columns:
+                        raise ValueError(
+                            f"delete-file column {x!r} is both a "
+                            f"current schema column and a historical "
+                            f"spelling of {c!r} — name-swap history "
+                            "cannot be resolved by name")
                 cands = [x for x in [c] + rename_olds.get(c, [])
                          if x in eq_raw.columns]
                 if not cands:

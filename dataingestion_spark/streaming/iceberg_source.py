@@ -263,12 +263,20 @@ class _IcebergStreamReader(DataSourceStreamReader):
         avail = set(pf.schema_arrow.names)
         # renamed tables: a pre-rename file carries the old spelling
         src_of = {}
+        current = {f.name for f in target}
         for f in target:
             if f.name in avail:
                 src_of[f.name] = f.name
             else:
                 for alt in partition.aliases.get(f.name, ()):
                     if alt in avail:
+                        if alt in current:
+                            raise ValueError(
+                                f"column {alt!r} is simultaneously a "
+                                "current schema column and a "
+                                f"historical spelling of {f.name!r} — "
+                                "name-swap history cannot be resolved "
+                                "by name")
                         src_of[f.name] = alt
                         break
         need = sorted(set(src_of.values()))

@@ -576,3 +576,39 @@ def test_format_version1_foreign_table_reads(spark, tmp_path):
     got = {tuple(r) for r in read_iceberg(spark, root)
            .select("documentid", "n").collect()}
     assert got == {("a", 1), ("b", 2)}
+
+
+def test_name_swap_history_refused(spark, tmp_path):
+    """A rename history where one field's OLD spelling equals another
+    field's CURRENT name (a → b while c → a) is unresolvable by name
+    when old-spelling files exist — must refuse loudly, never surface
+    the wrong field's values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "swap")
+    os.makedirs(os.path.join(root, "data"))
+    # pre-rename file: column "a" is fid 2's data
+    p_old = os.path.join(root, "data", "old.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "a": pa.array([111], pa.int64())}), p_old)
+    schema_old = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "a", "required": False, "type": "long"}]}
+    # current: fid 2 renamed to "b"; a NEW fid 3 took the name "a"
+    schema_cur = {"type": "struct", "schema-id": 1, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "b", "required": False, "type": "long"},
+        {"id": 3, "name": "a", "required": False, "type": "long"}]}
+    _build(root, schema_cur["fields"], [], [], [(p_old, {})])
+    mp = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(mp))
+    meta["schemas"] = [schema_old, schema_cur]
+    meta["current-schema-id"] = 1
+    meta["snapshots"][0]["schema-id"] = 1
+    meta["last-column-id"] = 3
+    json.dump(meta, open(mp, "w"))
+
+    with pytest.raises(Exception, match="name-swap|historical spelling"):
+        read_iceberg(spark, root).collect()
