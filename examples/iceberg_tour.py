@@ -105,6 +105,24 @@ def main():
           f"vacuum expired {len(snaps) - 1} snapshots, "
           f"removed {len(gone)} files; current read: {n_now} rows")
     assert n_then == n0 and n_now == n0 - 5 + 30
+
+    # renamed columns: files keep the frozen physical spelling; the
+    # export records the rename (schema history + name-mapping) and
+    # the reader resolves it — values surface under the CURRENT name
+    ms.rename_column(table, "lang", "language")
+    renamed_dst = os.path.join(os.path.dirname(mirror), "ice_renamed")
+    export_iceberg(spark, table, renamed_dst, mode="copy",
+                   dv_mode="equality")
+    back = read_iceberg(spark, renamed_dst)
+    assert "language" in back.columns and "lang" not in back.columns
+    langs = back.select("language").distinct().count()
+    pruned = read_iceberg(spark, renamed_dst,
+                          where=[("n_chars", ">=", 0),
+                                 ("n_chars", "<=", 10 ** 9)])
+    assert pruned.count() == back.count()
+    print(f"renamed lang→language, re-exported: {back.count()} rows, "
+          f"{langs} languages, resolved via schema history")
+
     print("\niceberg tour complete ✓")
     spark.stop()
 
