@@ -330,3 +330,23 @@ def test_spark_embedding_corpus_roundtrip(spark, tmp_path):
     for i, emb in data:
         assert all(math.isclose(a, b, rel_tol=1e-6)
                    for a, b in zip(got[i], emb))
+
+
+def test_projection_skips_array_field(tmp_path):
+    """Projecting AWAY an array column still wave-skips its bytes
+    correctly (count + payload + terminator per row)."""
+    from dataingestion_spark.sources.avro import parse_schema
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "emb", "type": {"type": "array", "items": "float"}},
+        {"name": "tag", "type": "string"}]}
+    rows = [{"id": i, "emb": [0.5] * (i % 7), "tag": f"t{i}"}
+            for i in range(700)]
+    reader = parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "tag", "type": "string"}]})
+    cols, scalar = _vec(tmp_path, sch, rows, reader_node=reader)
+    assert cols is not None and "emb" not in cols
+    assert list(cols["id"]) == [r["id"] for r in scalar]
+    assert list(cols["tag"]) == [r["tag"] for r in scalar]
