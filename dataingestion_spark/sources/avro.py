@@ -18,9 +18,12 @@ from the spec's own example pinning the encoding.
 Scale shape: Avro is a ROW-MAJOR format — unlike parquet/Arrow IPC,
 column projection cannot skip bytes (every field must be parsed to find
 the next), so ``columns=`` prunes only materialization, not IO or
-decode. The reader is one task per file (``binaryFile`` delivers whole
-blobs; parallelism = shard count, same contract as TFRecord/WARC/zstd
-JSONL — shard at write time so files stay executor-memory sized). The
+decode. `read_avro` is one task per file (``binaryFile`` delivers
+whole blobs; parallelism = shard count, same contract as TFRecord/
+WARC/zstd JSONL — shard at write time so files stay executor-memory
+sized); `read_avro_split` additionally scales IN by splitting each
+container at sync markers (the spec's own splitting design), so one
+oversized foreign shard decodes across many executors. The
 writer is one task per hash-shard with in-shard ordering and a
 shard-derived sync marker, so bytes are DETERMINISTIC given the data
 (idempotent re-exports, content-addressable shards — the layout
@@ -57,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 __all__ = [
-    "read_avro", "write_avro",
+    "read_avro", "read_avro_split", "write_avro",
     "spark_to_avro_schema", "avro_to_spark_schema",
     "encode_records", "decode_blocks", "write_container", "read_container",
 ]
@@ -895,18 +898,11 @@ def write_container(path: str, schema_js: Any, rows: List[Any],
             fh.write(bytes(block))
 
 
-def read_container(blob: bytes, name: str = "<avro>",
-                   max_rows: Optional[int] = None,
-                   reader_node: Optional[Dict] = None
-                   ) -> Tuple[Dict, List[Any]]:
-    """Parse one container file -> (writer schema node, decoded rows).
-
-    With ``reader_node`` (a :func:`parse_schema` tree), rows come back
-    READER-shaped via spec schema resolution — writer-only fields are
-    skipped at parse time, reader-only fields take their defaults,
-    int→long→float→double and string↔bytes promote. Corruption fails
-    loudly with the file name: bad magic, unknown codec, sync-marker
-    mismatch, truncated varints/bytes."""
+def _parse_header(blob: bytes, name: str = "<avro>"
+                  ) -> Tuple[Dict, str, bytes, int, Any]:
+    """Container header -> (writer schema node, codec, sync marker,
+    offset just past the header sync, raw schema JSON). Shared by the
+    scalar reader, the columnar reader, and the sync-split planner."""
     if blob[:4] != _MAGIC:
         raise ValueError(f"{name}: not an Avro container "
                          f"(magic {blob[:4]!r})")
@@ -932,7 +928,24 @@ def read_container(blob: bytes, name: str = "<avro>",
         schema_js = json.loads(meta["avro.schema"])
     except KeyError:
         raise ValueError(f"{name}: header missing avro.schema") from None
-    node = parse_schema(schema_js)
+    return parse_schema(schema_js), codec, sync, cur.pos, schema_js
+
+
+def read_container(blob: bytes, name: str = "<avro>",
+                   max_rows: Optional[int] = None,
+                   reader_node: Optional[Dict] = None
+                   ) -> Tuple[Dict, List[Any]]:
+    """Parse one container file -> (writer schema node, decoded rows).
+
+    With ``reader_node`` (a :func:`parse_schema` tree), rows come back
+    READER-shaped via spec schema resolution — writer-only fields are
+    skipped at parse time, reader-only fields take their defaults,
+    int→long→float→double and string↔bytes promote. Corruption fails
+    loudly with the file name: bad magic, unknown codec, sync-marker
+    mismatch, truncated varints/bytes."""
+    node, codec, sync, body_at, _ = _parse_header(blob, name)
+    cur = _Cursor(blob, name)
+    cur.pos = body_at
     if reader_node is None or node == reader_node:
         dec = _compile_decoder(node, "$")
     else:
@@ -975,32 +988,9 @@ def read_container_columnar(blob: bytes, name: str = "<avro>",
     like the scalar path (file named)."""
     from .avro_vec import decode_blocks_columnar
 
-    if blob[:4] != _MAGIC:
-        raise ValueError(f"{name}: not an Avro container "
-                         f"(magic {blob[:4]!r})")
+    node, codec, sync, body_at, _ = _parse_header(blob, name)
     cur = _Cursor(blob, name)
-    cur.pos = 4
-    meta: Dict[str, bytes] = {}
-    while True:
-        n = cur.read_long()
-        if n == 0:
-            break
-        if n < 0:
-            n = -n
-            cur.read_long()
-        for _ in range(n):
-            k = cur.read_bytes().decode("utf-8")
-            meta[k] = cur.read_bytes()
-    sync = cur.read_fixed(16)
-    codec = meta.get("avro.codec", b"null").decode()
-    if codec not in _CODECS:
-        raise ValueError(f"{name}: unsupported avro codec {codec!r} "
-                         f"(one of {list(_CODECS)})")
-    try:
-        schema_js = json.loads(meta["avro.schema"])
-    except KeyError:
-        raise ValueError(f"{name}: header missing avro.schema") from None
-    node = parse_schema(schema_js)
+    cur.pos = body_at
     datas: List[bytes] = []
     counts: List[int] = []
     while cur.pos < len(blob):
@@ -1093,6 +1083,206 @@ def read_avro(spark: SparkSession, path: str,
                     columns=want)
 
     return scan.mapInPandas(parse, spark_schema)
+
+
+def read_avro_split(spark: SparkSession, path: str, *,
+                    split_mb: int = 128,
+                    columns: Optional[List[str]] = None,
+                    schema: Optional[Any] = None,
+                    glob_pat: str = "*.avro") -> DataFrame:
+    """Scale-IN reader: split each container at SYNC MARKERS so one
+    large file decodes across many executors.
+
+    The Avro spec designs containers for exactly this ("a file may be
+    split by searching for the sync marker"): the driver reads each
+    header (schema, codec, 16-byte sync, header length — a few KB per
+    file) and plans byte ranges of ``split_mb``; each task seeks to
+    its range start, scans forward to the first sync, then decodes
+    every block that STARTS inside its range (a straddling block
+    belongs to the range it starts in — the next task's scan lands on
+    that block's trailing sync, so coverage is exact and disjoint,
+    modulo the 2^-128 false-sync probability the spec accepts).
+    Blocks decode through the numpy lock-step columnar path
+    (`sources/avro_vec.py` — vector width = blocks per split) with
+    scalar fallback, same coverage rules as :func:`read_avro`.
+
+    Contrast :func:`read_avro` (one task per file via ``binaryFile``):
+    there parallelism = shard count, here parallelism = corpus bytes /
+    split_mb, which is what a 100 TB corpus of awkwardly-large foreign
+    shards needs. Local/POSIX (incl. mounted DFS) paths only — tasks
+    seek with ``open()``; an object store needs a range-read backend
+    (documented seam, `sinks/data_backend.py`)."""
+    import glob as _glob
+
+    if split_mb < 1:
+        raise ValueError("split_mb must be >= 1")
+    if "://" in path:
+        raise ValueError(
+            "read_avro_split seeks with open(); only local/POSIX "
+            "paths are supported (object stores need a range-read "
+            "DataBackend)")
+    files = sorted(_glob.glob(os.path.join(path, glob_pat)))
+    if not files:
+        raise ValueError(f"no files match {glob_pat!r} under {path}")
+
+    headers: Dict[str, Tuple] = {}
+    for p in files:
+        head = b""
+        cap = 1 << 20
+        while True:  # headers are tiny; double on the rare huge one
+            with open(p, "rb") as fh:
+                head = fh.read(cap)
+            try:
+                headers[p] = _parse_header(head, p)
+                break
+            except ValueError as e:
+                if "truncated" in str(e) and len(head) == cap \
+                        and cap < (1 << 28):
+                    cap <<= 1
+                    continue
+                raise
+
+    if schema is None:
+        reader_node = headers[files[0]][0]
+    elif isinstance(schema, T.StructType):
+        reader_node = parse_schema(spark_to_avro_schema(schema))
+    else:
+        reader_node = parse_schema(schema)
+    if columns is not None:
+        by_name = {f["name"]: f for f in reader_node["fields"]}
+        missing = [c for c in columns if c not in by_name]
+        if missing:
+            raise ValueError(f"columns not in schema: {missing}")
+        reader_node = {"kind": "record",
+                       "name": reader_node.get("name"),
+                       "fields": [by_name[c] for c in columns]}
+    spark_schema = avro_to_spark_schema(reader_node)
+    want = list(spark_schema.names)
+
+    step = split_mb << 20
+    ranges = []
+    for p in files:
+        _node, codec, sync, body_at, schema_js = headers[p]
+        size = os.path.getsize(p)
+        lo = body_at
+        first = True
+        while lo < size:
+            hi = min(lo + step, size)
+            ranges.append((p, lo, hi, first, sync.hex(), codec,
+                           json.dumps(schema_js)))
+            first = False
+            lo = hi
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, end long, first boolean, "
+                "sync_hex string, codec string, schema_json string"
+    ).repartition(min(len(ranges), 4096))
+
+    def decode(batches):
+        import pandas as pd
+
+        from .avro_vec import decode_blocks_columnar
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                datas, counts = _read_split_blocks(
+                    row.path, int(row.start), int(row.end),
+                    bool(row.first), bytes.fromhex(row.sync_hex),
+                    row.codec)
+                if not datas:
+                    continue
+                node = parse_schema(json.loads(row.schema_json))
+                cols_out = decode_blocks_columnar(
+                    datas, counts, row.path, node, reader_node)
+                if cols_out is not None:
+                    yield pd.DataFrame(
+                        {c: cols_out[c] for c in want}, columns=want)
+                    continue
+                rows = _decode_payloads(datas, counts, row.path, node,
+                                        reader_node)
+                yield pd.DataFrame(
+                    {c: [r.get(c) for r in rows] for c in want},
+                    columns=want)
+
+    return rdf.mapInPandas(decode, spark_schema)
+
+
+def _read_split_blocks(path: str, start: int, end: int, first: bool,
+                       sync: bytes, codec: str
+                       ) -> Tuple[List[bytes], List[int]]:
+    """Collect (decompressed payload, row count) for every block that
+    STARTS in [start, end) — executor-side, seek + bounded reads."""
+    datas: List[bytes] = []
+    counts: List[int] = []
+    with open(path, "rb") as fh:
+        if first:
+            pos = start
+        else:
+            # scan for the first sync at offset >= start-15 (a marker
+            # may span the boundary); blocks begin right after it
+            scan_at = max(start - 15, 0)
+            found = None
+            CHUNK = 4 << 20
+            carry = b""
+            base = scan_at
+            fh.seek(scan_at)
+            while found is None:
+                chunk = fh.read(CHUNK)
+                if not chunk:
+                    break
+                buf = carry + chunk
+                i = buf.find(sync)
+                if i >= 0:
+                    found = base - len(carry) + i
+                    break
+                carry = buf[-15:]
+                base += len(chunk)
+            if found is None:
+                return datas, counts
+            pos = found + 16
+        while pos < end:
+            fh.seek(pos)
+            head = fh.read(24)  # two varints are at most 2x10 bytes
+            if not head:
+                break
+            cur = _Cursor(head, path)
+            try:
+                count = cur.read_long()
+                size = cur.read_long()
+            except ValueError:
+                raise ValueError(
+                    f"{path}: truncated block header at {pos}")
+            data_at = pos + cur.pos
+            fh.seek(data_at)
+            data = fh.read(size)
+            if len(data) < size:
+                raise ValueError(f"{path}: truncated block at {pos}")
+            if fh.read(16) != sync:
+                raise ValueError(f"{path}: sync marker mismatch at "
+                                 f"{data_at + size} — corrupt block")
+            datas.append(_decompress_block(codec, data, path))
+            counts.append(count)
+            pos = data_at + size + 16
+    return datas, counts
+
+
+def _decode_payloads(datas: List[bytes], counts: List[int], name: str,
+                     node: Dict, reader_node: Optional[Dict]
+                     ) -> List[Any]:
+    """Scalar decode of already-decompressed block payloads."""
+    if reader_node is None or node == reader_node:
+        dec = _compile_decoder(node, "$")
+    else:
+        dec = _compile_resolver(node, reader_node, "$")
+    rows: List[Any] = []
+    for data, count in zip(datas, counts):
+        bc = _Cursor(data, name)
+        for _ in range(count):
+            rows.append(dec(bc))
+        if bc.pos != len(data):
+            raise ValueError(
+                f"{name}: {len(data) - bc.pos} trailing bytes in "
+                "block — writer/reader schema mismatch")
+    return rows
 
 
 def _header_only(head: bytes) -> bytes:

@@ -350,3 +350,79 @@ def test_projection_skips_array_field(tmp_path):
     assert cols is not None and "emb" not in cols
     assert list(cols["id"]) == [r["id"] for r in scalar]
     assert list(cols["tag"]) == [r["tag"] for r in scalar]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def test_split_reader_equals_whole_file(spark, tmp_path, codec):
+    """Sync-marker splitting: a single container read as byte-range
+    splits must yield exactly the whole file's rows — no block lost or
+    doubled at any boundary."""
+    from dataingestion_spark.sources.avro import (
+        read_avro, read_avro_split,
+    )
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "txt", "type": ["null", "string"], "default": None},
+        {"name": "x", "type": "double"}]}
+    import hashlib as _h
+    rows = [{"id": i,
+             "txt": None if i % 9 == 0
+             else _h.sha256(str(i).encode()).hexdigest() * 3,
+             "x": i / 3} for i in range(60_000)]
+    d = str(tmp_path / "one")
+    import os as _os
+    _os.makedirs(d)
+    write_container(_os.path.join(d, "big.avro"), sch, rows,
+                    codec=codec)
+    assert _os.path.getsize(_os.path.join(d, "big.avro")) > 2 << 20
+
+    whole = read_avro(spark, d)
+    split = read_avro_split(spark, d, split_mb=1)
+    assert split.count() == 60_000
+    a = {(r["id"], r["txt"], round(r["x"], 6))
+         for r in whole.collect()}
+    b = {(r["id"], r["txt"], round(r["x"], 6))
+         for r in split.collect()}
+    assert a == b
+
+
+def test_split_reader_projection_and_resolution(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dataingestion_spark.sources.avro import read_avro_split
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "t", "type": "string"}]}
+    rows = [{"id": i, "t": f"v{i}"} for i in range(50_000)]
+    d = str(tmp_path / "res")
+    import os as _os
+    _os.makedirs(d)
+    write_container(_os.path.join(d, "a.avro"), sch, rows)
+
+    # columns= prunes; schema= promotes int -> long
+    got = read_avro_split(
+        spark, d, split_mb=1, columns=["id"],
+        schema=T.StructType([T.StructField("id", T.LongType(), True),
+                             T.StructField("t", T.StringType(),
+                                           True)]))
+    assert got.columns == ["id"]
+    assert got.schema["id"].dataType == T.LongType()
+    assert got.count() == 50_000
+    vals = {r["id"] for r in got.collect()}
+    assert vals == set(range(50_000))
+
+
+def test_split_reader_small_file_single_range(spark, tmp_path):
+    from dataingestion_spark.sources.avro import read_avro_split
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": "long"}]}
+    d = str(tmp_path / "small")
+    import os as _os
+    _os.makedirs(d)
+    write_container(_os.path.join(d, "s.avro"), sch,
+                    [{"v": i} for i in range(100)])
+    got = read_avro_split(spark, d, split_mb=64)
+    assert sorted(r["v"] for r in got.collect()) == list(range(100))
