@@ -8438,6 +8438,38 @@ WHERE doc_id IN (7, 11, 23, 37, 42)
 """
 
 
+def q_io_avro_split_read(spark, sf):
+    """Sync-marker split reading (r11, sources/avro.py::
+    read_avro_split): documents → ONE uncompressed container (so there
+    is a single oversized shard, the case `read_avro`'s one-task-per-file
+    contract handles worst) → byte-range splits at split_mb=1, each
+    task scanning to its first sync and decoding only the blocks that
+    start in its range. The oracle pins that no block is lost or
+    doubled at any split boundary (exact multiset equality with the
+    source); text is inflated 5x so sf0.1 plans multiple genuine
+    splits (sf0.01 stays single-split, exercising the is_first
+    path)."""
+    import tempfile
+
+    from dataingestion_spark.sources.avro import (
+        read_avro_split, write_avro,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.repeat("text", 5).alias("text5"), "lang",
+        "n_chars")
+    out = tempfile.mkdtemp(prefix="avro_split_") + "/shards"
+    write_avro(docs, out, shards=1, order_by="doc_id", codec="null",
+               block_rows=16)
+    return read_avro_split(spark, out, split_mb=1).select(
+        "doc_id", "text5", "lang", "n_chars")
+
+
+ORACLE_AVRO_SPLIT = """
+SELECT doc_id, repeat(text, 5) AS text5, lang, n_chars FROM documents
+"""
+
+
 def q_io_avro_roundtrip(spark, sf):
     """Avro container interchange (sources/avro.py): documents →
     deterministic hash-sharded .avro files (hand-coded Avro 1.12 wire
@@ -8714,7 +8746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # end), so future rotations are a simple prefix shift.  Standing
     # policy: any new query enters the next round's first-50.
     return {
-        # --- r11 sample 1-2: queries NEW this round (standing policy) ---
+        # --- r11 sample 1-3: queries NEW this round (standing policy) ---
+        "io_avro_split_read": q_io_avro_split_read,
         "io_avro_snappy_roundtrip": q_io_avro_snappy_roundtrip,
         "lakehouse_iceberg_prune_bucket": q_iceberg_prune_bucket,
         # --- r11 sample 3-50: the stalest external checks (r4 reader/
@@ -9120,6 +9153,7 @@ def oracle_sql() -> dict[str, str]:
         "reader_jsonl_roundtrip": ORACLE_JSONL,
         "io_avro_roundtrip": ORACLE_JSONL,
         "io_avro_snappy_roundtrip": ORACLE_JSONL,
+        "io_avro_split_read": ORACLE_AVRO_SPLIT,
         "lakehouse_iceberg_prune_bucket": ORACLE_ICEBERG_PRUNE,
         "lakehouse_iceberg_roundtrip": ORACLE_ICEBERG_ROUNDTRIP,
         "streaming_iceberg_tail": ORACLE_ICEBERG_TAIL,
