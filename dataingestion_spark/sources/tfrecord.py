@@ -29,6 +29,7 @@ read; corruption fails loudly rather than yielding silent garbage.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Dict, Iterable, List, Optional, Tuple
 
@@ -40,7 +41,7 @@ except ImportError:  # pragma: no cover - numpy is baked into this image
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 __all__ = ["read_tfrecord", "write_tfrecord", "encode_example",
-           "decode_example", "crc32c", "FEATURE_KINDS"]
+           "read_tfrecord_split", "decode_example", "crc32c", "FEATURE_KINDS"]
 
 FEATURE_KINDS = ("bytes", "int64", "float",
                  "bytes_list", "int64_list", "float_list")
@@ -601,6 +602,39 @@ _SPARK_TYPES = {
 }
 
 
+
+
+def _rows_from_payloads(payloads, spec, fpath: str) -> List[Dict]:
+    """tf.train.Example payloads -> row dicts under the declared
+    feature spec (shared by the whole-file and sync-split readers)."""
+    rows: List[Dict] = []
+    for payload in payloads:
+        decoded = decode_example(payload)
+        row: Dict = {"_file": fpath}
+        for name, kind in spec:
+            got = decoded.get(name)
+            if got is None:
+                row[name] = None
+                continue
+            gkind, values = got
+            want_list = kind.endswith("_list")
+            base = kind if want_list else kind + "_list"
+            if gkind != base:
+                raise ValueError(
+                    f"{fpath}: feature {name!r} is {gkind}, "
+                    f"declared {kind}")
+            if want_list:
+                row[name] = values
+            elif len(values) != 1:
+                raise ValueError(
+                    f"{fpath}: feature {name!r} has "
+                    f"{len(values)} values, declared scalar {kind}")
+            else:
+                row[name] = values[0]
+        rows.append(row)
+    return rows
+
+
 def read_tfrecord(spark: SparkSession, path: str,
                   features: Dict[str, str],
                   glob: str = "*.tfrecord*",
@@ -640,32 +674,9 @@ def read_tfrecord(spark: SparkSession, path: str,
             rows = []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 data = _maybe_decompress(bytes(blob))
-                for payload in _iter_records(data, str(fpath),
-                                             verify=verify_crc):
-                    decoded = decode_example(payload)
-                    row = {"_file": str(fpath)}
-                    for name, kind in spec:
-                        got = decoded.get(name)
-                        if got is None:
-                            row[name] = None
-                            continue
-                        gkind, values = got
-                        want_list = kind.endswith("_list")
-                        base = kind if want_list else kind + "_list"
-                        if gkind != base:
-                            raise ValueError(
-                                f"{fpath}: feature {name!r} is {gkind}, "
-                                f"declared {kind}")
-                        if want_list:
-                            row[name] = values
-                        elif len(values) != 1:
-                            raise ValueError(
-                                f"{fpath}: feature {name!r} has "
-                                f"{len(values)} values, declared scalar "
-                                f"{kind}")
-                        else:
-                            row[name] = values[0]
-                    rows.append(row)
+                rows.extend(_rows_from_payloads(
+                    _iter_records(data, str(fpath), verify=verify_crc),
+                    spec, str(fpath)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_fields])
 
@@ -673,6 +684,198 @@ def read_tfrecord(spark: SparkSession, path: str,
             .option("pathGlobFilter", glob).load(path)
             .select("path", "content"))
     return scan.mapInPandas(parse, schema)
+
+
+def read_tfrecord_split(spark: SparkSession, path: str,
+                        features: Dict[str, str], *,
+                        split_mb: int = 128,
+                        glob_pat: str = "*.tfrecord",
+                        verify_crc: bool = True) -> DataFrame:
+    """Scale-IN TFRecord reader: byte-range splits of UNCOMPRESSED
+    shards, resynchronized on the format's self-validating framing.
+
+    TFRecord has no sync markers, but every record header is
+    ``u64 length + u32 masked-crc32c(length)`` — a 12-byte
+    self-check. A task landing mid-record scans forward testing each
+    offset's header CRC (vectorized: `_crc32c_many` over every 8-byte
+    window of the scan chunk) and additionally requires the implied
+    NEXT record header (or exact EOF) to validate, pushing the
+    false-positive rate from ~2^-32 to ~2^-64 per candidate byte. A
+    record belongs to the split its header starts in; the owned span
+    is then bulk-read and verified through the same batched-CRC walk
+    as the whole-file reader.
+
+    Gzip/zlib shards are single streams and cannot split — they raise
+    here (use :func:`read_tfrecord`, one task per file). Local/POSIX
+    paths only (tasks seek with ``open()``), matching
+    `sources/avro.py::read_avro_split`."""
+    import glob as _glob
+
+    if split_mb < 1:
+        raise ValueError("split_mb must be >= 1")
+    if "://" in path:
+        raise ValueError(
+            "read_tfrecord_split seeks with open(); only local/POSIX "
+            "paths are supported")
+    bad = {k: v for k, v in features.items() if v not in FEATURE_KINDS}
+    if bad:
+        raise ValueError(f"unknown feature kinds: {bad}")
+    files = sorted(_glob.glob(os.path.join(path, glob_pat)))
+    if not files:
+        raise ValueError(f"no files match {glob_pat!r} under {path}")
+    for p in files:
+        with open(p, "rb") as fh:
+            head = fh.read(2)
+        if head[:2] == b"\x1f\x8b" or (
+                len(head) == 2 and head[0] == 0x78
+                and head[1] in (0x01, 0x5E, 0x9C, 0xDA)):
+            raise ValueError(
+                f"{p}: compressed TFRecord shards are single streams "
+                "and cannot split — use read_tfrecord")
+
+    out_fields = [T.StructField("_file", T.StringType())] + [
+        T.StructField(n, _SPARK_TYPES[k])
+        for n, k in sorted(features.items())]
+    schema = T.StructType(out_fields)
+    spec = sorted(features.items())
+
+    step = split_mb << 20
+    ranges = []
+    for p in files:
+        size = os.path.getsize(p)
+        lo = 0
+        while lo < size or (lo == 0 and size == 0):
+            hi = min(lo + step, size)
+            ranges.append((p, lo, hi, size))
+            lo = hi
+            if size == 0:
+                break
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, end long, size long"
+    ).repartition(min(len(ranges), 4096))
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                span, base = _read_split_span(
+                    row.path, int(row.start), int(row.end),
+                    int(row.size))
+                if span:
+                    rows.extend(_rows_from_payloads(
+                        _iter_records(span, row.path,
+                                      verify=verify_crc),
+                        spec, row.path))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_fields])
+
+    return rdf.mapInPandas(decode, schema)
+
+
+def _header_ok(buf: bytes, off: int, limit: int) -> Optional[int]:
+    """If ``buf[off:]`` starts a plausible record header whose frame
+    fits in ``limit - off`` file bytes, return the record length."""
+    if off + 12 > len(buf):
+        return None
+    (length,) = struct.unpack("<Q", buf[off:off + 8])
+    if off + 12 + length + 4 > limit - 0:
+        return None
+    if _masked_crc(buf[off:off + 8]) != struct.unpack(
+            "<I", buf[off + 8:off + 12])[0]:
+        return None
+    return length
+
+
+def _resync_tfrecord(fh, start: int, size: int) -> Optional[int]:
+    """First valid record-header offset >= start, or None. Candidates
+    pass the 12-byte header CRC (vectorized over each scan chunk) AND
+    chain to a valid next header or exact EOF."""
+    CHUNK = 1 << 20
+    base = start
+    while base < size:
+        fh.seek(base)
+        # +28 so a header near the chunk edge can chain-check its
+        # successor header without another read in the common case
+        buf = fh.read(CHUNK + 28)
+        if len(buf) < 12:
+            return None
+        n_cand = min(len(buf) - 11, CHUNK)
+        if np is not None and n_cand > 64:
+            nb = np.frombuffer(buf, np.uint8)
+            starts = np.arange(n_cand, dtype=np.int64)
+            crcs = _crc32c_many(nb, starts, np.full(n_cand, 8,
+                                                    np.int64))
+            masked = (((crcs >> np.uint32(15))
+                       | (crcs << np.uint32(17)))
+                      + np.uint32(0xA282EAD8))
+            stored = (nb[starts + 8].astype(np.uint32)
+                      | nb[starts + 9].astype(np.uint32) << np.uint32(8)
+                      | nb[starts + 10].astype(np.uint32)
+                      << np.uint32(16)
+                      | nb[starts + 11].astype(np.uint32)
+                      << np.uint32(24))
+            cands = np.nonzero(masked == stored)[0]
+        else:  # pragma: no cover - numpy is baked in
+            cands = [o for o in range(n_cand)
+                     if _header_ok(buf, o, size - base + o + 16)
+                     is not None]
+        for o in map(int, cands):
+            length = _header_ok(buf, o, size - base)
+            if length is None:
+                continue
+            nxt = o + 12 + length + 4
+            if base + nxt == size:
+                return base + o
+            # chain check: the next header must also validate
+            if nxt + 12 <= len(buf):
+                if _header_ok(buf, nxt, size - base) is not None:
+                    return base + o
+                continue
+            fh.seek(base + nxt)
+            nh = fh.read(12)
+            if len(nh) == 12 and _header_ok(nh, 0, size - (base + nxt)
+                                            ) is not None:
+                return base + o
+        base += CHUNK
+    return None
+
+
+def _read_split_span(path: str, start: int, end: int, size: int
+                     ) -> Tuple[bytes, int]:
+    """Bytes of every record whose HEADER starts in [start, end) —
+    a standalone valid TFRecord stream — plus its file offset."""
+    with open(path, "rb") as fh:
+        if start == 0:
+            pos = 0
+        else:
+            found = _resync_tfrecord(fh, start, size)
+            if found is None or found >= end:
+                return b"", start
+            pos = found
+        fh.seek(pos)
+        span = fh.read(end - pos)
+        # walk; extend for the straddling record, truncate any partial
+        off = 0
+        while off < len(span):
+            if off + 12 > len(span):
+                tail = fh.read(off + 12 - len(span))
+                span += tail
+                if off + 12 > len(span):
+                    span = span[:off]
+                    break
+            (length,) = struct.unpack("<Q", span[off:off + 8])
+            frame_end = off + 12 + length + 4
+            if frame_end > len(span):
+                tail = fh.read(frame_end - len(span))
+                span += tail
+                if frame_end > len(span):
+                    raise ValueError(
+                        f"{path}: truncated TFRecord at byte "
+                        f"{pos + off}")
+            off = frame_end
+        return span[:off], pos
 
 
 def write_tfrecord(df: DataFrame, features: Dict[str, str], out_dir: str,

@@ -354,3 +354,75 @@ def test_read_rejects_corrupt_file(spark, tmp_path):
     got = read_tfrecord(spark, out, {"doc_id": "int64"},
                         verify_crc=False).count()
     assert got == 5
+
+
+def test_split_reader_equals_whole_file(spark, tmp_path):
+    """Sync-less byte-range splitting via the self-validating header
+    CRC: splits of one shard must equal the whole-file read exactly."""
+    import os as _os
+
+    from dataingestion_spark.sources.tfrecord import (
+        read_tfrecord, read_tfrecord_split,
+    )
+
+    df = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+          .selectExpr("doc_id", "repeat(text, 16) AS text", "lang"))
+    out = str(tmp_path / "shards")
+    write_tfrecord(df, {"doc_id": "int64", "text": "bytes",
+                        "lang": "bytes"}, out, shards=1,
+                   order_by="doc_id")
+    f = [p for p in _os.listdir(out) if p.endswith(".tfrecord")][0]
+    assert _os.path.getsize(_os.path.join(out, f)) > 2 * (1 << 20)
+
+    feats = {"doc_id": "int64", "text": "bytes", "lang": "bytes"}
+    whole = read_tfrecord(spark, out, feats)
+    split = read_tfrecord_split(spark, out, feats, split_mb=1)
+    a = {(r["doc_id"], r["text"], r["lang"])
+         for r in whole.collect()}
+    b = {(r["doc_id"], r["text"], r["lang"])
+         for r in split.collect()}
+    assert a == b and len(a) == df.count()
+
+
+def test_split_reader_refuses_gzip(spark, tmp_path):
+    from dataingestion_spark.sources.tfrecord import read_tfrecord_split
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "text").limit(20))
+    out = str(tmp_path / "gz")
+    write_tfrecord(df, {"doc_id": "int64", "text": "bytes"}, out,
+                   shards=1, order_by="doc_id", compression="gzip")
+    with pytest.raises(ValueError, match="cannot split"):
+        read_tfrecord_split(spark, out,
+                            {"doc_id": "int64", "text": "bytes"},
+                            glob_pat="*.tfrecord*")
+
+
+def test_resync_skips_embedded_fake_header(tmp_path):
+    """A payload CONTAINING bytes that pass the 12-byte header check
+    must not fool the resync — the chain test (next header or exact
+    EOF) rejects it."""
+    import struct as _s
+
+    from dataingestion_spark.sources.tfrecord import (
+        _masked_crc, _read_split_span, encode_example, _frame_record,
+    )
+
+    # fake header: length=32 with a CORRECT masked crc, inside payload
+    fake = _s.pack("<Q", 32)
+    fake += _s.pack("<I", _masked_crc(fake))
+    body = b"A" * 40 + fake + b"B" * 200
+    rec1 = _frame_record(encode_example(
+        {"x": ("bytes_list", [body])}))
+    rec2 = _frame_record(encode_example(
+        {"x": ("bytes_list", [b"second record " * 30])}))
+    p = str(tmp_path / "adv.tfrecord")
+    open(p, "wb").write(rec1 + rec2)
+    size = len(rec1) + len(rec2)
+    # resync from INSIDE rec1's payload (right before the fake header)
+    start = 20
+    span, pos = _read_split_span(p, start, size, size)
+    assert pos == len(rec1)  # skipped the fake, found rec2's header
+    from dataingestion_spark.sources.tfrecord import _iter_records
+    payloads = list(_iter_records(span, p))
+    assert len(payloads) == 1
