@@ -8267,6 +8267,40 @@ FROM events GROUP BY event_type
 """
 
 
+def q_io_tfrecord_split_read(spark, sf):
+    """Byte-range TFRecord splitting (r11, sources/tfrecord.py::
+    read_tfrecord_split): ONE uncompressed shard with 5x-inflated
+    text → split_mb=1 byte ranges, each task resyncing on the
+    self-validating header CRC (batched crc32c over every candidate
+    offset + chain check) and decoding only records whose header
+    starts in its range. Oracle = closed-form restatement from the
+    parquet source, so a record lost/doubled at any boundary goes
+    red; sf0.1 plans multiple genuine splits."""
+    import tempfile
+
+    from dataingestion_spark.sources.tfrecord import (
+        read_tfrecord_split, write_tfrecord,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.repeat("text", 5).cast("binary").alias("text5"),
+        F.col("n_chars").cast("long").alias("n_chars"))
+    features = {"doc_id": "int64", "text5": "bytes",
+                "n_chars": "int64"}
+    out = tempfile.mkdtemp(prefix="tfrec_split_") + "/shards"
+    write_tfrecord(docs, features, out, shards=1, order_by="doc_id")
+    back = read_tfrecord_split(spark, out, features, split_mb=1)
+    return back.select(
+        "doc_id", F.col("text5").cast("string").alias("text5"),
+        "n_chars")
+
+
+ORACLE_TFRECORD_SPLIT = """
+SELECT doc_id, repeat(text, 5) AS text5, n_chars FROM documents
+"""
+
+
 def q_io_tfrecord_roundtrip(spark, sf):
     """TFRecord interchange (sources/tfrecord.py): documents become
     tf.train.Example records — doc_id int64, text as a bytes feature,
@@ -8748,6 +8782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r11 sample 1-3: queries NEW this round (standing policy) ---
         "io_avro_split_read": q_io_avro_split_read,
+        "io_tfrecord_split_read": q_io_tfrecord_split_read,
         "io_avro_snappy_roundtrip": q_io_avro_snappy_roundtrip,
         "lakehouse_iceberg_prune_bucket": q_iceberg_prune_bucket,
         # --- r11 sample 3-50: the stalest external checks (r4 reader/
@@ -9154,6 +9189,7 @@ def oracle_sql() -> dict[str, str]:
         "io_avro_roundtrip": ORACLE_JSONL,
         "io_avro_snappy_roundtrip": ORACLE_JSONL,
         "io_avro_split_read": ORACLE_AVRO_SPLIT,
+        "io_tfrecord_split_read": ORACLE_TFRECORD_SPLIT,
         "lakehouse_iceberg_prune_bucket": ORACLE_ICEBERG_PRUNE,
         "lakehouse_iceberg_roundtrip": ORACLE_ICEBERG_ROUNDTRIP,
         "streaming_iceberg_tail": ORACLE_ICEBERG_TAIL,
