@@ -846,6 +846,26 @@ def encode_records(schema_js: Any, rows: List[Any]) -> bytes:
     return bytes(out)
 
 
+def _container_header(schema_js, codec, sync, extra_meta):
+    header = bytearray(_MAGIC)
+    meta = {"avro.schema": json.dumps(schema_js).encode(),
+            "avro.codec": codec.encode()}
+    for k, v in (extra_meta or {}).items():
+        if k.startswith("avro."):
+            raise ValueError(f"extra_meta key {k!r} is reserved")
+        meta[k] = v.encode() if isinstance(v, str) else bytes(v)
+    _enc_long(header, len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        _enc_long(header, len(kb))
+        header.extend(kb)
+        _enc_long(header, len(v))
+        header.extend(v)
+    _enc_long(header, 0)
+    header.extend(sync)
+    return bytes(header)
+
+
 def write_container(path: str, schema_js: Any, rows: List[Any],
                     codec: str = "null", sync: Optional[bytes] = None,
                     block_rows: int = 1024,
@@ -866,22 +886,7 @@ def write_container(path: str, schema_js: Any, rows: List[Any],
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
     enc = _compile_encoder(parse_schema(schema_js), "$")
-    header = bytearray(_MAGIC)
-    meta = {"avro.schema": json.dumps(schema_js).encode(),
-            "avro.codec": codec.encode()}
-    for k, v in (extra_meta or {}).items():
-        if k.startswith("avro."):
-            raise ValueError(f"extra_meta key {k!r} is reserved")
-        meta[k] = v.encode() if isinstance(v, str) else bytes(v)
-    _enc_long(header, len(meta))
-    for k, v in sorted(meta.items()):
-        kb = k.encode()
-        _enc_long(header, len(kb))
-        header.extend(kb)
-        _enc_long(header, len(v))
-        header.extend(v)
-    _enc_long(header, 0)
-    header.extend(sync)
+    header = _container_header(schema_js, codec, sync, extra_meta)
     with open(path, "wb") as fh:
         fh.write(bytes(header))
         for start in range(0, len(rows), block_rows):
@@ -929,6 +934,53 @@ def _parse_header(blob: bytes, name: str = "<avro>"
     except KeyError:
         raise ValueError(f"{name}: header missing avro.schema") from None
     return parse_schema(schema_js), codec, sync, cur.pos, schema_js
+
+
+def write_container_frame(path: str, schema_js: Any, pdf,
+                          cols: List[str], codec: str = "null",
+                          sync: Optional[bytes] = None,
+                          block_rows: int = 1024,
+                          extra_meta: Optional[Dict[str, str]] = None
+                          ) -> bool:
+    """Columnar twin of :func:`write_container`: encode a pandas frame
+    through the vectorized flat-record encoder
+    (`sources/avro_vec_enc.py`) — BYTE-IDENTICAL output — and return
+    True; returns False (writing nothing) when the schema is out of
+    the vectorized plan so the caller can fall back."""
+    from .avro_vec_enc import encode_frame
+
+    if codec not in _CODECS:
+        raise ValueError(f"unsupported avro codec {codec!r} "
+                         f"(one of {list(_CODECS)})")
+    if sync is None:
+        import hashlib
+        sync = hashlib.sha256(
+            (os.path.basename(path) + json.dumps(schema_js,
+                                                 sort_keys=True))
+            .encode()).digest()[:16]
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    node = parse_schema(schema_js)
+    res = encode_frame(node, pdf, cols)
+    if res is None:
+        return False
+    payload, row_end = res
+    header = _container_header(schema_js, codec, sync, extra_meta)
+    n = len(row_end)
+    with open(path, "wb") as fh:
+        fh.write(header)
+        for start in range(0, n, block_rows):
+            stop = min(start + block_rows, n)
+            lo = int(row_end[start - 1]) if start else 0
+            hi = int(row_end[stop - 1])
+            data = _compress_block(codec, payload[lo:hi])
+            block = bytearray()
+            _enc_long(block, stop - start)
+            _enc_long(block, len(data))
+            block.extend(data)
+            block.extend(sync)
+            fh.write(bytes(block))
+    return True
 
 
 def read_container(blob: bytes, name: str = "<avro>",
@@ -1343,10 +1395,15 @@ def write_avro(df: DataFrame, out_dir: str, shards: int = 4,
         pdf = pdf.sort_values(key, kind="mergesort")
         name = f"{prefix}-{shard:05d}-of-{shards:05d}.avro"
         sync = hashlib.sha256(name.encode()).digest()[:16]
-        rows = pdf[cols].to_dict("records")
         tmp = os.path.join(out_dir, f".{name}.tmp")
-        write_container(tmp, schema_js, rows, codec=codec, sync=sync,
-                        block_rows=block_rows)
+        # vectorized columnar encoder first (byte-identical output,
+        # sources/avro_vec_enc.py); scalar per-row fallback otherwise
+        if not write_container_frame(tmp, schema_js, pdf, cols,
+                                     codec=codec, sync=sync,
+                                     block_rows=block_rows):
+            rows = pdf[cols].to_dict("records")
+            write_container(tmp, schema_js, rows, codec=codec,
+                            sync=sync, block_rows=block_rows)
         os.replace(tmp, os.path.join(out_dir, name))
         return pd.DataFrame({"name": [name], "n_records": [len(pdf)]})
 
