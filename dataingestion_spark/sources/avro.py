@@ -62,7 +62,8 @@ from pyspark.sql import types as T
 __all__ = [
     "read_avro", "read_avro_split", "write_avro",
     "spark_to_avro_schema", "avro_to_spark_schema",
-    "encode_records", "decode_blocks", "write_container", "read_container",
+    "encode_records", "decode_blocks", "write_container",
+    "write_container_frame", "read_container",
 ]
 
 _MAGIC = b"Obj\x01"
