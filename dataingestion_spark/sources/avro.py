@@ -27,11 +27,14 @@ oversized foreign shard decodes across many executors. The
 writer is one task per hash-shard with in-shard ordering and a
 shard-derived sync marker, so bytes are DETERMINISTIC given the data
 (idempotent re-exports, content-addressable shards — the layout
-contract shared by the TFRecord/WebDataset/Arrow-IPC sinks). Flat
+contract shared by the TFRecord/WebDataset/Arrow-IPC sinks), and
+flat frames ENCODE through the vectorized columnar encoder
+(`sources/avro_vec_enc.py`, byte-identical, 3.3× measured). Flat
 record schemas decode through the numpy lock-step columnar path
-(`sources/avro_vec.py`, 1.5–2.5× measured, growing with file size);
-nested schemas and small files use the scalar per-value decoder
-(documented hot-spot class, SCALE.md); the
+(`sources/avro_vec.py`, 2.5–4× flat / 10–12× on array<float>
+embeddings per `scripts/scale_probe_avro.py`, growing with file
+size); nested schemas and small files use the scalar per-value
+decoder (documented hot-spot class, SCALE.md); the
 ``deflate`` codec is raw RFC-1951 per the spec, and ``snappy`` (the
 spec's third core codec, the default on most real-world Avro corpora)
 is pyarrow's bundled Snappy with the spec-required 4-byte big-endian
