@@ -220,6 +220,148 @@ def read_warc(
     return parse_warc_files(files, on_error=on_error)
 
 
+def read_warc_split(spark, path: str, *, split_mb: int = 128,
+                    glob_pat: str = "*.we[tb]*.gz",
+                    on_error: str = "fail"):
+    """Scale-IN WARC reader for MEMBER-PER-RECORD gzip archives (the
+    Common Crawl convention: each record is its own gzip member, so a
+    ~1 GB .warc.gz/.wet.gz is a concatenation of independently
+    decompressible members).
+
+    Byte ranges of ``split_mb`` per file; a task landing mid-member
+    scans for the next gzip member header (``1f 8b 08``) and VALIDATES
+    it by actually decompressing and checking the ``WARC/`` version
+    line — a false magic inside compressed data fails one of the two
+    checks. A member belongs to the split its header starts in, so
+    coverage is exact and disjoint. ``record_idx`` carries the
+    member's absolute COMPRESSED byte offset (globally unique and
+    ordered per file) rather than read_warc's sequential index.
+
+    Whole-file single-member gzips degrade gracefully (the first
+    split owns the one member — same parallelism as read_warc, not
+    wrong rows). Local/POSIX paths only, like the avro/tfrecord split
+    readers."""
+    import glob as _glob
+    import os
+
+    if split_mb < 1:
+        raise ValueError("split_mb must be >= 1")
+    if "://" in path:
+        raise ValueError(
+            "read_warc_split seeks with open(); only local/POSIX "
+            "paths are supported")
+    files = sorted(_glob.glob(os.path.join(path, glob_pat)))
+    if not files:
+        raise ValueError(f"no files match {glob_pat!r} under {path}")
+    for p in files:
+        with open(p, "rb") as fh:
+            if fh.read(2) != b"\x1f\x8b":
+                raise ValueError(
+                    f"{p}: not gzip — the split reader handles "
+                    "member-per-record gzip archives; use read_warc")
+
+    step = split_mb << 20
+    ranges = []
+    for p in files:
+        size = os.path.getsize(p)
+        lo = 0
+        while lo < size:
+            hi = min(lo + step, size)
+            ranges.append((p, lo, hi))
+            lo = hi
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, end long"
+    ).repartition(min(len(ranges), 4096))
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p, start, end in zip(pdf["path"], pdf["start"],
+                                     pdf["end"]):
+                for off, member in _iter_members(str(p), int(start),
+                                                 int(end)):
+                    for (wt, uri, date, ctype, length, payload) in                             parse_warc_bytes(member,
+                                             on_error=on_error):
+                        rows.append((str(p), off, wt, uri, date,
+                                     ctype, length,
+                                     payload.decode("utf-8",
+                                                    "replace")))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in
+                               WARC_RECORD_SCHEMA.fields])
+
+    return rdf.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+
+
+def _find_member(fh, start: int, size: int) -> Optional[int]:
+    """First VALIDATED gzip member header at offset >= start: the
+    ``1f 8b 08`` magic must also decompress to bytes opening with
+    ``WARC/`` (two independent checks — magic bytes inside compressed
+    data fail the second)."""
+    CHUNK = 1 << 20
+    base = start
+    carry = b""
+    while base < size:
+        fh.seek(base)
+        chunk = fh.read(CHUNK)
+        if not chunk:
+            return None
+        buf = carry + chunk
+        buf_at = base - len(carry)
+        i = 0
+        while True:
+            i = buf.find(b"\x1f\x8b\x08", i)
+            if i < 0:
+                break
+            cand = buf_at + i
+            if cand >= start:
+                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                try:
+                    fh.seek(cand)
+                    head = d.decompress(fh.read(1 << 15), 16)
+                except zlib.error:
+                    head = b""
+                if head[:5] == b"WARC/":
+                    return cand
+            i += 1
+        carry = buf[-2:]
+        base += len(chunk)
+    return None
+
+
+def _iter_members(path: str, start: int, end: int):
+    """(absolute offset, decompressed bytes) of every gzip member
+    whose header starts in [start, end)."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        if start == 0:
+            pos = 0
+        else:
+            found = _find_member(fh, start, size)
+            if found is None or found >= end:
+                return
+            pos = found
+        while pos < end:
+            fh.seek(pos)
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            chunks = []
+            fed = 0
+            while not d.eof:
+                piece = fh.read(256 << 10)
+                if not piece:
+                    raise ValueError(
+                        f"{path}: truncated gzip member at {pos}")
+                chunks.append(d.decompress(piece))
+                fed += len(piece)
+            consumed = fed - len(d.unused_data)
+            yield pos, b"".join(chunks)
+            pos += consumed
+
+
 def split_http_payload(df, payload_col: str = "payload"):
     """WARC ``response`` payloads carry the captured HTTP message:
     status line, headers, blank line, body. Split them with pure column

@@ -155,3 +155,55 @@ def test_warc_response_to_text_chain(spark):
     )
     assert out.warc_type == "response" and out.http_status == 200
     assert out.text == "Title\nHello & bye"
+
+
+def test_warc_split_equals_whole_file(spark, tmp_path):
+    """Member-per-record gzip (the Common Crawl layout) read as byte
+    ranges must yield exactly the whole-file records — no member lost
+    or doubled at any split boundary, and no false resync on gzip
+    magic bytes inside compressed data."""
+    import gzip
+    import hashlib
+    import os
+
+    from dataingestion_spark.sources.warc import (
+        read_warc, read_warc_split, wet_record_bytes,
+    )
+
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    blobs = []
+    for i in range(1200):
+        body = b"".join(
+            hashlib.sha256(f"{i}:{j}".encode()).digest()
+            for j in range(80))  # ~2.5 KB incompressible
+        blobs.append(gzip.compress(
+            wet_record_bytes(f"https://x.test/{i}", body)))
+    p = os.path.join(d, "seg.wet.gz")
+    open(p, "wb").write(b"".join(blobs))
+    assert os.path.getsize(p) > 1 << 20  # at least 2 splits at 1 MB
+
+    feats = dict(on_error="fail")
+    whole = read_warc(spark, d, glob="*.wet.gz")
+    split = read_warc_split(spark, d, split_mb=1)
+    a = {(r["target_uri"], r["payload"]) for r in whole.collect()}
+    b = {(r["target_uri"], r["payload"]) for r in split.collect()}
+    assert a == b and len(a) == 1200
+    # record_idx = member's absolute compressed offset: unique
+    offs = [r["record_idx"] for r in split.collect()]
+    assert len(set(offs)) == 1200
+
+
+def test_warc_split_refuses_raw(spark, tmp_path):
+    import os
+
+    from dataingestion_spark.sources.warc import (
+        read_warc_split, wet_record_bytes,
+    )
+
+    d = str(tmp_path / "raw")
+    os.makedirs(d)
+    open(os.path.join(d, "a.wet.gz"), "wb").write(
+        wet_record_bytes("https://x.test/1", b"plain"))
+    with pytest.raises(ValueError, match="not gzip"):
+        read_warc_split(spark, d)
