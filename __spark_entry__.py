@@ -4606,6 +4606,51 @@ FROM documents
 """
 
 
+def q_reader_wet_split(spark, sf):
+    """Member-per-record gzip WARC splitting (r11, sources/warc.py::
+    read_warc_split — the Common Crawl segment layout): documents →
+    one .wet.gz whose every record is its own gzip member (payload =
+    text + a 1024-char incompressible hash tail so sf0.1 spans
+    multiple 1 MB splits) → byte-range reads resyncing on validated
+    member headers. Oracle restates uri/byte-length/char-length from
+    the parquet source, so a member lost or doubled at any split
+    boundary goes red."""
+    import gzip as _gz
+    import hashlib as _h
+    import os as _os
+    import tempfile
+
+    from dataingestion_spark.sources.warc import (
+        read_warc_split, wet_record_bytes,
+    )
+
+    pdf = (_t(spark, sf, "documents").select("doc_id", "text")
+           .toPandas().sort_values("doc_id"))
+    d = tempfile.mkdtemp(prefix="wet_split_") + "/seg"
+    _os.makedirs(d)
+    members = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        tail = _h.sha256(str(int(doc_id)).encode()).hexdigest() * 16
+        payload = (text + tail).encode("utf-8")
+        members.append(_gz.compress(wet_record_bytes(
+            f"http://synth.local/{int(doc_id)}", payload)))
+    with open(_os.path.join(d, "part.wet.gz"), "wb") as fh:
+        fh.write(b"".join(members))
+    recs = read_warc_split(spark, d, split_mb=1)
+    return recs.select(
+        F.col("target_uri").alias("uri"),
+        "content_length",
+        F.length("payload").cast("long").alias("n_chars"))
+
+
+ORACLE_WET_SPLIT = """
+SELECT 'http://synth.local/' || CAST(doc_id AS VARCHAR) AS uri,
+       strlen(text) + 1024 AS content_length,
+       length(text) + 1024 AS n_chars
+FROM documents
+"""
+
+
 def q_reader_wet_records(spark, sf):
     """WARC/WET web-archive reader (sources/warc.py — the Common Crawl
     container layout; the reference has no archive source, cf.
@@ -8783,6 +8828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r11 sample 1-3: queries NEW this round (standing policy) ---
         "io_avro_split_read": q_io_avro_split_read,
         "io_tfrecord_split_read": q_io_tfrecord_split_read,
+        "reader_wet_split": q_reader_wet_split,
         "io_avro_snappy_roundtrip": q_io_avro_snappy_roundtrip,
         "lakehouse_iceberg_prune_bucket": q_iceberg_prune_bucket,
         # --- r11 sample 3-50: the stalest external checks (r4 reader/
@@ -9190,6 +9236,7 @@ def oracle_sql() -> dict[str, str]:
         "io_avro_snappy_roundtrip": ORACLE_JSONL,
         "io_avro_split_read": ORACLE_AVRO_SPLIT,
         "io_tfrecord_split_read": ORACLE_TFRECORD_SPLIT,
+        "reader_wet_split": ORACLE_WET_SPLIT,
         "lakehouse_iceberg_prune_bucket": ORACLE_ICEBERG_PRUNE,
         "lakehouse_iceberg_roundtrip": ORACLE_ICEBERG_ROUNDTRIP,
         "streaming_iceberg_tail": ORACLE_ICEBERG_TAIL,

@@ -106,6 +106,7 @@ def main():
         "avro_snappy_io": em.q_io_avro_snappy_roundtrip,
         "avro_split_read": em.q_io_avro_split_read,
         "tfrecord_split_read": em.q_io_tfrecord_split_read,
+        "wet_split_read": em.q_reader_wet_split,
         "iceberg_roundtrip": em.q_iceberg_roundtrip,
         "iceberg_prune": em.q_iceberg_prune_bucket,
         "bpe_train": em.q_bpe_train_merges,
