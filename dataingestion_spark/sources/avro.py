@@ -1262,20 +1262,52 @@ def read_avro_split(spark: SparkSession, path: str, *,
     return rdf.mapInPandas(decode, spark_schema)
 
 
+def _split_header_meta(path: str, backend: Any
+                       ) -> Tuple[str, str, int, str, int]:
+    """(codec, sync_hex, body offset, schema JSON string, file size)
+    for split planning — a few KB of ranged reads per file, callable
+    driver- or executor-side (the parallel planning job)."""
+    cap = 1 << 20
+    while True:  # headers are tiny; double on the rare huge one
+        head = backend.read_range(path, 0, cap)
+        if head is None:
+            raise FileNotFoundError(path)
+        try:
+            _node, codec, sync, body_at, schema_js = _parse_header(
+                head, path)
+            break
+        except ValueError as e:
+            if "truncated" in str(e) and len(head) == cap \
+                    and cap < (1 << 28):
+                cap <<= 1
+                continue
+            raise
+    size = backend.size(path)
+    if size is None:
+        raise FileNotFoundError(path)
+    return codec, sync.hex(), body_at, json.dumps(schema_js), size
+
+
 def _read_split_blocks(path: str, start: int, end: int, first: bool,
-                       sync: bytes, codec: str
+                       sync: bytes, codec: str,
+                       backend: Any = None
                        ) -> Tuple[List[bytes], List[int]]:
     """Collect (decompressed payload, row count) for every block that
-    STARTS in [start, end) — executor-side, seek + bounded reads."""
+    STARTS in [start, end) — executor-side, seek + bounded reads
+    (POSIX ``open`` or ranged-GET :class:`RangedFile`)."""
+    from ..sinks.data_backend import open_split, resolve_split_backend
+
     datas: List[bytes] = []
     counts: List[int] = []
-    with open(path, "rb") as fh:
+    with open_split(path, resolve_split_backend(path, backend)) as fh:
         if first:
             pos = start
         else:
-            # scan for the first sync at offset >= start-15 (a marker
-            # may span the boundary); blocks begin right after it
-            scan_at = max(start - 15, 0)
+            # scan for the first sync at offset >= start-16: a marker
+            # ENDING exactly at the boundary precedes a block that
+            # starts AT `start` (owned by this range — the previous
+            # task stops at pos < end), so the scan must see it
+            scan_at = max(start - 16, 0)
             found = None
             CHUNK = 4 << 20
             carry = b""

@@ -364,8 +364,6 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
         offs = np.zeros(len(lens) + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
         want_str = out_k == "string"
-        if want_str:
-            str(memoryview(values), "utf-8")  # validate, one C pass
         typ = pa.large_utf8() if want_str else pa.large_binary()
         validity = None
         if has_null:
@@ -374,6 +372,16 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
         arr = pa.Array.from_buffers(
             typ, len(lens),
             [validity, pa.py_buffer(offs), pa.py_buffer(values)])
+        if want_str:
+            # per-VALUE UTF-8 validation (one C pass over the array):
+            # validating the concatenated buffer would accept two
+            # adjacent values that each split a multi-byte sequence —
+            # the scalar decoder rejects those, so must this path
+            try:
+                arr.validate(full=True)
+            except pa.lib.ArrowInvalid as e:
+                raise ValueError(
+                    f"invalid UTF-8 in string column {name!r}: {e}")
         return pd.Series(arr.to_pandas(), dtype=object)
     if k == "enum":
         syms = np.array(step["symbols"], dtype=object)

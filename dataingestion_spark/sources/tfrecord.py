@@ -863,8 +863,11 @@ def _read_split_span(path: str, start: int, end: int, size: int
                 tail = fh.read(off + 12 - len(span))
                 span += tail
                 if off + 12 > len(span):
-                    span = span[:off]
-                    break
+                    # EOF mid-header: the whole-file reader raises for
+                    # this corruption — split mode must not hide it
+                    raise ValueError(
+                        f"{path}: truncated TFRecord header at byte "
+                        f"{pos + off}")
             (length,) = struct.unpack("<Q", span[off:off + 8])
             frame_end = off + 12 + length + 4
             if frame_end > len(span):

@@ -233,9 +233,13 @@ def read_warc_split(spark, path: str, *, split_mb: int = 128,
     it by actually decompressing and checking the ``WARC/`` version
     line — a false magic inside compressed data fails one of the two
     checks. A member belongs to the split its header starts in, so
-    coverage is exact and disjoint. ``record_idx`` carries the
-    member's absolute COMPRESSED byte offset (globally unique and
-    ordered per file) rather than read_warc's sequential index.
+    coverage is exact and disjoint. ``record_idx`` carries
+    ``(member's absolute COMPRESSED byte offset << 16) | in-member
+    record sequence`` — globally unique and ordered per file even
+    for multi-record members (incl. the whole-file-gzip degraded
+    case), unlike read_warc's plain sequential index. Loud
+    ``ValueError`` if a member holds ≥ 2^16 records or a file
+    reaches 2^47 bytes (128 TiB) — beyond the encoding's range.
 
     Whole-file single-member gzips degrade gracefully (the first
     split owns the one member — same parallelism as read_warc, not
@@ -282,10 +286,19 @@ def read_warc_split(spark, path: str, *, split_mb: int = 128,
                                      pdf["end"]):
                 for off, member in _iter_members(str(p), int(start),
                                                  int(end)):
-                    for (wt, uri, date, ctype, length, payload) in                             parse_warc_bytes(member,
-                                             on_error=on_error):
-                        rows.append((str(p), off, wt, uri, date,
-                                     ctype, length,
+                    if off >= 1 << 47:
+                        raise ValueError(
+                            f"{p}: member offset {off} exceeds the "
+                            "record_idx encoding range (2^47 bytes)")
+                    for i, (wt, uri, date, ctype, length, payload) in                             enumerate(parse_warc_bytes(member,
+                                                       on_error=on_error)):
+                        if i >= 1 << 16:
+                            raise ValueError(
+                                f"{p}: gzip member at {off} holds >= "
+                                "2^16 WARC records — record_idx "
+                                "encoding cannot stay unique")
+                        rows.append((str(p), (off << 16) | i, wt, uri,
+                                     date, ctype, length,
                                      payload.decode("utf-8",
                                                     "replace")))
             yield pd.DataFrame(

@@ -527,3 +527,81 @@ def test_encoder_empty_and_edge_values(tmp_path):
     assert write_container_frame(p2, sch, pdf, ["id", "t", "e"],
                                  sync=sync)
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 regression pins
+
+
+def test_split_block_start_exactly_at_boundary(spark, tmp_path):
+    """A block whose first byte IS the split boundary must be decoded
+    by the task owning that boundary (its trailing sync ends exactly
+    at `start`, so the resync scan must begin at start-16, not
+    start-15 — r11 ADVICE high: one block silently dropped).
+
+    Fixture: one record per block, string length 16361 -> block bytes
+    = 1 (count varint) + 3 (size varint) + 3 + 16361 (record) + 16
+    (sync) = 16384 exactly; 64 blocks fill the first 1 MiB, so block
+    #64 starts exactly at body_at + (1 << 20) = the split_mb=1
+    boundary."""
+    import os as _os
+
+    from dataingestion_spark.sources.avro import (
+        _parse_header, _read_split_blocks, read_avro_split,
+    )
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "s", "type": "string"}]}
+    rows = [{"s": f"{i:05d}" + "x" * (16361 - 5)} for i in range(100)]
+    d = str(tmp_path / "aligned")
+    _os.makedirs(d)
+    p = _os.path.join(d, "a.avro")
+    write_container(p, sch, rows, block_rows=1)
+
+    blob = open(p, "rb").read()
+    _node, codec, sync, body_at, _js = _parse_header(blob, p)
+    size = _os.path.getsize(p)
+    # fixture self-check: uniform 16384-byte blocks, boundary aligned
+    assert size == body_at + 100 * 16384
+    boundary = body_at + (1 << 20)
+    assert (boundary - body_at) % 16384 == 0 and boundary < size
+    # the sync preceding the boundary block ends exactly at `boundary`
+    assert blob[boundary - 16:boundary] == sync
+
+    # unit: the range starting at the boundary owns blocks 64..99
+    datas, counts = _read_split_blocks(p, boundary, size, False,
+                                       sync, codec)
+    assert sum(counts) == 36, (
+        f"lost {36 - sum(counts)} block(s) at an aligned boundary")
+
+    # end to end: no row lost or doubled
+    got = read_avro_split(spark, d, split_mb=1)
+    ids = sorted(int(r["s"][:5]) for r in got.collect())
+    assert ids == list(range(100))
+
+
+def test_vec_utf8_validated_per_value(tmp_path):
+    """Two adjacent values that each split a multi-byte sequence are
+    individually invalid UTF-8 but valid when concatenated; the
+    columnar path must reject them exactly like the scalar decoder
+    (r11 ADVICE: whole-buffer validation let them through)."""
+    import os as _os
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "s", "type": "string"}]}
+    rows = [{"s": f"val{i:04d}"} for i in range(200)]
+    rows[100]["s"] = "A"
+    rows[101]["s"] = "B"
+    p = str(tmp_path / "u.avro")
+    write_container(p, sch, rows, block_rows=2)  # 100 blocks
+    blob = open(p, "rb").read()
+    # \x02 = varint(len 1); swap "A","B" for a split 2-byte sequence
+    pat = b"\x02A\x02B"
+    assert blob.count(pat) == 1
+    blob = blob.replace(pat, b"\x02\xc3\x02\xa9", 1)
+
+    with pytest.raises(ValueError):
+        read_container(blob, p)
+    with pytest.raises(ValueError):
+        node, cols = read_container_columnar(blob, p)
+        assert cols is not None, "fell back instead of validating"

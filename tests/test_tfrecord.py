@@ -426,3 +426,24 @@ def test_resync_skips_embedded_fake_header(tmp_path):
     from dataingestion_spark.sources.tfrecord import _iter_records
     payloads = list(_iter_records(span, p))
     assert len(payloads) == 1
+
+
+def test_split_span_truncated_trailing_header_raises(tmp_path):
+    """A file ending mid-header must raise in split mode exactly like
+    the whole-file reader (r11 ADVICE: split mode silently dropped the
+    corrupt tail with span[:off])."""
+    import os as _os
+
+    from dataingestion_spark.sources.tfrecord import (
+        _frame_record, _iter_records, _read_split_span,
+    )
+
+    p = str(tmp_path / "corrupt.tfrecord")
+    good = _frame_record(b"alpha") + _frame_record(b"beta")
+    open(p, "wb").write(good + _frame_record(b"gamma")[:6])
+    size = _os.path.getsize(p)
+
+    with pytest.raises(ValueError, match="truncated TFRecord header"):
+        list(_iter_records(open(p, "rb").read(), p))
+    with pytest.raises(ValueError, match="truncated TFRecord header"):
+        _read_split_span(p, 0, size, size)

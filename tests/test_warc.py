@@ -207,3 +207,34 @@ def test_warc_split_refuses_raw(spark, tmp_path):
         wet_record_bytes("https://x.test/1", b"plain"))
     with pytest.raises(ValueError, match="not gzip"):
         read_warc_split(spark, d)
+
+
+def test_warc_split_multi_record_member_idx_unique(spark, tmp_path):
+    """record_idx must stay unique and ordered when one gzip member
+    holds several WARC records (r11 ADVICE: every record in a member
+    got the member offset). Encoding: (member offset << 16) | seq."""
+    import gzip
+    import os
+
+    from dataingestion_spark.sources.warc import (
+        read_warc_split, wet_record_bytes,
+    )
+
+    d = str(tmp_path / "multi")
+    os.makedirs(d)
+    m0 = gzip.compress(b"".join(
+        wet_record_bytes(f"https://x.test/m0/{j}", b"p" * 40)
+        for j in range(3)))           # 3 records, ONE member
+    m1 = gzip.compress(wet_record_bytes("https://x.test/m1", b"q" * 40))
+    open(os.path.join(d, "a.wet.gz"), "wb").write(m0 + m1)
+
+    rows = sorted(read_warc_split(spark, d, split_mb=1).collect(),
+                  key=lambda r: r["record_idx"])
+    assert [r["target_uri"] for r in rows] == [
+        "https://x.test/m0/0", "https://x.test/m0/1",
+        "https://x.test/m0/2", "https://x.test/m1"]
+    idx = [r["record_idx"] for r in rows]
+    assert len(set(idx)) == 4 and idx == sorted(idx)
+    # member 0 starts at offset 0: in-member sequence in the low bits
+    assert idx[:3] == [0, 1, 2]
+    assert idx[3] == (len(m0) << 16)
