@@ -75,6 +75,20 @@ class DataBackend:
         data = self.read_bytes(path)
         return None if data is None else len(data)
 
+    def read_range(self, path: str, start: int,
+                   length: Optional[int] = None) -> Optional[bytes]:
+        """Bytes ``[start, start+length)`` of ``path`` (to EOF when
+        ``length`` is None), or None if absent. Default slices a full
+        read; object stores override with a ranged GET
+        (``Range: bytes=start-``) so the split readers
+        (sources/avro.py, tfrecord.py, warc.py) can seek inside one
+        oversized shard without pulling the whole object."""
+        data = self.read_bytes(path)
+        if data is None:
+            return None
+        return data[start:] if length is None \
+            else data[start:start + length]
+
     def ensure_dir(self, path: str) -> None:
         """Create a directory if the store has directories (no-op on
         flat-namespace object stores)."""
@@ -122,6 +136,15 @@ class LocalDataBackend(DataBackend):
         except OSError:
             return None
 
+    def read_range(self, path: str, start: int,
+                   length: Optional[int] = None) -> Optional[bytes]:
+        try:
+            with open(path, "rb") as fh:
+                fh.seek(start)
+                return fh.read() if length is None else fh.read(length)
+        except FileNotFoundError:
+            return None
+
     def ensure_dir(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
@@ -140,6 +163,18 @@ class MemoryDataBackend(DataBackend):
     def __init__(self):
         self._kv: Dict[str, bytes] = {}
         self._mtime: Dict[str, float] = {}
+        self._lock = threading.Lock()
+
+    # picklable so the split readers can ship it into a task closure:
+    # executors see a SNAPSHOT copy (reads work; writes don't propagate
+    # back to the driver instance — read-only use in tasks, by design)
+    def __getstate__(self):
+        with self._lock:
+            return {"_kv": dict(self._kv), "_mtime": dict(self._mtime)}
+
+    def __setstate__(self, state):
+        self._kv = state["_kv"]
+        self._mtime = state["_mtime"]
         self._lock = threading.Lock()
 
     def write_bytes(self, path: str, data: bytes) -> None:
@@ -174,10 +209,74 @@ class MemoryDataBackend(DataBackend):
             return None if data is None else len(data)
 
 
+class RangedFile:
+    """Read-only file-like view over ``backend.read_range`` — just the
+    ``seek``/``read``/context-manager surface the split readers
+    (sources/avro.py, tfrecord.py, warc.py) use, so one oversized
+    shard on an object store seeks via ranged GETs instead of needing
+    POSIX ``open()``. Reads at/past EOF return ``b''`` like a real
+    file; a missing path raises ``FileNotFoundError`` on first use."""
+
+    def __init__(self, backend: DataBackend, path: str):
+        self._b = backend
+        self._path = path
+        self._pos = 0
+
+    def seek(self, pos: int) -> int:
+        self._pos = pos
+        return pos
+
+    def read(self, n: Optional[int] = None) -> bytes:
+        data = self._b.read_range(self._path, self._pos, n)
+        if data is None:
+            raise FileNotFoundError(self._path)
+        self._pos += len(data)
+        return data
+
+    def __enter__(self) -> "RangedFile":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        pass
+
+
 #: scheme → backend factory; cloud deployments register their own next
 #: to their commit backend, e.g. ``register_data_backend("s3", ...)``
 _REGISTRY: Dict[str, Callable[[], DataBackend]] = {}
 _LOCAL = LocalDataBackend()
+
+
+def resolve_split_backend(path: str,
+                          backend: Optional[DataBackend] = None
+                          ) -> DataBackend:
+    """Backend for a split reader: the caller's explicit one, else by
+    the path's scheme (local/``file:`` → POSIX; an unregistered scheme
+    raises ``NotImplementedError`` naming the seam)."""
+    return backend if backend is not None else data_backend_for(path)
+
+
+def list_split_files(path: str, glob_pat: str,
+                     backend: DataBackend) -> List[str]:
+    """Files matching ``glob_pat`` directly under ``path`` — POSIX glob
+    for the local backend, ``list_dir`` + fnmatch elsewhere (object
+    stores have no glob)."""
+    import fnmatch
+    import glob as _glob
+
+    if isinstance(backend, LocalDataBackend):
+        return sorted(_glob.glob(os.path.join(path, glob_pat)))
+    base = path.rstrip("/")
+    return [base + "/" + n for n in backend.list_dir(base)
+            if fnmatch.fnmatch(n, glob_pat)]
+
+
+def open_split(path: str, backend: DataBackend):
+    """Seekable read handle for a split task: a real ``open()`` for the
+    local backend (one descriptor across the task's many small block
+    reads), a :class:`RangedFile` elsewhere."""
+    if isinstance(backend, LocalDataBackend):
+        return open(path, "rb")
+    return RangedFile(backend, path)
 
 
 def register_data_backend(scheme: str,

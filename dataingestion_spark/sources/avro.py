@@ -1145,7 +1145,8 @@ def read_avro_split(spark: SparkSession, path: str, *,
                     split_mb: int = 128,
                     columns: Optional[List[str]] = None,
                     schema: Optional[Any] = None,
-                    glob_pat: str = "*.avro") -> DataFrame:
+                    glob_pat: str = "*.avro",
+                    backend: Optional[Any] = None) -> DataFrame:
     """Scale-IN reader: split each container at SYNC MARKERS so one
     large file decodes across many executors.
 
@@ -1165,41 +1166,37 @@ def read_avro_split(spark: SparkSession, path: str, *,
     Contrast :func:`read_avro` (one task per file via ``binaryFile``):
     there parallelism = shard count, here parallelism = corpus bytes /
     split_mb, which is what a 100 TB corpus of awkwardly-large foreign
-    shards needs. Local/POSIX (incl. mounted DFS) paths only — tasks
-    seek with ``open()``; an object store needs a range-read backend
-    (documented seam, `sinks/data_backend.py`)."""
-    import glob as _glob
+    shards needs. Local/POSIX (incl. mounted DFS) paths seek with
+    ``open()``; any other scheme routes through the registered
+    range-read :class:`~..sinks.data_backend.DataBackend` (or pass
+    ``backend=`` explicitly). Header planning is driver-side for small
+    file counts and one parallelized Spark job above 32 files, so a
+    10^5-shard foreign corpus never serializes on driver IO."""
+    from ..sinks.data_backend import (
+        list_split_files, resolve_split_backend,
+    )
 
     if split_mb < 1:
         raise ValueError("split_mb must be >= 1")
-    if "://" in path:
-        raise ValueError(
-            "read_avro_split seeks with open(); only local/POSIX "
-            "paths are supported (object stores need a range-read "
-            "DataBackend)")
-    files = sorted(_glob.glob(os.path.join(path, glob_pat)))
+    backend = resolve_split_backend(path, backend)
+    files = list_split_files(path, glob_pat, backend)
     if not files:
         raise ValueError(f"no files match {glob_pat!r} under {path}")
 
-    headers: Dict[str, Tuple] = {}
-    for p in files:
-        head = b""
-        cap = 1 << 20
-        while True:  # headers are tiny; double on the rare huge one
-            with open(p, "rb") as fh:
-                head = fh.read(cap)
-            try:
-                headers[p] = _parse_header(head, p)
-                break
-            except ValueError as e:
-                if "truncated" in str(e) and len(head) == cap \
-                        and cap < (1 << 28):
-                    cap <<= 1
-                    continue
-                raise
+    # (codec, sync_hex, body_at, schema_json, size) per file — one
+    # small ranged read each; distributed above 32 files (r11 VERDICT
+    # #6: the driver header loop was O(files) small reads)
+    if len(files) <= 32:
+        headers = {p: _split_header_meta(p, backend) for p in files}
+    else:
+        bk = backend
+        headers = dict(
+            spark.sparkContext
+            .parallelize(files, min(len(files), 256))
+            .map(lambda p: (p, _split_header_meta(p, bk))).collect())
 
     if schema is None:
-        reader_node = headers[files[0]][0]
+        reader_node = parse_schema(json.loads(headers[files[0]][3]))
     elif isinstance(schema, T.StructType):
         reader_node = parse_schema(spark_to_avro_schema(schema))
     else:
@@ -1218,14 +1215,13 @@ def read_avro_split(spark: SparkSession, path: str, *,
     step = split_mb << 20
     ranges = []
     for p in files:
-        _node, codec, sync, body_at, schema_js = headers[p]
-        size = os.path.getsize(p)
+        codec, sync_hex, body_at, schema_json, size = headers[p]
         lo = body_at
         first = True
         while lo < size:
             hi = min(lo + step, size)
-            ranges.append((p, lo, hi, first, sync.hex(), codec,
-                           json.dumps(schema_js)))
+            ranges.append((p, lo, hi, first, sync_hex, codec,
+                           schema_json))
             first = False
             lo = hi
     rdf = spark.createDataFrame(
@@ -1243,7 +1239,7 @@ def read_avro_split(spark: SparkSession, path: str, *,
                 datas, counts = _read_split_blocks(
                     row.path, int(row.start), int(row.end),
                     bool(row.first), bytes.fromhex(row.sync_hex),
-                    row.codec)
+                    row.codec, backend=backend)
                 if not datas:
                     continue
                 node = parse_schema(json.loads(row.schema_json))

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 try:
     import numpy as np
@@ -690,7 +690,8 @@ def read_tfrecord_split(spark: SparkSession, path: str,
                         features: Dict[str, str], *,
                         split_mb: int = 128,
                         glob_pat: str = "*.tfrecord",
-                        verify_crc: bool = True) -> DataFrame:
+                        verify_crc: bool = True,
+                        backend: Optional[Any] = None) -> DataFrame:
     """Scale-IN TFRecord reader: byte-range splits of UNCOMPRESSED
     shards, resynchronized on the format's self-validating framing.
 
@@ -707,25 +708,35 @@ def read_tfrecord_split(spark: SparkSession, path: str,
 
     Gzip/zlib shards are single streams and cannot split — they raise
     here (use :func:`read_tfrecord`, one task per file). Local/POSIX
-    paths only (tasks seek with ``open()``), matching
-    `sources/avro.py::read_avro_split`."""
-    import glob as _glob
+    paths seek with ``open()``; other schemes route through the
+    registered range-read :class:`~..sinks.data_backend.DataBackend`
+    (or pass ``backend=``), matching
+    `sources/avro.py::read_avro_split`. The per-file magic sniff +
+    stat plan runs as one Spark job above 32 files so a huge foreign
+    corpus never serializes on driver IO."""
+    from ..sinks.data_backend import (
+        list_split_files, resolve_split_backend,
+    )
 
     if split_mb < 1:
         raise ValueError("split_mb must be >= 1")
-    if "://" in path:
-        raise ValueError(
-            "read_tfrecord_split seeks with open(); only local/POSIX "
-            "paths are supported")
+    backend = resolve_split_backend(path, backend)
     bad = {k: v for k, v in features.items() if v not in FEATURE_KINDS}
     if bad:
         raise ValueError(f"unknown feature kinds: {bad}")
-    files = sorted(_glob.glob(os.path.join(path, glob_pat)))
+    files = list_split_files(path, glob_pat, backend)
     if not files:
         raise ValueError(f"no files match {glob_pat!r} under {path}")
+    if len(files) <= 32:
+        metas = {p: _split_sniff_meta(p, backend) for p in files}
+    else:
+        bk = backend
+        metas = dict(
+            spark.sparkContext
+            .parallelize(files, min(len(files), 256))
+            .map(lambda p: (p, _split_sniff_meta(p, bk))).collect())
     for p in files:
-        with open(p, "rb") as fh:
-            head = fh.read(2)
+        head, _size = metas[p]
         if head[:2] == b"\x1f\x8b" or (
                 len(head) == 2 and head[0] == 0x78
                 and head[1] in (0x01, 0x5E, 0x9C, 0xDA)):
@@ -742,7 +753,7 @@ def read_tfrecord_split(spark: SparkSession, path: str,
     step = split_mb << 20
     ranges = []
     for p in files:
-        size = os.path.getsize(p)
+        _head, size = metas[p]
         lo = 0
         while lo < size or (lo == 0 and size == 0):
             hi = min(lo + step, size)
@@ -762,7 +773,7 @@ def read_tfrecord_split(spark: SparkSession, path: str,
             for row in pdf.itertuples(index=False):
                 span, base = _read_split_span(
                     row.path, int(row.start), int(row.end),
-                    int(row.size))
+                    int(row.size), backend=backend)
                 if span:
                     rows.extend(_rows_from_payloads(
                         _iter_records(span, row.path,
@@ -842,11 +853,23 @@ def _resync_tfrecord(fh, start: int, size: int) -> Optional[int]:
     return None
 
 
-def _read_split_span(path: str, start: int, end: int, size: int
-                     ) -> Tuple[bytes, int]:
+def _split_sniff_meta(path: str, backend: Any) -> Tuple[bytes, int]:
+    """(first two bytes, file size) for split planning — one small
+    ranged read + one stat, callable driver- or executor-side."""
+    head = backend.read_range(path, 0, 2)
+    size = backend.size(path)
+    if head is None or size is None:
+        raise FileNotFoundError(path)
+    return head, size
+
+
+def _read_split_span(path: str, start: int, end: int, size: int,
+                     backend: Any = None) -> Tuple[bytes, int]:
     """Bytes of every record whose HEADER starts in [start, end) —
     a standalone valid TFRecord stream — plus its file offset."""
-    with open(path, "rb") as fh:
+    from ..sinks.data_backend import open_split, resolve_split_backend
+
+    with open_split(path, resolve_split_backend(path, backend)) as fh:
         if start == 0:
             pos = 0
         else:

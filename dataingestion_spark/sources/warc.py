@@ -31,7 +31,7 @@ from __future__ import annotations
 import gzip
 import io
 import zlib
-from typing import Iterator, List, Optional, Tuple
+from typing import Any, Iterator, List, Optional, Tuple
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -222,7 +222,8 @@ def read_warc(
 
 def read_warc_split(spark, path: str, *, split_mb: int = 128,
                     glob_pat: str = "*.we[tb]*.gz",
-                    on_error: str = "fail"):
+                    on_error: str = "fail",
+                    backend: Optional[Any] = None):
     """Scale-IN WARC reader for MEMBER-PER-RECORD gzip archives (the
     Common Crawl convention: each record is its own gzip member, so a
     ~1 GB .warc.gz/.wet.gz is a concatenation of independently
@@ -243,31 +244,38 @@ def read_warc_split(spark, path: str, *, split_mb: int = 128,
 
     Whole-file single-member gzips degrade gracefully (the first
     split owns the one member — same parallelism as read_warc, not
-    wrong rows). Local/POSIX paths only, like the avro/tfrecord split
-    readers."""
-    import glob as _glob
-    import os
+    wrong rows). Local/POSIX paths seek with ``open()``; other schemes
+    route through the registered range-read DataBackend (or pass
+    ``backend=``), like the avro/tfrecord split readers. The per-file
+    magic sniff + stat plan runs as one Spark job above 32 files."""
+    from ..sinks.data_backend import (
+        list_split_files, resolve_split_backend,
+    )
 
     if split_mb < 1:
         raise ValueError("split_mb must be >= 1")
-    if "://" in path:
-        raise ValueError(
-            "read_warc_split seeks with open(); only local/POSIX "
-            "paths are supported")
-    files = sorted(_glob.glob(os.path.join(path, glob_pat)))
+    backend = resolve_split_backend(path, backend)
+    files = list_split_files(path, glob_pat, backend)
     if not files:
         raise ValueError(f"no files match {glob_pat!r} under {path}")
+    if len(files) <= 32:
+        metas = {p: _warc_sniff_meta(p, backend) for p in files}
+    else:
+        bk = backend
+        metas = dict(
+            spark.sparkContext
+            .parallelize(files, min(len(files), 256))
+            .map(lambda p: (p, _warc_sniff_meta(p, bk))).collect())
     for p in files:
-        with open(p, "rb") as fh:
-            if fh.read(2) != b"\x1f\x8b":
-                raise ValueError(
-                    f"{p}: not gzip — the split reader handles "
-                    "member-per-record gzip archives; use read_warc")
+        if metas[p][0] != b"\x1f\x8b":
+            raise ValueError(
+                f"{p}: not gzip — the split reader handles "
+                "member-per-record gzip archives; use read_warc")
 
     step = split_mb << 20
     ranges = []
     for p in files:
-        size = os.path.getsize(p)
+        size = metas[p][1]
         lo = 0
         while lo < size:
             hi = min(lo + step, size)
@@ -285,7 +293,8 @@ def read_warc_split(spark, path: str, *, split_mb: int = 128,
             for p, start, end in zip(pdf["path"], pdf["start"],
                                      pdf["end"]):
                 for off, member in _iter_members(str(p), int(start),
-                                                 int(end)):
+                                                 int(end),
+                                                 backend=backend):
                     if off >= 1 << 47:
                         raise ValueError(
                             f"{p}: member offset {off} exceeds the "
@@ -344,13 +353,27 @@ def _find_member(fh, start: int, size: int) -> Optional[int]:
     return None
 
 
-def _iter_members(path: str, start: int, end: int):
+def _warc_sniff_meta(path: str, backend: Any) -> Tuple[bytes, int]:
+    """(first two bytes, file size) for split planning — one small
+    ranged read + one stat, callable driver- or executor-side."""
+    head = backend.read_range(path, 0, 2)
+    size = backend.size(path)
+    if head is None or size is None:
+        raise FileNotFoundError(path)
+    return head, size
+
+
+def _iter_members(path: str, start: int, end: int,
+                  backend: Any = None):
     """(absolute offset, decompressed bytes) of every gzip member
     whose header starts in [start, end)."""
-    import os
+    from ..sinks.data_backend import open_split, resolve_split_backend
 
-    size = os.path.getsize(path)
-    with open(path, "rb") as fh:
+    backend = resolve_split_backend(path, backend)
+    size = backend.size(path)
+    if size is None:
+        raise FileNotFoundError(path)
+    with open_split(path, backend) as fh:
         if start == 0:
             pos = 0
         else:

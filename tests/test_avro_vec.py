@@ -605,3 +605,37 @@ def test_vec_utf8_validated_per_value(tmp_path):
     with pytest.raises(ValueError):
         node, cols = read_container_columnar(blob, p)
         assert cols is not None, "fell back instead of validating"
+
+
+def test_split_reader_over_memory_backend(spark, tmp_path):
+    """The split reader must work on a non-POSIX store: plan from
+    backend.size(), read headers and blocks via backend.read_range()
+    (r11 VERDICT #3 — the scale-IN path was dead on object storage)."""
+    import hashlib as _h
+    import os as _os
+
+    from dataingestion_spark.sinks.data_backend import MemoryDataBackend
+    from dataingestion_spark.sources.avro import read_avro_split
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "txt", "type": "string"}]}
+    rows = [{"id": i, "txt": _h.sha256(str(i).encode()).hexdigest() * 2}
+            for i in range(14_000)]
+    p = str(tmp_path / "m.avro")
+    write_container(p, sch, rows, block_rows=64)
+    blob = open(p, "rb").read()
+    assert len(blob) > (1 << 20)  # at least 2 splits at 1 MB
+
+    mem = MemoryDataBackend()
+    mem.write_bytes("bucket/corpus/m.avro", blob)
+    got = read_avro_split(spark, "bucket/corpus", split_mb=1,
+                          backend=mem)
+    assert sorted(r["id"] for r in got.collect()) == list(range(14_000))
+
+
+def test_split_reader_unregistered_scheme_names_seam(spark):
+    from dataingestion_spark.sources.avro import read_avro_split
+
+    with pytest.raises(NotImplementedError, match="data backend"):
+        read_avro_split(spark, "s3://bucket/corpus")

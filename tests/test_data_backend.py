@@ -172,3 +172,48 @@ def test_size_is_stat_not_read(tmp_path):
     mb.write_bytes("k", b"abc")
     assert mb.size("k") == 3
     assert mb.size("nope") is None
+
+
+def test_read_range_default_and_overrides(tmp_path):
+    """read_range: base-class slice semantics, POSIX seek override,
+    and RangedFile's file-like view (r11 VERDICT #3)."""
+    from dataingestion_spark.sinks.data_backend import (
+        LocalDataBackend, MemoryDataBackend, RangedFile,
+    )
+
+    data = bytes(range(256)) * 4
+    mem = MemoryDataBackend()
+    mem.write_bytes("k/a", data)
+    local = LocalDataBackend()
+    p = str(tmp_path / "a.bin")
+    open(p, "wb").write(data)
+
+    for b, key in ((mem, "k/a"), (local, p)):
+        assert b.read_range(key, 0, 10) == data[:10]
+        assert b.read_range(key, 100, 7) == data[100:107]
+        assert b.read_range(key, 1000) == data[1000:]
+        assert b.read_range(key, len(data) + 5, 4) == b""
+        assert b.read_range(key + ".nope", 0, 4) is None
+
+    fh = RangedFile(mem, "k/a")
+    assert fh.read(4) == data[:4]
+    assert fh.read(4) == data[4:8]
+    fh.seek(1020)
+    assert fh.read() == data[1020:]
+    assert fh.read(10) == b""  # EOF
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        RangedFile(mem, "missing").read(1)
+
+
+def test_memory_backend_pickles_as_snapshot():
+    import pickle
+
+    from dataingestion_spark.sinks.data_backend import MemoryDataBackend
+
+    mem = MemoryDataBackend()
+    mem.write_bytes("a/b", b"xyz")
+    clone = pickle.loads(pickle.dumps(mem))
+    assert clone.read_bytes("a/b") == b"xyz"
+    clone.write_bytes("a/c", b"new")
+    assert mem.read_bytes("a/c") is None  # snapshot, not shared

@@ -447,3 +447,25 @@ def test_split_span_truncated_trailing_header_raises(tmp_path):
         list(_iter_records(open(p, "rb").read(), p))
     with pytest.raises(ValueError, match="truncated TFRecord header"):
         _read_split_span(p, 0, size, size)
+
+
+def test_split_reader_over_memory_backend(spark, tmp_path):
+    """Byte-range TFRecord splits through a non-POSIX range-read
+    backend (r11 VERDICT #3)."""
+    from dataingestion_spark.sinks.data_backend import MemoryDataBackend
+    from dataingestion_spark.sources.tfrecord import (
+        _frame_record, encode_example, read_tfrecord_split,
+    )
+
+    payloads = [encode_example({"i": ("int64", i),
+                                "t": ("bytes", f"x{i}".encode() * 40)})
+                for i in range(12_000)]
+    blob = b"".join(_frame_record(p) for p in payloads)
+    assert len(blob) > (1 << 20)
+
+    mem = MemoryDataBackend()
+    mem.write_bytes("store/shards/a.tfrecord", blob)
+    got = read_tfrecord_split(
+        spark, "store/shards", {"i": "int64", "t": "bytes"},
+        split_mb=1, backend=mem)
+    assert sorted(r["i"] for r in got.collect()) == list(range(12_000))

@@ -238,3 +238,30 @@ def test_warc_split_multi_record_member_idx_unique(spark, tmp_path):
     # member 0 starts at offset 0: in-member sequence in the low bits
     assert idx[:3] == [0, 1, 2]
     assert idx[3] == (len(m0) << 16)
+
+
+def test_split_reader_over_memory_backend(spark, tmp_path):
+    """WARC member splits through a non-POSIX range-read backend
+    (r11 VERDICT #3)."""
+    import gzip
+    import hashlib
+
+    from dataingestion_spark.sinks.data_backend import MemoryDataBackend
+    from dataingestion_spark.sources.warc import (
+        read_warc_split, wet_record_bytes,
+    )
+
+    blobs = []
+    for i in range(600):
+        body = b"".join(hashlib.sha256(f"{i}:{j}".encode()).digest()
+                        for j in range(80))
+        blobs.append(gzip.compress(
+            wet_record_bytes(f"https://x.test/{i}", body)))
+    blob = b"".join(blobs)
+    assert len(blob) > (1 << 20)
+
+    mem = MemoryDataBackend()
+    mem.write_bytes("crawl/seg/a.wet.gz", blob)
+    got = read_warc_split(spark, "crawl/seg", split_mb=1, backend=mem)
+    uris = sorted(r["target_uri"] for r in got.collect())
+    assert uris == sorted(f"https://x.test/{i}" for i in range(600))
