@@ -27,6 +27,26 @@ def main():
     except OSError:  # pragma: no cover
         load_start = None
 
+    # calm-host guard (r11 VERDICT #1: the official r11 artifact shipped
+    # from a load-8.65 window and took eleven re-runs to adjudicate).
+    # External contention on this host is visible ONLY through loadavg,
+    # so refuse to start while the 1-min average exceeds the cap; wait
+    # up to ~10 min, then run anyway and stamp why in the artifact.
+    load_cap = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_CAP", "2.0"))
+    load_wait_sec = 0
+    while (load_start is not None and load_start[0] > load_cap
+           and load_wait_sec < 600):
+        print(f"bench: host load {load_start[0]} > cap {load_cap}; "
+              "waiting 30s for a calm window", file=sys.stderr)
+        time.sleep(30)
+        load_wait_sec += 30
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    load_note = None
+    if load_start is not None and load_start[0] > load_cap:
+        load_note = (f"still loaded after {load_wait_sec}s wait — "
+                     "timings need calm-host re-adjudication")
+        print(f"bench: {load_note}", file=sys.stderr)
+
     from pyspark.sql import SparkSession, functions as F
 
     import __spark_entry__ as em
@@ -386,7 +406,7 @@ def main():
         if unknown:
             raise SystemExit(f"unknown bench entries: {sorted(unknown)}")
         bench_queries = {n: f for n, f in bench_queries.items() if n in only}
-    timings, medians = {}, {}
+    timings, medians, all_times = {}, {}, {}
     for name, fn in bench_queries.items():
         times = []
         for _ in range(max(reps, 5) if name in noisy and reps > 1 else reps):
@@ -394,8 +414,30 @@ def main():
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - start)
         times.sort()
+        all_times[name] = times
         timings[name] = round(times[0], 3)
         medians[name] = round(times[len(times) // 2], 3)
+
+    # auto-recheck (r11 VERDICT #1): a median > 2x the same run's MIN
+    # means an external spike hit some reps of that entry — take three
+    # more reps at the end (the host spike has usually passed by then)
+    # so the REPORTED median reflects the plan, not the spike.
+    rechecked = []
+    if reps > 1:
+        for name in list(timings):
+            if medians[name] > 2 * timings[name] \
+                    and medians[name] - timings[name] > 0.25:
+                fn = bench_queries[name]
+                times = all_times[name]
+                for _ in range(3):
+                    start = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop") \
+                        .mode("overwrite").save()
+                    times.append(time.perf_counter() - start)
+                times.sort()
+                timings[name] = round(times[0], 3)
+                medians[name] = round(times[len(times) // 2], 3)
+                rechecked.append(name)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -414,6 +456,10 @@ def main():
         "sf": sf_val,
         "load_start": load_start,
         "load_end": load_end,
+        "load_cap": load_cap,
+        "load_wait_sec": load_wait_sec,
+        "load_note": load_note,
+        "rechecked": rechecked,
         "ncpu": os.cpu_count(),
     }
     # full report (median + min) to a file; stdout gets ONE compact line —
@@ -426,6 +472,10 @@ def main():
     compact = {k: full[k] for k in
                ("metric", "value", "unit", "stat", "queries", "reps",
                 "sf", "load_start", "load_end")}
+    if load_note:
+        compact["load_note"] = load_note
+    if rechecked:
+        compact["rechecked"] = rechecked
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # stay under the driver's tail-capture window
         compact["queries"] = {k: round(v, 2) for k, v in medians.items()}
