@@ -95,6 +95,15 @@ __all__ = ["compact_manifests", "export_iceberg", "export_uniform",
            "vacuum_iceberg",
            "iceberg_schema_from_spark", "spark_schema_from_iceberg"]
 
+#: max entries per written manifest file (export / mirror / compact
+#: all honor it; override per call with ``manifest_split=``). Real
+#: Iceberg writers bound manifests the same way (the spec's writers
+#: target ~8 MB; at the ~150-300 B/entry this exporter produces,
+#: 50k entries lands in that band). Keeping manifests bounded is what
+#: makes snapshot planning O(changed manifests) and lets field-summary
+#: pruning skip WHOLE manifests at 10^6-file scale.
+MANIFEST_SPLIT_ENTRIES = 50_000
+
 
 # ---------------------------------------------------------------------------
 # schema translation (Iceberg JSON schema <-> Spark), fresh field-ids
@@ -523,7 +532,8 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
                    apply_deletes: bool = True,
                    dv_mode: str = "materialize",
                    data_uri_base: Optional[str] = None,
-                   partition_by: Tuple[str, ...] = ()) -> str:
+                   partition_by: Tuple[str, ...] = (),
+                   manifest_split: Optional[int] = None) -> str:
     """Publish a manifest table as an Iceberg v2 table at ``dst``.
 
     ``mode="copy"`` copies live data files under ``dst/data/`` (the
@@ -557,8 +567,13 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
     conformant engines partition-prune; values come from per-file
     stats and must be file-constant (validated, loud otherwise).
     Mutually exclusive with ``dv_mode='equality'`` (delete files would
-    need partition scoping this exporter does not implement). Returns
-    ``dst``; raises if ``dst`` already holds Iceberg metadata
+    need partition scoping this exporter does not implement).
+
+    ``manifest_split`` bounds entries per manifest file (default
+    :data:`MANIFEST_SPLIT_ENTRIES`); a snapshot exceeding it writes
+    several manifests, each with its own field summaries, so
+    summary-level pruning skips whole manifests at high file counts.
+    Returns ``dst``; raises if ``dst`` already holds Iceberg metadata
     (continuous mirroring is :func:`mirror_iceberg`'s job)."""
     import hashlib
     import time as _time
@@ -766,12 +781,26 @@ def export_iceberg(spark: SparkSession, table: str, dst: str, *,
             if content == 0 else None,
         }
 
-    data_mpath, data_mblob = write_manifest("m0", entries, "data")
-    list_rows = [list_row(data_mpath, data_mblob, entries, 0)]
-    if del_entries:
-        del_mpath, del_mblob = write_manifest("m1", del_entries,
-                                              "deletes")
-        list_rows.append(list_row(del_mpath, del_mblob, del_entries, 1))
+    # split manifests every `cap` entries (real writers bound manifest
+    # size the same way): at 10^6 files a single monolithic manifest
+    # makes every plan read everything, and summary-level pruning can
+    # only skip whole manifests — r11 VERDICT #4
+    cap = manifest_split or MANIFEST_SPLIT_ENTRIES
+    if cap < 1:
+        raise ValueError("manifest_split must be >= 1")
+    data_chunks = [entries[i:i + cap]
+                   for i in range(0, len(entries), cap)] or [[]]
+    list_rows = []
+    tag_i = 0
+    for chunk in data_chunks:
+        mpath, mblob = write_manifest(f"m{tag_i}", chunk, "data")
+        tag_i += 1
+        list_rows.append(list_row(mpath, mblob, chunk, 0))
+    for i in range(0, len(del_entries), cap):
+        chunk = del_entries[i:i + cap]
+        mpath, mblob = write_manifest(f"m{tag_i}", chunk, "deletes")
+        tag_i += 1
+        list_rows.append(list_row(mpath, mblob, chunk, 1))
 
     max_seq = max(r["sequence_number"] for r in list_rows)
     list_name = f"snap-{snapshot_id}-1-{run_uuid}.avro"
@@ -1807,7 +1836,8 @@ def _walk_snapshot(be, root: str, snap: Dict):
 
 
 def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
-                   dv_mode: str = "materialize") -> int:
+                   dv_mode: str = "materialize",
+                   manifest_split: Optional[int] = None) -> int:
     """Incrementally publish a manifest table to an existing Iceberg
     export (continuous mirroring, the Iceberg twin of
     :func:`..interop.delta.mirror_delta`): diff the mirror's live file
@@ -1845,7 +1875,8 @@ def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
     be = data_backend_for(dst)
     hint = be.read_bytes(f"{meta_dir}/version-hint.text")
     if hint is None:
-        export_iceberg(spark, table, dst, mode="copy", dv_mode=dv_mode)
+        export_iceberg(spark, table, dst, mode="copy", dv_mode=dv_mode,
+                       manifest_split=manifest_split)
         return 1
     cur_v = int(hint.decode().strip())
     tmeta = json.loads(be.read_bytes(f"{meta_dir}/v{cur_v}.metadata.json"))
@@ -2020,32 +2051,40 @@ def mirror_iceberg(spark: SparkSession, table: str, dst: str, *,
 
     list_rows: List[Dict] = []
     m_counter = 0
+    cap = manifest_split or MANIFEST_SPLIT_ENTRIES
+    if cap < 1:
+        raise ValueError("manifest_split must be >= 1")
 
     def add_new_manifest(m_entries: List[Dict], content: int,
                          kind: str, added: bool) -> None:
+        # split every `cap` entries — bounded manifests keep snapshot
+        # planning O(changed manifests) at 10^6 files (r11 VERDICT #4)
         nonlocal m_counter
-        m_path, blob = write_manifest(f"m{m_counter}", m_entries, kind)
-        m_counter += 1
-        seqs = [e["sequence_number"] for e in m_entries] or [last_seq + 1]
-        rows = sum(e["data_file"]["record_count"] for e in m_entries)
-        n = len(m_entries)
-        list_rows.append({
-            "manifest_path": _as_uri(m_path),
-            "manifest_length": len(blob),
-            "partition_spec_id": 0, "content": content,
-            "sequence_number": max(seqs),
-            "min_sequence_number": min(seqs),
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": n if added else 0,
-            "existing_files_count": 0 if added else n,
-            "deleted_files_count": 0,
-            "added_rows_count": rows if added else 0,
-            "existing_rows_count": 0 if added else rows,
-            "deleted_rows_count": 0,
-            "partitions": _partition_summaries(
-                m_entries, spec_fields, spark_types)
-            if content == 0 else None,
-        })
+        for at in range(0, len(m_entries), cap):
+            chunk = m_entries[at:at + cap]
+            m_path, blob = write_manifest(f"m{m_counter}", chunk, kind)
+            m_counter += 1
+            seqs = [e["sequence_number"] for e in chunk] \
+                or [last_seq + 1]
+            rows = sum(e["data_file"]["record_count"] for e in chunk)
+            n = len(chunk)
+            list_rows.append({
+                "manifest_path": _as_uri(m_path),
+                "manifest_length": len(blob),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": max(seqs),
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": n if added else 0,
+                "existing_files_count": 0 if added else n,
+                "deleted_files_count": 0,
+                "added_rows_count": rows if added else 0,
+                "existing_rows_count": 0 if added else rows,
+                "deleted_rows_count": 0,
+                "partitions": _partition_summaries(
+                    chunk, spec_fields, spark_types)
+                if content == 0 else None,
+            })
 
     if new_data_entries:
         add_new_manifest(new_data_entries, 0, "data", added=True)
@@ -2281,11 +2320,15 @@ def stream_mirror_iceberg(spark: SparkSession, table: str, dst: str,
     return writer.start()
 
 
-def compact_manifests(dst: str) -> int:
-    """Merge the current snapshot's manifests into ONE per content
-    class (data / deletes) — the maintenance lever for long-running
-    mirrors, whose one-manifest-per-sync cadence otherwise grows
-    planning cost linearly with sync count (the seam SCALE.md names).
+def compact_manifests(dst: str, *,
+                      manifest_split: Optional[int] = None) -> int:
+    """Merge the current snapshot's manifests down to
+    ``ceil(entries / manifest_split)`` per content class (data /
+    deletes) — the maintenance lever for long-running mirrors, whose
+    one-manifest-per-sync cadence otherwise grows planning cost
+    linearly with sync count (the seam SCALE.md names). The split cap
+    (default :data:`MANIFEST_SPLIT_ENTRIES`) keeps the merged output
+    bounded instead of producing one unboundedly-large monolith.
 
     Metadata-only: no data file moves; entries carry their original
     sequence numbers as EXISTING rows, so delete-application semantics
@@ -2315,6 +2358,9 @@ def compact_manifests(dst: str) -> int:
     cur_snap = snaps.get(tmeta.get("current-snapshot-id"))
     if cur_snap is None:
         return cur_v
+    cap = manifest_split or MANIFEST_SPLIT_ENTRIES
+    if cap < 1:
+        raise ValueError("manifest_split must be >= 1")
     walked = _walk_snapshot(be, root, cur_snap)
     data_rows = [r for r, _ in walked if r.get("content", 0) == 0]
     del_rows = [r for r, _ in walked if r.get("content", 0) == 1]
@@ -2395,12 +2441,13 @@ def compact_manifests(dst: str) -> int:
             if content == 0 else None,
         })
 
-    data_entries = merged_entries(0)
-    if data_entries:
-        write_merged("m0", data_entries, 0, "data")
-    del_entries = merged_entries(1)
-    if del_entries:
-        write_merged("m1", del_entries, 1, "deletes")
+    m_counter = 0
+    for content, kind in ((0, "data"), (1, "deletes")):
+        m_entries = merged_entries(content)
+        for at in range(0, len(m_entries), cap):
+            write_merged(f"m{m_counter}", m_entries[at:at + cap],
+                         content, kind)
+            m_counter += 1
 
     new_seq = last_seq + 1
     list_name = f"snap-{snapshot_id}-1-{run_uuid}.avro"

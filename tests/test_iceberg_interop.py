@@ -1292,3 +1292,78 @@ def test_export_column_mapped_table(spark, tmp_path):
     got = {tuple(r) for r in back
            .select("documentid", "language", "n_chars").collect()}
     assert got == want
+
+
+def test_manifest_split_bounds_export_mirror_compact(spark, tmp_path):
+    """manifest_split caps entries per manifest file across export,
+    mirror, and compact (r11 VERDICT #4): a snapshot above the cap
+    writes several manifests whose per-manifest partition summaries
+    still prune, and compaction merges to ceil(n/cap) bounded
+    manifests instead of one monolith."""
+    from dataingestion_spark.interop.iceberg import (
+        compact_manifests, mirror_iceberg,
+    )
+    from dataingestion_spark.sinks.manifest_store import (
+        append_table, read_table,
+    )
+
+    tbl = _table(spark, tmp_path)
+    dst = str(tmp_path / "ice_msplit")
+    export_iceberg(spark, tbl, dst, partition_by=("doc_bucket",),
+                   manifest_split=2)
+
+    def manifests(v):
+        meta = json.load(open(os.path.join(
+            dst, "metadata", f"v{v}.metadata.json")))
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+            meta["current-snapshot-id"]]
+        lrows = read_container(
+            open(snap["manifest-list"][7:], "rb").read(), "l")[1]
+        out = []
+        for r in lrows:
+            mp = r["manifest_path"][7:]
+            out.append((r, read_container(
+                open(mp, "rb").read(), mp)[1]))
+        return out
+
+    data_ms = [(r, es) for r, es in manifests(1)
+               if r.get("content", 0) == 0]
+    n_files = sum(len(es) for _, es in data_ms)
+    assert n_files > 2                 # fixture really exceeds the cap
+    assert len(data_ms) == -(-n_files // 2)
+    assert all(len(es) <= 2 for _, es in data_ms)
+    assert all(r["partitions"] for r, _ in data_ms)  # summaries kept
+    want = {tuple(r) for r in read_table(spark, tbl)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    got = {tuple(r) for r in read_iceberg(spark, dst)
+           .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got == want
+    # summary pruning still skips whole (now smaller) manifests
+    all_files = set(read_iceberg(spark, dst).inputFiles())
+    pruned = set(read_iceberg(
+        spark, dst, where=("doc_bucket", "==", 0)).inputFiles())
+    assert pruned and len(pruned) < len(all_files)
+
+    # mirror honors the cap for new manifests; carried ones stay small
+    extra = _docs(spark).limit(10).select(
+        (F.col("documentid").cast("long") + 7 * 10 ** 6).cast("string")
+        .alias("documentid"), "text", "lang", "n_chars")
+    append_table(extra, tbl)
+    assert mirror_iceberg(spark, tbl, dst, manifest_split=2) == 2
+    assert all(len(es) <= 2 for _, es in manifests(2))
+    got2 = {tuple(r) for r in read_iceberg(spark, dst)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got2 == {tuple(r) for r in read_table(spark, tbl)
+                    .select("documentid", "text", "lang",
+                            "n_chars").collect()}
+
+    # compaction merges to ceil(n/cap) bounded manifests, not one
+    v3 = compact_manifests(dst, manifest_split=4)
+    data3 = [(r, es) for r, es in manifests(v3)
+             if r.get("content", 0) == 0]
+    total3 = sum(len(es) for _, es in data3)
+    assert len(data3) == -(-total3 // 4) > 1
+    assert all(len(es) <= 4 for _, es in data3)
+    got3 = {tuple(r) for r in read_iceberg(spark, dst)
+            .select("documentid", "text", "lang", "n_chars").collect()}
+    assert got3 == got2
