@@ -31,12 +31,16 @@ which is faster at that scale. Output is columnar (pandas-ready), so
 Coverage: flat records of long/int/double/float/boolean/string/bytes/
 enum/fixed, ``['null', T]`` nullable unions, timestamp/date logicals,
 arrays of NON-nullable fixed-width elements (float/double/boolean —
-the embedding-corpus shape; single-block form, with the spec's
-negative-count blocks honored and multi-block arrays falling back via
-_VecFallback), spec schema-resolution projection (writer-only fields
-skip at wave speed), reader defaults, and the int→long→float→double /
-string↔bytes promotions. Varint-element or union-element arrays, maps,
-and nested records return None and the caller uses the scalar path —
+the embedding-corpus shape, one gather per row) and of string/bytes
+elements (the tokenized-text shape, r12 — one varint wave per element
+INDEX, so a K-token row costs K waves at full block width, then the
+same deferred-(start,len) single-gather trick as top-level strings);
+single-block form, with the spec's negative-count blocks honored and
+multi-block arrays falling back via _VecFallback. Spec
+schema-resolution projection (writer-only fields skip at wave speed),
+reader defaults, and the int→long→float→double / string↔bytes
+promotions. Varint-numeric-element or union-element arrays, maps, and
+nested records return None and the caller uses the scalar path —
 Iceberg manifests stay scalar by design (small metadata files).
 
 Equivalence with the scalar decoder is pinned by differential tests
@@ -165,11 +169,14 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
             return None
         elem = None
         if wnode["kind"] == "array":
-            # arrays of NON-nullable fixed-width elements vectorize
-            # (the embedding shape: array<float>); varint or
-            # union-tagged elements have data-dependent widths -> scalar
+            # arrays of NON-nullable fixed-width elements vectorize in
+            # one gather (the embedding shape: array<float>); string/
+            # bytes elements vectorize via per-ELEMENT waves (the
+            # tokenized-text shape: array<string>); union-tagged or
+            # varint-numeric elements stay scalar
             it = wnode["items"]
-            if it["kind"] not in ("double", "float", "boolean"):
+            if it["kind"] not in ("double", "float", "boolean",
+                                  "string", "bytes"):
                 return None
             elem = it["kind"]
         elif wnode["kind"] not in _VEC_KINDS:
@@ -223,12 +230,20 @@ class _Cols:
         self.mask: Dict[str, np.ndarray] = {}
         self.starts: Dict[str, np.ndarray] = {}
         self.lens: Dict[str, np.ndarray] = {}
+        # arrays of var-width elements: per-row element count + one
+        # (elem_idx, rows, starts, lens) tuple per element wave,
+        # scattered into flat buffers at finalize
+        self.acounts: Dict[str, np.ndarray] = {}
+        self.aparts: Dict[str, List[Tuple]] = {}
         for s in steps:
             name = s["name"]
             if name is None:
                 continue
             k = s["kind"]
-            if k in ("string", "bytes", "fixed", "array"):
+            if k == "array" and s["elem_w"] is None:
+                self.acounts[name] = np.zeros(n, np.int64)
+                self.aparts[name] = []
+            elif k in ("string", "bytes", "fixed", "array"):
                 self.starts[name] = np.zeros(n, np.int64)
                 self.lens[name] = np.zeros(n, np.int64)
             elif k == "double":
@@ -305,13 +320,36 @@ def _exec_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
         neg = c < 0
         if neg.any():
             # negative-count block form: the byte size follows — we
-            # compute it ourselves from |count| * element width
+            # decode elements ourselves, so only |count| matters
             _wave_varint(buf, pos, idx[neg])
             c = np.abs(c)
-        if name is not None:
-            cols.starts[name][out_pos] = pos[idx]
-            cols.lens[name][out_pos] = c * w
-        pos[idx] += c * w
+        if w is not None:  # fixed-width elements: one range per row
+            if name is not None:
+                cols.starts[name][out_pos] = pos[idx]
+                cols.lens[name][out_pos] = c * w
+            pos[idx] += c * w
+        else:  # string/bytes elements: one varint wave per ELEMENT
+            # index — vector width stays = active blocks, so a K-token
+            # row costs K waves, not K*rows python calls
+            if name is not None:
+                cols.acounts[name][out_pos] = c
+            e = 0
+            act, aout, acnt = idx, out_pos, c
+            while True:
+                m = acnt > e
+                if not m.any():
+                    break
+                if not m.all():
+                    act, aout, acnt = act[m], aout[m], acnt[m]
+                lens = _zigzag(_wave_varint(buf, pos, act))
+                if (lens < 0).any():
+                    raise ValueError(
+                        f"negative byte-length {int(lens.min())}")
+                if name is not None:
+                    cols.aparts[name].append(
+                        (e, aout.copy(), pos[act], lens))
+                pos[act] += lens
+                e += 1
         nz = c > 0  # count 0 IS the terminator; others read one more
         if nz.any():
             t = _wave_varint(buf, pos, idx[nz])
@@ -332,6 +370,43 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
     mask = cols.mask[name]
     has_null = bool(mask.any())
     k, out_k, logical = step["kind"], step["out_kind"], step["logical"]
+    if k == "array" and step["elem_w"] is None:
+        # string/bytes elements: scatter each element wave's
+        # (start, len) into flat slot arrays (unique indices — fast
+        # fancy assignment), then ONE multi-range gather builds the
+        # values buffer and Arrow assembles large_list<large_utf8>
+        counts = cols.acounts[name]
+        total = int(counts.sum())
+        offs = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        flat_starts = np.zeros(total, np.int64)
+        flat_lens = np.zeros(total, np.int64)
+        for e, rows_idx, sts, lns in cols.aparts[name]:
+            slot = offs[rows_idx] + e
+            flat_starts[slot] = sts
+            flat_lens[slot] = lns
+        values = _gather_ranges(buf, flat_starts, flat_lens)
+        str_offs = np.zeros(total + 1, np.int64)
+        np.cumsum(flat_lens, out=str_offs[1:])
+        want_str = step["elem"] == "string"
+        ctyp = pa.large_utf8() if want_str else pa.large_binary()
+        child = pa.Array.from_buffers(
+            ctyp, total,
+            [None, pa.py_buffer(str_offs), pa.py_buffer(values)])
+        validity = None
+        if has_null:
+            validity = pa.py_buffer(
+                np.packbits(~mask, bitorder="little"))
+        arr = pa.Array.from_buffers(
+            pa.large_list(child.type), len(counts),
+            [validity, pa.py_buffer(offs)], children=[child])
+        if want_str:
+            try:  # per-VALUE UTF-8, matching the scalar decoder
+                arr.validate(full=True)
+            except pa.lib.ArrowInvalid as e:
+                raise ValueError(
+                    f"invalid UTF-8 in array column {name!r}: {e}")
+        return pd.Series(arr.to_pandas(), dtype=object)
     if k == "array":
         starts, lens = cols.starts[name], cols.lens[name]
         values = _gather_ranges(buf, starts, lens)

@@ -639,3 +639,104 @@ def test_split_reader_unregistered_scheme_names_seam(spark):
 
     with pytest.raises(NotImplementedError, match="data backend"):
         read_avro_split(spark, "s3://bucket/corpus")
+
+
+# ---------------------------------------------------------------------------
+# array<string> / array<bytes> vectorized decode (r12)
+
+STR_ARR = {"type": "record", "name": "sa", "fields": [
+    {"name": "doc_id", "type": "long"},
+    {"name": "tokens", "type": {"type": "array", "items": "string"}},
+    {"name": "raws", "type": ["null", {
+        "type": "array", "items": "bytes"}], "default": None}]}
+
+
+def test_differential_string_arrays(tmp_path):
+    rng = random.Random(23)
+    rows = []
+    for i in range(700):
+        k = i % 11  # includes empty arrays
+        rows.append({
+            "doc_id": i,
+            "tokens": ["" if j % 5 == 0
+                       else f"tök{j}·" * (rng.randint(0, 3))
+                       for j in range(k)],
+            "raws": None if i % 4 == 0
+            else [bytes([i % 256, 0xFF]) * (j % 3)
+                  for j in range(i % 4)],
+        })
+    cols, scalar = _vec(tmp_path, STR_ARR, rows)
+    assert cols is not None, "array<string> fell back"
+    for i, r in enumerate(scalar):
+        assert list(cols["tokens"].iloc[i]) == r["tokens"]
+        got = cols["raws"].iloc[i]
+        if r["raws"] is None:
+            assert got is None
+        else:
+            assert [bytes(b) for b in got] == r["raws"]
+    assert list(cols["doc_id"]) == [r["doc_id"] for r in scalar]
+
+
+def test_string_array_multiblock_falls_back_not_wrong(tmp_path):
+    """A foreign writer chunking one string array into several blocks
+    must push the whole file to the scalar path, not decode wrong."""
+    from dataingestion_spark.sources.avro import (
+        _container_header, _enc_long,
+    )
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "string"}}]}
+    payload = bytearray()
+    for _ in range(70):  # 70 rows, each a 2-block array ["a"], ["b"]
+        _enc_long(payload, 1)
+        _enc_long(payload, 1)
+        payload.extend(b"a")
+        _enc_long(payload, 1)
+        _enc_long(payload, 1)
+        payload.extend(b"b")
+        _enc_long(payload, 0)
+    sync = b"0123456789abcdef"
+    blob = bytearray(_container_header(sch, "null", sync, None))
+    block = bytearray()
+    _enc_long(block, 70)
+    _enc_long(block, len(payload))
+    block.extend(payload)
+    block.extend(sync)
+    blob.extend(block * 70)  # 70 identical blocks >= _MIN_BLOCKS
+    node, cols = read_container_columnar(bytes(blob), "mb")
+    assert cols is None  # fell back
+    _, rows = read_container(bytes(blob), "mb")
+    assert rows[0]["xs"] == ["a", "b"] and len(rows) == 70 * 70
+
+
+def test_string_array_negative_count_block(tmp_path):
+    """Spec: an array block may carry count < 0 followed by its byte
+    size; elements still decode one varint wave per index."""
+    from dataingestion_spark.sources.avro import (
+        _container_header, _enc_long,
+    )
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "string"}}]}
+    payload = bytearray()
+    items = bytearray()
+    for v in (b"xy", b"", b"zzz"):
+        _enc_long(items, len(v))
+        items.extend(v)
+    _enc_long(payload, -3)
+    _enc_long(payload, len(items))
+    payload.extend(items)
+    _enc_long(payload, 0)
+    sync = b"0123456789abcdef"
+    blob = bytearray(_container_header(sch, "null", sync, None))
+    block = bytearray()
+    _enc_long(block, 1)
+    _enc_long(block, len(payload))
+    block.extend(payload)
+    block.extend(sync)
+    blob.extend(block * 70)
+    node, cols = read_container_columnar(bytes(blob), "neg")
+    assert cols is not None
+    assert list(cols["xs"].iloc[0]) == ["xy", "", "zzz"]
+    _, rows = read_container(bytes(blob), "neg")
+    assert rows[0]["xs"] == ["xy", "", "zzz"]
