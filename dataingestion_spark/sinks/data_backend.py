@@ -215,23 +215,58 @@ class RangedFile:
     (sources/avro.py, tfrecord.py, warc.py) use, so one oversized
     shard on an object store seeks via ranged GETs instead of needing
     POSIX ``open()``. Reads at/past EOF return ``b''`` like a real
-    file; a missing path raises ``FileNotFoundError`` on first use."""
+    file; a missing path raises ``FileNotFoundError`` on first use.
 
-    def __init__(self, backend: DataBackend, path: str):
+    Small reads are served from a ``readahead``-byte buffer (default
+    4 MB): the avro split reader issues THREE tiny reads per block
+    (header varints, payload, sync check), which on a real object
+    store would be three GETs per block — buffering makes it one GET
+    per ~4 MB regardless of block size. A read larger than the buffer
+    fetches exactly its own range; ``seek`` inside the buffered window
+    keeps the buffer."""
+
+    def __init__(self, backend: DataBackend, path: str,
+                 readahead: int = 4 << 20):
         self._b = backend
         self._path = path
         self._pos = 0
+        self._ra = max(int(readahead), 1)
+        self._buf = b""
+        self._buf_at = 0
+        self._eof_at: Optional[int] = None  # file size once known
 
     def seek(self, pos: int) -> int:
         self._pos = pos
         return pos
 
-    def read(self, n: Optional[int] = None) -> bytes:
-        data = self._b.read_range(self._path, self._pos, n)
+    def _fetch(self, start: int, length: int) -> bytes:
+        data = self._b.read_range(self._path, start, length)
         if data is None:
             raise FileNotFoundError(self._path)
-        self._pos += len(data)
+        if len(data) < length:  # short read = hit EOF
+            self._eof_at = start + len(data)
         return data
+
+    def read(self, n: Optional[int] = None) -> bytes:
+        if n is None:  # to-EOF read: no point buffering
+            data = self._b.read_range(self._path, self._pos, None)
+            if data is None:
+                raise FileNotFoundError(self._path)
+            self._pos += len(data)
+            self._eof_at = self._pos
+            return data
+        lo, hi = self._buf_at, self._buf_at + len(self._buf)
+        if not (lo <= self._pos and self._pos + n <= hi):
+            at_eof = (self._eof_at is not None
+                      and self._pos + n > self._eof_at
+                      and lo <= self._pos <= hi == self._eof_at)
+            if not at_eof:  # else: buffer already ends at EOF — serve
+                self._buf = self._fetch(self._pos, max(n, self._ra))
+                self._buf_at = self._pos
+                lo, hi = self._pos, self._pos + len(self._buf)
+        out = self._buf[self._pos - lo:self._pos - lo + n]
+        self._pos += len(out)
+        return out
 
     def __enter__(self) -> "RangedFile":
         return self

@@ -217,3 +217,51 @@ def test_memory_backend_pickles_as_snapshot():
     assert clone.read_bytes("a/b") == b"xyz"
     clone.write_bytes("a/c", b"new")
     assert mem.read_bytes("a/c") is None  # snapshot, not shared
+
+
+def test_ranged_file_readahead_buffers_small_reads():
+    """Three tiny reads per Avro block must NOT mean three GETs per
+    block: sequential small reads are served from the readahead
+    buffer (one ranged fetch per window), and EOF/seek semantics match
+    a real file."""
+    import random
+
+    from dataingestion_spark.sinks.data_backend import (
+        MemoryDataBackend, RangedFile,
+    )
+
+    class Counting(MemoryDataBackend):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def read_range(self, path, start, length=None):
+            self.calls += 1
+            return super().read_range(path, start, length)
+
+    data = bytes(random.Random(3).getrandbits(8) for _ in range(1 << 20))
+    b = Counting()
+    b.write_bytes("k", data)
+
+    fh = RangedFile(b, "k", readahead=64 << 10)
+    pos, got = 0, []
+    rng = random.Random(7)
+    while pos < len(data):
+        n = rng.randint(1, 400)
+        chunk = fh.read(n)
+        assert chunk == data[pos:pos + n]
+        pos += len(chunk)
+        if not chunk:
+            break
+    assert pos == len(data)
+    assert fh.read(10) == b""          # EOF, repeatedly
+    assert fh.read(10) == b""
+    # ~16 windows of 64 KB + at most a couple of EOF probes
+    assert b.calls <= (1 << 20) // (64 << 10) + 3, b.calls
+
+    # backwards seek outside the buffer refetches and still serves
+    fh.seek(5)
+    assert fh.read(4) == data[5:9]
+    # a read larger than the buffer fetches its own range exactly
+    fh.seek(100)
+    assert fh.read(300 << 10) == data[100:100 + (300 << 10)]
