@@ -125,10 +125,15 @@ def main():
         "avro_io": em.q_io_avro_roundtrip,
         "avro_snappy_io": em.q_io_avro_snappy_roundtrip,
         "avro_split_read": em.q_io_avro_split_read,
+        "avro_tokens_vec": em.q_io_avro_tokens_vec,
         "tfrecord_split_read": em.q_io_tfrecord_split_read,
         "wet_split_read": em.q_reader_wet_split,
         "iceberg_roundtrip": em.q_iceberg_roundtrip,
         "iceberg_prune": em.q_iceberg_prune_bucket,
+        # q_io_avro_split_backend is correctness-only: at bench scale it
+        # would time pickling the in-memory emulation backend into every
+        # task, not a plan a real deployment runs
+        "iceberg_manifest_split": em.q_iceberg_manifest_split,
         "bpe_train": em.q_bpe_train_merges,
         "gapfill_locf": em.q_events_gapfill,
         "funnel": em.q_events_funnel,
