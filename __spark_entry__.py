@@ -6484,6 +6484,42 @@ def q_jsonl_zst_roundtrip(spark, sf):
     )
 
 
+def q_io_jsonl_zst_split(spark, sf):
+    """Byte-range splitting of multi-frame .jsonl.zst shards (r12,
+    sources/jsonl.py::read_jsonl_zst_split): documents → ONE shard
+    written with frame_lines=64 (every 64 lines its own RFC 8878
+    frame, so the shard is splittable at frame boundaries) →
+    byte-range reads resyncing on the frame magic validated by a
+    structural block walk, each task decompressing exactly the frames
+    that start in its range. Text inflated 5x so sf0.1 crosses
+    several 1 MB splits (sf0.01 exercises the first-range path).
+    Oracle = exact multiset restatement from the parquet source, so a
+    frame lost or doubled at any boundary goes red."""
+    import tempfile
+
+    from dataingestion_spark.sources import jsonl
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.repeat("text", 5).alias("text5"), "lang",
+        "n_chars")
+    from pyspark.sql import types as T
+
+    out = tempfile.mkdtemp(prefix="zst_split_") + "/shards"
+    jsonl.write_jsonl_zst(docs, out, shards=1, order_by="doc_id",
+                          frame_lines=64)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text5", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType())])
+    return jsonl.read_jsonl_zst_split(spark, out, schema, split_mb=1)
+
+
+ORACLE_JSONL_ZST_SPLIT = """
+SELECT doc_id, repeat(text, 5) AS text5, lang, n_chars FROM documents
+"""
+
+
 def q_arrow_ipc_roundtrip(spark, sf):
     """Arrow IPC / Feather v2 interchange (sources/arrow_ipc.py): the
     random-access columnar format training dataloaders mmap. Documents
@@ -8954,10 +8990,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the r11-green block — freshest external confirmation — at the
     # very end), so future rotations stay a simple prefix shift.
     return {
-        # --- r12 sample 1-3: queries NEW this round (standing policy) ---
+        # --- r12 sample 1-4: queries NEW this round (standing policy) ---
         "io_avro_tokens_vec": q_io_avro_tokens_vec,
         "io_avro_split_backend": q_io_avro_split_backend,
         "lakehouse_iceberg_manifest_split": q_iceberg_manifest_split,
+        "io_jsonl_zst_split": q_io_jsonl_zst_split,
         # --- r12 sample 4-50: the stalest external checks (the r7
         # block of 40 + the 7 oldest r8 entries — the r11 verdict's
         # #2 ask); all 50 verified green against the sf0.01 DuckDB
@@ -9208,6 +9245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "io_avro_tokens_vec": ORACLE_AVRO_TOKENS,
+        "io_jsonl_zst_split": ORACLE_JSONL_ZST_SPLIT,
         "io_avro_split_backend": ORACLE_AVRO_SPLIT_BACKEND,
         "lakehouse_iceberg_manifest_split": ORACLE_ICEBERG_MSPLIT,
         "tpch_q1_pricing_summary": ORACLE_Q1,

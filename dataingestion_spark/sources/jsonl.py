@@ -132,9 +132,11 @@ def read_jsonl_zst(spark: SparkSession, path: str,
     Spark's text source lacks a zstd codec in this image, so shards
     decompress through pyarrow's bundled zstd in the same
     ``binaryFile`` + ``mapInPandas`` shape as the WARC/TFRecord
-    readers: one task per file (zstd frames aren't splittable without
-    a seekable-table sidecar; shard at write time), memory bounds to
-    one decompressed shard per task, multi-frame streams accepted.
+    readers: one task per file, memory bounds to one decompressed
+    shard per task, multi-frame streams accepted. An oversized
+    MULTI-frame shard can instead split across executors —
+    :func:`read_jsonl_zst_split` (write with ``frame_lines=`` to make
+    shards frame-aligned).
     Line parsing reuses :func:`read_jsonl`'s exact corrupt-record
     contract via the shared ``_parse_lines``."""
     schema = schema or DOCUMENTS_SCHEMA
@@ -162,7 +164,8 @@ def read_jsonl_zst(spark: SparkSession, path: str,
 
 def write_jsonl_zst(df: DataFrame, path: str, shards: int = 4,
                     order_by: Optional[str] = None,
-                    level: int = 3, prefix: str = "part") -> list:
+                    level: int = 3, prefix: str = "part",
+                    frame_lines: Optional[int] = None) -> list:
     """Write ``df`` as ``shards`` zstd-compressed JSONL files.
 
     Rows hash-shard on ``order_by`` (default: first column) and sort
@@ -170,11 +173,21 @@ def write_jsonl_zst(df: DataFrame, path: str, shards: int = 4,
     TFRecord/WebDataset sinks, so re-exports are idempotent and shards
     content-addressable. One task per shard; raise ``shards`` to scale
     (a big export wants file sizes a downstream one-task-per-file
-    reader can hold decompressed in memory). Returns shard names."""
+    reader can hold decompressed in memory). Returns shard names.
+
+    ``frame_lines=N`` compresses every N lines as its OWN zstd frame
+    (frames are self-contained and concatenable per RFC 8878), making
+    the shard SPLITTABLE: :func:`read_jsonl_zst_split` byte-range
+    reads it across executors, so one oversized shard no longer pins
+    parallelism to the file count. Whole-line frames are the split
+    contract — the default single-frame layout stays byte-identical
+    to previous rounds."""
     import os
 
     if shards < 1:
         raise ValueError("shards must be >= 1")
+    if frame_lines is not None and frame_lines < 1:
+        raise ValueError("frame_lines must be >= 1")
     key = order_by or df.columns[0]
     os.makedirs(path, exist_ok=True)
     payload = df.select(
@@ -192,14 +205,230 @@ def write_jsonl_zst(df: DataFrame, path: str, shards: int = 4,
         shard = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values("_k", kind="mergesort")
         name = f"{prefix}-{shard:05d}-of-{shards:05d}.jsonl.zst"
-        body = ("\n".join(pdf["_j"]) + "\n").encode("utf-8")
         codec = pa.Codec("zstd", compression_level=level)
+        if frame_lines is None:
+            bodies = [("\n".join(pdf["_j"]) + "\n").encode("utf-8")]
+        else:
+            js = list(pdf["_j"])
+            bodies = [("\n".join(js[at:at + frame_lines]) + "\n")
+                      .encode("utf-8")
+                      for at in range(0, len(js), frame_lines)]
         tmp = os.path.join(path, f".{name}.tmp")
         with open(tmp, "wb") as f:
-            f.write(codec.compress(body).to_pybytes())
+            for body in bodies:  # one self-contained frame per chunk
+                f.write(codec.compress(body).to_pybytes())
         os.replace(tmp, os.path.join(path, name))
         return pd.DataFrame({"name": [name], "n_records": [len(pdf)]})
 
     manifest = (payload.groupBy("_shard").applyInPandas(
         write_shard, "name string, n_records long").collect())
     return sorted(r["name"] for r in manifest)
+
+
+# ---------------------------------------------------------------------------
+# scale-IN: byte-range splitting of multi-frame .jsonl.zst shards
+# (RFC 8878 structural frame walk — no decompression needed to plan)
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"          # 0xFD2FB528 little-endian
+
+
+def _zstd_frame_end(fh, at: int, size: int) -> Optional[int]:
+    """Offset just past the zstd (or skippable) frame starting at
+    ``at``, or None when the bytes there do not parse as one — a pure
+    STRUCTURAL walk (RFC 8878 §3): frame header fields give the block
+    stream's start, each 3-byte block header gives the next block, so
+    a frame skips in O(blocks) tiny reads with zero decompression.
+    Used both to validate resync candidates (a false magic inside
+    compressed data fails the walk or its chain check) and to find the
+    range's end boundary."""
+    fh.seek(at)
+    magic = fh.read(4)
+    if len(magic) < 4:
+        return None
+    m = int.from_bytes(magic, "little")
+    if (m & 0xFFFFFFF0) == 0x184D2A50:     # skippable frame
+        sz = fh.read(4)
+        if len(sz) < 4:
+            return None
+        end = at + 8 + int.from_bytes(sz, "little")
+        return end if end <= size else None
+    if m != 0xFD2FB528:
+        return None
+    fhd_b = fh.read(1)
+    if not fhd_b:
+        return None
+    fhd = fhd_b[0]
+    if fhd & 0x08:                         # reserved bit must be 0
+        return None
+    single = (fhd >> 5) & 1
+    pos = at + 5
+    if not single:
+        pos += 1                           # Window_Descriptor
+    pos += (0, 1, 2, 4)[fhd & 3]           # Dictionary_ID
+    pos += (1 if single else 0, 2, 4, 8)[fhd >> 6]  # Content_Size
+    while True:                            # block walk
+        if pos + 3 > size:
+            return None
+        fh.seek(pos)
+        h = fh.read(3)
+        if len(h) < 3:
+            return None
+        v = int.from_bytes(h, "little")
+        last, btype, bsize = v & 1, (v >> 1) & 3, v >> 3
+        if btype == 3:                     # reserved type
+            return None
+        pos += 3 + (1 if btype == 1 else bsize)   # RLE stores 1 byte
+        if pos > size:
+            return None
+        if last:
+            break
+    if fhd & 0x04:                         # Content_Checksum
+        pos += 4
+        if pos > size:
+            return None
+    return pos
+
+
+def _find_zstd_frame(fh, start: int, size: int) -> Optional[int]:
+    """First VALIDATED frame start at offset >= start: magic bytes
+    must also pass the structural walk AND chain to a second valid
+    frame or exact EOF (same ~squared-error discipline as the TFRecord
+    resync)."""
+    CHUNK = 1 << 20
+    base = start
+    carry = b""
+    while base < size:
+        fh.seek(base)
+        chunk = fh.read(CHUNK)
+        if not chunk:
+            return None
+        buf = carry + chunk
+        buf_at = base - len(carry)
+        i = 0
+        while True:
+            i = buf.find(_ZSTD_MAGIC, i)
+            if i < 0:
+                break
+            cand = buf_at + i
+            if cand >= start:
+                end = _zstd_frame_end(fh, cand, size)
+                if end is not None and (
+                        end == size
+                        or _zstd_frame_end(fh, end, size) is not None):
+                    return cand
+            i += 1
+        carry = buf[-3:]
+        base += len(chunk)
+    return None
+
+
+def _read_zst_span(path: str, start: int, end: int, size: int,
+                   backend=None) -> bytes:
+    """Raw bytes of every frame STARTING in [start, end) — itself a
+    valid multi-frame zstd stream (frames are self-contained)."""
+    from ..sinks.data_backend import open_split, resolve_split_backend
+
+    with open_split(path, resolve_split_backend(path, backend)) as fh:
+        if start == 0:
+            pos = 0
+        else:
+            found = _find_zstd_frame(fh, start, size)
+            if found is None or found >= end:
+                return b""
+            pos = found
+        stop = pos
+        while stop < end and stop < size:
+            nxt = _zstd_frame_end(fh, stop, size)
+            if nxt is None:
+                raise ValueError(f"{path}: corrupt zstd frame at "
+                                 f"byte {stop}")
+            stop = nxt
+        fh.seek(pos)
+        return fh.read(stop - pos)
+
+
+def read_jsonl_zst_split(spark: SparkSession, path: str,
+                         schema: Optional[T.StructType] = None,
+                         keep_corrupt: bool = False, *,
+                         split_mb: int = 128,
+                         glob_pat: str = "*.jsonl.zst",
+                         backend=None) -> DataFrame:
+    """Scale-IN .jsonl.zst reader for MULTI-FRAME shards (written with
+    ``write_jsonl_zst(frame_lines=N)`` or any writer that starts a
+    fresh frame at a line boundary — zstd frames are self-contained
+    and concatenable, RFC 8878).
+
+    Byte ranges of ``split_mb`` per file; a task landing mid-frame
+    resyncs on the frame magic VALIDATED by a structural block walk
+    chained to the next frame (a false magic inside compressed data
+    fails one of the two), then decompresses exactly the frames that
+    START in its range. Each decompressed span must end at a line
+    boundary — frames that split a JSON line across tasks raise
+    loudly (use :func:`read_jsonl_zst`, one task per file). Line
+    parsing shares ``_parse_lines``: the corrupt-record contract is
+    identical to the whole-file readers. Whole-file single-frame
+    shards degrade gracefully (split 0 owns the one frame). Local
+    paths seek with ``open()``; other schemes route through the
+    range-read DataBackend (or pass ``backend=``), like the
+    avro/tfrecord/warc split readers."""
+    from ..sinks.data_backend import (
+        list_split_files, resolve_split_backend,
+    )
+
+    if split_mb < 1:
+        raise ValueError("split_mb must be >= 1")
+    backend = resolve_split_backend(path, backend)
+    files = list_split_files(path, glob_pat, backend)
+    if not files:
+        raise ValueError(f"no files match {glob_pat!r} under {path}")
+    metas = {}
+    for p in files:
+        head = backend.read_range(p, 0, 4)
+        size = backend.size(p)
+        if head is None or size is None:
+            raise FileNotFoundError(p)
+        m = int.from_bytes(head.ljust(4, b"\x00"), "little")
+        if m != 0xFD2FB528 and (m & 0xFFFFFFF0) != 0x184D2A50:
+            raise ValueError(
+                f"{p}: not zstd — read_jsonl_zst_split handles "
+                "multi-frame zstd shards; use read_jsonl_zst")
+        metas[p] = size
+
+    step = split_mb << 20
+    ranges = []
+    for p in files:
+        size = metas[p]
+        lo = 0
+        while lo < size:
+            hi = min(lo + step, size)
+            ranges.append((p, lo, hi, size))
+            lo = hi
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, end long, size long"
+    ).repartition(min(len(ranges), 4096))
+
+    def decode(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                span = _read_zst_span(row.path, int(row.start),
+                                      int(row.end), int(row.size),
+                                      backend=backend)
+                if not span:
+                    continue
+                data = pa.input_stream(pa.py_buffer(span),
+                                       compression="zstd").read()
+                blob = data.to_pybytes() if hasattr(
+                    data, "to_pybytes") else bytes(data)
+                if blob and not blob.endswith(b"\n"):
+                    raise ValueError(
+                        f"{row.path}: frame ending at a mid-line byte "
+                        "— shard is not line-aligned per frame; use "
+                        "read_jsonl_zst (whole-file) instead")
+                lines = blob.decode("utf-8").split("\n")
+                yield pd.DataFrame({"value": lines})
+
+    raw = rdf.mapInPandas(decode, "value string")
+    return _parse_lines(raw, schema or DOCUMENTS_SCHEMA, keep_corrupt)

@@ -158,3 +158,118 @@ def test_zst_roundtrip_property(spark, tmp_path):
     jsonl.write_jsonl_zst(df, out, shards=2, order_by="doc_id")
     back = jsonl.read_jsonl_zst(spark, out, schema=schema)
     assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+def test_zst_split_equals_whole_file(spark, tmp_path):
+    """Multi-frame shards (frame_lines=N) read as byte ranges must
+    yield exactly the whole-file rows — no frame lost or doubled at
+    any split boundary; resync candidates are validated by the RFC
+    8878 structural walk."""
+    import hashlib
+    import os
+
+    from dataingestion_spark.sources import jsonl
+
+    schema = jsonl.DOCUMENTS_SCHEMA
+    rows = [(i, "".join(hashlib.sha256(f"{i}:{j}".encode()).hexdigest()
+                        for j in range(12)),
+             f"l{i % 5}", "s", i) for i in range(4000)]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "zsplit")
+    jsonl.write_jsonl_zst(df, out, shards=1, order_by="doc_id",
+                          frame_lines=50)
+    p = [os.path.join(out, n) for n in os.listdir(out)][0]
+    assert os.path.getsize(p) > (1 << 20)  # >= 2 splits at 1 MB
+
+    whole = jsonl.read_jsonl_zst(spark, out, schema=schema)
+    split = jsonl.read_jsonl_zst_split(spark, out, schema,
+                                       split_mb=1)
+    a = {tuple(r) for r in whole.collect()}
+    b = {tuple(r) for r in split.collect()}
+    assert a == b and len(a) == 4000
+
+    # single-frame shards degrade gracefully (split 0 owns the frame)
+    out1 = str(tmp_path / "zone")
+    jsonl.write_jsonl_zst(df.limit(100), out1, shards=1,
+                          order_by="doc_id")
+    one = jsonl.read_jsonl_zst_split(spark, out1, schema, split_mb=1)
+    assert one.count() == 100
+
+
+def test_zst_split_frame_walk_and_misaligned(tmp_path, spark):
+    """The structural frame walk must land exactly on frame starts
+    (incl. skippable frames), and a frame ending mid-line must raise
+    rather than emit a torn JSON document."""
+    import os
+
+    import pyarrow as pa
+
+    from dataingestion_spark.sources.jsonl import (
+        _zstd_frame_end, read_jsonl_zst_split,
+    )
+
+    codec = pa.Codec("zstd")
+    f1 = codec.compress(b'{"doc_id": 1}\n').to_pybytes()
+    skip = b"\x50\x2a\x4d\x18" + (4).to_bytes(4, "little") + b"ABCD"
+    f2 = codec.compress(b'{"doc_id": 2}\n').to_pybytes()
+    blob = f1 + skip + f2
+    p = str(tmp_path / "w.jsonl.zst")
+    open(p, "wb").write(blob)
+
+    class FH:
+        def __init__(self, b):
+            self.b, self.p = b, 0
+
+        def seek(self, p):
+            self.p = p
+
+        def read(self, n=None):
+            out = self.b[self.p:None if n is None else self.p + n]
+            self.p += len(out)
+            return out
+
+    fh = FH(blob)
+    assert _zstd_frame_end(fh, 0, len(blob)) == len(f1)
+    assert _zstd_frame_end(fh, len(f1), len(blob)) == len(f1) + len(skip)
+    assert _zstd_frame_end(fh, len(f1) + len(skip),
+                           len(blob)) == len(blob)
+    assert _zstd_frame_end(fh, 3, len(blob)) is None  # mid-frame junk
+
+    # a frame split mid-line raises loudly in split mode — the torn
+    # frame must be big enough that a range BOUNDARY separates it from
+    # the closing frame (one task owning both frames concatenates them
+    # and is legitimately fine)
+    import hashlib as _h
+    d = str(tmp_path / "torn")
+    os.makedirs(d)
+    big = "".join(_h.sha256(f"t{j}".encode()).hexdigest()
+                  for j in range(40_000)).encode()
+    g1 = codec.compress(b'{"doc_id": 1, "text": "' + big).to_pybytes()
+    g2 = codec.compress(b'tail"}\n').to_pybytes()
+    assert len(g1) > (1 << 20)
+    open(os.path.join(d, "t.jsonl.zst"), "wb").write(g1 + g2)
+    import pytest as _pt
+    with _pt.raises(Exception, match="not line-aligned"):
+        read_jsonl_zst_split(spark, d, split_mb=1).collect()
+
+
+def test_zst_split_over_memory_backend(spark, tmp_path):
+    """Frame splits through a non-POSIX range-read backend."""
+    import os
+
+    from dataingestion_spark.sinks.data_backend import MemoryDataBackend
+    from dataingestion_spark.sources import jsonl
+
+    schema = jsonl.DOCUMENTS_SCHEMA
+    rows = [(i, "x" * 600, "l", "s", i) for i in range(3000)]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "zmem")
+    jsonl.write_jsonl_zst(df, out, shards=1, order_by="doc_id",
+                          frame_lines=40, level=1)
+    mem = MemoryDataBackend()
+    for n in os.listdir(out):
+        mem.write_bytes(f"store/z/{n}",
+                        open(os.path.join(out, n), "rb").read())
+    got = jsonl.read_jsonl_zst_split(spark, "store/z", schema,
+                                     split_mb=1, backend=mem)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(3000))
