@@ -6572,6 +6572,37 @@ def q_streaming_jsonl_ingest(spark, sf):
         "doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_streaming_jsonl_zst_ingest(spark, sf):
+    """Continuous .jsonl.zst corpus ingestion (r12,
+    sources/jsonl.py::stream_jsonl_zst — the DCLM landing-dir shape
+    the text-source stream can't tail, zstd having no Spark codec in
+    this image): documents export to zstd shards + one injected
+    corrupt-line shard, the stream drains availableNow one file per
+    micro-batch into a memory sink, and the drained rows must equal
+    the batch parse exactly — a dropped or double-read shard, or a
+    corrupt line poisoning its batch, goes red."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from dataingestion_spark.sources import jsonl
+
+    docs = _t(spark, sf, "documents")
+    land = tempfile.mkdtemp(prefix="zst_stream_") + "/landing"
+    jsonl.write_jsonl_zst(docs, land, shards=4)
+    bad = pa.Codec("zstd").compress(b"definitely not json\n")
+    with open(os.path.join(land, "bad.jsonl.zst"), "wb") as fh:
+        fh.write(bad.to_pybytes())
+    name = "jsonl_zst_ingest_check"
+    q = (jsonl.stream_jsonl_zst(spark, land, max_files_per_trigger=1)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_streaming_iceberg_tail(spark, sf):
     """Streaming reads of Iceberg tables
     (streaming/iceberg_source.py::stream_iceberg): documents → manifest
@@ -8995,6 +9026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_avro_split_backend": q_io_avro_split_backend,
         "lakehouse_iceberg_manifest_split": q_iceberg_manifest_split,
         "io_jsonl_zst_split": q_io_jsonl_zst_split,
+        "streaming_jsonl_zst_ingest": q_streaming_jsonl_zst_ingest,
         # --- r12 sample 4-50: the stalest external checks (the r7
         # block of 40 + the 7 oldest r8 entries — the r11 verdict's
         # #2 ask); all 50 verified green against the sf0.01 DuckDB
@@ -9246,6 +9278,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "io_avro_tokens_vec": ORACLE_AVRO_TOKENS,
         "io_jsonl_zst_split": ORACLE_JSONL_ZST_SPLIT,
+        "streaming_jsonl_zst_ingest": ORACLE_JSONL,
         "io_avro_split_backend": ORACLE_AVRO_SPLIT_BACKEND,
         "lakehouse_iceberg_manifest_split": ORACLE_ICEBERG_MSPLIT,
         "tpch_q1_pricing_summary": ORACLE_Q1,

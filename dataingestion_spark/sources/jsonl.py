@@ -225,6 +225,49 @@ def write_jsonl_zst(df: DataFrame, path: str, shards: int = 4,
     return sorted(r["name"] for r in manifest)
 
 
+def stream_jsonl_zst(spark: SparkSession, path: str,
+                     schema: Optional[T.StructType] = None,
+                     keep_corrupt: bool = False,
+                     glob: str = "*.jsonl.zst",
+                     max_files_per_trigger: Optional[int] = None
+                     ) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl_zst`: continuously ingest a
+    landing directory of ``.jsonl.zst`` shards (the DCLM corpus shape
+    :func:`stream_jsonl` can't tail — Spark's text source has no zstd
+    codec in this image).
+
+    The binaryFile STREAMING source provides the same exactly-once
+    shard discovery as the text source (checkpointed file log);
+    decompression and line parsing are byte-identical to the batch
+    reader (shared decompress shape + ``_parse_lines``), so corrupt
+    lines are data here too. One task per discovered file;
+    ``max_files_per_trigger`` paces catch-up after downtime."""
+    # streaming sources require the schema up front; binaryFile's is
+    # fixed by the format
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary")
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+
+    def decompress(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                data = pa.input_stream(pa.py_buffer(bytes(blob)),
+                                       compression="zstd").read()
+                lines = data.decode("utf-8").split("\n")
+                yield pd.DataFrame({"value": lines})
+
+    raw = (reader.load(path).select("content")
+           .mapInPandas(decompress, "value string"))
+    return _parse_lines(raw, schema or DOCUMENTS_SCHEMA, keep_corrupt)
+
+
 # ---------------------------------------------------------------------------
 # scale-IN: byte-range splitting of multi-frame .jsonl.zst shards
 # (RFC 8878 structural frame walk — no decompression needed to plan)

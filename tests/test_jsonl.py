@@ -273,3 +273,45 @@ def test_zst_split_over_memory_backend(spark, tmp_path):
     got = jsonl.read_jsonl_zst_split(spark, "store/z", schema,
                                      split_mb=1, backend=mem)
     assert sorted(r["doc_id"] for r in got.collect()) == list(range(3000))
+
+
+def test_stream_jsonl_zst_tails_landing_dir(spark, tmp_path):
+    """stream_jsonl_zst discovers shards exactly once across drains
+    and parses identically to the batch reader (shared decompress +
+    _parse_lines), including the corrupt-line contract."""
+    import os
+
+    import pyarrow as pa
+
+    from dataingestion_spark.sources import jsonl
+
+    schema = jsonl.DOCUMENTS_SCHEMA
+    land = str(tmp_path / "land")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+
+    def drop(name, rows, corrupt=False):
+        body = "\n".join(
+            f'{{"doc_id": {i}, "text": "t{i}", "lang": "l", '
+            f'"source": "s", "n_chars": {i}}}' for i in rows)
+        if corrupt:
+            body += "\nnot json at all"
+        blob = pa.Codec("zstd").compress(
+            (body + "\n").encode()).to_pybytes()
+        open(os.path.join(land, name), "wb").write(blob)
+
+    def drain():
+        q = (jsonl.stream_jsonl_zst(spark, land, schema)
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drop("a.jsonl.zst", range(0, 5))
+    drain()
+    drop("b.jsonl.zst", range(5, 12), corrupt=True)
+    drain()
+    got = sorted(r["doc_id"]
+                 for r in spark.read.parquet(sink).collect())
+    assert got == list(range(12))  # corrupt line dropped, not poison
