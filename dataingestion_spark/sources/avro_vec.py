@@ -34,9 +34,11 @@ arrays of NON-nullable fixed-width elements (float/double/boolean —
 the embedding-corpus shape, one gather per row) and of string/bytes
 elements (the tokenized-text shape, r12 — one varint wave per element
 INDEX, so a K-token row costs K waves at full block width, then the
-same deferred-(start,len) single-gather trick as top-level strings);
-single-block form, with the spec's negative-count blocks honored and
-multi-block arrays falling back via _VecFallback. Spec
+same deferred-(start,len) single-gather trick as top-level strings).
+The spec's negative-count blocks are honored, and MULTI-block arrays
+(foreign writers chunk large ones) decode in the same waves: rows
+drop out as their count-0 terminator arrives, continuation segments
+gather per-row-contiguously (r12). Spec
 schema-resolution projection (writer-only fields skip at wave speed),
 reader defaults, and the int→long→float→double / string↔bytes
 promotions. Varint-numeric-element or union-element arrays, maps, and
@@ -58,8 +60,10 @@ _MIN_BLOCKS = 64  # vector width below breakeven (~50 measured) — scalar
 
 class _VecFallback(Exception):
     """Raised mid-decode when the DATA (not the schema) leaves the
-    vectorized path's coverage — e.g. a multi-block array. The caller
-    falls back to the scalar decoder; never surfaces to users."""
+    vectorized path's coverage. The caller falls back to the scalar
+    decoder; never surfaces to users. No in-tree raiser since r12
+    closed multi-block arrays — kept as the documented escape hatch
+    for future partially-covered shapes."""
 
 _U0, _U1, _U7, _U63 = (np.uint64(0), np.uint64(1), np.uint64(7),
                        np.uint64(63))
@@ -232,9 +236,11 @@ class _Cols:
         self.lens: Dict[str, np.ndarray] = {}
         # arrays of var-width elements: per-row element count + one
         # (elem_idx, rows, starts, lens) tuple per element wave,
-        # scattered into flat buffers at finalize
+        # scattered into flat buffers at finalize; fixed-width arrays
+        # collect continuation segments (multi-block form) in fextra
         self.acounts: Dict[str, np.ndarray] = {}
         self.aparts: Dict[str, List[Tuple]] = {}
+        self.fextra: Dict[str, List[Tuple]] = {}
         for s in steps:
             name = s["name"]
             if name is None:
@@ -243,7 +249,11 @@ class _Cols:
             if k == "array" and s["elem_w"] is None:
                 self.acounts[name] = np.zeros(n, np.int64)
                 self.aparts[name] = []
-            elif k in ("string", "bytes", "fixed", "array"):
+            elif k == "array":
+                self.starts[name] = np.zeros(n, np.int64)
+                self.lens[name] = np.zeros(n, np.int64)
+                self.fextra[name] = []
+            elif k in ("string", "bytes", "fixed"):
                 self.starts[name] = np.zeros(n, np.int64)
                 self.lens[name] = np.zeros(n, np.int64)
             elif k == "double":
@@ -315,46 +325,61 @@ def _exec_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
             cols.lens[name][out_pos] = step["size"]
         pos[idx] += step["size"]
     elif k == "array":
+        # arrays are a SEQUENCE of (count, items...) blocks ending in
+        # a count-0 terminator; rows drop out of the wave as their
+        # terminator arrives, so multi-block arrays (foreign writers
+        # chunk large ones) decode at full width with no fallback
         w = step["elem_w"]
-        c = _zigzag(_wave_varint(buf, pos, idx))
-        neg = c < 0
-        if neg.any():
-            # negative-count block form: the byte size follows — we
-            # decode elements ourselves, so only |count| matters
-            _wave_varint(buf, pos, idx[neg])
-            c = np.abs(c)
-        if w is not None:  # fixed-width elements: one range per row
-            if name is not None:
-                cols.starts[name][out_pos] = pos[idx]
-                cols.lens[name][out_pos] = c * w
-            pos[idx] += c * w
-        else:  # string/bytes elements: one varint wave per ELEMENT
-            # index — vector width stays = active blocks, so a K-token
-            # row costs K waves, not K*rows python calls
-            if name is not None:
-                cols.acounts[name][out_pos] = c
-            e = 0
-            act, aout, acnt = idx, out_pos, c
-            while True:
-                m = acnt > e
-                if not m.any():
+        act, aout = idx, out_pos
+        ebase = np.zeros(len(act), np.int64)  # elements decoded so far
+        segno = 0
+        while len(act):
+            c = _zigzag(_wave_varint(buf, pos, act))
+            neg = c < 0
+            if neg.any():
+                # negative-count block form: the byte size follows —
+                # we decode elements ourselves, so only |count| matters
+                _wave_varint(buf, pos, act[neg])
+                c = np.abs(c)
+            live = c > 0  # count 0 IS this row's terminator
+            if not live.all():
+                act, aout, ebase, c = (act[live], aout[live],
+                                       ebase[live], c[live])
+                if not len(act):
                     break
-                if not m.all():
-                    act, aout, acnt = act[m], aout[m], acnt[m]
-                lens = _zigzag(_wave_varint(buf, pos, act))
-                if (lens < 0).any():
-                    raise ValueError(
-                        f"negative byte-length {int(lens.min())}")
+            if w is not None:  # fixed-width: one range per array block
                 if name is not None:
-                    cols.aparts[name].append(
-                        (e, aout.copy(), pos[act], lens))
-                pos[act] += lens
-                e += 1
-        nz = c > 0  # count 0 IS the terminator; others read one more
-        if nz.any():
-            t = _wave_varint(buf, pos, idx[nz])
-            if (t != 0).any():
-                raise _VecFallback("multi-block array")
+                    if segno == 0:
+                        cols.starts[name][aout] = pos[act]
+                        cols.lens[name][aout] = c * w
+                    else:
+                        cols.fextra[name].append(
+                            (aout.copy(), pos[act], c * w, segno))
+                pos[act] += c * w
+            else:  # string/bytes: one varint wave per ELEMENT index —
+                # vector width stays = active blocks, so a K-token row
+                # costs K waves, not K*rows python calls
+                if name is not None:
+                    cols.acounts[name][aout] += c
+                e = 0
+                a2, o2, c2, eb2 = act, aout, c, ebase
+                while True:
+                    m = c2 > e
+                    if not m.any():
+                        break
+                    if not m.all():
+                        a2, o2, c2, eb2 = a2[m], o2[m], c2[m], eb2[m]
+                    lens = _zigzag(_wave_varint(buf, pos, a2))
+                    if (lens < 0).any():
+                        raise ValueError(
+                            f"negative byte-length {int(lens.min())}")
+                    if name is not None:
+                        cols.aparts[name].append(
+                            (eb2 + e, o2.copy(), pos[a2], lens))
+                    pos[a2] += lens
+                    e += 1
+            ebase = ebase + c
+            segno += 1
     else:  # pragma: no cover - plan gate excludes other kinds
         raise ValueError(f"unplannable kind {k!r}")
 
@@ -409,8 +434,30 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
         return pd.Series(arr.to_pandas(), dtype=object)
     if k == "array":
         starts, lens = cols.starts[name], cols.lens[name]
-        values = _gather_ranges(buf, starts, lens)
         w = step["elem_w"]
+        extras = cols.fextra.get(name) or []
+        if extras:
+            # multi-block rows: order every segment by (row, block) so
+            # one gather yields per-row-contiguous element bytes
+            n_rows = len(lens)
+            rows_all = np.concatenate(
+                [np.arange(n_rows, dtype=np.int64)]
+                + [r for r, _s, _l, _g in extras])
+            starts_all = np.concatenate(
+                [starts] + [s for _r, s, _l, _g in extras])
+            lens_all = np.concatenate(
+                [lens] + [l for _r, _s, l, _g in extras])
+            seg_all = np.concatenate(
+                [np.zeros(n_rows, np.int64)]
+                + [np.full(len(r), g, np.int64)
+                   for r, _s, _l, g in extras])
+            order = np.lexsort((seg_all, rows_all))
+            values = _gather_ranges(buf, starts_all[order],
+                                    lens_all[order])
+            lens = np.bincount(rows_all, weights=lens_all,
+                               minlength=n_rows).astype(np.int64)
+        else:
+            values = _gather_ranges(buf, starts, lens)
         counts = lens // w
         offs = np.zeros(len(counts) + 1, np.int64)
         np.cumsum(counts, out=offs[1:])

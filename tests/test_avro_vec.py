@@ -246,9 +246,11 @@ def test_nullable_item_arrays_fall_back(tmp_path):
     assert scalar[0]["xs"][1] is None
 
 
-def test_multiblock_array_falls_back_not_wrong(tmp_path):
+def test_multiblock_array_decodes_vectorized(tmp_path):
     """A foreign writer may chunk one array into several blocks; the
-    vector path must FALL BACK (None), never mis-slice."""
+    vector path decodes them (r12 — rows drop out of the wave at their
+    count-0 terminator; continuation segments gather per-row
+    contiguously), byte-exact with the scalar decoder."""
     from dataingestion_spark.sources.avro import (
         _MAGIC, _enc_long,  # noqa: F401 (wire-level fixture)
     )
@@ -275,7 +277,9 @@ def test_multiblock_array_falls_back_not_wrong(tmp_path):
     _, rows = read_container(blob, "mb")
     assert rows[0]["xs"] == [1.5, 2.5, 3.5] and len(rows) == 70
     node, cols = read_container_columnar(blob, "mb")
-    assert cols is None
+    assert cols is not None, "multi-block arrays fell back"
+    for i in range(70):
+        assert list(cols["xs"].iloc[i]) == [1.5, 2.5, 3.5]
 
 
 def test_negative_count_array_block_decodes(tmp_path):
@@ -677,9 +681,10 @@ def test_differential_string_arrays(tmp_path):
     assert list(cols["doc_id"]) == [r["doc_id"] for r in scalar]
 
 
-def test_string_array_multiblock_falls_back_not_wrong(tmp_path):
+def test_string_array_multiblock_decodes_vectorized(tmp_path):
     """A foreign writer chunking one string array into several blocks
-    must push the whole file to the scalar path, not decode wrong."""
+    decodes vectorized (r12), element slots continuing across blocks
+    via the per-row element base."""
     from dataingestion_spark.sources.avro import (
         _container_header, _enc_long,
     )
@@ -704,7 +709,9 @@ def test_string_array_multiblock_falls_back_not_wrong(tmp_path):
     block.extend(sync)
     blob.extend(block * 70)  # 70 identical blocks >= _MIN_BLOCKS
     node, cols = read_container_columnar(bytes(blob), "mb")
-    assert cols is None  # fell back
+    assert cols is not None, "multi-block string arrays fell back"
+    assert list(cols["xs"].iloc[0]) == ["a", "b"]
+    assert list(cols["xs"].iloc[-1]) == ["a", "b"]
     _, rows = read_container(bytes(blob), "mb")
     assert rows[0]["xs"] == ["a", "b"] and len(rows) == 70 * 70
 
@@ -740,3 +747,63 @@ def test_string_array_negative_count_block(tmp_path):
     assert list(cols["xs"].iloc[0]) == ["xy", "", "zzz"]
     _, rows = read_container(bytes(blob), "neg")
     assert rows[0]["xs"] == ["xy", "", "zzz"]
+
+
+def test_multiblock_random_splits_differential(tmp_path):
+    """Randomly chunked float AND string arrays in one record, random
+    split points per row: the wave decoder must equal the scalar
+    decoder on every row (multi-block continuation, empty arrays,
+    empty blocks-after-first, unicode elements)."""
+    import struct as _s
+
+    from dataingestion_spark.sources.avro import (
+        _container_header, _enc_long,
+    )
+
+    rng = random.Random(31)
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "xs", "type": {"type": "array", "items": "float"}},
+        {"name": "ts", "type": {"type": "array", "items": "string"}}]}
+
+    def enc_blocks(payload, items, enc_item):
+        at = 0
+        while at < len(items):
+            take = rng.randint(1, max(1, len(items) - at))
+            _enc_long(payload, take)
+            for v in items[at:at + take]:
+                enc_item(v)
+            at += take
+        _enc_long(payload, 0)
+
+    want = []
+    sync = b"0123456789abcdef"
+    blob = bytearray(_container_header(sch, "null", sync, None))
+    for i in range(120):
+        xs = [round(rng.uniform(-9, 9), 3) for _ in range(rng.randint(0, 7))]
+        ts = ["" if j % 4 == 0 else f"wörd{j}" * rng.randint(1, 3)
+              for j in range(rng.randint(0, 6))]
+        want.append((i, xs, ts))
+        payload = bytearray()
+        _enc_long(payload, i)
+        enc_blocks(payload, xs,
+                   lambda v: payload.extend(_s.pack("<f", v)))
+        enc_blocks(payload, ts,
+                   lambda v: (_enc_long(payload, len(v.encode())),
+                              payload.extend(v.encode())))
+        block = bytearray()
+        _enc_long(block, 1)
+        _enc_long(block, len(payload))
+        block += payload + sync
+        blob += block
+    _, rows = read_container(bytes(blob), "rnd")
+    node, cols = read_container_columnar(bytes(blob), "rnd")
+    assert cols is not None
+    import numpy as np
+    for i, (rid, xs, ts) in enumerate(want):
+        assert rows[i]["id"] == rid and cols["id"].iloc[i] == rid
+        assert np.allclose(np.asarray(list(cols["xs"].iloc[i]),
+                                      dtype=np.float32),
+                           np.array(xs, dtype=np.float32))
+        assert rows[i]["ts"] == ts
+        assert list(cols["ts"].iloc[i]) == ts
