@@ -6520,6 +6520,37 @@ SELECT doc_id, repeat(text, 5) AS text5, lang, n_chars FROM documents
 """
 
 
+def q_io_arrow_ipc_split(spark, sf):
+    """Footer-indexed Arrow IPC batch splitting (r12,
+    sources/arrow_ipc.py::read_arrow_ipc_split): documents → ONE
+    Feather shard at batch_rows=64 → the planner reads the footer and
+    assigns contiguous batch ranges of ~1 MB to tasks; each task
+    random-accesses exactly its batches (no resync heuristics — the
+    format indexes every batch). Text inflated 5x so sf0.1 plans
+    several genuine splits. Oracle = exact multiset restatement from
+    the parquet source, so a batch lost or doubled at any range edge
+    goes red."""
+    import tempfile
+
+    from dataingestion_spark.sources.arrow_ipc import (
+        read_arrow_ipc_split, write_arrow_ipc,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.repeat("text", 5).alias("text5"), "lang",
+        "n_chars")
+    out = tempfile.mkdtemp(prefix="ipc_split_") + "/shards"
+    write_arrow_ipc(docs, out, shards=1, order_by="doc_id",
+                    batch_rows=64)
+    return read_arrow_ipc_split(spark, out, split_mb=1).select(
+        "doc_id", "text5", "lang", "n_chars")
+
+
+ORACLE_ARROW_IPC_SPLIT = """
+SELECT doc_id, repeat(text, 5) AS text5, lang, n_chars FROM documents
+"""
+
+
 def q_arrow_ipc_roundtrip(spark, sf):
     """Arrow IPC / Feather v2 interchange (sources/arrow_ipc.py): the
     random-access columnar format training dataloaders mmap. Documents
@@ -9026,6 +9057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_avro_split_backend": q_io_avro_split_backend,
         "lakehouse_iceberg_manifest_split": q_iceberg_manifest_split,
         "io_jsonl_zst_split": q_io_jsonl_zst_split,
+        "io_arrow_ipc_split": q_io_arrow_ipc_split,
         "streaming_jsonl_zst_ingest": q_streaming_jsonl_zst_ingest,
         # --- r12 sample 4-50: the stalest external checks (the r7
         # block of 40 + the 7 oldest r8 entries — the r11 verdict's
@@ -9278,6 +9310,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "io_avro_tokens_vec": ORACLE_AVRO_TOKENS,
         "io_jsonl_zst_split": ORACLE_JSONL_ZST_SPLIT,
+        "io_arrow_ipc_split": ORACLE_ARROW_IPC_SPLIT,
         "streaming_jsonl_zst_ingest": ORACLE_JSONL,
         "io_avro_split_backend": ORACLE_AVRO_SPLIT_BACKEND,
         "lakehouse_iceberg_manifest_split": ORACLE_ICEBERG_MSPLIT,

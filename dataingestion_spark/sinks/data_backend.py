@@ -233,11 +233,45 @@ class RangedFile:
         self._ra = max(int(readahead), 1)
         self._buf = b""
         self._buf_at = 0
-        self._eof_at: Optional[int] = None  # file size once known
+        self._eof_at: Optional[int] = None  # EOF hint from short reads
+        self._size: Optional[int] = None    # stat cache for size()
 
-    def seek(self, pos: int) -> int:
+    def seek(self, pos: int, whence: int = 0) -> int:
+        # full whence support so pa.PythonFile can wrap this adapter
+        # (Arrow IPC readers seek from EOF to find the footer)
+        if whence == 1:
+            pos += self._pos
+        elif whence == 2:
+            pos += self.size()
         self._pos = pos
-        return pos
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def size(self) -> int:
+        if self._size is None:
+            n = self._b.size(self._path)
+            if n is None:
+                raise FileNotFoundError(self._path)
+            self._size = n
+        return self._size
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        pass
+
+    @property
+    def closed(self) -> bool:
+        return False
 
     def _fetch(self, start: int, length: int) -> bytes:
         data = self._b.read_range(self._path, start, length)

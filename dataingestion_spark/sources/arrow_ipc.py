@@ -27,7 +27,8 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_arrow_ipc", "write_arrow_ipc"]
+__all__ = ["read_arrow_ipc", "read_arrow_ipc_split",
+           "write_arrow_ipc"]
 
 
 def read_arrow_ipc(spark: SparkSession, path: str,
@@ -153,3 +154,121 @@ def write_arrow_ipc(df: DataFrame, out_dir: str, shards: int = 4,
     manifest = (sel.groupBy("_shard").applyInPandas(
         write_shard, "name string, n_records long").collect())
     return sorted(r["name"] for r in manifest)
+
+
+def _open_ipc(path: str, backend):
+    """Random-access IPC reader handle: plain pyarrow file open for
+    the local backend (lazy per-batch reads from an OSFile), a
+    ``pa.PythonFile`` over the buffered :class:`RangedFile` elsewhere
+    (footer + assigned batches arrive as ranged GETs)."""
+    import pyarrow as pa
+
+    from ..sinks.data_backend import LocalDataBackend, RangedFile
+
+    if isinstance(backend, LocalDataBackend):
+        return pa.ipc.open_file(path)
+    return pa.ipc.open_file(pa.PythonFile(RangedFile(backend, path),
+                                          mode="r"))
+
+
+def _ipc_meta(path: str, backend) -> tuple:
+    """(num record batches, file size) from the footer — a couple of
+    small tail reads, callable driver- or executor-side."""
+    size = backend.size(path)
+    if size is None:
+        raise FileNotFoundError(path)
+    return _open_ipc(path, backend).num_record_batches, size
+
+
+def read_arrow_ipc_split(spark: SparkSession, path: str,
+                         columns: Optional[List[str]] = None, *,
+                         split_mb: int = 128,
+                         glob_pat: str = "*.arrow",
+                         backend=None) -> DataFrame:
+    """Scale-IN Arrow IPC reader: the file format's FOOTER indexes
+    every record batch, so splitting needs no resync heuristics at all
+    — the planner reads each footer (small tail reads), assigns
+    contiguous batch ranges of ~``split_mb`` bytes to tasks, and each
+    task random-accesses exactly its batches (``get_batch`` seeks per
+    the footer's block index; unassigned batches are never read).
+
+    Contrast :func:`read_arrow_ipc` (one ``binaryFile`` task per
+    file): there parallelism = shard count and a task materializes the
+    whole blob; here parallelism = corpus bytes / split_mb and a task
+    touches only its own batch ranges — what one oversized Feather
+    shard of embeddings needs. Same schema contract as the whole-file
+    reader: pinned from the first footer, per-file type check, loud
+    mismatch. ``columns`` prunes at the deserialization boundary.
+    Local paths open directly; other schemes route through the
+    range-read DataBackend (or pass ``backend=``). Footer probes run
+    as one Spark job above 32 files."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ..sinks.data_backend import (
+        list_split_files, resolve_split_backend,
+    )
+
+    if split_mb < 1:
+        raise ValueError("split_mb must be >= 1")
+    backend = resolve_split_backend(path, backend)
+    files = list_split_files(path, glob_pat, backend)
+    if not files:
+        raise ValueError(f"no files match {glob_pat!r} under {path}")
+    if len(files) <= 32:
+        metas = {p: _ipc_meta(p, backend) for p in files}
+    else:
+        bk = backend
+        metas = dict(
+            spark.sparkContext
+            .parallelize(files, min(len(files), 256))
+            .map(lambda p: (p, _ipc_meta(p, bk))).collect())
+
+    schema = _open_ipc(files[0], backend).schema
+    if columns is not None:
+        missing = [c for c in columns if c not in schema.names]
+        if missing:
+            raise ValueError(f"columns not in schema: {missing}")
+        schema = pa.schema([schema.field(c) for c in columns])
+    spark_schema = from_arrow_schema(schema)
+    want = [f.name for f in schema]
+
+    step = split_mb << 20
+    ranges = []
+    for p in files:
+        n_batches, size = metas[p]
+        if n_batches == 0:
+            continue
+        per_batch = max(size // n_batches, 1)
+        per_task = max(int(step // per_batch), 1)
+        for lo in range(0, n_batches, per_task):
+            ranges.append((p, lo, min(per_task, n_batches - lo)))
+    if not ranges:  # only empty files: one no-op task keeps the shape
+        ranges = [(files[0], 0, 0)]
+    rdf = spark.createDataFrame(
+        ranges, "path string, first long, count long"
+    ).repartition(min(len(ranges), 4096))
+
+    def decode(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                reader = _open_ipc(row.path, backend)
+                fschema = reader.schema
+                for name in want:
+                    expect = schema.field(name)
+                    if (name not in fschema.names
+                            or fschema.field(name).type != expect.type):
+                        got = (fschema.field(name).type
+                               if name in fschema.names else None)
+                        raise ValueError(
+                            f"{row.path}: field {name!r} is {got}, "
+                            f"expected {expect.type}")
+                if row.count == 0:
+                    continue
+                got_b = [reader.get_batch(int(row.first) + i)
+                         for i in range(int(row.count))]
+                tbl = pa.Table.from_batches(got_b).select(want)
+                yield tbl.to_pandas()
+
+    return rdf.mapInPandas(decode, spark_schema)

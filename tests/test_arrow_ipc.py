@@ -120,3 +120,73 @@ def test_adversarial_content_roundtrip(spark, tmp_path):
                       tuple(r[3]) if r[3] is not None else None, r[4])
     assert {norm(r) for r in back.collect()} == \
         {norm(r) for r in df.collect()}
+
+
+def test_split_reader_equals_whole_file(spark, tmp_path):
+    """Footer-indexed batch splitting: byte-range tasks must yield
+    exactly the whole-file rows, with column pruning intact, for both
+    uncompressed and zstd per-buffer-compressed shards."""
+    import hashlib
+
+    from dataingestion_spark.sources.arrow_ipc import (
+        read_arrow_ipc, read_arrow_ipc_split, write_arrow_ipc,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, hashlib.sha256(str(i).encode()).hexdigest() * 8,
+          float(i) / 3) for i in range(6000)],
+        "doc_id long, body string, score double")
+    for comp in (None, "zstd"):
+        d = str(tmp_path / f"ipc_{comp}")
+        write_arrow_ipc(docs, d, shards=1, order_by="doc_id",
+                        batch_rows=256, compression=comp)
+        whole = {tuple(r) for r in read_arrow_ipc(spark, d).collect()}
+        split = {tuple(r) for r in
+                 read_arrow_ipc_split(spark, d, split_mb=1).collect()}
+        assert split == whole and len(split) == 6000
+        pruned = read_arrow_ipc_split(spark, d, columns=["doc_id"],
+                                      split_mb=1)
+        assert pruned.columns == ["doc_id"]
+        assert sorted(r["doc_id"] for r in pruned.collect()) \
+            == list(range(6000))
+
+
+def test_split_reader_over_memory_backend(spark, tmp_path):
+    """Batch ranges through a non-POSIX range-read backend: the footer
+    and each task's batches arrive via pa.PythonFile over RangedFile."""
+    import os
+
+    from dataingestion_spark.sinks.data_backend import MemoryDataBackend
+    from dataingestion_spark.sources.arrow_ipc import (
+        read_arrow_ipc_split, write_arrow_ipc,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "y" * 500) for i in range(4000)],
+        "doc_id long, body string")
+    d = str(tmp_path / "ipc_mem")
+    write_arrow_ipc(docs, d, shards=1, order_by="doc_id",
+                    batch_rows=128)
+    mem = MemoryDataBackend()
+    for n in os.listdir(d):
+        mem.write_bytes(f"store/ipc/{n}",
+                        open(os.path.join(d, n), "rb").read())
+    got = read_arrow_ipc_split(spark, "store/ipc", split_mb=1,
+                               backend=mem)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(4000))
+
+
+def test_split_reader_schema_mismatch_loud(spark, tmp_path):
+    import pytest as _pt
+
+    from dataingestion_spark.sources.arrow_ipc import (
+        read_arrow_ipc_split, write_arrow_ipc,
+    )
+
+    a = spark.createDataFrame([(1, "x")], "doc_id long, body string")
+    b = spark.createDataFrame([(1.5, "x")], "doc_id double, body string")
+    d = str(tmp_path / "mix")
+    write_arrow_ipc(a, d, shards=1, prefix="p1")
+    write_arrow_ipc(b, d, shards=1, prefix="p2")
+    with _pt.raises(Exception, match="expected"):
+        read_arrow_ipc_split(spark, d, split_mb=1).collect()
