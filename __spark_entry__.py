@@ -6603,6 +6603,40 @@ def q_streaming_jsonl_ingest(spark, sf):
         "doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_reader_wds_split(spark, sf):
+    """Byte-range splitting of WebDataset tar shards (r12,
+    sinks/webdataset.py::read_webdataset_split): documents → ONE
+    USTAR shard (key = zero-padded doc_id, payload = text5) →
+    byte-range reads resyncing on checksum-validated 512-aligned
+    headers chained to the next header. Text inflated 5x so sf0.1
+    plans several genuine 1 MB splits. Oracle restates key/ext/payload
+    from the parquet source, so a member lost or doubled at any
+    boundary goes red."""
+    import tempfile
+
+    from dataingestion_spark.sinks.webdataset import (
+        read_webdataset_split, write_webdataset,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        F.lit(0).alias("shard_id"),
+        F.format_string("%09d", F.col("doc_id")).alias("key"),
+        F.repeat("text", 5).alias("text"),
+        F.lit(None).cast("string").alias("meta"))
+    out = tempfile.mkdtemp(prefix="wds_split_") + "/shards"
+    write_webdataset(docs, out, meta_col=None).collect()
+    return read_webdataset_split(spark, out, split_mb=1).select(
+        "key", "ext", "payload")
+
+
+ORACLE_WDS_SPLIT = """
+SELECT lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key,
+       'txt' AS ext,
+       repeat(text, 5) AS payload
+FROM documents
+"""
+
+
 def q_streaming_jsonl_zst_ingest(spark, sf):
     """Continuous .jsonl.zst corpus ingestion (r12,
     sources/jsonl.py::stream_jsonl_zst — the DCLM landing-dir shape
@@ -9058,6 +9092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_iceberg_manifest_split": q_iceberg_manifest_split,
         "io_jsonl_zst_split": q_io_jsonl_zst_split,
         "io_arrow_ipc_split": q_io_arrow_ipc_split,
+        "reader_wds_split": q_reader_wds_split,
         "streaming_jsonl_zst_ingest": q_streaming_jsonl_zst_ingest,
         # --- r12 sample 4-50: the stalest external checks (the r7
         # block of 40 + the 7 oldest r8 entries — the r11 verdict's
@@ -9311,6 +9346,7 @@ def oracle_sql() -> dict[str, str]:
         "io_avro_tokens_vec": ORACLE_AVRO_TOKENS,
         "io_jsonl_zst_split": ORACLE_JSONL_ZST_SPLIT,
         "io_arrow_ipc_split": ORACLE_ARROW_IPC_SPLIT,
+        "reader_wds_split": ORACLE_WDS_SPLIT,
         "streaming_jsonl_zst_ingest": ORACLE_JSONL,
         "io_avro_split_backend": ORACLE_AVRO_SPLIT_BACKEND,
         "lakehouse_iceberg_manifest_split": ORACLE_ICEBERG_MSPLIT,

@@ -128,6 +128,7 @@ def main():
         "avro_tokens_vec": em.q_io_avro_tokens_vec,
         "jsonl_zst_split_read": em.q_io_jsonl_zst_split,
         "arrow_ipc_split_read": em.q_io_arrow_ipc_split,
+        "wds_split_read": em.q_reader_wds_split,
         "tfrecord_split_read": em.q_io_tfrecord_split_read,
         "wet_split_read": em.q_reader_wet_split,
         "iceberg_roundtrip": em.q_iceberg_roundtrip,

@@ -156,3 +156,169 @@ def read_webdataset(spark, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return binary_file_scan(spark, path, glob="*.tar").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# scale-IN: byte-range splitting of tar shards (USTAR headers are
+# checksum-validated, 512-aligned structures — resync is exact)
+
+def _tar_header(blk: bytes):
+    """(member name, payload size, typeflag) if ``blk`` is a valid
+    USTAR header (magic at 257 + stored checksum matches the spec sum
+    with the chksum field read as spaces), else None."""
+    if len(blk) < 512 or blk[257:262] != b"ustar":
+        return None
+    try:
+        stored = int(blk[148:156].replace(b"\x00", b" ").strip() or b"0", 8)
+        size = int(blk[124:136].replace(b"\x00", b" ").strip() or b"0", 8)
+    except ValueError:
+        return None
+    if sum(blk[:148]) + 8 * 32 + sum(blk[156:512]) != stored:
+        return None
+    name = blk[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+    prefix = blk[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
+    if prefix:
+        name = prefix + "/" + name
+    return name, size, blk[156:157]
+
+
+def _read_tar_span(path: str, start: int, end: int, size: int,
+                   backend=None) -> List[Tuple[str, bytes]]:
+    """(member name, payload) for every member whose HEADER starts in
+    [start, end). Headers are 512-aligned from file start, so resync =
+    first aligned offset >= start whose block passes the checksum AND
+    whose implied next header also validates (or is the end marker /
+    EOF)."""
+    from ..sinks.data_backend import open_split, resolve_split_backend
+
+    def _next_at(off: int, payload: int) -> int:
+        return off + 512 + (payload + 511) // 512 * 512
+
+    with open_split(path, resolve_split_backend(path, backend)) as fh:
+        def _ok_at(off: int):
+            fh.seek(off)
+            return _tar_header(fh.read(512))
+
+        if start == 0:
+            pos = 0
+        else:
+            pos = None
+            cand = (start + 511) // 512 * 512
+            while cand + 512 <= size:
+                h = _ok_at(cand)
+                if h is not None:
+                    nxt = _next_at(cand, h[1])
+                    if nxt == size or nxt + 512 <= size:
+                        fh.seek(nxt)
+                        blk = fh.read(512)
+                        if (not blk or blk == b"\x00" * 512
+                                or _tar_header(blk) is not None):
+                            pos = cand
+                            break
+                cand += 512
+            if pos is None or pos >= end:
+                return []
+        rows: List[Tuple[str, bytes]] = []
+        while pos < end and pos + 512 <= size:
+            fh.seek(pos)
+            blk = fh.read(512)
+            if blk == b"\x00" * 512:   # end-of-archive marker
+                break
+            h = _tar_header(blk)
+            if h is None:
+                raise ValueError(f"{path}: corrupt tar header at "
+                                 f"byte {pos}")
+            name, psize, tf = h
+            if tf in (b"L", b"K", b"x", b"g"):
+                raise ValueError(
+                    f"{path}: GNU/pax extension entries are not "
+                    "splittable here — use read_webdataset")
+            if tf in (b"0", b"\x00"):
+                data = fh.read(psize)
+                if len(data) < psize:
+                    raise ValueError(
+                        f"{path}: truncated member at byte {pos}")
+                rows.append((name, data))
+            pos = _next_at(pos, psize)
+        return rows
+
+
+def read_webdataset_split(spark, path: str, *, split_mb: int = 128,
+                          glob_pat: str = "*.tar", backend=None
+                          ) -> DataFrame:
+    """Scale-IN WebDataset reader: byte-range splits of tar shards, so
+    one oversized shard fans out across executors instead of one task.
+
+    Every USTAR header is 512-aligned and carries a checksum, so a
+    task landing mid-payload resyncs EXACTLY: scan aligned offsets,
+    validate the checksum, and require the implied next header (or the
+    end marker / EOF) to validate too — payload bytes that happen to
+    look like a header fail the chain. A member belongs to the split
+    its header starts in. Same row contract as :func:`read_webdataset`
+    ((path, key, ext, payload) per member — a sample whose members
+    straddle a boundary emits from two tasks, exactly as the
+    whole-file reader emits per member). GNU/pax extension entries
+    raise loudly (the tarfile-backed whole-file reader handles them).
+    Caveat: a payload that is ITSELF a 512-aligned USTAR archive
+    (tar-in-tar) can capture a resync — its inner headers chain
+    validly — so such corpora must use :func:`read_webdataset`; the
+    text/json members this sink writes cannot alias.
+    Local paths seek with ``open()``; other schemes route through the
+    range-read DataBackend, like the avro/tfrecord/warc/jsonl.zst/
+    arrow split readers."""
+    from ..sinks.data_backend import (
+        list_split_files, resolve_split_backend,
+    )
+
+    if split_mb < 1:
+        raise ValueError("split_mb must be >= 1")
+    backend = resolve_split_backend(path, backend)
+    files = list_split_files(path, glob_pat, backend)
+    if not files:
+        raise ValueError(f"no files match {glob_pat!r} under {path}")
+    metas = {}
+    for p in files:
+        head = backend.read_range(p, 257, 5)
+        fsize = backend.size(p)
+        if head is None or fsize is None:
+            raise FileNotFoundError(p)
+        if head != b"ustar":
+            raise ValueError(f"{p}: not a USTAR archive")
+        metas[p] = fsize
+
+    step = split_mb << 20
+    ranges = []
+    for p in files:
+        fsize = metas[p]
+        lo = 0
+        while lo < fsize:
+            hi = min(lo + step, fsize)
+            ranges.append((p, lo, hi, fsize))
+            lo = hi
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, end long, size long"
+    ).repartition(min(len(ranges), 4096))
+
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("key", StringType()),
+        StructField("ext", StringType()),
+        StructField("payload", StringType()),
+    ])
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                for name, data in _read_tar_span(
+                        row.path, int(row.start), int(row.end),
+                        int(row.size), backend=backend):
+                    base, _, ext = name.rpartition(".")
+                    rows.append((row.path, base, ext,
+                                 data.decode("utf-8", "replace")))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields])
+
+    return rdf.mapInPandas(run, schema)

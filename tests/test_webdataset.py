@@ -75,3 +75,94 @@ def test_rewrite_is_byte_identical(spark, tmp_path):
         sorted(glob.glob(f"{out1}/*.tar")), sorted(glob.glob(f"{out2}/*.tar"))
     ):
         assert open(f1, "rb").read() == open(f2, "rb").read()
+
+
+def test_split_reader_equals_whole_file(spark, tmp_path):
+    """Byte-range tar splitting must yield exactly the whole-file
+    members: checksum-validated 512-aligned resync, no member lost or
+    doubled at any boundary, members straddling a boundary owned by
+    the split their header starts in."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sinks.webdataset import (
+        read_webdataset, read_webdataset_split, write_webdataset,
+    )
+
+    docs = spark.range(1500).select(
+        F.lit(0).alias("shard_id"),
+        F.format_string("%06d", F.col("id")).alias("key"),
+        F.concat(F.lit("body "), F.sha2(F.col("id").cast("string"),
+                                        256),
+                 F.lit(" tail " * 40)).alias("text"),
+        F.to_json(F.struct(F.col("id"))).alias("meta"))
+    out = str(tmp_path / "wds")
+    write_webdataset(docs, out).collect()
+    p = os.path.join(out, "shard-00000.tar")
+    assert os.path.getsize(p) > (1 << 20)  # >= 2 splits at 1 MB
+
+    whole = {(r["key"], r["ext"], r["payload"])
+             for r in read_webdataset(spark, out).collect()}
+    split = {(r["key"], r["ext"], r["payload"])
+             for r in read_webdataset_split(spark, out,
+                                            split_mb=1).collect()}
+    assert split == whole and len(split) == 3000  # .txt + .json each
+
+
+def test_split_reader_over_memory_backend(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sinks.data_backend import MemoryDataBackend
+    from dataingestion_spark.sinks.webdataset import (
+        read_webdataset_split, write_webdataset,
+    )
+
+    docs = spark.range(800).select(
+        F.lit(0).alias("shard_id"),
+        F.format_string("%06d", F.col("id")).alias("key"),
+        F.concat(F.sha2(F.col("id").cast("string"), 256),
+                 F.lit("y" * 900)).alias("text"),
+        F.lit(None).cast("string").alias("meta"))
+    out = str(tmp_path / "wdsm")
+    write_webdataset(docs, out, meta_col=None).collect()
+    mem = MemoryDataBackend()
+    for n in os.listdir(out):
+        mem.write_bytes(f"store/wds/{n}",
+                        open(os.path.join(out, n), "rb").read())
+    got = read_webdataset_split(spark, "store/wds", split_mb=1,
+                                backend=mem)
+    keys = sorted(r["key"] for r in got.collect())
+    assert keys == [f"{i:06d}" for i in range(800)]
+
+
+def test_split_reader_rejects_pax_and_non_tar(spark, tmp_path):
+    import os
+    import tarfile as _tf
+
+    import pytest as _pt
+
+    from dataingestion_spark.sinks.webdataset import (
+        read_webdataset_split,
+    )
+
+    d = str(tmp_path / "pax")
+    os.makedirs(d)
+    p = os.path.join(d, "a.tar")
+    with _tf.open(p, "w", format=_tf.PAX_FORMAT) as tf:
+        info = _tf.TarInfo("x" * 120 + ".txt")  # forces a pax header
+        data = b"hello"
+        info.size = len(data)
+        import io as _io
+        tf.addfile(info, _io.BytesIO(data))
+    with _pt.raises(Exception, match="pax|GNU"):
+        read_webdataset_split(spark, d, split_mb=1).collect()
+
+    d2 = str(tmp_path / "raw")
+    os.makedirs(d2)
+    open(os.path.join(d2, "b.tar"), "wb").write(b"not a tar" * 100)
+    with _pt.raises(ValueError, match="not a USTAR"):
+        read_webdataset_split(spark, d2, split_mb=1)
