@@ -807,3 +807,41 @@ def test_multiblock_random_splits_differential(tmp_path):
                            np.array(xs, dtype=np.float32))
         assert rows[i]["ts"] == ts
         assert list(cols["ts"].iloc[i]) == ts
+
+
+# ---------------------------------------------------------------------------
+# map columns: scalar by MEASUREMENT (r12 — a vectorized map decode was
+# built and benched at 0.8x scalar: map output must materialize python
+# dicts + strings in the pandas interchange, so the parse fraction the
+# waves remove is smaller than the finalize overhead they add; see
+# SCALE.md "negative result")
+
+
+def test_maps_stay_scalar_and_roundtrip(tmp_path):
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "m", "type": {"type": "map", "values": "string"}}]}
+    rows = [{"m": {f"k{j}": f"v{j}" for j in range(i % 4)}}
+            for i in range(700)]
+    cols, scalar = _vec(tmp_path, sch, rows)
+    assert cols is None  # maps -> scalar path, by measurement
+    assert scalar[6]["m"] == {"k0": "v0", "k1": "v1"}
+
+
+def test_map_spark_roundtrip(spark, tmp_path):
+    """map columns through write_avro/read_avro land as Spark MapType
+    (scalar decode path)."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.create_map(F.lit("lang"), F.lit("en"),
+                     F.lit("src"), F.col("id").cast("string"))
+        .alias("meta"))
+    d = str(tmp_path / "maps")
+    write_avro(docs, d, shards=1, order_by="doc_id", block_rows=16)
+    back = read_avro(spark, d)
+    got = {r["doc_id"]: r["meta"] for r in back.collect()}
+    assert got[7] == {"lang": "en", "src": "7"}
+    assert len(got) == 2000
