@@ -6668,6 +6668,52 @@ def q_streaming_jsonl_zst_ingest(spark, sf):
         "doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_streaming_warc_ingest(spark, sf):
+    """Continuous WARC/WET crawl-output ingestion (r12,
+    sources/warc.py::stream_warc — the file stream source tailing a
+    crawler's landing dir with exactly-once shard discovery; record
+    parsing is the batch reader's parse_warc_files unchanged):
+    documents WET-serialize into 4 landing files, the stream drains
+    one file per micro-batch into a memory sink, and the drained rows
+    must equal the batch parse exactly — a dropped or double-read
+    shard goes red."""
+    import os
+    import tempfile
+
+    from dataingestion_spark.sources.warc import (
+        stream_warc, wet_record_bytes,
+    )
+
+    pdf = (_t(spark, sf, "documents").select("doc_id", "text")
+           .toPandas().sort_values("doc_id"))
+    land = tempfile.mkdtemp(prefix="warc_stream_") + "/landing"
+    os.makedirs(land)
+    for part in range(4):
+        blob = b"".join(
+            wet_record_bytes(f"http://synth.local/{int(i)}",
+                             t.encode("utf-8"))
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+            if int(i) % 4 == part)
+        with open(os.path.join(land, f"p{part}.wet"), "wb") as fh:
+            fh.write(blob)
+    name = "warc_ingest_check"
+    q = (stream_warc(spark, land, max_files_per_trigger=1)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("target_uri").alias("uri"), "content_length",
+        F.length("payload").cast("long").alias("n_chars"))
+
+
+ORACLE_WARC_STREAM = """
+SELECT 'http://synth.local/' || CAST(doc_id AS VARCHAR) AS uri,
+       strlen(text) AS content_length,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
 def q_streaming_iceberg_tail(spark, sf):
     """Streaming reads of Iceberg tables
     (streaming/iceberg_source.py::stream_iceberg): documents → manifest
@@ -9094,6 +9140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_arrow_ipc_split": q_io_arrow_ipc_split,
         "reader_wds_split": q_reader_wds_split,
         "streaming_jsonl_zst_ingest": q_streaming_jsonl_zst_ingest,
+        "streaming_warc_ingest": q_streaming_warc_ingest,
         # --- r12 sample 4-50: the stalest external checks (the r7
         # block of 40 + the 7 oldest r8 entries — the r11 verdict's
         # #2 ask); all 50 verified green against the sf0.01 DuckDB
@@ -9347,6 +9394,7 @@ def oracle_sql() -> dict[str, str]:
         "io_jsonl_zst_split": ORACLE_JSONL_ZST_SPLIT,
         "io_arrow_ipc_split": ORACLE_ARROW_IPC_SPLIT,
         "reader_wds_split": ORACLE_WDS_SPLIT,
+        "streaming_warc_ingest": ORACLE_WARC_STREAM,
         "streaming_jsonl_zst_ingest": ORACLE_JSONL,
         "io_avro_split_backend": ORACLE_AVRO_SPLIT_BACKEND,
         "lakehouse_iceberg_manifest_split": ORACLE_ICEBERG_MSPLIT,

@@ -63,7 +63,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 __all__ = [
-    "read_avro", "read_avro_split", "write_avro",
+    "read_avro", "read_avro_split", "stream_avro", "write_avro",
     "spark_to_avro_schema", "avro_to_spark_schema",
     "encode_records", "decode_blocks", "write_container",
     "write_container_frame", "read_container",
@@ -1114,6 +1114,34 @@ def read_avro(spark: SparkSession, path: str,
         reader_node = {"kind": "record",
                        "name": reader_node.get("name"),
                        "fields": [by_name[c] for c in columns]}
+    parse, spark_schema = _container_parser(reader_node)
+    return scan.mapInPandas(parse, spark_schema)
+
+
+def _resolve_reader_node(schema: Any,
+                         columns: Optional[List[str]]) -> Dict:
+    """Reader node from an explicit schema (Avro JSON dict or Spark
+    StructType), with ``columns`` pruning — shared by the streaming
+    reader (which cannot probe a first file's header: the landing dir
+    may be empty at start)."""
+    if isinstance(schema, T.StructType):
+        node = parse_schema(spark_to_avro_schema(schema))
+    else:
+        node = parse_schema(schema)
+    if columns is not None:
+        by_name = {f["name"]: f for f in node["fields"]}
+        missing = [c for c in columns if c not in by_name]
+        if missing:
+            raise ValueError(f"columns not in schema: {missing}")
+        node = {"kind": "record", "name": node.get("name"),
+                "fields": [by_name[c] for c in columns]}
+    return node
+
+
+def _container_parser(reader_node: Dict):
+    """(mapInPandas parse fn, Spark schema) decoding whole container
+    blobs from (path, content) rows against ``reader_node`` — shared
+    by the batch scan and the streaming landing-dir tail."""
     spark_schema = avro_to_spark_schema(reader_node)
     want = list(spark_schema.names)
 
@@ -1138,7 +1166,28 @@ def read_avro(spark: SparkSession, path: str,
                     {c: [r.get(c) for r in rows] for c in want},
                     columns=want)
 
-    return scan.mapInPandas(parse, spark_schema)
+    return parse, spark_schema
+
+
+def stream_avro(spark: SparkSession, path: str, schema: Any,
+                columns: Optional[List[str]] = None,
+                glob: str = "*.avro",
+                max_files_per_trigger=None) -> DataFrame:
+    """Streaming twin of :func:`read_avro`: tail a landing directory
+    of Avro containers with checkpointed exactly-once shard discovery.
+    ``schema`` is REQUIRED (Avro JSON dict or Spark StructType) — the
+    landing dir may be empty when the stream starts, so there is no
+    first header to probe; every arriving file resolves against it
+    with the spec's schema-resolution rules, exactly like the batch
+    reader (shared `_container_parser`)."""
+    from .markdown import stream_binary_files
+
+    reader_node = _resolve_reader_node(schema, columns)
+    parse, spark_schema = _container_parser(reader_node)
+    return stream_binary_files(
+        spark, path, glob,
+        max_files_per_trigger=max_files_per_trigger
+    ).mapInPandas(parse, spark_schema)
 
 
 def read_avro_split(spark: SparkSession, path: str, *,

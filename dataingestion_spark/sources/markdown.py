@@ -414,6 +414,25 @@ def binary_file_scan(spark, path, glob: str = "*", recursive: bool = False):
     )
 
 
+def stream_binary_files(spark, path, glob: str = "*",
+                        max_files_per_trigger=None):
+    """Streaming twin of :func:`binary_file_scan`: tail a landing
+    directory of binary shards with the file stream source's
+    checkpointed exactly-once discovery. Feeds the same mapInPandas
+    parsers as the batch scan (warc/tfrecord/avro streaming ingest).
+    ``max_files_per_trigger`` paces catch-up after downtime."""
+    reader = (spark.readStream.format("binaryFile")
+              # streaming sources need the schema up front; binaryFile's
+              # is fixed by the format
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary")
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.load(str(path)).select("path", "content")
+
+
 def elements_map_df(df, parse_fn, id_col: str = "doc_id",
                     content_col: str = "content", on_error: str = "fail"):
     """Shared reader plumbing for EVERY parser in this package: run

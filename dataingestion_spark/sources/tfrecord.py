@@ -41,7 +41,8 @@ except ImportError:  # pragma: no cover - numpy is baked into this image
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 __all__ = ["read_tfrecord", "write_tfrecord", "encode_example",
-           "read_tfrecord_split", "decode_example", "crc32c", "FEATURE_KINDS"]
+           "read_tfrecord_split", "stream_tfrecord",
+           "decode_example", "crc32c", "FEATURE_KINDS"]
 
 FEATURE_KINDS = ("bytes", "int64", "float",
                  "bytes_list", "int64_list", "float_list")
@@ -658,6 +659,17 @@ def read_tfrecord(spark: SparkSession, path: str,
     streams (``78 xx``) are also accepted. A gzip'd file is a single
     stream, so it stays one task; compressed exports should use more,
     smaller shards."""
+    parse, schema = _example_parser(features, verify_crc)
+    scan = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob).load(path)
+            .select("path", "content"))
+    return scan.mapInPandas(parse, schema)
+
+
+def _example_parser(features: Dict[str, str], verify_crc: bool):
+    """(mapInPandas parse fn, output schema) over (path, content) rows
+    — shared by the batch scan and the streaming landing-dir tail so
+    the decode contract cannot drift between them."""
     bad = {k: v for k, v in features.items() if v not in FEATURE_KINDS}
     if bad:
         raise ValueError(f"unknown feature kinds: {bad}")
@@ -680,10 +692,27 @@ def read_tfrecord(spark: SparkSession, path: str,
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_fields])
 
-    scan = (spark.read.format("binaryFile")
-            .option("pathGlobFilter", glob).load(path)
-            .select("path", "content"))
-    return scan.mapInPandas(parse, schema)
+    return parse, schema
+
+
+def stream_tfrecord(spark: SparkSession, path: str,
+                    features: Dict[str, str],
+                    glob: str = "*.tfrecord*",
+                    verify_crc: bool = True,
+                    max_files_per_trigger=None) -> DataFrame:
+    """Streaming twin of :func:`read_tfrecord`: tail a landing
+    directory of TFRecord shards (a TF export pipeline's output) with
+    checkpointed exactly-once shard discovery; decode (gzip/zlib
+    sniffing, CRC verification, feature spec) is the batch parser's
+    code via `_example_parser`. ``max_files_per_trigger`` paces
+    catch-up."""
+    from .markdown import stream_binary_files
+
+    parse, schema = _example_parser(features, verify_crc)
+    return stream_binary_files(
+        spark, path, glob,
+        max_files_per_trigger=max_files_per_trigger
+    ).mapInPandas(parse, schema)
 
 
 def read_tfrecord_split(spark: SparkSession, path: str,

@@ -220,6 +220,23 @@ def read_warc(
     return parse_warc_files(files, on_error=on_error)
 
 
+def stream_warc(spark, path: str, glob: str = "*.we[tb]*",
+                on_error: str = "fail",
+                max_files_per_trigger=None):
+    """Streaming twin of :func:`read_warc`: continuously ingest a
+    landing directory of WARC/WET shards (a crawler's output) with the
+    file stream source's checkpointed exactly-once discovery. Record
+    parsing is the batch reader's code (`parse_warc_files` runs on a
+    streaming frame unchanged), so the tolerant-parse contract is
+    identical. ``max_files_per_trigger`` paces catch-up."""
+    from .markdown import stream_binary_files
+
+    return parse_warc_files(
+        stream_binary_files(spark, path, glob,
+                            max_files_per_trigger=max_files_per_trigger),
+        on_error=on_error)
+
+
 def read_warc_split(spark, path: str, *, split_mb: int = 128,
                     glob_pat: str = "*.we[tb]*.gz",
                     on_error: str = "fail",

@@ -314,3 +314,66 @@ def test_stream_upsert_inline_maintenance_compacts(spark, tmp_path):
     assert out.count() == docs.count()
     ops = [h["op"] for h in ms.table_history(table)]
     assert "COMPACT" in ops
+
+
+def test_stream_binary_landing_dirs_warc_tfrecord_avro(spark, tmp_path):
+    """The three binary landing-dir tails (r12: stream_warc,
+    stream_tfrecord, stream_avro) discover shards exactly once across
+    drains and decode identically to their batch readers (shared
+    parser factories)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sources.avro import stream_avro, write_container
+    from dataingestion_spark.sources.tfrecord import (
+        _frame_record, encode_example, stream_tfrecord,
+    )
+    from dataingestion_spark.sources.warc import stream_warc, wet_record_bytes
+
+    def drain(df, name, sink, ckpt):
+        q = (df.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # --- warc ---
+    land = str(tmp_path / "warc_land")
+    os.makedirs(land)
+    for batch, rng in (("a", range(0, 4)), ("b", range(4, 9))):
+        blob = b"".join(wet_record_bytes(f"https://x.test/{i}",
+                                         f"t{i}".encode())
+                        for i in rng)
+        open(os.path.join(land, f"{batch}.wet"), "wb").write(blob)
+        drain(stream_warc(spark, land), "warc",
+              str(tmp_path / "warc_sink"), str(tmp_path / "warc_ckpt"))
+    uris = sorted(r["target_uri"] for r in
+                  spark.read.parquet(str(tmp_path / "warc_sink")).collect())
+    assert uris == sorted(f"https://x.test/{i}" for i in range(9))
+
+    # --- tfrecord ---
+    land = str(tmp_path / "tf_land")
+    os.makedirs(land)
+    for batch, rng in (("a", range(0, 5)), ("b", range(5, 12))):
+        blob = b"".join(_frame_record(encode_example(
+            {"i": ("int64", i)})) for i in rng)
+        open(os.path.join(land, f"{batch}.tfrecord"), "wb").write(blob)
+        drain(stream_tfrecord(spark, land, {"i": "int64"}), "tf",
+              str(tmp_path / "tf_sink"), str(tmp_path / "tf_ckpt"))
+    got = sorted(r["i"] for r in
+                 spark.read.parquet(str(tmp_path / "tf_sink")).collect())
+    assert got == list(range(12))
+
+    # --- avro (explicit schema: the landing dir may start empty) ---
+    land = str(tmp_path / "av_land")
+    os.makedirs(land)
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": "long"}]}
+    for batch, rng in (("a", range(0, 6)), ("b", range(6, 10))):
+        write_container(os.path.join(land, f"{batch}.avro"), sch,
+                        [{"v": i} for i in rng])
+        drain(stream_avro(spark, land, sch), "avro",
+              str(tmp_path / "av_sink"), str(tmp_path / "av_ckpt"))
+    got = sorted(r["v"] for r in
+                 spark.read.parquet(str(tmp_path / "av_sink")).collect())
+    assert got == list(range(10))
