@@ -162,6 +162,16 @@ def read_webdataset(spark, path: str) -> DataFrame:
 # scale-IN: byte-range splitting of tar shards (USTAR headers are
 # checksum-validated, 512-aligned structures — resync is exact)
 
+def _wds_sniff_meta(path: str, backend):
+    """(magic bytes at offset 257, file size) for split planning —
+    callable driver- or executor-side."""
+    head = backend.read_range(path, 257, 5)
+    size = backend.size(path)
+    if head is None or size is None:
+        raise FileNotFoundError(path)
+    return head, size
+
+
 def _tar_header(blk: bytes):
     """(member name, payload size, typeflag) if ``blk`` is a valid
     USTAR header (magic at 257 + stored checksum matches the spec sum
@@ -276,12 +286,18 @@ def read_webdataset_split(spark, path: str, *, split_mb: int = 128,
     files = list_split_files(path, glob_pat, backend)
     if not files:
         raise ValueError(f"no files match {glob_pat!r} under {path}")
+    # distributed probes above 32 files, like the other split planners
+    if len(files) <= 32:
+        probes = {p: _wds_sniff_meta(p, backend) for p in files}
+    else:
+        bk = backend
+        probes = dict(
+            spark.sparkContext
+            .parallelize(files, min(len(files), 256))
+            .map(lambda p: (p, _wds_sniff_meta(p, bk))).collect())
     metas = {}
     for p in files:
-        head = backend.read_range(p, 257, 5)
-        fsize = backend.size(p)
-        if head is None or fsize is None:
-            raise FileNotFoundError(p)
+        head, fsize = probes[p]
         if head != b"ustar":
             raise ValueError(f"{p}: not a USTAR archive")
         metas[p] = fsize

@@ -275,6 +275,16 @@ def stream_jsonl_zst(spark: SparkSession, path: str,
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"          # 0xFD2FB528 little-endian
 
 
+def _zst_sniff_meta(path: str, backend) -> tuple:
+    """(first four bytes, file size) for split planning — callable
+    driver- or executor-side."""
+    head = backend.read_range(path, 0, 4)
+    size = backend.size(path)
+    if head is None or size is None:
+        raise FileNotFoundError(path)
+    return head, size
+
+
 def _zstd_frame_end(fh, at: int, size: int) -> Optional[int]:
     """Offset just past the zstd (or skippable) frame starting at
     ``at``, or None when the bytes there do not parse as one — a pure
@@ -424,12 +434,20 @@ def read_jsonl_zst_split(spark: SparkSession, path: str,
     files = list_split_files(path, glob_pat, backend)
     if not files:
         raise ValueError(f"no files match {glob_pat!r} under {path}")
+    # one tiny sniff + stat per file; distributed above 32 files so a
+    # huge landing dir never serializes on driver IO (same pattern as
+    # the avro/tfrecord/warc/arrow split planners)
+    if len(files) <= 32:
+        probes = {p: _zst_sniff_meta(p, backend) for p in files}
+    else:
+        bk = backend
+        probes = dict(
+            spark.sparkContext
+            .parallelize(files, min(len(files), 256))
+            .map(lambda p: (p, _zst_sniff_meta(p, bk))).collect())
     metas = {}
     for p in files:
-        head = backend.read_range(p, 0, 4)
-        size = backend.size(p)
-        if head is None or size is None:
-            raise FileNotFoundError(p)
+        head, size = probes[p]
         m = int.from_bytes(head.ljust(4, b"\x00"), "little")
         if m != 0xFD2FB528 and (m & 0xFFFFFFF0) != 0x184D2A50:
             raise ValueError(

@@ -845,3 +845,21 @@ def test_map_spark_roundtrip(spark, tmp_path):
     got = {r["doc_id"]: r["meta"] for r in back.collect()}
     assert got[7] == {"lang": "en", "src": "7"}
     assert len(got) == 2000
+
+
+def test_avro_split_many_files_parallel_planning(spark, tmp_path):
+    """Above 32 files the header probes run as one Spark job; the read
+    must still be exact (exercises the distributed planner)."""
+    import os as _os
+
+    from dataingestion_spark.sources.avro import read_avro_split
+
+    d = str(tmp_path / "many")
+    _os.makedirs(d)
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": "long"}]}
+    for i in range(40):
+        write_container(_os.path.join(d, f"p{i:03d}.avro"), sch,
+                        [{"v": i * 10 + j} for j in range(10)])
+    got = read_avro_split(spark, d, split_mb=1)
+    assert sorted(r["v"] for r in got.collect()) == list(range(400))

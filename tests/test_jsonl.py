@@ -315,3 +315,23 @@ def test_stream_jsonl_zst_tails_landing_dir(spark, tmp_path):
     got = sorted(r["doc_id"]
                  for r in spark.read.parquet(sink).collect())
     assert got == list(range(12))  # corrupt line dropped, not poison
+
+
+def test_zst_split_many_files_parallel_planning(spark, tmp_path):
+    """Above 32 files the sniff+stat probes run as one Spark job; the
+    read must still be exact (exercises the distributed planner)."""
+    import pyarrow as pa
+
+    from dataingestion_spark.sources import jsonl
+
+    d = str(tmp_path / "many")
+    import os
+    os.makedirs(d)
+    codec = pa.Codec("zstd")
+    for i in range(40):
+        body = (f'{{"doc_id": {i}, "text": "t{i}", "lang": "l", '
+                f'"source": "s", "n_chars": {i}}}\n').encode()
+        open(os.path.join(d, f"p{i:03d}.jsonl.zst"), "wb").write(
+            codec.compress(body).to_pybytes())
+    got = jsonl.read_jsonl_zst_split(spark, d, split_mb=1)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(40))
