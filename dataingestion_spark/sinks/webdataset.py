@@ -127,12 +127,9 @@ def write_webdataset(
     )
 
 
-def read_webdataset(spark, path: str) -> DataFrame:
-    """Shards → (shard, key, ext, payload) rows — the loader-side check
-    that exported shards are readable; binaryFile scan, one tar per
-    task."""
-    from ..sources.markdown import binary_file_scan
-
+def _tar_member_parser():
+    """(mapInPandas parse fn, output schema) over (path, content) rows
+    — shared by the batch scan and the streaming landing-dir tail."""
     schema = StructType(
         [
             StructField("path", StringType()),
@@ -155,7 +152,33 @@ def read_webdataset(spark, path: str) -> DataFrame:
                         rows.append((p, base, ext, payload))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
+    return run, schema
+
+
+def read_webdataset(spark, path: str) -> DataFrame:
+    """Shards → (shard, key, ext, payload) rows — the loader-side check
+    that exported shards are readable; binaryFile scan, one tar per
+    task."""
+    from ..sources.markdown import binary_file_scan
+
+    run, schema = _tar_member_parser()
     return binary_file_scan(spark, path, glob="*.tar").mapInPandas(run, schema)
+
+
+def stream_webdataset(spark, path: str, glob: str = "*.tar",
+                      max_files_per_trigger=None) -> DataFrame:
+    """Streaming twin of :func:`read_webdataset`: tail a landing
+    directory of WebDataset tar shards (an export pipeline's output)
+    with checkpointed exactly-once shard discovery; member parsing is
+    the batch reader's code via `_tar_member_parser`, so the row
+    contract cannot drift. ``max_files_per_trigger`` paces catch-up."""
+    from ..sources.markdown import stream_binary_files
+
+    run, schema = _tar_member_parser()
+    return stream_binary_files(
+        spark, path, glob,
+        max_files_per_trigger=max_files_per_trigger
+    ).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------

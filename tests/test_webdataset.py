@@ -166,3 +166,40 @@ def test_split_reader_rejects_pax_and_non_tar(spark, tmp_path):
     open(os.path.join(d2, "b.tar"), "wb").write(b"not a tar" * 100)
     with _pt.raises(ValueError, match="not a USTAR"):
         read_webdataset_split(spark, d2, split_mb=1)
+
+
+def test_stream_webdataset_tails_landing_dir(spark, tmp_path):
+    """stream_webdataset discovers shards exactly once across drains
+    and parses identically to the batch reader (shared parser)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sinks.webdataset import (
+        stream_webdataset, write_webdataset,
+    )
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+
+    def drop(shard, rng):
+        docs = spark.createDataFrame(
+            [(shard, f"{i:06d}", f"txt{i}", None) for i in rng],
+            "shard_id long, key string, text string, meta string")
+        write_webdataset(docs, land, meta_col=None).collect()
+
+    def drain():
+        q = (stream_webdataset(spark, land, max_files_per_trigger=1)
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / "sink"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drop(0, range(0, 6))
+    drain()
+    drop(1, range(6, 14))
+    drain()
+    got = sorted(r["key"] for r in
+                 spark.read.parquet(str(tmp_path / "sink")).collect())
+    assert got == [f"{i:06d}" for i in range(14)]
