@@ -139,3 +139,83 @@ def test_tar_every_aligned_boundary(tmp_path):
         got = _read_tar_span(p, 0, b, size) \
             + _read_tar_span(p, b, size, size)
         assert got == want, f"aligned boundary {b} diverged"
+
+
+def test_zstd_resync_rejects_embedded_magic(tmp_path):
+    """A RAW-block zstd frame can carry arbitrary payload bytes —
+    including the frame magic itself. A resync landing just before
+    the embedded magic must skip it (structural walk or chain check
+    fails) and lock onto the next REAL frame."""
+    import pyarrow as pa
+
+    from dataingestion_spark.sources.jsonl import (
+        _find_zstd_frame, _read_zst_span,
+    )
+
+    # hand-build frame 1: magic, FHD (single-segment, content size
+    # 1 byte), then ONE raw last-block whose payload embeds the magic
+    # followed by junk that cannot complete a frame header walk
+    payload = b"AA" + b"\x28\xb5\x2f\xfd" + b"\x20\x00" + b"Z" * 40
+    fhd = 0x20  # single-segment, fcs 1 byte, no checksum, no dict
+    blk = (len(payload) << 3) | (0 << 1) | 1  # raw, last
+    f1 = (b"\x28\xb5\x2f\xfd" + bytes([fhd, len(payload)])
+          + blk.to_bytes(3, "little") + payload)
+    f2 = pa.Codec("zstd").compress(b'{"doc_id": 9}\n').to_pybytes()
+    blob = f1 + f2
+    p = str(tmp_path / "adv.jsonl.zst")
+    open(p, "wb").write(blob)
+    size = len(blob)
+
+    # sanity: the REAL stream decodes (frame 1 regenerates `payload`)
+    import pyarrow as _pa
+    got = _pa.input_stream(_pa.py_buffer(blob),
+                           compression="zstd").read()
+    assert bytes(got).startswith(payload)
+
+    class FH:
+        def __init__(self, b):
+            self.b, self.p = b, 0
+
+        def seek(self, pos):
+            self.p = pos
+
+        def read(self, n=None):
+            out = self.b[self.p:None if n is None else self.p + n]
+            self.p += len(out)
+            return out
+
+    # resync from byte 1 (inside frame 1): must land on f2's start,
+    # not the embedded magic inside the raw payload
+    found = _find_zstd_frame(FH(blob), 1, size)
+    assert found == len(f1), f"false resync at {found}"
+    # and the span math stays exact through the adversarial frame
+    assert _read_zst_span(p, 0, size, size) == blob
+
+
+def test_tar_resync_ignores_unaligned_fake_header(tmp_path):
+    """A checksum-VALID ustar header embedded at an UNALIGNED offset
+    inside a payload must never capture a resync (candidates are only
+    512-aligned); at an aligned offset the documented tar-in-tar
+    caveat applies and the chain check still requires consistency."""
+    from dataingestion_spark.sinks.webdataset import (
+        _read_tar_span, _tar_header, build_tar_bytes,
+    )
+
+    inner = build_tar_bytes([("evil.txt", b"x" * 10)])
+    # place the inner archive at an UNALIGNED offset inside a payload
+    payload = b"?" * 100 + inner[:512] + b"junk" * 50
+    blob = build_tar_bytes([("a.txt", payload), ("b.txt", b"ok")])
+    p = str(tmp_path / "adv.tar")
+    open(p, "wb").write(blob)
+    size = len(blob)
+
+    # the embedded header IS valid as bytes...
+    assert _tar_header(inner[:512]) is not None
+    # ...but no aligned offset inside the payload parses as one, so
+    # every split boundary still partitions exactly
+    want = _read_tar_span(p, 0, size, size)
+    assert [n for n, _d in want] == ["a.txt", "b.txt"]
+    for b in range(512, size, 512):
+        got = _read_tar_span(p, 0, b, size) \
+            + _read_tar_span(p, b, size, size)
+        assert got == want, f"aligned boundary {b} diverged"
