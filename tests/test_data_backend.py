@@ -265,3 +265,47 @@ def test_ranged_file_readahead_buffers_small_reads():
     # a read larger than the buffer fetches its own range exactly
     fh.seek(100)
     assert fh.read(300 << 10) == data[100:100 + (300 << 10)]
+
+
+def test_ranged_file_random_ops_match_bytesio():
+    """Property: any sequence of seeks and reads through RangedFile
+    (buffered, whence-aware) returns exactly what io.BytesIO returns —
+    the file protocol contract pa.PythonFile and the split readers
+    rely on."""
+    import io
+    import random
+
+    from dataingestion_spark.sinks.data_backend import (
+        MemoryDataBackend, RangedFile,
+    )
+
+    data = bytes(random.Random(11).getrandbits(8)
+                 for _ in range(200_000))
+    mem = MemoryDataBackend()
+    mem.write_bytes("k", data)
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        rf = RangedFile(mem, "k", readahead=rng.choice(
+            (1, 64, 4096, 1 << 20)))
+        ref = io.BytesIO(data)
+        for _ in range(300):
+            op = rng.random()
+            if op < 0.5:
+                n = rng.randint(0, 9000)
+                assert rf.read(n) == ref.read(n)
+            elif op < 0.7:
+                p = rng.randint(0, len(data) + 100)
+                assert rf.seek(p) == ref.seek(p)
+            elif op < 0.8:
+                d = rng.randint(-500, 500)
+                # clamp: BytesIO raises on negative absolute position
+                if ref.tell() + d >= 0:
+                    assert rf.seek(d, 1) == ref.seek(d, 1)
+            elif op < 0.9:
+                d = rng.randint(-1000, 0)
+                if len(data) + d >= 0:
+                    assert rf.seek(d, 2) == ref.seek(d, 2)
+            else:
+                assert rf.tell() == ref.tell()
+        assert rf.read() == ref.read()
