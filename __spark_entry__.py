@@ -6714,6 +6714,117 @@ FROM documents
 """
 
 
+def q_streaming_tfrecord_ingest(spark, sf):
+    """Continuous TFRecord landing-dir ingestion (r12,
+    sources/tfrecord.py::stream_tfrecord — the file stream source
+    tailing a TF export pipeline's output with exactly-once shard
+    discovery; framing + proto decode is the batch reader's
+    _example_parser unchanged): documents export to 4 TFRecord shards,
+    the stream drains availableNow one file per micro-batch into a
+    memory sink, and the drained rows must equal the batch parse
+    exactly — a dropped or double-read shard, or a CRC slip in any
+    record, goes red."""
+    import tempfile
+
+    from dataingestion_spark.sources.tfrecord import (
+        stream_tfrecord, write_tfrecord,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("binary").alias("text"),
+        F.col("n_chars").cast("long").alias("n_chars"))
+    features = {"doc_id": "int64", "text": "bytes", "n_chars": "int64"}
+    land = tempfile.mkdtemp(prefix="tfrec_stream_") + "/landing"
+    write_tfrecord(docs, features, land, shards=4)
+    name = "tfrecord_ingest_check"
+    q = (stream_tfrecord(spark, land, features, max_files_per_trigger=1)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "doc_id", F.col("text").cast("string").alias("text"), "n_chars")
+
+
+ORACLE_TFRECORD_STREAM = """
+SELECT doc_id, text, n_chars FROM documents
+"""
+
+
+def q_streaming_avro_ingest(spark, sf):
+    """Continuous Avro landing-dir ingestion (r12,
+    sources/avro.py::stream_avro — the file stream source tailing an
+    Avro export's landing dir with exactly-once shard discovery and an
+    EXPLICIT reader schema, since the dir may start empty; container
+    decode is the batch reader's _container_parser unchanged):
+    documents export to 4 deflate containers, the stream drains
+    availableNow one file per micro-batch into a memory sink, and the
+    drained rows must equal the batch parse exactly — a dropped or
+    double-read shard, or a block-decode slip, goes red."""
+    import tempfile
+
+    from dataingestion_spark.sources.avro import (
+        spark_to_avro_schema, stream_avro, write_avro,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    land = tempfile.mkdtemp(prefix="avro_stream_") + "/landing"
+    write_avro(docs, land, shards=4, codec="deflate")
+    schema_js = spark_to_avro_schema(docs.schema, name="row")
+    name = "avro_ingest_check"
+    q = (stream_avro(spark, land, schema_js, max_files_per_trigger=1)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "doc_id", "text", "lang", "source", "n_chars")
+
+
+ORACLE_AVRO_STREAM = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+def q_streaming_wds_ingest(spark, sf):
+    """Continuous WebDataset landing-dir ingestion (r12,
+    sinks/webdataset.py::stream_webdataset — the file stream source
+    tailing an export pipeline's shard output with exactly-once shard
+    discovery; member parsing is the batch reader's _tar_member_parser
+    unchanged): documents export to 4 USTAR shards, the stream drains
+    availableNow one file per micro-batch into a memory sink, and the
+    drained (key, ext, payload) rows must equal the batch parse
+    exactly — a dropped or double-read shard, or a member lost inside
+    any tar, goes red."""
+    import tempfile
+
+    from dataingestion_spark.sinks.webdataset import (
+        stream_webdataset, write_webdataset,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(4)).alias("shard_id"),
+        F.format_string("%09d", F.col("doc_id")).alias("key"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("meta"))
+    land = tempfile.mkdtemp(prefix="wds_stream_") + "/landing"
+    write_webdataset(docs, land, meta_col=None).collect()
+    name = "wds_ingest_check"
+    q = (stream_webdataset(spark, land, max_files_per_trigger=1)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("key", "ext", "payload")
+
+
+ORACLE_WDS_STREAM = """
+SELECT lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key,
+       'txt' AS ext,
+       text AS payload
+FROM documents
+"""
+
+
 def q_streaming_iceberg_tail(spark, sf):
     """Streaming reads of Iceberg tables
     (streaming/iceberg_source.py::stream_iceberg): documents → manifest
@@ -9132,6 +9243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the r11-green block — freshest external confirmation — at the
     # very end), so future rotations stay a simple prefix shift.
     return {
+        # --- r13 sample 1-3: queries NEW this round (standing policy:
+        # the last three landing-dir streams gain driver oracles) ---
+        "streaming_tfrecord_ingest": q_streaming_tfrecord_ingest,
+        "streaming_avro_ingest": q_streaming_avro_ingest,
+        "streaming_wds_ingest": q_streaming_wds_ingest,
         # --- r12 sample 1-4: queries NEW this round (standing policy) ---
         "io_avro_tokens_vec": q_io_avro_tokens_vec,
         "io_avro_split_backend": q_io_avro_split_backend,
@@ -9390,6 +9506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "streaming_tfrecord_ingest": ORACLE_TFRECORD_STREAM,
+        "streaming_avro_ingest": ORACLE_AVRO_STREAM,
+        "streaming_wds_ingest": ORACLE_WDS_STREAM,
         "io_avro_tokens_vec": ORACLE_AVRO_TOKENS,
         "io_jsonl_zst_split": ORACLE_JSONL_ZST_SPLIT,
         "io_arrow_ipc_split": ORACLE_ARROW_IPC_SPLIT,
