@@ -215,22 +215,91 @@ def _tar_header(blk: bytes):
     return name, size, blk[156:157]
 
 
+#: extension typeflags that PREFIX a member's real header: GNU longname
+#: (L) / longlink (K), pax per-file records (x). A pax GLOBAL header
+#: (g) sets defaults for every later member — state a byte-range task
+#: cannot see — so it still raises in the split path.
+_EXT_FLAGS = (b"L", b"K", b"x")
+#: how far a resync walks BACK over a candidate's preceding extension
+#: headers (blocks). Pax path/size records and GNU longnames are well
+#: under 32 KB; payload bytes aliasing a checksummed ext header that
+#: chains exactly onto the candidate is the same (documented)
+#: tar-in-tar caveat the forward resync already carries.
+_EXT_BACK_BLOCKS = 64
+
+
+def _parse_pax(payload: bytes) -> dict:
+    """Decode pax extended-header records (POSIX.1-2001:
+    ``"%d %s=%s\\n" % (length, keyword, value)`` where *length* counts
+    the whole record, digits and newline included)."""
+    out = {}
+    pos = 0
+    while pos < len(payload):
+        sp = payload.index(b" ", pos)
+        rec_len = int(payload[pos:sp])
+        rec = payload[pos:pos + rec_len]
+        if not rec.endswith(b"\n"):
+            raise ValueError("pax record missing trailing newline")
+        key, _, val = rec[sp - pos + 1:-1].partition(b"=")
+        out[key.decode("utf-8")] = val.decode("utf-8")
+        pos += rec_len
+    return out
+
+
+def _next_at(off: int, payload: int) -> int:
+    return off + 512 + (payload + 511) // 512 * 512
+
+
+def _seq_owner(fh, at: int) -> int:
+    """First header offset of the member SEQUENCE whose real header
+    sits at ``at`` — walks back over immediately-preceding GNU/pax
+    extension headers that chain exactly onto ``at`` (ext payloads span
+    blocks, so the owner may be several blocks back)."""
+    owner = at
+    moved = True
+    while moved:
+        moved = False
+        for back in range(1, _EXT_BACK_BLOCKS + 1):
+            q = owner - 512 * back
+            if q < 0:
+                break
+            fh.seek(q)
+            h = _tar_header(fh.read(512))
+            if (h is not None and h[2] in _EXT_FLAGS
+                    and _next_at(q, h[1]) == owner):
+                owner = q
+                moved = True
+                break
+    return owner
+
+
 def _read_tar_span(path: str, start: int, end: int, size: int,
                    backend=None) -> List[Tuple[str, bytes]]:
-    """(member name, payload) for every member whose HEADER starts in
-    [start, end). Headers are 512-aligned from file start, so resync =
-    first aligned offset >= start whose block passes the checksum AND
-    whose implied next header also validates (or is the end marker /
-    EOF)."""
+    """(member name, payload) for every member whose SEQUENCE (GNU/pax
+    extension headers included) starts in [start, end). Headers are
+    512-aligned from file start, so resync = first aligned offset >=
+    start whose block passes the checksum AND whose implied next header
+    also validates (or is the end marker / EOF / inside the final
+    partial padding); a candidate that is the real header of a sequence
+    whose extension headers began before ``start`` belongs to the
+    previous task and is skipped."""
     from ..sinks.data_backend import open_split, resolve_split_backend
-
-    def _next_at(off: int, payload: int) -> int:
-        return off + 512 + (payload + 511) // 512 * 512
 
     with open_split(path, resolve_split_backend(path, backend)) as fh:
         def _ok_at(off: int):
             fh.seek(off)
             return _tar_header(fh.read(512))
+
+        def _chains(cand: int, h) -> bool:
+            nxt = _next_at(cand, h[1])
+            if nxt > size:
+                return False        # payload would extend past EOF
+            if nxt + 512 > size:
+                return True         # last member; no room for another
+            fh.seek(nxt)
+            blk = fh.read(512)
+            return (not blk or blk == b"\x00" * 512
+                    or _tar_header(blk) is not None)
 
         if start == 0:
             pos = 0
@@ -239,15 +308,33 @@ def _read_tar_span(path: str, start: int, end: int, size: int,
             cand = (start + 511) // 512 * 512
             while cand + 512 <= size:
                 h = _ok_at(cand)
-                if h is not None:
-                    nxt = _next_at(cand, h[1])
-                    if nxt == size or nxt + 512 <= size:
-                        fh.seek(nxt)
-                        blk = fh.read(512)
-                        if (not blk or blk == b"\x00" * 512
-                                or _tar_header(blk) is not None):
-                            pos = cand
-                            break
+                if h is not None and _chains(cand, h):
+                    owner = _seq_owner(fh, cand)
+                    if owner >= start:
+                        pos = owner
+                        break
+                    # sequence claimed by the previous split: walk it
+                    # from its OWNER (pax size overrides may live in
+                    # ext headers before `start`), skip past the real
+                    # member, then keep scanning synchronized
+                    p = owner
+                    fh.seek(p)
+                    h2 = _tar_header(fh.read(512))
+                    psize = None
+                    while h2 is not None and h2[2] in _EXT_FLAGS:
+                        if h2[2] == b"x":
+                            px = _parse_pax(fh.read(h2[1]))
+                            if "size" in px:
+                                psize = int(px["size"])
+                        p = _next_at(p, h2[1])
+                        fh.seek(p)
+                        h2 = _tar_header(fh.read(512))
+                    if h2 is None:
+                        raise ValueError(
+                            f"{path}: corrupt tar header at byte {p}")
+                    cand = _next_at(
+                        p, h2[1] if psize is None else psize)
+                    continue
                 cand += 512
             if pos is None or pos >= end:
                 return []
@@ -261,11 +348,42 @@ def _read_tar_span(path: str, start: int, end: int, size: int,
             if h is None:
                 raise ValueError(f"{path}: corrupt tar header at "
                                  f"byte {pos}")
+            # chain through this sequence's extension headers — they
+            # may cross `end`; the sequence START owning the member is
+            # what keeps splits exactly-once
+            overrides: dict = {}
+            while h[2] in _EXT_FLAGS:
+                data = fh.read(h[1])
+                if len(data) < h[1]:
+                    raise ValueError(
+                        f"{path}: truncated extension at byte {pos}")
+                if h[2] == b"L":
+                    overrides["path"] = \
+                        data.split(b"\x00", 1)[0].decode(
+                            "utf-8", "replace")
+                elif h[2] == b"x":
+                    px = _parse_pax(data)
+                    overrides.update(
+                        {k: v for k, v in px.items()
+                         if k in ("path", "size")})
+                # K (longlink) applies to link targets only — consumed
+                pos = _next_at(pos, h[1])
+                if pos + 512 > size:
+                    raise ValueError(
+                        f"{path}: extension header at EOF")
+                fh.seek(pos)
+                h = _tar_header(fh.read(512))
+                if h is None:
+                    raise ValueError(
+                        f"{path}: corrupt tar header at byte {pos}")
             name, psize, tf = h
-            if tf in (b"L", b"K", b"x", b"g"):
+            if tf == b"g":
                 raise ValueError(
-                    f"{path}: GNU/pax extension entries are not "
-                    "splittable here — use read_webdataset")
+                    f"{path}: pax GLOBAL headers set archive-wide "
+                    "state a byte-range task cannot see — use "
+                    "read_webdataset")
+            name = overrides.get("path", name)
+            psize = int(overrides.get("size", psize))
             if tf in (b"0", b"\x00"):
                 data = fh.read(psize)
                 if len(data) < psize:
@@ -290,8 +408,13 @@ def read_webdataset_split(spark, path: str, *, split_mb: int = 128,
     its header starts in. Same row contract as :func:`read_webdataset`
     ((path, key, ext, payload) per member — a sample whose members
     straddle a boundary emits from two tasks, exactly as the
-    whole-file reader emits per member). GNU/pax extension entries
-    raise loudly (the tarfile-backed whole-file reader handles them).
+    whole-file reader emits per member). GNU longname (L/K) and pax
+    per-file (x) extension headers chain through: a member is owned by
+    the split its SEQUENCE starts in, with `path`/`size` overrides
+    honored — python's tarfile writes pax BY DEFAULT, so foreign
+    shards commonly carry them. Pax GLOBAL headers (g) still raise
+    loudly (archive-wide state a byte-range task cannot see; the
+    tarfile-backed whole-file reader handles them).
     Caveat: a payload that is ITSELF a 512-aligned USTAR archive
     (tar-in-tar) can capture a resync — its inner headers chain
     validly — so such corpora must use :func:`read_webdataset`; the

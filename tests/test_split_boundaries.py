@@ -219,3 +219,122 @@ def test_tar_resync_ignores_unaligned_fake_header(tmp_path):
         got = _read_tar_span(p, 0, b, size) \
             + _read_tar_span(p, b, size, size)
         assert got == want, f"aligned boundary {b} diverged"
+
+
+def _foreign_tar(tmp_path, fname, fmt, members, pax_headers=None):
+    """A tar written by python's tarfile (NOT the repo's USTAR builder)
+    — the foreign-shard shape read_webdataset_split must handle."""
+    import io
+    import tarfile
+
+    p = str(tmp_path / fname)
+    kw = {"pax_headers": pax_headers} if pax_headers else {}
+    with tarfile.open(p, mode="w", format=fmt, **kw) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    import os
+    return p, os.path.getsize(p)
+
+
+def _tar_members(members):
+    """Mix of short names and >100-char names (forcing pax x records /
+    GNU L entries) with payloads spanning 0..3 blocks."""
+    out = []
+    for i in range(18):
+        name = (f"{'d' * 120}/{i:04d}.txt" if i % 3 == 0
+                else f"{i:04d}.txt")
+        out.append((name, f"body {i} ".encode() * (1 + (i * 37) % 150)))
+    return out
+
+
+def test_tar_pax_longname_every_aligned_boundary(tmp_path):
+    """python tarfile writes PAX BY DEFAULT: >100-char member names
+    become x-header + payload + real-header sequences. The split
+    reader must chain through them, honor the pax `path` override,
+    and keep every aligned boundary exactly-once — including when the
+    x header and its real header land on opposite sides of a split."""
+    import tarfile
+
+    from dataingestion_spark.sinks.webdataset import _read_tar_span
+
+    members = _tar_members(None)
+    p, size = _foreign_tar(tmp_path, "pax.tar", tarfile.PAX_FORMAT,
+                           members)
+    want = _read_tar_span(p, 0, size, size)
+    assert want == members  # full pax names, payloads intact
+    for b in range(512, size, 512):
+        got = _read_tar_span(p, 0, b, size) \
+            + _read_tar_span(p, b, size, size)
+        assert got == want, f"pax aligned boundary {b} diverged"
+    # three-way splits cross-check the claimed-sequence skip path
+    for b1, b2 in [(1536, 4096), (2048, 2560), (512, size - 512)]:
+        got = (_read_tar_span(p, 0, b1, size)
+               + _read_tar_span(p, b1, b2, size)
+               + _read_tar_span(p, b2, size, size))
+        assert got == want, f"pax 3-way split {b1},{b2} diverged"
+
+
+def test_tar_gnu_longname_every_aligned_boundary(tmp_path):
+    """GNU-format long names travel as typeflag-L entries (name in the
+    PAYLOAD, NUL-terminated); same exactly-once contract."""
+    import tarfile
+
+    from dataingestion_spark.sinks.webdataset import _read_tar_span
+
+    members = _tar_members(None)
+    p, size = _foreign_tar(tmp_path, "gnu.tar", tarfile.GNU_FORMAT,
+                           members)
+    want = _read_tar_span(p, 0, size, size)
+    assert want == members
+    for b in range(512, size, 512):
+        got = _read_tar_span(p, 0, b, size) \
+            + _read_tar_span(p, b, size, size)
+        assert got == want, f"gnu aligned boundary {b} diverged"
+
+
+def test_tar_pax_global_header_raises(tmp_path):
+    """Pax GLOBAL (g) headers set archive-wide defaults a byte-range
+    task cannot see — the split reader refuses loudly and points at
+    the whole-file reader (which handles them via tarfile)."""
+    import tarfile
+
+    import pytest
+
+    from dataingestion_spark.sinks.webdataset import _read_tar_span
+
+    p, size = _foreign_tar(
+        tmp_path, "glob.tar", tarfile.PAX_FORMAT,
+        [("a.txt", b"x")], pax_headers={"comment": "archive-wide"})
+    with pytest.raises(ValueError, match="GLOBAL"):
+        _read_tar_span(p, 0, size, size)
+
+
+def test_tar_trailing_partial_padding_resync(tmp_path):
+    """A foreign tar truncated INSIDE its final padding (size not a
+    multiple of the 10240 record size, < 512 bytes after the last
+    member) must still let a resync validate the genuine last header
+    (r12 'What's wrong' #3: the old chain check required a full block
+    after the member)."""
+    from dataingestion_spark.sinks.webdataset import (
+        _read_tar_span, build_tar_bytes,
+    )
+
+    members = [(f"{i:04d}.txt", b"pay" * (40 + i)) for i in range(6)]
+    blob = build_tar_bytes(members)
+    # cut to the last member's end + 100 zero bytes: no room for
+    # another header, not even the end-of-archive marker
+    end_of_members = len(blob.rstrip(b"\x00"))
+    end_of_members = (end_of_members + 511) // 512 * 512
+    blob = blob[:end_of_members + 100]
+    p = str(tmp_path / "trunc.tar")
+    open(p, "wb").write(blob)
+    size = len(blob)
+
+    want = _read_tar_span(p, 0, size, size)
+    assert [n for n, _d in want] == [n for n, _d in members]
+    for b in range(512, size, 512):
+        got = _read_tar_span(p, 0, b, size) \
+            + _read_tar_span(p, b, size, size)
+        assert got == want, f"truncated-padding boundary {b} diverged"

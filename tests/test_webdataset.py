@@ -139,7 +139,11 @@ def test_split_reader_over_memory_backend(spark, tmp_path):
     assert keys == [f"{i:06d}" for i in range(800)]
 
 
-def test_split_reader_rejects_pax_and_non_tar(spark, tmp_path):
+def test_split_reader_rejects_global_pax_and_non_tar(spark, tmp_path):
+    """Per-file pax (x) and GNU longname entries now split (r13 —
+    see test_read_webdataset_split_foreign_pax_shard); what still
+    refuses loudly: pax GLOBAL (g) headers, whose archive-wide state a
+    byte-range task cannot see, and files that are not USTAR at all."""
     import os
     import tarfile as _tf
 
@@ -149,16 +153,17 @@ def test_split_reader_rejects_pax_and_non_tar(spark, tmp_path):
         read_webdataset_split,
     )
 
-    d = str(tmp_path / "pax")
+    d = str(tmp_path / "glob")
     os.makedirs(d)
     p = os.path.join(d, "a.tar")
-    with _tf.open(p, "w", format=_tf.PAX_FORMAT) as tf:
-        info = _tf.TarInfo("x" * 120 + ".txt")  # forces a pax header
+    with _tf.open(p, "w", format=_tf.PAX_FORMAT,
+                  pax_headers={"comment": "archive-wide"}) as tf:
+        info = _tf.TarInfo("a.txt")
         data = b"hello"
         info.size = len(data)
         import io as _io
         tf.addfile(info, _io.BytesIO(data))
-    with _pt.raises(Exception, match="pax|GNU"):
+    with _pt.raises(Exception, match="GLOBAL"):
         read_webdataset_split(spark, d, split_mb=1).collect()
 
     d2 = str(tmp_path / "raw")
@@ -203,3 +208,39 @@ def test_stream_webdataset_tails_landing_dir(spark, tmp_path):
     got = sorted(r["key"] for r in
                  spark.read.parquet(str(tmp_path / "sink")).collect())
     assert got == [f"{i:06d}" for i in range(14)]
+
+
+def test_read_webdataset_split_foreign_pax_shard(spark, tmp_path):
+    """A shard written by python's tarfile (PAX BY DEFAULT — x-header
+    sequences for >100-char names) reads identically through the
+    byte-range split path and the tarfile-backed whole-file reader:
+    same keys, exts, payloads, with pax path overrides honored."""
+    import io
+    import os
+    import tarfile
+
+    from dataingestion_spark.sinks.webdataset import (
+        read_webdataset, read_webdataset_split,
+    )
+
+    d = str(tmp_path / "foreign")
+    os.makedirs(d)
+    with tarfile.open(os.path.join(d, "s.tar"), "w",
+                      format=tarfile.PAX_FORMAT) as tf:
+        for i in range(40):
+            name = (f"{'p' * 110}/{i:05d}.txt" if i % 4 == 0
+                    else f"{i:05d}.txt")
+            data = f"payload {i} ".encode() * (1 + (i * 53) % 200)
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    whole = sorted(
+        (r["key"], r["ext"], r["payload"])
+        for r in read_webdataset(spark, d).collect())
+    split = sorted(
+        (r["key"], r["ext"], r["payload"])
+        for r in read_webdataset_split(spark, d, split_mb=1).collect())
+    assert split == whole
+    assert len(split) == 40
+    assert any(k.startswith("p" * 110) for k, _e, _p in split)
