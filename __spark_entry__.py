@@ -9231,79 +9231,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict ORDER matters: the driver's correctness gate oracles the FIRST 50
-    # entries.  r12 rotation (the r11 verdict's #2 ask): first 50 = the three
-    # queries NEW this round (array<string> columnar Avro decode, the
-    # object-store split-read backend, bounded Iceberg manifests; standing
-    # policy: new queries enter the sample head), then the 40 entries whose
-    # last driver green was r7 (lakehouse DML / search / sft / sketch /
-    # drift families) and the 7 alphabetically-first r8 entries.  All 50
-    # verified green against the sf0.01 DuckDB replica before landing.
-    # Entries 51+ continue in stalest-first order (rest of r8, r9, r10,
-    # with the r11-green block — freshest external confirmation — at the
-    # very end), so future rotations stay a simple prefix shift.
+    # Dict ORDER matters: the driver's correctness gate oracles the FIRST
+    # 50 entries.  r13 rotation (standing prefix-shift policy): first 50 =
+    # the three queries NEW this round (landing-dir stream oracles for
+    # tfrecord/avro/webdataset; new queries enter the sample head), then
+    # the whole r8 block of 44 and the 3 alphabetically-first r9 entries.
+    # All 50 verified green against the sf0.01 DuckDB replica before
+    # landing.  Entries 51+ continue in stalest-first order (rest of r9,
+    # r10, r11, with the r12-green block -- freshest external confirmation
+    # -- at the very end), so future rotations stay a simple prefix shift;
+    # scripts/rotation_stats.py --check mechanizes the audit.
     return {
-        # --- r13 sample 1-3: queries NEW this round (standing policy:
-        # the last three landing-dir streams gain driver oracles) ---
-        "streaming_tfrecord_ingest": q_streaming_tfrecord_ingest,
+        # --- NEW r13 ---
         "streaming_avro_ingest": q_streaming_avro_ingest,
+        "streaming_tfrecord_ingest": q_streaming_tfrecord_ingest,
         "streaming_wds_ingest": q_streaming_wds_ingest,
-        # --- r12 sample 1-4: queries NEW this round (standing policy) ---
-        "io_avro_tokens_vec": q_io_avro_tokens_vec,
-        "io_avro_split_backend": q_io_avro_split_backend,
-        "lakehouse_iceberg_manifest_split": q_iceberg_manifest_split,
-        "io_jsonl_zst_split": q_io_jsonl_zst_split,
-        "io_arrow_ipc_split": q_io_arrow_ipc_split,
-        "reader_wds_split": q_reader_wds_split,
-        "streaming_jsonl_zst_ingest": q_streaming_jsonl_zst_ingest,
-        "streaming_warc_ingest": q_streaming_warc_ingest,
-        # --- r12 sample 4-50: the stalest external checks (the r7
-        # block of 40 + the 7 oldest r8 entries — the r11 verdict's
-        # #2 ask); all 50 verified green against the sf0.01 DuckDB
-        # replica before landing ---
-        "doc_quality_classifier": q_quality_classifier,
-        "doc_rake_keywords": q_rake_keywords,
-        "doc_span_corruption": q_span_corruption,
-        "doc_url_signals": q_url_signals,
-        "doc_vocab_coverage": q_vocab_coverage,
-        "drift_by_group": q_drift_by_group,
-        "drift_categorical_lang": q_drift_categorical,
-        "drift_numeric_report": q_drift_numeric,
-        "io_orc_roundtrip": q_io_orc_roundtrip,
-        "lakehouse_change_stream": q_lakehouse_change_stream,
-        "lakehouse_check_constraints": q_lakehouse_constraints,
-        "lakehouse_clone_branch": q_lakehouse_clone_branch,
-        "lakehouse_delete_where": q_lakehouse_delete_where,
-        "lakehouse_delta_roundtrip": q_lakehouse_delta_roundtrip,
-        "lakehouse_maintenance": q_lakehouse_maintenance,
-        "lakehouse_meta_minmax": q_lakehouse_meta_minmax,
-        "lakehouse_restore": q_lakehouse_restore,
-        "lakehouse_scd2_merge": q_lakehouse_scd2,
-        "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
-        "lakehouse_stream_read": q_lakehouse_stream_read,
-        "lakehouse_update_where": q_lakehouse_update_where,
-        "lakehouse_zorder_read": q_lakehouse_zorder_read,
-        "privacy_k_anonymity": q_privacy_kanon,
-        "search_bm25": q_bm25,
-        "search_bm25_indexed": q_bm25_indexed,
-        "search_hard_negatives": q_hard_negatives,
-        "search_hybrid_rrf": q_hybrid_rrf,
-        "search_phrase_positions": q_phrase_search,
-        "search_pmi_collocations": q_collocations,
-        "search_tfidf_top_terms": q_tfidf_top_terms,
-        "sft_chat_text": q_sft_chat,
-        "sft_render_offsets": q_sft_offsets,
-        "sft_token_loss_mask": q_sft_token_mask,
-        "sketch_kmv_by_group": q_kmv_by_group,
-        "sketch_kmv_distinct": q_kmv_distinct,
-        "sketch_kmv_setops": q_kmv_setops,
-        "table_column_profile": q_profile_table,
-        "table_corpus_report": q_corpus_report,
-        "table_quality_constraints": q_quality_constraints,
-        "tokenizer_bpe_train_merges": q_bpe_train_merges,
-        # --- last driver-green r8 ---
-        "curation_funnel": q_curation_funnel,
-        "dedup_boilerplate_lines": q_boilerplate_lines,
+        # --- last green r8 ---
         "doc_c4_filters": q_c4_filters,
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_robots_gate": q_robots_gate,
@@ -9348,10 +9291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": q_streaming_sessions,
         "streaming_upsert_merge": q_streaming_upsert,
         "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
-        # --- last driver-green r9 ---
+        # --- last green r9 ---
         "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
         "dedup_simhash_fast": q_simhash_fast,
         "doc_char_entropy": q_char_entropy,
+        # --- last green r9 (entries 51+) ---
         "doc_compression_ratio": q_compression_ratio,
         "doc_gopher_filters": q_gopher_filters,
         "events_json_stats": q_events_json_stats,
@@ -9399,7 +9343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": q_tpch_q7,
         "tpch_q8_market_share": q_tpch_q8,
         "tpch_q9_product_profit": q_tpch_q9,
-        # --- last driver-green r10 ---
+        # --- last green r10 (entries 51+) ---
         "chunker_header": q_header_chunks,
         "chunker_image_binary": q_image_chunks,
         "chunker_markdown": q_markdown_chunks,
@@ -9450,7 +9394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_iceberg_tail": q_streaming_iceberg_tail,
         "streaming_jsonl_ingest": q_streaming_jsonl_ingest,
         "tokenizer_bpe_pair_counts": q_bpe_pair_counts,
-        # --- last driver-green r11 ---
+        # --- last green r11 (entries 51+) ---
         "dedup_cluster_canonical": q_dedup_clusters,
         "dedup_cluster_split": q_cluster_split,
         "dedup_edit_distance_pairs": q_edit_distance_pairs,
@@ -9501,6 +9445,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_qa_pairs": q_qa_pairs,
         "writer_vector_records": q_vector_records,
         "writer_webdataset_shards": q_webdataset_shards,
+        # --- last green r12 (entries 51+) ---
+        "curation_funnel": q_curation_funnel,
+        "dedup_boilerplate_lines": q_boilerplate_lines,
+        "doc_quality_classifier": q_quality_classifier,
+        "doc_rake_keywords": q_rake_keywords,
+        "doc_span_corruption": q_span_corruption,
+        "doc_url_signals": q_url_signals,
+        "doc_vocab_coverage": q_vocab_coverage,
+        "drift_by_group": q_drift_by_group,
+        "drift_categorical_lang": q_drift_categorical,
+        "drift_numeric_report": q_drift_numeric,
+        "io_arrow_ipc_split": q_io_arrow_ipc_split,
+        "io_avro_split_backend": q_io_avro_split_backend,
+        "io_avro_tokens_vec": q_io_avro_tokens_vec,
+        "io_jsonl_zst_split": q_io_jsonl_zst_split,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
+        "lakehouse_change_stream": q_lakehouse_change_stream,
+        "lakehouse_check_constraints": q_lakehouse_constraints,
+        "lakehouse_clone_branch": q_lakehouse_clone_branch,
+        "lakehouse_delete_where": q_lakehouse_delete_where,
+        "lakehouse_delta_roundtrip": q_lakehouse_delta_roundtrip,
+        "lakehouse_iceberg_manifest_split": q_iceberg_manifest_split,
+        "lakehouse_maintenance": q_lakehouse_maintenance,
+        "lakehouse_meta_minmax": q_lakehouse_meta_minmax,
+        "lakehouse_restore": q_lakehouse_restore,
+        "lakehouse_scd2_merge": q_lakehouse_scd2,
+        "lakehouse_schema_evolution": q_lakehouse_schema_evolution,
+        "lakehouse_stream_read": q_lakehouse_stream_read,
+        "lakehouse_update_where": q_lakehouse_update_where,
+        "lakehouse_zorder_read": q_lakehouse_zorder_read,
+        "privacy_k_anonymity": q_privacy_kanon,
+        "reader_wds_split": q_reader_wds_split,
+        "search_bm25": q_bm25,
+        "search_bm25_indexed": q_bm25_indexed,
+        "search_hard_negatives": q_hard_negatives,
+        "search_hybrid_rrf": q_hybrid_rrf,
+        "search_phrase_positions": q_phrase_search,
+        "search_pmi_collocations": q_collocations,
+        "search_tfidf_top_terms": q_tfidf_top_terms,
+        "sft_chat_text": q_sft_chat,
+        "sft_render_offsets": q_sft_offsets,
+        "sft_token_loss_mask": q_sft_token_mask,
+        "sketch_kmv_by_group": q_kmv_by_group,
+        "sketch_kmv_distinct": q_kmv_distinct,
+        "sketch_kmv_setops": q_kmv_setops,
+        "streaming_jsonl_zst_ingest": q_streaming_jsonl_zst_ingest,
+        "streaming_warc_ingest": q_streaming_warc_ingest,
+        "table_column_profile": q_profile_table,
+        "table_corpus_report": q_corpus_report,
+        "table_quality_constraints": q_quality_constraints,
+        "tokenizer_bpe_train_merges": q_bpe_train_merges,
     }
 
 
