@@ -20,10 +20,14 @@ commit point, so the primitives are plain puts/gets/deletes:
   pushdown, column pruning, and distributed IO.
 * ``delete`` / ``list_dir`` / ``mtime`` — vacuum and DV cleanup.
 
-A real object-store deployment registers ONE class (e.g. boto3 puts
-keyed by path) next to its :class:`~.commit_backend.CommitBackend`;
-since s3a/gs/abfss are Spark-readable and executor-writable, such a
-backend keeps both scale properties. :class:`MemoryDataBackend`
+Object storage works out of the box through
+:class:`FsspecDataBackend` — s3/s3a/gs/abfss resolve to it when the
+optional ``fsspec`` package (plus s3fs/gcsfs/adlfs) is installed, with
+a loud gated error otherwise; a deployment can still register its own
+class (e.g. boto3 puts keyed by path) next to its
+:class:`~.commit_backend.CommitBackend`, and explicit registrations
+take precedence. Since s3a/gs/abfss are Spark-readable and
+executor-writable, such backends keep both scale properties. :class:`MemoryDataBackend`
 emulates a non-POSIX store for tests: no directories, no renames,
 bytes held in a driver-side dict — it proves nothing in the manifest
 store's write/read/merge/compact/vacuum/time-travel paths assumes a
@@ -209,6 +213,118 @@ class MemoryDataBackend(DataBackend):
             return None if data is None else len(data)
 
 
+def fsspec_available() -> bool:
+    try:
+        import fsspec  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class FsspecDataBackend(DataBackend):
+    """DataBackend over any `fsspec <https://filesystem-spec.readthedocs
+    .io>`_ filesystem — the out-of-the-box object-storage path for the
+    split readers and the manifest store's data plane (same gated-import
+    pattern as ``read_markitdown``: the package is optional, its absence
+    fails loudly at resolve time, never silently).
+
+    Construct from a protocol (``FsspecDataBackend(protocol="s3")``,
+    requires fsspec) or hand in a ready filesystem object
+    (``FsspecDataBackend(fs=...)`` — anything with fsspec's
+    ``cat_file/pipe_file/rm_file/ls/size/modified`` surface, which is
+    how the offline tests drive this adapter without the package).
+
+    ``read_range`` maps to ``cat_file(start=, end=)`` — a ranged GET on
+    object stores — so one oversized shard seeks without pulling the
+    whole object; :class:`RangedFile`'s readahead batches the split
+    readers' small reads into one GET per ~4 MB window. Cloud schemes
+    (s3a/gs/abfss) are Hadoop FileSystem schemes, so Spark scans them
+    natively (``spark_readable``) and executors write in place."""
+
+    spark_readable = True
+    executor_writes = True
+
+    def __init__(self, protocol: Optional[str] = None, fs=None,
+                 **storage_options):
+        if fs is None:
+            if protocol is None:
+                raise ValueError("need protocol or fs")
+            if not fsspec_available():
+                raise NotImplementedError(
+                    f"paths with scheme '{protocol}' need the 'fsspec' "
+                    f"package (plus its '{protocol}' implementation, "
+                    "e.g. s3fs/gcsfs/adlfs); install it, or "
+                    "register_data_backend() your own ranged-GET "
+                    "DataBackend for the scheme")
+            import fsspec
+
+            fs = fsspec.filesystem(protocol, **storage_options)
+        self._fs = fs
+        self._ctor = (protocol, storage_options) if protocol else None
+
+    # reconstruct from (protocol, options) when shipped to executors —
+    # live filesystem objects may hold unpicklable sessions
+    def __reduce__(self):
+        if self._ctor is not None:
+            proto, opts = self._ctor
+            return (_rebuild_fsspec_backend, (proto, opts))
+        return (FsspecDataBackend, (None, self._fs))
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self._fs.pipe_file(path, data)
+
+    def read_bytes(self, path: str) -> Optional[bytes]:
+        try:
+            return self._fs.cat_file(path)
+        except FileNotFoundError:
+            return None
+
+    def read_range(self, path: str, start: int,
+                   length: Optional[int] = None) -> Optional[bytes]:
+        try:
+            end = None if length is None else start + length
+            return self._fs.cat_file(path, start=start, end=end)
+        except FileNotFoundError:
+            return None
+
+    def delete(self, path: str) -> None:
+        try:
+            self._fs.rm_file(path)
+        except FileNotFoundError:
+            pass
+
+    def list_dir(self, path: str) -> List[str]:
+        try:
+            names = self._fs.ls(path, detail=False)
+        except FileNotFoundError:
+            return []
+        return sorted(str(n).rstrip("/").rsplit("/", 1)[-1]
+                      for n in names)
+
+    def mtime(self, path: str) -> Optional[float]:
+        try:
+            return self._fs.modified(path).timestamp()
+        except Exception:
+            return None  # vacuum keeps files it cannot age
+
+    def size(self, path: str) -> Optional[int]:
+        try:
+            return self._fs.size(path)
+        except FileNotFoundError:
+            return None
+
+    def ensure_dir(self, path: str) -> None:
+        try:
+            self._fs.makedirs(path, exist_ok=True)
+        except Exception:
+            pass  # flat-namespace stores have no directories
+
+
+def _rebuild_fsspec_backend(protocol, storage_options):
+    return FsspecDataBackend(protocol=protocol, **storage_options)
+
+
 class RangedFile:
     """Read-only file-like view over ``backend.read_range`` — just the
     ``seek``/``read``/context-manager surface the split readers
@@ -310,9 +426,21 @@ class RangedFile:
 
 
 #: scheme → backend factory; cloud deployments register their own next
-#: to their commit backend, e.g. ``register_data_backend("s3", ...)``
+#: to their commit backend, e.g. ``register_data_backend("s3", ...)``.
+#: Explicit registrations take precedence over the fsspec fallback.
 _REGISTRY: Dict[str, Callable[[], DataBackend]] = {}
 _LOCAL = LocalDataBackend()
+
+#: cloud schemes served by :class:`FsspecDataBackend` out of the box
+#: (Hadoop spellings folded onto their fsspec protocol names); anything
+#: here resolves without registration when fsspec + the protocol's
+#: implementation (s3fs/gcsfs/adlfs) are installed, and fails with a
+#: loud gated error naming the package otherwise
+_FSSPEC_SCHEMES: Dict[str, str] = {
+    "s3": "s3", "s3a": "s3", "s3n": "s3",
+    "gs": "gs", "gcs": "gcs",
+    "abfs": "abfs", "abfss": "abfs", "az": "abfs",
+}
 
 
 def resolve_split_backend(path: str,
@@ -363,6 +491,10 @@ def data_backend_for(path: str) -> DataBackend:
         return _LOCAL
     if scheme in _REGISTRY:
         return _REGISTRY[scheme]()
+    if scheme in _FSSPEC_SCHEMES:
+        # out-of-the-box object storage; raises a loud gated error
+        # naming the missing package when fsspec is absent
+        return FsspecDataBackend(protocol=_FSSPEC_SCHEMES[scheme])
     raise NotImplementedError(
         f"no data backend registered for scheme '{scheme}'; implement "
         f"DataBackend (plain put/get/delete — no atomicity needed, the "

@@ -309,3 +309,149 @@ def test_ranged_file_random_ops_match_bytesio():
             else:
                 assert rf.tell() == ref.tell()
         assert rf.read() == ref.read()
+
+
+class _FakeFsspecFs:
+    """The fsspec method subset FsspecDataBackend touches, over a dict —
+    lets the adapter be driven offline (fsspec is absent in this image;
+    when present, the same test runs against fsspec's real memory://)."""
+
+    def __init__(self):
+        self.kv = {}
+
+    def pipe_file(self, path, value):
+        self.kv[path] = bytes(value)
+
+    def cat_file(self, path, start=None, end=None):
+        if path not in self.kv:
+            raise FileNotFoundError(path)
+        return self.kv[path][start:end]
+
+    def rm_file(self, path):
+        if path not in self.kv:
+            raise FileNotFoundError(path)
+        del self.kv[path]
+
+    def ls(self, path, detail=True):
+        prefix = path.rstrip("/") + "/"
+        names = sorted({prefix + k[len(prefix):].split("/", 1)[0]
+                        for k in self.kv if k.startswith(prefix)})
+        if not names:
+            raise FileNotFoundError(path)
+        return names
+
+    def size(self, path):
+        if path not in self.kv:
+            raise FileNotFoundError(path)
+        return len(self.kv[path])
+
+    def modified(self, path):
+        import datetime
+
+        if path not in self.kv:
+            raise FileNotFoundError(path)
+        return datetime.datetime(2026, 1, 1)
+
+    def makedirs(self, path, exist_ok=False):
+        pass
+
+
+def _fsspec_test_fs():
+    from dataingestion_spark.sinks.data_backend import fsspec_available
+
+    if fsspec_available():
+        import fsspec
+
+        return fsspec.filesystem("memory")
+    return _FakeFsspecFs()
+
+
+def test_fsspec_backend_primitives():
+    from dataingestion_spark.sinks.data_backend import FsspecDataBackend
+
+    be = FsspecDataBackend(fs=_fsspec_test_fs())
+    assert be.read_bytes("b/t/files/a.parquet") is None
+    be.write_bytes("b/t/files/a.parquet", b"abc")
+    assert be.read_bytes("b/t/files/a.parquet") == b"abc"
+    assert be.size("b/t/files/a.parquet") == 3
+    assert be.size("b/t/files/missing") is None
+    assert be.list_dir("b/t/files") == ["a.parquet"]
+    assert be.list_dir("b/t") == ["files"]
+    assert be.list_dir("b/nope") == []
+    assert be.read_range("b/t/files/a.parquet", 1, 1) == b"b"
+    assert be.read_range("b/t/files/a.parquet", 1) == b"bc"
+    assert be.read_range("b/t/files/missing", 0, 1) is None
+    assert be.mtime("b/t/files/a.parquet") is not None
+    be.delete("b/t/files/a.parquet")
+    be.delete("b/t/files/a.parquet")  # idempotent
+    assert be.read_bytes("b/t/files/a.parquet") is None
+
+
+def test_fsspec_backend_splits_tar_span():
+    """A byte-range split reader seeking inside one shard that lives
+    only in an fsspec store: _read_tar_span through FsspecDataBackend
+    (RangedFile over cat_file ranged GETs) must partition exactly like
+    the POSIX path."""
+    from dataingestion_spark.sinks.data_backend import FsspecDataBackend
+    from dataingestion_spark.sinks.webdataset import (
+        _read_tar_span, build_tar_bytes,
+    )
+
+    members = [(f"{i:04d}.txt", f"payload {i} ".encode() * (1 + i % 9))
+               for i in range(20)]
+    blob = build_tar_bytes(members)
+    be = FsspecDataBackend(fs=_fsspec_test_fs())
+    be.write_bytes("bkt/shard.tar", blob)
+    size = len(blob)
+
+    want = _read_tar_span("bkt/shard.tar", 0, size, size, backend=be)
+    assert want == members
+    for b in range(512, size, 2048):
+        got = (_read_tar_span("bkt/shard.tar", 0, b, size, backend=be)
+               + _read_tar_span("bkt/shard.tar", b, size, size,
+                                backend=be))
+        assert got == want, f"fsspec boundary {b} diverged"
+
+
+def test_fsspec_gate_and_scheme_fallback():
+    """Cloud schemes resolve to FsspecDataBackend out of the box; with
+    fsspec absent the failure is the LOUD gated error naming the
+    package (read_markitdown pattern), not a silent local-path mangle.
+    Explicit registrations still take precedence."""
+    from dataingestion_spark.sinks.data_backend import (
+        FsspecDataBackend, fsspec_available,
+    )
+
+    if fsspec_available():
+        import fsspec  # noqa: F401
+
+        be = data_backend_for("s3://bucket/table")
+        assert isinstance(be, FsspecDataBackend)
+    else:
+        with pytest.raises(NotImplementedError, match="fsspec"):
+            data_backend_for("s3://bucket/table")
+        with pytest.raises(NotImplementedError, match="fsspec"):
+            data_backend_for("abfss://container@acct/table")
+    # unknown schemes keep the registration seam error
+    with pytest.raises(NotImplementedError, match="data backend"):
+        data_backend_for("s3x://bucket/t")
+    # an explicit registration wins over the fsspec fallback
+    marker = MemoryDataBackend()
+    register_data_backend("gs", lambda: marker)
+    try:
+        assert data_backend_for("gs://b/t") is marker
+    finally:
+        from dataingestion_spark.sinks.data_backend import _REGISTRY
+
+        _REGISTRY.pop("gs", None)
+
+
+def test_fsspec_backend_pickles_with_fake_fs():
+    import pickle
+
+    from dataingestion_spark.sinks.data_backend import FsspecDataBackend
+
+    be = FsspecDataBackend(fs=_FakeFsspecFs())
+    be.write_bytes("k", b"xyz")
+    clone = pickle.loads(pickle.dumps(be))
+    assert clone.read_bytes("k") == b"xyz"
