@@ -41,9 +41,14 @@ drop out as their count-0 terminator arrives, continuation segments
 gather per-row-contiguously (r12). Spec
 schema-resolution projection (writer-only fields skip at wave speed),
 reader defaults, and the int→long→float→double / string↔bytes
-promotions. Varint-numeric-element or union-element arrays, maps, and
-nested records return None and the caller uses the scalar path —
-Iceberg manifests stay scalar by design (small metadata files).
+promotions. NON-nullable nested records flatten into the plan (r13:
+wire-identical to inlined fields; struct columns reassemble from child
+arrays at finalize — measured 3.2-4.1× scalar end-to-end,
+scripts/scale_probe_avro_struct.py). Varint-numeric-element or
+union-element arrays, maps, NULLABLE records, and records inside
+arrays return None and the caller uses the scalar path — Iceberg
+manifests stay scalar by design (small metadata files); maps stay
+scalar BY MEASUREMENT (0.8×, r12: dict materialization dominates).
 
 Equivalence with the scalar decoder is pinned by differential tests
 (tests/test_avro_vec.py) over random schemas/values, and the measured
@@ -157,20 +162,76 @@ def _unwrap(node: Dict) -> Tuple[Optional[Dict], Optional[int]]:
 
 
 def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
-    """Compile (steps, fills) for the lock-step decoder, or None when
-    any field needs the scalar path. A step is a dict:
+    """Compile (steps, fills, assemblies) for the lock-step decoder, or
+    None when any field needs the scalar path. A step is a dict:
     name (None = skip), kind/logical (writer value), null_idx (writer),
-    out_kind (reader value kind), symbols/size for enum/fixed."""
+    out_kind (reader value kind), symbols/size for enum/fixed.
+
+    NON-nullable nested records flatten into the plan (r13 — a
+    record-of-scalars is wire-identical to its fields inlined in
+    order, so sub-fields become ordinary steps under mangled
+    ``parent\\x1fchild`` names) and an *assembly* rebuilds each struct
+    column from its child arrays at finalize, innermost first:
+    ``{"key": out-or-mangled name, "children": [(child name, source
+    key | None, default when source is None)]}``. Measured 3.2-4.1x
+    over the scalar path WITH the pandas dict materialization
+    (scripts/scale_probe_avro_struct.py) — unlike maps (0.8x, r12),
+    because the scalar decoder pays nested dispatch per row while
+    Arrow's struct-to-dicts crossing is one C pass. NULLABLE records
+    stay scalar: a null struct removes its sub-fields from the wire,
+    which the per-field wave masks don't model."""
     from .avro import _default_value
 
     if writer["kind"] != "record" or reader["kind"] != "record":
         return None
     rf = {f["name"]: f for f in reader["fields"]}
     steps: List[Dict] = []
+    assemblies: List[Dict] = []
     for f in writer["fields"]:
         wnode, wnull = _unwrap(f["schema"])
         if wnode is None:
             return None
+        if wnode["kind"] == "record":
+            if wnull is not None:
+                return None  # nullable struct: scalar path
+            name = f["name"] if f["name"] in rf else None
+            if name is None:  # writer-only struct: skip its fields
+                sub_reader: Dict = {"kind": "record",
+                                    "name": wnode.get("name"),
+                                    "fields": []}
+            else:
+                rnode, rnull = _unwrap(rf[name]["schema"])
+                if (rnode is None or rnode["kind"] != "record"
+                        or rnull is not None
+                        or not rnode["fields"]):
+                    return None
+                sub_reader = rnode
+            sub = _columnar_plan(wnode, sub_reader)
+            if sub is None:
+                return None
+            sub_steps, sub_fills, sub_asms = sub
+            pref = f["name"] + "\x1f"
+            for ss in sub_steps:
+                if ss["name"] is not None:
+                    ss = dict(ss, name=pref + ss["name"])
+                steps.append(ss)
+            if name is not None:
+                for sa in sub_asms:
+                    assemblies.append({
+                        "key": pref + sa["key"],
+                        "children": [
+                            (cn, pref + sk if sk is not None else None,
+                             dv)
+                            for cn, sk, dv in sa["children"]]})
+                fillmap = dict(sub_fills)
+                assemblies.append({
+                    "key": name,
+                    "children": [
+                        (sf["name"], None, fillmap[sf["name"]])
+                        if sf["name"] in fillmap
+                        else (sf["name"], pref + sf["name"], None)
+                        for sf in sub_reader["fields"]]})
+            continue
         elem = None
         if wnode["kind"] == "array":
             # arrays of NON-nullable fixed-width elements vectorize in
@@ -221,7 +282,7 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
     for f in reader["fields"]:
         if f["name"] not in wnames:
             fills.append((f["name"], _default_value(f, "$")))
-    return steps, fills
+    return steps, fills, assemblies
 
 
 # ---------------------------------------------------------------------------
@@ -554,7 +615,7 @@ def decode_blocks_columnar(datas: List[bytes], counts: List[int],
     plan = _columnar_plan(writer_node, reader_node)
     if plan is None or len(datas) < _MIN_BLOCKS:
         return None
-    steps, fills = plan
+    steps, fills, assemblies = plan
 
     sizes = np.array([len(d) for d in datas], np.int64)
     base = np.zeros(len(datas), np.int64)
@@ -587,14 +648,39 @@ def decode_blocks_columnar(datas: List[bytes], counts: List[int],
             f"{name}: {int(base[bad] + sizes[bad] - pos[bad])} trailing "
             "bytes in block — writer/reader schema mismatch")
 
-    out: Dict[str, Any] = {}
+    raw: Dict[str, Any] = {}
     for step in steps:
         if step["name"] is not None:
             try:
-                out[step["name"]] = _finalize(step, cols, buf)
+                raw[step["name"]] = _finalize(step, cols, buf)
             except UnicodeDecodeError as e:
                 raise ValueError(f"{name}: invalid UTF-8 in column "
                                  f"{step['name']!r}: {e}") from None
+    out: Dict[str, Any] = {
+        k: v for k, v in raw.items() if "\x1f" not in k}
+    if assemblies:
+        # rebuild struct columns from their flattened children,
+        # innermost first; sub-struct children stay pa.Arrays until
+        # the top-level struct crosses into pandas once
+        import pyarrow as pa
+
+        built: Dict[str, Any] = {}
+
+        def _child(key, dflt):
+            if key is None:
+                return (pa.nulls(n) if dflt is None
+                        else pa.array([dflt] * n))
+            return built[key] if key in built else pa.array(raw[key])
+
+        for asm in assemblies:
+            arr = pa.StructArray.from_arrays(
+                [_child(k, dv) for _cn, k, dv in asm["children"]],
+                [cn for cn, _k, _dv in asm["children"]])
+            if "\x1f" in asm["key"]:
+                built[asm["key"]] = arr
+            else:
+                out[asm["key"]] = pd.Series(
+                    arr.to_pandas(), dtype=object)
     for fname, fval in fills:
         out[fname] = pd.Series([fval] * n, dtype=object)
     return out

@@ -639,10 +639,17 @@ def test_split_reader_over_memory_backend(spark, tmp_path):
 
 
 def test_split_reader_unregistered_scheme_names_seam(spark):
+    from dataingestion_spark.sinks.data_backend import fsspec_available
     from dataingestion_spark.sources.avro import read_avro_split
 
+    # r13: cloud schemes resolve to the fsspec-backed DataBackend, so
+    # with the package absent the failure is the gated error NAMING it
+    if not fsspec_available():
+        with pytest.raises(NotImplementedError, match="fsspec"):
+            read_avro_split(spark, "s3://bucket/corpus")
+    # truly unknown schemes keep the registration-seam error
     with pytest.raises(NotImplementedError, match="data backend"):
-        read_avro_split(spark, "s3://bucket/corpus")
+        read_avro_split(spark, "s3x://bucket/corpus")
 
 
 # ---------------------------------------------------------------------------
@@ -863,3 +870,107 @@ def test_avro_split_many_files_parallel_planning(spark, tmp_path):
                         [{"v": i * 10 + j} for j in range(10)])
     got = read_avro_split(spark, d, split_mb=1)
     assert sorted(r["v"] for r in got.collect()) == list(range(400))
+
+
+NESTED_SCH = {"type": "record", "name": "r", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "text", "type": ["null", "string"], "default": None},
+    {"name": "inner", "type": {"type": "record", "name": "i", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"], "default": None},
+        {"name": "c", "type": "double"},
+        {"name": "deep", "type": {"type": "record", "name": "d",
+                                  "fields": [
+            {"name": "x", "type": "int"},
+            {"name": "y", "type": "string"}]}}]}}]}
+
+
+def _nested_rows(n):
+    return [{"id": i, "text": None if i % 7 == 0 else f"t{i}",
+             "inner": {"a": i * 3,
+                       "b": None if i % 5 == 0 else f"b{i % 97}",
+                       "c": i * 0.25,
+                       "deep": {"x": i % 11, "y": f"y{i % 13}"}}}
+            for i in range(n)]
+
+
+def test_differential_nested_records(tmp_path):
+    """r13: NON-nullable records of covered scalars vectorize — the
+    wire is the fields inlined in order, so sub-fields ride the wave
+    plan and the struct reassembles from child arrays at finalize
+    (measured 2.5-4.9x scalar, scripts/scale_probe_avro_struct.py).
+    Deep nesting and nullable LEAVES inside the struct included."""
+    cols, scalar = _vec(tmp_path, NESTED_SCH, _nested_rows(900))
+    assert cols is not None, "nested record fell back"
+    _assert_equal(cols, scalar, ["id", "text"])
+    for i in (0, 5, 7, 35, 899, 123):
+        assert cols["inner"][i] == scalar[i]["inner"], i
+
+
+def test_nested_record_schema_resolution(tmp_path):
+    """Resolution inside the struct: drop a sub-field, fill a
+    reader-only sub-field from its default, prune a nested struct's
+    fields — vec output must equal the scalar resolver's."""
+    from dataingestion_spark.sources.avro import parse_schema
+
+    reader = parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "inner", "type": {
+            "type": "record", "name": "i", "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "z", "type": "string", "default": "zz"},
+                {"name": "deep", "type": {
+                    "type": "record", "name": "d", "fields": [
+                        {"name": "y", "type": "string"}]}}]}}]})
+    cols, scalar = _vec(tmp_path, NESTED_SCH, _nested_rows(800),
+                        reader_node=reader)
+    assert cols is not None, "resolved nested record fell back"
+    for i in (0, 3, 777, 42):
+        assert cols["inner"][i] == scalar[i]["inner"], i
+        assert cols["inner"][i]["z"] == "zz"
+
+    # reader WITHOUT the struct: writer-only struct skips at wave speed
+    r2 = parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}]})
+    cols2, scalar2 = _vec(tmp_path, NESTED_SCH, _nested_rows(800),
+                          reader_node=r2)
+    assert cols2 is not None and list(cols2) == ["id"]
+    _assert_equal(cols2, scalar2, ["id"])
+
+
+def test_nullable_record_stays_scalar(tmp_path):
+    """A null struct removes its sub-fields from the wire — outside
+    the per-field wave masks, so ['null', record] falls back to the
+    scalar decoder (and stays correct there)."""
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "inner", "type": ["null", {
+            "type": "record", "name": "i", "fields": [
+                {"name": "a", "type": "long"}]}], "default": None}]}
+    rows = [{"id": i, "inner": None if i % 2 else {"a": i}}
+            for i in range(700)]
+    cols, scalar = _vec(tmp_path, sch, rows)
+    assert cols is None
+    assert scalar[2]["inner"] == {"a": 2}
+    assert scalar[3]["inner"] is None
+
+
+def test_nested_record_spark_roundtrip(spark, tmp_path):
+    """Struct columns through write_avro/read_avro land as Spark
+    StructType rows via the VECTORIZED decode (block_rows small enough
+    to clear _MIN_BLOCKS)."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.struct(
+            (F.col("id") * 2).alias("a"),
+            F.col("id").cast("string").alias("b")).alias("inner"))
+    d = str(tmp_path / "structs")
+    write_avro(docs, d, shards=1, order_by="doc_id", block_rows=16)
+    back = read_avro(spark, d)
+    got = {r["doc_id"]: r["inner"] for r in back.collect()}
+    assert got[7]["a"] == 14 and got[7]["b"] == "7"
+    assert len(got) == 3000
