@@ -9,12 +9,40 @@ collect); timings include plan + execution but share one warm SparkSession.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _historical_best(sf_val):
+    """Best per-entry seconds across prior BENCH_r*.json artifacts at
+    the SAME scale factor — the cross-round drift baseline (r12 VERDICT
+    #6: four ≤1.25x drifts on untouched code sailed under the in-run
+    spike check and cost adjudication time). Driver artifacts wrap the
+    compact line under "parsed" (medians); a local bench_full.json
+    additionally carries per-entry mins."""
+    best = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    paths.append(os.path.join(here, "bench_full.json"))
+    for p in paths:
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        doc = doc.get("parsed", doc) or {}
+        if doc.get("sf") != sf_val:
+            continue
+        for src_key in ("queries_min", "queries"):
+            for k, v in (doc.get(src_key) or {}).items():
+                if isinstance(v, (int, float)):
+                    best[k] = min(best.get(k, float("inf")), float(v))
+    return best
 
 
 def main():
@@ -426,29 +454,49 @@ def main():
         timings[name] = round(times[0], 3)
         medians[name] = round(times[len(times) // 2], 3)
 
-    # auto-recheck (r11 VERDICT #1): a median > 2x the same run's MIN
-    # means an external spike hit some reps of that entry — take three
-    # more reps at the end (the host spike has usually passed by then)
-    # so the REPORTED median reflects the plan, not the spike.
-    rechecked = []
-    if reps > 1:
-        for name in list(timings):
-            if medians[name] > 2 * timings[name] \
-                    and medians[name] - timings[name] > 0.25:
-                fn = bench_queries[name]
-                times = all_times[name]
-                for _ in range(3):
-                    start = time.perf_counter()
-                    fn(spark, sf_dir).write.format("noop") \
-                        .mode("overwrite").save()
-                    times.append(time.perf_counter() - start)
-                times.sort()
-                timings[name] = round(times[0], 3)
-                medians[name] = round(times[len(times) // 2], 3)
-                rechecked.append(name)
-
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # auto-recheck, two triggers:
+    # (a) in-run spike (r11 VERDICT #1): median > 2x the same run's MIN
+    #     means an external spike hit some reps of that entry;
+    # (b) cross-round drift (r12 VERDICT #6): median > 1.5x the entry's
+    #     best historical reading at this sf from prior BENCH artifacts
+    #     — catches the slow environmental creep the in-run check
+    #     can't see.
+    # Either way: three more reps at the end (the host spike has
+    # usually passed by then) so the REPORTED median reflects the
+    # plan, not the noise; the trigger reason rides into the artifact.
+    rechecked, recheck_reasons = [], {}
+    if reps > 1:
+        hist = _historical_best(sf_val)
+        for name in list(timings):
+            reason = None
+            if medians[name] > 2 * timings[name] \
+                    and medians[name] - timings[name] > 0.25:
+                reason = (f"in-run spike: median {medians[name]} > "
+                          f"2x run min {timings[name]}")
+            else:
+                hb = hist.get(name)
+                if (hb and medians[name] > 1.5 * hb
+                        and medians[name] - hb > 0.25):
+                    reason = (f"cross-round drift: median "
+                              f"{medians[name]} > 1.5x best "
+                              f"historical {round(hb, 3)}")
+            if reason is None:
+                continue
+            fn = bench_queries[name]
+            times = all_times[name]
+            for _ in range(3):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                times.append(time.perf_counter() - start)
+            times.sort()
+            timings[name] = round(times[0], 3)
+            medians[name] = round(times[len(times) // 2], 3)
+            rechecked.append(name)
+            recheck_reasons[name] = reason
     try:
         load_end = [round(x, 2) for x in os.getloadavg()]
     except OSError:  # pragma: no cover
@@ -468,6 +516,7 @@ def main():
         "load_wait_sec": load_wait_sec,
         "load_note": load_note,
         "rechecked": rechecked,
+        "recheck_reasons": recheck_reasons,
         "ncpu": os.cpu_count(),
     }
     # full report (median + min) to a file; stdout gets ONE compact line —
