@@ -8703,6 +8703,42 @@ def q_io_avro_snappy_roundtrip(spark, sf):
         "doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_io_avro_struct_vec(spark, sf):
+    """Nested-record Avro decode through the VECTORIZED path (r13,
+    sources/avro_vec.py: non-nullable records flatten into the wave
+    plan and the struct reassembles from child arrays at finalize —
+    measured 2.5-4.9x scalar, scripts/scale_probe_avro_struct.py):
+    documents gain a non-nullable inner struct, write ONE shard at
+    block_rows=4 so the read-back clears the >=64-block gate and runs
+    the lock-step decoder, then FLATTEN on output (the driver canon
+    cannot sort struct cells). Oracle equality pins wire fidelity and
+    the struct assembly end to end."""
+    import tempfile
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text",
+        F.struct(
+            F.col("source").alias("src"),
+            (F.col("n_chars") * 2).alias("n2"),
+            (F.col("n_chars") * 0.5).alias("half")).alias("meta"))
+    out = tempfile.mkdtemp(prefix="avro_struct_") + "/shards"
+    write_avro(docs, out, shards=1, order_by="doc_id", block_rows=4)
+    return read_avro(spark, out).select(
+        "doc_id", "text",
+        F.col("meta.src").alias("src"),
+        F.col("meta.n2").alias("n2"),
+        F.col("meta.half").alias("half"))
+
+
+ORACLE_AVRO_STRUCT = """
+SELECT doc_id, text, source AS src,
+       n_chars * 2 AS n2, CAST(n_chars AS DOUBLE) * 0.5 AS half
+FROM documents
+"""
+
+
 def q_iceberg_prune_bucket(spark, sf):
     """Foreign-table partition-transform pruning (r11,
     interop/iceberg.py): documents → a hand-built Iceberg v2 table
@@ -9233,9 +9269,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness gate oracles the FIRST
     # 50 entries.  r13 rotation (standing prefix-shift policy): first 50 =
-    # the three queries NEW this round (landing-dir stream oracles for
-    # tfrecord/avro/webdataset; new queries enter the sample head), then
-    # the whole r8 block of 44 and the 3 alphabetically-first r9 entries.
+    # the four queries NEW this round (landing-dir stream oracles for
+    # tfrecord/avro/webdataset + the vectorized nested-record avro
+    # roundtrip; new queries enter the sample head), then the whole r8
+    # block of 44 and the alphabetically-first r9 entries.
     # All 50 verified green against the sf0.01 DuckDB replica before
     # landing.  Entries 51+ continue in stalest-first order (rest of r9,
     # r10, r11, with the r12-green block -- freshest external confirmation
@@ -9243,6 +9280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/rotation_stats.py --check mechanizes the audit.
     return {
         # --- NEW r13 ---
+        "io_avro_struct_vec": q_io_avro_struct_vec,
         "streaming_avro_ingest": q_streaming_avro_ingest,
         "streaming_tfrecord_ingest": q_streaming_tfrecord_ingest,
         "streaming_wds_ingest": q_streaming_wds_ingest,
@@ -9501,6 +9539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "io_avro_struct_vec": ORACLE_AVRO_STRUCT,
         "streaming_tfrecord_ingest": ORACLE_TFRECORD_STREAM,
         "streaming_avro_ingest": ORACLE_AVRO_STREAM,
         "streaming_wds_ingest": ORACLE_WDS_STREAM,

@@ -338,3 +338,43 @@ def test_tar_trailing_partial_padding_resync(tmp_path):
         got = _read_tar_span(p, 0, b, size) \
             + _read_tar_span(p, b, size, size)
         assert got == want, f"truncated-padding boundary {b} diverged"
+
+
+def test_tar_mixed_formats_random_splits_differential(tmp_path):
+    """Seeded randomized sweep: archives in USTAR / GNU / PAX format
+    (mixed short and >100-char names, payloads 0..1500 bytes, 1..20
+    members) read identically whole and under random 2-way and 3-way
+    byte splits — the exactly-once ownership rule must hold at ANY
+    boundary, aligned or not, including inside extension sequences."""
+    import random
+    import tarfile
+
+    from dataingestion_spark.sinks.webdataset import _read_tar_span
+
+    rng = random.Random(1301)
+    for case in range(12):
+        fmt = (tarfile.USTAR_FORMAT, tarfile.GNU_FORMAT,
+               tarfile.PAX_FORMAT)[case % 3]
+        members = []
+        for i in range(rng.randint(1, 20)):
+            if fmt != tarfile.USTAR_FORMAT and rng.random() < 0.4:
+                name = f"{'n' * rng.randint(101, 180)}/{i:03d}.txt"
+            else:
+                name = f"{i:03d}.txt"
+            members.append(
+                (name, bytes(rng.getrandbits(8)
+                             for _ in range(rng.randint(0, 1500)))))
+        p, size = _foreign_tar(tmp_path, f"m{case}.tar", fmt, members)
+        want = _read_tar_span(p, 0, size, size)
+        assert want == members, f"case {case}: whole read diverged"
+        for _ in range(15):
+            b = rng.randint(1, size - 1)
+            got = _read_tar_span(p, 0, b, size) \
+                + _read_tar_span(p, b, size, size)
+            assert got == want, f"case {case}: 2-way split {b}"
+        for _ in range(10):
+            b1, b2 = sorted(rng.sample(range(1, size), 2))
+            got = (_read_tar_span(p, 0, b1, size)
+                   + _read_tar_span(p, b1, b2, size)
+                   + _read_tar_span(p, b2, size, size))
+            assert got == want, f"case {case}: 3-way split {b1},{b2}"
