@@ -110,6 +110,21 @@ def main():
     write_avro(docs, d, shards=4, order_by="doc_id", codec="snappy")
     check("avro+snappy", d, read_avro(spark, d))
 
+    # nested record through the vectorized struct decode (r13): pack
+    # three columns into a non-nullable struct, read back, re-flatten
+    d = os.path.join(tmp, "avro_struct")
+    as_struct = docs.select(
+        "doc_id", "text",
+        F.struct(F.col("lang").alias("lang"),
+                 F.col("source").alias("source"),
+                 F.col("n_chars").alias("n_chars")).alias("meta"))
+    write_avro(as_struct, d, shards=1, order_by="doc_id",
+               block_rows=16)
+    check("avro+struct", d, read_avro(spark, d).select(
+        "doc_id", "text", F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_chars").alias("n_chars")))
+
     print(f"\n{n} documents through every interchange format:")
     print(f"{'format':<12} {'MB':>8} {'rows':>7}")
     for label, mb, cnt in rows:
