@@ -353,6 +353,15 @@ def _read_tar_span(path: str, start: int, end: int, size: int,
             # what keeps splits exactly-once
             overrides: dict = {}
             while h[2] in _EXT_FLAGS:
+                if h[1] > 512 * (_EXT_BACK_BLOCKS - 1):
+                    # larger than the resync back-walk can see — a
+                    # LATER split boundary could double- or zero-count
+                    # this member, so refuse here, deterministically
+                    raise ValueError(
+                        f"{path}: extension payload of {h[1]} bytes "
+                        f"at byte {pos} exceeds the split reader's "
+                        f"{512 * (_EXT_BACK_BLOCKS - 1)}-byte bound — "
+                        "use read_webdataset")
                 data = fh.read(h[1])
                 if len(data) < h[1]:
                     raise ValueError(

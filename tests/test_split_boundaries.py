@@ -378,3 +378,34 @@ def test_tar_mixed_formats_random_splits_differential(tmp_path):
                    + _read_tar_span(p, b1, b2, size)
                    + _read_tar_span(p, b2, size, size))
             assert got == want, f"case {case}: 3-way split {b1},{b2}"
+
+
+def test_tar_oversized_extension_payload_refuses(tmp_path):
+    """An extension payload larger than the resync back-walk's bound
+    (63 blocks) could let a LATER split boundary double- or zero-count
+    its member — the split reader refuses deterministically instead
+    (the tarfile-backed whole-file reader handles such archives)."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from dataingestion_spark.sinks.webdataset import (
+        _read_tar_span, read_webdataset,
+    )
+
+    p = str(tmp_path / "big_ext.tar")
+    with tarfile.open(p, "w", format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo("a.txt")
+        data = b"hello"
+        info.size = len(data)
+        # a single pax record well past 63 blocks (32256 bytes)
+        info.pax_headers = {"comment": "x" * 40_000}
+        tf.addfile(info, io.BytesIO(data))
+    import os
+    size = os.path.getsize(p)
+    with pytest.raises(ValueError, match="exceeds the split reader"):
+        _read_tar_span(p, 0, size, size)
+    # the whole-file reader still reads it fine
+    with tarfile.open(p) as tf:
+        assert tf.getmembers()[0].name == "a.txt"
