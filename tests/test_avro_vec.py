@@ -974,3 +974,63 @@ def test_nested_record_spark_roundtrip(spark, tmp_path):
     got = {r["doc_id"]: r["inner"] for r in back.collect()}
     assert got[7]["a"] == 14 and got[7]["b"] == "7"
     assert len(got) == 3000
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def test_differential_struct_of_everything(tmp_path, codec):
+    """Randomized hardening of the r13 struct path: a struct holding
+    every vectorizable leaf kind — nullable scalars, enum, fixed,
+    array<float>, array<string>, and a nested struct — must decode
+    identically to the scalar resolver under every codec."""
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "meta", "type": {"type": "record", "name": "m",
+                                  "fields": [
+            {"name": "small", "type": ["null", "int"], "default": None},
+            {"name": "txt", "type": ["null", "string"],
+             "default": None},
+            {"name": "d", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "color", "type": {"type": "enum", "name": "c",
+                                       "symbols": ["R", "G", "B"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "f4",
+                                    "size": 4}},
+            {"name": "emb", "type": {"type": "array",
+                                     "items": "float"}},
+            {"name": "toks", "type": {"type": "array",
+                                      "items": "string"}},
+            {"name": "deep", "type": {"type": "record", "name": "d2",
+                                      "fields": [
+                {"name": "x", "type": "int"},
+                {"name": "y", "type": "string"}]}}]}}]}
+    rng = random.Random(4242)
+    rows = []
+    for i in range(900):
+        rows.append({"id": i, "meta": {
+            "small": None if i % 6 == 0 else rng.randint(-2**31,
+                                                         2**31 - 1),
+            "txt": None if i % 5 == 0 else "wörd " * (i % 3),
+            "d": rng.random() * 1e6,
+            "flag": bool(i % 2),
+            "color": "RGB"[i % 3],
+            "fx": bytes([i % 256] * 4),
+            "emb": [round(rng.random(), 3)
+                    for _ in range(rng.randint(0, 5))],
+            "toks": [f"t{rng.randint(0, 99)}"
+                     for _ in range(rng.randint(0, 4))],
+            "deep": {"x": i % 17, "y": f"y{i % 7}"}}})
+    cols, scalar = _vec(tmp_path, sch, rows, codec=codec)
+    assert cols is not None, "struct-of-everything fell back"
+    _assert_equal(cols, scalar, ["id"])
+    for i in range(0, 900, 37):
+        got, want = cols["meta"][i], scalar[i]["meta"]
+        assert set(got) == set(want)
+        for k in want:
+            gv, wv = got[k], want[k]
+            if k == "emb":
+                assert [round(float(x), 3) for x in gv] == \
+                    [round(float(x), 3) for x in wv], (i, k)
+            elif k == "emb" or k == "toks":
+                assert list(gv) == list(wv), (i, k)
+            else:
+                assert gv == wv, (i, k, gv, wv)
