@@ -9268,72 +9268,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness gate oracles the FIRST
-    # 50 entries.  r13 rotation (standing prefix-shift policy): first 50 =
-    # the four queries NEW this round (landing-dir stream oracles for
-    # tfrecord/avro/webdataset + the vectorized nested-record avro
-    # roundtrip; new queries enter the sample head), then the whole r8
-    # block of 44 and the alphabetically-first r9 entries.
+    # 50 entries.  r14 rotation (standing prefix-shift policy): head-50 =
+    # the whole stale r9 block of 48 (doc_char_entropy .. tpch_q9) plus
+    # the two alphabetically-first r10 entries (chunker_header,
+    # chunker_image_binary); new queries enter the head when added.
     # All 50 verified green against the sf0.01 DuckDB replica before
-    # landing.  Entries 51+ continue in stalest-first order (rest of r9,
-    # r10, r11, with the r12-green block -- freshest external confirmation
-    # -- at the very end), so future rotations stay a simple prefix shift;
-    # scripts/rotation_stats.py --check mechanizes the audit.
+    # landing.  Entries 51+ continue in stalest-first order (rest of r10,
+    # r11, r12, with the r13-green block -- freshest external
+    # confirmation -- at the very end), so future rotations stay a simple
+    # prefix shift; scripts/rotation_stats.py --check mechanizes the
+    # audit.
     return {
-        # --- NEW r13 ---
-        "io_avro_struct_vec": q_io_avro_struct_vec,
-        "streaming_avro_ingest": q_streaming_avro_ingest,
-        "streaming_tfrecord_ingest": q_streaming_tfrecord_ingest,
-        "streaming_wds_ingest": q_streaming_wds_ingest,
-        # --- last green r8 ---
-        "doc_c4_filters": q_c4_filters,
-        "doc_lm_perplexity": q_lm_perplexity,
-        "doc_robots_gate": q_robots_gate,
-        "doc_script_profile": q_script_profile,
-        "doc_url_psl_domain": q_url_psl_domain,
-        "graph_triangle_count": q_triangle_count,
-        "lakehouse_bloom_read": q_lakehouse_bloom_read,
-        "lakehouse_delta_mirror": q_lakehouse_delta_mirror,
-        "lakehouse_history_stream": q_lakehouse_history_stream,
-        "lakehouse_meta_count": q_lakehouse_meta_count,
-        "lakehouse_rename_column": q_lakehouse_rename_column,
-        "lakehouse_skipping_read": q_lakehouse_skipping,
-        "lakehouse_sync_replica": q_lakehouse_sync,
-        "multimodal_frame_sample": q_frame_sample,
-        "pack_doc_sequences": q_pack_sequences,
-        "sample_curriculum_buckets": q_curriculum_buckets,
-        "sample_dsir_weights": q_dsir_weights,
-        "sample_mixture_budget": q_mixture_sample,
-        "sample_stratified": q_stratified_sample,
-        "sample_uniform_exact_k": q_uniform_sample_k,
-        "sample_weighted_exact_k": q_weighted_sample_k,
-        "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
-        "search_hybrid_indexed": q_hybrid_indexed,
-        "search_topk_ivf_filtered": q_topk_ivf_filtered,
-        "search_topk_ivf_pq": q_topk_ivf_pq,
-        "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
-        "search_topk_pq": q_topk_pq,
-        "search_topk_pq_rerank": q_topk_pq_rerank,
-        "sft_best_of_n": q_best_of_n,
-        "sft_preference_pairs": q_preference_pairs,
-        "shards_token_budget": q_assign_shards,
-        "sketch_bloom_membership": q_bloom_membership,
-        "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
-        "sketch_histogram_quantiles": q_sketch_quantiles,
-        "sketch_hll_users": q_sketch_hll_users,
-        "split_hash_assignment": q_hash_split,
-        "streaming_dedup_ingest": q_streaming_dedup,
-        "streaming_dedup_watermark": q_streaming_dedup_watermark,
-        "streaming_events_windowed": q_streaming_events,
-        "streaming_exactly_once_ingest": q_exactly_once_ingest,
-        "streaming_interval_join": q_streaming_interval_join,
-        "streaming_session_windows": q_streaming_sessions,
-        "streaming_upsert_merge": q_streaming_upsert,
-        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
         # --- last green r9 ---
-        "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
-        "dedup_simhash_fast": q_simhash_fast,
         "doc_char_entropy": q_char_entropy,
-        # --- last green r9 (entries 51+) ---
         "doc_compression_ratio": q_compression_ratio,
         "doc_gopher_filters": q_gopher_filters,
         "events_json_stats": q_events_json_stats,
@@ -9381,9 +9328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": q_tpch_q7,
         "tpch_q8_market_share": q_tpch_q8,
         "tpch_q9_product_profit": q_tpch_q9,
-        # --- last green r10 (entries 51+) ---
+        # --- last green r10 ---
         "chunker_header": q_header_chunks,
         "chunker_image_binary": q_image_chunks,
+        # ================= head-50 boundary: entries below are NOT in
+        # the driver's correctness sample this round =================
+        # --- last green r10 ---
         "chunker_markdown": q_markdown_chunks,
         "chunker_section": q_section_chunks,
         "chunker_semantic": q_semantic_chunks,
@@ -9432,7 +9382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_iceberg_tail": q_streaming_iceberg_tail,
         "streaming_jsonl_ingest": q_streaming_jsonl_ingest,
         "tokenizer_bpe_pair_counts": q_bpe_pair_counts,
-        # --- last green r11 (entries 51+) ---
+        # --- last green r11 ---
         "dedup_cluster_canonical": q_dedup_clusters,
         "dedup_cluster_split": q_cluster_split,
         "dedup_edit_distance_pairs": q_edit_distance_pairs,
@@ -9483,7 +9433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_qa_pairs": q_qa_pairs,
         "writer_vector_records": q_vector_records,
         "writer_webdataset_shards": q_webdataset_shards,
-        # --- last green r12 (entries 51+) ---
+        # --- last green r12 ---
         "curation_funnel": q_curation_funnel,
         "dedup_boilerplate_lines": q_boilerplate_lines,
         "doc_quality_classifier": q_quality_classifier,
@@ -9534,6 +9484,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_corpus_report": q_corpus_report,
         "table_quality_constraints": q_quality_constraints,
         "tokenizer_bpe_train_merges": q_bpe_train_merges,
+        # --- last green r13 ---
+        "dedup_minhash_fast_pairs": q_minhash_fast_pairs,
+        "dedup_simhash_fast": q_simhash_fast,
+        "doc_c4_filters": q_c4_filters,
+        "doc_lm_perplexity": q_lm_perplexity,
+        "doc_robots_gate": q_robots_gate,
+        "doc_script_profile": q_script_profile,
+        "doc_url_psl_domain": q_url_psl_domain,
+        "graph_triangle_count": q_triangle_count,
+        "io_avro_struct_vec": q_io_avro_struct_vec,
+        "lakehouse_bloom_read": q_lakehouse_bloom_read,
+        "lakehouse_delta_mirror": q_lakehouse_delta_mirror,
+        "lakehouse_history_stream": q_lakehouse_history_stream,
+        "lakehouse_meta_count": q_lakehouse_meta_count,
+        "lakehouse_rename_column": q_lakehouse_rename_column,
+        "lakehouse_skipping_read": q_lakehouse_skipping,
+        "lakehouse_sync_replica": q_lakehouse_sync,
+        "multimodal_frame_sample": q_frame_sample,
+        "pack_doc_sequences": q_pack_sequences,
+        "sample_curriculum_buckets": q_curriculum_buckets,
+        "sample_dsir_weights": q_dsir_weights,
+        "sample_mixture_budget": q_mixture_sample,
+        "sample_stratified": q_stratified_sample,
+        "sample_uniform_exact_k": q_uniform_sample_k,
+        "sample_weighted_exact_k": q_weighted_sample_k,
+        "search_eval_ndcg_mrr": q_search_eval_ndcg_mrr,
+        "search_hybrid_indexed": q_hybrid_indexed,
+        "search_topk_ivf_filtered": q_topk_ivf_filtered,
+        "search_topk_ivf_pq": q_topk_ivf_pq,
+        "search_topk_ivfpq_persisted": q_topk_ivfpq_persisted,
+        "search_topk_pq": q_topk_pq,
+        "search_topk_pq_rerank": q_topk_pq_rerank,
+        "sft_best_of_n": q_best_of_n,
+        "sft_preference_pairs": q_preference_pairs,
+        "shards_token_budget": q_assign_shards,
+        "sketch_bloom_membership": q_bloom_membership,
+        "sketch_cm_heavy_hitters": q_cm_heavy_hitters,
+        "sketch_histogram_quantiles": q_sketch_quantiles,
+        "sketch_hll_users": q_sketch_hll_users,
+        "split_hash_assignment": q_hash_split,
+        "streaming_avro_ingest": q_streaming_avro_ingest,
+        "streaming_dedup_ingest": q_streaming_dedup,
+        "streaming_dedup_watermark": q_streaming_dedup_watermark,
+        "streaming_events_windowed": q_streaming_events,
+        "streaming_exactly_once_ingest": q_exactly_once_ingest,
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_session_windows": q_streaming_sessions,
+        "streaming_tfrecord_ingest": q_streaming_tfrecord_ingest,
+        "streaming_upsert_merge": q_streaming_upsert,
+        "streaming_wds_ingest": q_streaming_wds_ingest,
+        "tokenizer_bpe_encode_roundtrip": q_bpe_encode_roundtrip,
     }
 
 
