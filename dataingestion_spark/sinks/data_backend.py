@@ -37,6 +37,7 @@ local filesystem (VERDICT r3 "What's wrong" #1).
 from __future__ import annotations
 
 import os
+import pickle
 import threading
 import time
 from typing import Callable, Dict, List, Optional
@@ -264,11 +265,23 @@ class FsspecDataBackend(DataBackend):
         self._ctor = (protocol, storage_options) if protocol else None
 
     # reconstruct from (protocol, options) when shipped to executors —
-    # live filesystem objects may hold unpicklable sessions
+    # live filesystem objects may hold unpicklable sessions. An
+    # fs-constructed backend probe-pickles its fs up front so a
+    # session-holding filesystem fails HERE with a clear message,
+    # not deep inside Spark task serialization (picklable fs objects —
+    # the offline test fakes — still ship fine).
     def __reduce__(self):
         if self._ctor is not None:
             proto, opts = self._ctor
             return (_rebuild_fsspec_backend, (proto, opts))
+        try:
+            pickle.dumps(self._fs)
+        except Exception as exc:
+            raise TypeError(
+                "FsspecDataBackend built from a live fs object whose "
+                f"filesystem does not pickle ({exc!r}) is driver-only; "
+                "construct with protocol=... to make it "
+                "executor-shippable") from exc
         return (FsspecDataBackend, (None, self._fs))
 
     def write_bytes(self, path: str, data: bytes) -> None:
@@ -295,6 +308,14 @@ class FsspecDataBackend(DataBackend):
             pass
 
     def list_dir(self, path: str) -> List[str]:
+        # fsspec filesystems (s3fs notably) cache dir listings per
+        # instance; vacuum/DV-cleanup and split planning call list_dir
+        # AFTER external or executor writes, so serve a fresh listing
+        if hasattr(self._fs, "invalidate_cache"):
+            try:
+                self._fs.invalidate_cache(path)
+            except Exception:
+                pass  # cache invalidation is best-effort, never fatal
         try:
             names = self._fs.ls(path, detail=False)
         except FileNotFoundError:

@@ -228,18 +228,27 @@ _EXT_FLAGS = (b"L", b"K", b"x")
 _EXT_BACK_BLOCKS = 64
 
 
-def _parse_pax(payload: bytes) -> dict:
+def _parse_pax(payload: bytes, *, where: str = "pax payload") -> dict:
     """Decode pax extended-header records (POSIX.1-2001:
     ``"%d %s=%s\\n" % (length, keyword, value)`` where *length* counts
-    the whole record, digits and newline included)."""
+    the whole record, digits and newline included). ``where`` names the
+    payload's location (path + byte offset) so a malformed or truncated
+    record surfaces in the reader's own error style instead of a bare
+    ``index``/``int`` ValueError."""
     out = {}
     pos = 0
     while pos < len(payload):
-        sp = payload.index(b" ", pos)
-        rec_len = int(payload[pos:sp])
+        try:
+            sp = payload.index(b" ", pos)
+            rec_len = int(payload[pos:sp])
+        except ValueError:
+            raise ValueError(
+                f"{where}: malformed pax record at payload offset {pos}")
         rec = payload[pos:pos + rec_len]
-        if not rec.endswith(b"\n"):
-            raise ValueError("pax record missing trailing newline")
+        if rec_len <= 0 or not rec.endswith(b"\n"):
+            raise ValueError(
+                f"{where}: malformed pax record at payload offset {pos} "
+                "(bad length or missing trailing newline)")
         key, _, val = rec[sp - pos + 1:-1].partition(b"=")
         out[key.decode("utf-8")] = val.decode("utf-8")
         pos += rec_len
@@ -323,7 +332,13 @@ def _read_tar_span(path: str, start: int, end: int, size: int,
                     psize = None
                     while h2 is not None and h2[2] in _EXT_FLAGS:
                         if h2[2] == b"x":
-                            px = _parse_pax(fh.read(h2[1]))
+                            pdata = fh.read(h2[1])
+                            if len(pdata) < h2[1]:
+                                raise ValueError(
+                                    f"{path}: truncated extension at "
+                                    f"byte {p}")
+                            px = _parse_pax(
+                                pdata, where=f"{path} @ byte {p}")
                             if "size" in px:
                                 psize = int(px["size"])
                         p = _next_at(p, h2[1])
@@ -371,7 +386,7 @@ def _read_tar_span(path: str, start: int, end: int, size: int,
                         data.split(b"\x00", 1)[0].decode(
                             "utf-8", "replace")
                 elif h[2] == b"x":
-                    px = _parse_pax(data)
+                    px = _parse_pax(data, where=f"{path} @ byte {pos}")
                     overrides.update(
                         {k: v for k, v in px.items()
                          if k in ("path", "size")})

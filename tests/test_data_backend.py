@@ -455,3 +455,37 @@ def test_fsspec_backend_pickles_with_fake_fs():
     be.write_bytes("k", b"xyz")
     clone = pickle.loads(pickle.dumps(be))
     assert clone.read_bytes("k") == b"xyz"
+
+
+def test_fsspec_backend_unpicklable_fs_fails_loudly():
+    """An fs-constructed backend whose filesystem holds an unpicklable
+    session must refuse pickling HERE with a message naming the fix,
+    not deep inside Spark task serialization."""
+    import pickle
+    import threading
+
+    from dataingestion_spark.sinks.data_backend import FsspecDataBackend
+
+    fs = _FakeFsspecFs()
+    fs.session = threading.Lock()  # locks never pickle
+    be = FsspecDataBackend(fs=fs)
+    with pytest.raises(TypeError, match="protocol=.*executor-shippable"):
+        pickle.dumps(be)
+
+
+def test_fsspec_list_dir_invalidates_listing_cache():
+    """s3fs-style filesystems cache dir listings; list_dir must ask for
+    a fresh one so vacuum/split-planning see external writes."""
+    from dataingestion_spark.sinks.data_backend import FsspecDataBackend
+
+    calls = []
+
+    class _CachingFs(_FakeFsspecFs):
+        def invalidate_cache(self, path=None):
+            calls.append(path)
+
+    fs = _CachingFs()
+    be = FsspecDataBackend(fs=fs)
+    be.write_bytes("t/a", b"1")
+    assert be.list_dir("t") == ["a"]
+    assert calls == ["t"]

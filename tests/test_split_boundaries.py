@@ -409,3 +409,39 @@ def test_tar_oversized_extension_payload_refuses(tmp_path):
     # the whole-file reader still reads it fine
     with tarfile.open(p) as tf:
         assert tf.getmembers()[0].name == "a.txt"
+
+
+def test_tar_malformed_pax_record_names_path_and_offset(tmp_path):
+    """A malformed pax payload (no "len key=val\\n" shape) must surface
+    the reader's own '<path> @ byte N: malformed pax record' error, not
+    a bare ValueError from bytes.index/int (r13 advice)."""
+    import pytest
+
+    from dataingestion_spark.sinks.webdataset import (
+        _parse_pax, _read_tar_span, build_tar_bytes,
+    )
+
+    # unit surface: context-free payloads get the caller's `where`
+    with pytest.raises(ValueError, match="shard.tar @ byte 0.*malformed"):
+        _parse_pax(b"nonsense-without-space-or-digits",
+                   where="shard.tar @ byte 0")
+    with pytest.raises(ValueError, match="malformed pax record"):
+        _parse_pax(b"xx path=foo\n")       # non-numeric length
+    with pytest.raises(ValueError, match="malformed pax record"):
+        _parse_pax(b"7 k=v")               # bad length/newline
+
+    # integration: hand-build a tar whose x header carries garbage —
+    # USTAR member, then rewrite its typeflag to 'x' so the split
+    # reader takes the pax branch on a payload that isn't pax
+    blob = bytearray(build_tar_bytes([("0000.txt", b"not a pax rec")]))
+    hdr = blob[0:512]
+    hdr[156] = ord("x")
+    # re-checksum after the typeflag edit
+    hdr[148:156] = b" " * 8
+    chks = sum(hdr[:512])
+    hdr[148:156] = ("%06o" % chks).encode() + b"\x00 "
+    blob[0:512] = hdr
+    p = str(tmp_path / "badpax.tar")
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match=r"badpax\.tar @ byte 0.*malformed"):
+        _read_tar_span(p, 0, len(blob), len(blob))
