@@ -8739,6 +8739,47 @@ FROM documents
 """
 
 
+def q_io_avro_nullable_struct_vec(spark, sf):
+    """NULLABLE nested-record Avro decode through the vectorized path
+    (r14, sources/avro_vec.py: ['null', record] compiles to a
+    record_group step — one branch wave -> validity mask, sub-fields
+    on the reduced wave, mask applied by pa.StructArray — measured
+    2.85-4.43x scalar after the proxy probe cleared the bar,
+    scripts/scale_probe_avro_nullable_struct.py): documents gain an
+    inner struct that is NULL for every third row, write ONE shard at
+    block_rows=4 to clear the >=64-block gate, read back vectorized,
+    then flatten (null structs surface as null leaf columns). Oracle
+    equality pins the branch wave, the skipped wire bytes, and the
+    mask end to end."""
+    import tempfile
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text",
+        F.when(F.col("n_chars") % 3 != 0, F.struct(
+            F.col("source").alias("src"),
+            (F.col("n_chars") * 2).alias("n2"),
+            (F.col("n_chars") * 0.5).alias("half"))).alias("meta"))
+    out = tempfile.mkdtemp(prefix="avro_nstruct_") + "/shards"
+    write_avro(docs, out, shards=1, order_by="doc_id", block_rows=4)
+    return read_avro(spark, out).select(
+        "doc_id", "text",
+        F.col("meta.src").alias("src"),
+        F.col("meta.n2").alias("n2"),
+        F.col("meta.half").alias("half"))
+
+
+ORACLE_AVRO_NULLABLE_STRUCT = """
+SELECT doc_id, text,
+       CASE WHEN n_chars % 3 != 0 THEN source END AS src,
+       CASE WHEN n_chars % 3 != 0 THEN n_chars * 2 END AS n2,
+       CASE WHEN n_chars % 3 != 0
+            THEN CAST(n_chars AS DOUBLE) * 0.5 END AS half
+FROM documents
+"""
+
+
 def q_iceberg_prune_bucket(spark, sf):
     """Foreign-table partition-transform pruning (r11,
     interop/iceberg.py): documents → a hand-built Iceberg v2 table
@@ -9279,6 +9320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prefix shift; scripts/rotation_stats.py --check mechanizes the
     # audit.
     return {
+        # --- NEW r14 (new queries enter the sample head) ---
+        "io_avro_nullable_struct_vec": q_io_avro_nullable_struct_vec,
         # --- last green r9 ---
         "doc_char_entropy": q_char_entropy,
         "doc_compression_ratio": q_compression_ratio,
@@ -9330,10 +9373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_product_profit": q_tpch_q9,
         # --- last green r10 ---
         "chunker_header": q_header_chunks,
-        "chunker_image_binary": q_image_chunks,
         # ================= head-50 boundary: entries below are NOT in
         # the driver's correctness sample this round =================
         # --- last green r10 ---
+        "chunker_image_binary": q_image_chunks,
         "chunker_markdown": q_markdown_chunks,
         "chunker_section": q_section_chunks,
         "chunker_semantic": q_semantic_chunks,
@@ -9541,6 +9584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "io_avro_struct_vec": ORACLE_AVRO_STRUCT,
+        "io_avro_nullable_struct_vec": ORACLE_AVRO_NULLABLE_STRUCT,
         "streaming_tfrecord_ingest": ORACLE_TFRECORD_STREAM,
         "streaming_avro_ingest": ORACLE_AVRO_STREAM,
         "streaming_wds_ingest": ORACLE_WDS_STREAM,

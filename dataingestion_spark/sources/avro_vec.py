@@ -44,11 +44,17 @@ reader defaults, and the int→long→float→double / string↔bytes
 promotions. NON-nullable nested records flatten into the plan (r13:
 wire-identical to inlined fields; struct columns reassemble from child
 arrays at finalize — measured 3.2-4.1× scalar end-to-end,
-scripts/scale_probe_avro_struct.py). Varint-numeric-element or
-union-element arrays, maps, NULLABLE records, and records inside
-arrays return None and the caller uses the scalar path — Iceberg
-manifests stay scalar by design (small metadata files); maps stay
-scalar BY MEASUREMENT (0.8×, r12: dict materialization dominates).
+scripts/scale_probe_avro_struct.py). NULLABLE records (r14) compile
+to a ``record_group`` step: one zigzag branch wave yields the struct
+validity mask, sub-field waves run on the reduced row set (a null
+struct has no wire bytes), and ``pa.StructArray`` applies the mask at
+assembly — measured 2.85-4.43× scalar
+(scripts/scale_probe_avro_nullable_struct.py). Varint-numeric-element
+or union-element arrays, maps, nullability-MISMATCHED records, and
+records inside arrays return None and the caller uses the scalar
+path — Iceberg manifests stay scalar by design (small metadata
+files); maps stay scalar BY MEASUREMENT (0.8×, r12: dict
+materialization dominates).
 
 Equivalence with the scalar decoder is pinned by differential tests
 (tests/test_avro_vec.py) over random schemas/values, and the measured
@@ -161,6 +167,31 @@ def _unwrap(node: Dict) -> Tuple[Optional[Dict], Optional[int]]:
     return br[1 - ni], ni
 
 
+def _mangle_step(step: Dict, pref: str) -> Dict:
+    """Prefix a flattened sub-field step's output name (recursing into
+    nested ``record_group`` substeps) so sibling structs with
+    same-named children never collide."""
+    out = dict(step)
+    if out.get("name") is not None:
+        out["name"] = pref + out["name"]
+    if out["kind"] == "record_group":
+        out["substeps"] = [_mangle_step(s, pref)
+                           for s in out["substeps"]]
+    return out
+
+
+def _mangle_asm(asm: Dict, pref: str) -> Dict:
+    out = {
+        "key": pref + asm["key"],
+        "children": [
+            (cn, pref + sk if sk is not None else None, dv)
+            for cn, sk, dv in asm["children"]],
+    }
+    if asm.get("mask"):
+        out["mask"] = pref + asm["mask"]
+    return out
+
+
 def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
     """Compile (steps, fills, assemblies) for the lock-step decoder, or
     None when any field needs the scalar path. A step is a dict:
@@ -177,9 +208,18 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
     over the scalar path WITH the pandas dict materialization
     (scripts/scale_probe_avro_struct.py) — unlike maps (0.8x, r12),
     because the scalar decoder pays nested dispatch per row while
-    Arrow's struct-to-dicts crossing is one C pass. NULLABLE records
-    stay scalar: a null struct removes its sub-fields from the wire,
-    which the per-field wave masks don't model."""
+    Arrow's struct-to-dicts crossing is one C pass.
+
+    NULLABLE records (r14, proxy-measured 2.7-3.8x first:
+    scripts/scale_probe_avro_nullable_struct.py) compile to a
+    ``record_group`` step: one zigzag branch wave producing the
+    struct's validity mask, with the flattened sub-field steps nested
+    INSIDE the group and executed on the reduced (non-null) wave — a
+    null struct contributes no wire bytes, which simple per-field
+    masks cannot model but wave reduction models exactly. The
+    assembly applies the mask via ``pa.StructArray.from_arrays(...,
+    mask=)``. Writer-nullable requires reader-nullable (and vice
+    versa); mismatched nullability stays scalar."""
     from .avro import _default_value
 
     if writer["kind"] != "record" or reader["kind"] != "record":
@@ -192,8 +232,6 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
         if wnode is None:
             return None
         if wnode["kind"] == "record":
-            if wnull is not None:
-                return None  # nullable struct: scalar path
             name = f["name"] if f["name"] in rf else None
             if name is None:  # writer-only struct: skip its fields
                 sub_reader: Dict = {"kind": "record",
@@ -202,8 +240,14 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
             else:
                 rnode, rnull = _unwrap(rf[name]["schema"])
                 if (rnode is None or rnode["kind"] != "record"
-                        or rnull is not None
                         or not rnode["fields"]):
+                    return None
+                # nullability must agree on both sides: a writer null
+                # cannot resolve into a non-nullable reader struct
+                # (the scalar path raises properly), and a reader-only
+                # null branch adds nothing the mask can't — mismatches
+                # stay scalar
+                if (wnull is None) != (rnull is None):
                     return None
                 sub_reader = rnode
             sub = _columnar_plan(wnode, sub_reader)
@@ -211,26 +255,32 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
                 return None
             sub_steps, sub_fills, sub_asms = sub
             pref = f["name"] + "\x1f"
-            for ss in sub_steps:
-                if ss["name"] is not None:
-                    ss = dict(ss, name=pref + ss["name"])
-                steps.append(ss)
+            m_steps = [_mangle_step(ss, pref) for ss in sub_steps]
+            if wnull is None:
+                steps.extend(m_steps)
+            else:
+                # nullable struct (r14): one branch wave -> validity
+                # mask; sub-fields run on the reduced wave inside the
+                # group (a null struct has NO wire bytes for them)
+                steps.append({
+                    "name": name, "kind": "record_group",
+                    "null_idx": wnull, "reader_nullable": True,
+                    "logical": None, "out_kind": "record_group",
+                    "substeps": m_steps})
             if name is not None:
-                for sa in sub_asms:
-                    assemblies.append({
-                        "key": pref + sa["key"],
-                        "children": [
-                            (cn, pref + sk if sk is not None else None,
-                             dv)
-                            for cn, sk, dv in sa["children"]]})
+                assemblies.extend(
+                    _mangle_asm(sa, pref) for sa in sub_asms)
                 fillmap = dict(sub_fills)
-                assemblies.append({
+                top_asm = {
                     "key": name,
                     "children": [
                         (sf["name"], None, fillmap[sf["name"]])
                         if sf["name"] in fillmap
                         else (sf["name"], pref + sf["name"], None)
-                        for sf in sub_reader["fields"]]})
+                        for sf in sub_reader["fields"]]}
+                if wnull is not None:
+                    top_asm["mask"] = name
+                assemblies.append(top_asm)
             continue
         elem = None
         if wnode["kind"] == "array":
@@ -302,8 +352,20 @@ class _Cols:
         self.acounts: Dict[str, np.ndarray] = {}
         self.aparts: Dict[str, List[Tuple]] = {}
         self.fextra: Dict[str, List[Tuple]] = {}
+        self._alloc(steps, n)
+
+    def _alloc(self, steps: List[Dict], n: int) -> None:
         for s in steps:
             name = s["name"]
+            if s["kind"] == "record_group":
+                # the group itself carries only the struct validity
+                # mask; its children allocate at FULL length (rows
+                # under a null struct stay zero and are hidden by the
+                # mask at assembly)
+                if name is not None:
+                    self.mask[name] = np.zeros(n, np.bool_)
+                self._alloc(s["substeps"], n)
+                continue
             if name is None:
                 continue
             k = s["kind"]
@@ -351,6 +413,15 @@ def _exec_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
         if len(idx) == 0:
             return
     k = step["kind"]
+    if k == "record_group":
+        # nullable struct: the preamble above consumed the branch
+        # wave, recorded the validity mask, and reduced the wave to
+        # rows where the struct is present — its sub-fields (which
+        # have no wire bytes under a null struct) now decode on that
+        # reduced wave
+        for ss in step["substeps"]:
+            _exec_step(ss, buf, pos, idx, out_pos, cols)
+        return
     if k in ("long", "int"):
         vals = _zigzag(_wave_varint(buf, pos, idx))
         if name is not None:
@@ -648,14 +719,20 @@ def decode_blocks_columnar(datas: List[bytes], counts: List[int],
             f"{name}: {int(base[bad] + sizes[bad] - pos[bad])} trailing "
             "bytes in block — writer/reader schema mismatch")
 
+    def _value_steps(ss):
+        for s in ss:
+            if s["kind"] == "record_group":
+                yield from _value_steps(s["substeps"])
+            elif s["name"] is not None:
+                yield s
+
     raw: Dict[str, Any] = {}
-    for step in steps:
-        if step["name"] is not None:
-            try:
-                raw[step["name"]] = _finalize(step, cols, buf)
-            except UnicodeDecodeError as e:
-                raise ValueError(f"{name}: invalid UTF-8 in column "
-                                 f"{step['name']!r}: {e}") from None
+    for step in _value_steps(steps):
+        try:
+            raw[step["name"]] = _finalize(step, cols, buf)
+        except UnicodeDecodeError as e:
+            raise ValueError(f"{name}: invalid UTF-8 in column "
+                             f"{step['name']!r}: {e}") from None
     out: Dict[str, Any] = {
         k: v for k, v in raw.items() if "\x1f" not in k}
     if assemblies:
@@ -673,9 +750,11 @@ def decode_blocks_columnar(datas: List[bytes], counts: List[int],
             return built[key] if key in built else pa.array(raw[key])
 
         for asm in assemblies:
+            mk = asm.get("mask")
             arr = pa.StructArray.from_arrays(
                 [_child(k, dv) for _cn, k, dv in asm["children"]],
-                [cn for cn, _k, _dv in asm["children"]])
+                [cn for cn, _k, _dv in asm["children"]],
+                mask=pa.array(cols.mask[mk]) if mk else None)
             if "\x1f" in asm["key"]:
                 built[asm["key"]] = arr
             else:

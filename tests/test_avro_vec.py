@@ -938,21 +938,155 @@ def test_nested_record_schema_resolution(tmp_path):
     _assert_equal(cols2, scalar2, ["id"])
 
 
-def test_nullable_record_stays_scalar(tmp_path):
-    """A null struct removes its sub-fields from the wire — outside
-    the per-field wave masks, so ['null', record] falls back to the
-    scalar decoder (and stays correct there)."""
+NULLABLE_SCH = {"type": "record", "name": "r", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "inner", "type": ["null", {
+        "type": "record", "name": "i", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"],
+             "default": None},
+            {"name": "c", "type": "double"}]}], "default": None}]}
+
+
+def _nullable_rows(n, null_every=3):
+    return [{"id": i,
+             "inner": None if null_every and i % null_every == 0 else
+             {"a": i * 3, "b": None if i % 5 == 0 else f"b{i % 97}",
+              "c": i * 0.25}}
+            for i in range(n)]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def test_differential_nullable_records(tmp_path, codec):
+    """r14: ['null', record] vectorizes via a record_group step — one
+    branch wave -> validity mask, sub-fields on the reduced wave, the
+    mask applied natively by pa.StructArray (proxy-measured 2.7-3.8x
+    then shipped at 2.85-4.43x,
+    scripts/scale_probe_avro_nullable_struct.py)."""
+    cols, scalar = _vec(tmp_path, NULLABLE_SCH, _nullable_rows(900),
+                        codec=codec)
+    assert cols is not None, "nullable record fell back"
+    _assert_equal(cols, scalar, ["id"])
+    for i in range(0, 900, 7):
+        got = cols["inner"][i]
+        got = None if got is None else got
+        assert got == scalar[i]["inner"], (i, got, scalar[i]["inner"])
+
+
+def test_nullable_record_all_null_and_none_null(tmp_path):
+    """Degenerate null rates: every struct null (branch wave drops the
+    whole wave) and no struct null (mask all-false) both match the
+    scalar decoder."""
+    cols, scalar = _vec(tmp_path, NULLABLE_SCH,
+                        _nullable_rows(700, null_every=1))
+    assert cols is not None
+    assert all(v is None for v in cols["inner"])
+    assert all(r["inner"] is None for r in scalar)
+    cols, scalar = _vec(tmp_path, NULLABLE_SCH,
+                        _nullable_rows(700, null_every=0))
+    assert cols is not None
+    for i in (0, 1, 350, 699):
+        assert cols["inner"][i] == scalar[i]["inner"]
+
+
+def test_nullable_record_nesting_combinations(tmp_path):
+    """Nullable-inside-nullable and nullable-inside-plain structs all
+    ride the (recursive) group waves; each level's mask is applied at
+    its own assembly."""
     sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "outer", "type": ["null", {
+            "type": "record", "name": "o", "fields": [
+                {"name": "p", "type": "string"},
+                {"name": "mid", "type": ["null", {
+                    "type": "record", "name": "m", "fields": [
+                        {"name": "q", "type": "long"}]}],
+                 "default": None}]}], "default": None},
+        {"name": "plain", "type": {
+            "type": "record", "name": "pl", "fields": [
+                {"name": "s", "type": "double"},
+                {"name": "opt", "type": ["null", {
+                    "type": "record", "name": "op", "fields": [
+                        {"name": "t", "type": "string"}]}],
+                 "default": None}]}}]}
+    rows = []
+    for i in range(800):
+        outer = None
+        if i % 3:
+            mid = None if i % 4 == 0 else {"q": i * 7}
+            outer = {"p": f"p{i % 13}", "mid": mid}
+        rows.append({"id": i, "outer": outer,
+                     "plain": {"s": i * 0.5,
+                               "opt": None if i % 5 == 0
+                               else {"t": f"t{i % 11}"}}})
+    cols, scalar = _vec(tmp_path, sch, rows)
+    assert cols is not None, "nested nullable combination fell back"
+    for i in range(0, 800, 13):
+        assert cols["outer"][i] == scalar[i]["outer"], i
+        assert cols["plain"][i] == scalar[i]["plain"], i
+
+
+def test_nullable_record_schema_resolution(tmp_path):
+    """Resolution inside a nullable struct: dropped sub-field,
+    reader-only default sub-field; and a writer-only nullable struct
+    skips at wave speed. Nullability MISMATCH between writer and
+    reader stays scalar (the resolver's error/None semantics differ
+    per direction and aren't worth wave-modeling)."""
+    from dataingestion_spark.sources.avro import parse_schema
+
+    reader = parse_schema({"type": "record", "name": "r", "fields": [
         {"name": "id", "type": "long"},
         {"name": "inner", "type": ["null", {
             "type": "record", "name": "i", "fields": [
-                {"name": "a", "type": "long"}]}], "default": None}]}
-    rows = [{"id": i, "inner": None if i % 2 else {"a": i}}
-            for i in range(700)]
-    cols, scalar = _vec(tmp_path, sch, rows)
-    assert cols is None
-    assert scalar[2]["inner"] == {"a": 2}
-    assert scalar[3]["inner"] is None
+                {"name": "a", "type": "long"},
+                {"name": "z", "type": "string", "default": "zz"}]}],
+         "default": None}]})
+    cols, scalar = _vec(tmp_path, NULLABLE_SCH, _nullable_rows(800),
+                        reader_node=reader)
+    assert cols is not None, "resolved nullable record fell back"
+    for i in (0, 1, 2, 777, 42):
+        assert cols["inner"][i] == scalar[i]["inner"], i
+        if cols["inner"][i] is not None:
+            assert cols["inner"][i]["z"] == "zz"
+
+    # reader WITHOUT the struct: writer-only nullable struct skipped
+    r2 = parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}]})
+    cols2, scalar2 = _vec(tmp_path, NULLABLE_SCH, _nullable_rows(800),
+                          reader_node=r2)
+    assert cols2 is not None and list(cols2) == ["id"]
+    _assert_equal(cols2, scalar2, ["id"])
+
+    # writer nullable -> reader NON-nullable: scalar path (which
+    # raises on an actual null, resolver semantics)
+    r3 = parse_schema({"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "inner", "type": {
+            "type": "record", "name": "i", "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": ["null", "string"],
+                 "default": None},
+                {"name": "c", "type": "double"}]}}]})
+    p = str(tmp_path / "mm.avro")
+    write_container(p, NULLABLE_SCH, _nullable_rows(60, null_every=0),
+                    block_rows=8)
+    blob = open(p, "rb").read()
+    from dataingestion_spark.sources.avro_vec import _columnar_plan
+    from dataingestion_spark.sources.avro import parse_schema as ps
+    assert _columnar_plan(ps(NULLABLE_SCH), r3) is None
+    # writer NON-nullable -> reader nullable: also scalar
+    assert _columnar_plan(ps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "inner", "type": {
+                "type": "record", "name": "i", "fields": [
+                    {"name": "a", "type": "long"}]}}]}), ps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "inner", "type": ["null", {
+                "type": "record", "name": "i", "fields": [
+                    {"name": "a", "type": "long"}]}],
+             "default": None}]})) is None
 
 
 def test_nested_record_spark_roundtrip(spark, tmp_path):
@@ -1034,3 +1168,93 @@ def test_differential_struct_of_everything(tmp_path, codec):
                 assert list(gv) == list(wv), (i, k)
             else:
                 assert gv == wv, (i, k, gv, wv)
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def test_differential_nullable_struct_of_everything(tmp_path, codec):
+    """Randomized hardening of the r14 nullable-struct path: the
+    struct-of-everything wrapped in ['null', ...] (plus a nullable
+    deep struct inside it) must decode identically to the scalar
+    resolver under every codec."""
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "meta", "type": ["null", {
+            "type": "record", "name": "m", "fields": [
+                {"name": "small", "type": ["null", "int"],
+                 "default": None},
+                {"name": "txt", "type": ["null", "string"],
+                 "default": None},
+                {"name": "d", "type": "double"},
+                {"name": "flag", "type": "boolean"},
+                {"name": "color", "type": {"type": "enum", "name": "c",
+                                           "symbols": ["R", "G", "B"]}},
+                {"name": "fx", "type": {"type": "fixed", "name": "f4",
+                                        "size": 4}},
+                {"name": "emb", "type": {"type": "array",
+                                         "items": "float"}},
+                {"name": "toks", "type": {"type": "array",
+                                          "items": "string"}},
+                {"name": "deep", "type": ["null", {
+                    "type": "record", "name": "d2", "fields": [
+                        {"name": "x", "type": "int"},
+                        {"name": "y", "type": "string"}]}],
+                 "default": None}]}], "default": None}]}
+    rng = random.Random(1414)
+    rows = []
+    for i in range(900):
+        meta = None
+        if i % 4:
+            meta = {
+                "small": None if i % 6 == 0
+                else rng.randint(-2**31, 2**31 - 1),
+                "txt": None if i % 5 == 0 else "wörd " * (i % 3),
+                "d": rng.random() * 1e6,
+                "flag": bool(i % 2),
+                "color": "RGB"[i % 3],
+                "fx": bytes([i % 256] * 4),
+                "emb": [round(rng.random(), 3)
+                        for _ in range(rng.randint(0, 5))],
+                "toks": [f"t{rng.randint(0, 99)}"
+                         for _ in range(rng.randint(0, 4))],
+                "deep": None if i % 7 == 0
+                else {"x": i % 17, "y": f"y{i % 7}"}}
+        rows.append({"id": i, "meta": meta})
+    cols, scalar = _vec(tmp_path, sch, rows, codec=codec)
+    assert cols is not None, "nullable struct-of-everything fell back"
+    _assert_equal(cols, scalar, ["id"])
+    for i in range(0, 900, 11):
+        got, want = cols["meta"][i], scalar[i]["meta"]
+        if want is None:
+            assert got is None, i
+            continue
+        assert set(got) == set(want), i
+        for k in want:
+            gv, wv = got[k], want[k]
+            if k == "emb":
+                assert [round(float(x), 3) for x in gv] == \
+                    [round(float(x), 3) for x in wv], (i, k)
+            elif k == "toks":
+                assert list(gv) == list(wv), (i, k)
+            else:
+                assert gv == wv, (i, k, gv, wv)
+
+
+def test_nullable_record_spark_roundtrip(spark, tmp_path):
+    """Nullable struct columns through write_avro/read_avro land as
+    nullable Spark StructType rows via the vectorized decode."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 != 0, F.struct(
+            (F.col("id") * 2).alias("a"),
+            F.col("id").cast("string").alias("b"))).alias("inner"))
+    d = str(tmp_path / "nstructs")
+    write_avro(docs, d, shards=1, order_by="doc_id", block_rows=16)
+    back = read_avro(spark, d)
+    got = {r["doc_id"]: r["inner"] for r in back.collect()}
+    assert len(got) == 3000
+    assert got[0] is None and got[3] is None
+    assert got[7]["a"] == 14 and got[7]["b"] == "7"
