@@ -1034,14 +1034,17 @@ def decode_blocks(blob: bytes, name: str = "<avro>") -> List[Any]:
 
 
 def read_container_columnar(blob: bytes, name: str = "<avro>",
-                            reader_node: Optional[Dict] = None):
+                            reader_node: Optional[Dict] = None,
+                            arrow: bool = False):
     """Columnar fast path: parse the container framing (header, sync
     checks, per-block decompress) then hand the decompressed blocks to
     the numpy lock-step decoder (`sources/avro_vec.py`). Returns
     (writer node, {column: pd.Series}) or (writer node, None) when the
     schema/file shape is out of the vectorized path's coverage — the
-    caller then uses :func:`read_container`. Corruption raises exactly
-    like the scalar path (file named)."""
+    caller then uses :func:`read_container`. ``arrow=True`` returns
+    {column: pa.Array} with no pandas crossing (r14, the mapInArrow
+    interchange). Corruption raises exactly like the scalar path
+    (file named)."""
     from .avro_vec import decode_blocks_columnar
 
     node, codec, sync, body_at, _ = _parse_header(blob, name)
@@ -1059,7 +1062,7 @@ def read_container_columnar(blob: bytes, name: str = "<avro>",
         datas.append(_decompress_block(codec, data, name))
         counts.append(count)
     return node, decode_blocks_columnar(
-        datas, counts, name, node, reader_node or node)
+        datas, counts, name, node, reader_node or node, arrow=arrow)
 
 
 # ---------------------------------------------------------------------------
@@ -1068,7 +1071,8 @@ def read_container_columnar(blob: bytes, name: str = "<avro>",
 def read_avro(spark: SparkSession, path: str,
               columns: Optional[List[str]] = None,
               glob: str = "*.avro",
-              schema: Optional[Any] = None) -> DataFrame:
+              schema: Optional[Any] = None,
+              arrow: bool = False) -> DataFrame:
     """Read a directory of Avro container files as a DataFrame.
 
     The READER schema comes from ``schema`` (an Avro schema JSON dict
@@ -1082,7 +1086,18 @@ def read_avro(spark: SparkSession, path: str,
     loudly with its name and field path. One task per file;
     ``columns`` prunes the reader schema itself, so unprojected fields
     are SKIPPED during decode, not just dropped (row-major IO still
-    reads the bytes; see module docstring)."""
+    reads the bytes; see module docstring).
+
+    ``arrow=True`` (r14) swaps the parse to ``mapInArrow``: the
+    vectorized decoder already builds Arrow buffers, so the column
+    crosses executor→JVM as ONE Arrow array with no pandas round-trip
+    (end-to-end 1.2-1.5x, scripts/scale_probe_avro_arrow.py; the r13
+    struct probe put the pandas crossing at ~40% of decode cost).
+    Files that fall out of vectorized coverage decode scalar and
+    cross via ``pa.array``; schemas with timestamp/date logicals
+    route back to the mapInPandas contract (Spark's pandas serializer
+    defines their session-timezone semantics). Results are
+    row-for-row identical to ``arrow=False`` either way."""
     scan = (spark.read.format("binaryFile")
             .option("pathGlobFilter", glob).load(path)
             .select("path", "content"))
@@ -1114,8 +1129,90 @@ def read_avro(spark: SparkSession, path: str,
         reader_node = {"kind": "record",
                        "name": reader_node.get("name"),
                        "fields": [by_name[c] for c in columns]}
+    if arrow and not _node_has_logical(reader_node):
+        parse_a, spark_schema = _container_parser_arrow(reader_node)
+        return scan.mapInArrow(parse_a, spark_schema)
     parse, spark_schema = _container_parser(reader_node)
     return scan.mapInPandas(parse, spark_schema)
+
+
+def _node_has_logical(node: Dict) -> bool:
+    """True if any field (recursively) carries a timestamp/date
+    logical type. Those columns' session-timezone semantics are
+    defined by Spark's PANDAS serializer; ``read_avro(arrow=True)``
+    routes such schemas to the mapInPandas contract rather than
+    re-implement timezone localization in the Arrow path."""
+    k = node.get("kind")
+    if node.get("logical"):
+        return True
+    if k == "record":
+        return any(_node_has_logical(f["schema"])
+                   for f in node["fields"])
+    if k == "union":
+        return any(_node_has_logical(b) for b in node["branches"])
+    if k == "array":
+        return _node_has_logical(node["items"])
+    if k == "map":
+        return _node_has_logical(node["values"])
+    return False
+
+
+def _container_parser_arrow(reader_node: Dict):
+    """(mapInArrow parse fn, Spark schema): the r14 Arrow interchange.
+    The vectorized decoder's output arrays are cast to the exact Arrow
+    types Spark's serializer expects (large_utf8→utf8 etc. — one C
+    pass each) and shipped as RecordBatches; no pandas anywhere on the
+    fast path. Out-of-coverage files decode scalar and build arrays
+    via ``pa.array`` per column."""
+    spark_schema = avro_to_spark_schema(reader_node)
+    want = list(spark_schema.names)
+
+    def parse(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        def _nullable(t):
+            # Arrow refuses nullable->non-nullable casts; Spark's
+            # reader applies its OWN schema and ignores batch
+            # nullability flags, so cast to an all-nullable twin
+            if pa.types.is_struct(t):
+                return pa.struct([pa.field(f.name, _nullable(f.type))
+                                  for f in t])
+            if pa.types.is_large_list(t) or pa.types.is_list(t):
+                return pa.list_(_nullable(t.value_type))
+            return t
+
+        target = {f.name: _nullable(f.type)
+                  for f in to_arrow_schema(spark_schema)}
+
+        def _batch(arrays_by_name):
+            out = []
+            for c in want:
+                arr = arrays_by_name[c]
+                if arr.type != target[c]:
+                    arr = arr.cast(target[c])
+                out.append(arr)
+            return pa.RecordBatch.from_arrays(out, names=want)
+
+        for rb in batches:
+            paths = rb.column("path")
+            contents = rb.column("content")
+            for i in range(rb.num_rows):
+                fpath = paths[i].as_py()
+                blob = bytes(contents[i].as_py())
+                _, cols_out = read_container_columnar(
+                    blob, fpath, reader_node=reader_node, arrow=True)
+                if cols_out is not None:
+                    yield _batch(cols_out)
+                    continue
+                _, rows = read_container(blob, fpath,
+                                         reader_node=reader_node)
+                yield _batch({
+                    c: pa.array([r.get(c) for r in rows],
+                                type=target[c])
+                    for c in want})
+
+    return parse, spark_schema
 
 
 def _resolve_reader_node(schema: Any,

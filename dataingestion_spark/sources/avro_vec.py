@@ -519,7 +519,16 @@ def _exec_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
 # ---------------------------------------------------------------------------
 # finalization to pandas columns
 
-def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
+def _finalize(step: Dict, cols: _Cols, buf: np.ndarray,
+              arrow: bool = False):
+    """One decoded column. ``arrow=False`` (the mapInPandas contract)
+    crosses to a pandas Series; ``arrow=True`` (r14, the mapInArrow
+    opt-in) returns the ``pa.Array`` directly — the string/bytes/array
+    branches already build Arrow buffers, so arrow mode simply skips
+    the ``to_pandas`` crossing, and numeric branches use the C-level
+    ``pa.array(ndarray, mask=)`` constructor. Logical (timestamp/
+    date) columns are excluded from arrow mode by the caller's plan
+    gate — their session-timezone semantics ride the pandas path."""
     import pandas as pd
     import pyarrow as pa
 
@@ -563,6 +572,8 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
             except pa.lib.ArrowInvalid as e:
                 raise ValueError(
                     f"invalid UTF-8 in array column {name!r}: {e}")
+        if arrow:
+            return arr
         return pd.Series(arr.to_pandas(), dtype=object)
     if k == "array":
         starts, lens = cols.starts[name], cols.lens[name]
@@ -611,6 +622,8 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
         arr = pa.Array.from_buffers(
             pa.large_list(child.type), len(counts),
             [validity, pa.py_buffer(offs)], children=[child])
+        if arrow:
+            return arr
         return pd.Series(arr.to_pandas(), dtype=object)
     if k in ("string", "bytes", "fixed"):
         starts, lens = cols.starts[name], cols.lens[name]
@@ -636,8 +649,15 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
             except pa.lib.ArrowInvalid as e:
                 raise ValueError(
                     f"invalid UTF-8 in string column {name!r}: {e}")
+        if arrow:
+            return arr
         return pd.Series(arr.to_pandas(), dtype=object)
     if k == "enum":
+        if arrow:
+            idx = pa.array(cols.num[name].astype(np.int32),
+                           mask=mask if has_null else None)
+            return pa.DictionaryArray.from_arrays(
+                idx, pa.array(step["symbols"])).cast(pa.large_utf8())
         syms = np.array(step["symbols"], dtype=object)
         out = syms[cols.num[name]]
         if has_null:
@@ -663,6 +683,10 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
                            else np.float32)
     elif k == "float" and out_k == "double":
         vals = vals.astype(np.float64)
+    if arrow:
+        if out_k == "int":
+            vals = vals.astype(np.int32)
+        return pa.array(vals, mask=mask if has_null else None)
     if has_null:
         out = vals.astype(object)
         if k == "boolean":
@@ -675,18 +699,35 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray):
 # ---------------------------------------------------------------------------
 # container driver
 
+def _iter_value_steps(steps):
+    """Yield every value-producing step, recursing through
+    ``record_group`` substeps."""
+    for s in steps:
+        if s["kind"] == "record_group":
+            yield from _iter_value_steps(s["substeps"])
+        elif s["name"] is not None:
+            yield s
+
+
 def decode_blocks_columnar(datas: List[bytes], counts: List[int],
                            name: str, writer_node: Dict,
-                           reader_node: Dict):
+                           reader_node: Dict, arrow: bool = False):
     """Decode already-decompressed block payloads (one bytes per block,
     ``counts[i]`` rows each) in lock-step -> dict[col, pd.Series] in
-    READER field order, or None when out of coverage / too small."""
+    READER field order, or None when out of coverage / too small.
+    ``arrow=True`` (r14) returns dict[col, pa.Array] instead — no
+    pandas crossing anywhere; the caller feeds ``mapInArrow``.
+    Logical-typed (timestamp/date) plans return None in arrow mode:
+    their session-timezone semantics are pinned to the pandas path."""
     import pandas as pd
 
     plan = _columnar_plan(writer_node, reader_node)
     if plan is None or len(datas) < _MIN_BLOCKS:
         return None
     steps, fills, assemblies = plan
+    if arrow and any(s.get("logical")
+                     for s in _iter_value_steps(steps)):
+        return None  # timestamp/date semantics ride the pandas path
 
     sizes = np.array([len(d) for d in datas], np.int64)
     base = np.zeros(len(datas), np.int64)
@@ -719,17 +760,10 @@ def decode_blocks_columnar(datas: List[bytes], counts: List[int],
             f"{name}: {int(base[bad] + sizes[bad] - pos[bad])} trailing "
             "bytes in block — writer/reader schema mismatch")
 
-    def _value_steps(ss):
-        for s in ss:
-            if s["kind"] == "record_group":
-                yield from _value_steps(s["substeps"])
-            elif s["name"] is not None:
-                yield s
-
     raw: Dict[str, Any] = {}
-    for step in _value_steps(steps):
+    for step in _iter_value_steps(steps):
         try:
-            raw[step["name"]] = _finalize(step, cols, buf)
+            raw[step["name"]] = _finalize(step, cols, buf, arrow)
         except UnicodeDecodeError as e:
             raise ValueError(f"{name}: invalid UTF-8 in column "
                              f"{step['name']!r}: {e}") from None
@@ -738,7 +772,8 @@ def decode_blocks_columnar(datas: List[bytes], counts: List[int],
     if assemblies:
         # rebuild struct columns from their flattened children,
         # innermost first; sub-struct children stay pa.Arrays until
-        # the top-level struct crosses into pandas once
+        # the top-level struct crosses into pandas once (or, in arrow
+        # mode, never cross at all)
         import pyarrow as pa
 
         built: Dict[str, Any] = {}
@@ -747,7 +782,8 @@ def decode_blocks_columnar(datas: List[bytes], counts: List[int],
             if key is None:
                 return (pa.nulls(n) if dflt is None
                         else pa.array([dflt] * n))
-            return built[key] if key in built else pa.array(raw[key])
+            v = built[key] if key in built else raw[key]
+            return v if isinstance(v, pa.Array) else pa.array(v)
 
         for asm in assemblies:
             mk = asm.get("mask")
@@ -757,9 +793,18 @@ def decode_blocks_columnar(datas: List[bytes], counts: List[int],
                 mask=pa.array(cols.mask[mk]) if mk else None)
             if "\x1f" in asm["key"]:
                 built[asm["key"]] = arr
+            elif arrow:
+                out[asm["key"]] = arr
             else:
                 out[asm["key"]] = pd.Series(
                     arr.to_pandas(), dtype=object)
-    for fname, fval in fills:
-        out[fname] = pd.Series([fval] * n, dtype=object)
+    if arrow:
+        import pyarrow as pa
+
+        for fname, fval in fills:
+            out[fname] = (pa.nulls(n) if fval is None
+                          else pa.array([fval] * n))
+    else:
+        for fname, fval in fills:
+            out[fname] = pd.Series([fval] * n, dtype=object)
     return out

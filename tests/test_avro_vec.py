@@ -1258,3 +1258,89 @@ def test_nullable_record_spark_roundtrip(spark, tmp_path):
     assert len(got) == 3000
     assert got[0] is None and got[3] is None
     assert got[7]["a"] == 14 and got[7]["b"] == "7"
+
+
+def test_arrow_interchange_differential(spark, tmp_path):
+    """r14 mapInArrow opt-in: read_avro(arrow=True) must return
+    row-for-row what the mapInPandas contract returns, across flat
+    scalars+enum+fixed, array<float>/array<string>, and nullable
+    structs — including a file below the block gate (scalar fallback
+    through pa.array)."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("txt"),
+        F.when(F.col("id") % 7 != 0,
+               F.col("id").cast("double")).alias("nd"),
+        F.when(F.col("id") % 3 != 0, F.struct(
+            (F.col("id") * 2).alias("a"),
+            F.col("id").cast("string").alias("b"))).alias("inner"),
+        F.array(F.col("id").cast("float"), F.lit(1.5)).alias("emb"),
+        F.array(F.col("id").cast("string"),
+                F.lit("tok")).alias("toks"))
+    d = str(tmp_path / "shards")
+    write_avro(docs, d, shards=2, order_by="doc_id", block_rows=16)
+    a = read_avro(spark, d).orderBy("doc_id").collect()
+    b = read_avro(spark, d, arrow=True).orderBy("doc_id").collect()
+    assert len(a) == len(b) == 4000
+    assert a == b
+
+    # below the block gate: scalar decode crosses via pa.array
+    small = str(tmp_path / "small")
+    write_avro(docs.limit(50), small, shards=1, order_by="doc_id",
+               block_rows=1024)
+    sa = read_avro(spark, small).orderBy("doc_id").collect()
+    sb = read_avro(spark, small, arrow=True).orderBy("doc_id") \
+        .collect()
+    assert sa == sb and len(sa) == 50
+
+
+def test_arrow_interchange_enum_fixed_and_resolution(tmp_path):
+    """Unit-level arrow decode: enum (dictionary cast), fixed, and
+    reader-side resolution (default fill + promotion) return
+    pa.Arrays equal to the pandas path's values."""
+    import pyarrow as pa
+
+    from dataingestion_spark.sources.avro import (
+        parse_schema, read_container_columnar, write_container,
+    )
+
+    rows = _wide_rows(700)
+    p = str(tmp_path / "w.avro")
+    write_container(p, WIDE, rows, block_rows=8)
+    blob = open(p, "rb").read()
+    reader = parse_schema({"type": "record", "name": "w", "fields": [
+        {"name": "id", "type": "double"},
+        {"name": "color", "type": {"type": "enum", "name": "c",
+                                   "symbols": ["R", "G", "B"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "fx8",
+                                "size": 4}},
+        {"name": "added", "type": "string", "default": "dflt"}]})
+    _, acols = read_container_columnar(blob, p, reader_node=reader,
+                                       arrow=True)
+    _, pcols = read_container_columnar(blob, p, reader_node=reader)
+    assert acols is not None and pcols is not None
+    for c in ("id", "color", "fx", "added"):
+        assert isinstance(acols[c], pa.Array), c
+        assert acols[c].to_pylist() == list(pcols[c]), c
+
+
+def test_arrow_interchange_timestamps_use_pandas_path(spark, tmp_path):
+    """Schemas with timestamp logicals route arrow=True back to the
+    mapInPandas contract — values must match the pandas read exactly
+    (session-timezone semantics are the serializer's)."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_003).alias("ts"))
+    d = str(tmp_path / "ts")
+    write_avro(docs, d, shards=1, order_by="k", block_rows=16)
+    a = read_avro(spark, d).orderBy("k").collect()
+    b = read_avro(spark, d, arrow=True).orderBy("k").collect()
+    assert a == b and len(a) == 2000
