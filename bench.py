@@ -19,15 +19,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _historical_best(sf_val):
-    """Best per-entry seconds across prior BENCH_r*.json artifacts at
-    the SAME scale factor — the cross-round drift baseline (r12 VERDICT
-    #6: four ≤1.25x drifts on untouched code sailed under the in-run
-    spike check and cost adjudication time). Driver artifacts wrap the
-    compact line under "parsed" (medians); a local bench_full.json
-    additionally carries per-entry mins."""
+    """Best per-entry seconds over the LAST THREE round artifacts (plus
+    the latest local bench_full.json) at the SAME scale factor — the
+    cross-round drift baseline (r12 VERDICT #6). BAND-based rather
+    than all-time (r13 VERDICT 'What's wrong' #2): an all-time best
+    keeps an ancient outlier alive forever — minhash_lsh_fast's r6
+    0.975 and ann_recall's r2 1.377 re-flagged every round while both
+    entries sat squarely in their multi-round steady bands — so the
+    baseline now tracks the recent band and still trips on a genuine
+    fresh regression (>1.5x anything seen in the last three rounds).
+    Driver artifacts wrap the compact line under "parsed" (medians); a
+    local bench_full.json additionally carries per-entry mins."""
     best = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))[-3:]
     paths.append(os.path.join(here, "bench_full.json"))
     for p in paths:
         try:
@@ -58,19 +63,28 @@ def main():
     # calm-host guard (r11 VERDICT #1: the official r11 artifact shipped
     # from a load-8.65 window and took eleven re-runs to adjudicate).
     # External contention on this host is visible ONLY through loadavg,
-    # so refuse to start while the 1-min average exceeds the cap; wait
-    # up to ~10 min, then run anyway and stamp why in the artifact.
+    # so refuse to start while the load exceeds the cap; wait up to
+    # ~10 min, then run anyway and stamp why in the artifact. The gate
+    # checks max(1-min, 5-min) since r14: the r13 driver run started
+    # at load1=1.38 (under the cap) while load5/load15 were 4.6/4.11 —
+    # the 5-min average already predicted the noise that drifted 23
+    # entries mid-suite.
     load_cap = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_CAP", "2.0"))
     load_wait_sec = 0
-    while (load_start is not None and load_start[0] > load_cap
+
+    def _gate_load(ls):
+        return max(ls[0], ls[1]) if ls is not None else 0.0
+
+    while (load_start is not None and _gate_load(load_start) > load_cap
            and load_wait_sec < 600):
-        print(f"bench: host load {load_start[0]} > cap {load_cap}; "
+        print(f"bench: host load max(1m,5m)="
+              f"{_gate_load(load_start)} > cap {load_cap}; "
               "waiting 30s for a calm window", file=sys.stderr)
         time.sleep(30)
         load_wait_sec += 30
         load_start = [round(x, 2) for x in os.getloadavg()]
     load_note = None
-    if load_start is not None and load_start[0] > load_cap:
+    if load_start is not None and _gate_load(load_start) > load_cap:
         load_note = (f"still loaded after {load_wait_sec}s wait — "
                      "timings need calm-host re-adjudication")
         print(f"bench: {load_note}", file=sys.stderr)
@@ -445,7 +459,16 @@ def main():
             raise SystemExit(f"unknown bench entries: {sorted(unknown)}")
         bench_queries = {n: f for n, f in bench_queries.items() if n in only}
     timings, medians, all_times = {}, {}, {}
+    # per-entry 1-min loadavg at the entry's start: the judge's
+    # drift adjudication becomes a column read instead of forensic
+    # cross-referencing of load_start/load_end against entry order
+    # (r13 VERDICT 'Next round' #6)
+    entry_load = {}
     for name, fn in bench_queries.items():
+        try:
+            entry_load[name] = round(os.getloadavg()[0], 2)
+        except OSError:  # pragma: no cover
+            pass
         times = []
         for _ in range(max(reps, 5) if name in noisy and reps > 1 else reps):
             start = time.perf_counter()
@@ -517,6 +540,7 @@ def main():
         "load_cap": load_cap,
         "load_wait_sec": load_wait_sec,
         "load_note": load_note,
+        "queries_load": entry_load,
         "rechecked": rechecked,
         "recheck_reasons": recheck_reasons,
         "ncpu": os.cpu_count(),
