@@ -186,13 +186,40 @@ def stream_webdataset(spark, path: str, glob: str = "*.tar",
 # checksum-validated, 512-aligned structures — resync is exact)
 
 def _wds_sniff_meta(path: str, backend):
-    """(magic bytes at offset 257, file size) for split planning —
-    callable driver- or executor-side."""
-    head = backend.read_range(path, 257, 5)
+    """(magic, file size, pax-global overrides, data start) for split
+    planning — callable driver- or executor-side.
+
+    HEAD-of-archive pax GLOBAL (g) members (``git archive`` and some
+    exporters emit one at offset 0) are captured HERE, once per file:
+    their ``path``/``size`` overrides ship to every task as defaults
+    and ``data_start`` tells task 0 where real members begin, so the
+    split reader handles the common global shape without the loud
+    refusal it keeps for MID-archive globals (state a byte-range task
+    genuinely cannot see)."""
+    head = backend.read_range(path, 0, 1024)
     size = backend.size(path)
     if head is None or size is None:
         raise FileNotFoundError(path)
-    return head, size
+    magic = head[257:262]
+    gl: dict = {}
+    data_start = 0
+    while True:
+        blk = head[data_start:data_start + 512]
+        if len(blk) < 512:
+            blk = backend.read_range(path, data_start, 512) or b""
+        h = _tar_header(blk)
+        if h is None or h[2] != b"g":
+            break
+        payload = backend.read_range(path, data_start + 512, h[1])
+        if payload is None or len(payload) < h[1]:
+            raise ValueError(
+                f"{path}: truncated pax GLOBAL header at byte "
+                f"{data_start}")
+        px = _parse_pax(payload, where=f"{path} @ byte {data_start}")
+        gl.update({k: v for k, v in px.items()
+                   if k in ("path", "size")})
+        data_start = _next_at(data_start, h[1])
+    return magic, size, gl, data_start
 
 
 def _tar_header(blk: bytes):
@@ -283,7 +310,8 @@ def _seq_owner(fh, at: int) -> int:
 
 
 def _read_tar_span(path: str, start: int, end: int, size: int,
-                   backend=None) -> List[Tuple[str, bytes]]:
+                   backend=None, globals_: Optional[dict] = None,
+                   data_start: int = 0) -> List[Tuple[str, bytes]]:
     """(member name, payload) for every member whose SEQUENCE (GNU/pax
     extension headers included) starts in [start, end). Headers are
     512-aligned from file start, so resync = first aligned offset >=
@@ -291,9 +319,14 @@ def _read_tar_span(path: str, start: int, end: int, size: int,
     also validates (or is the end marker / EOF / inside the final
     partial padding); a candidate that is the real header of a sequence
     whose extension headers began before ``start`` belongs to the
-    previous task and is skipped."""
+    previous task and is skipped. ``globals_``/``data_start`` carry the
+    planner-probed HEAD-of-archive pax GLOBAL overrides (r14): members
+    default to them (per-member x records win), scanning starts past
+    the global sequence, and a g header at any LATER offset still
+    refuses loudly."""
     from ..sinks.data_backend import open_split, resolve_split_backend
 
+    gdefaults = dict(globals_ or {})
     with open_split(path, resolve_split_backend(path, backend)) as fh:
         def _ok_at(off: int):
             fh.seek(off)
@@ -311,10 +344,10 @@ def _read_tar_span(path: str, start: int, end: int, size: int,
                     or _tar_header(blk) is not None)
 
         if start == 0:
-            pos = 0
+            pos = data_start
         else:
             pos = None
-            cand = (start + 511) // 512 * 512
+            cand = max((start + 511) // 512 * 512, data_start)
             while cand + 512 <= size:
                 h = _ok_at(cand)
                 if h is not None and _chains(cand, h):
@@ -329,7 +362,8 @@ def _read_tar_span(path: str, start: int, end: int, size: int,
                     p = owner
                     fh.seek(p)
                     h2 = _tar_header(fh.read(512))
-                    psize = None
+                    psize = (int(gdefaults["size"])
+                             if "size" in gdefaults else None)
                     while h2 is not None and h2[2] in _EXT_FLAGS:
                         if h2[2] == b"x":
                             pdata = fh.read(h2[1])
@@ -365,8 +399,10 @@ def _read_tar_span(path: str, start: int, end: int, size: int,
                                  f"byte {pos}")
             # chain through this sequence's extension headers — they
             # may cross `end`; the sequence START owning the member is
-            # what keeps splits exactly-once
-            overrides: dict = {}
+            # what keeps splits exactly-once. Planner-probed globals
+            # seed the overrides; per-member records win (POSIX pax
+            # precedence)
+            overrides: dict = dict(gdefaults)
             while h[2] in _EXT_FLAGS:
                 if h[1] > 512 * (_EXT_BACK_BLOCKS - 1):
                     # larger than the resync back-walk can see — a
@@ -403,9 +439,10 @@ def _read_tar_span(path: str, start: int, end: int, size: int,
             name, psize, tf = h
             if tf == b"g":
                 raise ValueError(
-                    f"{path}: pax GLOBAL headers set archive-wide "
-                    "state a byte-range task cannot see — use "
-                    "read_webdataset")
+                    f"{path}: MID-archive pax GLOBAL header at byte "
+                    f"{pos} sets archive-wide state a byte-range task "
+                    "cannot see (head-of-archive globals are planner-"
+                    "captured) — use read_webdataset")
             name = overrides.get("path", name)
             psize = int(overrides.get("size", psize))
             if tf in (b"0", b"\x00"):
@@ -436,9 +473,12 @@ def read_webdataset_split(spark, path: str, *, split_mb: int = 128,
     per-file (x) extension headers chain through: a member is owned by
     the split its SEQUENCE starts in, with `path`/`size` overrides
     honored — python's tarfile writes pax BY DEFAULT, so foreign
-    shards commonly carry them. Pax GLOBAL headers (g) still raise
-    loudly (archive-wide state a byte-range task cannot see; the
-    tarfile-backed whole-file reader handles them).
+    shards commonly carry them. HEAD-of-archive pax GLOBAL (g)
+    members (the ``git archive`` shape) are captured by the planner's
+    per-file probe and their overrides shipped to every task (r14);
+    a g header anywhere PAST the head still raises loudly (archive-
+    wide state a byte-range task cannot see; the tarfile-backed
+    whole-file reader handles those).
     Caveat: a payload that is ITSELF a 512-aligned USTAR archive
     (tar-in-tar) can capture a resync — its inner headers chain
     validly — so such corpora must use :func:`read_webdataset`; the
@@ -467,10 +507,15 @@ def read_webdataset_split(spark, path: str, *, split_mb: int = 128,
             .map(lambda p: (p, _wds_sniff_meta(p, bk))).collect())
     metas = {}
     for p in files:
-        head, fsize = probes[p]
-        if head != b"ustar":
+        magic, fsize, gl, data_start = probes[p]
+        if magic != b"ustar":
             raise ValueError(f"{p}: not a USTAR archive")
         metas[p] = fsize
+    # head-of-archive pax GLOBAL overrides + member-data start, per
+    # file — shipped to every task (small: the probe bounds the walk
+    # to the first KBs); empty for the overwhelmingly common case
+    gmap = {p: (probes[p][2], probes[p][3]) for p in files
+            if probes[p][2] or probes[p][3]}
 
     step = split_mb << 20
     ranges = []
@@ -498,9 +543,11 @@ def read_webdataset_split(spark, path: str, *, split_mb: int = 128,
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
+                gl, ds = gmap.get(row.path, ({}, 0))
                 for name, data in _read_tar_span(
                         row.path, int(row.start), int(row.end),
-                        int(row.size), backend=backend):
+                        int(row.size), backend=backend,
+                        globals_=gl, data_start=ds):
                     base, _, ext = name.rpartition(".")
                     rows.append((row.path, base, ext,
                                  data.decode("utf-8", "replace")))

@@ -294,21 +294,91 @@ def test_tar_gnu_longname_every_aligned_boundary(tmp_path):
         assert got == want, f"gnu aligned boundary {b} diverged"
 
 
-def test_tar_pax_global_header_raises(tmp_path):
-    """Pax GLOBAL (g) headers set archive-wide defaults a byte-range
-    task cannot see — the split reader refuses loudly and points at
-    the whole-file reader (which handles them via tarfile)."""
+def test_tar_head_pax_global_split_differential(tmp_path):
+    """HEAD-of-archive pax GLOBAL (g) members — the ``git archive``
+    shape — are captured by the planner probe (r14): the raw span
+    reader still refuses without planner context, but with the
+    probe's globals/data_start every aligned split boundary matches
+    the tarfile-backed whole-file parse exactly-once."""
+    import io
     import tarfile
 
     import pytest
 
-    from dataingestion_spark.sinks.webdataset import _read_tar_span
+    from dataingestion_spark.sinks.data_backend import (
+        LocalDataBackend,
+    )
+    from dataingestion_spark.sinks.webdataset import (
+        _read_tar_span, _wds_sniff_meta,
+    )
 
+    members = _tar_members(None)
     p, size = _foreign_tar(
-        tmp_path, "glob.tar", tarfile.PAX_FORMAT,
-        [("a.txt", b"x")], pax_headers={"comment": "archive-wide"})
+        tmp_path, "glob.tar", tarfile.PAX_FORMAT, members,
+        pax_headers={"comment": "archive-wide"})
+
+    # without planner context the g header still refuses loudly
     with pytest.raises(ValueError, match="GLOBAL"):
         _read_tar_span(p, 0, size, size)
+
+    magic, fsize, gl, ds = _wds_sniff_meta(p, LocalDataBackend())
+    assert magic == b"ustar" and fsize == size and ds > 0
+    want = _read_tar_span(p, 0, size, size, globals_=gl,
+                          data_start=ds)
+    assert want == members  # global excluded, members intact
+    for b in range(512, size, 512):
+        got = (_read_tar_span(p, 0, b, size, globals_=gl,
+                              data_start=ds)
+               + _read_tar_span(p, b, size, size, globals_=gl,
+                                data_start=ds))
+        assert got == want, f"g-prefixed boundary {b} diverged"
+
+    # whole-file tarfile parse agrees (payload-level)
+    with tarfile.open(p) as tf:
+        tf_members = [(i.name, tf.extractfile(i).read())
+                      for i in tf.getmembers() if i.isfile()]
+    assert tf_members == want
+
+
+def test_tar_mid_archive_pax_global_still_raises(tmp_path):
+    """A g header PAST the archive head is archive-wide state a
+    byte-range task cannot see — still a loud refusal, now naming
+    MID-archive."""
+    import tarfile
+
+    import pytest
+
+    from dataingestion_spark.sinks.data_backend import (
+        LocalDataBackend,
+    )
+    from dataingestion_spark.sinks.webdataset import (
+        _next_at, _read_tar_span, _tar_header, _wds_sniff_meta,
+    )
+
+    pg, _ = _foreign_tar(
+        tmp_path, "gsrc.tar", tarfile.PAX_FORMAT,
+        [("b.txt", b"beta" * 40)],
+        pax_headers={"comment": "archive-wide"})
+    gblob = open(pg, "rb").read()
+    # length of the leading g sequence = data_start of the probe
+    _, _, _, gds = _wds_sniff_meta(pg, LocalDataBackend())
+    gseq = gblob[:gds]
+
+    pa_, _ = _foreign_tar(tmp_path, "asrc.tar", tarfile.USTAR_FORMAT,
+                          [("a.txt", b"alpha" * 30)])
+    ablob = open(pa_, "rb").read()
+    # member-a sequence length: walk headers until the zero block
+    off = 0
+    while True:
+        h = _tar_header(ablob[off:off + 512])
+        if h is None:
+            break
+        off = _next_at(off, h[1])
+    mid = ablob[:off] + gseq + gblob[gds:]
+    p = str(tmp_path / "midg.tar")
+    open(p, "wb").write(mid)
+    with pytest.raises(ValueError, match="MID-archive"):
+        _read_tar_span(p, 0, len(mid), len(mid))
 
 
 def test_tar_trailing_partial_padding_resync(tmp_path):

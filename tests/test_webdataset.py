@@ -139,11 +139,13 @@ def test_split_reader_over_memory_backend(spark, tmp_path):
     assert keys == [f"{i:06d}" for i in range(800)]
 
 
-def test_split_reader_rejects_global_pax_and_non_tar(spark, tmp_path):
-    """Per-file pax (x) and GNU longname entries now split (r13 —
-    see test_read_webdataset_split_foreign_pax_shard); what still
-    refuses loudly: pax GLOBAL (g) headers, whose archive-wide state a
-    byte-range task cannot see, and files that are not USTAR at all."""
+def test_split_reader_handles_head_global_rejects_non_tar(
+        spark, tmp_path):
+    """Per-file pax (x) and GNU longname entries split since r13;
+    HEAD-of-archive pax GLOBAL (g) headers split since r14 (the
+    planner probe captures them — the git-archive shape); what still
+    refuses loudly: files that are not USTAR at all (and MID-archive
+    globals, pinned in test_split_boundaries)."""
     import os
     import tarfile as _tf
 
@@ -163,8 +165,9 @@ def test_split_reader_rejects_global_pax_and_non_tar(spark, tmp_path):
         info.size = len(data)
         import io as _io
         tf.addfile(info, _io.BytesIO(data))
-    with _pt.raises(Exception, match="GLOBAL"):
-        read_webdataset_split(spark, d, split_mb=1).collect()
+    rows = read_webdataset_split(spark, d, split_mb=1).collect()
+    assert [(r["key"], r["ext"], r["payload"]) for r in rows] == \
+        [("a", "txt", "hello")]
 
     d2 = str(tmp_path / "raw")
     os.makedirs(d2)
