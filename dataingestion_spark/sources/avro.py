@@ -1157,6 +1157,38 @@ def _node_has_logical(node: Dict) -> bool:
     return False
 
 
+def _arrow_batch_builder(spark_schema, want):
+    """(target types, arrays→RecordBatch fn) for the mapInArrow
+    readers: Arrow refuses nullable→non-nullable casts and Spark's
+    reader applies its OWN schema (ignoring batch nullability flags),
+    so decoded arrays cast to an all-nullable twin of the schema's
+    Arrow types. Executor-side only (imports pyarrow lazily)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    def _nullable(t):
+        if pa.types.is_struct(t):
+            return pa.struct([pa.field(f.name, _nullable(f.type))
+                              for f in t])
+        if pa.types.is_large_list(t) or pa.types.is_list(t):
+            return pa.list_(_nullable(t.value_type))
+        return t
+
+    target = {f.name: _nullable(f.type)
+              for f in to_arrow_schema(spark_schema)}
+
+    def _batch(arrays_by_name):
+        out = []
+        for c in want:
+            arr = arrays_by_name[c]
+            if arr.type != target[c]:
+                arr = arr.cast(target[c])
+            out.append(arr)
+        return pa.RecordBatch.from_arrays(out, names=want)
+
+    return target, _batch
+
+
 def _container_parser_arrow(reader_node: Dict):
     """(mapInArrow parse fn, Spark schema): the r14 Arrow interchange.
     The vectorized decoder's output arrays are cast to the exact Arrow
@@ -1169,30 +1201,8 @@ def _container_parser_arrow(reader_node: Dict):
 
     def parse(batches):
         import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        def _nullable(t):
-            # Arrow refuses nullable->non-nullable casts; Spark's
-            # reader applies its OWN schema and ignores batch
-            # nullability flags, so cast to an all-nullable twin
-            if pa.types.is_struct(t):
-                return pa.struct([pa.field(f.name, _nullable(f.type))
-                                  for f in t])
-            if pa.types.is_large_list(t) or pa.types.is_list(t):
-                return pa.list_(_nullable(t.value_type))
-            return t
-
-        target = {f.name: _nullable(f.type)
-                  for f in to_arrow_schema(spark_schema)}
-
-        def _batch(arrays_by_name):
-            out = []
-            for c in want:
-                arr = arrays_by_name[c]
-                if arr.type != target[c]:
-                    arr = arr.cast(target[c])
-                out.append(arr)
-            return pa.RecordBatch.from_arrays(out, names=want)
+        target, _batch = _arrow_batch_builder(spark_schema, want)
 
         for rb in batches:
             paths = rb.column("path")
@@ -1292,7 +1302,8 @@ def read_avro_split(spark: SparkSession, path: str, *,
                     columns: Optional[List[str]] = None,
                     schema: Optional[Any] = None,
                     glob_pat: str = "*.avro",
-                    backend: Optional[Any] = None) -> DataFrame:
+                    backend: Optional[Any] = None,
+                    arrow: bool = False) -> DataFrame:
     """Scale-IN reader: split each container at SYNC MARKERS so one
     large file decodes across many executors.
 
@@ -1312,7 +1323,10 @@ def read_avro_split(spark: SparkSession, path: str, *,
     Contrast :func:`read_avro` (one task per file via ``binaryFile``):
     there parallelism = shard count, here parallelism = corpus bytes /
     split_mb, which is what a 100 TB corpus of awkwardly-large foreign
-    shards needs. Local/POSIX (incl. mounted DFS) paths seek with
+    shards needs. ``arrow=True`` applies the same mapInArrow
+    interchange as :func:`read_avro` — per-split decoded columns cross
+    executor→JVM as one Arrow batch with no pandas round-trip; schemas
+    with timestamp/date logicals route back to mapInPandas. Local/POSIX (incl. mounted DFS) paths seek with
     ``open()``; any other scheme routes through the registered
     range-read :class:`~..sinks.data_backend.DataBackend` (or pass
     ``backend=`` explicitly). Header planning is driver-side for small
@@ -1401,6 +1415,40 @@ def read_avro_split(spark: SparkSession, path: str, *,
                     {c: [r.get(c) for r in rows] for c in want},
                     columns=want)
 
+    def decode_arrow(batches):
+        import pyarrow as pa
+
+        from .avro_vec import decode_blocks_columnar
+
+        target, _batch = _arrow_batch_builder(spark_schema, want)
+        for rb in batches:
+            for i in range(rb.num_rows):
+                row = {c: rb.column(c)[i].as_py()
+                       for c in ("path", "start", "end", "first",
+                                 "sync_hex", "codec", "schema_json")}
+                datas, counts = _read_split_blocks(
+                    row["path"], int(row["start"]), int(row["end"]),
+                    bool(row["first"]),
+                    bytes.fromhex(row["sync_hex"]),
+                    row["codec"], backend=backend)
+                if not datas:
+                    continue
+                node = parse_schema(json.loads(row["schema_json"]))
+                cols_out = decode_blocks_columnar(
+                    datas, counts, row["path"], node, reader_node,
+                    arrow=True)
+                if cols_out is not None:
+                    yield _batch(cols_out)
+                    continue
+                rows = _decode_payloads(datas, counts, row["path"],
+                                        node, reader_node)
+                yield _batch({
+                    c: pa.array([r.get(c) for r in rows],
+                                type=target[c])
+                    for c in want})
+
+    if arrow and not _node_has_logical(reader_node):
+        return rdf.mapInArrow(decode_arrow, spark_schema)
     return rdf.mapInPandas(decode, spark_schema)
 
 

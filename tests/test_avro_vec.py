@@ -1344,3 +1344,31 @@ def test_arrow_interchange_timestamps_use_pandas_path(spark, tmp_path):
     a = read_avro(spark, d).orderBy("k").collect()
     b = read_avro(spark, d, arrow=True).orderBy("k").collect()
     assert a == b and len(a) == 2000
+
+
+def test_arrow_interchange_split_reader(spark, tmp_path):
+    """read_avro_split(arrow=True): every split's decoded columns
+    cross as one Arrow batch; results equal the mapInPandas split
+    read AND the whole-file read, including splits that straddle
+    member boundaries (1 MB splits over a multi-MB shard)."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sources.avro import (
+        read_avro, read_avro_split, write_avro,
+    )
+
+    docs = spark.range(60_000).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"),
+        F.when(F.col("id") % 3 != 0, F.struct(
+            (F.col("id") * 2).alias("a"),
+            F.col("id").cast("string").alias("b"))).alias("meta"))
+    d = str(tmp_path / "shards")
+    write_avro(docs, d, shards=2, order_by="doc_id", block_rows=64)
+    whole = read_avro(spark, d).orderBy("doc_id").collect()
+    sp = read_avro_split(spark, d, split_mb=1).orderBy("doc_id") \
+        .collect()
+    sa = read_avro_split(spark, d, split_mb=1, arrow=True) \
+        .orderBy("doc_id").collect()
+    assert whole == sp == sa
+    assert len(sa) == 60_000
