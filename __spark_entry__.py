@@ -8780,6 +8780,47 @@ FROM documents
 """
 
 
+def q_io_avro_array_struct_vec(spark, sf):
+    """ARRAY-OF-RECORDS Avro decode through the vectorized path (r14,
+    sources/avro_vec.py: per-element per-FIELD waves scatter into flat
+    element-granularity arrays, one gather per string field, a single
+    LargeList<Struct> assembly — proxy-measured 4.2-5.4x before the
+    decoder was written, shipped at 2.4-4.3x,
+    scripts/scale_probe_avro_array_struct.py): documents gain a
+    two-entity array<struct> column (empty for every fifth doc), write
+    ONE shard at block_rows=4 to clear the >=64-block gate, read back
+    vectorized, then EXPLODE (the driver canon cannot sort array-of-
+    struct cells). Oracle equality pins count waves, element field
+    waves, and the list/struct assembly end to end."""
+    import tempfile
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("n_chars") % 5 == 0, F.array().cast(
+            "array<struct<a:bigint,b:string>>")).otherwise(F.array(
+                F.struct((F.col("n_chars") * 2).alias("a"),
+                         F.col("source").alias("b")),
+                F.struct((F.col("n_chars") * 3).alias("a"),
+                         F.upper(F.col("source")).alias("b"))))
+        .alias("ents"))
+    out = tempfile.mkdtemp(prefix="avro_astruct_") + "/shards"
+    write_avro(docs, out, shards=1, order_by="doc_id", block_rows=4)
+    return read_avro(spark, out).select(
+        "doc_id", F.explode("ents").alias("e")).select(
+        "doc_id", F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+
+
+ORACLE_AVRO_ARRAY_STRUCT = """
+SELECT doc_id, n_chars * 2 AS a, source AS b
+FROM documents WHERE n_chars % 5 != 0
+UNION ALL
+SELECT doc_id, n_chars * 3 AS a, UPPER(source) AS b
+FROM documents WHERE n_chars % 5 != 0
+"""
+
+
 def q_iceberg_prune_bucket(spark, sf):
     """Foreign-table partition-transform pruning (r11,
     interop/iceberg.py): documents → a hand-built Iceberg v2 table
@@ -9322,6 +9363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW r14 (new queries enter the sample head) ---
         "io_avro_nullable_struct_vec": q_io_avro_nullable_struct_vec,
+        "io_avro_array_struct_vec": q_io_avro_array_struct_vec,
         # --- last green r9 ---
         "doc_char_entropy": q_char_entropy,
         "doc_compression_ratio": q_compression_ratio,
@@ -9371,11 +9413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": q_tpch_q7,
         "tpch_q8_market_share": q_tpch_q8,
         "tpch_q9_product_profit": q_tpch_q9,
-        # --- last green r10 ---
-        "chunker_header": q_header_chunks,
         # ================= head-50 boundary: entries below are NOT in
         # the driver's correctness sample this round =================
         # --- last green r10 ---
+        "chunker_header": q_header_chunks,
         "chunker_image_binary": q_image_chunks,
         "chunker_markdown": q_markdown_chunks,
         "chunker_section": q_section_chunks,
@@ -9585,6 +9626,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "io_avro_struct_vec": ORACLE_AVRO_STRUCT,
         "io_avro_nullable_struct_vec": ORACLE_AVRO_NULLABLE_STRUCT,
+        "io_avro_array_struct_vec": ORACLE_AVRO_ARRAY_STRUCT,
         "streaming_tfrecord_ingest": ORACLE_TFRECORD_STREAM,
         "streaming_avro_ingest": ORACLE_AVRO_STREAM,
         "streaming_wds_ingest": ORACLE_WDS_STREAM,

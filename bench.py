@@ -170,6 +170,7 @@ def main():
         "avro_tokens_vec": em.q_io_avro_tokens_vec,
         "avro_struct_vec": em.q_io_avro_struct_vec,
         "avro_nstruct_vec": em.q_io_avro_nullable_struct_vec,
+        "avro_astruct_vec": em.q_io_avro_array_struct_vec,
         "jsonl_zst_split_read": em.q_io_jsonl_zst_split,
         "arrow_ipc_split_read": em.q_io_arrow_ipc_split,
         "wds_split_read": em.q_reader_wds_split,

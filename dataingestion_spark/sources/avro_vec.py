@@ -49,12 +49,17 @@ to a ``record_group`` step: one zigzag branch wave yields the struct
 validity mask, sub-field waves run on the reduced row set (a null
 struct has no wire bytes), and ``pa.StructArray`` applies the mask at
 assembly — measured 2.85-4.43× scalar
-(scripts/scale_probe_avro_nullable_struct.py). Varint-numeric-element
-or union-element arrays, maps, nullability-MISMATCHED records, and
-records inside arrays return None and the caller uses the scalar
-path — Iceberg manifests stay scalar by design (small metadata
-files); maps stay scalar BY MEASUREMENT (0.8×, r12: dict
-materialization dominates).
+(scripts/scale_probe_avro_nullable_struct.py). RECORDS INSIDE ARRAYS
+(r14, the entities/spans shape) vectorize via per-element per-FIELD
+waves with flat element-granularity scatter and a single
+LargeList<Struct> assembly — measured 2.4-4.3× scalar
+(scripts/scale_probe_avro_array_struct.py); element fields are
+limited to scalar kinds incl. nullable unions (nested records/
+arrays/enum/fixed inside an element decline). Varint-numeric-element
+or union-element arrays, maps, and nullability-MISMATCHED records
+return None and the caller uses the scalar path — Iceberg manifests
+stay scalar by design (small metadata files); maps stay scalar BY
+MEASUREMENT (0.8×, r12: dict materialization dominates).
 
 Equivalence with the scalar decoder is pinned by differential tests
 (tests/test_avro_vec.py) over random schemas/values, and the measured
@@ -283,21 +288,64 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
                 assemblies.append(top_asm)
             continue
         elem = None
+        elem_sub = None
         if wnode["kind"] == "array":
             # arrays of NON-nullable fixed-width elements vectorize in
             # one gather (the embedding shape: array<float>); string/
             # bytes elements vectorize via per-ELEMENT waves (the
-            # tokenized-text shape: array<string>); union-tagged or
-            # varint-numeric elements stay scalar
+            # tokenized-text shape: array<string>); RECORD elements
+            # (the entities/spans shape, r14 — proxy-measured
+            # 4.2-5.4x, scripts/scale_probe_avro_array_struct.py)
+            # vectorize via per-element waves over the element's
+            # flattened scalar fields, assembling ListArray<Struct>;
+            # union-tagged or varint-numeric elements stay scalar
             it = wnode["items"]
-            if it["kind"] not in ("double", "float", "boolean",
-                                  "string", "bytes"):
+            if it["kind"] == "record":
+                pass  # validated against the reader below
+            elif it["kind"] not in ("double", "float", "boolean",
+                                    "string", "bytes"):
                 return None
             elem = it["kind"]
         elif wnode["kind"] not in _VEC_KINDS:
             return None
         name = f["name"] if f["name"] in rf else None
         out_kind = wnode["kind"]
+        if elem == "record":
+            if name is None:
+                r_items: Dict = {"kind": "record",
+                                 "name": wnode["items"].get("name"),
+                                 "fields": []}
+            else:
+                rnode, rnull = _unwrap(rf[name]["schema"])
+                if (rnode is None or rnode["kind"] != "array"
+                        or rnode["items"]["kind"] != "record"
+                        or not rnode["items"]["fields"]):
+                    return None
+                r_items = rnode["items"]
+            sub = _columnar_plan(wnode["items"], r_items)
+            if sub is None:
+                return None
+            es, efills, easms = sub
+            # v1 element scope: scalar kinds only (incl. nullable
+            # unions) — nested records/arrays/enum/fixed inside the
+            # element decline to the scalar path
+            if easms or any(
+                    s["kind"] in ("array", "record_group", "enum",
+                                  "fixed") or s.get("logical")
+                    for s in es):
+                return None
+            elem_sub = (es, dict(efills),
+                        [sf["name"] for sf in r_items["fields"]])
+            steps.append({
+                "name": name, "kind": "array", "logical": None,
+                "null_idx": wnull, "reader_nullable": (
+                    name is None
+                    or _unwrap(rf[name]["schema"])[1] is not None),
+                "out_kind": "array", "elem": "record",
+                "elem_w": None, "elem_sub": elem_sub,
+                "symbols": None, "size": None,
+            })
+            continue
         if name is not None:
             rnode, rnull = _unwrap(rf[name]["schema"])
             if rnode is None:
@@ -388,6 +436,69 @@ class _Cols:
             else:  # long / int / enum index
                 self.num[name] = np.zeros(n, np.int64)
             self.mask[name] = np.zeros(n, np.bool_)
+
+
+def _exec_elem_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
+                    idx: np.ndarray, wave: Optional[Dict]) -> None:
+    """One element-FIELD wave inside an array<record> element (r14):
+    like :func:`_exec_step` but writes into a per-wave dict instead of
+    row-granularity columns — element slots aren't known until all
+    counts are, so finalize scatters the waves. ``wave[name]`` becomes
+    ``("num", valid_bool, values)`` or ``("str", valid_bool, starts,
+    lens)``; ``wave is None`` = skip-only (writer-only array field).
+    Plan gate limits element fields to scalar kinds (incl. nullable
+    unions)."""
+    name = step["name"]
+    valid = None
+    if step["null_idx"] is not None:
+        bi = _zigzag(_wave_varint(buf, pos, idx))
+        bad = (bi < 0) | (bi > 1)
+        if bad.any():
+            raise ValueError(f"union index {int(bi[bad][0])} "
+                             "out of range")
+        isval = bi != step["null_idx"]
+        if name is not None and not step["reader_nullable"] \
+                and not isval.all():
+            raise ValueError(
+                f"field {name!r}: writer null does not resolve to "
+                "a non-nullable reader field")
+        if not isval.all():
+            valid = isval
+            idx = idx[isval]
+        if len(idx) == 0:
+            if wave is not None and name is not None:
+                if step["kind"] in ("string", "bytes"):
+                    wave[name] = ("str", valid, np.zeros(0, np.int64),
+                                  np.zeros(0, np.int64))
+                else:
+                    wave[name] = ("num", valid,
+                                  np.zeros(0, np.int64))
+            return
+    k = step["kind"]
+    if k in ("long", "int"):
+        vals = _zigzag(_wave_varint(buf, pos, idx))
+        if wave is not None and name is not None:
+            wave[name] = ("num", valid, vals)
+    elif k in ("double", "float"):
+        w = 8 if k == "double" else 4
+        raw = buf[pos[idx, None] + np.arange(w)]
+        if wave is not None and name is not None:
+            wave[name] = ("num", valid, raw.view(
+                "<f8" if k == "double" else "<f4").ravel())
+        pos[idx] += w
+    elif k == "boolean":
+        if wave is not None and name is not None:
+            wave[name] = ("num", valid, buf[pos[idx]] == 1)
+        pos[idx] += 1
+    elif k in ("string", "bytes"):
+        lens = _zigzag(_wave_varint(buf, pos, idx))
+        if (lens < 0).any():
+            raise ValueError(f"negative byte-length {int(lens.min())}")
+        if wave is not None and name is not None:
+            wave[name] = ("str", valid, pos[idx].copy(), lens)
+        pos[idx] += lens
+    else:  # pragma: no cover - plan gate excludes other kinds
+        raise ValueError(f"unplannable element kind {k!r}")
 
 
 def _exec_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
@@ -488,6 +599,29 @@ def _exec_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
                         cols.fextra[name].append(
                             (aout.copy(), pos[act], c * w, segno))
                 pos[act] += c * w
+            elif step["elem"] == "record":
+                # record elements (r14): per element index, run one
+                # wave per flattened element FIELD — vector width
+                # stays = active blocks, so a K-entity row costs
+                # K * n_fields waves, not K*rows python dispatches
+                if name is not None:
+                    cols.acounts[name][aout] += c
+                e = 0
+                a2, o2, c2, eb2 = act, aout, c, ebase
+                es = step["elem_sub"][0]
+                while True:
+                    m = c2 > e
+                    if not m.any():
+                        break
+                    if not m.all():
+                        a2, o2, c2, eb2 = a2[m], o2[m], c2[m], eb2[m]
+                    wave = {} if name is not None else None
+                    for ss in es:
+                        _exec_elem_step(ss, buf, pos, a2, wave)
+                    if name is not None:
+                        cols.aparts[name].append(
+                            (eb2 + e, o2.copy(), wave))
+                    e += 1
             else:  # string/bytes: one varint wave per ELEMENT index —
                 # vector width stays = active blocks, so a K-token row
                 # costs K waves, not K*rows python calls
@@ -536,6 +670,100 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray,
     mask = cols.mask[name]
     has_null = bool(mask.any())
     k, out_k, logical = step["kind"], step["out_kind"], step["logical"]
+    if k == "array" and step["elem"] == "record":
+        # record elements (r14): scatter each element wave's per-field
+        # data into flat element-granularity arrays, then assemble
+        # LargeList<Struct> — same slot arithmetic as string elements,
+        # and per-field flat ranges stay position-ordered (row order
+        # IS position order under block-major decoding, fields in
+        # element order within a row), so strings still gather in ONE
+        # _gather_ranges pass per field
+        es, efills, rnames = step["elem_sub"]
+        counts = cols.acounts[name]
+        total = int(counts.sum())
+        offs = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        by_field = {s["name"]: s for s in es if s["name"] is not None}
+        children = []
+        for fname in rnames:
+            if fname in efills:
+                dflt = efills[fname]
+                children.append(
+                    pa.nulls(total) if dflt is None
+                    else pa.array([dflt] * total))
+                continue
+            ss = by_field[fname]
+            ek, eout = ss["kind"], ss["out_kind"]
+            if ek in ("string", "bytes"):
+                fstarts = np.zeros(total, np.int64)
+                flens = np.zeros(total, np.int64)
+                fnull = np.zeros(total, np.bool_)
+                for e_abs, rows_idx, wave in cols.aparts[name]:
+                    slots = offs[rows_idx] + e_abs
+                    tag, valid, sts, lns = wave[fname]
+                    if valid is None:
+                        fstarts[slots] = sts
+                        flens[slots] = lns
+                    else:
+                        vs = slots[valid]
+                        fstarts[vs] = sts
+                        flens[vs] = lns
+                        fnull[slots[~valid]] = True
+                values = _gather_ranges(buf, fstarts, flens)
+                str_offs = np.zeros(total + 1, np.int64)
+                np.cumsum(flens, out=str_offs[1:])
+                want_str = eout == "string"
+                ctyp = pa.large_utf8() if want_str \
+                    else pa.large_binary()
+                validity = None
+                if fnull.any():
+                    validity = pa.py_buffer(
+                        np.packbits(~fnull, bitorder="little"))
+                child = pa.Array.from_buffers(
+                    ctyp, total,
+                    [validity, pa.py_buffer(str_offs),
+                     pa.py_buffer(values)])
+                if want_str:
+                    try:
+                        child.validate(full=True)
+                    except pa.lib.ArrowInvalid as e:
+                        raise ValueError(
+                            f"invalid UTF-8 in array element field "
+                            f"{name}.{fname}: {e}")
+                children.append(child)
+            else:
+                dt = {"double": np.float64, "float": np.float32,
+                      "boolean": np.bool_}.get(ek, np.int64)
+                flat = np.zeros(total, dt)
+                fnull = np.zeros(total, np.bool_)
+                for e_abs, rows_idx, wave in cols.aparts[name]:
+                    slots = offs[rows_idx] + e_abs
+                    tag, valid, vals = wave[fname]
+                    if valid is None:
+                        flat[slots] = vals
+                    else:
+                        flat[slots[valid]] = vals
+                        fnull[slots[~valid]] = True
+                if ek in ("long", "int") and eout in ("float",
+                                                     "double"):
+                    flat = flat.astype(
+                        np.float64 if eout == "double"
+                        else np.float32)
+                elif ek == "float" and eout == "double":
+                    flat = flat.astype(np.float64)
+                children.append(pa.array(
+                    flat, mask=fnull if fnull.any() else None))
+        struct = pa.StructArray.from_arrays(children, rnames)
+        validity = None
+        if has_null:
+            validity = pa.py_buffer(
+                np.packbits(~mask, bitorder="little"))
+        arr = pa.Array.from_buffers(
+            pa.large_list(struct.type), len(counts),
+            [validity, pa.py_buffer(offs)], children=[struct])
+        if arrow:
+            return arr
+        return pd.Series(arr.to_pandas(), dtype=object)
     if k == "array" and step["elem_w"] is None:
         # string/bytes elements: scatter each element wave's
         # (start, len) into flat slot arrays (unique indices — fast
