@@ -9351,15 +9351,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's correctness gate oracles the FIRST
     # 50 entries.  r14 rotation (standing prefix-shift policy): head-50 =
-    # the whole stale r9 block of 48 (doc_char_entropy .. tpch_q9) plus
-    # the two alphabetically-first r10 entries (chunker_header,
-    # chunker_image_binary); new queries enter the head when added.
+    # the 2 queries NEW this round (vectorized nullable-struct and
+    # array-of-records Avro roundtrips; new queries enter the head)
+    # plus the whole stale r9 block of 48 (doc_char_entropy .. tpch_q9).
     # All 50 verified green against the sf0.01 DuckDB replica before
-    # landing.  Entries 51+ continue in stalest-first order (rest of r10,
-    # r11, r12, with the r13-green block -- freshest external
-    # confirmation -- at the very end), so future rotations stay a simple
-    # prefix shift; scripts/rotation_stats.py --check mechanizes the
-    # audit.
+    # landing.  Entries 51+ continue in stalest-first order (r10, r11,
+    # r12, with the r13-green block -- freshest external confirmation --
+    # at the very end), so future rotations stay a simple prefix shift;
+    # scripts/rotation_stats.py --check mechanizes the audit.
     return {
         # --- NEW r14 (new queries enter the sample head) ---
         "io_avro_nullable_struct_vec": q_io_avro_nullable_struct_vec,
