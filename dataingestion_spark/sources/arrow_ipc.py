@@ -33,14 +33,22 @@ __all__ = ["read_arrow_ipc", "read_arrow_ipc_split",
 
 def read_arrow_ipc(spark: SparkSession, path: str,
                    columns: Optional[List[str]] = None,
-                   glob: str = "*.arrow") -> DataFrame:
+                   glob: str = "*.arrow",
+                   arrow: bool = False) -> DataFrame:
     """Read a directory of Arrow IPC (Feather v2) files.
 
     Schema comes from the first file's footer (one driver-side read —
     explicit, not inferred per task); every file must match it, a
     mismatch fails loudly with the file name. ``columns`` prunes at the
     deserialization boundary (IPC is columnar, so unprojected columns
-    are never materialized into pandas). One task per file."""
+    are never materialized into pandas). One task per file.
+
+    ``arrow=True`` (r14): the file's own RecordBatches ship straight
+    to the JVM via ``mapInArrow`` — the on-disk format IS Arrow, so
+    the default path's arrow→pandas→arrow round-trip is pure waste.
+    Timestamp-bearing schemas route back to mapInPandas (Spark's
+    pandas serializer defines their session-timezone semantics);
+    values are row-for-row identical either way."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import from_arrow_schema
@@ -75,20 +83,46 @@ def read_arrow_ipc(spark: SparkSession, path: str,
         for pdf in batches:
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 reader = pa.ipc.open_file(pa.py_buffer(bytes(blob)))
-                fschema = reader.schema
-                for name in want:
-                    expect = schema.field(name)
-                    if (name not in fschema.names
-                            or fschema.field(name).type != expect.type):
-                        got = (fschema.field(name).type
-                               if name in fschema.names else None)
-                        raise ValueError(
-                            f"{fpath}: field {name!r} is {got}, "
-                            f"expected {expect.type}")
+                _check_file_schema(reader.schema, schema, want, fpath)
                 tbl = reader.read_all().select(want)
                 yield tbl.to_pandas()
 
+    def parse_arrow(rbs):
+        from .arrow_interchange import arrow_batch_builder
+
+        _target, _batch = arrow_batch_builder(spark_schema, want)
+        for rb in rbs:
+            paths = rb.column("path")
+            contents = rb.column("content")
+            for i in range(rb.num_rows):
+                fpath = paths[i].as_py()
+                reader = pa.ipc.open_file(
+                    pa.py_buffer(bytes(contents[i].as_py())))
+                _check_file_schema(reader.schema, schema, want, fpath)
+                for bi in range(reader.num_record_batches):
+                    b = reader.get_batch(bi)
+                    if b.num_rows:
+                        yield _batch({c: b.column(c) for c in want})
+
+    from .arrow_interchange import schema_has_timestamp
+
+    if arrow and not schema_has_timestamp(spark_schema):
+        return scan.mapInArrow(parse_arrow, spark_schema)
     return scan.mapInPandas(parse, spark_schema)
+
+
+def _check_file_schema(fschema, schema, want, fpath) -> None:
+    """Every projected field must exist in the file with the exact
+    footer-probed type — a mismatch names the file and field."""
+    for name in want:
+        expect = schema.field(name)
+        if (name not in fschema.names
+                or fschema.field(name).type != expect.type):
+            got = (fschema.field(name).type
+                   if name in fschema.names else None)
+            raise ValueError(
+                f"{fpath}: field {name!r} is {got}, "
+                f"expected {expect.type}")
 
 
 def write_arrow_ipc(df: DataFrame, out_dir: str, shards: int = 4,
@@ -184,7 +218,8 @@ def read_arrow_ipc_split(spark: SparkSession, path: str,
                          columns: Optional[List[str]] = None, *,
                          split_mb: int = 128,
                          glob_pat: str = "*.arrow",
-                         backend=None) -> DataFrame:
+                         backend=None,
+                         arrow: bool = False) -> DataFrame:
     """Scale-IN Arrow IPC reader: the file format's FOOTER indexes
     every record batch, so splitting needs no resync heuristics at all
     — the planner reads each footer (small tail reads), assigns
@@ -201,7 +236,9 @@ def read_arrow_ipc_split(spark: SparkSession, path: str,
     mismatch. ``columns`` prunes at the deserialization boundary.
     Local paths open directly; other schemes route through the
     range-read DataBackend (or pass ``backend=``). Footer probes run
-    as one Spark job above 32 files."""
+    as one Spark job above 32 files. ``arrow=True`` ships each task's
+    batches straight to the JVM via ``mapInArrow`` (see
+    :func:`read_arrow_ipc`)."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import from_arrow_schema
@@ -254,16 +291,8 @@ def read_arrow_ipc_split(spark: SparkSession, path: str,
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 reader = _open_ipc(row.path, backend)
-                fschema = reader.schema
-                for name in want:
-                    expect = schema.field(name)
-                    if (name not in fschema.names
-                            or fschema.field(name).type != expect.type):
-                        got = (fschema.field(name).type
-                               if name in fschema.names else None)
-                        raise ValueError(
-                            f"{row.path}: field {name!r} is {got}, "
-                            f"expected {expect.type}")
+                _check_file_schema(reader.schema, schema, want,
+                                   row.path)
                 if row.count == 0:
                     continue
                 got_b = [reader.get_batch(int(row.first) + i)
@@ -271,4 +300,24 @@ def read_arrow_ipc_split(spark: SparkSession, path: str,
                 tbl = pa.Table.from_batches(got_b).select(want)
                 yield tbl.to_pandas()
 
+    def decode_arrow(rbs):
+        from .arrow_interchange import arrow_batch_builder
+
+        _target, _batch = arrow_batch_builder(spark_schema, want)
+        for rb in rbs:
+            for i in range(rb.num_rows):
+                fpath = rb.column("path")[i].as_py()
+                first = int(rb.column("first")[i].as_py())
+                count = int(rb.column("count")[i].as_py())
+                reader = _open_ipc(fpath, backend)
+                _check_file_schema(reader.schema, schema, want, fpath)
+                for bi in range(count):
+                    b = reader.get_batch(first + bi)
+                    if b.num_rows:
+                        yield _batch({c: b.column(c) for c in want})
+
+    from .arrow_interchange import schema_has_timestamp
+
+    if arrow and not schema_has_timestamp(spark_schema):
+        return rdf.mapInArrow(decode_arrow, spark_schema)
     return rdf.mapInPandas(decode, spark_schema)

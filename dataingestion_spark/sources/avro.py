@@ -1157,38 +1157,6 @@ def _node_has_logical(node: Dict) -> bool:
     return False
 
 
-def _arrow_batch_builder(spark_schema, want):
-    """(target types, arrays→RecordBatch fn) for the mapInArrow
-    readers: Arrow refuses nullable→non-nullable casts and Spark's
-    reader applies its OWN schema (ignoring batch nullability flags),
-    so decoded arrays cast to an all-nullable twin of the schema's
-    Arrow types. Executor-side only (imports pyarrow lazily)."""
-    import pyarrow as pa
-    from pyspark.sql.pandas.types import to_arrow_schema
-
-    def _nullable(t):
-        if pa.types.is_struct(t):
-            return pa.struct([pa.field(f.name, _nullable(f.type))
-                              for f in t])
-        if pa.types.is_large_list(t) or pa.types.is_list(t):
-            return pa.list_(_nullable(t.value_type))
-        return t
-
-    target = {f.name: _nullable(f.type)
-              for f in to_arrow_schema(spark_schema)}
-
-    def _batch(arrays_by_name):
-        out = []
-        for c in want:
-            arr = arrays_by_name[c]
-            if arr.type != target[c]:
-                arr = arr.cast(target[c])
-            out.append(arr)
-        return pa.RecordBatch.from_arrays(out, names=want)
-
-    return target, _batch
-
-
 def _container_parser_arrow(reader_node: Dict):
     """(mapInArrow parse fn, Spark schema): the r14 Arrow interchange.
     The vectorized decoder's output arrays are cast to the exact Arrow
@@ -1202,7 +1170,9 @@ def _container_parser_arrow(reader_node: Dict):
     def parse(batches):
         import pyarrow as pa
 
-        target, _batch = _arrow_batch_builder(spark_schema, want)
+        from .arrow_interchange import arrow_batch_builder
+
+        target, _batch = arrow_batch_builder(spark_schema, want)
 
         for rb in batches:
             paths = rb.column("path")
@@ -1420,7 +1390,9 @@ def read_avro_split(spark: SparkSession, path: str, *,
 
         from .avro_vec import decode_blocks_columnar
 
-        target, _batch = _arrow_batch_builder(spark_schema, want)
+        from .arrow_interchange import arrow_batch_builder
+
+        target, _batch = arrow_batch_builder(spark_schema, want)
         for rb in batches:
             for i in range(rb.num_rows):
                 row = {c: rb.column(c)[i].as_py()
