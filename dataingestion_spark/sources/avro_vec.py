@@ -326,12 +326,12 @@ def _columnar_plan(writer: Dict, reader: Dict) -> Optional[Tuple]:
             if sub is None:
                 return None
             es, efills, easms = sub
-            # v1 element scope: scalar kinds only (incl. nullable
-            # unions) — nested records/arrays/enum/fixed inside the
+            # element scope: scalar kinds incl. nullable unions, enum,
+            # and fixed — nested records/arrays/logicals inside the
             # element decline to the scalar path
             if easms or any(
-                    s["kind"] in ("array", "record_group", "enum",
-                                  "fixed") or s.get("logical")
+                    s["kind"] in ("array", "record_group")
+                    or s.get("logical")
                     for s in es):
                 return None
             elem_sub = (es, dict(efills),
@@ -467,7 +467,7 @@ def _exec_elem_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
             idx = idx[isval]
         if len(idx) == 0:
             if wave is not None and name is not None:
-                if step["kind"] in ("string", "bytes"):
+                if step["kind"] in ("string", "bytes", "fixed"):
                     wave[name] = ("str", valid, np.zeros(0, np.int64),
                                   np.zeros(0, np.int64))
                 else:
@@ -497,6 +497,17 @@ def _exec_elem_step(step: Dict, buf: np.ndarray, pos: np.ndarray,
         if wave is not None and name is not None:
             wave[name] = ("str", valid, pos[idx].copy(), lens)
         pos[idx] += lens
+    elif k == "enum":
+        vals = _zigzag(_wave_varint(buf, pos, idx))
+        if (vals < 0).any() or (vals >= len(step["symbols"])).any():
+            raise ValueError("enum index out of range")
+        if wave is not None and name is not None:
+            wave[name] = ("num", valid, vals)
+    elif k == "fixed":
+        if wave is not None and name is not None:
+            wave[name] = ("str", valid, pos[idx].copy(),
+                          np.full(len(idx), step["size"], np.int64))
+        pos[idx] += step["size"]
     else:  # pragma: no cover - plan gate excludes other kinds
         raise ValueError(f"unplannable element kind {k!r}")
 
@@ -694,7 +705,7 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray,
                 continue
             ss = by_field[fname]
             ek, eout = ss["kind"], ss["out_kind"]
-            if ek in ("string", "bytes"):
+            if ek in ("string", "bytes", "fixed"):
                 fstarts = np.zeros(total, np.int64)
                 flens = np.zeros(total, np.int64)
                 fnull = np.zeros(total, np.bool_)
@@ -744,8 +755,16 @@ def _finalize(step: Dict, cols: _Cols, buf: np.ndarray,
                     else:
                         flat[slots[valid]] = vals
                         fnull[slots[~valid]] = True
+                if ek == "enum":
+                    idxs = pa.array(
+                        flat.astype(np.int32),
+                        mask=fnull if fnull.any() else None)
+                    children.append(pa.DictionaryArray.from_arrays(
+                        idxs, pa.array(ss["symbols"])).cast(
+                        pa.large_utf8()))
+                    continue
                 if ek in ("long", "int") and eout in ("float",
-                                                     "double"):
+                                                      "double"):
                     flat = flat.astype(
                         np.float64 if eout == "double"
                         else np.float32)

@@ -1448,16 +1448,29 @@ def test_array_of_records_resolution_and_gates(tmp_path):
     rows = [{"xs": [{"inner": {"v": i}}]} for i in range(600)]
     cols2, _ = _vec(tmp_path, deep, rows)
     assert cols2 is None
-    # enum inside the element: scalar path
+    # enum + fixed INSIDE the element vectorize (dictionary cast /
+    # binary ranges)
     en = {"type": "record", "name": "r", "fields": [
         {"name": "xs", "type": {"type": "array", "items": {
             "type": "record", "name": "e", "fields": [
                 {"name": "col", "type": {
                     "type": "enum", "name": "c",
-                    "symbols": ["R", "G"]}}]}}}]}
-    rows = [{"xs": [{"col": "R"}]} for i in range(600)]
-    cols3, _ = _vec(tmp_path, en, rows)
-    assert cols3 is None
+                    "symbols": ["R", "G", "B"]}},
+                {"name": "fx", "type": {
+                    "type": "fixed", "name": "f4", "size": 4}},
+                {"name": "oc", "type": ["null", {
+                    "type": "enum", "name": "c2",
+                    "symbols": ["X", "Y"]}], "default": None}]}}}]}
+    rows = [{"xs": [
+        {"col": "RGB"[(i + j) % 3], "fx": bytes([(i + j) % 256] * 4),
+         "oc": None if (i + j) % 3 == 0 else "XY"[(i + j) % 2]}
+        for j in range(i % 4)]} for i in range(700)]
+    cols3, scalar3 = _vec(tmp_path, en, rows)
+    assert cols3 is not None, "enum/fixed element fields fell back"
+    for i in range(0, 700, 7):
+        want = scalar3[i]["xs"]
+        got = [dict(d) for d in cols3["xs"][i]]
+        assert want == got, (i, want, got)
 
 
 def test_array_of_records_multiblock_and_nullable_array(tmp_path):
