@@ -14,9 +14,12 @@ differential tests over random frames — determinism is a layout
 contract here, `sources/avro.py` module docstring), so the vectorized
 path is a pure drop-in: `write_avro` uses it when the schema is flat
 (primitives, ``['null', T]`` unions, strings/bytes, non-nullable
-float/double/boolean arrays) and falls back to the scalar
-`write_container` otherwise (nested records/maps, enum/fixed columns,
-logical types — rare in write_avro's Spark-frame input).
+float/double/boolean arrays) or carries NON-nullable struct columns —
+those flatten to their children first (r14: one Arrow dict→Struct C
+pass per struct column, wire = fields inlined; measured 2.65-2.74×
+scalar, scripts/scale_probe_avro_struct_enc.py) — and falls back to
+the scalar `write_container` otherwise (nullable structs, maps,
+enum/fixed columns, logical types).
 
 Measured (SCALE.md, calm-host MIN of 3 at 1M rows): 3.3x on a flat
 4-col text frame, 3.2x on an embedding (long + 16-dim array<float>)
@@ -239,10 +242,133 @@ def _col_arrays(step: Dict, ser) -> Dict[str, Any]:
     raise AssertionError(k)  # pragma: no cover - plan gate
 
 
+class _StructOutOfScope(Exception):
+    """A struct column's shape leaves the flattening plan — the
+    caller declines to the scalar encoder."""
+
+
+def _pa_type_for(sch: Dict):
+    """Arrow type mirroring an Avro value node (for the one-C-pass
+    dict→StructArray extraction); raises _StructOutOfScope for shapes
+    the encoder plan can't take."""
+    import pyarrow as pa
+
+    if sch["kind"] == "union":
+        br = sch["branches"]
+        if len(br) != 2 or sum(b["kind"] == "null" for b in br) != 1:
+            raise _StructOutOfScope
+        sch = br[1] if br[0]["kind"] == "null" else br[0]
+    if sch.get("logical"):
+        raise _StructOutOfScope
+    k = sch["kind"]
+    if k == "record":
+        return pa.struct([(f["name"], _pa_type_for(f["schema"]))
+                          for f in sch["fields"]])
+    if k == "array":
+        return pa.large_list(_pa_type_for(sch["items"]))
+    try:
+        return {"long": pa.int64(), "int": pa.int64(),
+                "double": pa.float64(), "float": pa.float32(),
+                "boolean": pa.bool_(), "string": pa.large_utf8(),
+                "bytes": pa.large_binary()}[k]
+    except KeyError:
+        raise _StructOutOfScope from None
+
+
+def _child_series(child, sch: Dict):
+    """pa child Array -> pandas Series safe for _col_arrays: integer
+    children WITH nulls come back as object ints (to_pandas' float64
+    would corrupt > 2^53 values); everything else converts directly."""
+    import pandas as pd
+
+    vnode = sch
+    if vnode["kind"] == "union":
+        br = vnode["branches"]
+        vnode = br[1] if br[0]["kind"] == "null" else br[0]
+    if vnode["kind"] in ("long", "int") and child.null_count:
+        return pd.Series(
+            child.to_pandas(integer_object_nulls=True), dtype=object)
+    return pd.Series(child.to_pandas())
+
+
+def _explode_struct(sa, rec_node: Dict, prefix: str,
+                    out_cols: Dict, out_fields: List[Dict]) -> None:
+    for i, f in enumerate(rec_node["fields"]):
+        child = sa.field(i)
+        sch = f["schema"]
+        vnode = sch
+        nullable = False
+        if vnode["kind"] == "union":
+            br = vnode["branches"]
+            nullable = True
+            vnode = br[1] if br[0]["kind"] == "null" else br[0]
+        if vnode["kind"] == "record":
+            if nullable:
+                # a null struct removes its children from the wire —
+                # not expressible as inlined nullable columns
+                raise _StructOutOfScope
+            _explode_struct(child, vnode, prefix + f["name"] + "\x1f",
+                            out_cols, out_fields)
+            continue
+        name = prefix + f["name"]
+        out_fields.append({"name": name, "schema": sch})
+        out_cols[name] = _child_series(child, sch)
+
+
+def _flatten_struct_cols(node: Dict, pdf, cols: List[str]):
+    """(node', pdf', cols') with every NON-nullable record field
+    inlined to its children (wire-identical — a record's bytes are its
+    fields in order), children extracted in one Arrow C pass per
+    struct column; None when there is nothing to flatten or a struct
+    shape is out of plan (caller goes scalar). r14 — the write-side
+    twin of the decoder's struct flattening; proxy-measured ~3x
+    (scripts/scale_probe_avro_struct_enc.py)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if node["kind"] != "record" or not any(
+            f["schema"].get("kind") == "record"
+            for f in node["fields"]):
+        return None
+    try:
+        new_fields: List[Dict] = []
+        new_cols: List[str] = []
+        data: Dict[str, Any] = {}
+        for f, c in zip(node["fields"], cols):
+            sch = f["schema"]
+            if sch["kind"] != "record":
+                new_fields.append(f)
+                new_cols.append(c)
+                data[c] = pdf[c]
+                continue
+            if not sch["fields"]:
+                raise _StructOutOfScope
+            sa = pa.array(pdf[c], type=_pa_type_for(sch),
+                          from_pandas=True)
+            if sa.null_count:
+                raise ValueError(
+                    f"column {c!r}: null struct in a non-nullable "
+                    "field")
+            flat_fields: List[Dict] = []
+            _explode_struct(sa, sch, c + "\x1f", data, flat_fields)
+            new_fields.extend(flat_fields)
+            new_cols.extend(ff["name"] for ff in flat_fields)
+    except _StructOutOfScope:
+        return None
+    return ({"kind": "record", "name": node.get("name"),
+             "fields": new_fields},
+            pd.DataFrame(data, columns=new_cols), new_cols)
+
+
 def encode_frame(node: Dict, pdf, cols: List[str]) -> Optional[Tuple]:
     """Encode ``pdf[cols]`` (pandas) under flat record ``node`` ->
     (payload bytes, per-row end offsets) or None when out of plan.
-    Bytes are identical to the scalar per-row encoder."""
+    Bytes are identical to the scalar per-row encoder. NON-nullable
+    struct columns flatten to their children first (r14, wire-
+    identical); nullable structs and other nested shapes decline."""
+    flat = _flatten_struct_cols(node, pdf, cols)
+    if flat is not None:
+        node, pdf, cols = flat
     steps = _enc_plan(node)
     if steps is None:
         return None

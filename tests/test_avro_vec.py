@@ -1529,3 +1529,101 @@ def test_array_of_records_spark_roundtrip(spark, tmp_path):
     got = {r["doc_id"]: r["ents"] for r in a}
     assert got[5] == []
     assert got[7][0]["a"] == 14 and got[7][1]["b"] == "x"
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_encoder_struct_byte_identity(tmp_path, codec):
+    """r14: NON-nullable struct columns ENCODE through the vectorized
+    path too — encode_frame flattens them to their children (one
+    Arrow C pass per struct, wire = fields inlined) and the wave
+    layout emits the twin. Must be byte-identical to the scalar
+    encoder, including nullable longs > 2^53 inside the struct (the
+    integer_object_nulls extraction) and arrays/nested structs."""
+    import pandas as pd
+
+    from dataingestion_spark.sources.avro import write_container_frame
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "inner", "type": {
+            "type": "record", "name": "i", "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string"},
+                {"name": "nd", "type": ["null", "double"],
+                 "default": None},
+                {"name": "big", "type": ["null", "long"],
+                 "default": None},
+                {"name": "emb", "type": {"type": "array",
+                                         "items": "float"}},
+                {"name": "deep", "type": {
+                    "type": "record", "name": "d", "fields": [
+                        {"name": "x", "type": "boolean"}]}}]}}]}
+    rows = []
+    for i in range(3000):
+        rows.append({"id": i, "inner": {
+            "a": i * 3, "b": f"t{i % 97}",
+            "nd": None if i % 4 == 0 else i * 0.5,
+            "big": None if i % 3 == 0 else (1 << 60) + i,
+            "emb": [float(i % 7) * 0.5] * (i % 3),
+            "deep": {"x": bool(i % 2)}}})
+    pdf = pd.DataFrame({
+        "id": [r["id"] for r in rows],
+        "inner": pd.Series([r["inner"] for r in rows], dtype=object)})
+    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    sync = b"0123456789abcdef"
+    write_container(p1, sch, rows, codec=codec, sync=sync,
+                    block_rows=128)
+    assert write_container_frame(p2, sch, pdf, ["id", "inner"],
+                                 codec=codec, sync=sync,
+                                 block_rows=128)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_encoder_struct_gates(tmp_path):
+    """Nullable struct columns (null removes children from the wire)
+    and struct columns holding a null dict decline / fail exactly
+    like the scalar path."""
+    import pandas as pd
+    import pytest as _pt
+
+    from dataingestion_spark.sources.avro import write_container_frame
+
+    nullable = {"type": "record", "name": "r", "fields": [
+        {"name": "inner", "type": ["null", {
+            "type": "record", "name": "i", "fields": [
+                {"name": "a", "type": "long"}]}], "default": None}]}
+    ok = write_container_frame(
+        str(tmp_path / "x.avro"), nullable,
+        pd.DataFrame({"inner": pd.Series([None, {"a": 1}],
+                                         dtype=object)}), ["inner"])
+    assert ok is False  # scalar fallback handles nullable structs
+
+    nonnull = {"type": "record", "name": "r", "fields": [
+        {"name": "inner", "type": {
+            "type": "record", "name": "i", "fields": [
+                {"name": "a", "type": "long"}]}}]}
+    with _pt.raises(ValueError, match="null struct"):
+        write_container_frame(
+            str(tmp_path / "y.avro"), nonnull,
+            pd.DataFrame({"inner": pd.Series([None, {"a": 1}],
+                                             dtype=object)}),
+            ["inner"])
+
+
+def test_encoder_struct_spark_write(spark, tmp_path):
+    """write_avro with a struct column routes through the vectorized
+    encoder (no fallback) and the decode roundtrip is exact."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.struct((F.col("id") * 2).alias("a"),
+                 F.col("id").cast("string").alias("b")).alias("meta"))
+    d = str(tmp_path / "enc_structs")
+    write_avro(docs, d, shards=1, order_by="doc_id", block_rows=64)
+    back = {r["doc_id"]: r["meta"]
+            for r in read_avro(spark, d).collect()}
+    assert len(back) == 4000
+    assert back[9]["a"] == 18 and back[9]["b"] == "9"
