@@ -116,6 +116,17 @@ def _enc_plan(node: Dict) -> Optional[List[Dict]]:
         elem = None
         if kind == "array":
             it = sch["items"]
+            if it["kind"] == "record" and it["fields"]:
+                # array<record> (r14): elements encode through a
+                # recursive encode_frame over the exploded element
+                # frame; count varints + spans + zero terminators
+                # interleave in _col_arrays (element-plan problems
+                # surface at encode time as a decline)
+                steps.append({"name": f["name"],
+                              "kind": "array_record",
+                              "null_idx": null_idx, "items": it,
+                              "elem": None, "elem_w": None})
+                continue
             if it["kind"] not in ("double", "float", "boolean") \
                     or it.get("logical"):
                 return None
@@ -200,6 +211,54 @@ def _col_arrays(step: Dict, ser) -> Dict[str, Any]:
         return {"u": u, "vlens": vlens, "blens": blens,
                 "payload": payload,
                 "lens": lens, "isnull": isnull}
+    if k == "array_record":
+        # array<record> (r14): the element stream is ONE recursive
+        # encode_frame over the exploded element frame (elements are
+        # contiguous in row order), then count varints + per-row
+        # element spans + zero terminators interleave into a local
+        # payload the generic range scatter places — proxy-measured
+        # 3.3-3.6x (see scripts/scale_probe_avro_struct_enc.py notes)
+        import pandas as pd
+        import pyarrow as pa
+
+        item_node = step["items"]
+        arr = pa.array(ser, type=pa.large_list(_pa_type_for(item_node)),
+                       from_pandas=True)
+        if arr.null_count and not nullable:
+            raise ValueError("null in a non-nullable column")
+        offs = np.frombuffer(arr.buffers()[1], np.int64,
+                             count=len(arr) + 1 + arr.offset
+                             )[arr.offset:]
+        offs = offs - offs[0]
+        counts = np.diff(offs).copy()
+        counts[isnull] = 0
+        vals = arr.values
+        ecols = [f["name"] for f in item_node["fields"]]
+        eframe = pd.DataFrame(
+            {f["name"]: _child_series(vals.field(i), f["schema"])
+             for i, f in enumerate(item_node["fields"])},
+            columns=ecols)
+        res = encode_frame(item_node, eframe, ecols)
+        if res is None:
+            raise _StructOutOfScope  # element shape out of plan
+        epayload = np.frombuffer(res[0], np.uint8)
+        eend = res[1]
+        big_e = np.concatenate((np.zeros(1, np.int64), eend))
+        row_span = big_e[offs[1:]] - big_e[offs[:-1]]
+        u = _zigzag_u(counts)
+        vlens = _varint_len(u)
+        lens = np.where(counts > 0, vlens + row_span + 1,
+                        np.int64(1))
+        lens[isnull] = 0
+        local = np.zeros(int(lens.sum()), np.uint8)
+        rstart = np.cumsum(lens) - lens
+        nz = (~isnull) & (counts > 0)
+        _emit_varints(local, rstart[nz], u[nz], vlens[nz])
+        _scatter_ranges(local, (rstart + vlens)[nz], row_span[nz],
+                        epayload)
+        # terminators (and empty-array single 0 bytes) are already
+        # the zero-initialized buffer
+        return {"payload": local, "lens": lens, "isnull": isnull}
     if k == "array":
         # arrow list conversion: one C pass -> child values buffer +
         # per-row offsets (np.concatenate over millions of tiny cell
@@ -378,7 +437,10 @@ def encode_frame(node: Dict, pdf, cols: List[str]) -> Optional[Tuple]:
     prepped = []
     row_len = np.zeros(n, np.int64)
     for step, cname in zip(steps, cols):
-        p = _col_arrays(step, pdf[cname])
+        try:
+            p = _col_arrays(step, pdf[cname])
+        except _StructOutOfScope:
+            return None  # element shape out of plan — caller scalar
         if step["null_idx"] is not None:
             p["taglen"] = 1  # zigzag(0|1) is always one byte
             row_len += 1
@@ -424,5 +486,10 @@ def encode_frame(node: Dict, pdf, cols: List[str]) -> Optional[Tuple]:
             term_at = np.where(p["counts"] > 0,
                                pos + p["vlens"] + p["blens"], pos)
             out[term_at[live]] = 0
+        elif k == "array_record":
+            # the local payload already interleaves count varints,
+            # element bytes, and terminators — one range copy per row
+            _scatter_ranges(out, pos[live], p["lens"][live],
+                            p["payload"])
         run = run + p["lens"]
     return out.tobytes(), row_end

@@ -1627,3 +1627,83 @@ def test_encoder_struct_spark_write(spark, tmp_path):
             for r in read_avro(spark, d).collect()}
     assert len(back) == 4000
     assert back[9]["a"] == 18 and back[9]["b"] == "9"
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_encoder_array_record_byte_identity(tmp_path, codec):
+    """r14: array<record> columns ENCODE vectorized — the element
+    stream is one recursive encode_frame over the exploded element
+    frame, with count varints and zero terminators interleaved into
+    a per-row payload (measured 2.5-2.6x scalar). Byte-identical,
+    including a NULLABLE array<record> column and empty arrays."""
+    import pandas as pd
+
+    from dataingestion_spark.sources.avro import write_container_frame
+
+    item = {"type": "record", "name": "e", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": ["null", "double"], "default": None},
+        {"name": "deep", "type": {
+            "type": "record", "name": "d", "fields": [
+                {"name": "x", "type": "boolean"}]}}]}
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "ents", "type": {"type": "array", "items": item}},
+        {"name": "opt", "type": ["null", {
+            "type": "array", "items": "e"}], "default": None}]}
+    rows = []
+    for i in range(2500):
+        c = (i * 7) % 5
+        ents = [{"a": i * 10 + j, "b": f"é{(i + j) % 97}",
+                 "c": None if (i + j) % 3 == 0 else (i + j) * 0.5,
+                 "deep": {"x": bool((i + j) % 2)}}
+                for j in range(c)]
+        rows.append({"id": i, "ents": ents,
+                     "opt": None if i % 4 == 0 else ents[:1]})
+    pdf = pd.DataFrame({
+        "id": [r["id"] for r in rows],
+        "ents": pd.Series([r["ents"] for r in rows], dtype=object),
+        "opt": pd.Series([r["opt"] for r in rows], dtype=object)})
+    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    sync = b"0123456789abcdef"
+    write_container(p1, sch, rows, codec=codec, sync=sync,
+                    block_rows=128)
+    assert write_container_frame(p2, sch, pdf, ["id", "ents", "opt"],
+                                 codec=codec, sync=sync,
+                                 block_rows=128)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    # out-of-plan element (map inside) declines to scalar
+    bad = {"type": "record", "name": "r", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": {
+            "type": "record", "name": "m", "fields": [
+                {"name": "kv", "type": {"type": "map",
+                                        "values": "long"}}]}}}]}
+    assert write_container_frame(
+        str(tmp_path / "c.avro"), bad,
+        pd.DataFrame({"xs": pd.Series([[{"kv": {"k": 1}}]],
+                                      dtype=object)}), ["xs"]) is False
+
+
+def test_encoder_array_record_spark_roundtrip(spark, tmp_path):
+    """write_avro of an array<struct> frame goes vectorized encode →
+    vectorized decode; roundtrip exact in both interchange modes."""
+    from pyspark.sql import functions as F
+
+    from dataingestion_spark.sources.avro import read_avro, write_avro
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 == 0, F.array().cast(
+            "array<struct<a:bigint,b:string>>")).otherwise(F.array(
+                F.struct((F.col("id") * 2).alias("a"),
+                         F.col("id").cast("string").alias("b"))))
+        .alias("ents"))
+    d = str(tmp_path / "enc_arr")
+    write_avro(docs, d, shards=1, order_by="doc_id", block_rows=64)
+    a = read_avro(spark, d).orderBy("doc_id").collect()
+    b = read_avro(spark, d, arrow=True).orderBy("doc_id").collect()
+    assert a == b and len(a) == 4000
+    got = {r["doc_id"]: r["ents"] for r in a}
+    assert got[5] == [] and got[7][0]["a"] == 14
