@@ -14,11 +14,13 @@ differential tests over random frames — determinism is a layout
 contract here, `sources/avro.py` module docstring), so the vectorized
 path is a pure drop-in: `write_avro` uses it when the schema is flat
 (primitives, ``['null', T]`` unions, strings/bytes, non-nullable
-float/double/boolean arrays) or carries NON-nullable struct columns —
-those flatten to their children first (r14: one Arrow dict→Struct C
+float/double/boolean arrays) or carries struct columns — NON-nullable
+structs flatten to their children first (r14: one Arrow dict→Struct C
 pass per struct column, wire = fields inlined; measured 2.65-2.74×
-scalar, scripts/scale_probe_avro_struct_enc.py) — and falls back to
-the scalar `write_container` otherwise (nullable structs, maps,
+scalar, scripts/scale_probe_avro_struct_enc.py), NULLABLE structs and
+arrays of records encode their present rows/elements through one
+recursive ``encode_frame`` each and interleave tags/counts/spans —
+and falls back to the scalar `write_container` otherwise (maps,
 enum/fixed columns, logical types).
 
 Measured (SCALE.md, calm-host MIN of 3 at 1M rows): 3.3x on a flat
@@ -114,6 +116,16 @@ def _enc_plan(node: Dict) -> Optional[List[Dict]]:
             return None
         kind = sch["kind"]
         elem = None
+        if kind == "record" and null_idx is not None and sch["fields"]:
+            # NULLABLE struct column (r14): the generic machinery
+            # writes the union tag; present rows' bytes come from a
+            # recursive encode_frame over the drop_null'd child frame
+            # (the non-nullable case never reaches here — it flattens
+            # in the pre-pass before planning)
+            steps.append({"name": f["name"], "kind": "record_nullable",
+                          "null_idx": null_idx, "items": sch,
+                          "elem": None, "elem_w": None})
+            continue
         if kind == "array":
             it = sch["items"]
             if it["kind"] == "record" and it["fields"]:
@@ -160,11 +172,19 @@ def _col_arrays(step: Dict, ser) -> Dict[str, Any]:
     else:
         isnull = np.zeros(n, bool)
 
+    # fillna on OBJECT series triggers pandas' silent-downcasting
+    # FutureWarning (and a future behavior change) — null slots are
+    # substituted per-dtype without it instead
     if k in ("long", "int"):
-        vals = ser.fillna(0).to_numpy()
+        vals = ser.to_numpy()
         if vals.dtype == object:
-            vals = np.array([int(v) for v in vals], dtype=np.int64)
+            vals = np.array(
+                [0 if v is None or (isinstance(v, float) and v != v)
+                 else int(v) for v in vals],
+                dtype=np.int64)
         else:
+            if nullable:
+                vals = np.where(isnull, 0, vals)
             vals = vals.astype(np.int64)
         u = _zigzag_u(vals)
         lens = _varint_len(u)
@@ -173,13 +193,30 @@ def _col_arrays(step: Dict, ser) -> Dict[str, Any]:
     if k in ("double", "float"):
         w = 8 if k == "double" else 4
         dt = np.float64 if k == "double" else np.float32
-        vals = ser.fillna(0.0).to_numpy().astype(dt)
+        vals = ser.to_numpy()
+        if vals.dtype == object:
+            vals = np.array(
+                [0.0 if v is None or (isinstance(v, float) and v != v)
+                 else v for v in vals],
+                dtype=dt)
+        else:
+            if nullable:
+                vals = np.where(isnull, 0.0, vals)
+            vals = vals.astype(dt)
         lens = np.full(n, w, np.int64)
         lens[isnull] = 0
         return {"fixed": vals.view(np.uint8).reshape(n, w),
                 "lens": lens, "isnull": isnull}
     if k == "boolean":
-        vals = ser.fillna(False).to_numpy().astype(np.uint8)
+        vals = ser.to_numpy()
+        if vals.dtype == object:
+            vals = np.array(
+                [0 if v is None or (isinstance(v, float) and v != v)
+                 else int(bool(v)) for v in vals], dtype=np.uint8)
+        else:
+            if nullable:
+                vals = np.where(isnull, False, vals)
+            vals = vals.astype(np.uint8)
         lens = np.ones(n, np.int64)
         lens[isnull] = 0
         return {"fixed": vals.reshape(n, 1), "lens": lens,
@@ -211,6 +248,33 @@ def _col_arrays(step: Dict, ser) -> Dict[str, Any]:
         return {"u": u, "vlens": vlens, "blens": blens,
                 "payload": payload,
                 "lens": lens, "isnull": isnull}
+    if k == "record_nullable":
+        # nullable struct (r14): encode the PRESENT rows' children via
+        # one recursive encode_frame (drop_null keeps row order), then
+        # the generic scatter places each present row's span after its
+        # union tag; null rows contribute only the tag byte
+        import pandas as pd
+        import pyarrow as pa
+
+        item_node = step["items"]
+        arr = pa.array(ser, type=_pa_type_for(item_node),
+                       from_pandas=True)
+        isnull = arr.is_null().to_numpy(zero_copy_only=False)
+        present = arr.drop_null()
+        ecols = [f["name"] for f in item_node["fields"]]
+        eframe = pd.DataFrame(
+            {f["name"]: _child_series(present.field(i), f["schema"])
+             for i, f in enumerate(item_node["fields"])},
+            columns=ecols)
+        res = encode_frame(item_node, eframe, ecols)
+        if res is None:
+            raise _StructOutOfScope  # child shape out of plan
+        epayload = np.frombuffer(res[0], np.uint8)
+        eend = res[1]
+        spans = np.diff(np.concatenate((np.zeros(1, np.int64), eend)))
+        lens = np.zeros(n, np.int64)
+        lens[~isnull] = spans
+        return {"payload": epayload, "lens": lens, "isnull": isnull}
     if k == "array_record":
         # array<record> (r14): the element stream is ONE recursive
         # encode_frame over the exploded element frame (elements are
@@ -486,9 +550,10 @@ def encode_frame(node: Dict, pdf, cols: List[str]) -> Optional[Tuple]:
             term_at = np.where(p["counts"] > 0,
                                pos + p["vlens"] + p["blens"], pos)
             out[term_at[live]] = 0
-        elif k == "array_record":
-            # the local payload already interleaves count varints,
-            # element bytes, and terminators — one range copy per row
+        elif k in ("array_record", "record_nullable"):
+            # the column payload is pre-assembled (count varints +
+            # elements + terminators, or present struct spans) — one
+            # range copy per live row
             _scatter_ranges(out, pos[live], p["lens"][live],
                             p["payload"])
         run = run + p["lens"]

@@ -1580,23 +1580,36 @@ def test_encoder_struct_byte_identity(tmp_path, codec):
 
 
 def test_encoder_struct_gates(tmp_path):
-    """Nullable struct columns (null removes children from the wire)
-    and struct columns holding a null dict decline / fail exactly
-    like the scalar path."""
+    """NULLABLE struct columns encode vectorized too (r14: recursive
+    encode_frame over the drop_null'd child frame, generic union tag
+    + span scatter — byte-identical); a null dict under a
+    NON-nullable struct fails exactly like the scalar path."""
     import pandas as pd
     import pytest as _pt
 
     from dataingestion_spark.sources.avro import write_container_frame
 
     nullable = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
         {"name": "inner", "type": ["null", {
             "type": "record", "name": "i", "fields": [
-                {"name": "a", "type": "long"}]}], "default": None}]}
-    ok = write_container_frame(
-        str(tmp_path / "x.avro"), nullable,
-        pd.DataFrame({"inner": pd.Series([None, {"a": 1}],
-                                         dtype=object)}), ["inner"])
-    assert ok is False  # scalar fallback handles nullable structs
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": ["null", "string"],
+                 "default": None}]}], "default": None}]}
+    rows = [{"id": i,
+             "inner": None if i % 3 == 0 else
+             {"a": i * 7, "b": None if i % 5 == 0 else f"s{i}"}}
+            for i in range(800)]
+    pdf = pd.DataFrame({
+        "id": [r["id"] for r in rows],
+        "inner": pd.Series([r["inner"] for r in rows],
+                           dtype=object)})
+    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    sync = b"0123456789abcdef"
+    write_container(p1, nullable, rows, sync=sync, block_rows=64)
+    assert write_container_frame(p2, nullable, pdf, ["id", "inner"],
+                                 sync=sync, block_rows=64)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
 
     nonnull = {"type": "record", "name": "r", "fields": [
         {"name": "inner", "type": {
