@@ -33,6 +33,8 @@ from typing import Callable, Iterable, List, Optional, Sequence
 
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 from ..model import CHUNKS_SCHEMA, ELEM_HEADER, ELEM_IMAGE, ELEM_SECTION, ELEM_TABLE
 from ..tokenizer import default_tokenizer
 
@@ -521,7 +523,7 @@ def parse_and_chunk(src_df, chunk_fn, id_col: str = "doc_id",
                 out.extend(_chunk_rows_out(str(doc_id), chunk_fn(rows)))
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
-    return src_df.mapInPandas(run, schema=CHUNKS_SCHEMA)
+    return fan_out(src_df).mapInPandas(run, schema=CHUNKS_SCHEMA)
 
 
 def image_chunker(elements_df):

@@ -20,6 +20,8 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..partitioning import fan_out
+
 
 def normalized(col: Column) -> Column:
     """Whitespace-collapsed, lowercased text — the canonical form hashed for
@@ -98,7 +100,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     variant inlines the shingle expression num_hashes times and blows up
     codegen — measured 25× slower.)"""
     n_digests = (num_hashes + 3) // 4
-    exploded = df.select(
+    exploded = fan_out(df).select(
         F.col(id_col).alias(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).select(
@@ -229,7 +231,7 @@ def minhash_signature_fast(df: DataFrame, text_col: str = "text",
     tests/test_spark_ops.py::test_minhash_fast_agrees_with_md5_family).
     """
     n_digests = (num_hashes + 1) // 2
-    exploded = df.select(
+    exploded = fan_out(df).select(
         F.col(id_col).alias(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).select(
@@ -349,7 +351,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     Output: (id_a, id_b, jaccard) for pairs ≥ threshold."""
     if candidates is None:
         candidates = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sets = df.select(
+    sets = fan_out(df).select(
         F.col(id_col).alias(id_col),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).localCheckpoint(eager=False)  # reused by both sides of the pair join
@@ -403,6 +405,7 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
     (id, clean_text, n_words, n_removed, dup_ratio).
     """
     gram_hash = F.md5(F.col("_gram")).alias("gh")
+    df = fan_out(df)
     occ = (
         df.select(
             F.col(id_col).alias(id_col),
@@ -452,7 +455,7 @@ def cross_doc_shingle_stats(df: DataFrame, text_col: str = "text",
     by sh)`` IS the document frequency — no countDistinct groupBy and no
     join back over a recomputed explode (measured 2.9 s → 1.4 s at
     sf0.1). Output: (doc_id, n_shingles, n_shared, shared_ratio)."""
-    shingles = df.select(
+    shingles = fan_out(df).select(
         F.col(id_col).alias(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
@@ -499,7 +502,7 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
         raise ValueError("min_overlap must be >= 1")
     b_text = bench_text_col or text_col
     b_id = bench_id_col or id_col
-    c_sh = corpus.select(
+    c_sh = fan_out(corpus).select(
         F.col(id_col).alias(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
@@ -528,7 +531,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         # the fingerprint is a signed 64-bit sum of 2^p terms: p ≤ 59 keeps
         # every partial sum in range (bits=64+ can't fit LongType at all)
         raise ValueError("bits must be a multiple of 4, at most 60")
-    words = df.select(
+    words = fan_out(df).select(
         F.col(id_col).alias(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
     )
@@ -971,6 +974,7 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
     lines of one document co-locate, so memory is bounded by the largest
     document, not the partition."""
     lines = F.split(F.col(text_col), "\n")
+    df = fan_out(df)
     exploded = df.select(
         F.col(id_col), F.size(lines).alias("_nl"),
         F.posexplode(lines).alias("_i", "_line"),

@@ -38,6 +38,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..partitioning import fan_out
+
 _WS = r"\s+"
 
 
@@ -63,7 +65,7 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        fan_out(df).select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .groupBy(id_col, "w1", "w2")
         .agg(F.count("*").alias("cnt"))

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..partitioning import fan_out
+
 from .dedup import normalized
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -34,7 +36,7 @@ def _words(col: Column) -> Column:
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace word count + BPE-ish subword count per document."""
     empty = F.length(F.trim(F.col(text_col))) == 0
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias(id_col),
         F.when(empty, 0).otherwise(
             F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
@@ -59,6 +61,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         return lambda x: x.isin(*stop)
 
     scores = {lang: F.size(F.filter(words, hit_fn(lang))) for lang in langs}
+    df = fan_out(df)
     best = F.greatest(*scores.values())
     pick = F.lit("und")
     for lang in reversed(langs):
@@ -74,6 +77,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Heuristic document quality: length, mean word length, alpha ratio,
     stopword ratio — the standard cheap pre-filter signals (à la C4/Gopher
     rules), emitted as columns plus a [0,1] composite score."""
+    df = fan_out(df)
     text = F.col(text_col)
     words = _words(text)
     n_words = F.when(F.length(F.trim(text)) == 0, 0).otherwise(F.size(words))
@@ -117,6 +121,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     and count the redactions — the standard pre-training scrub pass. Pure
     regexp projection: scan-speed, no UDFs. Patterns apply in list order
     (an email is redacted before its digits could look like a phone)."""
+    df = fan_out(df)
     scrubbed = F.col(text_col)
     counts = []
     for name, pat, repl in PII_PATTERNS:
@@ -138,7 +143,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     from .dedup import word_shingles
 
     sh = word_shingles(F.col(text_col), shingle_n)
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias(id_col),
         F.md5(normalized(F.col(text_col))).alias("content_md5"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_md5"),
@@ -172,6 +177,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     shorter than n words have one whole-text n-gram → ratio 1 (flagged
     as degenerate, which suits the filter's purpose).
     """
+    df = fan_out(df)
     lines = df.select(
         F.col(id_col).alias(id_col),
         F.explode(F.split(F.col(text_col), r"\n")).alias("_ln"),
@@ -222,6 +228,7 @@ def c4_signals(df: DataFrame, text_col: str = "text",
     no shuffle, runs at scan speed); thresholds are the operator's
     contract, tune per corpus. Mirrored in SQL by
     :func:`c4_signals_sql`."""
+    df = fan_out(df)
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(text, "\n")
     n_lines = F.size(lines)
@@ -294,6 +301,7 @@ def gopher_signals(df: DataFrame, text_col: str = "text",
 
     Pure projection over split/HOF-filter/regex — scan-speed, no
     shuffle. Mirrored by :func:`gopher_signals_sql`."""
+    df = fan_out(df)
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(text), r"\s+")
     n_words = F.size(words)
@@ -384,6 +392,7 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     because |alphabet| is small by construction for text. The entropy fold
     runs in sorted-char order, so the double is bit-identical across
     engines (same discipline as the BM25 fold)."""
+    df = fan_out(df)
     text = F.col(text_col)
     cs = F.filter(F.split(text, ""), lambda c: F.length(c) > 0)
     n = F.size(cs)
@@ -435,6 +444,7 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     semantics in DuckDB (RE2) and Spark (java.util.regex) for these
     patterns, which is what makes the op oracle-checkable. Output: the
     input row with ``clean_text`` and ``n_removed_chars`` added."""
+    df = fan_out(df)
     c = F.col(text_col)
     c = F.regexp_replace(c, "\\r\\n?", "\n")
     c = F.regexp_replace(c, _CONTROL_RE, "")
@@ -494,6 +504,7 @@ def script_profile(df: DataFrame, text_col: str = "text",
     length-after-stripping-others, so the whole profile is one codegen'd
     projection and SQL-oracle-checkable (RE2 spells the same property
     \\p{Latin} where Java says \\p{IsLatin} — see the SCRIPTS table)."""
+    df = fan_out(df)
     c = F.col(text_col)
     counts = {
         name: F.length(F.regexp_replace(c, f"[^{java}]", ""))
@@ -541,7 +552,7 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
             })
 
     id_type = dict(df.dtypes)[id_col]
-    out = df.select(id_col, text_col).mapInPandas(
+    out = fan_out(df.select(id_col, text_col)).mapInPandas(
         scan, f"{id_col} {id_type}, n_bytes long, n_bytes_deflate long"
     )
     return out.withColumn(

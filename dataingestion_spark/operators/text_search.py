@@ -32,6 +32,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..partitioning import fan_out
+
 _WS = r"\s+"
 
 
@@ -47,6 +49,7 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, text_col: str = "text",
     summed over the *distinct* query terms in sorted order (deterministic
     float fold). Ties rank by ascending doc id.
     """
+    docs = fan_out(docs)
     words = F.split(F.trim(F.col(text_col)), _WS)
     doclens = docs.select(F.col(id_col), F.size(words).alias("dl"))
     stats = doclens.agg(
@@ -196,7 +199,7 @@ def tfidf_top_terms(docs: DataFrame, group_col: str, text_col: str = "text",
     idf is one ln of one exact division — both engine-stable — so the
     whole ranking is oracle-checkable."""
     words = F.split(F.trim(F.lower(F.col(text_col))), _WS)
-    occ = docs.select(
+    occ = fan_out(docs).select(
         F.col(group_col).alias("grp"), F.explode(words).alias("term")
     ).filter(F.col("term") != "")
     tf = occ.groupBy("grp", "term").agg(F.count("*").alias("tf"))
@@ -230,6 +233,7 @@ def collocations(docs: DataFrame, text_col: str = "text",
     with operators/lm.py), two combinable groupBys, broadcast-sized
     joins, one top-k. ln of an exact integer ratio → engine-stable →
     oracle-checkable. Output: (rank, w1, w2, n_pair, pmi)."""
+    docs = fan_out(docs)
     words = F.split(F.trim(F.lower(F.col(text_col))), _WS)
     n1 = F.greatest(F.size(words) - 1, F.lit(0))
     pairs = F.zip_with(
@@ -293,7 +297,7 @@ def rake_keywords(docs: DataFrame, text_col: str = "text",
 
     stops = [s.lower() for s in (stopwords or STOPWORDS["en"])]
     words = F.split(F.trim(F.lower(F.col(text_col))), _WS)
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col(id_col), F.posexplode(words).alias("pos", "w")
     ).filter(F.col("w") != "")
     is_stop = F.col("w").isin(stops).cast("int")

@@ -40,6 +40,8 @@ import zlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..partitioning import fan_out
+
 _WS = r"\s+"
 _N_TERM_BUCKETS = 64
 
@@ -56,6 +58,7 @@ def _term_bucket(term_col) -> F.Column:
 
 def _write(docs: DataFrame, path: str, text_col: str, id_col: str,
            mode: str) -> None:
+    docs = fan_out(docs)
     words = _tokens(text_col)
     postings = (docs.select(F.col(id_col).alias("doc_id"),
                             F.explode(words).alias("term"))
