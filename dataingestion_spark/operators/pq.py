@@ -38,6 +38,8 @@ from typing import List
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..partitioning import fan_out
+
 from .similarity import _rank_topk
 
 __all__ = ["pq_train", "pq_encode", "topk_pq_adc", "topk_ivf_pq"]
@@ -137,7 +139,7 @@ def pq_encode(corpus: DataFrame, codebooks: List[List[List[float]]],
             codes = np.stack(cols, axis=1).astype("int32")
             yield pdf.assign(**{code_col: list(codes)})
 
-    return corpus.mapInPandas(encode, out_schema)
+    return fan_out(corpus).mapInPandas(encode, out_schema)
 
 
 def topk_pq_adc(encoded: DataFrame, codebooks: List[List[List[float]]],

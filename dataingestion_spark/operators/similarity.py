@@ -22,6 +22,8 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..partitioning import fan_out
+
 
 def dot_product(a: Column, b: Column) -> Column:
     ad = F.transform(a, lambda x: x.cast("double"))
@@ -158,6 +160,7 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = 10,
     window ranks only ≤ k×partitions survivors per query. Deterministic
     tiebreak on corpus id in both phases."""
     base = corpus if filter_expr is None else corpus.filter(filter_expr)
+    base = fan_out(base)
     scored = base.crossJoin(F.broadcast(queries)).select(
         F.col(query_id),
         F.col(corpus_id),
@@ -221,7 +224,7 @@ def _lloyd_assign(corpus: DataFrame, cdf: DataFrame,
     similarity); the vec rides in the struct — (csim, -cid) is unique
     per group so it is never compared — saving a second corpus pass."""
     return (
-        corpus.crossJoin(F.broadcast(cdf))
+        fan_out(corpus).crossJoin(F.broadcast(cdf))
         .withColumn("csim", cosine_sim(F.col(corpus_vec), F.col("cvec")))
         .groupBy(corpus_id)
         .agg(F.max(F.struct(
@@ -341,7 +344,7 @@ def ivf_assign(corpus: DataFrame, cents: DataFrame, corpus_id: str,
         F.desc("csim"), F.asc("centroid_id")
     )
     ranked = (
-        corpus.crossJoin(F.broadcast(cents))
+        fan_out(corpus).crossJoin(F.broadcast(cents))
         .withColumn("csim", cosine_sim(F.col(corpus_vec), F.col("cvec")))
         .withColumn("crk", F.row_number().over(assign_w))
     )
@@ -445,7 +448,7 @@ def topk_cosine_ann(corpus: DataFrame, queries: DataFrame, k: int = 10, dim: int
     (which doubles every bucket). Bucket assignment is a pure projection;
     probing stays an equi-join (queries exploded over their probe list —
     query side is small by construction, so the explode is negligible)."""
-    cb = corpus.withColumn("bucket", hyperplane_bucket(F.col(corpus_vec), dim, planes))
+    cb = fan_out(corpus).withColumn("bucket", hyperplane_bucket(F.col(corpus_vec), dim, planes))
     qb = queries.withColumn(
         "bucket",
         F.explode(hyperplane_probes(F.col(query_vec), dim, planes, multiprobe)),
@@ -580,7 +583,7 @@ def topk_cosine_quantized(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the (small, broadcast-bound) query set."""
     dim_row = queries.select(query_vec).first()
     dim = len(dim_row[0]) if dim_row else 0
-    cq = _quantize_materialized(corpus, corpus_vec, "_cq", "_cn")
+    cq = _quantize_materialized(fan_out(corpus), corpus_vec, "_cq", "_cn")
     qq = _quantize_materialized(queries, query_vec, "_qq", "_qn")
     if dim:
         terms = [
@@ -762,7 +765,7 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 10,
     broadcast, per-partition local top-k, global rank over survivors);
     the label inequality rides the scored frame as a residual filter, so
     the corpus is scanned once whatever the anchor count."""
-    scored = corpus.crossJoin(F.broadcast(anchors)).filter(
+    scored = fan_out(corpus).crossJoin(F.broadcast(anchors)).filter(
         F.col(label_col) != F.col(query_label)
     ).select(
         F.col(query_id),
