@@ -30,6 +30,7 @@ import pandas as pd  # module-level: PySpark resolves stringified UDF type hints
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from dataingestion_spark.operators import dedup, similarity, text_analysis
+from dataingestion_spark.partitioning import fan_out
 from dataingestion_spark.operators.chunkers import (
     ChunkerOptions,
     header_chunk_doc,
@@ -205,7 +206,7 @@ _CHUNK_TYPES = ["VARCHAR", "INTEGER", "VARCHAR", "VARCHAR"]
 
 def q_tpch_q1(spark, sf):
     _utc(spark)
-    l = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-12-01")
+    l = fan_out(_t(spark, sf, "lineitem")).filter(F.col("l_shipdate") <= "2000-12-01")
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     agg = l.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).alias("dq"),
@@ -3447,7 +3448,7 @@ def q_pagerank_nations(spark, sf):
     computation is bit-identical to the oracle's unrolled SQL."""
     from dataingestion_spark.operators.graph import pagerank
 
-    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    li, o = fan_out(_t(spark, sf, "lineitem")), _t(spark, sf, "orders")
     c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -3472,7 +3473,7 @@ def q_ppr_nations(spark, sf):
     the seeded iteration with per-node teleport."""
     from dataingestion_spark.operators.graph import pagerank
 
-    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    li, o = fan_out(_t(spark, sf, "lineitem")), _t(spark, sf, "orders")
     c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -5051,7 +5052,7 @@ FROM x
 
 
 def q_enrich_fakes(spark, sf):
-    d = _t(spark, sf, "documents").select(
+    d = fan_out(_t(spark, sf, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.col("text").alias("content")
     )
     d = summary_enricher(d)
