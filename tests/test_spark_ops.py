@@ -737,14 +737,20 @@ def test_curation_heuristic_stages_optional(spark):
     assert vals == sorted(vals, reverse=True)
 
 
-def test_new_operator_plan_shapes(spark):
+def test_new_operator_plan_shapes(spark, monkeypatch):
     from dataingestion_spark.observability import plan_summary
     from dataingestion_spark.operators.packing import pack_sequences
     from dataingestion_spark.operators.sampling import upsample_by_epochs
     from dataingestion_spark.operators.text_analysis import c4_signals, gopher_signals
 
+    # pin the operators' INTRINSIC shape: shuffle-free pruned projections.
+    # The r14 scan fan-out deliberately adds one round-robin Exchange when
+    # the input under-fills the cluster; that rewrite (and its off-at-scale
+    # no-op property) is pinned separately in test_partitioning.py, so
+    # disable it here to keep asserting the operators add no shuffle of
+    # their own.
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT", "0")
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    # heuristic filters + upsampling: shuffle-free pruned projections
     for df in (
         c4_signals(docs),
         gopher_signals(docs),
