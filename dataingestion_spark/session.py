@@ -26,6 +26,17 @@ def get_spark(app_name: str = "dataingestion_spark", cpus: str | int | None = No
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner (and AQE, at runtime) pick shuffled-hash joins
+        # when a build side fits per-partition memory: skips the sort on
+        # both sides, and measured a small consistent win on the join-
+        # heavy entries here. Sort-merge remains the fallback whenever
+        # the size conditions fail, so nothing can regress to OOM that
+        # would not already have built a hash table. Env-tunable for
+        # deployments that prefer the pure-SMJ default.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
