@@ -3448,7 +3448,11 @@ def q_pagerank_nations(spark, sf):
     computation is bit-identical to the oracle's unrolled SQL."""
     from dataingestion_spark.operators.graph import pagerank
 
-    li, o = fan_out(_t(spark, sf, "lineitem")), _t(spark, sf, "orders")
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    # NOT fanned: the edge build is join-dominated, and a round-robin
+    # exchange ahead of the join's own hash exchange re-shuffles
+    # lineitem for nothing (interleaved A/B at sf0.1: 2.51s plain vs
+    # 3.16s fanned, min-of-4 — the r14 "win" was a loaded-host pair)
     c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -3473,7 +3477,11 @@ def q_ppr_nations(spark, sf):
     the seeded iteration with per-node teleport."""
     from dataingestion_spark.operators.graph import pagerank
 
-    li, o = fan_out(_t(spark, sf, "lineitem")), _t(spark, sf, "orders")
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    # NOT fanned: the edge build is join-dominated, and a round-robin
+    # exchange ahead of the join's own hash exchange re-shuffles
+    # lineitem for nothing (interleaved A/B at sf0.1: 2.51s plain vs
+    # 3.16s fanned, min-of-4 — the r14 "win" was a loaded-host pair)
     c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)

@@ -40,7 +40,6 @@ import zlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..partitioning import fan_out
 
 _WS = r"\s+"
 _N_TERM_BUCKETS = 64
@@ -58,7 +57,10 @@ def _term_bucket(term_col) -> F.Column:
 
 def _write(docs: DataFrame, path: str, text_col: str, id_col: str,
            mode: str) -> None:
-    docs = fan_out(docs)
+    # NOT fanned: this frame feeds TWO jobs (postings + doclens), so a
+    # fan-out shuffle would run twice, and the postings job already pays
+    # a groupBy exchange right after the tokenize-explode (interleaved
+    # A/B at sf0.1: 2.28s plain vs 2.90s fanned, min-of-4).
     words = _tokens(text_col)
     postings = (docs.select(F.col(id_col).alias("doc_id"),
                             F.explode(words).alias("term"))
