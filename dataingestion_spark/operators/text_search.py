@@ -233,7 +233,11 @@ def collocations(docs: DataFrame, text_col: str = "text",
     with operators/lm.py), two combinable groupBys, broadcast-sized
     joins, one top-k. ln of an exact integer ratio → engine-stable →
     oracle-checkable. Output: (rank, w1, w2, n_pair, pmi)."""
-    docs = fan_out(docs)
+    # No fan_out: the zip-with-tail bigram build is array-slice-speed,
+    # and the r14 tight-ABBA A/B measured the added shuffle as a weak
+    # but consistent loss (paired ON-OFF deltas +0.08 s median, 5/6
+    # positive, vs a ±0.1 s jitter control) — the per-row work is too
+    # light to pay for it.
     words = F.split(F.trim(F.lower(F.col(text_col))), _WS)
     n1 = F.greatest(F.size(words) - 1, F.lit(0))
     pairs = F.zip_with(
@@ -297,7 +301,13 @@ def rake_keywords(docs: DataFrame, text_col: str = "text",
 
     stops = [s.lower() for s in (stopwords or STOPWORDS["en"])]
     words = F.split(F.trim(F.lower(F.col(text_col))), _WS)
-    tok = fan_out(docs).select(
+    # No fan_out: the per-doc running-sum window right after the
+    # posexplode forces a hash repartition by doc id anyway, so a
+    # round-robin exchange ahead of it just shuffles the token stream
+    # twice. The r14 tight-ABBA A/B measured it as a clear regression:
+    # paired ON-OFF deltas +0.55 s median, 6/6 positive, vs a ±0.1 s
+    # jitter control on the same harness.
+    tok = docs.select(
         F.col(id_col), F.posexplode(words).alias("pos", "w")
     ).filter(F.col("w") != "")
     is_stop = F.col("w").isin(stops).cast("int")
