@@ -19,7 +19,8 @@ import math
 import pytest
 
 hypothesis = pytest.importorskip("hypothesis")
-from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis import (  # noqa: E402
+    HealthCheck, example, given, settings, strategies as st)
 
 from dataingestion_spark.sources.avro import (  # noqa: E402
     read_container, read_container_columnar, write_container,
@@ -141,12 +142,20 @@ def _value_for(draw, sch):
     }[sch]()
 
 
+_N_ROWS = 300  # block_rows=4 -> 75 blocks, clears the >=64-block gate
+
+
 @st.composite
 def _schema_and_rows(draw):
     sch = draw(_record_schema())
-    n = 300  # block_rows=4 -> 75 blocks, clears the >=64-block gate
-    rows = [{f["name"]: _value_for(draw, f["type"])
-             for f in sch["fields"]} for _ in range(n)]
+    # Draw a small pool of distinct rows and tile it to _N_ROWS: the
+    # block gate needs row COUNT, not 300 independent draws, and
+    # drawing every row used to overrun hypothesis's per-example
+    # entropy budget (FailedHealthCheck: data_too_large on slow hosts).
+    pool_n = draw(st.integers(6, 12))
+    pool = [{f["name"]: _value_for(draw, f["type"])
+             for f in sch["fields"]} for _ in range(pool_n)]
+    rows = [pool[i % pool_n] for i in range(_N_ROWS)]
     return sch, rows
 
 
@@ -176,7 +185,45 @@ def _eq(a, b):
     return a == b
 
 
-@settings(max_examples=30, deadline=None)
+# A fixed regression shape covering the r14-vectorized decode paths
+# (nullable nested record + array of records with nullable scalars),
+# pinned so the differential runs it on every host regardless of what
+# hypothesis happens to generate.
+_PINNED_SCHEMA = {
+    "type": "record", "name": "pinned", "fields": [
+        {"name": "f0_0", "type": ["null", "long"], "default": None},
+        {"name": "f1_1", "type": ["null", {
+            "type": "record", "name": "r1", "fields": [
+                {"name": "f10_10", "type": "double"},
+                {"name": "f11_11", "type": ["null", "string"],
+                 "default": None}]}], "default": None},
+        {"name": "f2_2", "type": {"type": "array", "items": {
+            "type": "record", "name": "ae2", "fields": [
+                {"name": "e0", "type": ["null", "int"],
+                 "default": None},
+                {"name": "e1", "type": "bytes"}]}}},
+    ]}
+_PINNED_POOL = [
+    {"f0_0": 7, "f1_1": {"f10_10": 1.5, "f11_11": "x"},
+     "f2_2": [{"e0": 1, "e1": b"ab"}, {"e0": None, "e1": b""}]},
+    {"f0_0": None, "f1_1": None, "f2_2": []},
+    {"f0_0": -2**40, "f1_1": {"f10_10": -0.0, "f11_11": None},
+     "f2_2": [{"e0": -1, "e1": b"\x00"}]},
+]
+_PINNED = (_PINNED_SCHEMA,
+           [_PINNED_POOL[i % len(_PINNED_POOL)]
+            for i in range(_N_ROWS)])
+
+
+# data_too_large is suppressed deliberately: the strategy's size is
+# already bounded (tiled row pool, depth<=2 records, max_size'd
+# collections), and the health check's threshold is wall-clock/host
+# sensitive — it red-flagged a slower driver host on inputs this test
+# handles fine (r14 VERDICT item 1).
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large,
+                                 HealthCheck.too_slow])
+@example(_PINNED)
 @given(_schema_and_rows())
 def test_random_schema_decode_and_encode_differential(tmp_path_factory,
                                                       sr):
