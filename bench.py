@@ -494,8 +494,10 @@ def main():
     # usually passed by then) so the REPORTED median reflects the
     # plan, not the noise; the trigger reason rides into the artifact.
     rechecked, recheck_reasons = [], {}
+    recheck_wait_sec, recheck_load, recheck_note = 0, None, None
     if reps > 1:
         hist = _historical_best(sf_val)
+        pending = []
         for name in list(timings):
             reason = None
             if medians[name] > 2 * timings[name] \
@@ -509,8 +511,32 @@ def main():
                     reason = (f"cross-round drift: median "
                               f"{medians[name]} > 1.5x best "
                               f"historical {round(hb, 3)}")
-            if reason is None:
-                continue
+            if reason is not None:
+                pending.append((name, reason))
+        if pending:
+            # Gate the recheck reps on a calm host, same rule as the
+            # start gate: the recheck exists to REMOVE noise, but it
+            # runs at suite end — exactly where this host's load
+            # spikes concentrate (both r14 driver runs ended loaded),
+            # so un-gated rechecks re-measured inside the noise and
+            # manufactured phantom regressions (r14 VERDICT #6). The
+            # 1-min loadavg also carries the suite's own just-finished
+            # 32-core work; an idle bounded wait lets both decay.
+            try:
+                l1 = os.getloadavg()[0]
+                while l1 > load_cap and recheck_wait_sec < 300:
+                    print(f"bench: recheck gated, load1={l1:.2f} > cap "
+                          f"{load_cap}; waiting 15s", file=sys.stderr)
+                    time.sleep(15)
+                    recheck_wait_sec += 15
+                    l1 = os.getloadavg()[0]
+                recheck_load = round(l1, 2)
+                if l1 > load_cap:
+                    recheck_note = (f"recheck still loaded after "
+                                    f"{recheck_wait_sec}s wait")
+            except OSError:  # pragma: no cover
+                pass
+        for name, reason in pending:
             fn = bench_queries[name]
             times = all_times[name]
             for _ in range(3):
@@ -544,6 +570,9 @@ def main():
         "queries_load": entry_load,
         "rechecked": rechecked,
         "recheck_reasons": recheck_reasons,
+        "recheck_wait_sec": recheck_wait_sec,
+        "recheck_load": recheck_load,
+        "recheck_note": recheck_note,
         "ncpu": os.cpu_count(),
     }
     # full report (median + min) to a file; stdout gets ONE compact line —

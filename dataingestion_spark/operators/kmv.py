@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-
 from .hashing import hex_prefix_long, horner_hex_sql
 
 __all__ = [

@@ -1,9 +1,12 @@
 """Text analytics for training-data curation: language id, quality scoring,
 token counting, fingerprinting.
 
-All four are pure column projections over built-in functions — no UDFs, no
-shuffles, fully codegen'd — so they run at scan speed on 100 TB and their
+All four are pure column projections over built-in functions — no UDFs,
+fully codegen'd — so the per-row work runs at scan speed on 100 TB and the
 semantics are reproducible in any engine with md5/regex (DuckDB oracle).
+On under-parallel small inputs, operators conditionally insert one
+round-robin exchange via ``fan_out`` (kill switch ``SPARK_GRAFT_FANOUT=0``)
+so the scan stage fills the cluster; a structural no-op at scale.
 """
 
 from __future__ import annotations
@@ -119,7 +122,8 @@ PII_PATTERNS = [
 def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Redact common PII shapes (emails, phone numbers, IPs, SSN-like ids)
     and count the redactions — the standard pre-training scrub pass. Pure
-    regexp projection: scan-speed, no UDFs. Patterns apply in list order
+    regexp projection: scan-speed per-row work, no UDFs (conditional
+    scan fan-out per the module note). Patterns apply in list order
     (an email is redacted before its digits could look like a phone)."""
     df = fan_out(df)
     scrubbed = F.col(text_col)
@@ -224,8 +228,9 @@ def c4_signals(df: DataFrame, text_col: str = "text",
       with < 3 sentences);
     * ``c4_keep`` — the composite keep decision.
 
-    Pure column projection (split + HOF filter + regex — per-row work,
-    no shuffle, runs at scan speed); thresholds are the operator's
+    Pure column projection (split + HOF filter + regex — per-row work
+    at scan speed; conditional scan fan-out per the module note);
+    thresholds are the operator's
     contract, tune per corpus. Mirrored in SQL by
     :func:`c4_signals_sql`."""
     df = fan_out(df)
@@ -299,8 +304,9 @@ def gopher_signals(df: DataFrame, text_col: str = "text",
       to 5 so the rule set stays exercisable on short test corpora;
       production corpora pass 50).
 
-    Pure projection over split/HOF-filter/regex — scan-speed, no
-    shuffle. Mirrored by :func:`gopher_signals_sql`."""
+    Pure projection over split/HOF-filter/regex — scan-speed per-row
+    work (conditional scan fan-out per the module note). Mirrored by
+    :func:`gopher_signals_sql`."""
     df = fan_out(df)
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(text), r"\s+")
@@ -386,7 +392,8 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     random alphanumeric blobs score near ln(alphabet). Degenerate-text
     filtering à la Gopher's symbol rules, but distribution-level.
 
-    Expression-only (no explode, no shuffle): per row, the distinct-char
+    Expression-only (no explode; conditional scan fan-out per the
+    module note): per row, the distinct-char
     array is sorted and each character's count comes from one pass over
     the char array — O(|alphabet| · len) compute at scan speed, fine
     because |alphabet| is small by construction for text. The entropy fold
@@ -430,7 +437,8 @@ _CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
 def normalize_text(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Web-text cleanup pass (the C4/CCNet pre-filter hygiene step),
-    entirely in codegen'd string expressions — no UDF, no shuffle:
+    entirely in codegen'd string expressions — no UDF (conditional scan
+    fan-out per the module note):
 
     1. line endings: CRLF / lone CR → LF;
     2. strip C0 control chars (except tab/newline) and DEL;
@@ -502,7 +510,8 @@ def script_profile(df: DataFrame, text_col: str = "text",
     gate that runs BEFORE any model-based language id in multilingual
     curation. Expression-only: one regexp per script, counts via
     length-after-stripping-others, so the whole profile is one codegen'd
-    projection and SQL-oracle-checkable (RE2 spells the same property
+    projection (conditional scan fan-out per the module note) and
+    SQL-oracle-checkable (RE2 spells the same property
     \\p{Latin} where Java says \\p{IsLatin} — see the SCRIPTS table)."""
     df = fan_out(df)
     c = F.col(text_col)

@@ -20,8 +20,6 @@ import os
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..partitioning import fan_out
-
 # Query parameters that identify a click, not a resource. Stripping them
 # is the single highest-yield URL-dedup normalization on web crawls.
 TRACKING_PARAM_PREFIXES = ("utm_",)

@@ -41,15 +41,37 @@ __all__ = ["fan_out"]
 def fan_out(df: DataFrame) -> DataFrame:
     """Raise ``df``'s parallelism to the cluster's task slots when the
     source plans fewer partitions; no-op otherwise (the at-scale case).
+
+    Only exchange-free (scan-rooted) frames are probed and fanned.
+    Under AQE, materializing ``df.rdd`` on a frame that already
+    contains an exchange eagerly EXECUTES every upstream shuffle or
+    broadcast stage and then discards the result — a silent double
+    execution of the upstream DAG on derived inputs (r14 VERDICT #3).
+    Physical *planning* (``sparkPlan``) runs no stages, so it is used
+    to detect exchanges first; frames that carry one are left alone —
+    their downstream parallelism is governed by shuffle partitions and
+    AQE coalescing, not by the input split count this helper fixes.
+    On an exchange-free plan the ``df.rdd`` partition probe is exact
+    and free: there is no query stage to execute, the RDD is built
+    lazily and listing its partitions launches no job.
     """
     if os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
         return df
     try:
         sc = df.sparkSession.sparkContext
         slots = int(sc.defaultParallelism)
+        if slots <= 1:
+            return df
+        # executedPlan, not sparkPlan: exchanges are inserted by the
+        # EnsureRequirements preparation rule, which sparkPlan predates.
+        # Building the (non-final) adaptive plan is pure planning — no
+        # query stage materializes until an action runs.
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            return df
         n = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover — session teardown races
         return df
-    if n >= slots or slots <= 1:
+    if n >= slots:
         return df
     return df.repartition(slots)

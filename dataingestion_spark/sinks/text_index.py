@@ -40,7 +40,6 @@ import zlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-
 _WS = r"\s+"
 _N_TERM_BUCKETS = 64
 

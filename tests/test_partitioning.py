@@ -38,6 +38,38 @@ def test_fan_out_kill_switch(spark, monkeypatch):
     assert fan_out(df) is df
 
 
+def _jobs_submitted(spark):
+    # DAGScheduler.nextJobId is the monotonically increasing id the next
+    # job will take; a delta of zero across a call proves the call
+    # submitted no Spark job.
+    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+
+def test_fan_out_derived_frame_launches_no_jobs(spark):
+    # A frame with an upstream exchange must pass through untouched and
+    # WITHOUT the probe executing the shuffle stage: under AQE,
+    # materializing df.rdd on such a frame runs the upstream DAG
+    # eagerly and discards it (r14 VERDICT #3).
+    df = (spark.range(0, 10000).withColumn("k", F.col("id") % 7)
+          .groupBy("k").count())
+    before = _jobs_submitted(spark)
+    out = fan_out(df)
+    after = _jobs_submitted(spark)
+    assert out is df
+    assert after == before
+
+
+def test_fan_out_scan_probe_launches_no_jobs(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    before = _jobs_submitted(spark)
+    fanned = fan_out(df)
+    after = _jobs_submitted(spark)
+    assert after == before
+    assert fanned is not df  # 1 file < slots: the fan-out still fires
+
+
 def test_fanned_minhash_identical(spark, monkeypatch):
     from dataingestion_spark.operators import dedup
 
