@@ -972,9 +972,13 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
     boilerplate keys (tiny, broadcast) while the probe streams the lines.
     Reconstruction is one groupBy(doc) with a sorted in-memory fold —
     lines of one document co-locate, so memory is bounded by the largest
-    document, not the partition."""
+    document, not the partition.
+
+    NOT fanned: ``exploded`` feeds TWO consumers (the heavy-hitter count
+    and the anti-join probe side), so a scan fan-out shuffle runs twice —
+    the r15 tight-ABBA A/B read ON−OFF +1.354 s median, 6/6 positive
+    (plans/r15/ab_fanout_sites.txt)."""
     lines = F.split(F.col(text_col), "\n")
-    df = fan_out(df)
     exploded = df.select(
         F.col(id_col), F.size(lines).alias("_nl"),
         F.posexplode(lines).alias("_i", "_line"),

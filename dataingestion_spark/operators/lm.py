@@ -38,8 +38,6 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..partitioning import fan_out
-
 _WS = r"\s+"
 
 
@@ -53,7 +51,13 @@ def _words(text_col: str):
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per (doc, w1, w2) bigram *type* with its occurrence count.
     Pure map + one groupBy keyed (doc, gram); the shuffle carries compact
-    gram rows, never the document text."""
+    gram rows, never the document text.
+
+    NOT fanned: the zip-with-tail gram build is array-slice-speed (like
+    collocations' bigram build, reverted in r14) and the groupBy pays its
+    own exchange right after the explode — the r15 tight-ABBA A/B read
+    ON−OFF +0.296 s median, 5/6 positive (plans/r15/ab_fanout_sites.txt),
+    confirming the r14 driver's lm_perplexity 0.57×/builder 0.83×."""
     w = _words(text_col)
     # zip the word array with its own tail: each slice is evaluated once per
     # row, so building the gram list is O(len). (The tempting alternative —
@@ -65,7 +69,7 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     return (
-        fan_out(df).select(F.col(id_col), F.explode(grams).alias("g"))
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .groupBy(id_col, "w1", "w2")
         .agg(F.count("*").alias("cnt"))

@@ -38,8 +38,6 @@ from typing import List
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..partitioning import fan_out
-
 from .similarity import _rank_topk
 
 __all__ = ["pq_train", "pq_encode", "topk_pq_adc", "topk_ivf_pq"]
@@ -139,7 +137,14 @@ def pq_encode(corpus: DataFrame, codebooks: List[List[List[float]]],
             codes = np.stack(cols, axis=1).astype("int32")
             yield pdf.assign(**{code_col: list(codes)})
 
-    return fan_out(corpus).mapInPandas(encode, out_schema)
+    # NOT fanned (r15): spawning task-slot-many Python workers (one numpy
+    # init each, §4.5) for a small encode batch costs more than the
+    # parallelism returns — two tight-ABBA windows read pq_adc neutral
+    # (−0.065 med) and pq_rerank +0.19/+0.356 med, 4/6 + 6/8 positive
+    # (plans/r15/ab_fanout_sites.txt, ab_fanout_rerun.txt). ivfpq_build's
+    # measured fan-out win comes from ivf_assign, whose output (this
+    # function's input there) carries an exchange and is skipped anyway.
+    return corpus.mapInPandas(encode, out_schema)
 
 
 def topk_pq_adc(encoded: DataFrame, codebooks: List[List[List[float]]],

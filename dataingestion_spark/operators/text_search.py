@@ -48,8 +48,14 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, text_col: str = "text",
 
     summed over the *distinct* query terms in sorted order (deterministic
     float fold). Ties rank by ascending doc id.
+
+    NOT fanned: ``docs`` feeds TWO subtrees (doclens aggregation + the
+    postings explode), so a scan fan-out shuffle runs twice, and the tf
+    groupBy pays its own exchange right after the explode anyway — the
+    r15 tight-ABBA A/B read ON−OFF +0.881 s median, 5/6 positive
+    (plans/r15/ab_fanout_sites.txt), confirming the r14 driver's
+    bm25_hybrid 0.82× regression.
     """
-    docs = fan_out(docs)
     words = F.split(F.trim(F.col(text_col)), _WS)
     doclens = docs.select(F.col(id_col), F.size(words).alias("dl"))
     stats = doclens.agg(

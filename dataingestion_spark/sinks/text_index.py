@@ -159,11 +159,25 @@ def hybrid_search_indexed(spark, text_path: str, ivf_path: str,
     tests); lower ``n_probe`` trades vector-side recall for pruning,
     leaving the BM25 side exact. Output: (query_id, rank, doc_id,
     rrf_score)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.text_search import rrf_fuse
     from .vector_index import search_ivf_index
 
-    bm = search_text_index(spark, text_path, text_queries, k=per_side_k)
-    cos = search_ivf_index(spark, ivf_path, vec_queries,
-                           k=per_side_k, n_probe=n_probe).select(
-        "query_id", F.col("vec_id").alias("doc_id"), "rank")
+    # The two sides are independent until the fuse, and each blocks the
+    # driver on its own small prep jobs while it is CONSTRUCTED (the
+    # BM25 side collects the distinct query terms for pruning literals;
+    # the IVF side checkpoints + collects its probe set). Building them
+    # from two driver threads overlaps those jobs (§2.6 — Spark runs
+    # concurrent jobs fine; FIFO back-fills the idle slots), so serve
+    # latency pays max(side preps) instead of their sum. Frame
+    # construction only — the fused query itself stays one plan/action.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        bm_f = pool.submit(search_text_index, spark, text_path,
+                           text_queries, k=per_side_k)
+        cos_f = pool.submit(search_ivf_index, spark, ivf_path,
+                            vec_queries, k=per_side_k, n_probe=n_probe)
+        bm = bm_f.result()
+        cos = cos_f.result().select(
+            "query_id", F.col("vec_id").alias("doc_id"), "rank")
     return rrf_fuse(bm, cos, k0=k0, k=k)

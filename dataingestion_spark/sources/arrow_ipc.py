@@ -34,7 +34,7 @@ __all__ = ["read_arrow_ipc", "read_arrow_ipc_split",
 def read_arrow_ipc(spark: SparkSession, path: str,
                    columns: Optional[List[str]] = None,
                    glob: str = "*.arrow",
-                   arrow: bool = False) -> DataFrame:
+                   arrow: bool = True) -> DataFrame:
     """Read a directory of Arrow IPC (Feather v2) files.
 
     Schema comes from the first file's footer (one driver-side read —
@@ -43,7 +43,7 @@ def read_arrow_ipc(spark: SparkSession, path: str,
     deserialization boundary (IPC is columnar, so unprojected columns
     are never materialized into pandas). One task per file.
 
-    ``arrow=True`` (r14): the file's own RecordBatches ship straight
+    ``arrow=True`` (r14; default since r15): the file's own RecordBatches ship straight
     to the JVM via ``mapInArrow`` — the on-disk format IS Arrow, so
     the default path's arrow→pandas→arrow round-trip is pure waste.
     Timestamp-bearing schemas route back to mapInPandas (Spark's
@@ -219,7 +219,7 @@ def read_arrow_ipc_split(spark: SparkSession, path: str,
                          split_mb: int = 128,
                          glob_pat: str = "*.arrow",
                          backend=None,
-                         arrow: bool = False) -> DataFrame:
+                         arrow: bool = True) -> DataFrame:
     """Scale-IN Arrow IPC reader: the file format's FOOTER indexes
     every record batch, so splitting needs no resync heuristics at all
     — the planner reads each footer (small tail reads), assigns

@@ -1072,7 +1072,7 @@ def read_avro(spark: SparkSession, path: str,
               columns: Optional[List[str]] = None,
               glob: str = "*.avro",
               schema: Optional[Any] = None,
-              arrow: bool = False) -> DataFrame:
+              arrow: bool = True) -> DataFrame:
     """Read a directory of Avro container files as a DataFrame.
 
     The READER schema comes from ``schema`` (an Avro schema JSON dict
@@ -1088,7 +1088,8 @@ def read_avro(spark: SparkSession, path: str,
     are SKIPPED during decode, not just dropped (row-major IO still
     reads the bytes; see module docstring).
 
-    ``arrow=True`` (r14) swaps the parse to ``mapInArrow``: the
+    ``arrow=True`` (r14; the default since r15 — every declared read
+    path now carries the interchange) swaps the parse to ``mapInArrow``: the
     vectorized decoder already builds Arrow buffers, so the column
     crosses executor→JVM as ONE Arrow array with no pandas round-trip
     (end-to-end 1.2-1.5x, scripts/scale_probe_avro_arrow.py; the r13
@@ -1273,7 +1274,7 @@ def read_avro_split(spark: SparkSession, path: str, *,
                     schema: Optional[Any] = None,
                     glob_pat: str = "*.avro",
                     backend: Optional[Any] = None,
-                    arrow: bool = False) -> DataFrame:
+                    arrow: bool = True) -> DataFrame:
     """Scale-IN reader: split each container at SYNC MARKERS so one
     large file decodes across many executors.
 

@@ -1,11 +1,12 @@
-"""Capture .explain("formatted") for bench-entry queries into plans/r14/.
+"""Capture .explain("formatted") for bench-entry queries into plans/
+(round dir from $PLANS_DIR, default plans/r15/).
 
 Usage: python scripts/capture_plans.py <suffix> [name1,name2,...]
 
-Writes plans/r14/<entry>_<suffix>.txt for every requested entry (default:
+Writes <plans dir>/<entry>_<suffix>.txt for every requested entry (default:
 every entry in the bench registry whose builder returns a lazy frame).
 The judge cannot run Spark, so these files are the evidence for every
-plan-shape claim in OPTIMIZATION_r14.md.
+plan-shape claim in the round's OPTIMIZATION report.
 """
 
 from __future__ import annotations
@@ -89,12 +90,25 @@ def main() -> None:
         "k_anonymity": em.q_privacy_kanon,
         "span_corruption": em.q_span_corruption,
         "office_ingest": em.q_office_ingest,
+        # interchange io entries (write-at-build + lazy read frame): the
+        # READ plan is exactly the r15 claim (MapInPandas → MapInArrow),
+        # so they are captured despite the build-time write side effect
+        "avro_io": em.q_io_avro_roundtrip,
+        "avro_snappy_io": em.q_io_avro_snappy_roundtrip,
+        "avro_split_read": em.q_io_avro_split_read,
+        "avro_tokens_vec": em.q_io_avro_tokens_vec,
+        "avro_struct_vec": em.q_io_avro_struct_vec,
+        "avro_nstruct_vec": em.q_io_avro_nullable_struct_vec,
+        "avro_astruct_vec": em.q_io_avro_array_struct_vec,
+        "arrow_ipc_io": em.q_arrow_ipc_roundtrip,
+        "arrow_ipc_split_read": em.q_io_arrow_ipc_split,
     }
     if only:
         entries = {k: v for k, v in entries.items() if k in only}
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.environ.get("PLANS_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     for name, fn in entries.items():
         try:
