@@ -5318,20 +5318,32 @@ def q_lakehouse_merge(spark, sf):
 
     from dataingestion_spark.sinks import manifest_store as ms
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("documentid"),
         "text", "lang", "n_chars",
     )
     table = tempfile.mkdtemp(prefix="merge_lh_") + "/t"
-    ms.write_table(docs.filter(F.col("doc_id") % 3 != 0), table)
     src1 = (
         docs.filter(F.col("doc_id") % 2 == 0)
         .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
         .withColumn("n_chars", F.col("n_chars") + F.lit(3))
     )
-    ms.merge_table(src1, table, matched_condition="target.n_chars % 2 = 0")
     src2 = docs.filter(F.col("doc_id") % 7 == 0).select("documentid")
-    ms.merge_table(src2, table, when_matched="delete", when_not_matched=None)
+    # §2.6 overlap: each merge's precheck job reads only its OWN source,
+    # so both run from a thread pool while the seed write commits — the
+    # commit ORDER (write → merge 1 → merge 2) and every commit's view
+    # of prior table state are unchanged; results identical (oracled).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        p1 = pool.submit(ms.prepare_batch, src1)
+        p2 = pool.submit(ms.prepare_batch, src2)
+        ms.write_table(docs.filter(F.col("doc_id") % 3 != 0), table)
+        ms.merge_table(src1, table,
+                       matched_condition="target.n_chars % 2 = 0",
+                       prepared=p1.result())
+        ms.merge_table(src2, table, when_matched="delete",
+                       when_not_matched=None, prepared=p2.result())
     return ms.read_table(spark, table).select(
         "documentid", "text", "lang", "n_chars"
     )
@@ -7713,19 +7725,30 @@ def q_lakehouse_scd2(spark, sf):
         F.col("c_custkey").cast("string").alias("documentid"),
         F.col("c_mktsegment").alias("segment"),
         (F.round("c_acctbal", 2) + F.lit(0.0)).alias("balance"))
+    from concurrent.futures import ThreadPoolExecutor
+
     key = F.col("documentid").cast("long")
     bal2 = F.col("balance") + F.when(key % 3 == 0, 100.0).otherwise(0.0)
     table = tempfile.mkdtemp(prefix="scd2_lh_") + "/dim"
-    scd2_merge(cust.withColumn("effective_ts", F.lit(1.0)),
-               table, tracked=["segment", "balance"])
-    scd2_merge(cust.withColumn("balance", bal2)
-               .withColumn("effective_ts", F.lit(2.0)),
-               table, tracked=["segment", "balance"])
-    scd2_merge(cust.withColumn("balance", bal2)
-               .withColumn("segment", F.lit("CHURNED"))
-               .withColumn("effective_ts", F.lit(3.0))
-               .filter(key % 2 == 0),
-               table, tracked=["segment", "balance"])
+    b2 = (cust.withColumn("balance", bal2)
+          .withColumn("effective_ts", F.lit(2.0)))
+    b3 = (cust.withColumn("balance", bal2)
+          .withColumn("segment", F.lit("CHURNED"))
+          .withColumn("effective_ts", F.lit(3.0))
+          .filter(key % 2 == 0))
+    # §2.6 overlap: batches 2/3's precheck jobs read only their own
+    # source frames, so they run from a thread pool while batch 1 seeds
+    # the dimension — merge ORDER and each merge's view of prior history
+    # are unchanged; results identical (oracled).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        p2 = pool.submit(ms.prepare_batch, b2)
+        p3 = pool.submit(ms.prepare_batch, b3)
+        scd2_merge(cust.withColumn("effective_ts", F.lit(1.0)),
+                   table, tracked=["segment", "balance"])
+        scd2_merge(b2, table, tracked=["segment", "balance"],
+                   prepared=p2.result())
+        scd2_merge(b3, table, tracked=["segment", "balance"],
+                   prepared=p3.result())
     return ms.read_table(spark, table).select(
         "documentid", "segment", "balance",
         "valid_from", "valid_to", "is_current")

@@ -1423,11 +1423,41 @@ def _merge_target_files(manifest: Dict, meta: Dict, existing, precheck):
     return keep
 
 
+def prepare_batch(source: DataFrame):
+    """The source-only half of a merge/SCD2 commit, runnable AHEAD of
+    the commit it belongs to: pin the batch with a lazy checkpoint and
+    run the ONE precheck job (per-bucket row/key counts + id min/max —
+    the duplicate guard's and the target-file pruning's shared input).
+
+    The job reads only ``source``, never the table, so in a
+    multi-commit lifecycle the handles for LATER batches can be
+    computed from a small driver thread pool while an earlier commit's
+    jobs run — the optimization guide's "overlap independent jobs"
+    back-fill shape (§2.6) — without reordering any commit: the commit
+    sequence, each commit's reads of prior table state, and the guard
+    semantics are unchanged (a duplicate batch still fails before its
+    own commit touches the table). Pass the returned handle to
+    :func:`merge_table` / :func:`~.scd.scd2_merge` via ``prepared=``.
+
+    Measured motivation (scripts/profile_lakehouse_phases.py, sf0.1):
+    the precheck job is 0.15-0.6 s of a 1.2-2.8 s merge, serialized
+    between commits by the driver's call sequence."""
+    src = (source.withColumn("doc_bucket", _bucket_col())
+           .localCheckpoint(eager=False))
+    precheck = src.groupBy("doc_bucket").agg(
+        F.count("*").alias("_rows"),
+        F.countDistinct("documentid").alias("_keys"),
+        F.min("documentid").alias("_idmin"),
+        F.max("documentid").alias("_idmax"),
+    ).collect()
+    return src, precheck
+
+
 def merge_table(source: DataFrame, table: str,
                 when_matched: Optional[str] = "update",
                 when_not_matched: Optional[str] = "insert",
                 matched_condition: Optional[str] = None,
-                txn=None) -> int:
+                txn=None, prepared=None) -> int:
     """Delta-style MERGE INTO keyed on ``documentid``.
 
     * ``when_matched="update"`` — replace ALL stored rows of the document
@@ -1461,6 +1491,10 @@ def merge_table(source: DataFrame, table: str,
     no-op, which makes per-micro-batch streaming MERGE
     (:func:`..streaming.pipeline.stream_upsert`) exactly-once under
     at-least-once foreachBatch delivery.
+
+    ``prepared`` — a :func:`prepare_batch` handle for ``source``,
+    letting a multi-commit caller overlap this merge's precheck job
+    with an earlier commit (§2.6); semantics identical.
     """
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be 'update', 'delete' or None, got {when_matched!r}")
@@ -1485,16 +1519,11 @@ def merge_table(source: DataFrame, table: str,
     # writes) — pin it once; a merge batch is bounded, unlike the table.
     # Lazy: the precheck collect right below materializes it, so an eager
     # checkpoint would only add a redundant job to every merge.
-    src = source.withColumn("doc_bucket", _bucket_col()).localCheckpoint(eager=False)
     # ONE job answers all three pre-checks: per-bucket row/key counts give
     # the affected-bucket list AND the duplicate guard (rows > distinct
-    # keys), and per-bucket id [min,max] feeds target-file range pruning
-    precheck = src.groupBy("doc_bucket").agg(
-        F.count("*").alias("_rows"),
-        F.countDistinct("documentid").alias("_keys"),
-        F.min("documentid").alias("_idmin"),
-        F.max("documentid").alias("_idmax"),
-    ).collect()
+    # keys), and per-bucket id [min,max] feeds target-file range pruning.
+    # A `prepared` handle carries the same pair, computed ahead of time.
+    src, precheck = prepared if prepared is not None else prepare_batch(source)
     if any(r["_rows"] > r["_keys"] for r in precheck):
         raise ValueError("source has duplicate documentids; merge requires "
                          "one source row per key (Delta semantics)")

@@ -49,7 +49,8 @@ def _open_rows(source: DataFrame, tracked: List[str], effective_col: str):
 
 def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
                effective_col: str = "effective_ts",
-               deleted_col: Optional[str] = None, txn=None) -> int:
+               deleted_col: Optional[str] = None, txn=None,
+               prepared=None) -> int:
     """Merge a snapshot batch into an SCD Type 2 dimension table.
 
     ``source`` carries one row per business key: ``documentid``, the
@@ -87,6 +88,11 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
     ``txn=(app, epoch)`` is the usual idempotent-retry guard, making
     per-micro-batch streaming SCD2 exactly-once under foreachBatch
     retries. Returns the committed version.
+
+    ``prepared`` — a :func:`~.manifest_store.prepare_batch` handle for
+    ``source``, letting a multi-batch caller overlap this merge's
+    precheck job with an earlier commit (guide §2.6); semantics
+    identical (the dup guard still fails this batch before its commit).
     """
     for c in ("documentid", effective_col, *tracked,
               *([deleted_col] if deleted_col else [])):
@@ -111,14 +117,8 @@ def scd2_merge(source: DataFrame, table: str, *, tracked: List[str],
         if ms._txn_applied(prior, txn):
             return prior["version"]
 
-    src = (source.withColumn("doc_bucket", ms._bucket_col())
-           .localCheckpoint(eager=False))
-    precheck = src.groupBy("doc_bucket").agg(
-        F.count("*").alias("_rows"),
-        F.countDistinct("documentid").alias("_keys"),
-        F.min("documentid").alias("_idmin"),
-        F.max("documentid").alias("_idmax"),
-    ).collect()
+    src, precheck = (prepared if prepared is not None
+                     else ms.prepare_batch(source))
     if any(r["_rows"] > r["_keys"] for r in precheck):
         raise ValueError("source has duplicate documentids; scd2_merge "
                          "requires one source row per key")

@@ -41,8 +41,12 @@ def main() -> None:
                       driver_mem=os.environ.get("SPARK_DRIVER_MEM", "48g"))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Spark 4: the concrete class is pyspark.sql.classic.dataframe.
+    # DataFrame, which OVERRIDES collect — patch it, not the ABC.
+    from pyspark.sql.classic.dataframe import DataFrame as CDataFrame
+
     prof: list = []
-    orig_collect = DataFrame.collect
+    orig_collect = CDataFrame.collect
 
     def timed_collect(self):
         t0 = time.monotonic()
@@ -50,7 +54,7 @@ def main() -> None:
         prof.append(round(time.monotonic() - t0, 3))
         return r
 
-    DataFrame.collect = timed_collect
+    CDataFrame.collect = timed_collect
 
     cust = spark.read.parquet(os.path.join(sf, "customer.parquet")).select(
         F.col("c_custkey").cast("string").alias("documentid"),
@@ -104,7 +108,7 @@ def main() -> None:
     print(f"merge_upsert(merge1): wall med={statistics.median(walls):.3f} "
           f"min={min(walls):.3f} load1={os.getloadavg()[0]:.2f}")
 
-    DataFrame.collect = orig_collect
+    CDataFrame.collect = orig_collect
     spark.stop()
 
 

@@ -313,3 +313,67 @@ def test_stream_history_inline_maintenance(spark, tmp_path):
     assert got[("a", 3.0)] == ("pt", True)
     assert got[("b", 0.0)] == ("de", True)
     assert len(got) == 5  # a: 4 versions, b: 1
+
+
+def test_scd2_prepared_handle_identical_and_overlappable(spark):
+    """r15 §2.6: a prepare_batch handle computed AHEAD of earlier
+    commits (even from a worker thread, the intended overlap shape)
+    must leave results identical to the plain sequential calls, and the
+    dup guard must still fire for a prepared duplicate batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rows1 = [("a", "AUTO", 10, 1), ("b", "BIKE", 20, 1)]
+    rows2 = [("a", "AUTO", 15, 2), ("b", "BIKE", 20, 2), ("c", "CARS", 30, 2)]
+
+    plain = _tbl()
+    scd2_merge(_batch(spark, rows1), plain, tracked=["segment", "balance"])
+    scd2_merge(_batch(spark, rows2), plain, tracked=["segment", "balance"])
+
+    overlapped = _tbl()
+    b2 = _batch(spark, rows2)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        h2 = pool.submit(ms.prepare_batch, b2)   # before merge 1 commits
+        scd2_merge(_batch(spark, rows1), overlapped,
+                   tracked=["segment", "balance"])
+        scd2_merge(b2, overlapped, tracked=["segment", "balance"],
+                   prepared=h2.result())
+    assert _state(spark, overlapped) == _state(spark, plain)
+
+    dup = _batch(spark, [("d", "X", 1, 3), ("d", "Y", 2, 3)])
+    with pytest.raises(ValueError, match="duplicate documentid"):
+        scd2_merge(dup, overlapped, tracked=["segment", "balance"],
+                   prepared=ms.prepare_batch(dup))
+
+
+def test_merge_table_prepared_handle_identical(spark):
+    """merge_table with a prepared handle (update + delete-only merges)
+    equals the sequential calls row-for-row."""
+    from concurrent.futures import ThreadPoolExecutor
+    from pyspark.sql import Row
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [Row(documentid=k, lang=v) for k, v in rows],
+            "documentid string, lang string")
+
+    def run(prepared):
+        t = tempfile.mkdtemp(prefix="mrgprep_") + "/t"
+        src1, src2 = mk([("a", "fr"), ("c", "pt")]), mk([("b", None)])
+        src2 = src2.select("documentid")
+        if prepared:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                h1 = pool.submit(ms.prepare_batch, src1)
+                h2 = pool.submit(ms.prepare_batch, src2)
+                ms.write_table(mk([("a", "en"), ("b", "de")]), t)
+                ms.merge_table(src1, t, prepared=h1.result())
+                ms.merge_table(src2, t, when_matched="delete",
+                               when_not_matched=None, prepared=h2.result())
+        else:
+            ms.write_table(mk([("a", "en"), ("b", "de")]), t)
+            ms.merge_table(src1, t)
+            ms.merge_table(src2, t, when_matched="delete",
+                           when_not_matched=None)
+        return {(r.documentid, r.lang)
+                for r in ms.read_table(spark, t).collect()}
+
+    assert run(True) == run(False) == {("a", "fr"), ("c", "pt")}
