@@ -26,15 +26,18 @@ def get_spark(app_name: str = "dataingestion_spark", cpus: str | int | None = No
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # let the planner (and AQE, at runtime) pick shuffled-hash joins
-        # when a build side fits per-partition memory: skips the sort on
-        # both sides, and measured a small consistent win on the join-
-        # heavy entries here. Sort-merge remains the fallback whenever
-        # the size conditions fail, so nothing can regress to OOM that
-        # would not already have built a hash table. Env-tunable for
-        # deployments that prefer the pure-SMJ default.
+        # Shuffled-hash joins are enabled through AQE's RUNTIME threshold
+        # only (rewrite decided from observed post-shuffle sizes): the
+        # static planner's preferSortMergeJoin=false route sizes the
+        # build side from estimates that can be badly wrong after
+        # filters/UDFs, and an SHJ build side does not spill — a
+        # misestimate there can OOM where sort-merge would have spilled
+        # (r14 ADVICE). Measured r15: with the current plans the static
+        # preference selected no SHJ anywhere (executed ann_recall /
+        # bm25_hybrid / kmv_setops plans identical under both settings),
+        # so keeping the safe default costs nothing. Env-tunable.
         .config("spark.sql.join.preferSortMergeJoin",
-                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"))
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
         .config("spark.sql.session.timeZone", "UTC")
