@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import zlib
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -70,11 +71,25 @@ def _write(docs: DataFrame, path: str, text_col: str, id_col: str,
     # partitionBy still routes rows to their bucket directory, and the
     # within-task sort keeps every output file term-ordered for
     # row-group-stat pruning.
-    (postings.repartition("tb", "doc_id").sortWithinPartitions("tb", "term")
-     .write.mode(mode).partitionBy("tb")
-     .parquet(os.path.join(path, "postings")))
-    (docs.select(F.col(id_col).alias("doc_id"), F.size(words).alias("dl"))
-     .write.mode(mode).parquet(os.path.join(path, "doclens")))
+    def _write_postings():
+        (postings.repartition("tb", "doc_id")
+         .sortWithinPartitions("tb", "term")
+         .write.mode(mode).partitionBy("tb")
+         .parquet(os.path.join(path, "postings")))
+
+    def _write_doclens():
+        (docs.select(F.col(id_col).alias("doc_id"), F.size(words).alias("dl"))
+         .write.mode(mode).parquet(os.path.join(path, "doclens")))
+
+    # The two writes land in DISJOINT directories and share no state, so
+    # they are independent jobs the driver was serializing for no reason;
+    # submit both from a 2-thread pool (§2.6) so the cheap doclens scan
+    # back-fills the postings job's shuffle/write tail. Work and results
+    # are identical — this only overlaps wall-clock.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pf, df_ = pool.submit(_write_postings), pool.submit(_write_doclens)
+        pf.result()
+        df_.result()
 
 
 def write_text_index(docs: DataFrame, path: str, text_col: str = "text",
