@@ -51,6 +51,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     relevance means "close to these nodes", not globally central. Seeds
     are broadcast (a seed set is small by definition); ranks of nodes
     unreachable from the seeds converge to 0."""
+    if checkpoint:
+        # Materialize the edge list ONCE: `nodes`, `outdeg` and `e` all
+        # re-derive from `edges`, and an expensive caller frame (e.g. a
+        # multi-join edge build) would otherwise re-execute for each of
+        # their checkpoints — `e`'s plan even contains the edges subtree
+        # twice (self-join with outdeg). Everything below now derives
+        # from the cached partitions; same rows, same results.
+        edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

@@ -89,3 +89,20 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
     seeds = spark.createDataFrame([Row(node=1)]).filter("node > 5")
     with pytest.raises(ValueError):
         pagerank(edges, seeds=seeds)
+
+
+def test_pagerank_checkpointed_identical_to_uncheckpointed(spark):
+    # the eager edge/nodes/e checkpoints are materialization boundaries
+    # only — bit-identical ranks with them on or off, including through
+    # a DERIVED edge frame (join + distinct, the q_pagerank_nations
+    # shape that motivated checkpointing the edge list once)
+    raw = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 1), (3, 1), (1, 3)])
+    names = spark.createDataFrame([(i, f"n{i}") for i in range(4)],
+                                  "id long, name string")
+    derived = (raw.join(names, raw.src == names.id)
+               .select("src", "dst").distinct())
+    on = {r.node: r.rank for r in
+          pagerank(derived, iters=4, checkpoint=True).collect()}
+    off = {r.node: r.rank for r in
+           pagerank(derived, iters=4, checkpoint=False).collect()}
+    assert on == off
