@@ -343,15 +343,30 @@ def ivf_assign(corpus: DataFrame, cents: DataFrame, corpus_id: str,
     assign_w = Window.partitionBy(corpus_id).orderBy(
         F.desc("csim"), F.asc("centroid_id")
     )
-    ranked = (
+    scored = (
         fan_out(corpus).crossJoin(F.broadcast(cents))
         .withColumn("csim", cosine_sim(F.col(corpus_vec), F.col("cvec")))
-        .withColumn("crk", F.row_number().over(assign_w))
     )
     if max_list_size is None:
-        return ranked.filter(F.col("crk") == 1).select(
-            corpus_id, corpus_vec, "centroid_id"
+        # rank-1 assignment is an ARGMAX, not a ranking: the max(struct)
+        # aggregation gets map-side partial aggregation, so the shuffle
+        # moves one partial per (task, vector) instead of the corpus×C
+        # expanded rows the window formulation sorts (§2.3 — same trick
+        # as _lloyd_assign, same (csim, -cid) tie-break as the window's
+        # desc(csim)/asc(cid): smallest centroid_id wins ties, and the
+        # unique (csim, -cid) prefix means the riding vec is never
+        # compared).
+        return (
+            scored.groupBy(corpus_id)
+            .agg(F.max(F.struct(
+                F.col("csim"),
+                (-F.col("centroid_id")).alias("_ncid"),
+                F.col(corpus_vec).alias("_vec"))).alias("_w"))
+            .select(corpus_id,
+                    F.col("_w._vec").alias(corpus_vec),
+                    (-F.col("_w._ncid")).alias("centroid_id"))
         )
+    ranked = scored.withColumn("crk", F.row_number().over(assign_w))
     # keep the top-2 centroids per vector; the rank-2 row is only read
     # for vectors that overflow their rank-1 list, so the extra shuffle
     # payload is 2× the id/vec rows (still no second corpus×C scoring).
@@ -416,8 +431,12 @@ def topk_cosine_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
         )
     else:
         n = corpus.count()
+        # materialize the C-row centroid frame ONCE: it is broadcast in
+        # two places below (list assignment and query probing), and its
+        # plan — a distributed prefix sum + global sort + limit — would
+        # otherwise execute once per broadcast build
         cents = _stride_centroid_rows(corpus, corpus_id, corpus_vec,
-                                      n_centroids, n)
+                                      n_centroids, n).localCheckpoint(eager=True)
     assigned = ivf_assign(corpus, cents, corpus_id, corpus_vec, max_list_size)
     probe_w = Window.partitionBy(query_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
     probes = (
